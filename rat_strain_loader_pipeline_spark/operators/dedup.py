@@ -1,0 +1,275 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact and near-duplicate detection over a ``documents(doc_id, text)``
+table, each designed to scale: every stage is a DataFrame op whose
+shuffle keys are bounded (hash prefixes, band signatures), never an
+all-pairs comparison — the only pairwise work happens on LSH-bucketed
+or prefix-filtered candidates.
+
+Hot-path design: shingling and hashing run JVM-side (split/transform/
+xxhash64 — codegen); the per-document signature math (minhash
+permutations, simhash bit votes) runs in Arrow-vectorized pandas UDFs
+with numpy — Catalyst's interpreted higher-order-function path is
+~100x slower for these inner loops.
+
+- exact_dedup:        md5-hash groupBy; canonical = min(doc_id)
+- minhash_signatures: k permutations (a*h + b) mod P over shingle hashes
+- minhash_lsh_pairs:  band the signature, bucket-join, verify with real
+                      Jaccard over shingle sets
+- simhash64:          63-bit simhash from shingle hashes
+- ngram_jaccard_pairs: exact Jaccard verification on df-ordered
+                      prefix-filtered candidates
+"""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.window import Window
+
+from rat_strain_loader_pipeline_spark.operators.text import ngrams
+
+# Mersenne prime 2^31-1: universal-hash modulus. Operands < 2^31 keep
+# a*x + b under 2^62 — no int64 overflow (numpy or JVM).
+_P = (1 << 31) - 1
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups by content hash.
+
+    Returns (content_hash, canonical_id, dup_count, doc_ids). One shuffle
+    on the hash — at 100 TB the hash groupBy is the only viable exact
+    strategy (map-side partial aggregation applies).
+    """
+    normalized = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    return (
+        docs.select(F.col(id_col), F.md5(normalized).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+        )
+    )
+
+
+def _shingle_hash_col(text_col: str, n: int = 3) -> Column:
+    """Distinct shingle hashes in [0, P) as array<long> — JVM-side."""
+    sh = F.array_distinct(ngrams(F.col(text_col), n))
+    return F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_P)))
+
+
+def _minhash_udf(num_hashes: int, seed: int):
+    rnd = random.Random(seed)
+    a = np.array([rnd.randrange(1, _P) | 1 for _ in range(num_hashes)], dtype=np.int64)
+    b = np.array([rnd.randrange(0, _P) for _ in range(num_hashes)], dtype=np.int64)
+
+    @pandas_udf("array<long>")
+    def sig(hashes: pd.Series) -> pd.Series:
+        out = []
+        for h in hashes:
+            if h is None or len(h) == 0:
+                out.append([int(_P)] * num_hashes)
+                continue
+            hv = np.asarray(h, dtype=np.int64)
+            # (k, n) = a[:,None]*h[None,:] + b → min over shingles
+            m = ((a[:, None] * hv[None, :] + b[:, None]) % _P).min(axis=1)
+            out.append(m.tolist())
+        return pd.Series(out)
+
+    return sig
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """(doc_id, sig array<long>) — k-permutation minhash.
+
+    Shingle hashing is JVM-side; the k-permutation min runs vectorized in
+    numpy via an Arrow pandas UDF. Deterministic given ``seed``.
+    """
+    sig = _minhash_udf(num_hashes, seed)
+    return docs.select(
+        F.col(id_col), sig(_shingle_hash_col(text_col, shingle_n)).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs via banded minhash-LSH + exact-Jaccard verify.
+
+    b=16, r=4 puts the S-curve threshold at (1/b)^(1/r) = 0.5. Pipeline:
+    signatures → explode to (band, band_sig) → self-join on the band
+    bucket (equi-join: shuffle hash, never all-pairs) → distinct
+    candidate pairs → exact shingle-Jaccard verify → threshold filter.
+    Returns (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_n, seed)
+
+    banded = sigs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(
+                        F.concat_ws(
+                            ",",
+                            *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)],
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_sig"),
+    )
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    candidates = (
+        a.join(
+            b,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.band_sig") == F.col("b.band_sig"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .dropDuplicates()
+    )
+    return _verify_jaccard(candidates, docs, text_col, id_col, shingle_n, jaccard_threshold)
+
+
+def _verify_jaccard(
+    candidates: DataFrame,
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int,
+    threshold: float,
+) -> DataFrame:
+    shingles = docs.select(
+        F.col(id_col), F.array_distinct(ngrams(F.col(text_col), shingle_n)).alias("sh")
+    )
+    return (
+        candidates.join(
+            shingles.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
+        )
+        .join(shingles.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size(F.array_union("sh_a", "sh_b")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash64(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n_bits: int = 63
+) -> DataFrame:
+    """SimHash per document (63 usable bits).
+
+    Shingle hashes JVM-side; bit votes vectorized in numpy (docs × 63
+    bit matrix per Arrow batch). Map-only — no shuffle at any scale.
+    Near-dups then cluster by hamming distance on the signature
+    (prefix-bucket join).
+    """
+    shifts = np.arange(n_bits, dtype=np.int64)
+
+    @pandas_udf("long")
+    def sim(hashes: pd.Series) -> pd.Series:
+        out = np.zeros(len(hashes), dtype=np.int64)
+        for i, h in enumerate(hashes):
+            if h is None or len(h) == 0:
+                continue
+            hv = np.asarray(h, dtype=np.int64)
+            bits = (hv[:, None] >> shifts[None, :]) & 1  # (n_shingles, n_bits)
+            votes = (2 * bits - 1).sum(axis=0)
+            out[i] = int(((votes > 0).astype(np.int64) << shifts).sum())
+        return pd.Series(out)
+
+    # full-range 64-bit hashes (not mod P) for good bit dispersion
+    sh = F.array_distinct(ngrams(F.col(text_col), 3))
+    hashes = F.transform(sh, lambda s: F.xxhash64(s))
+    return docs.select(F.col(id_col), sim(hashes).alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    prefix_cap: int = 8,
+) -> DataFrame:
+    """N-gram Jaccard near-dup pairs via df-ordered prefix filtering.
+
+    Classic prefix filtering: order each document's shingles by GLOBAL
+    rarity (ascending document frequency) and emit only the first
+    ``|sh| - ceil(threshold*|sh|) + 1`` as join tokens — a pair with
+    Jaccard >= threshold must share one. Ordering by rarity makes the
+    candidate fanout per token df², bounded by the rarest shingles —
+    high-df shingles almost never appear in prefixes. ``prefix_cap``
+    additionally bounds the prefix (trades recall for a hard fanout
+    limit at adversarial corpora); set None for the exact bound.
+
+    Two shuffles (df groupBy, candidate join) + broadcast df map.
+    """
+    shingles = docs.select(
+        F.col(id_col), F.array_distinct(ngrams(F.col(text_col), shingle_n)).alias("sh")
+    )
+    df_counts = (
+        shingles.select(F.explode("sh").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    tok_rank = df_counts.select(
+        "tok", F.row_number().over(Window.orderBy("df", "tok")).alias("rank")
+    )
+
+    exploded = shingles.select(id_col, F.size("sh").alias("n_sh"), F.explode("sh").alias("tok"))
+    ranked = exploded.join(F.broadcast(tok_rank), "tok")
+
+    w = Window.partitionBy(id_col).orderBy("rank")
+    prefix_len = (F.col("n_sh") - F.ceil(F.col("n_sh") * F.lit(threshold)) + 1).cast("int")
+    if prefix_cap is not None:
+        prefix_len = F.least(prefix_len, F.lit(prefix_cap))
+    prefix = (
+        ranked.withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= prefix_len)
+        .select(id_col, "tok")
+    )
+
+    a = prefix.select(F.col(id_col).alias("id_a"), "tok")
+    b = prefix.select(F.col(id_col).alias("id_b"), "tok")
+    candidates = (
+        a.join(b, "tok")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates()
+    )
+    return _verify_jaccard(candidates, docs, text_col, id_col, shingle_n, threshold)

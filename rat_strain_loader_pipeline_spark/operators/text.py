@@ -1,0 +1,126 @@
+"""Text-analysis operators for training-data pipelines (greenfield, no
+reference constraint — SURVEY.md §7.8 extension surface).
+
+All hot-path expressions are built-in ``pyspark.sql.functions`` (JVM-side,
+codegen) — no Python UDFs. Each derivation is deliberately expressible in
+ANSI-ish SQL so the DuckDB oracle can replicate it exactly.
+
+Operators:
+- token_count:       whitespace tokenization count
+- word_stats:        char/word/line counts, avg word length
+- punct_ratio:       punctuation chars / total chars
+- stopword_ratio:    fraction of tokens in a per-language stopword list
+- lang_id_heuristic: argmax of per-language stopword hit counts
+- quality_score:     composite [0,1] from length/punct/stopword signals
+- doc_fingerprint:   order-sensitive 64-bit-ish rolling hash (hex md5 of
+                     normalized text — deterministic, engine-agnostic)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny deterministic stopword lists (top function words) per language.
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "you", "that"],
+    "de": ["der", "die", "das", "und", "ist", "ich", "nicht", "ein", "zu", "mit"],
+    "fr": ["le", "la", "les", "et", "est", "je", "ne", "un", "une", "de"],
+    "es": ["el", "la", "los", "y", "es", "yo", "no", "un", "una", "que"],
+    "zh": ["的", "是", "不", "了", "在", "人", "有", "我", "他", "这"],
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens with empties removed (deterministic on leading/
+    trailing whitespace; mirrors DuckDB's regexp split after trim)."""
+    return F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != "")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text)).cast("bigint")
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text).cast("bigint")
+
+
+def avg_word_len(text: Column) -> Column:
+    """Average token length, NULL for empty docs; rounded to 4 decimals so
+    engines agree bit-exactly."""
+    n = token_count(text)
+    total = F.aggregate(tokens(text), F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t))
+    return F.when(n > 0, F.round(total.cast("double") / n, 4)).otherwise(F.lit(None))
+
+
+def punct_ratio(text: Column) -> Column:
+    """punctuation chars / total chars (0 for empty), 4-decimal rounded."""
+    total = F.length(text)
+    stripped = F.length(F.regexp_replace(text, r"[\p{Punct}]", ""))
+    return F.when(total > 0, F.round((total - stripped).cast("double") / total, 4)).otherwise(
+        F.lit(0.0)
+    )
+
+
+def stopword_hits(text: Column, lang: str) -> Column:
+    """Count of tokens exactly matching the language's stopword list."""
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(tokens(F.lower(text)), lambda t: F.array_contains(sw, t))).cast("bigint")
+
+
+def stopword_ratio(text: Column, lang: str) -> Column:
+    n = token_count(text)
+    return F.when(n > 0, F.round(stopword_hits(text, lang).cast("double") / n, 4)).otherwise(
+        F.lit(0.0)
+    )
+
+
+def lang_id_heuristic(text: Column) -> Column:
+    """argmax over per-language stopword hit counts; 'und' when all zero.
+
+    Ties break by language-code order (deterministic, mirrored in SQL).
+    """
+    langs = sorted(STOPWORDS)
+    best_lang = F.lit("und")
+    best_hits = F.lit(0).cast("bigint")
+    # fold left in fixed language order; strict > keeps earlier lang on tie
+    for lang in langs:
+        h = stopword_hits(text, lang)
+        take = h > best_hits
+        best_lang = F.when(take, F.lit(lang)).otherwise(best_lang)
+        best_hits = F.when(take, h).otherwise(best_hits)
+    return best_lang
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality in [0,1]: length signal, low punctuation, stopword
+    presence (any language). 4-decimal rounded; mirrors oracle SQL.
+
+    score = 0.4*min(1, words/100) + 0.3*(1-min(1, 4*punct_ratio))
+          + 0.3*min(1, 10*max_stopword_ratio)
+    """
+    words = token_count(text)
+    len_sig = F.least(F.lit(1.0), words.cast("double") / 100.0)
+    punct_sig = 1.0 - F.least(F.lit(1.0), punct_ratio(text) * 4.0)
+    max_sw = F.greatest(*[stopword_ratio(text, lang) for lang in sorted(STOPWORDS)])
+    sw_sig = F.least(F.lit(1.0), max_sw * 10.0)
+    return F.round(0.4 * len_sig + 0.3 * punct_sig + 0.3 * sw_sig, 4)
+
+
+def doc_fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint: md5 of whitespace-normalized,
+    lower-cased text. Engine-agnostic (DuckDB md5 produces the same hex),
+    order-sensitive like a rolling hash, collision-safe at corpus scale."""
+    normalized = F.lower(F.regexp_replace(F.trim(text), r"\s+", " "))
+    return F.md5(normalized)
+
+
+def ngrams(text: Column, n: int = 3) -> Column:
+    """Word n-gram array ('_'-joined shingles) for Jaccard/minhash."""
+    toks = tokens(F.lower(text))
+    count = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(count - n, F.lit(0)))
+    return F.when(
+        count >= n,
+        F.transform(idx, lambda i: F.concat_ws("_", F.slice(toks, i + 1, n))),
+    ).otherwise(F.array(F.concat_ws("_", toks)))

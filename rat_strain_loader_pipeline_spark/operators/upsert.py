@@ -1,0 +1,99 @@
+"""Dedup-upsert into the variant store (J4/J5) + deterministic id allocation.
+
+Reference flow (VariantLoad3.java:479-589):
+- incoming rows matched against existing variants on the natural key
+  (chromosome, start_pos, end_pos, ref_nuc, var_nuc, variant_type) with
+  **case-insensitive** string comparison (VariantLoad3.java:517-575);
+- matched → reuse rgd_id; unmatched → allocate a new id from the Oracle
+  sequence (managementDAO.createRgdId, VariantLoad3.java:550);
+- sample details inserted only when no row exists for (rgd_id,
+  sample_id) — an anti-join (VariantLoad3.java:497,569-574).
+
+Spark-first replacements:
+- the per-row cache probe becomes one left join on normalized keys;
+- the Oracle sequence becomes ``max(existing_id) + dense_rank`` over the
+  new keys — deterministic and retry-safe (SURVEY.md §4.3), unlike
+  ``monotonically_increasing_id`` which shifts with partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+NATURAL_KEY = ["chromosome", "start_pos", "end_pos", "ref_nuc", "var_nuc", "variant_type"]
+# String members of the key that compare case-insensitively (J4).
+_CI_COLS = {"ref_nuc", "var_nuc", "variant_type", "chromosome"}
+
+
+def _norm_key_cols(df: DataFrame, key: list[str], prefix: str) -> DataFrame:
+    """Add normalized (upper-cased, null-sentineled) key columns."""
+    out = df
+    for k in key:
+        c = F.col(k)
+        if k in _CI_COLS:
+            c = F.upper(c)
+        # NULL-safe: indel rows carry NULL ref or var (CommonFormat2Line.java:54-90)
+        out = out.withColumn(f"{prefix}{k}", F.coalesce(c.cast("string"), F.lit("\x00")))
+    return out
+
+
+def upsert_variants(
+    incoming: DataFrame,
+    existing: DataFrame,
+    key: list[str] | None = None,
+    id_col: str = "rgd_id",
+) -> DataFrame:
+    """Assign ids to incoming rows: reuse on key match, allocate otherwise.
+
+    Returns ``incoming`` + ``rgd_id`` + boolean ``is_new``. Id allocation
+    is deterministic: new distinct keys are ranked (dense_rank over the
+    normalized key) and offset by max(existing id). Existing side only
+    needs (key, id) — project before calling for a lean broadcast/shuffle.
+    """
+    key = key or NATURAL_KEY
+    nk = [f"__k_{k}" for k in key]
+
+    inc = _norm_key_cols(incoming, key, "__k_")
+    ex = _norm_key_cols(existing.select(*key, id_col), key, "__k_").select(
+        *nk, F.col(id_col).alias("__existing_id")
+    )
+    # An existing store may contain several ids for one key in pathological
+    # cases; keep the smallest (stable).
+    ex = ex.groupBy(*nk).agg(F.min("__existing_id").alias("__existing_id"))
+
+    joined = inc.join(ex, on=nk, how="left")
+
+    max_id = existing.select(F.coalesce(F.max(id_col), F.lit(0)).alias("m"))
+    # dense_rank over the normalized key of unmatched rows → same key in
+    # the same batch gets the same new id (the reference dedups within a
+    # batch the same way, VariantLoad3.java:517-575).
+    w = Window.orderBy(*nk)
+    new_ids = (
+        joined.filter(F.col("__existing_id").isNull())
+        .select(*nk)
+        .dropDuplicates()
+        .withColumn("__rank", F.dense_rank().over(w))
+        .crossJoin(F.broadcast(max_id))
+        .select(*nk, (F.col("m") + F.col("__rank")).cast("long").alias("__new_id"))
+    )
+
+    out = (
+        joined.join(new_ids, on=nk, how="left")
+        .withColumn(id_col, F.coalesce(F.col("__existing_id"), F.col("__new_id")))
+        .withColumn("is_new", F.col("__existing_id").isNull())
+        .drop("__existing_id", "__new_id", *nk)
+    )
+    return out
+
+
+def anti_insert(
+    new_rows: DataFrame, existing: DataFrame, key: list[str]
+) -> DataFrame:
+    """Rows of ``new_rows`` whose key is absent from ``existing`` (J5/J6/K2).
+
+    Replaces the reference's ``INSERT ... WHERE NOT EXISTS`` and the
+    per-chromosome preload of VariantTranscriptBatch.java:69-97.
+    """
+    return new_rows.join(existing.select(*key).dropDuplicates(), on=key, how="left_anti")

@@ -1,0 +1,132 @@
+"""Tests for dedup + similarity operators against brute-force oracles."""
+
+from __future__ import annotations
+
+import itertools
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from rat_strain_loader_pipeline_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash64,
+)
+from rat_strain_loader_pipeline_spark.operators.similarity import (
+    brute_force_topk,
+    cosine_sim_expr,
+    lsh_bucketed_topk,
+)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog again and again today"),
+    (1, "the quick brown fox jumps over the lazy dog again and again today"),  # exact dup of 0
+    (2, "the quick brown fox jumps over the lazy dog again and again tomorrow"),  # near dup
+    (3, "completely different content about spark dataframes and shuffles here"),
+    (4, "Spark   DataFrames    and shuffles"),  # whitespace/case variant of nothing
+    (5, "the quick brown fox jumps over the lazy cat again and again today"),  # near dup of 0
+]
+
+
+def _docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def _shingle_set(text: str, n: int = 3) -> set[str]:
+    toks = text.lower().split()
+    if len(toks) < n:
+        return {"_".join(toks)}
+    return {"_".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def _jaccard(a: set, b: set) -> float:
+    return len(a & b) / len(a | b)
+
+
+def test_exact_dedup_groups(spark):
+    out = exact_dedup(_docs_df(spark)).collect()
+    groups = {r["canonical_id"]: r["dup_count"] for r in out}
+    assert groups[0] == 2  # docs 0 and 1 identical
+    assert sum(groups.values()) == 6
+
+
+def test_minhash_estimates_jaccard(spark):
+    sigs = {r["doc_id"]: r["sig"] for r in minhash_signatures(_docs_df(spark), num_hashes=128).collect()}
+    for i, j in [(0, 1), (0, 2), (0, 3)]:
+        est = sum(a == b for a, b in zip(sigs[i], sigs[j])) / 128
+        true = _jaccard(_shingle_set(DOCS[i][1]), _shingle_set(DOCS[j][1]))
+        assert abs(est - true) < 0.2, (i, j, est, true)
+
+
+def test_minhash_lsh_finds_planted_dups(spark):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(_docs_df(spark), jaccard_threshold=0.5).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs  # one-word diff
+    # verified jaccard values are exact
+    for (a, b), j in pairs.items():
+        true = _jaccard(_shingle_set(DOCS[a][1]), _shingle_set(DOCS[b][1]))
+        assert abs(j - true) < 1e-3
+
+
+def test_ngram_jaccard_matches_brute_force(spark):
+    threshold = 0.5
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            _docs_df(spark), shingle_n=3, threshold=threshold, prefix_cap=None
+        ).collect()
+    }
+    expected = {}
+    for (i, ti), (j, tj) in itertools.combinations(DOCS, 2):
+        jac = _jaccard(_shingle_set(ti), _shingle_set(tj))
+        if jac >= threshold:
+            expected[(i, j)] = round(jac, 4)
+    assert got == expected  # prefix filtering (uncapped) is exact
+
+
+def test_simhash_similar_docs_close(spark):
+    sims = {r["doc_id"]: r["simhash"] for r in simhash64(_docs_df(spark)).collect()}
+    def hamming(a, b):
+        return bin((a ^ b) & ((1 << 63) - 1)).count("1")
+    assert sims[0] == sims[1]  # identical docs → identical signature
+    assert hamming(sims[0], sims[2]) < hamming(sims[0], sims[3])
+
+
+EMB = [
+    (0, [1.0, 0.0, 0.0]),
+    (1, [0.9, 0.1, 0.0]),
+    (2, [0.0, 1.0, 0.0]),
+    (3, [-1.0, 0.0, 0.0]),
+    (4, [0.7, 0.7, 0.0]),
+]
+
+
+def test_cosine_expr_and_brute_force_topk(spark):
+    df = spark.createDataFrame(EMB, "vec_id long, embedding array<float>")
+    out = brute_force_topk(df, [1.0, 0.0, 0.0], k=3).collect()
+    ids = [r["vec_id"] for r in out]
+    assert ids == [0, 1, 4]
+    cos = {r["vec_id"]: r["cosine"] for r in out}
+    assert cos[0] == pytest.approx(1.0)
+    assert cos[1] == pytest.approx(0.9 / math.sqrt(0.81 + 0.01), abs=1e-4)
+
+
+def test_lsh_topk_subset_of_exact_ranking(spark):
+    df = spark.createDataFrame(EMB, "vec_id long, embedding array<float>")
+    approx = lsh_bucketed_topk(df, [1.0, 0.0, 0.0], k=3, n_planes=2, multiprobe=1)
+    rows = approx.collect()
+    exact_scores = {r["vec_id"]: r["cosine"] for r in brute_force_topk(df, [1.0, 0.0, 0.0], k=5).collect()}
+    for r in rows:  # approximate results carry exact scores
+        assert r["cosine"] == pytest.approx(exact_scores[r["vec_id"]], abs=1e-6)
+
+
+def test_zero_norm_is_null(spark):
+    df = spark.createDataFrame([(0, [0.0, 0.0])], "vec_id long, embedding array<float>")
+    out = df.select(cosine_sim_expr(F.col("embedding"), F.array(F.lit(1.0), F.lit(0.0))).alias("c"))
+    assert out.collect()[0]["c"] is None

@@ -1,0 +1,134 @@
+"""Unit tests for scalar domain functions (SURVEY.md §2.7)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rat_strain_loader_pipeline_spark.functions.dna import (
+    CODON_TABLE,
+    reverse_complement,
+    reverse_complement_str,
+    translate_codons,
+    translate_dna_str,
+)
+from rat_strain_loader_pipeline_spark.functions.variant import (
+    adjust_for_indels,
+    end_pos,
+    quality_score,
+    total_depth_derived,
+    variant_type,
+)
+
+
+def test_variant_type(spark):
+    df = spark.createDataFrame(
+        [
+            (None, "T", "ins"),
+            ("", "T", "ins"),
+            ("-", "T", "ins"),
+            ("A", None, "del"),
+            ("A", "-", "del"),
+            ("A", "T", "snv"),
+            ("AC", "GT", "snv"),
+            ("A", "AT", "ins"),   # fixup length-diff path
+            ("AT", "A", "del"),
+        ],
+        "ref string, var string, expected string",
+    )
+    out = df.withColumn("vt", variant_type(F.col("ref"), F.col("var"))).collect()
+    for r in out:
+        assert r["vt"] == r["expected"], (r["ref"], r["var"], r["vt"])
+
+
+def test_end_pos(spark):
+    df = spark.createDataFrame(
+        [
+            (100, "A", "snv", 101),
+            (100, None, "ins", 100),
+            (100, "ACG", "del", 103),
+        ],
+        "start long, ref string, vt string, expected long",
+    )
+    out = df.withColumn("e", end_pos(F.col("start"), F.col("ref"), F.col("vt"))).collect()
+    for r in out:
+        assert r["e"] == r["expected"]
+
+
+def test_quality_score_half_up_integer_division(spark):
+    # (100*rd + td/2) / td with int division — VariantLoad3.java:270-274
+    df = spark.createDataFrame(
+        [(5, 10, 50), (1, 3, 33), (2, 3, 67), (1, 8, 13), (7, 8, 88), (3, 0, None), (3, None, None)],
+        "rd int, td int, expected int",
+    )
+    out = df.withColumn("q", quality_score(F.col("rd"), F.col("td"))).collect()
+    for r in out:
+        assert r["q"] == r["expected"], (r["rd"], r["td"], r["q"])
+
+
+def test_total_depth_derived(spark):
+    df = spark.createDataFrame(
+        [
+            (None, 1, 2, 3, 4, 99, "snv", 10),
+            (42, 1, 2, 3, 4, 99, "snv", 42),
+            (None, None, None, None, None, 17, "del", 17),
+        ],
+        "td int, a int, c int, g int, t int, rd int, vt string, expected int",
+    )
+    out = df.withColumn(
+        "o",
+        total_depth_derived(
+            F.col("td"), F.col("a"), F.col("c"), F.col("g"), F.col("t"), F.col("rd"), F.col("vt")
+        ),
+    ).collect()
+    for r in out:
+        assert r["o"] == r["expected"]
+
+
+def test_reverse_complement_matches_python_and_is_involution(spark):
+    seqs = ["ACGT", "AAATTTCCCGGG", "ACGTN", "A", ""]
+    df = spark.createDataFrame([(s,) for s in seqs], "seq string")
+    out = {r["seq"]: r["rc"] for r in df.withColumn("rc", reverse_complement(F.col("seq"))).collect()}
+    for s in seqs:
+        assert out[s] == reverse_complement_str(s)
+    df2 = df.withColumn("rc2", reverse_complement(reverse_complement(F.col("seq"))))
+    for r in df2.collect():
+        assert r["rc2"] == r["seq"]  # involution
+
+
+def test_codon_table_is_complete_standard_code():
+    assert len(CODON_TABLE) == 64
+    assert CODON_TABLE["ATG"] == "M"
+    assert {CODON_TABLE[c] for c in ("TAA", "TAG", "TGA")} == {"*"}
+    assert translate_dna_str("ATGGCC") == "MA"
+    assert translate_dna_str("ATGNNN") == "MX"
+    assert translate_dna_str("ATGGC") == "M"  # trailing partial codon dropped
+
+
+def test_translate_codons_expr_matches_python(spark):
+    seqs = ["ATGGCCTAA", "atggcc", "ATGNNNTGA", "AC", "", "ATGGCCTA"]
+    df = spark.createDataFrame([(s,) for s in seqs], "seq string")
+    out = {r["seq"]: r["aa"] for r in df.withColumn("aa", translate_codons(F.col("seq"))).collect()}
+    for s in seqs:
+        assert out[s] == translate_dna_str(s), (s, out[s], translate_dna_str(s))
+
+
+def test_adjust_for_indels(spark):
+    df = spark.createDataFrame(
+        [
+            # VCF G→GT insertion: pos+1, ref NULL, var 'T', padding 'G'
+            (100, "G", "GT", 101, None, "T", "G"),
+            # VCF GT→G deletion: pos+1, ref 'T', var NULL, padding 'G'
+            (100, "GT", "G", 101, "T", None, "G"),
+            # SNV passthrough
+            (100, "G", "T", 100, "G", "T", None),
+        ],
+        "pos long, ref string, alt string, e_pos long, e_ref string, e_var string, e_pad string",
+    )
+    cols = adjust_for_indels(F.col("pos"), F.col("ref"), F.col("alt"))
+    out = df.withColumns({f"o_{k}": v for k, v in cols.items()}).collect()
+    for r in out:
+        assert r["o_position"] == r["e_pos"]
+        assert r["o_ref_nuc"] == r["e_ref"]
+        assert r["o_var_nuc"] == r["e_var"]
+        assert r["o_padding_base"] == r["e_pad"]

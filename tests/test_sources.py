@@ -1,0 +1,155 @@
+"""Source tests: CF2 round-trip, VCF melt/parse, wiggle stateful scan, FASTA."""
+
+from __future__ import annotations
+
+import gzip
+import os
+
+from pyspark.sql import functions as F
+
+from rat_strain_loader_pipeline_spark.sources.cf2 import read_cf2
+from rat_strain_loader_pipeline_spark.sources.fasta import (
+    fasta_dict,
+    get_dna_chunk,
+    read_fasta,
+)
+from rat_strain_loader_pipeline_spark.sources.vcf import (
+    format_index,
+    gt_field,
+    normalize_chromosome,
+    parse_snpeff_ann,
+    read_vcf_8col,
+    read_vcf_long,
+)
+from rat_strain_loader_pipeline_spark.sources.wig import read_fixedstep_wig
+
+
+def test_read_cf2_gz(spark, tmp_path):
+    lines = [
+        "#chr\tposition\tref\tvar\trsid\ta\tc\tg\tt\ttd\thgvs\trgd\tad\tac\trd\tpad",
+        "1\t100\tA\tC\trs1\t10\t40\t0\t0\t50\t\t0\t40\t1\t50\t",
+        "2\t200\t\tTT\t\t\t\t\t\t\t\t0\t30\t1\t60\tG",
+    ]
+    p = tmp_path / "x.txt.gz"
+    with gzip.open(p, "wt") as f:
+        f.write("\n".join(lines) + "\n")
+    df = read_cf2(spark, str(p))
+    rows = {r["position"]: r for r in df.collect()}
+    assert rows[100]["ref_nuc"] == "A" and rows[100]["count_c"] == 40
+    assert rows[200]["ref_nuc"] is None  # insertion: NULL ref
+    assert rows[200]["padding_base"] == "G"
+    assert len(rows) == 2  # comment line skipped
+
+
+VCF_TEXT = """##fileformat=VCFv4.1
+##contig=<ID=1>
+#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tBN\tSHR
+1\t100\trs7\tG\tA\t50\tPASS\tDP=60\tGT:AD:DP\t0/1:30,30:60\t./.
+chr2\t200\t.\tG\tGT,C\t99\tPASS\t.\tGT:CLCAD2:DP\t1/1:0,40:40\t0/0
+M\t300\t.\tA\tT\t99\tPASS\t.\tGT:AD:DP\t0/1:5,5:10\t1/1:0,9:9
+Un\t400\t.\tA\tT\t99\tPASS\t.\tGT:AD:DP\t0/1:5,5:10\t0/1:2,2:4
+"""
+
+
+def test_read_vcf_long_melt_and_normalize(spark, tmp_path):
+    p = tmp_path / "v.vcf"
+    p.write_text(VCF_TEXT)
+    df = read_vcf_long(spark, str(p))
+    rows = df.collect()
+    # 4 sites, 2 strains, minus 'Un' row (rejected) → 3*2
+    assert len(rows) == 6
+    chroms = {r["chrom"] for r in rows}
+    assert chroms == {"1", "2", "MT"}  # chr prefix stripped, M→MT, Un dropped
+    bn_100 = [r for r in rows if r["strain"] == "BN" and r["pos"] == 100][0]
+    assert bn_100["gt_data"] == "0/1:30,30:60"
+    assert bn_100["format"] == "GT:AD:DP"
+
+
+def test_format_introspection_and_gt_field(spark):
+    df = spark.createDataFrame(
+        [("GT:AD:DP", "0/1:30,31:61"), ("GT:CLCAD2:DP", "1/1:0,40:40"), ("GT:DP", "0/1:9")],
+        "fmt string, gt string",
+    )
+    out = df.select(
+        format_index(F.col("fmt"), "AD").alias("ad_i"),
+        format_index(F.col("fmt"), "DP").alias("dp_i"),
+        gt_field(F.col("gt"), format_index(F.col("fmt"), "AD")).alias("ad"),
+        gt_field(F.col("gt"), format_index(F.col("fmt"), "DP")).alias("dp"),
+    ).collect()
+    assert out[0]["ad_i"] == 2 and out[0]["ad"] == "30,31" and out[0]["dp"] == "61"
+    assert out[1]["ad_i"] == 2 and out[1]["ad"] == "0,40"  # CLCAD2 fallback
+    assert out[2]["ad_i"] == 0 and out[2]["ad"] is None and out[2]["dp"] == "9"
+
+
+def test_read_vcf_8col_info_map(spark, tmp_path):
+    p = tmp_path / "v8.vcf"
+    p.write_text(
+        "##x\n#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n"
+        "1\t100\trs1\tA\tT\t.\t.\tDP=55;AC=12\n"
+    )
+    df = read_vcf_8col(spark, str(p))
+    r = df.collect()[0]
+    assert r["info_map"]["DP"] == "55" and r["info_map"]["AC"] == "12"
+
+
+def test_normalize_chromosome_accession_map(spark):
+    df = spark.createDataFrame([("NC_005100.4",), ("chr3",), ("c",)], "c string")
+    out = df.select(
+        normalize_chromosome(F.col("c"), {"NC_005100.4": "2"}).alias("n")
+    ).collect()
+    assert [r["n"] for r in out] == ["2", "3", None]
+
+
+WIG_TEXT = """fixedStep chrom=chr1 start=3462 step=1
+0.106
+0.099
+0.084
+fixedStep chrom=chr1 start=5000 step=5
+0.5
+0.6
+fixedStep chrom=chrUn_scaffold123 start=1 step=1
+0.9
+fixedStep chrom=chr2 start=10 step=1
+0.25
+"""
+
+
+def test_wig_fixedstep_stateful_parse(spark, tmp_path):
+    p = tmp_path / "c.wig"
+    p.write_text(WIG_TEXT)
+    df = read_fixedstep_wig(spark, str(p))
+    rows = sorted((r["chr"], r["position"], r["score"]) for r in df.collect())
+    assert rows == [
+        ("1", 3462, 0.106),
+        ("1", 3463, 0.099),
+        ("1", 3464, 0.084),
+        ("1", 5000, 0.5),
+        ("1", 5005, 0.6),  # step=5
+        ("2", 10, 0.25),
+    ]  # scaffold chrom rejected
+
+
+def test_fasta_read_and_chunk(spark, tmp_path):
+    p = tmp_path / "g.fa"
+    p.write_text(">chr1 test\nACGTAC\nGTNNAC\n>2\nTTTTGGGG\n")
+    seqs = fasta_dict(read_fasta(spark, str(p)))
+    assert seqs == {"1": "ACGTACGTNNAC", "2": "TTTTGGGG"}
+    assert get_dna_chunk(seqs, "1", 1, 4) == "ACGT"
+    assert get_dna_chunk(seqs, "1", 5, 8) == "ACGT"
+    assert get_dna_chunk(seqs, "2", 5, 99) == "GGGG"  # clamped
+    assert get_dna_chunk(seqs, "9", 1, 4) == ""
+
+
+def test_parse_snpeff_ann(spark):
+    info = (
+        "AB=0.5;ANN=T|missense_variant|MODERATE|Gene1|G1|transcript|NM_1|"
+        "protein_coding|2/5|c.100A>T|p.K34*|100|90|30||,"
+        "T|synonymous_variant|LOW|Gene2|G2|transcript|NM_2|protein_coding|||||||;DP=9"
+    )
+    df = spark.createDataFrame([(info,)], "info string")
+    out = df.select(parse_snpeff_ann(F.col("info")).alias("anns")).collect()[0]["anns"]
+    assert len(out) == 2
+    assert out[0][1] == "missense_variant"
+    assert out[0][3] == "Gene1"
+    assert out[1][1] == "synonymous_variant"
+    assert out[1][8] is None  # empty field → NULL
