@@ -98,6 +98,9 @@ def minhash_signatures(
     Shingle hashing is JVM-side; the k-permutation min runs vectorized in
     numpy via an Arrow pandas UDF. Deterministic given ``seed``.
     """
+    from rat_strain_loader_pipeline_spark.ship import ensure_shipped
+
+    ensure_shipped(docs.sparkSession)
     sig = _minhash_udf(num_hashes, seed)
     return docs.select(
         F.col(id_col), sig(_shingle_hash_col(text_col, shingle_n)).alias("sig")
@@ -198,6 +201,9 @@ def simhash64(
     Near-dups then cluster by hamming distance on the signature
     (prefix-bucket join).
     """
+    from rat_strain_loader_pipeline_spark.ship import ensure_shipped
+
+    ensure_shipped(docs.sparkSession)
     shifts = np.arange(n_bits, dtype=np.int64)
 
     @pandas_udf("long")

@@ -1,0 +1,113 @@
+"""Fixup tools as idempotent recompute jobs (SURVEY.md §2 K3/W4, §5).
+
+Each reference fixup streams a table, recomputes a derivation, and
+patches rows that disagree, reporting up-to-date vs fixed counts
+(fixup/VariantTypeFixUp.java:40-88, FrameShiftFixUp.java:40-88,
+GenicStatusFixUp.java:52-87, NumAllelesFixUp.java:46-109,
+ZygosityPercReadFixUp.java:60-117).
+
+Spark-first: recompute the column, compare, and overwrite — a fixup is
+``recompute(derivation).withColumn(changed)``. Running any fixup twice
+changes nothing (idempotence — the engine's own consistency check).
+Each returns (patched_df, counters).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from rat_strain_loader_pipeline_spark.functions.variant import variant_type
+from rat_strain_loader_pipeline_spark.operators.interval_join import (
+    point_in_interval_flag,
+)
+
+
+def _apply(df: DataFrame, col: str, recomputed) -> tuple[DataFrame, dict[str, int]]:
+    out = df.withColumn("__new", recomputed)
+    changed = out.filter(
+        ~(F.col(col).eqNullSafe(F.col("__new")))
+    ).count()
+    total = out.count()
+    patched = out.withColumn(col, F.col("__new")).drop("__new")
+    return patched, {"rows_total": total, "rows_fixed": changed, "rows_up_to_date": total - changed}
+
+
+def variant_type_fixup(variant: DataFrame) -> tuple[DataFrame, dict[str, int]]:
+    """X1 recompute from ref_nuc/var_nuc (VariantTypeFixUp.java:47-63)."""
+    return _apply(variant, "variant_type", variant_type(F.col("ref_nuc"), F.col("var_nuc")))
+
+
+def frameshift_fixup(
+    variant_transcript: DataFrame, variant: DataFrame
+) -> tuple[DataFrame, dict[str, int]]:
+    """X15 recompute from the RAW alleles (FrameShiftFixUp.java:55-69) —
+    corrects the post-processing truncation quirk. Only rows that carry
+    AA annotation (ref_aa set) get a frameshift value."""
+    v = variant.select(
+        F.col("rgd_id").alias("variant_rgd_id"),
+        F.coalesce(F.length("ref_nuc"), F.lit(0)).alias("__rl"),
+        F.coalesce(F.length("var_nuc"), F.lit(0)).alias("__vl"),
+    )
+    joined = variant_transcript.join(F.broadcast(v), "variant_rgd_id", "left")
+    recomputed = F.when(
+        F.col("ref_aa").isNotNull(),
+        F.when((F.abs(F.col("__rl") - F.col("__vl")) % 3) != 0, "T").otherwise("F"),
+    ).otherwise(F.col("frameshift"))
+    out, counters = _apply(joined, "frameshift", recomputed)
+    return out.drop("__rl", "__vl"), counters
+
+
+def genic_status_fixup(
+    variant_map_data: DataFrame, genes: DataFrame
+) -> tuple[DataFrame, dict[str, int]]:
+    """X6 recompute via gene interval overlap (GenicStatusFixUp.java:103-109)."""
+    active = genes.filter(F.col("object_status") == "ACTIVE").select(
+        F.col("chromosome").alias("g_chr"),
+        F.col("start_pos").alias("g_start"),
+        F.col("stop_pos").alias("g_stop"),
+    )
+    flagged = point_in_interval_flag(
+        variant_map_data,
+        active,
+        "__genic",
+        probe_keys=("chromosome", "start_pos", "end_pos"),
+        interval_keys=("g_chr", "g_start", "g_stop"),
+    )
+    out, counters = _apply(
+        flagged, "genic_status", F.when(F.col("__genic"), "GENIC").otherwise("INTERGENIC")
+    )
+    return out.drop("__genic"), counters
+
+
+def num_alleles_fixup(
+    variant_sample_detail: DataFrame, variant_map_data: DataFrame
+) -> tuple[DataFrame, dict[str, int]]:
+    """A7 recompute: zygosity_num_allele = number of distinct variants
+    observed at the same (sample, chr, position), +1 if the reference
+    allele was seen (NumAllelesFixUp.java:52-99) — the position-group
+    window W4."""
+    keyed = variant_sample_detail.join(
+        variant_map_data.select("rgd_id", "chromosome", "start_pos"), "rgd_id"
+    )
+    w = Window.partitionBy("sample_id", "chromosome", "start_pos")
+    recomputed = (
+        F.count(F.lit(1)).over(w)
+        + F.max(F.when(F.col("zygosity_ref_allele") == "Y", 1).otherwise(0)).over(w)
+    ).cast("int")
+    out, counters = _apply(keyed, "zygosity_num_allele", recomputed)
+    return out.drop("chromosome", "start_pos"), counters
+
+
+def zygosity_poss_error_fixup(
+    variant_sample_detail: DataFrame,
+) -> tuple[DataFrame, dict[str, int]]:
+    """Possible-error recompute from percent-read (threshold 15,
+    ZygosityPercReadFixUp.java:130-138)."""
+    recomputed = F.when(
+        F.col("zygosity_percent_read").isNotNull()
+        & (F.col("zygosity_percent_read") <= 15),
+        "Y",
+    ).otherwise("N")
+    return _apply(variant_sample_detail, "zygosity_poss_error", recomputed)

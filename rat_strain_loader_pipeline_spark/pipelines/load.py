@@ -1,0 +1,221 @@
+"""CF2 → variant store load pipeline (the reference's VariantLoad3 flow,
+SURVEY.md §3.2; Manager dispatch --tool VariantLoad3).
+
+Dataflow (VariantLoad3.java:178-365, saveVariants:479-589):
+
+  read CF2 → allele QC (F6) → derivations:
+      variant type (X1), end pos (X3), total depth (A5), quality (A6),
+      zygosity (X4 snv / X5 indel, with PAR interval lookup),
+      genic status (X6 via gene interval join J1)
+  → zero-score drop (F9)
+  → dedup-upsert against existing store (J4, case-insensitive natural key)
+  → anti-join sample details (J5)
+  → three store tables: variant / variant_map_data / variant_sample_detail
+
+One shuffle for the upsert join, one for the new-id ranking; everything
+else is map-side (dimension joins broadcast). Partition-by
+(map_key, chromosome) on write matches the reference's process-per-
+(sample, chr) parallelism unit.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from rat_strain_loader_pipeline_spark.functions.variant import (
+    end_pos,
+    quality_score,
+    total_depth_derived,
+    variant_type,
+)
+from rat_strain_loader_pipeline_spark.functions.zygosity import (
+    zygosity_indel,
+    zygosity_snv,
+)
+from rat_strain_loader_pipeline_spark.operators.interval_join import (
+    point_in_interval_flag,
+)
+from rat_strain_loader_pipeline_spark.operators.upsert import (
+    anti_insert,
+    upsert_variants,
+)
+
+NATURAL_KEY = ["chromosome", "start_pos", "end_pos", "ref_nuc", "var_nuc", "variant_type"]
+
+
+@dataclass
+class LoadResult:
+    variant: DataFrame
+    variant_map_data: DataFrame
+    variant_sample_detail: DataFrame
+    counters: dict[str, int]
+
+
+def derive_variants(
+    cf2: DataFrame,
+    sample_id: int,
+    gender: str,
+    map_key: int,
+    genes: DataFrame | None = None,
+    par_regions: DataFrame | None = None,
+    chromosome: str | None = None,
+    species_type_key: int = 3,
+    source: str = "CF2",
+) -> DataFrame:
+    """All row-level derivations of processLine (VariantLoad3.java:222-365).
+
+    Input: CF2_SCHEMA columns. Output adds: chromosome (renamed), start_pos,
+    end_pos, variant_type, total_depth (derived), quality_score, zygosity_*,
+    genic_status, sample_id, map_key, source, species_type_key.
+    """
+    df = cf2
+    if chromosome is not None:  # F2 chromosome filter → partition pruning
+        df = df.filter(F.col("chr") == chromosome)
+
+    # F6 allele alphabet QC (VariantLoad3.java:368-376): NULL allowed (indel)
+    valid = "^[ACGTNacgtn-]+$"
+    df = df.filter(
+        (F.col("ref_nuc").isNull() | F.col("ref_nuc").rlike(valid))
+        & (F.col("var_nuc").isNull() | F.col("var_nuc").rlike(valid))
+        & ~(F.col("ref_nuc").isNull() & F.col("var_nuc").isNull())
+    )
+
+    vt = variant_type(F.col("ref_nuc"), F.col("var_nuc"))
+    df = (
+        df.withColumnRenamed("chr", "chromosome")
+        .withColumn("start_pos", F.col("position").cast("long"))
+        .withColumn("variant_type", vt)
+        .withColumn("end_pos", end_pos(F.col("start_pos"), F.col("ref_nuc"), F.col("variant_type")))
+        .withColumn(
+            "total_depth",
+            total_depth_derived(
+                F.col("total_depth"),
+                F.col("count_a"),
+                F.col("count_c"),
+                F.col("count_g"),
+                F.col("count_t"),
+                F.col("read_depth"),
+                F.col("variant_type"),
+            ),
+        )
+        .withColumn("quality_score", quality_score(F.col("read_depth"), F.col("total_depth")))
+    )
+
+    # PAR membership for sex-chromosome zygosity (decompiled
+    # PseudoAutosomalRegion lookup): interval join against the PAR table.
+    if par_regions is not None:
+        df = point_in_interval_flag(
+            df.withColumn("map_key", F.lit(map_key)),
+            par_regions.withColumnRenamed("chr", "par_chr"),
+            "in_par",
+            probe_keys=("chromosome", "start_pos", "end_pos"),
+            interval_keys=("par_chr", "par_start", "par_stop"),
+            extra_key="map_key",
+        )
+    else:
+        df = df.withColumn("map_key", F.lit(map_key)).withColumn("in_par", F.lit(False))
+
+    g = F.lit(gender)
+    chrom = F.col("chromosome")
+    is_snv = F.col("variant_type") == "snv"
+    snv = zygosity_snv(
+        F.col("ref_nuc"), F.col("var_nuc"),
+        F.col("count_a"), F.col("count_c"), F.col("count_g"), F.col("count_t"),
+        g, chrom, F.col("in_par"),
+    )
+    indel = zygosity_indel(
+        F.col("allele_depth"), F.col("read_depth"), F.col("ref_nuc"),
+        F.col("count_a"), F.col("count_c"), F.col("count_g"), F.col("count_t"),
+        g, chrom, F.col("in_par"),
+    )
+    for name in snv:
+        df = df.withColumn(name, F.when(is_snv, snv[name]).otherwise(indel[name]))
+
+    # F9: zero-score variants dropped ("called 0 times",
+    # VariantLoad3.java:338-346) — percent-read 0 for either path
+    df = df.filter(F.coalesce(F.col("zygosity_percent_read"), F.lit(0)) > 0)
+
+    # X6 genic status via gene interval overlap (J1)
+    if genes is not None:
+        active = genes.filter(F.col("object_status") == "ACTIVE").select(
+            F.col("chromosome").alias("g_chr"),
+            F.col("start_pos").alias("g_start"),
+            F.col("stop_pos").alias("g_stop"),
+        )
+        df = point_in_interval_flag(
+            df,
+            active,
+            "is_genic",
+            probe_keys=("chromosome", "start_pos", "end_pos"),
+            interval_keys=("g_chr", "g_start", "g_stop"),
+        )
+    else:
+        df = df.withColumn("is_genic", F.lit(False))
+    df = df.withColumn(
+        "genic_status", F.when(F.col("is_genic"), "GENIC").otherwise("INTERGENIC")
+    ).drop("is_genic")
+
+    return (
+        df.withColumn("sample_id", F.lit(sample_id))
+        .withColumn("source", F.lit(source))
+        .withColumn("species_type_key", F.lit(species_type_key))
+        .withColumn("var_freq", F.col("allele_depth"))
+    )
+
+
+def load_variants(
+    derived: DataFrame,
+    existing_variant: DataFrame,
+    existing_map_data: DataFrame,
+    existing_sample_detail: DataFrame,
+) -> LoadResult:
+    """The saveVariants upsert (VariantLoad3.java:479-589) as joins.
+
+    ``existing_variant`` needs (rgd_id + natural key via map join) — pass
+    the store's variant⋈variant_map_data projection; empty DataFrames with
+    the right schema are fine for a fresh store.
+    """
+    with_ids = upsert_variants(derived, existing_variant, key=NATURAL_KEY).cache()
+
+    new_variant = (
+        with_ids.filter(F.col("is_new"))
+        .select(
+            "rgd_id",
+            F.upper("ref_nuc").alias("ref_nuc"),
+            "variant_type",
+            F.upper("var_nuc").alias("var_nuc"),
+            "rs_id",
+            F.lit(None).cast("string").alias("clinvar_id"),
+            "species_type_key",
+        )
+        .dropDuplicates(["rgd_id"])
+    )
+    new_map_data = (
+        with_ids.filter(F.col("is_new"))
+        .select(
+            "rgd_id", "chromosome", "start_pos", "end_pos",
+            "padding_base", "genic_status", "map_key",
+        )
+        .dropDuplicates(["rgd_id"])
+    )
+    # J5: only for (rgd_id, sample_id) pairs not already detailed
+    sample_detail = anti_insert(
+        with_ids.select(
+            "rgd_id", "source", "sample_id", "total_depth", "var_freq",
+            "zygosity_status", "zygosity_percent_read", "zygosity_poss_error",
+            "zygosity_ref_allele", "zygosity_num_allele", "zygosity_in_pseudo",
+            "quality_score",
+        ).dropDuplicates(["rgd_id", "sample_id"]),
+        existing_sample_detail,
+        ["rgd_id", "sample_id"],
+    )
+
+    counters = {
+        "rows_in": with_ids.count(),
+        "rows_new_variants": new_variant.count(),
+        "rows_already_in_rgd": with_ids.filter(~F.col("is_new")).count(),
+    }
+    return LoadResult(new_variant, new_map_data, sample_detail, counters)

@@ -1,0 +1,73 @@
+"""Variant post-processing pipeline (--tool VariantPostProcessing,
+SURVEY.md §3.3): variant store → VARIANT_TRANSCRIPT (+ sequences).
+
+Wraps operators.consequence with the X18 sequence-key dedup: the
+reference stores each full_ref_aa / full_ref_nuc once in a SEQUENCES
+table keyed per (transcript, seq_type) with an Oracle-sequence key
+(VariantPostProcessing.java:786-846). Spark-first replacement: a
+DETERMINISTIC content hash (xxhash64 of the sequence text) is the key —
+retry-safe, no sequence service, identical across partitionings.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from rat_strain_loader_pipeline_spark.operators.consequence import (
+    variant_transcript_consequences,
+)
+
+
+@dataclass
+class PostProcessResult:
+    variant_transcript: DataFrame
+    sequences: DataFrame
+
+
+def postprocess_variants(
+    variants: DataFrame,
+    genes: DataFrame,
+    transcripts: DataFrame,
+    features: DataFrame,
+    fasta_broadcast,
+    map_key: int,
+    verify_against: DataFrame | None = None,
+) -> PostProcessResult:
+    vt_full = variant_transcript_consequences(
+        variants, genes, transcripts, features, fasta_broadcast, map_key, verify_against
+    ).cache()
+
+    aa_key = F.when(
+        F.col("full_ref_aa").isNotNull(), F.xxhash64(F.lit("aa"), F.col("full_ref_aa"))
+    )
+    nuc_key = F.when(
+        F.col("full_ref_nuc").isNotNull(), F.xxhash64(F.lit("nuc"), F.col("full_ref_nuc"))
+    )
+
+    variant_transcript = vt_full.select(
+        "variant_rgd_id", "transcript_rgd_id", "ref_aa", "var_aa", "syn_status",
+        "location_name", "near_splice_site", "full_ref_aa_pos", "full_ref_nuc_pos",
+        "triplet_error",
+        aa_key.alias("full_ref_aa_seq_key"),
+        nuc_key.alias("full_ref_nuc_seq_key"),
+        "frameshift", "map_key",
+    )
+
+    sequences = (
+        vt_full.select(
+            aa_key.alias("seq_key"), F.lit("full_ref_aa").alias("seq_type"),
+            F.col("transcript_rgd_id"), F.col("full_ref_aa").alias("seq_data"),
+        )
+        .unionByName(
+            vt_full.select(
+                nuc_key.alias("seq_key"), F.lit("full_ref_nuc").alias("seq_type"),
+                F.col("transcript_rgd_id"), F.col("full_ref_nuc").alias("seq_data"),
+            )
+        )
+        .filter(F.col("seq_key").isNotNull())
+        .dropDuplicates(["seq_key", "seq_type", "transcript_rgd_id"])
+    )
+    return PostProcessResult(variant_transcript, sequences)

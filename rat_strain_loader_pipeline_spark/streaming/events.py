@@ -1,0 +1,76 @@
+"""Structured Streaming ingest (SURVEY.md §2.8).
+
+The reference is batch-only (cron + shell loops); the natural streaming
+surface for this engine is micro-batch ingest with:
+- hourly tumbling-window aggregation with a watermark for late data
+  (the streaming twin of __spark_entry__.q_events_hourly);
+- dedup via dropDuplicatesWithinWatermark on the variant natural key —
+  the streaming twin of the J4 upsert's in-batch dedup;
+- the load stage as foreachBatch upsert into the parquet store.
+
+All transformations are identical DataFrame expressions to the batch
+path — the queries compile to incremental plans under readStream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def stream_events(
+    spark: SparkSession,
+    path: str,
+    schema: str = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    ),
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream over a directory of parquet/json event files."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def hourly_event_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Tumbling 1h window per event_type with late-data watermark.
+
+    Identical semantics to the batch q_events_hourly; under readStream
+    Spark maintains incremental state and emits on watermark advance.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("hour"), "event_type", "n_events", "sum_value")
+    )
+
+
+def dedup_within_watermark(events: DataFrame, keys: list[str], watermark: str = "1 hour") -> DataFrame:
+    """Streaming dedup on a natural key — the streaming J4 analog."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def write_upsert_foreach_batch(stream_df: DataFrame, store_path: str, checkpoint: str, key: list[str]):
+    """Load stage as foreachBatch: per micro-batch anti-join against the
+    store then append — the incremental K2 conditional insert."""
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            existing = spark.read.parquet(store_path).select(*key).dropDuplicates()
+            fresh = batch_df.join(existing, on=key, how="left_anti")
+        except Exception:
+            fresh = batch_df  # first batch: store does not exist yet
+        fresh.write.mode("append").parquet(store_path)
+
+    return (
+        stream_df.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )
