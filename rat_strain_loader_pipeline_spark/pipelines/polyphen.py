@@ -138,7 +138,7 @@ def parse_polyphen_results(raw: DataFrame) -> DataFrame:
     parts = F.split(F.col("line"), "\t", -1)
 
     def col(name: str) -> Column:
-        c = F.trim(parts.getItem(POLYPHEN_RESULT_COLS[name]))
+        c = F.trim(F.get(parts, POLYPHEN_RESULT_COLS[name]))
         return F.when(c == "", F.lit(None).cast("string")).otherwise(c)
 
     return raw.select(

@@ -57,11 +57,11 @@ def read_vcf_long(
     lines = spark.read.text(path).filter(~F.col("value").startswith("#"))
     parts = F.split(F.col("value"), "\t")
 
-    fixed = [parts.getItem(i).alias(c) for i, c in enumerate(VCF_FIXED_COLS)]
-    fmt = parts.getItem(8).alias("format")
+    fixed = [F.get(parts, i).alias(c) for i, c in enumerate(VCF_FIXED_COLS)]
+    fmt = F.get(parts, 8).alias("format")
     strain_structs = F.array(
         *[
-            F.struct(F.lit(s).alias("strain"), parts.getItem(9 + i).alias("gt_data"))
+            F.struct(F.lit(s).alias("strain"), F.get(parts, 9 + i).alias("gt_data"))
             for i, s in enumerate(strains)
         ]
     )
@@ -81,7 +81,7 @@ def read_vcf_8col(
     """
     lines = spark.read.text(path).filter(~F.col("value").startswith("#"))
     parts = F.split(F.col("value"), "\t")
-    df = lines.select(*[parts.getItem(i).alias(c) for i, c in enumerate(VCF_FIXED_COLS)])
+    df = lines.select(*[F.get(parts, i).alias(c) for i, c in enumerate(VCF_FIXED_COLS)])
     df = (
         df.withColumn("chrom", normalize_chromosome(F.col("chrom"), accession_map))
         .filter(F.col("chrom").isNotNull())

@@ -1,0 +1,155 @@
+"""Tests: 8-col VCF converter, SnpEff loader, Txt2Vcf synthesis, sample
+metadata merge, VCF output sort, IUPAC, multimodal plumbing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rat_strain_loader_pipeline_spark.operators.multimodal import (
+    extract_features,
+    frame_sample_plan,
+    media_from_rows,
+    resize_metadata,
+)
+from rat_strain_loader_pipeline_spark.pipelines.sideloaders import (
+    expand_iupac,
+    load_snpeff,
+    merge_sample_metadata,
+    txt2vcf_genotypes,
+    vcf8_to_cf2,
+    vcf_output_lines,
+)
+
+VCF8 = """##fileformat=VCFv4.1
+#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO
+1\t100\trs1\tA\tT\t.\t.\tEND=101;DP=16;AC=9
+1\t200\trs2\tC\tC,CT\t.\t.\tDP=20;AC=8,7
+1\t300\trs3\tG\tA\t.\t.\tDP=30
+"""
+
+
+def test_vcf8_to_cf2_ref_depth_inference(spark, tmp_path):
+    p = tmp_path / "v8.vcf"
+    p.write_text(VCF8)
+    rows = {(r["position"], r["var_nuc"] or ""): r for r in vcf8_to_cf2(spark, str(p)).collect()}
+
+    # site 100: alt T depth 9; ref A inferred 16-9=7 → pseudo-allele row
+    r = rows[(100, "T")]
+    assert r["allele_depth"] == 9 and r["total_depth"] == 16
+    assert r["count_t"] == 9 and r["count_a"] == 7  # inferred ref depth
+    assert (100, "A") not in rows  # same-as-ref skipped by default
+
+    # site 200: ref C IS among alleles → no inference; 'CT' insertion adjusts
+    r = rows[(201, "T")]  # C→CT: padding stripped, pos+1
+    assert r["padding_base"] == "C" and r["ref_nuc"] is None
+    assert r["allele_depth"] == 7
+
+    # site 300: no AC → counts from DP
+    r = rows[(300, "A")]
+    assert r["count_a"] == 30 and r["allele_depth"] == 30 and r["allele_count"] == 1
+
+
+SNPEFF_VCF = """##x
+#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO
+1\t100\t.\tA\tT\t.\t.\tDP=9;ANN=T|missense_variant|MODERATE|Gene1|G1|transcript|NM_1|protein_coding|2/5|c.1A>T|p.K1*|1|1|1||,T|downstream|LOW|Gene2|G2|transcript|NM_2|protein_coding|||||||
+1\t200\t.\tG\tC\t.\t.\tANN=C|intron_variant|LOW|Gene3|G3|transcript|NM_3|protein_coding|||||||
+"""
+
+
+def test_load_snpeff_matching(spark, tmp_path):
+    p = tmp_path / "se.vcf"
+    p.write_text(SNPEFF_VCF)
+    store = spark.createDataFrame(
+        [
+            (10, 5, "1", 100, "A", "T"),   # matches site 100
+            (11, 5, "1", 200, "G", "A"),   # var mismatch → no
+            (12, 6, "1", 100, "A", "T"),   # other sample → filtered
+        ],
+        "rgd_id long, sample_id int, chromosome string, start_pos long, ref_nuc string, var_nuc string",
+    )
+    out = load_snpeff(spark, str(p), store, sample_id=5).collect()
+    assert {r["variant_rgd_id"] for r in out} == {10}
+    anns = {r["annotation"] for r in out}
+    assert anns == {"missense_variant", "downstream"}
+    g1 = [r for r in out if r["annotation"] == "missense_variant"][0]
+    assert g1["gene_name"] == "Gene1" and g1["impact"] == "MODERATE"
+    assert g1["hgvs_c"] == "c.1A>T"
+
+
+def test_txt2vcf_genotype_synthesis(spark):
+    df = spark.createDataFrame(
+        [("N",), ("H",), ("G",), ("A",)], "g string"
+    ).withColumn("alleles", F.array(F.lit("A"), F.lit("G"), F.lit("T")))
+    cols = txt2vcf_genotypes(F.col("g"), F.col("alleles"))
+    out = {r["g"]: (r["gt"], r["ad"]) for r in df.withColumns(cols).collect()}
+    assert out["N"] == ("./.", "0,0")
+    assert out["H"] == ("1/1", "0,9,0")  # homozygote → first alt (G = index 1)
+    assert out["G"] == ("0/1", "9,9,0")
+    assert out["A"] == ("0/0", "9,0,0")  # ref call
+
+
+def test_merge_sample_metadata(spark):
+    sample = spark.createDataFrame(
+        [(1, "BN", "U"), (2, "SHR", "F")], "sample_id int, analysis_name string, gender string"
+    )
+    meta = spark.createDataFrame(
+        [(1, "M", "desc1")], "sample_id int, gender string, description string"
+    )
+    out = {r["sample_id"]: r for r in merge_sample_metadata(sample, meta).collect()}
+    assert out[1]["gender"] == "M" and out[1]["description"] == "desc1"
+    assert out[2]["gender"] == "F" and out[2]["description"] is None
+
+
+def test_vcf_output_lines_sorted(spark):
+    df = spark.createDataFrame(
+        [
+            ("2", 5, "b", "A", "T", None, None, None),
+            ("1", 10, "A", "G", "C", "50", "PASS", "DP=9"),
+            ("1", 2, "a", "G", "C", None, None, None),
+        ],
+        "chrom string, pos int, id string, ref string, alt string, qual string, filter string, info string",
+    )
+    lines = [r["line"] for r in vcf_output_lines(df).collect()]
+    assert lines[0].startswith("1\t2")
+    assert lines[1].startswith("1\t10")
+    assert lines[2] == "2\t5\tb\tA\tT\t.\t.\t."
+
+
+def test_expand_iupac(spark):
+    df = spark.createDataFrame([("R",), ("N",), ("a",)], "code string")
+    out = {r["code"]: r["nucs"] for r in df.select("code", expand_iupac(F.col("code")).alias("nucs")).collect()}
+    assert out["R"] == ["A", "G"]
+    assert out["N"] == ["A", "C", "G", "T"]
+    assert out["a"] == ["A"]
+
+
+def test_multimodal_features_deterministic(spark):
+    media = media_from_rows(
+        spark,
+        [
+            (1, "image/png", b"\x89PNG fake bytes", 640, 480, None, None),
+            (2, "audio/wav", b"RIFF fake", None, None, 2000, 16000),
+            (3, "video/mp4", b"\x00\x00ftyp", 1920, 1080, 3500, None),
+        ],
+    )
+    feats = {r["media_id"]: r for r in extract_features(media).collect()}
+    assert len(feats[1]["feature"]) == 16
+    assert feats[1]["decode_error"] is None
+    # determinism: same content → same feature
+    feats2 = {r["media_id"]: r for r in extract_features(media).collect()}
+    assert feats[1]["feature"] == feats2[1]["feature"]
+
+    # real-decoder path surfaces NotImplementedError per row, not task death
+    errs = {r["media_id"]: r["decode_error"] for r in extract_features(media, deterministic_fake=False).collect()}
+    assert all(e and "not available" in e for e in errs.values())
+
+
+def test_frame_sample_and_resize_plans(spark):
+    media = media_from_rows(
+        spark, [(3, "video/mp4", b"x", 1920, 1080, 3500, None), (1, "image/png", b"y", 640, 480, None, None)]
+    )
+    frames = frame_sample_plan(media, every_ms=1000).collect()
+    assert [(r["media_id"], r["frame_ts_ms"]) for r in frames] == [(3, 0), (3, 1000), (3, 2000), (3, 3000)]
+    rs = {r["media_id"]: (r["target_width"], r["target_height"]) for r in resize_metadata(media).collect()}
+    assert rs[3] == (224, 126)
+    assert rs[1] == (224, 168)
