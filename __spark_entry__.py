@@ -437,6 +437,424 @@ def q_embedding_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucketed_topk(emb, qvec, k=10, n_planes=4, multiprobe=1)
 
 
+# --------------------------------------------------------------------------
+# Full CF2 synth (all 16 columns) + the flagship load-pipeline query
+# --------------------------------------------------------------------------
+
+def _synth_cf2_full(lineitem: DataFrame) -> DataFrame:
+    nuc = "ACGT"
+    ref = F.substring(F.lit(nuc), (F.col("l_partkey") % 4 + 1).cast("int"), 1)
+    var = F.substring(F.lit(nuc), (F.col("l_suppkey") % 4 + 1).cast("int"), 1)
+    return lineitem.select(
+        F.when(F.col("l_orderkey") % 5 == 0, "X").otherwise("1").alias("chr"),
+        F.col("l_orderkey").cast("long").alias("position"),
+        F.when(F.col("l_linenumber") % 7 == 0, None).otherwise(ref).alias("ref_nuc"),
+        F.when((F.col("l_linenumber") % 11 == 0) & (F.col("l_linenumber") % 7 != 0), None)
+        .otherwise(var)
+        .alias("var_nuc"),
+        F.lit(None).cast("string").alias("rs_id"),
+        (F.col("l_partkey") % 100).cast("int").alias("count_a"),
+        (F.col("l_suppkey") % 100).cast("int").alias("count_c"),
+        (F.col("l_orderkey") % 100).cast("int").alias("count_g"),
+        (F.col("l_linenumber") % 100).cast("int").alias("count_t"),
+        ((F.col("l_suppkey") % 90) + 10 + F.col("l_partkey") % 50).cast("int").alias("total_depth"),
+        F.lit(None).cast("string").alias("hgvs_name"),
+        F.lit(None).cast("long").alias("rgd_id"),
+        (F.col("l_partkey") % 60).cast("int").alias("allele_depth"),
+        F.lit(1).cast("int").alias("allele_count"),
+        ((F.col("l_suppkey") % 90) + 10).cast("int").alias("read_depth"),
+        F.lit(None).cast("string").alias("padding_base"),
+    )
+
+
+_SYNTH_CF2_FULL_SQL = """
+    SELECT CASE WHEN l_orderkey % 5 = 0 THEN 'X' ELSE '1' END AS chr,
+           CAST(l_orderkey AS BIGINT) AS position,
+           CASE WHEN l_linenumber % 7 = 0 THEN NULL
+                ELSE substr('ACGT', CAST(l_partkey % 4 + 1 AS INT), 1) END AS ref_nuc,
+           CASE WHEN l_linenumber % 11 = 0 AND l_linenumber % 7 <> 0 THEN NULL
+                ELSE substr('ACGT', CAST(l_suppkey % 4 + 1 AS INT), 1) END AS var_nuc,
+           CAST(l_partkey % 100 AS BIGINT) AS count_a,
+           CAST(l_suppkey % 100 AS BIGINT) AS count_c,
+           CAST(l_orderkey % 100 AS BIGINT) AS count_g,
+           CAST(l_linenumber % 100 AS BIGINT) AS count_t,
+           CAST(l_suppkey % 90 + 10 + l_partkey % 50 AS BIGINT) AS total_depth,
+           CAST(l_partkey % 60 AS BIGINT) AS allele_depth,
+           CAST(l_suppkey % 90 + 10 AS BIGINT) AS read_depth
+    FROM lineitem
+"""
+
+# supplier plays the gene-dimension role: deterministic intervals
+_GENES_ANALOG_SQL = """
+    SELECT CASE WHEN s_suppkey % 5 = 0 THEN 'X' ELSE '1' END AS g_chr,
+           CAST((s_suppkey * 137) % 15000 AS BIGINT) AS g_start,
+           CAST((s_suppkey * 137) % 15000 + 200 AS BIGINT) AS g_stop
+    FROM supplier
+"""
+
+
+def _genes_analog(supplier: DataFrame) -> DataFrame:
+    return supplier.select(
+        F.when(F.col("s_suppkey") % 5 == 0, "X").otherwise("1").alias("g_chr"),
+        ((F.col("s_suppkey") * 137) % 15000).cast("long").alias("g_start"),
+        ((F.col("s_suppkey") * 137) % 15000 + 200).cast("long").alias("g_stop"),
+    )
+
+
+def q_variant_load_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP: the full CF2→variant-store load (SURVEY.md §3.2) on the
+    synthetic CF2 — derivations X1/X3/A6, zygosity X4/X5 (snv + indel
+    branches, hemizygous on X for a male sample), zero-score drop F9,
+    genic status X6 via broadcast interval join, and the J4 dedup-upsert
+    with deterministic id allocation against an empty store."""
+    from rat_strain_loader_pipeline_spark.pipelines.load import derive_variants
+
+    cf2 = _synth_cf2_full(_t(spark, sf_dir, "lineitem"))
+    genes = _genes_analog(_t(spark, sf_dir, "supplier")).select(
+        F.col("g_chr").alias("chromosome"),
+        F.col("g_start").alias("start_pos"),
+        F.col("g_stop").alias("stop_pos"),
+        F.lit("ACTIVE").alias("object_status"),
+    )
+    # bin size matched to the analog interval density (width-200
+    # intervals over positions 0..15200 — a 1 Mb genomic bin would put
+    # every interval in one bin and degrade the flag join to a scan)
+    derived = derive_variants(
+        cf2, sample_id=7, gender="M", map_key=360, genes=genes, genic_bin_size=256
+    )
+    with_ids = upsert_variants(
+        derived,
+        spark.createDataFrame(
+            [],
+            "rgd_id long, chromosome string, start_pos long, end_pos long, "
+            "ref_nuc string, var_nuc string, variant_type string",
+        ),
+    )
+    return with_ids.select(
+        "rgd_id",
+        "chromosome",
+        F.col("start_pos").alias("position"),
+        "end_pos",
+        "ref_nuc",
+        "var_nuc",
+        "variant_type",
+        "genic_status",
+        "zygosity_status",
+        "zygosity_percent_read",
+        "zygosity_ref_allele",
+        "zygosity_poss_error",
+        "quality_score",
+    )
+
+
+_VARIANT_LOAD_SQL = f"""
+WITH cf2 AS ({_SYNTH_CF2_FULL_SQL}),
+typed AS (
+  SELECT *,
+         CASE WHEN ref_nuc IS NULL THEN 'ins'
+              WHEN var_nuc IS NULL THEN 'del'
+              ELSE 'snv' END AS variant_type
+  FROM cf2
+),
+derived AS (
+  SELECT *,
+         CAST(CASE variant_type WHEN 'ins' THEN position
+              WHEN 'del' THEN position + len(ref_nuc)
+              ELSE position + 1 END AS BIGINT) AS end_pos,
+         CAST(floor((100 * read_depth + floor(total_depth / 2.0)) / total_depth) AS INT) AS quality_score
+  FROM typed
+),
+zyg AS (
+  SELECT *,
+         CASE WHEN variant_type = 'snv' THEN
+           CASE COALESCE(var_nuc, '')
+                WHEN 'A' THEN count_a WHEN 'C' THEN count_c
+                WHEN 'G' THEN count_g WHEN 'T' THEN count_t ELSE 0 END
+         ELSE NULL END AS var_count,
+         CASE COALESCE(ref_nuc, '')
+              WHEN 'A' THEN count_a WHEN 'C' THEN count_c
+              WHEN 'G' THEN count_g WHEN 'T' THEN count_t ELSE 0 END AS ref_count,
+         count_a + count_c + count_g + count_t AS acgt_total,
+         chr IN ('X','Y') AS hemi_path
+  FROM derived
+),
+pct AS (
+  SELECT *,
+         CASE WHEN variant_type = 'snv' THEN
+                CASE WHEN acgt_total = 0 THEN NULL
+                     ELSE CAST(floor(100.0 * var_count / acgt_total + 0.5) AS INT) END
+              ELSE
+                CASE WHEN read_depth = 0 THEN NULL
+                     ELSE CAST(floor(100.0 * allele_depth / read_depth + 0.5) AS INT) END
+         END AS pr
+  FROM zyg
+),
+statused AS (
+  SELECT *,
+         CASE WHEN hemi_path THEN
+                CASE WHEN pr >= 100 THEN 'hemizygous'
+                     WHEN pr >= 85 THEN 'probably hemizygous'
+                     ELSE 'possibly hemizygous' END
+              ELSE
+                CASE WHEN pr >= 100 THEN 'homozygous'
+                     WHEN pr >= 85 THEN 'possibly homozygous'
+                     ELSE 'heterozygous' END
+         END AS zygosity_status
+  FROM pct
+  WHERE COALESCE(pr, 0) > 0
+),
+genic AS (
+  SELECT s.*,
+         CASE WHEN EXISTS (
+             SELECT 1 FROM ({_GENES_ANALOG_SQL}) g
+             WHERE g.g_chr = s.chr AND s.position <= g.g_stop AND s.end_pos >= g.g_start
+         ) THEN 'GENIC' ELSE 'INTERGENIC' END AS genic_status
+  FROM statused s
+),
+ids AS (
+  SELECT DISTINCT chr, position, end_pos,
+         COALESCE(upper(ref_nuc), chr(1)) AS kr,
+         COALESCE(upper(var_nuc), chr(1)) AS kv,
+         upper(variant_type) AS kt
+  FROM genic
+),
+ranked AS (
+  SELECT *, dense_rank() OVER (ORDER BY upper(chr), CAST(position AS VARCHAR),
+                               CAST(end_pos AS VARCHAR), kr, kv, kt) AS rgd_id
+  FROM ids
+)
+SELECT CAST(r.rgd_id AS BIGINT) AS rgd_id,
+       g.chr AS chromosome, g.position, g.end_pos, g.ref_nuc, g.var_nuc,
+       g.variant_type, g.genic_status, g.zygosity_status,
+       g.pr AS zygosity_percent_read,
+       CASE WHEN g.ref_count > 0 THEN 'Y' ELSE 'N' END AS zygosity_ref_allele,
+       CASE WHEN g.pr IS NOT NULL AND g.pr <= 15 THEN 'Y' ELSE 'N' END AS zygosity_poss_error,
+       g.quality_score
+FROM genic g
+JOIN ranked r
+  ON r.chr = g.chr AND r.position = g.position AND r.end_pos = g.end_pos
+ AND r.kr = COALESCE(upper(g.ref_nuc), chr(1))
+ AND r.kv = COALESCE(upper(g.var_nuc), chr(1))
+ AND r.kt = upper(g.variant_type)
+"""
+
+
+def q_distinct_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 DISTINCT driver: distinct (returnflag, linestatus) pairs."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select("l_returnflag", "l_linestatus").distinct().orderBy(
+        "l_returnflag", "l_linestatus"
+    )
+
+
+def q_melt_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 melt analog: unpivot three measures to long form."""
+    li = _t(spark, sf_dir, "lineitem")
+    long = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(
+            "stack(3, 'quantity', l_quantity, 'extendedprice', l_extendedprice, "
+            "'discount', l_discount) as (measure, value)"
+        ),
+    )
+    return long.groupBy("measure").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total"),
+    ).orderBy("measure")
+
+
+def q_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 INFO-map analog: extract k=v payload from events.props JSON via
+    regexp (engine-agnostic), aggregate per event_type."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.regexp_extract(F.col("props"), r'"k":\s*(\d+)', 1).cast("bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("k").cast("bigint").alias("sum_k"))
+        .orderBy("event_type")
+    )
+
+
+def q_explode_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X21 explode analog: split p_type into words, count per word."""
+    part = _t(spark, sf_dir, "part")
+    return (
+        part.select(F.explode(F.split("p_type", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("word")
+    )
+
+
+def _synth_dna(cols: list[str]) -> F.Column:
+    parts = [F.substring(F.lit("ACGT"), (F.col(c) % 4 + 1).cast("int"), 1) for c in cols]
+    return F.concat(*parts)
+
+
+_SYNTH_DNA_SQL = (
+    "substr('ACGT', CAST(l_partkey % 4 + 1 AS INT), 1) || "
+    "substr('ACGT', CAST(l_suppkey % 4 + 1 AS INT), 1) || "
+    "substr('ACGT', CAST(l_orderkey % 4 + 1 AS INT), 1) || "
+    "substr('ACGT', CAST(l_linenumber % 4 + 1 AS INT), 1)"
+)
+
+
+def q_revcomp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 reverse-complement over synthesized 4-base sequences."""
+    from rat_strain_loader_pipeline_spark.functions.dna import reverse_complement
+
+    li = _t(spark, sf_dir, "lineitem")
+    dna = _synth_dna(["l_partkey", "l_suppkey", "l_orderkey", "l_linenumber"])
+    return (
+        li.select(dna.alias("dna"))
+        .select("dna", reverse_complement(F.col("dna")).alias("revcomp"))
+        .groupBy("dna", "revcomp")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("dna")
+    )
+
+
+def q_codon_translate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X8 codon translation over synthesized 12-base (4-codon) sequences,
+    using the engine's pure-expression translate."""
+    from rat_strain_loader_pipeline_spark.functions.dna import translate_codons
+
+    li = _t(spark, sf_dir, "lineitem")
+    dna = F.concat(
+        _synth_dna(["l_partkey", "l_suppkey", "l_orderkey"]),
+        _synth_dna(["l_suppkey", "l_orderkey", "l_linenumber"]),
+        _synth_dna(["l_orderkey", "l_partkey", "l_linenumber"]),
+    )
+    return (
+        li.select(dna.alias("dna"))
+        .select("dna", translate_codons(F.col("dna")).alias("protein"))
+        .groupBy("dna", "protein")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("dna")
+    )
+
+
+def q_adjust_indels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 padding-base adjustment over synthesized VCF-style ref/alt."""
+    from rat_strain_loader_pipeline_spark.functions.variant import adjust_for_indels
+
+    li = _t(spark, sf_dir, "lineitem")
+    base = F.substring(F.lit("ACGT"), (F.col("l_partkey") % 4 + 1).cast("int"), 1)
+    # 3 shapes: snv, insertion base→base+T, deletion base+A→base
+    shape = F.col("l_linenumber") % 3
+    ref = F.when(shape == 2, F.concat(base, F.lit("A"))).otherwise(base)
+    alt = (
+        F.when(shape == 0, F.substring(F.lit("TGCA"), (F.col("l_partkey") % 4 + 1).cast("int"), 1))
+        .when(shape == 1, F.concat(base, F.lit("T")))
+        .otherwise(base)
+    )
+    src = li.select(
+        F.col("l_orderkey").alias("okey"),
+        F.col("l_linenumber").alias("lnum"),
+        F.col("l_orderkey").cast("long").alias("pos"),
+        ref.alias("ref"),
+        alt.alias("alt"),
+    )
+    adj = adjust_for_indels(F.col("pos"), F.col("ref"), F.col("alt"))
+    return src.select(
+        "okey", "lnum",
+        adj["position"].cast("long").alias("position"),
+        adj["ref_nuc"].alias("ref_nuc"),
+        adj["var_nuc"].alias("var_nuc"),
+        adj["padding_base"].alias("padding_base"),
+    )
+
+
+def q_union_discriminated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 UNION ALL with source discriminator."""
+    orders = _t(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.lit("urgent").alias("src"), "o_orderkey", "o_totalprice"
+    )
+    b = orders.filter(F.col("o_totalprice") > 200000).select(
+        F.lit("big").alias("src"), "o_orderkey", "o_totalprice"
+    )
+    return (
+        a.unionByName(b)
+        .groupBy("src")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+        )
+        .orderBy("src")
+    )
+
+
+def q_id_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X20 RGDID/HGVS id parsing over synthesized id strings."""
+    orders = _t(spark, sf_dir, "orders")
+    idcol = F.concat(
+        F.lit("RGDID:"), F.col("o_orderkey").cast("string"),
+        F.lit(";NM_"), F.col("o_custkey").cast("string"), F.lit(":c.1A>T"),
+    )
+    src = orders.select(idcol.alias("id"))
+    return src.select(
+        F.regexp_extract("id", r"^RGDID:(\d+);", 1).cast("long").alias("rgd_id"),
+        F.regexp_extract("id", r"^RGDID:\d+;(.*)$", 1).alias("hgvs_name"),
+    )
+
+
+def q_stateful_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 fixedStep-style stateful scan analog on events: 'error' events
+    are declaration rows opening a new block; every row's position =
+    block's first event_id + offset within block (the last-declaration
+    window propagation used by the wiggle parser)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    blocked = ev.withColumn(
+        "block",
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).over(w),
+    ).filter(F.col("block") > 0)
+    wb = Window.partitionBy("user_id", "block").orderBy("event_id")
+    return blocked.select(
+        "user_id",
+        "event_id",
+        (F.first("event_id").over(wb) + F.row_number().over(wb) - 1).cast("long").alias("position"),
+    )
+
+
+def q_ref_depth_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 conditional pseudo-allele append: base rows + an extra derived
+    row when the inferred reference depth is positive (UNION ALL shape)."""
+    li = _t(spark, sf_dir, "lineitem")
+    dp = (F.col("l_quantity").cast("bigint") * 3).alias("dp")
+    ac = (F.col("l_partkey") % 30 + F.col("l_suppkey") % 30).cast("bigint")
+    base = li.select(
+        "l_orderkey", "l_linenumber", dp, ac.alias("ac"), F.lit("alt").alias("kind")
+    )
+    inferred = base.withColumn("ref_depth", F.col("dp") - F.col("ac")).filter(
+        F.col("ref_depth") > 0
+    ).select(
+        "l_orderkey", "l_linenumber", "dp",
+        F.col("ref_depth").alias("ac"), F.lit("ref").alias("kind"),
+    )
+    return base.unionByName(inferred)
+
+
+def q_zygosity_indel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 indel zygosity branch: percent from allele_depth/read_depth."""
+    from rat_strain_loader_pipeline_spark.functions.zygosity import zygosity_indel
+
+    cf2 = _synth_cf2_full(_t(spark, sf_dir, "lineitem"))
+    cols = zygosity_indel(
+        F.col("allele_depth"), F.col("read_depth"), F.coalesce(F.col("ref_nuc"), F.lit("A")),
+        F.col("count_a"), F.col("count_c"), F.col("count_g"), F.col("count_t"),
+        F.lit("F"), F.col("chr"), F.lit(False),
+    )
+    return cf2.withColumns(cols).select(
+        "position",
+        F.col("count_t").alias("lnum_mod"),
+        "zygosity_status", "zygosity_percent_read", "zygosity_ref_allele",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -463,6 +881,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_topk_lsh": q_embedding_topk_lsh,
+        "variant_load_pipeline": q_variant_load_pipeline,
+        "distinct_groups": q_distinct_groups,
+        "melt_unpivot": q_melt_unpivot,
+        "props_extract": q_props_extract,
+        "explode_split": q_explode_split,
+        "revcomp": q_revcomp,
+        "codon_translate": q_codon_translate,
+        "adjust_indels": q_adjust_indels,
+        "union_discriminated": q_union_discriminated,
+        "id_parse": q_id_parse,
+        "stateful_blocks": q_stateful_blocks,
+        "ref_depth_inference": q_ref_depth_inference,
+        "zygosity_indel": q_zygosity_indel,
     }
 
 
@@ -734,6 +1165,131 @@ def oracle_sql() -> dict[str, str]:
                    md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint
             FROM documents
         """,
+        "variant_load_pipeline": _VARIANT_LOAD_SQL,
+        "distinct_groups": """
+            SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "melt_unpivot": """
+            SELECT measure, count(*) AS n,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+            FROM (
+                SELECT 'quantity' AS measure, l_quantity AS value FROM lineitem
+                UNION ALL
+                SELECT 'extendedprice', l_extendedprice FROM lineitem
+                UNION ALL
+                SELECT 'discount', l_discount FROM lineitem
+            )
+            GROUP BY measure ORDER BY measure
+        """,
+        "props_extract": """
+            SELECT event_type, count(*) AS n,
+                   CAST(sum(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "explode_split": """
+            SELECT word, count(*) AS n
+            FROM (SELECT unnest(string_split(p_type, ' ')) AS word FROM part)
+            GROUP BY word ORDER BY word
+        """,
+        "revcomp": f"""
+            SELECT dna, translate(reverse(upper(dna)), 'ACGTN?', 'TGCAN?') AS revcomp,
+                   count(*) AS n
+            FROM (SELECT {_SYNTH_DNA_SQL} AS dna FROM lineitem)
+            GROUP BY 1, 2 ORDER BY dna
+        """,
+        "codon_translate": _codon_translate_sql(),
+        "adjust_indels": """
+            WITH src AS (
+                SELECT l_orderkey AS okey, l_linenumber AS lnum,
+                       CAST(l_orderkey AS BIGINT) AS pos,
+                       CASE WHEN l_linenumber % 3 = 2
+                            THEN substr('ACGT', CAST(l_partkey % 4 + 1 AS INT), 1) || 'A'
+                            ELSE substr('ACGT', CAST(l_partkey % 4 + 1 AS INT), 1) END AS ref,
+                       CASE WHEN l_linenumber % 3 = 0
+                            THEN substr('TGCA', CAST(l_partkey % 4 + 1 AS INT), 1)
+                            WHEN l_linenumber % 3 = 1
+                            THEN substr('ACGT', CAST(l_partkey % 4 + 1 AS INT), 1) || 'T'
+                            ELSE substr('ACGT', CAST(l_partkey % 4 + 1 AS INT), 1) END AS alt
+                FROM lineitem
+            )
+            SELECT okey, lnum,
+                   CAST(CASE WHEN len(ref) <> len(alt) THEN pos + 1 ELSE pos END AS BIGINT) AS position,
+                   CASE WHEN len(ref) < len(alt) THEN NULL
+                        WHEN len(ref) > len(alt) THEN substr(ref, 2)
+                        ELSE ref END AS ref_nuc,
+                   CASE WHEN len(ref) > len(alt) THEN NULL
+                        WHEN len(ref) < len(alt) THEN substr(alt, 2)
+                        ELSE alt END AS var_nuc,
+                   CASE WHEN len(ref) <> len(alt) THEN substr(ref, 1, 1) ELSE NULL END AS padding_base
+            FROM src
+        """,
+        "union_discriminated": """
+            SELECT src, count(*) AS n,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+            FROM (
+                SELECT 'urgent' AS src, o_orderkey, o_totalprice FROM orders
+                WHERE o_orderpriority = '1-URGENT'
+                UNION ALL
+                SELECT 'big', o_orderkey, o_totalprice FROM orders
+                WHERE o_totalprice > 200000
+            )
+            GROUP BY src ORDER BY src
+        """,
+        "id_parse": """
+            SELECT CAST(regexp_extract(id, '^RGDID:(\\d+);', 1) AS BIGINT) AS rgd_id,
+                   regexp_extract(id, '^RGDID:\\d+;(.*)$', 1) AS hgvs_name
+            FROM (SELECT 'RGDID:' || CAST(o_orderkey AS VARCHAR) || ';NM_'
+                         || CAST(o_custkey AS VARCHAR) || ':c.1A>T' AS id
+                  FROM orders)
+        """,
+        "stateful_blocks": """
+            WITH blocked AS (
+                SELECT user_id, event_id,
+                       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY user_id ORDER BY event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS block
+                FROM events
+            )
+            SELECT user_id, event_id,
+                   CAST(first_value(event_id) OVER w
+                        + row_number() OVER w - 1 AS BIGINT) AS position
+            FROM blocked
+            WHERE block > 0
+            WINDOW w AS (PARTITION BY user_id, block ORDER BY event_id)
+        """,
+        "ref_depth_inference": """
+            WITH base AS (
+                SELECT l_orderkey, l_linenumber,
+                       CAST(l_quantity AS BIGINT) * 3 AS dp,
+                       CAST(l_partkey % 30 + l_suppkey % 30 AS BIGINT) AS ac
+                FROM lineitem
+            )
+            SELECT l_orderkey, l_linenumber, dp, ac, 'alt' AS kind FROM base
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, dp, dp - ac, 'ref' FROM base
+            WHERE dp - ac > 0
+        """,
+        "zygosity_indel": f"""
+            WITH cf2 AS ({_SYNTH_CF2_FULL_SQL}),
+            p AS (
+                SELECT position, count_t AS lnum_mod,
+                       COALESCE(ref_nuc, 'A') AS ref_n,
+                       count_a, count_c, count_g, count_t,
+                       CASE WHEN read_depth = 0 THEN NULL
+                            ELSE CAST(floor(100.0 * allele_depth / read_depth + 0.5) AS INT) END AS pr
+                FROM cf2
+            )
+            SELECT position, lnum_mod,
+                   CASE WHEN pr >= 100 THEN 'homozygous'
+                        WHEN pr >= 85 THEN 'possibly homozygous'
+                        ELSE 'heterozygous' END AS zygosity_status,
+                   pr AS zygosity_percent_read,
+                   CASE WHEN (CASE ref_n WHEN 'A' THEN count_a WHEN 'C' THEN count_c
+                              WHEN 'G' THEN count_g WHEN 'T' THEN count_t ELSE 0 END) > 0
+                        THEN 'Y' ELSE 'N' END AS zygosity_ref_allele
+            FROM p
+        """,
         "embedding_topk": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
             scored AS (
@@ -750,6 +1306,34 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 10
         """,
     }
+
+
+def _codon_translate_sql() -> str:
+    from rat_strain_loader_pipeline_spark.functions.dna import CODON_TABLE
+
+    rows = ", ".join(f"('{c}', '{a}')" for c, a in CODON_TABLE.items())
+
+    def group(cols: list[str]) -> str:
+        return " || ".join(
+            f"substr('ACGT', CAST({c} % 4 + 1 AS INT), 1)" for c in cols
+        )
+
+    # mirror the Spark synth: three 3-base groups = 9 bases = 3 codons
+    g1 = group(["l_partkey", "l_suppkey", "l_orderkey"])
+    g2 = group(["l_suppkey", "l_orderkey", "l_linenumber"])
+    g3 = group(["l_orderkey", "l_partkey", "l_linenumber"])
+    return f"""
+        WITH codon_table(codon, aa) AS (VALUES {rows}),
+        src AS (SELECT {g1} || {g2} || {g3} AS dna FROM lineitem)
+        SELECT dna,
+               COALESCE(ct1.aa, 'X') || COALESCE(ct2.aa, 'X') || COALESCE(ct3.aa, 'X') AS protein,
+               count(*) AS n
+        FROM src
+        LEFT JOIN codon_table ct1 ON ct1.codon = substr(dna, 1, 3)
+        LEFT JOIN codon_table ct2 ON ct2.codon = substr(dna, 4, 3)
+        LEFT JOIN codon_table ct3 ON ct3.codon = substr(dna, 7, 3)
+        GROUP BY 1, 2 ORDER BY dna
+    """
 
 
 def _quality_score_sql() -> str:
@@ -785,39 +1369,7 @@ def _quality_score_sql() -> str:
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship on sf0.001: the synthetic-CF2 load-pipeline slice —
-    derivations + zygosity + dedup-upsert, returning the loaded
-    sample-detail-shaped result (driver checks rows > 0)."""
-    sf_dir = "/root/testdata/sf0.001"
-    li = _t(spark, sf_dir, "lineitem")
-    cf2 = _synth_cf2(li)
-    vt = variant_type(F.col("ref_nuc"), F.col("var_nuc"))
-    derived = cf2.withColumns(
-        {
-            "variant_type": vt,
-            "end_pos": end_pos(F.col("position"), F.col("ref_nuc"), vt).cast("long"),
-            "quality_score": quality_score(F.col("read_depth"), F.col("total_depth")),
-        }
-    )
-    zcols = zygosity_snv(
-        F.coalesce(F.col("ref_nuc"), F.lit("A")),
-        F.coalesce(F.col("var_nuc"), F.lit("C")),
-        F.col("count_a"),
-        F.col("count_c"),
-        F.col("count_g"),
-        F.col("count_t"),
-        F.col("gender"),
-        F.col("chromosome"),
-        F.col("in_par"),
-    )
-    loaded = derived.withColumns(zcols)
-    incoming = loaded.select(
-        "chromosome", "position", "end_pos", "ref_nuc", "var_nuc", "variant_type",
-        "zygosity_status", "zygosity_percent_read", "quality_score",
-    )
-    existing = incoming.limit(0).withColumn("rgd_id", F.lit(None).cast("long"))
-    return upsert_variants(
-        incoming,
-        existing,
-        key=["chromosome", "position", "end_pos", "ref_nuc", "var_nuc", "variant_type"],
-    )
+    """Flagship on sf0.001: the full CF2→variant-store load pipeline
+    (same dataflow the driver hash-checks as 'variant_load_pipeline' at
+    sf0.01; driver smoke-checks rows > 0 here)."""
+    return q_variant_load_pipeline(spark, "/root/testdata/sf0.001")

@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+from pyspark.storagelevel import StorageLevel
 
 NATURAL_KEY = ["chromosome", "start_pos", "end_pos", "ref_nuc", "var_nuc", "variant_type"]
 # String members of the key that compare case-insensitively (J4).
@@ -63,29 +64,34 @@ def upsert_variants(
     # cases; keep the smallest (stable).
     ex = ex.groupBy(*nk).agg(F.min("__existing_id").alias("__existing_id"))
 
-    joined = inc.join(ex, on=nk, how="left")
+    # Both output branches (matched / unmatched) consume this join —
+    # stage it to parquet once so the branches read a plain scan instead
+    # of recomputing the upstream pipeline (see staging.py for why
+    # parquet beats persist/localCheckpoint by >10x here).
+    from rat_strain_loader_pipeline_spark.staging import stage_to_parquet
+
+    joined = stage_to_parquet(inc.join(ex, on=nk, how="left"), "upsert-joined")
 
     max_id = existing.select(F.coalesce(F.max(id_col), F.lit(0)).alias("m"))
-    # dense_rank over the normalized key of unmatched rows → same key in
-    # the same batch gets the same new id (the reference dedups within a
-    # batch the same way, VariantLoad3.java:517-575).
+    # dense_rank over the normalized key of unmatched rows — ties (same
+    # key in the same batch) share a rank, so duplicates get the same new
+    # id without a distinct+join-back round trip (the reference dedups
+    # within a batch the same way, VariantLoad3.java:517-575). The global
+    # orderBy sorts only the NEW rows; at very large new-key cardinality
+    # switch to two-level ranking (rank within chromosome + per-chr
+    # offsets) — new keys per load batch are bounded in practice.
     w = Window.orderBy(*nk)
-    new_ids = (
+    matched = joined.filter(F.col("__existing_id").isNotNull()).withColumn(
+        id_col, F.col("__existing_id")
+    ).withColumn("is_new", F.lit(False))
+    unmatched = (
         joined.filter(F.col("__existing_id").isNull())
-        .select(*nk)
-        .dropDuplicates()
-        .withColumn("__rank", F.dense_rank().over(w))
         .crossJoin(F.broadcast(max_id))
-        .select(*nk, (F.col("m") + F.col("__rank")).cast("long").alias("__new_id"))
+        .withColumn(id_col, (F.col("m") + F.dense_rank().over(w)).cast("long"))
+        .withColumn("is_new", F.lit(True))
+        .drop("m")
     )
-
-    out = (
-        joined.join(new_ids, on=nk, how="left")
-        .withColumn(id_col, F.coalesce(F.col("__existing_id"), F.col("__new_id")))
-        .withColumn("is_new", F.col("__existing_id").isNull())
-        .drop("__existing_id", "__new_id", *nk)
-    )
-    return out
+    return matched.unionByName(unmatched).drop("__existing_id", *nk)
 
 
 def anti_insert(

@@ -24,16 +24,13 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from rat_strain_loader_pipeline_spark.functions.variant import (
     end_pos,
     quality_score,
     total_depth_derived,
     variant_type,
-)
-from rat_strain_loader_pipeline_spark.functions.zygosity import (
-    zygosity_indel,
-    zygosity_snv,
 )
 from rat_strain_loader_pipeline_spark.operators.interval_join import (
     point_in_interval_flag,
@@ -64,6 +61,8 @@ def derive_variants(
     chromosome: str | None = None,
     species_type_key: int = 3,
     source: str = "CF2",
+    stage_cache: bool = True,
+    genic_bin_size: int = 1_000_000,
 ) -> DataFrame:
     """All row-level derivations of processLine (VariantLoad3.java:222-365).
 
@@ -104,6 +103,18 @@ def derive_variants(
         .withColumn("quality_score", quality_score(F.col("read_depth"), F.col("total_depth")))
     )
 
+    # Stage barrier. Without it Catalyst substitutes the stacked aliases
+    # (variant_type → end_pos/total_depth/quality → zygosity percent →
+    # status/filter) into each consumer and into pushed-down predicates,
+    # producing >16KB expressions that fall out of whole-stage codegen
+    # into per-row interpreted eval (measured 50s vs 5s on 600k rows at
+    # sf0.1). Parquet staging truncates the plan cheaply (staging.py);
+    # the reference pipeline materializes between stages too.
+    if stage_cache:
+        from rat_strain_loader_pipeline_spark.staging import stage_to_parquet
+
+        df = stage_to_parquet(df, "derive-stage-a")
+
     # PAR membership for sex-chromosome zygosity (decompiled
     # PseudoAutosomalRegion lookup): interval join against the PAR table.
     if par_regions is not None:
@@ -118,24 +129,70 @@ def derive_variants(
     else:
         df = df.withColumn("map_key", F.lit(map_key)).withColumn("in_par", F.lit(False))
 
-    g = F.lit(gender)
-    chrom = F.col("chromosome")
+    # Zygosity, expression-size-aware: the snv and indel branches differ
+    # ONLY in the percent numerator/denominator (X4 vs X5); status ladder,
+    # ref-allele, num-allele, poss-error and PAR handling are identical.
+    # Materializing the shared intermediates once keeps the expression
+    # tree ~10x smaller than branching every output column (big enough
+    # trees fall out of codegen into interpreted eval — measured 10s vs
+    # <1s on 600k rows).
+    a = F.coalesce(F.col("count_a"), F.lit(0)).cast("long")
+    c = F.coalesce(F.col("count_c"), F.lit(0)).cast("long")
+    gg = F.coalesce(F.col("count_g"), F.lit(0)).cast("long")
+    t = F.coalesce(F.col("count_t"), F.lit(0)).cast("long")
+    count_of = lambda nuc: (  # noqa: E731
+        F.when(nuc == "A", a).when(nuc == "C", c).when(nuc == "G", gg)
+        .when(nuc == "T", t).otherwise(F.lit(0))
+    )
     is_snv = F.col("variant_type") == "snv"
-    snv = zygosity_snv(
-        F.col("ref_nuc"), F.col("var_nuc"),
-        F.col("count_a"), F.col("count_c"), F.col("count_g"), F.col("count_t"),
-        g, chrom, F.col("in_par"),
+    df = df.withColumns(
+        {
+            "__total": a + c + gg + t,
+            "__var_count": count_of(F.upper(F.col("var_nuc"))),
+            "__ref_count": count_of(F.upper(F.col("ref_nuc"))),
+            "__num_allele": (
+                (a > 0).cast("int") + (c > 0).cast("int")
+                + (gg > 0).cast("int") + (t > 0).cast("int")
+            ),
+        }
     )
-    indel = zygosity_indel(
-        F.col("allele_depth"), F.col("read_depth"), F.col("ref_nuc"),
-        F.col("count_a"), F.col("count_c"), F.col("count_g"), F.col("count_t"),
-        g, chrom, F.col("in_par"),
+    num = F.when(is_snv, F.col("__var_count")).otherwise(
+        F.coalesce(F.col("allele_depth"), F.lit(0)).cast("long")
     )
-    for name in snv:
-        df = df.withColumn(name, F.when(is_snv, snv[name]).otherwise(indel[name]))
+    den = F.when(is_snv, F.col("__total")).otherwise(F.col("read_depth").cast("long"))
+    df = df.withColumn(
+        "zygosity_percent_read",
+        F.when(den.isNull() | (den == 0), F.lit(None))
+        .otherwise(F.floor(F.lit(100.0) * num / den + F.lit(0.5)))
+        .cast("int"),
+    )
+    pct = F.col("zygosity_percent_read")
+    is_sex = F.upper(F.col("chromosome")).isin("X", "Y")
+    is_male = F.upper(F.lit(gender)).isin("M", "P")
+    hemi = is_sex & is_male & ~F.col("in_par")
+    df = df.withColumns(
+        {
+            "zygosity_status": F.when(
+                hemi,
+                F.when(pct >= 100, "hemizygous")
+                .when(pct >= 85, "probably hemizygous")
+                .otherwise("possibly hemizygous"),
+            ).otherwise(
+                F.when(pct >= 100, "homozygous")
+                .when(pct >= 85, "possibly homozygous")
+                .otherwise("heterozygous")
+            ),
+            "zygosity_num_allele": F.col("__num_allele").cast("int"),
+            "zygosity_ref_allele": F.when(F.col("__ref_count") > 0, "Y").otherwise("N"),
+            "zygosity_poss_error": F.when(pct.isNotNull() & (pct <= 15), "Y").otherwise("N"),
+            "zygosity_in_pseudo": F.when(is_sex & is_male & F.col("in_par"), "Y").otherwise("N"),
+        }
+    ).drop("__total", "__var_count", "__ref_count", "__num_allele")
 
     # F9: zero-score variants dropped ("called 0 times",
-    # VariantLoad3.java:338-346) — percent-read 0 for either path
+    # VariantLoad3.java:338-346) — percent-read 0 for either path.
+    # Pushdown stops at the stage barrier above, so the substituted
+    # predicate stays small.
     df = df.filter(F.coalesce(F.col("zygosity_percent_read"), F.lit(0)) > 0)
 
     # X6 genic status via gene interval overlap (J1)
@@ -151,6 +208,7 @@ def derive_variants(
             "is_genic",
             probe_keys=("chromosome", "start_pos", "end_pos"),
             interval_keys=("g_chr", "g_start", "g_stop"),
+            bin_size=genic_bin_size,
         )
     else:
         df = df.withColumn("is_genic", F.lit(False))
