@@ -6,33 +6,34 @@ shuffle keys are bounded (hash prefixes, band signatures), never an
 all-pairs comparison — the only pairwise work happens on LSH-bucketed
 or prefix-filtered candidates.
 
-Hot-path design: shingling and hashing run JVM-side (split/transform/
-xxhash64 — codegen); the per-document signature math (minhash
-permutations, simhash bit votes) runs in Arrow-vectorized pandas UDFs
-with numpy — Catalyst's interpreted higher-order-function path is
-~100x slower for these inner loops.
+Hot-path design: shingling, hashing and signature math run in
+Arrow-vectorized pandas UDFs (str.split + zlib.crc32 at C speed +
+numpy) — Catalyst's interpreted higher-order-function path measured
+~6 s per pass over 5k docs for the same work, and shingle-hash arrays
+are computed ONCE and staged to parquet so candidate generation and
+exact-Jaccard verification share them.
 
 - exact_dedup:        md5-hash groupBy; canonical = min(doc_id)
+- shingle_hashes:     (doc_id, hashes array<long>) staged basis
 - minhash_signatures: k permutations (a*h + b) mod P over shingle hashes
 - minhash_lsh_pairs:  band the signature, bucket-join, verify with real
-                      Jaccard over shingle sets
+                      Jaccard over the shared hash arrays
 - simhash64:          63-bit simhash from shingle hashes
-- ngram_jaccard_pairs: exact Jaccard verification on df-ordered
-                      prefix-filtered candidates
+- ngram_jaccard_pairs: exact Jaccard on df-ordered prefix-filtered
+                      candidates
 """
 
 from __future__ import annotations
 
 import random
+import zlib
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.window import Window
-
-from rat_strain_loader_pipeline_spark.operators.text import ngrams
 
 # Mersenne prime 2^31-1: universal-hash modulus. Operands < 2^31 keep
 # a*x + b under 2^62 — no int64 overflow (numpy or JVM).
@@ -58,10 +59,47 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
-def _shingle_hash_col(text_col: str, n: int = 3) -> Column:
-    """Distinct shingle hashes in [0, P) as array<long> — JVM-side."""
-    sh = F.array_distinct(ngrams(F.col(text_col), n))
-    return F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_P)))
+def _shingle_set(text: str, n: int) -> set[str]:
+    toks = [t for t in text.lower().split() if t]
+    if len(toks) < n:
+        return {"_".join(toks)} if toks else set()
+    return {"_".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def _hashes_udf(n: int):
+    @pandas_udf("array<long>")
+    def hashes(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if not t:
+                out.append([])
+                continue
+            hs = {zlib.crc32(s.encode("utf-8")) % _P for s in _shingle_set(t, n)}
+            out.append(sorted(hs))
+        return pd.Series(out)
+
+    return hashes
+
+
+def shingle_hashes(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    stage: bool = True,
+) -> DataFrame:
+    """(doc_id, hashes array<long>) — distinct word-shingle crc32 hashes,
+    sorted. Staged to parquet by default so several consumers (signature
+    generation, Jaccard verification, simhash) share one computation."""
+    from rat_strain_loader_pipeline_spark.ship import ensure_shipped
+
+    ensure_shipped(docs.sparkSession)
+    out = docs.select(F.col(id_col), _hashes_udf(shingle_n)(F.col(text_col)).alias("hashes"))
+    if stage:
+        from rat_strain_loader_pipeline_spark.staging import stage_to_parquet
+
+        out = stage_to_parquet(out, "shingle-hashes")
+    return out
 
 
 def _minhash_udf(num_hashes: int, seed: int):
@@ -77,7 +115,6 @@ def _minhash_udf(num_hashes: int, seed: int):
                 out.append([int(_P)] * num_hashes)
                 continue
             hv = np.asarray(h, dtype=np.int64)
-            # (k, n) = a[:,None]*h[None,:] + b → min over shingles
             m = ((a[:, None] * hv[None, :] + b[:, None]) % _P).min(axis=1)
             out.append(m.tolist())
         return pd.Series(out)
@@ -92,19 +129,17 @@ def minhash_signatures(
     num_hashes: int = 64,
     shingle_n: int = 3,
     seed: int = 42,
+    hashes: DataFrame | None = None,
 ) -> DataFrame:
-    """(doc_id, sig array<long>) — k-permutation minhash.
-
-    Shingle hashing is JVM-side; the k-permutation min runs vectorized in
-    numpy via an Arrow pandas UDF. Deterministic given ``seed``.
-    """
+    """(doc_id, sig array<long>) — k-permutation minhash over the staged
+    shingle hashes. Deterministic given ``seed``."""
     from rat_strain_loader_pipeline_spark.ship import ensure_shipped
 
     ensure_shipped(docs.sparkSession)
+    if hashes is None:
+        hashes = shingle_hashes(docs, text_col, id_col, shingle_n, stage=False)
     sig = _minhash_udf(num_hashes, seed)
-    return docs.select(
-        F.col(id_col), sig(_shingle_hash_col(text_col, shingle_n)).alias("sig")
-    )
+    return hashes.select(F.col(id_col), sig(F.col("hashes")).alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -120,13 +155,15 @@ def minhash_lsh_pairs(
     """Near-duplicate pairs via banded minhash-LSH + exact-Jaccard verify.
 
     b=16, r=4 puts the S-curve threshold at (1/b)^(1/r) = 0.5. Pipeline:
-    signatures → explode to (band, band_sig) → self-join on the band
-    bucket (equi-join: shuffle hash, never all-pairs) → distinct
-    candidate pairs → exact shingle-Jaccard verify → threshold filter.
-    Returns (id_a, id_b, jaccard) with id_a < id_b.
+    staged shingle hashes → signatures → explode to (band, band_sig) →
+    self-join on the band bucket (equi-join: shuffle hash, never
+    all-pairs) → distinct candidate pairs → exact Jaccard on the SAME
+    staged hash arrays → threshold filter. Returns (id_a, id_b, jaccard)
+    with id_a < id_b.
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_n, seed)
+    hashes = shingle_hashes(docs, text_col, id_col, shingle_n, stage=True)
+    sigs = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_n, seed, hashes=hashes)
 
     banded = sigs.select(
         F.col(id_col),
@@ -159,30 +196,26 @@ def minhash_lsh_pairs(
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .dropDuplicates()
     )
-    return _verify_jaccard(candidates, docs, text_col, id_col, shingle_n, jaccard_threshold)
+    return _verify_jaccard(candidates, hashes, id_col, jaccard_threshold)
 
 
 def _verify_jaccard(
     candidates: DataFrame,
-    docs: DataFrame,
-    text_col: str,
+    hashes: DataFrame,
     id_col: str,
-    shingle_n: int,
     threshold: float,
 ) -> DataFrame:
-    shingles = docs.select(
-        F.col(id_col), F.array_distinct(ngrams(F.col(text_col), shingle_n)).alias("sh")
-    )
+    """Exact Jaccard over shingle-hash arrays for candidate pairs."""
     return (
         candidates.join(
-            shingles.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
+            hashes.select(F.col(id_col).alias("id_a"), F.col("hashes").alias("h_a")), "id_a"
         )
-        .join(shingles.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .join(hashes.select(F.col(id_col).alias("id_b"), F.col("hashes").alias("h_b")), "id_b")
         .withColumn(
             "jaccard",
             F.round(
-                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-                / F.size(F.array_union("sh_a", "sh_b")),
+                F.size(F.array_intersect("h_a", "h_b")).cast("double")
+                / F.size(F.array_union("h_a", "h_b")),
                 4,
             ),
         )
@@ -196,10 +229,10 @@ def simhash64(
 ) -> DataFrame:
     """SimHash per document (63 usable bits).
 
-    Shingle hashes JVM-side; bit votes vectorized in numpy (docs × 63
-    bit matrix per Arrow batch). Map-only — no shuffle at any scale.
-    Near-dups then cluster by hamming distance on the signature
-    (prefix-bucket join).
+    Shingles hashed with two salted crc32s combined into 62 dispersed
+    bits; bit votes vectorized in numpy per Arrow batch. Map-only — no
+    shuffle at any scale. Near-dups then cluster by hamming distance on
+    the signature (prefix-bucket join).
     """
     from rat_strain_loader_pipeline_spark.ship import ensure_shipped
 
@@ -207,21 +240,28 @@ def simhash64(
     shifts = np.arange(n_bits, dtype=np.int64)
 
     @pandas_udf("long")
-    def sim(hashes: pd.Series) -> pd.Series:
-        out = np.zeros(len(hashes), dtype=np.int64)
-        for i, h in enumerate(hashes):
-            if h is None or len(h) == 0:
+    def sim(texts: pd.Series) -> pd.Series:
+        out = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            if not t:
                 continue
-            hv = np.asarray(h, dtype=np.int64)
-            bits = (hv[:, None] >> shifts[None, :]) & 1  # (n_shingles, n_bits)
+            shingles = _shingle_set(t, 3)
+            if not shingles:
+                continue
+            hv = np.array(
+                [
+                    (zlib.crc32(s.encode("utf-8")) | (zlib.crc32((s + "#").encode("utf-8")) << 31))
+                    & ((1 << 62) - 1)
+                    for s in shingles
+                ],
+                dtype=np.int64,
+            )
+            bits = (hv[:, None] >> shifts[None, :]) & 1
             votes = (2 * bits - 1).sum(axis=0)
             out[i] = int(((votes > 0).astype(np.int64) << shifts).sum())
         return pd.Series(out)
 
-    # full-range 64-bit hashes (not mod P) for good bit dispersion
-    sh = F.array_distinct(ngrams(F.col(text_col), 3))
-    hashes = F.transform(sh, lambda s: F.xxhash64(s))
-    return docs.select(F.col(id_col), sim(hashes).alias("simhash"))
+    return docs.select(F.col(id_col), sim(F.col(text_col)).alias("simhash"))
 
 
 def ngram_jaccard_pairs(
@@ -230,26 +270,25 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     threshold: float = 0.8,
-    prefix_cap: int = 8,
+    prefix_cap: int | None = 8,
 ) -> DataFrame:
     """N-gram Jaccard near-dup pairs via df-ordered prefix filtering.
 
-    Classic prefix filtering: order each document's shingles by GLOBAL
-    rarity (ascending document frequency) and emit only the first
+    Classic prefix filtering: order each document's shingle hashes by
+    GLOBAL rarity (ascending document frequency) and emit only the first
     ``|sh| - ceil(threshold*|sh|) + 1`` as join tokens — a pair with
-    Jaccard >= threshold must share one. Ordering by rarity makes the
-    candidate fanout per token df², bounded by the rarest shingles —
-    high-df shingles almost never appear in prefixes. ``prefix_cap``
+    Jaccard >= threshold must share one. Ordering by rarity bounds the
+    candidate fanout by the rarest shingles' df². ``prefix_cap``
     additionally bounds the prefix (trades recall for a hard fanout
-    limit at adversarial corpora); set None for the exact bound.
+    limit on adversarial corpora); None applies the exact bound.
 
-    Two shuffles (df groupBy, candidate join) + broadcast df map.
+    Two shuffles (df groupBy, candidate join) + broadcast df map, all on
+    long hashes (never strings).
     """
-    shingles = docs.select(
-        F.col(id_col), F.array_distinct(ngrams(F.col(text_col), shingle_n)).alias("sh")
-    )
+    hashes = shingle_hashes(docs, text_col, id_col, shingle_n, stage=True)
+
     df_counts = (
-        shingles.select(F.explode("sh").alias("tok"))
+        hashes.select(F.explode("hashes").alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("df"))
     )
@@ -257,7 +296,7 @@ def ngram_jaccard_pairs(
         "tok", F.row_number().over(Window.orderBy("df", "tok")).alias("rank")
     )
 
-    exploded = shingles.select(id_col, F.size("sh").alias("n_sh"), F.explode("sh").alias("tok"))
+    exploded = hashes.select(id_col, F.size("hashes").alias("n_sh"), F.explode("hashes").alias("tok"))
     ranked = exploded.join(F.broadcast(tok_rank), "tok")
 
     w = Window.partitionBy(id_col).orderBy("rank")
@@ -278,4 +317,4 @@ def ngram_jaccard_pairs(
         .select("id_a", "id_b")
         .dropDuplicates()
     )
-    return _verify_jaccard(candidates, docs, text_col, id_col, shingle_n, threshold)
+    return _verify_jaccard(candidates, hashes, id_col, threshold)
