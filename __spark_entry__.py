@@ -855,6 +855,293 @@ def q_zygosity_indel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Consequence engine (X8-X17) on a synthetic genome/gene-model
+# --------------------------------------------------------------------------
+#
+# Deterministic synthesis shared between the Spark side and the DuckDB
+# oracle: chromosome c's base at 1-based position p is
+#   'ACGT'[((p*1103515245 + c*12345) % 2147483647) % 4]
+# Gene g (one per supplier row, 1..n_genes) lives on chromosome
+# (g % 2)+1 at [g*5000, g*5000+3999] with two exons
+#   e1 = [g*5000,      g*5000+899+(g%7)]
+#   e2 = [g*5000+2000, g*5000+2899+(g%5)]
+# (CDS length varies mod 3 → triplet-error/truncation paths exercised),
+# strand '-' when g % 3 == 0, non-coding when g % 10 == 0. Variants are
+# SNVs at offset (k*37) % 4000 inside gene (k % n_genes)+1 for every
+# 20th distinct l_orderkey — covering exon/intron/splice-window/
+# truncated-tail placements on both strands.
+
+_GENOME_MUL = 1103515245
+_GENOME_ADD = 12345
+_GENOME_MOD = 2147483647
+
+
+def _synth_genome(n_genes: int) -> dict[str, str]:
+    import numpy as np
+
+    length = n_genes * 5000 + 4000
+    lut = np.frombuffer(b"ACGT", dtype=np.uint8)
+    seqs: dict[str, str] = {}
+    for c in (1, 2):
+        p = np.arange(1, length + 1, dtype=np.int64)
+        idx = ((p * _GENOME_MUL + c * _GENOME_ADD) % _GENOME_MOD) % 4
+        seqs[str(c)] = lut[idx].tobytes().decode("ascii")
+    return seqs
+
+
+def _conseq_model(spark: SparkSession, sf_dir: str, with_utrs: bool = False):
+    """(n_genes, fasta_broadcast, genes, transcripts, features)."""
+    sup = _t(spark, sf_dir, "supplier")
+    n_genes = int(sup.agg(F.max("s_suppkey")).collect()[0][0])
+    fb = spark.sparkContext.broadcast(_synth_genome(n_genes))
+
+    k = F.col("s_suppkey").cast("long")
+    chrom = ((k % 2) + 1).cast("string")
+    strand = F.when(k % 3 == 0, F.lit("-")).otherwise(F.lit("+"))
+    gs = k * 5000
+    e1e = gs + 899 + (k % 7)
+    e2s = gs + 2000
+    e2e = gs + 2899 + (k % 5)
+
+    genes = sup.select(
+        k.alias("gene_rgd_id"),
+        chrom.alias("chromosome"),
+        gs.alias("start_pos"),
+        (gs + 3999).alias("stop_pos"),
+        F.lit("ACTIVE").alias("object_status"),
+    )
+    transcripts = sup.select(
+        k.cast("int").alias("transcript_rgd_id"),
+        k.alias("gene_rgd_id"),
+        F.when(k % 10 == 0, F.lit("Y")).otherwise(F.lit("N")).alias("is_non_coding_ind"),
+    )
+
+    def feat(name, lo, hi):
+        return sup.select(
+            k.cast("int").alias("transcript_rgd_id"),
+            chrom.alias("chromosome"),
+            F.lit(name).alias("object_name"),
+            strand.alias("strand"),
+            lo.cast("long").alias("start_pos"),
+            hi.cast("long").alias("stop_pos"),
+        )
+
+    features = feat("EXONS", gs, e1e).unionByName(feat("EXONS", e2s, e2e))
+    if with_utrs:
+        # UTRs follow transcript orientation: the 5'UTR is the first 100
+        # TRANSCRIBED bases — genomic low end on '+', high end on '-'
+        # (the engine then swaps the variables for '-', handleUTRs-style).
+        low_name = F.when(strand == "+", F.lit("5UTRS")).otherwise(F.lit("3UTRS"))
+        high_name = F.when(strand == "+", F.lit("3UTRS")).otherwise(F.lit("5UTRS"))
+
+        def utr(name_col, lo, hi):
+            return sup.select(
+                k.cast("int").alias("transcript_rgd_id"),
+                chrom.alias("chromosome"),
+                name_col.alias("object_name"),
+                strand.alias("strand"),
+                lo.cast("long").alias("start_pos"),
+                hi.cast("long").alias("stop_pos"),
+            )
+
+        features = features.unionByName(utr(low_name, gs, gs + 99)).unionByName(
+            utr(high_name, e2e - 99, e2e)
+        )
+    return n_genes, fb, genes, transcripts, features
+
+
+_VT_OUT_COLS = [
+    "variant_rgd_id", "transcript_rgd_id", "ref_aa", "var_aa", "syn_status",
+    "location_name", "near_splice_site", "full_ref_aa_pos", "full_ref_nuc_pos",
+    "triplet_error", "frameshift",
+]
+
+
+def q_consequence_snv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X8-X17 protein-consequence engine (SNV paths) — the real
+    broadcast-join + mapInPandas dataflow of operators.consequence,
+    checked value-exact against an arithmetic DuckDB reconstruction.
+
+    Covers: J1 interval gene join, J2/J3 dimension joins, W1 feature
+    order, location labels (EXON/INTRON/,NON-CODING), near-splice ±10
+    windows (X16), spliced relative position (X10), SNV mutation (X11),
+    '-' strand flip + revcomp (X12/X7), triplet truncation (X13), codon
+    translation (X8), syn status (X14), frameshift (X15)."""
+    from rat_strain_loader_pipeline_spark.operators.consequence import (
+        variant_transcript_consequences,
+    )
+
+    n_genes, fb, genes, transcripts, features = _conseq_model(spark, sf_dir)
+    li = _t(spark, sf_dir, "lineitem")
+    k0 = F.col("l_orderkey").cast("long")
+    g = (k0 % n_genes) + 1
+    pos = g * 5000 + (k0 * 37) % 4000
+    variants = (
+        li.filter(k0 % 20 == 0)
+        .select("l_orderkey")
+        .distinct()
+        .select(
+            k0.alias("rgd_id"),
+            ((g % 2) + 1).cast("string").alias("chromosome"),
+            pos.alias("start_pos"),
+            (pos + 1).alias("end_pos"),
+            F.lit("A").alias("ref_nuc"),
+            F.substring(
+                F.lit("ACGT"), (F.floor(k0 / 20).cast("long") % 4 + 1).cast("int"), 1
+            ).alias("var_nuc"),
+        )
+    )
+    vt = variant_transcript_consequences(
+        variants, genes, transcripts, features, fb, 1,
+        repartition_to=spark.sparkContext.defaultParallelism,
+    )
+    return vt.select(*_VT_OUT_COLS)
+
+
+def q_consequence_indel_utr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9 UTR clipping + X11 indel mutation + frameshift through the same
+    engine: insertions (ref NULL), '-'-marked deletions and MNVs on
+    UTR-annotated transcripts, then the X15 frameshift fixup recompute —
+    the reference's operational flow (post-processing leaves truncated
+    'F' values; FrameShiftFixUp patches from the raw alleles). Not
+    SQL-expressible as a whole (grouped pandas dataflow) — driver
+    records the rows-only check; the SNV twin carries the value-exact
+    oracle."""
+    from rat_strain_loader_pipeline_spark.operators.consequence import (
+        variant_transcript_consequences,
+    )
+    from rat_strain_loader_pipeline_spark.pipelines.fixups import frameshift_fixup
+
+    n_genes, fb, genes, transcripts, features = _conseq_model(spark, sf_dir, with_utrs=True)
+    li = _t(spark, sf_dir, "lineitem")
+    k0 = F.col("l_orderkey").cast("long")
+    g = (k0 % n_genes) + 1
+    pos = g * 5000 + (k0 * 37) % 4000
+    kind = k0 % 3  # 0: insertion, 1: deletion, 2: MNV
+    ref_nuc = (
+        F.when(kind == 0, F.lit(None).cast("string"))
+        .when(kind == 1, F.lit("AC"))
+        .otherwise(F.lit("ACG"))
+    )
+    var_nuc = (
+        F.when(kind == 0, F.lit("TG"))
+        .when(kind == 1, F.lit("--"))
+        .otherwise(F.lit("TGA"))
+    )
+    end = F.when(kind == 0, pos).when(kind == 1, pos + 2).otherwise(pos + 3)
+    variants = (
+        li.filter(k0 % 20 == 5)
+        .select("l_orderkey")
+        .distinct()
+        .select(
+            k0.alias("rgd_id"),
+            ((g % 2) + 1).cast("string").alias("chromosome"),
+            pos.alias("start_pos"),
+            end.cast("long").alias("end_pos"),
+            ref_nuc.alias("ref_nuc"),
+            var_nuc.alias("var_nuc"),
+        )
+    )
+    from rat_strain_loader_pipeline_spark.staging import stage_to_parquet
+
+    vt = stage_to_parquet(
+        variant_transcript_consequences(
+            variants, genes, transcripts, features, fb, 1,
+            repartition_to=spark.sparkContext.defaultParallelism,
+        ),
+        "conseq-indel",
+    )
+    patched, _counters = frameshift_fixup(vt, variants)
+    return patched.select(*_VT_OUT_COLS)
+
+
+_AA20 = "ARNDCQEGHILKMFPSTWYV"
+
+
+def q_polyphen_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J12 consume-once result↔info match + J13 swapped-AA reject
+    (PolyphenLoader.java:171-195) through the engine's
+    load_polyphen_results: duplicate results bind DISTINCT info rows via
+    row_number on both sides of the (acc, pos, aa1, aa2) key."""
+    from rat_strain_loader_pipeline_spark.pipelines.polyphen import (
+        load_polyphen_results,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey").cast("long")
+    acc = F.concat(F.lit("P"), (k % 211).cast("string"))
+    pos = ((k % 13) + 1).cast("int")
+    aa1 = F.substring(F.lit(_AA20), ((k % 17) + 1).cast("int"), 1)
+    aa2 = F.substring(F.lit(_AA20), ((k % 19) + 2).cast("int"), 1)
+    info = o.select(
+        acc.alias("protein_acc_id"),
+        pos.alias("pos"),
+        aa1.alias("ref_aa"),
+        aa2.alias("var_aa"),
+        k.alias("variant_rgd_id"),
+        F.concat(F.lit("L"), (k % 31).cast("string")).alias("locus_name"),
+        F.when(k % 2 == 0, F.lit("+")).otherwise(F.lit("-")).alias("strand"),
+        ((k % 7) + 1).cast("int").alias("transcript_rgd_id"),
+    )
+    swap = (k % 11) == 0  # PolyPhen re-derived the AAs swapped → J13 reject
+    results = o.filter(k % 3 != 0).select(
+        acc.alias("o_acc"),
+        pos.alias("o_pos"),
+        aa1.alias("o_aa1"),
+        aa2.alias("o_aa2"),
+        F.when(swap, aa2).otherwise(aa1).alias("aa1"),
+        F.when(swap, aa1).otherwise(aa2).alias("aa2"),
+        F.concat(F.lit("pred_"), k.cast("string")).alias("prediction"),
+        ((k % 100).cast("double") / F.lit(100.0)).alias("pph2_prob"),
+    )
+    out = load_polyphen_results(results, info)
+    return out.select(
+        "o_acc", "o_pos", "o_aa1", "o_aa2", "variant_rgd_id",
+        "transcript_rgd_id", "locus_name", "strand", "prediction",
+        "pph2_prob", "protein_status",
+    )
+
+
+def q_flank_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X22 protein flank QC (Polyphen.java:205-342) via the engine's
+    flank_match_qc: translated left/right 10-AA flanks must equal the
+    annotated protein; mid-protein stop rejects unless >10 AA past the
+    variant or terminal; missing annotated protein rejects."""
+    from rat_strain_loader_pipeline_spark.pipelines.polyphen import flank_match_qc
+
+    p = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey").cast("long")
+    seq = F.upper(F.regexp_replace(F.col("p_name"), " ", ""))
+    pos = F.least(F.greatest(F.col("p_size").cast("int"), F.lit(2)), F.length(seq))
+    # translated protein per modular case: exact copy / left-flank smudge /
+    # early stop inside the right flank / terminal stop appended
+    translated = (
+        F.when(
+            k % 4 == 0,
+            F.concat(F.substring(seq, 1, pos - 2), F.lit("1"), F.substring(seq, pos - 1, 1000000)),
+        )
+        .when(
+            k % 4 == 1,
+            F.concat(F.substring(seq, 1, pos + 4), F.lit("*"), F.substring(seq, pos + 6, 1000000)),
+        )
+        .when(k % 4 == 2, F.concat(seq, F.lit("*")))
+        .otherwise(seq)
+    )
+    candidates = p.select(
+        F.concat(F.lit("P"), k.cast("string")).alias("protein_acc_id"),
+        k.alias("variant_rgd_id"),
+        pos.alias("pos"),
+        translated.alias("full_ref_aa"),
+    )
+    protein_seqs = p.filter(k % 9 != 0).select(
+        F.concat(F.lit("P"), k.cast("string")).alias("protein_acc_id"),
+        seq.alias("protein_seq"),
+    )
+    out = flank_match_qc(candidates, protein_seqs)
+    return out.select("protein_acc_id", "variant_rgd_id", "pos", "flank_ok")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -894,6 +1181,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stateful_blocks": q_stateful_blocks,
         "ref_depth_inference": q_ref_depth_inference,
         "zygosity_indel": q_zygosity_indel,
+        "consequence_snv": q_consequence_snv,
+        "consequence_indel_utr": q_consequence_indel_utr,
+        "polyphen_roundtrip": q_polyphen_roundtrip,
+        "flank_qc": q_flank_qc,
     }
 
 
@@ -973,6 +1264,120 @@ SELECT position, l_linenumber,
        CASE WHEN pct IS NOT NULL AND pct <= 15 THEN 'Y' ELSE 'N' END AS zygosity_poss_error,
        CASE WHEN male_sex AND in_par THEN 'Y' ELSE 'N' END AS zygosity_in_pseudo
 FROM q
+"""
+
+
+def _codon_case_sql(expr: str) -> str:
+    from rat_strain_loader_pipeline_spark.functions.dna import CODON_TABLE
+
+    whens = " ".join(f"WHEN '{c}' THEN '{a}'" for c, a in CODON_TABLE.items())
+    return f"CASE {expr} {whens} ELSE 'X' END"
+
+
+def _conseq_oracle_sql() -> str:
+    """Arithmetic DuckDB reconstruction of q_consequence_snv.
+
+    Rebuilds each output AA from the shared genome formula — only the 3
+    codon bases around the variant are materialized, never the CDS."""
+
+    def base(p: str) -> str:  # genome base at 1-based position p on chrnum
+        return (
+            f"substr('ACGT', CAST(((({p}) * {_GENOME_MUL} + chrnum * {_GENOME_ADD})"
+            f" % {_GENOME_MOD}) % 4 AS INT) + 1, 1)"
+        )
+
+    def comp(b: str) -> str:
+        return f"CASE {b} WHEN 'A' THEN 'T' WHEN 'C' THEN 'G' WHEN 'G' THEN 'C' ELSE 'A' END"
+
+    def genpos(j: str) -> str:  # CDS index ('+' orientation) → genome position
+        return f"CASE WHEN ({j}) <= len1 THEN gs + ({j}) - 1 ELSE e2s + (({j}) - len1) - 1 END"
+
+    def refbase(jp: str) -> str:  # post-strand CDS index → ref base
+        plus = base(genpos(jp))
+        minus = comp(base(genpos(f"cdslen - ({jp}) + 1")))
+        return f"CASE WHEN strand = '+' THEN {plus} ELSE {minus} END"
+
+    def varbase(jp: str) -> str:
+        mut = f"CASE WHEN strand = '+' THEN var_nuc ELSE {comp('var_nuc')} END"
+        return f"CASE WHEN ({jp}) = relp THEN {mut} ELSE {refbase(jp)} END"
+
+    ref_codon = " || ".join(refbase(f"3*aapos - {2 - m}") for m in range(3))
+    var_codon = " || ".join(varbase(f"3*aapos - {2 - m}") for m in range(3))
+
+    return f"""
+WITH params AS (SELECT CAST(max(s_suppkey) AS BIGINT) AS n_genes FROM supplier),
+v AS (
+  SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS k0
+  FROM lineitem WHERE l_orderkey % 20 = 0
+),
+pairs AS (
+  SELECT k0, ((k0 % n_genes) + 1) AS g,
+         (((k0 % n_genes) + 1) % 2) + 1 AS chrnum,
+         ((k0 % n_genes) + 1) * 5000 AS gs,
+         ((k0 % n_genes) + 1) * 5000 + ((k0 * 37) % 4000) AS pos,
+         substr('ACGT', CAST((k0 // 20) % 4 AS INT) + 1, 1) AS var_nuc
+  FROM v, params
+),
+geom AS (
+  SELECT *, pos + 1 AS vstop,
+         gs + 899 + (g % 7) AS e1e,
+         gs + 2000 AS e2s,
+         gs + 2899 + (g % 5) AS e2e,
+         CASE WHEN g % 3 = 0 THEN '-' ELSE '+' END AS strand,
+         g % 10 = 0 AS noncoding
+  FROM pairs
+),
+flags AS (
+  SELECT *,
+         e1e - gs + 1 AS len1,
+         (e1e - gs + 1) + (e2e - e2s + 1) AS cdslen,
+         (gs <= pos AND e1e >= pos + 1) OR (e2s <= pos AND e2e >= pos + 1) AS in_exon,
+         (e2s - 10 <= pos AND e2s + 10 >= pos + 1)
+           OR (e1e - 10 <= pos AND e1e + 10 >= pos + 1) AS splice,
+         CASE WHEN gs <= pos AND e1e > pos + 1 THEN pos - gs + 1
+              WHEN e2s <= pos AND e2e > pos + 1
+                THEN (e1e - gs + 1) + pos - e2s + 1 END AS rel0
+  FROM geom
+),
+rel AS (
+  SELECT *, cdslen - (cdslen % 3) AS trunclen,
+         CASE WHEN strand = '+' THEN rel0 ELSE cdslen - rel0 + 1 END AS relp
+  FROM flags
+),
+path AS (
+  SELECT *, 1 + (relp - 1) // 3 AS aapos,
+         in_exon AND NOT noncoding AND rel0 IS NOT NULL
+           AND 3 * (1 + (relp - 1) // 3) <= cdslen - (cdslen % 3) AS fullpath
+  FROM rel
+),
+codons AS (
+  SELECT *,
+         CASE WHEN fullpath THEN {ref_codon} END AS ref_codon,
+         CASE WHEN fullpath THEN {var_codon} END AS var_codon
+  FROM path
+),
+aas AS (
+  SELECT *,
+         CASE WHEN fullpath THEN {_codon_case_sql('ref_codon')} END AS ref_aa,
+         CASE WHEN fullpath THEN {_codon_case_sql('var_codon')} END AS var_aa
+  FROM codons
+)
+SELECT CAST(k0 AS BIGINT) AS variant_rgd_id,
+       CAST(g AS INT) AS transcript_rgd_id,
+       ref_aa, var_aa,
+       CASE WHEN NOT fullpath THEN NULL
+            WHEN ref_aa = 'X' OR var_aa = 'X' THEN 'unassignable'
+            WHEN ref_aa = var_aa THEN 'synonymous'
+            ELSE 'nonsynonymous' END AS syn_status,
+       (CASE WHEN in_exon THEN 'EXON' ELSE 'INTRON' END)
+         || (CASE WHEN noncoding THEN ',NON-CODING' ELSE '' END) AS location_name,
+       CASE WHEN splice THEN 'T' ELSE 'F' END AS near_splice_site,
+       CASE WHEN fullpath THEN CAST(aapos AS INT) END AS full_ref_aa_pos,
+       CASE WHEN fullpath THEN CAST(relp AS INT) END AS full_ref_nuc_pos,
+       CASE WHEN fullpath THEN (CASE WHEN cdslen % 3 <> 0 THEN 'T' ELSE 'F' END) END
+         AS triplet_error,
+       CASE WHEN fullpath THEN 'F' END AS frameshift
+FROM aas
 """
 
 
@@ -1304,6 +1709,84 @@ def oracle_sql() -> dict[str, str]:
             FROM scored
             ORDER BY raw DESC, vec_id ASC
             LIMIT 10
+        """,
+        "consequence_snv": _conseq_oracle_sql(),
+        "polyphen_roundtrip": f"""
+            WITH ks AS (SELECT CAST(o_orderkey AS BIGINT) AS k FROM orders),
+            info AS (
+              SELECT 'P' || CAST(k % 211 AS VARCHAR) AS o_acc,
+                     CAST((k % 13) + 1 AS INT) AS o_pos,
+                     substr('{_AA20}', CAST(k % 17 AS INT) + 1, 1) AS o_aa1,
+                     substr('{_AA20}', CAST(k % 19 AS INT) + 2, 1) AS o_aa2,
+                     k AS variant_rgd_id,
+                     'L' || CAST(k % 31 AS VARCHAR) AS locus_name,
+                     CASE WHEN k % 2 = 0 THEN '+' ELSE '-' END AS strand,
+                     CAST((k % 7) + 1 AS INT) AS transcript_rgd_id
+              FROM ks
+            ),
+            res AS (
+              SELECT 'P' || CAST(k % 211 AS VARCHAR) AS o_acc,
+                     CAST((k % 13) + 1 AS INT) AS o_pos,
+                     substr('{_AA20}', CAST(k % 17 AS INT) + 1, 1) AS o_aa1,
+                     substr('{_AA20}', CAST(k % 19 AS INT) + 2, 1) AS o_aa2,
+                     CASE WHEN k % 11 = 0 THEN substr('{_AA20}', CAST(k % 19 AS INT) + 2, 1)
+                          ELSE substr('{_AA20}', CAST(k % 17 AS INT) + 1, 1) END AS aa1,
+                     CASE WHEN k % 11 = 0 THEN substr('{_AA20}', CAST(k % 17 AS INT) + 1, 1)
+                          ELSE substr('{_AA20}', CAST(k % 19 AS INT) + 2, 1) END AS aa2,
+                     'pred_' || CAST(k AS VARCHAR) AS prediction,
+                     (k % 100) / 100.0 AS pph2_prob
+              FROM ks WHERE k % 3 <> 0
+            ),
+            r AS (
+              SELECT *, row_number() OVER (PARTITION BY o_acc, o_pos, o_aa1, o_aa2
+                                           ORDER BY pph2_prob DESC, prediction) AS rnk
+              FROM res WHERE NOT (o_aa1 = aa2 AND o_aa2 = aa1)
+            ),
+            i AS (
+              SELECT *, row_number() OVER (PARTITION BY o_acc, o_pos, o_aa1, o_aa2
+                                           ORDER BY variant_rgd_id, transcript_rgd_id) AS rnk
+              FROM info
+            )
+            SELECT r.o_acc, r.o_pos, r.o_aa1, r.o_aa2, i.variant_rgd_id,
+                   i.transcript_rgd_id, i.locus_name, i.strand, r.prediction,
+                   r.pph2_prob, '100 PERC MATCH' AS protein_status
+            FROM r JOIN i ON r.o_acc = i.o_acc AND r.o_pos = i.o_pos
+                         AND r.o_aa1 = i.o_aa1 AND r.o_aa2 = i.o_aa2
+                         AND r.rnk = i.rnk
+        """,
+        "flank_qc": """
+            WITH cand AS (
+              SELECT CAST(p_partkey AS BIGINT) AS k,
+                     'P' || CAST(CAST(p_partkey AS BIGINT) AS VARCHAR) AS protein_acc_id,
+                     upper(replace(p_name, ' ', '')) AS seq,
+                     least(greatest(CAST(p_size AS INT), 2),
+                           CAST(length(upper(replace(p_name, ' ', ''))) AS INT)) AS pos
+              FROM part
+            ),
+            c2 AS (
+              SELECT *,
+                CASE WHEN k % 4 = 0
+                       THEN substr(seq, 1, pos - 2) || '1' || substr(seq, pos - 1, 1000000)
+                     WHEN k % 4 = 1
+                       THEN substr(seq, 1, pos + 4) || '*' || substr(seq, pos + 6, 1000000)
+                     WHEN k % 4 = 2 THEN seq || '*'
+                     ELSE seq END AS translated
+              FROM cand
+            ),
+            ps AS (
+              SELECT 'P' || CAST(CAST(p_partkey AS BIGINT) AS VARCHAR) AS protein_acc_id,
+                     upper(replace(p_name, ' ', '')) AS protein_seq
+              FROM part WHERE p_partkey % 9 <> 0
+            )
+            SELECT c2.protein_acc_id, k AS variant_rgd_id, pos,
+                   (protein_seq IS NOT NULL
+                    AND substr(translated, greatest(pos - 10, 1), 10)
+                        = substr(protein_seq, greatest(pos - 10, 1), 10)
+                    AND substr(translated, pos + 1, 10) = substr(protein_seq, pos + 1, 10)
+                    AND (instr(translated, '*') = 0
+                         OR instr(translated, '*') > pos + 10
+                         OR instr(translated, '*') = length(translated))) IS TRUE AS flank_ok
+            FROM c2 LEFT JOIN ps ON c2.protein_acc_id = ps.protein_acc_id
         """,
     }
 

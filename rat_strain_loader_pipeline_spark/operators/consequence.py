@@ -239,6 +239,7 @@ def variant_transcript_consequences(
     fasta_broadcast,
     map_key: int,
     verify_against: DataFrame | None = None,
+    repartition_to: int | None = None,
 ) -> DataFrame:
     """The full post-processing dataflow (SURVEY.md §3.3 Spark shape):
 
@@ -249,6 +250,10 @@ def variant_transcript_consequences(
 
     ``variants``: rgd_id, chromosome, start_pos, end_pos, ref_nuc, var_nuc.
     ``fasta_broadcast``: SparkContext.broadcast of {chr: seq}.
+    ``repartition_to``: spread the per-pair Python stage over N
+    partitions — set it when the variant side arrives on few partitions
+    (e.g. AQE-coalesced after a small aggregate); leave None when the
+    input already carries (map_key, chromosome)-sized partitioning.
     Returns VT rows incl. full_ref_aa / full_ref_nuc (sequence-key dedup
     X18 happens in pipelines.postprocess).
     """
@@ -305,6 +310,8 @@ def variant_transcript_consequences(
         )
     )
     joined = vgt.join(broadcast(feats), "transcript_rgd_id")
+    if repartition_to:
+        joined = joined.repartition(repartition_to)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         seqs = fasta_broadcast.value

@@ -26,10 +26,14 @@ from rat_strain_loader_pipeline_spark.operators.interval_join import (
 
 def _apply(df: DataFrame, col: str, recomputed) -> tuple[DataFrame, dict[str, int]]:
     out = df.withColumn("__new", recomputed)
-    changed = out.filter(
-        ~(F.col(col).eqNullSafe(F.col("__new")))
-    ).count()
-    total = out.count()
+    # ONE action for both counters (map-side partial agg, no shuffle of
+    # note); separate count()+count() would execute the upstream plan —
+    # possibly a whole pandas-UDF pipeline — twice.
+    row = out.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum((~F.col(col).eqNullSafe(F.col("__new"))).cast("long")).alias("changed"),
+    ).collect()[0]
+    total, changed = int(row["total"]), int(row["changed"] or 0)
     patched = out.withColumn(col, F.col("__new")).drop("__new")
     return patched, {"rows_total": total, "rows_fixed": changed, "rows_up_to_date": total - changed}
 
@@ -45,18 +49,25 @@ def frameshift_fixup(
     """X15 recompute from the RAW alleles (FrameShiftFixUp.java:55-69) —
     corrects the post-processing truncation quirk. Only rows that carry
     AA annotation (ref_aa set) get a frameshift value."""
+    # FrameShiftFixUp.java:56-64: '-'-marked (or NULL) alleles mean the
+    # OTHER side's full length shifts the frame; else abs length diff.
+    rl = F.coalesce(F.length("ref_nuc"), F.lit(0))
+    vl = F.coalesce(F.length("var_nuc"), F.lit(0))
+    len_diff = (
+        F.when(F.col("var_nuc").isNull() | F.col("var_nuc").contains("-"), rl)
+        .when(F.col("ref_nuc").isNull() | F.col("ref_nuc").contains("-"), vl)
+        .otherwise(F.abs(rl - vl))
+    )
     v = variant.select(
-        F.col("rgd_id").alias("variant_rgd_id"),
-        F.coalesce(F.length("ref_nuc"), F.lit(0)).alias("__rl"),
-        F.coalesce(F.length("var_nuc"), F.lit(0)).alias("__vl"),
+        F.col("rgd_id").alias("variant_rgd_id"), len_diff.alias("__ld")
     )
     joined = variant_transcript.join(F.broadcast(v), "variant_rgd_id", "left")
     recomputed = F.when(
         F.col("ref_aa").isNotNull(),
-        F.when((F.abs(F.col("__rl") - F.col("__vl")) % 3) != 0, "T").otherwise("F"),
+        F.when((F.col("__ld") % 3) != 0, "T").otherwise("F"),
     ).otherwise(F.col("frameshift"))
     out, counters = _apply(joined, "frameshift", recomputed)
-    return out.drop("__rl", "__vl"), counters
+    return out.drop("__ld"), counters
 
 
 def genic_status_fixup(
