@@ -1142,6 +1142,423 @@ def q_flank_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("protein_acc_id", "variant_rgd_id", "pos", "flank_ok")
 
 
+# --------------------------------------------------------------------------
+# Converter / side-loader / fixup family (batch 2 coverage)
+# --------------------------------------------------------------------------
+
+def q_vcf_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL VCF→CF2 converter pipeline (SURVEY.md §3.1) on a
+    synthesized long-form VCF: F3 chromosome normalize, F5 genotype
+    presence filter, S4 FORMAT introspection (incl. CLCAD2 alias), F8
+    AD/DP presence filter, A9 read-count-by-allele, F7 same-as-ref skip,
+    X2 indel padding adjustment, X20 RGDID/HGVS parse, J9 rsId backfill
+    from a broadcast db_snp dimension."""
+    from rat_strain_loader_pipeline_spark.pipelines.convert import vcf_to_cf2
+    from rat_strain_loader_pipeline_spark.sources.vcf import normalize_chromosome
+
+    li = _t(spark, sf_dir, "lineitem")
+    k = F.col("l_orderkey").cast("long")
+    ln = F.col("l_linenumber").cast("int")
+    pk = F.col("l_partkey").cast("long")
+    sk = F.col("l_suppkey").cast("long")
+
+    raw_chrom = (
+        F.when(k % 4 == 0, "chr1").when(k % 4 == 1, "2")
+        .when(k % 4 == 2, "chrM").otherwise("Un")
+    )
+    idc = (
+        F.when(ln % 4 == 0, F.concat(F.lit("rs"), k.cast("string")))
+        .when(ln % 4 == 1,
+              F.concat(F.lit("RGDID:"), k.cast("string"), F.lit(";NM_"),
+                       pk.cast("string"), F.lit(":c.1A>T")))
+        .otherwise(F.lit("."))
+    )
+    base = F.substring(F.lit("ACGT"), (pk % 4 + 1).cast("int"), 1)
+    altsnv = F.substring(F.lit("TGCA"), (pk % 4 + 1).cast("int"), 1)
+    shape = ln % 3  # 0 snv, 1 ins (base→base+T), 2 del (base+A→base)
+    ref = F.when(shape == 2, F.concat(base, F.lit("A"))).otherwise(base)
+    alt = F.when(shape == 0, altsnv).when(shape == 1, F.concat(base, F.lit("T"))).otherwise(base)
+    gt = (
+        F.when(k % 5 == 0, "./.").when(k % 5 == 1, "0/0")
+        .when(k % 5 == 3, "1/1").otherwise("0/1")
+    )
+    a = (pk % 20).cast("string")
+    b = (sk % 20 + 1).cast("string")
+    dp = (pk % 20 + sk % 20 + 1 + k % 5).cast("string")
+    ad = F.concat(a, F.lit(","), b)
+    fmt = (
+        F.when(sk % 3 == 0, "GT:AD:DP").when(sk % 3 == 1, "GT:DP:CLCAD2")
+        .otherwise("GT:DP")
+    )
+    gt_data = (
+        F.when(sk % 3 == 0, F.concat_ws(":", gt, ad, dp))
+        .when(sk % 3 == 1, F.concat_ws(":", gt, dp, ad))
+        .otherwise(F.concat_ws(":", gt, dp))
+    )
+    vcf_long = li.select(
+        normalize_chromosome(raw_chrom).alias("chrom"),
+        k.alias("pos"),
+        idc.alias("id"),
+        ref.alias("ref"),
+        alt.alias("alt"),
+        fmt.alias("format"),
+        F.concat(F.lit("S"), (ln % 2).cast("string")).alias("strain"),
+        gt_data.alias("gt_data"),
+    ).filter(F.col("chrom").isNotNull())
+
+    part = _t(spark, sf_dir, "part")
+    db_snp = part.select(
+        F.col("p_partkey").cast("long").alias("position"),
+        F.when(F.col("p_partkey") % 3 == 0, "1")
+        .when(F.col("p_partkey") % 3 == 1, "2").otherwise("MT").alias("chromosome"),
+        F.concat(F.lit("rsdb"), F.col("p_partkey").cast("string")).alias("snp_name"),
+    )
+    cf2 = vcf_to_cf2(spark, db_snp=db_snp, vcf_long=vcf_long)
+    return cf2.select(
+        "chr", "position", "ref_nuc", "var_nuc", "rs_id",
+        "count_a", "count_c", "count_g", "count_t", "total_depth",
+        "hgvs_name", "rgd_id", "allele_depth", "allele_count",
+        "read_depth", "padding_base", "strain",
+    )
+
+
+def q_snpeff_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10/X21 SnpEff ANN parse + J11 variant-store match through
+    load_snpeff: explode `ANN=` payloads (empty fields → NULL), equi-join
+    the store on (chr, pos) then ref/var equality."""
+    from rat_strain_loader_pipeline_spark.pipelines.sideloaders import load_snpeff
+
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey").cast("long")
+    alt = F.substring(F.lit("CGTA"), (k % 4 + 1).cast("int"), 1)
+    ann1 = F.concat(
+        alt, F.lit("|missense_variant|MODERATE|G"), (k % 10).cast("string"),
+        F.lit("|ENSG"), (k % 10).cast("string"), F.lit("|transcript|T"),
+        (k % 7).cast("string"),
+        F.lit("|protein_coding|1/3|c.1A>T|p.K1N|100|200|300||"),
+    )
+    ann2 = F.concat(
+        alt, F.lit("|intron_variant|LOW|G"), (k % 10).cast("string"),
+        F.lit("|ENSG"), (k % 10).cast("string"), F.lit("|transcript|U"),
+        (k % 7).cast("string"), F.lit("|protein_coding||||||||"),
+    )
+    info = F.concat(
+        F.lit("DP="), (k % 50).cast("string"), F.lit(";ANN="),
+        F.when(k % 3 == 0, F.concat(ann1, F.lit(","), ann2)).otherwise(ann1),
+    )
+    vcf8 = o.select(
+        F.lit("1").alias("chrom"), k.alias("pos"), F.lit("A").alias("ref"),
+        alt.alias("alt"), info.alias("info"),
+    )
+    store = o.filter(k % 2 == 0).select(
+        k.alias("rgd_id"), F.lit(9).alias("sample_id"),
+        F.lit("1").alias("chromosome"), k.alias("start_pos"),
+        F.lit("A").alias("ref_nuc"), alt.alias("var_nuc"),
+    )
+    out = load_snpeff(spark, None, store, 9, vcf8=vcf8)
+    return out.select(
+        "variant_rgd_id", "sample_id", "allele", "annotation", "impact",
+        "gene_name", "gene_id", "feature_id", "rank_", "hgvs_c", "hgvs_p",
+        "cdna_pos", "distance_to_feature", "errors",
+    )
+
+
+def q_strand_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J14 strand lookup: range join maps_data rows containing the
+    variant position, concat DISTINCT strands (Polyphen.java:387-410)."""
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    probes = o.select(
+        F.col("o_orderkey").cast("long").alias("rgd_id"),
+        (F.col("o_orderkey") % 20000).cast("long").alias("pos"),
+    )
+    md = s.select(
+        ((F.col("s_suppkey") * 137) % 20000).cast("long").alias("m_start"),
+        ((F.col("s_suppkey") * 137) % 20000 + 500).cast("long").alias("m_stop"),
+        F.when(F.col("s_suppkey") % 2 == 0, "+").otherwise("-").alias("strand"),
+    )
+    hits = probes.join(
+        F.broadcast(md),
+        (probes["pos"] >= md["m_start"]) & (probes["pos"] <= md["m_stop"]),
+        "left",
+    )
+    return hits.groupBy("rgd_id", "pos").agg(
+        F.concat_ws(
+            "", F.sort_array(F.collect_set("strand"))
+        ).alias("strands")
+    )
+
+
+def q_iupac_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X19 IUPAC ambiguity-code expansion → exploded nucleotides."""
+    from rat_strain_loader_pipeline_spark.pipelines.sideloaders import expand_iupac
+
+    p = _t(spark, sf_dir, "part")
+    code = F.substring(F.lit("RYSWKMBDHVN"), (F.col("p_partkey") % 11 + 1).cast("int"), 1)
+    src = p.select(F.col("p_partkey").cast("long").alias("pkey"), code.alias("code"))
+    return src.select(
+        "pkey", "code", F.explode(expand_iupac(F.col("code"))).alias("nuc")
+    )
+
+
+def q_txt2vcf_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X24 genotype→allele-depth synthesis (Txt2Vcf.java:159-208): 'N' →
+    './.' 0,0; 'H' → homozygote first-alt depth 9; literal base → 0/i
+    with ref depth 9 + matching allele depth 9."""
+    from rat_strain_loader_pipeline_spark.pipelines.sideloaders import txt2vcf_genotypes
+
+    li = _t(spark, sf_dir, "lineitem")
+    pk = F.col("l_partkey").cast("long")
+    ln = F.col("l_linenumber").cast("int")
+    alleles = F.when(pk % 2 == 0, F.array(F.lit("A"), F.lit("C"), F.lit("G"))).otherwise(
+        F.array(F.lit("T"), F.lit("G"), F.lit("A"))
+    )
+    genotype = (
+        F.when(ln % 4 == 0, "N").when(ln % 4 == 1, "H")
+        .when(ln % 4 == 2, F.element_at(alleles, 2))
+        .otherwise(F.element_at(alleles, 1))
+    )
+    src = li.select(
+        F.col("l_orderkey").cast("long").alias("okey"),
+        ln.alias("lnum"), pk.alias("pkmod"),
+        genotype.alias("genotype"), alleles.alias("alleles"),
+    )
+    cols = txt2vcf_genotypes(F.col("genotype"), F.col("alleles"))
+    return src.select(
+        "okey", "lnum", "genotype", cols["gt"].alias("gt"), cols["ad"].alias("ad")
+    )
+
+
+def q_num_alleles_fixup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7/W4 num-alleles recompute (NumAllelesFixUp.java:52-99): count of
+    variants at the same (sample, chr, position) window, +1 when the
+    reference allele was seen."""
+    from rat_strain_loader_pipeline_spark.pipelines.fixups import num_alleles_fixup
+
+    li = _t(spark, sf_dir, "lineitem")
+    k = F.col("l_orderkey").cast("long")
+    ln = F.col("l_linenumber").cast("int")
+    rgd = (k * 10 + ln).alias("rgd_id")
+    # every column must be a function of the dedup key (duplicate
+    # (l_orderkey, l_linenumber) pairs exist with different partkeys)
+    vsd = li.select(
+        rgd,
+        (ln % 2).cast("int").alias("sample_id"),
+        F.when((k + ln) % 3 == 0, "Y").otherwise("N").alias("zygosity_ref_allele"),
+        (ln % 4).cast("int").alias("zygosity_num_allele"),
+    ).dropDuplicates(["rgd_id", "sample_id"])
+    vmd = li.select(
+        rgd, F.lit("1").alias("chromosome"), (k % 1000).cast("long").alias("start_pos")
+    ).dropDuplicates(["rgd_id"])
+    out, _counters = num_alleles_fixup(vsd, vmd)
+    return out.select("rgd_id", "sample_id", "zygosity_ref_allele", "zygosity_num_allele")
+
+
+def q_polyphen_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10 candidate predicate + J8 5-way export join + K6 input-line
+    format (Polyphen.java:106-165): nonsynonymous exonic candidates with
+    single-ACGT alleles and both AAs present."""
+    from rat_strain_loader_pipeline_spark.pipelines.polyphen import (
+        polyphen_candidates,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    k = F.col("o_orderkey").cast("long")
+    sk = F.col("s_suppkey").cast("long")
+
+    variant = o.select(
+        k.alias("rgd_id"),
+        F.substring(F.lit("ACGTN"), (k % 5 + 1).cast("int"), 1).alias("ref_nuc"),
+        F.substring(F.lit("TGCAN"), (k % 7 % 5 + 1).cast("int"), 1).alias("var_nuc"),
+    )
+    vmd = o.select(
+        k.alias("rgd_id"),
+        F.when(k % 9 == 0, 370).otherwise(360).cast("int").alias("map_key"),
+        F.when(k % 2 == 0, "1").otherwise("2").alias("chromosome"),
+    )
+    ref_aa = F.substring(F.lit(_AA20), (k % 17 + 1).cast("int"), 1)
+    var_aa = (
+        F.when(k % 13 == 0, F.lit("*"))
+        .when(k % 13 == 1, F.lit(None).cast("string"))
+        .when(k % 13 == 2, ref_aa)
+        .otherwise(F.substring(F.lit(_AA20), (k % 19 + 2).cast("int"), 1))
+    )
+    vt = o.select(
+        k.alias("variant_rgd_id"),
+        (k % 50 + 1).cast("int").alias("transcript_rgd_id"),
+        ref_aa.alias("ref_aa"),
+        var_aa.alias("var_aa"),
+        (k % 300 + 1).cast("int").alias("full_ref_aa_pos"),
+        F.lit(360).cast("int").alias("map_key"),
+    )
+    transcripts = s.filter(sk <= 50).select(
+        sk.cast("int").alias("transcript_rgd_id"),
+        (sk % 20 + 1).cast("long").alias("gene_rgd_id"),
+        F.concat(F.lit("NP_"), sk.cast("string")).alias("protein_acc_id"),
+    )
+    genes = s.filter(sk <= 20).select(
+        sk.cast("long").alias("gene_rgd_id"),
+        F.when(sk % 2 == 0, "+").otherwise("-").alias("strand"),
+    )
+    cand = polyphen_candidates(variant, vmd, vt, transcripts, genes)
+    return cand.select(
+        "variant_rgd_id", "transcript_rgd_id", "protein_acc_id", "pos",
+        "ref_aa", "var_aa", "strand", "gene_rgd_id", "chromosome",
+        F.concat_ws(
+            " ", "protein_acc_id", F.col("pos").cast("string"), "ref_aa", "var_aa"
+        ).alias("line"),
+    )
+
+
+def q_clinvar_vcf_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J16 position join (reject multi-position rgd_ids and chr Y) + W3
+    output sort + K5 hand-built VCF data lines
+    (ClinVar2Vcf.java:148-202,420-444)."""
+    from rat_strain_loader_pipeline_spark.pipelines.sideloaders import vcf_output_lines
+
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey").cast("long")
+    positions = o.select(
+        k.alias("rgd_id"),
+        F.when(k % 13 == 0, "Y").when(k % 2 == 0, "1").otherwise("2").alias("chrom"),
+        (k % 100000).cast("long").alias("pos"),
+    )
+    dup = o.filter(k % 7 == 0).select(
+        k.alias("rgd_id"), F.lit("3").alias("chrom"), (k % 100000 + 5).cast("long").alias("pos")
+    )
+    md = positions.unionByName(dup)
+    w = Window.partitionBy("rgd_id")
+    single = (
+        md.withColumn("__n", F.count(F.lit(1)).over(w))
+        .filter((F.col("__n") == 1) & (F.col("chrom") != "Y"))
+        .drop("__n")
+    )
+    vcf = single.select(
+        "chrom", "pos",
+        F.concat(F.lit("CV"), F.col("rgd_id").cast("string")).alias("id"),
+        F.substring(F.lit("ACGT"), (F.col("rgd_id") % 4 + 1).cast("int"), 1).alias("ref"),
+        F.substring(F.lit("TGCA"), (F.col("rgd_id") % 4 + 1).cast("int"), 1).alias("alt"),
+        F.lit(None).cast("string").alias("qual"),
+        F.lit(None).cast("string").alias("filter"),
+        F.concat(F.lit("RGD="), F.col("rgd_id").cast("string")).alias("info"),
+    )
+    return vcf_output_lines(vcf)
+
+
+def q_clinvar_id_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J15 clinvar_id backfill: variants ⋈ genomic_elements (CLINVAR
+    source only), symbol overwritten on match
+    (VariantProcessingBase.java:346-384; no 999-id chunking needed)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("o_orderkey").cast("long")
+    variants = o.select(
+        k.alias("rgd_id"),
+        F.concat(F.lit("old_"), (k % 5).cast("string")).alias("symbol"),
+    )
+    ge = c.select(
+        F.col("c_custkey").cast("long").alias("rgd_id"),
+        F.when(F.col("c_custkey") % 3 == 0, "CLINVAR").otherwise("OTHER").alias("source"),
+        F.concat(F.lit("CV"), F.col("c_custkey").cast("string")).alias("ge_symbol"),
+    ).filter(F.col("source") == "CLINVAR")
+    out = variants.join(F.broadcast(ge), "rgd_id", "left")
+    return out.select(
+        "rgd_id",
+        F.coalesce(F.col("ge_symbol"), F.col("symbol")).alias("symbol"),
+        F.when(F.col("ge_symbol").isNotNull(), "Y").otherwise("N").alias("backfilled"),
+    )
+
+
+def q_dbsnp_allele_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J10 dbSNP allele match + W7 first-only: rsId assigned when the
+    first char of a db_snp allele at the position matches the variant
+    (AbstractVariantDataMapper.java:138-163)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    k = F.col("l_orderkey").cast("long")
+    probes = li.select(
+        k.alias("pos"),
+        F.substring(F.lit("ACGT"), (F.col("l_partkey") % 4 + 1).cast("int"), 1).alias("var"),
+    ).dropDuplicates(["pos", "var"])
+    pk = F.col("p_partkey").cast("long")
+    snp = p.select(
+        pk.alias("s_pos"),
+        F.substring(F.lit("AACGGTCT"), (pk % 8 + 1).cast("int"), 1).alias("allele"),
+        F.concat(F.lit("rs"), pk.cast("string"), F.lit("_"), (pk % 8).cast("string")).alias("snp_name"),
+    )
+    hits = probes.join(F.broadcast(snp), probes["pos"] == snp["s_pos"], "left").filter(
+        F.col("s_pos").isNull() | (F.substring(F.col("allele"), 1, 1) == F.col("var"))
+    )
+    return hits.groupBy("pos", "var").agg(F.min("snp_name").alias("rs_id"))
+
+
+def q_sample_metadata_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11 header-driven sample-metadata MERGE: every metadata column
+    overwrites the matching sample column on key match
+    (LoadSampleMetadata1000_3000.java:24-51)."""
+    from rat_strain_loader_pipeline_spark.pipelines.sideloaders import merge_sample_metadata
+
+    s = _t(spark, sf_dir, "supplier")
+    sk = F.col("s_suppkey").cast("long")
+    sample = s.select(
+        sk.alias("sample_id"),
+        F.when(sk % 2 == 0, "M").otherwise("F").alias("gender"),
+        F.lit(360).cast("int").alias("map_key"),
+        F.lit(None).cast("string").alias("analysis_name"),
+    )
+    metadata = s.filter(sk % 3 == 0).select(
+        sk.alias("sample_id"),
+        F.lit("U").alias("gender"),
+        F.concat(F.lit("run_"), sk.cast("string")).alias("analysis_name"),
+    )
+    out = merge_sample_metadata(sample, metadata)
+    return out.select("sample_id", "gender", "map_key", "analysis_name")
+
+
+def q_seq_key_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X18 sequence-key dedup: full_ref sequences stored once keyed by a
+    deterministic hash (VariantPostProcessing.java:786-846 replaces the
+    Oracle sequence with content addressing)."""
+    li = _t(spark, sf_dir, "lineitem")
+    dna = _synth_dna(["l_partkey", "l_suppkey", "l_orderkey", "l_linenumber"])
+    seqs = li.select(dna.alias("seq"))
+    return (
+        seqs.groupBy("seq")
+        .agg(F.count(F.lit(1)).alias("n_refs"))
+        .select(F.md5("seq").alias("seq_key"), "seq", "n_refs")
+    )
+
+
+def q_legacy_zygosity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X23 legacy zygosity percent (RatMcwVCF.java:136-141):
+    score = 100*varReads/readDepth, +0.5 before truncation when
+    0 < score < 99."""
+    li = _t(spark, sf_dir, "lineitem")
+    vr = (F.col("l_partkey") % 40).cast("double")
+    rd = (F.col("l_suppkey") % 50 + 10).cast("double")
+    score = F.lit(100.0) * vr / rd
+    adj = F.when((score > 0) & (score < 99), score + 0.5).otherwise(score)
+    return li.select(
+        F.col("l_orderkey").cast("long").alias("okey"),
+        F.col("l_linenumber").cast("int").alias("lnum"),
+        vr.cast("int").alias("var_reads"),
+        rd.cast("int").alias("read_depth"),
+        F.floor(adj).cast("int").alias("score"),
+    )
+
+
+def q_exon_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 exon count per transcript over the consequence feature model
+    (TranscriptCache.java:38-51)."""
+    _n, _fb, _genes, _tx, features = _conseq_model(spark, sf_dir, with_utrs=True)
+    return (
+        features.filter(F.col("object_name") == "EXONS")
+        .groupBy("transcript_rgd_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_exons"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -1185,6 +1602,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "consequence_indel_utr": q_consequence_indel_utr,
         "polyphen_roundtrip": q_polyphen_roundtrip,
         "flank_qc": q_flank_qc,
+        "vcf_convert": q_vcf_convert,
+        "snpeff_match": q_snpeff_match,
+        "strand_lookup": q_strand_lookup,
+        "iupac_expand": q_iupac_expand,
+        "txt2vcf_synth": q_txt2vcf_synth,
+        "num_alleles_fixup": q_num_alleles_fixup,
+        "polyphen_export": q_polyphen_export,
+        "clinvar_vcf_lines": q_clinvar_vcf_lines,
+        "clinvar_id_backfill": q_clinvar_id_backfill,
+        "dbsnp_allele_match": q_dbsnp_allele_match,
+        "sample_metadata_merge": q_sample_metadata_merge,
+        "seq_key_dedup": q_seq_key_dedup,
+        "legacy_zygosity": q_legacy_zygosity,
+        "exon_counts": q_exon_counts,
     }
 
 
@@ -1787,6 +2218,286 @@ def oracle_sql() -> dict[str, str]:
                          OR instr(translated, '*') > pos + 10
                          OR instr(translated, '*') = length(translated))) IS TRUE AS flank_ok
             FROM c2 LEFT JOIN ps ON c2.protein_acc_id = ps.protein_acc_id
+        """,
+        "vcf_convert": """
+            WITH src AS (
+              SELECT CAST(l_orderkey AS BIGINT) AS k, CAST(l_linenumber AS INT) AS ln,
+                     CAST(l_partkey AS BIGINT) AS pk, CAST(l_suppkey AS BIGINT) AS sk
+              FROM lineitem
+            ),
+            kept AS (
+              SELECT *,
+                CASE k%4 WHEN 0 THEN '1' WHEN 1 THEN '2' WHEN 2 THEN 'MT' END AS chrom,
+                substr('ACGT', CAST(pk%4 AS INT)+1, 1) AS base,
+                substr('TGCA', CAST(pk%4 AS INT)+1, 1) AS altsnv,
+                ln%3 AS shape,
+                pk%20 AS a, sk%20+1 AS b,
+                pk%20 + sk%20 + 1 + k%5 AS dp
+              FROM src
+              WHERE k%4 <> 3 AND k%5 >= 2 AND sk%3 <> 2
+            ),
+            adj AS (
+              SELECT *,
+                CASE WHEN shape = 0 THEN k ELSE k+1 END AS position,
+                CASE shape WHEN 0 THEN base WHEN 1 THEN NULL ELSE 'A' END AS ref_nuc,
+                CASE shape WHEN 0 THEN altsnv WHEN 1 THEN 'T' ELSE NULL END AS var_nuc,
+                CASE WHEN shape = 0 THEN NULL ELSE base END AS padding_base,
+                CASE shape WHEN 2 THEN base || 'A' ELSE base END AS ref,
+                CASE shape WHEN 0 THEN altsnv WHEN 1 THEN base || 'T' ELSE base END AS alt,
+                CASE WHEN ln%4 = 0 THEN 'rs' || CAST(k AS VARCHAR) END AS rs_id0,
+                CASE WHEN ln%4 = 1 THEN 'NM_' || CAST(pk AS VARCHAR) || ':c.1A>T' END AS hgvs_name,
+                CASE WHEN ln%4 = 1 THEN k END AS rgd_id
+              FROM kept
+            ),
+            counted AS (
+              SELECT *,
+                CASE WHEN ref='A' THEN a WHEN alt='A' THEN b ELSE 0 END AS count_a,
+                CASE WHEN ref='C' THEN a WHEN alt='C' THEN b ELSE 0 END AS count_c,
+                CASE WHEN ref='G' THEN a WHEN alt='G' THEN b ELSE 0 END AS count_g,
+                CASE WHEN ref='T' THEN a WHEN alt='T' THEN b ELSE 0 END AS count_t
+              FROM adj
+            ),
+            snp AS (
+              SELECT CAST(p_partkey AS BIGINT) AS s_pos,
+                     CASE p_partkey%3 WHEN 0 THEN '1' WHEN 1 THEN '2' ELSE 'MT' END AS s_chr,
+                     'rsdb' || CAST(p_partkey AS VARCHAR) AS s_name
+              FROM part
+            )
+            SELECT c.chrom AS chr, CAST(c.position AS BIGINT) AS position,
+                   c.ref_nuc, c.var_nuc,
+                   COALESCE(c.rs_id0, s.s_name) AS rs_id,
+                   CAST(count_a AS INT) AS count_a, CAST(count_c AS INT) AS count_c,
+                   CAST(count_g AS INT) AS count_g, CAST(count_t AS INT) AS count_t,
+                   CAST(dp AS INT) AS total_depth,
+                   hgvs_name, CAST(rgd_id AS BIGINT) AS rgd_id,
+                   CAST(b AS INT) AS allele_depth,
+                   CAST(1 AS INT) AS allele_count,
+                   CAST(a + b AS INT) AS read_depth,
+                   padding_base,
+                   'S' || CAST(ln%2 AS VARCHAR) AS strain
+            FROM counted c
+            LEFT JOIN snp s ON c.position = s.s_pos AND c.chrom = s.s_chr
+        """,
+        "snpeff_match": """
+            WITH base AS (
+              SELECT CAST(o_orderkey AS BIGINT) AS k,
+                     substr('CGTA', CAST(o_orderkey%4 AS INT)+1, 1) AS alt
+              FROM orders WHERE o_orderkey % 2 = 0
+            )
+            SELECT k AS variant_rgd_id, 9 AS sample_id, alt AS allele,
+                   'missense_variant' AS annotation, 'MODERATE' AS impact,
+                   'G'||CAST(k%10 AS VARCHAR) AS gene_name,
+                   'ENSG'||CAST(k%10 AS VARCHAR) AS gene_id,
+                   'T'||CAST(k%7 AS VARCHAR) AS feature_id,
+                   '1/3' AS rank_, 'c.1A>T' AS hgvs_c, 'p.K1N' AS hgvs_p,
+                   '100' AS cdna_pos, NULL AS distance_to_feature, NULL AS errors
+            FROM base
+            UNION ALL
+            SELECT k, 9, alt, 'intron_variant', 'LOW',
+                   'G'||CAST(k%10 AS VARCHAR), 'ENSG'||CAST(k%10 AS VARCHAR),
+                   'U'||CAST(k%7 AS VARCHAR),
+                   NULL, NULL, NULL, NULL, NULL, NULL
+            FROM base WHERE k % 3 = 0
+        """,
+        "strand_lookup": """
+            WITH probes AS (
+              SELECT CAST(o_orderkey AS BIGINT) AS rgd_id,
+                     CAST(o_orderkey % 20000 AS BIGINT) AS pos
+              FROM orders
+            ),
+            md AS (
+              SELECT CAST((s_suppkey*137)%20000 AS BIGINT) AS m_start,
+                     CAST((s_suppkey*137)%20000+500 AS BIGINT) AS m_stop,
+                     CASE WHEN s_suppkey%2=0 THEN '+' ELSE '-' END AS strand
+              FROM supplier
+            )
+            SELECT rgd_id, pos,
+                   COALESCE(string_agg(DISTINCT strand, '' ORDER BY strand), '') AS strands
+            FROM probes LEFT JOIN md ON pos >= m_start AND pos <= m_stop
+            GROUP BY rgd_id, pos
+        """,
+        "iupac_expand": """
+            WITH src AS (
+              SELECT CAST(p_partkey AS BIGINT) AS pkey,
+                     substr('RYSWKMBDHVN', CAST(p_partkey % 11 AS INT)+1, 1) AS code
+              FROM part
+            ),
+            exp AS (
+              SELECT *, CASE code
+                WHEN 'R' THEN 'A,G' WHEN 'Y' THEN 'C,T' WHEN 'S' THEN 'G,C'
+                WHEN 'W' THEN 'A,T' WHEN 'K' THEN 'G,T' WHEN 'M' THEN 'A,C'
+                WHEN 'B' THEN 'C,G,T' WHEN 'D' THEN 'A,G,T' WHEN 'H' THEN 'A,C,T'
+                WHEN 'V' THEN 'A,C,G' WHEN 'N' THEN 'A,C,G,T' END AS s
+              FROM src
+            )
+            SELECT pkey, code, unnest(str_split(s, ',')) AS nuc FROM exp
+        """,
+        "txt2vcf_synth": """
+            SELECT CAST(l_orderkey AS BIGINT) AS okey,
+                   CAST(l_linenumber AS INT) AS lnum,
+                   CASE WHEN l_linenumber%4=0 THEN 'N'
+                        WHEN l_linenumber%4=1 THEN 'H'
+                        WHEN l_linenumber%4=2 THEN (CASE WHEN l_partkey%2=0 THEN 'C' ELSE 'G' END)
+                        ELSE (CASE WHEN l_partkey%2=0 THEN 'A' ELSE 'T' END) END AS genotype,
+                   CASE WHEN l_linenumber%4=0 THEN './.'
+                        WHEN l_linenumber%4=1 THEN '1/1'
+                        WHEN l_linenumber%4=2 THEN '0/1' ELSE '0/0' END AS gt,
+                   CASE WHEN l_linenumber%4=0 THEN '0,0'
+                        WHEN l_linenumber%4=1 THEN '0,9,0'
+                        WHEN l_linenumber%4=2 THEN '9,9,0' ELSE '9,0,0' END AS ad
+            FROM lineitem
+        """,
+        "num_alleles_fixup": """
+            WITH vsd AS (
+              SELECT DISTINCT CAST(l_orderkey AS BIGINT)*10 + l_linenumber AS rgd_id,
+                     CAST(l_linenumber % 2 AS INT) AS sample_id
+              FROM lineitem
+            ),
+            enriched AS (
+              SELECT rgd_id, sample_id,
+                     CASE WHEN (rgd_id//10 + rgd_id%10) % 3 = 0 THEN 'Y' ELSE 'N' END
+                       AS zygosity_ref_allele,
+                     (rgd_id//10) % 1000 AS start_pos
+              FROM vsd
+            )
+            SELECT rgd_id, sample_id, zygosity_ref_allele,
+                   CAST(count(*) OVER w
+                        + max(CASE WHEN zygosity_ref_allele='Y' THEN 1 ELSE 0 END) OVER w
+                     AS INT) AS zygosity_num_allele
+            FROM enriched
+            WINDOW w AS (PARTITION BY sample_id, start_pos)
+        """,
+        "polyphen_export": f"""
+            WITH d AS (
+              SELECT k,
+                substr('ACGTN', CAST(k%5 AS INT)+1,1) AS ref_nuc,
+                substr('TGCAN', CAST(k%7%5 AS INT)+1,1) AS var_nuc,
+                CASE WHEN k%9=0 THEN 370 ELSE 360 END AS map_key,
+                CASE WHEN k%2=0 THEN '1' ELSE '2' END AS chromosome,
+                substr('{_AA20}', CAST(k%17 AS INT)+1,1) AS ref_aa,
+                CASE WHEN k%13=0 THEN '*' WHEN k%13=1 THEN NULL
+                     WHEN k%13=2 THEN substr('{_AA20}', CAST(k%17 AS INT)+1,1)
+                     ELSE substr('{_AA20}', CAST(k%19 AS INT)+2,1) END AS var_aa,
+                CAST(k%50+1 AS INT) AS transcript_rgd_id,
+                CAST(k%300+1 AS INT) AS pos
+              FROM (SELECT CAST(o_orderkey AS BIGINT) AS k FROM orders)
+            ),
+            t AS (
+              SELECT CAST(s_suppkey AS INT) AS transcript_rgd_id,
+                     CAST(s_suppkey%20+1 AS BIGINT) AS gene_rgd_id,
+                     'NP_'||CAST(s_suppkey AS VARCHAR) AS protein_acc_id
+              FROM supplier WHERE s_suppkey <= 50
+            ),
+            g AS (
+              SELECT CAST(s_suppkey AS BIGINT) AS gene_rgd_id,
+                     CASE WHEN s_suppkey%2=0 THEN '+' ELSE '-' END AS strand
+              FROM supplier WHERE s_suppkey <= 20
+            )
+            SELECT d.k AS variant_rgd_id, d.transcript_rgd_id, t.protein_acc_id,
+                   d.pos, d.ref_aa, d.var_aa, g.strand, g.gene_rgd_id, d.chromosome,
+                   t.protein_acc_id||' '||CAST(d.pos AS VARCHAR)||' '||d.ref_aa
+                     ||' '||d.var_aa AS line
+            FROM d
+            JOIN t USING (transcript_rgd_id)
+            JOIN g USING (gene_rgd_id)
+            WHERE d.map_key = 360 AND d.ref_aa <> d.var_aa AND d.var_aa <> '*'
+              AND d.ref_nuc IN ('A','C','G','T') AND d.var_nuc IN ('A','C','G','T')
+              AND d.var_aa IS NOT NULL
+        """,
+        "clinvar_vcf_lines": """
+            WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS k FROM orders),
+            md AS (
+              SELECT k AS rgd_id,
+                     CASE WHEN k%13=0 THEN 'Y' WHEN k%2=0 THEN '1' ELSE '2' END AS chrom,
+                     k%100000 AS pos
+              FROM o
+              UNION ALL
+              SELECT k, '3', k%100000+5 FROM o WHERE k%7=0
+            ),
+            counted AS (SELECT *, count(*) OVER (PARTITION BY rgd_id) AS n FROM md)
+            SELECT chrom || chr(9) || CAST(pos AS VARCHAR)
+                   || chr(9) || 'CV'||CAST(rgd_id AS VARCHAR)
+                   || chr(9) || substr('ACGT', CAST(rgd_id%4 AS INT)+1,1)
+                   || chr(9) || substr('TGCA', CAST(rgd_id%4 AS INT)+1,1)
+                   || chr(9) || '.' || chr(9) || '.'
+                   || chr(9) || 'RGD='||CAST(rgd_id AS VARCHAR) AS line
+            FROM counted WHERE n = 1 AND chrom <> 'Y'
+        """,
+        "clinvar_id_backfill": """
+            WITH v AS (
+              SELECT CAST(o_orderkey AS BIGINT) AS rgd_id,
+                     'old_'||CAST(o_orderkey%5 AS VARCHAR) AS symbol
+              FROM orders
+            ),
+            ge AS (
+              SELECT CAST(c_custkey AS BIGINT) AS rgd_id,
+                     'CV'||CAST(c_custkey AS VARCHAR) AS ge_symbol
+              FROM customer WHERE c_custkey%3 = 0
+            )
+            SELECT v.rgd_id, COALESCE(ge_symbol, symbol) AS symbol,
+                   CASE WHEN ge_symbol IS NOT NULL THEN 'Y' ELSE 'N' END AS backfilled
+            FROM v LEFT JOIN ge ON v.rgd_id = ge.rgd_id
+        """,
+        "dbsnp_allele_match": """
+            WITH probes AS (
+              SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS pos,
+                     substr('ACGT', CAST(l_partkey%4 AS INT)+1,1) AS var
+              FROM lineitem
+            ),
+            snp AS (
+              SELECT CAST(p_partkey AS BIGINT) AS s_pos,
+                     substr('AACGGTCT', CAST(p_partkey%8 AS INT)+1,1) AS allele,
+                     'rs'||CAST(p_partkey AS VARCHAR)||'_'
+                       ||CAST(p_partkey%8 AS VARCHAR) AS snp_name
+              FROM part
+            ),
+            j AS (
+              SELECT p.pos, p.var, s.s_pos, s.allele, s.snp_name
+              FROM probes p LEFT JOIN snp s ON p.pos = s.s_pos
+            )
+            SELECT pos, var, min(snp_name) AS rs_id
+            FROM j WHERE s_pos IS NULL OR substr(allele,1,1) = var
+            GROUP BY pos, var
+        """,
+        "sample_metadata_merge": """
+            WITH s AS (
+              SELECT CAST(s_suppkey AS BIGINT) AS sample_id,
+                     CASE WHEN s_suppkey%2=0 THEN 'M' ELSE 'F' END AS gender
+              FROM supplier
+            ),
+            m AS (
+              SELECT CAST(s_suppkey AS BIGINT) AS sample_id, 'U' AS gender,
+                     'run_'||CAST(s_suppkey AS VARCHAR) AS analysis_name
+              FROM supplier WHERE s_suppkey%3=0
+            )
+            SELECT s.sample_id,
+                   COALESCE(m.gender, s.gender) AS gender,
+                   CAST(360 AS INT) AS map_key,
+                   m.analysis_name AS analysis_name
+            FROM s LEFT JOIN m USING (sample_id)
+        """,
+        "seq_key_dedup": f"""
+            WITH seqs AS (SELECT {_SYNTH_DNA_SQL} AS seq FROM lineitem)
+            SELECT md5(seq) AS seq_key, seq, count(*) AS n_refs
+            FROM seqs GROUP BY seq
+        """,
+        "legacy_zygosity": """
+            WITH src AS (
+              SELECT CAST(l_orderkey AS BIGINT) AS okey,
+                     CAST(l_linenumber AS INT) AS lnum,
+                     CAST(l_partkey%40 AS DOUBLE) AS vr,
+                     CAST(l_suppkey%50+10 AS DOUBLE) AS rd
+              FROM lineitem
+            )
+            SELECT okey, lnum, CAST(vr AS INT) AS var_reads, CAST(rd AS INT) AS read_depth,
+                   CAST(floor(CASE WHEN 100.0*vr/rd > 0 AND 100.0*vr/rd < 99
+                                   THEN 100.0*vr/rd+0.5 ELSE 100.0*vr/rd END) AS INT) AS score
+            FROM src
+        """,
+        "exon_counts": """
+            SELECT CAST(s_suppkey AS INT) AS transcript_rgd_id,
+                   CAST(2 AS BIGINT) AS n_exons
+            FROM supplier
         """,
     }
 

@@ -43,16 +43,22 @@ def _read_count_for(allele: Column, alleles: Column, counts: Column) -> Column:
 
 def vcf_to_cf2(
     spark: SparkSession,
-    path: str,
+    path: str | None = None,
     db_snp: DataFrame | None = None,
     map_key: int | None = None,
     accession_map: dict[str, str] | None = None,
     process_variants_same_as_ref: bool = False,
     process_missing_addp: bool = False,
+    vcf_long: DataFrame | None = None,
 ) -> DataFrame:
     """Returns long-form CF2 rows + ``strain`` column (write with
-    sources.cf2.write_cf2(partition_by_strain=True) for K4 parity)."""
-    vcf = read_vcf_long(spark, path, accession_map)
+    sources.cf2.write_cf2(partition_by_strain=True) for K4 parity).
+
+    ``vcf_long`` bypasses the file scan with an already-melted DataFrame
+    carrying (chrom, pos, id, ref, alt, format, strain, gt_data) —
+    chromosomes are assumed normalized (apply
+    sources.vcf.normalize_chromosome upstream when needed)."""
+    vcf = vcf_long if vcf_long is not None else read_vcf_long(spark, path, accession_map)
 
     # multi-ALT lines skipped by this converter (:183-184)
     vcf = vcf.filter(~F.col("alt").contains(","))

@@ -107,13 +107,17 @@ def vcf8_to_cf2(
 
 def load_snpeff(
     spark: SparkSession,
-    path: str,
+    path: str | None,
     variant_store: DataFrame,
     sample_id: int,
+    vcf8: DataFrame | None = None,
 ) -> DataFrame:
     """SnpEff ANN VCF → snp_eff rows (J11 join): match the variant store on
-    (sample, chr, pos) then ref/var equality; explode ANN annotations."""
-    vcf = read_vcf_8col(spark, path)
+    (sample, chr, pos) then ref/var equality; explode ANN annotations.
+
+    ``vcf8`` bypasses the file scan with a pre-read 8-col DataFrame
+    carrying (chrom, pos, ref, alt, info)."""
+    vcf = vcf8 if vcf8 is not None else read_vcf_8col(spark, path)
     ann = vcf.select(
         "chrom", "pos", "ref", "alt", parse_snpeff_ann(F.col("info")).alias("anns")
     ).filter(F.size("anns") > 0)
