@@ -890,11 +890,24 @@ def _synth_genome(n_genes: int) -> dict[str, str]:
     return seqs
 
 
-def _conseq_model(spark: SparkSession, sf_dir: str, with_utrs: bool = False):
+# (applicationId, n_genes) -> broadcast; one synthesis per bench process,
+# shared by every query that builds the consequence model.
+_GENOME_BCAST_CACHE: dict[tuple[str, int], object] = {}
+
+
+def _conseq_model(
+    spark: SparkSession, sf_dir: str, with_utrs: bool = False, with_genome: bool = True
+):
     """(n_genes, fasta_broadcast, genes, transcripts, features)."""
     sup = _t(spark, sf_dir, "supplier")
     n_genes = int(sup.agg(F.max("s_suppkey")).collect()[0][0])
-    fb = spark.sparkContext.broadcast(_synth_genome(n_genes))
+    fb = None
+    if with_genome:
+        key = (spark.sparkContext.applicationId, n_genes)
+        fb = _GENOME_BCAST_CACHE.get(key)
+        if fb is None:
+            fb = spark.sparkContext.broadcast(_synth_genome(n_genes))
+            _GENOME_BCAST_CACHE[key] = fb
 
     k = F.col("s_suppkey").cast("long")
     chrom = ((k % 2) + 1).cast("string")
@@ -1551,11 +1564,181 @@ def q_legacy_zygosity(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_exon_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 exon count per transcript over the consequence feature model
     (TranscriptCache.java:38-51)."""
-    _n, _fb, _genes, _tx, features = _conseq_model(spark, sf_dir, with_utrs=True)
+    _n, _fb, _genes, _tx, features = _conseq_model(
+        spark, sf_dir, with_utrs=True, with_genome=False
+    )
     return (
         features.filter(F.col("object_name") == "EXONS")
         .groupBy("transcript_rgd_id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_exons"))
+    )
+
+
+def q_variant_type_fixup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 variant-type recompute (VariantTypeFixUp.java:47-63): '-' or
+    NULL allele and length differences drive ins/del; equal singles are
+    snv. Run through the engine's idempotent fixup recompute."""
+    from rat_strain_loader_pipeline_spark.pipelines.fixups import variant_type_fixup
+
+    li = _t(spark, sf_dir, "lineitem")
+    k = F.col("l_orderkey").cast("long")
+    ln = F.col("l_linenumber").cast("int")
+    ref = (
+        F.when((k + ln) % 5 == 0, F.lit(None).cast("string"))
+        .when((k + ln) % 5 == 1, F.lit("-"))
+        .when((k + ln) % 5 == 2, F.lit("A"))
+        .when((k + ln) % 5 == 3, F.lit("AC"))
+        .otherwise(F.lit("ACG"))
+    )
+    var = (
+        F.when((k + 2 * ln) % 7 == 0, F.lit(None).cast("string"))
+        .when((k + 2 * ln) % 7 == 1, F.lit("-"))
+        .when((k + 2 * ln) % 7 == 2, F.lit(""))
+        .when((k + 2 * ln) % 7 == 3, F.lit("T"))
+        .when((k + 2 * ln) % 7 == 4, F.lit("TG"))
+        .otherwise(F.lit("TGA"))
+    )
+    variant = li.select(
+        (k * 10 + ln).alias("rgd_id"),
+        ref.alias("ref_nuc"),
+        var.alias("var_nuc"),
+        F.lit("snv").alias("variant_type"),  # stale value to be recomputed
+    ).dropDuplicates(["rgd_id"])
+    out, _counters = variant_type_fixup(variant)
+    return out.select("rgd_id", "ref_nuc", "var_nuc", "variant_type")
+
+
+def q_genic_status_fixup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6/J1 genic-status recompute (GenicStatusFixUp.java:103-109):
+    GENIC iff the variant span overlaps any ACTIVE gene interval —
+    binned broadcast interval join, whole-stage-codegen resident."""
+    from rat_strain_loader_pipeline_spark.pipelines.fixups import genic_status_fixup
+
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    k = F.col("l_orderkey").cast("long")
+    ln = F.col("l_linenumber").cast("int")
+    start = (k * 7 + ln * 13) % 100000
+    vmd = li.select(
+        (k * 10 + ln).alias("rgd_id"),
+        ((k % 2) + 1).cast("string").alias("chromosome"),
+        start.cast("long").alias("start_pos"),
+        (start + (ln % 3) + 1).cast("long").alias("end_pos"),
+        F.lit("INTERGENIC").alias("genic_status"),  # stale
+    ).dropDuplicates(["rgd_id"])
+    sk = F.col("s_suppkey").cast("long")
+    gstart = (sk * 977) % 100000
+    genes = sup.select(
+        ((sk % 2) + 1).cast("string").alias("chromosome"),
+        gstart.cast("long").alias("start_pos"),
+        (gstart + 150).cast("long").alias("stop_pos"),
+        F.when(sk % 5 == 0, "RETIRED").otherwise("ACTIVE").alias("object_status"),
+    )
+    out, _counters = genic_status_fixup(vmd, genes)
+    return out.select("rgd_id", "chromosome", "start_pos", "end_pos", "genic_status")
+
+
+def q_zygosity_poss_error_fixup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Possible-error recompute from percent-read, threshold 15
+    (ZygosityPercReadFixUp.java:130-138)."""
+    from rat_strain_loader_pipeline_spark.pipelines.fixups import (
+        zygosity_poss_error_fixup,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    k = F.col("l_orderkey").cast("long")
+    ln = F.col("l_linenumber").cast("int")
+    pct = F.when((k + ln) % 9 == 0, F.lit(None).cast("int")).otherwise(
+        ((k * 3 + ln) % 101).cast("int")
+    )
+    vsd = li.select(
+        (k * 10 + ln).alias("rgd_id"),
+        pct.alias("zygosity_percent_read"),
+        F.lit("N").alias("zygosity_poss_error"),  # stale
+    ).dropDuplicates(["rgd_id"])
+    out, _counters = zygosity_poss_error_fixup(vsd)
+    return out.select("rgd_id", "zygosity_percent_read", "zygosity_poss_error")
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact baseline): broadcast
+    unit-matrix + per-partition numpy block-matmul — no pairwise
+    shuffle; the LSH-bucketed variant is the recall-traded scale path."""
+    from rat_strain_loader_pipeline_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, threshold=0.35)
+
+
+# --------------------------------------------------------------------------
+# Multimodal plumbing (binary media columns + metadata-only planning)
+# --------------------------------------------------------------------------
+
+def _synth_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → media rows: payload = utf-8 bytes of the text, typed
+    metadata derived deterministically. Metadata-only consumers never
+    read the payload pages (parquet column pruning)."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("long")
+    mime = (
+        F.when(d % 3 == 0, "image/png")
+        .when(d % 3 == 1, "audio/wav")
+        .otherwise(F.lit("video/mp4"))
+    )
+    return docs.select(
+        d.alias("media_id"),
+        mime.alias("mime"),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+        ((F.col("n_chars") % 900) + 64).cast("int").alias("width"),
+        ((d % 700) + 48).cast("int").alias("height"),
+        (F.col("n_chars").cast("int")).alias("duration_ms"),
+        F.lit(16000).cast("int").alias("sample_rate"),
+    )
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode/feature-extract plumbing: Arrow-batched
+    mapInPandas over binary content with the deterministic content-hash
+    fake decoder (real codecs are not in this container — the Spark-side
+    schema/batching/poison-pill isolation is the product). Output is the
+    exploded feature vector in exact milli units so the DuckDB oracle
+    can rebuild it from sha256 hex arithmetic."""
+    from rat_strain_loader_pipeline_spark.operators.multimodal import extract_features
+
+    media = _synth_media(spark, sf_dir)
+    feats = extract_features(media, deterministic_fake=True, dim=16)
+    return feats.select(
+        "media_id",
+        "mime",
+        F.posexplode("feature").alias("dim_idx", "val"),
+    ).select(
+        "media_id",
+        "mime",
+        "dim_idx",
+        F.round(F.col("val") * 1000).cast("int").alias("val_milli"),
+    )
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan (metadata-only explode): (media_id,
+    frame_ts_ms) pairs every 500 ms with no payload decode — the plan
+    stage shuffles ids+timestamps only."""
+    from rat_strain_loader_pipeline_spark.operators.multimodal import frame_sample_plan
+
+    media = _synth_media(spark, sf_dir)
+    return frame_sample_plan(media, every_ms=500)
+
+
+def q_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize planning: aspect-preserving target dimensions,
+    metadata-only arithmetic."""
+    from rat_strain_loader_pipeline_spark.operators.multimodal import resize_metadata
+
+    media = _synth_media(spark, sf_dir).filter(F.col("mime") == "image/png")
+    return resize_metadata(media, max_side=224).select(
+        "media_id", "width", "height", "target_width", "target_height"
     )
 
 
@@ -1616,6 +1799,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_key_dedup": q_seq_key_dedup,
         "legacy_zygosity": q_legacy_zygosity,
         "exon_counts": q_exon_counts,
+        "variant_type_fixup": q_variant_type_fixup,
+        "genic_status_fixup": q_genic_status_fixup,
+        "zygosity_poss_error_fixup": q_zygosity_poss_error_fixup,
+        "dedup_embedding": q_dedup_embedding,
+        "media_features": q_media_features,
+        "frame_sample": q_frame_sample,
+        "resize_plan": q_resize_plan,
     }
 
 
@@ -1703,6 +1893,34 @@ def _codon_case_sql(expr: str) -> str:
 
     whens = " ".join(f"WHEN '{c}' THEN '{a}'" for c, a in CODON_TABLE.items())
     return f"CASE {expr} {whens} ELSE 'X' END"
+
+
+def _media_feature_oracle_sql() -> str:
+    """Rebuild the deterministic fake decoder (sha256-derived 16-dim
+    feature, milli units) from DuckDB hex arithmetic: byte j of the
+    repeated digest stream is digest[4*(i%8)+l]; u32 little-endian."""
+
+    def hv(pos_expr: str) -> str:  # hex char at 1-based pos -> 0..15
+        return f"(instr('0123456789abcdef', substr(sha, {pos_expr}, 1)) - 1)"
+
+    def byte(l: int) -> str:  # noqa: E741
+        j = f"(4 * (dim_idx % 8) + {l})"
+        return f"({hv(f'2*{j} + 1')} * 16 + {hv(f'2*{j} + 2')})"
+
+    u32 = " + ".join(f"{byte(l)} * {256 ** l}" for l in range(4))
+    return f"""
+WITH m AS (
+  SELECT CAST(doc_id AS BIGINT) AS media_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+              WHEN doc_id % 3 = 1 THEN 'audio/wav'
+              ELSE 'video/mp4' END AS mime,
+         sha256(text) AS sha
+  FROM documents
+)
+SELECT media_id, mime, CAST(dim_idx AS INT) AS dim_idx,
+       CAST(({u32}) % 1000 AS INT) AS val_milli
+FROM m, (SELECT unnest(range(16)) AS dim_idx)
+"""
 
 
 def _conseq_oracle_sql() -> str:
@@ -2498,6 +2716,114 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(s_suppkey AS INT) AS transcript_rgd_id,
                    CAST(2 AS BIGINT) AS n_exons
             FROM supplier
+        """,
+        "variant_type_fixup": """
+            WITH v AS (
+              SELECT DISTINCT
+                     CAST(l_orderkey AS BIGINT) * 10 + l_linenumber AS rgd_id,
+                     CASE (CAST(l_orderkey AS BIGINT) + l_linenumber) % 5
+                          WHEN 0 THEN NULL WHEN 1 THEN '-' WHEN 2 THEN 'A'
+                          WHEN 3 THEN 'AC' ELSE 'ACG' END AS ref_nuc,
+                     CASE (CAST(l_orderkey AS BIGINT) + 2 * l_linenumber) % 7
+                          WHEN 0 THEN NULL WHEN 1 THEN '-' WHEN 2 THEN ''
+                          WHEN 3 THEN 'T' WHEN 4 THEN 'TG' ELSE 'TGA' END AS var_nuc
+              FROM lineitem
+            ),
+            n AS (
+              SELECT rgd_id, ref_nuc, var_nuc,
+                     CASE WHEN ref_nuc IS NULL OR ref_nuc IN ('', '-') THEN NULL
+                          ELSE ref_nuc END AS r,
+                     CASE WHEN var_nuc IS NULL OR var_nuc IN ('', '-') THEN NULL
+                          ELSE var_nuc END AS w
+              FROM v
+            )
+            SELECT rgd_id, ref_nuc, var_nuc,
+                   CASE WHEN r IS NULL THEN 'ins'
+                        WHEN w IS NULL THEN 'del'
+                        WHEN length(r) < length(w) THEN 'ins'
+                        WHEN length(r) > length(w) THEN 'del'
+                        ELSE 'snv' END AS variant_type
+            FROM n
+        """,
+        "genic_status_fixup": """
+            WITH vmd AS (
+              SELECT DISTINCT
+                     CAST(l_orderkey AS BIGINT) * 10 + l_linenumber AS rgd_id,
+                     CAST((CAST(l_orderkey AS BIGINT) % 2) + 1 AS VARCHAR) AS chromosome,
+                     (CAST(l_orderkey AS BIGINT) * 7 + l_linenumber * 13) % 100000 AS start_pos,
+                     (CAST(l_orderkey AS BIGINT) * 7 + l_linenumber * 13) % 100000
+                       + (l_linenumber % 3) + 1 AS end_pos
+              FROM lineitem
+            ),
+            g AS (
+              SELECT CAST((CAST(s_suppkey AS BIGINT) % 2) + 1 AS VARCHAR) AS chromosome,
+                     (CAST(s_suppkey AS BIGINT) * 977) % 100000 AS start_pos,
+                     (CAST(s_suppkey AS BIGINT) * 977) % 100000 + 150 AS stop_pos
+              FROM supplier WHERE s_suppkey % 5 <> 0
+            )
+            SELECT rgd_id, chromosome, start_pos, end_pos,
+                   CASE WHEN EXISTS (
+                     SELECT 1 FROM g
+                     WHERE g.chromosome = vmd.chromosome
+                       AND vmd.start_pos <= g.stop_pos
+                       AND vmd.end_pos >= g.start_pos
+                   ) THEN 'GENIC' ELSE 'INTERGENIC' END AS genic_status
+            FROM vmd
+        """,
+        "zygosity_poss_error_fixup": """
+            WITH v AS (
+              SELECT DISTINCT
+                     CAST(l_orderkey AS BIGINT) * 10 + l_linenumber AS rgd_id,
+                     CASE WHEN (CAST(l_orderkey AS BIGINT) + l_linenumber) % 9 = 0
+                          THEN NULL
+                          ELSE CAST((CAST(l_orderkey AS BIGINT) * 3 + l_linenumber) % 101 AS INT)
+                     END AS zygosity_percent_read
+              FROM lineitem
+            )
+            SELECT rgd_id, zygosity_percent_read,
+                   CASE WHEN zygosity_percent_read IS NOT NULL
+                             AND zygosity_percent_read <= 15
+                        THEN 'Y' ELSE 'N' END AS zygosity_poss_error
+            FROM v
+        """,
+        "dedup_embedding": """
+            WITH e AS (
+              SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding::DOUBLE[] AS v
+              FROM embeddings
+            )
+            SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                   round(
+                     list_sum(list_transform(range(1, len(a.v) + 1),
+                              i -> a.v[i] * b.v[i]))
+                     / (sqrt(list_sum(list_transform(a.v, x -> x*x)))
+                        * sqrt(list_sum(list_transform(b.v, x -> x*x)))), 4
+                   ) AS cosine
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE list_sum(list_transform(range(1, len(a.v) + 1),
+                           i -> a.v[i] * b.v[i]))
+                  / (sqrt(list_sum(list_transform(a.v, x -> x*x)))
+                     * sqrt(list_sum(list_transform(b.v, x -> x*x)))) >= 0.35
+        """,
+        "media_features": _media_feature_oracle_sql(),
+        "frame_sample": """
+            SELECT CAST(doc_id AS BIGINT) AS media_id,
+                   CAST(unnest(generate_series(0, greatest(n_chars - 1, 0), 500)) AS INT)
+                     AS frame_ts_ms
+            FROM documents WHERE doc_id % 3 = 2
+        """,
+        "resize_plan": """
+            WITH m AS (
+              SELECT CAST(doc_id AS BIGINT) AS media_id,
+                     CAST((n_chars % 900) + 64 AS INT) AS width,
+                     CAST((doc_id % 700) + 48 AS INT) AS height
+              FROM documents WHERE doc_id % 3 = 0
+            )
+            SELECT media_id, width, height,
+                   CAST(floor(width * least(224 / width, 224 / height, 1.0)) AS INT)
+                     AS target_width,
+                   CAST(floor(height * least(224 / width, 224 / height, 1.0)) AS INT)
+                     AS target_height
+            FROM m
         """,
     }
 

@@ -119,3 +119,69 @@ def lsh_bucketed_topk(
     bucketed = embeddings.withColumn("bucket", lsh_bucket_expr(F.col(vec_col), planes))
     candidates = bucketed.filter(F.col("bucket").isin(*probes))
     return brute_force_topk(candidates, query_vec, k, id_col, vec_col)
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact): every (a, b) with
+    ``a < b`` and cosine >= threshold.
+
+    Plan shape: the (normalized) corpus matrix is broadcast once; each
+    partition of row-vectors then computes a dense numpy block-matmul
+    against it and keeps only pairs over threshold — O(n^2 d) FLOPs
+    spread evenly over partitions with NO pairwise shuffle (a crossJoin
+    formulation shuffles n^2 rows and evaluates interpreted per-pair
+    lambdas; this one moves n·d floats once). Fits while n·d floats fit
+    executor memory (~10^8 vectors at d=64); past that, switch to the
+    LSH-bucketed variant (``lsh_bucket_expr`` + per-bucket self-join +
+    exact verify) — same output modulo LSH recall, and this function is
+    the exact baseline the approximate path is measured against.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = embeddings.sparkSession
+    mat_rows = embeddings.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in mat_rows], dtype=np.int64)
+    mat = np.array([r[1] for r in mat_rows], dtype=np.float64)
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    norms[norms == 0] = np.nan
+    unit = mat / norms[:, None]
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_unit = spark.sparkContext.broadcast(unit)
+
+    def run(batches):
+        all_ids, all_unit = b_ids.value, b_unit.value
+        order = np.argsort(all_ids)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            a_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            a = np.array(list(pdf[vec_col]), dtype=np.float64)
+            an = np.sqrt((a * a).sum(axis=1))
+            an[an == 0] = np.nan
+            sims = (a / an[:, None]) @ all_unit[order].T  # rows x corpus
+            oi, oj = np.nonzero(sims >= threshold)
+            if len(oi) == 0:
+                continue
+            pa, pb = a_ids[oi], all_ids[order][oj]
+            keep = pa < pb
+            yield pd.DataFrame(
+                {
+                    "a_id": pa[keep],
+                    "b_id": pb[keep],
+                    "cosine": sims[oi, oj][keep],
+                }
+            )
+
+    raw = embeddings.select(id_col, vec_col).mapInPandas(
+        run, schema="a_id long, b_id long, cosine double"
+    )
+    # round Spark-side (half-up, same as the SQL oracle) — np.round is
+    # half-to-even and would diverge on exact .00005 boundaries
+    return raw.select("a_id", "b_id", F.round("cosine", round_to).alias("cosine"))

@@ -130,3 +130,53 @@ def test_zero_norm_is_null(spark):
     df = spark.createDataFrame([(0, [0.0, 0.0])], "vec_id long, embedding array<float>")
     out = df.select(cosine_sim_expr(F.col("embedding"), F.array(F.lit(1.0), F.lit(0.0))).alias("c"))
     assert out.collect()[0]["c"] is None
+
+
+def test_embedding_near_dup_pairs_matches_brute_force(spark):
+    from rat_strain_loader_pipeline_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    import random
+
+    rnd = random.Random(7)
+    base = [rnd.gauss(0, 1) for _ in range(8)]
+    vecs = []
+    for i in range(20):
+        if i % 4 == 0:  # planted near-dup of base
+            vecs.append((i, [b + rnd.gauss(0, 0.01) for b in base]))
+        else:
+            vecs.append((i, [rnd.gauss(0, 1) for _ in range(8)]))
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+
+    got = {
+        (r.a_id, r.b_id)
+        for r in embedding_near_dup_pairs(df, threshold=0.95).collect()
+    }
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb)
+
+    want = {
+        (a[0], b[0])
+        for a, b in itertools.combinations(vecs, 2)
+        if cos(a[1], b[1]) >= 0.95
+    }
+    assert got == want
+    assert len(want) >= 6  # the planted group pairs up
+
+
+def test_embedding_near_dup_zero_norm_excluded(spark):
+    from rat_strain_loader_pipeline_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [1.0, 0.0001])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {(r.a_id, r.b_id) for r in embedding_near_dup_pairs(df, threshold=0.9).collect()}
+    assert got == {(1, 2)}
