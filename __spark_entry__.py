@@ -885,8 +885,13 @@ def _synth_genome(n_genes: int) -> dict[str, str]:
     seqs: dict[str, str] = {}
     for c in (1, 2):
         p = np.arange(1, length + 1, dtype=np.int64)
-        idx = ((p * _GENOME_MUL + c * _GENOME_ADD) % _GENOME_MOD) % 4
-        seqs[str(c)] = lut[idx].tobytes().decode("ascii")
+        x = p * _GENOME_MUL + c * _GENOME_ADD  # < 2^53, exact in int64
+        # x % (2^31 - 1) via Mersenne reduction (shift/add instead of the
+        # ~40-cycle int64 division): x = hi*2^31 + lo ≡ hi + lo (mod M)
+        y = (x >> 31) + (x & 0x7FFFFFFF)
+        z = (y >> 31) + (y & 0x7FFFFFFF)
+        z = np.where(z >= _GENOME_MOD, z - _GENOME_MOD, z)
+        seqs[str(c)] = lut[z & 3].tobytes().decode("ascii")
     return seqs
 
 
@@ -1065,7 +1070,7 @@ def q_consequence_indel_utr(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "conseq-indel",
     )
-    patched, _counters = frameshift_fixup(vt, variants)
+    patched, _counters = frameshift_fixup(vt, variants, count_changes=False)
     return patched.select(*_VT_OUT_COLS)
 
 
@@ -1363,7 +1368,7 @@ def q_num_alleles_fixup(spark: SparkSession, sf_dir: str) -> DataFrame:
     vmd = li.select(
         rgd, F.lit("1").alias("chromosome"), (k % 1000).cast("long").alias("start_pos")
     ).dropDuplicates(["rgd_id"])
-    out, _counters = num_alleles_fixup(vsd, vmd)
+    out, _counters = num_alleles_fixup(vsd, vmd, count_changes=False)
     return out.select("rgd_id", "sample_id", "zygosity_ref_allele", "zygosity_num_allele")
 
 
@@ -1604,7 +1609,7 @@ def q_variant_type_fixup(spark: SparkSession, sf_dir: str) -> DataFrame:
         var.alias("var_nuc"),
         F.lit("snv").alias("variant_type"),  # stale value to be recomputed
     ).dropDuplicates(["rgd_id"])
-    out, _counters = variant_type_fixup(variant)
+    out, _counters = variant_type_fixup(variant, count_changes=False)
     return out.select("rgd_id", "ref_nuc", "var_nuc", "variant_type")
 
 
@@ -1634,7 +1639,7 @@ def q_genic_status_fixup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (gstart + 150).cast("long").alias("stop_pos"),
         F.when(sk % 5 == 0, "RETIRED").otherwise("ACTIVE").alias("object_status"),
     )
-    out, _counters = genic_status_fixup(vmd, genes)
+    out, _counters = genic_status_fixup(vmd, genes, count_changes=False)
     return out.select("rgd_id", "chromosome", "start_pos", "end_pos", "genic_status")
 
 
@@ -1656,7 +1661,7 @@ def q_zygosity_poss_error_fixup(spark: SparkSession, sf_dir: str) -> DataFrame:
         pct.alias("zygosity_percent_read"),
         F.lit("N").alias("zygosity_poss_error"),  # stale
     ).dropDuplicates(["rgd_id"])
-    out, _counters = zygosity_poss_error_fixup(vsd)
+    out, _counters = zygosity_poss_error_fixup(vsd, count_changes=False)
     return out.select("rgd_id", "zygosity_percent_read", "zygosity_poss_error")
 
 

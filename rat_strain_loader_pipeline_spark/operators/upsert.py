@@ -64,34 +64,35 @@ def upsert_variants(
     # cases; keep the smallest (stable).
     ex = ex.groupBy(*nk).agg(F.min("__existing_id").alias("__existing_id"))
 
-    # Both output branches (matched / unmatched) consume this join —
-    # stage it to parquet once so the branches read a plain scan instead
-    # of recomputing the upstream pipeline (see staging.py for why
-    # parquet beats persist/localCheckpoint by >10x here).
-    from rat_strain_loader_pipeline_spark.staging import stage_to_parquet
-
-    joined = stage_to_parquet(inc.join(ex, on=nk, how="left"), "upsert-joined")
+    joined = inc.join(ex, on=nk, how="left")
 
     max_id = existing.select(F.coalesce(F.max(id_col), F.lit(0)).alias("m"))
     # dense_rank over the normalized key of unmatched rows — ties (same
     # key in the same batch) share a rank, so duplicates get the same new
     # id without a distinct+join-back round trip (the reference dedups
-    # within a batch the same way, VariantLoad3.java:517-575). The global
-    # orderBy sorts only the NEW rows; at very large new-key cardinality
-    # switch to two-level ranking (rank within chromosome + per-chr
-    # offsets) — new keys per load batch are bounded in practice.
-    w = Window.orderBy(*nk)
-    matched = joined.filter(F.col("__existing_id").isNotNull()).withColumn(
-        id_col, F.col("__existing_id")
-    ).withColumn("is_new", F.lit(False))
-    unmatched = (
-        joined.filter(F.col("__existing_id").isNull())
-        .crossJoin(F.broadcast(max_id))
-        .withColumn(id_col, (F.col("m") + F.dense_rank().over(w)).cast("long"))
-        .withColumn("is_new", F.lit(True))
-        .drop("m")
+    # within a batch the same way, VariantLoad3.java:517-575). ONE pass:
+    # partitioning the window on (match flag, existing id) ranks the new
+    # keys without splitting the plan into two branches (a split means
+    # either recomputing the upstream join twice or a stage barrier).
+    # All NEW rows land in the single (true, null) window partition and
+    # get the global dense rank; matched rows scatter across tiny
+    # per-existing-id partitions, so only the new keys pay a real sort.
+    # At very large new-key cardinality switch to two-level ranking
+    # (rank within chromosome + per-chr offsets) — new keys per load
+    # batch are bounded in practice.
+    is_new = F.col("__existing_id").isNull()
+    w = Window.partitionBy(is_new, F.col("__existing_id")).orderBy(*nk)
+    return (
+        joined.crossJoin(F.broadcast(max_id))
+        .withColumn(
+            id_col,
+            F.when(~is_new, F.col("__existing_id"))
+            .otherwise(F.col("m") + F.dense_rank().over(w))
+            .cast("long"),
+        )
+        .withColumn("is_new", is_new)
+        .drop("m", "__existing_id", *nk)
     )
-    return matched.unionByName(unmatched).drop("__existing_id", *nk)
 
 
 def anti_insert(

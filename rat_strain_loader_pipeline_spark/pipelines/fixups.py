@@ -24,8 +24,16 @@ from rat_strain_loader_pipeline_spark.operators.interval_join import (
 )
 
 
-def _apply(df: DataFrame, col: str, recomputed) -> tuple[DataFrame, dict[str, int]]:
+def _apply(
+    df: DataFrame, col: str, recomputed, count_changes: bool = True
+) -> tuple[DataFrame, dict[str, int]]:
     out = df.withColumn("__new", recomputed)
+    patched = out.withColumn(col, F.col("__new")).drop("__new")
+    if not count_changes:
+        # counting executes the upstream plan once just for the report;
+        # callers that only consume the patched rows skip it so the whole
+        # fixup stays a single pass over the data
+        return patched, {}
     # ONE action for both counters (map-side partial agg, no shuffle of
     # note); separate count()+count() would execute the upstream plan —
     # possibly a whole pandas-UDF pipeline — twice.
@@ -34,17 +42,23 @@ def _apply(df: DataFrame, col: str, recomputed) -> tuple[DataFrame, dict[str, in
         F.sum((~F.col(col).eqNullSafe(F.col("__new"))).cast("long")).alias("changed"),
     ).collect()[0]
     total, changed = int(row["total"]), int(row["changed"] or 0)
-    patched = out.withColumn(col, F.col("__new")).drop("__new")
     return patched, {"rows_total": total, "rows_fixed": changed, "rows_up_to_date": total - changed}
 
 
-def variant_type_fixup(variant: DataFrame) -> tuple[DataFrame, dict[str, int]]:
+def variant_type_fixup(
+    variant: DataFrame, count_changes: bool = True
+) -> tuple[DataFrame, dict[str, int]]:
     """X1 recompute from ref_nuc/var_nuc (VariantTypeFixUp.java:47-63)."""
-    return _apply(variant, "variant_type", variant_type(F.col("ref_nuc"), F.col("var_nuc")))
+    return _apply(
+        variant,
+        "variant_type",
+        variant_type(F.col("ref_nuc"), F.col("var_nuc")),
+        count_changes,
+    )
 
 
 def frameshift_fixup(
-    variant_transcript: DataFrame, variant: DataFrame
+    variant_transcript: DataFrame, variant: DataFrame, count_changes: bool = True
 ) -> tuple[DataFrame, dict[str, int]]:
     """X15 recompute from the RAW alleles (FrameShiftFixUp.java:55-69) —
     corrects the post-processing truncation quirk. Only rows that carry
@@ -66,12 +80,12 @@ def frameshift_fixup(
         F.col("ref_aa").isNotNull(),
         F.when((F.col("__ld") % 3) != 0, "T").otherwise("F"),
     ).otherwise(F.col("frameshift"))
-    out, counters = _apply(joined, "frameshift", recomputed)
+    out, counters = _apply(joined, "frameshift", recomputed, count_changes)
     return out.drop("__ld"), counters
 
 
 def genic_status_fixup(
-    variant_map_data: DataFrame, genes: DataFrame
+    variant_map_data: DataFrame, genes: DataFrame, count_changes: bool = True
 ) -> tuple[DataFrame, dict[str, int]]:
     """X6 recompute via gene interval overlap (GenicStatusFixUp.java:103-109)."""
     active = genes.filter(F.col("object_status") == "ACTIVE").select(
@@ -87,13 +101,18 @@ def genic_status_fixup(
         interval_keys=("g_chr", "g_start", "g_stop"),
     )
     out, counters = _apply(
-        flagged, "genic_status", F.when(F.col("__genic"), "GENIC").otherwise("INTERGENIC")
+        flagged,
+        "genic_status",
+        F.when(F.col("__genic"), "GENIC").otherwise("INTERGENIC"),
+        count_changes,
     )
     return out.drop("__genic"), counters
 
 
 def num_alleles_fixup(
-    variant_sample_detail: DataFrame, variant_map_data: DataFrame
+    variant_sample_detail: DataFrame,
+    variant_map_data: DataFrame,
+    count_changes: bool = True,
 ) -> tuple[DataFrame, dict[str, int]]:
     """A7 recompute: zygosity_num_allele = number of distinct variants
     observed at the same (sample, chr, position), +1 if the reference
@@ -107,12 +126,12 @@ def num_alleles_fixup(
         F.count(F.lit(1)).over(w)
         + F.max(F.when(F.col("zygosity_ref_allele") == "Y", 1).otherwise(0)).over(w)
     ).cast("int")
-    out, counters = _apply(keyed, "zygosity_num_allele", recomputed)
+    out, counters = _apply(keyed, "zygosity_num_allele", recomputed, count_changes)
     return out.drop("chromosome", "start_pos"), counters
 
 
 def zygosity_poss_error_fixup(
-    variant_sample_detail: DataFrame,
+    variant_sample_detail: DataFrame, count_changes: bool = True
 ) -> tuple[DataFrame, dict[str, int]]:
     """Possible-error recompute from percent-read (threshold 15,
     ZygosityPercReadFixUp.java:130-138)."""
@@ -121,4 +140,4 @@ def zygosity_poss_error_fixup(
         & (F.col("zygosity_percent_read") <= 15),
         "Y",
     ).otherwise("N")
-    return _apply(variant_sample_detail, "zygosity_poss_error", recomputed)
+    return _apply(variant_sample_detail, "zygosity_poss_error", recomputed, count_changes)
