@@ -1579,6 +1579,79 @@ def q_exon_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 Structured Streaming surface under the correctness gate: the
+    hourly tumbling-window aggregation runs as a REAL streaming query
+    (readStream file source -> watermark -> windowed agg -> memory sink,
+    Trigger.AvailableNow, complete mode). Over a static directory the
+    incremental plan must converge to the batch answer, so the same SQL
+    oracle as events_hourly applies."""
+    import os as _os
+    import uuid as _uuid
+
+    from rat_strain_loader_pipeline_spark.staging import _stage_root
+    from rat_strain_loader_pipeline_spark.streaming.events import (
+        hourly_event_counts,
+        stream_events,
+    )
+
+    # the parquet file source streams DIRECTORIES; land the events table
+    # (ts already nanos->micros normalized by read_table) in one
+    src_dir = _os.path.join(_stage_root(), f"events-stream-src-{_uuid.uuid4().hex[:8]}")
+    _t(spark, sf_dir, "events").write.parquet(src_dir)
+    ev = stream_events(spark, src_dir)
+    agg = hourly_event_counts(ev)
+    name = f"stream_hourly_{_uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def q_wig_fixedstep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 stateful fixedStep wiggle parse through the REAL parser
+    (sources.wig.parse_fixedstep_lines): declaration lines reset the
+    (chrom, start, step) cursor via last(ignorenulls) window
+    propagation; positions accumulate per block; scaffold chroms
+    rejected, M -> MT normalized (ConservationScoreLoader.java:100-140).
+    Lines are synthesized wig text — 4 'files', one declaration every
+    12 lines, every third declaration a rejected scaffold."""
+    from rat_strain_loader_pipeline_spark.sources.wig import parse_fixedstep_lines
+
+    o = _t(spark, sf_dir, "orders")
+    rn = (F.row_number().over(Window.orderBy("o_orderkey")) - 1).cast("long")
+    d = o.select(rn.alias("rn"))
+    file = F.pmod(F.col("rn"), 4)
+    j = F.floor(F.col("rn") / 4).cast("long")
+    is_decl = (j % 12) == 0
+    chrom = (
+        F.when(j % 36 == 0, F.lit("chrUn_random"))
+        .when(j % 36 == 24, F.lit("chrM"))
+        .otherwise(F.concat(F.lit("chr"), (1 + j % 3).cast("string")))
+    )
+    start = (F.col("rn") % 1000) + 1
+    step = 1 + F.col("rn") % 3
+    value = F.when(
+        is_decl,
+        F.concat(
+            F.lit("fixedStep chrom="), chrom,
+            F.lit(" start="), start.cast("string"),
+            F.lit(" step="), step.cast("string"),
+        ),
+    ).otherwise(F.format_string("%.2f", (F.col("rn") % 997).cast("double") / 100.0))
+    lines = d.select(
+        F.concat(F.lit("f"), file.cast("string")).alias("__file"),
+        F.col("rn").alias("__line_id"),
+        value.alias("value"),
+    )
+    return parse_fixedstep_lines(lines)
+
+
 def q_variant_type_fixup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X1 variant-type recompute (VariantTypeFixUp.java:47-63): '-' or
     NULL allele and length differences drive ins/del; equal singles are
@@ -1804,6 +1877,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_key_dedup": q_seq_key_dedup,
         "legacy_zygosity": q_legacy_zygosity,
         "exon_counts": q_exon_counts,
+        "events_stream_hourly": q_events_stream_hourly,
+        "wig_fixedstep": q_wig_fixedstep,
         "variant_type_fixup": q_variant_type_fixup,
         "genic_status_fixup": q_genic_status_fixup,
         "zygosity_poss_error_fixup": q_zygosity_poss_error_fixup,
@@ -2721,6 +2796,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(s_suppkey AS INT) AS transcript_rgd_id,
                    CAST(2 AS BIGINT) AS n_exons
             FROM supplier
+        """,
+        "events_stream_hourly": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+            FROM events
+            GROUP BY 1, 2
+        """,
+        "wig_fixedstep": """
+            WITH seq AS (
+              SELECT row_number() OVER (ORDER BY o_orderkey) - 1 AS rn FROM orders
+            ),
+            d AS (SELECT rn, rn % 4 AS f, rn // 4 AS j FROM seq),
+            x AS (
+              SELECT rn, f, j, (j - (j % 12)) AS jd,
+                     ((j - (j % 12)) * 4 + f) AS rnd
+              FROM d WHERE (j % 12) <> 0
+            ),
+            y AS (
+              SELECT rn, jd, rnd, j - jd AS rib,
+                     CASE WHEN (jd % 36) = 0 THEN NULL
+                          WHEN (jd % 36) = 24 THEN 'MT'
+                          ELSE CAST(1 + (jd % 3) AS VARCHAR) END AS chr,
+                     (rnd % 1000) + 1 AS wstart, 1 + (rnd % 3) AS wstep
+              FROM x
+            )
+            SELECT CAST(wstart + wstep * (rib - 1) AS BIGINT) AS position,
+                   chr,
+                   CAST(rn % 997 AS DOUBLE) / 100.0 AS score
+            FROM y WHERE chr IS NOT NULL
         """,
         "variant_type_fixup": """
             WITH v AS (

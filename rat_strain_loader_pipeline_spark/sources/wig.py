@@ -45,6 +45,17 @@ def read_fixedstep_wig(spark: SparkSession, path: str) -> DataFrame:
         )
         .filter(F.col("value") != "")
     )
+    return parse_fixedstep_lines(lines)
+
+
+def parse_fixedstep_lines(lines: DataFrame) -> DataFrame:
+    """The stateful parse on pre-split lines.
+
+    ``lines``: (__file string, __line_id long-sortable, value string) —
+    __line_id orders lines within a file. Factored out of
+    ``read_fixedstep_wig`` so any line source (files, a staged table, a
+    stream batch) feeds the same window machinery.
+    """
     is_decl = F.col("value").startswith("fixedStep")
     parsed = lines.withColumn(
         "__decl_chrom",
