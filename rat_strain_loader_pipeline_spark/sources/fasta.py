@@ -64,3 +64,80 @@ def get_dna_chunk(seqs: dict[str, str], chrom: str, start: int, stop: int) -> st
     if stop < start:
         return ""
     return seq[start - 1 : stop]
+
+
+def fasta_blocks(df: DataFrame, block_size: int = 100_000) -> DataFrame:
+    """The 100 TB-scale representation: (chr, seq) → fixed-size blocks
+    ``(chr, block_id, block_start, seq_block)``, 1-based block_start.
+
+    At reference scale the broadcast dict wins; at corpus scale the
+    genome no longer fits executor memory, so random access becomes a
+    distributed equi-join against this table (see ``dna_chunks``).
+    """
+    n_blocks = F.ceil(F.length("seq") / F.lit(block_size)).cast("int")
+    b = F.explode(F.sequence(F.lit(0), n_blocks - 1)).alias("block_id")
+    out = df.select(F.col("chr"), F.col("seq"), b)
+    start = (F.col("block_id").cast("long") * block_size + 1).alias("block_start")
+    return out.select(
+        "chr",
+        "block_id",
+        start,
+        F.substring(
+            F.col("seq"), (F.col("block_id") * block_size + 1).cast("int"), block_size
+        ).alias("seq_block"),
+    )
+
+
+def dna_chunks(intervals: DataFrame, blocks: DataFrame, block_size: int = 100_000) -> DataFrame:
+    """Distributed FastaParser.getSequence: extract the 1-based inclusive
+    substring [start, stop] per interval row from a ``fasta_blocks``
+    table, without broadcasting whole chromosomes.
+
+    ``intervals``: (chunk_id long, chr string, start long, stop long).
+    Returns (chunk_id, chr, start, stop, chunk string) with the same
+    clamping semantics as ``get_dna_chunk`` (unknown chr / empty overlap
+    → '' — rows are preserved, not dropped).
+
+    Scale shape: the interval side explodes to one row per OVERLAPPED
+    block (variant windows ≪ block_size ⇒ explode factor ~1), then an
+    **equi-join** on (chr, block_id) — shuffle-partitionable on both
+    sides, no range predicate, no broadcast of the genome — followed by
+    a groupBy(chunk_id) reassembly ordered by block_start.
+    """
+    iv = intervals.select(
+        "chunk_id",
+        "chr",
+        F.col("start").cast("long").alias("start"),
+        F.col("stop").cast("long").alias("stop"),
+    )
+    clamped_start = F.greatest(F.col("start"), F.lit(1))
+    lo = F.floor((clamped_start - 1) / block_size).cast("int")
+    hi = F.floor((F.col("stop") - 1) / block_size).cast("int")
+    probe = iv.filter(F.col("stop") >= clamped_start).select(
+        "chunk_id", "chr",
+        clamped_start.alias("cstart"), F.col("stop"),
+        F.explode(F.sequence(lo, F.greatest(hi, lo))).alias("block_id"),
+    )
+    j = probe.join(blocks, ["chr", "block_id"], "inner")
+    # overlap of [cstart, stop] with this block, in block-local 1-based coords
+    ov_lo = F.greatest(F.col("cstart"), F.col("block_start"))
+    ov_hi = F.least(F.col("stop"), F.col("block_start") + F.length("seq_block") - 1)
+    piece = F.substring(
+        F.col("seq_block"),
+        (ov_lo - F.col("block_start") + 1).cast("int"),
+        (ov_hi - ov_lo + 1).cast("int"),
+    )
+    pieces = j.filter(ov_hi >= ov_lo).groupBy("chunk_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct(F.col("block_start"), piece.alias("p")))),
+                lambda s: s["p"],
+            ),
+            "",
+        ).alias("chunk")
+    )
+    return (
+        intervals.select("chunk_id", "chr", "start", "stop")
+        .join(pieces, "chunk_id", "left")
+        .withColumn("chunk", F.coalesce(F.col("chunk"), F.lit("")))
+    )

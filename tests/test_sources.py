@@ -140,6 +140,47 @@ def test_fasta_read_and_chunk(spark, tmp_path):
     assert get_dna_chunk(seqs, "9", 1, 4) == ""
 
 
+def test_fasta_blocks_dna_chunks(spark, tmp_path):
+    """Block-table random access (S6 scale path) agrees with the
+    broadcast-dict get_dna_chunk on every clamping/edge case."""
+    import random
+
+    from rat_strain_loader_pipeline_spark.sources.fasta import (
+        dna_chunks,
+        fasta_blocks,
+        fasta_from_dict,
+    )
+
+    rng = random.Random(7)
+    seqs = {
+        "1": "".join(rng.choice("ACGT") for _ in range(137)),
+        "2": "".join(rng.choice("ACGT") for _ in range(40)),
+    }
+    fa = fasta_from_dict(spark, seqs)
+    blocks = fasta_blocks(fa, block_size=16)
+    # block table tiles the sequences exactly
+    assert blocks.selectExpr("sum(length(seq_block))").first()[0] == 137 + 40
+
+    cases = [
+        (1, "1", 1, 16),      # exactly one block
+        (2, "1", 15, 18),     # straddles a block boundary
+        (3, "1", 1, 137),     # whole chromosome
+        (4, "1", 130, 999),   # stop clamped
+        (5, "1", -5, 3),      # start clamped
+        (6, "1", 50, 40),     # inverted -> ''
+        (7, "9", 1, 4),       # unknown chr -> ''
+        (8, "2", 33, 48),     # final short block
+    ] + [(100 + i, rng.choice("12"), rng.randint(-3, 150), rng.randint(-3, 160))
+         for i in range(30)]
+    iv = spark.createDataFrame(
+        cases, "chunk_id long, chr string, start long, stop long"
+    )
+    got = {r["chunk_id"]: r["chunk"] for r in dna_chunks(iv, blocks, 16).collect()}
+    assert len(got) == len(cases)
+    for cid, chrom, start, stop in cases:
+        assert got[cid] == get_dna_chunk(seqs, chrom, start, stop), (cid, chrom, start, stop)
+
+
 def test_parse_snpeff_ann(spark):
     info = (
         "AB=0.5;ANN=T|missense_variant|MODERATE|Gene1|G1|transcript|NM_1|"
