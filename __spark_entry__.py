@@ -1820,6 +1820,179 @@ def q_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_frameshift_fixup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X15 frameshift recompute from the RAW alleles
+    (FrameShiftFixUp.java:55-69): '-'-marked or NULL alleles shift by the
+    other side's full length, else abs length diff; only AA-annotated VT
+    rows (ref_aa set) are patched. Broadcast join — the variant dim is
+    tiny next to VT."""
+    from rat_strain_loader_pipeline_spark.pipelines.fixups import frameshift_fixup
+
+    li = _t(spark, sf_dir, "lineitem")
+    k = F.col("l_orderkey").cast("long")
+    ln = F.col("l_linenumber").cast("int")
+    ref = (
+        F.when((k + ln) % 6 == 0, F.lit(None).cast("string"))
+        .when((k + ln) % 6 == 1, F.lit("-"))
+        .when((k + ln) % 6 == 2, F.lit("A"))
+        .when((k + ln) % 6 == 3, F.lit("AC"))
+        .when((k + ln) % 6 == 4, F.lit("ACGT"))
+        .otherwise(F.lit("ACG"))
+    )
+    var = (
+        F.when((k + 2 * ln) % 5 == 0, F.lit(None).cast("string"))
+        .when((k + 2 * ln) % 5 == 1, F.lit("-"))
+        .when((k + 2 * ln) % 5 == 2, F.lit("T"))
+        .when((k + 2 * ln) % 5 == 3, F.lit("TG"))
+        .otherwise(F.lit("TGAC"))
+    )
+    variant = (
+        li.filter(k % 11 != 0)  # leave some VT rows orphaned (ld -> NULL)
+        .select((k * 10 + ln).alias("rgd_id"), ref.alias("ref_nuc"), var.alias("var_nuc"))
+        .dropDuplicates(["rgd_id"])
+    )
+    vt = li.select(
+        (k * 10 + ln).alias("variant_rgd_id"),
+        (k % 1000).cast("int").alias("transcript_rgd_id"),
+        F.when(ln % 4 == 0, F.lit(None).cast("string")).otherwise(F.lit("M")).alias("ref_aa"),
+        F.lit("F").alias("frameshift"),  # stale value to be recomputed
+    ).dropDuplicates(["variant_rgd_id", "transcript_rgd_id"])
+    out, _counters = frameshift_fixup(vt, variant, count_changes=False)
+    return out.select("variant_rgd_id", "transcript_rgd_id", "ref_aa", "frameshift")
+
+
+def q_genotype_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 genotype histogram: count every observed GT string per strain
+    BEFORE the presence filter (handleGenotype,
+    VcfToCommonFormat2Converter.java:377-391) — map-side partial agg,
+    one shuffle on the (strain, genotype) key."""
+    li = _t(spark, sf_dir, "lineitem")
+    k = F.col("l_orderkey").cast("long")
+    ln = F.col("l_linenumber").cast("int")
+    gt = (
+        F.when((k + ln) % 8 == 0, "./.")
+        .when((k + ln) % 8 == 1, ".")
+        .when((k + ln) % 8 == 2, "0/0")
+        .when((k + ln) % 8 == 3, "0")
+        .when((k + ln) % 8 == 4, "0/1")
+        .when((k + ln) % 8 == 5, "1/1")
+        .when((k + ln) % 8 == 6, "1/2")
+        .otherwise("2/2")
+    )
+    src = li.select(
+        F.concat(F.lit("strain_"), (F.col("l_suppkey") % 8).cast("string")).alias("strain"),
+        gt.alias("genotype"),
+    )
+    return src.groupBy("strain", "genotype").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_strain_chr_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 variant counts per strain AND per (strain, chromosome) — the
+    reference keeps both keys in one map (incrementVariantCount,
+    VcfToCommonFormat2Converter.java:415-430); Spark-first that is ONE
+    GROUPING SETS pass (single shuffle), only present genotypes (F5)."""
+    li = _t(spark, sf_dir, "lineitem")
+    k = F.col("l_orderkey").cast("long")
+    ln = F.col("l_linenumber").cast("int")
+    gt = (
+        F.when((k + ln) % 8 == 0, "./.")
+        .when((k + ln) % 8 == 1, ".")
+        .when((k + ln) % 8 == 2, "0/0")
+        .when((k + ln) % 8 == 3, "0")
+        .when((k + ln) % 8 == 4, "0/1")
+        .when((k + ln) % 8 == 5, "1/1")
+        .when((k + ln) % 8 == 6, "1/2")
+        .otherwise("2/2")
+    )
+    src = li.select(
+        F.concat(F.lit("strain_"), (F.col("l_suppkey") % 8).cast("string")).alias("strain"),
+        F.when(k % 21 == 0, "MT").otherwise(((k % 3) + 1).cast("string")).alias("chr"),
+        gt.alias("genotype"),
+    ).filter(~F.col("genotype").isin("./.", ".", "0/0", "0"))
+    return src.groupingSets([["strain"], ["strain", "chr"]], "strain", "chr").agg(
+        F.count(F.lit(1)).alias("n_variants")
+    )
+
+
+def q_gwas_vcf_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K5 GWAS-catalog VCF export (GwasCat2Vcf.java:54-138): rows with
+    NULL chr / NULL or '?' risk allele skipped, ALT whitespace-stripped,
+    REF from the genome at pos, hand-built 10-col line with literal
+    PASS / VALIDATED=1 / GT;AD;DP columns and a synthesized 0/1 sample."""
+    p = _t(spark, sf_dir, "part")
+    pk = F.col("p_partkey").cast("long")
+    risk = (
+        F.when(pk % 17 == 0, "?")
+        .when(pk % 13 == 0, F.lit(None).cast("string"))
+        .when(pk % 5 == 0, F.concat(F.substring(F.lit("ACGT"), (pk % 4 + 1).cast("int"), 1), F.lit(" ")))
+        .otherwise(F.substring(F.lit("TGCA"), (pk % 4 + 1).cast("int"), 1))
+    )
+    gwas = p.select(
+        F.when(pk % 19 == 0, F.lit(None).cast("string"))
+        .otherwise(((pk % 20) + 1).cast("string"))
+        .alias("chrom"),
+        (pk % 100000 + 1).cast("long").alias("pos"),
+        F.concat(F.lit("rs"), pk.cast("string")).alias("snps"),
+        risk.alias("risk_allele"),
+        (pk % 60 + 5).cast("int").alias("ref_count"),
+        (pk % 45 + 3).cast("int").alias("var_count"),
+    )
+    kept = gwas.filter(
+        F.col("chrom").isNotNull()
+        & F.col("risk_allele").isNotNull()
+        & (F.col("risk_allele") != "?")
+    )
+    ref = F.substring(F.lit("ACGT"), (F.col("pos") % 4 + 1).cast("int"), 1)
+    return kept.select(
+        F.concat_ws(
+            "\t",
+            "chrom",
+            F.col("pos").cast("string"),
+            "snps",
+            ref,
+            F.regexp_replace("risk_allele", r"\s+", ""),
+            F.lit("PASS"),
+            F.lit("VALIDATED=1"),
+            F.lit(""),
+            F.lit("GT;AD;DP"),
+            F.concat(
+                F.lit("0/1:"),
+                F.col("ref_count").cast("string"),
+                F.lit(","),
+                F.col("var_count").cast("string"),
+                F.lit(":"),
+                (F.col("ref_count") + F.col("var_count")).cast("string"),
+            ),
+        ).alias("line")
+    )
+
+
+def q_dna_chunk_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 scale path: FastaParser.getSequence as a distributed block-table
+    equi-join (fasta_blocks/dna_chunks) — no chromosome broadcast, both
+    sides shuffle-partitionable on (chr, block_id), ordered reassembly
+    per chunk. Clamping semantics identical to the broadcast-dict path."""
+    from rat_strain_loader_pipeline_spark.sources.fasta import (
+        dna_chunks,
+        fasta_blocks,
+        fasta_from_dict,
+    )
+
+    seqs = {"1": ("ACGT" * 35)[:137], "2": ("ACGT" * 23)[:89]}
+    blocks = fasta_blocks(fasta_from_dict(spark, seqs), block_size=32)
+    li = _t(spark, sf_dir, "lineitem")
+    k = F.col("l_orderkey").cast("long")
+    ln = F.col("l_linenumber").cast("int")
+    start = (k % 150) - 4
+    iv = li.select(
+        (k * 10 + ln).alias("chunk_id"),
+        F.when(k % 29 == 0, "9").when(k % 2 == 0, "1").otherwise("2").alias("chr"),
+        start.cast("long").alias("start"),
+        (start + (ln * 7) % 40 - 3).cast("long").alias("stop"),
+    ).dropDuplicates(["chunk_id"])
+    return dna_chunks(iv, blocks, block_size=32)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -1886,6 +2059,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "frame_sample": q_frame_sample,
         "resize_plan": q_resize_plan,
+        "frameshift_fixup": q_frameshift_fixup,
+        "genotype_histogram": q_genotype_histogram,
+        "strain_chr_counts": q_strain_chr_counts,
+        "gwas_vcf_lines": q_gwas_vcf_lines,
+        "dna_chunk_extract": q_dna_chunk_extract,
     }
 
 
@@ -2934,6 +3112,122 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(height * least(224 / width, 224 / height, 1.0)) AS INT)
                      AS target_height
             FROM m
+        """,
+        "frameshift_fixup": """
+            WITH li AS (
+              SELECT CAST(l_orderkey AS BIGINT) AS k, CAST(l_linenumber AS INT) AS ln
+              FROM lineitem
+            ),
+            v AS (
+              SELECT DISTINCT k*10+ln AS rgd_id,
+                     CASE (k+ln)%6 WHEN 0 THEN NULL WHEN 1 THEN '-' WHEN 2 THEN 'A'
+                          WHEN 3 THEN 'AC' WHEN 4 THEN 'ACGT' ELSE 'ACG' END AS ref_nuc,
+                     CASE (k+2*ln)%5 WHEN 0 THEN NULL WHEN 1 THEN '-' WHEN 2 THEN 'T'
+                          WHEN 3 THEN 'TG' ELSE 'TGAC' END AS var_nuc
+              FROM li WHERE k % 11 <> 0
+            ),
+            vt AS (
+              SELECT DISTINCT k*10+ln AS variant_rgd_id,
+                     CAST(k % 1000 AS INT) AS transcript_rgd_id,
+                     CASE WHEN ln % 4 = 0 THEN NULL ELSE 'M' END AS ref_aa
+              FROM li
+            ),
+            ld AS (
+              SELECT rgd_id,
+                     CASE WHEN var_nuc IS NULL OR var_nuc LIKE '%-%'
+                               THEN COALESCE(length(ref_nuc), 0)
+                          WHEN ref_nuc IS NULL OR ref_nuc LIKE '%-%'
+                               THEN COALESCE(length(var_nuc), 0)
+                          ELSE abs(length(ref_nuc) - length(var_nuc)) END AS ldiff
+              FROM v
+            )
+            SELECT vt.variant_rgd_id, vt.transcript_rgd_id, vt.ref_aa,
+                   CASE WHEN vt.ref_aa IS NOT NULL
+                        THEN CASE WHEN (ldiff % 3) <> 0 THEN 'T' ELSE 'F' END
+                        ELSE 'F' END AS frameshift
+            FROM vt LEFT JOIN ld ON ld.rgd_id = vt.variant_rgd_id
+        """,
+        "genotype_histogram": """
+            WITH src AS (
+              SELECT 'strain_'||CAST(l_suppkey%8 AS VARCHAR) AS strain,
+                     CASE (CAST(l_orderkey AS BIGINT)+l_linenumber)%8
+                          WHEN 0 THEN './.' WHEN 1 THEN '.' WHEN 2 THEN '0/0'
+                          WHEN 3 THEN '0' WHEN 4 THEN '0/1' WHEN 5 THEN '1/1'
+                          WHEN 6 THEN '1/2' ELSE '2/2' END AS genotype
+              FROM lineitem
+            )
+            SELECT strain, genotype, count(*) AS n
+            FROM src GROUP BY strain, genotype
+        """,
+        "strain_chr_counts": """
+            WITH src AS (
+              SELECT 'strain_'||CAST(l_suppkey%8 AS VARCHAR) AS strain,
+                     CASE WHEN CAST(l_orderkey AS BIGINT)%21=0 THEN 'MT'
+                          ELSE CAST(CAST(l_orderkey AS BIGINT)%3+1 AS VARCHAR) END AS chr,
+                     CASE (CAST(l_orderkey AS BIGINT)+l_linenumber)%8
+                          WHEN 0 THEN './.' WHEN 1 THEN '.' WHEN 2 THEN '0/0'
+                          WHEN 3 THEN '0' WHEN 4 THEN '0/1' WHEN 5 THEN '1/1'
+                          WHEN 6 THEN '1/2' ELSE '2/2' END AS genotype
+              FROM lineitem
+            )
+            SELECT strain, chr, count(*) AS n_variants
+            FROM src WHERE genotype NOT IN ('./.', '.', '0/0', '0')
+            GROUP BY GROUPING SETS ((strain), (strain, chr))
+        """,
+        "gwas_vcf_lines": r"""
+            WITH p AS (SELECT CAST(p_partkey AS BIGINT) AS pk FROM part),
+            g AS (
+              SELECT CASE WHEN pk%19=0 THEN NULL
+                          ELSE CAST(pk%20+1 AS VARCHAR) END AS chrom,
+                     pk%100000+1 AS pos,
+                     'rs'||CAST(pk AS VARCHAR) AS snps,
+                     CASE WHEN pk%17=0 THEN '?'
+                          WHEN pk%13=0 THEN NULL
+                          WHEN pk%5=0 THEN substr('ACGT', CAST(pk%4 AS INT)+1, 1)||' '
+                          ELSE substr('TGCA', CAST(pk%4 AS INT)+1, 1) END AS risk_allele,
+                     CAST(pk%60+5 AS INT) AS rc, CAST(pk%45+3 AS INT) AS vc
+              FROM p
+            )
+            SELECT chrom || chr(9) || CAST(pos AS VARCHAR)
+                   || chr(9) || snps
+                   || chr(9) || substr('ACGT', CAST(pos%4 AS INT)+1, 1)
+                   || chr(9) || regexp_replace(risk_allele, '\s+', '', 'g')
+                   || chr(9) || 'PASS' || chr(9) || 'VALIDATED=1'
+                   || chr(9) || '' || chr(9) || 'GT;AD;DP'
+                   || chr(9) || '0/1:'||CAST(rc AS VARCHAR)||','||CAST(vc AS VARCHAR)
+                   ||':'||CAST(rc+vc AS VARCHAR) AS line
+            FROM g
+            WHERE chrom IS NOT NULL AND risk_allele IS NOT NULL
+              AND risk_allele <> '?'
+        """,
+        "dna_chunk_extract": """
+            WITH li AS (
+              SELECT CAST(l_orderkey AS BIGINT) AS k, CAST(l_linenumber AS INT) AS ln
+              FROM lineitem
+            ),
+            iv AS (
+              SELECT DISTINCT k*10+ln AS chunk_id,
+                     CASE WHEN k%29=0 THEN '9' WHEN k%2=0 THEN '1' ELSE '2' END AS chr,
+                     (k%150)-4 AS start,
+                     ((k%150)-4) + (ln*7)%40 - 3 AS stop
+              FROM li
+            ),
+            seqs AS (
+              SELECT '1' AS chr, substr(repeat('ACGT', 35), 1, 137) AS seq
+              UNION ALL
+              SELECT '2', substr(repeat('ACGT', 23), 1, 89)
+            ),
+            j AS (SELECT iv.*, seq FROM iv LEFT JOIN seqs USING (chr))
+            SELECT chunk_id, chr, start, stop,
+                   CASE WHEN seq IS NULL
+                             OR stop < GREATEST(start, 1)
+                             OR GREATEST(start, 1) > length(seq)
+                        THEN ''
+                        ELSE substr(seq, CAST(GREATEST(start, 1) AS INT),
+                                    CAST(LEAST(stop, length(seq))
+                                         - GREATEST(start, 1) + 1 AS INT))
+                   END AS chunk
+            FROM j
         """,
     }
 
