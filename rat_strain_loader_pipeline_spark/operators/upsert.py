@@ -45,6 +45,8 @@ def upsert_variants(
     existing: DataFrame,
     key: list[str] | None = None,
     id_col: str = "rgd_id",
+    distributed_ranking: bool = False,
+    stage_join: bool = False,
 ) -> DataFrame:
     """Assign ids to incoming rows: reuse on key match, allocate otherwise.
 
@@ -52,6 +54,20 @@ def upsert_variants(
     is deterministic: new distinct keys are ranked (dense_rank over the
     normalized key) and offset by max(existing id). Existing side only
     needs (key, id) — project before calling for a lean broadcast/shuffle.
+
+    ``distributed_ranking=False`` (default, right at batch scale): ONE
+    window pass; all new keys rank in a single window partition — one
+    task sorts every new key, no second pass over the join.
+
+    ``distributed_ranking=True`` (the 100 TB path): two-level ranking —
+    dense_rank within each leading-key group (chromosome) in parallel,
+    plus broadcast cumulative distinct-key offsets per group. Produces
+    IDENTICAL ids to the single-sort path (global dense rank over
+    (head, rest) ≡ per-head dense rank + Σ distinct keys of earlier
+    heads) while the sort parallelizes across chromosomes. Costs a
+    second (column-pruned, map-side-combined) pass over the join to
+    count distinct keys per group; ``stage_join=True`` lands the join in
+    a parquet stage barrier first so neither pass recomputes upstream.
     """
     key = key or NATURAL_KEY
     nk = [f"__k_{k}" for k in key]
@@ -67,6 +83,45 @@ def upsert_variants(
     joined = inc.join(ex, on=nk, how="left")
 
     max_id = existing.select(F.coalesce(F.max(id_col), F.lit(0)).alias("m"))
+    is_new = F.col("__existing_id").isNull()
+
+    if distributed_ranking and len(nk) > 1:
+        if stage_join:
+            from rat_strain_loader_pipeline_spark.staging import stage_to_parquet
+
+            joined = stage_to_parquet(joined, "upsert-join")
+        head, rest = nk[0], nk[1:]
+        # distinct new keys per leading-key group: column-pruned second
+        # pass, partial-agg'd map-side, shuffles only (head, count) rows
+        counts = (
+            joined.filter(F.col("__existing_id").isNull())
+            .groupBy(head)
+            .agg(F.count_distinct(F.struct(*[F.col(c) for c in rest])).alias("__n"))
+        )
+        # cumulative offsets over the tiny per-group table (rows = number
+        # of chromosomes — the single-partition window is on ~40 rows)
+        w_off = Window.orderBy(head).rowsBetween(Window.unboundedPreceding, -1)
+        offsets = counts.select(
+            F.col(head), F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__off")
+        )
+        # per-group dense rank: new rows of each chromosome sort in their
+        # own window partition — parallel across groups
+        w = Window.partitionBy(is_new, F.col("__existing_id"), F.col(head)).orderBy(*rest)
+        return (
+            joined.join(F.broadcast(offsets), on=head, how="left")
+            .crossJoin(F.broadcast(max_id))
+            .withColumn(
+                id_col,
+                F.when(~is_new, F.col("__existing_id"))
+                .otherwise(
+                    F.col("m") + F.coalesce(F.col("__off"), F.lit(0)) + F.dense_rank().over(w)
+                )
+                .cast("long"),
+            )
+            .withColumn("is_new", is_new)
+            .drop("m", "__off", "__existing_id", *nk)
+        )
+
     # dense_rank over the normalized key of unmatched rows — ties (same
     # key in the same batch) share a rank, so duplicates get the same new
     # id without a distinct+join-back round trip (the reference dedups
@@ -77,10 +132,6 @@ def upsert_variants(
     # All NEW rows land in the single (true, null) window partition and
     # get the global dense rank; matched rows scatter across tiny
     # per-existing-id partitions, so only the new keys pay a real sort.
-    # At very large new-key cardinality switch to two-level ranking
-    # (rank within chromosome + per-chr offsets) — new keys per load
-    # batch are bounded in practice.
-    is_new = F.col("__existing_id").isNull()
     w = Window.partitionBy(is_new, F.col("__existing_id")).orderBy(*nk)
     return (
         joined.crossJoin(F.broadcast(max_id))

@@ -65,3 +65,59 @@ def test_anti_insert_sample_details(spark):
     out = anti_insert(new_details, existing_details, ["rgd_id", "sample_id"])
     got = sorted((r["rgd_id"], r["sample_id"]) for r in out.collect())
     assert got == [(1001, 8), (1003, 7)]
+
+
+def test_distributed_ranking_matches_single_sort(spark):
+    """The 100 TB two-level ranking path (per-chromosome dense_rank +
+    broadcast cumulative offsets) must allocate byte-identical ids to
+    the single-window path, on a batch with multiple chromosomes, NULL
+    alleles, case variants, within-batch duplicates, and store matches."""
+    import random
+
+    rng = random.Random(11)
+    existing_rows = [
+        (2000 + i, str(c), p, p + 1, "A", "C", "snv")
+        for i, (c, p) in enumerate((c, p) for c in (1, 2) for p in range(0, 50, 10))
+    ]
+    existing = spark.createDataFrame(
+        existing_rows,
+        "rgd_id long, chromosome string, start_pos long, end_pos long, "
+        "ref_nuc string, var_nuc string, variant_type string",
+    )
+    nucs = ["A", "C", "g", "t", None]
+    incoming_rows = [
+        (
+            rng.choice(["1", "2", "3", "X", "MT"]),
+            rng.randrange(0, 60),
+            rng.randrange(0, 62),
+            rng.choice(nucs),
+            rng.choice(nucs),
+            rng.choice(["snv", "ins", "DEL"]),
+        )
+        for _ in range(300)
+    ]
+    incoming = spark.createDataFrame(
+        incoming_rows,
+        "chromosome string, start_pos long, end_pos long, "
+        "ref_nuc string, var_nuc string, variant_type string",
+    )
+
+    def key_of(r):
+        return (
+            r["chromosome"].upper(),
+            r["start_pos"],
+            r["end_pos"],
+            (r["ref_nuc"] or "\x00").upper(),
+            (r["var_nuc"] or "\x00").upper(),
+            r["variant_type"].upper(),
+        )
+
+    single = {key_of(r): (r["rgd_id"], r["is_new"]) for r in upsert_variants(incoming, existing).collect()}
+    for stage in (False, True):
+        dist = {
+            key_of(r): (r["rgd_id"], r["is_new"])
+            for r in upsert_variants(
+                incoming, existing, distributed_ranking=True, stage_join=stage
+            ).collect()
+        }
+        assert dist == single, f"stage_join={stage}"
