@@ -1,0 +1,143 @@
+"""Physical-plan assertions — the `.explain("formatted")` audit as tests.
+
+The scale argument for every headline operator lives in its plan shape:
+filters must reach the parquet scan, column pruning must shrink
+ReadSchema, dimension joins must broadcast, interval joins must stay
+equi-join (binned) instead of degrading to BroadcastNestedLoop, and
+aggregations must partial-aggregate map-side. These tests pin those
+properties so a refactor that silently degrades a plan fails CI, not a
+100 TB run.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _plan(df, mode: str = "formatted") -> str:
+    je = df._jdf.queryExecution()
+    jvm = df.sparkSession._jvm
+    return je.explainString(jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode))
+
+
+@pytest.fixture(scope="module")
+def queries():
+    import __spark_entry__ as em
+
+    return em.queries()
+
+
+def test_filter_pushdown_and_column_pruning(spark, sf_dir, queries):
+    plan = _plan(queries["filter_project"](spark, sf_dir))
+    # predicate reaches the parquet scan
+    assert "PushedFilters: [" in plan
+    assert "PushedFilters: []" not in plan
+    # pruning: the 16-col lineitem scan must not read unprojected columns
+    assert "l_comment" not in plan
+
+
+def test_broadcast_join_not_shuffle(spark, sf_dir, queries):
+    plan = _plan(queries["broadcast_join_agg"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_interval_join_broadcast_strategy(spark, sf_dir, queries):
+    """J1 dimension regime: with a broadcast-small interval side the
+    range join is a BroadcastNestedLoop over the broadcast build — the
+    intended plan (probe side never shuffles); a CartesianProduct or a
+    shuffled nested loop would be the regression."""
+    plan = _plan(queries["interval_join"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_interval_join_binned_is_equi_join(spark):
+    """J1 fact-×-fact regime: the binned interval join must plan as a
+    hash equi-join on (chr, bin) with a residual range filter — never a
+    nested loop, at any input size."""
+    from rat_strain_loader_pipeline_spark.operators.interval_join import (
+        interval_join_binned,
+    )
+
+    probe = spark.range(1000).select(
+        F.lit("1").alias("chromosome"),
+        F.col("id").alias("start_pos"),
+        (F.col("id") + 2).alias("end_pos"),
+    )
+    iv = spark.range(1000).select(
+        F.lit("1").alias("i_chr"),
+        (F.col("id") * 3).alias("i_start"),
+        (F.col("id") * 3 + 50).alias("i_stop"),
+    )
+    out = interval_join_binned(
+        probe,
+        iv,
+        probe_keys=("chromosome", "start_pos", "end_pos"),
+        interval_keys=("i_chr", "i_start", "i_stop"),
+        bin_size=64,
+    )
+    plan = _plan(out)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan  # Broadcast- or Shuffled-
+
+
+def test_genic_status_interval_flag_is_equi_join(spark, sf_dir, queries):
+    plan = _plan(queries["genic_status_fixup"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pricing_summary_partial_aggregation(spark, sf_dir, queries):
+    """A map-side partial HashAggregate must precede the final one —
+    the shuffle carries per-partition partials, not raw rows."""
+    df = queries["pricing_summary"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_sum" in plan  # map-side combine before the shuffle
+    assert plan.count("HashAggregate") >= 2
+    # codegen spans only materialize in the AQE final plan — execute the
+    # SAME QueryExecution (collect, not count) then re-read it; spans
+    # print as `*(n)` markers in the executed-plan string
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in final
+    assert "*(" in final  # whole-stage codegen stage markers
+
+
+def test_dna_chunk_extract_equi_join(spark, sf_dir, queries):
+    """S6 scale path: block random access must be an equi-join on
+    (chr, block_id), not a range nested loop over the genome."""
+    plan = _plan(queries["dna_chunk_extract"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_anti_join_stays_join_not_subquery(spark, sf_dir, queries):
+    plan = _plan(queries["anti_join"](spark, sf_dir))
+    assert "LeftAnti" in plan
+
+
+def test_upsert_distributed_ranking_avoids_single_partition_exchange(spark):
+    """The two-level ranking path must not plan a global
+    Exchange SinglePartition for the new-key sort (the default path
+    does — that is exactly its documented scale limit)."""
+    from rat_strain_loader_pipeline_spark.operators.upsert import upsert_variants
+
+    incoming = spark.createDataFrame(
+        [("1", 10, 11, "A", "C", "snv"), ("2", 20, 21, "G", "T", "snv")],
+        "chromosome string, start_pos long, end_pos long, ref_nuc string, "
+        "var_nuc string, variant_type string",
+    )
+    existing = spark.createDataFrame(
+        [],
+        "rgd_id long, chromosome string, start_pos long, end_pos long, "
+        "ref_nuc string, var_nuc string, variant_type string",
+    )
+    dist = _plan(upsert_variants(incoming, existing, distributed_ranking=True))
+    # the ranking window partitions by the leading key — hash exchange,
+    # and the only single-partition exchange allowed is the tiny
+    # per-chromosome offsets window, whose input is the count aggregate
+    ranking_side = dist.split("Window")[0] if "Window" in dist else dist
+    assert "hashpartitioning" in ranking_side.lower() or "Exchange" not in ranking_side
