@@ -24,7 +24,6 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
 from rat_strain_loader_pipeline_spark.functions.variant import (
     end_pos,
@@ -229,14 +228,37 @@ def load_variants(
     existing_variant: DataFrame,
     existing_map_data: DataFrame,
     existing_sample_detail: DataFrame,
+    distributed_ranking: bool = False,
 ) -> LoadResult:
     """The saveVariants upsert (VariantLoad3.java:479-589) as joins.
 
     ``existing_variant`` needs (rgd_id + natural key via map join) — pass
     the store's variant⋈variant_map_data projection; empty DataFrames with
     the right schema are fine for a fresh store.
+
+    ``distributed_ranking=True`` switches id allocation to the
+    per-chromosome two-level ranking (identical ids, parallel sort) —
+    the right setting when a load batch's new-key count outgrows a
+    single task's sort (see upsert_variants).
+
+    The upsert output feeds four consumers (three store tables + the
+    counter aggregate), so it lands in a parquet stage barrier: measured
+    ~15x faster than a columnar ``.cache()`` at sf0.1 (staging.py) and
+    the honest cluster design — the reference lands every stage in
+    staging tables too.
     """
-    with_ids = upsert_variants(derived, existing_variant, key=NATURAL_KEY).cache()
+    from rat_strain_loader_pipeline_spark.staging import stage_to_parquet
+
+    with_ids = stage_to_parquet(
+        upsert_variants(
+            derived,
+            existing_variant,
+            key=NATURAL_KEY,
+            distributed_ranking=distributed_ranking,
+            stage_join=distributed_ranking,
+        ),
+        "load-with-ids",
+    )
 
     new_variant = (
         with_ids.filter(F.col("is_new"))
@@ -271,9 +293,16 @@ def load_variants(
         ["rgd_id", "sample_id"],
     )
 
+    # counter reconciliation (VariantLoad3.java:154-168) in ONE action
+    # over the stage — not three separate counts
+    crow = with_ids.agg(
+        F.count(F.lit(1)).alias("rows_in"),
+        F.count_distinct(F.when(F.col("is_new"), F.col("rgd_id"))).alias("new_ids"),
+        F.sum((~F.col("is_new")).cast("long")).alias("matched"),
+    ).collect()[0]
     counters = {
-        "rows_in": with_ids.count(),
-        "rows_new_variants": new_variant.count(),
-        "rows_already_in_rgd": with_ids.filter(~F.col("is_new")).count(),
+        "rows_in": int(crow["rows_in"]),
+        "rows_new_variants": int(crow["new_ids"] or 0),
+        "rows_already_in_rgd": int(crow["matched"] or 0),
     }
     return LoadResult(new_variant, new_map_data, sample_detail, counters)
