@@ -1967,6 +1967,47 @@ def q_gwas_vcf_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_polyphen_fasta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PolyphenFasta tool (PolyphenFasta.java:84-152): extract distinct
+    missing-protein acc ids from run logs, broadcast-join sequences,
+    emit 70-char-wrapped FASTA; sequence-less accs kept flagged."""
+    from rat_strain_loader_pipeline_spark.pipelines.polyphen import (
+        polyphen_fasta_for_missing,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey").cast("long")
+    line = (
+        F.when(
+            k % 3 == 0,
+            F.concat(
+                F.lit("ERROR: Unable to locate protein entry NP_"),
+                (k % 500).cast("string"),
+                F.lit(" while querying"),
+            ),
+        )
+        .when(k % 3 == 1, F.concat(F.lit("INFO: processed "), k.cast("string")))
+        .otherwise(
+            F.concat(
+                F.lit("ERROR: Unable to locate protein entry NP_"),
+                ((k + 1) % 700).cast("string"),
+                F.lit(" (dup check)"),
+            )
+        )
+    )
+    logs = o.select(line.alias("line"))
+    s = _t(spark, sf_dir, "supplier")
+    sk = F.col("s_suppkey").cast("long")
+    acc_num = sk % 600
+    seqs = s.select(
+        F.concat(F.lit("NP_"), acc_num.cast("string")).alias("protein_acc_id"),
+        F.substring(
+            F.repeat(F.lit("MKVLAWYQR"), 20), 1, (acc_num % 150 + 10).cast("int")
+        ).alias("protein_seq"),
+    ).distinct()
+    return polyphen_fasta_for_missing(logs, seqs)
+
+
 def q_dna_chunk_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6 scale path: FastaParser.getSequence as a distributed block-table
     equi-join (fasta_blocks/dna_chunks) — no chromosome broadcast, both
@@ -2064,6 +2105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strain_chr_counts": q_strain_chr_counts,
         "gwas_vcf_lines": q_gwas_vcf_lines,
         "dna_chunk_extract": q_dna_chunk_extract,
+        "polyphen_fasta": q_polyphen_fasta,
     }
 
 
@@ -3228,6 +3270,41 @@ def oracle_sql() -> dict[str, str]:
                                          - GREATEST(start, 1) + 1 AS INT))
                    END AS chunk
             FROM j
+        """,
+        "polyphen_fasta": r"""
+            WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS k FROM orders),
+            logs AS (
+              SELECT CASE
+                       WHEN k%3=0 THEN 'ERROR: Unable to locate protein entry NP_'
+                                       ||CAST(k%500 AS VARCHAR)||' while querying'
+                       WHEN k%3=1 THEN 'INFO: processed '||CAST(k AS VARCHAR)
+                       ELSE 'ERROR: Unable to locate protein entry NP_'
+                            ||CAST((k+1)%700 AS VARCHAR)||' (dup check)'
+                     END AS line
+              FROM o
+            ),
+            accs AS (
+              SELECT DISTINCT regexp_extract(
+                       line, 'ERROR: Unable to locate protein entry (\S+) ', 1
+                     ) AS protein_acc_id
+              FROM logs
+              WHERE line LIKE 'ERROR: Unable to locate protein entry %'
+            ),
+            seqs AS (
+              SELECT DISTINCT 'NP_'||CAST(s_suppkey%600 AS VARCHAR) AS protein_acc_id,
+                     substr(repeat('MKVLAWYQR', 20), 1,
+                            (s_suppkey%600)%150+10) AS protein_seq
+              FROM supplier
+            )
+            SELECT a.protein_acc_id,
+                   s.protein_seq IS NOT NULL AS found,
+                   CASE WHEN s.protein_seq IS NOT NULL
+                        THEN '>'||a.protein_acc_id||chr(10)
+                             ||rtrim(regexp_replace(s.protein_seq,
+                                     '(.{1,70})', '\1'||chr(10), 'g'), chr(10))
+                   END AS fasta
+            FROM accs a LEFT JOIN seqs s USING (protein_acc_id)
+            WHERE a.protein_acc_id <> ''
         """,
     }
 

@@ -10,6 +10,11 @@ Spark-first: recompute the column, compare, and overwrite — a fixup is
 ``recompute(derivation).withColumn(changed)``. Running any fixup twice
 changes nothing (idempotence — the engine's own consistency check).
 Each returns (patched_df, counters).
+
+The standalone UpdateVariantStatus tool (UpdateVariantStatus.java:15-66,
+batched ``UPDATE variant SET genic_status`` by id list, batch 1000) is
+subsumed by ``genic_status_fixup``: under Spark the id-list UPDATE is the
+same recompute-and-overwrite join, and JDBC batching is a sink option.
 """
 
 from __future__ import annotations

@@ -19,6 +19,12 @@ Import (PolyphenLoader.java:85-210):
 
 The external PolyPhen-2 binary is out of scope — the file interface is
 the contract (mocked in tests).
+
+PolyphenLoader2 (PolyphenLoader2.java:80-210) parses the same 55-column
+TSV with a wider named-column subset into a sample-keyed table — the
+positional parse here (``parse_polyphen_results``, POLYPHEN_RESULT_COLS)
+covers both loaders; widening the subset is adding dict entries.
+PolyphenFasta is ``polyphen_fasta_for_missing`` below.
 """
 
 from __future__ import annotations
@@ -88,6 +94,46 @@ def wrap_fasta_70(header: Column, seq: Column) -> Column:
     """70-char-wrapped FASTA record (Polyphen.java:241-251)."""
     chunks = F.regexp_extract_all(seq, F.lit("(.{1,70})"), 1)
     return F.concat(F.lit(">"), header, F.lit("\n"), F.array_join(chunks, "\n"))
+
+
+_MISSING_PROTEIN_PATTERN = "ERROR: Unable to locate protein entry "
+
+
+def polyphen_fasta_for_missing(
+    log_lines: DataFrame, protein_seqs: DataFrame
+) -> DataFrame:
+    """The PolyphenFasta tool (PolyphenFasta.java:84-152): scan PolyPhen
+    run logs for 'ERROR: Unable to locate protein entry <acc> ...'
+    lines, extract the DISTINCT protein acc ids (readProteinAccIds,
+    :128-151, acc = token up to the next space), join their sequences
+    and emit 70-char-wrapped FASTA records. Accs without a sequence are
+    kept with found=false (the reference logs and skips them,
+    :101-105). The reference shuffles acc order for cluster balance —
+    obsolete under Spark partitioning.
+
+    ``log_lines``: (line string). ``protein_seqs``: (protein_acc_id,
+    protein_seq) — dimension-sized, broadcast.
+    Returns (protein_acc_id, found, fasta|NULL).
+    """
+    accs = (
+        log_lines.filter(F.col("line").startswith(_MISSING_PROTEIN_PATTERN))
+        .select(
+            F.regexp_extract(
+                F.col("line"), _MISSING_PROTEIN_PATTERN + r"(\S+) ", 1
+            ).alias("protein_acc_id")
+        )
+        .filter(F.col("protein_acc_id") != "")
+        .distinct()
+    )
+    j = accs.join(F.broadcast(protein_seqs), "protein_acc_id", "left")
+    return j.select(
+        "protein_acc_id",
+        F.col("protein_seq").isNotNull().alias("found"),
+        F.when(
+            F.col("protein_seq").isNotNull(),
+            wrap_fasta_70(F.col("protein_acc_id"), F.col("protein_seq")),
+        ).alias("fasta"),
+    )
 
 
 def flank_match_qc(

@@ -212,7 +212,13 @@ def merge_sample_metadata(sample: DataFrame, metadata: DataFrame, key: str = "sa
 def vcf_output_lines(df: DataFrame) -> DataFrame:
     """K5/W3: hand-built 8-col VCF data lines, sorted (chr, pos, id
     case-insensitive) like ClinVar2Vcf.java:148-202. Returns one 'line'
-    column, globally ordered."""
+    column, globally ordered.
+
+    Also the live surface of DbSnp2Vcf: its entire per-row pipeline
+    (HGVS preferred-name parse, ref/var QC, strandedness) is commented
+    out in the snapshot (DbSnp2Vcf.java:79-120 — the loop body is one
+    block comment), so the tool's effective behavior is the VCF
+    header/line writer plus counters, which this covers."""
     return (
         df.orderBy(
             F.col("chrom"), F.col("pos").cast("long"), F.lower(F.col("id"))

@@ -107,3 +107,33 @@ def test_flank_match_qc(spark):
     assert out[1] is True
     assert out[2] is False
     assert out[3] is False
+
+
+def test_polyphen_fasta_for_missing(spark):
+    """PolyphenFasta: acc extraction (token up to next space), distinct,
+    sequence join, 70-char wrap; unmatched acc flagged not dropped."""
+    from rat_strain_loader_pipeline_spark.pipelines.polyphen import (
+        polyphen_fasta_for_missing,
+    )
+
+    logs = spark.createDataFrame(
+        [
+            ("ERROR: Unable to locate protein entry NP_1 while processing",),
+            ("ERROR: Unable to locate protein entry NP_1 again",),  # dup acc
+            ("ERROR: Unable to locate protein entry NP_2 x",),
+            ("ERROR: Unable to locate protein entry NP_9 y",),  # no sequence
+            ("ERROR: Unable to locate protein entry NP_3",),  # no trailing space → dropped
+            ("INFO: all good",),
+        ],
+        "line string",
+    )
+    seqs = spark.createDataFrame(
+        [("NP_1", "M" * 75), ("NP_2", "KV"), ("NP_8", "AA")],
+        "protein_acc_id string, protein_seq string",
+    )
+    out = {r["protein_acc_id"]: r for r in polyphen_fasta_for_missing(logs, seqs).collect()}
+    assert set(out) == {"NP_1", "NP_2", "NP_9"}
+    assert out["NP_1"]["found"] and out["NP_2"]["found"] and not out["NP_9"]["found"]
+    assert out["NP_1"]["fasta"] == ">NP_1\n" + "M" * 70 + "\n" + "M" * 5
+    assert out["NP_2"]["fasta"] == ">NP_2\nKV"
+    assert out["NP_9"]["fasta"] is None
