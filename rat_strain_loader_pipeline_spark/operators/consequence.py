@@ -315,13 +315,21 @@ def variant_transcript_consequences(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         seqs = fasta_broadcast.value
+        # the feature array is identical for every variant of a
+        # transcript — convert Arrow structs → tuples once per
+        # (batch, transcript), not once per row
+        feats_memo: dict[int, list[tuple[str, str, int, int]]] = {}
         for pdf in batches:
             out = []
             for row in pdf.itertuples(index=False):
-                feats_list = [
-                    (f["object_name"], f["strand"], int(f["start_pos"]), int(f["stop_pos"]))
-                    for f in row.feats
-                ]
+                tid = int(row.transcript_rgd_id)
+                feats_list = feats_memo.get(tid)
+                if feats_list is None:
+                    feats_list = [
+                        (f["object_name"], f["strand"], int(f["start_pos"]), int(f["stop_pos"]))
+                        for f in row.feats
+                    ]
+                    feats_memo[tid] = feats_list
                 res = compute_consequence(
                     int(row.start_pos),
                     int(row.end_pos),
