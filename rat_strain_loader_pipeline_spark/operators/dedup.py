@@ -151,6 +151,7 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     jaccard_threshold: float = 0.5,
     seed: int = 42,
+    hot_bucket_cap: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via banded minhash-LSH + exact-Jaccard verify.
 
@@ -160,6 +161,16 @@ def minhash_lsh_pairs(
     all-pairs) → distinct candidate pairs → exact Jaccard on the SAME
     staged hash arrays → threshold filter. Returns (id_a, id_b, jaccard)
     with id_a < id_b.
+
+    ``hot_bucket_cap``: the 100 TB guard. A bucket with n members emits
+    n(n-1)/2 candidate pairs — web-scale corpora have boilerplate
+    buckets with 1e5+ near-identical members, which quadratically
+    dominates the whole job. With a cap, buckets larger than it switch
+    to star topology: every member pairs with the bucket's min id only
+    (O(n) pairs). Pair ENUMERATION inside oversized buckets becomes
+    incomplete, but dedup-survivor semantics are preserved — every
+    member still verifies (exact Jaccard) against the representative it
+    would transitively collapse into. None (default) = exact all-pairs.
     """
     rows_per_band = num_hashes // bands
     hashes = shingle_hashes(docs, text_col, id_col, shingle_n, stage=True)
@@ -182,6 +193,20 @@ def minhash_lsh_pairs(
         ).alias("band", "band_sig"),
     )
 
+    hot_pairs = None
+    if hot_bucket_cap is not None:
+        # bucket size + representative in one window pass over the same
+        # (band, band_sig) partitioning the join shuffles on anyway
+        w = Window.partitionBy("band", "band_sig")
+        sized = banded.withColumn("__n", F.count(F.lit(1)).over(w)).withColumn(
+            "__rep", F.min(id_col).over(w)
+        )
+        hot_pairs = (
+            sized.filter((F.col("__n") > hot_bucket_cap) & (F.col(id_col) != F.col("__rep")))
+            .select(F.col("__rep").alias("id_a"), F.col(id_col).alias("id_b"))
+        )
+        banded = sized.filter(F.col("__n") <= hot_bucket_cap).drop("__n", "__rep")
+
     a = banded.alias("a")
     b = banded.alias("b")
     candidates = (
@@ -194,9 +219,10 @@ def minhash_lsh_pairs(
             ],
         )
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .dropDuplicates()
     )
-    return _verify_jaccard(candidates, hashes, id_col, jaccard_threshold)
+    if hot_pairs is not None:
+        candidates = candidates.unionByName(hot_pairs)
+    return _verify_jaccard(candidates.dropDuplicates(), hashes, id_col, jaccard_threshold)
 
 
 def _verify_jaccard(

@@ -180,3 +180,29 @@ def test_embedding_near_dup_zero_norm_excluded(spark):
     )
     got = {(r.a_id, r.b_id) for r in embedding_near_dup_pairs(df, threshold=0.9).collect()}
     assert got == {(1, 2)}
+
+
+def test_minhash_hot_bucket_cap(spark):
+    """100 TB guard: a boilerplate group larger than the cap must emit
+    O(n) star pairs to its min-id representative instead of n(n-1)/2,
+    and survivors after collapsing pairs must be unchanged."""
+    from rat_strain_loader_pipeline_spark.operators.dedup import minhash_lsh_pairs
+
+    boiler = [(i, "the same boilerplate sentence repeated verbatim here") for i in range(40)]
+    distinct = [
+        (100 + i, f"a genuinely unique document number {i} with its own words {i*7}")
+        for i in range(5)
+    ]
+    docs = spark.createDataFrame(boiler + distinct, "doc_id long, text string")
+
+    capped = minhash_lsh_pairs(docs, hot_bucket_cap=8).collect()
+    # star topology: every boilerplate member pairs with doc 0 only
+    pairs = {(r["id_a"], r["id_b"]) for r in capped}
+    assert pairs == {(0, i) for i in range(1, 40)}
+    assert all(r["jaccard"] == 1.0 for r in capped)
+
+    # exact (uncapped) run finds the same duplicate MEMBERSHIP
+    exact = minhash_lsh_pairs(docs).collect()
+    dup_members_exact = {r["id_a"] for r in exact} | {r["id_b"] for r in exact}
+    dup_members_capped = {r["id_a"] for r in capped} | {r["id_b"] for r in capped}
+    assert dup_members_capped == dup_members_exact == set(range(40))
