@@ -409,6 +409,24 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, qvec, k=10)
 
 
+def q_embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k at nprobe = n_lists — the partition-completeness
+    configuration: inverted lists must tile the corpus exactly, so the
+    result hash-matches the brute-force oracle. Smaller nprobe is the
+    recall-traded scale path (unit-tested)."""
+    from rat_strain_loader_pipeline_spark.operators.similarity import (
+        ivf_assign,
+        ivf_topk,
+        ivf_train_centroids,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    cent = ivf_train_centroids(emb, n_lists=8, sample_size=512, iters=5)
+    assigned = ivf_assign(emb, cent)
+    return ivf_topk(assigned, cent, qvec, k=10, nprobe=8)
+
+
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs (rows-only check: xxhash64 has no
     DuckDB equivalent; validated by dedicated tests instead)."""
@@ -2060,6 +2078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_topk_lsh": q_embedding_topk_lsh,
+        "embedding_topk_ivf": q_embedding_topk_ivf,
         "variant_load_pipeline": q_variant_load_pipeline,
         "distinct_groups": q_distinct_groups,
         "melt_unpivot": q_melt_unpivot,
@@ -2645,6 +2664,21 @@ def oracle_sql() -> dict[str, str]:
             FROM p
         """,
         "embedding_topk": """
+            WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+            scored AS (
+                SELECT vec_id,
+                       list_sum(list_transform(range(1, len(embedding)+1),
+                                i -> embedding[i]::DOUBLE * qv[i]))
+                       / (sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x)))
+                          * sqrt(list_sum(list_transform(qv, x -> x*x)))) AS raw
+                FROM embeddings, q
+            )
+            SELECT vec_id, round(raw, 4) AS cosine
+            FROM scored
+            ORDER BY raw DESC, vec_id ASC
+            LIMIT 10
+        """,
+        "embedding_topk_ivf": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
             scored AS (
                 SELECT vec_id,

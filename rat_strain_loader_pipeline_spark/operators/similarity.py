@@ -8,6 +8,13 @@
 - lsh_bucketed_topk: scale path — random-hyperplane LSH buckets the
                     corpus once; a query only scores its bucket (and
                     neighbors via multi-probe). Recall < 1, tunable.
+- ivf_train_centroids / ivf_assign / ivf_topk: the IVF scale path —
+                    spherical k-means coarse quantizer trained on a
+                    driver-sized sample, corpus assigned to inverted
+                    lists (write partitioned by list_id), queries probe
+                    the nprobe nearest lists only. nprobe = n_lists
+                    degenerates to exact (the partition-completeness
+                    check); smaller nprobe trades recall for pruning.
 - pairwise_topk_join: all-pairs top-k between two small/medium sets via
                     block nested join — candidate stage for kNN graphs.
 """
@@ -118,6 +125,113 @@ def lsh_bucketed_topk(
 
     bucketed = embeddings.withColumn("bucket", lsh_bucket_expr(F.col(vec_col), planes))
     candidates = bucketed.filter(F.col("bucket").isin(*probes))
+    return brute_force_topk(candidates, query_vec, k, id_col, vec_col)
+
+
+def ivf_train_centroids(
+    embeddings: DataFrame,
+    n_lists: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    sample_size: int = 4096,
+    iters: int = 10,
+):
+    """Train an IVF coarse quantizer: spherical k-means on a
+    deterministic sample (the standard IVF recipe — train on a sample,
+    assign the full corpus; the sample fits the driver by construction).
+
+    Returns a (n_lists, dim) numpy array of UNIT centroids. Empty
+    clusters re-seed deterministically from the sample. Deterministic
+    for a given (seed, corpus): the sample is the first ``sample_size``
+    rows by ``id_col``.
+    """
+    import numpy as np
+
+    rows = (
+        embeddings.orderBy(id_col).limit(sample_size).select(vec_col).collect()
+    )
+    x = np.array([r[0] for r in rows], dtype=np.float64)
+    n = np.sqrt((x * x).sum(axis=1))
+    n[n == 0] = 1.0
+    x = x / n[:, None]
+    rng = np.random.RandomState(seed)
+    cent = x[rng.choice(len(x), size=min(n_lists, len(x)), replace=False)]
+    for _ in range(iters):
+        assign = (x @ cent.T).argmax(axis=1)
+        for j in range(len(cent)):
+            members = x[assign == j]
+            if len(members) == 0:  # re-seed empty list
+                cent[j] = x[rng.randint(len(x))]
+                continue
+            m = members.mean(axis=0)
+            nm = np.sqrt((m * m).sum())
+            cent[j] = m / nm if nm > 0 else cent[j]
+    return cent
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its nearest (max cosine) centroid list.
+
+    Vectorized: the small centroid matrix rides into each task (numpy
+    matmul per Arrow batch); at corpus scale the output is written
+    partitioned by ``list_id`` ONCE so queries prune file-level.
+    Adds ``list_id int``.
+    """
+    import numpy as np
+    import pandas as pd
+
+    cent = centroids
+    out_schema = f"{id_col} long, {vec_col} array<double>, list_id int"
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            a = np.array(list(pdf[vec_col]), dtype=np.float64)
+            an = np.sqrt((a * a).sum(axis=1))
+            an[an == 0] = 1.0
+            lists = ((a / an[:, None]) @ cent.T).argmax(axis=1).astype(np.int32)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(dtype=np.int64),
+                    vec_col: [list(map(float, v)) for v in pdf[vec_col]],
+                    "list_id": lists,
+                }
+            )
+
+    return embeddings.select(id_col, vec_col).mapInPandas(run, schema=out_schema)
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF query: score only the members of the ``nprobe`` centroid
+    lists nearest the query — the FAISS-style scale path (recall
+    tunable via nprobe; nprobe = n_lists degenerates to exact).
+
+    ``assigned``: output of ``ivf_assign`` (ideally read back from a
+    list_id-partitioned store so the ``isin`` filter prunes files).
+    """
+    import numpy as np
+
+    q = np.array(query_vec, dtype=np.float64)
+    qn = np.sqrt((q * q).sum())
+    if qn > 0:
+        q = q / qn
+    probes = [int(i) for i in (centroids @ q).argsort()[::-1][:nprobe]]
+    candidates = assigned.filter(F.col("list_id").isin(*probes))
     return brute_force_topk(candidates, query_vec, k, id_col, vec_col)
 
 

@@ -206,3 +206,32 @@ def test_minhash_hot_bucket_cap(spark):
     dup_members_exact = {r["id_a"] for r in exact} | {r["id_b"] for r in exact}
     dup_members_capped = {r["id_a"] for r in capped} | {r["id_b"] for r in capped}
     assert dup_members_capped == dup_members_exact == set(range(40))
+
+
+def test_ivf_full_probe_exact_and_recall(spark, sf_dir):
+    """IVF: full probe equals brute force exactly (lists tile the
+    corpus); nprobe=2 of 8 keeps high recall on the real embeddings."""
+    from rat_strain_loader_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_assign,
+        ivf_topk,
+        ivf_train_centroids,
+    )
+    from rat_strain_loader_pipeline_spark.sources.tables import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    cent = ivf_train_centroids(emb, n_lists=8, sample_size=256, iters=5)
+    assigned = ivf_assign(emb, cent)
+
+    # inverted lists partition the corpus exactly
+    assert assigned.count() == emb.count()
+    assert assigned.select("vec_id").distinct().count() == emb.count()
+
+    exact = [(r["vec_id"], r["cosine"]) for r in brute_force_topk(emb, qvec, k=10).collect()]
+    full = [(r["vec_id"], r["cosine"]) for r in ivf_topk(assigned, cent, qvec, k=10, nprobe=8).collect()]
+    assert full == exact
+
+    probed = {r["vec_id"] for r in ivf_topk(assigned, cent, qvec, k=10, nprobe=2).collect()}
+    recall = len(probed & {v for v, _ in exact}) / 10
+    assert recall >= 0.5, recall
