@@ -380,6 +380,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         T.token_count(F.col("text")).alias("n_tokens"),
+        T.bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"),
         T.char_count(F.col("text")).alias("n_chars_computed"),
         T.avg_word_len(F.col("text")).alias("avg_word_len"),
         T.punct_ratio(F.col("text")).alias("punct_ratio"),
@@ -2520,6 +2521,9 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": f"""
             SELECT doc_id,
                    CAST(len({_TOKENS_CASED_SQL}) AS BIGINT) AS n_tokens,
+                   CAST(len(regexp_extract_all(text,
+                        '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9'']+|\\s+'))
+                        AS BIGINT) AS n_bpe_tokens,
                    CAST(len(text) AS BIGINT) AS n_chars_computed,
                    CASE WHEN len({_TOKENS_CASED_SQL}) > 0
                         THEN round(CAST(list_sum(list_transform({_TOKENS_CASED_SQL}, t -> len(t))) AS DOUBLE)

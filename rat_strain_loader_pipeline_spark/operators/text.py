@@ -41,6 +41,24 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text)).cast("bigint")
 
 
+# GPT-2-style pretokenizer shape, constrained to the RE2-compatible
+# subset (no lookahead) so Spark (Java regex) and DuckDB (RE2) agree:
+# contraction suffixes | space?+letters | space?+digits | space?+other | runs of space.
+BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9']+|\s+"
+
+
+def bpe_ish_tokens(text: Column) -> Column:
+    """BPE-style pretokens (the LLM-token-budget estimator): splits off
+    contraction suffixes, keeps a leading space attached to word/number/
+    punctuation runs — a faithful proxy for byte-BPE segment counts
+    without a merges table."""
+    return F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), 0)
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    return F.size(bpe_ish_tokens(text)).cast("bigint")
+
+
 def char_count(text: Column) -> Column:
     return F.length(text).cast("bigint")
 

@@ -132,3 +132,27 @@ def test_adjust_for_indels(spark):
         assert r["o_ref_nuc"] == r["e_ref"]
         assert r["o_var_nuc"] == r["e_var"]
         assert r["o_padding_base"] == r["e_pad"]
+
+
+def test_bpe_ish_token_count(spark):
+    """BPE-style pretokens: contractions split, leading spaces attach to
+    the following run, punctuation separates."""
+    from rat_strain_loader_pipeline_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [
+            (1, "it's fine"),      # [it]['s][ fine] = 3
+            (2, "hello,  world"),  # [hello][,][ ][ world]  -- ' ?' takes one space, '\s+' the rest... see below
+            (3, "a1b2"),           # [a][1][b][2] = 4
+            (4, ""),               # 0
+        ],
+        "id long, text string",
+    )
+    out = {r["id"]: r["n"] for r in df.select("id", T.bpe_ish_token_count(F.col("text")).alias("n")).collect()}
+    assert out[1] == 3
+    assert out[3] == 4
+    assert out[4] == 0
+    # cross-check row 2 against a hand regex (pattern is the contract)
+    import re
+    n2 = len(re.findall(r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9']+|\s+", "hello,  world"))
+    assert out[2] == n2
