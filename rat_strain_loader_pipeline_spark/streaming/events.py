@@ -56,6 +56,89 @@ def dedup_within_watermark(events: DataFrame, keys: list[str], watermark: str = 
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
 
 
+SESSION_STATE_SCHEMA = "start_ms long, last_ms long, n long"
+SESSION_OUTPUT_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, n_events long"
+)
+
+
+def sessionize_stateful(
+    events: DataFrame, gap_seconds: int = 1800, watermark: str = "2 hours"
+) -> DataFrame:
+    """Gap-based session windows as a CUSTOM stateful streaming operator
+    (applyInPandasWithState — the §2.8 extension surface beyond built-in
+    windowed aggs).
+
+    State per user = the one open session (start_ms, last_ms, n).
+    A session closes as soon as an event arrives more than
+    ``gap_seconds`` after the previous one (emitted immediately); idle
+    sessions emit on EVENT-TIME TIMEOUT once the watermark passes
+    last_event + gap, so state size stays bounded by active users, not
+    history. Semantics match the batch sessionizer
+    (__spark_entry__.q_events_sessionize): same gap rule, sessions
+    counted per user.
+    """
+    import pandas as pd
+
+    gap_ms = int(gap_seconds) * 1000
+
+    def fn(key, pdfs, state):
+        if state.hasTimedOut:
+            start_ms, last_ms, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "session_start": [pd.Timestamp(start_ms, unit="ms")],
+                    "session_end": [pd.Timestamp(last_ms, unit="ms")],
+                    "n_events": [n],
+                }
+            )
+            return
+        ts: list = []
+        for pdf in pdfs:
+            ts.extend(pdf["ts"].tolist())
+        ts.sort()
+        if state.exists:
+            start_ms, last_ms, n = state.get
+        else:
+            start_ms, last_ms, n = None, None, 0
+        closed: list[tuple[int, int, int]] = []
+        for t in ts:
+            t_ms = int(t.value // 1_000_000)
+            if last_ms is not None and t_ms - last_ms > gap_ms:
+                closed.append((start_ms, last_ms, n))
+                start_ms, n = None, 0
+            if start_ms is None:
+                start_ms = t_ms
+            last_ms = t_ms
+            n += 1
+        state.update((start_ms, last_ms, n))
+        # timeout must sit beyond the current watermark
+        state.setTimeoutTimestamp(max(last_ms + gap_ms, state.getCurrentWatermarkMs() + 1))
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": key[0],
+                    "session_start": [pd.Timestamp(s, unit="ms") for s, _, _ in closed],
+                    "session_end": [pd.Timestamp(e, unit="ms") for _, e, _ in closed],
+                    "n_events": [c for _, _, c in closed],
+                }
+            )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            SESSION_OUTPUT_SCHEMA,
+            SESSION_STATE_SCHEMA,
+            "append",
+            "EventTimeTimeout",
+        )
+    )
+
+
 def write_upsert_foreach_batch(stream_df: DataFrame, store_path: str, checkpoint: str, key: list[str]):
     """Load stage as foreachBatch: per micro-batch anti-join against the
     store then append — the incremental K2 conditional insert."""

@@ -80,3 +80,49 @@ def test_streaming_dedup_and_upsert(spark, tmp_path, sf_dir):
     ).start()
     q2.awaitTermination(120)
     assert spark.read.parquet(store).count() == n_src
+
+
+def test_stateful_sessionize(spark, tmp_path):
+    """applyInPandasWithState sessionizer: a >gap event closes and emits
+    the previous session within the batch; open sessions stay in state."""
+    import datetime as dt
+
+    from rat_strain_loader_pipeline_spark.streaming.events import sessionize_stateful
+
+    t0 = dt.datetime(2026, 1, 1, 8, 0, 0)
+
+    def ev(eid, uid, minutes):
+        return (eid, t0 + dt.timedelta(minutes=minutes), uid, "click", 1.0, "{}")
+
+    rows = [
+        ev(1, 1, 0),       # user 1 session A
+        ev(2, 1, 10),      # still session A
+        ev(3, 1, 120),     # > 30 min gap → closes A (2 events), opens B
+        ev(4, 1, 125),     # session B
+        ev(5, 2, 0),       # user 2: single open session, never closes
+    ]
+    src = str(tmp_path / "events-src")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).parquet(src)
+    out = sessionize_stateful(stream, gap_seconds=1800)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessions_test")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from sessions_test").collect()
+    assert len(got) == 1
+    s = got[0]
+    assert s["user_id"] == 1
+    assert s["n_events"] == 2
+    assert s["session_start"] == t0
+    assert s["session_end"] == t0 + dt.timedelta(minutes=10)
