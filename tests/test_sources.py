@@ -194,3 +194,39 @@ def test_parse_snpeff_ann(spark):
     assert out[0][3] == "Gene1"
     assert out[1][1] == "synonymous_variant"
     assert out[1][8] is None  # empty field → NULL
+
+
+def test_cf2_write_roundtrip(spark, tmp_path):
+    """K4 writer: per-strain partitioned gzip TSV reads back identically
+    through the S1 reader (NULL ↔ '' encoding preserved for indels)."""
+    import os
+
+    from rat_strain_loader_pipeline_spark.sources.cf2 import (
+        cf2_from_rows,
+        read_cf2,
+        write_cf2,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        ("1", 100, "A", "C", "rs1", 1, 2, 3, 4, 10, None, 77, 5, 1, 9, None),
+        ("1", 200, None, "TT", None, 0, 0, 0, 0, 8, "h1", 78, 4, 1, 8, "G"),
+        ("X", 300, "GG", None, None, 1, 1, 1, 1, 12, None, 79, 6, 2, 11, "T"),
+    ]
+    df = cf2_from_rows(spark, rows)
+    tagged = df.withColumn(
+        "strain", F.when(F.col("position") < 250, "S1").otherwise("S2")
+    )
+    out = str(tmp_path / "cf2-out")
+    write_cf2(tagged, out, partition_by_strain=True)
+
+    assert sorted(d for d in os.listdir(out) if d.startswith("strain=")) == [
+        "strain=S1",
+        "strain=S2",
+    ]
+    back = read_cf2(spark, os.path.join(out, "strain=S1"))
+    got = sorted(tuple(r) for r in back.collect())
+    assert got == sorted(r for r in rows if r[1] < 250)
+    # gzip files actually produced
+    files = os.listdir(os.path.join(out, "strain=S1"))
+    assert any(f.endswith(".csv.gz") for f in files)
