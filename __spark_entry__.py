@@ -1828,6 +1828,16 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample_plan(media, every_ms=500)
 
 
+def q_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio segmentation plan: overlapping 5s/2s-hop windows from
+    metadata only (duration, sample_rate) — the audio twin of the video
+    frame-sample stage."""
+    from rat_strain_loader_pipeline_spark.operators.multimodal import audio_segment_plan
+
+    media = _synth_media(spark, sf_dir)
+    return audio_segment_plan(media, window_ms=5000, hop_ms=2000)
+
+
 def q_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image resize planning: aspect-preserving target dimensions,
     metadata-only arithmetic."""
@@ -2120,6 +2130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "frame_sample": q_frame_sample,
         "resize_plan": q_resize_plan,
+        "audio_segments": q_audio_segments,
         "frameshift_fixup": q_frameshift_fixup,
         "genotype_histogram": q_genotype_histogram,
         "strain_chr_counts": q_strain_chr_counts,
@@ -3192,6 +3203,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(height * least(224 / width, 224 / height, 1.0)) AS INT)
                      AS target_height
             FROM m
+        """,
+        "audio_segments": """
+            WITH m AS (
+              SELECT CAST(doc_id AS BIGINT) AS media_id,
+                     CAST(n_chars AS INT) AS duration_ms,
+                     16000 AS sample_rate
+              FROM documents WHERE doc_id % 3 = 1
+            ),
+            segs AS (
+              SELECT media_id, duration_ms, sample_rate,
+                     CAST(unnest(generate_series(0, greatest(duration_ms - 1, 0), 2000)) AS BIGINT)
+                       AS seg_start_ms
+              FROM m
+            )
+            SELECT media_id, seg_start_ms,
+                   CAST(least(seg_start_ms + 5000, duration_ms) AS BIGINT) AS seg_end_ms,
+                   CAST(floor((least(seg_start_ms + 5000, duration_ms) - seg_start_ms)
+                              * sample_rate / 1000.0) AS BIGINT) AS n_samples
+            FROM segs
+            WHERE least(seg_start_ms + 5000, duration_ms) > seg_start_ms
         """,
         "frameshift_fixup": """
             WITH li AS (

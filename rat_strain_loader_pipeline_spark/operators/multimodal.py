@@ -105,6 +105,45 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
+def audio_segment_plan(
+    media: DataFrame, window_ms: int = 5000, hop_ms: int | None = None
+) -> DataFrame:
+    """Audio segmentation plan: explode audio rows into
+    (media_id, seg_start_ms, seg_end_ms, n_samples) windows WITHOUT
+    decoding — metadata arithmetic only, the audio twin of
+    ``frame_sample_plan``. ``hop_ms`` < ``window_ms`` gives overlapping
+    windows (STFT-style); default is back-to-back. The final partial
+    window is kept (clamped end), matching feature extractors that pad.
+    """
+    hop = hop_ms or window_ms
+    dur = F.coalesce(F.col("duration_ms"), F.lit(0))
+    starts = F.sequence(
+        F.lit(0), F.greatest(dur - 1, F.lit(0)), F.lit(hop)
+    )
+    out = (
+        media.filter(F.col("mime").startswith("audio/"))
+        .select(
+            "media_id",
+            "sample_rate",
+            dur.alias("__dur"),
+            F.explode(starts).alias("seg_start_ms"),
+        )
+        .withColumn("seg_end_ms", F.least(F.col("seg_start_ms") + window_ms, F.col("__dur")))
+        .filter(F.col("seg_end_ms") > F.col("seg_start_ms"))
+    )
+    n_samples = (
+        (F.col("seg_end_ms") - F.col("seg_start_ms"))
+        * F.coalesce(F.col("sample_rate"), F.lit(0))
+        / 1000
+    )
+    return out.select(
+        "media_id",
+        "seg_start_ms",
+        "seg_end_ms",
+        F.floor(n_samples).cast("long").alias("n_samples"),
+    )
+
+
 def resize_metadata(media: DataFrame, max_side: int = 224) -> DataFrame:
     """Resize planning: target dimensions preserving aspect ratio —
     metadata-only (the pixel work belongs to the decode stage)."""

@@ -153,3 +153,31 @@ def test_frame_sample_and_resize_plans(spark):
     rs = {r["media_id"]: (r["target_width"], r["target_height"]) for r in resize_metadata(media).collect()}
     assert rs[3] == (224, 126)
     assert rs[1] == (224, 168)
+
+
+def test_audio_segment_plan(spark):
+    """Overlapping windows, clamped final partial window, non-audio rows
+    filtered, n_samples from sample_rate."""
+    from rat_strain_loader_pipeline_spark.operators.multimodal import (
+        audio_segment_plan,
+        media_from_rows,
+    )
+
+    media = media_from_rows(
+        spark,
+        [
+            (1, "audio/wav", b"x", None, None, 7000, 8000),   # 7s @ 8kHz
+            (2, "video/mp4", b"y", None, None, 9000, 16000),  # filtered out
+            (3, "audio/flac", b"z", None, None, 0, 16000),    # empty → no segs
+        ],
+    )
+    segs = sorted(
+        (r["media_id"], r["seg_start_ms"], r["seg_end_ms"], r["n_samples"])
+        for r in audio_segment_plan(media, window_ms=5000, hop_ms=2000).collect()
+    )
+    assert segs == [
+        (1, 0, 5000, 40000),    # full window: 5s * 8000/s
+        (1, 2000, 7000, 40000),
+        (1, 4000, 7000, 24000),  # clamped partial: 3s
+        (1, 6000, 7000, 8000),   # clamped partial: 1s
+    ]
