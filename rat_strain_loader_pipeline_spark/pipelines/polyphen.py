@@ -170,41 +170,47 @@ def flank_match_qc(
 # ---------------------------------------------------------------- import
 
 POLYPHEN_RESULT_COLS = {
-    # name → 0-based column index in the 55-col PolyPhen-2 TSV
+    # name → 0-based column index in the 55-col PolyPhen-2 TSV; the full
+    # named subset the reference binds (PolyphenLoader.java:116-169)
     "o_acc": 0, "o_pos": 1, "o_aa1": 2, "o_aa2": 3, "acc": 5, "pos": 6,
     "aa1": 7, "aa2": 8, "prediction": 11, "based_on": 12, "effect": 13,
     "pph2_class": 14, "pph2_prob": 15, "pph2_fpr": 16, "pph2_tpr": 17,
-    "pph2_fdr": 18, "cod_pos": 48, "id_qmin": 54,
+    "pph2_fdr": 18, "site": 19, "region": 20, "phat": 21, "score_delta": 22,
+    "score1": 23, "score2": 24, "msav": 25, "num_observ": 26,
+    "num_struct_init": 27, "num_struct_filt": 28, "pdb_id": 29,
+    "res_num": 30, "chain_id": 31, "ali_ide": 32, "ali_len": 33,
+    "acc_normed": 34, "sec_str": 35, "map_region": 36, "delta_volume": 37,
+    "delta_prop": 38, "b_fact": 39, "num_h_bonds": 40, "het_cont_ave_num": 41,
+    "het_cont_min_dist": 42, "inter_cont_ave_num": 43,
+    "inter_cont_min_dist": 44, "sites_cont_ave_num": 45,
+    "sites_cont_min_dist": 46, "transv": 47, "cod_pos": 48, "cpg": 49,
+    "min_djxn": 50, "pfam_hit": 51, "id_pmax": 52, "id_psnp": 53,
+    "id_qmin": 54,
 }
+
+# columns with numeric casts; everything else stays a trimmed string, as
+# the reference binds them
+_POLYPHEN_INT_COLS = {"o_pos", "pos"}
+_POLYPHEN_DOUBLE_COLS = {"pph2_prob", "pph2_fpr", "pph2_tpr", "pph2_fdr"}
 
 
 def parse_polyphen_results(raw: DataFrame) -> DataFrame:
     """raw: one 'line' column of the tab-separated result file (no header).
-    Extracts the named subset; '' → NULL; numeric casts where sensible."""
+    Extracts the FULL named subset the reference binds
+    (PolyphenLoader.java:116-169, 58-col INSERT :250-268); '' → NULL;
+    numeric casts where the reference parses numbers."""
     parts = F.split(F.col("line"), "\t", -1)
 
     def col(name: str) -> Column:
         c = F.trim(F.get(parts, POLYPHEN_RESULT_COLS[name]))
-        return F.when(c == "", F.lit(None).cast("string")).otherwise(c)
+        c = F.when(c == "", F.lit(None).cast("string")).otherwise(c)
+        if name in _POLYPHEN_INT_COLS:
+            return c.cast("int")
+        if name in _POLYPHEN_DOUBLE_COLS:
+            return c.cast("double")
+        return c
 
-    return raw.select(
-        col("o_acc").alias("o_acc"),
-        col("o_pos").cast("int").alias("o_pos"),
-        col("o_aa1").alias("o_aa1"),
-        col("o_aa2").alias("o_aa2"),
-        col("acc").alias("acc"),
-        col("pos").cast("int").alias("pos"),
-        col("aa1").alias("aa1"),
-        col("aa2").alias("aa2"),
-        col("prediction").alias("prediction"),
-        col("based_on").alias("based_on"),
-        col("effect").alias("effect"),
-        col("pph2_class").alias("pph2_class"),
-        col("pph2_prob").cast("double").alias("pph2_prob"),
-        col("pph2_fpr").cast("double").alias("pph2_fpr"),
-        col("pph2_tpr").cast("double").alias("pph2_tpr"),
-        col("pph2_fdr").cast("double").alias("pph2_fdr"),
-    )
+    return raw.select(*[col(name).alias(name) for name in POLYPHEN_RESULT_COLS])
 
 
 def load_polyphen_results(results: DataFrame, info: DataFrame) -> DataFrame:
