@@ -63,13 +63,69 @@ def derive_variants(
     stage_cache: bool = True,
     genic_bin_size: int = 1_000_000,
 ) -> DataFrame:
-    """All row-level derivations of processLine (VariantLoad3.java:222-365).
+    """All row-level derivations of processLine (VariantLoad3.java:222-365)
+    for ONE sample (scalar gender/map_key — the reference's per-process
+    configuration).
 
     Input: CF2_SCHEMA columns. Output adds: chromosome (renamed), start_pos,
     end_pos, variant_type, total_depth (derived), quality_score, zygosity_*,
     genic_status, sample_id, map_key, source, species_type_key.
     """
-    df = cf2
+    pre = (
+        cf2.withColumn("sample_id", F.lit(sample_id))
+        .withColumn("__gender", F.lit(gender).cast("string"))
+        .withColumn("map_key", F.lit(map_key).cast("int"))
+    )
+    return _derive_common(
+        pre, genes, par_regions, chromosome, species_type_key, source,
+        stage_cache, genic_bin_size,
+    )
+
+
+def derive_variants_multi(
+    cf2_with_sample: DataFrame,
+    samples: DataFrame,
+    genes: DataFrame | None = None,
+    par_regions: DataFrame | None = None,
+    chromosome: str | None = None,
+    species_type_key: int = 3,
+    source: str = "CF2",
+    stage_cache: bool = True,
+    genic_bin_size: int = 1_000_000,
+) -> DataFrame:
+    """ALL samples in one job — the Spark-first replacement for the
+    reference's one-OS-process-per-(sample, chr) shell loop
+    (convert/LoadRn6Rn7Samples.java:88-105): gender and map_key come
+    from a broadcast ``samples`` dimension (sample_id, gender, map_key)
+    instead of per-process scalars, so a thousand samples derive in one
+    partitioned pass. Identical per-row semantics to
+    :func:`derive_variants` (property-tested).
+
+    ``cf2_with_sample``: CF2_SCHEMA columns + ``sample_id``.
+    """
+    s = samples.select(
+        "sample_id",
+        F.col("gender").cast("string").alias("__gender"),
+        F.col("map_key").cast("int").alias("map_key"),
+    )
+    pre = cf2_with_sample.join(F.broadcast(s), "sample_id")
+    return _derive_common(
+        pre, genes, par_regions, chromosome, species_type_key, source,
+        stage_cache, genic_bin_size,
+    )
+
+
+def _derive_common(
+    df: DataFrame,
+    genes: DataFrame | None,
+    par_regions: DataFrame | None,
+    chromosome: str | None,
+    species_type_key: int,
+    source: str,
+    stage_cache: bool,
+    genic_bin_size: int,
+) -> DataFrame:
+    # df: CF2 columns + sample_id, __gender, map_key
     if chromosome is not None:  # F2 chromosome filter → partition pruning
         df = df.filter(F.col("chr") == chromosome)
 
@@ -118,7 +174,7 @@ def derive_variants(
     # PseudoAutosomalRegion lookup): interval join against the PAR table.
     if par_regions is not None:
         df = point_in_interval_flag(
-            df.withColumn("map_key", F.lit(map_key)),
+            df,
             par_regions.withColumnRenamed("chr", "par_chr"),
             "in_par",
             probe_keys=("chromosome", "start_pos", "end_pos"),
@@ -126,7 +182,7 @@ def derive_variants(
             extra_key="map_key",
         )
     else:
-        df = df.withColumn("map_key", F.lit(map_key)).withColumn("in_par", F.lit(False))
+        df = df.withColumn("in_par", F.lit(False))
 
     # Zygosity, expression-size-aware: the snv and indel branches differ
     # ONLY in the percent numerator/denominator (X4 vs X5); status ladder,
@@ -167,7 +223,7 @@ def derive_variants(
     )
     pct = F.col("zygosity_percent_read")
     is_sex = F.upper(F.col("chromosome")).isin("X", "Y")
-    is_male = F.upper(F.lit(gender)).isin("M", "P")
+    is_male = F.upper(F.coalesce(F.col("__gender"), F.lit(""))).isin("M", "P")
     hemi = is_sex & is_male & ~F.col("in_par")
     df = df.withColumns(
         {
@@ -216,7 +272,7 @@ def derive_variants(
     ).drop("is_genic")
 
     return (
-        df.withColumn("sample_id", F.lit(sample_id))
+        df.drop("__gender")
         .withColumn("source", F.lit(source))
         .withColumn("species_type_key", F.lit(species_type_key))
         .withColumn("var_freq", F.col("allele_depth"))

@@ -206,3 +206,51 @@ def test_num_alleles_fixup(spark):
     # 2 variants at same position + ref seen → 3 alleles
     assert out == {1: 3, 2: 3}
     assert counters["rows_fixed"] == 2
+
+
+def test_derive_variants_multi_equals_per_sample(spark):
+    """The one-job multi-sample path must produce exactly the union of
+    per-sample runs — including gender-divergent hemizygous calls on X
+    and PAR handling from the per-sample map_key."""
+    from rat_strain_loader_pipeline_spark.functions.zygosity import par_regions_df
+    from rat_strain_loader_pipeline_spark.pipelines.load import derive_variants_multi
+
+    rows = [
+        # X-chromosome snv, 90%: M → probably hemizygous, F → possibly homozygous
+        ("X", 1000, "A", "C", None, 10, 90, 0, 0, 100, None, 0, 90, 1, 100, None),
+        # autosomal snv 100%
+        ("1", 1200, "G", "T", None, 0, 0, 0, 50, 50, None, 0, 50, 1, 50, None),
+        # insertion 100%
+        ("1", 2000, None, "TT", None, None, None, None, None, None, None, 0, 40, 1, 40, "G"),
+    ]
+    cf2 = spark.createDataFrame(rows, schema=CF2_SCHEMA)
+    genes = _genes(spark)
+    par = par_regions_df(spark)
+
+    singles = []
+    for sid, gender, mk in ((7, "M", 38), (8, "F", 360)):
+        singles.append(
+            derive_variants(
+                cf2, sample_id=sid, gender=gender, map_key=mk,
+                genes=genes, par_regions=par,
+            )
+        )
+    expected = singles[0].unionByName(singles[1])
+
+    multi_cf2 = cf2.withColumn("sample_id", F.lit(7)).unionByName(
+        cf2.withColumn("sample_id", F.lit(8))
+    )
+    samples = spark.createDataFrame(
+        [(7, "M", 38), (8, "F", 360)], "sample_id int, gender string, map_key int"
+    )
+    got = derive_variants_multi(multi_cf2, samples, genes=genes, par_regions=par)
+
+    cols = sorted(expected.columns)
+    assert sorted(got.columns) == cols
+    e = sorted(tuple(r) for r in expected.select(*cols).collect())
+    g = sorted(tuple(r) for r in got.select(*cols).collect())
+    assert e == g
+    # gender divergence actually exercised
+    st = {(r["sample_id"], r["start_pos"]): r["zygosity_status"] for r in got.collect()}
+    assert st[(7, 1000)] == "probably hemizygous"
+    assert st[(8, 1000)] == "possibly homozygous"
