@@ -39,8 +39,17 @@ def main() -> None:
         read_table(spark, sf_dir, t).count()
 
     # spin up the Python worker pool (first pandas-UDF stage otherwise
-    # pays ~4 s of interpreter/Arrow startup)
+    # pays ~4 s of interpreter/Arrow startup) AND pre-import the shipped
+    # package in every worker — the first consequence/minhash stage
+    # otherwise pays one zip import per worker process
+    from rat_strain_loader_pipeline_spark.ship import ensure_shipped
+
+    ensure_shipped(spark)
+
     def _ident(it):
+        import rat_strain_loader_pipeline_spark.operators.consequence  # noqa: F401
+        import rat_strain_loader_pipeline_spark.operators.dedup  # noqa: F401
+
         yield from it
 
     spark.range(100_000).repartition(
