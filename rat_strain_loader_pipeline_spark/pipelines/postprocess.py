@@ -36,9 +36,18 @@ def postprocess_variants(
     map_key: int,
     verify_against: DataFrame | None = None,
 ) -> PostProcessResult:
-    vt_full = variant_transcript_consequences(
-        variants, genes, transcripts, features, fasta_broadcast, map_key, verify_against
-    ).cache()
+    from rat_strain_loader_pipeline_spark.staging import stage_to_parquet
+
+    # two consumers (VT projection + sequences union) over a pandas-UDF
+    # output: land it in a parquet stage barrier so the consequence UDF
+    # runs exactly once and neither consumer pays a columnar cache build
+    # (staging.py measurements; same pattern as load_variants)
+    vt_full = stage_to_parquet(
+        variant_transcript_consequences(
+            variants, genes, transcripts, features, fasta_broadcast, map_key, verify_against
+        ),
+        "postprocess-vt",
+    )
 
     aa_key = F.when(
         F.col("full_ref_aa").isNotNull(), F.xxhash64(F.lit("aa"), F.col("full_ref_aa"))
