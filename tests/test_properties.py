@@ -1,0 +1,213 @@
+"""Hypothesis property tests (SURVEY.md §5 strategy):
+
+- X7 reverse complement: involution, length preservation, vs Python
+- X8 codon translation: Spark expr vs the Python codon table
+- X4 zygosity ladder: status thresholds vs an independent Python model
+- X2 indel padding: adjusted rows reconstruct the original VCF alleles
+- J1 interval join: binned ≡ broadcast on random intervals
+
+Each example generates a BATCH of rows and round-trips Spark once, so
+example counts stay low while row coverage stays high.
+"""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+SET = settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+dna = st.text(alphabet="ACGTacgtN", min_size=0, max_size=30)
+dna1 = st.text(alphabet="ACGT", min_size=1, max_size=8)
+
+
+@given(seqs=st.lists(dna, min_size=1, max_size=40))
+@SET
+def test_revcomp_involution_and_python_parity(spark, seqs):
+    from rat_strain_loader_pipeline_spark.functions.dna import (
+        reverse_complement,
+        reverse_complement_str,
+    )
+
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(seqs)], "i long, seq string")
+    got = {
+        r["i"]: (r["rc"], r["rc2"])
+        for r in df.select(
+            "i",
+            reverse_complement(F.col("seq")).alias("rc"),
+            reverse_complement(reverse_complement(F.col("seq"))).alias("rc2"),
+        ).collect()
+    }
+    for i, s in enumerate(seqs):
+        rc, rc2 = got[i]
+        assert rc == reverse_complement_str(s)
+        assert len(rc) == len(s)
+        assert rc2 == s.upper()  # involution (engine normalizes case)
+
+
+@given(seqs=st.lists(st.text(alphabet="ACGTN", min_size=0, max_size=18), min_size=1, max_size=40))
+@SET
+def test_codon_translate_python_parity(spark, seqs):
+    from rat_strain_loader_pipeline_spark.functions.dna import (
+        translate_codons,
+        translate_dna_str,
+    )
+
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(seqs)], "i long, seq string")
+    got = {r["i"]: r["aa"] for r in df.select("i", translate_codons(F.col("seq")).alias("aa")).collect()}
+    for i, s in enumerate(seqs):
+        assert got[i] == translate_dna_str(s), (s, got[i])
+
+
+def _py_zygosity(counts, ref, var, gender, chrom, in_par):
+    a, c, g, t = counts
+    total = a + c + g + t
+    by = {"A": a, "C": c, "G": g, "T": t}
+    vc = by.get((var or "").upper(), 0)
+    if total == 0:
+        pct = None
+    else:
+        pct = math.floor(100.0 * vc / total + 0.5)
+    hemi = chrom.upper() in ("X", "Y") and gender.upper() in ("M", "P") and not in_par
+    if pct is None:
+        status_pct = None
+    else:
+        status_pct = pct
+    if hemi:
+        status = (
+            "hemizygous" if (status_pct or 0) >= 100
+            else "probably hemizygous" if (status_pct or 0) >= 85
+            else "possibly hemizygous"
+        )
+    else:
+        status = (
+            "homozygous" if (status_pct or 0) >= 100
+            else "possibly homozygous" if (status_pct or 0) >= 85
+            else "heterozygous"
+        )
+    return pct, status
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.tuples(
+                st.integers(0, 120), st.integers(0, 120),
+                st.integers(0, 120), st.integers(0, 120),
+            ),
+            st.sampled_from("ACGT"),
+            st.sampled_from("ACGT"),
+            st.sampled_from(["M", "F", "P", "U"]),
+            st.sampled_from(["1", "X", "Y", "MT"]),
+            st.booleans(),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+@SET
+def test_zygosity_ladder_vs_python_model(spark, rows):
+    from rat_strain_loader_pipeline_spark.functions.zygosity import zygosity_snv
+
+    df = spark.createDataFrame(
+        [
+            (i, ref, var, a, c, g, t, gender, chrom, par)
+            for i, ((a, c, g, t), ref, var, gender, chrom, par) in enumerate(rows)
+        ],
+        "i long, ref string, var string, a int, c int, g int, t int, "
+        "gender string, chrom string, in_par boolean",
+    )
+    z = zygosity_snv(
+        F.col("ref"), F.col("var"), F.col("a"), F.col("c"), F.col("g"), F.col("t"),
+        F.col("gender"), F.col("chrom"), F.col("in_par"),
+    )
+    got = {
+        r["i"]: (r["p"], r["s"])
+        for r in df.select(
+            "i", z["zygosity_percent_read"].alias("p"), z["zygosity_status"].alias("s")
+        ).collect()
+    }
+    for i, ((a, c, g, t), ref, var, gender, chrom, par) in enumerate(rows):
+        pct, status = _py_zygosity((a, c, g, t), ref, var, gender, chrom, par)
+        assert got[i] == (pct, status), (i, rows[i], got[i], (pct, status))
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(1, 10_000), dna1, dna1),
+        min_size=1,
+        max_size=50,
+    )
+)
+@SET
+def test_indel_padding_round_trip(spark, rows):
+    """X2: from the adjusted representation the ORIGINAL (pos, ref, alt)
+    must be reconstructible — no information loss in the CF2 encoding."""
+    from rat_strain_loader_pipeline_spark.functions.variant import adjust_for_indels
+
+    df = spark.createDataFrame(
+        [(i, p, r, a) for i, (p, r, a) in enumerate(rows)],
+        "i long, pos long, ref string, alt string",
+    )
+    adj = adjust_for_indels(F.col("pos"), F.col("ref"), F.col("alt"))
+    out = {
+        r["i"]: (r["position"], r["ref_nuc"], r["var_nuc"], r["padding_base"])
+        for r in df.select("i", *[v.alias(k) for k, v in adj.items()]).collect()
+    }
+    for i, (p, ref, alt) in enumerate(rows):
+        position, ref_nuc, var_nuc, padding = out[i]
+        if padding is None:
+            assert (position, ref_nuc, var_nuc) == (p, ref, alt)
+        else:
+            assert position == p + 1
+            orig_ref = padding + (ref_nuc or "")
+            orig_alt = padding + (var_nuc or "")
+            assert (orig_ref, orig_alt) == (ref, alt), (i, rows[i], out[i])
+
+
+@given(
+    probes=st.lists(
+        st.tuples(st.sampled_from(["1", "2"]), st.integers(0, 3000), st.integers(0, 80)),
+        min_size=1,
+        max_size=40,
+    ),
+    intervals=st.lists(
+        st.tuples(st.sampled_from(["1", "2"]), st.integers(0, 3000), st.integers(0, 400)),
+        min_size=1,
+        max_size=25,
+    ),
+)
+@SET
+def test_binned_interval_join_equals_broadcast(spark, probes, intervals):
+    """J1 equivalence: the binned equi-join scale path returns exactly
+    the broadcast range join's pairs, bins crossing or not."""
+    from rat_strain_loader_pipeline_spark.operators.interval_join import (
+        interval_join_binned,
+        interval_join_broadcast,
+    )
+
+    p = spark.createDataFrame(
+        [(i, c, s, s + w) for i, (c, s, w) in enumerate(probes)],
+        "pid long, chromosome string, start_pos long, end_pos long",
+    )
+    iv = spark.createDataFrame(
+        [(j, c, s, s + w) for j, (c, s, w) in enumerate(intervals)],
+        "iid long, i_chr string, i_start long, i_stop long",
+    )
+    kw = dict(
+        probe_keys=("chromosome", "start_pos", "end_pos"),
+        interval_keys=("i_chr", "i_start", "i_stop"),
+    )
+    exact = {(r["pid"], r["iid"]) for r in interval_join_broadcast(p, iv, **kw).collect()}
+    binned = {
+        (r["pid"], r["iid"])
+        for r in interval_join_binned(p, iv, bin_size=256, **kw).collect()
+    }
+    assert binned == exact
