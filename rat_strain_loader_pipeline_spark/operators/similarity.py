@@ -235,6 +235,72 @@ def ivf_topk(
     return brute_force_topk(candidates, query_vec, k, id_col, vec_col)
 
 
+def pairwise_topk_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """For every query vector, its top-k cosine neighbors in ``corpus`` —
+    the kNN-graph candidate stage.
+
+    Same scale shape as ``embedding_near_dup_pairs``: the (normalized)
+    corpus matrix broadcasts once, each query partition runs one numpy
+    GEMM and keeps k survivors via argpartition — O(|Q|·|C|·d) FLOPs
+    spread over partitions, shuffle carries only |Q|·k result rows.
+    Ties break by ascending corpus id (deterministic). Returns
+    (q_id, c_id, rank, cosine), rank 1-based; self-pairs are kept
+    (filter q_id != c_id for a strict graph).
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    rows = corpus.select(id_col, vec_col).collect()
+    c_ids = np.array([r[0] for r in rows], dtype=np.int64)
+    order = np.argsort(c_ids)
+    c_ids = c_ids[order]
+    mat = np.array([r[1] for r in rows], dtype=np.float64)[order]
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    norms[norms == 0] = np.nan
+    b_ids = spark.sparkContext.broadcast(c_ids)
+    b_unit = spark.sparkContext.broadcast(mat / norms[:, None])
+
+    def run(batches):
+        all_ids, unit = b_ids.value, b_unit.value
+        kk = min(k, len(all_ids))
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            q_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            q = np.array(list(pdf[vec_col]), dtype=np.float64)
+            qn = np.sqrt((q * q).sum(axis=1))
+            qn[qn == 0] = np.nan
+            sims = (q / qn[:, None]) @ unit.T  # |batch| x |corpus|
+            sims = np.nan_to_num(sims, nan=-2.0)
+            # top-k per row: argpartition then exact sort of the k slice;
+            # corpus ids are ascending, stable mergesort keeps id-order ties
+            part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            out_q, out_c, out_r, out_s = [], [], [], []
+            for row_i in range(len(q_ids)):
+                idx = part[row_i]
+                idx = idx[np.argsort(-sims[row_i, idx], kind="stable")]
+                out_q.extend([q_ids[row_i]] * len(idx))
+                out_c.extend(all_ids[idx])
+                out_r.extend(range(1, len(idx) + 1))
+                out_s.extend(sims[row_i, idx])
+            yield pd.DataFrame(
+                {"q_id": out_q, "c_id": out_c, "rank": out_r, "cosine": out_s}
+            )
+
+    raw = queries.select(id_col, vec_col).mapInPandas(
+        run, schema="q_id long, c_id long, rank int, cosine double"
+    )
+    return raw.select("q_id", "c_id", "rank", F.round("cosine", round_to).alias("cosine"))
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,

@@ -235,3 +235,25 @@ def test_ivf_full_probe_exact_and_recall(spark, sf_dir):
     probed = {r["vec_id"] for r in ivf_topk(assigned, cent, qvec, k=10, nprobe=2).collect()}
     recall = len(probed & {v for v, _ in exact}) / 10
     assert recall >= 0.5, recall
+
+
+def test_pairwise_topk_join_matches_brute_force(spark, sf_dir):
+    """kNN-graph stage: each query's neighbor list equals per-query
+    brute_force_topk output (same ordering, same rounding)."""
+    from rat_strain_loader_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+        pairwise_topk_join,
+    )
+    from rat_strain_loader_pipeline_spark.sources.tables import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter("vec_id < 3")
+    got = pairwise_topk_join(queries, emb, k=5).collect()
+    by_q = {}
+    for r in sorted(got, key=lambda r: (r["q_id"], r["rank"])):
+        by_q.setdefault(r["q_id"], []).append((r["c_id"], r["cosine"]))
+    assert set(by_q) == {0, 1, 2}
+    for qid, neighbors in by_q.items():
+        qvec = [float(x) for x in emb.filter(f"vec_id = {qid}").first()["embedding"]]
+        exact = [(r["vec_id"], r["cosine"]) for r in brute_force_topk(emb, qvec, k=5).collect()]
+        assert neighbors == exact, qid
