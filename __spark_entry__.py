@@ -368,6 +368,15 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval n-gram decontamination: docs sharing any word 8-gram
+    with the benchmark subset (doc_id % 17 == 0) get flagged; benchmark
+    n-grams broadcast, training grams left-semi join them."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    return T.ngram_contamination(docs, bench, n=8)
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup by content hash (engine operator)."""
     docs = _t(spark, sf_dir, "documents")
@@ -2080,6 +2089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "events_sessionize": q_events_sessionize,
         "dedup_exact": q_dedup_exact,
+        "decontaminate": q_decontaminate,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
@@ -2545,6 +2555,25 @@ def oracle_sql() -> dict[str, str]:
                                    / len(text), 4)
                         ELSE 0.0 END AS punct_ratio
             FROM documents
+        """,
+        "decontaminate": f"""
+            WITH toks AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id, {_TOKENS_CASED_SQL} AS tk
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(0, len(tk) - 8 + 1),
+                            i -> array_to_string(tk[i+1:i+8], ' '))) AS g
+              FROM toks WHERE len(tk) >= 8
+            ),
+            bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 17 = 0),
+            hits AS (
+              SELECT DISTINCT grams.doc_id FROM grams JOIN bench USING (g)
+            )
+            SELECT d.doc_id, h.doc_id IS NOT NULL AS contaminated
+            FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents) d
+            LEFT JOIN hits h USING (doc_id)
         """,
         "lang_id": _lang_id_sql(),
         "quality_score": _quality_score_sql(),

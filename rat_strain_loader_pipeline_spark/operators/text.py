@@ -63,6 +63,54 @@ def char_count(text: Column) -> Column:
     return F.length(text).cast("bigint")
 
 
+def word_ngrams(text: Column, n: int) -> Column:
+    """Array of space-joined word n-grams; empty when < n tokens (guard
+    with a size filter — F.sequence descends when start > stop)."""
+    tk = tokens(text)
+    return F.transform(
+        F.sequence(F.lit(0), F.size(tk) - n),
+        lambda i: F.array_join(F.slice(tk, i + 1, n), " "),
+    )
+
+
+def ngram_contamination(docs, benchmark, n: int = 8, text_col: str = "text", id_col: str = "doc_id"):
+    """Train/eval decontamination: flag every training doc sharing ANY
+    word n-gram with the benchmark set — the standard leakage check
+    before training on scraped corpora.
+
+    Shape: benchmark n-grams are DISTINCT and broadcast (benchmarks are
+    dimension-sized next to a 100 TB corpus); training docs explode to
+    (doc_id, gram) and left-semi join the broadcast set, then distinct
+    doc ids flag back onto ``docs``. At corpus scale join on
+    ``xxhash64(gram)`` instead of the string to shrink the exploded
+    shuffle — string equality kept here for oracle-exactness.
+
+    Returns ``docs`` columns ``(id_col, contaminated boolean)``.
+    """
+    def grams(df):
+        g = word_ngrams(F.col(text_col), n)
+        return (
+            df.filter(F.size(tokens(F.col(text_col))) >= n)
+            .select(F.col(id_col), F.explode(g).alias("g"))
+        )
+
+    bench = grams(benchmark).select("g").distinct()
+    hits = (
+        grams(docs)
+        .join(F.broadcast(bench), "g", "left_semi")
+        .select(id_col)
+        .distinct()
+        .withColumn("__hit", F.lit(True))
+    )
+    return (
+        docs.join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("__hit"), F.lit(False)).alias("contaminated"),
+        )
+    )
+
+
 def avg_word_len(text: Column) -> Column:
     """Average token length, NULL for empty docs; rounded to 4 decimals so
     engines agree bit-exactly."""

@@ -257,3 +257,22 @@ def test_pairwise_topk_join_matches_brute_force(spark, sf_dir):
         qvec = [float(x) for x in emb.filter(f"vec_id = {qid}").first()["embedding"]]
         exact = [(r["vec_id"], r["cosine"]) for r in brute_force_topk(emb, qvec, k=5).collect()]
         assert neighbors == exact, qid
+
+
+def test_ngram_contamination(spark):
+    """Decontamination: doc sharing an 8-gram with the benchmark flags;
+    short docs and non-overlapping docs don't."""
+    from rat_strain_loader_pipeline_spark.operators.text import ngram_contamination
+
+    leak = "the quick brown fox jumps over the lazy dog tonight"
+    docs = spark.createDataFrame(
+        [
+            (1, "intro words here then " + leak + " and a tail"),
+            (2, "completely different content with no benchmark overlap at all today"),
+            (3, "too short to matter"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(100, leak)], "doc_id long, text string")
+    got = {r["doc_id"]: r["contaminated"] for r in ngram_contamination(docs, bench, n=8).collect()}
+    assert got == {1: True, 2: False, 3: False}
