@@ -231,36 +231,14 @@ def compute_consequence(
     return r
 
 
-def variant_transcript_consequences(
+def _candidate_pairs(
     variants: DataFrame,
     genes: DataFrame,
     transcripts: DataFrame,
     features: DataFrame,
-    fasta_broadcast,
-    map_key: int,
-    verify_against: DataFrame | None = None,
-    repartition_to: int | None = None,
 ) -> DataFrame:
-    """The full post-processing dataflow (SURVEY.md §3.3 Spark shape):
-
-    variants ⋈ genes(interval, broadcast) ⋈ transcripts(broadcast)
-             ⋈ features(collected+sorted, broadcast)
-             → mapInPandas(consequence) → dropDuplicates (W5)
-             [→ anti-join existing VT (J6)]
-
-    ``variants``: rgd_id, chromosome, start_pos, end_pos, ref_nuc, var_nuc.
-    ``fasta_broadcast``: SparkContext.broadcast of {chr: seq}.
-    ``repartition_to``: spread the per-pair Python stage over N
-    partitions — set it when the variant side arrives on few partitions
-    (e.g. AQE-coalesced after a small aggregate); leave None when the
-    input already carries (map_key, chromosome)-sized partitioning.
-    Returns VT rows incl. full_ref_aa / full_ref_nuc (sequence-key dedup
-    X18 happens in pipelines.postprocess).
-    """
-    from rat_strain_loader_pipeline_spark.ship import ensure_shipped
-
-    ensure_shipped(variants.sparkSession)
-
+    """Shared join spine: F4 filter, J1 gene interval probe (broadcast),
+    J2 transcripts, J3/W1 features collected and sorted per transcript."""
     # F4: multi-allelic skip (VariantPostProcessing.java:202-203)
     v = variants.filter(
         F.col("var_nuc").isNull() | ~F.col("var_nuc").contains(",")
@@ -309,12 +287,22 @@ def variant_transcript_consequences(
             ).alias("feats")
         )
     )
-    joined = vgt.join(broadcast(feats), "transcript_rgd_id")
-    if repartition_to:
-        joined = joined.repartition(repartition_to)
+    return vgt.join(broadcast(feats), "transcript_rgd_id")
+
+
+_VT_COLUMNS = [
+    "variant_rgd_id", "transcript_rgd_id", "ref_aa", "var_aa",
+    "syn_status", "location_name", "near_splice_site",
+    "full_ref_aa_pos", "full_ref_nuc_pos", "triplet_error",
+    "full_ref_aa", "full_ref_nuc", "frameshift", "map_key",
+]
+
+
+def _consequence_runner(seqs_for_row, map_key: int):
+    """Build the mapInPandas closure; ``seqs_for_row(row)`` supplies the
+    sequence accessor (broadcast dict or per-row span view)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        seqs = fasta_broadcast.value
         # the feature array is identical for every variant of a
         # transcript — convert Arrow structs → tuples once per
         # (batch, transcript), not once per row
@@ -337,7 +325,7 @@ def variant_transcript_consequences(
                     row.var_nuc,
                     row.is_non_coding_ind == "Y",
                     feats_list,
-                    seqs,
+                    seqs_for_row(row),
                     row.chromosome,
                 )
                 out.append(
@@ -358,17 +346,12 @@ def variant_transcript_consequences(
                         map_key,
                     )
                 )
-            yield pd.DataFrame(
-                out,
-                columns=[
-                    "variant_rgd_id", "transcript_rgd_id", "ref_aa", "var_aa",
-                    "syn_status", "location_name", "near_splice_site",
-                    "full_ref_aa_pos", "full_ref_nuc_pos", "triplet_error",
-                    "full_ref_aa", "full_ref_nuc", "frameshift", "map_key",
-                ],
-            )
+            yield pd.DataFrame(out, columns=_VT_COLUMNS)
 
-    vt = joined.mapInPandas(run, schema=VT_OUTPUT_SCHEMA)
+    return run
+
+
+def _finalize(vt: DataFrame, verify_against: DataFrame | None) -> DataFrame:
     # W5 batch dedup (VariantTranscriptBatch.java:29-49)
     vt = vt.dropDuplicates(["variant_rgd_id", "transcript_rgd_id"])
     if verify_against is not None:  # J6
@@ -378,3 +361,142 @@ def variant_transcript_consequences(
             how="left_anti",
         )
     return vt
+
+
+def variant_transcript_consequences(
+    variants: DataFrame,
+    genes: DataFrame,
+    transcripts: DataFrame,
+    features: DataFrame,
+    fasta_broadcast,
+    map_key: int,
+    verify_against: DataFrame | None = None,
+    repartition_to: int | None = None,
+) -> DataFrame:
+    """The full post-processing dataflow (SURVEY.md §3.3 Spark shape):
+
+    variants ⋈ genes(interval, broadcast) ⋈ transcripts(broadcast)
+             ⋈ features(collected+sorted, broadcast)
+             → mapInPandas(consequence) → dropDuplicates (W5)
+             [→ anti-join existing VT (J6)]
+
+    ``variants``: rgd_id, chromosome, start_pos, end_pos, ref_nuc, var_nuc.
+    ``fasta_broadcast``: SparkContext.broadcast of {chr: seq}.
+    ``repartition_to``: spread the per-pair Python stage over N
+    partitions — set it when the variant side arrives on few partitions
+    (e.g. AQE-coalesced after a small aggregate); leave None when the
+    input already carries (map_key, chromosome)-sized partitioning.
+    Returns VT rows incl. full_ref_aa / full_ref_nuc (sequence-key dedup
+    X18 happens in pipelines.postprocess).
+
+    For genomes too large to broadcast, use
+    :func:`variant_transcript_consequences_blocks`.
+    """
+    from rat_strain_loader_pipeline_spark.ship import ensure_shipped
+
+    ensure_shipped(variants.sparkSession)
+
+    joined = _candidate_pairs(variants, genes, transcripts, features)
+    if repartition_to:
+        joined = joined.repartition(repartition_to)
+
+    run = _consequence_runner(lambda row: fasta_broadcast.value, map_key)
+    return _finalize(joined.mapInPandas(run, schema=VT_OUTPUT_SCHEMA), verify_against)
+
+
+class _SpanSeq:
+    """String-like view of one chromosome restricted to a span
+    [span_start, ...] (1-based): ``len()`` reports the FULL chromosome
+    length so ``get_dna_chunk`` clamps identically to the broadcast-dict
+    path; slicing maps absolute coordinates into the span. The only
+    consumer reads UTR-clipped exon ranges, which lie inside the
+    transcript's feature span by construction."""
+
+    __slots__ = ("off", "seq", "chr_len")
+
+    def __init__(self, span_start: int, seq: str, chr_len: int):
+        self.off = span_start - 1
+        self.seq = seq
+        self.chr_len = chr_len
+
+    def __len__(self) -> int:
+        return self.chr_len
+
+    def __bool__(self) -> bool:
+        return bool(self.seq)
+
+    def __getitem__(self, sl: slice) -> str:
+        return self.seq[max(sl.start - self.off, 0) : max(sl.stop - self.off, 0)]
+
+
+def variant_transcript_consequences_blocks(
+    variants: DataFrame,
+    genes: DataFrame,
+    transcripts: DataFrame,
+    features: DataFrame,
+    blocks: DataFrame,
+    map_key: int,
+    verify_against: DataFrame | None = None,
+    repartition_to: int | None = None,
+    block_size: int = 100_000,
+    span_flank: int = 50,
+) -> DataFrame:
+    """Broadcast-free consequence — the 100 TB genome path.
+
+    Instead of broadcasting {chr: seq}, each transcript's sequence SPAN
+    ([min feature start − flank, max feature stop + flank]) is extracted
+    from the ``fasta_blocks`` table via the distributed equi-join
+    (sources/fasta.dna_chunks) and joined onto the candidate pairs; the
+    UDF reads exon chunks through a span view with chromosome-length
+    clamping, so output is IDENTICAL to the broadcast path
+    (equivalence-tested). Span bytes shipped = Σ transcript spans, not
+    genome × executors.
+    """
+    from rat_strain_loader_pipeline_spark.ship import ensure_shipped
+    from rat_strain_loader_pipeline_spark.sources.fasta import dna_chunks
+
+    ensure_shipped(variants.sparkSession)
+
+    joined = _candidate_pairs(variants, genes, transcripts, features)
+
+    spans = (
+        features.filter(F.col("chromosome").isNotNull())
+        .groupBy("transcript_rgd_id")
+        .agg(
+            F.first("chromosome").alias("chr"),
+            (F.min("start_pos") - span_flank).cast("long").alias("start"),
+            (F.max("stop_pos") + span_flank).cast("long").alias("stop"),
+        )
+    )
+    chr_lens = blocks.groupBy("chr").agg(
+        F.max(F.col("block_start") + F.length("seq_block") - 1).alias("__chr_len")
+    )
+    tseq = (
+        dna_chunks(
+            spans.select(
+                F.col("transcript_rgd_id").alias("chunk_id"), "chr", "start", "stop"
+            ),
+            blocks,
+            block_size=block_size,
+        )
+        .join(broadcast(chr_lens), "chr", "left")
+        .select(
+            F.col("chunk_id").alias("transcript_rgd_id"),
+            F.greatest(F.col("start"), F.lit(1)).alias("span_start_"),
+            F.col("chunk").alias("span_seq_"),
+            F.coalesce(F.col("__chr_len"), F.lit(0)).alias("chr_len_"),
+        )
+    )
+    joined = joined.join(tseq, "transcript_rgd_id", "left")
+    if repartition_to:
+        joined = joined.repartition(repartition_to)
+
+    def seqs_for_row(row):
+        return {
+            row.chromosome: _SpanSeq(
+                int(row.span_start_), row.span_seq_ or "", int(row.chr_len_)
+            )
+        }
+
+    run = _consequence_runner(seqs_for_row, map_key)
+    return _finalize(joined.mapInPandas(run, schema=VT_OUTPUT_SCHEMA), verify_against)

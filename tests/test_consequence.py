@@ -228,3 +228,68 @@ def test_spark_end_to_end_consequence(spark):
     k1 = {(r["variant_rgd_id"], r["full_ref_aa_seq_key"]) for r in res.variant_transcript.collect()}
     k2 = {(r["variant_rgd_id"], r["full_ref_aa_seq_key"]) for r in res2.variant_transcript.collect()}
     assert k1 == k2
+
+
+def test_blocks_path_equals_broadcast_path(spark):
+    """The broadcast-free consequence (transcript spans from the fasta
+    block table) must produce byte-identical VT rows to the broadcast
+    path — including the '-' strand twin, degraded rows, and clamping
+    near the chromosome head/tail."""
+    from rat_strain_loader_pipeline_spark.operators.consequence import (
+        variant_transcript_consequences,
+        variant_transcript_consequences_blocks,
+    )
+    from rat_strain_loader_pipeline_spark.sources.fasta import (
+        fasta_blocks,
+        fasta_from_dict,
+    )
+
+    variants = spark.createDataFrame(
+        [
+            (1, "1", 8, 9, "A", "G"),      # nonsynonymous
+            (2, "1", 14, 15, "G", "C"),    # intron
+            (3, "1", 5, 6, "G", "C"),      # 5'UTR
+            (4, "1", 17, 18, "T", "A"),    # second exon
+            (5, "1", 8, 9, None, "GG"),    # insertion
+        ],
+        "rgd_id long, chromosome string, start_pos long, end_pos long, "
+        "ref_nuc string, var_nuc string",
+    )
+    genes = spark.createDataFrame(
+        [(100, "1", 4, 24, "+", "ACTIVE", 360), (101, "1", 4, 24, "-", "ACTIVE", 360)],
+        "gene_rgd_id int, chromosome string, start_pos long, stop_pos long, "
+        "strand string, object_status string, map_key int",
+    )
+    transcripts = spark.createDataFrame(
+        [(200, 100, "N"), (201, 101, "N")],
+        "transcript_rgd_id int, gene_rgd_id int, is_non_coding_ind string",
+    )
+    rows = []
+    for tid, strand in ((200, "+"), (201, "-")):
+        rows += [
+            (tid, "EXONS", strand, "1", 4, 12, 360),
+            (tid, "EXONS", strand, "1", 16, 24, 360),
+            (tid, "5UTRS", strand, "1", 4, 6, 360),
+            (tid, "3UTRS", strand, "1", 22, 24, 360),
+        ]
+    features = spark.createDataFrame(
+        rows,
+        "transcript_rgd_id int, object_name string, strand string, "
+        "chromosome string, start_pos long, stop_pos long, map_key int",
+    )
+
+    fb = spark.sparkContext.broadcast(SEQS)
+    via_broadcast = sorted(
+        tuple(r)
+        for r in variant_transcript_consequences(
+            variants, genes, transcripts, features, fb, 360
+        ).collect()
+    )
+    blocks = fasta_blocks(fasta_from_dict(spark, SEQS), block_size=8)
+    via_blocks = sorted(
+        tuple(r)
+        for r in variant_transcript_consequences_blocks(
+            variants, genes, transcripts, features, blocks, 360, block_size=8
+        ).collect()
+    )
+    assert via_blocks == via_broadcast
