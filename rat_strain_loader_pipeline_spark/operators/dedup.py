@@ -290,6 +290,70 @@ def simhash64(
     return docs.select(F.col(id_col), sim(F.col(text_col)).alias("simhash"))
 
 
+def simhash_near_dup_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bits: int = 63,
+    sigs: DataFrame | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by simhash hamming distance.
+
+    Pigeonhole banding: split the signature into ``max_hamming + 1``
+    bit-bands — any pair within hamming distance k differs in ≤ k bands,
+    so at least one band matches exactly. Candidates come from an
+    equi-join on (band, band_value) — shuffle-hash, never all-pairs —
+    then exact ``bit_count(xor)`` verifies. Returns (id_a, id_b,
+    hamming) with id_a < id_b. Pass precomputed ``sigs``
+    (id_col, simhash) to reuse signatures across calls.
+    """
+    if sigs is None:
+        sigs = simhash64(docs, text_col, id_col, n_bits)
+    bands = max_hamming + 1
+    width = n_bits // bands
+    exprs = []
+    for bi in range(bands):
+        lo = bi * width
+        w = n_bits - lo if bi == bands - 1 else width
+        exprs.append(
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.shiftright(F.col("simhash"), lo).bitwiseAND(F.lit((1 << w) - 1)).alias("val"),
+            )
+        )
+    banded = sigs.select(
+        F.col(id_col), F.col("simhash"), F.explode(F.array(*exprs)).alias("bv")
+    ).select(id_col, "simhash", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.val") == F.col("b.val"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("__sa"),
+            F.col("b.simhash").alias("__sb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb"))).cast("int")
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     text_col: str = "text",

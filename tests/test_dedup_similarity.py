@@ -276,3 +276,34 @@ def test_ngram_contamination(spark):
     bench = spark.createDataFrame([(100, leak)], "doc_id long, text string")
     got = {r["doc_id"]: r["contaminated"] for r in ngram_contamination(docs, bench, n=8).collect()}
     assert got == {1: True, 2: False, 3: False}
+
+
+def test_simhash_near_dup_pairs_banding(spark):
+    """Pigeonhole banding finds every pair within max_hamming exactly;
+    beyond-threshold pairs are dropped even when a band collides."""
+    from rat_strain_loader_pipeline_spark.operators.dedup import simhash_near_dup_pairs
+
+    base = 0b101010110011001110001111000011111000001111110000000111111100000 & ((1 << 63) - 1)
+    flip = lambda sig, *bits: sig ^ sum(1 << b for b in bits)  # noqa: E731
+    sigs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, flip(base, 5)),            # hamming 1 → pair
+            (3, flip(base, 5, 20, 40)),    # hamming 3 → pair (at threshold)
+            (4, flip(base, 1, 2, 3, 4)),   # hamming 4, flips within one band
+                                           #   → candidate via clean bands, dropped by verify
+            (5, ~base & ((1 << 63) - 1)),  # far away → no pair
+        ],
+        "doc_id long, simhash long",
+    )
+    docs = spark.createDataFrame([(0, "unused")], "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_dup_pairs(docs, max_hamming=3, sigs=sigs).collect()
+    }
+    assert got[(1, 2)] == 1
+    assert got[(1, 3)] == 3
+    assert got[(2, 3)] == 2
+    assert (1, 4) not in got and (1, 5) not in got
+    # 3 vs 4: bits {5,20,40} vs {1,2,3,4} → hamming 7 → absent
+    assert (3, 4) not in got
