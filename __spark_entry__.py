@@ -377,6 +377,21 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.ngram_contamination(docs, bench, n=8)
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-doc repetition signals on synthesized
+    multi-line docs: duplicate-line fraction + max line repeat, pure
+    map-side expressions."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("long")
+    l1 = F.concat(F.lit("line one of doc "), (d % 7).cast("string"))
+    l2 = F.concat(F.lit("line two v"), (d % 3).cast("string"))
+    l3 = F.when(d % 2 == 0, l1).otherwise(F.concat(F.lit("unique "), d.cast("string")))
+    l4 = F.when(d % 5 == 0, F.lit("")).otherwise(l2)
+    synth = F.concat_ws("\n", l1, l2, l3, l4)
+    st = T.repetition_stats(synth)
+    return docs.select(d.alias("doc_id"), *[v.alias(k) for k, v in st.items()])
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup by content hash (engine operator)."""
     docs = _t(spark, sf_dir, "documents")
@@ -2100,6 +2115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessionize,
         "dedup_exact": q_dedup_exact,
         "decontaminate": q_decontaminate,
+        "repetition_stats": q_repetition_stats,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
@@ -2585,6 +2601,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, h.doc_id IS NOT NULL AS contaminated
             FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents) d
             LEFT JOIN hits h USING (doc_id)
+        """,
+        "repetition_stats": """
+            WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+            synth AS (
+              SELECT id,
+                     'line one of doc '||CAST(id%7 AS VARCHAR) AS l1,
+                     'line two v'||CAST(id%3 AS VARCHAR) AS l2
+              FROM d
+            ),
+            built AS (
+              SELECT id,
+                     l1 || chr(10) || l2 || chr(10)
+                     || (CASE WHEN id%2=0 THEN l1
+                              ELSE 'unique '||CAST(id AS VARCHAR) END)
+                     || chr(10)
+                     || (CASE WHEN id%5=0 THEN '' ELSE l2 END) AS txt
+              FROM synth
+            ),
+            lines AS (
+              SELECT id,
+                     list_filter(string_split(txt, chr(10)), x -> trim(x) <> '') AS ls
+              FROM built
+            )
+            SELECT id AS doc_id,
+                   CAST(len(ls) AS INT) AS n_lines,
+                   CASE WHEN len(ls) > 0
+                        THEN round(CAST(len(ls) - len(list_distinct(ls)) AS DOUBLE)
+                                   / len(ls), 4)
+                        ELSE 0.0 END AS dup_line_fraction,
+                   CAST(CASE WHEN len(ls) > 0
+                        THEN list_max(list_transform(list_distinct(ls),
+                             d2 -> len(list_filter(ls, x -> x = d2))))
+                        ELSE 0 END AS INT) AS max_line_repeat
+            FROM lines
         """,
         "lang_id": _lang_id_sql(),
         "quality_score": _quality_score_sql(),

@@ -63,6 +63,31 @@ def char_count(text: Column) -> Column:
     return F.length(text).cast("bigint")
 
 
+def repetition_stats(text: Column) -> dict[str, Column]:
+    """Within-document repetition signals (Gopher-style quality rules):
+    fraction of non-empty lines that are duplicates of an earlier line,
+    and the highest repeat count of any single line. Pure expressions —
+    map-side, no shuffle."""
+    lines = F.filter(F.split(text, r"\n"), lambda x: F.trim(x) != "")
+    n = F.size(lines)
+    n_distinct = F.size(F.array_distinct(lines))
+    dup_frac = F.when(
+        n > 0, F.round((n - n_distinct).cast("double") / n, 4)
+    ).otherwise(F.lit(0.0))
+    # highest repeat count of any line: n - distinct only counts extras,
+    # so derive the max multiplicity via aggregate over distinct lines
+    max_rep = F.when(
+        n > 0,
+        F.array_max(
+            F.transform(
+                F.array_distinct(lines),
+                lambda d: F.size(F.filter(lines, lambda x: x == d)),
+            )
+        ),
+    ).otherwise(F.lit(0)).cast("int")
+    return {"n_lines": n.cast("int"), "dup_line_fraction": dup_frac, "max_line_repeat": max_rep}
+
+
 def word_ngrams(text: Column, n: int) -> Column:
     """Array of space-joined word n-grams; empty when < n tokens (guard
     with a size filter — F.sequence descends when start > stop)."""

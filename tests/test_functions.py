@@ -156,3 +156,23 @@ def test_bpe_ish_token_count(spark):
     import re
     n2 = len(re.findall(r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9']+|\s+", "hello,  world"))
     assert out[2] == n2
+
+
+def test_repetition_stats(spark):
+    from rat_strain_loader_pipeline_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [
+            (1, "a\nb\na\n\n  \nb\na"),  # a,b,a,b,a → 5 lines, 2 distinct
+            (2, "x\ny\nz"),
+            (3, ""),
+        ],
+        "id long, text string",
+    )
+    st = T.repetition_stats(F.col("text"))
+    out = {r["id"]: r for r in df.select("id", *[v.alias(k) for k, v in st.items()]).collect()}
+    assert out[1]["n_lines"] == 5
+    assert out[1]["dup_line_fraction"] == 0.6
+    assert out[1]["max_line_repeat"] == 3
+    assert out[2]["dup_line_fraction"] == 0.0 and out[2]["max_line_repeat"] == 1
+    assert out[3]["n_lines"] == 0 and out[3]["max_line_repeat"] == 0
