@@ -392,6 +392,39 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(d.alias("doc_id"), *[v.alias(k) for k, v in st.items()])
 
 
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted equi-join (operators/skew.py): fact side scatters
+    deterministically into 8 sub-keys, dim replicates — output provably
+    equals the plain join (the oracle IS the plain join), exercised on a
+    deliberately hot key carrying ~80% of rows."""
+    from rat_strain_loader_pipeline_spark.operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    k = F.col("l_orderkey").cast("long")
+    fact = li.select(
+        F.when(k % 5 != 0, "HOT").otherwise(F.concat(F.lit("k"), (k % 97).cast("string"))).alias("key"),
+        (k * 10 + F.col("l_linenumber")).alias("payload"),
+    )
+    s_ = _t(spark, sf_dir, "supplier")
+    sk = F.col("s_suppkey").cast("long")
+    dim = (
+        s_.filter(sk % 3 == 0)
+        .select(
+            F.when(sk % 7 == 0, "HOT")
+            .otherwise(F.concat(F.lit("k"), (sk % 97).cast("string")))
+            .alias("key"),
+            sk.alias("attr"),
+        )
+        .groupBy("key")
+        .agg(F.min("attr").alias("attr"))  # deterministic pick, matches oracle
+    )
+    out = salted_join(fact, dim, ["key"], n_salts=8, how="left")
+    return out.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.coalesce(F.col("attr"), F.lit(0))).alias("attr_sum"),
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup by content hash (engine operator)."""
     docs = _t(spark, sf_dir, "documents")
@@ -2116,6 +2149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "decontaminate": q_decontaminate,
         "repetition_stats": q_repetition_stats,
+        "salted_join": q_salted_join,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
@@ -2635,6 +2669,26 @@ def oracle_sql() -> dict[str, str]:
                              d2 -> len(list_filter(ls, x -> x = d2))))
                         ELSE 0 END AS INT) AS max_line_repeat
             FROM lines
+        """,
+        "salted_join": """
+            WITH fact AS (
+              SELECT CASE WHEN CAST(l_orderkey AS BIGINT)%5 <> 0 THEN 'HOT'
+                          ELSE 'k'||CAST(CAST(l_orderkey AS BIGINT)%97 AS VARCHAR) END AS key,
+                     CAST(l_orderkey AS BIGINT)*10 + l_linenumber AS payload
+              FROM lineitem
+            ),
+            dim AS (
+              SELECT key, min(attr) AS attr FROM (
+                SELECT CASE WHEN CAST(s_suppkey AS BIGINT)%7 = 0 THEN 'HOT'
+                            ELSE 'k'||CAST(CAST(s_suppkey AS BIGINT)%97 AS VARCHAR) END AS key,
+                       CAST(s_suppkey AS BIGINT) AS attr
+                FROM supplier WHERE s_suppkey%3 = 0
+              ) GROUP BY key
+            )
+            SELECT f.key, count(*) AS n_rows,
+                   CAST(sum(COALESCE(d.attr, 0)) AS BIGINT) AS attr_sum
+            FROM fact f LEFT JOIN dim d USING (key)
+            GROUP BY f.key
         """,
         "lang_id": _lang_id_sql(),
         "quality_score": _quality_score_sql(),
