@@ -1103,6 +1103,51 @@ def q_consequence_snv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vt.select(*_VT_OUT_COLS)
 
 
+def q_consequence_snv_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME consequence dataflow through the broadcast-free block
+    path (variant_transcript_consequences_blocks): transcript spans come
+    from the fasta block table via the distributed equi-join instead of
+    a genome broadcast — hash-checked against the SAME DuckDB oracle as
+    consequence_snv, proving the scale path end-to-end."""
+    from rat_strain_loader_pipeline_spark.operators.consequence import (
+        variant_transcript_consequences_blocks,
+    )
+    from rat_strain_loader_pipeline_spark.sources.fasta import (
+        fasta_blocks,
+        fasta_from_dict,
+    )
+
+    n_genes, _fb, genes, transcripts, features = _conseq_model(
+        spark, sf_dir, with_genome=False
+    )
+    blocks = fasta_blocks(fasta_from_dict(spark, _synth_genome(n_genes)), block_size=50_000)
+    li = _t(spark, sf_dir, "lineitem")
+    k0 = F.col("l_orderkey").cast("long")
+    g = (k0 % n_genes) + 1
+    pos = g * 5000 + (k0 * 37) % 4000
+    variants = (
+        li.filter(k0 % 20 == 0)
+        .select("l_orderkey")
+        .distinct()
+        .select(
+            k0.alias("rgd_id"),
+            ((g % 2) + 1).cast("string").alias("chromosome"),
+            pos.alias("start_pos"),
+            (pos + 1).alias("end_pos"),
+            F.lit("A").alias("ref_nuc"),
+            F.substring(
+                F.lit("ACGT"), (F.floor(k0 / 20).cast("long") % 4 + 1).cast("int"), 1
+            ).alias("var_nuc"),
+        )
+    )
+    vt = variant_transcript_consequences_blocks(
+        variants, genes, transcripts, features, blocks, 1,
+        repartition_to=spark.sparkContext.defaultParallelism,
+        block_size=50_000,
+    )
+    return vt.select(*_VT_OUT_COLS)
+
+
 def q_consequence_indel_utr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X9 UTR clipping + X11 indel mutation + frameshift through the same
     engine: insertions (ref NULL), '-'-marked deletions and MNVs on
@@ -2175,6 +2220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ref_depth_inference": q_ref_depth_inference,
         "zygosity_indel": q_zygosity_indel,
         "consequence_snv": q_consequence_snv,
+        "consequence_snv_blocks": q_consequence_snv_blocks,
         "consequence_indel_utr": q_consequence_indel_utr,
         "polyphen_roundtrip": q_polyphen_roundtrip,
         "flank_qc": q_flank_qc,
@@ -2853,6 +2899,7 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 10
         """,
         "consequence_snv": _conseq_oracle_sql(),
+        "consequence_snv_blocks": _conseq_oracle_sql(),
         "polyphen_roundtrip": f"""
             WITH ks AS (SELECT CAST(o_orderkey AS BIGINT) AS k FROM orders),
             info AS (
