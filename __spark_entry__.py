@@ -425,6 +425,24 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over synthesized text carrying emails / IPv4 /
+    phone numbers — chained map-side regexp_replace, value-hash-matched
+    against the same RE2 patterns in DuckDB."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("long")
+    synth = F.concat(
+        F.lit("contact user"), (d % 50).cast("string"), F.lit("@example"),
+        (d % 7).cast("string"), F.lit(".com or host 10."), (d % 256).cast("string"),
+        F.lit(".0."), (d % 200).cast("string"),
+        F.lit(" phone +1 555-01"), (d % 90 + 10).cast("string"),
+        F.lit("2345 end"),
+    )
+    return docs.select(
+        d.alias("doc_id"), T.redact_pii(synth).alias("clean")
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup by content hash (engine operator)."""
     docs = _t(spark, sf_dir, "documents")
@@ -2195,6 +2213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "repetition_stats": q_repetition_stats,
         "salted_join": q_salted_join,
+        "redact_pii": q_redact_pii,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
@@ -2735,6 +2754,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(COALESCE(d.attr, 0)) AS BIGINT) AS attr_sum
             FROM fact f LEFT JOIN dim d USING (key)
             GROUP BY f.key
+        """,
+        "redact_pii": r"""
+            WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+            synth AS (
+              SELECT id,
+                     'contact user'||CAST(id%50 AS VARCHAR)||'@example'
+                     ||CAST(id%7 AS VARCHAR)||'.com or host 10.'
+                     ||CAST(id%256 AS VARCHAR)||'.0.'||CAST(id%200 AS VARCHAR)
+                     ||' phone +1 555-01'||CAST(id%90+10 AS VARCHAR)
+                     ||'2345 end' AS txt
+              FROM d
+            )
+            SELECT id AS doc_id,
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(txt,
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                       '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+                     '\+[0-9][0-9 -]{7,}[0-9]', '<PHONE>', 'g') AS clean
+            FROM synth
         """,
         "lang_id": _lang_id_sql(),
         "quality_score": _quality_score_sql(),

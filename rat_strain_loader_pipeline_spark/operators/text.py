@@ -63,6 +63,24 @@ def char_count(text: Column) -> Column:
     return F.length(text).cast("bigint")
 
 
+# RE2-compatible (no lookarounds) so Spark and DuckDB redact identically
+PII_PATTERNS = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+    (r"\+[0-9][0-9 -]{7,}[0-9]", "<PHONE>"),
+]
+
+
+def redact_pii(text: Column) -> Column:
+    """Scrub emails, IPv4 addresses, and international-format phone
+    numbers (applied in that order — an email's host must not be eaten
+    by the IP rule first). Map-side regexp_replace chain, no UDF."""
+    out = text
+    for pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
 def repetition_stats(text: Column) -> dict[str, Column]:
     """Within-document repetition signals (Gopher-style quality rules):
     fraction of non-empty lines that are duplicates of an earlier line,

@@ -176,3 +176,24 @@ def test_repetition_stats(spark):
     assert out[1]["max_line_repeat"] == 3
     assert out[2]["dup_line_fraction"] == 0.0 and out[2]["max_line_repeat"] == 1
     assert out[3]["n_lines"] == 0 and out[3]["max_line_repeat"] == 0
+
+
+def test_redact_pii(spark):
+    from rat_strain_loader_pipeline_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@x.co.uk now"),
+            (2, "server 192.168.1.255 up"),
+            (3, "call +44 20 7946 0958 ok"),
+            (4, "clean text only"),
+            (5, "both joe@x.io at 10.0.0.1"),
+        ],
+        "id long, text string",
+    )
+    out = {r["id"]: r["c"] for r in df.select("id", T.redact_pii(F.col("text")).alias("c")).collect()}
+    assert out[1] == "mail <EMAIL> now"
+    assert out[2] == "server <IP> up"
+    assert out[3] == "call <PHONE> ok"
+    assert out[4] == "clean text only"
+    assert out[5] == "both <EMAIL> at <IP>"
