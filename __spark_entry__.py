@@ -443,6 +443,30 @@ def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM sequence packing: shard-local concat-and-chunk assignment of
+    docs into 2048-token windows from the running token sum — per-shard
+    window cumsum, parallel across shards. Shard uses a modulus (not
+    xxhash64) so DuckDB can reproduce it exactly."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("long")
+    from pyspark.sql.window import Window as W
+
+    sized = docs.select(
+        d.alias("doc_id"),
+        T.token_count(F.col("text")).alias("n_tokens"),
+        (d % 8).cast("int").alias("shard"),
+    )
+    w = W.partitionBy("shard").orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+    out = (
+        sized.withColumn("__cum", F.sum(F.col("n_tokens")).over(w))
+        .withColumn("__start", F.col("__cum") - F.col("n_tokens"))
+        .withColumn("pack_id", F.floor(F.col("__start") / 2048).cast("int"))
+        .withColumn("offset_in_pack", (F.col("__start") % 2048).cast("int"))
+    )
+    return out.select("doc_id", "shard", "n_tokens", "pack_id", "offset_in_pack")
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup by content hash (engine operator)."""
     docs = _t(spark, sf_dir, "documents")
@@ -2214,6 +2238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "salted_join": q_salted_join,
         "redact_pii": q_redact_pii,
+        "sequence_pack": q_sequence_pack,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
@@ -2774,6 +2799,25 @@ def oracle_sql() -> dict[str, str]:
                        '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
                      '\+[0-9][0-9 -]{7,}[0-9]', '<PHONE>', 'g') AS clean
             FROM synth
+        """,
+        "sequence_pack": f"""
+            WITH sized AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     CAST(len({_TOKENS_CASED_SQL}) AS BIGINT) AS n_tokens,
+                     CAST(doc_id % 8 AS INT) AS shard
+              FROM documents
+            ),
+            cum AS (
+              SELECT *,
+                     sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - n_tokens AS start_off
+              FROM sized
+            )
+            SELECT doc_id, shard, n_tokens,
+                   CAST(floor(start_off / 2048.0) AS INT) AS pack_id,
+                   CAST(start_off % 2048 AS INT) AS offset_in_pack
+            FROM cum
         """,
         "lang_id": _lang_id_sql(),
         "quality_score": _quality_score_sql(),

@@ -63,6 +63,47 @@ def char_count(text: Column) -> Column:
     return F.length(text).cast("bigint")
 
 
+def greedy_pack(
+    docs,
+    max_tokens: int,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    n_shards: int = 32,
+):
+    """Sequence packing for LLM training: concat-and-chunk assignment of
+    docs into fixed token windows.
+
+    Docs are sharded (hash of id), ordered by id within the shard, and
+    assigned pack = floor(start_offset / max_tokens) from the running
+    token sum — the streaming concat-then-chunk packing used by training
+    pipelines. Packing is SHARD-LOCAL by design: a global greedy order
+    would serialize into one window partition; per-shard packing keeps
+    every shard's cumsum parallel and pack ids deterministic
+    ((shard, pack) is the pack key). Docs longer than ``max_tokens``
+    still get a pack (they span several windows downstream).
+
+    Returns docs + shard, pack_id, offset_in_pack.
+    """
+    from pyspark.sql.window import Window
+
+    shard = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards)).cast("int")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = (
+        docs.withColumn("shard", shard)
+        .withColumn("__cum", F.sum(F.col(tokens_col).cast("long")).over(w))
+        .withColumn("__start", F.col("__cum") - F.col(tokens_col))
+        .withColumn("pack_id", F.floor(F.col("__start") / max_tokens).cast("int"))
+        .withColumn(
+            "offset_in_pack", (F.col("__start") % max_tokens).cast("int")
+        )
+    )
+    return out.drop("__cum", "__start")
+
+
 # RE2-compatible (no lookarounds) so Spark and DuckDB redact identically
 PII_PATTERNS = [
     (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),

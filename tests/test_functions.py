@@ -197,3 +197,28 @@ def test_redact_pii(spark):
     assert out[3] == "call <PHONE> ok"
     assert out[4] == "clean text only"
     assert out[5] == "both <EMAIL> at <IP>"
+
+
+def test_greedy_pack(spark):
+    """Packing invariants: offsets within [0, max), pack boundaries at
+    running-sum multiples, deterministic across runs."""
+    from rat_strain_loader_pipeline_spark.operators.text import greedy_pack
+
+    docs = spark.createDataFrame(
+        [(i, 100 + (i * 37) % 400) for i in range(200)],
+        "doc_id long, n_tokens int",
+    )
+    out = greedy_pack(docs, max_tokens=1000, n_shards=4).collect()
+    assert len(out) == 200
+    by_shard = {}
+    for r in sorted(out, key=lambda r: (r["shard"], r["doc_id"])):
+        assert 0 <= r["offset_in_pack"] < 1000
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, rows in by_shard.items():
+        cum = 0
+        for r in rows:
+            assert r["pack_id"] == cum // 1000, (shard, r)
+            assert r["offset_in_pack"] == cum % 1000
+            cum += r["n_tokens"]
+    out2 = greedy_pack(docs, max_tokens=1000, n_shards=4).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
