@@ -1786,6 +1786,53 @@ def q_events_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def q_events_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CUSTOM stateful streaming operator (applyInPandasWithState
+    sessionizer) under the correctness gate: a sentinel event per user,
+    30 days past the global max ts, closes every real session inside the
+    single availableNow batch — so emitted closed sessions equal batch
+    gap-sessionization and the lag-window DuckDB oracle applies
+    (sentinel-opened sessions are filtered by their start ts)."""
+    import datetime as _dt
+    import os as _os
+    import uuid as _uuid
+
+    from rat_strain_loader_pipeline_spark.staging import _stage_root
+    from rat_strain_loader_pipeline_spark.streaming.events import sessionize_stateful
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    tmax = ev.agg(F.max("ts")).collect()[0][0]
+    sentinel_ts = tmax + _dt.timedelta(days=30)
+    sentinels = ev.select("user_id").distinct().select(
+        (-F.col("user_id")).alias("event_id"),
+        F.lit(sentinel_ts).alias("ts"),
+        "user_id",
+        F.lit("sentinel").alias("event_type"),
+        F.lit(0.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    src_dir = _os.path.join(_stage_root(), f"events-sess-src-{_uuid.uuid4().hex[:8]}")
+    ev.unionByName(sentinels).write.parquet(src_dir)
+
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    ).parquet(src_dir)
+    out = sessionize_stateful(stream, gap_seconds=1800, watermark="2 hours")
+    name = f"stream_sessions_{_uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", _os.path.join(_stage_root(), f"ckpt-{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).filter(F.col("session_start") < F.lit(sentinel_ts))
+
+
 def q_wig_fixedstep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S5 stateful fixedStep wiggle parse through the REAL parser
     (sources.wig.parse_fixedstep_lines): declaration lines reset the
@@ -2283,6 +2330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "legacy_zygosity": q_legacy_zygosity,
         "exon_counts": q_exon_counts,
         "events_stream_hourly": q_events_stream_hourly,
+        "events_stream_sessionize": q_events_stream_sessionize,
         "wig_fixedstep": q_wig_fixedstep,
         "variant_type_fixup": q_variant_type_fixup,
         "genic_status_fixup": q_genic_status_fixup,
@@ -3346,6 +3394,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
             FROM events
             GROUP BY 1, 2
+        """,
+        "events_stream_sessionize": """
+            WITH flagged AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                               OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                          THEN 1 ELSE 0 END AS ns
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            sess AS (
+              SELECT user_id, ts,
+                     sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+              FROM flagged
+            )
+            SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+                   count(*) AS n_events
+            FROM sess GROUP BY user_id, sid
         """,
         "wig_fixedstep": """
             WITH seq AS (

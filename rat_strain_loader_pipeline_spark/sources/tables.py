@@ -66,6 +66,9 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         ts_field = df.schema["ts"] if "ts" in df.columns else None
         if ts_field is not None and isinstance(ts_field.dataType, LongType):
-            # nanos-as-long → microsecond timestamp (truncation == DuckDB's)
-            df = df.withColumn("ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
+            # nanos-as-long → microsecond timestamp. MUST be integer
+            # division: floor(ts / 1000) routes through a double whose
+            # 53-bit mantissa loses sub-µs precision at ~1.7e18 nanos
+            # (off-by-one µs vs DuckDB's exact truncation).
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df

@@ -56,7 +56,7 @@ def dedup_within_watermark(events: DataFrame, keys: list[str], watermark: str = 
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
 
 
-SESSION_STATE_SCHEMA = "start_ms long, last_ms long, n long"
+SESSION_STATE_SCHEMA = "start_us long, last_us long, n long"
 SESSION_OUTPUT_SCHEMA = (
     "user_id long, session_start timestamp, session_end timestamp, n_events long"
 )
@@ -80,17 +80,17 @@ def sessionize_stateful(
     """
     import pandas as pd
 
-    gap_ms = int(gap_seconds) * 1000
+    gap_us = int(gap_seconds) * 1_000_000
 
     def fn(key, pdfs, state):
         if state.hasTimedOut:
-            start_ms, last_ms, n = state.get
+            start_us, last_us, n = state.get
             state.remove()
             yield pd.DataFrame(
                 {
                     "user_id": [key[0]],
-                    "session_start": [pd.Timestamp(start_ms, unit="ms")],
-                    "session_end": [pd.Timestamp(last_ms, unit="ms")],
+                    "session_start": [pd.Timestamp(start_us, unit="us")],
+                    "session_end": [pd.Timestamp(last_us, unit="us")],
                     "n_events": [n],
                 }
             )
@@ -100,28 +100,31 @@ def sessionize_stateful(
             ts.extend(pdf["ts"].tolist())
         ts.sort()
         if state.exists:
-            start_ms, last_ms, n = state.get
+            start_us, last_us, n = state.get
         else:
-            start_ms, last_ms, n = None, None, 0
+            start_us, last_us, n = None, None, 0
         closed: list[tuple[int, int, int]] = []
         for t in ts:
-            t_ms = int(t.value // 1_000_000)
-            if last_ms is not None and t_ms - last_ms > gap_ms:
-                closed.append((start_ms, last_ms, n))
-                start_ms, n = None, 0
-            if start_ms is None:
-                start_ms = t_ms
-            last_ms = t_ms
+            t_us = int(t.value // 1_000)  # keep microseconds — event
+            # timestamps carry sub-millisecond precision
+            if last_us is not None and t_us - last_us > gap_us:
+                closed.append((start_us, last_us, n))
+                start_us, n = None, 0
+            if start_us is None:
+                start_us = t_us
+            last_us = t_us
             n += 1
-        state.update((start_ms, last_ms, n))
-        # timeout must sit beyond the current watermark
-        state.setTimeoutTimestamp(max(last_ms + gap_ms, state.getCurrentWatermarkMs() + 1))
+        state.update((start_us, last_us, n))
+        # timeout must sit beyond the current watermark (timeout API is ms)
+        state.setTimeoutTimestamp(
+            max((last_us + gap_us) // 1000, state.getCurrentWatermarkMs() + 1)
+        )
         if closed:
             yield pd.DataFrame(
                 {
                     "user_id": key[0],
-                    "session_start": [pd.Timestamp(s, unit="ms") for s, _, _ in closed],
-                    "session_end": [pd.Timestamp(e, unit="ms") for _, e, _ in closed],
+                    "session_start": [pd.Timestamp(s, unit="us") for s, _, _ in closed],
+                    "session_end": [pd.Timestamp(e, unit="us") for _, e, _ in closed],
                     "n_events": [c for _, _, c in closed],
                 }
             )
