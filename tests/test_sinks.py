@@ -61,3 +61,25 @@ def test_bulk_load_bracket():
 
 def test_stage_table_name():
     assert stage_table_name("variant") == "variant_stage"
+
+
+def test_observe_counters_single_pass(spark):
+    """K7 counters aggregate during the consuming action — no second
+    pass over the plan — and render as a SYSTEM_LOG-shaped row."""
+    from pyspark.sql import functions as F
+
+    from rat_strain_loader_pipeline_spark.observe import run_log_row, with_counters
+
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 7 == 0).alias("skipped")
+    )
+    out, obs = with_counters(
+        df,
+        "load-run",
+        rows_total=F.count(F.lit(1)),
+        rows_skipped=F.sum(F.col("skipped").cast("long")),
+    )
+    kept = out.filter(~F.col("skipped"))
+    assert kept.count() == 1000 - 143
+    row = run_log_row(obs, "variant-load")
+    assert row == {"event": "variant-load", "rows_total": 1000, "rows_skipped": 143}
