@@ -113,6 +113,42 @@ def jdbc_upsert_via_staging(
     return merge_sql(target.table, key_cols, update_cols, cols, stage=stage)
 
 
+def jdbc_scan_options(
+    target: JdbcTarget,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int | None = None,
+    fetchsize: int = DEFAULT_BATCH_SIZE,
+) -> dict[str, str]:
+    """S7/S8 partitioned JDBC scan options for ``spark.read.jdbc``.
+
+    The reference parallelizes DB reads by randomized row order
+    (``ORDER BY dbms_random.value``, ClinVar2Vcf.java:81-88) — a
+    load-balance hack obsoleted by range-partitioned scans: Spark
+    splits ``partition_column`` into ``num_partitions`` ranges and each
+    task reads its slice with pushdown. Returns the option dict
+    (testable without a driver); feed to
+    ``spark.read.options(**opts).format("jdbc").load()``.
+    """
+    opts = {
+        "url": target.url,
+        "dbtable": target.table,
+        "fetchsize": str(fetchsize),
+        **target.properties,
+    }
+    if partition_column is not None:
+        if lower_bound is None or upper_bound is None or num_partitions is None:
+            raise ValueError("partitioned scan needs lower/upper bounds and num_partitions")
+        opts.update(
+            partitionColumn=partition_column,
+            lowerBound=str(lower_bound),
+            upperBound=str(upper_bound),
+            numPartitions=str(num_partitions),
+        )
+    return opts
+
+
 def bulk_load_bracket_sql(
     table: str, index_names: list[str], fk_constraint_names: list[str]
 ) -> tuple[list[str], list[str]]:

@@ -83,3 +83,18 @@ def test_observe_counters_single_pass(spark):
     assert kept.count() == 1000 - 143
     row = run_log_row(obs, "variant-load")
     assert row == {"event": "variant-load", "rows_total": 1000, "rows_skipped": 143}
+
+
+def test_jdbc_scan_options():
+    from rat_strain_loader_pipeline_spark.sinks import JdbcTarget, jdbc_scan_options
+
+    t = JdbcTarget("jdbc:oracle:thin:@db:1521/rgd", "variant", {"user": "u"})
+    opts = jdbc_scan_options(t, "rgd_id", 1, 1_000_000, 32)
+    assert opts["partitionColumn"] == "rgd_id"
+    assert opts["numPartitions"] == "32"
+    assert opts["fetchsize"] == "10000"
+    assert opts["user"] == "u"
+    import pytest
+
+    with pytest.raises(ValueError):
+        jdbc_scan_options(t, "rgd_id")  # bounds missing
