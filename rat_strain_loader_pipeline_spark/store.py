@@ -106,6 +106,29 @@ def read_table(
     return df.withColumns(casts) if casts else df
 
 
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    n_buckets: int = 64,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table for co-located joins (SURVEY §4: 'bucketing
+    for co-located joins').
+
+    A store bucketed on its join key lets every future upsert/probe join
+    read bucket-aligned files and skip the store-side shuffle entirely —
+    the right trade when one big table is joined on the same key every
+    load cycle (the variant store's natural key). Bucketing needs the
+    session catalog (saveAsTable), not a bare parquet path.
+    """
+    w = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table_name)
+
+
 def write_load_result(result, root: str, map_key: int) -> None:
     """Land a ``pipelines.load.LoadResult`` into the store (the three
     K1 insert targets of saveVariants)."""

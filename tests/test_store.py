@@ -51,3 +51,35 @@ def test_overwrite_partitions_touches_only_present(spark, tmp_path):
         for r in read_table(spark, root, "variant_map_data").collect()
     }
     assert out == {("1", "GENIC"), ("2", "INTERGENIC")}
+
+
+def test_bucketed_store_elides_store_side_shuffle(spark, tmp_path):
+    """A store bucketed on the join key must join without an Exchange on
+    the bucketed side — the co-location the reference approximates with
+    per-chromosome processes."""
+    from rat_strain_loader_pipeline_spark.store import write_bucketed
+
+    store = spark.range(10_000).select(
+        (F.col("id") % 977).alias("start_pos"), F.col("id").alias("rgd_id")
+    )
+    write_bucketed(store, "bucketed_variant_store_test", ["start_pos"], n_buckets=8)
+    try:
+        stored = spark.table("bucketed_variant_store_test")
+        incoming = spark.range(500).select(
+            (F.col("id") * 3 % 977).alias("start_pos"), F.col("id").alias("payload")
+        )
+        # force a sort-merge join so bucketing (not broadcast) does the work
+        joined = incoming.hint("merge").join(stored, "start_pos")
+        joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]  # executed plan string repeats both
+        # exactly ONE exchange: the incoming side repartitions to the
+        # bucket layout; the bucketed scan itself must not shuffle
+        assert final.count("Exchange hashpartitioning") == 1, final
+        assert "SortMergeJoin" in final
+        assert "Bucketed: true" in final
+        # correctness unchanged
+        expect = incoming.join(store, "start_pos").count()
+        assert joined.count() == expect
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bucketed_variant_store_test")
