@@ -32,22 +32,38 @@ def postprocess_variants(
     genes: DataFrame,
     transcripts: DataFrame,
     features: DataFrame,
-    fasta_broadcast,
-    map_key: int,
+    fasta_broadcast=None,
+    map_key: int = 0,
     verify_against: DataFrame | None = None,
+    fasta_blocks: DataFrame | None = None,
+    block_size: int = 100_000,
 ) -> PostProcessResult:
+    """Pass ``fasta_broadcast`` (a {chr: seq} broadcast) for the
+    reference-scale path, or ``fasta_blocks`` (a sources.fasta block
+    table) for the broadcast-free 100 TB genome path — identical output
+    either way."""
     from rat_strain_loader_pipeline_spark.staging import stage_to_parquet
 
+    if (fasta_broadcast is None) == (fasta_blocks is None):
+        raise ValueError("pass exactly one of fasta_broadcast / fasta_blocks")
+    if fasta_blocks is not None:
+        from rat_strain_loader_pipeline_spark.operators.consequence import (
+            variant_transcript_consequences_blocks,
+        )
+
+        vt_raw = variant_transcript_consequences_blocks(
+            variants, genes, transcripts, features, fasta_blocks, map_key,
+            verify_against, block_size=block_size,
+        )
+    else:
+        vt_raw = variant_transcript_consequences(
+            variants, genes, transcripts, features, fasta_broadcast, map_key, verify_against
+        )
     # two consumers (VT projection + sequences union) over a pandas-UDF
     # output: land it in a parquet stage barrier so the consequence UDF
     # runs exactly once and neither consumer pays a columnar cache build
     # (staging.py measurements; same pattern as load_variants)
-    vt_full = stage_to_parquet(
-        variant_transcript_consequences(
-            variants, genes, transcripts, features, fasta_broadcast, map_key, verify_against
-        ),
-        "postprocess-vt",
-    )
+    vt_full = stage_to_parquet(vt_raw, "postprocess-vt")
 
     aa_key = F.when(
         F.col("full_ref_aa").isNotNull(), F.xxhash64(F.lit("aa"), F.col("full_ref_aa"))
