@@ -141,3 +141,22 @@ def test_upsert_distributed_ranking_avoids_single_partition_exchange(spark):
     # per-chromosome offsets window, whose input is the count aggregate
     ranking_side = dist.split("Window")[0] if "Window" in dist else dist
     assert "hashpartitioning" in ranking_side.lower() or "Exchange" not in ranking_side
+
+
+def test_decontaminate_broadcasts_benchmark(spark, sf_dir, queries):
+    """The benchmark n-gram set must broadcast — a shuffled join would
+    move the full exploded training-gram table twice."""
+    plan = _plan(queries["decontaminate"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "LeftSemi" in plan
+
+
+def test_sequence_pack_single_shuffle(spark, sf_dir, queries):
+    """Shard-local packing: one hash exchange on the shard key feeds the
+    window cumsum; no global single-partition sort anywhere."""
+    df = queries["sequence_pack"](spark, sf_dir)
+    plan = _plan(df)
+    assert "SinglePartition" not in plan
+    # formatted mode prints each node twice (tree + detail) — count tree nodes
+    assert plan.count("Window (") == 1
+    assert plan.count("Exchange (") == 1
