@@ -2,6 +2,16 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec, ...}, "sf": ...}.
+
+The full per-query timing dict is ALSO written to BENCH_FULL.json next to
+this file (the driver's tail capture truncates long stdout lines — r1's
+80-query line overflowed it), and the printed line keeps the complete
+"queries" dict but compact-encoded; if it would still exceed the tail
+window it falls back to the slowest 10 plus a "queries_file" pointer.
+
+Set SPARK_GRAFT_BENCH_RUNS=N (default 1) to run each query N times and
+report the fastest — per-query times at sf0.1 are planning/codegen
+dominated, so N=2 approximates steady-state throughput.
 """
 
 from __future__ import annotations
@@ -56,30 +66,42 @@ def main() -> None:
         spark.sparkContext.defaultParallelism
     ).mapInPandas(_ident, "id long").count()
 
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "1")))
     t_total = time.perf_counter()
     for name, fn in queries.items():
-        t0 = time.perf_counter()
-        try:
-            df = fn(spark, sf_dir)
-            n = df.count()
-            _ = n
-            timings[name] = round(time.perf_counter() - t0, 3)
-        except Exception as e:
-            timings[name] = -1.0
-            print(f"bench error in {name}: {e}", file=sys.stderr)
+        best = None
+        for _run in range(runs):
+            t0 = time.perf_counter()
+            try:
+                df = fn(spark, sf_dir)
+                df.count()
+                elapsed = time.perf_counter() - t0
+                best = elapsed if best is None else min(best, elapsed)
+            except Exception as e:
+                best = -1.0
+                print(f"bench error in {name}: {e}", file=sys.stderr)
+                break
+        timings[name] = round(best, 3)
     total = round(time.perf_counter() - t_total, 3)
 
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "total_query_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
+    with open(full_path, "w") as f:
+        json.dump(payload, f, indent=1)
+
+    line = json.dumps(payload, separators=(",", ":"))
+    if len(line) > 1800:  # driver tail window safety: keep the line short
+        slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
+        payload = {**payload, "queries": slowest, "n_queries": len(timings),
+                   "queries_file": "BENCH_FULL.json"}
+        line = json.dumps(payload, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

@@ -372,8 +372,12 @@ def ngram_jaccard_pairs(
     additionally bounds the prefix (trades recall for a hard fanout
     limit on adversarial corpora); None applies the exact bound.
 
-    Two shuffles (df groupBy, candidate join) + broadcast df map, all on
-    long hashes (never strings).
+    Three shuffles (df groupBy, df join on tok, candidate join), all on
+    long hashes (never strings). No global rank: the prefix window only
+    needs SOME deterministic total order by rarity, and (df, tok) already
+    is one — a dense global row_number would funnel every distinct token
+    through a single unpartitioned-window task and then broadcast a map
+    that is billions of entries at 100 TB.
     """
     hashes = shingle_hashes(docs, text_col, id_col, shingle_n, stage=True)
 
@@ -382,14 +386,11 @@ def ngram_jaccard_pairs(
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("df"))
     )
-    tok_rank = df_counts.select(
-        "tok", F.row_number().over(Window.orderBy("df", "tok")).alias("rank")
-    )
 
     exploded = hashes.select(id_col, F.size("hashes").alias("n_sh"), F.explode("hashes").alias("tok"))
-    ranked = exploded.join(F.broadcast(tok_rank), "tok")
+    ranked = exploded.join(df_counts, "tok")
 
-    w = Window.partitionBy(id_col).orderBy("rank")
+    w = Window.partitionBy(id_col).orderBy("df", "tok")
     prefix_len = (F.col("n_sh") - F.ceil(F.col("n_sh") * F.lit(threshold)) + 1).cast("int")
     if prefix_cap is not None:
         prefix_len = F.least(prefix_len, F.lit(prefix_cap))

@@ -151,6 +151,16 @@ def test_decontaminate_broadcasts_benchmark(spark, sf_dir, queries):
     assert "LeftSemi" in plan
 
 
+def test_ngram_jaccard_no_global_rank(spark, sf_dir, queries):
+    """Prefix filtering must not build a dense global token rank: that
+    plans an Exchange SinglePartition (every distinct shingle through one
+    window task) plus a broadcast of the full token table — billions of
+    entries at 100 TB. The fixed plan orders the per-doc window by
+    (df, tok) after a partitioned join; every window is hash-partitioned."""
+    plan = _plan(queries["ngram_jaccard"](spark, sf_dir))
+    assert "SinglePartition" not in plan
+
+
 def test_sequence_pack_single_shuffle(spark, sf_dir, queries):
     """Shard-local packing: one hash exchange on the shard key feeds the
     window cumsum; no global single-partition sort anywhere."""
