@@ -1959,15 +1959,17 @@ def q_zygosity_poss_error_fixup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (exact baseline): broadcast
-    unit-matrix + per-partition numpy block-matmul — no pairwise
-    shuffle; the LSH-bucketed variant is the recall-traded scale path."""
+    """Embedding-cosine near-duplicate pairs, exact and fully
+    distributed: block self-join (grouped GEMM per unordered block pair)
+    — no driver collect, no broadcast; O(n²d) FLOPs split over
+    independent block-pair tasks. The collect-based
+    ``embedding_near_dup_pairs`` is its equivalence oracle in pytest."""
     from rat_strain_loader_pipeline_spark.operators.similarity import (
-        embedding_near_dup_pairs,
+        embedding_near_dup_pairs_blocked,
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs(emb, threshold=0.35)
+    return embedding_near_dup_pairs_blocked(emb, threshold=0.35, n_blocks=8)
 
 
 # --------------------------------------------------------------------------

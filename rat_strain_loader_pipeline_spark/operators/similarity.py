@@ -17,6 +17,12 @@
                     check); smaller nprobe trades recall for pruning.
 - pairwise_topk_join: all-pairs top-k between two small/medium sets via
                     block nested join — candidate stage for kNN graphs.
+- embedding_near_dup_pairs_blocked: exact all-pairs over-threshold via a
+                    distributed block self-join (grouped GEMM per block
+                    pair) — no driver collect, no broadcast; the checked
+                    dedup path.
+- knn_join_blocked: exact query×corpus top-k via the same block scheme +
+                    per-query window reduce of the block-local partials.
 """
 
 from __future__ import annotations
@@ -365,3 +371,179 @@ def embedding_near_dup_pairs(
     # round Spark-side (half-up, same as the SQL oracle) — np.round is
     # half-to-even and would diverge on exact .00005 boundaries
     return raw.select("a_id", "b_id", F.round("cosine", round_to).alias("cosine"))
+
+
+def _blocked_sides(
+    embeddings: DataFrame,
+    n_blocks: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Replicate each vector into every block-PAIR group it belongs to.
+
+    Block id = pmod(xxhash64(id), n_blocks). A row in block p joins group
+    (i=p, j) for every j >= p with side 'a' and group (i, j=p) for every
+    i <= p with side 'b' — so the unordered block pair (i, j) sees block
+    i as the 'a' side and block j as the 'b' side exactly once. The
+    replication factor is n_blocks + 1 per row; shuffle volume is
+    n * (n_blocks + 1) rows for an exact n² comparison with no driver
+    materialization and no broadcast."""
+    spark = embeddings.sparkSession
+    pair_rows = [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)]
+    pairs = spark.createDataFrame(pair_rows, "i int, j int")
+    base = embeddings.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__vec"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("__blk"),
+    )
+    side_a = base.join(pairs, base["__blk"] == pairs["i"]).select(
+        "i", "j", "__id", "__vec", F.lit("a").alias("__side")
+    )
+    side_b = base.join(pairs, base["__blk"] == pairs["j"]).select(
+        "i", "j", "__id", "__vec", F.lit("b").alias("__side")
+    )
+    return side_a.unionByName(side_b)
+
+
+def embedding_near_dup_pairs_blocked(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_blocks: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """Exact embedding near-duplicate pairs, fully distributed.
+
+    Same output as ``embedding_near_dup_pairs`` (every a < b with cosine
+    >= threshold) but with NO driver collect and NO broadcast: vectors
+    are hashed into ``n_blocks`` blocks, every unordered block pair
+    (i <= j) becomes one ``applyInPandas`` group, and each group runs a
+    dense numpy GEMM between its two blocks. Work is O(n²d) FLOPs — the
+    inherent cost of exact all-pairs — split into (n_blocks²+n_blocks)/2
+    independent tasks of (n/n_blocks)² each; shuffle carries
+    n·(n_blocks+1) vector rows. Size n_blocks so a block pair
+    (~2·(n/n_blocks)·d doubles) fits one task's memory: n_blocks ~
+    n·d·16B / 256MB. For threshold >= ~0.8 prefer LSH bucketing (this
+    operator is the exact baseline and the low-threshold path).
+    """
+    import numpy as np
+    import pandas as pd
+
+    def gemm(pdf: pd.DataFrame) -> pd.DataFrame:
+        i = int(pdf["i"].iloc[0])
+        j = int(pdf["j"].iloc[0])
+        a_pdf = pdf[pdf["__side"] == "a"]
+        b_pdf = pdf[pdf["__side"] == "b"]
+        if len(a_pdf) == 0 or len(b_pdf) == 0:
+            return pd.DataFrame({"a_id": [], "b_id": [], "cosine": []}).astype(
+                {"a_id": "int64", "b_id": "int64", "cosine": "float64"}
+            )
+
+        def unit(rows: pd.Series) -> np.ndarray:
+            m = np.array(list(rows), dtype=np.float64)
+            nrm = np.sqrt((m * m).sum(axis=1))
+            nrm[nrm == 0] = np.nan
+            return m / nrm[:, None]
+
+        a_ids = a_pdf["__id"].to_numpy(dtype=np.int64)
+        b_ids = b_pdf["__id"].to_numpy(dtype=np.int64)
+        sims = unit(a_pdf["__vec"]) @ unit(b_pdf["__vec"]).T
+        sims = np.nan_to_num(sims, nan=-2.0)
+        oi, oj = np.nonzero(sims >= threshold)
+        pa, pb, s = a_ids[oi], b_ids[oj], sims[oi, oj]
+        if i == j:  # diagonal group: both sides are the same block
+            keep = pa < pb
+            pa, pb, s = pa[keep], pb[keep], s[keep]
+        else:  # cross pair: normalize order
+            lo, hi = np.minimum(pa, pb), np.maximum(pa, pb)
+            pa, pb = lo, hi
+        return pd.DataFrame({"a_id": pa, "b_id": pb, "cosine": s})
+
+    raw = (
+        _blocked_sides(embeddings, n_blocks, id_col, vec_col)
+        .groupBy("i", "j")
+        .applyInPandas(gemm, schema="a_id long, b_id long, cosine double")
+    )
+    return raw.select("a_id", "b_id", F.round("cosine", round_to).alias("cosine"))
+
+
+def knn_join_blocked(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    n_blocks: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """Exact query×corpus cosine top-k, fully distributed (no driver
+    collect / broadcast of the corpus, unlike ``pairwise_topk_join``).
+
+    Corpus is hashed into ``n_blocks`` blocks; every query row joins
+    every block (replication factor n_blocks), each (block) group GEMMs
+    its queries against its corpus slice and keeps k block-local
+    partials, then one hash-partitioned window per q_id reduces the
+    n_blocks·k partials to the global top-k. Ties break by ascending
+    corpus id, matching ``brute_force_topk``. Returns
+    (q_id, c_id, rank, cosine), rank 1-based, self-pairs kept.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    blocks = spark.createDataFrame([(b,) for b in range(n_blocks)], "blk int")
+    q_rep = queries.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec")
+    ).crossJoin(F.broadcast(blocks)).select(
+        "blk", "__id", "__vec", F.lit("a").alias("__side")
+    )
+    c_rep = corpus.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__vec"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("blk"),
+    ).select("blk", "__id", "__vec", F.lit("b").alias("__side"))
+
+    def gemm_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        q_pdf = pdf[pdf["__side"] == "a"]
+        c_pdf = pdf[pdf["__side"] == "b"]
+        if len(q_pdf) == 0 or len(c_pdf) == 0:
+            return pd.DataFrame({"q_id": [], "c_id": [], "cosine": []}).astype(
+                {"q_id": "int64", "c_id": "int64", "cosine": "float64"}
+            )
+        c_ids = c_pdf["__id"].to_numpy(dtype=np.int64)
+        order = np.argsort(c_ids)
+        c_ids = c_ids[order]
+
+        def unit(rows: pd.Series) -> np.ndarray:
+            m = np.array(list(rows), dtype=np.float64)
+            nrm = np.sqrt((m * m).sum(axis=1))
+            nrm[nrm == 0] = np.nan
+            return m / nrm[:, None]
+
+        q_ids = q_pdf["__id"].to_numpy(dtype=np.int64)
+        sims = unit(q_pdf["__vec"]) @ unit(c_pdf["__vec"])[order].T
+        sims = np.nan_to_num(sims, nan=-2.0)
+        kk = min(k, len(c_ids))
+        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        out_q, out_c, out_s = [], [], []
+        for r in range(len(q_ids)):
+            idx = part[r]
+            out_q.extend([q_ids[r]] * len(idx))
+            out_c.extend(c_ids[idx])
+            out_s.extend(sims[r, idx])
+        return pd.DataFrame({"q_id": out_q, "c_id": out_c, "cosine": out_s})
+
+    partials = (
+        q_rep.unionByName(c_rep)
+        .groupBy("blk")
+        .applyInPandas(gemm_topk, schema="q_id long, c_id long, cosine double")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id").asc())
+    return (
+        partials.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", "rank", F.round("cosine", round_to).alias("cosine"))
+    )

@@ -259,6 +259,48 @@ def test_pairwise_topk_join_matches_brute_force(spark, sf_dir):
         assert neighbors == exact, qid
 
 
+def test_blocked_near_dup_matches_collect_exact(spark, sf_dir):
+    """The distributed block self-join (checked dedup path) must emit
+    exactly the same pair set + cosines as the collect-based exact
+    baseline, including the n_blocks=1 and oversplit regimes."""
+    from rat_strain_loader_pipeline_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+        embedding_near_dup_pairs_blocked,
+    )
+    from rat_strain_loader_pipeline_spark.sources.tables import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    want = sorted(map(tuple, embedding_near_dup_pairs(emb, threshold=0.35).collect()))
+    assert len(want) > 0
+    for nb in (1, 8, 37):
+        got = sorted(
+            map(tuple, embedding_near_dup_pairs_blocked(emb, threshold=0.35, n_blocks=nb).collect())
+        )
+        assert got == want, nb
+
+
+def test_knn_join_blocked_matches_brute_force(spark, sf_dir):
+    """Distributed kNN join: block-local partials + window reduce must
+    reproduce per-query brute_force_topk exactly (ordering + rounding)."""
+    from rat_strain_loader_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+        knn_join_blocked,
+    )
+    from rat_strain_loader_pipeline_spark.sources.tables import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter("vec_id < 3")
+    got = knn_join_blocked(queries, emb, k=5, n_blocks=6).collect()
+    by_q = {}
+    for r in sorted(got, key=lambda r: (r["q_id"], r["rank"])):
+        by_q.setdefault(r["q_id"], []).append((r["c_id"], r["cosine"]))
+    assert set(by_q) == {0, 1, 2}
+    for qid, neighbors in by_q.items():
+        qvec = [float(x) for x in emb.filter(f"vec_id = {qid}").first()["embedding"]]
+        exact = [(r["vec_id"], r["cosine"]) for r in brute_force_topk(emb, qvec, k=5).collect()]
+        assert neighbors == exact, qid
+
+
 def test_ngram_contamination(spark):
     """Decontamination: doc sharing an 8-gram with the benchmark flags;
     short docs and non-overlapping docs don't."""
