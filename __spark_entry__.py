@@ -1195,10 +1195,10 @@ def q_consequence_indel_utr(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine: insertions (ref NULL), '-'-marked deletions and MNVs on
     UTR-annotated transcripts, then the X15 frameshift fixup recompute —
     the reference's operational flow (post-processing leaves truncated
-    'F' values; FrameShiftFixUp patches from the raw alleles). Not
-    SQL-expressible as a whole (grouped pandas dataflow) — driver
-    records the rows-only check; the SNV twin carries the value-exact
-    oracle."""
+    'F' values; FrameShiftFixUp patches from the raw alleles). Checked
+    value-exact against the arithmetic DuckDB reconstruction in
+    _conseq_indel_oracle_sql (UTR-clipped CDS geometry + per-kind
+    index-shifted var codons)."""
     from rat_strain_loader_pipeline_spark.operators.consequence import (
         variant_transcript_consequences,
     )
@@ -2572,6 +2572,150 @@ FROM aas
 """
 
 
+def _conseq_indel_oracle_sql() -> str:
+    """Arithmetic DuckDB reconstruction of q_consequence_indel_utr.
+
+    Rebuilds the engine's indel/UTR dataflow in closed form: UTR clipping
+    shifts the CDS to [gs+100, e1e] ++ [e2s, e2e-100]; the variant kind
+    (k0%3: insertion/deletion/MNV) rewrites CDS indices around rel0
+    (+2 shift after an inserted 'TG', -2 after a 2-base deletion, literal
+    'TGA' for the MNV), strand '-' reads complement bases at the mirrored
+    index, and the FrameShiftFixUp recompute makes frameshift a pure
+    function of the raw alleles ('T' for the 2-base indels, 'F' for the
+    length-preserving MNV). Only the 3 codon bases around the variant are
+    ever materialized."""
+
+    def base(p: str) -> str:  # genome base at 1-based position p on chrnum
+        return (
+            f"substr('ACGT', CAST(((({p}) * {_GENOME_MUL} + chrnum * {_GENOME_ADD})"
+            f" % {_GENOME_MOD}) % 4 AS INT) + 1, 1)"
+        )
+
+    def comp(b: str) -> str:
+        return f"CASE {b} WHEN 'A' THEN 'T' WHEN 'C' THEN 'G' WHEN 'G' THEN 'C' ELSE 'A' END"
+
+    def refp(x: str) -> str:  # UTR-clipped CDS index ('+' orientation) → ref base
+        gp = f"CASE WHEN ({x}) <= len1 THEN gs + 99 + ({x}) ELSE e2s + (({x}) - len1) - 1 END"
+        return base(gp)
+
+    def varp(m: str) -> str:  # var CDS index ('+' orientation) → base, by kind
+        return (
+            "CASE "
+            f"WHEN kind = 0 AND ({m}) = rel0 THEN 'T' "
+            f"WHEN kind = 0 AND ({m}) = rel0 + 1 THEN 'G' "
+            f"WHEN kind = 0 AND ({m}) > rel0 + 1 THEN {refp(f'({m}) - 2')} "
+            f"WHEN kind = 1 AND ({m}) >= rel0 THEN {refp(f'({m}) + 2')} "
+            f"WHEN kind = 2 AND ({m}) = rel0 THEN 'T' "
+            f"WHEN kind = 2 AND ({m}) = rel0 + 1 THEN 'G' "
+            f"WHEN kind = 2 AND ({m}) = rel0 + 2 THEN 'A' "
+            f"ELSE {refp(m)} END"
+        )
+
+    def refbase(j: str) -> str:  # post-strand CDS index → ref base
+        return (
+            f"CASE WHEN strand = '+' THEN {refp(j)} "
+            f"ELSE {comp(refp(f'cdslen - ({j}) + 1'))} END"
+        )
+
+    def varbase(j: str) -> str:  # post-strand var index → var base
+        return (
+            f"CASE WHEN strand = '+' THEN {varp(j)} "
+            f"ELSE {comp(varp(f'lenv - ({j}) + 1'))} END"
+        )
+
+    ref_codon = " || ".join(refbase(f"3*aapos - {2 - m}") for m in range(3))
+    var_codon = " || ".join(varbase(f"3*aapos - {2 - m}") for m in range(3))
+
+    return f"""
+WITH params AS (SELECT CAST(max(s_suppkey) AS BIGINT) AS n_genes FROM supplier),
+v AS (
+  SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS k0
+  FROM lineitem WHERE l_orderkey % 20 = 5
+),
+pairs AS (
+  SELECT k0, ((k0 % n_genes) + 1) AS g,
+         (((k0 % n_genes) + 1) % 2) + 1 AS chrnum,
+         ((k0 % n_genes) + 1) * 5000 AS gs,
+         ((k0 % n_genes) + 1) * 5000 + ((k0 * 37) % 4000) AS pos,
+         k0 % 3 AS kind
+  FROM v, params
+),
+geom AS (
+  SELECT *,
+         CASE WHEN kind = 0 THEN pos WHEN kind = 1 THEN pos + 2 ELSE pos + 3 END AS ve,
+         gs + 899 + (g % 7) AS e1e,
+         gs + 2000 AS e2s,
+         gs + 2899 + (g % 5) AS e2e,
+         CASE WHEN g % 3 = 0 THEN '-' ELSE '+' END AS strand,
+         g % 10 = 0 AS noncoding
+  FROM pairs
+),
+flags AS (
+  SELECT *,
+         e1e - gs - 99 AS len1,
+         (e1e - gs - 99) + (e2e - e2s - 99) AS cdslen,
+         (gs <= pos AND e1e >= ve) OR (e2s <= pos AND e2e >= ve) AS in_exon,
+         (e1e - 10 <= pos AND e1e + 10 >= ve)
+           OR (e2s - 10 <= pos AND e2s + 10 >= ve) AS splice,
+         (gs <= pos AND gs + 99 >= ve) AS cover_low,
+         (e2e - 99 <= pos AND e2e >= ve) AS cover_high,
+         CASE WHEN gs + 100 <= pos AND e1e > ve THEN pos - gs - 99
+              WHEN e2s <= pos AND e2e - 100 > ve
+                THEN (e1e - gs - 99) + pos - e2s + 1 END AS rel0
+  FROM geom
+),
+rel AS (
+  SELECT *,
+         cdslen + (CASE WHEN kind = 0 THEN 2 WHEN kind = 1 THEN -2 ELSE 0 END) AS lenv,
+         CASE WHEN strand = '+' THEN rel0 ELSE cdslen - rel0 + 1 END AS relp
+  FROM flags
+),
+path AS (
+  SELECT *, 1 + (relp - 1) // 3 AS aapos,
+         in_exon AND NOT noncoding AND rel0 IS NOT NULL
+           AND 3 * (1 + (relp - 1) // 3) <= cdslen - (cdslen % 3)
+           AND 3 * (1 + (relp - 1) // 3) <= lenv - (lenv % 3) AS fullpath
+  FROM rel
+),
+codons AS (
+  SELECT *,
+         CASE WHEN fullpath THEN {ref_codon} END AS ref_codon,
+         CASE WHEN fullpath THEN {var_codon} END AS var_codon
+  FROM path
+),
+aas AS (
+  SELECT *,
+         CASE WHEN fullpath THEN {_codon_case_sql('ref_codon')} END AS ref_aa,
+         CASE WHEN fullpath THEN {_codon_case_sql('var_codon')} END AS var_aa
+  FROM codons
+)
+SELECT CAST(k0 AS BIGINT) AS variant_rgd_id,
+       CAST(g AS INT) AS transcript_rgd_id,
+       ref_aa, var_aa,
+       CASE WHEN NOT fullpath THEN NULL
+            WHEN ref_aa = 'X' OR var_aa = 'X' THEN 'unassignable'
+            WHEN ref_aa = var_aa THEN 'synonymous'
+            ELSE 'nonsynonymous' END AS syn_status,
+       ltrim(
+         (CASE WHEN (strand = '+' AND cover_high) OR (strand = '-' AND cover_low)
+               THEN ',3UTRS' ELSE '' END)
+         || (CASE WHEN (strand = '+' AND cover_low) OR (strand = '-' AND cover_high)
+               THEN ',5UTRS' ELSE '' END)
+         || (CASE WHEN in_exon THEN ',EXON' ELSE '' END)
+         || (CASE WHEN NOT in_exon THEN ',INTRON' ELSE '' END)
+         || (CASE WHEN noncoding THEN ',NON-CODING' ELSE '' END)
+       , ',') AS location_name,
+       CASE WHEN splice THEN 'T' ELSE 'F' END AS near_splice_site,
+       CASE WHEN fullpath THEN CAST(aapos AS INT) END AS full_ref_aa_pos,
+       CASE WHEN fullpath THEN CAST(relp AS INT) END AS full_ref_nuc_pos,
+       CASE WHEN fullpath THEN (CASE WHEN cdslen % 3 <> 0 THEN 'T' ELSE 'F' END) END
+         AS triplet_error,
+       CASE WHEN fullpath THEN (CASE WHEN kind IN (0, 1) THEN 'T' ELSE 'F' END) END
+         AS frameshift
+FROM aas
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "pricing_summary": """
@@ -3033,6 +3177,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "consequence_snv": _conseq_oracle_sql(),
         "consequence_snv_blocks": _conseq_oracle_sql(),
+        "consequence_indel_utr": _conseq_indel_oracle_sql(),
         "polyphen_roundtrip": f"""
             WITH ks AS (SELECT CAST(o_orderkey AS BIGINT) AS k FROM orders),
             info AS (
