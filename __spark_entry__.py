@@ -528,14 +528,17 @@ def q_embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup pairs (rows-only check: xxhash64 has no
-    DuckDB equivalent; validated by dedicated tests instead)."""
+    """MinHash-LSH near-dup pairs, value-checked against the brute-force
+    all-pairs Jaccard oracle (md5-derived shingle hashes are
+    bit-identical across engines; emitted pairs are exact-verified, and
+    the b=16/r=4 banding reaches full recall on this corpus)."""
     docs = _t(spark, sf_dir, "documents")
     return minhash_lsh_pairs(docs, jaccard_threshold=0.5)
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash signatures (rows-only check)."""
+    """SimHash signatures, value-checked: the oracle recomputes every
+    63-bit signature from scratch via per-bit majority votes in SQL."""
     docs = _t(spark, sf_dir, "documents")
     return simhash64(docs)
 
@@ -543,7 +546,9 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: pigeonhole banding (max_hamming+1 bands,
     any within-threshold pair matches one band exactly) + bit_count
-    verify (rows-only check: crc32 signatures have no DuckDB twin)."""
+    verify. Value-checked against all-pairs hamming over recomputed
+    signatures — banding guarantees full recall, so equality is exact by
+    construction, not just empirically."""
     from rat_strain_loader_pipeline_spark.operators.dedup import simhash_near_dup_pairs
 
     docs = _t(spark, sf_dir, "documents")
@@ -551,9 +556,10 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Trigram-Jaccard near-dup pairs with df-ordered prefix filtering
-    (rows-only: DuckDB formulation of prefix filtering is impractical;
-    exactness is covered by tests against a brute-force oracle)."""
+    """Trigram-Jaccard near-dup pairs with df-ordered prefix filtering,
+    value-checked against the brute-force all-pairs oracle (prefix
+    filtering is exact modulo the prefix_cap, which keeps full recall on
+    this corpus)."""
     docs = _t(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(docs, threshold=0.8)
 
@@ -2572,6 +2578,82 @@ FROM aas
 """
 
 
+_SHINGLE_P = 2147483647  # matches operators.dedup._P
+_SIMHASH_MASK = (1 << 62) - 1
+
+
+def _shingle_cte_sql() -> str:
+    """Shared CTE: per-doc distinct trigram shingles, reproducing
+    operators.dedup._shingle_set (lowercase whitespace tokens, '_'
+    joined, whole-doc shingle when < 3 tokens)."""
+    return r"""
+toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS ts
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+    CASE WHEN len(ts) = 0 THEN []::VARCHAR[]
+         WHEN len(ts) < 3 THEN [array_to_string(ts, '_')]
+         ELSE list_transform(range(1, len(ts) - 1), i -> ts[i] || '_' || ts[i+1] || '_' || ts[i+2])
+    END AS sgl
+  FROM toks
+)"""
+
+
+def _jaccard_pairs_oracle_sql(threshold: float) -> str:
+    """Brute-force all-pairs shingle-hash Jaccard — value oracle for the
+    LSH-candidate pipelines (minhash_lsh, ngram_jaccard). Valid because
+    both engines hash shingles with md5_number_lower % P (bit-identical
+    sets) and the LSH banding / prefix filtering empirically achieve
+    full recall on this corpus (verified at sf0.001 and sf0.01; the
+    candidate stage is the approximate part, the emitted pairs are
+    exact-verified either way)."""
+    j = (
+        "round(len(list_intersect(a.hset, b.hset))::DOUBLE"
+        " / len(list_distinct(a.hset || b.hset)), 4)"
+    )
+    return f"""WITH {_shingle_cte_sql()},
+hs AS (
+  SELECT doc_id,
+         list_distinct(list_transform(sgl, s -> CAST(md5_number_lower(s) % {_SHINGLE_P} AS BIGINT))) AS hset
+  FROM sh
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, {j} AS jaccard
+FROM hs a JOIN hs b ON a.doc_id < b.doc_id
+WHERE len(list_distinct(a.hset || b.hset)) > 0 AND {j} >= {threshold}
+"""
+
+
+def _simhash_oracle_sql() -> str:
+    """Per-doc 63-bit simhash recomputed from scratch: explode distinct
+    shingles, majority-vote each bit of the 62-bit md5-derived hash."""
+    bits = " + ".join(
+        f"(CASE WHEN sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) > 0"
+        f" THEN CAST(1 AS BIGINT) << {i} ELSE 0 END)"
+        for i in range(63)
+    )
+    return f"""WITH {_shingle_cte_sql()},
+ex AS (SELECT doc_id, unnest(list_distinct(sgl)) AS s FROM sh),
+hv AS (SELECT doc_id, md5_number_lower(s) & {_SIMHASH_MASK} AS h FROM ex),
+sig AS (SELECT doc_id, {bits} AS simhash FROM hv GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(sig.simhash, 0) AS simhash
+FROM documents d LEFT JOIN sig ON d.doc_id = sig.doc_id
+"""
+
+
+def _simhash_pairs_oracle_sql(max_hamming: int) -> str:
+    """All-pairs hamming over recomputed simhashes. Exact (not just
+    empirical): pigeonhole banding with max_hamming+1 bands guarantees
+    full candidate recall, so the Spark pair set IS the brute-force set."""
+    return f"""WITH sigs AS ({_simhash_oracle_sql()})
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""
+
+
 def _conseq_indel_oracle_sql() -> str:
     """Arithmetic DuckDB reconstruction of q_consequence_indel_utr.
 
@@ -3178,6 +3260,10 @@ def oracle_sql() -> dict[str, str]:
         "consequence_snv": _conseq_oracle_sql(),
         "consequence_snv_blocks": _conseq_oracle_sql(),
         "consequence_indel_utr": _conseq_indel_oracle_sql(),
+        "minhash_lsh": _jaccard_pairs_oracle_sql(0.5),
+        "ngram_jaccard": _jaccard_pairs_oracle_sql(0.8),
+        "simhash": _simhash_oracle_sql(),
+        "simhash_pairs": _simhash_pairs_oracle_sql(8),
         "polyphen_roundtrip": f"""
             WITH ks AS (SELECT CAST(o_orderkey AS BIGINT) AS k FROM orders),
             info AS (

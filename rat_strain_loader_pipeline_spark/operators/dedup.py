@@ -7,11 +7,16 @@ all-pairs comparison — the only pairwise work happens on LSH-bucketed
 or prefix-filtered candidates.
 
 Hot-path design: shingling, hashing and signature math run in
-Arrow-vectorized pandas UDFs (str.split + zlib.crc32 at C speed +
+Arrow-vectorized pandas UDFs (str.split + hashlib.md5 at C speed +
 numpy) — Catalyst's interpreted higher-order-function path measured
 ~6 s per pass over 5k docs for the same work, and shingle-hash arrays
 are computed ONCE and staged to parquet so candidate generation and
 exact-Jaccard verification share them.
+
+Shingle hashes derive from md5 (the low 8 digest bytes little-endian ==
+DuckDB's ``md5_number_lower``), so an independent SQL engine can rebuild
+the exact hash sets — the value oracles for the minhash/simhash pair
+queries depend on this.
 
 - exact_dedup:        md5-hash groupBy; canonical = min(doc_id)
 - shingle_hashes:     (doc_id, hashes array<long>) staged basis
@@ -25,8 +30,8 @@ exact-Jaccard verification share them.
 
 from __future__ import annotations
 
+import hashlib
 import random
-import zlib
 
 import numpy as np
 import pandas as pd
@@ -66,6 +71,12 @@ def _shingle_set(text: str, n: int) -> set[str]:
     return {"_".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
 
 
+def _md5_lower64(s: str) -> int:
+    """Low 8 md5 digest bytes, little-endian — bit-identical to DuckDB's
+    ``md5_number_lower``, which is what makes the pair oracles possible."""
+    return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[8:16], "little")
+
+
 def _hashes_udf(n: int):
     @pandas_udf("array<long>")
     def hashes(texts: pd.Series) -> pd.Series:
@@ -74,7 +85,7 @@ def _hashes_udf(n: int):
             if not t:
                 out.append([])
                 continue
-            hs = {zlib.crc32(s.encode("utf-8")) % _P for s in _shingle_set(t, n)}
+            hs = {_md5_lower64(s) % _P for s in _shingle_set(t, n)}
             out.append(sorted(hs))
         return pd.Series(out)
 
@@ -255,10 +266,10 @@ def simhash64(
 ) -> DataFrame:
     """SimHash per document (63 usable bits).
 
-    Shingles hashed with two salted crc32s combined into 62 dispersed
-    bits; bit votes vectorized in numpy per Arrow batch. Map-only — no
-    shuffle at any scale. Near-dups then cluster by hamming distance on
-    the signature (prefix-bucket join).
+    Shingles hashed to the low 62 bits of md5 (DuckDB-reproducible, see
+    ``_md5_lower64``); bit votes vectorized in numpy per Arrow batch.
+    Map-only — no shuffle at any scale. Near-dups then cluster by
+    hamming distance on the signature (prefix-bucket join).
     """
     from rat_strain_loader_pipeline_spark.ship import ensure_shipped
 
@@ -275,11 +286,7 @@ def simhash64(
             if not shingles:
                 continue
             hv = np.array(
-                [
-                    (zlib.crc32(s.encode("utf-8")) | (zlib.crc32((s + "#").encode("utf-8")) << 31))
-                    & ((1 << 62) - 1)
-                    for s in shingles
-                ],
+                [_md5_lower64(s) & ((1 << 62) - 1) for s in shingles],
                 dtype=np.int64,
             )
             bits = (hv[:, None] >> shifts[None, :]) & 1
