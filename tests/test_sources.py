@@ -129,6 +129,36 @@ def test_wig_fixedstep_stateful_parse(spark, tmp_path):
     ]  # scaffold chrom rejected
 
 
+def test_wig_chunked_multi_split_equivalence(spark, tmp_path):
+    """The splittable two-phase parse must agree with the window-based
+    formulation even when a file is forced into many sub-block splits
+    (cursor state carried across split boundaries) and across files."""
+    from rat_strain_loader_pipeline_spark.sources.wig import parse_fixedstep_lines
+
+    # a block big enough to straddle several 256-byte splits, plus edge
+    # lines: junk data (consumes a position), scaffold chrom (rejected)
+    lines = ["fixedStep chrom=chr1 start=100 step=2"]
+    lines += [f"0.{i:03d}" for i in range(60)]
+    lines += ["fixedStep chrom=chrUn_scaf start=1 step=1", "0.9",
+              "fixedStep chrom=chr2 start=7", "1.5", "junk", "2.5"]
+    lines += ["fixedStep chrom=chrM start=3 step=4"]
+    lines += [f"0.{i:03d}" for i in range(40)]
+    p = tmp_path / "big.wig"
+    p.write_text("\n".join(lines) + "\n")
+
+    chunked = read_fixedstep_wig(spark, str(p), split_max_bytes=256)
+    assert chunked.rdd.getNumPartitions() > 1  # really multi-split
+
+    ref_lines = spark.createDataFrame(
+        [("f", i, ln) for i, ln in enumerate(lines)],
+        "__file string, __line_id long, value string",
+    )
+    want = sorted(map(tuple, parse_fixedstep_lines(ref_lines).collect()))
+    got = sorted(map(tuple, chunked.collect()))
+    assert got == want
+    assert (9, "2", 2.5) in got  # junk consumed position 8
+
+
 def test_fasta_read_and_chunk(spark, tmp_path):
     p = tmp_path / "g.fa"
     p.write_text(">chr1 test\nACGTAC\nGTNNAC\n>2\nTTTTGGGG\n")
