@@ -18,8 +18,13 @@ Spark-first:
   ``<table>_stage`` table and run ONE server-side MERGE — the SQL is
   generated here and testable without a database;
 - index/constraint brackets are generated as plain SQL for the caller's
-  connection (executed via JDBC outside Spark; no driver is bundled in
-  this environment, so execution stays caller-side by design).
+  connection (executed via JDBC outside Spark — the Oracle-specific
+  ALTER INDEX forms have no embedded-DB twin, so they stay caller-side).
+
+The append / staged-MERGE / partitioned-scan legs run live against
+embedded Apache Derby (bundled with PySpark) in
+tests/test_jdbc_derby.py — the MERGE executes server-side, not just
+string-checked.
 """
 
 from __future__ import annotations
