@@ -351,12 +351,18 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W4-style gap-based sessionization: new session when >30 min idle."""
+    """W4-style gap-based sessionization: new session when >30 min idle.
+
+    The idle gap compares as an INTERVAL (ts - lag(ts)) so the query
+    works for either timestamp encoding of the events table (the
+    testdata has shipped both TIMESTAMP(NANOS) and µs TIMESTAMP_NTZ,
+    and NTZ refuses a bigint cast under ANSI)."""
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    gap = F.col("ts") - F.lag("ts").over(w)
     sessioned = ev.withColumn(
-        "new_session", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+        "new_session",
+        F.when(gap.isNull() | (gap > F.expr("INTERVAL 1800 SECONDS")), 1).otherwise(0),
     )
     return (
         sessioned.groupBy("user_id")
