@@ -133,15 +133,27 @@ def repetition_stats(text: Column) -> dict[str, Column]:
     dup_frac = F.when(
         n > 0, F.round((n - n_distinct).cast("double") / n, 4)
     ).otherwise(F.lit(0.0))
-    # highest repeat count of any line: n - distinct only counts extras,
-    # so derive the max multiplicity via aggregate over distinct lines
+    # highest repeat count of any line: sort, then longest equal run —
+    # O(n log n) per doc (the distinct×filter formulation is O(n²) and
+    # quadratic docs exist in scraped corpora)
+    def run_step(acc, x):
+        run = F.when(acc["prev"].eqNullSafe(x), acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"), run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
     max_rep = F.when(
         n > 0,
-        F.array_max(
-            F.transform(
-                F.array_distinct(lines),
-                lambda d: F.size(F.filter(lines, lambda x: x == d)),
-            )
+        F.aggregate(
+            F.array_sort(lines),
+            F.struct(
+                F.lit(None).cast("string").alias("prev"),
+                F.lit(0).alias("run"),
+                F.lit(0).alias("best"),
+            ),
+            run_step,
+            lambda acc: acc["best"],
         ),
     ).otherwise(F.lit(0)).cast("int")
     return {"n_lines": n.cast("int"), "dup_line_fraction": dup_frac, "max_line_repeat": max_rep}
