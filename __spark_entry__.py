@@ -570,6 +570,49 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, threshold=0.8)
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pair graph → dedup groups: minhash-LSH pairs at 0.5 fed
+    through hash-to-min connected components (A~B, B~C collapse into one
+    group even when A~C was never emitted). Value-checked against a
+    DuckDB recursive-CTE transitive closure over the brute-force pair
+    set."""
+    from rat_strain_loader_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, jaccard_threshold=0.5)
+    cc = connected_components(pairs)
+    return cc.select(F.col("node_id").alias("doc_id"), "component_id")
+
+
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split by salted md5 bucket — stable
+    across runs/engines (bucket == md5_number_lower % 10000, the DuckDB
+    identity the dedup hashes use). Map-side, no shuffle."""
+    from rat_strain_loader_pipeline_spark.operators.sampling import (
+        deterministic_split,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    out = deterministic_split(
+        docs, salt="v1", fractions=(("train", 0.8), ("val", 0.1), ("test", 0.1))
+    )
+    return out.select("doc_id", "bucket", "split")
+
+
+def q_source_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain corpus cap: keep the 3 largest docs per source — one
+    hash-partitioned window, deterministic tie-break on doc_id."""
+    from rat_strain_loader_pipeline_spark.operators.sampling import topk_per_group
+
+    docs = _t(spark, sf_dir, "documents")
+    out = topk_per_group(
+        docs, ["source"], [F.col("n_chars").desc(), F.col("doc_id").asc()], k=3
+    )
+    return out.select("source", "doc_id", "n_chars", "rank")
+
+
 def q_embedding_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-k (rows-only: approximate by design)."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -2311,6 +2354,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_topk_lsh": q_embedding_topk_lsh,
         "embedding_topk_ivf": q_embedding_topk_ivf,
+        "dedup_components": q_dedup_components,
+        "split_assign": q_split_assign,
+        "source_topk": q_source_topk,
         "variant_load_pipeline": q_variant_load_pipeline,
         "distinct_groups": q_distinct_groups,
         "melt_unpivot": q_melt_unpivot,
@@ -2607,27 +2653,52 @@ sh AS (
 )"""
 
 
-def _jaccard_pairs_oracle_sql(threshold: float) -> str:
-    """Brute-force all-pairs shingle-hash Jaccard — value oracle for the
-    LSH-candidate pipelines (minhash_lsh, ngram_jaccard). Valid because
-    both engines hash shingles with md5_number_lower % P (bit-identical
-    sets) and the LSH banding / prefix filtering empirically achieve
-    full recall on this corpus (verified at sf0.001 and sf0.01; the
-    candidate stage is the approximate part, the emitted pairs are
-    exact-verified either way)."""
+def _jaccard_pairs_cte_sql(threshold: float) -> str:
+    """CTE chain ending in ``jp(id_a, id_b, jaccard)`` — brute-force
+    all-pairs shingle-hash Jaccard over the documents table."""
     j = (
         "round(len(list_intersect(a.hset, b.hset))::DOUBLE"
         " / len(list_distinct(a.hset || b.hset)), 4)"
     )
-    return f"""WITH {_shingle_cte_sql()},
+    return f"""{_shingle_cte_sql()},
 hs AS (
   SELECT doc_id,
          list_distinct(list_transform(sgl, s -> CAST(md5_number_lower(s) % {_SHINGLE_P} AS BIGINT))) AS hset
   FROM sh
+),
+jp AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, {j} AS jaccard
+  FROM hs a JOIN hs b ON a.doc_id < b.doc_id
+  WHERE len(list_distinct(a.hset || b.hset)) > 0 AND {j} >= {threshold}
+)"""
+
+
+def _jaccard_pairs_oracle_sql(threshold: float) -> str:
+    """Value oracle for the LSH-candidate pipelines (minhash_lsh,
+    ngram_jaccard). Valid because both engines hash shingles with
+    md5_number_lower % P (bit-identical sets) and the LSH banding /
+    prefix filtering empirically achieve full recall on this corpus
+    (verified at sf0.001 and sf0.01; the candidate stage is the
+    approximate part, the emitted pairs are exact-verified either way)."""
+    return f"WITH {_jaccard_pairs_cte_sql(threshold)}\nSELECT id_a, id_b, jaccard FROM jp\n"
+
+
+def _dedup_components_oracle_sql(threshold: float) -> str:
+    """Recursive-CTE transitive closure over the brute-force pair set:
+    component id = min doc id reachable through near-dup edges."""
+    return f"""WITH RECURSIVE {_jaccard_pairs_cte_sql(threshold)},
+e AS (
+  SELECT id_a AS src, id_b AS dst FROM jp
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM jp
+),
+reach(id, r) AS (
+  SELECT DISTINCT src, src FROM e
+  UNION
+  SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src
 )
-SELECT a.doc_id AS id_a, b.doc_id AS id_b, {j} AS jaccard
-FROM hs a JOIN hs b ON a.doc_id < b.doc_id
-WHERE len(list_distinct(a.hset || b.hset)) > 0 AND {j} >= {threshold}
+SELECT CAST(id AS BIGINT) AS doc_id, CAST(min(r) AS BIGINT) AS component_id
+FROM reach GROUP BY id
 """
 
 
@@ -3270,6 +3341,25 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": _jaccard_pairs_oracle_sql(0.8),
         "simhash": _simhash_oracle_sql(),
         "simhash_pairs": _simhash_pairs_oracle_sql(8),
+        "dedup_components": _dedup_components_oracle_sql(0.5),
+        "split_assign": """
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(md5_number_lower('split:v1:' || CAST(doc_id AS VARCHAR)) % 10000 AS INT) AS bucket,
+                   CASE WHEN md5_number_lower('split:v1:' || CAST(doc_id AS VARCHAR)) % 10000 < 8000 THEN 'train'
+                        WHEN md5_number_lower('split:v1:' || CAST(doc_id AS VARCHAR)) % 10000 < 9000 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        """,
+        "source_topk": """
+            SELECT source, doc_id, n_chars, rank FROM (
+              SELECT source, CAST(doc_id AS BIGINT) AS doc_id,
+                     CAST(n_chars AS BIGINT) AS n_chars,
+                     CAST(row_number() OVER (
+                       PARTITION BY source ORDER BY n_chars DESC, doc_id
+                     ) AS INT) AS rank
+              FROM documents
+            ) WHERE rank <= 3
+        """,
         "polyphen_roundtrip": f"""
             WITH ks AS (SELECT CAST(o_orderkey AS BIGINT) AS k FROM orders),
             info AS (

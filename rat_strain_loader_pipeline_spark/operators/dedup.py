@@ -361,6 +361,65 @@ def simhash_near_dup_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Transitive closure of a near-duplicate pair graph → dedup groups.
+
+    Pair emitters (minhash_lsh_pairs, simhash_near_dup_pairs, ...) give
+    EDGES; dedup-survivor selection needs the component each doc
+    belongs to (A~B, B~C ⇒ {A,B,C} collapse together even if A~C was
+    never emitted). Hash-to-min label propagation: every node starts as
+    its own label, each round takes min(own, neighbors' labels), until
+    a fixpoint. Per round: one shuffle join + one groupBy, lineage
+    truncated through a parquet stage. Rounds needed = graph diameter —
+    near-dup clusters are star/clique-like (tiny diameter), so this
+    converges in 2-4 rounds; an adversarial million-node chain would
+    need the alternating large-star/small-star variant instead.
+
+    Returns (node_id, component_id = min node id in the component) for
+    every node that appears in ``pairs``.
+    """
+    from rat_strain_loader_pipeline_spark.staging import stage_to_parquet
+
+    edges = stage_to_parquet(
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct(),
+        "cc-edges",
+    )
+    labels = edges.select(F.col("src").alias("node_id")).distinct().withColumn(
+        "label", F.col("node_id")
+    )
+    for i in range(max_iterations):
+        nbr = (
+            edges.join(labels.withColumnRenamed("node_id", "src"), "src")
+            .groupBy("dst")
+            .agg(F.min("label").alias("nbr_label"))
+            .withColumnRenamed("dst", "node_id")
+        )
+        new_labels = stage_to_parquet(
+            labels.join(nbr, "node_id", "left").select(
+                "node_id",
+                F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias("label"),
+            ),
+            f"cc-iter-{i}",
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node_id", F.col("label").alias("component_id"))
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     text_col: str = "text",

@@ -1,0 +1,81 @@
+"""Corpus selection operators for training-data pipelines.
+
+- deterministic_split: stable train/val/test assignment by salted md5
+  bucket — map-side, no shuffle, reproducible in ANY engine that has
+  md5 (bucket == md5_number_lower(key) % resolution, the same identity
+  the dedup shingle hashes use). Changing the salt reshuffles the
+  split; changing fractions only moves boundary buckets, so a doc
+  never migrates between train and test when val grows.
+- topk_per_group: keep the k best rows per group (per-domain corpus
+  caps, best-N-by-quality selection). One hash-partitioned window —
+  scales as long as no single group is pathological; cap such groups
+  upstream or pre-aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+DEFAULT_FRACTIONS = (("train", 0.9), ("val", 0.05), ("test", 0.05))
+
+
+def md5_bucket(key: Column, resolution: int = 10_000) -> Column:
+    """``md5_number_lower(key) % resolution`` in pure Spark expressions.
+
+    The low 8 md5 digest bytes little-endian exceed int64 as a full
+    value, so reduce mod ``resolution`` term-by-term:
+    sum_j byte_j * (256^j mod m) ≡ value mod m — every term is tiny and
+    the sum stays far under int64. Bit-identical to DuckDB's
+    ``md5_number_lower(key) % m`` (oracle-checked).
+    """
+    h = F.md5(key)
+    acc = F.lit(0)
+    for j in range(8):
+        byte_j = F.conv(F.substring(h, 17 + 2 * j, 2), 16, 10).cast("long")
+        acc = acc + byte_j * ((256**j) % resolution)
+    return (acc % resolution).cast("int")
+
+
+def deterministic_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    salt: str = "v1",
+    fractions: tuple[tuple[str, float], ...] = DEFAULT_FRACTIONS,
+    resolution: int = 10_000,
+) -> DataFrame:
+    """Adds ``bucket`` (int) and ``split`` (string) columns."""
+    total = sum(f for _, f in fractions)
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    bucket = md5_bucket(
+        F.concat(F.lit(f"split:{salt}:"), F.col(id_col).cast("string")), resolution
+    )
+    out = df.withColumn("bucket", bucket)
+    expr = None
+    cum = 0.0
+    for name, frac in fractions[:-1]:
+        cum += frac
+        cond = F.col("bucket") < int(round(cum * resolution))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = fractions[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(last)
+    return out.withColumn("split", expr)
+
+
+def topk_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[Column],
+    k: int,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """The k best rows per group, 1-based ``rank_col`` added. Pass fully
+    deterministic ``order_cols`` (break ties on a unique key) or the
+    selection is not reproducible."""
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= k)
+    )

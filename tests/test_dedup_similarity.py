@@ -301,6 +301,70 @@ def test_knn_join_blocked_matches_brute_force(spark, sf_dir):
         assert neighbors == exact, qid
 
 
+def test_connected_components(spark):
+    """Transitive closure: chains collapse to one group, disjoint pairs
+    stay separate, and min-id is the canonical label."""
+    from rat_strain_loader_pipeline_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (22, 20)],
+        "id_a long, id_b long",
+    )
+    got = {r["node_id"]: r["component_id"] for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_deterministic_split_and_md5_bucket(spark):
+    """Split assignment is stable, respects fractions roughly, and the
+    Spark md5_bucket expression equals DuckDB's md5_number_lower % m."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from rat_strain_loader_pipeline_spark.operators.sampling import (
+        deterministic_split, md5_bucket,
+    )
+
+    df = spark.range(1000).withColumnRenamed("id", "doc_id")
+    out = deterministic_split(df, fractions=(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert 700 < counts["train"] < 900 and 50 < counts["val"] < 150
+
+    # rerun → identical assignment (no RNG anywhere)
+    again = deterministic_split(df, fractions=(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+    assert out.exceptAll(again).count() == 0
+
+    spark_buckets = {
+        r["doc_id"]: r["b"]
+        for r in df.limit(50).select(
+            "doc_id", md5_bucket(F.concat(F.lit("k:"), F.col("doc_id").cast("string"))).alias("b")
+        ).collect()
+    }
+    duck = dict(duckdb.sql(
+        "SELECT i, CAST(md5_number_lower('k:' || CAST(i AS VARCHAR)) % 10000 AS INT)"
+        " FROM range(50) t(i)"
+    ).fetchall())
+    assert spark_buckets == duck
+
+
+def test_topk_per_group(spark):
+    from pyspark.sql import functions as F
+
+    from rat_strain_loader_pipeline_spark.operators.sampling import topk_per_group
+
+    df = spark.createDataFrame(
+        [("a", 1, 10), ("a", 2, 30), ("a", 3, 30), ("a", 4, 5), ("b", 5, 1)],
+        "g string, id long, score long",
+    )
+    got = sorted(
+        (r["g"], r["id"], r["rank"])
+        for r in topk_per_group(
+            df, ["g"], [F.col("score").desc(), F.col("id").asc()], k=2
+        ).collect()
+    )
+    assert got == [("a", 2, 1), ("a", 3, 2), ("b", 5, 1)]
+
+
 def test_ngram_contamination(spark):
     """Decontamination: doc sharing an 8-gram with the benchmark flags;
     short docs and non-overlapping docs don't."""
