@@ -613,6 +613,43 @@ def q_source_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("source", "doc_id", "n_chars", "rank")
 
 
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup: near-dup pairs → components → drop every
+    non-canonical group member (keep min-id per group plus all docs in
+    no pair). The anti-join is the survivor selection every dedup
+    pipeline ends with."""
+    from rat_strain_loader_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, jaccard_threshold=0.5)
+    losers = (
+        connected_components(pairs)
+        .filter(F.col("node_id") != F.col("component_id"))
+        .select(F.col("node_id").alias("doc_id"))
+    )
+    return docs.join(losers, "doc_id", "left_anti").select(
+        "doc_id", "source", "lang", "n_chars"
+    )
+
+
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide token frequency table, top 100 — the tokenizer-
+    training / vocab-coverage primitive. Map-side partial counts, one
+    shuffle on token, bounded TakeOrderedAndProject for the top-k."""
+    import rat_strain_loader_pipeline_spark.operators.text as T
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(T.tokens(F.lower(F.col("text")))).alias("token"))
+    return (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("token").asc())
+        .limit(100)
+    )
+
+
 def q_embedding_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-k (rows-only: approximate by design)."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -2355,8 +2392,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk_lsh": q_embedding_topk_lsh,
         "embedding_topk_ivf": q_embedding_topk_ivf,
         "dedup_components": q_dedup_components,
+        "dedup_survivors": q_dedup_survivors,
         "split_assign": q_split_assign,
         "source_topk": q_source_topk,
+        "vocab_topk": q_vocab_topk,
         "variant_load_pipeline": q_variant_load_pipeline,
         "distinct_groups": q_distinct_groups,
         "melt_unpivot": q_melt_unpivot,
@@ -3342,6 +3381,33 @@ def oracle_sql() -> dict[str, str]:
         "simhash": _simhash_oracle_sql(),
         "simhash_pairs": _simhash_pairs_oracle_sql(8),
         "dedup_components": _dedup_components_oracle_sql(0.5),
+        "dedup_survivors": f"""WITH RECURSIVE {_jaccard_pairs_cte_sql(0.5)},
+e AS (
+  SELECT id_a AS src, id_b AS dst FROM jp
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM jp
+),
+reach(id, r) AS (
+  SELECT DISTINCT src, src FROM e
+  UNION
+  SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src
+),
+losers AS (SELECT id FROM reach GROUP BY id HAVING min(r) <> id)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.source, d.lang,
+       CAST(d.n_chars AS BIGINT) AS n_chars
+FROM documents d LEFT JOIN losers l ON d.doc_id = l.id
+WHERE l.id IS NULL
+""",
+        "vocab_topk": r"""
+            WITH toks AS (
+              SELECT unnest(list_filter(
+                string_split_regex(lower(trim(text)), '\s+'), t -> t <> '')) AS token
+              FROM documents
+            )
+            SELECT token, CAST(count(*) AS BIGINT) AS freq
+            FROM toks GROUP BY token
+            ORDER BY freq DESC, token ASC LIMIT 100
+        """,
         "split_assign": """
             SELECT CAST(doc_id AS BIGINT) AS doc_id,
                    CAST(md5_number_lower('split:v1:' || CAST(doc_id AS VARCHAR)) % 10000 AS INT) AS bucket,

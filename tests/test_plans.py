@@ -161,6 +161,30 @@ def test_ngram_jaccard_no_global_rank(spark, sf_dir, queries):
     assert "SinglePartition" not in plan
 
 
+def test_split_assign_no_shuffle(spark, sf_dir, queries):
+    """Deterministic split is pure map-side expression work — any
+    Exchange in this plan is a regression."""
+    plan = _plan(queries["split_assign"](spark, sf_dir))
+    assert "Exchange" not in plan
+
+
+def test_source_topk_single_partitioned_window(spark, sf_dir, queries):
+    """Per-group top-k: one hash exchange feeding one window; a global
+    (SinglePartition) sort would be the scale killer."""
+    plan = _plan(queries["source_topk"](spark, sf_dir))
+    assert "SinglePartition" not in plan
+    assert plan.count("Window (") == 1
+
+
+def test_vocab_topk_partial_agg_and_bounded_sort(spark, sf_dir, queries):
+    """Token counts must partial-aggregate map-side and the top-k must
+    be a bounded TakeOrderedAndProject, not a global sort."""
+    df = queries["vocab_topk"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_count" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_sequence_pack_single_shuffle(spark, sf_dir, queries):
     """Shard-local packing: one hash exchange on the shard key feeds the
     window cumsum; no global single-partition sort anywhere."""
