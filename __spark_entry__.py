@@ -570,6 +570,51 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, threshold=0.8)
 
 
+def q_cf2_stream_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FLAGSHIP load as INCREMENTAL micro-batch ingest (SURVEY §2.8):
+    the synthetic CF2 lands as TSV files, a Trigger.AvailableNow file
+    stream processes them one file per batch, and foreachBatch runs the
+    same derive + J4 upsert against the store built by earlier batches.
+    Output is the flagship's row set minus rgd_id (id allocation order
+    depends on the batch split; everything else is batch-invariant, so
+    the same DuckDB oracle checks it value-exact)."""
+    import tempfile
+
+    from rat_strain_loader_pipeline_spark.sources.cf2 import write_cf2
+    from rat_strain_loader_pipeline_spark.streaming.ingest import (
+        ingest_cf2_available_now,
+    )
+
+    cf2 = _synth_cf2_full(_t(spark, sf_dir, "lineitem"))
+    genes = _genes_analog(_t(spark, sf_dir, "supplier")).select(
+        F.col("g_chr").alias("chromosome"),
+        F.col("g_start").alias("start_pos"),
+        F.col("g_stop").alias("stop_pos"),
+        F.lit("ACTIVE").alias("object_status"),
+    )
+    work = tempfile.mkdtemp(prefix="cf2-stream-")
+    cf2_dir = f"{work}/cf2"
+    write_cf2(cf2.repartition(4), cf2_dir, compression="none")
+    out = ingest_cf2_available_now(
+        spark, cf2_dir, work, sample_id=7, gender="M", map_key=360,
+        genes=genes, genic_bin_size=256,
+    )
+    return out.select(
+        "chromosome",
+        F.col("start_pos").alias("position"),
+        "end_pos",
+        "ref_nuc",
+        "var_nuc",
+        "variant_type",
+        "genic_status",
+        "zygosity_status",
+        "zygosity_percent_read",
+        "zygosity_ref_allele",
+        "zygosity_poss_error",
+        "quality_score",
+    )
+
+
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pair graph → dedup groups: minhash-LSH pairs at 0.5 fed
     through hash-to-min connected components (A~B, B~C collapse into one
@@ -2391,6 +2436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_topk_lsh": q_embedding_topk_lsh,
         "embedding_topk_ivf": q_embedding_topk_ivf,
+        "cf2_stream_load": q_cf2_stream_load,
         "dedup_components": q_dedup_components,
         "dedup_survivors": q_dedup_survivors,
         "split_assign": q_split_assign,
@@ -3380,6 +3426,12 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": _jaccard_pairs_oracle_sql(0.8),
         "simhash": _simhash_oracle_sql(),
         "simhash_pairs": _simhash_pairs_oracle_sql(8),
+        "cf2_stream_load": f"""WITH base AS ({_VARIANT_LOAD_SQL})
+SELECT chromosome, position, end_pos, ref_nuc, var_nuc, variant_type,
+       genic_status, zygosity_status, zygosity_percent_read,
+       zygosity_ref_allele, zygosity_poss_error, quality_score
+FROM base
+""",
         "dedup_components": _dedup_components_oracle_sql(0.5),
         "dedup_survivors": f"""WITH RECURSIVE {_jaccard_pairs_cte_sql(0.5)},
 e AS (

@@ -126,3 +126,41 @@ def test_stateful_sessionize(spark, tmp_path):
     assert s["n_events"] == 2
     assert s["session_start"] == t0
     assert s["session_end"] == t0 + dt.timedelta(minutes=10)
+
+
+def test_cf2_ingest_incremental_upsert(spark, tmp_path):
+    """CF2 AvailableNow ingest: one file per micro-batch; a natural key
+    seen again in a LATER batch must reuse the id its first batch
+    allocated (the J4 upsert, incrementally), and new keys must not
+    collide with earlier ids."""
+    from rat_strain_loader_pipeline_spark.streaming.ingest import (
+        ingest_cf2_available_now,
+    )
+
+    # 16-col CF2 rows (CF2_SCHEMA order); file b repeats file a's first
+    # variant and adds one new key
+    def line(pos, ref, var):
+        return (
+            f"1\t{pos}\t{ref}\t{var}\trs1\t30\t30\t0\t0\t60\t\t\t30\t2\t30\t"
+        )
+
+    cf2_dir = tmp_path / "cf2"
+    cf2_dir.mkdir()
+    (cf2_dir / "a.txt").write_text("\n".join([line(10, "A", "C"), line(20, "A", "C")]) + "\n")
+    (cf2_dir / "b.txt").write_text("\n".join([line(10, "A", "C"), line(30, "C", "A")]) + "\n")
+
+    out = ingest_cf2_available_now(
+        spark, str(cf2_dir), str(tmp_path / "work"),
+        sample_id=7, gender="F", map_key=360,
+    )
+    rows = out.select("rgd_id", "start_pos", "is_new").collect()
+    by_pos = {}
+    for r in rows:
+        by_pos.setdefault(r["start_pos"], []).append((r["rgd_id"], r["is_new"]))
+    # pos 10 ingested twice: same id both times, only one is_new
+    ids_10 = {i for i, _ in by_pos[10]}
+    assert len(by_pos[10]) == 2 and len(ids_10) == 1
+    assert sorted(n for _, n in by_pos[10]) == [False, True]
+    # three distinct ids total, no collisions
+    all_ids = {i for pairs in by_pos.values() for i, _ in pairs}
+    assert len(all_ids) == 3
