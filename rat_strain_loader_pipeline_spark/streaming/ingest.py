@@ -74,6 +74,8 @@ def ingest_cf2_available_now(
     checkpoint = os.path.join(work_dir, "checkpoint")
 
     def load_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
         derived = derive_variants(
             batch_df, sample_id, gender, map_key,
             genes=genes, genic_bin_size=genic_bin_size,
@@ -83,18 +85,21 @@ def ingest_cf2_available_now(
         except Exception:
             existing = spark.createDataFrame([], _EXISTING_SCHEMA)
         with_ids = upsert_variants(derived, existing)
-        # land the processed rows FIRST (one pass over the pipeline
-        # plan), then rebuild the store's key table from the out log so
-        # the next batch's probe sees every id allocated so far
-        with_ids.write.mode("append").parquet(out_path)
+        # land the batch ONCE into its own out partition, then append
+        # that batch's NEW keys to the store probe table — both steps
+        # are O(batch), never O(store); the one-pipeline-pass land also
+        # means the derive/upsert plan executes exactly once per batch
+        batch_out = os.path.join(out_path, f"batch={batch_id}")
+        with_ids.write.mode("overwrite").parquet(batch_out)
         (
-            spark.read.parquet(out_path)
+            spark.read.parquet(batch_out)
+            .filter(F.col("is_new"))
             .select(
                 "rgd_id", "chromosome", "start_pos", "end_pos",
                 "ref_nuc", "var_nuc", "variant_type",
             )
             .dropDuplicates(["rgd_id"])
-            .write.mode("overwrite")
+            .write.mode("append")
             .parquet(store_path)
         )
 
