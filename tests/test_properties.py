@@ -211,3 +211,55 @@ def test_binned_interval_join_equals_broadcast(spark, probes, intervals):
         for r in interval_join_binned(p, iv, bin_size=256, **kw).collect()
     }
     assert binned == exact
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=40,
+    )
+)
+@SET
+def test_connected_components_vs_union_find(spark, edges):
+    """L6 property: distributed hash-to-min labels equal a driver-side
+    union-find on arbitrary random graphs (chains, cliques, cycles)."""
+    from rat_strain_loader_pipeline_spark.operators.dedup import connected_components
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges], "id_a long, id_b long"
+    )
+    got = {r["node_id"]: r["component_id"] for r in connected_components(pairs).collect()}
+    assert got == want
+
+
+@given(ids=st.lists(st.integers(0, 10**9), min_size=1, max_size=60, unique=True))
+@SET
+def test_deterministic_split_exhaustive_and_stable(spark, ids):
+    """L16 property: every row gets exactly one split, assignment depends
+    only on (salt, id), and bucket bounds hold."""
+    from rat_strain_loader_pipeline_spark.operators.sampling import deterministic_split
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    out = deterministic_split(df, salt="s1").collect()
+    assert len(out) == len(ids)
+    for r in out:
+        assert 0 <= r["bucket"] < 10_000
+        assert r["split"] in ("train", "val", "test")
+    # same salt → identical; different salt → same totals, usually different
+    again = {r["doc_id"]: r["split"] for r in deterministic_split(df, salt="s1").collect()}
+    assert again == {r["doc_id"]: r["split"] for r in out}
