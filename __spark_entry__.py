@@ -581,6 +581,7 @@ def q_cf2_stream_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from rat_strain_loader_pipeline_spark.sources.cf2 import write_cf2
+    from rat_strain_loader_pipeline_spark.staging import _stage_root
     from rat_strain_loader_pipeline_spark.streaming.ingest import (
         ingest_cf2_available_now,
     )
@@ -592,7 +593,9 @@ def q_cf2_stream_load(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("g_stop").alias("stop_pos"),
         F.lit("ACTIVE").alias("object_status"),
     )
-    work = tempfile.mkdtemp(prefix="cf2-stream-")
+    # under the staging root so the per-process cleanup owns it (a bare
+    # mkdtemp would leak a full CF2 copy + store per invocation)
+    work = tempfile.mkdtemp(prefix="cf2-stream-", dir=_stage_root())
     cf2_dir = f"{work}/cf2"
     write_cf2(cf2.repartition(4), cf2_dir, compression="none")
     out = ingest_cf2_available_now(

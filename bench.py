@@ -78,10 +78,10 @@ def main() -> None:
                 elapsed = time.perf_counter() - t0
                 best = elapsed if best is None else min(best, elapsed)
             except Exception as e:
-                best = -1.0
+                # never clobber an earlier successful timing with -1
                 print(f"bench error in {name}: {e}", file=sys.stderr)
                 break
-        timings[name] = round(best, 3)
+        timings[name] = round(best, 3) if best is not None else -1.0
     total = round(time.perf_counter() - t_total, 3)
 
     payload = {

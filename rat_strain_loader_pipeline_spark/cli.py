@@ -40,13 +40,13 @@ def _dims(spark, root: str, table: str):
     return spark.read.parquet(f"{root.rstrip('/')}/{table}.parquet")
 
 
-def _store_or_empty(spark, root: str, table: str, schema):
+def _store_or_empty(spark, root: str, table: str, schema, **filters):
     from pyspark.sql.utils import AnalysisException
 
     from rat_strain_loader_pipeline_spark.store import read_table
 
     try:
-        return read_table(spark, root, table)
+        return read_table(spark, root, table, **filters)
     except AnalysisException:
         return spark.createDataFrame([], schema)
 
@@ -67,7 +67,7 @@ def vcf_converter2(argv):
     p.add_argument("--compressOutputFile", action="store_true")
     a = p.parse_args(argv)
     from rat_strain_loader_pipeline_spark.pipelines.convert import vcf_to_cf2
-    from rat_strain_loader_pipeline_spark.sources.cf2 import write_cf2
+    from rat_strain_loader_pipeline_spark.sources.cf2 import read_cf2, write_cf2
 
     spark = _spark("vcf-convert")
     out = vcf_to_cf2(
@@ -76,7 +76,8 @@ def vcf_converter2(argv):
     )
     write_cf2(out, a.outDir, partition_by_strain=True,
               compression="gzip" if a.compressOutputFile else "none")
-    print(f"rows={out.count()} outDir={a.outDir}")
+    n = read_cf2(spark, a.outDir).count()  # count the landed files, not a re-run
+    print(f"rows={n} outDir={a.outDir}")
 
 
 @tool("Vcf8ColConverter2")
@@ -88,7 +89,7 @@ def vcf8_converter2(argv):
     p.add_argument("--processVariantsSameAsRef", action="store_true")
     a = p.parse_args(argv)
     from rat_strain_loader_pipeline_spark.pipelines.sideloaders import vcf8_to_cf2
-    from rat_strain_loader_pipeline_spark.sources.cf2 import write_cf2
+    from rat_strain_loader_pipeline_spark.sources.cf2 import read_cf2, write_cf2
 
     spark = _spark("vcf8-convert")
     out = None
@@ -96,7 +97,8 @@ def vcf8_converter2(argv):
         df = vcf8_to_cf2(spark, f, process_variants_same_as_ref=a.processVariantsSameAsRef)
         out = df if out is None else out.unionByName(df)
     write_cf2(out, a.outFile, compression="none")
-    print(f"rows={out.count()} outFile={a.outFile}")
+    n = read_cf2(spark, a.outFile).count()
+    print(f"rows={n} outFile={a.outFile}")
 
 
 # ---------------------------------------------------------------- load cycle
@@ -130,7 +132,12 @@ def variant_load3(argv):
         d = derive_variants(read_cf2(spark, path), sid, a.gender, a.mapKey, genes=genes)
         derived = d if derived is None else derived.unionByName(d)
     v = _store_or_empty(spark, a.store, "variant", VARIANT_SCHEMA)
-    existing_md = _store_or_empty(spark, a.store, "variant_map_data", VARIANT_MAP_DATA_SCHEMA)
+    # positions only collide within ONE assembly: probe THIS map_key's
+    # map data, or a same-key row from another assembly suppresses the
+    # map-data insert for this one
+    existing_md = _store_or_empty(
+        spark, a.store, "variant_map_data", VARIANT_MAP_DATA_SCHEMA, map_key=a.mapKey
+    )
     existing_sd = _store_or_empty(
         spark, a.store, "variant_sample_detail", VARIANT_SAMPLE_DETAIL_SCHEMA
     )
@@ -240,7 +247,8 @@ def polyphen(argv):
     spark = _spark("polyphen")
     cand = _polyphen_candidates(spark, a.store, a.dims, a.sample, a.chrom)
     _write_lines(polyphen_input_lines(cand), a.outDir)
-    print(f"candidates={cand.count()} outDir={a.outDir}")
+    n = spark.read.text(a.outDir).count()
+    print(f"candidates={n} outDir={a.outDir}")
 
 
 @tool("PolyphenFasta")
@@ -262,8 +270,11 @@ def polyphen_fasta(argv):
     logs = spark.read.text(a.resultsDir).withColumnRenamed("value", "line")
     out = polyphen_fasta_for_missing(logs, _dims(spark, a.dims, "proteins"))
     _write_lines(out.filter("found").select(F.col("fasta").alias("value")), a.outputDir)
-    missing = out.filter("NOT found").count()
-    print(f"fasta_written={out.filter('found').count()} no_sequence={missing}")
+    c = out.agg(
+        F.sum(F.when(F.col("found"), 1).otherwise(0)).alias("w"),
+        F.sum(F.when(~F.col("found"), 1).otherwise(0)).alias("m"),
+    ).first()
+    print(f"fasta_written={c['w'] or 0} no_sequence={c['m'] or 0}")
 
 
 @tool("PolyphenLoader")
@@ -286,7 +297,7 @@ def polyphen_loader(argv):
     info = read_table(spark, a.store, "polyphen_info")
     out = load_polyphen_results(results, info)
     write_table(out, a.store, "polyphen")
-    print(f"polyphen_rows={out.count()}")
+    print(f"polyphen_rows={read_table(spark, a.store, 'polyphen').count()}")
 
 
 # -------------------------------------------------------------------- fixups
@@ -377,7 +388,7 @@ def _vcf_export(argv, prog, table):
         src = src.filter(F.col("source") == a.source)
     lines = vcf_output_lines(src)
     _write_lines(lines.withColumnRenamed("line", "value"), a.outputFile)
-    print(f"lines={lines.count()} outputFile={a.outputFile}")
+    print(f"lines={spark.read.text(a.outputFile).count()} outputFile={a.outputFile}")
 
 
 @tool("ClinVar2Vcf")
@@ -410,7 +421,8 @@ def conservation_score(argv):
     spark = _spark("conservation")
     df = load_conservation(spark, a.fileName)
     write_table(df, a.store, a.tableName)
-    print(f"rows={df.count()} table={a.tableName}")
+    n = spark.read.parquet(f"{a.store.rstrip('/')}/{a.tableName}").count()
+    print(f"rows={n} table={a.tableName}")
 
 
 @tool("VariantRatLoaderFromDb")
@@ -438,7 +450,7 @@ def variant_rat_loader_from_db(argv):
     )
     df = spark.read.format("jdbc").options(**opts).load()
     df.write.mode("overwrite").parquet(a.outDir)
-    print(f"rows={df.count()} outDir={a.outDir}")
+    print(f"rows={spark.read.parquet(a.outDir).count()} outDir={a.outDir}")
 
 
 def usage() -> None:

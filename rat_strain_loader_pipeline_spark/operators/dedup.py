@@ -372,16 +372,17 @@ def connected_components(
     Pair emitters (minhash_lsh_pairs, simhash_near_dup_pairs, ...) give
     EDGES; dedup-survivor selection needs the component each doc
     belongs to (A~B, B~C ⇒ {A,B,C} collapse together even if A~C was
-    never emitted). Hash-to-min label propagation: every node starts as
-    its own label, each round takes min(own, neighbors' labels), until
-    a fixpoint. Per round: one shuffle join + one groupBy, lineage
-    truncated through a parquet stage. Rounds needed = graph diameter —
-    near-dup clusters are star/clique-like (tiny diameter), so this
-    converges in 2-4 rounds; an adversarial million-node chain would
-    need the alternating large-star/small-star variant instead.
+    never emitted). Hash-to-min label propagation WITH pointer jumping:
+    every node starts as its own label; each round takes
+    min(own, neighbors' labels) and then shortcuts through its label's
+    label — the doubling step that makes convergence O(log n) rounds
+    even on path graphs, not O(diameter). Per round: two shuffle joins
+    + one groupBy, lineage truncated through a parquet stage.
 
     Returns (node_id, component_id = min node id in the component) for
-    every node that appears in ``pairs``.
+    every node that appears in ``pairs``. Raises if the fixpoint is not
+    reached within ``max_iterations`` (wrong labels must never be
+    returned silently — survivors selected from them would underdedup).
     """
     from rat_strain_loader_pipeline_spark.staging import stage_to_parquet
 
@@ -401,10 +402,19 @@ def connected_components(
             .agg(F.min("label").alias("nbr_label"))
             .withColumnRenamed("dst", "node_id")
         )
+        stepped = labels.join(nbr, "node_id", "left").select(
+            "node_id",
+            F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias("label"),
+        )
+        # pointer jumping: follow label → that node's label (labels are
+        # always node ids, so the self-join is total)
+        parent = stepped.select(
+            F.col("node_id").alias("label"), F.col("label").alias("label2")
+        )
         new_labels = stage_to_parquet(
-            labels.join(nbr, "node_id", "left").select(
+            stepped.join(parent, "label", "left").select(
                 "node_id",
-                F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias("label"),
+                F.least(F.col("label"), F.coalesce("label2", F.col("label"))).alias("label"),
             ),
             f"cc-iter-{i}",
         )
@@ -416,8 +426,10 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
-            break
-    return labels.select("node_id", F.col("label").alias("component_id"))
+            return labels.select("node_id", F.col("label").alias("component_id"))
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iterations} iterations"
+    )
 
 
 def ngram_jaccard_pairs(

@@ -525,10 +525,13 @@ def knn_join_blocked(
         sims = unit(q_pdf["__vec"]) @ unit(c_pdf["__vec"])[order].T
         sims = np.nan_to_num(sims, nan=-2.0)
         kk = min(k, len(c_ids))
-        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
         out_q, out_c, out_s = [], [], []
         for r in range(len(q_ids)):
-            idx = part[r]
+            # full lexsort, NOT argpartition: ties at the block-local
+            # k-th position must break by ascending c_id or the global
+            # reduce can never recover the candidate brute_force_topk's
+            # tie-break would have kept
+            idx = np.lexsort((c_ids, -sims[r]))[:kk]
             out_q.extend([q_ids[r]] * len(idx))
             out_c.extend(c_ids[idx])
             out_s.extend(sims[r, idx])

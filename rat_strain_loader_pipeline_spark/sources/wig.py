@@ -49,13 +49,20 @@ def _glob_files(spark: SparkSession, path: str) -> list[str]:
     p = jvm.org.apache.hadoop.fs.Path(path)
     fs = p.getFileSystem(hconf)
     statuses = fs.globStatus(p)
+
+    def visible(hpath) -> bool:
+        # Hadoop's hidden-file convention (_SUCCESS, .crc, ...) — the
+        # same filter Spark's file readers apply
+        name = hpath.getName()
+        return not (name.startswith("_") or name.startswith("."))
+
     files: list[str] = []
     for st in statuses or []:
         if st.isDirectory():
             for child in fs.listStatus(st.getPath()):
-                if child.isFile():
+                if child.isFile() and visible(child.getPath()):
                     files.append(child.getPath().toString())
-        else:
+        elif visible(st.getPath()):
             files.append(st.getPath().toString())
     if not files:
         raise FileNotFoundError(f"no wig files match {path}")
@@ -192,6 +199,9 @@ def parse_fixedstep_lines(lines: DataFrame) -> DataFrame:
     FILES prefer ``read_fixedstep_wig``, which parallelizes within a
     file instead of funneling it through one window task.
     """
+    # blank lines carry no data and must not consume a block position —
+    # drop them here so BOTH parsers agree whatever the line source fed
+    lines = lines.filter(F.col("value") != "")
     is_decl = F.col("value").startswith("fixedStep")
 
     def extract_long(pattern):
