@@ -301,6 +301,30 @@ def test_knn_join_blocked_matches_brute_force(spark, sf_dir):
         assert neighbors == exact, qid
 
 
+def test_knn_join_blocked_boundary_ties(spark):
+    """Duplicate embeddings tying exactly at the block-local k-th slot:
+    the lower c_id must survive, matching brute_force_topk's tie-break."""
+    from pyspark.sql import functions as F
+
+    from rat_strain_loader_pipeline_spark.operators.similarity import (
+        brute_force_topk, knn_join_blocked,
+    )
+
+    # ids 0..7 all share one embedding (all tie at cosine 1.0); id 8 differs
+    rows = [(i, [1.0, 0.0]) for i in range(8)] + [(8, [0.0, 1.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.filter(F.col("vec_id") == 0)
+    got = sorted(
+        (r["rank"], r["c_id"])
+        for r in knn_join_blocked(queries, emb, k=4, n_blocks=3).collect()
+    )
+    exact = sorted(
+        (r_i + 1, r["vec_id"])
+        for r_i, r in enumerate(brute_force_topk(emb, [1.0, 0.0], k=4).collect())
+    )
+    assert got == exact == [(1, 0), (2, 1), (3, 2), (4, 3)]
+
+
 def test_connected_components(spark):
     """Transitive closure: chains collapse to one group, disjoint pairs
     stay separate, and min-id is the canonical label."""

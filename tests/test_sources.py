@@ -149,8 +149,14 @@ def test_wig_chunked_multi_split_equivalence(spark, tmp_path):
     chunked = read_fixedstep_wig(spark, str(p), split_max_bytes=256)
     assert chunked.rdd.getNumPartitions() > 1  # really multi-split
 
+    # inject blank lines into the window-path input: they must not
+    # consume block positions (parity with the chunked file parse)
+    ref_with_blanks = []
+    for ln in lines:
+        ref_with_blanks.append(ln)
+        ref_with_blanks.append("")
     ref_lines = spark.createDataFrame(
-        [("f", i, ln) for i, ln in enumerate(lines)],
+        [("f", i, ln) for i, ln in enumerate(ref_with_blanks)],
         "__file string, __line_id long, value string",
     )
     want = sorted(map(tuple, parse_fixedstep_lines(ref_lines).collect()))
