@@ -571,13 +571,20 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_cf2_stream_load(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The FLAGSHIP load as INCREMENTAL micro-batch ingest (SURVEY §2.8):
+    """The FLAGSHIP load as Structured-Streaming ingest (SURVEY §2.8):
     the synthetic CF2 lands as TSV files, a Trigger.AvailableNow file
-    stream processes them one file per batch, and foreachBatch runs the
-    same derive + J4 upsert against the store built by earlier batches.
-    Output is the flagship's row set minus rgd_id (id allocation order
-    depends on the batch split; everything else is batch-invariant, so
-    the same DuckDB oracle checks it value-exact)."""
+    stream picks them up, and foreachBatch runs the same derive + J4
+    upsert against the store built by earlier batches. Output is the
+    flagship's row set minus rgd_id (id allocation order depends on the
+    batch split; everything else is batch-invariant, so the same DuckDB
+    oracle checks it value-exact).
+
+    This query runs the stream as ONE AvailableNow batch — each batch
+    re-analyzes the wide derive tree (~3 s fixed) plus the upsert and
+    store writes, so multi-batch runs can't fit the per-query bench
+    budget; the CROSS-batch incremental path (duplicate keys in later
+    batches reusing their first id) is pinned by
+    tests/test_streaming.py::test_cf2_ingest_incremental_upsert."""
     import tempfile
 
     from rat_strain_loader_pipeline_spark.sources.cf2 import write_cf2
@@ -586,7 +593,9 @@ def q_cf2_stream_load(spark: SparkSession, sf_dir: str) -> DataFrame:
         ingest_cf2_available_now,
     )
 
-    cf2 = _synth_cf2_full(_t(spark, sf_dir, "lineitem"))
+    # deterministic 1/8 subset — the batch flagship covers full volume
+    li = _t(spark, sf_dir, "lineitem").filter((F.col("l_orderkey") % 8) == 3)
+    cf2 = _synth_cf2_full(li)
     genes = _genes_analog(_t(spark, sf_dir, "supplier")).select(
         F.col("g_chr").alias("chromosome"),
         F.col("g_start").alias("start_pos"),
@@ -597,10 +606,10 @@ def q_cf2_stream_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     # mkdtemp would leak a full CF2 copy + store per invocation)
     work = tempfile.mkdtemp(prefix="cf2-stream-", dir=_stage_root())
     cf2_dir = f"{work}/cf2"
-    write_cf2(cf2.repartition(4), cf2_dir, compression="none")
+    write_cf2(cf2.repartition(2), cf2_dir, compression="none")
     out = ingest_cf2_available_now(
         spark, cf2_dir, work, sample_id=7, gender="M", map_key=360,
-        genes=genes, genic_bin_size=256,
+        genes=genes, genic_bin_size=256, max_files_per_trigger=2,
     )
     return out.select(
         "chromosome",
@@ -3429,7 +3438,12 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": _jaccard_pairs_oracle_sql(0.8),
         "simhash": _simhash_oracle_sql(),
         "simhash_pairs": _simhash_pairs_oracle_sql(8),
-        "cf2_stream_load": f"""WITH base AS ({_VARIANT_LOAD_SQL})
+        "cf2_stream_load": f"""WITH base AS ({
+    _VARIANT_LOAD_SQL.replace(
+        "FROM lineitem",
+        "FROM (SELECT * FROM lineitem WHERE l_orderkey % 8 = 3) lineitem",
+        1,
+    )})
 SELECT chromosome, position, end_pos, ref_nuc, var_nuc, variant_type,
        genic_status, zygosity_status, zygosity_percent_read,
        zygosity_ref_allele, zygosity_poss_error, quality_score

@@ -76,9 +76,12 @@ def ingest_cf2_available_now(
     def load_batch(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.sql import functions as F
 
+        # no derive stage barrier: the batch lands exactly once into its
+        # out partition below, so the derive plan has ONE consumer and a
+        # stage write+read round would be pure overhead per batch
         derived = derive_variants(
             batch_df, sample_id, gender, map_key,
-            genes=genes, genic_bin_size=genic_bin_size,
+            genes=genes, genic_bin_size=genic_bin_size, stage_cache=False,
         )
         try:
             existing = spark.read.parquet(store_path)
