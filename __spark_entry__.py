@@ -707,6 +707,23 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language doc-length distribution (corpus curation stats):
+    exact linear-interpolation percentiles, value-matched to DuckDB's
+    quantile_cont. At 100 TB swap `percentile` for `approx_percentile`
+    (t-digest, map-side mergeable) — the exact form is the oracle-parity
+    baseline."""
+    docs = _t(spark, sf_dir, "documents")
+    agg = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        *[
+            F.round(F.expr(f"percentile(n_chars, {p})"), 4).alias(f"p{int(p * 100)}")
+            for p in (0.25, 0.5, 0.75, 0.95)
+        ],
+    )
+    return agg.orderBy("lang")
+
+
 def q_embedding_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-k (rows-only: approximate by design)."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -2454,6 +2471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_assign": q_split_assign,
         "source_topk": q_source_topk,
         "vocab_topk": q_vocab_topk,
+        "length_quantiles": q_length_quantiles,
         "variant_load_pipeline": q_variant_load_pipeline,
         "distinct_groups": q_distinct_groups,
         "melt_unpivot": q_melt_unpivot,
@@ -3467,6 +3485,14 @@ SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.source, d.lang,
 FROM documents d LEFT JOIN losers l ON d.doc_id = l.id
 WHERE l.id IS NULL
 """,
+        "length_quantiles": """
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                   round(quantile_cont(n_chars, 0.25), 4) AS p25,
+                   round(quantile_cont(n_chars, 0.5), 4) AS p50,
+                   round(quantile_cont(n_chars, 0.75), 4) AS p75,
+                   round(quantile_cont(n_chars, 0.95), 4) AS p95
+            FROM documents GROUP BY lang
+        """,
         "vocab_topk": r"""
             WITH toks AS (
               SELECT unnest(list_filter(
