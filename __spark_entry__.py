@@ -2465,7 +2465,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_topk_lsh": q_embedding_topk_lsh,
         "embedding_topk_ivf": q_embedding_topk_ivf,
-        "cf2_stream_load": q_cf2_stream_load,
         "dedup_components": q_dedup_components,
         "dedup_survivors": q_dedup_survivors,
         "split_assign": q_split_assign,
@@ -2473,6 +2472,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": q_vocab_topk,
         "length_quantiles": q_length_quantiles,
         "variant_load_pipeline": q_variant_load_pipeline,
+        # directly after the batch flagship: shares its derive/upsert
+        # plans, so the streaming run pays warm codegen, not cold
+        "cf2_stream_load": q_cf2_stream_load,
         "distinct_groups": q_distinct_groups,
         "melt_unpivot": q_melt_unpivot,
         "props_extract": q_props_extract,
