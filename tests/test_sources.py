@@ -266,3 +266,15 @@ def test_cf2_write_roundtrip(spark, tmp_path):
     # gzip files actually produced
     files = os.listdir(os.path.join(out, "strain=S1"))
     assert any(f.endswith(".csv.gz") for f in files)
+
+
+def test_wig_dir_skips_hidden_files(spark, tmp_path):
+    """Directory reads must apply Hadoop's hidden-file convention:
+    _SUCCESS / .crc companions never reach the parser."""
+    d = tmp_path / "wigs"
+    d.mkdir()
+    (d / "a.wig").write_text("fixedStep chrom=chr1 start=5 step=1\n0.5\n")
+    (d / "_SUCCESS").write_text("")
+    (d / ".a.wig.crc").write_text("fixedStep chrom=chr9 start=1\n9.9\n")
+    got = sorted(map(tuple, read_fixedstep_wig(spark, str(d)).collect()))
+    assert got == [(5, "1", 0.5)]
