@@ -402,8 +402,12 @@ def connected_components(
             .agg(F.min("label").alias("nbr_label"))
             .withColumnRenamed("dst", "node_id")
         )
+        # carry the previous label through the round so convergence
+        # detection needs NO second join: the staged round output holds
+        # (old_label, label) side by side
         stepped = labels.join(nbr, "node_id", "left").select(
             "node_id",
+            F.col("label").alias("old_label"),
             F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias("label"),
         )
         # pointer jumping: follow label → that node's label (labels are
@@ -411,21 +415,22 @@ def connected_components(
         parent = stepped.select(
             F.col("node_id").alias("label"), F.col("label").alias("label2")
         )
-        new_labels = stage_to_parquet(
+        staged = stage_to_parquet(
             stepped.join(parent, "label", "left").select(
                 "node_id",
+                "old_label",
                 F.least(F.col("label"), F.coalesce("label2", F.col("label"))).alias("label"),
             ),
             f"cc-iter-{i}",
         )
+        # fixpoint probe rides the staged round output: a limit(1) scan
+        # over the parquet just written, not a join against the previous
+        # round (which would re-shuffle both label sets per round)
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
+            staged.filter(F.col("label") != F.col("old_label")).limit(1).count() > 0
         )
-        labels = new_labels
-        if changed == 0:
+        labels = staged.select("node_id", "label")
+        if not changed:
             return labels.select("node_id", F.col("label").alias("component_id"))
     raise RuntimeError(
         f"connected_components did not converge in {max_iterations} iterations"

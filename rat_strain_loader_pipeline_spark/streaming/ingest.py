@@ -27,6 +27,24 @@ _EXISTING_SCHEMA = (
 )
 
 
+def _read_store_or_empty(spark: SparkSession, store_path: str) -> DataFrame:
+    """Read back the incremental store; ONLY a missing store (first batch,
+    nothing appended yet) maps to empty. Any other read failure — corrupt
+    footer from an interrupted append, transient FS error — propagates:
+    treating it as "empty" would re-allocate ids for keys the store already
+    holds and append duplicate natural keys, breaking the batch-split
+    invariance this module promises."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(store_path)
+    except AnalysisException as exc:
+        err = exc.getCondition() or ""
+        if err == "PATH_NOT_FOUND" or "Path does not exist" in str(exc):
+            return spark.createDataFrame([], _EXISTING_SCHEMA)
+        raise
+
+
 def stream_cf2(
     spark: SparkSession, path: str, max_files_per_trigger: int = 1
 ) -> DataFrame:
@@ -83,10 +101,7 @@ def ingest_cf2_available_now(
             batch_df, sample_id, gender, map_key,
             genes=genes, genic_bin_size=genic_bin_size, stage_cache=False,
         )
-        try:
-            existing = spark.read.parquet(store_path)
-        except Exception:
-            existing = spark.createDataFrame([], _EXISTING_SCHEMA)
+        existing = _read_store_or_empty(spark, store_path)
         with_ids = upsert_variants(derived, existing)
         # land the batch ONCE into its own out partition, then append
         # that batch's NEW keys to the store probe table — both steps
@@ -114,4 +129,15 @@ def ingest_cf2_available_now(
         .start()
     )
     q.awaitTermination()
+    if not os.path.exists(out_path):
+        # zero batches landed (empty input directory): return an empty
+        # frame with the exact batch-output schema — derive+upsert over
+        # empty inputs builds the plan (lazily, no action) and nothing else
+        empty_derived = derive_variants(
+            spark.createDataFrame([], CF2_SCHEMA), sample_id, gender, map_key,
+            genes=genes, genic_bin_size=genic_bin_size, stage_cache=False,
+        )
+        return upsert_variants(
+            empty_derived, spark.createDataFrame([], _EXISTING_SCHEMA)
+        )
     return spark.read.parquet(out_path)

@@ -338,6 +338,28 @@ def test_connected_components(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
 
 
+def test_connected_components_path_graph_logn_rounds(spark):
+    """Adversarial 10,000-node chain (diameter 9,999): pointer jumping
+    must converge in O(log n) rounds — max_iterations=20 would be
+    exceeded by any diameter-bound propagation, so convergence here IS
+    the O(log n) proof. All nodes collapse to component 0."""
+    from pyspark.sql import functions as F
+
+    from rat_strain_loader_pipeline_spark.operators.dedup import connected_components
+
+    n = 10_000
+    chain = spark.range(n - 1).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    comps = connected_components(chain, max_iterations=20)
+    agg = comps.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("component_id").alias("n_comp"),
+        F.max("component_id").alias("max_comp"),
+    ).collect()[0]
+    assert (agg["n"], agg["n_comp"], agg["max_comp"]) == (n, 1, 0)
+
+
 def test_deterministic_split_and_md5_bucket(spark):
     """Split assignment is stable, respects fractions roughly, and the
     Spark md5_bucket expression equals DuckDB's md5_number_lower % m."""

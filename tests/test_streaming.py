@@ -164,3 +164,46 @@ def test_cf2_ingest_incremental_upsert(spark, tmp_path):
     # three distinct ids total, no collisions
     all_ids = {i for pairs in by_pos.values() for i, _ in pairs}
     assert len(all_ids) == 3
+
+
+def test_cf2_ingest_empty_input_dir(spark, tmp_path):
+    """Zero input files → zero batches → the ingest returns an EMPTY
+    frame with the batch-output schema instead of raising on a missing
+    out/ path."""
+    from rat_strain_loader_pipeline_spark.streaming.ingest import (
+        ingest_cf2_available_now,
+    )
+
+    cf2_dir = tmp_path / "cf2"
+    cf2_dir.mkdir()
+    out = ingest_cf2_available_now(
+        spark, str(cf2_dir), str(tmp_path / "work"),
+        sample_id=7, gender="F", map_key=360,
+    )
+    assert out.count() == 0
+    for col in ("rgd_id", "is_new", "chromosome", "start_pos"):
+        assert col in out.columns
+
+
+def test_cf2_ingest_corrupt_store_propagates(spark, tmp_path):
+    """A store path that EXISTS but fails to read (corrupt footer from an
+    interrupted append) must raise, not be silently treated as an empty
+    store — the empty-store fallback is only for the missing-path first
+    batch. Re-allocating ids over a real-but-unreadable store would append
+    duplicate natural keys on restart."""
+    import pytest
+
+    from rat_strain_loader_pipeline_spark.streaming.ingest import (
+        _read_store_or_empty,
+    )
+
+    store = tmp_path / "variant"
+    store.mkdir()
+    (store / "part-00000.parquet").write_bytes(b"PAR1 this is not parquet")
+    with pytest.raises(Exception) as exc_info:
+        _read_store_or_empty(spark, str(store)).collect()
+    assert "PATH_NOT_FOUND" not in str(exc_info.value)
+
+    # and the missing-path case still maps to the empty probe frame
+    empty = _read_store_or_empty(spark, str(tmp_path / "does-not-exist"))
+    assert empty.count() == 0 and "rgd_id" in empty.columns
