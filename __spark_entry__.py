@@ -542,6 +542,19 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(docs, jaccard_threshold=0.5)
 
 
+def q_minhash_lsh_xxhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs on the PRODUCTION hash path: shingling
+    and hashing stay JVM-side (F.xxhash64 inside whole-stage codegen, no
+    Python in the hash loop) — the 100 TB configuration of minhash_lsh.
+    Rows-only at the driver BY DESIGN: DuckDB has no xxhash64, so no SQL
+    engine can rebuild these hash sets; the path is value-pinned instead
+    by pytest equivalence against the md5-oracle path
+    (tests/test_dedup_similarity.py::test_minhash_lsh_xxhash_equivalence)
+    and benched here so both hash families carry a timing."""
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, jaccard_threshold=0.5, hash_fn="xxhash64")
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash signatures, value-checked: the oracle recomputes every
     63-bit signature from scratch via per-bit majority votes in SQL."""
@@ -2460,6 +2473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "embedding_topk": q_embedding_topk,
         "minhash_lsh": q_minhash_lsh,
+        "minhash_lsh_xxhash": q_minhash_lsh_xxhash,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
         "ngram_jaccard": q_ngram_jaccard,

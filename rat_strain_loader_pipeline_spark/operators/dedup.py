@@ -13,10 +13,18 @@ numpy) — Catalyst's interpreted higher-order-function path measured
 are computed ONCE and staged to parquet so candidate generation and
 exact-Jaccard verification share them.
 
-Shingle hashes derive from md5 (the low 8 digest bytes little-endian ==
-DuckDB's ``md5_number_lower``), so an independent SQL engine can rebuild
-the exact hash sets — the value oracles for the minhash/simhash pair
-queries depend on this.
+Two shingle-hash families, selected by ``hash_fn``:
+
+- ``"md5_oracle"`` (default): low 8 md5 digest bytes little-endian ==
+  DuckDB's ``md5_number_lower``, so an independent SQL engine can
+  rebuild the exact hash sets — the value oracles for the
+  minhash/simhash pair queries depend on this identity.
+- ``"xxhash64"``: the production path — shingling AND hashing stay
+  JVM-side (split/slice/concat_ws + ``F.xxhash64`` inside whole-stage
+  codegen, zero Python in the hash loop). Same banding, candidate-join
+  and exact-Jaccard verify machinery; not SQL-oracle-reproducible
+  (DuckDB has no xxhash64), so its queries are pinned by pytest
+  equivalence against the md5 path instead.
 
 - exact_dedup:        md5-hash groupBy; canonical = min(doc_id)
 - shingle_hashes:     (doc_id, hashes array<long>) staged basis
@@ -92,20 +100,68 @@ def _hashes_udf(n: int):
     return hashes
 
 
+def _shingle_expr(text_col: str, n: int):
+    """Word shingles as a pure JVM expression — same semantics as
+    ``_shingle_set``: lowercase, whitespace-split, drop empty tokens,
+    n-token windows joined by "_"; short docs collapse to one shingle."""
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+    many = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+        lambda i: F.concat_ws("_", F.slice(toks, i, n)),
+    )
+    return (
+        F.when(F.size(toks) >= n, many)
+        .when(F.size(toks) > 0, F.array(F.concat_ws("_", toks)))
+        .otherwise(F.array().cast("array<string>"))
+    )
+
+
+def _xxh_shingle_hashes_expr(
+    text_col: str, n: int, modulus: int | None = _P, mask: int | None = None
+):
+    """Sorted distinct xxhash64 shingle hashes, entirely JVM-side (the
+    production hash path: whole-stage codegen, no Python loop). ``modulus``
+    maps into [0, P) for minhash math; ``mask`` keeps raw low bits for
+    simhash voting."""
+
+    def h(s):
+        x = F.xxhash64(s)
+        if modulus is not None:
+            x = F.pmod(x, F.lit(modulus))
+        if mask is not None:
+            x = x.bitwiseAND(F.lit(mask))
+        return x
+
+    return F.array_sort(F.array_distinct(F.transform(_shingle_expr(text_col, n), h)))
+
+
 def shingle_hashes(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_n: int = 3,
     stage: bool = True,
+    hash_fn: str = "md5_oracle",
 ) -> DataFrame:
-    """(doc_id, hashes array<long>) — distinct word-shingle crc32 hashes,
-    sorted. Staged to parquet by default so several consumers (signature
-    generation, Jaccard verification, simhash) share one computation."""
-    from rat_strain_loader_pipeline_spark.ship import ensure_shipped
+    """(doc_id, hashes array<long>) — distinct word-shingle hashes,
+    sorted, in [0, P). Staged to parquet by default so several consumers
+    (signature generation, Jaccard verification, simhash) share one
+    computation. ``hash_fn``: see module docstring — "md5_oracle"
+    (DuckDB-reproducible pandas UDF) or "xxhash64" (JVM codegen)."""
+    if hash_fn == "xxhash64":
+        out = docs.select(
+            F.col(id_col),
+            _xxh_shingle_hashes_expr(text_col, shingle_n).alias("hashes"),
+        )
+    elif hash_fn == "md5_oracle":
+        from rat_strain_loader_pipeline_spark.ship import ensure_shipped
 
-    ensure_shipped(docs.sparkSession)
-    out = docs.select(F.col(id_col), _hashes_udf(shingle_n)(F.col(text_col)).alias("hashes"))
+        ensure_shipped(docs.sparkSession)
+        out = docs.select(
+            F.col(id_col), _hashes_udf(shingle_n)(F.col(text_col)).alias("hashes")
+        )
+    else:
+        raise ValueError(f"unknown hash_fn: {hash_fn!r}")
     if stage:
         from rat_strain_loader_pipeline_spark.staging import stage_to_parquet
 
@@ -141,6 +197,7 @@ def minhash_signatures(
     shingle_n: int = 3,
     seed: int = 42,
     hashes: DataFrame | None = None,
+    hash_fn: str = "md5_oracle",
 ) -> DataFrame:
     """(doc_id, sig array<long>) — k-permutation minhash over the staged
     shingle hashes. Deterministic given ``seed``."""
@@ -148,7 +205,7 @@ def minhash_signatures(
 
     ensure_shipped(docs.sparkSession)
     if hashes is None:
-        hashes = shingle_hashes(docs, text_col, id_col, shingle_n, stage=False)
+        hashes = shingle_hashes(docs, text_col, id_col, shingle_n, stage=False, hash_fn=hash_fn)
     sig = _minhash_udf(num_hashes, seed)
     return hashes.select(F.col(id_col), sig(F.col("hashes")).alias("sig"))
 
@@ -163,6 +220,7 @@ def minhash_lsh_pairs(
     jaccard_threshold: float = 0.5,
     seed: int = 42,
     hot_bucket_cap: int | None = None,
+    hash_fn: str = "md5_oracle",
 ) -> DataFrame:
     """Near-duplicate pairs via banded minhash-LSH + exact-Jaccard verify.
 
@@ -184,7 +242,7 @@ def minhash_lsh_pairs(
     would transitively collapse into. None (default) = exact all-pairs.
     """
     rows_per_band = num_hashes // bands
-    hashes = shingle_hashes(docs, text_col, id_col, shingle_n, stage=True)
+    hashes = shingle_hashes(docs, text_col, id_col, shingle_n, stage=True, hash_fn=hash_fn)
     sigs = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_n, seed, hashes=hashes)
 
     banded = sigs.select(
@@ -262,19 +320,48 @@ def _verify_jaccard(
 
 
 def simhash64(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n_bits: int = 63
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bits: int = 63,
+    hash_fn: str = "md5_oracle",
 ) -> DataFrame:
     """SimHash per document (63 usable bits).
 
-    Shingles hashed to the low 62 bits of md5 (DuckDB-reproducible, see
-    ``_md5_lower64``); bit votes vectorized in numpy per Arrow batch.
-    Map-only — no shuffle at any scale. Near-dups then cluster by
-    hamming distance on the signature (prefix-bucket join).
+    Shingles hashed to 62 low bits — md5 path (DuckDB-reproducible, see
+    ``_md5_lower64``) hashes in the same pandas UDF that votes; xxhash64
+    path hashes JVM-side and the UDF only does the numpy bit voting.
+    Bit votes vectorized in numpy per Arrow batch. Map-only — no shuffle
+    at any scale. Near-dups then cluster by hamming distance on the
+    signature (prefix-bucket join).
     """
     from rat_strain_loader_pipeline_spark.ship import ensure_shipped
 
     ensure_shipped(docs.sparkSession)
     shifts = np.arange(n_bits, dtype=np.int64)
+
+    def _vote(hv: np.ndarray) -> int:
+        bits = (hv[:, None] >> shifts[None, :]) & 1
+        votes = (2 * bits - 1).sum(axis=0)
+        return int(((votes > 0).astype(np.int64) << shifts).sum())
+
+    if hash_fn == "xxhash64":
+
+        @pandas_udf("long")
+        def sim_from_hashes(harrs: pd.Series) -> pd.Series:
+            out = np.zeros(len(harrs), dtype=np.int64)
+            for i, h in enumerate(harrs):
+                if h is None or len(h) == 0:
+                    continue
+                out[i] = _vote(np.asarray(h, dtype=np.int64))
+            return pd.Series(out)
+
+        hashes = _xxh_shingle_hashes_expr(
+            text_col, 3, modulus=None, mask=(1 << 62) - 1
+        )
+        return docs.select(F.col(id_col), sim_from_hashes(hashes).alias("simhash"))
+    if hash_fn != "md5_oracle":
+        raise ValueError(f"unknown hash_fn: {hash_fn!r}")
 
     @pandas_udf("long")
     def sim(texts: pd.Series) -> pd.Series:
@@ -289,9 +376,7 @@ def simhash64(
                 [_md5_lower64(s) & ((1 << 62) - 1) for s in shingles],
                 dtype=np.int64,
             )
-            bits = (hv[:, None] >> shifts[None, :]) & 1
-            votes = (2 * bits - 1).sum(axis=0)
-            out[i] = int(((votes > 0).astype(np.int64) << shifts).sum())
+            out[i] = _vote(hv)
         return pd.Series(out)
 
     return docs.select(F.col(id_col), sim(F.col(text_col)).alias("simhash"))
@@ -304,6 +389,7 @@ def simhash_near_dup_pairs(
     id_col: str = "doc_id",
     n_bits: int = 63,
     sigs: DataFrame | None = None,
+    hash_fn: str = "md5_oracle",
 ) -> DataFrame:
     """Near-duplicate pairs by simhash hamming distance.
 
@@ -316,7 +402,7 @@ def simhash_near_dup_pairs(
     (id_col, simhash) to reuse signatures across calls.
     """
     if sigs is None:
-        sigs = simhash64(docs, text_col, id_col, n_bits)
+        sigs = simhash64(docs, text_col, id_col, n_bits, hash_fn=hash_fn)
     bands = max_hamming + 1
     width = n_bits // bands
     exprs = []
@@ -444,6 +530,7 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     threshold: float = 0.8,
     prefix_cap: int | None = 8,
+    hash_fn: str = "md5_oracle",
 ) -> DataFrame:
     """N-gram Jaccard near-dup pairs via df-ordered prefix filtering.
 
@@ -462,7 +549,7 @@ def ngram_jaccard_pairs(
     through a single unpartitioned-window task and then broadcast a map
     that is billions of entries at 100 TB.
     """
-    hashes = shingle_hashes(docs, text_col, id_col, shingle_n, stage=True)
+    hashes = shingle_hashes(docs, text_col, id_col, shingle_n, stage=True, hash_fn=hash_fn)
 
     df_counts = (
         hashes.select(F.explode("hashes").alias("tok"))

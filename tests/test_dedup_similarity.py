@@ -74,6 +74,128 @@ def test_minhash_lsh_finds_planted_dups(spark):
         assert abs(j - true) < 1e-3
 
 
+def test_jvm_shingle_expr_matches_python(spark):
+    """The xxhash path's JVM shingling (_shingle_expr) must produce the
+    SAME shingle sets as the md5 path's Python _shingle_set — edge cases
+    included: empty, null, short docs, whitespace runs, tabs/newlines."""
+    from rat_strain_loader_pipeline_spark.operators.dedup import _shingle_expr
+
+    cases = [
+        (0, "the quick brown fox jumps over"),
+        (1, "one"),
+        (2, "two tokens"),
+        (3, ""),
+        (4, None),
+        (5, "  leading   runs\tand\ttabs\nnewlines  trailing  "),
+        (6, "Case MIX case mix CASE mix"),
+        (7, "a a a a a"),  # repeated shingles collapse (distinct)
+    ]
+    df = spark.createDataFrame(cases, "doc_id long, text string")
+    got = {
+        r["doc_id"]: sorted(set(r["sh"]))
+        for r in df.select(
+            "doc_id", _shingle_expr("text", 3).alias("sh")
+        ).collect()
+    }
+    for doc_id, text in cases:
+        toks = [t for t in (text or "").lower().split() if t]
+        if not toks:
+            expected = []
+        elif len(toks) < 3:
+            expected = ["_".join(toks)]
+        else:
+            expected = sorted({"_".join(toks[i : i + 3]) for i in range(len(toks) - 2)})
+        assert got[doc_id] == expected, (doc_id, got[doc_id], expected)
+
+
+def _planted_corpus(spark):
+    """Deterministic corpus with unambiguous dups: 8 base docs of 50
+    words, each with a 2-word-dropped near-dup (Jaccard ≈ 0.9, simhash
+    hamming ≈ 0-2 under ANY hash family) and 8 unrelated docs — no
+    borderline pairs, so every hash family must emit exactly the planted
+    pairs."""
+    import random as _random
+
+    rnd = _random.Random(7)
+    vocab = [f"w{k}" for k in range(400)]
+    rows = []
+    for i in range(8):
+        words = [vocab[rnd.randrange(400)] for _ in range(50)]
+        rows.append((i * 10, " ".join(words)))
+        rows.append((i * 10 + 1, " ".join(words[:30] + words[32:])))
+    for i in range(8):
+        rows.append((1000 + i, " ".join(vocab[rnd.randrange(400)] for _ in range(50))))
+    return (
+        spark.createDataFrame(rows, "doc_id long, text string"),
+        {(i * 10, i * 10 + 1) for i in range(8)},
+    )
+
+
+def test_minhash_lsh_xxhash_equivalence(spark):
+    """Production (xxhash64, JVM-side) and oracle (md5, pandas-UDF) hash
+    paths emit the SAME pair set with the SAME exact-Jaccard values:
+    Jaccard over hashed shingle sets is hash-family-invariant absent
+    collisions, and the planted dups sit far above the banding S-curve."""
+    docs, planted = _planted_corpus(spark)
+    md5_pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(docs, jaccard_threshold=0.5).collect()
+    }
+    xxh_pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(
+            docs, jaccard_threshold=0.5, hash_fn="xxhash64"
+        ).collect()
+    }
+    assert set(md5_pairs) == set(xxh_pairs) == planted
+    assert md5_pairs == xxh_pairs  # jaccard values identical, not just pairs
+
+
+def test_simhash_and_ngram_xxhash_equivalence(spark):
+    """The xxhash64 paths of simhash_near_dup_pairs and
+    ngram_jaccard_pairs find the same planted pairs as the md5 paths;
+    ngram Jaccard values are identical across hash families."""
+    from rat_strain_loader_pipeline_spark.operators.dedup import (
+        simhash_near_dup_pairs,
+    )
+
+    # simhash radius max_hamming=3 needs MUCH closer dups than the
+    # word-drop corpus (those sit at hamming ≈ 7): plant exact dups —
+    # identical shingle sets give identical signatures (hamming 0) under
+    # ANY hash family, while unrelated docs sit at hamming ≈ 25-35
+    import random as _random
+
+    rnd = _random.Random(11)
+    vocab = [f"w{k}" for k in range(400)]
+    rows = []
+    for i in range(8):
+        text = " ".join(vocab[rnd.randrange(400)] for _ in range(50))
+        rows.append((i * 10, text))
+        rows.append((i * 10 + 1, text))
+    for i in range(8):
+        rows.append((1000 + i, " ".join(vocab[rnd.randrange(400)] for _ in range(50))))
+    sim_docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sim_planted = {(i * 10, i * 10 + 1) for i in range(8)}
+    sim_md5 = {(r["id_a"], r["id_b"]) for r in simhash_near_dup_pairs(sim_docs, max_hamming=3).collect()}
+    sim_xxh = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_near_dup_pairs(sim_docs, max_hamming=3, hash_fn="xxhash64").collect()
+    }
+    assert sim_md5 == sim_xxh == sim_planted
+
+    docs, planted = _planted_corpus(spark)
+
+    ng_md5 = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    ng_xxh = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.8, hash_fn="xxhash64").collect()
+    }
+    assert ng_md5 == ng_xxh and set(ng_md5) == planted
+
+
 def test_ngram_jaccard_matches_brute_force(spark):
     threshold = 0.5
     got = {
