@@ -738,7 +738,10 @@ def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-k (rows-only: approximate by design)."""
+    """LSH-bucketed approximate top-k — approximate vs BRUTE FORCE by
+    design, but value-exact against its oracle: the seed-42 hyperplanes
+    are inlined into the DuckDB SQL (see _embedding_lsh_oracle_sql), so
+    bucket pruning, multiprobe set and cosine ranking are all checked."""
     emb = _t(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
     return lsh_bucketed_topk(emb, qvec, k=10, n_planes=4, multiprobe=1)
@@ -851,6 +854,58 @@ def q_variant_load_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "zygosity_ref_allele",
         "zygosity_poss_error",
         "quality_score",
+    )
+
+
+def q_load_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K7/A10 run-log counters (VariantLoad3.java:154-168 counter dump,
+    VariantProcessingBase.java:64-75 SYSTEM_LOG) over the flagship load:
+    rows reaching the upsert / inserted-new / already-in-store,
+    reconciled the Spark-first way — ``DataFrame.observe`` metrics that
+    aggregate DURING the load action (map-side, zero extra passes), not
+    separate count() jobs. The store is pre-populated with every
+    chromosome-1 natural key, so already-in-store is exercised (> 0) and
+    the DuckDB oracle is three COUNTs over the same load CTE."""
+    from pyspark.sql.window import Window
+
+    from rat_strain_loader_pipeline_spark.observe import run_log_row, with_counters
+    from rat_strain_loader_pipeline_spark.pipelines.load import derive_variants
+
+    cf2 = _synth_cf2_full(_t(spark, sf_dir, "lineitem"))
+    genes = _genes_analog(_t(spark, sf_dir, "supplier")).select(
+        F.col("g_chr").alias("chromosome"),
+        F.col("g_start").alias("start_pos"),
+        F.col("g_stop").alias("stop_pos"),
+        F.lit("ACTIVE").alias("object_status"),
+    )
+    derived = derive_variants(
+        cf2, sample_id=7, gender="M", map_key=360, genes=genes, genic_bin_size=256
+    )
+    key_cols = ["chromosome", "start_pos", "end_pos", "ref_nuc", "var_nuc", "variant_type"]
+    existing = (
+        derived.filter(F.col("chromosome") == "1")
+        .select(*key_cols)
+        .distinct()
+        .withColumn(
+            "rgd_id",
+            F.dense_rank()
+            .over(Window.orderBy(*[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in key_cols]))
+            .cast("long"),
+        )
+    )
+    with_ids = upsert_variants(derived, existing)
+    counted, obs = with_counters(
+        with_ids,
+        "load_counters",
+        rows_in=F.count(F.lit(1)),
+        rows_new=F.sum(F.when(F.col("is_new"), F.lit(1)).otherwise(F.lit(0))).cast("long"),
+        rows_existing=F.sum(F.when(~F.col("is_new"), F.lit(1)).otherwise(F.lit(0))).cast("long"),
+    )
+    counted.write.format("noop").mode("overwrite").save()  # the load action
+    log = run_log_row(obs, "variant_load")
+    return spark.createDataFrame(
+        [(int(log["rows_in"]), int(log["rows_new"]), int(log["rows_existing"]))],
+        "rows_in long, rows_new long, rows_existing long",
     )
 
 
@@ -1319,6 +1374,50 @@ def q_consequence_snv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vt = variant_transcript_consequences(
         variants, genes, transcripts, features, fb, 1,
+        repartition_to=spark.sparkContext.defaultParallelism,
+    )
+    return vt.select(*_VT_OUT_COLS)
+
+
+def q_vt_preload_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 VT verify anti-join (VariantTranscriptBatch.java:69-97): pairs
+    already present in the variant_transcript store are dropped before
+    insert. The preloaded store here is EVERY (variant, transcript) pair
+    for variants with rgd_id % 3 == 0 — so the oracle is the
+    consequence_snv oracle filtered to variant_rgd_id % 3 <> 0, and the
+    dropped-row set is value-checked exactly."""
+    from rat_strain_loader_pipeline_spark.operators.consequence import (
+        variant_transcript_consequences,
+    )
+
+    n_genes, fb, genes, transcripts, features = _conseq_model(spark, sf_dir)
+    li = _t(spark, sf_dir, "lineitem")
+    k0 = F.col("l_orderkey").cast("long")
+    g = (k0 % n_genes) + 1
+    pos = g * 5000 + (k0 * 37) % 4000
+    variants = (
+        li.filter(k0 % 20 == 0)
+        .select("l_orderkey")
+        .distinct()
+        .select(
+            k0.alias("rgd_id"),
+            ((g % 2) + 1).cast("string").alias("chromosome"),
+            pos.alias("start_pos"),
+            (pos + 1).alias("end_pos"),
+            F.lit("A").alias("ref_nuc"),
+            F.substring(
+                F.lit("ACGT"), (F.floor(k0 / 20).cast("long") % 4 + 1).cast("int"), 1
+            ).alias("var_nuc"),
+        )
+    )
+    preload = (
+        variants.filter(F.col("rgd_id") % 3 == 0)
+        .select(F.col("rgd_id").alias("variant_rgd_id"))
+        .crossJoin(transcripts.select("transcript_rgd_id"))
+    )
+    vt = variant_transcript_consequences(
+        variants, genes, transcripts, features, fb, 1,
+        verify_against=preload,
         repartition_to=spark.sparkContext.defaultParallelism,
     )
     return vt.select(*_VT_OUT_COLS)
@@ -2489,6 +2588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # directly after the batch flagship: shares its derive/upsert
         # plans, so the streaming run pays warm codegen, not cold
         "cf2_stream_load": q_cf2_stream_load,
+        "load_counters": q_load_counters,
         "distinct_groups": q_distinct_groups,
         "melt_unpivot": q_melt_unpivot,
         "props_extract": q_props_extract,
@@ -2502,6 +2602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ref_depth_inference": q_ref_depth_inference,
         "zygosity_indel": q_zygosity_indel,
         "consequence_snv": q_consequence_snv,
+        "vt_preload_antijoin": q_vt_preload_antijoin,
         "consequence_snv_blocks": q_consequence_snv_blocks,
         "consequence_indel_utr": q_consequence_indel_utr,
         "polyphen_roundtrip": q_polyphen_roundtrip,
@@ -2651,6 +2752,55 @@ WITH m AS (
 SELECT media_id, mime, CAST(dim_idx AS INT) AS dim_idx,
        CAST(({u32}) % 1000 AS INT) AS val_milli
 FROM m, (SELECT unnest(range(16)) AS dim_idx)
+"""
+
+
+def _embedding_lsh_oracle_sql(n_planes: int = 4, k: int = 10) -> str:
+    """Value oracle for q_embedding_topk_lsh: the SAME seed-42 gaussian
+    hyperplanes the Spark operator derives are inlined as double
+    literals (repr round-trips exactly), the bucket bits / multiprobe
+    set are recomputed in SQL, and the scoring block is the proven
+    embedding_topk cosine SQL. Assumes dim=64 (all driver scale
+    factors); a dim change shows up as a loud mismatch, not silence."""
+    from rat_strain_loader_pipeline_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(64, n_planes, seed=42)
+    plane_lits = ", ".join(
+        "[" + ", ".join(repr(x) for x in p) + "]::DOUBLE[]" for p in planes
+    )
+    # bucket = fold(bits, b -> out*2 + b), plane order = bit order
+    bit = (
+        "CASE WHEN list_sum(list_transform(range(1, 65),"
+        " i -> v[i] * pl[{j}][i])) >= 0 THEN 1 ELSE 0 END"
+    )
+    bucket = " + ".join(
+        f"({bit.format(j=j + 1)}) * {1 << (n_planes - 1 - j)}" for j in range(n_planes)
+    )
+    probes = ", ".join(f"xor(qb.b, {1 << i})" for i in range(n_planes))
+    return f"""
+WITH pl AS (SELECT [{plane_lits}] AS pl),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+qb AS (SELECT (SELECT {bucket.replace('v[', 'qv[')} FROM q, pl) AS b),
+bucketed AS (
+    SELECT vec_id, embedding, {bucket.replace('v[', 'embedding[')} AS bucket
+    FROM embeddings, pl
+),
+cand AS (
+    SELECT vec_id, embedding FROM bucketed, qb
+    WHERE bucket IN (qb.b, {probes})
+),
+scored AS (
+    SELECT vec_id,
+           list_sum(list_transform(range(1, len(embedding)+1),
+                    i -> embedding[i]::DOUBLE * qv[i]))
+           / (sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x)))
+              * sqrt(list_sum(list_transform(qv, x -> x*x)))) AS raw
+    FROM cand, q
+)
+SELECT vec_id, round(raw, 4) AS cosine
+FROM scored
+ORDER BY raw DESC, vec_id ASC
+LIMIT {k}
 """
 
 
@@ -3311,6 +3461,14 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "variant_load_pipeline": _VARIANT_LOAD_SQL,
+        # K7/A10 counters: three COUNTs over the SAME load CTE — the
+        # chromosome-1 keys are the preloaded store, everything else is new
+        "load_counters": f"""WITH loaded AS ({_VARIANT_LOAD_SQL})
+SELECT CAST(count(*) AS BIGINT) AS rows_in,
+       CAST(sum(CASE WHEN chromosome <> '1' THEN 1 ELSE 0 END) AS BIGINT) AS rows_new,
+       CAST(sum(CASE WHEN chromosome = '1' THEN 1 ELSE 0 END) AS BIGINT) AS rows_existing
+FROM loaded
+""",
         "distinct_groups": """
             SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
             ORDER BY l_returnflag, l_linestatus
@@ -3450,6 +3608,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY raw DESC, vec_id ASC
             LIMIT 10
         """,
+        "embedding_topk_lsh": _embedding_lsh_oracle_sql(),
         "embedding_topk_ivf": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
             scored AS (
@@ -3466,6 +3625,11 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 10
         """,
         "consequence_snv": _conseq_oracle_sql(),
+        # J6: preload = every pair of variants with rgd_id % 3 == 0, so
+        # the anti-join must drop exactly those variants' rows
+        "vt_preload_antijoin": f"""SELECT * FROM ({_conseq_oracle_sql()})
+WHERE variant_rgd_id % 3 <> 0
+""",
         "consequence_snv_blocks": _conseq_oracle_sql(),
         "consequence_indel_utr": _conseq_indel_oracle_sql(),
         "minhash_lsh": _jaccard_pairs_oracle_sql(0.5),
