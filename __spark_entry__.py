@@ -2299,6 +2299,44 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media decode (no codecs needed): documents rows become actual
+    BI_RGB BMP / PCM16 WAV bytes (stdlib ``struct`` fixture generators),
+    then ``decode_media_columns`` parses them back — header fields, BMP
+    4-byte row stride (padding deliberately 0xFF so stride bugs corrupt
+    the pixel sum), RIFF chunk walk, int16 sample sum. The oracle
+    recomputes every decoded field from the generating formulas, so a
+    wrong parse is a value mismatch, not just a row-count drift."""
+    from rat_strain_loader_pipeline_spark.operators.multimodal import (
+        decode_media_columns,
+        synth_bmp,
+        synth_wav,
+    )
+    from rat_strain_loader_pipeline_spark.ship import ensure_shipped
+
+    ensure_shipped(spark)
+    docs = _t(spark, sf_dir, "documents").select(F.col("doc_id").cast("long"))
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                if d % 2 == 0:
+                    content = synth_bmp((d % 13) + 1, (d % 7) + 1, d % 256)
+                else:
+                    content = synth_wav(
+                        8000 + (d % 5) * 2000, 1 + ((d // 3) % 2), (d % 100) + 1, (d % 3000) - 1500
+                    )
+                out.append((d, content))
+            yield pd.DataFrame(out, columns=["media_id", "content"])
+
+    media = docs.mapInPandas(synth, schema="media_id long, content binary")
+    return decode_media_columns(media).drop("decode_error")
+
+
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling plan (metadata-only explode): (media_id,
     frame_ts_ms) pairs every 500 ms with no payload decode — the plan
@@ -2629,6 +2667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zygosity_poss_error_fixup": q_zygosity_poss_error_fixup,
         "dedup_embedding": q_dedup_embedding,
         "media_features": q_media_features,
+        "media_decode": q_media_decode,
         "frame_sample": q_frame_sample,
         "resize_plan": q_resize_plan,
         "audio_segments": q_audio_segments,
@@ -4195,6 +4234,35 @@ WHERE l.id IS NULL
                      * sqrt(list_sum(list_transform(b.v, x -> x*x)))) >= 0.35
         """,
         "media_features": _media_feature_oracle_sql(),
+        "media_decode": """
+            SELECT CAST(doc_id AS BIGINT) AS media_id,
+                   'bmp' AS kind,
+                   CAST((doc_id % 13) + 1 AS INT) AS width,
+                   CAST((doc_id % 7) + 1 AS INT) AS height,
+                   CAST(NULL AS INT) AS n_channels,
+                   CAST(NULL AS INT) AS sample_rate,
+                   24 AS bits_per_sample,
+                   CAST(NULL AS BIGINT) AS n_frames,
+                   CAST((doc_id % 256) * ((doc_id % 13) + 1)
+                        * ((doc_id % 7) + 1) * 3 AS BIGINT) AS content_sum,
+                   CAST(54 + ((((doc_id % 13) + 1) * 3 + 3) // 4) * 4
+                        * ((doc_id % 7) + 1) AS INT) AS payload_len
+            FROM documents WHERE doc_id % 2 = 0
+            UNION ALL
+            SELECT CAST(doc_id AS BIGINT) AS media_id,
+                   'wav' AS kind,
+                   CAST(NULL AS INT) AS width,
+                   CAST(NULL AS INT) AS height,
+                   CAST(1 + ((doc_id // 3) % 2) AS INT) AS n_channels,
+                   CAST(8000 + (doc_id % 5) * 2000 AS INT) AS sample_rate,
+                   16 AS bits_per_sample,
+                   CAST((doc_id % 100) + 1 AS BIGINT) AS n_frames,
+                   CAST(((doc_id % 3000) - 1500) * ((doc_id % 100) + 1)
+                        * (1 + ((doc_id // 3) % 2)) AS BIGINT) AS content_sum,
+                   CAST(44 + ((doc_id % 100) + 1) * (1 + ((doc_id // 3) % 2)) * 2 AS INT)
+                     AS payload_len
+            FROM documents WHERE doc_id % 2 = 1
+        """,
         "frame_sample": """
             SELECT CAST(doc_id AS BIGINT) AS media_id,
                    CAST(unnest(generate_series(0, greatest(n_chars - 1, 0), 500)) AS INT)

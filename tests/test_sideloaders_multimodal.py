@@ -181,3 +181,92 @@ def test_audio_segment_plan(spark):
         (1, 4000, 7000, 24000),  # clamped partial: 3s
         (1, 6000, 7000, 8000),   # clamped partial: 1s
     ]
+
+
+def test_decode_media_bmp_wav_roundtrip():
+    """Pure-Python round-trip: synth_bmp/synth_wav bytes parse back to
+    the generating parameters, including stride-sensitive widths."""
+    from rat_strain_loader_pipeline_spark.operators.multimodal import (
+        decode_media,
+        synth_bmp,
+        synth_wav,
+    )
+
+    for w in (1, 2, 3, 4, 5, 13):  # w=1..3 have non-zero row padding
+        d = decode_media(synth_bmp(w, 3, 7))
+        assert (d["kind"], d["width"], d["height"], d["bits_per_sample"]) == ("bmp", w, 3, 24)
+        assert d["content_sum"] == 7 * w * 3 * 3  # 0xFF padding excluded
+        assert d["payload_len"] == 54 + ((w * 3 + 3) // 4) * 4 * 3
+
+    d = decode_media(synth_wav(16000, 2, 10, -123))
+    assert (d["kind"], d["n_channels"], d["sample_rate"]) == ("wav", 2, 16000)
+    assert (d["bits_per_sample"], d["n_frames"]) == (16, 10)
+    assert d["content_sum"] == -123 * 10 * 2
+    assert d["payload_len"] == 44 + 10 * 2 * 2
+
+
+def test_decode_media_topdown_bmp_and_chunk_walk():
+    """Top-down BMP (negative height) and a WAV with an extra chunk
+    before fmt — the decoder must walk RIFF chunks, not assume offsets."""
+    import struct
+
+    from rat_strain_loader_pipeline_spark.operators.multimodal import (
+        decode_media,
+        synth_bmp,
+        synth_wav,
+    )
+
+    bmp = bytearray(synth_bmp(2, 2, 9))
+    struct.pack_into("<i", bmp, 22, -2)  # biHeight = -2: top-down
+    d = decode_media(bytes(bmp))
+    assert d["height"] == 2 and d["content_sum"] == 9 * 2 * 2 * 3
+
+    wav = synth_wav(8000, 1, 5, 100)
+    extra = b"LIST" + struct.pack("<I", 3) + b"abc"  # odd size → word-aligned
+    injected = wav[:12] + extra + b"\x00" + wav[12:]
+    injected = injected[:4] + struct.pack("<I", len(injected) - 8) + injected[8:]
+    d = decode_media(injected)
+    assert d["sample_rate"] == 8000 and d["content_sum"] == 100 * 5
+
+
+def test_decode_media_rejects_unsupported():
+    import struct
+
+    import pytest
+
+    from rat_strain_loader_pipeline_spark.operators.multimodal import decode_media, synth_bmp
+
+    with pytest.raises(ValueError, match="magic"):
+        decode_media(b"GIF89a" + b"\x00" * 40)
+    with pytest.raises(ValueError, match="too short"):
+        decode_media(b"BM")
+    bad = bytearray(synth_bmp(2, 2, 1))
+    struct.pack_into("<H", bad, 28, 8)  # 8bpp unsupported
+    with pytest.raises(ValueError, match="bpp=8"):
+        decode_media(bytes(bad))
+    truncated = synth_bmp(4, 4, 1)[:-5]
+    with pytest.raises(ValueError, match="truncated"):
+        decode_media(truncated)
+
+
+def test_decode_media_columns_poison_pill(spark):
+    """One corrupt payload per batch lands in decode_error; good rows
+    decode to exact values."""
+    from rat_strain_loader_pipeline_spark.operators.multimodal import (
+        decode_media_columns,
+        synth_bmp,
+        synth_wav,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, synth_bmp(3, 2, 5)),
+            (2, synth_wav(8000, 1, 4, 50)),
+            (3, b"\x00\x01corrupt"),
+        ],
+        schema="media_id long, content binary",
+    )
+    rows = {r["media_id"]: r for r in decode_media_columns(df).collect()}
+    assert rows[1]["kind"] == "bmp" and rows[1]["content_sum"] == 5 * 3 * 2 * 3
+    assert rows[2]["kind"] == "wav" and rows[2]["content_sum"] == 50 * 4
+    assert rows[3]["kind"] is None and rows[3]["decode_error"] is not None
