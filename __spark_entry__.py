@@ -374,6 +374,89 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each view event enriched with the latest
+    at-or-before click by the same user — union-tag + one keyed window
+    pass (single shuffle, no range explosion; operators/asof.py), ties
+    on ts resolved to the highest event_id. The oracle is a DuckDB
+    LATERAL ``ORDER BY ts DESC, event_id DESC LIMIT 1``, so match
+    identity, timestamps and payload values are all checked exactly."""
+    from rat_strain_loader_pipeline_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select("event_id", "user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    return asof_join(
+        views,
+        clicks,
+        on=["user_id"],
+        ts_col="ts",
+        payload={"event_id": "click_event_id", "ts": "click_ts", "value": "click_value"},
+        tiebreak="event_id",
+    )
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-count deterministic stratified sampling: 5 docs per
+    (lang, source) stratum ranked by salted md5 — reproducible in any
+    engine with md5 (the oracle recomputes the ranking in SQL), exact
+    per-stratum counts unlike fraction-based sampleBy, and nested:
+    a smaller sample is always a subset of a larger one."""
+    from rat_strain_loader_pipeline_spark.operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs, strata_cols=["lang", "source"], n_per_stratum=5, id_col="doc_id", salt="v1"
+    ).select("doc_id", "lang", "source", "sample_rank")
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BM25 top-k lexical retrieval (operators/retrieval.py):
+    per-term stats filtered to the query's terms before any wide
+    aggregation, corpus stats as broadcast 1-row aggregates, final
+    ranking via TakeOrderedAndProject. Scores are order-independent
+    integer micro-units so the DuckDB oracle hash-matches the ranking
+    AND the scores."""
+    from rat_strain_loader_pipeline_spark.operators.retrieval import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_topk(docs, ["spark", "join", "window", "vector"], k=10)
+
+
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical top-50 and exact-cosine vector
+    top-50 fused by reciprocal-rank fusion (floor(1e6/(60+rank)) integer
+    contributions — order-independent, engine-reproducible). Both
+    rankings bound their candidates via TakeOrderedAndProject before the
+    tiny rank window; the oracle recomputes both rankings and the fused
+    scores in SQL."""
+    from rat_strain_loader_pipeline_spark.operators.retrieval import (
+        bm25_scores,
+        ranked,
+        rrf_fuse,
+    )
+    from rat_strain_loader_pipeline_spark.operators.similarity import cosine_sim_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+
+    lex = ranked(
+        bm25_scores(docs, ["spark", "join", "window", "vector"]),
+        [F.col("score_micros").desc(), F.col("doc_id").asc()],
+        n=50,
+    )
+    q = F.array(*[F.lit(float(x)) for x in qvec])
+    vec_scored = emb.select(
+        F.col("vec_id").alias("doc_id"),
+        cosine_sim_expr(F.col("embedding"), q).alias("raw"),
+    )
+    vec = ranked(vec_scored, [F.col("raw").desc(), F.col("doc_id").asc()], n=50)
+    return rrf_fuse([lex, vec], k=10, c=60)
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/eval n-gram decontamination: docs sharing any word 8-gram
     with the benchmark subset (doc_id % 17 == 0) get flagged; benchmark
@@ -871,7 +954,10 @@ def q_load_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rat_strain_loader_pipeline_spark.observe import run_log_row, with_counters
     from rat_strain_loader_pipeline_spark.pipelines.load import derive_variants
 
-    cf2 = _synth_cf2_full(_t(spark, sf_dir, "lineitem"))
+    # deterministic 1/4 subset: the counter-reconciliation semantics are
+    # volume-independent and the full flagship already benches full volume
+    li = _t(spark, sf_dir, "lineitem").filter((F.col("l_orderkey") % 4) == 1)
+    cf2 = _synth_cf2_full(li)
     genes = _genes_analog(_t(spark, sf_dir, "supplier")).select(
         F.col("g_chr").alias("chromosome"),
         F.col("g_start").alias("start_pos"),
@@ -2598,6 +2684,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zygosity_ladder": q_zygosity_ladder,
         "events_hourly": q_events_hourly,
         "events_sessionize": q_events_sessionize,
+        "asof_join": q_asof_join,
+        "stratified_sample": q_stratified_sample,
+        "bm25_topk": q_bm25_topk,
+        "hybrid_rrf": q_hybrid_rrf,
         "dedup_exact": q_dedup_exact,
         "decontaminate": q_decontaminate,
         "repetition_stats": q_repetition_stats,
@@ -3356,6 +3446,122 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events
             FROM g GROUP BY user_id ORDER BY user_id
         """,
+        "asof_join": """
+            WITH v AS (
+              SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+            ),
+            c AS (
+              SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'
+            )
+            SELECT v.event_id, v.user_id, v.ts,
+                   m.click_event_id, m.click_ts, m.click_value
+            FROM v LEFT JOIN LATERAL (
+              SELECT c.event_id AS click_event_id, c.ts AS click_ts,
+                     c.value AS click_value
+              FROM c
+              WHERE c.user_id = v.user_id AND c.ts <= v.ts
+              ORDER BY c.ts DESC, c.event_id DESC LIMIT 1
+            ) m ON true
+        """,
+        "stratified_sample": """
+            SELECT doc_id, lang, source, sample_rank FROM (
+              SELECT doc_id, lang, source,
+                     CAST(row_number() OVER (
+                       PARTITION BY lang, source
+                       ORDER BY md5(concat('sample:v1:', CAST(doc_id AS VARCHAR))), doc_id
+                     ) AS INT) AS sample_rank
+              FROM documents
+            ) WHERE sample_rank <= 5
+        """,
+        "bm25_topk": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                                        t -> t <> '')) AS term
+              FROM documents
+            ),
+            dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+            stats AS (SELECT count(*) AS n_docs, sum(dl) AS total_len FROM dl),
+            tf AS (
+              SELECT doc_id, term, count(*) AS tf FROM toks
+              WHERE term IN ('spark', 'join', 'window', 'vector')
+              GROUP BY doc_id, term
+            ),
+            dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+            SELECT tf.doc_id,
+                   sum(CAST(floor(
+                     ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+                     * CAST(tf AS DOUBLE) * 2.2
+                     / (CAST(tf AS DOUBLE)
+                        + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl.dl AS DOUBLE)
+                                 / (CAST(total_len AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+                     * 1e6) AS BIGINT)) AS score_micros,
+                   count(*) AS n_hit_terms
+            FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+            GROUP BY tf.doc_id
+            ORDER BY score_micros DESC, tf.doc_id LIMIT 10
+        """,
+        "hybrid_rrf": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                                        t -> t <> '')) AS term
+              FROM documents
+            ),
+            dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+            stats AS (SELECT count(*) AS n_docs, sum(dl) AS total_len FROM dl),
+            tf AS (
+              SELECT doc_id, term, count(*) AS tf FROM toks
+              WHERE term IN ('spark', 'join', 'window', 'vector')
+              GROUP BY doc_id, term
+            ),
+            dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            lex_scored AS (
+              SELECT tf.doc_id,
+                     sum(CAST(floor(
+                       ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+                       * CAST(tf AS DOUBLE) * 2.2
+                       / (CAST(tf AS DOUBLE)
+                          + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl.dl AS DOUBLE)
+                                   / (CAST(total_len AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+                       * 1e6) AS BIGINT)) AS score_micros
+              FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+              GROUP BY tf.doc_id
+            ),
+            lex AS (
+              SELECT doc_id, rank FROM (
+                SELECT doc_id, row_number() OVER (ORDER BY score_micros DESC, doc_id)
+                         AS rank
+                FROM lex_scored
+              ) WHERE rank <= 50
+            ),
+            q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+            vec_scored AS (
+              SELECT vec_id AS doc_id,
+                     list_sum(list_transform(range(1, len(embedding)+1),
+                              i -> embedding[i]::DOUBLE * qv[i]))
+                     / (sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x)))
+                        * sqrt(list_sum(list_transform(qv, x -> x*x)))) AS raw
+              FROM embeddings, q
+            ),
+            vec AS (
+              SELECT doc_id, rank FROM (
+                SELECT doc_id, row_number() OVER (ORDER BY raw DESC, doc_id) AS rank
+                FROM vec_scored
+              ) WHERE rank <= 50
+            ),
+            u AS (
+              SELECT doc_id, CAST(floor(1000000.0 / (60 + rank)) AS BIGINT) AS contrib
+              FROM lex
+              UNION ALL
+              SELECT doc_id, CAST(floor(1000000.0 / (60 + rank)) AS BIGINT) AS contrib
+              FROM vec
+            )
+            SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS rrf_micros,
+                   count(*) AS n_rankings_hit
+            FROM u GROUP BY doc_id
+            ORDER BY rrf_micros DESC, doc_id LIMIT 10
+        """,
         "dedup_exact": """
             SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS content_hash,
                    min(doc_id) AS canonical_id,
@@ -3502,7 +3708,8 @@ def oracle_sql() -> dict[str, str]:
         "variant_load_pipeline": _VARIANT_LOAD_SQL,
         # K7/A10 counters: three COUNTs over the SAME load CTE — the
         # chromosome-1 keys are the preloaded store, everything else is new
-        "load_counters": f"""WITH loaded AS ({_VARIANT_LOAD_SQL})
+        "load_counters": f"""WITH loaded AS (
+{_VARIANT_LOAD_SQL.replace("FROM lineitem", "FROM lineitem WHERE l_orderkey % 4 = 1")})
 SELECT CAST(count(*) AS BIGINT) AS rows_in,
        CAST(sum(CASE WHEN chromosome <> '1' THEN 1 ELSE 0 END) AS BIGINT) AS rows_new,
        CAST(sum(CASE WHEN chromosome = '1' THEN 1 ELSE 0 END) AS BIGINT) AS rows_existing

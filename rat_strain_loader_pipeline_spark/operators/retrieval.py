@@ -1,0 +1,146 @@
+"""Lexical retrieval: distributed BM25 scoring and top-k search.
+
+The text-side twin of the embedding ANN operators in ``similarity.py``:
+score every document against a bag-of-terms query with BM25 and return
+the top-k — the standard lexical leg of retrieval/dedup/decontamination
+stacks (and of hybrid BM25+vector rankers).
+
+Spark-first shape, no collects:
+- tokenize → explode → per-(doc, term) term frequencies: one shuffle;
+- document frequencies for the handful of query terms only (filter
+  BEFORE the df aggregation, so the shuffled stats are O(query terms),
+  not O(vocabulary));
+- corpus stats (N, avgdl) are 1-row aggregates cross-joined in — they
+  broadcast, no driver round-trip;
+- final ranking is ``orderBy(...).limit(k)`` → TakeOrderedAndProject
+  (per-partition heaps + driver merge of k rows, never a full sort).
+
+Engine-portable exactness: per-term BM25 contributions are floored to
+integer micro-units BEFORE summing (``floor(contrib * 1e6)``), so the
+cross-term sum is order-independent integer arithmetic and the result
+hash-matches a SQL oracle — summing raw doubles would make the score
+depend on aggregation order. The only transcendental is one ``ln`` per
+(term, corpus) pair, evaluated identically from exact integer inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from rat_strain_loader_pipeline_spark.operators.text import tokens
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 scores for every document with >=1 query-term hit:
+    (id_col, score_micros, n_hit_terms). See module docstring for the
+    distributed shape and the integer-micros exactness rule."""
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("term")
+    ).filter(F.col("term") != "")
+
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_len")
+    )
+
+    qterms = [t.lower() for t in query_terms]
+    tf = (
+        toks.filter(F.col("term").isin(qterms))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    n, total = F.col("n_docs"), F.col("total_len")
+    avgdl = total.cast("double") / n.cast("double")
+    idf = F.log((n.cast("double") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    tf_d = F.col("tf").cast("double")
+    denom = tf_d + k1 * (1.0 - b + b * F.col("dl").cast("double") / avgdl)
+    contrib = idf * tf_d * (k1 + 1.0) / denom
+
+    return (
+        tf.join(F.broadcast(df_t), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.floor(contrib * 1e6).cast("long")).alias("score_micros"),
+            F.count(F.lit(1)).alias("n_hit_terms"),
+        )
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k documents by BM25 score, ties broken by ascending id —
+    TakeOrderedAndProject over ``bm25_scores``."""
+    scored = bm25_scores(docs, query_terms, k1, b, text_col, id_col)
+    return scored.orderBy(F.col("score_micros").desc(), F.col(id_col).asc()).limit(k)
+
+
+def ranked(
+    scored: DataFrame,
+    order_cols: list,
+    n: int,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Top-n rows with a 1-based dense position for rank fusion.
+
+    The candidate set is bounded FIRST (``orderBy().limit(n)`` →
+    TakeOrderedAndProject, per-partition heaps), so the row_number
+    window's single-partition sort touches n rows (n ~ 10-1000), never
+    the corpus.
+    """
+    from pyspark.sql.window import Window
+
+    top = scored.orderBy(*order_cols).limit(n)
+    w = Window.orderBy(*order_cols)
+    return top.withColumn(rank_col, F.row_number().over(w)).select(id_col, rank_col)
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 10,
+    c: int = 60,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion of bounded rankings (hybrid retrieval:
+    lexical BM25 list + vector cosine list, or any N rankers).
+
+    Each ranking contributes ``floor(1e6 / (c + rank))`` — the RRF term
+    in integer micro-units, so the fused score is order-independent
+    integer arithmetic (same exactness rule as BM25 scores) and
+    engine-reproducible. Returns (id_col, rrf_micros, n_rankings_hit),
+    top-k by fused score with ascending-id ties.
+    """
+    contrib = F.floor(F.lit(1_000_000.0) / (F.lit(c) + F.col(rank_col))).cast("long")
+    tagged = [r.select(F.col(id_col), contrib.alias("contrib")) for r in rankings]
+    allc = tagged[0]
+    for t in tagged[1:]:
+        allc = allc.unionByName(t)
+    return (
+        allc.groupBy(id_col)
+        .agg(
+            F.sum("contrib").alias("rrf_micros"),
+            F.count(F.lit(1)).alias("n_rankings_hit"),
+        )
+        .orderBy(F.col("rrf_micros").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -79,3 +79,32 @@ def topk_per_group(
         df.withColumn(rank_col, F.row_number().over(w))
         .filter(F.col(rank_col) <= k)
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_cols: list[str],
+    n_per_stratum: int,
+    id_col: str = "doc_id",
+    salt: str = "v1",
+    rank_col: str = "sample_rank",
+) -> DataFrame:
+    """Exact-count deterministic stratified sample: the ``n_per_stratum``
+    rows per stratum whose salted md5 ranks lowest.
+
+    Unlike ``df.sampleBy`` (fraction-based, count varies run to run and
+    with partitioning), ranking by a content hash gives (a) exact
+    per-stratum counts, (b) bit-reproducible selection in any engine
+    with md5, and (c) nested samples: a size-m sample (m < n) is a
+    strict subset of the size-n sample under the same salt, so growing
+    a validation set never churns the rows already selected. One
+    hash-partitioned window — same scale envelope as ``topk_per_group``.
+    """
+    w = Window.partitionBy(*strata_cols).orderBy(
+        F.md5(F.concat(F.lit(f"sample:{salt}:"), F.col(id_col).cast("string"))),
+        F.col(id_col),
+    )
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= n_per_stratum)
+    )

@@ -1,0 +1,160 @@
+"""as-of join, stratified sampling, BM25 retrieval."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from rat_strain_loader_pipeline_spark.operators.asof import asof_join
+from rat_strain_loader_pipeline_spark.operators.retrieval import bm25_topk
+from rat_strain_loader_pipeline_spark.operators.sampling import stratified_sample
+
+
+def _ts(s):
+    import datetime
+
+    return datetime.datetime.fromisoformat(s)
+
+
+def test_asof_join_basic_and_no_match(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 10, _ts("2024-01-01T00:10:00")),
+            (2, 10, _ts("2024-01-01T00:00:30")),  # before any click → NULLs
+            (3, 20, _ts("2024-01-01T09:00:00")),
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (100, 10, _ts("2024-01-01T00:01:00"), 1.5),
+            (101, 10, _ts("2024-01-01T00:09:00"), 2.5),
+            (102, 10, _ts("2024-01-01T00:11:00"), 9.9),  # after left #1 → ignored
+            (103, 20, _ts("2024-01-01T08:00:00"), 3.5),
+        ],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    out = {
+        r["event_id"]: r
+        for r in asof_join(
+            left, right, on=["user_id"], ts_col="ts",
+            payload={"event_id": "m_id", "value": "m_value"}, tiebreak="event_id",
+        ).collect()
+    }
+    assert out[1]["m_id"] == 101 and out[1]["m_value"] == 2.5
+    assert out[2]["m_id"] is None and out[2]["m_value"] is None
+    assert out[3]["m_id"] == 103
+
+
+def test_asof_join_tie_and_null_payload_consistency(spark):
+    """Equal timestamps: right sorts before left (at-or-before) and the
+    max-tiebreak right wins; a NULL payload field on the matched row
+    must NOT be backfilled from an older right row (struct carry)."""
+    t = _ts("2024-01-01T12:00:00")
+    left = spark.createDataFrame([(1, 5, t)], "event_id long, user_id long, ts timestamp")
+    right = spark.createDataFrame(
+        [
+            (200, 5, _ts("2024-01-01T11:00:00"), 7.0),  # older, non-null value
+            (201, 5, t, None),                           # matched: same ts, max id... no —
+            (202, 5, t, None),                           # 202 > 201 wins, value NULL
+        ],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    row = asof_join(
+        left, right, on=["user_id"], ts_col="ts",
+        payload={"event_id": "m_id", "value": "m_value"}, tiebreak="event_id",
+    ).collect()[0]
+    assert row["m_id"] == 202
+    assert row["m_value"] is None  # NOT 7.0 from event 200
+
+
+def test_asof_join_rejects_name_clash(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, 1, _ts("2024-01-01T00:00:00"))],
+                               "event_id long, user_id long, ts timestamp")
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(df, df, on=["user_id"], ts_col="ts",
+                  payload={"event_id": "event_id"}, tiebreak="event_id")
+
+
+def test_stratified_sample_exact_counts_and_nesting(spark):
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "de", f"text {i}") for i in range(40)],
+        "doc_id long, lang string, text string",
+    )
+    s3 = stratified_sample(docs, ["lang"], 3, salt="s")
+    s7 = stratified_sample(docs, ["lang"], 7, salt="s")
+    by_lang = {r["lang"]: r["n"] for r in s3.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert by_lang == {"en": 3, "de": 3}
+    ids3 = {r["doc_id"] for r in s3.collect()}
+    ids7 = {r["doc_id"] for r in s7.collect()}
+    assert ids3 < ids7  # nested: smaller sample is a strict subset
+    # deterministic across recomputation
+    assert ids3 == {r["doc_id"] for r in stratified_sample(docs, ["lang"], 3, salt="s").collect()}
+    # different salt reshuffles
+    assert ids3 != {r["doc_id"] for r in stratified_sample(docs, ["lang"], 3, salt="t").collect()}
+
+
+def test_bm25_topk_matches_reference_formula(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "spark window spark join"),
+            (2, "spark"),
+            (3, "window table scan scan scan scan scan scan"),
+            (4, "nothing relevant here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in bm25_topk(docs, ["spark", "window"], k=4).collect()}
+    assert 4 not in out  # no hit terms
+    assert out[1]["n_hit_terms"] == 2 and out[2]["n_hit_terms"] == 1
+
+    # python reference (same float ops, floor-to-micros per term)
+    corpus = {1: "spark window spark join", 2: "spark", 3: "window table scan scan scan scan scan scan", 4: "nothing relevant here"}
+    toks = {d: t.split() for d, t in corpus.items()}
+    n = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    k1, b = 1.2, 0.75
+
+    def score(d, terms):
+        s = 0
+        for term in terms:
+            tf = toks[d].count(term)
+            if tf == 0:
+                continue
+            df = sum(1 for t in toks.values() if term in t)
+            idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+            s += math.floor(idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * len(toks[d]) / avgdl)) * 1e6)
+        return s
+
+    for d in (1, 2, 3):
+        assert out[d]["score_micros"] == score(d, ["spark", "window"])
+    # ranking: doc 1 (two hits incl. tf=2 spark) above doc 2 above doc 3
+    ordered = sorted(out.values(), key=lambda r: -r["score_micros"])
+    assert [r["doc_id"] for r in ordered] == [1, 2, 3]
+
+
+def test_rrf_fuse_hybrid(spark):
+    """RRF: doc in both rankings beats single-list docs; contributions
+    are exact integer micro-units; ties break by ascending id."""
+    from rat_strain_loader_pipeline_spark.operators.retrieval import ranked, rrf_fuse
+
+    lex = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "doc_id long, rank int")
+    vec = spark.createDataFrame([(3, 1), (4, 2)], "doc_id long, rank int")
+    out = {r["doc_id"]: r for r in rrf_fuse([lex, vec], k=4, c=60).collect()}
+    # floor(1e6/61)=16393, /62=16129, /63=15873
+    assert out[3]["rrf_micros"] == 15873 + 16393 and out[3]["n_rankings_hit"] == 2
+    assert out[1]["rrf_micros"] == 16393 and out[1]["n_rankings_hit"] == 1
+    top = sorted(out.values(), key=lambda r: (-r["rrf_micros"], r["doc_id"]))
+    assert [r["doc_id"] for r in top][0] == 3
+
+    scored = spark.createDataFrame(
+        [(10, 5.0), (11, 9.0), (12, 9.0), (13, 1.0)], "doc_id long, s double"
+    )
+    from pyspark.sql import functions as FF
+    r = ranked(scored, [FF.col("s").desc(), FF.col("doc_id").asc()], n=3)
+    assert [(x["doc_id"], x["rank"]) for x in sorted(r.collect(), key=lambda x: x["rank"])] == [
+        (11, 1), (12, 2), (10, 3)
+    ]

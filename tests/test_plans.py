@@ -194,3 +194,25 @@ def test_sequence_pack_single_shuffle(spark, sf_dir, queries):
     # formatted mode prints each node twice (tree + detail) — count tree nodes
     assert plan.count("Window (") == 1
     assert plan.count("Exchange (") == 1
+
+
+def test_asof_join_single_shuffle_no_range_join(spark, sf_dir, queries):
+    """The as-of join must stay ONE keyed hash exchange (union + window),
+    never degrade to a nested-loop/range join."""
+    plan = _plan(queries["asof_join"](spark, sf_dir))
+    # formatted mode prints each node twice (tree + detail) — count tree nodes
+    assert plan.count("Exchange (") == 1
+    assert "SinglePartition" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bm25_bounded_topk_and_broadcast_stats(spark, sf_dir, queries):
+    """BM25's final ranking must be TakeOrderedAndProject (per-partition
+    heaps, k rows to the driver — never a global sort), with the 1-row
+    corpus stats and per-term df broadcast."""
+    plan = _plan(queries["bm25_topk"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastExchange" in plan
+    # the raw token explode must partial-aggregate before shuffling
+    assert "partial_count" in plan.lower() or "HashAggregate" in plan
