@@ -398,6 +398,42 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: each view event matched to the NEAREST
+    at-or-after error event by the same user — the same single-shuffle
+    union+window pass as the backward direction with the sort order
+    reversed (operators/asof.py), ties on ts resolving to the lowest
+    event_id, checked against the mirrored LATERAL oracle."""
+    from rat_strain_loader_pipeline_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select("event_id", "user_id", "ts")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    return asof_join(
+        views,
+        errors,
+        on=["user_id"],
+        ts_col="ts",
+        payload={"event_id": "err_event_id", "ts": "err_ts", "value": "err_value"},
+        tiebreak="event_id",
+        direction="forward",
+    )
+
+
+def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: top-3 terms by tf-idf in integer
+    micro-units (operators/retrieval.py tfidf_top_terms) — document
+    frequencies aggregate already-reduced (doc, term) pairs, corpus size
+    broadcasts as a 1-row aggregate, and the per-doc top-n is one
+    hash-partitioned window. The oracle recomputes scores and ranks."""
+    from rat_strain_loader_pipeline_spark.operators.retrieval import tfidf_top_terms
+
+    docs = _t(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, n_terms=3)
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-count deterministic stratified sampling: 5 docs per
     (lang, source) stratum ranked by salted md5 — reproducible in any
@@ -2685,6 +2721,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "events_sessionize": q_events_sessionize,
         "asof_join": q_asof_join,
+        "asof_join_forward": q_asof_join_forward,
+        "tfidf_topterms": q_tfidf_topterms,
         "stratified_sample": q_stratified_sample,
         "bm25_topk": q_bm25_topk,
         "hybrid_rrf": q_hybrid_rrf,
@@ -3462,6 +3500,48 @@ def oracle_sql() -> dict[str, str]:
               WHERE c.user_id = v.user_id AND c.ts <= v.ts
               ORDER BY c.ts DESC, c.event_id DESC LIMIT 1
             ) m ON true
+        """,
+        "asof_join_forward": """
+            WITH v AS (
+              SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+            ),
+            c AS (
+              SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'error'
+            )
+            SELECT v.event_id, v.user_id, v.ts,
+                   m.err_event_id, m.err_ts, m.err_value
+            FROM v LEFT JOIN LATERAL (
+              SELECT c.event_id AS err_event_id, c.ts AS err_ts,
+                     c.value AS err_value
+              FROM c
+              WHERE c.user_id = v.user_id AND c.ts >= v.ts
+              ORDER BY c.ts ASC, c.event_id ASC LIMIT 1
+            ) m ON true
+        """,
+        "tfidf_topterms": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                                        t -> t <> '')) AS term
+              FROM documents
+            ),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+            dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            nd AS (SELECT count(*) AS n_docs FROM documents),
+            scored AS (
+              SELECT tf.doc_id, tf.term,
+                     CAST(floor(CAST(tf AS DOUBLE)
+                                * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE))
+                                * 1e6) AS BIGINT) AS tfidf_micros
+              FROM tf JOIN dft USING (term) CROSS JOIN nd
+            )
+            SELECT doc_id, term, tfidf_micros, term_rank FROM (
+              SELECT doc_id, term, tfidf_micros,
+                     CAST(row_number() OVER (
+                       PARTITION BY doc_id ORDER BY tfidf_micros DESC, term
+                     ) AS INT) AS term_rank
+              FROM scored
+            ) WHERE term_rank <= 3
         """,
         "stratified_sample": """
             SELECT doc_id, lang, source, sample_rank FROM (

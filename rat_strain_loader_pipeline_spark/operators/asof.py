@@ -36,14 +36,22 @@ def asof_join(
     ts_col: str,
     payload: dict[str, str],
     tiebreak: str,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: latest right row with ts <= left ts per key.
+    """As-of join: the nearest right row at-or-before (``backward``,
+    default) or at-or-after (``forward``) each left row's ts per key.
 
     ``payload`` maps right column -> output column name (names must not
     collide with left's columns). ``tiebreak`` is a right column that
-    makes equal-timestamp matches deterministic (max wins). Left rows
-    with no preceding right row keep NULL payload (left-join semantics).
+    makes equal-timestamp matches deterministic (backward: max wins;
+    forward: min wins — the mirror image, so both directions match a
+    ``ORDER BY ts [DESC|ASC], tiebreak [DESC|ASC] LIMIT 1`` lateral
+    oracle). Left rows with no match keep NULL payload (left-join
+    semantics). Forward mode is the same single-shuffle window pass with
+    the sort order reversed — not a second algorithm.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
     left_cols = left.columns
     out_cols = list(payload.values())
     clash = set(out_cols) & set(left_cols)
@@ -63,15 +71,21 @@ def asof_join(
         F.col(tiebreak).alias("__tb"),
         *[F.col(src).alias(dst) for src, dst in payload.items()],
     )
-    # right rows sort before left at equal ts (at-or-before), and among
-    # right rows the highest tiebreak lands nearest the left row, so
-    # last(ignorenulls) picks exactly the lateral-oracle match. The
-    # payload travels as ONE struct (NULL on left rows): carrying fields
-    # independently would stitch values from DIFFERENT right rows
-    # whenever a payload field is NULL on the matched row.
+    # right rows sort before left at equal ts (at-or-before / at-or-
+    # after), and among right rows the winning tiebreak lands nearest
+    # the left row, so last(ignorenulls) picks exactly the lateral-
+    # oracle match. Forward mode reverses ts and tiebreak order (the
+    # nearest FOLLOWING right is the last one seen scanning backward).
+    # The payload travels as ONE struct (NULL on left rows): carrying
+    # fields independently would stitch values from DIFFERENT right
+    # rows whenever a payload field is NULL on the matched row.
+    if direction == "backward":
+        order = [F.col(ts_col).asc(), F.col("__side").asc(), F.col("__tb").asc_nulls_first()]
+    else:
+        order = [F.col(ts_col).desc(), F.col("__side").asc(), F.col("__tb").desc_nulls_first()]
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.col(ts_col).asc(), F.col("__side").asc(), F.col("__tb").asc_nulls_first())
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     bundle = F.when(

@@ -144,3 +144,49 @@ def rrf_fuse(
         .orderBy(F.col("rrf_micros").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    n_terms: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document top-n terms by tf-idf — document keyword extraction.
+
+    Distributed shape: tokenize → one (doc, term) shuffle with map-side
+    partial counts; document frequencies aggregate the ALREADY-reduced
+    (doc, term) pairs (never raw tokens); corpus size joins in as a
+    broadcast 1-row aggregate; the per-doc top-n is one hash-partitioned
+    window (same envelope as topk_per_group). Scores are integer
+    micro-units — floor(tf * ln(N/df) * 1e6) — so ordering and values
+    are engine-reproducible (terms in every doc get idf 0 and never
+    outrank, matching the classic tf-idf downweighting).
+
+    Returns (id_col, term, tfidf_micros, term_rank), ties broken by
+    ascending term.
+    """
+    from pyspark.sql.window import Window
+
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+
+    score = F.floor(
+        F.col("tf").cast("double")
+        * F.log(F.col("n_docs").cast("double") / F.col("df").cast("double"))
+        * F.lit(1e6)
+    ).cast("long")
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf_micros").desc(), F.col("term").asc()
+    )
+    return (
+        tf.join(df_t, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(id_col, "term", score.alias("tfidf_micros"))
+        .withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= n_terms)
+    )

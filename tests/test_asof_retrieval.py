@@ -158,3 +158,70 @@ def test_rrf_fuse_hybrid(spark):
     assert [(x["doc_id"], x["rank"]) for x in sorted(r.collect(), key=lambda x: x["rank"])] == [
         (11, 1), (12, 2), (10, 3)
     ]
+
+
+def test_asof_join_forward_direction(spark):
+    """Forward mode: nearest at-or-after right; equal-ts ties resolve to
+    the LOWEST tiebreak (mirror of backward); no following row → NULL."""
+    left = spark.createDataFrame(
+        [
+            (1, 10, _ts("2024-01-01T00:10:00")),
+            (2, 10, _ts("2024-01-01T23:00:00")),  # after all errors → NULL
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    t = _ts("2024-01-01T00:10:00")
+    right = spark.createDataFrame(
+        [
+            (300, 10, t, 1.0),                            # same ts, min id → match
+            (301, 10, t, 2.0),
+            (302, 10, _ts("2024-01-01T00:30:00"), 3.0),   # later → not nearest
+        ],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    from rat_strain_loader_pipeline_spark.operators.asof import asof_join
+
+    out = {
+        r["event_id"]: r
+        for r in asof_join(
+            left, right, on=["user_id"], ts_col="ts",
+            payload={"event_id": "m_id", "value": "m_value"},
+            tiebreak="event_id", direction="forward",
+        ).collect()
+    }
+    assert out[1]["m_id"] == 300 and out[1]["m_value"] == 1.0
+    assert out[2]["m_id"] is None
+
+    import pytest
+
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(left, right, on=["user_id"], ts_col="ts",
+                  payload={"event_id": "m_id"}, tiebreak="event_id", direction="nearest")
+
+
+def test_tfidf_top_terms(spark):
+    """Ubiquitous terms get idf 0 and never outrank; scores match the
+    floor(tf * ln(N/df) * 1e6) reference; ties break by term."""
+    from rat_strain_loader_pipeline_spark.operators.retrieval import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common rare rare"),
+            (2, "common shared"),
+            (3, "common shared unique"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_top_terms(docs, n_terms=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append((r["term_rank"], r["term"], r["tfidf_micros"]))
+    top1 = {d: sorted(v)[0][1] for d, v in by_doc.items()}
+    # doc 3: shared (df=2) vs unique (df=1), both tf=1 → unique's higher idf wins
+    assert top1 == {1: "rare", 2: "shared", 3: "unique"}
+    # exact value check: doc1 'rare' = floor(2 * ln(3/1) * 1e6)
+    rare = [r for r in out if r["doc_id"] == 1 and r["term"] == "rare"][0]
+    assert rare["tfidf_micros"] == math.floor(2 * math.log(3.0 / 1.0) * 1e6)
+    # 'common' is in every doc → idf 0 → never in any top-2 above a rarer term
+    common_rank1 = [r for r in out if r["term"] == "common" and r["term_rank"] == 1]
+    assert not common_rank1
