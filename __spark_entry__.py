@@ -398,6 +398,45 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scd2_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history build: each user's click-value stream becomes
+    validity intervals [valid_from, valid_to) with an is_current flag —
+    one keyed window (lead over ts with event_id tiebreak), the standard
+    dimension-snapshot derivation, checked value-exact including the
+    open-ended current rows."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return clicks.select(
+        "user_id",
+        "event_id",
+        F.col("value"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )
+
+
+def q_pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long → wide): per-user event counts spread into one column
+    per event type, with explicit pivot values so the plan is a single
+    groupBy with conditional aggregates (no extra distinct pass to
+    discover the columns) — the inverse surface of melt_unpivot."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "error"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "user_id",
+            F.coalesce("click", F.lit(0)).alias("n_click"),
+            F.coalesce("view", F.lit(0)).alias("n_view"),
+            F.coalesce("purchase", F.lit(0)).alias("n_purchase"),
+            F.coalesce("error", F.lit(0)).alias("n_error"),
+        )
+    )
+
+
 def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Forward as-of join: each view event matched to the NEAREST
     at-or-after error event by the same user — the same single-shuffle
@@ -2186,6 +2225,42 @@ def q_events_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def q_events_stream_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static as-of enrichment under the correctness gate: view
+    events stream in as a REAL multi-batch AvailableNow file source
+    (4 files, 2 per trigger -> 2 micro-batches), each batch point-in-time
+    joined against the static click dimension in foreachBatch. Stream-
+    static as-of is batch-split-invariant, so the batch asof_join oracle
+    checks the multi-batch output value-exact."""
+    import os as _os
+    import uuid as _uuid
+
+    from rat_strain_loader_pipeline_spark.staging import _stage_root
+    from rat_strain_loader_pipeline_spark.streaming.events import (
+        asof_enrich_available_now,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select("event_id", "user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    work = _os.path.join(_stage_root(), f"asof-stream-{_uuid.uuid4().hex[:8]}")
+    src_dir = _os.path.join(work, "src")
+    views.repartition(4).write.parquet(src_dir)
+    return asof_enrich_available_now(
+        spark,
+        src_dir,
+        clicks,
+        on=["user_id"],
+        ts_col="ts",
+        payload={"event_id": "click_event_id", "ts": "click_ts", "value": "click_value"},
+        tiebreak="event_id",
+        work_dir=work,
+        max_files_per_trigger=2,
+    )
+
+
 def q_events_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The CUSTOM stateful streaming operator (applyInPandasWithState
     sessionizer) under the correctness gate: a sentinel event per user,
@@ -2722,6 +2797,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessionize,
         "asof_join": q_asof_join,
         "asof_join_forward": q_asof_join_forward,
+        "scd2_snapshot": q_scd2_snapshot,
+        "pivot_counts": q_pivot_counts,
         "tfidf_topterms": q_tfidf_topterms,
         "stratified_sample": q_stratified_sample,
         "bm25_topk": q_bm25_topk,
@@ -2789,6 +2866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exon_counts": q_exon_counts,
         "events_stream_hourly": q_events_stream_hourly,
         "events_stream_sessionize": q_events_stream_sessionize,
+        "events_stream_asof": q_events_stream_asof,
         "wig_fixedstep": q_wig_fixedstep,
         "variant_type_fixup": q_variant_type_fixup,
         "genic_status_fixup": q_genic_status_fixup,
@@ -3517,6 +3595,28 @@ def oracle_sql() -> dict[str, str]:
               WHERE c.user_id = v.user_id AND c.ts >= v.ts
               ORDER BY c.ts ASC, c.event_id ASC LIMIT 1
             ) m ON true
+        """,
+        "scd2_snapshot": """
+            SELECT user_id, event_id, value,
+                   ts AS valid_from,
+                   lead(ts) OVER w AS valid_to,
+                   lead(ts) OVER w IS NULL AS is_current
+            FROM events
+            WHERE event_type = 'click'
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "pivot_counts": """
+            SELECT user_id,
+                   CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_click,
+                   CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_view,
+                   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_purchase,
+                   CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_error
+            FROM events
+            GROUP BY user_id
         """,
         "tfidf_topterms": """
             WITH toks AS (
@@ -4390,6 +4490,23 @@ WHERE l.id IS NULL
                    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
             FROM events
             GROUP BY 1, 2
+        """,
+        "events_stream_asof": """
+            WITH v AS (
+              SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+            ),
+            c AS (
+              SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'
+            )
+            SELECT v.event_id, v.user_id, v.ts,
+                   m.click_event_id, m.click_ts, m.click_value
+            FROM v LEFT JOIN LATERAL (
+              SELECT c.event_id AS click_event_id, c.ts AS click_ts,
+                     c.value AS click_value
+              FROM c
+              WHERE c.user_id = v.user_id AND c.ts <= v.ts
+              ORDER BY c.ts DESC, c.event_id DESC LIMIT 1
+            ) m ON true
         """,
         "events_stream_sessionize": """
             WITH flagged AS (

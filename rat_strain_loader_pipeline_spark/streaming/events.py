@@ -160,3 +160,60 @@ def write_upsert_foreach_batch(stream_df: DataFrame, store_path: str, checkpoint
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
     )
+
+
+def asof_enrich_available_now(
+    spark: SparkSession,
+    src_dir: str,
+    right: DataFrame,
+    on: list[str],
+    ts_col: str,
+    payload: dict[str, str],
+    tiebreak: str,
+    work_dir: str,
+    schema: str | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Stream-static as-of enrichment: an AvailableNow file stream of
+    left rows, each micro-batch point-in-time joined (operators/asof.py)
+    against the STATIC right dimension via foreachBatch, appended to a
+    parquet out dir.
+
+    Because a row's match depends only on that row and the static right
+    side, the output is batch-split-invariant — any maxFilesPerTrigger
+    produces the same row set as the batch as-of join (the property the
+    driver query's oracle checks value-exact across real multi-batch
+    runs). This is the streaming twin of q_asof_join, the standard
+    "attach latest dimension snapshot to each event" enrichment.
+    """
+    import os
+
+    from rat_strain_loader_pipeline_spark.operators.asof import asof_join
+
+    out_path = os.path.join(work_dir, "out")
+    checkpoint = os.path.join(work_dir, "checkpoint")
+    if schema is None:
+        schema = spark.read.parquet(src_dir).schema
+
+    def enrich_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        asof_join(
+            batch_df, right, on=on, ts_col=ts_col, payload=payload, tiebreak=tiebreak
+        ).write.mode("append").parquet(out_path)
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    q = (
+        reader.parquet(src_dir)
+        .writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(enrich_batch)
+        .start()
+    )
+    q.awaitTermination()
+    if not os.path.exists(out_path):
+        empty = spark.createDataFrame([], schema)
+        return asof_join(
+            empty, right, on=on, ts_col=ts_col, payload=payload, tiebreak=tiebreak
+        )
+    return spark.read.parquet(out_path)

@@ -207,3 +207,40 @@ def test_cf2_ingest_corrupt_store_propagates(spark, tmp_path):
     # and the missing-path case still maps to the empty probe frame
     empty = _read_store_or_empty(spark, str(tmp_path / "does-not-exist"))
     assert empty.count() == 0 and "rgd_id" in empty.columns
+
+
+def test_stream_asof_batch_split_invariance(spark, tmp_path):
+    """Stream-static as-of enrichment: one-file-per-trigger micro-batches
+    must produce exactly the batch asof_join's row set (matches depend
+    only on the row + the static right side)."""
+    import datetime
+
+    from rat_strain_loader_pipeline_spark.operators.asof import asof_join
+    from rat_strain_loader_pipeline_spark.streaming.events import (
+        asof_enrich_available_now,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    views = spark.createDataFrame(
+        [(i, i % 3, base + datetime.timedelta(minutes=i)) for i in range(30)],
+        "event_id long, user_id long, ts timestamp",
+    )
+    clicks = spark.createDataFrame(
+        [(100 + i, i % 3, base + datetime.timedelta(minutes=2 * i), float(i))
+         for i in range(10)],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    src = str(tmp_path / "src")
+    views.repartition(5).write.parquet(src)
+
+    streamed = asof_enrich_available_now(
+        spark, src, clicks, on=["user_id"], ts_col="ts",
+        payload={"event_id": "m_id", "value": "m_value"}, tiebreak="event_id",
+        work_dir=str(tmp_path / "work"), max_files_per_trigger=1,
+    )
+    batch = asof_join(
+        views, clicks, on=["user_id"], ts_col="ts",
+        payload={"event_id": "m_id", "value": "m_value"}, tiebreak="event_id",
+    )
+    key = lambda r: (r["event_id"], r["m_id"], r["m_value"])  # noqa: E731
+    assert sorted(map(key, streamed.collect())) == sorted(map(key, batch.collect()))
