@@ -532,6 +532,30 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse([lex, vec], k=10, c=60)
 
 
+def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level duplicate-line (boilerplate) removal on synthesized
+    multi-line docs: lines occurring >= 5 times corpus-wide are dropped
+    from every document, survivors reassembled in original order
+    (operators/dedup.py remove_duplicate_lines). The oracle rebuilds the
+    same lines, counts, and reassembled text in SQL, so ordering and
+    threshold behavior are value-checked."""
+    from rat_strain_loader_pipeline_spark.operators.dedup import remove_duplicate_lines
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("long")
+    text = F.concat_ws(
+        "\n",
+        F.concat(F.lit("boiler "), (d % 7).cast("string")),
+        F.concat(F.lit("unique line "), d.cast("string")),
+        F.concat(F.lit("semi "), (d % 211).cast("string")),
+        F.when(d % 5 == 0, F.lit("")).otherwise(
+            F.concat(F.lit("tail "), (d % 3).cast("string"))
+        ),
+    )
+    synth = docs.select(d.alias("doc_id"), text.alias("text"))
+    return remove_duplicate_lines(synth, min_count=5)
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/eval n-gram decontamination: docs sharing any word 8-gram
     with the benchmark subset (doc_id % 17 == 0) get flagged; benchmark
@@ -2804,6 +2828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "hybrid_rrf": q_hybrid_rrf,
         "dedup_exact": q_dedup_exact,
+        "dedup_lines": q_dedup_lines,
         "decontaminate": q_decontaminate,
         "repetition_stats": q_repetition_stats,
         "salted_join": q_salted_join,
@@ -3680,6 +3705,33 @@ def oracle_sql() -> dict[str, str]:
             FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
             GROUP BY tf.doc_id
             ORDER BY score_micros DESC, tf.doc_id LIMIT 10
+        """,
+        "dedup_lines": """
+            WITH synth AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     concat_ws(chr(10),
+                       concat('boiler ', CAST(doc_id % 7 AS VARCHAR)),
+                       concat('unique line ', CAST(doc_id AS VARCHAR)),
+                       concat('semi ', CAST(doc_id % 211 AS VARCHAR)),
+                       CASE WHEN doc_id % 5 = 0 THEN ''
+                            ELSE concat('tail ', CAST(doc_id % 3 AS VARCHAR)) END
+                     ) AS text
+              FROM documents
+            ),
+            lines AS (
+              SELECT doc_id,
+                     generate_subscripts(string_split(text, chr(10)), 1) AS pos,
+                     unnest(string_split(text, chr(10))) AS line
+              FROM synth
+            ),
+            counts AS (SELECT line, count(*) AS line_count FROM lines GROUP BY line)
+            SELECT doc_id,
+                   coalesce(string_agg(line, chr(10) ORDER BY pos)
+                            FILTER (WHERE line_count < 5), '') AS clean_text,
+                   CAST(count(*) FILTER (WHERE line_count < 5) AS BIGINT) AS n_kept,
+                   CAST(count(*) FILTER (WHERE line_count >= 5) AS BIGINT) AS n_removed
+            FROM lines JOIN counts USING (line)
+            GROUP BY doc_id
         """,
         "hybrid_rrf": """
             WITH toks AS (

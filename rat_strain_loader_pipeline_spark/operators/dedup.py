@@ -579,3 +579,51 @@ def ngram_jaccard_pairs(
         .dropDuplicates()
     )
     return _verify_jaccard(candidates, hashes, id_col, threshold)
+
+
+def remove_duplicate_lines(
+    docs: DataFrame,
+    min_count: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-level duplicate-line removal (the RefinedWeb/CCNet-style
+    boilerplate filter): a line that occurs >= ``min_count`` times across
+    the WHOLE corpus (headers, footers, nav text, license banners) is
+    dropped from every document; each document's remaining lines are
+    reassembled in their original order.
+
+    Shape at scale: split+posexplode (map-side) -> one groupBy(line)
+    count -> join back by line -> one groupBy(doc) reassembly. Line
+    counts are corpus-global, so this is inherently two shuffles — the
+    same envelope as exact_dedup but keyed on lines. Reassembly uses
+    sort_array(collect_list(struct(pos, line))), so output text is
+    deterministic regardless of partitioning; per-doc line lists are
+    bounded by document size, the same per-group envelope every other
+    per-doc operator here assumes.
+
+    Returns (id_col, clean_text, n_kept, n_removed).
+    """
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    counts = lines.groupBy("line").agg(F.count(F.lit(1)).alias("line_count"))
+    keep = F.col("line_count") < min_count
+    return (
+        lines.join(counts, "line")
+        .groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.when(keep, F.struct("pos", "line")))
+                    ),
+                    lambda s: s.line,
+                ),
+            ).alias("clean_text"),
+            F.sum(keep.cast("long")).alias("n_kept"),
+            F.sum((~keep).cast("long")).alias("n_removed"),
+        )
+    )

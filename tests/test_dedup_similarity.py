@@ -581,3 +581,24 @@ def test_simhash_near_dup_pairs_banding(spark):
     assert (1, 4) not in got and (1, 5) not in got
     # 3 vs 4: bits {5,20,40} vs {1,2,3,4} → hamming 7 → absent
     assert (3, 4) not in got
+
+
+def test_remove_duplicate_lines(spark):
+    """Corpus-global line threshold; order-preserving reassembly; docs
+    reduced to nothing get empty text, not NULL."""
+    from rat_strain_loader_pipeline_spark.operators.dedup import remove_duplicate_lines
+
+    docs = spark.createDataFrame(
+        [
+            (1, "HEADER\nalpha\nHEADER"),   # HEADER x2 here, x3 corpus-wide
+            (2, "HEADER\nbeta"),
+            (3, "gamma\ndelta"),
+            (4, "HEADER"),                   # everything boilerplate → ''
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in remove_duplicate_lines(docs, min_count=3).collect()}
+    assert out[1]["clean_text"] == "alpha" and out[1]["n_removed"] == 2
+    assert out[2]["clean_text"] == "beta"
+    assert out[3]["clean_text"] == "gamma\ndelta" and out[3]["n_removed"] == 0
+    assert out[4]["clean_text"] == "" and out[4]["n_kept"] == 0 and out[4]["n_removed"] == 1
