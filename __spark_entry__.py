@@ -532,6 +532,17 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse([lex, vec], k=10, c=60)
 
 
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon character entropy per document (perplexity-proxy quality
+    signal, operators/text.py char_entropy): per-character contributions
+    floor to integer micro-units before summing, so the oracle
+    recomputes the exact entropy value, not just a bucketing."""
+    from rat_strain_loader_pipeline_spark.operators.text import char_entropy
+
+    docs = _t(spark, sf_dir, "documents")
+    return char_entropy(docs)
+
+
 def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level duplicate-line (boilerplate) removal on synthesized
     multi-line docs: lines occurring >= 5 times corpus-wide are dropped
@@ -2828,6 +2839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "hybrid_rrf": q_hybrid_rrf,
         "dedup_exact": q_dedup_exact,
+        "char_entropy": q_char_entropy,
         "dedup_lines": q_dedup_lines,
         "decontaminate": q_decontaminate,
         "repetition_stats": q_repetition_stats,
@@ -3705,6 +3717,25 @@ def oracle_sql() -> dict[str, str]:
             FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
             GROUP BY tf.doc_id
             ORDER BY score_micros DESC, tf.doc_id LIMIT 10
+        """,
+        "char_entropy": """
+            WITH chars AS (
+              SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+            ),
+            counts AS (
+              SELECT doc_id, ch, count(*) AS c FROM chars WHERE ch <> ''
+              GROUP BY doc_id, ch
+            ),
+            totals AS (SELECT doc_id, sum(c) AS n FROM counts GROUP BY doc_id)
+            SELECT doc_id,
+                   CAST(sum(CAST(floor(
+                     (-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)
+                        * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)))) * 1e6
+                   ) AS BIGINT)) AS BIGINT) AS entropy_micros,
+                   count(*) AS n_distinct_chars,
+                   CAST(max(n) AS BIGINT) AS n_chars_counted
+            FROM counts JOIN totals USING (doc_id)
+            GROUP BY doc_id
         """,
         "dedup_lines": """
             WITH synth AS (

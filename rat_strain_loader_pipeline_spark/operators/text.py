@@ -286,3 +286,37 @@ def ngrams(text: Column, n: int = 3) -> Column:
         count >= n,
         F.transform(idx, lambda i: F.concat_ws("_", F.slice(toks, i + 1, n))),
     ).otherwise(F.array(F.concat_ws("_", toks)))
+
+
+def char_entropy(docs, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-document Shannon character entropy — the perplexity-proxy
+    quality signal (gibberish and key-mash text scores far from natural
+    language; encrypted/binary-ish payloads score near the alphabet
+    maximum).
+
+    One (doc, char) shuffle with map-side partial counts, then a per-doc
+    reduce. Per-character contributions -(p * ln p) floor to integer
+    micro-units BEFORE summing (the same exactness rule as the BM25 /
+    tf-idf scores), so the cross-character sum is order-independent and
+    hash-matches a SQL oracle.
+
+    Returns (id_col, entropy_micros, n_distinct_chars, n_chars_counted).
+    """
+    from pyspark.sql import functions as F
+
+    chars = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), "")).alias("ch")
+    ).filter(F.col("ch") != "")
+    counts = chars.groupBy(id_col, "ch").agg(F.count(F.lit(1)).alias("c"))
+    totals = counts.groupBy(id_col).agg(F.sum("c").alias("n"))
+    p = F.col("c").cast("double") / F.col("n").cast("double")
+    term = F.floor((-(p * F.log(p))) * F.lit(1e6)).cast("long")
+    return (
+        counts.join(totals, id_col)
+        .groupBy(id_col)
+        .agg(
+            F.sum(term).alias("entropy_micros"),
+            F.count(F.lit(1)).alias("n_distinct_chars"),
+            F.max("n").alias("n_chars_counted"),
+        )
+    )

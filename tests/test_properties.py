@@ -263,3 +263,60 @@ def test_deterministic_split_exhaustive_and_stable(spark, ids):
     # same salt → identical; different salt → same totals, usually different
     again = {r["doc_id"]: r["split"] for r in deterministic_split(df, salt="s1").collect()}
     assert again == {r["doc_id"]: r["split"] for r in out}
+
+
+@given(
+    lefts=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50)), min_size=1, max_size=25
+    ),
+    rights=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50), st.integers(-100, 100)),
+        min_size=0,
+        max_size=25,
+    ),
+    direction=st.sampled_from(["backward", "forward"]),
+)
+@SET
+def test_asof_join_vs_python_model(spark, lefts, rights, direction):
+    """asof_join (union+window) vs a brute-force Python lateral scan, in
+    both directions, on random keyed integer timelines with duplicate
+    timestamps — the property the LATERAL oracle checks at one dataset,
+    here across many."""
+    import datetime
+
+    from rat_strain_loader_pipeline_spark.operators.asof import asof_join
+
+    base = datetime.datetime(2024, 1, 1)
+    ts = lambda m: base + datetime.timedelta(minutes=m)  # noqa: E731
+    ldf = spark.createDataFrame(
+        [(i, k, ts(m)) for i, (k, m) in enumerate(lefts)],
+        "event_id long, user_id long, ts timestamp",
+    )
+    rdf = spark.createDataFrame(
+        [(100 + i, k, ts(m), float(v)) for i, (k, m, v) in enumerate(rights)],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    got = {
+        r["event_id"]: (r["m_id"], r["m_value"])
+        for r in asof_join(
+            ldf, rdf, on=["user_id"], ts_col="ts",
+            payload={"event_id": "m_id", "value": "m_value"},
+            tiebreak="event_id", direction=direction,
+        ).collect()
+    }
+    assert len(got) == len(lefts)
+    for i, (k, m) in enumerate(lefts):
+        if direction == "backward":
+            cands = [(rm, 100 + j) for j, (rk, rm, _) in enumerate(rights)
+                     if rk == k and rm <= m]
+            want = max(cands) if cands else None
+        else:
+            # forward ties: lowest ts, then LOWEST event_id
+            cands = [(rm, 100 + j) for j, (rk, rm, _) in enumerate(rights)
+                     if rk == k and rm >= m]
+            want = min(cands) if cands else None
+        if want is None:
+            assert got[i] == (None, None)
+        else:
+            rid = want[1]
+            assert got[i] == (rid, float(rights[rid - 100][2]))
