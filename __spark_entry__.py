@@ -487,6 +487,19 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "source", "sample_rank")
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis A-ES,
+    operators/sampling.py): priority = -ln(md5-uniform)/weight, n
+    smallest selected via TakeOrderedAndProject — deterministic and
+    engine-portable, with weight = n_chars so longer docs are
+    proportionally likelier. The oracle recomputes u, the priorities,
+    and the selection in SQL."""
+    from rat_strain_loader_pipeline_spark.operators.sampling import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return weighted_sample(docs, weight_col="n_chars", n=25, id_col="doc_id", salt="v1")
+
+
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BM25 top-k lexical retrieval (operators/retrieval.py):
     per-term stats filtered to the query's terms before any wide
@@ -2836,6 +2849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_counts": q_pivot_counts,
         "tfidf_topterms": q_tfidf_topterms,
         "stratified_sample": q_stratified_sample,
+        "weighted_sample": q_weighted_sample,
         "bm25_topk": q_bm25_topk,
         "hybrid_rrf": q_hybrid_rrf,
         "dedup_exact": q_dedup_exact,
@@ -3689,6 +3703,22 @@ def oracle_sql() -> dict[str, str]:
                      ) AS INT) AS sample_rank
               FROM documents
             ) WHERE sample_rank <= 5
+        """,
+        "weighted_sample": """
+            WITH drawn AS (
+              SELECT doc_id, n_chars,
+                     (-ln((CAST(md5_number_lower(concat('wsample:v1:',
+                              CAST(doc_id AS VARCHAR))) % 4503599627370496
+                           AS DOUBLE) + 1.0) / 4503599627370496.0))
+                     / CAST(n_chars AS DOUBLE) AS priority
+              FROM documents
+              WHERE CAST(n_chars AS DOUBLE) > 0
+            )
+            SELECT doc_id, n_chars,
+                   CAST(floor(priority * 1e6) AS BIGINT) AS priority_micros
+            FROM drawn
+            ORDER BY priority ASC, doc_id ASC
+            LIMIT 25
         """,
         "bm25_topk": """
             WITH toks AS (

@@ -108,3 +108,58 @@ def stratified_sample(
         df.withColumn(rank_col, F.row_number().over(w))
         .filter(F.col(rank_col) <= n_per_stratum)
     )
+
+
+def md5_uniform(key: Column, salt: str = "v1") -> Column:
+    """Deterministic uniform in (0, 1] from a salted md5 — the seed for
+    weighted sampling. Same byte-sum reduction as ``md5_bucket`` at
+    resolution 2^52 (256^7 ≡ 0 mod 2^52, so terms stay far under int64);
+    +1 keeps ln() away from 0. Engine-portable: DuckDB mirrors it as
+    ``(md5_number_lower(key) % 2^52 + 1) / 2^52``.
+    """
+    res = 1 << 52
+    h = F.md5(F.concat(F.lit(f"wsample:{salt}:"), key))
+    acc = F.lit(0).cast("long")
+    for j in range(8):
+        byte_j = F.conv(F.substring(h, 17 + 2 * j, 2), 16, 10).cast("long")
+        acc = acc + byte_j * ((256**j) % res)
+    return ((acc % res).cast("double") + 1.0) / float(res)
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    n: int,
+    id_col: str = "doc_id",
+    salt: str = "v1",
+) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis A-ES):
+    each row draws priority ``-ln(u) / w`` (u deterministic from salted
+    md5, w = weight) — an Exp(w) variate, so the n smallest priorities
+    are a weight-proportional sample. Deterministic, engine-portable,
+    and distributed: the selection is ``orderBy(priority).limit(n)`` →
+    TakeOrderedAndProject (per-partition heaps, n rows to the driver),
+    never a global sort — the standard one-pass distributed weighted
+    sample. Rows with weight <= 0 are excluded (zero mass).
+
+    Returns (id_col, weight_col, priority_micros) for the n selected
+    rows, priority in integer micro-units for engine-exact value checks.
+    """
+    u = md5_uniform(F.col(id_col).cast("string"), salt)
+    w = F.col(weight_col).cast("double")
+    priority = (-F.log(u)) / w
+    return (
+        df.filter(w > 0)
+        .select(
+            F.col(id_col),
+            F.col(weight_col),
+            priority.alias("__priority"),
+        )
+        .orderBy(F.col("__priority").asc(), F.col(id_col).asc())
+        .limit(n)
+        .select(
+            id_col,
+            weight_col,
+            F.floor(F.col("__priority") * 1e6).cast("long").alias("priority_micros"),
+        )
+    )

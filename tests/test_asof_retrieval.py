@@ -225,3 +225,25 @@ def test_tfidf_top_terms(spark):
     # 'common' is in every doc → idf 0 → never in any top-2 above a rarer term
     common_rank1 = [r for r in out if r["term"] == "common" and r["term_rank"] == 1]
     assert not common_rank1
+
+
+def test_weighted_sample_properties(spark):
+    """A-ES: deterministic, weight-zero rows excluded, selection is
+    weight-proportional in aggregate (heavier stratum overrepresented),
+    and plan stays TakeOrderedAndProject (no global sort)."""
+    from rat_strain_loader_pipeline_spark.operators.sampling import weighted_sample
+
+    rows = [(i, 100 if i < 50 else 1) for i in range(500)] + [(999, 0)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    out = weighted_sample(df, "w", n=40, id_col="doc_id", salt="s")
+    got = out.collect()
+    assert len(got) == 40
+    assert all(r["doc_id"] != 999 for r in got)  # zero weight excluded
+    heavy = sum(1 for r in got if r["doc_id"] < 50)
+    # 50 docs carry weight 5000 vs 450 docs carrying 450: heavy side must dominate
+    assert heavy > 20
+    # deterministic across recomputation
+    again = weighted_sample(df, "w", n=40, id_col="doc_id", salt="s").collect()
+    assert sorted(r["doc_id"] for r in got) == sorted(r["doc_id"] for r in again)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
