@@ -846,6 +846,45 @@ def q_cf2_stream_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_stream_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-dup admission gate (streaming/dedup_gate.py): the
+    documents table streams in as a REAL 2-micro-batch AvailableNow run
+    in id order; each batch probes the parquet signature store of all
+    previously seen docs via the banded LSH equi-join plus in-batch
+    pairs, and a doc is admitted iff no verified exact-Jaccard near-dup
+    with an earlier doc exists. With id-ordered arrival this equals the
+    corpus-level rule 'rejected iff some near-dup pair has a smaller
+    partner id', which the brute-force oracle recomputes in SQL."""
+    import os as _os
+    import uuid as _uuid
+
+    from rat_strain_loader_pipeline_spark.staging import _stage_root
+    from rat_strain_loader_pipeline_spark.streaming.dedup_gate import (
+        dedup_gate_available_now,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    work = _os.path.join(_stage_root(), f"dedup-gate-{_uuid.uuid4().hex[:8]}")
+    src_dir = _os.path.join(work, "src")
+    # id-ordered arrival: land the two halves as separate files, lower
+    # ids first (FileStreamSource orders by timestamp then path — two
+    # sequential single-file writes pin both)
+    mid = docs.agg(F.expr("percentile_approx(doc_id, 0.5)")).collect()[0][0]
+    docs.filter(F.col("doc_id") <= mid).coalesce(1).write.parquet(
+        _os.path.join(src_dir, "p0")
+    )
+    docs.filter(F.col("doc_id") > mid).coalesce(1).write.parquet(
+        _os.path.join(src_dir, "p1")
+    )
+    return dedup_gate_available_now(
+        spark,
+        src_dir + "/p*",
+        work,
+        jaccard_threshold=0.5,
+        max_files_per_trigger=1,
+    )
+
+
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pair graph → dedup groups: minhash-LSH pairs at 0.5 fed
     through hash-to-min connected components (A~B, B~C collapse into one
@@ -2872,6 +2911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_topk_lsh": q_embedding_topk_lsh,
         "embedding_topk_ivf": q_embedding_topk_ivf,
+        "dedup_stream_gate": q_dedup_stream_gate,
         "dedup_components": q_dedup_components,
         "dedup_survivors": q_dedup_survivors,
         "split_assign": q_split_assign,
@@ -4185,6 +4225,10 @@ SELECT chromosome, position, end_pos, ref_nuc, var_nuc, variant_type,
        genic_status, zygosity_status, zygosity_percent_read,
        zygosity_ref_allele, zygosity_poss_error, quality_score
 FROM base
+""",
+        "dedup_stream_gate": f"""WITH {_jaccard_pairs_cte_sql(0.5)}
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id, r.id_b IS NULL AS admitted
+FROM documents d LEFT JOIN (SELECT DISTINCT id_b FROM jp) r ON d.doc_id = r.id_b
 """,
         "dedup_components": _dedup_components_oracle_sql(0.5),
         "dedup_survivors": f"""WITH RECURSIVE {_jaccard_pairs_cte_sql(0.5)},

@@ -210,6 +210,35 @@ def minhash_signatures(
     return hashes.select(F.col(id_col), sig(F.col("hashes")).alias("sig"))
 
 
+def band_signatures(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """(id, band, band_sig) — the LSH banding of minhash signatures:
+    each signature splits into ``bands`` row-groups, each hashed to one
+    bucket key, so near-dup candidates reduce to equi-joins on
+    (band, band_sig)."""
+    rows_per_band = num_hashes // bands
+    return sigs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(
+                        F.concat_ws(
+                            ",",
+                            *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)],
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_sig"),
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -241,26 +270,9 @@ def minhash_lsh_pairs(
     member still verifies (exact Jaccard) against the representative it
     would transitively collapse into. None (default) = exact all-pairs.
     """
-    rows_per_band = num_hashes // bands
     hashes = shingle_hashes(docs, text_col, id_col, shingle_n, stage=True, hash_fn=hash_fn)
     sigs = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_n, seed, hashes=hashes)
-
-    banded = sigs.select(
-        F.col(id_col),
-        F.posexplode(
-            F.array(
-                *[
-                    F.md5(
-                        F.concat_ws(
-                            ",",
-                            *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)],
-                        )
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band", "band_sig"),
-    )
+    banded = band_signatures(sigs, id_col, num_hashes, bands)
 
     hot_pairs = None
     if hot_bucket_cap is not None:

@@ -244,3 +244,29 @@ def test_stream_asof_batch_split_invariance(spark, tmp_path):
     )
     key = lambda r: (r["event_id"], r["m_id"], r["m_value"])  # noqa: E731
     assert sorted(map(key, streamed.collect())) == sorted(map(key, batch.collect()))
+
+
+def test_dedup_gate_cross_batch(spark, tmp_path):
+    """Admission gate: a doc whose near-dup arrived in an EARLIER batch
+    is rejected; a rejected doc still blocks later near-dups (seen !=
+    admitted); unrelated docs pass. One file per batch, id-ordered."""
+    from rat_strain_loader_pipeline_spark.streaming.dedup_gate import (
+        dedup_gate_available_now,
+    )
+
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    b = a + " lambda"              # near-dup of A
+    c = b + " mu"                  # near-dup of B (and of A)
+    other = "one two three four five six seven eight nine ten"
+    batches = [[(1, a), (2, other)], [(3, b)], [(4, c)]]
+    src = tmp_path / "src"
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.parquet(
+            str(src / f"b{i}")
+        )
+    out = dedup_gate_available_now(
+        spark, str(src / "b*"), str(tmp_path / "work"),
+        jaccard_threshold=0.5, max_files_per_trigger=1,
+    )
+    got = {r["doc_id"]: r["admitted"] for r in out.collect()}
+    assert got == {1: True, 2: True, 3: False, 4: False}
