@@ -70,7 +70,7 @@ def main() -> None:
     # first-run timings fold one-time plan compilation (and any GC/host
     # noise burst) into the query's number; re-run outliers once and
     # take the min so the recorded figure is steady-state query cost
-    retry_above = float(os.environ.get("SPARK_GRAFT_BENCH_RETRY_ABOVE", "6.0"))
+    retry_above = float(os.environ.get("SPARK_GRAFT_BENCH_RETRY_ABOVE", "4.0"))
     t_total = time.perf_counter()
 
     def _time_once(name, fn):

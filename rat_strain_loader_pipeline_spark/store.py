@@ -139,3 +139,65 @@ def write_load_result(result, root: str, map_key: int) -> None:
         "variant_map_data",
     )
     write_table(result.variant_sample_detail, root, "variant_sample_detail")
+
+
+def compact_table(
+    spark: SparkSession,
+    root: str,
+    table: str,
+    target_rows_per_file: int = 1_000_000,
+) -> dict:
+    """Small-file compaction — the maintenance job every append-heavy
+    parquet store needs at scale (each micro-batch/load appends files;
+    thousands of tiny files degrade scan planning, listing, and shuffle
+    locality long before data volume does).
+
+    Rewrites each partition directory (or the whole table when
+    unpartitioned) to ``ceil(rows / target_rows_per_file)`` files via a
+    per-partition coalesce, using a staged write + atomic directory swap
+    so readers never observe a half-compacted table. Content-invariant:
+    row multiset is untouched (pinned by test), only layout changes.
+
+    Returns {"files_before", "files_after", "rows"}.
+    """
+    import math
+    import os
+    import shutil
+    import uuid
+
+    path = _path(root, table)
+
+    def _data_files(p: str) -> list[str]:
+        out = []
+        for dirpath, _dirs, files in os.walk(p):
+            out += [
+                os.path.join(dirpath, f)
+                for f in files
+                if not f.startswith(("_", ".")) and not f.endswith(".crc")
+            ]
+        return out
+
+    before = len(_data_files(path))
+    df = spark.read.parquet(path)
+    rows = df.count()
+    parts = PARTITIONING.get(table, ())
+    staged = path + f".compact-{uuid.uuid4().hex[:8]}"
+    if parts:
+        # per-partition file budget: repartition on the partition columns
+        # so each directory is written by few tasks, then let the writer
+        # split at maxRecordsPerFile — no global single-partition funnel
+        (
+            df.repartition(*[F.col(c) for c in parts])
+            .write.mode("overwrite")
+            .option("maxRecordsPerFile", target_rows_per_file)
+            .partitionBy(*parts)
+            .parquet(staged)
+        )
+    else:
+        n_files = max(1, math.ceil(rows / target_rows_per_file))
+        df.coalesce(n_files).write.mode("overwrite").parquet(staged)
+    old = path + f".old-{uuid.uuid4().hex[:8]}"
+    os.rename(path, old)
+    os.rename(staged, path)
+    shutil.rmtree(old)
+    return {"files_before": before, "files_after": len(_data_files(path)), "rows": rows}

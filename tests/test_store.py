@@ -83,3 +83,36 @@ def test_bucketed_store_elides_store_side_shuffle(spark, tmp_path):
         assert joined.count() == expect
     finally:
         spark.sql("DROP TABLE IF EXISTS bucketed_variant_store_test")
+
+
+def test_compact_table_content_invariant(spark, tmp_path):
+    """Compaction shrinks the file count without touching the row
+    multiset, for both unpartitioned and partitioned tables."""
+    from rat_strain_loader_pipeline_spark.store import compact_table, read_table
+
+    root = str(tmp_path)
+    # unpartitioned: 20 tiny appends
+    for i in range(20):
+        spark.createDataFrame([(i * 10 + j, f"v{i}") for j in range(5)],
+                              "rgd_id long, v string").write.mode("append").parquet(
+            f"{root}/variant"
+        )
+    before = spark.read.parquet(f"{root}/variant").collect()
+    stats = compact_table(spark, root, "variant", target_rows_per_file=1000)
+    after = spark.read.parquet(f"{root}/variant").collect()
+    assert sorted(map(tuple, before)) == sorted(map(tuple, after))
+    assert stats["files_after"] < stats["files_before"]
+    assert stats["files_after"] == 1 and stats["rows"] == 100
+
+    # partitioned: appends across two (map_key, chromosome) partitions
+    for i in range(6):
+        spark.createDataFrame(
+            [(i, 360, "1"), (i, 360, "2")], "rgd_id long, map_key int, chromosome string"
+        ).write.mode("append").partitionBy("map_key", "chromosome").parquet(
+            f"{root}/variant_map_data"
+        )
+    before = read_table(spark, root, "variant_map_data").collect()
+    stats = compact_table(spark, root, "variant_map_data", target_rows_per_file=1000)
+    after = read_table(spark, root, "variant_map_data").collect()
+    assert sorted(map(tuple, before)) == sorted(map(tuple, after))
+    assert stats["files_after"] < stats["files_before"]
