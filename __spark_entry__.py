@@ -739,6 +739,39 @@ def q_embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(assigned, cent, qvec, k=10, nprobe=8)
 
 
+def q_embedding_stream_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN index under the correctness gate: embeddings
+    stream in as a REAL 2-micro-batch AvailableNow run, each batch
+    assigned to the fixed trained centroids and appended to the parquet
+    posting store (streaming/ann.py); ivf_topk over the incrementally-
+    built store at nprobe = n_lists must equal the brute-force ranking —
+    the same oracle as the batch-built index, proving index build is
+    batch-split-invariant."""
+    import os as _os
+    import uuid as _uuid
+
+    from rat_strain_loader_pipeline_spark.operators.similarity import (
+        ivf_topk,
+        ivf_train_centroids,
+    )
+    from rat_strain_loader_pipeline_spark.staging import _stage_root
+    from rat_strain_loader_pipeline_spark.streaming.ann import ivf_ingest_available_now
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    cent = ivf_train_centroids(emb, n_lists=8, sample_size=512, iters=5)
+
+    work = _os.path.join(_stage_root(), f"ivf-stream-{_uuid.uuid4().hex[:8]}")
+    src_dir = _os.path.join(work, "src")
+    mid = emb.agg(F.expr("percentile_approx(vec_id, 0.5)")).collect()[0][0]
+    emb.filter(F.col("vec_id") <= mid).coalesce(1).write.parquet(_os.path.join(src_dir, "p0"))
+    emb.filter(F.col("vec_id") > mid).coalesce(1).write.parquet(_os.path.join(src_dir, "p1"))
+    postings = ivf_ingest_available_now(
+        spark, src_dir + "/p*", cent, work, max_files_per_trigger=1
+    )
+    return ivf_topk(postings, cent, qvec, k=10, nprobe=8)
+
+
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs, value-checked against the brute-force
     all-pairs Jaccard oracle (md5-derived shingle hashes are
@@ -2911,6 +2944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_topk_lsh": q_embedding_topk_lsh,
         "embedding_topk_ivf": q_embedding_topk_ivf,
+        "embedding_stream_ivf": q_embedding_stream_ivf,
         "dedup_stream_gate": q_dedup_stream_gate,
         "dedup_components": q_dedup_components,
         "dedup_survivors": q_dedup_survivors,
@@ -4189,6 +4223,21 @@ FROM loaded
         """,
         "embedding_topk_lsh": _embedding_lsh_oracle_sql(),
         "embedding_topk_ivf": """
+            WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+            scored AS (
+                SELECT vec_id,
+                       list_sum(list_transform(range(1, len(embedding)+1),
+                                i -> embedding[i]::DOUBLE * qv[i]))
+                       / (sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x)))
+                          * sqrt(list_sum(list_transform(qv, x -> x*x)))) AS raw
+                FROM embeddings, q
+            )
+            SELECT vec_id, round(raw, 4) AS cosine
+            FROM scored
+            ORDER BY raw DESC, vec_id ASC
+            LIMIT 10
+        """,
+        "embedding_stream_ivf": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
             scored AS (
                 SELECT vec_id,

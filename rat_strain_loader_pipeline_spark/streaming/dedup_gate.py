@@ -135,3 +135,4 @@ def dedup_gate_available_now(
     if not os.path.exists(out_path):
         return spark.createDataFrame([], f"{id_col} long, admitted boolean")
     return spark.read.parquet(out_path)
+

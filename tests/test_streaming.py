@@ -270,3 +270,32 @@ def test_dedup_gate_cross_batch(spark, tmp_path):
     )
     got = {r["doc_id"]: r["admitted"] for r in out.collect()}
     assert got == {1: True, 2: True, 3: False, 4: False}
+
+
+def test_ivf_ingest_batch_split_invariance(spark, tmp_path):
+    """Posting store built one-file-per-trigger equals the batch-built
+    index: same (vec_id, list_id) assignment set."""
+    import numpy as np
+
+    from rat_strain_loader_pipeline_spark.operators.similarity import (
+        ivf_assign,
+        ivf_train_centroids,
+    )
+    from rat_strain_loader_pipeline_spark.streaming.ann import (
+        ivf_ingest_available_now,
+    )
+
+    rng = np.random.RandomState(7)
+    emb = spark.createDataFrame(
+        [(i, rng.randn(8).astype(float).tolist()) for i in range(120)],
+        "vec_id long, embedding array<float>",
+    )
+    cent = ivf_train_centroids(emb, n_lists=4, sample_size=128, iters=3)
+    src = tmp_path / "src"
+    emb.repartition(4).write.parquet(str(src))
+    streamed = ivf_ingest_available_now(
+        spark, str(src), cent, str(tmp_path / "work"), max_files_per_trigger=1
+    )
+    batch = ivf_assign(emb, cent)
+    key = lambda r: (r["vec_id"], r["list_id"])  # noqa: E731
+    assert sorted(map(key, streamed.collect())) == sorted(map(key, batch.collect()))
