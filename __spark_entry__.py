@@ -3324,6 +3324,75 @@ jp AS (
 )"""
 
 
+# Shared oracle fragments — one source of truth for SQL that backs more
+# than one query (a tweak to one copy must not desynchronize its twin).
+_ASOF_BACKWARD_ORACLE_SQL = """
+    WITH v AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+    ),
+    c AS (
+      SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'
+    )
+    SELECT v.event_id, v.user_id, v.ts,
+           m.click_event_id, m.click_ts, m.click_value
+    FROM v LEFT JOIN LATERAL (
+      SELECT c.event_id AS click_event_id, c.ts AS click_ts,
+             c.value AS click_value
+      FROM c
+      WHERE c.user_id = v.user_id AND c.ts <= v.ts
+      ORDER BY c.ts DESC, c.event_id DESC LIMIT 1
+    ) m ON true
+"""
+
+_EMBED_BRUTE_TOPK_SQL = """
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    scored AS (
+        SELECT vec_id,
+               list_sum(list_transform(range(1, len(embedding)+1),
+                        i -> embedding[i]::DOUBLE * qv[i]))
+               / (sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x)))
+                  * sqrt(list_sum(list_transform(qv, x -> x*x)))) AS raw
+        FROM embeddings, q
+    )
+    SELECT vec_id, round(raw, 4) AS cosine
+    FROM scored
+    ORDER BY raw DESC, vec_id ASC
+    LIMIT 10
+"""
+
+# BM25 scoring CTEs (toks -> dl/stats -> tf/dft -> lex_scored), shared
+# by bm25_topk and the hybrid RRF oracle; literals must match
+# operators/retrieval.py bm25_scores (k1=1.2, b=0.75, ln idf, floored
+# micro-unit contributions).
+_BM25_CTES_SQL = """toks AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                                t -> t <> '')) AS term
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n_docs, sum(dl) AS total_len FROM dl),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks
+      WHERE term IN ('spark', 'join', 'window', 'vector')
+      GROUP BY doc_id, term
+    ),
+    dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    lex_scored AS (
+      SELECT tf.doc_id,
+             sum(CAST(floor(
+               ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+               * CAST(tf AS DOUBLE) * 2.2
+               / (CAST(tf AS DOUBLE)
+                  + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl.dl AS DOUBLE)
+                           / (CAST(total_len AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+               * 1e6) AS BIGINT)) AS score_micros,
+             count(*) AS n_hit_terms
+      FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+      GROUP BY tf.doc_id
+    )"""
+
+
 def _jaccard_pairs_oracle_sql(threshold: float) -> str:
     """Value oracle for the LSH-candidate pipelines (minhash_lsh,
     ngram_jaccard). Valid because both engines hash shingles with
@@ -3687,23 +3756,7 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events
             FROM g GROUP BY user_id ORDER BY user_id
         """,
-        "asof_join": """
-            WITH v AS (
-              SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
-            ),
-            c AS (
-              SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'
-            )
-            SELECT v.event_id, v.user_id, v.ts,
-                   m.click_event_id, m.click_ts, m.click_value
-            FROM v LEFT JOIN LATERAL (
-              SELECT c.event_id AS click_event_id, c.ts AS click_ts,
-                     c.value AS click_value
-              FROM c
-              WHERE c.user_id = v.user_id AND c.ts <= v.ts
-              ORDER BY c.ts DESC, c.event_id DESC LIMIT 1
-            ) m ON true
-        """,
+        "asof_join": _ASOF_BACKWARD_ORACLE_SQL,
         "asof_join_forward": """
             WITH v AS (
               SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
@@ -3794,34 +3847,10 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY priority ASC, doc_id ASC
             LIMIT 25
         """,
-        "bm25_topk": """
-            WITH toks AS (
-              SELECT doc_id,
-                     unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
-                                        t -> t <> '')) AS term
-              FROM documents
-            ),
-            dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
-            stats AS (SELECT count(*) AS n_docs, sum(dl) AS total_len FROM dl),
-            tf AS (
-              SELECT doc_id, term, count(*) AS tf FROM toks
-              WHERE term IN ('spark', 'join', 'window', 'vector')
-              GROUP BY doc_id, term
-            ),
-            dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
-            SELECT tf.doc_id,
-                   sum(CAST(floor(
-                     ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
-                     * CAST(tf AS DOUBLE) * 2.2
-                     / (CAST(tf AS DOUBLE)
-                        + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl.dl AS DOUBLE)
-                                 / (CAST(total_len AS DOUBLE) / CAST(n_docs AS DOUBLE))))
-                     * 1e6) AS BIGINT)) AS score_micros,
-                   count(*) AS n_hit_terms
-            FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
-            GROUP BY tf.doc_id
-            ORDER BY score_micros DESC, tf.doc_id LIMIT 10
-        """,
+        "bm25_topk": f"""WITH {_BM25_CTES_SQL}
+SELECT doc_id, score_micros, n_hit_terms FROM lex_scored
+ORDER BY score_micros DESC, doc_id LIMIT 10
+""",
         "char_entropy": """
             WITH chars AS (
               SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
@@ -3868,33 +3897,7 @@ def oracle_sql() -> dict[str, str]:
             FROM lines JOIN counts USING (line)
             GROUP BY doc_id
         """,
-        "hybrid_rrf": """
-            WITH toks AS (
-              SELECT doc_id,
-                     unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
-                                        t -> t <> '')) AS term
-              FROM documents
-            ),
-            dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
-            stats AS (SELECT count(*) AS n_docs, sum(dl) AS total_len FROM dl),
-            tf AS (
-              SELECT doc_id, term, count(*) AS tf FROM toks
-              WHERE term IN ('spark', 'join', 'window', 'vector')
-              GROUP BY doc_id, term
-            ),
-            dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-            lex_scored AS (
-              SELECT tf.doc_id,
-                     sum(CAST(floor(
-                       ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
-                       * CAST(tf AS DOUBLE) * 2.2
-                       / (CAST(tf AS DOUBLE)
-                          + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl.dl AS DOUBLE)
-                                   / (CAST(total_len AS DOUBLE) / CAST(n_docs AS DOUBLE))))
-                       * 1e6) AS BIGINT)) AS score_micros
-              FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
-              GROUP BY tf.doc_id
-            ),
+        "hybrid_rrf": f"""WITH {_BM25_CTES_SQL},
             lex AS (
               SELECT doc_id, rank FROM (
                 SELECT doc_id, row_number() OVER (ORDER BY score_micros DESC, doc_id)
@@ -4206,52 +4209,10 @@ FROM loaded
                         THEN 'Y' ELSE 'N' END AS zygosity_ref_allele
             FROM p
         """,
-        "embedding_topk": """
-            WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
-            scored AS (
-                SELECT vec_id,
-                       list_sum(list_transform(range(1, len(embedding)+1),
-                                i -> embedding[i]::DOUBLE * qv[i]))
-                       / (sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x)))
-                          * sqrt(list_sum(list_transform(qv, x -> x*x)))) AS raw
-                FROM embeddings, q
-            )
-            SELECT vec_id, round(raw, 4) AS cosine
-            FROM scored
-            ORDER BY raw DESC, vec_id ASC
-            LIMIT 10
-        """,
+        "embedding_topk": _EMBED_BRUTE_TOPK_SQL,
         "embedding_topk_lsh": _embedding_lsh_oracle_sql(),
-        "embedding_topk_ivf": """
-            WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
-            scored AS (
-                SELECT vec_id,
-                       list_sum(list_transform(range(1, len(embedding)+1),
-                                i -> embedding[i]::DOUBLE * qv[i]))
-                       / (sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x)))
-                          * sqrt(list_sum(list_transform(qv, x -> x*x)))) AS raw
-                FROM embeddings, q
-            )
-            SELECT vec_id, round(raw, 4) AS cosine
-            FROM scored
-            ORDER BY raw DESC, vec_id ASC
-            LIMIT 10
-        """,
-        "embedding_stream_ivf": """
-            WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
-            scored AS (
-                SELECT vec_id,
-                       list_sum(list_transform(range(1, len(embedding)+1),
-                                i -> embedding[i]::DOUBLE * qv[i]))
-                       / (sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x)))
-                          * sqrt(list_sum(list_transform(qv, x -> x*x)))) AS raw
-                FROM embeddings, q
-            )
-            SELECT vec_id, round(raw, 4) AS cosine
-            FROM scored
-            ORDER BY raw DESC, vec_id ASC
-            LIMIT 10
-        """,
+        "embedding_topk_ivf": _EMBED_BRUTE_TOPK_SQL,
+        "embedding_stream_ivf": _EMBED_BRUTE_TOPK_SQL,
         "consequence_snv": _conseq_oracle_sql(),
         # J6: preload = every pair of variants with rgd_id % 3 == 0, so
         # the anti-join must drop exactly those variants' rows
@@ -4697,23 +4658,7 @@ WHERE l.id IS NULL
             FROM events
             GROUP BY 1, 2
         """,
-        "events_stream_asof": """
-            WITH v AS (
-              SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
-            ),
-            c AS (
-              SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'
-            )
-            SELECT v.event_id, v.user_id, v.ts,
-                   m.click_event_id, m.click_ts, m.click_value
-            FROM v LEFT JOIN LATERAL (
-              SELECT c.event_id AS click_event_id, c.ts AS click_ts,
-                     c.value AS click_value
-              FROM c
-              WHERE c.user_id = v.user_id AND c.ts <= v.ts
-              ORDER BY c.ts DESC, c.event_id DESC LIMIT 1
-            ) m ON true
-        """,
+        "events_stream_asof": _ASOF_BACKWARD_ORACLE_SQL,
         "events_stream_sessionize": """
             WITH flagged AS (
               SELECT user_id, ts,

@@ -58,6 +58,15 @@ def asof_join(
     if clash:
         raise ValueError(f"payload output names collide with left columns: {sorted(clash)}")
 
+    # SQL lateral semantics for NULLs: a NULL ts or NULL join key never
+    # matches (`r.ts <= l.ts` / `r.key = l.key` are never true). Window
+    # partitioning WOULD group NULL keys together and NULLS FIRST/LAST
+    # ordering WOULD let a NULL-ts right row shadow real matches, so
+    # drop such right rows up front; NULL-ts left rows get their match
+    # nulled at the end.
+    for c in [ts_col, *on]:
+        right = right.filter(F.col(c).isNotNull())
+
     l_tagged = left.select(
         *left_cols,
         F.lit(1).alias("__side"),
@@ -96,6 +105,7 @@ def asof_join(
         "__side",
         F.last(bundle, ignorenulls=True).over(w).alias("__match"),
     )
+    match = F.when(F.col(ts_col).isNotNull(), F.col("__match"))
     return carried.filter(F.col("__side") == 1).select(
-        *left_cols, *[F.col(f"__match.{dst}").alias(dst) for dst in out_cols]
+        *left_cols, *[match.getField(dst).alias(dst) for dst in out_cols]
     )

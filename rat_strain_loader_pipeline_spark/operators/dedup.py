@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import hashlib
 import random
+import re
 
 import numpy as np
 import pandas as pd
@@ -72,8 +73,17 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+# Canonical whitespace class for tokenization: exactly RE2's \s
+# ([ \t\n\r\f]), written explicitly so the Python path (re), the JVM
+# path (Java regex, whose \s also includes \x0b), and the DuckDB
+# oracles (RE2 \s+) all split identically — including on exotic
+# whitespace the test corpus doesn't contain.
+_WS_CLASS = "[ \t\n\r\f]+"
+_WS_RE = re.compile(_WS_CLASS)
+
+
 def _shingle_set(text: str, n: int) -> set[str]:
-    toks = [t for t in text.lower().split() if t]
+    toks = [t for t in _WS_RE.split(text.lower()) if t]
     if len(toks) < n:
         return {"_".join(toks)} if toks else set()
     return {"_".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
@@ -102,9 +112,10 @@ def _hashes_udf(n: int):
 
 def _shingle_expr(text_col: str, n: int):
     """Word shingles as a pure JVM expression — same semantics as
-    ``_shingle_set``: lowercase, whitespace-split, drop empty tokens,
-    n-token windows joined by "_"; short docs collapse to one shingle."""
-    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+    ``_shingle_set``: lowercase, split on the canonical whitespace
+    class, drop empty tokens, n-token windows joined by "_"; short docs
+    collapse to one shingle."""
+    toks = F.filter(F.split(F.lower(F.col(text_col)), _WS_CLASS), lambda t: t != "")
     many = F.transform(
         F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
         lambda i: F.concat_ws("_", F.slice(toks, i, n)),

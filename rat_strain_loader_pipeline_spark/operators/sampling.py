@@ -21,21 +21,28 @@ from pyspark.sql.window import Window
 DEFAULT_FRACTIONS = (("train", 0.9), ("val", 0.05), ("test", 0.05))
 
 
-def md5_bucket(key: Column, resolution: int = 10_000) -> Column:
-    """``md5_number_lower(key) % resolution`` in pure Spark expressions.
+def _md5_fold(key: Column, modulus: int) -> Column:
+    """``md5_number_lower(key) % modulus`` in pure Spark expressions.
 
     The low 8 md5 digest bytes little-endian exceed int64 as a full
-    value, so reduce mod ``resolution`` term-by-term:
-    sum_j byte_j * (256^j mod m) ≡ value mod m — every term is tiny and
-    the sum stays far under int64. Bit-identical to DuckDB's
-    ``md5_number_lower(key) % m`` (oracle-checked).
+    value, so reduce mod ``modulus`` term-by-term:
+    sum_j byte_j * (256^j mod m) ≡ value mod m — every term stays far
+    under int64 for any m <= 2^52 (at m = 2^52, 256^7 ≡ 0). Bit-
+    identical to DuckDB's ``md5_number_lower(key) % m``
+    (oracle-checked); the single source of that identity for both
+    ``md5_bucket`` and ``md5_uniform``.
     """
     h = F.md5(key)
-    acc = F.lit(0)
+    acc = F.lit(0).cast("long")
     for j in range(8):
         byte_j = F.conv(F.substring(h, 17 + 2 * j, 2), 16, 10).cast("long")
-        acc = acc + byte_j * ((256**j) % resolution)
-    return (acc % resolution).cast("int")
+        acc = acc + byte_j * ((256**j) % modulus)
+    return acc % modulus
+
+
+def md5_bucket(key: Column, resolution: int = 10_000) -> Column:
+    """``md5_number_lower(key) % resolution`` as an int bucket."""
+    return _md5_fold(key, resolution).cast("int")
 
 
 def deterministic_split(
@@ -118,12 +125,8 @@ def md5_uniform(key: Column, salt: str = "v1") -> Column:
     ``(md5_number_lower(key) % 2^52 + 1) / 2^52``.
     """
     res = 1 << 52
-    h = F.md5(F.concat(F.lit(f"wsample:{salt}:"), key))
-    acc = F.lit(0).cast("long")
-    for j in range(8):
-        byte_j = F.conv(F.substring(h, 17 + 2 * j, 2), 16, 10).cast("long")
-        acc = acc + byte_j * ((256**j) % res)
-    return ((acc % res).cast("double") + 1.0) / float(res)
+    folded = _md5_fold(F.concat(F.lit(f"wsample:{salt}:"), key), res)
+    return (folded.cast("double") + 1.0) / float(res)
 
 
 def weighted_sample(

@@ -32,9 +32,11 @@ STOPWORDS: dict[str, list[str]] = {
 
 
 def tokens(text: Column) -> Column:
-    """Whitespace tokens with empties removed (deterministic on leading/
-    trailing whitespace; mirrors DuckDB's regexp split after trim)."""
-    return F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != "")
+    """Whitespace tokens with empties removed. The split class is
+    written explicitly as RE2's \\s ([ \\t\\n\\r\\f]) rather than Java's
+    \\s (which also matches \\x0b), so Spark and the DuckDB oracles
+    (RE2 '\\s+') tokenize identically on every input."""
+    return F.filter(F.split(F.trim(text), "[ \t\n\r\f]+"), lambda t: t != "")
 
 
 def token_count(text: Column) -> Column:

@@ -154,9 +154,13 @@ def compact_table(
 
     Rewrites each partition directory (or the whole table when
     unpartitioned) to ``ceil(rows / target_rows_per_file)`` files via a
-    per-partition coalesce, using a staged write + atomic directory swap
-    so readers never observe a half-compacted table. Content-invariant:
-    row multiset is untouched (pinned by test), only layout changes.
+    per-partition coalesce. The staged write means a failed compaction
+    never corrupts the table, but the swap is TWO renames, so this is a
+    maintenance job for a quiesced table (single-writer, no concurrent
+    readers) — posix has no atomic directory exchange, and concurrent
+    scans could see a missing path between the renames. Content-
+    invariant: row multiset is untouched (pinned by test), only layout
+    changes.
 
     Returns {"files_before", "files_after", "rows"}.
     """

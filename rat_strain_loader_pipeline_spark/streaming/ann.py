@@ -44,10 +44,12 @@ def ivf_ingest_available_now(
     if schema is None:
         schema = spark.read.parquet(src_dir).schema
 
-    def ingest_batch(batch_df: DataFrame, _batch_id: int) -> None:
+    def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # foreachBatch is at-least-once: per-batch overwritten partition
+        # so a retried batch replaces rather than duplicates postings
         ivf_assign(batch_df, centroids, id_col=id_col, vec_col=vec_col).write.mode(
-            "append"
-        ).parquet(postings)
+            "overwrite"
+        ).parquet(os.path.join(postings, f"batch={batch_id}"))
 
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
@@ -63,4 +65,4 @@ def ivf_ingest_available_now(
     if not os.path.exists(postings):
         empty = spark.createDataFrame([], schema)
         return ivf_assign(empty, centroids, id_col=id_col, vec_col=vec_col)
-    return spark.read.parquet(postings)
+    return spark.read.parquet(postings).drop("batch")

@@ -65,7 +65,7 @@ def dedup_gate_available_now(
     if schema is None:
         schema = spark.read.parquet(src_dir).schema
 
-    def gate_batch(batch_df: DataFrame, _batch_id: int) -> None:
+    def gate_batch(batch_df: DataFrame, batch_id: int) -> None:
         bh = shingle_hashes(batch_df, text_col, id_col, shingle_n, stage=True, hash_fn=hash_fn)
         bs = minhash_signatures(
             batch_df, text_col, id_col, num_hashes, shingle_n, seed, hashes=bh
@@ -77,9 +77,23 @@ def dedup_gate_available_now(
 
         bb = stage_to_parquet(bb, "gate-bands")
 
+        # foreachBatch is at-least-once: state lives in per-batch
+        # overwritten partitions, and the probe EXCLUDES this batch's
+        # partition — a retried batch that already half-appended its own
+        # signatures must not match its docs against themselves (every
+        # such self-pair has Jaccard 1.0 and would reject the whole
+        # batch)
         if os.path.exists(hashes_store):
-            prev_hashes = spark.read.parquet(hashes_store)
-            prev_bands = spark.read.parquet(bands_store)
+            prev_hashes = (
+                spark.read.parquet(hashes_store)
+                .filter(F.col("batch") != batch_id)
+                .drop("batch")
+            )
+            prev_bands = (
+                spark.read.parquet(bands_store)
+                .filter(F.col("batch") != batch_id)
+                .drop("batch")
+            )
         else:
             prev_hashes = spark.createDataFrame([], bh.schema)
             prev_bands = spark.createDataFrame([], bb.schema)
@@ -116,10 +130,11 @@ def dedup_gate_available_now(
         decisions = batch_df.select(id_col).join(rejected, id_col, "left_anti").withColumn(
             "admitted", F.lit(True)
         ).unionByName(rejected.withColumn("admitted", F.lit(False)))
-        decisions.write.mode("append").parquet(out_path)
-        # state append AFTER decisions land: O(batch) growth per trigger
-        bh.write.mode("append").parquet(hashes_store)
-        bb.write.mode("append").parquet(bands_store)
+        decisions.write.mode("overwrite").parquet(os.path.join(out_path, f"batch={batch_id}"))
+        # state lands AFTER decisions, per-batch overwrite: O(batch)
+        # growth per trigger, idempotent under retry
+        bh.write.mode("overwrite").parquet(os.path.join(hashes_store, f"batch={batch_id}"))
+        bb.write.mode("overwrite").parquet(os.path.join(bands_store, f"batch={batch_id}"))
 
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
@@ -134,5 +149,5 @@ def dedup_gate_available_now(
     q.awaitTermination()
     if not os.path.exists(out_path):
         return spark.createDataFrame([], f"{id_col} long, admitted boolean")
-    return spark.read.parquet(out_path)
+    return spark.read.parquet(out_path).drop("batch")
 

@@ -195,10 +195,13 @@ def asof_enrich_available_now(
     if schema is None:
         schema = spark.read.parquet(src_dir).schema
 
-    def enrich_batch(batch_df: DataFrame, _batch_id: int) -> None:
+    def enrich_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # foreachBatch is at-least-once: land each batch in its own
+        # overwritten partition so a retried batch replaces rather than
+        # duplicates its rows (same pattern as ingest.py)
         asof_join(
             batch_df, right, on=on, ts_col=ts_col, payload=payload, tiebreak=tiebreak
-        ).write.mode("append").parquet(out_path)
+        ).write.mode("overwrite").parquet(os.path.join(out_path, f"batch={batch_id}"))
 
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
@@ -216,4 +219,4 @@ def asof_enrich_available_now(
         return asof_join(
             empty, right, on=on, ts_col=ts_col, payload=payload, tiebreak=tiebreak
         )
-    return spark.read.parquet(out_path)
+    return spark.read.parquet(out_path).drop("batch")

@@ -247,3 +247,35 @@ def test_weighted_sample_properties(spark):
     assert sorted(r["doc_id"] for r in got) == sorted(r["doc_id"] for r in again)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_asof_join_null_ts_and_keys(spark):
+    """SQL lateral NULL semantics: NULL-ts right rows never match (in
+    either direction), NULL-key rows never equi-match, and a NULL-ts
+    left row gets NULL payload — not the whole-group carry that naive
+    NULLS FIRST/LAST window ordering would produce."""
+    t = _ts("2024-01-01T10:00:00")
+    left = spark.createDataFrame(
+        [(1, 5, t), (2, 5, None), (3, None, t)],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (100, 5, None, 9.0),    # NULL ts: must never match
+            (101, None, t, 8.0),    # NULL key: must never match
+            (102, 5, t, 7.0),       # the only legitimate match (for left #1)
+        ],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    for direction in ("backward", "forward"):
+        out = {
+            r["event_id"]: r
+            for r in asof_join(
+                left, right, on=["user_id"], ts_col="ts",
+                payload={"event_id": "m_id", "value": "m_value"},
+                tiebreak="event_id", direction=direction,
+            ).collect()
+        }
+        assert out[1]["m_id"] == 102 and out[1]["m_value"] == 7.0
+        assert out[2]["m_id"] is None, direction  # NULL-ts left row
+        assert out[3]["m_id"] is None, direction  # NULL-key left row
