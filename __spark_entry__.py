@@ -772,6 +772,19 @@ def q_embedding_stream_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(postings, cent, qvec, k=10, nprobe=8)
 
 
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid statistics (operators/similarity.py
+    label_centroid_sums): components quantized to integer micro-units
+    before the cross-row sum so the values are aggregation-order-
+    independent; one (label, dim) shuffle with map-side partial agg."""
+    from rat_strain_loader_pipeline_spark.operators.similarity import (
+        label_centroid_sums,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return label_centroid_sums(emb)
+
+
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs, value-checked against the brute-force
     all-pairs Jaccard oracle (md5-derived shingle hashes are
@@ -2945,6 +2958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk_lsh": q_embedding_topk_lsh,
         "embedding_topk_ivf": q_embedding_topk_ivf,
         "embedding_stream_ivf": q_embedding_stream_ivf,
+        "label_centroids": q_label_centroids,
         "dedup_stream_gate": q_dedup_stream_gate,
         "dedup_components": q_dedup_components,
         "dedup_survivors": q_dedup_survivors,
@@ -4213,6 +4227,19 @@ FROM loaded
         "embedding_topk_lsh": _embedding_lsh_oracle_sql(),
         "embedding_topk_ivf": _EMBED_BRUTE_TOPK_SQL,
         "embedding_stream_ivf": _EMBED_BRUTE_TOPK_SQL,
+        "label_centroids": """
+            WITH ex AS (
+              SELECT label,
+                     generate_subscripts(embedding, 1) - 1 AS dim_idx,
+                     unnest(embedding)::DOUBLE AS component
+              FROM embeddings
+            )
+            SELECT label, CAST(dim_idx AS INT) AS dim_idx,
+                   CAST(sum(CAST(floor(component * 1e6) AS BIGINT)) AS BIGINT)
+                     AS sum_micros,
+                   count(*) AS n_vecs
+            FROM ex GROUP BY label, dim_idx
+        """,
         "consequence_snv": _conseq_oracle_sql(),
         # J6: preload = every pair of variants with rgd_id % 3 == 0, so
         # the anti-join must drop exactly those variants' rows

@@ -550,3 +550,34 @@ def knn_join_blocked(
         .filter(F.col("rank") <= k)
         .select("q_id", "c_id", "rank", F.round("cosine", round_to).alias("cosine"))
     )
+
+
+def label_centroid_sums(
+    embeddings: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-label centroid statistics — the supervision-side aggregate of
+    an embedding corpus (class prototypes for nearest-centroid
+    classification, drift monitoring, per-label norms).
+
+    Cross-row float sums are aggregation-order-dependent, so components
+    quantize to integer micro-units BEFORE summing (floor(x * 1e6) per
+    dimension) — the sum is exact and engine-reproducible; the centroid
+    is sum_micros / (n_vecs * 1e6) to the quantization precision. One
+    shuffle on (label, dim) with map-side partial aggregation; output is
+    O(labels x dims), independent of corpus size.
+
+    Returns (label, dim_idx, sum_micros, n_vecs), dim_idx 0-based.
+    """
+    exploded = embeddings.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("dim_idx", "component"),
+    )
+    return exploded.groupBy("label", "dim_idx").agg(
+        F.sum(F.floor(F.col("component").cast("double") * 1e6).cast("long")).alias(
+            "sum_micros"
+        ),
+        F.count(F.lit(1)).alias("n_vecs"),
+    )
