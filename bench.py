@@ -90,10 +90,15 @@ def main() -> None:
             if elapsed is None:
                 break
             best = elapsed if best is None else min(best, elapsed)
-        if best is not None and best > retry_above:
+        # shared-host noise can hit the same query repeatedly (observed
+        # 14x spikes on a 0.9 s query): retry outliers up to twice
+        retries = 0
+        while best is not None and best > retry_above and retries < 2:
             again = _time_once(name, fn)
-            if again is not None:
-                best = min(best, again)
+            if again is None:
+                break
+            best = min(best, again)
+            retries += 1
         timings[name] = round(best, 3) if best is not None else -1.0
     # headline = sum of recorded per-query times: the retry pass above
     # must not double-count its outliers into the total
