@@ -78,20 +78,23 @@ def dedup_gate_available_now(
         bb = stage_to_parquet(bb, "gate-bands")
 
         # foreachBatch is at-least-once: state lives in per-batch
-        # overwritten partitions, and the probe EXCLUDES this batch's
-        # partition — a retried batch that already half-appended its own
-        # signatures must not match its docs against themselves (every
-        # such self-pair has Jaccard 1.0 and would reject the whole
-        # batch)
+        # overwritten partitions, and the probe reads STRICTLY EARLIER
+        # batches only. This covers two failure modes at once: a retried
+        # batch that already half-appended its own signatures must not
+        # match its docs against themselves (self-pairs at Jaccard 1.0
+        # would reject the whole batch), and a full restart over a lost
+        # checkpoint (batch ids reassigned from 0) must not let an early
+        # batch probe a LATER batch's leftover state — with batch < id,
+        # a rerun into the same work_dir reproduces identical decisions.
         if os.path.exists(hashes_store):
             prev_hashes = (
                 spark.read.parquet(hashes_store)
-                .filter(F.col("batch") != batch_id)
+                .filter(F.col("batch") < batch_id)
                 .drop("batch")
             )
             prev_bands = (
                 spark.read.parquet(bands_store)
-                .filter(F.col("batch") != batch_id)
+                .filter(F.col("batch") < batch_id)
                 .drop("batch")
             )
         else:

@@ -320,3 +320,63 @@ def test_asof_join_vs_python_model(spark, lefts, rights, direction):
         else:
             rid = want[1]
             assert got[i] == (rid, float(rights[rid - 100][2]))
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(1, 500), st.integers(1, 50)),
+        min_size=1, max_size=30, unique_by=lambda t: t[0],
+    ),
+    n=st.integers(1, 10),
+)
+@SET
+def test_weighted_sample_vs_python_model(spark, rows, n):
+    """A-ES selection vs an independent Python mirror of the md5-uniform
+    and the priority formula (micros compared with 1-ulp slack since
+    ln() is evaluated by two libms)."""
+    import hashlib
+
+    from rat_strain_loader_pipeline_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    got = {
+        r["doc_id"]: r["priority_micros"]
+        for r in weighted_sample(df, "w", n=n, id_col="doc_id", salt="p").collect()
+    }
+
+    def priority(doc_id, w):
+        s = f"wsample:p:{doc_id}".encode()
+        v = int.from_bytes(hashlib.md5(s).digest()[8:16], "little") % (1 << 52)
+        u = (float(v) + 1.0) / float(1 << 52)
+        return -math.log(u) / float(w)
+
+    model = sorted(((priority(d, w), d) for d, w in rows))[:n]
+    assert set(got) == {d for _, d in model}
+    for p, d in model:
+        assert abs(got[d] - math.floor(p * 1e6)) <= 1
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["H", "x", "y", "zz", ""]), min_size=1, max_size=5),
+        min_size=1, max_size=12,
+    ),
+    min_count=st.integers(2, 5),
+)
+@SET
+def test_remove_duplicate_lines_vs_python_model(spark, docs, min_count):
+    from collections import Counter
+
+    from rat_strain_loader_pipeline_spark.operators.dedup import remove_duplicate_lines
+
+    rows = [(i, "\n".join(lines)) for i, lines in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_kept"], r["n_removed"])
+        for r in remove_duplicate_lines(df, min_count=min_count).collect()
+    }
+    counts = Counter(line for _, t in rows for line in t.split("\n"))
+    for i, t in rows:
+        kept = [ln for ln in t.split("\n") if counts[ln] < min_count]
+        removed = len(t.split("\n")) - len(kept)
+        assert got[i] == ("\n".join(kept), len(kept), removed), i

@@ -299,3 +299,38 @@ def test_ivf_ingest_batch_split_invariance(spark, tmp_path):
     batch = ivf_assign(emb, cent)
     key = lambda r: (r["vec_id"], r["list_id"])  # noqa: E731
     assert sorted(map(key, streamed.collect())) == sorted(map(key, batch.collect()))
+
+
+def test_dedup_gate_rerun_is_idempotent(spark, tmp_path):
+    """Re-running the whole gate into the SAME work dir with a fresh
+    checkpoint (checkpoint loss / full replay) reproduces identical
+    decisions — per-batch overwrite + strictly-earlier state probe means
+    leftover state from the first run can neither duplicate output rows
+    nor leak later-batch signatures into earlier batches."""
+    import shutil
+
+    from rat_strain_loader_pipeline_spark.streaming.dedup_gate import (
+        dedup_gate_available_now,
+    )
+
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    batches = [[(1, a), (2, "one two three four five six seven")], [(3, a + " lambda")]]
+    src = tmp_path / "src"
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.parquet(
+            str(src / f"b{i}")
+        )
+    work = tmp_path / "work"
+    first = sorted(
+        map(tuple, dedup_gate_available_now(
+            spark, str(src / "b*"), str(work), max_files_per_trigger=1
+        ).collect())
+    )
+    shutil.rmtree(str(work / "checkpoint"))  # lose the checkpoint, keep state/out
+    second = sorted(
+        map(tuple, dedup_gate_available_now(
+            spark, str(src / "b*"), str(work), max_files_per_trigger=1
+        ).collect())
+    )
+    assert first == second
+    assert dict(first)[3] is False  # cross-batch rejection intact on replay
