@@ -216,3 +216,28 @@ def test_bm25_bounded_topk_and_broadcast_stats(spark, sf_dir, queries):
     assert "BroadcastExchange" in plan
     # the raw token explode must partial-aggregate before shuffling
     assert "partial_count" in plan.lower() or "HashAggregate" in plan
+
+
+def test_stratified_sample_single_partitioned_window(spark, sf_dir, queries):
+    """Stratified sampling must stay one hash-partitioned window — no
+    global sort, no SinglePartition exchange."""
+    plan = _plan(queries["stratified_sample"](spark, sf_dir))
+    assert "SinglePartition" not in plan
+    assert plan.count("Window (") == 1
+    assert plan.count("Exchange (") == 1
+
+
+def test_char_entropy_partial_aggregation(spark, sf_dir, queries):
+    """The (doc, char) counts must partial-aggregate map-side before the
+    shuffle — the raw exploded characters never shuffle."""
+    plan = _plan(queries["char_entropy"](spark, sf_dir))
+    assert "partial_count" in plan or "partial_" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_weighted_sample_bounded_selection(spark, sf_dir, queries):
+    """A-ES selection is TakeOrderedAndProject (per-partition heaps),
+    never a global sort."""
+    plan = _plan(queries["weighted_sample"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "SinglePartition" not in plan
