@@ -334,3 +334,31 @@ def test_dedup_gate_rerun_is_idempotent(spark, tmp_path):
     )
     assert first == second
     assert dict(first)[3] is False  # cross-batch rejection intact on replay
+
+
+def test_dedup_gate_xxhash_path_equivalence(spark, tmp_path):
+    """The gate's production hash path (hash_fn='xxhash64', JVM-side
+    shingling) admits exactly the same docs as the md5-oracle path on a
+    planted near-dup corpus (pair sets are hash-family-invariant absent
+    collisions)."""
+    from rat_strain_loader_pipeline_spark.streaming.dedup_gate import (
+        dedup_gate_available_now,
+    )
+
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    batches = [[(1, a), (2, "one two three four five six seven")],
+               [(3, a + " lambda"), (4, "eight nine ten eleven twelve thirteen")]]
+    src = tmp_path / "src"
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.parquet(
+            str(src / f"b{i}")
+        )
+    results = {}
+    for fam in ("md5_oracle", "xxhash64"):
+        out = dedup_gate_available_now(
+            spark, str(src / "b*"), str(tmp_path / f"work-{fam}"),
+            hash_fn=fam, max_files_per_trigger=1,
+        )
+        results[fam] = sorted(map(tuple, out.collect()))
+    assert results["md5_oracle"] == results["xxhash64"]
+    assert dict(results["md5_oracle"])[3] is False
