@@ -580,6 +580,71 @@ def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_duplicate_lines(synth, min_count=5)
 
 
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-activity week,
+    counted per week offset they remain active — one keyed window for
+    the cohort anchor, a distinct on (user, cohort, week), one
+    aggregation. Week truncation and day arithmetic are exact integer
+    semantics shared by both engines (Monday-start date_trunc)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    activity = ev.select(
+        "user_id",
+        F.date_trunc("week", F.min("ts").over(w)).alias("cohort_week"),
+        F.date_trunc("week", F.col("ts")).alias("activity_week"),
+    ).distinct()
+    return (
+        activity.select(
+            F.to_date("cohort_week").alias("cohort_week"),
+            (F.datediff(F.col("activity_week"), F.col("cohort_week")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view -> click -> purchase): each later step must
+    occur strictly after the user's earliest completion of the previous
+    one — two conditional-min aggregations chained through joins (the
+    standard funnel shape; no window over the whole event stream).
+    Returns per-user boolean progress so the oracle hash-checks every
+    user's funnel state, not just the summary counts."""
+    ev = _t(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t_view")
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    users = ev.select("user_id").distinct()
+    return (
+        users.join(v, "user_id", "left")
+        .join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            F.col("t_view").isNotNull().alias("reached_view"),
+            F.col("t_click").isNotNull().alias("reached_click"),
+            F.col("t_purchase").isNotNull().alias("reached_purchase"),
+        )
+    )
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/eval n-gram decontamination: docs sharing any word 8-gram
     with the benchmark subset (doc_id % 17 == 0) get flagged; benchmark
@@ -2932,6 +2997,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_forward": q_asof_join_forward,
         "scd2_snapshot": q_scd2_snapshot,
         "pivot_counts": q_pivot_counts,
+        "cohort_retention": q_cohort_retention,
+        "funnel_steps": q_funnel_steps,
         "tfidf_topterms": q_tfidf_topterms,
         "stratified_sample": q_stratified_sample,
         "weighted_sample": q_weighted_sample,
@@ -3787,6 +3854,48 @@ def oracle_sql() -> dict[str, str]:
               WHERE c.user_id = v.user_id AND c.ts >= v.ts
               ORDER BY c.ts ASC, c.event_id ASC LIMIT 1
             ) m ON true
+        """,
+        "cohort_retention": """
+            WITH anchored AS (
+              SELECT DISTINCT user_id,
+                     date_trunc('week', min(ts) OVER (PARTITION BY user_id))
+                       AS cohort_week,
+                     date_trunc('week', ts) AS activity_week
+              FROM events
+            )
+            SELECT CAST(cohort_week AS DATE) AS cohort_week,
+                   CAST(date_diff('day', CAST(cohort_week AS DATE),
+                                  CAST(activity_week AS DATE)) / 7 AS INT)
+                     AS week_offset,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM anchored
+            GROUP BY 1, 2
+        """,
+        "funnel_steps": """
+            WITH v AS (
+              SELECT user_id, min(ts) AS t_view FROM events
+              WHERE event_type = 'view' GROUP BY user_id
+            ),
+            c AS (
+              SELECT e.user_id, min(e.ts) AS t_click
+              FROM events e JOIN v ON e.user_id = v.user_id
+              WHERE e.event_type = 'click' AND e.ts > v.t_view
+              GROUP BY e.user_id
+            ),
+            p AS (
+              SELECT e.user_id, min(e.ts) AS t_purchase
+              FROM events e JOIN c ON e.user_id = c.user_id
+              WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+              GROUP BY e.user_id
+            )
+            SELECT u.user_id,
+                   v.t_view IS NOT NULL AS reached_view,
+                   c.t_click IS NOT NULL AS reached_click,
+                   p.t_purchase IS NOT NULL AS reached_purchase
+            FROM (SELECT DISTINCT user_id FROM events) u
+            LEFT JOIN v ON u.user_id = v.user_id
+            LEFT JOIN c ON u.user_id = c.user_id
+            LEFT JOIN p ON u.user_id = p.user_id
         """,
         "scd2_snapshot": """
             SELECT user_id, event_id, value,
