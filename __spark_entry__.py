@@ -974,7 +974,13 @@ def q_dedup_stream_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         dedup_gate_available_now,
     )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # deterministic 1/2 subset: the gate's admission semantics are
+    # volume-independent and the batch dedup queries bench full volume
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") % 2) == 0)
+        .select("doc_id", "text")
+    )
     work = _os.path.join(_stage_root(), f"dedup-gate-{_uuid.uuid4().hex[:8]}")
     src_dir = _os.path.join(work, "src")
     # id-ordered arrival: land the two halves as separate files, lower
@@ -4372,9 +4378,14 @@ SELECT chromosome, position, end_pos, ref_nuc, var_nuc, variant_type,
        zygosity_ref_allele, zygosity_poss_error, quality_score
 FROM base
 """,
-        "dedup_stream_gate": f"""WITH {_jaccard_pairs_cte_sql(0.5)}
+        "dedup_stream_gate": f"""WITH {
+            _jaccard_pairs_cte_sql(0.5).replace(
+                "FROM documents", "FROM documents WHERE doc_id % 2 = 0"
+            )
+        }
 SELECT CAST(d.doc_id AS BIGINT) AS doc_id, r.id_b IS NULL AS admitted
 FROM documents d LEFT JOIN (SELECT DISTINCT id_b FROM jp) r ON d.doc_id = r.id_b
+WHERE d.doc_id % 2 = 0
 """,
         "dedup_components": _dedup_components_oracle_sql(0.5),
         "dedup_survivors": f"""WITH RECURSIVE {_jaccard_pairs_cte_sql(0.5)},
