@@ -380,3 +380,33 @@ def test_remove_duplicate_lines_vs_python_model(spark, docs, min_count):
         kept = [ln for ln in t.split("\n") if counts[ln] < min_count]
         removed = len(t.split("\n")) - len(kept)
         assert got[i] == ("\n".join(kept), len(kept), removed), i
+
+
+@given(
+    ids=st.lists(st.integers(0, 100_000), min_size=1, max_size=40, unique=True),
+    n=st.integers(1, 6),
+)
+@SET
+def test_stratified_sample_vs_python_model(spark, ids, n):
+    """Salted-md5 ranking vs an independent Python mirror: selection and
+    ranks are bit-exact (string hex ordering, doc_id tiebreak)."""
+    import hashlib
+
+    from rat_strain_loader_pipeline_spark.operators.sampling import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, "s" + str(i % 2)) for i in ids], "doc_id long, lang string"
+    )
+    got = {
+        (r["lang"], r["doc_id"]): r["sample_rank"]
+        for r in stratified_sample(df, ["lang"], n, salt="h").collect()
+    }
+    by_stratum = {}
+    for i in ids:
+        by_stratum.setdefault("s" + str(i % 2), []).append(i)
+    want = {}
+    for lang, members in by_stratum.items():
+        order = sorted(members, key=lambda d: (hashlib.md5(f"sample:h:{d}".encode()).hexdigest(), d))
+        for rank, d in enumerate(order[:n], start=1):
+            want[(lang, d)] = rank
+    assert got == want
