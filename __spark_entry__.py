@@ -580,6 +580,41 @@ def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_duplicate_lines(synth, min_count=5)
 
 
+def q_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection: hours whose event count deviates >= 2
+    standard deviations from that event type's mean hourly volume.
+    Moments come from exact integer sums (s1, s2, c), so mean/std/z are
+    bit-identical across engines; z emitted in floored micro-units. One
+    aggregation per grain + a broadcast of the tiny per-type stats."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    stats = hourly.groupBy("event_type").agg(
+        F.sum("n_events").alias("s1"),
+        F.sum(F.col("n_events") * F.col("n_events")).alias("s2"),
+        F.count(F.lit(1)).alias("c"),
+    )
+    mean = F.col("s1").cast("double") / F.col("c").cast("double")
+    var = (F.col("s2") * F.col("c") - F.col("s1") * F.col("s1")).cast("double") / (
+        F.col("c") * F.col("c")
+    ).cast("double")
+    z = (F.col("n_events").cast("double") - mean) / F.sqrt(var)
+    return (
+        hourly.join(F.broadcast(stats), "event_type")
+        # zero variance (constant hourly volume) has no defined z; the
+        # guard also keeps ANSI floor() away from Inf/NaN
+        .filter(F.col("s2") * F.col("c") - F.col("s1") * F.col("s1") > 0)
+        .select(
+            "event_type",
+            "hour",
+            "n_events",
+            F.floor(z * 1e6).cast("long").alias("z_micros"),
+        )
+        .filter(F.abs(F.col("z_micros")) >= 2_000_000)
+    )
+
+
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention matrix: users bucketed by first-activity week,
     counted per week offset they remain active — one keyed window for
@@ -3003,6 +3038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_forward": q_asof_join_forward,
         "scd2_snapshot": q_scd2_snapshot,
         "pivot_counts": q_pivot_counts,
+        "hourly_anomalies": q_hourly_anomalies,
         "cohort_retention": q_cohort_retention,
         "funnel_steps": q_funnel_steps,
         "tfidf_topterms": q_tfidf_topterms,
@@ -3860,6 +3896,33 @@ def oracle_sql() -> dict[str, str]:
               WHERE c.user_id = v.user_id AND c.ts >= v.ts
               ORDER BY c.ts ASC, c.event_id ASC LIMIT 1
             ) m ON true
+        """,
+        "hourly_anomalies": """
+            WITH hourly AS (
+              SELECT date_trunc('hour', ts) AS hour, event_type,
+                     count(*) AS n_events
+              FROM events GROUP BY 1, 2
+            ),
+            stats AS (
+              SELECT event_type, sum(n_events) AS s1,
+                     sum(n_events * n_events) AS s2, count(*) AS c
+              FROM hourly GROUP BY event_type
+            )
+            SELECT event_type, hour, n_events,
+                   CAST(floor(
+                     (CAST(n_events AS DOUBLE)
+                      - CAST(s1 AS DOUBLE) / CAST(c AS DOUBLE))
+                     / sqrt(CAST(s2 * c - s1 * s1 AS DOUBLE)
+                            / CAST(c * c AS DOUBLE))
+                     * 1e6) AS BIGINT) AS z_micros
+            FROM hourly JOIN stats USING (event_type)
+            WHERE s2 * c - s1 * s1 > 0
+              AND abs(CAST(floor(
+                     (CAST(n_events AS DOUBLE)
+                      - CAST(s1 AS DOUBLE) / CAST(c AS DOUBLE))
+                     / sqrt(CAST(s2 * c - s1 * s1 AS DOUBLE)
+                            / CAST(c * c AS DOUBLE))
+                     * 1e6) AS BIGINT)) >= 2000000
         """,
         "cohort_retention": """
             WITH anchored AS (
