@@ -374,6 +374,54 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series densification (operators/timeseries.py): hourly series
+    per event type over the full observed range — missing hours appear
+    with n_events=0 and the last observed hourly sum carried forward
+    (LOCF). Grid is calendar x type bounded (not data bounded); the only
+    fact-sized work is the pre-aggregation. Dense analog of the
+    reference's fixedStep expansion (ConservationScoreLoader.java:100-140)."""
+    from rat_strain_loader_pipeline_spark.operators.timeseries import gap_fill
+
+    ev = _t(spark, sf_dir, "events")
+    return gap_fill(
+        ev,
+        keys=["event_type"],
+        ts_col="ts",
+        aggs={
+            "n_events": F.count(F.lit(1)),
+            "sum_value": F.sum(F.col("value").cast("decimal(18,2)")).cast("double"),
+        },
+        zero_fill=["n_events"],
+        locf=["sum_value"],
+    ).orderBy("event_type", "hour")
+
+
+def q_events_trailing_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 24 h trailing event-time window over the hourly series
+    (operators/timeseries.py trailing_range): RANGE frame on the epoch,
+    one shuffle, no self-join. Sums stay bigint so the match is exact."""
+    from rat_strain_loader_pipeline_spark.operators.timeseries import trailing_range
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    out = trailing_range(
+        hourly,
+        keys=["event_type"],
+        ts_col="hour",
+        aggs={
+            "trail24_events": F.sum("n_events"),
+            "trail24_hours": F.count(F.lit(1)),
+        },
+        trailing_seconds=23 * 3600,
+    )
+    return out.select(
+        "event_type", "hour", "n_events", "trail24_events", "trail24_hours"
+    ).orderBy("event_type", "hour")
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backward as-of join: each view event enriched with the latest
     at-or-before click by the same user — union-tag + one keyed window
@@ -3034,6 +3082,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zygosity_ladder": q_zygosity_ladder,
         "events_hourly": q_events_hourly,
         "events_sessionize": q_events_sessionize,
+        "events_gap_fill": q_events_gap_fill,
+        "events_trailing_24h": q_events_trailing_24h,
         "asof_join": q_asof_join,
         "asof_join_forward": q_asof_join_forward,
         "scd2_snapshot": q_scd2_snapshot,
@@ -3878,6 +3928,49 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
                    count(*) AS n_events
             FROM g GROUP BY user_id ORDER BY user_id
+        """,
+        "events_gap_fill": """
+            WITH hourly AS (
+                SELECT event_type, date_trunc('hour', ts) AS hour,
+                       count(*) AS n_events,
+                       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+                FROM events GROUP BY 1, 2
+            ), hours AS (
+                SELECT unnest(generate_series(date_trunc('hour', min(ts)),
+                                              date_trunc('hour', max(ts)),
+                                              INTERVAL 1 HOUR)) AS hour
+                FROM events
+            ), grid AS (
+                SELECT t.event_type, h.hour
+                FROM (SELECT DISTINCT event_type FROM events) t CROSS JOIN hours h
+            )
+            SELECT g.event_type, g.hour,
+                   COALESCE(hy.n_events, 0) AS n_events,
+                   last_value(hy.sum_value IGNORE NULLS) OVER (
+                       PARTITION BY g.event_type ORDER BY g.hour
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS filled_sum_value
+            FROM grid g
+            LEFT JOIN hourly hy
+              ON hy.event_type = g.event_type AND hy.hour = g.hour
+            ORDER BY g.event_type, g.hour
+        """,
+        "events_trailing_24h": """
+            WITH hourly AS (
+                SELECT event_type, date_trunc('hour', ts) AS hour,
+                       count(*) AS n_events
+                FROM events GROUP BY 1, 2
+            )
+            SELECT event_type, hour, n_events,
+                   CAST(sum(n_events) OVER (
+                       PARTITION BY event_type ORDER BY hour
+                       RANGE BETWEEN INTERVAL 23 HOURS PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS trail24_events,
+                   CAST(count(*) OVER (
+                       PARTITION BY event_type ORDER BY hour
+                       RANGE BETWEEN INTERVAL 23 HOURS PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS trail24_hours
+            FROM hourly ORDER BY event_type, hour
         """,
         "asof_join": _ASOF_BACKWARD_ORACLE_SQL,
         "asof_join_forward": """

@@ -1,0 +1,119 @@
+"""Time-series densification and trailing-range windows.
+
+Extension operators (no reference twin — the reference is batch ETL with
+no time dimension; `ConservationScoreLoader.java:100-140` is the closest
+analog, a dense per-base series, which motivates the same densify shape).
+These cover the two standard gaps a training-data/telemetry pipeline
+hits that plain groupBy windows don't:
+
+- ``gap_fill``: densify a keyed hourly (or any fixed-step) series over
+  the full observed range, zero-filling counts and carrying the last
+  observed value forward (LOCF).
+- ``trailing_range``: exact trailing-window aggregates over event time
+  (RANGE frame on the epoch), e.g. 24 h rolling sums, without
+  self-joining the series against itself.
+
+100 TB shape
+------------
+The dense grid is ``n_keys x n_steps`` — bounded by the calendar and the
+key cardinality, NOT by the event count, so the grid build (1-row bounds
+agg + ``sequence``/``explode`` + broadcast key list) is tiny relative to
+the fact scan. The only real shuffle is the left join of the grid onto
+the pre-aggregated series, keyed on (key, step) — partial aggregation has
+already collapsed the fact table to series size. The LOCF window
+partitions per key; its length is the number of steps in the range (a
+calendar bound), so no partition grows with data volume. For
+multi-year × million-key grids, partition the window by (key, coarse
+bucket) and stitch with a per-bucket last — not needed at these bounds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def hourly_grid(df: DataFrame, keys: list[str], ts_col: str = "ts") -> DataFrame:
+    """Dense (key..., hour) grid spanning the observed range of ``ts_col``.
+
+    One 1-row global bounds aggregate -> sequence/explode (driver-free),
+    cross-joined with the distinct key tuples (broadcast: key cardinality
+    is assumed dimension-sized)."""
+    bounds = df.agg(
+        F.date_trunc("hour", F.min(ts_col)).alias("lo"),
+        F.date_trunc("hour", F.max(ts_col)).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour")
+    )
+    key_tuples = df.select(*keys).distinct()
+    return hours.crossJoin(F.broadcast(key_tuples))
+
+
+def gap_fill(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    aggs: dict[str, Column],
+    zero_fill: list[str] | None = None,
+    locf: list[str] | None = None,
+) -> DataFrame:
+    """Hourly aggregate ``df`` per (keys, hour), then densify the series.
+
+    ``aggs`` maps output column -> aggregate expression. Columns named in
+    ``zero_fill`` become 0 on missing hours; columns in ``locf`` carry the
+    last non-null observation forward (null until first observation).
+    Returns one row per (keys..., hour) over the full observed range."""
+    zero_fill = zero_fill or []
+    locf = locf or []
+    hour = F.date_trunc("hour", F.col(ts_col)).alias("hour")
+    series = df.groupBy(*keys, hour).agg(
+        *[expr.alias(name) for name, expr in aggs.items()]
+    )
+    grid = hourly_grid(df, keys, ts_col)
+    dense = grid.join(series, on=[*keys, "hour"], how="left")
+    out_cols: list[Column] = [F.col(k) for k in keys] + [F.col("hour")]
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for name in aggs:
+        if name in zero_fill:
+            out_cols.append(F.coalesce(F.col(name), F.lit(0)).alias(name))
+        elif name in locf:
+            out_cols.append(F.last(name, ignorenulls=True).over(w).alias(f"filled_{name}"))
+        else:
+            out_cols.append(F.col(name))
+    return dense.select(*out_cols)
+
+
+def trailing_range(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    aggs: dict[str, Column],
+    trailing_seconds: int,
+) -> DataFrame:
+    """Exact trailing event-time window: for each row, aggregate all rows
+    of the same key with ``ts in [ts - trailing_seconds, ts]`` (inclusive
+    bounds, matching SQL ``RANGE BETWEEN <interval> PRECEDING AND
+    CURRENT ROW``).
+
+    RANGE frame over the epoch second — one shuffle on ``keys``, no
+    self-join, no step explosion (frames are resolved by Spark's window
+    exec against the sorted run). ``aggs`` values must be bare aggregate
+    expressions (the window frame attaches via ``.over``; a cast or
+    arithmetic wrapper would detach it — wrap in a later select
+    instead)."""
+    epoch = F.unix_timestamp(F.col(ts_col))
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(epoch)
+        .rangeBetween(-trailing_seconds, 0)
+    )
+    out = df
+    for name, expr in aggs.items():
+        out = out.withColumn(name, expr.over(w))
+    return out

@@ -1,0 +1,97 @@
+"""gap_fill densification and trailing_range event-time windows."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from rat_strain_loader_pipeline_spark.operators.timeseries import (
+    gap_fill,
+    trailing_range,
+)
+
+
+def _ts(s):
+    return datetime.datetime.fromisoformat(s)
+
+
+def _events(spark):
+    # key 'a': hours 00, 03 observed (01, 02 missing); key 'b': hour 01 only.
+    rows = [
+        ("a", _ts("2024-01-01T00:10:00"), 1.0),
+        ("a", _ts("2024-01-01T00:50:00"), 2.0),
+        ("a", _ts("2024-01-01T03:05:00"), 4.0),
+        ("b", _ts("2024-01-01T01:30:00"), 8.0),
+    ]
+    return spark.createDataFrame(rows, "k string, ts timestamp, v double")
+
+
+def test_gap_fill_zero_fill_and_locf(spark):
+    out = gap_fill(
+        _events(spark),
+        keys=["k"],
+        ts_col="ts",
+        aggs={"n": F.count(F.lit(1)), "sv": F.sum("v")},
+        zero_fill=["n"],
+        locf=["sv"],
+    ).collect()
+    got = {(r["k"], r["hour"].hour): (r["n"], r["filled_sv"]) for r in out}
+    # full grid: 2 keys x 4 hours (00..03)
+    assert len(out) == 8
+    assert got[("a", 0)] == (2, 3.0)
+    assert got[("a", 1)] == (0, 3.0)  # gap: zero count, LOCF carries 3.0
+    assert got[("a", 2)] == (0, 3.0)
+    assert got[("a", 3)] == (1, 4.0)
+    # 'b' has no observation before hour 01 → LOCF is NULL there
+    assert got[("b", 0)] == (0, None)
+    assert got[("b", 1)] == (0, 8.0) or got[("b", 1)] == (1, 8.0)
+    assert got[("b", 1)][1] == 8.0
+    assert got[("b", 3)] == (0, 8.0)
+
+
+def test_gap_fill_single_row_series(spark):
+    one = _events(spark).limit(1)
+    out = gap_fill(
+        one, keys=["k"], ts_col="ts", aggs={"n": F.count(F.lit(1))}, zero_fill=["n"]
+    ).collect()
+    assert len(out) == 1 and out[0]["n"] == 1
+
+
+def test_trailing_range_inclusive_bounds(spark):
+    # rows at t=0h, 23h, 24h: the 23h-back frame at 23h includes 0h
+    # (inclusive lower bound, matching SQL RANGE ... PRECEDING), the one
+    # at 24h does not.
+    rows = [
+        ("a", _ts("2024-01-01T00:00:00"), 1),
+        ("a", _ts("2024-01-01T23:00:00"), 10),
+        ("a", _ts("2024-01-02T00:00:00"), 100),
+        ("b", _ts("2024-01-01T23:00:00"), 7),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, n long")
+    out = trailing_range(
+        df,
+        keys=["k"],
+        ts_col="ts",
+        aggs={"s": F.sum("n")},
+        trailing_seconds=23 * 3600,
+    ).collect()
+    got = {(r["k"], r["ts"].isoformat()): r["s"] for r in out}
+    assert got[("a", "2024-01-01T00:00:00")] == 1
+    assert got[("a", "2024-01-01T23:00:00")] == 11
+    assert got[("a", "2024-01-02T00:00:00")] == 110  # 0h dropped, 23h+24h kept
+    assert got[("b", "2024-01-01T23:00:00")] == 7  # keys don't leak
+
+
+def test_trailing_range_single_shuffle_plan(spark):
+    df = _events(spark).groupBy(
+        "k", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    out = trailing_range(
+        df, keys=["k"], ts_col="hour", aggs={"s": F.sum("n")}, trailing_seconds=3600
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # two exchanges only: groupBy on (k, hour), then window on (k); no
+    # self-join / cartesian anywhere in the trailing-window plan
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
