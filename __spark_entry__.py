@@ -374,6 +374,43 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chi2_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square contingency table over event_type x hour-of-day: the
+    DENSE grid (distinct types x distinct hours, zero-filled) with each
+    cell's observed count and chi-square contribution. The contribution
+    is computed from exact bigint marginals as (o*n - rt*ct)^2 /
+    (n*rt*ct) — identical double operands in both engines — rounded to
+    micro-units per the numeric policy, so the match is value-exact and
+    summation-order-free. Marginals and the grand total join back as
+    broadcast 1-row/dimension-sized aggregates; the only fact-sized pass
+    is the initial cell count."""
+    ev = _t(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type", F.hour("ts").cast("bigint").alias("hod")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    row_tot = cells.groupBy("event_type").agg(F.sum("o").alias("rt"))
+    col_tot = cells.groupBy("hod").agg(F.sum("o").alias("ct"))
+    grand = cells.agg(F.sum("o").alias("n"))
+    grid = (
+        row_tot.crossJoin(F.broadcast(col_tot))
+        .join(F.broadcast(cells), ["event_type", "hod"], "left")
+        .crossJoin(F.broadcast(grand))
+        .withColumn("o", F.coalesce(F.col("o"), F.lit(0)))
+    )
+    num = F.col("o") * F.col("n") - F.col("rt") * F.col("ct")
+    contrib = (num * num).cast("double") / (
+        F.col("n") * F.col("rt") * F.col("ct")
+    ).cast("double")
+    return grid.select(
+        "event_type",
+        "hod",
+        "o",
+        "rt",
+        "ct",
+        F.round(contrib, 6).cast("decimal(20,6)").alias("contrib"),
+    ).orderBy("event_type", "hod")
+
+
 def q_events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series densification (operators/timeseries.py): hourly series
     per event type over the full observed range — missing hours appear
@@ -3084,6 +3121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessionize,
         "events_gap_fill": q_events_gap_fill,
         "events_trailing_24h": q_events_trailing_24h,
+        "chi2_contingency": q_chi2_contingency,
         "asof_join": q_asof_join,
         "asof_join_forward": q_asof_join_forward,
         "scd2_snapshot": q_scd2_snapshot,
@@ -3928,6 +3966,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
                    count(*) AS n_events
             FROM g GROUP BY user_id ORDER BY user_id
+        """,
+        "chi2_contingency": """
+            WITH cells AS (
+                SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod,
+                       count(*) AS o
+                FROM events GROUP BY 1, 2
+            ), rt AS (
+                SELECT event_type, CAST(sum(o) AS BIGINT) AS rt
+                FROM cells GROUP BY 1
+            ), ct AS (
+                SELECT hod, CAST(sum(o) AS BIGINT) AS ct FROM cells GROUP BY 1
+            ), grand AS (
+                SELECT CAST(sum(o) AS BIGINT) AS n FROM cells
+            )
+            SELECT r.event_type, c.hod,
+                   COALESCE(cl.o, 0) AS o, r.rt, c.ct,
+                   CAST(round(
+                       CAST((COALESCE(cl.o, 0) * g.n - r.rt * c.ct)
+                            * (COALESCE(cl.o, 0) * g.n - r.rt * c.ct) AS DOUBLE)
+                       / CAST(g.n * r.rt * c.ct AS DOUBLE), 6)
+                   AS DECIMAL(20,6)) AS contrib
+            FROM rt r CROSS JOIN ct c
+            LEFT JOIN cells cl ON cl.event_type = r.event_type AND cl.hod = c.hod
+            CROSS JOIN grand g
+            ORDER BY r.event_type, c.hod
         """,
         "events_gap_fill": """
             WITH hourly AS (

@@ -241,3 +241,21 @@ def test_weighted_sample_bounded_selection(spark, sf_dir, queries):
     plan = _plan(queries["weighted_sample"](spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
     assert "SinglePartition" not in plan
+
+
+def test_gap_fill_grid_is_broadcast_not_fact_sized(spark, sf_dir, queries):
+    """The dense grid build (hours x key tuples) must broadcast the key
+    list — the only shuffled join is grid-onto-preaggregated-series, so
+    nothing fact-sized crosses the grid path."""
+    plan = _plan(queries["events_gap_fill"](spark, sf_dir))
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_chi2_marginals_broadcast(spark, sf_dir, queries):
+    """Marginal/grand-total joins are dimension-sized broadcasts; the
+    fact table is scanned once for the cell counts."""
+    plan = _plan(queries["chi2_contingency"](spark, sf_dir))
+    assert plan.count("BroadcastExchange") >= 3
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
