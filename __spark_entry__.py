@@ -374,6 +374,54 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus-curation pipeline — the composition every
+    training-data build runs, as ONE declarative plan: exact-dedup
+    survivors → benchmark decontamination (drop the benchmark subset
+    and every doc sharing a word 8-gram with it) → quality/lang gates →
+    deterministic split assignment → per-(split, lang) corpus stats.
+    All stages are the already-oracle-checked operators; quality sums
+    aggregate as decimal(10,4) so the rollup is order-free and exact.
+    Scale shape: two semi-joins on doc_id (hash, fact-sized but
+    id-only), map-side gates, one final small aggregation."""
+    from rat_strain_loader_pipeline_spark.operators.sampling import (
+        deterministic_split,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    survivors = exact_dedup(docs).select(F.col("canonical_id").alias("doc_id"))
+    clean = (
+        T.ngram_contamination(docs, docs.filter(F.col("doc_id") % 17 == 0), n=8)
+        .filter(~F.col("contaminated"))
+        .select("doc_id")
+    )
+    base = (
+        docs.join(survivors, "doc_id", "semi")
+        .join(clean, "doc_id", "semi")
+        .filter(F.col("doc_id") % 17 != 0)
+    )
+    enriched = base.select(
+        "doc_id",
+        T.token_count(F.col("text")).alias("n_tokens"),
+        T.lang_id_heuristic(F.col("text")).alias("lang_pred"),
+        T.quality_score(F.col("text")).alias("quality"),
+    ).filter((F.col("quality") >= 0.6) & (F.col("lang_pred") != "und"))
+    split = deterministic_split(
+        enriched, salt="v1", fractions=(("train", 0.8), ("val", 0.1), ("test", 0.1))
+    )
+    return (
+        split.groupBy("split", "lang_pred")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+            F.sum(F.col("quality").cast("decimal(10,4)"))
+            .cast("decimal(18,4)")
+            .alias("sum_quality"),
+        )
+        .orderBy("split", "lang_pred")
+    )
+
+
 def q_chi2_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chi-square contingency table over event_type x hour-of-day: the
     DENSE grid (distinct types x distinct hours, zero-filled) with each
@@ -3122,6 +3170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_gap_fill": q_events_gap_fill,
         "events_trailing_24h": q_events_trailing_24h,
         "chi2_contingency": q_chi2_contingency,
+        "corpus_curation": q_corpus_curation,
         "asof_join": q_asof_join,
         "asof_join_forward": q_asof_join_forward,
         "scd2_snapshot": q_scd2_snapshot,
@@ -3967,6 +4016,7 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events
             FROM g GROUP BY user_id ORDER BY user_id
         """,
+        "corpus_curation": _curation_oracle_sql(),
         "chi2_contingency": """
             WITH cells AS (
                 SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod,
@@ -5376,6 +5426,56 @@ WHERE l.id IS NULL
             WHERE a.protein_acc_id <> ''
         """,
     }
+
+
+def _curation_oracle_sql() -> str:
+    """Composes the already-proven dedup_exact / decontaminate / lang_id /
+    quality_score / split_assign oracle fragments into the one-pass
+    curation rollup."""
+    return f"""
+        WITH ded AS (
+            SELECT min(doc_id) AS doc_id
+            FROM documents
+            GROUP BY md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+        ),
+        toks AS (
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '') AS tk
+            FROM documents
+        ),
+        grams AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(0, len(tk) - 8 + 1),
+                          i -> array_to_string(tk[i+1:i+8], ' '))) AS g
+            FROM toks WHERE len(tk) >= 8
+        ),
+        bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 17 = 0),
+        hits AS (SELECT DISTINCT grams.doc_id FROM grams JOIN bench USING (g)),
+        lang AS ({_lang_id_sql()}),
+        qual AS ({_quality_score_sql()}),
+        keep AS (
+            SELECT d.doc_id,
+                   CAST(len(list_filter(string_split_regex(trim(d.text), '\\s+'),
+                        t -> t <> '')) AS BIGINT) AS n_tokens
+            FROM documents d
+            JOIN ded USING (doc_id)
+            LEFT JOIN hits h USING (doc_id)
+            WHERE h.doc_id IS NULL AND d.doc_id % 17 <> 0
+        )
+        SELECT CASE WHEN md5_number_lower('split:v1:' || CAST(k.doc_id AS VARCHAR)) % 10000 < 8000 THEN 'train'
+                    WHEN md5_number_lower('split:v1:' || CAST(k.doc_id AS VARCHAR)) % 10000 < 9000 THEN 'val'
+                    ELSE 'test' END AS split,
+               l.lang_pred,
+               count(*) AS n_docs,
+               CAST(sum(k.n_tokens) AS BIGINT) AS sum_tokens,
+               CAST(sum(CAST(q.quality AS DECIMAL(10,4))) AS DECIMAL(18,4)) AS sum_quality
+        FROM keep k
+        JOIN lang l USING (doc_id)
+        JOIN qual q USING (doc_id)
+        WHERE q.quality >= 0.6 AND l.lang_pred <> 'und'
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """
 
 
 def _codon_translate_sql() -> str:
