@@ -259,3 +259,11 @@ def test_chi2_marginals_broadcast(spark, sf_dir, queries):
     assert plan.count("BroadcastExchange") >= 3
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_corpus_curation_semi_join_probes(spark, sf_dir, queries):
+    """Dedup-survivor and decontamination stages must probe as id-only
+    semi joins — the document text is never shuffled for them."""
+    plan = _plan(queries["corpus_curation"](spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
