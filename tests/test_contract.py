@@ -1,0 +1,51 @@
+"""Driver-contract consistency: queries() vs oracle_sql() alignment and
+oracle compilability — catches a renamed query, a dangling oracle, or an
+oracle SQL syntax regression without running Spark."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+import __spark_entry__ as em
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def test_every_oracle_has_a_query():
+    q, o = em.queries(), em.oracle_sql()
+    assert set(o) <= set(q), f"dangling oracles: {sorted(set(o) - set(q))}"
+
+
+def test_rows_only_queries_are_the_documented_exceptions():
+    q, o = em.queries(), em.oracle_sql()
+    assert sorted(set(q) - set(o)) == ["minhash_lsh_xxhash"]
+
+
+def test_all_queries_are_callables():
+    for name, fn in em.queries().items():
+        assert callable(fn), name
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('/root/testdata/sf0.001/{t}.parquet')"
+        )
+    return con
+
+
+def test_every_oracle_compiles_in_duckdb(duck):
+    bad = []
+    for name, sql in em.oracle_sql().items():
+        try:
+            duck.execute(f"EXPLAIN {sql}")
+        except Exception as exc:  # noqa: BLE001 — collecting all failures
+            bad.append((name, str(exc).splitlines()[0]))
+    assert not bad, bad
