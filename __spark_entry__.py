@@ -374,6 +374,14 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (operators/text.py doc_chunks): sliding
+    50-token windows with stride 40 — the fixed-window training prep.
+    Map-side only (split/sequence/slice/explode), zero shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    return T.doc_chunks(docs, chunk_size=50, stride=40).orderBy("doc_id", "chunk_id")
+
+
 def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end corpus-curation pipeline — the composition every
     training-data build runs, as ONE declarative plan: exact-dedup
@@ -3171,6 +3179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_trailing_24h": q_events_trailing_24h,
         "chi2_contingency": q_chi2_contingency,
         "corpus_curation": q_corpus_curation,
+        "doc_chunking": q_doc_chunking,
         "asof_join": q_asof_join,
         "asof_join_forward": q_asof_join_forward,
         "scd2_snapshot": q_scd2_snapshot,
@@ -4017,6 +4026,30 @@ def oracle_sql() -> dict[str, str]:
             FROM g GROUP BY user_id ORDER BY user_id
         """,
         "corpus_curation": _curation_oracle_sql(),
+        "doc_chunking": """
+            WITH toks AS (
+                SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                       list_filter(string_split_regex(trim(text), '[ \t\n\r\f]+'),
+                                   t -> t <> '') AS tk
+                FROM documents
+            ),
+            sized AS (
+                SELECT doc_id, tk, len(tk) AS n FROM toks WHERE len(tk) > 0
+            ),
+            chunks AS (
+                SELECT doc_id, tk,
+                       unnest(range(0, (greatest(n - 50, 0) + 39) // 40 + 1)) AS chunk_id
+                FROM sized
+            )
+            SELECT doc_id,
+                   CAST(chunk_id AS BIGINT) AS chunk_id,
+                   CAST(len(tk[chunk_id * 40 + 1 : chunk_id * 40 + 50]) AS BIGINT)
+                       AS n_chunk_tokens,
+                   array_to_string(tk[chunk_id * 40 + 1 : chunk_id * 40 + 50], ' ')
+                       AS chunk_text
+            FROM chunks
+            ORDER BY doc_id, chunk_id
+        """,
         "chi2_contingency": """
             WITH cells AS (
                 SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod,

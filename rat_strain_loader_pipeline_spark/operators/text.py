@@ -322,3 +322,43 @@ def char_entropy(docs, text_col: str = "text", id_col: str = "doc_id"):
             F.max("n").alias("n_chars_counted"),
         )
     )
+
+
+def doc_chunks(
+    docs,
+    chunk_size: int = 50,
+    stride: int = 40,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Context-window chunking: split each doc's whitespace tokens into
+    sliding windows of ``chunk_size`` tokens advancing by ``stride``
+    (overlap = chunk_size - stride) — the standard prep for fixed-window
+    model training. Pure built-ins (split/sequence/slice/explode), so
+    the whole pass is map-side whole-stage-codegen with zero shuffle:
+    chunk count per doc is ((n - chunk_size)_+ + stride - 1) div
+    stride + 1 (docs with no tokens emit nothing; the last window is a
+    short tail when the token count isn't stride-aligned)."""
+    if not 0 < stride <= chunk_size:
+        raise ValueError("require 0 < stride <= chunk_size")
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    n_chunks = (
+        F.expr(f"(greatest(size_toks - {chunk_size}, 0) + {stride - 1}) div {stride}")
+        + F.lit(1)
+    )
+    base = docs.select(
+        F.col(id_col), toks.alias("toks"), n.alias("size_toks")
+    ).filter(F.col("size_toks") > 0)
+    exploded = base.select(
+        id_col,
+        "toks",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    )
+    chunk = F.slice(F.col("toks"), F.col("chunk_id") * stride + 1, chunk_size)
+    return exploded.select(
+        id_col,
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        F.size(chunk).cast("bigint").alias("n_chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )

@@ -95,3 +95,31 @@ def test_trailing_range_single_shuffle_plan(spark):
     # self-join / cartesian anywhere in the trailing-window plan
     assert plan.count("Exchange hashpartitioning") == 2
     assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+
+
+def test_doc_chunks_windows_and_tail(spark):
+    from rat_strain_loader_pipeline_spark.operators.text import doc_chunks
+
+    import pytest as _pytest
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(10))),  # n=10 > chunk → 3 windows
+            (2, "a b c"),  # n <= chunk → 1 window
+            (3, "   "),  # no tokens → no rows
+        ],
+        "doc_id long, text string",
+    )
+    out = doc_chunks(docs, chunk_size=4, stride=3).collect()
+    got = {(r["doc_id"], r["chunk_id"]): (r["n_chunk_tokens"], r["chunk_text"]) for r in out}
+    assert {k[0] for k in got} == {1, 2}
+    # doc 1: starts 0,3,6 → windows t0-t3, t3-t6, t6-t9; tail start 9 not emitted
+    # because (10-4+2) div 3 + 1 = 3 chunks
+    assert got[(1, 0)] == (4, "t0 t1 t2 t3")
+    assert got[(1, 1)] == (4, "t3 t4 t5 t6")
+    assert got[(1, 2)] == (4, "t6 t7 t8 t9")
+    assert (1, 3) not in got
+    assert got[(2, 0)] == (3, "a b c")
+    # stride > chunk_size is rejected (windows would skip tokens)
+    with _pytest.raises(ValueError):
+        doc_chunks(docs, chunk_size=3, stride=4)
