@@ -267,3 +267,14 @@ def test_corpus_curation_semi_join_probes(spark, sf_dir, queries):
     plan = _plan(queries["corpus_curation"](spark, sf_dir))
     assert "LeftSemi" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_doc_chunks_is_shuffle_free(spark, sf_dir):
+    """Chunking is pure map-side codegen — no exchange anywhere (the
+    driver query's orderBy adds only the final presentation sort)."""
+    from rat_strain_loader_pipeline_spark.operators.text import doc_chunks
+    from rat_strain_loader_pipeline_spark.sources.tables import read_table
+
+    out = doc_chunks(read_table(spark, sf_dir, "documents"))
+    plan = _plan(out)
+    assert "Exchange" not in plan
