@@ -374,6 +374,53 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_spearman_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between hourly click and view volumes,
+    computed as Pearson over tie-averaged ranks (the correct definition
+    under ties — the 6*sum(d^2) shortcut is biased when ranks tie, and
+    hourly counts tie heavily). Ranks stay integer-exact as doubled
+    ranks (2*count_less + count_eq + 1, bigint), every moment sum is a
+    bigint, and rho = num / (sqrt(a)*sqrt(b)) is the same IEEE op
+    sequence in both engines — value-exact. The rank windows run over
+    the per-hour series (calendar-bounded, <= thousands of rows), never
+    the fact table; the fact-sized work is the first aggregation only."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour")).agg(
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("c"),
+        F.count(F.when(F.col("event_type") == "view", 1)).alias("v"),
+    )
+
+    def rank2(df: DataFrame, col: str, out: str) -> DataFrame:
+        vc = df.groupBy(col).agg(F.count(F.lit(1)).alias("eq"))
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
+        ranked = vc.withColumn(
+            "less", F.coalesce(F.sum("eq").over(w), F.lit(0))
+        ).select(col, (2 * F.col("less") + F.col("eq") + 1).alias(out))
+        return df.join(F.broadcast(ranked), col)
+
+    r = rank2(rank2(hourly, "c", "rc2"), "v", "rv2")
+    x, y = F.col("rc2"), F.col("rv2")
+    agg = r.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    n = F.col("n")
+    num = (n * F.col("sxy") - F.col("sx") * F.col("sy")).alias("num")
+    a = (n * F.col("sxx") - F.col("sx") * F.col("sx")).alias("var_x")
+    b = (n * F.col("syy") - F.col("sy") * F.col("sy")).alias("var_y")
+    moments = agg.select("n", num, a, b)
+    rho = F.col("num").cast("double") / (
+        F.sqrt(F.col("var_x").cast("double")) * F.sqrt(F.col("var_y").cast("double"))
+    )
+    return moments.select(
+        "n", "num", "var_x", "var_y", F.round(rho, 6).alias("spearman_rho")
+    )
+
+
 def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window chunking (operators/text.py doc_chunks): sliding
     50-token windows with stride 40 — the fixed-window training prep.
@@ -3180,6 +3227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chi2_contingency": q_chi2_contingency,
         "corpus_curation": q_corpus_curation,
         "doc_chunking": q_doc_chunking,
+        "spearman_hourly": q_spearman_hourly,
         "asof_join": q_asof_join,
         "asof_join_forward": q_asof_join_forward,
         "scd2_snapshot": q_scd2_snapshot,
@@ -4026,6 +4074,57 @@ def oracle_sql() -> dict[str, str]:
             FROM g GROUP BY user_id ORDER BY user_id
         """,
         "corpus_curation": _curation_oracle_sql(),
+        "spearman_hourly": """
+            WITH hourly AS (
+                SELECT date_trunc('hour', ts) AS hour,
+                       count(*) FILTER (event_type = 'click') AS c,
+                       count(*) FILTER (event_type = 'view') AS v
+                FROM events GROUP BY 1
+            ),
+            rc AS (
+                SELECT c, count(*) AS eq FROM hourly GROUP BY 1
+            ),
+            rc2 AS (
+                SELECT c, 2 * COALESCE(sum(eq) OVER (ORDER BY c
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                         + eq + 1 AS rc2
+                FROM rc
+            ),
+            rv AS (
+                SELECT v, count(*) AS eq FROM hourly GROUP BY 1
+            ),
+            rv2 AS (
+                SELECT v, 2 * COALESCE(sum(eq) OVER (ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                         + eq + 1 AS rv2
+                FROM rv
+            ),
+            joined AS (
+                SELECT rc2.rc2, rv2.rv2
+                FROM hourly JOIN rc2 USING (c) JOIN rv2 USING (v)
+            ),
+            agg AS (
+                SELECT count(*) AS n,
+                       CAST(sum(rc2) AS BIGINT) AS sx,
+                       CAST(sum(rv2) AS BIGINT) AS sy,
+                       CAST(sum(rc2 * rc2) AS BIGINT) AS sxx,
+                       CAST(sum(rv2 * rv2) AS BIGINT) AS syy,
+                       CAST(sum(rc2 * rv2) AS BIGINT) AS sxy
+                FROM joined
+            ),
+            moments AS (
+                SELECT n,
+                       n * sxy - sx * sy AS num,
+                       n * sxx - sx * sx AS var_x,
+                       n * syy - sy * sy AS var_y
+                FROM agg
+            )
+            SELECT n, num, var_x, var_y,
+                   round(CAST(num AS DOUBLE)
+                         / (sqrt(CAST(var_x AS DOUBLE)) * sqrt(CAST(var_y AS DOUBLE))),
+                         6) AS spearman_rho
+            FROM moments
+        """,
         "doc_chunking": """
             WITH toks AS (
                 SELECT CAST(doc_id AS BIGINT) AS doc_id,
