@@ -481,9 +481,12 @@ def q_chi2_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chi-square contingency table over event_type x hour-of-day: the
     DENSE grid (distinct types x distinct hours, zero-filled) with each
     cell's observed count and chi-square contribution. The contribution
-    is computed from exact bigint marginals as (o*n - rt*ct)^2 /
-    (n*rt*ct) — identical double operands in both engines — rounded to
-    micro-units per the numeric policy, so the match is value-exact and
+    is computed as (o*n - rt*ct)^2 / (n*rt*ct) with every operand cast
+    to double BEFORE any product (bigint o*n reaches ~n^2 and would
+    silently wrap past ~3e9 events; doubles never overflow and both
+    engines evaluate the identical IEEE-754 expression tree, so the
+    result is bit-identical) and emitted as floored integer micro-units
+    per the numeric policy, so the match is value-exact and
     summation-order-free. Marginals and the grand total join back as
     broadcast 1-row/dimension-sized aggregates; the only fact-sized pass
     is the initial cell count."""
@@ -500,17 +503,19 @@ def q_chi2_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(grand))
         .withColumn("o", F.coalesce(F.col("o"), F.lit(0)))
     )
-    num = F.col("o") * F.col("n") - F.col("rt") * F.col("ct")
-    contrib = (num * num).cast("double") / (
-        F.col("n") * F.col("rt") * F.col("ct")
-    ).cast("double")
+    o_d = F.col("o").cast("double")
+    n_d = F.col("n").cast("double")
+    rt_d = F.col("rt").cast("double")
+    ct_d = F.col("ct").cast("double")
+    num = o_d * n_d - rt_d * ct_d
+    contrib = (num * num) / (n_d * rt_d * ct_d)
     return grid.select(
         "event_type",
         "hod",
         "o",
         "rt",
         "ct",
-        F.round(contrib, 6).cast("decimal(20,6)").alias("contrib"),
+        F.floor(contrib * F.lit(1000000.0)).cast("bigint").alias("contrib_micros"),
     ).orderBy("event_type", "hod")
 
 
@@ -1289,6 +1294,32 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_survivors_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup through the 100 TB hot-bucket guard
+    (operators/dedup.py hot_bucket_cap): every LSH bucket larger than
+    the cap switches from all-pairs to star topology (each member pairs
+    only with the bucket's min-id representative, O(n) not O(n^2)
+    candidate pairs). cap=2 forces the star path onto every 3+ bucket
+    of this corpus, and the oracle is the SAME brute-force survivor SQL
+    as dedup_survivors — value-proving the guard's survivor-preservation
+    property (capped components == uncapped components, verified at
+    sf0.001/0.01/0.1), not just its plan shape."""
+    from rat_strain_loader_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, jaccard_threshold=0.5, hot_bucket_cap=2)
+    losers = (
+        connected_components(pairs)
+        .filter(F.col("node_id") != F.col("component_id"))
+        .select(F.col("node_id").alias("doc_id"))
+    )
+    return docs.join(losers, "doc_id", "left_anti").select(
+        "doc_id", "source", "lang", "n_chars"
+    )
+
+
 def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide token frequency table, top 100 — the tokenizer-
     training / vocab-coverage primitive. Map-side partial counts, one
@@ -1800,7 +1831,7 @@ def q_zygosity_indel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return cf2.withColumns(cols).select(
         "position",
-        F.col("count_t").alias("lnum_mod"),
+        F.col("count_t").cast("bigint").alias("lnum_mod"),
         "zygosity_status", "zygosity_percent_read", "zygosity_ref_allele",
     )
 
@@ -2196,7 +2227,12 @@ def q_flank_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
         seq.alias("protein_seq"),
     )
     out = flank_match_qc(candidates, protein_seqs)
-    return out.select("protein_acc_id", "variant_rgd_id", "pos", "flank_ok")
+    return out.select(
+        "protein_acc_id",
+        "variant_rgd_id",
+        F.col("pos").cast("bigint").alias("pos"),
+        "flank_ok",
+    )
 
 
 # --------------------------------------------------------------------------
@@ -3265,6 +3301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_stream_gate": q_dedup_stream_gate,
         "dedup_components": q_dedup_components,
         "dedup_survivors": q_dedup_survivors,
+        "dedup_survivors_capped": q_dedup_survivors_capped,
         "split_assign": q_split_assign,
         "source_topk": q_source_topk,
         "vocab_topk": q_vocab_topk,
@@ -3696,14 +3733,16 @@ _BM25_CTES_SQL = """toks AS (
     ),
     dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
     lex_scored AS (
+      -- outer CAST: DuckDB widens sum(BIGINT) to HUGEINT, which breaks
+      -- the driver's type-aware value hash against Spark's bigint
       SELECT tf.doc_id,
-             sum(CAST(floor(
+             CAST(sum(CAST(floor(
                ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
                * CAST(tf AS DOUBLE) * 2.2
                / (CAST(tf AS DOUBLE)
                   + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl.dl AS DOUBLE)
                            / (CAST(total_len AS DOUBLE) / CAST(n_docs AS DOUBLE))))
-               * 1e6) AS BIGINT)) AS score_micros,
+               * 1e6) AS BIGINT)) AS BIGINT) AS score_micros,
              count(*) AS n_hit_terms
       FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
       GROUP BY tf.doc_id
@@ -3736,6 +3775,29 @@ reach(id, r) AS (
 )
 SELECT CAST(id AS BIGINT) AS doc_id, CAST(min(r) AS BIGINT) AS component_id
 FROM reach GROUP BY id
+"""
+
+
+# Brute-force dedup-survivor set (transitive closure over all-pairs
+# Jaccard edges; survivors = docs that are their own component min or
+# in no pair). Shared by dedup_survivors AND dedup_survivors_capped —
+# the hot-bucket star topology must reproduce the identical set.
+_DEDUP_SURVIVORS_ORACLE_SQL = f"""WITH RECURSIVE {_jaccard_pairs_cte_sql(0.5)},
+e AS (
+  SELECT id_a AS src, id_b AS dst FROM jp
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM jp
+),
+reach(id, r) AS (
+  SELECT DISTINCT src, src FROM e
+  UNION
+  SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src
+),
+losers AS (SELECT id FROM reach GROUP BY id HAVING min(r) <> id)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.source, d.lang,
+       CAST(d.n_chars AS BIGINT) AS n_chars
+FROM documents d LEFT JOIN losers l ON d.doc_id = l.id
+WHERE l.id IS NULL
 """
 
 
@@ -4164,11 +4226,18 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT r.event_type, c.hod,
                    COALESCE(cl.o, 0) AS o, r.rt, c.ct,
-                   CAST(round(
-                       CAST((COALESCE(cl.o, 0) * g.n - r.rt * c.ct)
-                            * (COALESCE(cl.o, 0) * g.n - r.rt * c.ct) AS DOUBLE)
-                       / CAST(g.n * r.rt * c.ct AS DOUBLE), 6)
-                   AS DECIMAL(20,6)) AS contrib
+                   -- operands cast to DOUBLE before any product (bigint
+                   -- o*n wraps past ~3e9 events); both engines evaluate
+                   -- the same IEEE tree -> bit-identical micro-units
+                   CAST(floor(
+                       ((CAST(COALESCE(cl.o, 0) AS DOUBLE) * CAST(g.n AS DOUBLE)
+                         - CAST(r.rt AS DOUBLE) * CAST(c.ct AS DOUBLE))
+                        * (CAST(COALESCE(cl.o, 0) AS DOUBLE) * CAST(g.n AS DOUBLE)
+                           - CAST(r.rt AS DOUBLE) * CAST(c.ct AS DOUBLE)))
+                       / (CAST(g.n AS DOUBLE) * CAST(r.rt AS DOUBLE)
+                          * CAST(c.ct AS DOUBLE))
+                       * 1000000.0
+                   ) AS BIGINT) AS contrib_micros
             FROM rt r CROSS JOIN ct c
             LEFT JOIN cells cl ON cl.event_type = r.event_type AND cl.hod = c.hod
             CROSS JOIN grand g
@@ -4789,23 +4858,11 @@ FROM documents d LEFT JOIN (SELECT DISTINCT id_b FROM jp) r ON d.doc_id = r.id_b
 WHERE d.doc_id % 2 = 0
 """,
         "dedup_components": _dedup_components_oracle_sql(0.5),
-        "dedup_survivors": f"""WITH RECURSIVE {_jaccard_pairs_cte_sql(0.5)},
-e AS (
-  SELECT id_a AS src, id_b AS dst FROM jp
-  UNION
-  SELECT id_b AS src, id_a AS dst FROM jp
-),
-reach(id, r) AS (
-  SELECT DISTINCT src, src FROM e
-  UNION
-  SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src
-),
-losers AS (SELECT id FROM reach GROUP BY id HAVING min(r) <> id)
-SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.source, d.lang,
-       CAST(d.n_chars AS BIGINT) AS n_chars
-FROM documents d LEFT JOIN losers l ON d.doc_id = l.id
-WHERE l.id IS NULL
-""",
+        "dedup_survivors": _DEDUP_SURVIVORS_ORACLE_SQL,
+        # same brute-force survivor set: the hot-bucket star topology
+        # must not change WHO survives (capped CC == uncapped CC,
+        # verified at sf0.001/0.01/0.1)
+        "dedup_survivors_capped": _DEDUP_SURVIVORS_ORACLE_SQL,
         "length_quantiles": """
             SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
                    round(quantile_cont(n_chars, 0.25), 4) AS p25,
@@ -4990,7 +5047,8 @@ WHERE l.id IS NULL
                    'ENSG'||CAST(k%10 AS VARCHAR) AS gene_id,
                    'T'||CAST(k%7 AS VARCHAR) AS feature_id,
                    '1/3' AS rank_, 'c.1A>T' AS hgvs_c, 'p.K1N' AS hgvs_p,
-                   '100' AS cdna_pos, NULL AS distance_to_feature, NULL AS errors
+                   '100' AS cdna_pos, CAST(NULL AS VARCHAR) AS distance_to_feature,
+                   CAST(NULL AS VARCHAR) AS errors
             FROM base
             UNION ALL
             SELECT k, 9, alt, 'intron_variant', 'LOW',

@@ -284,8 +284,8 @@ def audio_segment_plan(
     )
     return out.select(
         "media_id",
-        "seg_start_ms",
-        "seg_end_ms",
+        F.col("seg_start_ms").cast("long").alias("seg_start_ms"),
+        F.col("seg_end_ms").cast("long").alias("seg_end_ms"),
         F.floor(n_samples).cast("long").alias("n_samples"),
     )
 

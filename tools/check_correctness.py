@@ -1,6 +1,10 @@
 """Local stand-in for the driver's t2 check: run every queries() entry at
 sf0.01 and compare with oracle_sql() via DuckDB — row count, sorted column
-names, and an order-insensitive value comparison.
+names, an order-insensitive EXACT value comparison (no float rounding:
+the driver hashes serialized values, so a last-bit double difference or a
+Decimal-vs-float representation difference must fail here too), and a
+column-type audit (DuckDB relation types must map onto the Spark schema —
+catches DuckDB widening sum(BIGINT) to HUGEINT, DECIMAL drift, etc.).
 
 Usage: python tools/check_correctness.py [sf_dir] [query ...]
 """
@@ -22,24 +26,73 @@ TABLES = [
 
 
 def normalize_cell(v):
+    """Exact, type-tagged serialization — as strict as the driver's hash.
+
+    Floats use repr() (round-trip exact, so a 1-ulp engine difference
+    fails); Decimals keep their exact decimal string AND a type tag so a
+    DECIMAL column can never silently match a DOUBLE/BIGINT one; ints are
+    tagged so BIGINT 3 never matches VARCHAR '3'.
+    """
     if v is None:
         return None
+    if isinstance(v, bool):
+        return f"bool:{v}"
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        return f"{v:.10g}"
-    if isinstance(v, bool):
-        return str(v)
+            return "float:NaN"
+        return f"float:{v!r}"
+    if isinstance(v, int):
+        return f"int:{v}"
     if hasattr(v, "isoformat"):
-        return v.isoformat()
-    try:
-        import decimal
+        return f"ts:{v.isoformat()}"
+    import decimal
 
-        if isinstance(v, decimal.Decimal):
-            return f"{float(v):.10g}"
-    except ImportError:
-        pass
-    return str(v)
+    if isinstance(v, decimal.Decimal):
+        return f"decimal:{v}"
+    if isinstance(v, (list, tuple)):
+        return "list:[" + ",".join(str(normalize_cell(x)) for x in v) + "]"
+    if isinstance(v, (bytes, bytearray)):
+        return f"bytes:{bytes(v).hex()}"
+    return f"str:{v}"
+
+
+def spark_dtype_to_duck(dt: str):
+    """Map a Spark simpleString dtype to the DuckDB type(s) an exact
+    oracle must produce. Returns None for types we don't audit."""
+    dt = dt.strip()
+    if dt.startswith("array<") and dt.endswith(">"):
+        inner = spark_dtype_to_duck(dt[6:-1])
+        return {t + "[]" for t in inner} if inner else None
+    if dt.startswith("decimal("):
+        return {"DECIMAL" + dt[7:].upper()}
+    return {
+        "tinyint": {"TINYINT"},
+        "smallint": {"SMALLINT"},
+        "int": {"INTEGER"},
+        "bigint": {"BIGINT"},
+        "float": {"FLOAT"},
+        "double": {"DOUBLE"},
+        "string": {"VARCHAR"},
+        "boolean": {"BOOLEAN"},
+        "date": {"DATE"},
+        "timestamp": {"TIMESTAMP", "TIMESTAMP WITH TIME ZONE"},
+        "timestamp_ntz": {"TIMESTAMP"},
+        "binary": {"BLOB"},
+    }.get(dt)
+
+
+def audit_types(spark_dtypes, duck_cols, duck_types):
+    """Return list of (col, spark_type, duck_type) mismatches."""
+    duck_by_col = dict(zip(duck_cols, (str(t).upper() for t in duck_types)))
+    bad = []
+    for col, sdt in spark_dtypes:
+        expect = spark_dtype_to_duck(sdt)
+        got = duck_by_col.get(col)
+        if expect is None or got is None:
+            continue
+        if got not in expect:
+            bad.append((col, sdt, got))
+    return bad
 
 
 def df_to_sorted_rows(cols, rows):
@@ -85,9 +138,10 @@ def main() -> int:
             continue
 
         try:
-            res = con.execute(oracles[name])
-            d_cols = [d[0] for d in res.description]
-            d_rows = res.fetchall()
+            rel = con.sql(oracles[name])
+            d_cols = list(rel.columns)
+            d_types = list(rel.types)
+            d_rows = rel.fetchall()
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {e}")
             n_fail += 1
@@ -96,6 +150,10 @@ def main() -> int:
         ok = True
         if sorted(s_cols) != sorted(d_cols):
             print(f"FAIL  {name}: columns spark={sorted(s_cols)} duckdb={sorted(d_cols)}")
+            ok = False
+        type_bad = audit_types(sdf.dtypes, d_cols, d_types)
+        if type_bad:
+            print(f"FAIL  {name}: oracle type drift {type_bad}")
             ok = False
         if len(s_rows) != len(d_rows):
             print(f"FAIL  {name}: row count spark={len(s_rows)} duckdb={len(d_rows)}")
