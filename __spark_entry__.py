@@ -392,6 +392,9 @@ def q_spearman_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def rank2(df: DataFrame, col: str, out: str) -> DataFrame:
         vc = df.groupBy(col).agg(F.count(F.lit(1)).alias("eq"))
+        # unpartitioned window: safe ONLY over vc (distinct per-hour
+        # values, calendar-bounded) — never move it onto df/facts
+        # (pinned by test_plans.test_spearman_rank_windows_over_bounded_series)
         w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
         ranked = vc.withColumn(
             "less", F.coalesce(F.sum("eq").over(w), F.lit(0))
@@ -1032,6 +1035,27 @@ def q_embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(assigned, cent, qvec, k=10, nprobe=8)
 
 
+def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L9 batch kNN join (operators/similarity.py knn_join_blocked):
+    every query vector (vec_id < 20) against the FULL corpus, exact
+    cosine top-10, fully distributed — corpus hashed into blocks, each
+    block GEMMs its slice against the replicated queries and keeps k
+    block-local partials (lexsort tie-break on ascending corpus id),
+    then ONE per-query window reduces n_blocks*k partials to the global
+    top-k. No corpus collect/broadcast; replication factor = n_blocks on
+    the (tiny) query side only. Oracle: DuckDB brute-force cross scored
+    + row_number per query."""
+    from rat_strain_loader_pipeline_spark.operators.similarity import (
+        knn_join_blocked,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = knn_join_blocked(emb.filter(F.col("vec_id") < 20), emb, k=10, n_blocks=8)
+    return out.select(
+        "q_id", "c_id", F.col("rank").cast("bigint").alias("rank"), "cosine"
+    )
+
+
 def q_embedding_stream_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental ANN index under the correctness gate: embeddings
     stream in as a REAL 2-micro-batch AvailableNow run, each batch
@@ -1126,6 +1150,57 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     this corpus)."""
     docs = _t(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(docs, threshold=0.8)
+
+
+def q_store_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E21 small-file compaction (store.py compact_table) under the
+    value oracle: land documents as 3 appends of ~4 small files each
+    (the micro-batch append pattern that fragments a real store), run
+    the staged-rewrite compaction, and emit the invariants the rewrite
+    must preserve — row count and an order-free content hash (sum of
+    md5_number_lower(doc_id:md5(text)) mod 2^31, the engine-portable
+    _md5_fold identity) — plus the layout facts (files_after exactly
+    ceil(rows/target)=1, files strictly reduced). The oracle recomputes
+    the invariants straight from the source table: any dropped /
+    duplicated / corrupted row changes the hash."""
+    import os as _os
+    import uuid as _uuid
+
+    from rat_strain_loader_pipeline_spark.operators.sampling import _md5_fold
+    from rat_strain_loader_pipeline_spark.staging import _stage_root
+    from rat_strain_loader_pipeline_spark.store import compact_table
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    root = _os.path.join(_stage_root(), f"compact-{_uuid.uuid4().hex[:8]}")
+    path = _os.path.join(root, "documents_store")
+    for i in range(3):
+        (
+            docs.filter(F.col("doc_id") % 3 == i)
+            .repartition(4)
+            .write.mode("append")
+            .option("maxRecordsPerFile", 50)
+            .parquet(path)
+        )
+    stats = compact_table(spark, root, "documents_store", target_rows_per_file=1_000_000)
+    hash_col = _md5_fold(
+        F.concat_ws(":", F.col("doc_id").cast("string"), F.md5(F.col("text"))),
+        2**31,
+    )
+    return (
+        spark.read.parquet(path)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("row_count"),
+            F.sum(hash_col).cast("bigint").alias("content_hash_mod"),
+        )
+        .select(
+            F.lit("documents_store").alias("table_name"),
+            "row_count",
+            "content_hash_mod",
+            F.lit(stats["files_after"]).cast("bigint").alias("files_after"),
+            F.lit(stats["files_before"] > stats["files_after"]).alias("files_reduced"),
+            F.lit(stats["rows"]).cast("bigint").alias("precompact_rows"),
+        )
+    )
 
 
 def q_cf2_stream_load(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3297,6 +3372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk_lsh": q_embedding_topk_lsh,
         "embedding_topk_ivf": q_embedding_topk_ivf,
         "embedding_stream_ivf": q_embedding_stream_ivf,
+        "knn_join": q_knn_join,
         "label_centroids": q_label_centroids,
         "dedup_stream_gate": q_dedup_stream_gate,
         "dedup_components": q_dedup_components,
@@ -3310,6 +3386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # directly after the batch flagship: shares its derive/upsert
         # plans, so the streaming run pays warm codegen, not cold
         "cf2_stream_load": q_cf2_stream_load,
+        "store_compaction": q_store_compaction,
         "load_counters": q_load_counters,
         "distinct_groups": q_distinct_groups,
         "melt_unpivot": q_melt_unpivot,
@@ -4812,6 +4889,45 @@ FROM loaded
         "embedding_topk_lsh": _embedding_lsh_oracle_sql(),
         "embedding_topk_ivf": _EMBED_BRUTE_TOPK_SQL,
         "embedding_stream_ivf": _EMBED_BRUTE_TOPK_SQL,
+        # compaction invariants recomputed from the source table: the
+        # rewrite must preserve the row multiset exactly (order-free
+        # content hash), land exactly ceil(rows/target)=1 file, and
+        # strictly reduce the file count
+        "store_compaction": """
+            SELECT 'documents_store' AS table_name,
+                   CAST(count(*) AS BIGINT) AS row_count,
+                   CAST(sum(md5_number_lower(CAST(doc_id AS VARCHAR) || ':'
+                                             || md5(text)) % 2147483648)
+                        AS BIGINT) AS content_hash_mod,
+                   CAST(1 AS BIGINT) AS files_after,
+                   TRUE AS files_reduced,
+                   CAST(count(*) AS BIGINT) AS precompact_rows
+            FROM documents
+        """,
+        "knn_join": """
+            WITH n AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v,
+                     sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x)))
+                       AS nrm
+              FROM embeddings
+            ),
+            q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 20),
+            scored AS (
+              SELECT q.q_id, c.vec_id AS c_id,
+                     list_sum(list_transform(range(1, len(c.v)+1),
+                              i -> c.v[i] * q.qv[i])) / (c.nrm * q.qn) AS raw
+              FROM n c CROSS JOIN q
+            ),
+            ranked AS (
+              SELECT q_id, c_id, raw,
+                     row_number() OVER (PARTITION BY q_id ORDER BY raw DESC, c_id)
+                       AS rank
+              FROM scored
+            )
+            SELECT q_id, c_id, CAST(rank AS BIGINT) AS rank,
+                   round(raw, 4) AS cosine
+            FROM ranked WHERE rank <= 10
+        """,
         "label_centroids": """
             WITH ex AS (
               SELECT label,

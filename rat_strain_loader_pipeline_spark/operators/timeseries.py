@@ -16,11 +16,13 @@ hits that plain groupBy windows don't:
 100 TB shape
 ------------
 The dense grid is ``n_keys x n_steps`` — bounded by the calendar and the
-key cardinality, NOT by the event count, so the grid build (1-row bounds
-agg + ``sequence``/``explode`` + broadcast key list) is tiny relative to
-the fact scan. The only real shuffle is the left join of the grid onto
-the pre-aggregated series, keyed on (key, step) — partial aggregation has
-already collapsed the fact table to series size. The LOCF window
+key cardinality, NOT by the event count. ``gap_fill`` scans the fact
+table exactly ONCE (the pre-aggregation), stages the collapsed series
+(series-sized parquet, lineage truncation), and builds the grid —
+bounds, key list, the join's left side — from that staged series; the
+1-row bounds agg, ``sequence``/``explode``, and broadcast key list are
+all series-sized work. The only real shuffle is the left join of the
+grid onto the series, keyed on (key, step). The LOCF window
 partitions per key; its length is the number of steps in the range (a
 calendar bound), so no partition grows with data volume. For
 multi-year × million-key grids, partition the window by (key, coarse
@@ -32,23 +34,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
-
-
-def hourly_grid(df: DataFrame, keys: list[str], ts_col: str = "ts") -> DataFrame:
-    """Dense (key..., hour) grid spanning the observed range of ``ts_col``.
-
-    One 1-row global bounds aggregate -> sequence/explode (driver-free),
-    cross-joined with the distinct key tuples (broadcast: key cardinality
-    is assumed dimension-sized)."""
-    bounds = df.agg(
-        F.date_trunc("hour", F.min(ts_col)).alias("lo"),
-        F.date_trunc("hour", F.max(ts_col)).alias("hi"),
-    )
-    hours = bounds.select(
-        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour")
-    )
-    key_tuples = df.select(*keys).distinct()
-    return hours.crossJoin(F.broadcast(key_tuples))
 
 
 def gap_fill(
@@ -63,15 +48,31 @@ def gap_fill(
 
     ``aggs`` maps output column -> aggregate expression. Columns named in
     ``zero_fill`` become 0 on missing hours; columns in ``locf`` carry the
-    last non-null observation forward (null until first observation).
-    Returns one row per (keys..., hour) over the full observed range."""
+    last non-null observation forward (null until first observation) and
+    are RENAMED to ``filled_<name>`` in the output (the raw column name
+    would misleadingly suggest observed-only values); ``zero_fill``
+    columns keep their names. Returns one row per (keys..., hour) over
+    the full observed range.
+
+    The fact table is scanned once: the collapsed series is staged, and
+    the grid (bounds + distinct keys) derives from the staged series,
+    not the raw facts."""
+    from rat_strain_loader_pipeline_spark.staging import stage_to_parquet
+
     zero_fill = zero_fill or []
     locf = locf or []
     hour = F.date_trunc("hour", F.col(ts_col)).alias("hour")
-    series = df.groupBy(*keys, hour).agg(
-        *[expr.alias(name) for name, expr in aggs.items()]
+    series = stage_to_parquet(
+        df.groupBy(*keys, hour).agg(
+            *[expr.alias(name) for name, expr in aggs.items()]
+        ),
+        "gapfill-series",
     )
-    grid = hourly_grid(df, keys, ts_col)
+    bounds = series.agg(F.min("hour").alias("lo"), F.max("hour").alias("hi"))
+    hours = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour")
+    )
+    grid = hours.crossJoin(F.broadcast(series.select(*keys).distinct()))
     dense = grid.join(series, on=[*keys, "hour"], how="left")
     out_cols: list[Column] = [F.col(k) for k in keys] + [F.col("hour")]
     w = (

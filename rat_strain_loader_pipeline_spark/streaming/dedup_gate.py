@@ -66,78 +66,72 @@ def dedup_gate_available_now(
         schema = spark.read.parquet(src_dir).schema
 
     def gate_batch(batch_df: DataFrame, batch_id: int) -> None:
-        bh = shingle_hashes(batch_df, text_col, id_col, shingle_n, stage=True, hash_fn=hash_fn)
+        # The batch's own signatures land in the state store FIRST and
+        # the store copy doubles as the staged (lineage-truncated) input
+        # for every join below — one write serves both staging and
+        # state, where an earlier revision wrote the same data twice
+        # (a stage_to_parquet round plus a post-decision state append).
+        # Safe because the probe reads STRICTLY EARLIER batches only:
+        # the current batch's partition is invisible to its own probe,
+        # a retried batch just overwrites its partition (idempotent),
+        # and a restart over a lost checkpoint (batch ids reassigned
+        # from 0) can never probe a LATER batch's leftover state.
+        bh = shingle_hashes(batch_df, text_col, id_col, shingle_n, stage=False, hash_fn=hash_fn)
+        bh.write.mode("overwrite").parquet(os.path.join(hashes_store, f"batch={batch_id}"))
+        bh = spark.read.parquet(os.path.join(hashes_store, f"batch={batch_id}"))
         bs = minhash_signatures(
             batch_df, text_col, id_col, num_hashes, shingle_n, seed, hashes=bh
         )
         bb = band_signatures(bs, id_col, num_hashes, bands)
-        # stage the banded rows: they feed two joins below AND the state
-        # append, and the state read must never see a half-written self
-        from rat_strain_loader_pipeline_spark.staging import stage_to_parquet
+        bb.write.mode("overwrite").parquet(os.path.join(bands_store, f"batch={batch_id}"))
+        bb = spark.read.parquet(os.path.join(bands_store, f"batch={batch_id}"))
 
-        bb = stage_to_parquet(bb, "gate-bands")
-
-        # foreachBatch is at-least-once: state lives in per-batch
-        # overwritten partitions, and the probe reads STRICTLY EARLIER
-        # batches only. This covers two failure modes at once: a retried
-        # batch that already half-appended its own signatures must not
-        # match its docs against themselves (self-pairs at Jaccard 1.0
-        # would reject the whole batch), and a full restart over a lost
-        # checkpoint (batch ids reassigned from 0) must not let an early
-        # batch probe a LATER batch's leftover state — with batch < id,
-        # a rerun into the same work_dir reproduces identical decisions.
-        if os.path.exists(hashes_store):
-            prev_hashes = (
-                spark.read.parquet(hashes_store)
-                .filter(F.col("batch") < batch_id)
-                .drop("batch")
-            )
-            prev_bands = (
-                spark.read.parquet(bands_store)
-                .filter(F.col("batch") < batch_id)
-                .drop("batch")
-            )
-        else:
-            prev_hashes = spark.createDataFrame([], bh.schema)
-            prev_bands = spark.createDataFrame([], bb.schema)
-
-        # earlier-doc candidates: cross-batch (any previous doc) via the
-        # banded equi-join, plus in-batch pairs with smaller id
-        cross = (
-            prev_bands.alias("p")
-            .join(
-                bb.alias("c"),
-                on=[F.col("p.band") == F.col("c.band"), F.col("p.band_sig") == F.col("c.band_sig")],
-            )
-            .select(F.col(f"p.{id_col}").alias("id_a"), F.col(f"c.{id_col}").alias("id_b"))
+        prev_hashes = (
+            spark.read.parquet(hashes_store)
+            .filter(F.col("batch") < batch_id)
+            .drop("batch")
         )
-        within = (
-            bb.alias("a")
+        prev_bands = (
+            spark.read.parquet(bands_store)
+            .filter(F.col("batch") < batch_id)
+            .drop("batch")
+        )
+
+        # earlier-doc candidates in ONE banded equi-join: the "earlier"
+        # side is previous-batch bands (candidates unconditionally —
+        # an earlier BATCH wins regardless of id) unioned with the
+        # current batch's own bands (candidates only against larger
+        # in-batch ids). The earlier/in-batch distinction rides a
+        # post-join filter on the same shuffle, replacing two separate
+        # join stages over the identical bucket keys.
+        all_bands = prev_bands.withColumn("__earlier", F.lit(True)).unionByName(
+            bb.withColumn("__earlier", F.lit(False))
+        )
+        candidates = (
+            all_bands.alias("a")
             .join(
                 bb.alias("b"),
                 on=[
                     F.col("a.band") == F.col("b.band"),
                     F.col("a.band_sig") == F.col("b.band_sig"),
-                    F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+                    F.col("a.__earlier") | (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
                 ],
             )
             .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+            .dropDuplicates()
         )
-        candidates = cross.unionByName(within).dropDuplicates()
         all_hashes = prev_hashes.unionByName(bh)
         rejected = (
             _verify_jaccard(candidates, all_hashes, id_col, jaccard_threshold)
             .select(F.col("id_b").alias(id_col))
             .dropDuplicates()
         )
-        decisions = batch_df.select(id_col).join(rejected, id_col, "left_anti").withColumn(
+        # decision ids come from the staged store copy, not batch_df —
+        # re-deriving from the micro-batch source would rescan it
+        decisions = bh.select(id_col).join(rejected, id_col, "left_anti").withColumn(
             "admitted", F.lit(True)
         ).unionByName(rejected.withColumn("admitted", F.lit(False)))
         decisions.write.mode("overwrite").parquet(os.path.join(out_path, f"batch={batch_id}"))
-        # state lands AFTER decisions, per-batch overwrite: O(batch)
-        # growth per trigger, idempotent under retry
-        bh.write.mode("overwrite").parquet(os.path.join(hashes_store, f"batch={batch_id}"))
-        bb.write.mode("overwrite").parquet(os.path.join(bands_store, f"batch={batch_id}"))
 
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:

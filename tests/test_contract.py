@@ -49,3 +49,23 @@ def test_every_oracle_compiles_in_duckdb(duck):
         except Exception as exc:  # noqa: BLE001 — collecting all failures
             bad.append((name, str(exc).splitlines()[0]))
     assert not bad, bad
+
+
+def test_no_oracle_type_widening(duck):
+    """No oracle may emit HUGEINT/UHUGEINT (DuckDB's silent sum(BIGINT)
+    widening — it breaks the driver's type-aware value hash against
+    Spark's bigint; wrap the outer aggregate in CAST(... AS BIGINT)),
+    nor DECIMAL except where the Spark side is the identical decimal.
+    The full Spark-schema cross-check runs in tools/check_correctness.py;
+    this pins the regression class without a Spark session."""
+    DECIMAL_ALLOWED = {"corpus_curation": {"sum_quality"}}
+    bad = []
+    for name, sql in em.oracle_sql().items():
+        rel = duck.sql(sql)
+        for col, t in zip(rel.columns, rel.types):
+            ts = str(t).upper()
+            if ts in ("HUGEINT", "UHUGEINT", "UBIGINT"):
+                bad.append((name, col, ts))
+            elif ts.startswith("DECIMAL") and col not in DECIMAL_ALLOWED.get(name, set()):
+                bad.append((name, col, ts))
+    assert not bad, bad

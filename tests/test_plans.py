@@ -278,3 +278,20 @@ def test_doc_chunks_is_shuffle_free(spark, sf_dir):
     out = doc_chunks(read_table(spark, sf_dir, "documents"))
     plan = _plan(out)
     assert "Exchange" not in plan
+
+
+def test_spearman_rank_windows_over_bounded_series(spark, sf_dir, queries):
+    """rank2's unpartitioned windows are safe ONLY because they run over
+    the per-hour value-count table (calendar-bounded): every Window
+    node's input must carry the post-aggregation 'eq' count column,
+    which fact rows don't have — a refactor that moves the window onto
+    the fact table fails here, not on a 100 TB run."""
+    import re
+
+    plan = _plan(queries["spearman_hourly"](spark, sf_dir))
+    sections = re.split(r"\n\(\d+\) ", plan)
+    windows = [s for s in sections if s.startswith("Window")]
+    assert len(windows) == 2
+    for w in windows:
+        m = re.search(r"Input \[\d+\]: \[([^\]]*)\]", w)
+        assert m is not None and "eq" in m.group(1)

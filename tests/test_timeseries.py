@@ -45,8 +45,7 @@ def test_gap_fill_zero_fill_and_locf(spark):
     assert got[("a", 3)] == (1, 4.0)
     # 'b' has no observation before hour 01 → LOCF is NULL there
     assert got[("b", 0)] == (0, None)
-    assert got[("b", 1)] == (0, 8.0) or got[("b", 1)] == (1, 8.0)
-    assert got[("b", 1)][1] == 8.0
+    assert got[("b", 1)] == (1, 8.0)  # the one observed 'b' event
     assert got[("b", 3)] == (0, 8.0)
 
 
