@@ -1369,6 +1369,49 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing weights (operators/sampling.py
+    mixture_weights, alpha=0.5): p_s = sqrt(n_s)/sum sqrt(n_t), plus
+    the floor(budget*p) per-source epoch allocation — the multi-source
+    data-mixing primitive. Value-exact: sqrt is IEEE-correctly-rounded
+    in both engines and every sum is bigint micro-units."""
+    from rat_strain_loader_pipeline_spark.operators.sampling import mixture_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    return mixture_weights(docs, group_col="source", alpha=0.5, budget=250_000)
+
+
+def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse tf-idf cosine similarity join (operators/retrieval.py
+    tfidf_cosine_pairs): inverted-index self-join over terms with
+    df <= ceil(0.1 * N) (fractional stop-term cutoff — the posting-list
+    bound scales with the corpus), per-term products and norms in
+    integer micro-units (order-free sums), cosine >= 0.3. The lexical
+    sparse-vector twin of dedup_embedding's dense block GEMM."""
+    from rat_strain_loader_pipeline_spark.operators.retrieval import (
+        tfidf_cosine_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return tfidf_cosine_pairs(docs, threshold=0.3, max_df_frac=0.1)
+
+
+def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing substring near-dup pairs (operators/dedup.py
+    winnow_dup_pairs — the MOSS fingerprinting scheme): per-doc w=5
+    window minima over positional 4-gram md5-fold hashes, stop-
+    fingerprint pruning (df > 20), inverted-index self-join, pairs
+    sharing >= 2 fingerprints. Detects SHARED SUBSTRINGS (>= w+k-1
+    token runs are guaranteed a common fingerprint) that whole-doc
+    hashing misses and Jaccard dilutes. Value-exact: the oracle
+    rebuilds the identical fingerprint sets via list ops +
+    md5_number_lower."""
+    from rat_strain_loader_pipeline_spark.operators.dedup import winnow_dup_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return winnow_dup_pairs(docs, k=4, w=5, stop_df=20, min_shared=2)
+
+
 def q_dedup_survivors_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end dedup through the 100 TB hot-bucket guard
     (operators/dedup.py hot_bucket_cap): every LSH bucket larger than
@@ -3378,6 +3421,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": q_dedup_components,
         "dedup_survivors": q_dedup_survivors,
         "dedup_survivors_capped": q_dedup_survivors_capped,
+        "winnow_pairs": q_winnow_pairs,
+        "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
+        "mixture_weights": q_mixture_weights,
         "split_assign": q_split_assign,
         "source_topk": q_source_topk,
         "vocab_topk": q_vocab_topk,
@@ -4974,6 +5020,125 @@ FROM documents d LEFT JOIN (SELECT DISTINCT id_b FROM jp) r ON d.doc_id = r.id_b
 WHERE d.doc_id % 2 = 0
 """,
         "dedup_components": _dedup_components_oracle_sql(0.5),
+        "mixture_weights": """
+            WITH counts AS (
+              SELECT source, count(*) AS n_docs FROM documents GROUP BY 1
+            ),
+            scaled AS (
+              SELECT source, n_docs,
+                     CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1e6) AS BIGINT)
+                       AS a_micros
+              FROM counts
+            ),
+            tot AS (
+              SELECT CAST(sum(a_micros) AS BIGINT) AS tot_micros FROM scaled
+            )
+            SELECT source, n_docs,
+                   CAST(floor(CAST(a_micros AS DOUBLE)
+                        / CAST(tot_micros AS DOUBLE) * 1e6) AS BIGINT)
+                     AS weight_micros,
+                   CAST(floor(CAST(a_micros AS DOUBLE)
+                        / CAST(tot_micros AS DOUBLE) * 250000.0) AS BIGINT)
+                     AS expected_docs
+            FROM scaled CROSS JOIN tot
+        """,
+        # sparse tf-idf cosine rebuilt in SQL: identical tokenization as
+        # the BM25 CTEs, fractional df cutoff, micro-unit sums (outer
+        # BIGINT casts — DuckDB widens sum(BIGINT)), identical IEEE
+        # sequence for the final cosine
+        "tfidf_cosine_pairs": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(regexp_split_to_array(trim(lower(text)),
+                                                              '\s+'),
+                                        t -> t <> '')) AS term
+              FROM documents
+            ),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+            nd AS (SELECT count(*) AS n_docs FROM documents),
+            dfk AS (
+              SELECT term, df FROM
+                (SELECT term, count(*) AS df FROM tf GROUP BY 1), nd
+              WHERE df <= ceil(n_docs * 0.1)
+            ),
+            w AS (
+              SELECT doc_id, term,
+                     CAST(tf AS DOUBLE)
+                       * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) AS w
+              FROM tf JOIN dfk USING (term) CROSS JOIN nd
+            ),
+            norms AS (
+              SELECT doc_id,
+                     CAST(sum(CAST(floor(w * w * 1e6) AS BIGINT)) AS BIGINT)
+                       AS norm2
+              FROM w GROUP BY 1
+            ),
+            num AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     CAST(sum(CAST(floor(a.w * b.w * 1e6) AS BIGINT)) AS BIGINT)
+                       AS num_micros
+              FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ),
+            scored AS (
+              SELECT id_a, id_b,
+                     CAST(floor(CAST(num_micros AS DOUBLE)
+                          / (sqrt(CAST(na.norm2 AS DOUBLE))
+                             * sqrt(CAST(nb.norm2 AS DOUBLE)))
+                          * 1000000.0) AS BIGINT) AS cosine_micros
+              FROM num
+              JOIN norms na ON num.id_a = na.doc_id
+              JOIN norms nb ON num.id_b = nb.doc_id
+            )
+            SELECT id_a, id_b, cosine_micros FROM scored
+            WHERE cosine_micros >= 300000
+        """,
+        # winnowing rebuilt from scratch in SQL: positional 4-gram
+        # md5-fold hashes, 5-window list_min fingerprints, stop-df
+        # prune, inverted-index self-join (k=4 -> ts[i:i+3] is 4
+        # tokens; w=5 -> hs[j:j+4] is 5 hashes; DuckDB slices are
+        # 1-based inclusive, range() end-exclusive)
+        "winnow_pairs": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\s+'),
+                                 t -> t <> '') AS ts
+              FROM documents
+            ),
+            g AS (
+              SELECT doc_id,
+                CASE WHEN len(ts) = 0 THEN []::VARCHAR[]
+                     WHEN len(ts) < 4 THEN [array_to_string(ts, '_')]
+                     ELSE list_transform(range(1, len(ts) - 2),
+                                         i -> array_to_string(ts[i:i+3], '_'))
+                END AS grams
+              FROM toks
+            ),
+            h AS (
+              SELECT doc_id,
+                     list_transform(grams,
+                       s -> CAST(md5_number_lower(s) % 2147483647 AS BIGINT)) AS hs
+              FROM g
+            ),
+            wn AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       range(1, greatest(len(hs) - 4, 1) + 1),
+                       j -> list_min(hs[j:j+4]))) AS fps
+              FROM h
+            ),
+            ex AS (
+              SELECT doc_id, unnest(fps) AS fp FROM wn
+            ),
+            exf AS (SELECT doc_id, fp FROM ex WHERE fp IS NOT NULL),
+            keep AS (SELECT fp FROM exf GROUP BY fp HAVING count(*) <= 20),
+            pr AS (SELECT doc_id, fp FROM exf JOIN keep USING (fp))
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(count(*) AS BIGINT) AS n_shared
+            FROM pr a JOIN pr b ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+            HAVING count(*) >= 2
+        """,
         "dedup_survivors": _DEDUP_SURVIVORS_ORACLE_SQL,
         # same brute-force survivor set: the hot-bucket star topology
         # must not change WHO survives (capped CC == uncapped CC,

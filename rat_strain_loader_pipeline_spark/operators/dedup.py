@@ -650,3 +650,136 @@ def remove_duplicate_lines(
             F.sum((~keep).cast("long")).alias("n_removed"),
         )
     )
+
+
+def _winnow_udf(k: int, w: int, modulus: int = _P):
+    """Arrow-batched winnowed-fingerprint computation on the md5-oracle
+    hash identity (``md5_number_lower % modulus``) — the same
+    pandas-UDF pattern as ``_hashes_udf``: Python hashlib beats a
+    JVM higher-order ``transform`` here because HOF lambdas are
+    interpreted per element (the md5-fold chain inside one ran ~8x
+    slower than this at sf0.1)."""
+
+    @pandas_udf("array<long>")
+    def fps(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            toks = [x for x in _WS_RE.split((t or "").lower()) if x]
+            if not toks:
+                out.append([])
+                continue
+            if len(toks) < k:
+                grams = ["_".join(toks)]
+            else:
+                grams = ["_".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+            hs = np.array([_md5_lower64(g) % modulus for g in grams], dtype=np.int64)
+            if len(hs) <= w:
+                mins = [int(hs.min())]
+            else:
+                mins = (
+                    np.unique(
+                        np.lib.stride_tricks.sliding_window_view(hs, w).min(axis=1)
+                    )
+                    .astype(int)
+                    .tolist()
+                )
+            out.append(sorted(set(mins)))
+        return pd.Series(out)
+
+    return fps
+
+
+def winnow_fingerprints_expr(
+    text_col: str = "text", k: int = 4, w: int = 5, modulus: int = _P
+):
+    """Winnowing fingerprint set as pure JVM column expressions on the
+    PRODUCTION hash (``xxhash64 % modulus`` — one hash call per gram):
+    positional k-token-gram hashes, sliding windows of ``w`` consecutive
+    hashes, the minimum hash of each window, distinct-sorted. The MOSS
+    scheme (Schleimer/Wilkerson/Aiken, SIGMOD'03): any shared token run
+    of >= w+k-1 tokens between two documents is guaranteed to share at
+    least one fingerprint. The oracle-identity twin lives in
+    ``_winnow_udf`` (md5-fold, Arrow-batched), mirroring the
+    md5_oracle/xxhash64 dual-path of the minhash pipeline."""
+    grams = _shingle_expr(text_col, k)
+    hashes = F.transform(grams, lambda s: F.pmod(F.xxhash64(s), F.lit(modulus)))
+    n_windows = F.size(hashes) - (w - 1)
+    wins = F.sequence(F.lit(1), F.greatest(n_windows, F.lit(1)))
+    return F.array_sort(
+        F.array_distinct(
+            F.transform(wins, lambda j: F.array_min(F.slice(hashes, j, w)))
+        )
+    )
+
+
+def winnow_dup_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    w: int = 5,
+    stop_df: int = 20,
+    min_shared: int = 2,
+    hash_fn: str = "md5_oracle",
+) -> DataFrame:
+    """Substring near-dup candidate pairs via winnowing fingerprints
+    (the MOSS local-fingerprinting scheme): explode per-doc fingerprint
+    sets, drop STOP fingerprints (present in more than ``stop_df`` docs
+    — boilerplate k-grams whose inverted lists would quadratically
+    dominate, the same guard family as ``hot_bucket_cap``), then an
+    inverted-index self-join pairs docs sharing >= ``min_shared``
+    surviving fingerprints. Detects shared SUBSTRINGS (>= w+k-1 token
+    runs are guaranteed a common fingerprint) that whole-document
+    hashing misses and set-level Jaccard dilutes. Returns
+    (id_a, id_b, n_shared) with id_a < id_b.
+
+    ``hash_fn``: "md5_oracle" (DuckDB-reproducible, Arrow-batched UDF)
+    or "xxhash64" (JVM expressions, the 100 TB production hash) — the
+    same dual-path contract as ``minhash_lsh_pairs``.
+
+    100 TB shape: fingerprint count per doc is ~tokens/w (winnowing
+    SAMPLES the k-gram stream); the fingerprint table is STAGED so the
+    expensive hash pass runs once (both the stop-df aggregate and the
+    join probe read the staged copy); the self-join is equi on
+    fingerprint with every inverted list bounded by ``stop_df``, so
+    candidate volume is O(n_fingerprints * stop_df^2) — never
+    all-pairs, never unbounded per key."""
+    from rat_strain_loader_pipeline_spark.staging import stage_to_parquet
+
+    if hash_fn == "md5_oracle":
+        from rat_strain_loader_pipeline_spark.ship import ensure_shipped
+
+        ensure_shipped(docs.sparkSession)
+        fp_arr = _winnow_udf(k, w)(F.col(text_col))
+    elif hash_fn == "xxhash64":
+        fp_arr = winnow_fingerprints_expr(text_col, k, w)
+    else:
+        raise ValueError(f"unknown hash_fn: {hash_fn!r}")
+    fps = stage_to_parquet(
+        docs.select(F.col(id_col), F.explode(fp_arr).alias("fp")).filter(
+            F.col("fp").isNotNull()
+        ),
+        "winnow-fps",
+    )
+    keep = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= stop_df)
+        .select("fp")
+    )
+    pruned = fps.join(keep, "fp")
+    a, b = pruned.alias("a"), pruned.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.fp") == F.col("b.fp"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -190,3 +190,96 @@ def tfidf_top_terms(
         .withColumn("term_rank", F.row_number().over(w))
         .filter(F.col("term_rank") <= n_terms)
     )
+
+
+def tfidf_cosine_pairs(
+    docs: DataFrame,
+    threshold: float = 0.3,
+    max_df_frac: float = 0.1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """All-pairs sparse tf-idf cosine similarity via an inverted index —
+    the LEXICAL near-dup/relatedness join (the sparse-vector twin of the
+    dense embedding block GEMM in ``similarity.py``).
+
+    Pipeline: per-(doc, term) tf → document frequencies → tf-idf
+    weights ``tf * ln(N/df)`` over terms with
+    ``df <= ceil(N * max_df_frac)`` ONLY — stop-term pruning is both
+    the relevance move (a term in 10% of the corpus carries ~no idf
+    signal) and the scale guard: every posting list is bounded by the
+    cutoff, so the term-keyed self-join emits at most ``df^2`` candidate
+    rows per term, never vocabulary × corpus². The cutoff scales with
+    the corpus (a fraction, not an absolute), so the operator keeps the
+    same selectivity behavior at 100 TB. Norms are computed over the SAME pruned term
+    set, so the score is the true cosine of the pruned vectors.
+
+    Engine-portable exactness: per-term products and per-doc squared
+    norms floor to integer micro-units before their sums (order-free
+    bigint aggregation), and the final ``num / (sqrt(na) * sqrt(nb))``
+    is one identical IEEE sequence from exact bigint operands — emitted
+    as floored cosine micro-units.
+
+    Returns (id_a, id_b, cosine_micros), id_a < id_b,
+    cosine >= threshold.
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    df_t = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("df") <= F.ceil(F.col("n_docs") * F.lit(max_df_frac)))
+    )
+    w = (
+        tf.join(df_t, "term")
+        .select(
+            F.col(id_col),
+            "term",
+            (
+                F.col("tf").cast("double")
+                * F.log(F.col("n_docs").cast("double") / F.col("df").cast("double"))
+            ).alias("w"),
+        )
+    )
+    norms = w.groupBy(id_col).agg(
+        F.sum(F.floor(F.col("w") * F.col("w") * F.lit(1e6)).cast("long")).alias(
+            "norm2_micros"
+        )
+    )
+    a, b = w.alias("a"), w.alias("b")
+    num = (
+        a.join(
+            b,
+            on=[
+                F.col("a.term") == F.col("b.term"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("a.w") * F.col("b.w") * F.lit(1e6)).cast("long")
+            ).alias("num_micros")
+        )
+    )
+    na = norms.select(F.col(id_col).alias("id_a"), F.col("norm2_micros").alias("na"))
+    nb = norms.select(F.col(id_col).alias("id_b"), F.col("norm2_micros").alias("nb"))
+    cosine = F.col("num_micros").cast("double") / (
+        F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
+    )
+    return (
+        num.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.floor(cosine * F.lit(1000000.0)).cast("bigint").alias("cosine_micros"),
+        )
+        .filter(F.col("cosine_micros") >= int(threshold * 1_000_000))
+    )

@@ -166,3 +166,46 @@ def weighted_sample(
             F.floor(F.col("__priority") * 1e6).cast("long").alias("priority_micros"),
         )
     )
+
+
+def mixture_weights(
+    df: DataFrame,
+    group_col: str = "source",
+    alpha: float = 0.5,
+    budget: int = 1_000_000,
+) -> DataFrame:
+    """Temperature-scaled source mixing weights — the data-mixing
+    primitive for multi-source training corpora: ``p_s = n_s^alpha /
+    sum_t n_t^alpha``. ``alpha = 1`` is proportional sampling,
+    ``alpha = 0`` uniform, and the usual ``0 < alpha < 1`` upweights
+    small sources (the multilingual/low-resource rebalancing move).
+
+    Returns (group_col, n_docs, weight_micros, expected_docs) where
+    ``weight_micros = floor(p * 1e6)`` and ``expected_docs =
+    floor(budget * p)`` — the per-source epoch allocation.
+
+    Exactness: each ``n^alpha`` floors to bigint micro-units, the
+    denominator is an order-free bigint sum, and the final ratio /
+    budget math is one identical IEEE sequence from exact operands.
+    ``alpha = 0.5`` evaluates via ``sqrt`` (IEEE-mandated correct
+    rounding in every engine); other alphas use ``pow``, whose last-bit
+    behavior is libm-specific — fine for weights, but pin oracles to
+    0.5.
+
+    100 TB shape: one map-side-partial count per source, then
+    everything is dimension-sized (a broadcast 1-row total against the
+    per-source table)."""
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    n_d = F.col("n_docs").cast("double")
+    scaled = F.sqrt(n_d) if alpha == 0.5 else F.pow(n_d, F.lit(alpha))
+    wtab = counts.withColumn(
+        "a_micros", F.floor(scaled * F.lit(1e6)).cast("long")
+    )
+    tot = wtab.agg(F.sum("a_micros").alias("tot_micros"))
+    p = F.col("a_micros").cast("double") / F.col("tot_micros").cast("double")
+    return wtab.crossJoin(F.broadcast(tot)).select(
+        group_col,
+        "n_docs",
+        F.floor(p * F.lit(1e6)).cast("bigint").alias("weight_micros"),
+        F.floor(p * F.lit(float(budget))).cast("bigint").alias("expected_docs"),
+    )

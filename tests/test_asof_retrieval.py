@@ -279,3 +279,78 @@ def test_asof_join_null_ts_and_keys(spark):
         assert out[1]["m_id"] == 102 and out[1]["m_value"] == 7.0
         assert out[2]["m_id"] is None, direction  # NULL-ts left row
         assert out[3]["m_id"] is None, direction  # NULL-key left row
+
+
+def test_tfidf_cosine_pairs_against_python_model(spark):
+    """Exact check vs a Python model of the same formula (fractional df
+    cutoff, micro-unit sums, floor(cosine * 1e6)), plus the identity
+    property: duplicate docs score ~1.0 (sqrt(x)*sqrt(x) wobbles the
+    last ulp, so >= 999990, never > 1e6)."""
+    import math
+    from collections import Counter
+
+    from rat_strain_loader_pipeline_spark.operators.retrieval import (
+        tfidf_cosine_pairs,
+    )
+
+    rows = [
+        (0, "apple banana cherry apple"),
+        (1, "apple banana cherry apple"),       # exact dup of 0
+        (2, "apple banana durian elderberry"),  # partial overlap
+        (3, "fig grape honeydew kiwi"),         # disjoint
+        (4, "apple apple apple banana"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    frac, thr = 0.9, 0.05  # df cutoff ceil(0.9*5)=5: keep all terms here
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine_micros"]
+        for r in tfidf_cosine_pairs(docs, threshold=thr, max_df_frac=frac).collect()
+    }
+
+    n = len(rows)
+    tf = {i: Counter(t.split()) for i, t in rows}
+    df = Counter(term for c in tf.values() for term in c)
+    keep = {t for t, d in df.items() if d <= math.ceil(n * frac)}
+    w = {
+        i: {t: c * math.log(n / df[t]) for t, c in cnt.items() if t in keep}
+        for i, cnt in tf.items()
+    }
+    norms = {i: sum(int(x * x * 1e6) for x in ws.values()) for i, ws in w.items()}
+    expect = {}
+    for a in range(n):
+        for b in range(a + 1, n):
+            num = sum(
+                int(w[a][t] * w[b][t] * 1e6) for t in w[a] if t in w[b]
+            )
+            if num == 0 or norms[a] == 0 or norms[b] == 0:
+                continue
+            cm = int(num / (math.sqrt(norms[a]) * math.sqrt(norms[b])) * 1e6)
+            if cm >= int(thr * 1e6):
+                expect[(a, b)] = cm
+    assert got == expect
+    assert got[(0, 1)] >= 999990 and got[(0, 1)] <= 1_000_000
+    assert all(3 not in pair for pair in got)
+
+
+def test_mixture_weights_model_and_invariants(spark):
+    """alpha=0.5 weights match the sqrt model; weights sum to ~1e6;
+    alpha upweights small sources vs proportional."""
+    import math
+
+    from rat_strain_loader_pipeline_spark.operators.sampling import mixture_weights
+
+    rows = [(i, "big" if i < 90 else ("mid" if i < 99 else "tiny")) for i in range(100)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    got = {
+        r["source"]: (r["n_docs"], r["weight_micros"], r["expected_docs"])
+        for r in mixture_weights(docs, "source", alpha=0.5, budget=1000).collect()
+    }
+    counts = {"big": 90, "mid": 9, "tiny": 1}
+    a = {s: int(math.sqrt(c) * 1e6) for s, c in counts.items()}
+    tot = sum(a.values())
+    for s, c in counts.items():
+        p = a[s] / tot
+        assert got[s] == (c, int(p * 1e6), int(p * 1000))
+    assert abs(sum(v[1] for v in got.values()) - 1_000_000) <= 3  # floor slack
+    # temperature property: sqrt scaling gives 'tiny' more than its share
+    assert got["tiny"][1] > 1_000_000 * counts["tiny"] / 100

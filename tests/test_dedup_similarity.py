@@ -602,3 +602,62 @@ def test_remove_duplicate_lines(spark):
     assert out[2]["clean_text"] == "beta"
     assert out[3]["clean_text"] == "gamma\ndelta" and out[3]["n_removed"] == 0
     assert out[4]["clean_text"] == "" and out[4]["n_kept"] == 0 and out[4]["n_removed"] == 1
+
+
+def test_winnow_guarantee_and_pruning(spark):
+    """Winnowing guarantee: two docs sharing a token run of >= w+k-1
+    tokens MUST share a fingerprint (here k=4, w=3 -> any shared 6-token
+    run). Disjoint docs share none; stop-df pruning kills boilerplate
+    fingerprints; short/empty docs don't crash."""
+    from rat_strain_loader_pipeline_spark.operators.dedup import (
+        winnow_dup_pairs,
+        winnow_fingerprints_expr,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6-token shared run
+    rows = [
+        (0, f"intro words here {shared} tail one"),
+        (1, f"other prefix tokens {shared} different ending"),
+        (2, "nothing in common with anything else at all whatsoever"),
+        (3, "tiny"),
+        (4, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in winnow_dup_pairs(
+            docs, k=4, w=3, stop_df=100, min_shared=1
+        ).collect()
+    }
+    assert (0, 1) in pairs
+    assert all(2 not in p and 3 not in p and 4 not in p for p in pairs)
+
+    # production xxhash64 path: same guarantee (the fingerprint SAMPLE
+    # differs by hash family, but any >= w+k-1 shared run must pair)
+    xpairs = {
+        (r["id_a"], r["id_b"])
+        for r in winnow_dup_pairs(
+            docs, k=4, w=3, stop_df=100, min_shared=1, hash_fn="xxhash64"
+        ).collect()
+    }
+    assert (0, 1) in xpairs
+    assert all(2 not in p and 3 not in p and 4 not in p for p in xpairs)
+
+    # fingerprint sets are deterministic, sorted, null-free
+    fps = docs.select(
+        "doc_id", winnow_fingerprints_expr("text", 4, 3).alias("fps")
+    ).collect()
+    by_id = {r["doc_id"]: r["fps"] for r in fps}
+    assert by_id[4] in ([], [None])  # empty doc degenerates, exploded+filtered away
+    assert by_id[0] == sorted(set(by_id[0]))
+
+    # stop-df pruning: fingerprints selected by more than stop_df docs
+    # are dropped, so boilerplate-only relatedness shrinks sharply
+    # (not necessarily to zero — winnowing SAMPLES grams, so a common
+    # gram can survive by being window-min in only a small subset)
+    boiler = [(i, f"common boilerplate header line four unique{i} body") for i in range(6)]
+    bdocs = spark.createDataFrame(boiler, "doc_id long, text string")
+    unpruned = winnow_dup_pairs(bdocs, k=4, w=3, stop_df=100, min_shared=1).collect()
+    pruned = winnow_dup_pairs(bdocs, k=4, w=3, stop_df=3, min_shared=1).collect()
+    assert len(unpruned) >= 10  # most 6-choose-2 pairs relate via boilerplate
+    assert len(pruned) < len(unpruned)
