@@ -223,10 +223,19 @@ def tfidf_cosine_pairs(
     Returns (id_a, id_b, cosine_micros), id_a < id_b,
     cosine >= threshold.
     """
+    from rat_strain_loader_pipeline_spark.staging import stage_to_parquet
+
     toks = docs.select(
         F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("term")
     ).filter(F.col("term") != "")
-    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    # stage the (doc, term) tf table: it feeds the df aggregate AND the
+    # weight build — without staging, every downstream consumer of the
+    # weight table re-tokenizes the corpus (the unstaged plan scanned
+    # the fact table 24 times)
+    tf = stage_to_parquet(
+        toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf")),
+        "tfidf-tf",
+    )
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     df_t = (
         tf.groupBy("term")
@@ -234,16 +243,18 @@ def tfidf_cosine_pairs(
         .crossJoin(F.broadcast(n_docs))
         .filter(F.col("df") <= F.ceil(F.col("n_docs") * F.lit(max_df_frac)))
     )
-    w = (
-        tf.join(df_t, "term")
-        .select(
+    # stage the pruned weight table too: three consumers (norms, both
+    # sides of the term self-join) read it
+    w = stage_to_parquet(
+        tf.join(df_t, "term").select(
             F.col(id_col),
             "term",
             (
                 F.col("tf").cast("double")
                 * F.log(F.col("n_docs").cast("double") / F.col("df").cast("double"))
             ).alias("w"),
-        )
+        ),
+        "tfidf-w",
     )
     norms = w.groupBy(id_col).agg(
         F.sum(F.floor(F.col("w") * F.col("w") * F.lit(1e6)).cast("long")).alias(

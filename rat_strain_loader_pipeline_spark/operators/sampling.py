@@ -195,7 +195,15 @@ def mixture_weights(
     100 TB shape: one map-side-partial count per source, then
     everything is dimension-sized (a broadcast 1-row total against the
     per-source table)."""
-    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    from rat_strain_loader_pipeline_spark.staging import stage_to_parquet
+
+    # stage the per-source counts (dimension-sized): the total and the
+    # final select both consume them — unstaged, each consumer is a
+    # full fact scan
+    counts = stage_to_parquet(
+        df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_docs")),
+        "mixture-counts",
+    )
     n_d = F.col("n_docs").cast("double")
     scaled = F.sqrt(n_d) if alpha == 0.5 else F.pow(n_d, F.lit(alpha))
     wtab = counts.withColumn(
