@@ -383,7 +383,13 @@ def q_spearman_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigint, and rho = num / (sqrt(a)*sqrt(b)) is the same IEEE op
     sequence in both engines — value-exact. The rank windows run over
     the per-hour series (calendar-bounded, <= thousands of rows), never
-    the fact table; the fact-sized work is the first aggregation only."""
+    the fact table; the fact-sized work is the first aggregation only.
+    Moment magnitude bound: num/var reach ~8n^4 in doubled-rank units,
+    so int64 holds for series up to ~32k steps (3.7 years hourly) — a
+    CALENDAR bound, independent of fact volume; past it both engines
+    fail loudly (ANSI overflow), never silently. Longer calendars would
+    center the ranks first (sum of tie-averaged ranks is exactly
+    n(n+1)/2, so centered sums drop the n* factor to ~n^3)."""
     ev = _t(spark, sf_dir, "events")
     hourly = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour")).agg(
         F.count(F.when(F.col("event_type") == "click", 1)).alias("c"),
