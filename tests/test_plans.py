@@ -295,3 +295,30 @@ def test_spearman_rank_windows_over_bounded_series(spark, sf_dir, queries):
     for w in windows:
         m = re.search(r"Input \[\d+\]: \[([^\]]*)\]", w)
         assert m is not None and "eq" in m.group(1)
+
+
+def test_winnow_pairs_staged_and_bounded(spark, sf_dir, queries):
+    """The fingerprint table must be STAGED (the hash pass runs once —
+    downstream consumers scan the staged parquet, never re-hash), and
+    the pair join must be equi (no cartesian/nested-loop explosion)."""
+    plan = _plan(queries["winnow_pairs"](spark, sf_dir))
+    assert "winnow-fps" in plan  # staged fingerprint scan feeds the joins
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tfidf_cosine_pairs_staged_inverted_index(spark, sf_dir, queries):
+    """The weight table must be staged (one tokenize pass; the unstaged
+    plan re-tokenized the corpus per consumer) and the self-join must be
+    term-keyed equi — never cartesian."""
+    plan = _plan(queries["tfidf_cosine_pairs"](spark, sf_dir))
+    assert "tfidf-w" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_knn_join_no_cartesian_corpus(spark, sf_dir, queries):
+    """Query replication rides a broadcast of the tiny block-id table;
+    the corpus side must never be nested-loop joined or collected."""
+    plan = _plan(queries["knn_join"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastExchange") >= 1
