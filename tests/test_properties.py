@@ -410,3 +410,39 @@ def test_stratified_sample_vs_python_model(spark, ids, n):
         for rank, d in enumerate(order[:n], start=1):
             want[(lang, d)] = rank
     assert got == want
+
+
+word = st.text(alphabet="abcdefg", min_size=1, max_size=3)
+
+
+@given(
+    a_pre=st.lists(word, max_size=8),
+    a_post=st.lists(word, max_size=8),
+    b_pre=st.lists(word, max_size=8),
+    b_post=st.lists(word, max_size=8),
+    shared=st.lists(word, min_size=8, max_size=12),
+)
+@SET
+def test_winnow_guarantee_property(spark, a_pre, a_post, b_pre, b_post, shared):
+    """The winnowing guarantee, adversarially: ANY two docs sharing a
+    contiguous run of >= w+k-1 tokens (here 8, k=4/w=5) must share a
+    fingerprint — the run contains >= w consecutive k-gram hashes, so at
+    least one full window lies inside it in BOTH docs and selects the
+    same minimum. Holds for both hash families."""
+    from rat_strain_loader_pipeline_spark.operators.dedup import winnow_dup_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (0, " ".join(a_pre + shared + a_post)),
+            (1, " ".join(b_pre + shared + b_post)),
+        ],
+        "doc_id long, text string",
+    )
+    for hash_fn in ("md5_oracle", "xxhash64"):
+        pairs = {
+            (r["id_a"], r["id_b"])
+            for r in winnow_dup_pairs(
+                docs, k=4, w=5, stop_df=10**6, min_shared=1, hash_fn=hash_fn
+            ).collect()
+        }
+        assert (0, 1) in pairs, hash_fn
