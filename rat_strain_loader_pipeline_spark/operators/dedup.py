@@ -783,3 +783,32 @@ def winnow_dup_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def _hashes_and_sig_udf(shingle_n: int, num_hashes: int, seed: int):
+    """Fused shingle-hash + minhash-signature computation in ONE
+    Arrow-batched pass (struct<hashes, sig> output) — the streaming
+    gate's per-batch path, where two separate pandas-UDF stages would
+    double the fixed Python-worker round-trip cost per micro-batch.
+    Hash math is identical to ``_hashes_udf`` + ``_minhash_udf``
+    (md5_number_lower % P, same seeded permutation coefficients), so
+    decisions are bit-identical to the two-stage path."""
+    rnd = random.Random(seed)
+    a = np.array([rnd.randrange(1, _P) | 1 for _ in range(num_hashes)], dtype=np.int64)
+    b = np.array([rnd.randrange(0, _P) for _ in range(num_hashes)], dtype=np.int64)
+
+    @pandas_udf("struct<hashes: array<long>, sig: array<long>>")
+    def both(texts: pd.Series) -> pd.DataFrame:
+        hs_out, sig_out = [], []
+        empty_sig = [int(_P)] * num_hashes
+        for t in texts:
+            hs = sorted({_md5_lower64(s) % _P for s in _shingle_set(t or "", shingle_n)})
+            hs_out.append(hs)
+            if not hs:
+                sig_out.append(empty_sig)
+                continue
+            hv = np.asarray(hs, dtype=np.int64)
+            sig_out.append(((a[:, None] * hv[None, :] + b[:, None]) % _P).min(axis=1).tolist())
+        return pd.DataFrame({"hashes": hs_out, "sig": sig_out})
+
+    return both

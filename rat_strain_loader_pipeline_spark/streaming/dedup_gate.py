@@ -8,12 +8,15 @@ or a smaller id inside the same batch. This is how a training-data
 pipeline keeps a continuously-ingested corpus deduped without
 re-running global dedup after every delivery.
 
-State across batches is a parquet signature store holding every seen
-document's shingle-hash array and its LSH band rows, so a batch probes
-the corpus with the SAME banded equi-join the batch operator uses
-(operators/dedup.py minhash_lsh_pairs) — candidate generation is
-O(batch x matching buckets), never O(batch x corpus), and state grows
-by O(batch) per trigger.
+State across batches is ONE parquet signature store holding every seen
+document's shingle-hash array AND its minhash signature; the LSH band
+rows the probe joins on are derived from the stored signatures
+JVM-side at read time (``band_signatures`` is pure md5 column
+expressions — whole-stage codegen). Storing 1 row/doc and recomputing
+16 band hashes on read beats storing the 16x-exploded band table:
+less state I/O per batch for a few vectorized hashes of CPU. Candidate
+generation stays O(batch x matching buckets), never O(batch x corpus),
+and state grows by O(batch) per trigger.
 
 With id-ordered arrival (the natural case: deliveries are appended with
 monotonically-increasing ids), "earlier" coincides with "smaller id",
@@ -52,50 +55,66 @@ def dedup_gate_available_now(
     """Run the admission gate as an AvailableNow stream over a document
     directory; returns (id_col, admitted) for every streamed doc."""
     from rat_strain_loader_pipeline_spark.operators.dedup import (
+        _hashes_and_sig_udf,
         _verify_jaccard,
         band_signatures,
         minhash_signatures,
         shingle_hashes,
     )
 
-    hashes_store = os.path.join(work_dir, "hashes")
-    bands_store = os.path.join(work_dir, "bands")
+    sig_store = os.path.join(work_dir, "sigs")
     out_path = os.path.join(work_dir, "out")
     checkpoint = os.path.join(work_dir, "checkpoint")
     if schema is None:
         schema = spark.read.parquet(src_dir).schema
 
     def gate_batch(batch_df: DataFrame, batch_id: int) -> None:
-        # The batch's own signatures land in the state store FIRST and
-        # the store copy doubles as the staged (lineage-truncated) input
-        # for every join below — one write serves both staging and
-        # state, where an earlier revision wrote the same data twice
-        # (a stage_to_parquet round plus a post-decision state append).
-        # Safe because the probe reads STRICTLY EARLIER batches only:
-        # the current batch's partition is invisible to its own probe,
-        # a retried batch just overwrites its partition (idempotent),
-        # and a restart over a lost checkpoint (batch ids reassigned
-        # from 0) can never probe a LATER batch's leftover state.
-        bh = shingle_hashes(batch_df, text_col, id_col, shingle_n, stage=False, hash_fn=hash_fn)
-        bh.write.mode("overwrite").parquet(os.path.join(hashes_store, f"batch={batch_id}"))
-        bh = spark.read.parquet(os.path.join(hashes_store, f"batch={batch_id}"))
-        bs = minhash_signatures(
-            batch_df, text_col, id_col, num_hashes, shingle_n, seed, hashes=bh
-        )
-        bb = band_signatures(bs, id_col, num_hashes, bands)
-        bb.write.mode("overwrite").parquet(os.path.join(bands_store, f"batch={batch_id}"))
-        bb = spark.read.parquet(os.path.join(bands_store, f"batch={batch_id}"))
+        # The batch's (id, hashes, sig) rows land in the state store
+        # FIRST, and the store copy doubles as the staged
+        # (lineage-truncated) input for every join below — one write
+        # serves both staging and state. Safe because the probe reads
+        # STRICTLY EARLIER batches only: the current batch's partition
+        # is invisible to its own probe, a retried batch just
+        # overwrites its partition (idempotent), and a restart over a
+        # lost checkpoint (batch ids reassigned from 0) can never
+        # probe a LATER batch's leftover state.
+        if hash_fn == "md5_oracle":
+            from rat_strain_loader_pipeline_spark.ship import ensure_shipped
 
-        prev_hashes = (
-            spark.read.parquet(hashes_store)
+            ensure_shipped(spark)
+            # fused UDF: shingle hashes + minhash signature in ONE
+            # Arrow pass (two separate UDF stages double the fixed
+            # Python-worker round trip per micro-batch)
+            combo = _hashes_and_sig_udf(shingle_n, num_hashes, seed)
+            sigs = batch_df.select(
+                F.col(id_col), combo(F.col(text_col)).alias("hs")
+            ).select(
+                id_col,
+                F.col("hs.hashes").alias("hashes"),
+                F.col("hs.sig").alias("sig"),
+            )
+        else:
+            bh = shingle_hashes(
+                batch_df, text_col, id_col, shingle_n, stage=False, hash_fn=hash_fn
+            )
+            bs = minhash_signatures(
+                batch_df, text_col, id_col, num_hashes, shingle_n, seed,
+                hashes=bh, hash_fn=hash_fn,
+            )
+            sigs = bh.join(bs, id_col)
+        part = os.path.join(sig_store, f"batch={batch_id}")
+        sigs.write.mode("overwrite").parquet(part)
+        cur = spark.read.parquet(part)
+
+        bh = cur.select(id_col, "hashes")
+        bb = band_signatures(cur.select(id_col, "sig"), id_col, num_hashes, bands)
+        prev = (
+            spark.read.parquet(sig_store)
             .filter(F.col("batch") < batch_id)
             .drop("batch")
         )
-        prev_bands = (
-            spark.read.parquet(bands_store)
-            .filter(F.col("batch") < batch_id)
-            .drop("batch")
-        )
+        prev_hashes = prev.select(id_col, "hashes")
+        prev_bands = band_signatures(prev.select(id_col, "sig"), id_col, num_hashes, bands)
 
         # earlier-doc candidates in ONE banded equi-join: the "earlier"
         # side is previous-batch bands (candidates unconditionally —
@@ -147,4 +166,3 @@ def dedup_gate_available_now(
     if not os.path.exists(out_path):
         return spark.createDataFrame([], f"{id_col} long, admitted boolean")
     return spark.read.parquet(out_path).drop("batch")
-
