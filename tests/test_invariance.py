@@ -1,0 +1,102 @@
+"""Partition-invariance (metamorphic) tests.
+
+The engine's exactness design — integer micro-unit contributions,
+order-free bigint sums, deterministic tie-breaks — exists to make
+results independent of HOW Spark physically splits the data. These
+tests pin that claim directly: representative operators must produce
+the IDENTICAL result set when their input arrives as 1 partition and
+as 13 skewed partitions (13 is coprime with every grouping in the
+corpus, so rows scatter differently from any natural order).
+
+A failure here means some aggregation depends on partition-local
+ordering (raw double sums, first() without ordering, window missing a
+tie-break) — exactly the class of bug that passes a single-partition
+unit test and corrupts results on a 1000-executor cluster.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _rows(df):
+    cols = sorted(df.columns)
+    out = [tuple(str(r[c]) for c in cols) for r in df.collect()]
+    return sorted(out)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    from rat_strain_loader_pipeline_spark.sources.tables import read_table
+
+    return read_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+
+
+def _variants(df):
+    return [df.coalesce(1), df.repartition(13, F.col("doc_id") % 7)]
+
+
+def test_bm25_partition_invariant(docs):
+    from rat_strain_loader_pipeline_spark.operators.retrieval import bm25_topk
+
+    a, b = [
+        _rows(bm25_topk(v, ["spark", "join", "window", "vector"], k=10))
+        for v in _variants(docs)
+    ]
+    assert a == b
+
+
+def test_char_entropy_partition_invariant(docs):
+    from rat_strain_loader_pipeline_spark.operators.text import char_entropy
+
+    # filter, not limit: limit() keeps whichever rows arrive first and
+    # would itself vary with partitioning
+    a, b = [
+        _rows(char_entropy(v.filter(F.col("doc_id") < 80))) for v in _variants(docs)
+    ]
+    assert a == b
+
+
+def test_minhash_pairs_partition_invariant(docs):
+    from rat_strain_loader_pipeline_spark.operators.dedup import minhash_lsh_pairs
+
+    a, b = [_rows(minhash_lsh_pairs(v, jaccard_threshold=0.5)) for v in _variants(docs)]
+    assert a == b
+
+
+def test_winnow_pairs_partition_invariant(docs):
+    from rat_strain_loader_pipeline_spark.operators.dedup import winnow_dup_pairs
+
+    a, b = [_rows(winnow_dup_pairs(v)) for v in _variants(docs)]
+    assert a == b
+
+
+def test_tfidf_cosine_partition_invariant(docs):
+    from rat_strain_loader_pipeline_spark.operators.retrieval import tfidf_cosine_pairs
+
+    a, b = [_rows(tfidf_cosine_pairs(v)) for v in _variants(docs)]
+    assert a == b
+
+
+def test_mixture_weights_partition_invariant(docs):
+    from rat_strain_loader_pipeline_spark.operators.sampling import mixture_weights
+
+    a, b = [_rows(mixture_weights(v, "source")) for v in _variants(docs)]
+    assert a == b
+
+
+def test_spearman_partition_invariant(spark, sf_dir):
+    import __spark_entry__ as em
+
+    # the query reads its own table; invariance is exercised through the
+    # session-level shuffle partitioning instead: 32-partition default
+    # vs a forced tiny shuffle width must agree
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    base = _rows(em.queries()["spearman_hourly"](spark, sf_dir))
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        skewed = _rows(em.queries()["spearman_hourly"](spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert base == skewed
