@@ -1375,6 +1375,26 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer PageRank (operators/graph.py pagerank_micros): 5 rounds
+    of damped mass propagation over a deterministic directed graph
+    (lineitem orderkey%997 → partkey%997, self-loops dropped, distinct
+    edges). All arithmetic is integer micro-units with identical
+    truncation in both engines (Spark `div` vs DuckDB `//` on
+    positives), so the oracle unrolls the same 5 rounds in SQL and
+    matches bit-exactly. Per round: one edges⋈ranks join + one
+    map-side-partial groupBy(dst); each round's rank table is staged
+    (lineage truncation, the CC pattern)."""
+    from rat_strain_loader_pipeline_spark.operators.graph import pagerank_micros
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        (F.col("l_orderkey") % 997).alias("src"),
+        (F.col("l_partkey") % 997).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    return pagerank_micros(edges, iterations=5, damping_pct=85)
+
+
 def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled source mixing weights (operators/sampling.py
     mixture_weights, alpha=0.5): p_s = sqrt(n_s)/sum sqrt(n_t), plus
@@ -3430,6 +3450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_pairs": q_winnow_pairs,
         "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
         "mixture_weights": q_mixture_weights,
+        "pagerank": q_pagerank,
         "split_assign": q_split_assign,
         "source_topk": q_source_topk,
         "vocab_topk": q_vocab_topk,
@@ -3905,6 +3926,42 @@ reach(id, r) AS (
 SELECT CAST(id AS BIGINT) AS doc_id, CAST(min(r) AS BIGINT) AS component_id
 FROM reach GROUP BY id
 """
+
+
+def _pagerank_oracle_sql(iterations: int = 5, damping_pct: int = 85) -> str:
+    """Unrolled integer PageRank: the same 5 rounds as
+    operators/graph.pagerank_micros as chained CTEs — pure bigint
+    arithmetic (``//`` floors like Spark's ``div`` truncates on
+    positive operands), inner CAST kills DuckDB's sum() HUGEINT
+    widening."""
+    base = 1_000_000 - damping_pct * 10_000
+    ctes = [
+        """e AS (
+  SELECT DISTINCT CAST(l_orderkey % 997 AS BIGINT) AS src,
+                  CAST(l_partkey % 997 AS BIGINT) AS dst
+  FROM lineitem WHERE l_orderkey % 997 <> l_partkey % 997
+),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+outdeg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+pr0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes)"""
+    ]
+    for i in range(iterations):
+        ctes.append(
+            f"""pr{i + 1} AS (
+  SELECT n.node, CAST({base} + COALESCE(s.inc, 0) AS BIGINT) AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node,
+           CAST(sum((p.rank * {damping_pct}) // (100 * d.outdeg)) AS BIGINT) AS inc
+    FROM e JOIN pr{i} p ON p.node = e.src JOIN outdeg d ON d.src = e.src
+    GROUP BY e.dst
+  ) s ON s.node = n.node
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node, rank AS rank_micros FROM pr{iterations}\n"
+    )
 
 
 # Brute-force dedup-survivor set (transitive closure over all-pairs
@@ -5026,6 +5083,7 @@ FROM documents d LEFT JOIN (SELECT DISTINCT id_b FROM jp) r ON d.doc_id = r.id_b
 WHERE d.doc_id % 2 = 0
 """,
         "dedup_components": _dedup_components_oracle_sql(0.5),
+        "pagerank": _pagerank_oracle_sql(iterations=5, damping_pct=85),
         "mixture_weights": """
             WITH counts AS (
               SELECT source, count(*) AS n_docs FROM documents GROUP BY 1
