@@ -1050,7 +1050,13 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     then ONE per-query window reduces n_blocks*k partials to the global
     top-k. No corpus collect/broadcast; replication factor = n_blocks on
     the (tiny) query side only. Oracle: DuckDB brute-force cross scored
-    + row_number per query."""
+    + row_number per query. Exactness is EMPIRICAL at round-4 precision
+    (the embedding_topk/dedup_embedding contract): numpy's
+    normalize-then-GEMM and the oracle's dot/(norm*norm) differ in last
+    ulps, so a cosine tie within ~1e-12 at the k boundary or a value on
+    a .00005 rounding edge could order/round differently per engine —
+    none occur in this corpus, and the integer-micros idiom can't apply
+    without giving up true cosine output."""
     from rat_strain_loader_pipeline_spark.operators.similarity import (
         knn_join_blocked,
     )
@@ -1188,8 +1194,15 @@ def q_store_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(path)
         )
     stats = compact_table(spark, root, "documents_store", target_rows_per_file=1_000_000)
+    # coalesce BEFORE hashing: Spark's concat_ws skips NULL segments
+    # while DuckDB's || propagates NULL — without the guard a NULL text
+    # row hashes on one side and vanishes from the sum on the other
     hash_col = _md5_fold(
-        F.concat_ws(":", F.col("doc_id").cast("string"), F.md5(F.col("text"))),
+        F.concat_ws(
+            ":",
+            F.col("doc_id").cast("string"),
+            F.md5(F.coalesce(F.col("text"), F.lit(""))),
+        ),
         2**31,
     )
     return (
@@ -1446,8 +1459,14 @@ def q_dedup_survivors_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate pairs). cap=2 forces the star path onto every 3+ bucket
     of this corpus, and the oracle is the SAME brute-force survivor SQL
     as dedup_survivors — value-proving the guard's survivor-preservation
-    property (capped components == uncapped components, verified at
-    sf0.001/0.01/0.1), not just its plan shape."""
+    property on this corpus (capped components == uncapped components,
+    verified at sf0.001/0.01/0.1). NOTE the property is EMPIRICAL, like
+    minhash_lsh's banding-recall claim: in general the star topology
+    can drop a member-member edge whose endpoints are near-dups of each
+    other but not of the bucket representative; on corpora where hot
+    buckets are homogeneous (boilerplate — the case the cap exists
+    for), members verify against the representative and survivorship is
+    preserved, which is what this oracle checks."""
     from rat_strain_loader_pipeline_spark.operators.dedup import (
         connected_components,
     )
@@ -5006,7 +5025,8 @@ FROM loaded
             SELECT 'documents_store' AS table_name,
                    CAST(count(*) AS BIGINT) AS row_count,
                    CAST(sum(md5_number_lower(CAST(doc_id AS VARCHAR) || ':'
-                                             || md5(text)) % 2147483648)
+                                             || md5(COALESCE(text, '')))
+                            % 2147483648)
                         AS BIGINT) AS content_hash_mod,
                    CAST(1 AS BIGINT) AS files_after,
                    TRUE AS files_reduced,

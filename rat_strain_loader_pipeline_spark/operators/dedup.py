@@ -180,10 +180,19 @@ def shingle_hashes(
     return out
 
 
-def _minhash_udf(num_hashes: int, seed: int):
+def _minhash_coeffs(num_hashes: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    """The seeded permutation coefficients (a odd, b) — the SINGLE
+    source of the draw order; `_minhash_udf` and `_hashes_and_sig_udf`
+    must stay bit-identical and both draw through here (pinned by
+    tests/test_dedup_similarity.test_fused_udf_equals_two_stage)."""
     rnd = random.Random(seed)
     a = np.array([rnd.randrange(1, _P) | 1 for _ in range(num_hashes)], dtype=np.int64)
     b = np.array([rnd.randrange(0, _P) for _ in range(num_hashes)], dtype=np.int64)
+    return a, b
+
+
+def _minhash_udf(num_hashes: int, seed: int):
+    a, b = _minhash_coeffs(num_hashes, seed)
 
     @pandas_udf("array<long>")
     def sig(hashes: pd.Series) -> pd.Series:
@@ -791,11 +800,10 @@ def _hashes_and_sig_udf(shingle_n: int, num_hashes: int, seed: int):
     gate's per-batch path, where two separate pandas-UDF stages would
     double the fixed Python-worker round-trip cost per micro-batch.
     Hash math is identical to ``_hashes_udf`` + ``_minhash_udf``
-    (md5_number_lower % P, same seeded permutation coefficients), so
-    decisions are bit-identical to the two-stage path."""
-    rnd = random.Random(seed)
-    a = np.array([rnd.randrange(1, _P) | 1 for _ in range(num_hashes)], dtype=np.int64)
-    b = np.array([rnd.randrange(0, _P) for _ in range(num_hashes)], dtype=np.int64)
+    (md5_number_lower % P, coefficients from the shared
+    ``_minhash_coeffs`` draw), so decisions are bit-identical to the
+    two-stage path — pinned by an equivalence test."""
+    a, b = _minhash_coeffs(num_hashes, seed)
 
     @pandas_udf("struct<hashes: array<long>, sig: array<long>>")
     def both(texts: pd.Series) -> pd.DataFrame:

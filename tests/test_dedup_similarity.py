@@ -661,3 +661,32 @@ def test_winnow_guarantee_and_pruning(spark):
     pruned = winnow_dup_pairs(bdocs, k=4, w=3, stop_df=3, min_shared=1).collect()
     assert len(unpruned) >= 10  # most 6-choose-2 pairs relate via boilerplate
     assert len(pruned) < len(unpruned)
+
+
+def test_fused_udf_equals_two_stage(spark):
+    """The gate's fused hashes+sig UDF must be bit-identical to the
+    two-stage shingle_hashes + minhash_signatures path — the property
+    its docstring promises and the gate's decisions depend on."""
+    from rat_strain_loader_pipeline_spark.operators.dedup import (
+        _hashes_and_sig_udf,
+        shingle_hashes,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        DOCS + [(97, ""), (98, "one"), (99, "two tok")],
+        "doc_id long, text string",
+    )
+    fused = {
+        r["doc_id"]: (list(r["hs"]["hashes"]), list(r["hs"]["sig"]))
+        for r in docs.select(
+            "doc_id", _hashes_and_sig_udf(3, 64, 42)(F.col("text")).alias("hs")
+        ).collect()
+    }
+    bh = shingle_hashes(docs, stage=False)
+    bs = minhash_signatures(docs, hashes=bh)
+    two = {
+        r["doc_id"]: (list(r["hashes"]), list(r["sig"]))
+        for r in bh.join(bs, "doc_id").collect()
+    }
+    assert fused == two
