@@ -1388,6 +1388,19 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM log-probability scoring (operators/text.py
+    bigram_logprob): add-one-smoothed P(w2|w1) trained on the corpus
+    itself, per-bigram ln floored to micro-units (floor is toward -inf
+    in both engines — required for negative logs), order-free bigint
+    sums. The perplexity-proxy quality signal one step up from
+    char_entropy."""
+    import rat_strain_loader_pipeline_spark.operators.text as T
+
+    docs = _t(spark, sf_dir, "documents")
+    return T.bigram_logprob(docs)
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer PageRank (operators/graph.py pagerank_micros): 5 rounds
     of damped mass propagation over a deterministic directed graph
@@ -3470,6 +3483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
         "mixture_weights": q_mixture_weights,
         "pagerank": q_pagerank,
+        "bigram_logprob": q_bigram_logprob,
         "split_assign": q_split_assign,
         "source_topk": q_source_topk,
         "vocab_topk": q_vocab_topk,
@@ -5104,6 +5118,49 @@ WHERE d.doc_id % 2 = 0
 """,
         "dedup_components": _dedup_components_oracle_sql(0.5),
         "pagerank": _pagerank_oracle_sql(iterations=5, damping_pct=85),
+        "bigram_logprob": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                                 t -> t <> '') AS ts
+              FROM documents
+            ),
+            p2 AS (
+              SELECT doc_id, bg['w1'] AS w1, bg['w2'] AS w2 FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(ts)),
+                              i -> {'w1': ts[i], 'w2': ts[i+1]})) AS bg
+                FROM toks WHERE len(ts) >= 2
+              )
+            ),
+            doc_bg AS (
+              SELECT doc_id, w1, w2, count(*) AS n FROM p2 GROUP BY 1, 2, 3
+            ),
+            lm_bg AS (
+              SELECT w1, w2, CAST(sum(n) AS BIGINT) AS c12 FROM doc_bg GROUP BY 1, 2
+            ),
+            lm_uni AS (
+              SELECT w1, CAST(sum(n) AS BIGINT) AS c1 FROM doc_bg GROUP BY 1
+            ),
+            vocab AS (
+              SELECT count(DISTINCT w) AS v FROM (
+                SELECT w1 AS w FROM doc_bg UNION ALL SELECT w2 FROM doc_bg
+              )
+            ),
+            scored AS (
+              SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
+                     CAST(sum(n * CAST(floor(
+                       ln(CAST(c12 + 1 AS DOUBLE) / CAST(c1 + v AS DOUBLE)) * 1e6
+                     ) AS BIGINT)) AS BIGINT) AS logprob_sum_micros
+              FROM doc_bg JOIN lm_bg USING (w1, w2) JOIN lm_uni USING (w1)
+              CROSS JOIN vocab
+              GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   COALESCE(s.n_bigrams, 0) AS n_bigrams,
+                   COALESCE(s.logprob_sum_micros, 0) AS logprob_sum_micros
+            FROM documents d LEFT JOIN scored s USING (doc_id)
+        """,
         "mixture_weights": """
             WITH counts AS (
               SELECT source, count(*) AS n_docs FROM documents GROUP BY 1

@@ -362,3 +362,83 @@ def doc_chunks(
         F.size(chunk).cast("bigint").alias("n_chunk_tokens"),
         F.array_join(chunk, " ").alias("chunk_text"),
     )
+
+
+def bigram_logprob(
+    docs,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "DataFrame":
+    """Per-document bigram language-model log-probability — the
+    perplexity-proxy quality signal one step up from ``char_entropy``:
+    gibberish, shuffled text, and boilerplate score far from fluent
+    prose under a corpus-trained bigram model. Self-scoring (the model
+    trains on the scored corpus itself), which is the standard setup
+    for intra-corpus quality ranking.
+
+    Model: add-one smoothing, ``P(w2|w1) = (C(w1,w2)+1) / (C(w1)+V)``
+    with V = unigram vocabulary size. Every count is exact bigint; each
+    bigram's ``ln P`` floors to integer micro-units (floor is
+    toward -inf in BOTH engines, which matters for negative logs) so
+    the per-doc sum is order-free. Returns
+    (id_col, n_bigrams, logprob_sum_micros); docs with < 2 tokens score
+    (0, 0).
+
+    100 TB shape: doc bigrams reduce to (doc, w1, w2, c) with map-side
+    partial counts before ANY join; the LM tables are vocabulary- and
+    vocabulary^2-bounded aggregates of those reduced pairs (never raw
+    tokens); V is a broadcast 1-row aggregate; the score join is one
+    shuffle on (w1, w2).
+    """
+    toks = tokens(F.lower(F.col(text_col)))
+    # guard < 2 tokens explicitly: Spark's sequence(1, 0) counts DOWN
+    # ([1, 0]), it is not empty
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("w1"),
+                F.element_at(toks, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    pairs = docs.select(F.col(id_col), F.explode(bigrams).alias("bg")).select(
+        id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
+    )
+    # reduce FIRST: per-doc bigram multiplicities, map-side partials
+    doc_bg = pairs.groupBy(id_col, "w1", "w2").agg(F.count(F.lit(1)).alias("n"))
+    lm_bg = doc_bg.groupBy("w1", "w2").agg(F.sum("n").alias("c12"))
+    lm_uni = doc_bg.groupBy("w1").agg(F.sum("n").alias("c1"))
+    vocab = (
+        doc_bg.select(F.col("w1").alias("w"))
+        .unionByName(doc_bg.select(F.col("w2").alias("w")))
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    lp = F.log(
+        (F.col("c12") + 1).cast("double") / (F.col("c1") + F.col("v")).cast("double")
+    )
+    scored = (
+        doc_bg.join(lm_bg, ["w1", "w2"])
+        .join(lm_uni, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy(id_col)
+        .agg(
+            F.sum("n").cast("long").alias("n_bigrams"),
+            F.sum(F.col("n") * F.floor(lp * F.lit(1e6)).cast("long"))
+            .cast("long")
+            .alias("logprob_sum_micros"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce(F.col("logprob_sum_micros"), F.lit(0))
+            .cast("long")
+            .alias("logprob_sum_micros"),
+        )
+    )

@@ -354,3 +354,56 @@ def test_mixture_weights_model_and_invariants(spark):
     assert abs(sum(v[1] for v in got.values()) - 1_000_000) <= 3  # floor slack
     # temperature property: sqrt scaling gives 'tiny' more than its share
     assert got["tiny"][1] > 1_000_000 * counts["tiny"] / 100
+
+
+def test_bigram_logprob_model_and_edges(spark):
+    """Exact check vs a Python model of the add-one bigram LM
+    (including empty and 1-token docs scoring (0,0)), plus the quality
+    signal itself: repetitive text outscores a one-off shuffle."""
+    import math
+    from collections import Counter
+
+    import rat_strain_loader_pipeline_spark.operators.text as T
+
+    rows = [
+        (0, "the cat sat on the mat"),
+        (1, "the cat sat on the hat"),
+        (2, "mat the on sat cat the"),   # same words, scrambled
+        (3, "single"),
+        (4, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["logprob_sum_micros"])
+        for r in T.bigram_logprob(docs).collect()
+    }
+
+    doc_toks = {i: t.split() for i, t in rows}
+    doc_bg = {
+        i: Counter(zip(tk, tk[1:])) for i, tk in doc_toks.items() if len(tk) >= 2
+    }
+    c12 = Counter()
+    c1 = Counter()
+    vocab = set()
+    for cnt in doc_bg.values():
+        for (w1, w2), n in cnt.items():
+            c12[(w1, w2)] += n
+            c1[w1] += n
+            vocab.update((w1, w2))
+    v = len(vocab)
+    expect = {}
+    for i, _t in rows:
+        cnt = doc_bg.get(i)
+        if not cnt:
+            expect[i] = (0, 0)
+            continue
+        s = sum(
+            n * math.floor(math.log((c12[bg] + 1) / (c1[bg[0]] + v)) * 1e6)
+            for bg, n in cnt.items()
+        )
+        expect[i] = (sum(cnt.values()), s)
+    assert got == expect
+    # per-bigram average: docs 0/1 share common bigrams, the scramble
+    # uses one-off transitions -> lower average log-prob
+    avg = {i: got[i][1] / got[i][0] for i in (0, 1, 2)}
+    assert avg[2] < avg[0] and avg[2] < avg[1]
