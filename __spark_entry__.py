@@ -1448,6 +1448,27 @@ def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_cosine_pairs(docs, threshold=0.3, max_df_frac=0.1)
 
 
+def q_dedup_survivors_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority survivor selection (operators/dedup.py
+    dedup_survivors_by): near-dup components keep their LONGEST member
+    (n_chars desc, doc_id tie-break) instead of the min id — the
+    production curation policy (keep the best copy). Value-checked: the
+    oracle runs the same transitive closure and picks the same argmax
+    per component with QUALIFY."""
+    from rat_strain_loader_pipeline_spark.operators.dedup import (
+        dedup_survivors_by,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, jaccard_threshold=0.5)
+    out = dedup_survivors_by(
+        docs.select("doc_id", "source", "lang", "n_chars"),
+        pairs,
+        [F.col("n_chars").desc(), F.col("doc_id").asc()],
+    )
+    return out.select("doc_id", "source", "lang", "n_chars", "component_id")
+
+
 def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing substring near-dup pairs (operators/dedup.py
     winnow_dup_pairs — the MOSS fingerprinting scheme): per-doc w=5
@@ -3480,6 +3501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_survivors": q_dedup_survivors,
         "dedup_survivors_capped": q_dedup_survivors_capped,
         "winnow_pairs": q_winnow_pairs,
+        "dedup_survivors_priority": q_dedup_survivors_priority,
         "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
         "mixture_weights": q_mixture_weights,
         "pagerank": q_pagerank,
@@ -5280,6 +5302,29 @@ WHERE d.doc_id % 2 = 0
             GROUP BY 1, 2
             HAVING count(*) >= 2
         """,
+        # same transitive closure, argmax-per-component survivor policy
+        "dedup_survivors_priority": f"""WITH RECURSIVE {_jaccard_pairs_cte_sql(0.5)},
+e AS (
+  SELECT id_a AS src, id_b AS dst FROM jp
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM jp
+),
+reach(id, r) AS (
+  SELECT DISTINCT src, src FROM e
+  UNION
+  SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src
+),
+comp AS (SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS component_id
+         FROM reach GROUP BY id)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.source, d.lang,
+       CAST(d.n_chars AS BIGINT) AS n_chars,
+       CAST(COALESCE(c.component_id, d.doc_id) AS BIGINT) AS component_id
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+QUALIFY row_number() OVER (
+  PARTITION BY COALESCE(c.component_id, d.doc_id)
+  ORDER BY d.n_chars DESC, d.doc_id ASC
+) = 1
+""",
         "dedup_survivors": _DEDUP_SURVIVORS_ORACLE_SQL,
         # same brute-force survivor set: the hot-bucket star topology
         # must not change WHO survives (capped CC == uncapped CC,

@@ -820,3 +820,38 @@ def _hashes_and_sig_udf(shingle_n: int, num_hashes: int, seed: int):
         return pd.DataFrame({"hashes": hs_out, "sig": sig_out})
 
     return both
+
+
+def dedup_survivors_by(
+    docs: DataFrame,
+    pairs: DataFrame,
+    order_cols: list,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Priority survivor selection: keep the BEST member of each
+    near-dup component by an explicit ordering — the production
+    curation policy (keep the longest / highest-quality / most-trusted
+    copy) where plain ``dedup_survivors`` keeps the min id. Docs in no
+    pair are their own singleton component and always survive.
+
+    ``order_cols`` must totally order members (end with the id column
+    as tie-break) or survivor choice is nondeterministic. Returns the
+    surviving doc rows plus their ``component_id``.
+
+    100 TB shape: components via the O(log n)-round hash-to-min pass,
+    then ONE hash-partitioned window per component — partition size =
+    component size (boilerplate mega-components should be capped
+    upstream via hot_bucket_cap before they reach here)."""
+    cc = connected_components(pairs)
+    members = docs.join(
+        cc.withColumnRenamed("node_id", id_col), id_col, "left"
+    ).withColumn(
+        "component_id",
+        F.coalesce(F.col("component_id"), F.col(id_col)).cast("long"),
+    )
+    w = Window.partitionBy("component_id").orderBy(*order_cols)
+    return (
+        members.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

@@ -690,3 +690,26 @@ def test_fused_udf_equals_two_stage(spark):
         for r in bh.join(bs, "doc_id").collect()
     }
     assert fused == two
+
+
+def test_dedup_survivors_by_priority(spark):
+    """Component keeps its best member by the explicit ordering
+    (longest, then min id); singletons always survive."""
+    from rat_strain_loader_pipeline_spark.operators.dedup import dedup_survivors_by
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 30), (4, 5), (9, 7)],
+        "doc_id long, n_chars long",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.9), (2, 3, 0.9)], "id_a long, id_b long, jaccard double"
+    )
+    got = {
+        r["doc_id"]: r["component_id"]
+        for r in dedup_survivors_by(
+            docs, pairs, [F.col("n_chars").desc(), F.col("doc_id").asc()]
+        ).collect()
+    }
+    # component {1,2,3}: longest is tie 2/3 at 30 chars -> min id 2 wins
+    # 4 and 9 are singletons (their own component)
+    assert got == {2: 1, 4: 4, 9: 9}
