@@ -1388,6 +1388,18 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_token_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test token-distribution KL drift (operators/sampling.py
+    token_kl_drift): deterministic md5 split, add-one-smoothed
+    distributions over the union vocabulary, per-word terms floored to
+    pico units (word probabilities are ~1/V — micro units would zero
+    them) and summed order-free. The held-out-split sanity diagnostic."""
+    from rat_strain_loader_pipeline_spark.operators.sampling import token_kl_drift
+
+    docs = _t(spark, sf_dir, "documents")
+    return token_kl_drift(docs)
+
+
 def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram LM log-probability scoring (operators/text.py
     bigram_logprob): add-one-smoothed P(w2|w1) trained on the corpus
@@ -3506,6 +3518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_weights": q_mixture_weights,
         "pagerank": q_pagerank,
         "bigram_logprob": q_bigram_logprob,
+        "token_kl_drift": q_token_kl_drift,
         "split_assign": q_split_assign,
         "source_topk": q_source_topk,
         "vocab_topk": q_vocab_topk,
@@ -5140,6 +5153,45 @@ WHERE d.doc_id % 2 = 0
 """,
         "dedup_components": _dedup_components_oracle_sql(0.5),
         "pagerank": _pagerank_oracle_sql(iterations=5, damping_pct=85),
+        "token_kl_drift": r"""
+            WITH tagged AS (
+              SELECT doc_id, text,
+                     CASE WHEN md5_number_lower('split:v1:' || CAST(doc_id AS VARCHAR))
+                               % 10000 < 8000 THEN 'train'
+                          WHEN md5_number_lower('split:v1:' || CAST(doc_id AS VARCHAR))
+                               % 10000 < 9000 THEN 'val'
+                          ELSE 'test' END AS split
+              FROM documents
+            ),
+            tok AS (
+              SELECT split,
+                     unnest(list_filter(regexp_split_to_array(trim(lower(text)),
+                                                              '\s+'),
+                                        t -> t <> '')) AS token
+              FROM tagged WHERE split IN ('train', 'test')
+            ),
+            pw AS (
+              SELECT token,
+                     CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END)
+                          AS BIGINT) AS ca,
+                     CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END)
+                          AS BIGINT) AS cb
+              FROM tok GROUP BY 1
+            ),
+            tot AS (
+              SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb,
+                     CAST(count(*) AS BIGINT) AS v
+              FROM pw
+            )
+            SELECT na AS n_tokens_a, nb AS n_tokens_b, v AS vocab_size,
+                   CAST(sum(CAST(floor(
+                     (CAST(cb + 1 AS DOUBLE) / CAST(nb + v AS DOUBLE))
+                     * ln((CAST(cb + 1 AS DOUBLE) / CAST(nb + v AS DOUBLE))
+                          / (CAST(ca + 1 AS DOUBLE) / CAST(na + v AS DOUBLE)))
+                     * 1e12) AS BIGINT)) AS BIGINT) AS kl_picos
+            FROM pw CROSS JOIN tot
+            GROUP BY na, nb, v
+        """,
         "bigram_logprob": r"""
             WITH toks AS (
               SELECT doc_id,

@@ -217,3 +217,58 @@ def mixture_weights(
         F.floor(p * F.lit(1e6)).cast("bigint").alias("weight_micros"),
         F.floor(p * F.lit(float(budget))).cast("bigint").alias("expected_docs"),
     )
+
+
+def token_kl_drift(
+    docs: DataFrame,
+    split_a: str = "train",
+    split_b: str = "test",
+    salt: str = "v1",
+    fractions: tuple[tuple[str, float], ...] = (("train", 0.8), ("val", 0.1), ("test", 0.1)),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """KL(P_b || P_a) between the token distributions of two splits —
+    the drift diagnostic run before trusting a held-out split: a high
+    value means the test split's language differs from train (leakage
+    fixes, topical skew, a broken split function all show up here).
+
+    Distributions use add-one smoothing over the UNION vocabulary, so
+    every vocab word contributes (including words absent from one
+    split). Each word's term ``P_b * ln(P_b / P_a)`` floors to PICO
+    units (1e-12 — per-word probabilities are ~1/V, micro units would
+    floor them all to zero); the sum is order-free bigint. Returns one
+    row: (n_tokens_a, n_tokens_b, vocab_size, kl_picos).
+
+    100 TB shape: one (token) shuffle with map-side partial conditional
+    sums (tokens tagged by split in the same pass — the split column is
+    a map-side md5 bucket, no join); the per-word table is
+    vocabulary-bounded; totals are a broadcast 1-row aggregate.
+    """
+    tagged = deterministic_split(docs, id_col=id_col, salt=salt, fractions=fractions)
+    from rat_strain_loader_pipeline_spark.operators.text import tokens
+
+    tok = tagged.filter(F.col("split").isin([split_a, split_b])).select(
+        "split", F.explode(tokens(F.lower(F.col(text_col)))).alias("token")
+    )
+    per_word = tok.groupBy("token").agg(
+        F.sum(F.when(F.col("split") == split_a, 1).otherwise(0)).cast("long").alias("ca"),
+        F.sum(F.when(F.col("split") == split_b, 1).otherwise(0)).cast("long").alias("cb"),
+    )
+    totals = per_word.agg(
+        F.sum("ca").cast("long").alias("na"),
+        F.sum("cb").cast("long").alias("nb"),
+        F.count(F.lit(1)).cast("long").alias("v"),
+    )
+    pa = (F.col("ca") + 1).cast("double") / (F.col("na") + F.col("v")).cast("double")
+    pb = (F.col("cb") + 1).cast("double") / (F.col("nb") + F.col("v")).cast("double")
+    term = F.floor(pb * F.log(pb / pa) * F.lit(1e12)).cast("long")
+    return (
+        per_word.crossJoin(F.broadcast(totals))
+        .agg(
+            F.first("na").alias("n_tokens_a"),
+            F.first("nb").alias("n_tokens_b"),
+            F.first("v").alias("vocab_size"),
+            F.sum(term).cast("long").alias("kl_picos"),
+        )
+    )

@@ -407,3 +407,29 @@ def test_bigram_logprob_model_and_edges(spark):
     # uses one-off transitions -> lower average log-prob
     avg = {i: got[i][1] / got[i][0] for i in (0, 1, 2)}
     assert avg[2] < avg[0] and avg[2] < avg[1]
+
+
+def test_token_kl_drift_properties(spark):
+    """KL of identical distributions is ~0 (only floor slack below);
+    drifted distributions score strictly positive and larger."""
+    from rat_strain_loader_pipeline_spark.operators.sampling import token_kl_drift
+
+    same = spark.createDataFrame(
+        [(i, "alpha beta gamma delta") for i in range(200)],
+        "doc_id long, text string",
+    )
+    r = token_kl_drift(same).collect()[0]
+    assert r["n_tokens_a"] > 0 and r["n_tokens_b"] > 0
+    # identical per-word distributions: every term is ~0 but floor()
+    # pulls each slightly negative -> small negative bound, never large
+    assert -r["vocab_size"] <= r["kl_picos"] <= 0
+
+    drift = spark.createDataFrame(
+        [
+            (i, "alpha beta gamma delta" if i % 10 != 3 else "omega psi chi phi")
+            for i in range(200)
+        ],
+        "doc_id long, text string",
+    )
+    r2 = token_kl_drift(drift).collect()[0]
+    assert r2["kl_picos"] > r["kl_picos"]
