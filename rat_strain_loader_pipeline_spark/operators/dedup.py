@@ -842,6 +842,8 @@ def dedup_survivors_by(
     then ONE hash-partitioned window per component — partition size =
     component size (boilerplate mega-components should be capped
     upstream via hot_bucket_cap before they reach here)."""
+    from rat_strain_loader_pipeline_spark.operators.sampling import topk_per_group
+
     cc = connected_components(pairs)
     members = docs.join(
         cc.withColumnRenamed("node_id", id_col), id_col, "left"
@@ -849,9 +851,6 @@ def dedup_survivors_by(
         "component_id",
         F.coalesce(F.col("component_id"), F.col(id_col)).cast("long"),
     )
-    w = Window.partitionBy("component_id").orderBy(*order_cols)
-    return (
-        members.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-    )
+    return topk_per_group(
+        members, ["component_id"], order_cols, k=1, rank_col="__rn"
+    ).drop("__rn")

@@ -238,7 +238,8 @@ def token_kl_drift(
     split). Each word's term ``P_b * ln(P_b / P_a)`` floors to PICO
     units (1e-12 — per-word probabilities are ~1/V, micro units would
     floor them all to zero); the sum is order-free bigint. Returns one
-    row: (n_tokens_a, n_tokens_b, vocab_size, kl_picos).
+    row (n_tokens_a, n_tokens_b, vocab_size, kl_picos), or ZERO rows
+    when neither split has a token (empty/whitespace-only corpus).
 
     100 TB shape: one (token) shuffle with map-side partial conditional
     sums (tokens tagged by split in the same pass — the split column is
@@ -247,13 +248,24 @@ def token_kl_drift(
     """
     tagged = deterministic_split(docs, id_col=id_col, salt=salt, fractions=fractions)
     from rat_strain_loader_pipeline_spark.operators.text import tokens
+    from rat_strain_loader_pipeline_spark.staging import stage_to_parquet
 
     tok = tagged.filter(F.col("split").isin([split_a, split_b])).select(
         "split", F.explode(tokens(F.lower(F.col(text_col)))).alias("token")
     )
-    per_word = tok.groupBy("token").agg(
-        F.sum(F.when(F.col("split") == split_a, 1).otherwise(0)).cast("long").alias("ca"),
-        F.sum(F.when(F.col("split") == split_b, 1).otherwise(0)).cast("long").alias("cb"),
+    # staged: the vocabulary-bounded word table feeds the totals
+    # aggregate AND the KL sum — unstaged, each consumer re-runs the
+    # corpus tokenize/shuffle (same rule as mixture_weights' counts)
+    per_word = stage_to_parquet(
+        tok.groupBy("token").agg(
+            F.sum(F.when(F.col("split") == split_a, 1).otherwise(0))
+            .cast("long")
+            .alias("ca"),
+            F.sum(F.when(F.col("split") == split_b, 1).otherwise(0))
+            .cast("long")
+            .alias("cb"),
+        ),
+        "kl-per-word",
     )
     totals = per_word.agg(
         F.sum("ca").cast("long").alias("na"),
@@ -263,12 +275,15 @@ def token_kl_drift(
     pa = (F.col("ca") + 1).cast("double") / (F.col("na") + F.col("v")).cast("double")
     pb = (F.col("cb") + 1).cast("double") / (F.col("nb") + F.col("v")).cast("double")
     term = F.floor(pb * F.log(pb / pa) * F.lit(1e12)).cast("long")
+    # group on the (constant) totals rather than a global agg: an empty
+    # word table then yields ZERO rows — matching the oracle's
+    # GROUP BY — instead of one all-null row
     return (
         per_word.crossJoin(F.broadcast(totals))
-        .agg(
-            F.first("na").alias("n_tokens_a"),
-            F.first("nb").alias("n_tokens_b"),
-            F.first("v").alias("vocab_size"),
-            F.sum(term).cast("long").alias("kl_picos"),
+        .groupBy(
+            F.col("na").alias("n_tokens_a"),
+            F.col("nb").alias("n_tokens_b"),
+            F.col("v").alias("vocab_size"),
         )
+        .agg(F.sum(term).cast("long").alias("kl_picos"))
     )

@@ -406,8 +406,15 @@ def bigram_logprob(
     pairs = docs.select(F.col(id_col), F.explode(bigrams).alias("bg")).select(
         id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
     )
-    # reduce FIRST: per-doc bigram multiplicities, map-side partials
-    doc_bg = pairs.groupBy(id_col, "w1", "w2").agg(F.count(F.lit(1)).alias("n"))
+    from rat_strain_loader_pipeline_spark.staging import stage_to_parquet
+
+    # reduce FIRST (per-doc bigram multiplicities, map-side partials),
+    # then STAGE: four consumers (lm_bg, lm_uni, vocab, the score join)
+    # would otherwise each re-tokenize the corpus
+    doc_bg = stage_to_parquet(
+        pairs.groupBy(id_col, "w1", "w2").agg(F.count(F.lit(1)).alias("n")),
+        "bigram-doc-bg",
+    )
     lm_bg = doc_bg.groupBy("w1", "w2").agg(F.sum("n").alias("c12"))
     lm_uni = doc_bg.groupBy("w1").agg(F.sum("n").alias("c1"))
     vocab = (

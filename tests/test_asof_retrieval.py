@@ -433,3 +433,14 @@ def test_token_kl_drift_properties(spark):
     )
     r2 = token_kl_drift(drift).collect()[0]
     assert r2["kl_picos"] > r["kl_picos"]
+
+
+def test_token_kl_drift_empty_corpus_zero_rows(spark):
+    """No tokens in either split -> ZERO rows (matching the oracle's
+    GROUP BY shape), never a single all-null row."""
+    from rat_strain_loader_pipeline_spark.operators.sampling import token_kl_drift
+
+    empty = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, None)], "doc_id long, text string"
+    )
+    assert token_kl_drift(empty).collect() == []
