@@ -1460,6 +1460,23 @@ def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_cosine_pairs(docs, threshold=0.3, max_df_frac=0.1)
 
 
+def q_winnow_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-containment pairs (operators/dedup.py
+    winnow_containment_pairs): |shared winnow fingerprints| /
+    min(|fps|) >= 0.5 — the quote/excerpt/wrapper relation symmetric
+    Jaccard misses (a short doc fully inside a long one scores ~1.0
+    here, ~0 on Jaccard). Same fingerprint basis and stop-df bounds as
+    winnow_pairs; the oracle rebuilds the identical sets in SQL."""
+    from rat_strain_loader_pipeline_spark.operators.dedup import (
+        winnow_containment_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return winnow_containment_pairs(
+        docs, k=4, w=5, stop_df=20, containment=0.5
+    )
+
+
 def q_dedup_survivors_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Priority survivor selection (operators/dedup.py
     dedup_survivors_by): near-dup components keep their LONGEST member
@@ -3514,6 +3531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_survivors_capped": q_dedup_survivors_capped,
         "winnow_pairs": q_winnow_pairs,
         "dedup_survivors_priority": q_dedup_survivors_priority,
+        "winnow_containment": q_winnow_containment,
         "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
         "mixture_weights": q_mixture_weights,
         "pagerank": q_pagerank,
@@ -3994,6 +4012,47 @@ reach(id, r) AS (
 SELECT CAST(id AS BIGINT) AS doc_id, CAST(min(r) AS BIGINT) AS component_id
 FROM reach GROUP BY id
 """
+
+
+# Winnowing fingerprint CTEs shared by winnow_pairs and
+# winnow_containment (k=4 -> ts[i:i+3] is 4 tokens; w=5 -> hs[j:j+4]
+# is 5 hashes; DuckDB slices are 1-based inclusive, range()
+# end-exclusive). Ends at: exf (doc_id, fp) pre-prune, keep
+# (surviving fps, df <= 20), pr (pruned (doc_id, fp)).
+_WINNOW_CTES_SQL = r"""toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     t -> t <> '') AS ts
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+    CASE WHEN len(ts) = 0 THEN []::VARCHAR[]
+         WHEN len(ts) < 4 THEN [array_to_string(ts, '_')]
+         ELSE list_transform(range(1, len(ts) - 2),
+                             i -> array_to_string(ts[i:i+3], '_'))
+    END AS grams
+  FROM toks
+),
+h AS (
+  SELECT doc_id,
+         list_transform(grams,
+           s -> CAST(md5_number_lower(s) % 2147483647 AS BIGINT)) AS hs
+  FROM g
+),
+wn AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(hs) - 4, 1) + 1),
+           j -> list_min(hs[j:j+4]))) AS fps
+  FROM h
+),
+ex AS (
+  SELECT doc_id, unnest(fps) AS fp FROM wn
+),
+exf AS (SELECT doc_id, fp FROM ex WHERE fp IS NOT NULL),
+keep AS (SELECT fp FROM exf GROUP BY fp HAVING count(*) <= 20),
+pr AS (SELECT doc_id, fp FROM exf JOIN keep USING (fp))"""
 
 
 def _pagerank_oracle_sql(iterations: int = 5, damping_pct: int = 85) -> str:
@@ -5308,51 +5367,40 @@ WHERE d.doc_id % 2 = 0
             SELECT id_a, id_b, cosine_micros FROM scored
             WHERE cosine_micros >= 300000
         """,
-        # winnowing rebuilt from scratch in SQL: positional 4-gram
-        # md5-fold hashes, 5-window list_min fingerprints, stop-df
-        # prune, inverted-index self-join (k=4 -> ts[i:i+3] is 4
-        # tokens; w=5 -> hs[j:j+4] is 5 hashes; DuckDB slices are
-        # 1-based inclusive, range() end-exclusive)
-        "winnow_pairs": r"""
-            WITH toks AS (
-              SELECT doc_id,
-                     list_filter(string_split_regex(lower(text), '\s+'),
-                                 t -> t <> '') AS ts
-              FROM documents
-            ),
-            g AS (
-              SELECT doc_id,
-                CASE WHEN len(ts) = 0 THEN []::VARCHAR[]
-                     WHEN len(ts) < 4 THEN [array_to_string(ts, '_')]
-                     ELSE list_transform(range(1, len(ts) - 2),
-                                         i -> array_to_string(ts[i:i+3], '_'))
-                END AS grams
-              FROM toks
-            ),
-            h AS (
-              SELECT doc_id,
-                     list_transform(grams,
-                       s -> CAST(md5_number_lower(s) % 2147483647 AS BIGINT)) AS hs
-              FROM g
-            ),
-            wn AS (
-              SELECT doc_id,
-                     list_distinct(list_transform(
-                       range(1, greatest(len(hs) - 4, 1) + 1),
-                       j -> list_min(hs[j:j+4]))) AS fps
-              FROM h
-            ),
-            ex AS (
-              SELECT doc_id, unnest(fps) AS fp FROM wn
-            ),
-            exf AS (SELECT doc_id, fp FROM ex WHERE fp IS NOT NULL),
-            keep AS (SELECT fp FROM exf GROUP BY fp HAVING count(*) <= 20),
-            pr AS (SELECT doc_id, fp FROM exf JOIN keep USING (fp))
+        # winnowing rebuilt from scratch in SQL (shared CTEs below both
+        # pair oracles): positional 4-gram md5-fold hashes, 5-window
+        # list_min fingerprints, stop-df prune, inverted-index self-join
+        "winnow_pairs": f"""WITH {_WINNOW_CTES_SQL}
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                    CAST(count(*) AS BIGINT) AS n_shared
             FROM pr a JOIN pr b ON a.fp = b.fp AND a.doc_id < b.doc_id
             GROUP BY 1, 2
             HAVING count(*) >= 2
+        """,
+        # containment = shared / min(per-doc fingerprint count); counts
+        # come from exf (PRE stop-df prune), matching the engine
+        "winnow_containment": f"""WITH {_WINNOW_CTES_SQL},
+            nf AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fps
+              FROM exf GROUP BY 1
+            ),
+            sh2 AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     CAST(count(*) AS BIGINT) AS n_shared
+              FROM pr a JOIN pr b ON a.fp = b.fp AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ),
+            scored AS (
+              SELECT id_a, id_b, n_shared,
+                     CAST(floor(CAST(n_shared AS DOUBLE)
+                          / CAST(least(na.n_fps, nb.n_fps) AS DOUBLE)
+                          * 1000000.0) AS BIGINT) AS containment_micros
+              FROM sh2
+              JOIN nf na ON sh2.id_a = na.doc_id
+              JOIN nf nb ON sh2.id_b = nb.doc_id
+            )
+            SELECT id_a, id_b, n_shared, containment_micros FROM scored
+            WHERE containment_micros >= 500000
         """,
         # same transitive closure, argmax-per-component survivor policy
         "dedup_survivors_priority": f"""WITH RECURSIVE {_jaccard_pairs_cte_sql(0.5)},

@@ -854,3 +854,81 @@ def dedup_survivors_by(
     return topk_per_group(
         members, ["component_id"], order_cols, k=1, rank_col="__rn"
     ).drop("__rn")
+
+
+def winnow_containment_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    w: int = 5,
+    stop_df: int = 20,
+    containment: float = 0.8,
+    hash_fn: str = "md5_oracle",
+) -> DataFrame:
+    """Near-CONTAINMENT pairs: doc pairs where the smaller fingerprint
+    set is mostly inside the other's — the quote/excerpt/wrapper-page
+    relation that symmetric Jaccard misses entirely (a 100-word doc
+    fully quoted inside a 10k-word doc has Jaccard ~0.01 but
+    containment ~1.0).
+
+    Score = |shared fingerprints| / min(|fps_a|, |fps_b|), emitted as
+    floored micro-units over pairs sharing at least one surviving
+    (stop-df pruned) fingerprint. Same winnowing basis, staging, and
+    inverted-index join bounds as ``winnow_dup_pairs``; the per-doc
+    fingerprint-count table (doc-cardinality) joins in by id.
+    Returns (id_a, id_b, n_shared, containment_micros), id_a < id_b,
+    containment >= the threshold."""
+    from rat_strain_loader_pipeline_spark.staging import stage_to_parquet
+
+    if hash_fn == "md5_oracle":
+        from rat_strain_loader_pipeline_spark.ship import ensure_shipped
+
+        ensure_shipped(docs.sparkSession)
+        fp_arr = _winnow_udf(k, w)(F.col(text_col))
+    elif hash_fn == "xxhash64":
+        fp_arr = winnow_fingerprints_expr(text_col, k, w)
+    else:
+        raise ValueError(f"unknown hash_fn: {hash_fn!r}")
+    fps = stage_to_parquet(
+        docs.select(F.col(id_col), F.explode(fp_arr).alias("fp")).filter(
+            F.col("fp").isNotNull()
+        ),
+        "winnow-cont-fps",
+    )
+    n_fps = fps.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_fps"))
+    keep = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= stop_df)
+        .select("fp")
+    )
+    pruned = fps.join(keep, "fp")
+    a, b = pruned.alias("a"), pruned.alias("b")
+    shared = (
+        a.join(
+            b,
+            on=[
+                F.col("a.fp") == F.col("b.fp"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    na = n_fps.select(F.col(id_col).alias("id_a"), F.col("n_fps").alias("nfa"))
+    nb = n_fps.select(F.col(id_col).alias("id_b"), F.col("n_fps").alias("nfb"))
+    cont = F.col("n_shared").cast("double") / F.least("nfa", "nfb").cast("double")
+    return (
+        shared.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_shared",
+            F.floor(cont * F.lit(1000000.0)).cast("bigint").alias("containment_micros"),
+        )
+        .filter(F.col("containment_micros") >= int(containment * 1_000_000))
+    )

@@ -713,3 +713,51 @@ def test_dedup_survivors_by_priority(spark):
     # component {1,2,3}: longest is tie 2/3 at 30 chars -> min id 2 wins
     # 4 and 9 are singletons (their own component)
     assert got == {2: 1, 4: 4, 9: 9}
+
+
+def test_winnow_containment_finds_excerpts(spark):
+    """A short doc quoted inside a long one: containment ~1.0 while
+    symmetric Jaccard is far below any dedup threshold."""
+    from rat_strain_loader_pipeline_spark.operators.dedup import (
+        winnow_containment_pairs,
+        winnow_dup_pairs,
+        winnow_fingerprints_expr,
+    )
+
+    import random as _random
+
+    rnd = _random.Random(5)
+    vocab = [f"w{k}" for k in range(300)]
+    quote = " ".join(vocab[rnd.randrange(300)] for _ in range(15))
+    long_doc = (
+        " ".join(vocab[rnd.randrange(300)] for _ in range(120))
+        + " " + quote + " "
+        + " ".join(vocab[rnd.randrange(300)] for _ in range(120))
+    )
+    other = " ".join(vocab[rnd.randrange(300)] for _ in range(120))
+    docs = spark.createDataFrame(
+        [(1, quote), (2, long_doc), (3, other)], "doc_id long, text string"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["containment_micros"]
+        for r in winnow_containment_pairs(
+            docs, k=4, w=5, stop_df=100, containment=0.5
+        ).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)] >= 700000
+    assert all(3 not in p for p in got)
+    # the pair DOES share fingerprints symmetrically, but they are a
+    # small fraction of the long doc's set — containment, not Jaccard,
+    # is the signal that flags the excerpt relation
+    sym = {
+        (r["id_a"], r["id_b"]): r["n_shared"]
+        for r in winnow_dup_pairs(docs, k=4, w=5, stop_df=100, min_shared=1).collect()
+    }
+    n_shared = sym.get((1, 2), 0)
+    assert n_shared > 0
+    fps2 = (
+        docs.filter(F.col("doc_id") == 2)
+        .select(F.explode(winnow_fingerprints_expr("text", 4, 5)))
+        .count()
+    )
+    assert n_shared / fps2 < 0.5  # symmetric overlap stays sub-threshold
