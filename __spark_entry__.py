@@ -1388,6 +1388,19 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of event values per event_type
+    (operators/stats.py value_histogram): bounds from ONE broadcast
+    min/max row (bins globally aligned so per-type histograms are
+    comparable), bin edges emitted as floored micro-units from the
+    identical IEEE sequence. One fact pass for bounds, one for counts
+    with map-side partials on (type, bin)."""
+    from rat_strain_loader_pipeline_spark.operators.stats import value_histogram
+
+    ev = _t(spark, sf_dir, "events")
+    return value_histogram(ev, "value", n_bins=12, keys=["event_type"])
+
+
 def q_token_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/test token-distribution KL drift (operators/sampling.py
     token_kl_drift): deterministic md5 split, add-one-smoothed
@@ -3537,6 +3550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "bigram_logprob": q_bigram_logprob,
         "token_kl_drift": q_token_kl_drift,
+        "value_histogram": q_value_histogram,
         "split_assign": q_split_assign,
         "source_topk": q_source_topk,
         "vocab_topk": q_vocab_topk,
@@ -5212,6 +5226,29 @@ WHERE d.doc_id % 2 = 0
 """,
         "dedup_components": _dedup_components_oracle_sql(0.5),
         "pagerank": _pagerank_oracle_sql(iterations=5, damping_pct=85),
+        "value_histogram": """
+            WITH b AS (
+              SELECT CAST(min(value) AS DOUBLE) AS lo,
+                     CAST(max(value) AS DOUBLE) AS hi
+              FROM events WHERE value IS NOT NULL
+            ),
+            binned AS (
+              SELECT event_type,
+                     CASE WHEN hi = lo THEN 0
+                          ELSE least(CAST(floor((CAST(value AS DOUBLE) - lo)
+                                                / ((hi - lo) / 12.0)) AS BIGINT),
+                                     11) END AS bin
+              FROM events CROSS JOIN b WHERE value IS NOT NULL
+            )
+            SELECT event_type, bin,
+                   CAST(floor((lo + CAST(bin AS DOUBLE) * ((hi - lo) / 12.0))
+                        * 1e6) AS BIGINT) AS bin_lo_micros,
+                   CAST(floor((lo + CAST(bin + 1 AS DOUBLE) * ((hi - lo) / 12.0))
+                        * 1e6) AS BIGINT) AS bin_hi_micros,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM binned CROSS JOIN b
+            GROUP BY event_type, bin, lo, hi
+        """,
         "token_kl_drift": r"""
             WITH tagged AS (
               SELECT doc_id, text,

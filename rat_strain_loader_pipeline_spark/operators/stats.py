@@ -1,0 +1,64 @@
+"""Distribution statistics over measure columns.
+
+The telemetry/EDA staple missing from groupBy aggregates: fixed-width
+histograms computed distributively. (Quantiles live in the
+length_quantiles query via exact percentile SQL; Spearman lives in the
+entry module; both follow the same exactness rules used here.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def value_histogram(
+    df: DataFrame,
+    value_col: str,
+    n_bins: int = 20,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Fixed-width histogram of ``value_col``, optionally per ``keys``.
+
+    Bounds come from ONE global min/max aggregate (broadcast 1-row —
+    bins are globally aligned even when keyed, so per-key histograms
+    are comparable); bin = ``least(floor((v - lo)/width), n_bins-1)``
+    (the max value closes into the last bin). NULL values are excluded.
+    Returns (keys..., bin, bin_lo_micros, bin_hi_micros, n) — bin edges
+    in floored micro-units so every emitted column is exact-comparable
+    across engines (lo + bin*width is the identical IEEE sequence from
+    the identical 1-row bounds).
+
+    100 TB shape: one fact pass for bounds, one fact pass for counts
+    with map-side partial aggregation on (keys, bin) — bin cardinality
+    is n_bins x key-cardinality, never fact-sized. Degenerate case
+    lo == hi puts everything in bin 0.
+    """
+    keys = keys or []
+    v = F.col(value_col)
+    bounds = df.filter(v.isNotNull()).agg(
+        F.min(v).cast("double").alias("lo"), F.max(v).cast("double").alias("hi")
+    )
+    width = (F.col("hi") - F.col("lo")) / F.lit(float(n_bins))
+    bin_raw = F.floor((v.cast("double") - F.col("lo")) / width).cast("long")
+    bin_ = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+        F.least(bin_raw, F.lit(n_bins - 1))
+    ).cast("long")
+    return (
+        df.filter(v.isNotNull())
+        .crossJoin(F.broadcast(bounds))
+        .groupBy(*keys, bin_.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            *keys,
+            "bin",
+            F.floor((F.col("lo") + F.col("bin").cast("double") * width) * F.lit(1e6))
+            .cast("long")
+            .alias("bin_lo_micros"),
+            F.floor((F.col("lo") + (F.col("bin") + 1).cast("double") * width) * F.lit(1e6))
+            .cast("long")
+            .alias("bin_hi_micros"),
+            "n",
+        )
+    )
