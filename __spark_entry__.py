@@ -1388,6 +1388,27 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP totals (event_type, hour-of-day) — the OLAP
+    grouping-sets surface, expressed with Catalyst's native rollup
+    (expand + one aggregation, map-side partials per grouping set).
+    Sums go through DECIMAL(18,2) (exact, order-free) then cast to
+    double; per-column GROUPING flags are emitted instead of the
+    composite grouping_id (bit order is engine-specific, the flags are
+    not)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("hod", F.hour("ts").cast("bigint"))
+        .rollup("event_type", "hod")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+            F.grouping("event_type").cast("bigint").alias("g_type"),
+            F.grouping("hod").cast("bigint").alias("g_hod"),
+        )
+    )
+
+
 def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width histogram of event values per event_type
     (operators/stats.py value_histogram): bounds from ONE broadcast
@@ -3551,6 +3572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_logprob": q_bigram_logprob,
         "token_kl_drift": q_token_kl_drift,
         "value_histogram": q_value_histogram,
+        "rollup_counts": q_rollup_counts,
         "split_assign": q_split_assign,
         "source_topk": q_source_topk,
         "vocab_topk": q_vocab_topk,
@@ -5226,6 +5248,15 @@ WHERE d.doc_id % 2 = 0
 """,
         "dedup_components": _dedup_components_oracle_sql(0.5),
         "pagerank": _pagerank_oracle_sql(iterations=5, damping_pct=85),
+        "rollup_counts": """
+            SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+                   CAST(GROUPING(event_type) AS BIGINT) AS g_type,
+                   CAST(GROUPING(CAST(hour(ts) AS BIGINT)) AS BIGINT) AS g_hod
+            FROM events
+            GROUP BY ROLLUP (event_type, CAST(hour(ts) AS BIGINT))
+        """,
         "value_histogram": """
             WITH b AS (
               SELECT CAST(min(value) AS DOUBLE) AS lo,
