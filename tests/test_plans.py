@@ -322,3 +322,23 @@ def test_knn_join_no_cartesian_corpus(spark, sf_dir, queries):
     plan = _plan(queries["knn_join"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastExchange") >= 1
+
+
+def test_rollup_is_native_expand(spark, sf_dir, queries):
+    """ROLLUP must lower to Catalyst's Expand + ONE aggregation (with
+    map-side partials), not a union of per-grouping-set scans."""
+    plan = _plan(queries["rollup_counts"](spark, sf_dir))
+    assert "Expand" in plan
+    # formatted explain prints each node in the tree AND the numbered
+    # details, so one physical scan == 2 occurrences
+    assert plan.count("Scan parquet") <= 2
+
+
+def test_value_histogram_two_fact_passes(spark, sf_dir, queries):
+    """Histogram reads the facts exactly twice (bounds + counts); the
+    bounds row broadcasts — no fact-sized join or cartesian."""
+    plan = _plan(queries["value_histogram"](spark, sf_dir))
+    # <= 3 physical scans (bounds + counts + edge-join reread), each
+    # printed twice by formatted explain
+    assert plan.count("Scan parquet") <= 6
+    assert "CartesianProduct" not in plan
