@@ -721,6 +721,65 @@ def winnow_fingerprints_expr(
     )
 
 
+def _winnow_shared_counts(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+    w: int,
+    stop_df: int,
+    hash_fn: str,
+    stage_label: str,
+):
+    """Shared winnowing basis for both pair operators: staged exploded
+    fingerprint table, stop-df pruning, and the inverted-index
+    shared-fingerprint counts. Returns (fps, shared) where ``fps`` is
+    the staged PRE-prune (id, fp) table and ``shared`` is
+    (id_a, id_b, n_shared) over stop-df-surviving fingerprints — the
+    SINGLE source of the fingerprint/prune/join semantics both
+    ``winnow_dup_pairs`` and ``winnow_containment_pairs`` promise are
+    identical."""
+    from rat_strain_loader_pipeline_spark.staging import stage_to_parquet
+
+    if hash_fn == "md5_oracle":
+        from rat_strain_loader_pipeline_spark.ship import ensure_shipped
+
+        ensure_shipped(docs.sparkSession)
+        fp_arr = _winnow_udf(k, w)(F.col(text_col))
+    elif hash_fn == "xxhash64":
+        fp_arr = winnow_fingerprints_expr(text_col, k, w)
+    else:
+        raise ValueError(f"unknown hash_fn: {hash_fn!r}")
+    fps = stage_to_parquet(
+        docs.select(F.col(id_col), F.explode(fp_arr).alias("fp")).filter(
+            F.col("fp").isNotNull()
+        ),
+        stage_label,
+    )
+    keep = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= stop_df)
+        .select("fp")
+    )
+    pruned = fps.join(keep, "fp")
+    a, b = pruned.alias("a"), pruned.alias("b")
+    shared = (
+        a.join(
+            b,
+            on=[
+                F.col("a.fp") == F.col("b.fp"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return fps, shared
+
+
 def winnow_dup_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -753,45 +812,10 @@ def winnow_dup_pairs(
     fingerprint with every inverted list bounded by ``stop_df``, so
     candidate volume is O(n_fingerprints * stop_df^2) — never
     all-pairs, never unbounded per key."""
-    from rat_strain_loader_pipeline_spark.staging import stage_to_parquet
-
-    if hash_fn == "md5_oracle":
-        from rat_strain_loader_pipeline_spark.ship import ensure_shipped
-
-        ensure_shipped(docs.sparkSession)
-        fp_arr = _winnow_udf(k, w)(F.col(text_col))
-    elif hash_fn == "xxhash64":
-        fp_arr = winnow_fingerprints_expr(text_col, k, w)
-    else:
-        raise ValueError(f"unknown hash_fn: {hash_fn!r}")
-    fps = stage_to_parquet(
-        docs.select(F.col(id_col), F.explode(fp_arr).alias("fp")).filter(
-            F.col("fp").isNotNull()
-        ),
-        "winnow-fps",
+    _fps, shared = _winnow_shared_counts(
+        docs, text_col, id_col, k, w, stop_df, hash_fn, "winnow-fps"
     )
-    keep = (
-        fps.groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= stop_df)
-        .select("fp")
-    )
-    pruned = fps.join(keep, "fp")
-    a, b = pruned.alias("a"), pruned.alias("b")
-    return (
-        a.join(
-            b,
-            on=[
-                F.col("a.fp") == F.col("b.fp"),
-                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
-            ],
-        )
-        .groupBy(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-        .filter(F.col("n_shared") >= min_shared)
-    )
+    return shared.filter(F.col("n_shared") >= min_shared)
 
 
 def _hashes_and_sig_udf(shingle_n: int, num_hashes: int, seed: int):
@@ -879,45 +903,10 @@ def winnow_containment_pairs(
     fingerprint-count table (doc-cardinality) joins in by id.
     Returns (id_a, id_b, n_shared, containment_micros), id_a < id_b,
     containment >= the threshold."""
-    from rat_strain_loader_pipeline_spark.staging import stage_to_parquet
-
-    if hash_fn == "md5_oracle":
-        from rat_strain_loader_pipeline_spark.ship import ensure_shipped
-
-        ensure_shipped(docs.sparkSession)
-        fp_arr = _winnow_udf(k, w)(F.col(text_col))
-    elif hash_fn == "xxhash64":
-        fp_arr = winnow_fingerprints_expr(text_col, k, w)
-    else:
-        raise ValueError(f"unknown hash_fn: {hash_fn!r}")
-    fps = stage_to_parquet(
-        docs.select(F.col(id_col), F.explode(fp_arr).alias("fp")).filter(
-            F.col("fp").isNotNull()
-        ),
-        "winnow-cont-fps",
+    fps, shared = _winnow_shared_counts(
+        docs, text_col, id_col, k, w, stop_df, hash_fn, "winnow-cont-fps"
     )
     n_fps = fps.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_fps"))
-    keep = (
-        fps.groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= stop_df)
-        .select("fp")
-    )
-    pruned = fps.join(keep, "fp")
-    a, b = pruned.alias("a"), pruned.alias("b")
-    shared = (
-        a.join(
-            b,
-            on=[
-                F.col("a.fp") == F.col("b.fp"),
-                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
-            ],
-        )
-        .groupBy(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-    )
     na = n_fps.select(F.col(id_col).alias("id_a"), F.col("n_fps").alias("nfa"))
     nb = n_fps.select(F.col(id_col).alias("id_b"), F.col("n_fps").alias("nfb"))
     cont = F.col("n_shared").cast("double") / F.least("nfa", "nfb").cast("double")

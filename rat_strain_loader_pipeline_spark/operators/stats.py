@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, FloatType
 
 
 def value_histogram(
@@ -23,33 +24,42 @@ def value_histogram(
     Bounds come from ONE global min/max aggregate (broadcast 1-row —
     bins are globally aligned even when keyed, so per-key histograms
     are comparable); bin = ``least(floor((v - lo)/width), n_bins-1)``
-    (the max value closes into the last bin). NULL values are excluded.
+    (the max value closes into the last bin). NULL values are excluded;
+    for float/double columns NaN is excluded too (NaN sorts greatest in
+    Spark, so one NaN would poison the max and every bin with it).
     Returns (keys..., bin, bin_lo_micros, bin_hi_micros, n) — bin edges
     in floored micro-units so every emitted column is exact-comparable
     across engines (lo + bin*width is the identical IEEE sequence from
     the identical 1-row bounds).
 
-    100 TB shape: one fact pass for bounds, one fact pass for counts
-    with map-side partial aggregation on (keys, bin) — bin cardinality
-    is n_bins x key-cardinality, never fact-sized. Degenerate case
-    lo == hi puts everything in bin 0.
+    100 TB shape: exactly TWO fact passes — bounds, then counts with
+    map-side partial aggregation on (keys, bin, lo, hi); lo/hi are
+    constants from the broadcast bounds row, so grouping on them adds
+    no cardinality but carries the edges through the aggregation (no
+    third pass to re-attach them). Bin cardinality is n_bins x
+    key-cardinality, never fact-sized. Degenerate case lo == hi puts
+    everything in bin 0.
     """
     keys = keys or []
     v = F.col(value_col)
-    bounds = df.filter(v.isNotNull()).agg(
+    valid = v.isNotNull()
+    if isinstance(df.schema[value_col].dataType, (DoubleType, FloatType)):
+        valid = valid & ~F.isnan(v)
+    bounds = df.filter(valid).agg(
         F.min(v).cast("double").alias("lo"), F.max(v).cast("double").alias("hi")
     )
     width = (F.col("hi") - F.col("lo")) / F.lit(float(n_bins))
     bin_raw = F.floor((v.cast("double") - F.col("lo")) / width).cast("long")
-    bin_ = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
-        F.least(bin_raw, F.lit(n_bins - 1))
-    ).cast("long")
+    bin_ = (
+        F.when(F.col("hi") == F.col("lo"), F.lit(0))
+        .otherwise(F.least(bin_raw, F.lit(n_bins - 1)))
+        .cast("long")
+    )
     return (
-        df.filter(v.isNotNull())
+        df.filter(valid)
         .crossJoin(F.broadcast(bounds))
-        .groupBy(*keys, bin_.alias("bin"))
+        .groupBy(*keys, bin_.alias("bin"), F.col("lo"), F.col("hi"))
         .agg(F.count(F.lit(1)).alias("n"))
-        .crossJoin(F.broadcast(bounds))
         .select(
             *keys,
             "bin",

@@ -338,7 +338,7 @@ def test_value_histogram_two_fact_passes(spark, sf_dir, queries):
     """Histogram reads the facts exactly twice (bounds + counts); the
     bounds row broadcasts — no fact-sized join or cartesian."""
     plan = _plan(queries["value_histogram"](spark, sf_dir))
-    # <= 3 physical scans (bounds + counts + edge-join reread), each
-    # printed twice by formatted explain
-    assert plan.count("Scan parquet") <= 6
+    # exactly 2 physical scans (bounds + counts; edges ride the
+    # grouped lo/hi), each printed twice by formatted explain
+    assert plan.count("Scan parquet") <= 4
     assert "CartesianProduct" not in plan

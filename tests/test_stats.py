@@ -30,3 +30,13 @@ def test_value_histogram_nulls_keys_degenerate(spark):
     }
     # lo == hi: everything in bin 0; NULL excluded
     assert out == {("a", 0): 2, ("b", 0): 1}
+
+
+def test_value_histogram_nan_excluded(spark):
+    """One NaN must not poison the max/width (NaN sorts greatest in
+    Spark) — it is excluded like NULL."""
+    rows = [(1, 0.0), (2, 10.0), (3, float("nan")), (4, None)]
+    df = spark.createDataFrame(rows, "id long, value double")
+    out = value_histogram(df, "value", n_bins=2).orderBy("bin").collect()
+    assert [(r["bin"], r["n"]) for r in out] == [(0, 1), (1, 1)]
+    assert out[-1]["bin_hi_micros"] == 10_000_000
