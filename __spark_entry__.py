@@ -1494,6 +1494,40 @@ def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_cosine_pairs(docs, threshold=0.3, max_df_frac=0.1)
 
 
+def q_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster-size distribution — the dedup report every
+    curation run ends with: (cluster_size, n_clusters, n_docs) over
+    minhash-LSH components at 0.5, with docs in no pair counted as
+    size-1 singletons. All-integer aggregation over the component
+    table (dimension-sized after CC); the oracle recomputes sizes from
+    the brute-force transitive closure."""
+    from rat_strain_loader_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, jaccard_threshold=0.5)
+    cc = connected_components(pairs)
+    sizes = cc.groupBy("component_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    clustered = sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters")
+    )
+    n_singletons = (
+        docs.join(cc.withColumnRenamed("node_id", "doc_id"), "doc_id", "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(F.lit(1).cast("bigint").alias("cluster_size"), "n_clusters")
+    )
+    return (
+        clustered.unionByName(n_singletons)
+        .filter(F.col("n_clusters") > 0)
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters")).cast("bigint").alias("n_docs"),
+        )
+    )
+
+
 def q_winnow_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-containment pairs (operators/dedup.py
     winnow_containment_pairs): |shared winnow fingerprints| /
@@ -3566,6 +3600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_pairs": q_winnow_pairs,
         "dedup_survivors_priority": q_dedup_survivors_priority,
         "winnow_containment": q_winnow_containment,
+        "dedup_cluster_stats": q_dedup_cluster_stats,
         "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
         "mixture_weights": q_mixture_weights,
         "pagerank": q_pagerank,
@@ -5470,6 +5505,36 @@ WHERE d.doc_id % 2 = 0
             SELECT id_a, id_b, n_shared, containment_micros FROM scored
             WHERE containment_micros >= 500000
         """,
+        # cluster-size distribution from the same closure; singletons
+        # (docs in no pair) appear as size-1 clusters
+        "dedup_cluster_stats": f"""WITH RECURSIVE {_jaccard_pairs_cte_sql(0.5)},
+e AS (
+  SELECT id_a AS src, id_b AS dst FROM jp
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM jp
+),
+reach(id, r) AS (
+  SELECT DISTINCT src, src FROM e
+  UNION
+  SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src
+),
+comp AS (SELECT id AS doc_id, min(r) AS component_id FROM reach GROUP BY id),
+sizes AS (SELECT component_id, count(*) AS cluster_size FROM comp GROUP BY 1),
+clustered AS (
+  SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+         CAST(count(*) AS BIGINT) AS n_clusters
+  FROM sizes GROUP BY 1
+),
+singles AS (
+  SELECT CAST(1 AS BIGINT) AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+  WHERE c.doc_id IS NULL
+)
+SELECT cluster_size, n_clusters,
+       CAST(cluster_size * n_clusters AS BIGINT) AS n_docs
+FROM (SELECT * FROM clustered UNION ALL SELECT * FROM singles)
+WHERE n_clusters > 0
+""",
         # same transitive closure, argmax-per-component survivor policy
         "dedup_survivors_priority": f"""WITH RECURSIVE {_jaccard_pairs_cte_sql(0.5)},
 e AS (
