@@ -1388,6 +1388,22 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event transition matrix (Markov counts): lead() over
+    each user's (ts, event_id)-ordered stream, then one integer count
+    per (from, to) pair — the behavioral-sequence primitive under
+    funnels/session mining. One hash-partitioned window + one map-side-
+    partial aggregation; the (from, to) table is event-type² bounded."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def q_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical ROLLUP totals (event_type, hour-of-day) — the OLAP
     grouping-sets surface, expressed with Catalyst's native rollup
@@ -3608,6 +3624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_kl_drift": q_token_kl_drift,
         "value_histogram": q_value_histogram,
         "rollup_counts": q_rollup_counts,
+        "event_transitions": q_event_transitions,
         "split_assign": q_split_assign,
         "source_topk": q_source_topk,
         "vocab_topk": q_vocab_topk,
@@ -5283,6 +5300,19 @@ WHERE d.doc_id % 2 = 0
 """,
         "dedup_components": _dedup_components_oracle_sql(0.5),
         "pagerank": _pagerank_oracle_sql(iterations=5, damping_pct=85),
+        "event_transitions": """
+            WITH t AS (
+              SELECT event_type,
+                     lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                     ) AS next_type
+              FROM events
+            )
+            SELECT event_type AS from_type, next_type AS to_type,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM t WHERE next_type IS NOT NULL
+            GROUP BY 1, 2
+        """,
         "rollup_counts": """
             SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod,
                    CAST(count(*) AS BIGINT) AS n,
