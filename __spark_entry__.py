@@ -1389,18 +1389,26 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user event transition matrix (Markov counts): lead() over
-    each user's (ts, event_id)-ordered stream, then one integer count
-    per (from, to) pair — the behavioral-sequence primitive under
-    funnels/session mining. One hash-partitioned window + one map-side-
-    partial aggregation; the (from, to) table is event-type² bounded."""
+    """Per-user event transition matrix (Markov counts + dwell time):
+    lead() over each user's (ts, event_id)-ordered stream, then one
+    integer aggregation per (from, to) pair — counts and the exact
+    bigint sum of epoch-second gaps (avg dwell derives from sum/n
+    without any order-dependent float math). The behavioral-sequence
+    primitive under funnels/session mining. One hash-partitioned window
+    + one map-side-partial aggregation; the (from, to) table is
+    event-type² bounded."""
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.unix_timestamp(F.col("ts")).cast("long")
     return (
         ev.withColumn("next_type", F.lead("event_type").over(w))
+        .withColumn("gap_s", F.lead(epoch).over(w) - epoch)
         .filter(F.col("next_type").isNotNull())
         .groupBy(F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type"))
-        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("gap_s").cast("long").alias("sum_gap_seconds"),
+        )
     )
 
 
@@ -5305,11 +5313,17 @@ WHERE d.doc_id % 2 = 0
               SELECT event_type,
                      lead(event_type) OVER (
                        PARTITION BY user_id ORDER BY ts, event_id
-                     ) AS next_type
+                     ) AS next_type,
+                     -- floor, not cast: Spark's unix_timestamp floors
+                     -- sub-second parts while CAST(double) rounds
+                     lead(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                     ) - CAST(floor(epoch(ts)) AS BIGINT) AS gap_s
               FROM events
             )
             SELECT event_type AS from_type, next_type AS to_type,
-                   CAST(count(*) AS BIGINT) AS n
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(gap_s) AS BIGINT) AS sum_gap_seconds
             FROM t WHERE next_type IS NOT NULL
             GROUP BY 1, 2
         """,
