@@ -100,3 +100,30 @@ def test_spearman_partition_invariant(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert base == skewed
+
+
+def test_pagerank_partition_invariant(spark):
+    from rat_strain_loader_pipeline_spark.operators.graph import pagerank_micros
+
+    edges = [(i % 37, (i * 7) % 41) for i in range(300) if i % 37 != (i * 7) % 41]
+    one = spark.createDataFrame(edges, "src long, dst long").coalesce(1)
+    skew = spark.createDataFrame(edges, "src long, dst long").repartition(
+        13, (F.col("src") % 5)
+    )
+    a = {r["node"]: r["rank_micros"] for r in pagerank_micros(one).collect()}
+    b = {r["node"]: r["rank_micros"] for r in pagerank_micros(skew).collect()}
+    assert a == b
+
+
+def test_value_histogram_partition_invariant(spark, sf_dir):
+    from rat_strain_loader_pipeline_spark.operators.stats import value_histogram
+    from rat_strain_loader_pipeline_spark.sources.tables import read_table
+
+    ev = read_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    a = _rows(value_histogram(ev.coalesce(1), "value", 12, ["event_type"]))
+    b = _rows(
+        value_histogram(
+            ev.repartition(13, F.col("event_id") % 7), "value", 12, ["event_type"]
+        )
+    )
+    assert a == b
