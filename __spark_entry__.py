@@ -1518,6 +1518,29 @@ def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_cosine_pairs(docs, threshold=0.3, max_df_frac=0.1)
 
 
+def q_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source near-dup overlap matrix: for each (source, source)
+    pair (unordered, source_a <= source_b), how many verified near-dup
+    pairs straddle them — the syndication/mirror-site diagnostic that
+    decides which source to drop when corpora overlap. Near-dup pairs
+    from minhash-LSH at 0.5; sources join in by doc id (dimension
+    attributes), then one integer count per source pair
+    (source²-bounded output)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, jaccard_threshold=0.5)
+    sa = docs.select(F.col("doc_id").alias("id_a"), F.col("source").alias("sa"))
+    sb = docs.select(F.col("doc_id").alias("id_b"), F.col("source").alias("sb"))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .groupBy(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_dup_pairs"))
+    )
+
+
 def q_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup cluster-size distribution — the dedup report every
     curation run ends with: (cluster_size, n_clusters, n_docs) over
@@ -3625,6 +3648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_survivors_priority": q_dedup_survivors_priority,
         "winnow_containment": q_winnow_containment,
         "dedup_cluster_stats": q_dedup_cluster_stats,
+        "source_dup_matrix": q_source_dup_matrix,
         "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
         "mixture_weights": q_mixture_weights,
         "pagerank": q_pagerank,
@@ -5549,6 +5573,15 @@ WHERE d.doc_id % 2 = 0
             SELECT id_a, id_b, n_shared, containment_micros FROM scored
             WHERE containment_micros >= 500000
         """,
+        "source_dup_matrix": f"""WITH {_jaccard_pairs_cte_sql(0.5)}
+SELECT least(da.source, db.source) AS source_a,
+       greatest(da.source, db.source) AS source_b,
+       CAST(count(*) AS BIGINT) AS n_dup_pairs
+FROM jp
+JOIN documents da ON jp.id_a = da.doc_id
+JOIN documents db ON jp.id_b = db.doc_id
+GROUP BY 1, 2
+""",
         # cluster-size distribution from the same closure; singletons
         # (docs in no pair) appear as size-1 clusters
         "dedup_cluster_stats": f"""WITH RECURSIVE {_jaccard_pairs_cte_sql(0.5)},
