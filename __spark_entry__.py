@@ -4115,11 +4115,11 @@ def _jaccard_pairs_oracle_sql(threshold: float) -> str:
     return f"WITH {_jaccard_pairs_cte_sql(threshold)}\nSELECT id_a, id_b, jaccard FROM jp\n"
 
 
-def _dedup_components_oracle_sql(threshold: float) -> str:
-    """Recursive-CTE transitive closure over the brute-force pair set:
-    component id = min doc id reachable through near-dup edges."""
-    return f"""WITH RECURSIVE {_jaccard_pairs_cte_sql(threshold)},
-e AS (
+# Transitive closure over the jp pair set (symmetrized edges +
+# recursive reachability) — THE closure every dedup oracle composes on
+# (components / survivors / priority survivors / cluster stats). One
+# copy: a tweak here changes all four consistently.
+_CLOSURE_CTES_SQL = """e AS (
   SELECT id_a AS src, id_b AS dst FROM jp
   UNION
   SELECT id_b AS src, id_a AS dst FROM jp
@@ -4128,7 +4128,14 @@ reach(id, r) AS (
   SELECT DISTINCT src, src FROM e
   UNION
   SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src
-)
+)"""
+
+
+def _dedup_components_oracle_sql(threshold: float) -> str:
+    """Recursive-CTE transitive closure over the brute-force pair set:
+    component id = min doc id reachable through near-dup edges."""
+    return f"""WITH RECURSIVE {_jaccard_pairs_cte_sql(threshold)},
+{_CLOSURE_CTES_SQL}
 SELECT CAST(id AS BIGINT) AS doc_id, CAST(min(r) AS BIGINT) AS component_id
 FROM reach GROUP BY id
 """
@@ -4216,16 +4223,7 @@ pr0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes)"""
 # in no pair). Shared by dedup_survivors AND dedup_survivors_capped —
 # the hot-bucket star topology must reproduce the identical set.
 _DEDUP_SURVIVORS_ORACLE_SQL = f"""WITH RECURSIVE {_jaccard_pairs_cte_sql(0.5)},
-e AS (
-  SELECT id_a AS src, id_b AS dst FROM jp
-  UNION
-  SELECT id_b AS src, id_a AS dst FROM jp
-),
-reach(id, r) AS (
-  SELECT DISTINCT src, src FROM e
-  UNION
-  SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src
-),
+{_CLOSURE_CTES_SQL},
 losers AS (SELECT id FROM reach GROUP BY id HAVING min(r) <> id)
 SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.source, d.lang,
        CAST(d.n_chars AS BIGINT) AS n_chars
@@ -5585,16 +5583,7 @@ GROUP BY 1, 2
         # cluster-size distribution from the same closure; singletons
         # (docs in no pair) appear as size-1 clusters
         "dedup_cluster_stats": f"""WITH RECURSIVE {_jaccard_pairs_cte_sql(0.5)},
-e AS (
-  SELECT id_a AS src, id_b AS dst FROM jp
-  UNION
-  SELECT id_b AS src, id_a AS dst FROM jp
-),
-reach(id, r) AS (
-  SELECT DISTINCT src, src FROM e
-  UNION
-  SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src
-),
+{_CLOSURE_CTES_SQL},
 comp AS (SELECT id AS doc_id, min(r) AS component_id FROM reach GROUP BY id),
 sizes AS (SELECT component_id, count(*) AS cluster_size FROM comp GROUP BY 1),
 clustered AS (
@@ -5614,16 +5603,7 @@ WHERE n_clusters > 0
 """,
         # same transitive closure, argmax-per-component survivor policy
         "dedup_survivors_priority": f"""WITH RECURSIVE {_jaccard_pairs_cte_sql(0.5)},
-e AS (
-  SELECT id_a AS src, id_b AS dst FROM jp
-  UNION
-  SELECT id_b AS src, id_a AS dst FROM jp
-),
-reach(id, r) AS (
-  SELECT DISTINCT src, src FROM e
-  UNION
-  SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src
-),
+{_CLOSURE_CTES_SQL},
 comp AS (SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS component_id
          FROM reach GROUP BY id)
 SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.source, d.lang,

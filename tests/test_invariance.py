@@ -110,8 +110,10 @@ def test_pagerank_partition_invariant(spark):
     skew = spark.createDataFrame(edges, "src long, dst long").repartition(
         13, (F.col("src") % 5)
     )
-    a = {r["node"]: r["rank_micros"] for r in pagerank_micros(one).collect()}
-    b = {r["node"]: r["rank_micros"] for r in pagerank_micros(skew).collect()}
+    # full row-multiset compare (like every other test here): a dict
+    # collapse would mask partition-dependent duplicate rows
+    a = _rows(pagerank_micros(one))
+    b = _rows(pagerank_micros(skew))
     assert a == b
 
 
