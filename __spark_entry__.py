@@ -1433,6 +1433,33 @@ def q_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type robust location/scale: exact median and MAD (median of
+    absolute deviations from the median) of event values — the
+    outlier-resistant anomaly baseline (mean/stddev move with every
+    spike; median/MAD don't). Two passes over the per-type values with
+    a broadcast median join between them; exact interpolated
+    percentiles match DuckDB's quantile_cont (the length_quantiles
+    contract — at 100 TB swap for approx_percentile)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    med = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("percentile(value, 0.5)").alias("med"),
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("value") - F.col("med")).alias("adev")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    return med.join(mad, "event_type").select(
+        "event_type",
+        "n",
+        F.round("med", 4).alias("median_value"),
+        F.round("mad", 4).alias("mad_value"),
+    )
+
+
 def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width histogram of event values per event_type
     (operators/stats.py value_histogram): bounds from ONE broadcast
@@ -3655,6 +3682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_logprob": q_bigram_logprob,
         "token_kl_drift": q_token_kl_drift,
         "value_histogram": q_value_histogram,
+        "robust_stats": q_robust_stats,
         "rollup_counts": q_rollup_counts,
         "event_transitions": q_event_transitions,
         "split_assign": q_split_assign,
@@ -5357,6 +5385,25 @@ WHERE d.doc_id % 2 = 0
                    CAST(GROUPING(CAST(hour(ts) AS BIGINT)) AS BIGINT) AS g_hod
             FROM events
             GROUP BY ROLLUP (event_type, CAST(hour(ts) AS BIGINT))
+        """,
+        "robust_stats": """
+            WITH v AS (
+              SELECT event_type, value FROM events WHERE value IS NOT NULL
+            ),
+            med AS (
+              SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                     quantile_cont(value, 0.5) AS med
+              FROM v GROUP BY 1
+            ),
+            mad AS (
+              SELECT v.event_type,
+                     quantile_cont(abs(v.value - m.med), 0.5) AS mad
+              FROM v JOIN med m USING (event_type) GROUP BY 1
+            )
+            SELECT med.event_type, med.n,
+                   round(med.med, 4) AS median_value,
+                   round(mad.mad, 4) AS mad_value
+            FROM med JOIN mad USING (event_type)
         """,
         "value_histogram": """
             WITH b AS (
