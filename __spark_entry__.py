@@ -1460,6 +1460,34 @@ def q_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level outlier counts by the MAD rule: events whose value
+    deviates from their type's median by more than 5x the MAD — the
+    robust complement to hourly_anomalies' volume-level detection
+    (a handful of extreme rows can't move the median/MAD baseline the
+    way they move mean/stddev). Same two-pass median/MAD as
+    robust_stats, then one counting pass with the (type, med, mad)
+    baseline broadcast."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    med = ev.groupBy("event_type").agg(F.expr("percentile(value, 0.5)").alias("med"))
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .select("event_type", F.abs(F.col("value") - F.col("med")).alias("adev"))
+        .groupBy("event_type")
+        .agg(F.expr("percentile(adev, 0.5)").alias("mad"))
+    )
+    baseline = med.join(mad, "event_type")
+    is_out = F.abs(F.col("value") - F.col("med")) > F.lit(5.0) * F.col("mad")
+    return (
+        ev.join(F.broadcast(baseline), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.when(is_out, 1).otherwise(0)).cast("bigint").alias("n_outliers"),
+        )
+    )
+
+
 def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width histogram of event values per event_type
     (operators/stats.py value_histogram): bounds from ONE broadcast
@@ -3683,6 +3711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_kl_drift": q_token_kl_drift,
         "value_histogram": q_value_histogram,
         "robust_stats": q_robust_stats,
+        "value_outliers": q_value_outliers,
         "rollup_counts": q_rollup_counts,
         "event_transitions": q_event_transitions,
         "split_assign": q_split_assign,
@@ -5385,6 +5414,26 @@ WHERE d.doc_id % 2 = 0
                    CAST(GROUPING(CAST(hour(ts) AS BIGINT)) AS BIGINT) AS g_hod
             FROM events
             GROUP BY ROLLUP (event_type, CAST(hour(ts) AS BIGINT))
+        """,
+        "value_outliers": """
+            WITH v AS (
+              SELECT event_type, value FROM events WHERE value IS NOT NULL
+            ),
+            med AS (
+              SELECT event_type, quantile_cont(value, 0.5) AS med
+              FROM v GROUP BY 1
+            ),
+            mad AS (
+              SELECT v.event_type,
+                     quantile_cont(abs(v.value - m.med), 0.5) AS mad
+              FROM v JOIN med m USING (event_type) GROUP BY 1
+            )
+            SELECT v.event_type,
+                   CAST(count(*) AS BIGINT) AS n_total,
+                   CAST(sum(CASE WHEN abs(v.value - med.med) > 5.0 * mad.mad
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+            FROM v JOIN med USING (event_type) JOIN mad USING (event_type)
+            GROUP BY 1
         """,
         "robust_stats": """
             WITH v AS (
