@@ -342,3 +342,19 @@ def test_value_histogram_two_fact_passes(spark, sf_dir, queries):
     # grouped lo/hi), each printed twice by formatted explain
     assert plan.count("Scan parquet") <= 4
     assert "CartesianProduct" not in plan
+
+
+def test_event_transitions_single_window_pass(spark, sf_dir, queries):
+    """One hash-partitioned window over the facts, then one aggregation
+    — no self-join of the event stream."""
+    plan = _plan(queries["event_transitions"](spark, sf_dir))
+    assert plan.count("Window") >= 1
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_value_outliers_broadcast_baseline(spark, sf_dir, queries):
+    """The (type, median, MAD) baseline joins back as a broadcast —
+    the counting pass never shuffles the facts for the join."""
+    plan = _plan(queries["value_outliers"](spark, sf_dir))
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
