@@ -1127,11 +1127,12 @@ def q_minhash_lsh_xxhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs on the PRODUCTION hash path: shingling
     and hashing stay JVM-side (F.xxhash64 inside whole-stage codegen, no
     Python in the hash loop) — the 100 TB configuration of minhash_lsh.
-    Rows-only at the driver BY DESIGN: DuckDB has no xxhash64, so no SQL
-    engine can rebuild these hash sets; the path is value-pinned instead
-    by pytest equivalence against the md5-oracle path
-    (tests/test_dedup_similarity.py::test_minhash_lsh_xxhash_equivalence)
-    and benched here so both hash families carry a timing."""
+    Value-checked against the SAME brute-force md5 pair oracle as
+    minhash_lsh: the emitted pairs are exact-Jaccard-verified, and
+    Jaccard over hashed shingle sets is hash-family-invariant absent
+    collisions, so both hash families must emit identical (id_a, id_b,
+    jaccard) rows (pytest additionally pins the equivalence directly:
+    tests/test_dedup_similarity.py::test_minhash_lsh_xxhash_equivalence)."""
     docs = _t(spark, sf_dir, "documents")
     return minhash_lsh_pairs(docs, jaccard_threshold=0.5, hash_fn="xxhash64")
 
@@ -5362,6 +5363,14 @@ WHERE variant_rgd_id % 3 <> 0
         "consequence_snv_blocks": _conseq_oracle_sql(),
         "consequence_indel_utr": _conseq_indel_oracle_sql(),
         "minhash_lsh": _jaccard_pairs_oracle_sql(0.5),
+        # same oracle as minhash_lsh: the xxhash64 path's EMITTED pairs are
+        # exact-Jaccard-verified over its own staged hash arrays, and
+        # Jaccard over hashed shingle sets is hash-family-invariant absent
+        # collisions (pytest pins md5==xxhash pair sets AND jaccard values,
+        # tests/test_dedup_similarity.py::test_minhash_lsh_xxhash_equivalence),
+        # so the brute-force md5 pair oracle is the correct value check even
+        # though DuckDB cannot rebuild xxhash64 itself.
+        "minhash_lsh_xxhash": _jaccard_pairs_oracle_sql(0.5),
         "ngram_jaccard": _jaccard_pairs_oracle_sql(0.8),
         "simhash": _simhash_oracle_sql(),
         "simhash_pairs": _simhash_pairs_oracle_sql(8),
