@@ -4199,12 +4199,68 @@ FROM reach GROUP BY id
 """
 
 
+# ---------------------------------------------------------------------------
+# Shared query<->oracle parameters (the _pagerank_oracle_sql pattern,
+# generalized per ADVICE r4): ONE Python definition feeds BOTH the engine
+# call site in queries() and the generated oracle SQL, so turning a knob
+# at a call site can never silently break the value check only at run
+# time — both sides move together or the diff shows the split.
+SPLIT_SALT = "v1"
+SPLIT_FRACTIONS = (("train", 0.8), ("val", 0.1), ("test", 0.1))
+SPLIT_RESOLUTION = 10_000
+# cumulative cuts EXACTLY as deterministic_split derives them
+# (operators/sampling.py:63-68): int(round(cumsum * resolution))
+_SPLIT_CUTS = []
+_cum = 0.0
+for _name, _frac in SPLIT_FRACTIONS[:-1]:
+    _cum += _frac
+    _SPLIT_CUTS.append((_name, int(round(_cum * SPLIT_RESOLUTION))))
+del _cum, _name, _frac
+
+MIXTURE_ALPHA = 0.5
+MIXTURE_BUDGET = 250_000
+
+WINNOW_K = 4
+WINNOW_W = 5
+WINNOW_STOP_DF = 20
+WINNOW_MIN_SHARED = 2
+WINNOW_CONTAINMENT = 0.5
+
+
+def _split_bucket_sql(id_expr: str = "CAST(doc_id AS VARCHAR)") -> str:
+    """DuckDB expression for deterministic_split's md5 bucket."""
+    return (
+        f"md5_number_lower('split:{SPLIT_SALT}:' || {id_expr})"
+        f" % {SPLIT_RESOLUTION}"
+    )
+
+
+def _split_case_sql(id_expr: str = "CAST(doc_id AS VARCHAR)") -> str:
+    """DuckDB CASE ladder matching deterministic_split's split column."""
+    b = _split_bucket_sql(id_expr)
+    whens = "\n                        ".join(
+        f"WHEN {b} < {cut} THEN '{name}'" for name, cut in _SPLIT_CUTS
+    )
+    return (
+        f"CASE {whens}\n                        "
+        f"ELSE '{SPLIT_FRACTIONS[-1][0]}' END"
+    )
+
+
+def _mixture_scale_sql(n_expr: str) -> str:
+    """pow(n, alpha) in DuckDB; alpha=0.5 keeps the sqrt() spelling the
+    IEEE-exactness claim in q_mixture_weights' docstring relies on."""
+    if MIXTURE_ALPHA == 0.5:
+        return f"sqrt(CAST({n_expr} AS DOUBLE))"
+    return f"pow(CAST({n_expr} AS DOUBLE), {MIXTURE_ALPHA})"
+
+
 # Winnowing fingerprint CTEs shared by winnow_pairs and
-# winnow_containment (k=4 -> ts[i:i+3] is 4 tokens; w=5 -> hs[j:j+4]
-# is 5 hashes; DuckDB slices are 1-based inclusive, range()
+# winnow_containment (k -> ts[i:i+k-1] is k tokens; w -> hs[j:j+w-1]
+# is w hashes; DuckDB slices are 1-based inclusive, range()
 # end-exclusive). Ends at: exf (doc_id, fp) pre-prune, keep
-# (surviving fps, df <= 20), pr (pruned (doc_id, fp)).
-_WINNOW_CTES_SQL = r"""toks AS (
+# (surviving fps, df <= WINNOW_STOP_DF), pr (pruned (doc_id, fp)).
+_WINNOW_CTES_SQL = rf"""toks AS (
   SELECT doc_id,
          list_filter(string_split_regex(lower(text), '\s+'),
                      t -> t <> '') AS ts
@@ -4213,9 +4269,9 @@ _WINNOW_CTES_SQL = r"""toks AS (
 g AS (
   SELECT doc_id,
     CASE WHEN len(ts) = 0 THEN []::VARCHAR[]
-         WHEN len(ts) < 4 THEN [array_to_string(ts, '_')]
-         ELSE list_transform(range(1, len(ts) - 2),
-                             i -> array_to_string(ts[i:i+3], '_'))
+         WHEN len(ts) < {WINNOW_K} THEN [array_to_string(ts, '_')]
+         ELSE list_transform(range(1, len(ts) - {WINNOW_K - 2}),
+                             i -> array_to_string(ts[i:i+{WINNOW_K - 1}], '_'))
     END AS grams
   FROM toks
 ),
@@ -4228,15 +4284,15 @@ h AS (
 wn AS (
   SELECT doc_id,
          list_distinct(list_transform(
-           range(1, greatest(len(hs) - 4, 1) + 1),
-           j -> list_min(hs[j:j+4]))) AS fps
+           range(1, greatest(len(hs) - {WINNOW_W - 1}, 1) + 1),
+           j -> list_min(hs[j:j+{WINNOW_W - 1}]))) AS fps
   FROM h
 ),
 ex AS (
   SELECT doc_id, unnest(fps) AS fp FROM wn
 ),
 exf AS (SELECT doc_id, fp FROM ex WHERE fp IS NOT NULL),
-keep AS (SELECT fp FROM exf GROUP BY fp HAVING count(*) <= 20),
+keep AS (SELECT fp FROM exf GROUP BY fp HAVING count(*) <= {WINNOW_STOP_DF}),
 pr AS (SELECT doc_id, fp FROM exf JOIN keep USING (fp))"""
 
 
@@ -5303,8 +5359,12 @@ FROM loaded
         "embedding_stream_ivf": _EMBED_BRUTE_TOPK_SQL,
         # compaction invariants recomputed from the source table: the
         # rewrite must preserve the row multiset exactly (order-free
-        # content hash), land exactly ceil(rows/target)=1 file, and
-        # strictly reduce the file count
+        # content hash), land exactly ceil(rows/target) files (computed,
+        # not the sf-specific literal 1 — at a scale factor where
+        # documents exceeds target_rows_per_file the expectation scales
+        # with it), and strictly reduce the file count (always true here:
+        # the fixture writes with maxRecordsPerFile=50, so files_before
+        # >= rows/50 >> ceil(rows/1e6))
         "store_compaction": """
             SELECT 'documents_store' AS table_name,
                    CAST(count(*) AS BIGINT) AS row_count,
@@ -5312,7 +5372,7 @@ FROM loaded
                                              || md5(COALESCE(text, '')))
                             % 2147483648)
                         AS BIGINT) AS content_hash_mod,
-                   CAST(1 AS BIGINT) AS files_after,
+                   CAST(ceil(count(*) / 1000000.0) AS BIGINT) AS files_after,
                    TRUE AS files_reduced,
                    CAST(count(*) AS BIGINT) AS precompact_rows
             FROM documents
@@ -5463,11 +5523,14 @@ WHERE d.doc_id % 2 = 0
                    round(mad.mad, 4) AS mad_value
             FROM med JOIN mad USING (event_type)
         """,
+        # value = value excludes NaN (NaN <> NaN) to mirror the engine's
+        # isnan() guard — without it a NaN in events.value poisons max()
+        # here while the Spark side drops it, silently diverging the sides
         "value_histogram": """
             WITH b AS (
               SELECT CAST(min(value) AS DOUBLE) AS lo,
                      CAST(max(value) AS DOUBLE) AS hi
-              FROM events WHERE value IS NOT NULL
+              FROM events WHERE value IS NOT NULL AND value = value
             ),
             binned AS (
               SELECT event_type,
@@ -5475,7 +5538,8 @@ WHERE d.doc_id % 2 = 0
                           ELSE least(CAST(floor((CAST(value AS DOUBLE) - lo)
                                                 / ((hi - lo) / 12.0)) AS BIGINT),
                                      11) END AS bin
-              FROM events CROSS JOIN b WHERE value IS NOT NULL
+              FROM events CROSS JOIN b
+              WHERE value IS NOT NULL AND value = value
             )
             SELECT event_type, bin,
                    CAST(floor((lo + CAST(bin AS DOUBLE) * ((hi - lo) / 12.0))
