@@ -20,9 +20,12 @@ def test_every_oracle_has_a_query():
     assert set(o) <= set(q), f"dangling oracles: {sorted(set(o) - set(q))}"
 
 
-def test_rows_only_queries_are_the_documented_exceptions():
+def test_every_query_has_an_oracle():
+    # Since round 5 (minhash_lsh_xxhash gained the shared verified-pairs
+    # oracle) every declared query carries a value oracle — the rows-only
+    # exception set must stay empty.
     q, o = em.queries(), em.oracle_sql()
-    assert sorted(set(q) - set(o)) == ["minhash_lsh_xxhash"]
+    assert sorted(set(q) - set(o)) == []
 
 
 def test_all_queries_are_callables():
