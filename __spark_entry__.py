@@ -470,9 +470,7 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.lang_id_heuristic(F.col("text")).alias("lang_pred"),
         T.quality_score(F.col("text")).alias("quality"),
     ).filter((F.col("quality") >= 0.6) & (F.col("lang_pred") != "und"))
-    split = deterministic_split(
-        enriched, salt="v1", fractions=(("train", 0.8), ("val", 0.1), ("test", 0.1))
-    )
+    split = deterministic_split(enriched, salt=SPLIT_SALT, fractions=SPLIT_FRACTIONS)
     return (
         split.groupBy("split", "lang_pred")
         .agg(
@@ -1130,9 +1128,11 @@ def q_minhash_lsh_xxhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Value-checked against the SAME brute-force md5 pair oracle as
     minhash_lsh: the emitted pairs are exact-Jaccard-verified, and
     Jaccard over hashed shingle sets is hash-family-invariant absent
-    collisions, so both hash families must emit identical (id_a, id_b,
-    jaccard) rows (pytest additionally pins the equivalence directly:
-    tests/test_dedup_similarity.py::test_minhash_lsh_xxhash_equivalence)."""
+    collisions. The md5==xxhash pair-set equality is EMPIRICAL (banded
+    recall near the threshold is probabilistic and candidate sets differ
+    per hash family) — verified at sf0.001/0.01/0.1, and pytest pins it
+    directly:
+    tests/test_dedup_similarity.py::test_minhash_lsh_xxhash_equivalence."""
     docs = _t(spark, sf_dir, "documents")
     return minhash_lsh_pairs(docs, jaccard_threshold=0.5, hash_fn="xxhash64")
 
@@ -1194,7 +1194,9 @@ def q_store_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("maxRecordsPerFile", 50)
             .parquet(path)
         )
-    stats = compact_table(spark, root, "documents_store", target_rows_per_file=1_000_000)
+    stats = compact_table(
+        spark, root, "documents_store", target_rows_per_file=COMPACT_TARGET_ROWS
+    )
     # coalesce BEFORE hashing: Spark's concat_ws skips NULL segments
     # while DuckDB's || propagates NULL — without the guard a NULL text
     # row hashes on one side and vanishes from the sum on the other
@@ -1350,9 +1352,7 @@ def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")
-    out = deterministic_split(
-        docs, salt="v1", fractions=(("train", 0.8), ("val", 0.1), ("test", 0.1))
-    )
+    out = deterministic_split(docs, salt=SPLIT_SALT, fractions=SPLIT_FRACTIONS)
     return out.select("doc_id", "bucket", "split")
 
 
@@ -1456,8 +1456,8 @@ def q_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return med.join(mad, "event_type").select(
         "event_type",
         "n",
-        F.round("med", 4).alias("median_value"),
-        F.round("mad", 4).alias("mad_value"),
+        F.floor(F.col("med") * 1e4).cast("bigint").alias("median_1e4"),
+        F.floor(F.col("mad") * 1e4).cast("bigint").alias("mad_1e4"),
     )
 
 
@@ -1556,7 +1556,9 @@ def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rat_strain_loader_pipeline_spark.operators.sampling import mixture_weights
 
     docs = _t(spark, sf_dir, "documents")
-    return mixture_weights(docs, group_col="source", alpha=0.5, budget=250_000)
+    return mixture_weights(
+        docs, group_col="source", alpha=MIXTURE_ALPHA, budget=MIXTURE_BUDGET
+    )
 
 
 def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1644,7 +1646,11 @@ def q_winnow_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return winnow_containment_pairs(
-        docs, k=4, w=5, stop_df=20, containment=0.5
+        docs,
+        k=WINNOW_K,
+        w=WINNOW_W,
+        stop_df=WINNOW_STOP_DF,
+        containment=WINNOW_CONTAINMENT,
     )
 
 
@@ -1682,7 +1688,13 @@ def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rat_strain_loader_pipeline_spark.operators.dedup import winnow_dup_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    return winnow_dup_pairs(docs, k=4, w=5, stop_df=20, min_shared=2)
+    return winnow_dup_pairs(
+        docs,
+        k=WINNOW_K,
+        w=WINNOW_W,
+        stop_df=WINNOW_STOP_DF,
+        min_shared=WINNOW_MIN_SHARED,
+    )
 
 
 def q_dedup_survivors_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4226,6 +4238,12 @@ WINNOW_STOP_DF = 20
 WINNOW_MIN_SHARED = 2
 WINNOW_CONTAINMENT = 0.5
 
+COMPACT_TARGET_ROWS = 1_000_000
+
+# Duplicated-span removal (q_dedup_spans): span grain and keep policy
+SPAN_K = 8          # tokens per excised span unit (winnow grain reused)
+SPAN_MIN_DF = 2     # a span is "duplicated" when >= 2 docs contain it
+
 
 def _split_bucket_sql(id_expr: str = "CAST(doc_id AS VARCHAR)") -> str:
     """DuckDB expression for deterministic_split's md5 bucket."""
@@ -5359,20 +5377,22 @@ FROM loaded
         "embedding_stream_ivf": _EMBED_BRUTE_TOPK_SQL,
         # compaction invariants recomputed from the source table: the
         # rewrite must preserve the row multiset exactly (order-free
-        # content hash), land exactly ceil(rows/target) files (computed,
-        # not the sf-specific literal 1 — at a scale factor where
-        # documents exceeds target_rows_per_file the expectation scales
-        # with it), and strictly reduce the file count (always true here:
-        # the fixture writes with maxRecordsPerFile=50, so files_before
-        # >= rows/50 >> ceil(rows/1e6))
-        "store_compaction": """
+        # content hash), land exactly ceil(rows/COMPACT_TARGET_ROWS)
+        # files (computed from the shared constant the engine call site
+        # also uses — at a scale factor where documents exceeds the
+        # target the expectation scales with it), and strictly reduce
+        # the file count (always true here: the fixture writes with
+        # maxRecordsPerFile=50, so files_before >= rows/50 >>
+        # ceil(rows/target))
+        "store_compaction": f"""
             SELECT 'documents_store' AS table_name,
                    CAST(count(*) AS BIGINT) AS row_count,
                    CAST(sum(md5_number_lower(CAST(doc_id AS VARCHAR) || ':'
                                              || md5(COALESCE(text, '')))
                             % 2147483648)
                         AS BIGINT) AS content_hash_mod,
-                   CAST(ceil(count(*) / 1000000.0) AS BIGINT) AS files_after,
+                   CAST(ceil(count(*) / {float(COMPACT_TARGET_ROWS)}) AS BIGINT)
+                     AS files_after,
                    TRUE AS files_reduced,
                    CAST(count(*) AS BIGINT) AS precompact_rows
             FROM documents
@@ -5426,10 +5446,15 @@ WHERE variant_rgd_id % 3 <> 0
         # same oracle as minhash_lsh: the xxhash64 path's EMITTED pairs are
         # exact-Jaccard-verified over its own staged hash arrays, and
         # Jaccard over hashed shingle sets is hash-family-invariant absent
-        # collisions (pytest pins md5==xxhash pair sets AND jaccard values,
+        # collisions. The md5==xxhash pair-set equality is EMPIRICAL, not
+        # guaranteed (like q_dedup_survivors_capped's banding-recall claim):
+        # banded-LSH recall for pairs just above the threshold is
+        # probabilistic and the candidate sets differ per hash family.
+        # Verified at sf0.001/0.01/0.1 (pytest pins md5==xxhash pair sets
+        # AND jaccard values,
         # tests/test_dedup_similarity.py::test_minhash_lsh_xxhash_equivalence),
-        # so the brute-force md5 pair oracle is the correct value check even
-        # though DuckDB cannot rebuild xxhash64 itself.
+        # so at the tested scale factors the brute-force md5 pair oracle is
+        # a sound value check even though DuckDB cannot rebuild xxhash64.
         "minhash_lsh_xxhash": _jaccard_pairs_oracle_sql(0.5),
         "ngram_jaccard": _jaccard_pairs_oracle_sql(0.8),
         "simhash": _simhash_oracle_sql(),
@@ -5519,18 +5544,20 @@ WHERE d.doc_id % 2 = 0
               FROM v JOIN med m USING (event_type) GROUP BY 1
             )
             SELECT med.event_type, med.n,
-                   round(med.med, 4) AS median_value,
-                   round(mad.mad, 4) AS mad_value
+                   CAST(floor(med.med * 1e4) AS BIGINT) AS median_1e4,
+                   CAST(floor(mad.mad * 1e4) AS BIGINT) AS mad_1e4
             FROM med JOIN mad USING (event_type)
         """,
-        # value = value excludes NaN (NaN <> NaN) to mirror the engine's
-        # isnan() guard — without it a NaN in events.value poisons max()
-        # here while the Spark side drops it, silently diverging the sides
+        # NOT isnan(value) mirrors the engine's isnan() guard — DuckDB
+        # deviates from IEEE 754 (NaN = NaN is TRUE there, so a `value =
+        # value` predicate would NOT drop NaN); without the explicit
+        # isnan() a NaN in events.value poisons min()/max() here while
+        # the Spark side drops it, silently diverging the sides
         "value_histogram": """
             WITH b AS (
               SELECT CAST(min(value) AS DOUBLE) AS lo,
                      CAST(max(value) AS DOUBLE) AS hi
-              FROM events WHERE value IS NOT NULL AND value = value
+              FROM events WHERE value IS NOT NULL AND NOT isnan(value)
             ),
             binned AS (
               SELECT event_type,
@@ -5539,7 +5566,7 @@ WHERE d.doc_id % 2 = 0
                                                 / ((hi - lo) / 12.0)) AS BIGINT),
                                      11) END AS bin
               FROM events CROSS JOIN b
-              WHERE value IS NOT NULL AND value = value
+              WHERE value IS NOT NULL AND NOT isnan(value)
             )
             SELECT event_type, bin,
                    CAST(floor((lo + CAST(bin AS DOUBLE) * ((hi - lo) / 12.0))
@@ -5550,14 +5577,10 @@ WHERE d.doc_id % 2 = 0
             FROM binned CROSS JOIN b
             GROUP BY event_type, bin, lo, hi
         """,
-        "token_kl_drift": r"""
+        "token_kl_drift": rf"""
             WITH tagged AS (
               SELECT doc_id, text,
-                     CASE WHEN md5_number_lower('split:v1:' || CAST(doc_id AS VARCHAR))
-                               % 10000 < 8000 THEN 'train'
-                          WHEN md5_number_lower('split:v1:' || CAST(doc_id AS VARCHAR))
-                               % 10000 < 9000 THEN 'val'
-                          ELSE 'test' END AS split
+                     {_split_case_sql()} AS split
               FROM documents
             ),
             tok AS (
@@ -5632,13 +5655,13 @@ WHERE d.doc_id % 2 = 0
                    COALESCE(s.logprob_sum_micros, 0) AS logprob_sum_micros
             FROM documents d LEFT JOIN scored s USING (doc_id)
         """,
-        "mixture_weights": """
+        "mixture_weights": f"""
             WITH counts AS (
               SELECT source, count(*) AS n_docs FROM documents GROUP BY 1
             ),
             scaled AS (
               SELECT source, n_docs,
-                     CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1e6) AS BIGINT)
+                     CAST(floor({_mixture_scale_sql("n_docs")} * 1e6) AS BIGINT)
                        AS a_micros
               FROM counts
             ),
@@ -5650,7 +5673,7 @@ WHERE d.doc_id % 2 = 0
                         / CAST(tot_micros AS DOUBLE) * 1e6) AS BIGINT)
                      AS weight_micros,
                    CAST(floor(CAST(a_micros AS DOUBLE)
-                        / CAST(tot_micros AS DOUBLE) * 250000.0) AS BIGINT)
+                        / CAST(tot_micros AS DOUBLE) * {float(MIXTURE_BUDGET)}) AS BIGINT)
                      AS expected_docs
             FROM scaled CROSS JOIN tot
         """,
@@ -5713,7 +5736,7 @@ WHERE d.doc_id % 2 = 0
                    CAST(count(*) AS BIGINT) AS n_shared
             FROM pr a JOIN pr b ON a.fp = b.fp AND a.doc_id < b.doc_id
             GROUP BY 1, 2
-            HAVING count(*) >= 2
+            HAVING count(*) >= {WINNOW_MIN_SHARED}
         """,
         # containment = shared / min(per-doc fingerprint count); counts
         # come from exf (PRE stop-df prune), matching the engine
@@ -5738,7 +5761,7 @@ WHERE d.doc_id % 2 = 0
               JOIN nf nb ON sh2.id_b = nb.doc_id
             )
             SELECT id_a, id_b, n_shared, containment_micros FROM scored
-            WHERE containment_micros >= 500000
+            WHERE containment_micros >= {int(WINNOW_CONTAINMENT * 1e6)}
         """,
         "source_dup_matrix": f"""WITH {_jaccard_pairs_cte_sql(0.5)}
 SELECT least(da.source, db.source) AS source_a,
@@ -5807,12 +5830,10 @@ QUALIFY row_number() OVER (
             FROM toks GROUP BY token
             ORDER BY freq DESC, token ASC LIMIT 100
         """,
-        "split_assign": """
+        "split_assign": f"""
             SELECT CAST(doc_id AS BIGINT) AS doc_id,
-                   CAST(md5_number_lower('split:v1:' || CAST(doc_id AS VARCHAR)) % 10000 AS INT) AS bucket,
-                   CASE WHEN md5_number_lower('split:v1:' || CAST(doc_id AS VARCHAR)) % 10000 < 8000 THEN 'train'
-                        WHEN md5_number_lower('split:v1:' || CAST(doc_id AS VARCHAR)) % 10000 < 9000 THEN 'val'
-                        ELSE 'test' END AS split
+                   CAST({_split_bucket_sql()} AS INT) AS bucket,
+                   {_split_case_sql()} AS split
             FROM documents
         """,
         "source_topk": """
@@ -6578,9 +6599,7 @@ def _curation_oracle_sql() -> str:
             LEFT JOIN hits h USING (doc_id)
             WHERE h.doc_id IS NULL AND d.doc_id % 17 <> 0
         )
-        SELECT CASE WHEN md5_number_lower('split:v1:' || CAST(k.doc_id AS VARCHAR)) % 10000 < 8000 THEN 'train'
-                    WHEN md5_number_lower('split:v1:' || CAST(k.doc_id AS VARCHAR)) % 10000 < 9000 THEN 'val'
-                    ELSE 'test' END AS split,
+        SELECT {_split_case_sql("CAST(k.doc_id AS VARCHAR)")} AS split,
                l.lang_pred,
                count(*) AS n_docs,
                CAST(sum(k.n_tokens) AS BIGINT) AS sum_tokens,

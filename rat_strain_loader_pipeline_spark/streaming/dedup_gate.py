@@ -27,6 +27,15 @@ real multi-batch run. Note this nearest-neighbor rule is deliberately
 NOT connected-components survivorship: a doc with no smaller-id
 near-dup NEIGHBOR is admitted even if a transitive chain links it to a
 smaller doc (that policy lives in dedup_survivors).
+
+Recovery note (lost checkpoint): the write-state-first ordering makes a
+RETRIED batch idempotent, but if the streaming CHECKPOINT itself is lost
+the restarted query re-assigns batch ids from 0 while the signature
+store still holds the old run's higher-numbered partitions — probes
+would then see "future" state and admit/reject nondeterministically. A
+manual restart after checkpoint loss must therefore delete the whole
+``work_dir`` (signature store, output, and checkpoint together) and
+re-ingest from the source; the source directory is the system of record.
 """
 
 from __future__ import annotations
