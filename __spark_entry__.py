@@ -3651,6 +3651,104 @@ def q_dna_chunk_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dna_chunks(iv, blocks, block_size=32)
 
 
+def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-span removal (operators/dedup.py
+    duplicated_span_removal): every SPAN_K-token span occurring in >=
+    SPAN_MIN_DF distinct documents is excised from all but its global
+    first occurrence; overlapping duplicated grams union into whole-run
+    excision, so shared boilerplate longer than SPAN_K strips wholesale
+    while the keeper doc is untouched. The REMOVAL counterpart of the
+    winnow detectors (E25/E31) — the step a curation run performs after
+    near-dup dedup. Value-exact: span identity is full md5 over
+    '_'-joined cased tokens and keep-first is the order-free
+    min(doc_id*2^20+pos) encoding, so the oracle rebuilds identical
+    spans, coverage, and reassembled text (compared by md5) via list
+    ops + string_agg."""
+    from rat_strain_loader_pipeline_spark.operators.dedup import (
+        duplicated_span_removal,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    out = duplicated_span_removal(docs, k=SPAN_K, min_df=SPAN_MIN_DF)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_removed",
+        F.md5(F.col("clean_text")).alias("clean_md5"),
+    )
+
+
+def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles with a PINNED error contract — the
+    100 TB swap that robust_stats/length_quantiles name: per-type
+    q25/q50/q75 via percentile_approx (Greenwald-Khanna, accuracy =
+    APPROX_PCT_ACCURACY, deterministic rank error <= n/accuracy). The
+    oracle checks the ERROR ENVELOPE, not value equality (approx
+    results are sketch-dependent by design): the engine re-ranks each
+    returned quantile against the real data in one broadcast-join pass
+    — count(v < x) <= ceil((q+eps)n) AND count(v <= x) >=
+    floor((q-eps)n), the exact GK guarantee — and emits the booleans;
+    the oracle asserts they are all TRUE alongside the exact per-type n."""
+    eps = 1.0 / APPROX_PCT_ACCURACY
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & ~F.isnan("value")
+    )
+    apx = ev.groupBy("event_type").agg(
+        F.percentile_approx(
+            "value", F.array(*[F.lit(q) for q in APPROX_PCT_QS]), APPROX_PCT_ACCURACY
+        ).alias("ap"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    ranks = ev.join(F.broadcast(apx), "event_type").groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        *[
+            agg
+            for i in range(len(APPROX_PCT_QS))
+            for agg in (
+                F.sum((F.col("value") < F.col("ap")[i]).cast("long")).alias(f"rlo{i}"),
+                F.sum((F.col("value") <= F.col("ap")[i]).cast("long")).alias(f"rhi{i}"),
+            )
+        ],
+    )
+    checks = [
+        (
+            (F.col(f"rhi{i}") >= F.floor((F.lit(q) - eps) * F.col("n")))
+            & (F.col(f"rlo{i}") <= F.ceil((F.lit(q) + eps) * F.col("n")))
+        ).alias(f"q{int(q * 100)}_ok")
+        for i, q in enumerate(APPROX_PCT_QS)
+    ]
+    return ranks.select("event_type", "n", *checks)
+
+
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct counting with a PINNED error contract — the
+    other 100 TB sketch swap (HyperLogLog++ via approx_count_distinct,
+    rsd = APPROX_CD_RSD): per-type distinct users, exact and sketched
+    in the same aggregation pass. The oracle checks the error envelope:
+    the engine emits the exact count (value-matched exactly) plus a
+    boolean asserting |approx - exact| / exact <= APPROX_CD_TOL_SIGMAS
+    * rsd — for a fixed dataset the HLL estimate is deterministic, and
+    3 standard deviations comfortably bounds the observed error while
+    still failing on a broken sketch."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("exact_users"),
+            F.approx_count_distinct("user_id", APPROX_CD_RSD).alias("apx"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("apx") - F.col("exact_users"))
+                / F.col("exact_users").cast("double")
+                <= APPROX_CD_TOL_SIGMAS * APPROX_CD_RSD
+            ).alias("within_tol"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -3788,6 +3886,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gwas_vcf_lines": q_gwas_vcf_lines,
         "dna_chunk_extract": q_dna_chunk_extract,
         "polyphen_fasta": q_polyphen_fasta,
+        "dedup_spans": q_dedup_spans,
+        "approx_quantiles": q_approx_quantiles,
+        "approx_distinct": q_approx_distinct,
     }
 
 
@@ -4243,6 +4344,14 @@ COMPACT_TARGET_ROWS = 1_000_000
 # Duplicated-span removal (q_dedup_spans): span grain and keep policy
 SPAN_K = 8          # tokens per excised span unit (winnow grain reused)
 SPAN_MIN_DF = 2     # a span is "duplicated" when >= 2 docs contain it
+
+# Approximate-sketch error contracts (q_approx_quantiles /
+# q_approx_distinct): the engine emits envelope booleans; the oracles
+# assert TRUE, so these constants ARE the pinned contract
+APPROX_PCT_QS = (0.25, 0.5, 0.75)
+APPROX_PCT_ACCURACY = 1000   # GK rank error <= n/accuracy, deterministic
+APPROX_CD_RSD = 0.05         # HLL++ relative standard deviation
+APPROX_CD_TOL_SIGMAS = 3.0   # |apx-exact|/exact <= sigmas * rsd
 
 
 def _split_bucket_sql(id_expr: str = "CAST(doc_id AS VARCHAR)") -> str:
@@ -6561,6 +6670,89 @@ QUALIFY row_number() OVER (
                    END AS fasta
             FROM accs a LEFT JOIN seqs s USING (protein_acc_id)
             WHERE a.protein_acc_id <> ''
+        """,
+        # duplicated-span removal rebuilt from scratch: positional cased
+        # k-gram md5 spans, cross-doc df, keep-first via the same
+        # min(doc_id*2^20+pos) encoding, coverage union, ordered
+        # string_agg reassembly compared by md5. Tokenization uses the
+        # engine's exact whitespace class (dedup.py _WS_CLASS), not \s
+        "dedup_spans": rf"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '[ \t\n\r\f]+'),
+                                 t -> t <> '') AS ts
+              FROM documents
+            ),
+            g AS (
+              SELECT doc_id, ts,
+                     list_transform(
+                       range(1, greatest(len(ts) - {SPAN_K - 2}, 1)),
+                       i -> md5(array_to_string(ts[i:i+{SPAN_K - 1}], '_'))
+                     ) AS gs
+              FROM toks
+            ),
+            occ AS (
+              SELECT doc_id, unnest(gs) AS gh,
+                     CAST(generate_subscripts(gs, 1) - 1 AS BIGINT) AS pos
+              FROM g
+            ),
+            stats AS (
+              SELECT gh, count(DISTINCT doc_id) AS dfd,
+                     min(doc_id * {1 << 20} + pos) AS keeper_key
+              FROM occ GROUP BY gh
+            ),
+            dup AS (
+              SELECT o.doc_id, o.pos
+              FROM occ o JOIN stats s USING (gh)
+              WHERE s.dfd >= {SPAN_MIN_DF}
+                AND o.doc_id * {1 << 20} + o.pos <> s.keeper_key
+            ),
+            cov AS (
+              SELECT DISTINCT doc_id, cpos FROM (
+                SELECT doc_id, unnest(range(pos, pos + {SPAN_K})) AS cpos
+                FROM dup
+              )
+            ),
+            tokpos AS (
+              SELECT doc_id, unnest(ts) AS tk,
+                     CAST(generate_subscripts(ts, 1) - 1 AS BIGINT) AS pos
+              FROM toks
+            ),
+            kept AS (
+              SELECT t.doc_id, t.pos, t.tk
+              FROM tokpos t
+              LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.cpos
+              WHERE c.doc_id IS NULL
+            ),
+            reb AS (
+              SELECT doc_id, string_agg(tk, ' ' ORDER BY pos) AS clean_text,
+                     CAST(count(*) AS BIGINT) AS n_kept
+              FROM kept GROUP BY doc_id
+            )
+            SELECT t.doc_id,
+                   CAST(len(t.ts) AS BIGINT) AS n_tokens,
+                   CAST(len(t.ts) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed,
+                   md5(COALESCE(r.clean_text, '')) AS clean_md5
+            FROM toks t LEFT JOIN reb r USING (doc_id)
+        """,
+        # sketch-contract oracles: the approximate values are sketch-
+        # dependent by design, so the oracle pins the exact invariants
+        # (n / exact distinct count) and asserts the engine-computed
+        # error-envelope booleans are TRUE — a broken sketch flips a
+        # boolean and fails the value hash
+        "approx_quantiles": """
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   TRUE AS q25_ok, TRUE AS q50_ok, TRUE AS q75_ok
+            FROM events
+            WHERE value IS NOT NULL AND NOT isnan(value)
+            GROUP BY event_type
+        """,
+        "approx_distinct": """
+            SELECT event_type,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+                   TRUE AS within_tol
+            FROM events
+            GROUP BY event_type
         """,
     }
 

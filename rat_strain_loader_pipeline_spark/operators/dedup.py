@@ -921,3 +921,105 @@ def winnow_containment_pairs(
         )
         .filter(F.col("containment_micros") >= int(containment * 1_000_000))
     )
+
+
+def duplicated_span_removal(
+    docs: DataFrame,
+    k: int = 8,
+    min_df: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    pos_enc: int = 1 << 20,
+) -> DataFrame:
+    """Exact duplicated-SPAN removal (the suffix-array-style step of
+    Lee et al.'s "Deduplicating Training Data" recast as a Spark plan):
+    every k-token span whose exact text occurs in >= ``min_df``
+    DISTINCT documents is excised from every occurrence except the
+    global first (keep-first: minimal (doc_id, position)); surviving
+    tokens are reassembled in original order. A duplicated run of
+    L >= k tokens yields L-k+1 overlapping duplicated k-grams whose
+    coverage union is the whole run, so long shared boilerplate is
+    stripped wholesale while the keeper document keeps its copy intact.
+    Complements the detectors: E25/E31 (winnowing) FIND shared
+    substrings, this REMOVES them — the step a curation run performs
+    right after near-dup dedup.
+
+    Semantics are exact, not sketched: span identity is the full
+    md5 hex of the '_'-joined k tokens (128-bit — collisions are not a
+    practical concern, the exact_dedup precedent), case-sensitive and
+    whitespace-canonical, so the DuckDB oracle rebuilds identical
+    spans via list ops. Keep-first is encoded order-free as
+    min(doc_id * pos_enc + pos); ``pos_enc`` bounds per-doc token
+    positions (default 2^20 — raise it for documents beyond ~1M
+    tokens).
+
+    Shape at scale: one staged explode to span-occurrence grain
+    (O(total tokens) rows, the winnow-exf envelope), one
+    groupBy(span-hash) stats pass (count-distinct + min — map-side
+    partial, no list accumulation, so boilerplate hot spans skew only
+    a counter), one join back on span-hash, a bounded coverage explode
+    (dup occurrences x k), and one per-doc reassembly groupBy bounded
+    by document size (the remove_duplicate_lines envelope). Nothing is
+    all-pairs; nothing collects.
+
+    Returns (id_col, clean_text, n_tokens, n_removed).
+    """
+    from rat_strain_loader_pipeline_spark.staging import stage_to_parquet
+
+    toks = F.filter(F.split(F.col(text_col), _WS_CLASS), lambda t: t != "")
+    base = docs.select(F.col(id_col), toks.alias("ts"))
+    gram_structs = F.when(
+        F.size("ts") >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size("ts") - F.lit(k - 1)),
+            lambda i: F.struct(
+                (i - 1).cast("long").alias("pos"),
+                F.md5(F.concat_ws("_", F.slice(F.col("ts"), i, k))).alias("gh"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:long,gh:string>>"))
+    occ = stage_to_parquet(
+        base.select(F.col(id_col), F.explode(gram_structs).alias("o")).select(
+            id_col, F.col("o.pos").alias("pos"), F.col("o.gh").alias("gh")
+        ),
+        "span-occ",
+    )
+    stats = occ.groupBy("gh").agg(
+        F.countDistinct(id_col).alias("dfd"),
+        F.min(F.col(id_col) * pos_enc + F.col("pos")).alias("keeper_key"),
+    )
+    dup_occ = occ.join(stats.filter(F.col("dfd") >= min_df), "gh").filter(
+        F.col(id_col) * pos_enc + F.col("pos") != F.col("keeper_key")
+    )
+    covered = dup_occ.select(
+        id_col,
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))).alias("cpos"),
+    ).distinct()
+    tokpos = base.select(
+        F.col(id_col), F.posexplode("ts").alias("pos", "tk")
+    ).withColumn("pos", F.col("pos").cast("long"))
+    kept = tokpos.join(
+        covered,
+        on=[
+            tokpos[id_col] == covered[id_col],
+            tokpos["pos"] == covered["cpos"],
+        ],
+        how="left_anti",
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "tk"))),
+                lambda s: s.tk,
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    counts = base.select(F.col(id_col), F.size("ts").cast("long").alias("n_tokens"))
+    return counts.join(rebuilt, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        "n_tokens",
+        (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0))).alias("n_removed"),
+    )

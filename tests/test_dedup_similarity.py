@@ -761,3 +761,52 @@ def test_winnow_containment_finds_excerpts(spark):
         .count()
     )
     assert n_shared / fps2 < 0.5  # symmetric overlap stays sub-threshold
+
+
+def test_duplicated_span_removal_semantics(spark):
+    from rat_strain_loader_pipeline_spark.operators.dedup import (
+        duplicated_span_removal,
+    )
+
+    shared = "the quick brown fox jumps over a lazy dog tonight"  # 10 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro one {shared} outro one"),
+            (2, f"prefix two {shared} suffix two"),
+            (3, "completely unrelated text with no repeats at all here"),
+            (4, "tiny doc"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in duplicated_span_removal(docs, k=8, min_df=2).collect()
+    }
+    # keeper (doc 1, first occurrence) keeps the span verbatim
+    assert out[1]["clean_text"] == f"intro one {shared} outro one"
+    assert out[1]["n_removed"] == 0
+    # doc 2 loses the ENTIRE 10-token run (3 overlapping dup 8-grams
+    # union to full coverage), keeps its own framing tokens
+    assert out[2]["clean_text"] == "prefix two suffix two"
+    assert out[2]["n_removed"] == 10
+    assert out[2]["n_tokens"] == 14
+    # untouched docs pass through, including one shorter than k
+    assert out[3]["n_removed"] == 0
+    assert out[4]["clean_text"] == "tiny doc"
+    assert out[4]["n_tokens"] == 2
+
+
+def test_duplicated_span_removal_within_doc_repeat_kept(spark):
+    # a span repeated only WITHIN one doc has df(docs)=1 -> not excised
+    from rat_strain_loader_pipeline_spark.operators.dedup import (
+        duplicated_span_removal,
+    )
+
+    s = "a b c d e f g h"
+    docs = spark.createDataFrame(
+        [(1, f"{s} and then {s}"), (2, "nothing shared in this one really")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in duplicated_span_removal(docs, k=8, min_df=2).collect()}
+    assert out[1]["n_removed"] == 0
+    assert out[2]["n_removed"] == 0

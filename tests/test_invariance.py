@@ -129,3 +129,14 @@ def test_value_histogram_partition_invariant(spark, sf_dir):
         )
     )
     assert a == b
+
+
+def test_duplicated_span_removal_partition_invariant(docs):
+    from rat_strain_loader_pipeline_spark.operators.dedup import (
+        duplicated_span_removal,
+    )
+
+    a, b = [
+        _rows(duplicated_span_removal(v, k=8, min_df=2)) for v in _variants(docs)
+    ]
+    assert a == b
