@@ -441,19 +441,32 @@ def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end corpus-curation pipeline — the composition every
     training-data build runs, as ONE declarative plan: exact-dedup
-    survivors → benchmark decontamination (drop the benchmark subset
-    and every doc sharing a word 8-gram with it) → quality/lang gates →
-    deterministic split assignment → per-(split, lang) corpus stats.
-    All stages are the already-oracle-checked operators; quality sums
-    aggregate as decimal(10,4) so the rollup is order-free and exact.
-    Scale shape: two semi-joins on doc_id (hash, fact-sized but
-    id-only), map-side gates, one final small aggregation."""
+    survivors → NEAR-dup survivors (MinHash-LSH pairs → connected
+    components → drop non-canonical members, the dedup_survivors
+    policy as an id-only anti-join) → benchmark decontamination (drop
+    the benchmark subset and every doc sharing a word 8-gram with it)
+    → quality/lang gates → deterministic split assignment →
+    per-(split, lang) corpus stats. All stages are the already-oracle-
+    checked operators; quality sums aggregate as decimal(10,4) so the
+    rollup is order-free and exact. Scale shape: two semi-joins plus
+    one anti-join on doc_id (hash, fact-sized but id-only — document
+    text never shuffles for any of them), map-side gates, one final
+    small aggregation. Adding a stage IS one more semi/anti-join on
+    doc_id — the near-dup stage here is that claim, exercised."""
+    from rat_strain_loader_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
     from rat_strain_loader_pipeline_spark.operators.sampling import (
         deterministic_split,
     )
 
     docs = _t(spark, sf_dir, "documents")
     survivors = exact_dedup(docs).select(F.col("canonical_id").alias("doc_id"))
+    nd_losers = (
+        connected_components(minhash_lsh_pairs(docs, jaccard_threshold=0.5))
+        .filter(F.col("node_id") != F.col("component_id"))
+        .select(F.col("node_id").alias("doc_id"))
+    )
     clean = (
         T.ngram_contamination(docs, docs.filter(F.col("doc_id") % 17 == 0), n=8)
         .filter(~F.col("contaminated"))
@@ -461,6 +474,7 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = (
         docs.join(survivors, "doc_id", "semi")
+        .join(nd_losers, "doc_id", "left_anti")
         .join(clean, "doc_id", "semi")
         .filter(F.col("doc_id") % 17 != 0)
     )
@@ -3749,6 +3763,52 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _skewed_transitions(spark: SparkSession, sf_dir: str, zipf: bool) -> DataFrame:
+    """Shared body of the skew-stress twins: the event_transitions
+    window/aggregate computation keyed on a SYNTHETIC key that is either
+    Zipf-like (key = v & -v over uniform v — P(key=2^j) = 2^-(j+1), so
+    ONE key holds 50% of all events) or uniform (key = v, SKEW_MOD
+    evenly-loaded keys). The twins differ ONLY in key distribution, so
+    their benched wall-clock ratio IS the engine's measured keyed-window
+    skew cost (SCALE.md's claim, turned into a number in BENCH_FULL)."""
+    ev = _t(spark, sf_dir, "events")
+    v = (F.col("event_id") % SKEW_MOD).cast("long")
+    key = v.bitwiseAND(-v) if zipf else v
+    w = Window.partitionBy("k").orderBy("ts", "event_id")
+    epoch = F.unix_timestamp(F.col("ts")).cast("long")
+    return (
+        ev.withColumn("k", key)
+        .withColumn("next_type", F.lead("event_type").over(w))
+        .withColumn("gap_s", F.lead(epoch).over(w) - epoch)
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("gap_s").cast("long").alias("sum_gap_seconds"),
+        )
+    )
+
+
+def q_window_skew_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew stress, HOT side: the transition window over a Zipf-like key
+    where the hottest key carries 50% of every event (one window
+    partition = half the fact table). Benched against its uniform twin
+    (window_skew_uniform) every round — the measured number behind
+    SCALE.md's skew claims. Value-exact: both engines window over the
+    same deterministic key."""
+    return _skewed_transitions(spark, sf_dir, zipf=True)
+
+
+def q_window_skew_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew stress, UNIFORM twin of window_skew_zipf: identical
+    computation over SKEW_MOD evenly-loaded keys. The benched ratio
+    zipf/uniform is the engine's keyed-window skew overhead."""
+    return _skewed_transitions(spark, sf_dir, zipf=False)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -3889,6 +3949,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_spans": q_dedup_spans,
         "approx_quantiles": q_approx_quantiles,
         "approx_distinct": q_approx_distinct,
+        "window_skew_zipf": q_window_skew_zipf,
+        "window_skew_uniform": q_window_skew_uniform,
     }
 
 
@@ -4352,6 +4414,37 @@ APPROX_PCT_QS = (0.25, 0.5, 0.75)
 APPROX_PCT_ACCURACY = 1000   # GK rank error <= n/accuracy, deterministic
 APPROX_CD_RSD = 0.05         # HLL++ relative standard deviation
 APPROX_CD_TOL_SIGMAS = 3.0   # |apx-exact|/exact <= sigmas * rsd
+
+# Skew-stress twins (q_window_skew_zipf / q_window_skew_uniform):
+# v = event_id % SKEW_MOD is uniform; v & -v is Zipf-like (lowest set
+# bit — P(2^j) = 2^-(j+1), hottest key holds 50% of all rows)
+SKEW_MOD = 1024
+
+
+def _skew_key_sql(zipf: bool) -> str:
+    v = f"(event_id % {SKEW_MOD})"
+    return f"({v} & (-{v}))" if zipf else v
+
+
+def _skew_transitions_oracle_sql(zipf: bool) -> str:
+    """The event_transitions oracle keyed on the synthetic skew key."""
+    return f"""
+            WITH t AS (
+              SELECT event_type,
+                     lead(event_type) OVER (
+                       PARTITION BY k ORDER BY ts, event_id
+                     ) AS next_type,
+                     lead(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+                       PARTITION BY k ORDER BY ts, event_id
+                     ) - CAST(floor(epoch(ts)) AS BIGINT) AS gap_s
+              FROM (SELECT *, {_skew_key_sql(zipf)} AS k FROM events)
+            )
+            SELECT event_type AS from_type, next_type AS to_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(gap_s) AS BIGINT) AS sum_gap_seconds
+            FROM t WHERE next_type IS NOT NULL
+            GROUP BY 1, 2
+        """
 
 
 def _split_bucket_sql(id_expr: str = "CAST(doc_id AS VARCHAR)") -> str:
@@ -6754,20 +6847,30 @@ QUALIFY row_number() OVER (
             FROM events
             GROUP BY event_type
         """,
+        # skew-stress twins: the event_transitions oracle keyed on the
+        # shared synthetic key expression (_skew_key_sql — the same
+        # constant-driven definition the engine uses)
+        "window_skew_zipf": _skew_transitions_oracle_sql(zipf=True),
+        "window_skew_uniform": _skew_transitions_oracle_sql(zipf=False),
     }
 
 
 def _curation_oracle_sql() -> str:
-    """Composes the already-proven dedup_exact / decontaminate / lang_id /
-    quality_score / split_assign oracle fragments into the one-pass
-    curation rollup."""
+    """Composes the already-proven dedup_exact / dedup_survivors
+    (brute-force jaccard pairs + recursive closure) / decontaminate /
+    lang_id / quality_score / split_assign oracle fragments into the
+    one-pass curation rollup. The jaccard CTE chain owns the name
+    ``toks`` (lowercased), so the cased token CTE here is ``ctoks``."""
     return f"""
-        WITH ded AS (
+        WITH RECURSIVE {_jaccard_pairs_cte_sql(0.5)},
+{_CLOSURE_CTES_SQL},
+        nd_losers AS (SELECT id FROM reach GROUP BY id HAVING min(r) <> id),
+        ded AS (
             SELECT min(doc_id) AS doc_id
             FROM documents
             GROUP BY md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
         ),
-        toks AS (
+        ctoks AS (
             SELECT CAST(doc_id AS BIGINT) AS doc_id,
                    list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '') AS tk
             FROM documents
@@ -6776,7 +6879,7 @@ def _curation_oracle_sql() -> str:
             SELECT doc_id,
                    unnest(list_transform(range(0, len(tk) - 8 + 1),
                           i -> array_to_string(tk[i+1:i+8], ' '))) AS g
-            FROM toks WHERE len(tk) >= 8
+            FROM ctoks WHERE len(tk) >= 8
         ),
         bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 17 = 0),
         hits AS (SELECT DISTINCT grams.doc_id FROM grams JOIN bench USING (g)),
@@ -6788,8 +6891,9 @@ def _curation_oracle_sql() -> str:
                         t -> t <> '')) AS BIGINT) AS n_tokens
             FROM documents d
             JOIN ded USING (doc_id)
+            LEFT JOIN nd_losers nl ON d.doc_id = nl.id
             LEFT JOIN hits h USING (doc_id)
-            WHERE h.doc_id IS NULL AND d.doc_id % 17 <> 0
+            WHERE h.doc_id IS NULL AND nl.id IS NULL AND d.doc_id % 17 <> 0
         )
         SELECT {_split_case_sql("CAST(k.doc_id AS VARCHAR)")} AS split,
                l.lang_pred,
