@@ -445,16 +445,25 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     components → drop non-canonical members, the dedup_survivors
     policy as an id-only anti-join) → benchmark decontamination (drop
     the benchmark subset and every doc sharing a word 8-gram with it)
-    → quality/lang gates → deterministic split assignment →
-    per-(split, lang) corpus stats. All stages are the already-oracle-
-    checked operators; quality sums aggregate as decimal(10,4) so the
-    rollup is order-free and exact. Scale shape: two semi-joins plus
-    one anti-join on doc_id (hash, fact-sized but id-only — document
-    text never shuffles for any of them), map-side gates, one final
-    small aggregation. Adding a stage IS one more semi/anti-join on
-    doc_id — the near-dup stage here is that claim, exercised."""
+    → duplicated-SPAN dedup (corpus-level repeated-span excision; the
+    kept docs report their post-excision token budget) → quality/lang
+    gates → deterministic split assignment → per-(split, lang) corpus
+    stats with both raw and span-cleaned token sums. All stages are the
+    already-oracle-checked operators; quality sums aggregate as
+    decimal(10,4) so the rollup is order-free and exact. Scale shape:
+    two semi-joins plus one anti-join plus one stats join, ALL id-only
+    on doc_id (document text never shuffles for any of them), map-side
+    gates, one final small aggregation. Adding a stage IS one more
+    join on doc_id — the near-dup and span stages here are that claim,
+    exercised twice. Local cost note: this query now composes three
+    independently-benched pipelines (base curation ~3.4 s, minhash+CC
+    ~3.8 s, span counts ~1 s at sf0.1), so its sf0.1 wall time is their
+    sum — dominated by per-stage fixed overhead (staged parquet rounds,
+    CC iterations over a 25-pair graph) that amortizes away at real
+    scale where the same rounds process billions of edges."""
     from rat_strain_loader_pipeline_spark.operators.dedup import (
         connected_components,
+        duplicated_span_removal,
     )
     from rat_strain_loader_pipeline_spark.operators.sampling import (
         deterministic_split,
@@ -462,6 +471,12 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     survivors = exact_dedup(docs).select(F.col("canonical_id").alias("doc_id"))
+    span_stats = duplicated_span_removal(
+        docs, k=SPAN_K, min_df=SPAN_MIN_DF, counts_only=True
+    ).select(
+        "doc_id",
+        (F.col("n_tokens") - F.col("n_removed")).alias("n_tokens_clean"),
+    )
     nd_losers = (
         connected_components(minhash_lsh_pairs(docs, jaccard_threshold=0.5))
         .filter(F.col("node_id") != F.col("component_id"))
@@ -478,18 +493,23 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(clean, "doc_id", "semi")
         .filter(F.col("doc_id") % 17 != 0)
     )
-    enriched = base.select(
-        "doc_id",
-        T.token_count(F.col("text")).alias("n_tokens"),
-        T.lang_id_heuristic(F.col("text")).alias("lang_pred"),
-        T.quality_score(F.col("text")).alias("quality"),
-    ).filter((F.col("quality") >= 0.6) & (F.col("lang_pred") != "und"))
+    enriched = (
+        base.select(
+            "doc_id",
+            T.token_count(F.col("text")).alias("n_tokens"),
+            T.lang_id_heuristic(F.col("text")).alias("lang_pred"),
+            T.quality_score(F.col("text")).alias("quality"),
+        )
+        .filter((F.col("quality") >= 0.6) & (F.col("lang_pred") != "und"))
+        .join(span_stats, "doc_id")
+    )
     split = deterministic_split(enriched, salt=SPLIT_SALT, fractions=SPLIT_FRACTIONS)
     return (
         split.groupBy("split", "lang_pred")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+            F.sum("n_tokens_clean").cast("bigint").alias("sum_tokens_clean"),
             F.sum(F.col("quality").cast("decimal(10,4)"))
             .cast("decimal(18,4)")
             .alias("sum_quality"),
@@ -4426,6 +4446,53 @@ def _skew_key_sql(zipf: bool) -> str:
     return f"({v} & (-{v}))" if zipf else v
 
 
+def _span_cov_ctes_sql() -> str:
+    """CTE chain ending in ``sp_cov(doc_id, cpos)`` — positions covered
+    by non-keeper occurrences of duplicated SPAN_K-grams (and
+    ``sp_toks(doc_id, ts)``, the cased token arrays). The ONE SQL
+    definition of duplicated_span_removal's span/coverage semantics,
+    shared by the dedup_spans oracle (which extends it with reassembly)
+    and corpus_curation's span stage (which only needs per-doc removed
+    counts). Tokenization uses the engine's exact whitespace class
+    (dedup.py _WS_CLASS), not \\s."""
+    return rf"""sp_toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '[ \t\n\r\f]+'),
+                                 t -> t <> '') AS ts
+              FROM documents
+            ),
+            sp_g AS (
+              SELECT doc_id, ts,
+                     list_transform(
+                       range(1, greatest(len(ts) - {SPAN_K - 2}, 1)),
+                       i -> md5(array_to_string(ts[i:i+{SPAN_K - 1}], '_'))
+                     ) AS gs
+              FROM sp_toks
+            ),
+            sp_occ AS (
+              SELECT doc_id, unnest(gs) AS gh,
+                     CAST(generate_subscripts(gs, 1) - 1 AS BIGINT) AS pos
+              FROM sp_g
+            ),
+            sp_stats AS (
+              SELECT gh, count(DISTINCT doc_id) AS dfd,
+                     min(doc_id * {1 << 20} + pos) AS keeper_key
+              FROM sp_occ GROUP BY gh
+            ),
+            sp_dup AS (
+              SELECT o.doc_id, o.pos
+              FROM sp_occ o JOIN sp_stats s USING (gh)
+              WHERE s.dfd >= {SPAN_MIN_DF}
+                AND o.doc_id * {1 << 20} + o.pos <> s.keeper_key
+            ),
+            sp_cov AS (
+              SELECT DISTINCT doc_id, cpos FROM (
+                SELECT doc_id, unnest(range(pos, pos + {SPAN_K})) AS cpos
+                FROM sp_dup
+              )
+            )"""
+
+
 def _skew_transitions_oracle_sql(zipf: bool) -> str:
     """The event_transitions oracle keyed on the synthetic skew key."""
     return f"""
@@ -6764,57 +6831,22 @@ QUALIFY row_number() OVER (
             FROM accs a LEFT JOIN seqs s USING (protein_acc_id)
             WHERE a.protein_acc_id <> ''
         """,
-        # duplicated-span removal rebuilt from scratch: positional cased
+        # duplicated-span removal rebuilt from scratch: the shared
+        # coverage CTE chain (_span_cov_ctes_sql — positional cased
         # k-gram md5 spans, cross-doc df, keep-first via the same
-        # min(doc_id*2^20+pos) encoding, coverage union, ordered
-        # string_agg reassembly compared by md5. Tokenization uses the
-        # engine's exact whitespace class (dedup.py _WS_CLASS), not \s
+        # min(doc_id*2^20+pos) encoding, coverage union) extended with
+        # ordered string_agg reassembly compared by md5
         "dedup_spans": rf"""
-            WITH toks AS (
-              SELECT doc_id,
-                     list_filter(string_split_regex(text, '[ \t\n\r\f]+'),
-                                 t -> t <> '') AS ts
-              FROM documents
-            ),
-            g AS (
-              SELECT doc_id, ts,
-                     list_transform(
-                       range(1, greatest(len(ts) - {SPAN_K - 2}, 1)),
-                       i -> md5(array_to_string(ts[i:i+{SPAN_K - 1}], '_'))
-                     ) AS gs
-              FROM toks
-            ),
-            occ AS (
-              SELECT doc_id, unnest(gs) AS gh,
-                     CAST(generate_subscripts(gs, 1) - 1 AS BIGINT) AS pos
-              FROM g
-            ),
-            stats AS (
-              SELECT gh, count(DISTINCT doc_id) AS dfd,
-                     min(doc_id * {1 << 20} + pos) AS keeper_key
-              FROM occ GROUP BY gh
-            ),
-            dup AS (
-              SELECT o.doc_id, o.pos
-              FROM occ o JOIN stats s USING (gh)
-              WHERE s.dfd >= {SPAN_MIN_DF}
-                AND o.doc_id * {1 << 20} + o.pos <> s.keeper_key
-            ),
-            cov AS (
-              SELECT DISTINCT doc_id, cpos FROM (
-                SELECT doc_id, unnest(range(pos, pos + {SPAN_K})) AS cpos
-                FROM dup
-              )
-            ),
+            WITH {_span_cov_ctes_sql()},
             tokpos AS (
               SELECT doc_id, unnest(ts) AS tk,
                      CAST(generate_subscripts(ts, 1) - 1 AS BIGINT) AS pos
-              FROM toks
+              FROM sp_toks
             ),
             kept AS (
               SELECT t.doc_id, t.pos, t.tk
               FROM tokpos t
-              LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.cpos
+              LEFT JOIN sp_cov c ON t.doc_id = c.doc_id AND t.pos = c.cpos
               WHERE c.doc_id IS NULL
             ),
             reb AS (
@@ -6826,7 +6858,7 @@ QUALIFY row_number() OVER (
                    CAST(len(t.ts) AS BIGINT) AS n_tokens,
                    CAST(len(t.ts) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed,
                    md5(COALESCE(r.clean_text, '')) AS clean_md5
-            FROM toks t LEFT JOIN reb r USING (doc_id)
+            FROM sp_toks t LEFT JOIN reb r USING (doc_id)
         """,
         # sketch-contract oracles: the approximate values are sketch-
         # dependent by design, so the oracle pins the exact invariants
@@ -6864,6 +6896,11 @@ def _curation_oracle_sql() -> str:
     return f"""
         WITH RECURSIVE {_jaccard_pairs_cte_sql(0.5)},
 {_CLOSURE_CTES_SQL},
+        {_span_cov_ctes_sql()},
+        sp_rm AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed
+            FROM sp_cov GROUP BY doc_id
+        ),
         nd_losers AS (SELECT id FROM reach GROUP BY id HAVING min(r) <> id),
         ded AS (
             SELECT min(doc_id) AS doc_id
@@ -6899,10 +6936,13 @@ def _curation_oracle_sql() -> str:
                l.lang_pred,
                count(*) AS n_docs,
                CAST(sum(k.n_tokens) AS BIGINT) AS sum_tokens,
+               CAST(sum(k.n_tokens - COALESCE(sr.n_removed, 0)) AS BIGINT)
+                 AS sum_tokens_clean,
                CAST(sum(CAST(q.quality AS DECIMAL(10,4))) AS DECIMAL(18,4)) AS sum_quality
         FROM keep k
         JOIN lang l USING (doc_id)
         JOIN qual q USING (doc_id)
+        LEFT JOIN sp_rm sr USING (doc_id)
         WHERE q.quality >= 0.6 AND l.lang_pred <> 'und'
         GROUP BY 1, 2
         ORDER BY 1, 2

@@ -930,6 +930,7 @@ def duplicated_span_removal(
     text_col: str = "text",
     id_col: str = "doc_id",
     pos_enc: int = 1 << 20,
+    counts_only: bool = False,
 ) -> DataFrame:
     """Exact duplicated-SPAN removal (the suffix-array-style step of
     Lee et al.'s "Deduplicating Training Data" recast as a Spark plan):
@@ -962,7 +963,12 @@ def duplicated_span_removal(
     by document size (the remove_duplicate_lines envelope). Nothing is
     all-pairs; nothing collects.
 
-    Returns (id_col, clean_text, n_tokens, n_removed).
+    Returns (id_col, clean_text, n_tokens, n_removed); with
+    ``counts_only=True`` skips the token re-explode and ordered
+    reassembly entirely (n_removed = per-doc covered-position count)
+    and returns (id_col, n_tokens, n_removed) — the cheap path for
+    consumers that budget tokens without needing the excised text
+    (corpus_curation's span stage).
     """
     from rat_strain_loader_pipeline_spark.staging import stage_to_parquet
 
@@ -995,6 +1001,14 @@ def duplicated_span_removal(
         id_col,
         F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))).alias("cpos"),
     ).distinct()
+    counts = base.select(F.col(id_col), F.size("ts").cast("long").alias("n_tokens"))
+    if counts_only:
+        rm = covered.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_rm"))
+        return counts.join(rm, id_col, "left").select(
+            id_col,
+            "n_tokens",
+            F.coalesce(F.col("n_rm"), F.lit(0)).cast("long").alias("n_removed"),
+        )
     tokpos = base.select(
         F.col(id_col), F.posexplode("ts").alias("pos", "tk")
     ).withColumn("pos", F.col("pos").cast("long"))
@@ -1016,7 +1030,6 @@ def duplicated_span_removal(
         ).alias("clean_text"),
         F.count(F.lit(1)).alias("n_kept"),
     )
-    counts = base.select(F.col(id_col), F.size("ts").cast("long").alias("n_tokens"))
     return counts.join(rebuilt, id_col, "left").select(
         id_col,
         F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),

@@ -358,3 +358,30 @@ def test_value_outliers_broadcast_baseline(spark, sf_dir, queries):
     plan = _plan(queries["value_outliers"](spark, sf_dir))
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_dedup_spans_no_cartesian_and_staged(spark, sf_dir, queries):
+    """Span removal must stay hash-joined at every step (occurrence ->
+    stats join back, coverage anti-join) — never a cartesian — and the
+    span-occurrence table must be staged (plan reads it as a parquet
+    scan, so the gram explode computes once, not once per consumer)."""
+    plan = _plan(queries["dedup_spans"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "span-occ" in plan  # staged parquet path visible in the scan
+
+
+def test_window_skew_twins_same_plan_shape(spark, sf_dir, queries):
+    """The skew twins must differ ONLY in the key expression — same
+    window + partial-aggregation plan shape, so their benched ratio
+    measures data skew, not plan drift."""
+    import re
+
+    pz = _plan(queries["window_skew_zipf"](spark, sf_dir))
+    pu = _plan(queries["window_skew_uniform"](spark, sf_dir))
+    for p in (pz, pu):
+        assert "Window" in p
+        assert "HashAggregate" in p
+    # identical operator sequence (strip ids/exprs, keep node names)
+    shape = lambda p: [m for m in re.findall(r"^\s*[+*:\-]+\s*([A-Za-z]+)", p, re.M)]
+    assert shape(pz) == shape(pu)
