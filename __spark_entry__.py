@@ -1545,7 +1545,7 @@ def q_token_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rat_strain_loader_pipeline_spark.operators.sampling import token_kl_drift
 
     docs = _t(spark, sf_dir, "documents")
-    return token_kl_drift(docs)
+    return token_kl_drift(docs, salt=SPLIT_SALT, fractions=SPLIT_FRACTIONS)
 
 
 def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
