@@ -3712,6 +3712,29 @@ def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_spans_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Occurrence-scope duplicated-span removal — the Lee et al.
+    criterion: ANY SPAN_K-token span repeated anywhere in the corpus
+    (across documents or inside one) keeps exactly its global first
+    occurrence; everything else is excised. Strictly more aggressive
+    than dedup_spans (cross-doc scope): it also strips within-document
+    repetition loops, the step repetition_stats only measures. Same
+    machinery, same oracle chain with count(*) in place of
+    count(DISTINCT doc_id)."""
+    from rat_strain_loader_pipeline_spark.operators.dedup import (
+        duplicated_span_removal,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    out = duplicated_span_removal(docs, k=SPAN_K, min_df=SPAN_MIN_DF, scope="all")
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_removed",
+        F.md5(F.col("clean_text")).alias("clean_md5"),
+    )
+
+
 def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate percentiles with a PINNED error contract — the
     100 TB swap that robust_stats/length_quantiles name: per-type
@@ -3971,6 +3994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct": q_approx_distinct,
         "window_skew_zipf": q_window_skew_zipf,
         "window_skew_uniform": q_window_skew_uniform,
+        "dedup_spans_all": q_dedup_spans_all,
     }
 
 
@@ -4446,15 +4470,17 @@ def _skew_key_sql(zipf: bool) -> str:
     return f"({v} & (-{v}))" if zipf else v
 
 
-def _span_cov_ctes_sql() -> str:
+def _span_cov_ctes_sql(df_expr: str = "count(DISTINCT doc_id)") -> str:
     """CTE chain ending in ``sp_cov(doc_id, cpos)`` — positions covered
     by non-keeper occurrences of duplicated SPAN_K-grams (and
     ``sp_toks(doc_id, ts)``, the cased token arrays). The ONE SQL
     definition of duplicated_span_removal's span/coverage semantics,
-    shared by the dedup_spans oracle (which extends it with reassembly)
-    and corpus_curation's span stage (which only needs per-doc removed
-    counts). Tokenization uses the engine's exact whitespace class
-    (dedup.py _WS_CLASS), not \\s."""
+    shared by the dedup_spans / dedup_spans_all oracles (which extend
+    it with reassembly) and corpus_curation's span stage (which only
+    needs per-doc removed counts). ``df_expr`` is the duplication
+    criterion: count(DISTINCT doc_id) = cross-doc scope, count(*) =
+    occurrence scope. Tokenization uses the engine's exact whitespace
+    class (dedup.py _WS_CLASS), not \\s."""
     return rf"""sp_toks AS (
               SELECT doc_id,
                      list_filter(string_split_regex(text, '[ \t\n\r\f]+'),
@@ -4475,7 +4501,7 @@ def _span_cov_ctes_sql() -> str:
               FROM sp_g
             ),
             sp_stats AS (
-              SELECT gh, count(DISTINCT doc_id) AS dfd,
+              SELECT gh, {df_expr} AS dfd,
                      min(doc_id * {1 << 20} + pos) AS keeper_key
               FROM sp_occ GROUP BY gh
             ),
@@ -4491,6 +4517,36 @@ def _span_cov_ctes_sql() -> str:
                 FROM sp_dup
               )
             )"""
+
+
+def _span_removal_oracle_sql(df_expr: str = "count(DISTINCT doc_id)") -> str:
+    """Full span-removal oracle: the shared coverage chain extended
+    with token re-explode, coverage anti-join, and ordered string_agg
+    reassembly (compared by md5)."""
+    return rf"""
+            WITH {_span_cov_ctes_sql(df_expr)},
+            tokpos AS (
+              SELECT doc_id, unnest(ts) AS tk,
+                     CAST(generate_subscripts(ts, 1) - 1 AS BIGINT) AS pos
+              FROM sp_toks
+            ),
+            kept AS (
+              SELECT t.doc_id, t.pos, t.tk
+              FROM tokpos t
+              LEFT JOIN sp_cov c ON t.doc_id = c.doc_id AND t.pos = c.cpos
+              WHERE c.doc_id IS NULL
+            ),
+            reb AS (
+              SELECT doc_id, string_agg(tk, ' ' ORDER BY pos) AS clean_text,
+                     CAST(count(*) AS BIGINT) AS n_kept
+              FROM kept GROUP BY doc_id
+            )
+            SELECT t.doc_id,
+                   CAST(len(t.ts) AS BIGINT) AS n_tokens,
+                   CAST(len(t.ts) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed,
+                   md5(COALESCE(r.clean_text, '')) AS clean_md5
+            FROM sp_toks t LEFT JOIN reb r USING (doc_id)
+        """
 
 
 def _skew_transitions_oracle_sql(zipf: bool) -> str:
@@ -6833,33 +6889,12 @@ QUALIFY row_number() OVER (
         """,
         # duplicated-span removal rebuilt from scratch: the shared
         # coverage CTE chain (_span_cov_ctes_sql — positional cased
-        # k-gram md5 spans, cross-doc df, keep-first via the same
-        # min(doc_id*2^20+pos) encoding, coverage union) extended with
-        # ordered string_agg reassembly compared by md5
-        "dedup_spans": rf"""
-            WITH {_span_cov_ctes_sql()},
-            tokpos AS (
-              SELECT doc_id, unnest(ts) AS tk,
-                     CAST(generate_subscripts(ts, 1) - 1 AS BIGINT) AS pos
-              FROM sp_toks
-            ),
-            kept AS (
-              SELECT t.doc_id, t.pos, t.tk
-              FROM tokpos t
-              LEFT JOIN sp_cov c ON t.doc_id = c.doc_id AND t.pos = c.cpos
-              WHERE c.doc_id IS NULL
-            ),
-            reb AS (
-              SELECT doc_id, string_agg(tk, ' ' ORDER BY pos) AS clean_text,
-                     CAST(count(*) AS BIGINT) AS n_kept
-              FROM kept GROUP BY doc_id
-            )
-            SELECT t.doc_id,
-                   CAST(len(t.ts) AS BIGINT) AS n_tokens,
-                   CAST(len(t.ts) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed,
-                   md5(COALESCE(r.clean_text, '')) AS clean_md5
-            FROM sp_toks t LEFT JOIN reb r USING (doc_id)
-        """,
+        # k-gram md5 spans, duplication criterion, keep-first via the
+        # same min(doc_id*2^20+pos) encoding, coverage union) extended
+        # with ordered string_agg reassembly compared by md5; the _all
+        # twin swaps the criterion to raw occurrence counts
+        "dedup_spans": _span_removal_oracle_sql(),
+        "dedup_spans_all": _span_removal_oracle_sql("count(*)"),
         # sketch-contract oracles: the approximate values are sketch-
         # dependent by design, so the oracle pins the exact invariants
         # (n / exact distinct count) and asserts the engine-computed

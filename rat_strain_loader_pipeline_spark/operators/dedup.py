@@ -931,6 +931,7 @@ def duplicated_span_removal(
     id_col: str = "doc_id",
     pos_enc: int = 1 << 20,
     counts_only: bool = False,
+    scope: str = "cross_doc",
 ) -> DataFrame:
     """Exact duplicated-SPAN removal (the suffix-array-style step of
     Lee et al.'s "Deduplicating Training Data" recast as a Spark plan):
@@ -969,6 +970,14 @@ def duplicated_span_removal(
     and returns (id_col, n_tokens, n_removed) — the cheap path for
     consumers that budget tokens without needing the excised text
     (corpus_curation's span stage).
+
+    ``scope`` picks the duplication criterion: "cross_doc" (default)
+    counts DISTINCT documents per span — within-doc repetition is left
+    alone; "all" counts raw occurrences — the Lee et al. criterion
+    (any span repeated anywhere, including inside one document, keeps
+    exactly its global first occurrence), which also strips
+    within-document repetition loops (the Gopher-style repetition
+    pathology) rather than just measuring them.
     """
     from rat_strain_loader_pipeline_spark.staging import stage_to_parquet
 
@@ -990,8 +999,14 @@ def duplicated_span_removal(
         ),
         "span-occ",
     )
+    if scope == "cross_doc":
+        df_agg = F.countDistinct(id_col)
+    elif scope == "all":
+        df_agg = F.count(F.lit(1))
+    else:
+        raise ValueError(f"unknown scope: {scope!r}")
     stats = occ.groupBy("gh").agg(
-        F.countDistinct(id_col).alias("dfd"),
+        df_agg.alias("dfd"),
         F.min(F.col(id_col) * pos_enc + F.col("pos")).alias("keeper_key"),
     )
     dup_occ = occ.join(stats.filter(F.col("dfd") >= min_df), "gh").filter(

@@ -810,3 +810,24 @@ def test_duplicated_span_removal_within_doc_repeat_kept(spark):
     out = {r["doc_id"]: r for r in duplicated_span_removal(docs, k=8, min_df=2).collect()}
     assert out[1]["n_removed"] == 0
     assert out[2]["n_removed"] == 0
+
+
+def test_duplicated_span_removal_occurrence_scope(spark):
+    # scope="all": a span repeated only WITHIN one doc IS excised
+    # (keep-first), unlike the cross_doc default
+    from rat_strain_loader_pipeline_spark.operators.dedup import (
+        duplicated_span_removal,
+    )
+
+    s = "a b c d e f g h"
+    docs = spark.createDataFrame(
+        [(1, f"{s} and then {s}"), (2, "nothing shared in this one really")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in duplicated_span_removal(docs, k=8, min_df=2, scope="all").collect()
+    }
+    assert out[1]["clean_text"] == f"{s} and then"
+    assert out[1]["n_removed"] == 8
+    assert out[2]["n_removed"] == 0
