@@ -3735,6 +3735,31 @@ def q_dedup_spans_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_spans_minrun(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-floored duplicated-span removal — dedup_spans plus the
+    Lee et al. run-length floor: covered positions union into maximal
+    runs first (per-doc gaps-and-islands window), and runs shorter than
+    SPAN_MIN_RUN tokens are forgiven, so incidental SPAN_K-token
+    collisions survive while genuine boilerplate blocks strip. The
+    production configuration of the operator (the literature uses a
+    50-token floor); value-exact via the same oracle chain with the
+    identical island filter appended."""
+    from rat_strain_loader_pipeline_spark.operators.dedup import (
+        duplicated_span_removal,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    out = duplicated_span_removal(
+        docs, k=SPAN_K, min_df=SPAN_MIN_DF, min_run=SPAN_MIN_RUN
+    )
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_removed",
+        F.md5(F.col("clean_text")).alias("clean_md5"),
+    )
+
+
 def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate percentiles with a PINNED error contract — the
     100 TB swap that robust_stats/length_quantiles name: per-type
@@ -3995,6 +4020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_skew_zipf": q_window_skew_zipf,
         "window_skew_uniform": q_window_skew_uniform,
         "dedup_spans_all": q_dedup_spans_all,
+        "dedup_spans_minrun": q_dedup_spans_minrun,
     }
 
 
@@ -4450,6 +4476,8 @@ COMPACT_TARGET_ROWS = 1_000_000
 # Duplicated-span removal (q_dedup_spans): span grain and keep policy
 SPAN_K = 8          # tokens per excised span unit (winnow grain reused)
 SPAN_MIN_DF = 2     # a span is "duplicated" when >= 2 docs contain it
+SPAN_MIN_RUN = 16   # length floor (q_dedup_spans_minrun): runs shorter
+                    # than this are forgiven (Lee et al. use 50)
 
 # Approximate-sketch error contracts (q_approx_quantiles /
 # q_approx_distinct): the engine emits envelope booleans; the oracles
@@ -4519,12 +4547,39 @@ def _span_cov_ctes_sql(df_expr: str = "count(DISTINCT doc_id)") -> str:
             )"""
 
 
-def _span_removal_oracle_sql(df_expr: str = "count(DISTINCT doc_id)") -> str:
+def _span_removal_oracle_sql(
+    df_expr: str = "count(DISTINCT doc_id)", min_run: int | None = None
+) -> str:
     """Full span-removal oracle: the shared coverage chain extended
     with token re-explode, coverage anti-join, and ordered string_agg
-    reassembly (compared by md5)."""
+    reassembly (compared by md5). ``min_run`` appends the same
+    gaps-and-islands run filter the engine applies (runs shorter than
+    the floor are forgiven)."""
+    cov = "sp_cov"
+    run_ctes = ""
+    if min_run is not None:
+        cov = "sp_cov_f"
+        run_ctes = f""",
+            sp_isl AS (
+              SELECT doc_id, cpos,
+                     sum(CASE WHEN cpos - lagged = 1 THEN 0 ELSE 1 END)
+                       OVER (PARTITION BY doc_id ORDER BY cpos) AS isl_id
+              FROM (SELECT doc_id, cpos,
+                           lag(cpos) OVER (PARTITION BY doc_id ORDER BY cpos)
+                             AS lagged
+                    FROM sp_cov)
+            ),
+            sp_runs AS (
+              SELECT doc_id, isl_id, count(*) AS run_len
+              FROM sp_isl GROUP BY 1, 2
+            ),
+            sp_cov_f AS (
+              SELECT i.doc_id, i.cpos FROM sp_isl i
+              JOIN sp_runs USING (doc_id, isl_id)
+              WHERE run_len >= {min_run}
+            )"""
     return rf"""
-            WITH {_span_cov_ctes_sql(df_expr)},
+            WITH {_span_cov_ctes_sql(df_expr)}{run_ctes},
             tokpos AS (
               SELECT doc_id, unnest(ts) AS tk,
                      CAST(generate_subscripts(ts, 1) - 1 AS BIGINT) AS pos
@@ -4533,7 +4588,7 @@ def _span_removal_oracle_sql(df_expr: str = "count(DISTINCT doc_id)") -> str:
             kept AS (
               SELECT t.doc_id, t.pos, t.tk
               FROM tokpos t
-              LEFT JOIN sp_cov c ON t.doc_id = c.doc_id AND t.pos = c.cpos
+              LEFT JOIN {cov} c ON t.doc_id = c.doc_id AND t.pos = c.cpos
               WHERE c.doc_id IS NULL
             ),
             reb AS (
@@ -6895,6 +6950,7 @@ QUALIFY row_number() OVER (
         # twin swaps the criterion to raw occurrence counts
         "dedup_spans": _span_removal_oracle_sql(),
         "dedup_spans_all": _span_removal_oracle_sql("count(*)"),
+        "dedup_spans_minrun": _span_removal_oracle_sql(min_run=SPAN_MIN_RUN),
         # sketch-contract oracles: the approximate values are sketch-
         # dependent by design, so the oracle pins the exact invariants
         # (n / exact distinct count) and asserts the engine-computed

@@ -932,6 +932,7 @@ def duplicated_span_removal(
     pos_enc: int = 1 << 20,
     counts_only: bool = False,
     scope: str = "cross_doc",
+    min_run: int | None = None,
 ) -> DataFrame:
     """Exact duplicated-SPAN removal (the suffix-array-style step of
     Lee et al.'s "Deduplicating Training Data" recast as a Spark plan):
@@ -978,6 +979,15 @@ def duplicated_span_removal(
     exactly its global first occurrence), which also strips
     within-document repetition loops (the Gopher-style repetition
     pathology) rather than just measuring them.
+
+    ``min_run`` (None = off) excises only maximal covered RUNS of at
+    least that many tokens — the Lee et al. length floor (they use 50):
+    overlapping/adjacent duplicated k-grams union into runs first, then
+    runs shorter than ``min_run`` are forgiven, so incidental k-token
+    collisions survive while genuine boilerplate blocks are stripped.
+    Run detection is one per-doc gaps-and-islands window (partition =
+    document, bounded by document length — the same per-doc window
+    envelope as reassembly).
     """
     from rat_strain_loader_pipeline_spark.staging import stage_to_parquet
 
@@ -1016,6 +1026,20 @@ def duplicated_span_removal(
         id_col,
         F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))).alias("cpos"),
     ).distinct()
+    if min_run is not None and min_run > k:
+        w = Window.partitionBy(id_col).orderBy("cpos")
+        isl = covered.withColumn(
+            "isl_id",
+            F.sum(
+                (F.col("cpos") - F.lag("cpos", 1, -2).over(w) > 1).cast("int")
+            ).over(w),
+        )
+        runs = isl.groupBy(id_col, "isl_id").agg(
+            F.count(F.lit(1)).alias("run_len")
+        )
+        covered = isl.join(
+            runs.filter(F.col("run_len") >= min_run), [id_col, "isl_id"]
+        ).select(id_col, "cpos")
     counts = base.select(F.col(id_col), F.size("ts").cast("long").alias("n_tokens"))
     if counts_only:
         rm = covered.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_rm"))

@@ -831,3 +831,27 @@ def test_duplicated_span_removal_occurrence_scope(spark):
     assert out[1]["clean_text"] == f"{s} and then"
     assert out[1]["n_removed"] == 8
     assert out[2]["n_removed"] == 0
+
+
+def test_duplicated_span_removal_min_run_floor(spark):
+    # a shared 10-token run: excised at min_run<=10, forgiven above
+    from rat_strain_loader_pipeline_spark.operators.dedup import (
+        duplicated_span_removal,
+    )
+
+    shared = "the quick brown fox jumps over a lazy dog tonight"  # 10 tokens
+    docs = spark.createDataFrame(
+        [(1, f"intro one {shared} outro one"), (2, f"prefix two {shared} suffix two")],
+        "doc_id long, text string",
+    )
+    strict = {
+        r["doc_id"]: r
+        for r in duplicated_span_removal(docs, k=8, min_df=2, min_run=10).collect()
+    }
+    assert strict[2]["n_removed"] == 10
+    lenient = {
+        r["doc_id"]: r
+        for r in duplicated_span_removal(docs, k=8, min_df=2, min_run=11).collect()
+    }
+    assert lenient[2]["n_removed"] == 0
+    assert lenient[2]["clean_text"] == f"prefix two {shared} suffix two"
