@@ -3760,6 +3760,28 @@ def q_dedup_spans_minrun(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_training_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training order (operators/sampling.py
+    deterministic_shuffle): the pre-sharding corpus shuffle, as salted-
+    md5 rank with NO global sort and NO corpus-sized single-task window
+    — per-bucket parallel row_numbers plus a 256-row offset cumsum (the
+    upsert distributed-ranking pattern). Value-exact: the oracle is the
+    naive global ROW_NUMBER over (bucket, order-hash, id), which the
+    two-level construction equals by definition."""
+    from rat_strain_loader_pipeline_spark.operators.sampling import (
+        deterministic_shuffle,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    out = deterministic_shuffle(
+        docs,
+        salt=SHUFFLE_SALT,
+        n_buckets=SHUFFLE_BUCKETS,
+        hash_res=SHUFFLE_HASH_RES,
+    )
+    return out.select("doc_id", "shuffle_rank")
+
+
 def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate percentiles with a PINNED error contract — the
     100 TB swap that robust_stats/length_quantiles name: per-type
@@ -4021,6 +4043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_skew_uniform": q_window_skew_uniform,
         "dedup_spans_all": q_dedup_spans_all,
         "dedup_spans_minrun": q_dedup_spans_minrun,
+        "training_shuffle": q_training_shuffle,
     }
 
 
@@ -4478,6 +4501,11 @@ SPAN_K = 8          # tokens per excised span unit (winnow grain reused)
 SPAN_MIN_DF = 2     # a span is "duplicated" when >= 2 docs contain it
 SPAN_MIN_RUN = 16   # length floor (q_dedup_spans_minrun): runs shorter
                     # than this are forgiven (Lee et al. use 50)
+
+# Deterministic corpus shuffle (q_training_shuffle)
+SHUFFLE_SALT = "v1"
+SHUFFLE_BUCKETS = 256
+SHUFFLE_HASH_RES = 1_000_000_007   # within-bucket order hash modulus
 
 # Approximate-sketch error contracts (q_approx_quantiles /
 # q_approx_distinct): the engine emits envelope booleans; the oracles
@@ -6951,6 +6979,18 @@ QUALIFY row_number() OVER (
         "dedup_spans": _span_removal_oracle_sql(),
         "dedup_spans_all": _span_removal_oracle_sql("count(*)"),
         "dedup_spans_minrun": _span_removal_oracle_sql(min_run=SPAN_MIN_RUN),
+        # the naive global window IS the oracle; the engine's two-level
+        # construction must equal it rank-for-rank
+        "training_shuffle": f"""
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(row_number() OVER (ORDER BY
+                     md5_number_lower('shuffle:{SHUFFLE_SALT}:'
+                       || CAST(doc_id AS VARCHAR)) % {SHUFFLE_BUCKETS},
+                     md5_number_lower('order:{SHUFFLE_SALT}:'
+                       || CAST(doc_id AS VARCHAR)) % {SHUFFLE_HASH_RES},
+                     doc_id) AS BIGINT) AS shuffle_rank
+            FROM documents
+        """,
         # sketch-contract oracles: the approximate values are sketch-
         # dependent by design, so the oracle pins the exact invariants
         # (n / exact distinct count) and asserts the engine-computed

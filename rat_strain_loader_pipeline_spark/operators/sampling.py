@@ -287,3 +287,49 @@ def token_kl_drift(
         )
         .agg(F.sum(term).cast("long").alias("kl_picos"))
     )
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    salt: str = "v1",
+    n_buckets: int = 256,
+    hash_res: int = 1_000_000_007,
+    rank_col: str = "shuffle_rank",
+) -> DataFrame:
+    """Deterministic global training order — the corpus shuffle every
+    training run performs before sharding, reproducible across runs and
+    engines (salted md5, no RNG state).
+
+    The order is ROW_NUMBER() OVER (ORDER BY bucket, order_hash, id)
+    with bucket = md5(shuffle:salt:id) % n_buckets and order_hash =
+    md5(order:salt:id) % hash_res — but computed WITHOUT a global sort
+    or a single-task window (the classic scale trap of a bare
+    row_number over everything). Two-level construction, the
+    upsert_variants distributed-ranking pattern: a per-bucket
+    row_number (parallel across n_buckets window partitions), plus
+    bucket starting offsets from a cumulative sum over the tiny
+    n_buckets-row count table (the only single-partition window, over
+    256 rows), broadcast back. Identical ranks to the naive global
+    window by construction: global order groups by bucket first, so
+    rank = rows in earlier buckets + rank within own bucket.
+
+    Changing the salt is a fresh epoch shuffle. Returns ``df`` plus
+    ``rank_col`` (1-based, dense, unique).
+    """
+    sid = F.col(id_col).cast("string")
+    bucket = _md5_fold(F.concat(F.lit(f"shuffle:{salt}:"), sid), n_buckets).cast("int")
+    order_hash = _md5_fold(F.concat(F.lit(f"order:{salt}:"), sid), hash_res)
+    tagged = df.withColumn("__b", bucket).withColumn("__h", order_hash)
+    w_in = Window.partitionBy("__b").orderBy("__h", id_col)
+    ranked = tagged.withColumn("__r", F.row_number().over(w_in))
+    sizes = ranked.groupBy("__b").agg(F.count(F.lit(1)).alias("__n"))
+    w_off = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    offs = sizes.select(
+        "__b", F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__off")
+    )
+    return (
+        ranked.join(F.broadcast(offs), "__b")
+        .withColumn(rank_col, (F.col("__off") + F.col("__r")).cast("long"))
+        .drop("__b", "__h", "__r", "__off")
+    )

@@ -444,3 +444,59 @@ def test_token_kl_drift_empty_corpus_zero_rows(spark):
         [(1, ""), (2, "   "), (3, None)], "doc_id long, text string"
     )
     assert token_kl_drift(empty).collect() == []
+
+
+def test_deterministic_shuffle_equals_naive_global_rank(spark, sf_dir):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from rat_strain_loader_pipeline_spark.operators.sampling import (
+        _md5_fold,
+        deterministic_shuffle,
+    )
+    from rat_strain_loader_pipeline_spark.sources.tables import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    two_level = deterministic_shuffle(docs, salt="v1")
+    sid = F.col("doc_id").cast("string")
+    naive = docs.withColumn(
+        "shuffle_rank",
+        F.row_number()
+        .over(
+            Window.orderBy(
+                _md5_fold(F.concat(F.lit("shuffle:v1:"), sid), 256),
+                _md5_fold(F.concat(F.lit("order:v1:"), sid), 1_000_000_007),
+                "doc_id",
+            )
+        )
+        .cast("long"),
+    )
+    a = sorted(tuple(r) for r in two_level.collect())
+    b = sorted(tuple(r) for r in naive.collect())
+    assert a == b
+    # ranks are a permutation 1..n
+    n = docs.count()
+    assert sorted(r["shuffle_rank"] for r in two_level.collect()) == list(
+        range(1, n + 1)
+    )
+
+
+def test_deterministic_shuffle_partition_invariant(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from rat_strain_loader_pipeline_spark.operators.sampling import (
+        deterministic_shuffle,
+    )
+    from rat_strain_loader_pipeline_spark.sources.tables import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    a = sorted(
+        tuple(r) for r in deterministic_shuffle(docs.coalesce(1)).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in deterministic_shuffle(
+            docs.repartition(13, F.col("doc_id") % 7)
+        ).collect()
+    )
+    assert a == b
