@@ -3782,6 +3782,21 @@ def q_training_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "shuffle_rank")
 
 
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means over the embedding corpus
+    (operators/clustering.py kmeans_micros) — the SemDeDup cluster
+    stage and the fully-distributed twin of ivf_train_centroids'
+    driver-sample recipe. Integer micro-unit quantization, smallest-id
+    seeding, bigint squared distances, (dist, cluster) argmin
+    tie-break, floor-of-double-quotient centroid updates — every round
+    is engine-reproducible, so the oracle unrolls the same KMEANS_ITERS
+    rounds in SQL (the pagerank pattern) and matches value-exact."""
+    from rat_strain_loader_pipeline_spark.operators.clustering import kmeans_micros
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return kmeans_micros(emb, k=KMEANS_K, iters=KMEANS_ITERS)
+
+
 def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate percentiles with a PINNED error contract — the
     100 TB swap that robust_stats/length_quantiles name: per-type
@@ -4044,6 +4059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_spans_all": q_dedup_spans_all,
         "dedup_spans_minrun": q_dedup_spans_minrun,
         "training_shuffle": q_training_shuffle,
+        "kmeans_clusters": q_kmeans_clusters,
     }
 
 
@@ -4507,6 +4523,10 @@ SHUFFLE_SALT = "v1"
 SHUFFLE_BUCKETS = 256
 SHUFFLE_HASH_RES = 1_000_000_007   # within-bucket order hash modulus
 
+# Distributed k-means (q_kmeans_clusters): SemDeDup cluster stage
+KMEANS_K = 8
+KMEANS_ITERS = 3
+
 # Approximate-sketch error contracts (q_approx_quantiles /
 # q_approx_distinct): the engine emits envelope booleans; the oracles
 # assert TRUE, so these constants ARE the pinned contract
@@ -4630,6 +4650,65 @@ def _span_removal_oracle_sql(
                    md5(COALESCE(r.clean_text, '')) AS clean_md5
             FROM sp_toks t LEFT JOIN reb r USING (doc_id)
         """
+
+
+def _kmeans_oracle_sql(k: int, iters: int) -> str:
+    """Unrolled Lloyd's rounds in SQL (the pagerank pattern), generated
+    from the SAME (k, iters) the engine call site uses. Round r:
+    distances from c{r-1}, argmin assignment a{r}, centroid update
+    c{r} (floor of exact double quotient; empty clusters keep the old
+    centroid via the LEFT JOIN coalesce)."""
+    ctes = [
+        f"""ex AS (
+  SELECT vec_id, d - 1 AS dim,
+         CAST(floor(CAST(e AS DOUBLE) * 1000000) AS BIGINT) AS xq
+  FROM (SELECT vec_id, unnest(embedding) AS e,
+               generate_subscripts(embedding, 1) AS d
+        FROM embeddings)
+)""",
+        f"""seeds AS (
+  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS j
+  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})
+)""",
+        """c0 AS (
+  SELECT seeds.j, ex.dim, ex.xq AS c FROM ex JOIN seeds USING (vec_id)
+)""",
+    ]
+    for r in range(1, iters + 1):
+        prev = f"c{r - 1}"
+        ctes.append(
+            f"""d{r} AS (
+  SELECT ex.vec_id, {prev}.j,
+         sum((ex.xq - {prev}.c) * (ex.xq - {prev}.c)) AS dist
+  FROM ex JOIN {prev} ON ex.dim = {prev}.dim
+  GROUP BY 1, 2
+)"""
+        )
+        ctes.append(
+            f"""a{r} AS (
+  SELECT vec_id, j, dist FROM d{r}
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, j) = 1
+)"""
+        )
+        if r < iters:
+            ctes.append(
+                f"""c{r} AS (
+  SELECT {prev}.j, {prev}.dim, COALESCE(u.cn, {prev}.c) AS c
+  FROM {prev} LEFT JOIN (
+    SELECT a{r}.j, ex.dim,
+           CAST(floor(CAST(sum(ex.xq) AS DOUBLE)
+                      / CAST(count(*) AS DOUBLE)) AS BIGINT) AS cn
+    FROM ex JOIN a{r} USING (vec_id) GROUP BY 1, 2
+  ) u ON {prev}.j = u.j AND {prev}.dim = u.dim
+)"""
+            )
+    joined = ",\n".join(ctes)
+    return f"""WITH {joined}
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(j AS BIGINT) AS cluster_id,
+       CAST(dist AS BIGINT) AS dist_sq
+FROM a{iters}
+"""
 
 
 def _skew_transitions_oracle_sql(zipf: bool) -> str:
@@ -6991,6 +7070,7 @@ QUALIFY row_number() OVER (
                      doc_id) AS BIGINT) AS shuffle_rank
             FROM documents
         """,
+        "kmeans_clusters": _kmeans_oracle_sql(KMEANS_K, KMEANS_ITERS),
         # sketch-contract oracles: the approximate values are sketch-
         # dependent by design, so the oracle pins the exact invariants
         # (n / exact distinct count) and asserts the engine-computed

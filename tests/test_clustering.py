@@ -1,0 +1,46 @@
+"""kmeans_micros: distributed Lloyd's in integer micro-units."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _km(spark, rows, k=2, iters=3):
+    from rat_strain_loader_pipeline_spark.operators.clustering import kmeans_micros
+
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    return {r["vec_id"]: r for r in kmeans_micros(df, k=k, iters=iters).collect()}
+
+
+def test_kmeans_separates_two_blobs(spark):
+    # two tight blobs far apart; seeds (ids 0,1) land one in each blob
+    blob_a = [(0, [0.0, 0.1]), (2, [0.05, 0.0]), (4, [0.0, 0.05])]
+    blob_b = [(1, [5.0, 5.1]), (3, [5.05, 5.0]), (5, [5.0, 5.05])]
+    out = _km(spark, blob_a + blob_b)
+    a_clusters = {out[i]["cluster_id"] for i, _ in blob_a}
+    b_clusters = {out[i]["cluster_id"] for i, _ in blob_b}
+    assert a_clusters == {0}
+    assert b_clusters == {1}
+    # members are near their centroid: squared micro-dist well under
+    # the inter-blob distance (~5e6 micros per dim)
+    assert all(r["dist_sq"] < 10**11 for r in out.values())
+
+
+def test_kmeans_deterministic_and_partition_invariant(spark, sf_dir):
+    from rat_strain_loader_pipeline_spark.operators.clustering import kmeans_micros
+    from rat_strain_loader_pipeline_spark.sources.tables import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    a = sorted(
+        tuple(r) for r in kmeans_micros(emb.coalesce(1), k=4, iters=2).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in kmeans_micros(
+            emb.repartition(13, F.col("vec_id") % 7), k=4, iters=2
+        ).collect()
+    )
+    assert a == b
+    # every vector assigned exactly once, clusters within range
+    assert len(a) == emb.count()
+    assert {t[1] for t in a} <= set(range(4))
