@@ -3797,6 +3797,24 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_micros(emb, k=KMEANS_K, iters=KMEANS_ITERS)
 
 
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (operators/clustering.py semdedup_prune): distributed
+    k-means clustering, then within-cluster cosine pruning at
+    SEMDEDUP_TAU (smaller id kept) — the semantic-dedup composition
+    whose whole point is bounding the pairwise stage to within-cluster
+    pairs. Value-exact end-to-end: the oracle re-runs the unrolled
+    kmeans rounds AND the integer-dot threshold test (dot² >=
+    tau²·|a|²·|b|² as the identical IEEE double tree). On this corpus
+    the only cosine>=tau pair lands in one cluster, so within-cluster
+    pruning equals brute-force all-pairs pruning (recall 1.0 —
+    EMPIRICAL, the known SemDeDup trade-off is that cross-cluster
+    near-dups escape)."""
+    from rat_strain_loader_pipeline_spark.operators.clustering import semdedup_prune
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semdedup_prune(emb, k=KMEANS_K, iters=KMEANS_ITERS, tau=SEMDEDUP_TAU)
+
+
 def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate percentiles with a PINNED error contract — the
     100 TB swap that robust_stats/length_quantiles name: per-type
@@ -4060,6 +4078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_spans_minrun": q_dedup_spans_minrun,
         "training_shuffle": q_training_shuffle,
         "kmeans_clusters": q_kmeans_clusters,
+        "semdedup": q_semdedup,
     }
 
 
@@ -4526,6 +4545,7 @@ SHUFFLE_HASH_RES = 1_000_000_007   # within-bucket order hash modulus
 # Distributed k-means (q_kmeans_clusters): SemDeDup cluster stage
 KMEANS_K = 8
 KMEANS_ITERS = 3
+SEMDEDUP_TAU = 0.5   # within-cluster cosine prune threshold (q_semdedup)
 
 # Approximate-sketch error contracts (q_approx_quantiles /
 # q_approx_distinct): the engine emits envelope booleans; the oracles
@@ -4652,12 +4672,14 @@ def _span_removal_oracle_sql(
         """
 
 
-def _kmeans_oracle_sql(k: int, iters: int) -> str:
-    """Unrolled Lloyd's rounds in SQL (the pagerank pattern), generated
-    from the SAME (k, iters) the engine call site uses. Round r:
-    distances from c{r-1}, argmin assignment a{r}, centroid update
-    c{r} (floor of exact double quotient; empty clusters keep the old
-    centroid via the LEFT JOIN coalesce)."""
+def _kmeans_ctes_sql(k: int, iters: int) -> str:
+    """Unrolled Lloyd's rounds as a CTE chain (the pagerank pattern),
+    generated from the SAME (k, iters) the engine call sites use.
+    Round r: distances from c{r-1}, argmin assignment a{r}, centroid
+    update c{r} (floor of exact double quotient; empty clusters keep
+    the old centroid via the LEFT JOIN coalesce). Ends at a{iters}
+    (vec_id, j, dist); also exposes ``ex`` (vec_id, dim, xq micro-unit
+    ints) for downstream CTEs (the semdedup oracle)."""
     ctes = [
         f"""ex AS (
   SELECT vec_id, d - 1 AS dim,
@@ -4702,12 +4724,50 @@ def _kmeans_oracle_sql(k: int, iters: int) -> str:
   ) u ON {prev}.j = u.j AND {prev}.dim = u.dim
 )"""
             )
-    joined = ",\n".join(ctes)
-    return f"""WITH {joined}
+    return ",\n".join(ctes)
+
+
+def _kmeans_oracle_sql(k: int, iters: int) -> str:
+    return f"""WITH {_kmeans_ctes_sql(k, iters)}
 SELECT CAST(vec_id AS BIGINT) AS vec_id,
        CAST(j AS BIGINT) AS cluster_id,
        CAST(dist AS BIGINT) AS dist_sq
 FROM a{iters}
+"""
+
+
+def _semdedup_oracle_sql(k: int, iters: int, tau: float) -> str:
+    """SemDeDup prune oracle: the kmeans CTE chain extended with
+    micro-unit norms, within-cluster integer dot products, and the
+    tau-threshold prune (smaller id kept). The cosine comparison stays
+    exact: dot² >= tau² · |a|² · |b|² evaluated as the identical
+    IEEE-754 double expression tree in both engines (the chi2
+    precedent), with all operands integer-derived."""
+    t2 = tau * tau
+    return f"""WITH {_kmeans_ctes_sql(k, iters)},
+n2 AS (SELECT vec_id, sum(xq * xq) AS n2 FROM ex GROUP BY 1),
+mem AS (
+  SELECT a{iters}.vec_id, a{iters}.j, ex.dim, ex.xq
+  FROM ex JOIN a{iters} USING (vec_id)
+),
+dots AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.xq * b.xq) AS dot
+  FROM mem a JOIN mem b
+    ON a.j = b.j AND a.dim = b.dim AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+),
+losers AS (
+  SELECT DISTINCT id_b FROM dots
+  JOIN n2 na ON dots.id_a = na.vec_id
+  JOIN n2 nb ON dots.id_b = nb.vec_id
+  WHERE dot > 0
+    AND CAST(dot AS DOUBLE) * CAST(dot AS DOUBLE)
+        >= {t2!r} * CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)
+)
+SELECT CAST(a.vec_id AS BIGINT) AS vec_id,
+       CAST(a.j AS BIGINT) AS cluster_id,
+       l.id_b IS NULL AS kept
+FROM a{iters} a LEFT JOIN losers l ON a.vec_id = l.id_b
 """
 
 
@@ -7071,6 +7131,7 @@ QUALIFY row_number() OVER (
             FROM documents
         """,
         "kmeans_clusters": _kmeans_oracle_sql(KMEANS_K, KMEANS_ITERS),
+        "semdedup": _semdedup_oracle_sql(KMEANS_K, KMEANS_ITERS, SEMDEDUP_TAU),
         # sketch-contract oracles: the approximate values are sketch-
         # dependent by design, so the oracle pins the exact invariants
         # (n / exact distinct count) and asserts the engine-computed

@@ -115,3 +115,86 @@ def kmeans_micros(
         F.col("j").cast("long").alias("cluster_id"),
         F.col("dist").alias("dist_sq"),
     )
+
+
+def semdedup_prune(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    tau: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al.): cluster the corpus with ``kmeans_micros``,
+    then prune near-duplicates WITHIN each cluster — a vector is dropped
+    when a smaller-id cluster-mate has cosine >= ``tau``. Clustering
+    bounds the pairwise stage to within-cluster pairs (sum of squared
+    cluster sizes, not corpus²) — that reduction IS the method; size
+    clusters (k) so the largest cluster's pair block stays tractable.
+
+    Exactness: dots and norms are bigint sums over the micro-unit
+    quantized components; the threshold test dot² >= tau²·|a|²·|b|²
+    (guarded by dot > 0) is evaluated as one fixed IEEE-754 double
+    expression tree over those integers — identical in any engine, so
+    the DuckDB oracle matches exactly.
+
+    Returns one row per vector: (id_col, cluster_id, kept).
+    """
+    from rat_strain_loader_pipeline_spark.staging import stage_to_parquet
+
+    assign = kmeans_micros(embeddings, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    ex = stage_to_parquet(
+        embeddings.select(
+            F.col(id_col), F.posexplode(vec_col).alias("dim", "x")
+        ).select(
+            id_col,
+            "dim",
+            F.floor(F.col("x").cast("double") * MICROS).cast("long").alias("xq"),
+        ),
+        "semdedup-ex",
+    )
+    n2 = ex.groupBy(id_col).agg(F.sum(F.col("xq") * F.col("xq")).alias("n2"))
+    mem = ex.join(assign.select(id_col, "cluster_id"), id_col)
+    a, b = mem.alias("a"), mem.alias("b")
+    dots = (
+        a.join(
+            b,
+            on=[
+                F.col("a.cluster_id") == F.col("b.cluster_id"),
+                F.col("a.dim") == F.col("b.dim"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.sum(F.col("a.xq") * F.col("b.xq")).alias("dot"))
+    )
+    na = n2.select(F.col(id_col).alias("id_a"), F.col("n2").alias("na2"))
+    nb = n2.select(F.col(id_col).alias("id_b"), F.col("n2").alias("nb2"))
+    dot_d = F.col("dot").cast("double")
+    losers = (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .filter(
+            (F.col("dot") > 0)
+            & (
+                dot_d * dot_d
+                >= F.lit(tau * tau)
+                * F.col("na2").cast("double")
+                * F.col("nb2").cast("double")
+            )
+        )
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+        .withColumn("__lost", F.lit(True))
+    )
+    return (
+        assign.select(id_col, "cluster_id")
+        .join(losers, id_col, "left")
+        .select(
+            id_col,
+            "cluster_id",
+            F.col("__lost").isNull().alias("kept"),
+        )
+    )

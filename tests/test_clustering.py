@@ -44,3 +44,39 @@ def test_kmeans_deterministic_and_partition_invariant(spark, sf_dir):
     # every vector assigned exactly once, clusters within range
     assert len(a) == emb.count()
     assert {t[1] for t in a} <= set(range(4))
+
+
+def test_semdedup_prunes_planted_near_dup(spark):
+    from rat_strain_loader_pipeline_spark.operators.clustering import semdedup_prune
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0]),
+        (2, [0.99, 0.01, 0.0]),   # near-dup of 0 (cosine ~0.9999)
+        (3, [0.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in semdedup_prune(df, k=2, iters=2, tau=0.9).collect()}
+    assert out[0]["kept"] is True      # smaller id of the dup pair survives
+    assert out[2]["kept"] is False     # near-dup pruned
+    assert out[1]["kept"] and out[3]["kept"]
+    # prune happened within one cluster
+    assert out[0]["cluster_id"] == out[2]["cluster_id"]
+
+
+def test_semdedup_partition_invariant(spark, sf_dir):
+    from rat_strain_loader_pipeline_spark.operators.clustering import semdedup_prune
+    from rat_strain_loader_pipeline_spark.sources.tables import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    a = sorted(
+        tuple(r) for r in semdedup_prune(emb.coalesce(1), k=4, iters=2).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in semdedup_prune(
+            emb.repartition(13, F.col("vec_id") % 7), k=4, iters=2
+        ).collect()
+    )
+    assert a == b
+    assert len(a) == emb.count()

@@ -385,3 +385,15 @@ def test_window_skew_twins_same_plan_shape(spark, sf_dir, queries):
     # identical operator sequence (strip ids/exprs, keep node names)
     shape = lambda p: [m for m in re.findall(r"^\s*[+*:\-]+\s*([A-Za-z]+)", p, re.M)]
     assert shape(pz) == shape(pu)
+
+
+def test_semdedup_within_cluster_pairs_stay_hash_joined(spark, sf_dir, queries):
+    """SemDeDup's whole scale claim is that the pairwise cosine stage
+    is bounded to within-cluster pairs via an equi-join on
+    (cluster_id, dim) — never a cartesian/nested-loop product — and
+    that the exploded (vec, dim, xq) table is staged once (parquet
+    scan in the plan) instead of recomputing the explode per consumer."""
+    plan = _plan(queries["semdedup"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "semdedup-ex" in plan  # staged parquet path visible in the scan
