@@ -3815,6 +3815,21 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup_prune(emb, k=KMEANS_K, iters=KMEANS_ITERS, tau=SEMDEDUP_TAU)
 
 
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization of the embedding corpus
+    (operators/quantize.py quantize_int8) — the 4x memory reduction an
+    ANN index applies before serving at corpus scale. Per-dimension
+    min/max (exact picks, dims-sized broadcast table), affine codes in
+    [0, QUANT_LEVELS] via one fixed IEEE double tree, reconstruction
+    error re-quantized to micro-unit bigints per (vec, dim) BEFORE the
+    order-free per-vector sums — value-exact against the oracle's
+    identical expression tree."""
+    from rat_strain_loader_pipeline_spark.operators.quantize import quantize_int8
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return quantize_int8(emb, levels=QUANT_LEVELS)
+
+
 def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate percentiles with a PINNED error contract — the
     100 TB swap that robust_stats/length_quantiles name: per-type
@@ -4079,6 +4094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_shuffle": q_training_shuffle,
         "kmeans_clusters": q_kmeans_clusters,
         "semdedup": q_semdedup,
+        "embedding_quantize": q_embedding_quantize,
     }
 
 
@@ -4546,6 +4562,7 @@ SHUFFLE_HASH_RES = 1_000_000_007   # within-bucket order hash modulus
 KMEANS_K = 8
 KMEANS_ITERS = 3
 SEMDEDUP_TAU = 0.5   # within-cluster cosine prune threshold (q_semdedup)
+QUANT_LEVELS = 255   # int8 scalar-quantization code range (q_embedding_quantize)
 
 # Approximate-sketch error contracts (q_approx_quantiles /
 # q_approx_distinct): the engine emits envelope booleans; the oracles
@@ -4768,6 +4785,45 @@ SELECT CAST(a.vec_id AS BIGINT) AS vec_id,
        CAST(a.j AS BIGINT) AS cluster_id,
        l.id_b IS NULL AS kept
 FROM a{iters} a LEFT JOIN losers l ON a.vec_id = l.id_b
+"""
+
+
+def _quantize_oracle_sql(levels: int) -> str:
+    """Scalar-quantization oracle generated from the SAME QUANT_LEVELS
+    the engine call site uses. Exactness: min/max are exact picks,
+    code = floor((x - mn) * L / (mx - mn)) clamped, xhat = mn +
+    code * (mx - mn) / L — each one fixed IEEE-754 double expression
+    tree (identical operator order to the Spark side), and the error
+    is floored to micro-unit bigints per (vec, dim) before the
+    order-free sums."""
+    lv = f"{float(levels)!r}"
+    return f"""WITH exd AS (
+  SELECT vec_id, d - 1 AS dim, CAST(e AS DOUBLE) AS xd
+  FROM (SELECT vec_id, unnest(embedding) AS e,
+               generate_subscripts(embedding, 1) AS d
+        FROM embeddings)
+),
+stats AS (SELECT dim, min(xd) AS mn, max(xd) AS mx FROM exd GROUP BY 1),
+coded AS (
+  SELECT vec_id, xd, mn, mx,
+         CASE WHEN mx - mn > 0 THEN
+           least(greatest(
+             CAST(floor((xd - mn) * {lv} / (mx - mn)) AS BIGINT), 0), {levels})
+         ELSE 0 END AS code
+  FROM exd JOIN stats USING (dim)
+),
+errs AS (
+  SELECT vec_id, code,
+         CAST(floor(abs(xd - (mn + CAST(code AS DOUBLE) * (mx - mn) / {lv}))
+                    * 1000000) AS BIGINT) AS err_q
+  FROM coded
+)
+SELECT vec_id,
+       CAST(sum(code) AS BIGINT) AS sum_code,
+       CAST(sum(err_q) AS BIGINT) AS sum_err_q,
+       CAST(max(err_q) AS BIGINT) AS max_err_q
+FROM errs
+GROUP BY 1
 """
 
 
@@ -7132,6 +7188,7 @@ QUALIFY row_number() OVER (
         """,
         "kmeans_clusters": _kmeans_oracle_sql(KMEANS_K, KMEANS_ITERS),
         "semdedup": _semdedup_oracle_sql(KMEANS_K, KMEANS_ITERS, SEMDEDUP_TAU),
+        "embedding_quantize": _quantize_oracle_sql(QUANT_LEVELS),
         # sketch-contract oracles: the approximate values are sketch-
         # dependent by design, so the oracle pins the exact invariants
         # (n / exact distinct count) and asserts the engine-computed

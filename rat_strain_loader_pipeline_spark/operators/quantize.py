@@ -1,0 +1,80 @@
+"""Embedding compression for ANN at corpus scale.
+
+Scalar int8 quantization (this module) and product quantization
+(``clustering.kmeans_micros`` per subspace, composed in
+``__spark_entry__.q_pq_codes``) are the two standard ways an ANN index
+fits a 100 TB embedding corpus in memory: 4x (float32 -> uint8 codes)
+and ~64x (M codebook bytes per vector) respectively. The engine keeps
+both stages exact-by-construction so a SQL oracle can replay them:
+
+- per-dimension min/max are exact picks (no float accumulation);
+- the code is one fixed IEEE-754 double expression tree
+  ``floor((x - mn) * LEVELS / (mx - mn))`` clamped to [0, LEVELS] —
+  identical in any engine;
+- the reconstruction error is re-quantized to integer micro-units
+  per (vector, dimension) BEFORE summing, so every aggregate is an
+  order-free bigint sum.
+
+100 TB shape: one staged explode of the corpus to (vec, dim, x); the
+per-dimension stats table is dims-sized (64 rows here — broadcast at
+any corpus scale), so codes are a map-side projection after one
+broadcast join; the final per-vector report is one partial-agg
+reduction. Nothing corpus-sized is collected or broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+ERR_MICROS = 1_000_000
+
+
+def quantize_int8(
+    embeddings: DataFrame,
+    levels: int = 255,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-dimension affine int8 quantization with an exact
+    reconstruction-error report.
+
+    Returns one row per vector: (id_col, sum_code, sum_err_q,
+    max_err_q) where codes are in [0, levels], err_q is the
+    per-dimension absolute reconstruction error in micro-units
+    (bigint), summed / maxed order-free per vector.
+    """
+    from rat_strain_loader_pipeline_spark.staging import stage_to_parquet
+
+    ex = stage_to_parquet(
+        embeddings.select(
+            F.col(id_col), F.posexplode(vec_col).alias("dim", "x")
+        ).select(id_col, "dim", F.col("x").cast("double").alias("xd")),
+        "quant-ex",
+    )
+    stats = ex.groupBy("dim").agg(
+        F.min("xd").alias("mn"), F.max("xd").alias("mx")
+    )
+    t = F.col("mx") - F.col("mn")
+    lv = F.lit(float(levels))
+    code = F.when(
+        t > 0,
+        F.least(
+            F.greatest(
+                F.floor((F.col("xd") - F.col("mn")) * lv / t), F.lit(0)
+            ),
+            F.lit(levels),
+        ),
+    ).otherwise(F.lit(0)).cast("long")
+    coded = ex.join(F.broadcast(stats), "dim").withColumn("code", code)
+    xhat = F.col("mn") + F.col("code").cast("double") * t / lv
+    err_q = F.floor(F.abs(F.col("xd") - xhat) * ERR_MICROS).cast("long")
+    return (
+        coded.withColumn("err_q", err_q)
+        .groupBy(id_col)
+        .agg(
+            F.sum("code").alias("sum_code"),
+            F.sum("err_q").alias("sum_err_q"),
+            F.max("err_q").alias("max_err_q"),
+        )
+    )
