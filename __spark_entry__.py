@@ -3830,6 +3830,20 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantize_int8(emb, levels=QUANT_LEVELS)
 
 
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (operators/quantize.py pq_codes): PQ_M
+    contiguous subspaces of EMB_DIMS/PQ_M dims, each clustered by the
+    engine-exact integer kmeans (PQ_K centroids, PQ_ITERS rounds);
+    every vector becomes its per-subspace code pair plus the total
+    squared micro-unit quantization distance. The oracle replays the
+    composition as PQ_M prefixed unrolled-kmeans CTE chains over
+    1-based list slices — value-exact end-to-end."""
+    from rat_strain_loader_pipeline_spark.operators.quantize import pq_codes
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pq_codes(emb, dims=EMB_DIMS, m=PQ_M, k=PQ_K, iters=PQ_ITERS)
+
+
 def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate percentiles with a PINNED error contract — the
     100 TB swap that robust_stats/length_quantiles name: per-type
@@ -4095,6 +4109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_clusters": q_kmeans_clusters,
         "semdedup": q_semdedup,
         "embedding_quantize": q_embedding_quantize,
+        "pq_codes": q_pq_codes,
     }
 
 
@@ -4563,6 +4578,12 @@ KMEANS_K = 8
 KMEANS_ITERS = 3
 SEMDEDUP_TAU = 0.5   # within-cluster cosine prune threshold (q_semdedup)
 QUANT_LEVELS = 255   # int8 scalar-quantization code range (q_embedding_quantize)
+# Product quantization (q_pq_codes): EMB_DIMS must match the corpus
+# vector width; PQ_M subspaces of EMB_DIMS/PQ_M dims each
+EMB_DIMS = 64
+PQ_M = 2
+PQ_K = 8
+PQ_ITERS = 2
 
 # Approximate-sketch error contracts (q_approx_quantiles /
 # q_approx_distinct): the engine emits envelope booleans; the oracles
@@ -4689,55 +4710,63 @@ def _span_removal_oracle_sql(
         """
 
 
-def _kmeans_ctes_sql(k: int, iters: int) -> str:
+def _kmeans_ctes_sql(
+    k: int, iters: int, prefix: str = "", vec_sql: str = "embedding"
+) -> str:
     """Unrolled Lloyd's rounds as a CTE chain (the pagerank pattern),
     generated from the SAME (k, iters) the engine call sites use.
     Round r: distances from c{r-1}, argmin assignment a{r}, centroid
     update c{r} (floor of exact double quotient; empty clusters keep
     the old centroid via the LEFT JOIN coalesce). Ends at a{iters}
     (vec_id, j, dist); also exposes ``ex`` (vec_id, dim, xq micro-unit
-    ints) for downstream CTEs (the semdedup oracle)."""
+    ints) for downstream CTEs (the semdedup oracle). ``prefix`` names
+    the chain (so several can coexist in one statement — the PQ
+    oracle runs one per subspace) and ``vec_sql`` is the vector
+    expression to cluster on (e.g. a 1-based inclusive list slice
+    ``embedding[1:32]`` — the oracle twin of ``F.slice``)."""
+    p = prefix
     ctes = [
-        f"""ex AS (
+        f"""{p}ex AS (
   SELECT vec_id, d - 1 AS dim,
          CAST(floor(CAST(e AS DOUBLE) * 1000000) AS BIGINT) AS xq
-  FROM (SELECT vec_id, unnest(embedding) AS e,
-               generate_subscripts(embedding, 1) AS d
+  FROM (SELECT vec_id, unnest({vec_sql}) AS e,
+               generate_subscripts({vec_sql}, 1) AS d
         FROM embeddings)
 )""",
-        f"""seeds AS (
+        f"""{p}seeds AS (
   SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS j
   FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})
 )""",
-        """c0 AS (
-  SELECT seeds.j, ex.dim, ex.xq AS c FROM ex JOIN seeds USING (vec_id)
+        f"""{p}c0 AS (
+  SELECT {p}seeds.j, {p}ex.dim, {p}ex.xq AS c
+  FROM {p}ex JOIN {p}seeds USING (vec_id)
 )""",
     ]
     for r in range(1, iters + 1):
-        prev = f"c{r - 1}"
+        prev = f"{p}c{r - 1}"
         ctes.append(
-            f"""d{r} AS (
-  SELECT ex.vec_id, {prev}.j,
-         sum((ex.xq - {prev}.c) * (ex.xq - {prev}.c)) AS dist
-  FROM ex JOIN {prev} ON ex.dim = {prev}.dim
+            f"""{p}d{r} AS (
+  SELECT {p}ex.vec_id, {prev}.j,
+         sum(({p}ex.xq - {prev}.c) * ({p}ex.xq - {prev}.c)) AS dist
+  FROM {p}ex JOIN {prev} ON {p}ex.dim = {prev}.dim
   GROUP BY 1, 2
 )"""
         )
         ctes.append(
-            f"""a{r} AS (
-  SELECT vec_id, j, dist FROM d{r}
+            f"""{p}a{r} AS (
+  SELECT vec_id, j, dist FROM {p}d{r}
   QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, j) = 1
 )"""
         )
         if r < iters:
             ctes.append(
-                f"""c{r} AS (
+                f"""{p}c{r} AS (
   SELECT {prev}.j, {prev}.dim, COALESCE(u.cn, {prev}.c) AS c
   FROM {prev} LEFT JOIN (
-    SELECT a{r}.j, ex.dim,
-           CAST(floor(CAST(sum(ex.xq) AS DOUBLE)
+    SELECT {p}a{r}.j, {p}ex.dim,
+           CAST(floor(CAST(sum({p}ex.xq) AS DOUBLE)
                       / CAST(count(*) AS DOUBLE)) AS BIGINT) AS cn
-    FROM ex JOIN a{r} USING (vec_id) GROUP BY 1, 2
+    FROM {p}ex JOIN {p}a{r} USING (vec_id) GROUP BY 1, 2
   ) u ON {prev}.j = u.j AND {prev}.dim = u.dim
 )"""
             )
@@ -4785,6 +4814,34 @@ SELECT CAST(a.vec_id AS BIGINT) AS vec_id,
        CAST(a.j AS BIGINT) AS cluster_id,
        l.id_b IS NULL AS kept
 FROM a{iters} a LEFT JOIN losers l ON a.vec_id = l.id_b
+"""
+
+
+def _pq_oracle_sql(dims: int, m: int, k: int, iters: int) -> str:
+    """PQ oracle generated from the SAME (EMB_DIMS, PQ_M, PQ_K,
+    PQ_ITERS) the engine call site uses: one prefixed unrolled-kmeans
+    CTE chain per subspace over the 1-based inclusive list slice
+    (DuckDB ``embedding[lo:hi]`` == Spark ``F.slice``), joined on
+    vec_id; dist_q is the bigint sum of per-subspace distances."""
+    d = dims // m
+    chains = ",\n".join(
+        _kmeans_ctes_sql(
+            k, iters, prefix=f"s{s}_", vec_sql=f"embedding[{s * d + 1}:{(s + 1) * d}]"
+        )
+        for s in range(m)
+    )
+    codes = ",\n       ".join(
+        f"CAST(s{s}_a{iters}.j AS BIGINT) AS code_s{s}" for s in range(m)
+    )
+    dist = " + ".join(f"s{s}_a{iters}.dist" for s in range(m))
+    froms = f"s0_a{iters}" + "".join(
+        f" JOIN s{s}_a{iters} USING (vec_id)" for s in range(1, m)
+    )
+    return f"""WITH {chains}
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       {codes},
+       CAST({dist} AS BIGINT) AS dist_q
+FROM {froms}
 """
 
 
@@ -7189,6 +7246,7 @@ QUALIFY row_number() OVER (
         "kmeans_clusters": _kmeans_oracle_sql(KMEANS_K, KMEANS_ITERS),
         "semdedup": _semdedup_oracle_sql(KMEANS_K, KMEANS_ITERS, SEMDEDUP_TAU),
         "embedding_quantize": _quantize_oracle_sql(QUANT_LEVELS),
+        "pq_codes": _pq_oracle_sql(EMB_DIMS, PQ_M, PQ_K, PQ_ITERS),
         # sketch-contract oracles: the approximate values are sketch-
         # dependent by design, so the oracle pins the exact invariants
         # (n / exact distinct count) and asserts the engine-computed

@@ -78,3 +78,54 @@ def quantize_int8(
             F.max("err_q").alias("max_err_q"),
         )
     )
+
+
+def pq_codes(
+    embeddings: DataFrame,
+    dims: int,
+    m: int = 2,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product quantization (Jegou et al.): split each vector into
+    ``m`` contiguous subspaces of ``dims // m`` dimensions, cluster
+    each subspace independently with ``clustering.kmeans_micros``, and
+    encode every vector as its per-subspace centroid ids — the ~64x
+    compression an IVF-PQ index stores per vector at corpus scale.
+
+    Returns one row per vector: (id_col, code_s0..code_s{m-1},
+    dist_q) where dist_q is the total squared micro-unit quantization
+    distance (the ADC self-distance) — a bigint sum of the
+    per-subspace kmeans distances, so the whole composition inherits
+    kmeans_micros' engine-exactness and the oracle replays it as m
+    prefixed unrolled CTE chains over list slices.
+
+    100 TB shape: m independent kmeans runs, each with the flat
+    per-round cost documented in operators/clustering.py (K x subdim
+    centroid tables — broadcast anywhere), joined back on the id — no
+    stage ever sees more than the exploded corpus once per subspace.
+    """
+    from rat_strain_loader_pipeline_spark.operators.clustering import kmeans_micros
+
+    d, rem = divmod(dims, m)
+    if rem:
+        raise ValueError(f"dims={dims} not divisible by m={m}")
+    out = None
+    for s in range(m):
+        sub = embeddings.select(
+            F.col(id_col), F.slice(F.col(vec_col), s * d + 1, d).alias(vec_col)
+        )
+        a = kmeans_micros(sub, k=k, iters=iters, id_col=id_col, vec_col=vec_col).select(
+            id_col,
+            F.col("cluster_id").alias(f"code_s{s}"),
+            F.col("dist_sq").alias(f"_dist_s{s}"),
+        )
+        out = a if out is None else out.join(a, id_col)
+    total = F.col("_dist_s0")
+    for s in range(1, m):
+        total = total + F.col(f"_dist_s{s}")
+    return out.select(
+        id_col, *[f"code_s{s}" for s in range(m)], total.alias("dist_q")
+    )

@@ -29,6 +29,31 @@ def test_quantize_codes_and_errors(spark):
     assert out[2]["sum_err_q"] >= out[2]["max_err_q"]
 
 
+def test_pq_codes_compose_subspace_kmeans(spark, sf_dir):
+    from rat_strain_loader_pipeline_spark.operators.clustering import kmeans_micros
+    from rat_strain_loader_pipeline_spark.operators.quantize import pq_codes
+    from rat_strain_loader_pipeline_spark.sources.tables import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    out = {r["vec_id"]: r for r in pq_codes(emb, dims=64, m=2, k=4, iters=2).collect()}
+    assert len(out) == emb.count()
+    assert all(0 <= r["code_s0"] < 4 and 0 <= r["code_s1"] < 4 for r in out.values())
+    # dist_q is exactly the sum of the two independent subspace runs
+    lo = kmeans_micros(
+        emb.select("vec_id", F.slice("embedding", 1, 32).alias("embedding")),
+        k=4,
+        iters=2,
+    )
+    hi = kmeans_micros(
+        emb.select("vec_id", F.slice("embedding", 33, 32).alias("embedding")),
+        k=4,
+        iters=2,
+    )
+    lo_d = {r["vec_id"]: r["dist_sq"] for r in lo.collect()}
+    hi_d = {r["vec_id"]: r["dist_sq"] for r in hi.collect()}
+    assert all(out[v]["dist_q"] == lo_d[v] + hi_d[v] for v in out)
+
+
 def test_quantize_partition_invariant(spark, sf_dir):
     from rat_strain_loader_pipeline_spark.operators.quantize import quantize_int8
     from rat_strain_loader_pipeline_spark.sources.tables import read_table
