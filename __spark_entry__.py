@@ -3782,6 +3782,38 @@ def q_training_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "shuffle_rank")
 
 
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard manifest (operators/sampling.py shard_by_bytes):
+    greedy contiguous byte-budget sharding of the shuffled corpus —
+    the step that materializes ~SHARD_CHARS-char shard files after
+    deterministic_shuffle. The global prefix sum over training order
+    uses the two-level block pattern (parallel per-block running sums
+    + a tiny block-offset cumsum), NO global sort; value-exact against
+    the oracle's naive window cumsum by construction. Emits one row
+    per shard: doc count, char total, rank range."""
+    from rat_strain_loader_pipeline_spark.operators.sampling import (
+        deterministic_shuffle,
+        shard_by_bytes,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    ranked = deterministic_shuffle(
+        docs,
+        salt=SHUFFLE_SALT,
+        n_buckets=SHUFFLE_BUCKETS,
+        hash_res=SHUFFLE_HASH_RES,
+    )
+    sharded = shard_by_bytes(
+        ranked, "n_chars", SHARD_CHARS, block=SHARD_RANK_BLOCK
+    )
+    return sharded.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("shard_chars"),
+        F.min("shuffle_rank").alias("first_rank"),
+        F.max("shuffle_rank").alias("last_rank"),
+    )
+
+
 def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed k-means over the embedding corpus
     (operators/clustering.py kmeans_micros) — the SemDeDup cluster
@@ -4110,6 +4142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": q_semdedup,
         "embedding_quantize": q_embedding_quantize,
         "pq_codes": q_pq_codes,
+        "shard_manifest": q_shard_manifest,
     }
 
 
@@ -4572,6 +4605,10 @@ SPAN_MIN_RUN = 16   # length floor (q_dedup_spans_minrun): runs shorter
 SHUFFLE_SALT = "v1"
 SHUFFLE_BUCKETS = 256
 SHUFFLE_HASH_RES = 1_000_000_007   # within-bucket order hash modulus
+
+# Byte-budget training shards over the shuffled order (q_shard_manifest)
+SHARD_CHARS = 10_000        # greedy per-shard char budget
+SHARD_RANK_BLOCK = 4096     # prefix-sum block size (two-level cumsum)
 
 # Distributed k-means (q_kmeans_clusters): SemDeDup cluster stage
 KMEANS_K = 8
@@ -7242,6 +7279,32 @@ QUALIFY row_number() OVER (
                        || CAST(doc_id AS VARCHAR)) % {SHUFFLE_HASH_RES},
                      doc_id) AS BIGINT) AS shuffle_rank
             FROM documents
+        """,
+        "shard_manifest": f"""
+            WITH ranked AS (
+              SELECT doc_id, n_chars,
+                     CAST(row_number() OVER (ORDER BY
+                       md5_number_lower('shuffle:{SHUFFLE_SALT}:'
+                         || CAST(doc_id AS VARCHAR)) % {SHUFFLE_BUCKETS},
+                       md5_number_lower('order:{SHUFFLE_SALT}:'
+                         || CAST(doc_id AS VARCHAR)) % {SHUFFLE_HASH_RES},
+                       doc_id) AS BIGINT) AS rk
+              FROM documents
+            ),
+            cum AS (
+              SELECT rk, n_chars,
+                     COALESCE(sum(n_chars) OVER (ORDER BY rk
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS cb
+              FROM ranked
+            )
+            SELECT CAST(cb // {SHARD_CHARS} AS BIGINT) AS shard_id,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS shard_chars,
+                   CAST(min(rk) AS BIGINT) AS first_rank,
+                   CAST(max(rk) AS BIGINT) AS last_rank
+            FROM cum
+            GROUP BY 1
         """,
         "kmeans_clusters": _kmeans_oracle_sql(KMEANS_K, KMEANS_ITERS),
         "semdedup": _semdedup_oracle_sql(KMEANS_K, KMEANS_ITERS, SEMDEDUP_TAU),

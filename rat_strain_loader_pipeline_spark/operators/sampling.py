@@ -333,3 +333,52 @@ def deterministic_shuffle(
         .withColumn(rank_col, (F.col("__off") + F.col("__r")).cast("long"))
         .drop("__b", "__h", "__r", "__off")
     )
+
+
+def shard_by_bytes(
+    df: DataFrame,
+    bytes_col: str,
+    shard_bytes: int,
+    rank_col: str = "shuffle_rank",
+    block: int = 4096,
+) -> DataFrame:
+    """Greedy contiguous byte-budget sharding in training order — the
+    step after ``deterministic_shuffle`` that materializes the corpus
+    as ~shard_bytes-sized shard files. A doc lands in shard
+    ``cum_bytes_before // shard_bytes`` over the rank order, so shards
+    are contiguous rank ranges that fill to the budget (the last doc
+    of a shard may overflow it by one doc — standard greedy packing).
+
+    The global prefix sum is computed WITHOUT a global sort or a
+    corpus-sized single-task window — the deterministic_shuffle
+    two-level pattern again, but over rank blocks: a per-block running
+    sum (parallel window partitions of ``block`` rows), plus block
+    starting offsets from a cumsum over the tiny blocks-count table,
+    broadcast back. Integer ``div`` keeps the shard id exact in every
+    engine (operands are non-negative, so truncation == floor).
+
+    Returns ``df`` plus ``cum_before`` and ``shard_id`` (bigint).
+    """
+    tagged = df.withColumn(
+        "__blk", F.expr(f"(({rank_col}) - 1) div {int(block)}")
+    )
+    w_in = (
+        Window.partitionBy("__blk")
+        .orderBy(rank_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    blks = tagged.groupBy("__blk").agg(F.sum(bytes_col).alias("__bs"))
+    w_off = Window.orderBy("__blk").rowsBetween(Window.unboundedPreceding, -1)
+    offs = blks.select(
+        "__blk", F.coalesce(F.sum("__bs").over(w_off), F.lit(0)).alias("__boff")
+    )
+    return (
+        tagged.withColumn("__cin", F.sum(bytes_col).over(w_in))
+        .join(F.broadcast(offs), "__blk")
+        .withColumn(
+            "cum_before",
+            (F.col("__boff") + F.col("__cin") - F.col(bytes_col)).cast("long"),
+        )
+        .withColumn("shard_id", F.expr(f"cum_before div {int(shard_bytes)}"))
+        .drop("__blk", "__cin", "__boff")
+    )

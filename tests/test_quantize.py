@@ -66,3 +66,50 @@ def test_quantize_partition_invariant(spark, sf_dir):
     )
     assert a == b
     assert len(a) == emb.count()
+
+
+def test_shard_by_bytes_contiguous_and_budgeted(spark, sf_dir):
+    from rat_strain_loader_pipeline_spark.operators.sampling import (
+        deterministic_shuffle,
+        shard_by_bytes,
+    )
+    from rat_strain_loader_pipeline_spark.sources.tables import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    ranked = deterministic_shuffle(docs)
+    budget = 10_000
+    out = shard_by_bytes(ranked, "n_chars", budget, block=64)
+    man = (
+        out.groupBy("shard_id")
+        .agg(
+            F.sum("n_chars").alias("chars"),
+            F.max("n_chars").alias("biggest"),
+            F.min("shuffle_rank").alias("lo"),
+            F.max("shuffle_rank").alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("shard_id")
+        .collect()
+    )
+    # shards are contiguous rank ranges covering 1..N without gaps
+    assert man[0]["lo"] == 1
+    for prev, cur in zip(man, man[1:]):
+        assert cur["lo"] == prev["hi"] + 1
+        assert prev["hi"] - prev["lo"] + 1 == prev["n"]
+    assert man[-1]["hi"] == docs.count()
+    # greedy budget: every non-last shard's char total is within one
+    # doc of the budget on both sides (a doc straddling the boundary
+    # charges the overflow to the earlier shard)
+    gmax = max(r["biggest"] for r in man)
+    for r in man[:-1]:
+        assert budget - gmax < r["chars"] < budget + gmax
+    # same result regardless of input partitioning
+    b = shard_by_bytes(
+        deterministic_shuffle(docs.repartition(17, F.col("doc_id") % 5)),
+        "n_chars",
+        budget,
+        block=64,
+    )
+    assert sorted(map(tuple, out.select("doc_id", "shard_id").collect())) == sorted(
+        map(tuple, b.select("doc_id", "shard_id").collect())
+    )
