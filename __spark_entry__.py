@@ -3782,6 +3782,23 @@ def q_training_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "shuffle_rank")
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (operators/similarity.py hard_negatives):
+    for each anchor (vec_id < HARDNEG_ANCHORS — the bounded
+    training-batch side, broadcast), the HARDNEG_K most-similar
+    corpus vectors with a DIFFERENT label, scored by the engine-exact
+    integer-micros cosine (bigint dots/norms; floor(dot/(sqrt*sqrt)
+    *1e6) as one fixed IEEE tree — sqrt is correctly rounded per
+    IEEE 754), ties on ascending corpus id. Value-exact against the
+    oracle's identical expression tree."""
+    from rat_strain_loader_pipeline_spark.operators.similarity import hard_negatives
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return hard_negatives(
+        emb.filter(F.col("vec_id") < HARDNEG_ANCHORS), emb, neg_k=HARDNEG_K
+    )
+
+
 def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-shard manifest (operators/sampling.py shard_by_bytes):
     greedy contiguous byte-budget sharding of the shuffled corpus —
@@ -4143,6 +4160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantize": q_embedding_quantize,
         "pq_codes": q_pq_codes,
         "shard_manifest": q_shard_manifest,
+        "hard_negatives": q_hard_negatives,
     }
 
 
@@ -4609,6 +4627,10 @@ SHUFFLE_HASH_RES = 1_000_000_007   # within-bucket order hash modulus
 # Byte-budget training shards over the shuffled order (q_shard_manifest)
 SHARD_CHARS = 10_000        # greedy per-shard char budget
 SHARD_RANK_BLOCK = 4096     # prefix-sum block size (two-level cumsum)
+
+# Hard-negative mining (q_hard_negatives)
+HARDNEG_ANCHORS = 50   # anchor batch = vec_id < this (the broadcast side)
+HARDNEG_K = 3          # negatives kept per anchor
 
 # Distributed k-means (q_kmeans_clusters): SemDeDup cluster stage
 KMEANS_K = 8
@@ -7279,6 +7301,47 @@ QUALIFY row_number() OVER (
                        || CAST(doc_id AS VARCHAR)) % {SHUFFLE_HASH_RES},
                      doc_id) AS BIGINT) AS shuffle_rank
             FROM documents
+        """,
+        "hard_negatives": f"""
+            WITH aex AS (
+              SELECT vec_id AS a_id, label AS a_label, d - 1 AS dim,
+                     CAST(floor(CAST(e AS DOUBLE) * 1000000) AS BIGINT) AS xq
+              FROM (SELECT vec_id, label, unnest(embedding) AS e,
+                           generate_subscripts(embedding, 1) AS d
+                    FROM embeddings WHERE vec_id < {HARDNEG_ANCHORS})
+            ),
+            cex AS (
+              SELECT vec_id AS c_id, label AS c_label, d - 1 AS dim,
+                     CAST(floor(CAST(e AS DOUBLE) * 1000000) AS BIGINT) AS xq
+              FROM (SELECT vec_id, label, unnest(embedding) AS e,
+                           generate_subscripts(embedding, 1) AS d
+                    FROM embeddings)
+            ),
+            an2 AS (SELECT a_id, sum(xq * xq) AS a_n2 FROM aex GROUP BY 1),
+            cn2 AS (SELECT c_id, sum(xq * xq) AS c_n2 FROM cex GROUP BY 1),
+            dots AS (
+              SELECT a_id, c_id, sum(aex.xq * cex.xq) AS dot
+              FROM aex JOIN cex
+                ON aex.dim = cex.dim AND aex.a_label <> cex.c_label
+              GROUP BY 1, 2
+            ),
+            scored AS (
+              SELECT a_id, c_id,
+                     CAST(floor(CAST(dot AS DOUBLE)
+                          / (sqrt(CAST(a_n2 AS DOUBLE))
+                             * sqrt(CAST(c_n2 AS DOUBLE)))
+                          * 1000000) AS BIGINT) AS cos_micros
+              FROM dots JOIN an2 USING (a_id) JOIN cn2 USING (c_id)
+              WHERE a_n2 > 0 AND c_n2 > 0
+            )
+            SELECT CAST(a_id AS BIGINT) AS a_id,
+                   CAST(c_id AS BIGINT) AS c_id,
+                   CAST(rank AS BIGINT) AS rank,
+                   cos_micros
+            FROM (SELECT *, row_number() OVER (
+                    PARTITION BY a_id ORDER BY cos_micros DESC, c_id) AS rank
+                  FROM scored)
+            WHERE rank <= {HARDNEG_K}
         """,
         "shard_manifest": f"""
             WITH ranked AS (

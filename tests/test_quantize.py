@@ -1,4 +1,5 @@
-"""quantize_int8: affine int8 codes + exact micro-unit error report."""
+"""Round-6 curation operators: int8/PQ quantization, byte-budget
+shards, hard-negative mining."""
 
 from __future__ import annotations
 
@@ -113,3 +114,25 @@ def test_shard_by_bytes_contiguous_and_budgeted(spark, sf_dir):
     assert sorted(map(tuple, out.select("doc_id", "shard_id").collect())) == sorted(
         map(tuple, b.select("doc_id", "shard_id").collect())
     )
+
+
+def test_hard_negatives_excludes_same_label(spark):
+    from rat_strain_loader_pipeline_spark.operators.similarity import hard_negatives
+
+    rows = [
+        (0, [1.0, 0.0], 1),   # anchor
+        (1, [0.99, 0.14], 1),  # same label, nearest — must be excluded
+        (2, [0.9, 0.43], 2),   # different label, the true hard negative
+        (3, [0.0, 1.0], 2),    # different label, far
+        (4, [-1.0, 0.0], 3),   # different label, opposite
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = hard_negatives(df.filter("vec_id = 0"), df, neg_k=2).collect()
+    assert [(r["c_id"], r["rank"]) for r in sorted(out, key=lambda r: r["rank"])] == [
+        (2, 1),
+        (3, 2),
+    ]
+    # negative cosine is representable (floor toward -inf on both sides)
+    neg = hard_negatives(df.filter("vec_id = 0"), df, neg_k=3).collect()
+    worst = max(neg, key=lambda r: r["rank"])
+    assert worst["c_id"] == 4 and worst["cos_micros"] <= -999999
