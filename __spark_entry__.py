@@ -3782,6 +3782,29 @@ def q_training_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "shuffle_rank")
 
 
+def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC search over the PQ index (operators/quantize.py
+    pq_adc_topk): each query (vec_id < PQADC_QUERIES) precomputes a
+    PQ_K-entry squared-distance LUT per subspace against the fitted
+    centroids; a corpus vector's approximate distance is the bigint
+    sum of its codes' LUT entries; top-PQADC_TOPK per query, ties on
+    ascending corpus id. All-integer micro-unit arithmetic end-to-end,
+    so the oracle replays it exactly on the same unrolled-kmeans CTE
+    chains pq_codes uses."""
+    from rat_strain_loader_pipeline_spark.operators.quantize import pq_adc_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pq_adc_topk(
+        emb.filter(F.col("vec_id") < PQADC_QUERIES),
+        emb,
+        dims=EMB_DIMS,
+        m=PQ_M,
+        k=PQ_K,
+        iters=PQ_ITERS,
+        topk=PQADC_TOPK,
+    )
+
+
 def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining (operators/similarity.py hard_negatives):
     for each anchor (vec_id < HARDNEG_ANCHORS — the bounded
@@ -4161,6 +4184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_codes": q_pq_codes,
         "shard_manifest": q_shard_manifest,
         "hard_negatives": q_hard_negatives,
+        "pq_adc_topk": q_pq_adc_topk,
     }
 
 
@@ -4643,6 +4667,8 @@ EMB_DIMS = 64
 PQ_M = 2
 PQ_K = 8
 PQ_ITERS = 2
+PQADC_QUERIES = 10   # ADC query batch = vec_id < this (q_pq_adc_topk)
+PQADC_TOPK = 5       # neighbors kept per ADC query
 
 # Approximate-sketch error contracts (q_approx_quantiles /
 # q_approx_distinct): the engine emits envelope booleans; the oracles
@@ -4901,6 +4927,56 @@ SELECT CAST(vec_id AS BIGINT) AS vec_id,
        {codes},
        CAST({dist} AS BIGINT) AS dist_q
 FROM {froms}
+"""
+
+
+def _pq_adc_oracle_sql(
+    dims: int, m: int, k: int, iters: int, n_queries: int, topk: int
+) -> str:
+    """ADC-search oracle on the same per-subspace unrolled-kmeans CTE
+    chains as the pq_codes oracle: per subspace, a query LUT CTE
+    (squared micro-unit distance to each final centroid c{iters-1}),
+    then approximate distance = sum of the code-indexed LUT entries,
+    top-k per query with ascending-id ties. All-integer, value-exact."""
+    d = dims // m
+    chains = ",\n".join(
+        _kmeans_ctes_sql(
+            k, iters, prefix=f"s{s}_", vec_sql=f"embedding[{s * d + 1}:{(s + 1) * d}]"
+        )
+        for s in range(m)
+    )
+    luts = ",\n".join(
+        f"""lut{s} AS (
+  SELECT qx.vec_id AS q_id, c.j,
+         sum((qx.xq - c.c) * (qx.xq - c.c)) AS d
+  FROM s{s}_ex qx JOIN s{s}_c{iters - 1} c ON qx.dim = c.dim
+  WHERE qx.vec_id < {n_queries}
+  GROUP BY 1, 2
+)"""
+        for s in range(m)
+    )
+    code_joins = f"s0_a{iters} a0" + "".join(
+        f" JOIN s{s}_a{iters} a{s} USING (vec_id)" for s in range(1, m)
+    )
+    lut_joins = " JOIN lut0 l0 ON l0.j = a0.j" + "".join(
+        f" JOIN lut{s} l{s} ON l{s}.j = a{s}.j AND l{s}.q_id = l0.q_id"
+        for s in range(1, m)
+    )
+    adist = " + ".join(f"l{s}.d" for s in range(m))
+    return f"""WITH {chains},
+{luts},
+sel AS (
+  SELECT l0.q_id, a0.vec_id AS c_id, {adist} AS adist_q
+  FROM {code_joins}{lut_joins}
+)
+SELECT CAST(q_id AS BIGINT) AS q_id,
+       CAST(c_id AS BIGINT) AS c_id,
+       CAST(rank AS BIGINT) AS rank,
+       CAST(adist_q AS BIGINT) AS adist_q
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY q_id ORDER BY adist_q, c_id) AS rank
+      FROM sel)
+WHERE rank <= {topk}
 """
 
 
@@ -7373,6 +7449,9 @@ QUALIFY row_number() OVER (
         "semdedup": _semdedup_oracle_sql(KMEANS_K, KMEANS_ITERS, SEMDEDUP_TAU),
         "embedding_quantize": _quantize_oracle_sql(QUANT_LEVELS),
         "pq_codes": _pq_oracle_sql(EMB_DIMS, PQ_M, PQ_K, PQ_ITERS),
+        "pq_adc_topk": _pq_adc_oracle_sql(
+            EMB_DIMS, PQ_M, PQ_K, PQ_ITERS, PQADC_QUERIES, PQADC_TOPK
+        ),
         # sketch-contract oracles: the approximate values are sketch-
         # dependent by design, so the oracle pins the exact invariants
         # (n / exact distinct count) and asserts the engine-computed

@@ -43,16 +43,18 @@ from pyspark.sql.window import Window
 MICROS = 1_000_000
 
 
-def kmeans_micros(
+def kmeans_fit(
     embeddings: DataFrame,
     k: int = 8,
     iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> DataFrame:
-    """Lloyd's k-means in integer micro-units; returns one row per
-    vector: (id_col, cluster_id, dist_sq) from the final assignment
-    round. See module docstring for the exactness contract."""
+) -> tuple[DataFrame, DataFrame]:
+    """Lloyd's k-means in integer micro-units; returns
+    ``(assignments, centroids)`` — assignments as (id_col, j, dist)
+    from the final round, centroids as the (j, dim, c) table those
+    distances were measured against (the model an ADC/IVF consumer
+    probes). See module docstring for the exactness contract."""
     from rat_strain_loader_pipeline_spark.staging import stage_to_parquet
 
     ex = stage_to_parquet(
@@ -110,6 +112,20 @@ def kmeans_micros(
             ),
             f"kmeans-cent-{r}",
         )
+    return assign, cent
+
+
+def kmeans_micros(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means in integer micro-units; returns one row per
+    vector: (id_col, cluster_id, dist_sq) from the final assignment
+    round. See module docstring for the exactness contract."""
+    assign, _ = kmeans_fit(embeddings, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
     return assign.select(
         F.col(id_col),
         F.col("j").cast("long").alias("cluster_id"),

@@ -136,3 +136,32 @@ def test_hard_negatives_excludes_same_label(spark):
     neg = hard_negatives(df.filter("vec_id = 0"), df, neg_k=3).collect()
     worst = max(neg, key=lambda r: r["rank"])
     assert worst["c_id"] == 4 and worst["cos_micros"] <= -999999
+
+
+def test_pq_adc_self_distance_matches_pq_codes(spark, sf_dir):
+    from rat_strain_loader_pipeline_spark.operators.quantize import (
+        pq_adc_topk,
+        pq_codes,
+    )
+    from rat_strain_loader_pipeline_spark.sources.tables import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    q = emb.filter(F.col("vec_id") < 5)
+    # topk = full corpus so every (query, corpus) pair is present
+    adc = pq_adc_topk(q, emb, dims=64, m=2, k=4, iters=2, topk=n)
+    self_d = {
+        r["q_id"]: r["adist_q"]
+        for r in adc.filter(F.col("q_id") == F.col("c_id")).collect()
+    }
+    truth = {
+        r["vec_id"]: r["dist_q"]
+        for r in pq_codes(emb, dims=64, m=2, k=4, iters=2)
+        .filter(F.col("vec_id") < 5)
+        .collect()
+    }
+    # ADC distance of a vector to itself IS its PQ quantization distance
+    assert self_d == truth
+    # ranks are a permutation 1..n per query
+    ranks = [r["rank"] for r in adc.filter(F.col("q_id") == 0).collect()]
+    assert sorted(ranks) == list(range(1, n + 1))
