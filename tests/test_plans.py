@@ -397,3 +397,38 @@ def test_semdedup_within_cluster_pairs_stay_hash_joined(spark, sf_dir, queries):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
     assert "semdedup-ex" in plan  # staged parquet path visible in the scan
+
+
+def test_hard_negatives_anchor_side_broadcasts(spark, sf_dir, queries):
+    """The anchor batch (and its norms) must broadcast into the corpus
+    explode — never a cartesian/nested-loop pairing, and never a
+    corpus-by-corpus join."""
+    plan = _plan(queries["hard_negatives"](spark, sf_dir))
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
+def test_shard_manifest_no_corpus_sized_single_partition_window(spark, sf_dir, queries):
+    """The global prefix sum must be the two-level block construction:
+    the only unpartitioned windows run over the tiny bucket/block count
+    tables (bounded by SHUFFLE_BUCKETS / corpus-len / SHARD_RANK_BLOCK
+    rows), never over the full corpus. The fact-side windows must be
+    hash-partitioned (__b / __blk present in a Window partition spec)."""
+    import re
+
+    plan = _plan(queries["shard_manifest"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # both fact-side windows keep their partition keys
+    assert re.search(r"Window.*__b", plan, re.S)
+    assert re.search(r"Window.*__blk", plan, re.S)
+
+
+def test_pq_adc_lut_broadcasts_against_codes(spark, sf_dir, queries):
+    """ADC probes must join the (query x K)-sized LUT as a broadcast
+    against the corpus code table — the corpus is touched only through
+    its codes, with no cartesian pairing."""
+    plan = _plan(queries["pq_adc_topk"](spark, sf_dir))
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
