@@ -3805,6 +3805,36 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ search (operators/quantize.py ivf_pq_topk): the coarse
+    kmeans (KMEANS_K lists, IVFPQ_COARSE_ITERS rounds) routes each query
+    (vec_id < PQADC_QUERIES) to its IVFPQ_NPROBE nearest lists; ADC
+    over the PQ_M/PQ_K codebooks runs only inside those lists —
+    billion-scale ANN's actual serving architecture, with the ADC cost
+    cut to ~nprobe/K of exhaustive pq_adc_topk. Raw-vector encoding
+    (no residuals) keeps everything bigint micro-units, so the oracle
+    replays index build + routing + search exactly: one coarse
+    unrolled-kmeans CTE chain plus the pq_adc per-subspace chains,
+    restricted by the probe set. Rank is within probed lists; recall
+    lost to unprobed lists vs pq_adc_topk is the published IVF
+    trade-off."""
+    from rat_strain_loader_pipeline_spark.operators.quantize import ivf_pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_pq_topk(
+        emb.filter(F.col("vec_id") < PQADC_QUERIES),
+        emb,
+        dims=EMB_DIMS,
+        coarse_k=KMEANS_K,
+        coarse_iters=IVFPQ_COARSE_ITERS,
+        m=PQ_M,
+        k=PQ_K,
+        iters=PQ_ITERS,
+        nprobe=IVFPQ_NPROBE,
+        topk=PQADC_TOPK,
+    )
+
+
 def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining (operators/similarity.py hard_negatives):
     for each anchor (vec_id < HARDNEG_ANCHORS — the bounded
@@ -4185,6 +4215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_manifest": q_shard_manifest,
         "hard_negatives": q_hard_negatives,
         "pq_adc_topk": q_pq_adc_topk,
+        "ivf_pq_topk": q_ivf_pq_topk,
     }
 
 
@@ -4669,6 +4700,11 @@ PQ_K = 8
 PQ_ITERS = 2
 PQADC_QUERIES = 10   # ADC query batch = vec_id < this (q_pq_adc_topk)
 PQADC_TOPK = 5       # neighbors kept per ADC query
+# IVF-PQ (q_ivf_pq_topk) shares the coarse list count (KMEANS_K), the
+# PQ codebooks (PQ_*), and the ADC batch (PQADC_*) so its results are
+# directly comparable to exhaustive pq_adc_topk
+IVFPQ_NPROBE = 3        # coarse lists probed per query (of KMEANS_K)
+IVFPQ_COARSE_ITERS = 2  # shallow coarse training (the standard IVF recipe)
 
 # Approximate-sketch error contracts (q_approx_quantiles /
 # q_approx_distinct): the engine emits envelope booleans; the oracles
@@ -4968,6 +5004,83 @@ def _pq_adc_oracle_sql(
 sel AS (
   SELECT l0.q_id, a0.vec_id AS c_id, {adist} AS adist_q
   FROM {code_joins}{lut_joins}
+)
+SELECT CAST(q_id AS BIGINT) AS q_id,
+       CAST(c_id AS BIGINT) AS c_id,
+       CAST(rank AS BIGINT) AS rank,
+       CAST(adist_q AS BIGINT) AS adist_q
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY q_id ORDER BY adist_q, c_id) AS rank
+      FROM sel)
+WHERE rank <= {topk}
+"""
+
+
+def _ivf_pq_oracle_sql(
+    dims: int,
+    coarse_k: int,
+    coarse_iters: int,
+    m: int,
+    k: int,
+    iters: int,
+    n_queries: int,
+    nprobe: int,
+    topk: int,
+) -> str:
+    """IVF-PQ oracle: one coarse unrolled-kmeans chain (``cv_``) over
+    the full vectors gives the inverted lists (cv_a{I}) and the
+    routing centroids (cv_c{I-1}); a probe CTE keeps each query's
+    nprobe nearest lists ((d, j) ties, matching the engine's
+    row_number over (d, j)); candidates are list members; then the
+    exact pq_adc per-subspace chains + LUTs score only candidates.
+    Generated from the SAME constants the engine call site passes."""
+    d = dims // m
+    coarse = _kmeans_ctes_sql(coarse_k, coarse_iters, prefix="cv_")
+    chains = ",\n".join(
+        _kmeans_ctes_sql(
+            k, iters, prefix=f"s{s}_", vec_sql=f"embedding[{s * d + 1}:{(s + 1) * d}]"
+        )
+        for s in range(m)
+    )
+    luts = ",\n".join(
+        f"""lut{s} AS (
+  SELECT qx.vec_id AS q_id, c.j,
+         sum((qx.xq - c.c) * (qx.xq - c.c)) AS d
+  FROM s{s}_ex qx JOIN s{s}_c{iters - 1} c ON qx.dim = c.dim
+  WHERE qx.vec_id < {n_queries}
+  GROUP BY 1, 2
+)"""
+        for s in range(m)
+    )
+    code_joins = "".join(
+        f" JOIN s{s}_a{iters} a{s} ON a{s}.vec_id = cand.c_id" for s in range(m)
+    )
+    lut_joins = "".join(
+        f" JOIN lut{s} l{s} ON l{s}.j = a{s}.j AND l{s}.q_id = cand.q_id"
+        for s in range(m)
+    )
+    adist = " + ".join(f"l{s}.d" for s in range(m))
+    return f"""WITH {coarse},
+{chains},
+{luts},
+cprobe AS (
+  SELECT qx.vec_id AS q_id, c.j,
+         sum((qx.xq - c.c) * (qx.xq - c.c)) AS d
+  FROM cv_ex qx JOIN cv_c{coarse_iters - 1} c ON qx.dim = c.dim
+  WHERE qx.vec_id < {n_queries}
+  GROUP BY 1, 2
+),
+probe AS (
+  SELECT q_id, j AS jc FROM cprobe
+  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY d, j) <= {nprobe}
+),
+cand AS (
+  SELECT probe.q_id, cv.vec_id AS c_id
+  FROM cv_a{coarse_iters} cv JOIN probe ON cv.j = probe.jc
+),
+sel AS (
+  SELECT cand.q_id, cand.c_id, {adist} AS adist_q
+  FROM cand{code_joins}{lut_joins}
 )
 SELECT CAST(q_id AS BIGINT) AS q_id,
        CAST(c_id AS BIGINT) AS c_id,
@@ -7451,6 +7564,17 @@ QUALIFY row_number() OVER (
         "pq_codes": _pq_oracle_sql(EMB_DIMS, PQ_M, PQ_K, PQ_ITERS),
         "pq_adc_topk": _pq_adc_oracle_sql(
             EMB_DIMS, PQ_M, PQ_K, PQ_ITERS, PQADC_QUERIES, PQADC_TOPK
+        ),
+        "ivf_pq_topk": _ivf_pq_oracle_sql(
+            EMB_DIMS,
+            KMEANS_K,
+            IVFPQ_COARSE_ITERS,
+            PQ_M,
+            PQ_K,
+            PQ_ITERS,
+            PQADC_QUERIES,
+            IVFPQ_NPROBE,
+            PQADC_TOPK,
         ),
         # sketch-contract oracles: the approximate values are sketch-
         # dependent by design, so the oracle pins the exact invariants

@@ -214,3 +214,81 @@ def semdedup_prune(
             F.col("__lost").isNull().alias("kept"),
         )
     )
+
+
+def kmeans_fit_grouped(
+    ex: DataFrame,
+    k: int,
+    iters: int,
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Lloyd's k-means over MANY independent vector spaces in ONE set
+    of jobs: ``ex`` is a pre-exploded (id_col, g, dim, xq) frame where
+    ``g`` names the space (e.g. one group per PQ subspace, plus one for
+    the coarse quantizer) and xq is the micro-unit integer component.
+    The group id rides every join/agg key, so training M codebooks
+    costs the SAME number of scans/shuffles as training one — the
+    single-pass multi-codebook build an IVF-PQ index runs at corpus
+    scale, where per-subspace serial fits would multiply the scan count
+    by M.
+
+    Per group the arithmetic is IDENTICAL to ``kmeans_fit`` (same
+    smallest-id seeding — every vector appears in every group, so the
+    global id ranking seeds each group identically; same bigint
+    distances, (dist, j) argmin, floored-double centroid updates,
+    empty-cluster keep-old), so a per-group unrolled-CTE oracle matches
+    value-exact.
+
+    Returns (assignments (id_col, g, j, dist), centroids (g, j, dim, c))
+    from the final round.
+    """
+    from rat_strain_loader_pipeline_spark.staging import stage_to_parquet
+
+    ex = stage_to_parquet(ex, "kmeansg-ex")
+    seeds = (
+        ex.select(id_col)
+        .distinct()
+        .orderBy(id_col)
+        .limit(k)
+        .withColumn("j", F.row_number().over(Window.orderBy(id_col)) - 1)
+    )
+    cent = ex.join(seeds, id_col).select("g", "j", "dim", F.col("xq").alias("c"))
+    assign = None
+    for r in range(iters):
+        dists = (
+            ex.join(cent, ["g", "dim"])
+            .groupBy(id_col, "g", "j")
+            .agg(
+                F.sum((F.col("xq") - F.col("c")) * (F.col("xq") - F.col("c"))).alias(
+                    "dist"
+                )
+            )
+        )
+        assign = stage_to_parquet(
+            dists.groupBy(id_col, "g")
+            .agg(F.min(F.struct("dist", "j")).alias("m"))
+            .select(
+                id_col, "g", F.col("m.j").alias("j"), F.col("m.dist").alias("dist")
+            ),
+            f"kmeansg-assign-{r}",
+        )
+        if r == iters - 1:
+            break
+        updated = (
+            ex.join(assign.select(id_col, "g", "j"), [id_col, "g"])
+            .groupBy("g", "j", "dim")
+            .agg(
+                F.floor(
+                    F.sum("xq").cast("double") / F.count(F.lit(1)).cast("double")
+                )
+                .cast("long")
+                .alias("cn")
+            )
+        )
+        cent = stage_to_parquet(
+            cent.join(updated, ["g", "j", "dim"], "left").select(
+                "g", "j", "dim", F.coalesce("cn", "c").alias("c")
+            ),
+            f"kmeansg-cent-{r}",
+        )
+    return assign, cent

@@ -212,3 +212,125 @@ def pq_adc_topk(
         .filter(F.col("rank") <= topk)
         .select("q_id", "c_id", F.col("rank").cast("long").alias("rank"), "adist_q")
     )
+
+
+def ivf_pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dims: int,
+    coarse_k: int = 8,
+    coarse_iters: int = 2,
+    m: int = 2,
+    k: int = 8,
+    iters: int = 2,
+    nprobe: int = 3,
+    topk: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ search (Jegou et al.): the billion-scale ANN serving
+    architecture — a coarse k-means quantizer routes each query to its
+    ``nprobe`` nearest inverted lists, and ADC over PQ codes runs ONLY
+    inside those lists.
+
+    Index build is ONE ``clustering.kmeans_fit_grouped`` run: the
+    corpus explodes once into m+1 vector spaces (group -1 = the full
+    vector for the coarse quantizer, group s = PQ subspace s), and all
+    m+1 codebooks train in the same scans/shuffles — the single-pass
+    multi-codebook build that matters at 100 TB, where m serial fits
+    would multiply the corpus scan count by m. The coarse and PQ
+    codebooks must therefore share (k, iters); this variant encodes
+    raw vectors, not residuals (FAISS ``by_residual=false``), keeping
+    every quantity bigint micro-units so the oracle replays build +
+    routing + search exactly.
+
+    Search: one (query x group x centroid) distance table serves as
+    BOTH the coarse router (group -1 rows, ranked to nprobe lists) and
+    the ADC LUTs (subspace rows) — it is (queries x (m+1) x k) rows,
+    broadcast at any scale. The corpus is touched only through its
+    coarse assignment (1 bigint/vec) and PQ codes (m bigints/vec);
+    ADC cost drops from |corpus| to ~|corpus| * nprobe / coarse_k per
+    query versus exhaustive ``pq_adc_topk`` — that ratio IS the IVF
+    speedup; recall lost to unprobed lists is the published trade-off.
+
+    Returns (q_id, c_id, rank, adist_q), rank 1-based within the
+    probed lists, ties on ascending corpus id.
+    """
+    from pyspark.sql.window import Window
+
+    from rat_strain_loader_pipeline_spark.operators.clustering import (
+        MICROS,
+        kmeans_fit_grouped,
+    )
+    from rat_strain_loader_pipeline_spark.staging import stage_to_parquet
+
+    d, rem = divmod(dims, m)
+    if rem:
+        raise ValueError(f"dims={dims} not divisible by m={m}")
+    if (coarse_k, coarse_iters) != (k, iters):
+        raise ValueError(
+            "fused grouped training requires coarse (k, iters) == PQ (k, iters); "
+            f"got {(coarse_k, coarse_iters)} != {(k, iters)}"
+        )
+
+    def grouped_explode(df: DataFrame, out_id: str) -> DataFrame:
+        base = df.select(
+            F.col(id_col).alias(out_id), F.posexplode(vec_col).alias("dim", "x")
+        ).select(
+            out_id,
+            "dim",
+            F.floor(F.col("x").cast("double") * MICROS).cast("long").alias("xq"),
+        )
+        coarse_rows = base.select(
+            out_id, F.lit(-1).alias("g"), "dim", "xq"
+        )
+        sub_rows = base.select(
+            out_id,
+            (F.col("dim") / d).cast("int").alias("g"),
+            (F.col("dim") % d).alias("dim"),
+            "xq",
+        )
+        return coarse_rows.unionByName(sub_rows)
+
+    assign, cent = kmeans_fit_grouped(
+        grouped_explode(corpus, id_col), k=k, iters=iters, id_col=id_col
+    )
+    # One (query x group x centroid) distance table: group -1 rows are
+    # the coarse routing distances, groups 0..m-1 are the ADC LUTs.
+    qdist = stage_to_parquet(
+        grouped_explode(queries, "q_id")
+        .join(cent, ["g", "dim"])
+        .groupBy("q_id", "g", "j")
+        .agg(F.sum((F.col("xq") - F.col("c")) * (F.col("xq") - F.col("c"))).alias("ds")),
+        "ivfpq-qdist",
+    )
+    wp = Window.partitionBy("q_id").orderBy("ds", "j")
+    probe = (
+        qdist.filter(F.col("g") == -1)
+        .withColumn("pr", F.row_number().over(wp))
+        .filter(F.col("pr") <= nprobe)
+        .select("q_id", F.col("j").alias("jc"))
+    )
+    cand = (
+        assign.filter(F.col("g") == -1)
+        .select(F.col(id_col).alias("c_id"), F.col("j").alias("jc"))
+        .join(F.broadcast(probe), "jc")
+        .select("q_id", "c_id")
+    )
+    adc = (
+        cand.join(
+            assign.filter(F.col("g") >= 0).select(
+                F.col(id_col).alias("c_id"), "g", "j"
+            ),
+            "c_id",
+        )
+        .join(F.broadcast(qdist.filter(F.col("g") >= 0)), ["q_id", "g", "j"])
+        .groupBy("q_id", "c_id")
+        .agg(F.sum("ds").alias("adist_q"))
+    )
+    w = Window.partitionBy("q_id").orderBy("adist_q", "c_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select("q_id", "c_id", F.col("rank").cast("long").alias("rank"), "adist_q")
+    )

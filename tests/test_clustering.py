@@ -80,3 +80,61 @@ def test_semdedup_partition_invariant(spark, sf_dir):
     )
     assert a == b
     assert len(a) == emb.count()
+
+
+def test_grouped_kmeans_matches_per_group_separate_fits(spark, sf_dir):
+    """kmeans_fit_grouped trains every group in one set of jobs but
+    must reproduce kmeans_fit bit-exactly per group: group -1 = the
+    full vector, groups 0/1 = the two halves (the ivf_pq_topk
+    layout)."""
+    from rat_strain_loader_pipeline_spark.operators.clustering import (
+        MICROS,
+        kmeans_fit,
+        kmeans_fit_grouped,
+    )
+    from rat_strain_loader_pipeline_spark.sources.tables import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    dims = len(emb.select("embedding").first()[0])
+    d = dims // 2
+
+    base = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "x")
+    ).select(
+        "vec_id",
+        "dim",
+        F.floor(F.col("x").cast("double") * MICROS).cast("long").alias("xq"),
+    )
+    ex = base.select("vec_id", F.lit(-1).alias("g"), "dim", "xq").unionByName(
+        base.select(
+            "vec_id",
+            (F.col("dim") / d).cast("int").alias("g"),
+            (F.col("dim") % d).alias("dim"),
+            "xq",
+        )
+    )
+    ga, gc = kmeans_fit_grouped(ex, k=4, iters=2)
+    got_assign = {
+        g: sorted((r["vec_id"], r["j"], r["dist"]) for r in rows)
+        for g, rows in _group_rows(ga.collect()).items()
+    }
+    got_cent = {
+        g: sorted((r["j"], r["dim"], r["c"]) for r in rows)
+        for g, rows in _group_rows(gc.collect()).items()
+    }
+
+    slices = {-1: (1, dims), 0: (1, d), 1: (d + 1, d)}
+    for g, (lo, n) in slices.items():
+        sub = emb.select("vec_id", F.slice("embedding", lo, n).alias("embedding"))
+        a, c = kmeans_fit(sub, k=4, iters=2)
+        assert got_assign[g] == sorted(
+            (r["vec_id"], r["j"], r["dist"]) for r in a.collect()
+        )
+        assert got_cent[g] == sorted((r["j"], r["dim"], r["c"]) for r in c.collect())
+
+
+def _group_rows(rows):
+    out = {}
+    for r in rows:
+        out.setdefault(r["g"], []).append(r)
+    return out

@@ -432,3 +432,17 @@ def test_pq_adc_lut_broadcasts_against_codes(spark, sf_dir, queries):
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_ivf_pq_probe_and_luts_broadcast(spark, sf_dir, queries):
+    """IVF-PQ search must touch the corpus only through its staged
+    coarse assignment + codes: the probe set and the (query x group x
+    centroid) distance table join in as broadcasts, never a cartesian
+    pairing; the fused single-run training and the shared router/LUT
+    table are visible as the staged parquet scans."""
+    plan = _plan(queries["ivf_pq_topk"](spark, sf_dir))
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "ivfpq-qdist" in plan      # one shared router/LUT table
+    assert "kmeansg-assign" in plan   # single grouped training run
