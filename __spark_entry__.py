@@ -3835,6 +3835,27 @@ def q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch heavy hitters (operators/sketch.py): a
+    CMS_DEPTH x CMS_WIDTH counter grid over events.user_id (row hashes
+    = the md5_bucket engine-portable identity), probed with the exact
+    top-CMS_TOPN users. Emits per key the exact count, the sketch
+    estimate, the slack, the deterministic no-undercount boolean, and
+    the probabilistic e/width envelope boolean — the sketch is fully
+    deterministic integer arithmetic, so the oracle rebuilds the
+    identical grid and matches value-exact (booleans replayed, not
+    asserted). The depth x width grid is the bounded-memory frequency
+    state a 100 TB ingest keeps instead of a key-cardinality shuffle."""
+    from rat_strain_loader_pipeline_spark.operators.sketch import (
+        count_min_heavy_hitters,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return count_min_heavy_hitters(
+        ev, "user_id", depth=CMS_DEPTH, width=CMS_WIDTH, topn=CMS_TOPN
+    )
+
+
 def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining (operators/similarity.py hard_negatives):
     for each anchor (vec_id < HARDNEG_ANCHORS — the bounded
@@ -4216,6 +4237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives": q_hard_negatives,
         "pq_adc_topk": q_pq_adc_topk,
         "ivf_pq_topk": q_ivf_pq_topk,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
     }
 
 
@@ -4705,6 +4727,16 @@ PQADC_TOPK = 5       # neighbors kept per ADC query
 # directly comparable to exhaustive pq_adc_topk
 IVFPQ_NPROBE = 3        # coarse lists probed per query (of KMEANS_K)
 IVFPQ_COARSE_ITERS = 2  # shallow coarse training (the standard IVF recipe)
+# Count-Min sketch (q_cms_heavy_hitters): depth x width counter grid;
+# width 64 forces real collisions at every tested sf so the slack
+# column actually exercises the estimate-vs-exact comparison
+from rat_strain_loader_pipeline_spark.operators.sketch import (  # noqa: E402
+    E_OVER_W_NUM,
+)
+
+CMS_DEPTH = 3
+CMS_WIDTH = 64
+CMS_TOPN = 20
 
 # Approximate-sketch error contracts (q_approx_quantiles /
 # q_approx_distinct): the engine emits envelope booleans; the oracles
@@ -7565,6 +7597,47 @@ QUALIFY row_number() OVER (
         "pq_adc_topk": _pq_adc_oracle_sql(
             EMB_DIMS, PQ_M, PQ_K, PQ_ITERS, PQADC_QUERIES, PQADC_TOPK
         ),
+        # CMS oracle: rebuilds the identical depth x width grid (same
+        # md5_number_lower row hashes, bigint counters) and replays the
+        # estimate + slack + booleans value-exact — generated from the
+        # SAME CMS_* constants the engine call site uses
+        "cms_heavy_hitters": f"""
+            WITH sketch AS (
+              SELECT i, CAST(md5_number_lower(
+                       'cms:' || CAST(i AS VARCHAR) || ':'
+                       || CAST(user_id AS VARCHAR)) % {CMS_WIDTH} AS BIGINT) AS b,
+                     count(*) AS cell
+              FROM events, range({CMS_DEPTH}) t(i)
+              GROUP BY 1, 2
+            ),
+            tot AS (SELECT count(*) AS n_total FROM events),
+            top AS (
+              SELECT user_id, count(*) AS exact_n
+              FROM events GROUP BY 1
+              ORDER BY exact_n DESC, user_id LIMIT {CMS_TOPN}
+            ),
+            probes AS (
+              SELECT user_id, exact_n, i,
+                     CAST(md5_number_lower(
+                       'cms:' || CAST(i AS VARCHAR) || ':'
+                       || CAST(user_id AS VARCHAR)) % {CMS_WIDTH} AS BIGINT) AS b
+              FROM top, range({CMS_DEPTH}) t(i)
+            ),
+            est AS (
+              SELECT user_id, exact_n, min(cell) AS est_n
+              FROM probes JOIN sketch USING (i, b)
+              GROUP BY 1, 2
+            )
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   CAST(exact_n AS BIGINT) AS exact_n,
+                   CAST(est_n AS BIGINT) AS est_n,
+                   CAST(est_n - exact_n AS BIGINT) AS slack,
+                   est_n >= exact_n AS over_ok,
+                   (est_n - exact_n)
+                     <= ceil({E_OVER_W_NUM!r} / {float(CMS_WIDTH)!r} * n_total)
+                     AS bound_ok
+            FROM est, tot
+        """,
         "ivf_pq_topk": _ivf_pq_oracle_sql(
             EMB_DIMS,
             KMEANS_K,

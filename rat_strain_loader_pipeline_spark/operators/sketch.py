@@ -1,0 +1,103 @@
+"""Count-Min sketch: bounded-memory frequency estimation.
+
+The sketch an ingest pipeline keeps when exact per-key counts don't
+fit: a depth x width grid of counters; key k increments cell
+(i, h_i(k)) for each of the depth hash rows, and its estimate is the
+MIN over those cells. Estimates never undercount (every cell the key
+touches holds its true count plus nonneg collision mass) and overshoot
+by more than (e/width) * N with probability only e^-depth per key
+(Cormode & Muthukrishnan 2005).
+
+Engine-reproducible by construction: the row hashes are
+``sampling.md5_bucket`` (md5_number_lower % width — the repo's
+engine-portable hash identity), and every counter is a bigint sum, so
+a DuckDB oracle rebuilds the identical sketch and identical estimates
+— value-exact, including the slack column and the (probabilistic,
+therefore merely replayed, not asserted) bound boolean.
+
+100 TB shape: the sketch IS the scale story — a depth x width bigint
+grid (DEPTH x WIDTH rows here) built by one map-side partial
+aggregation over the corpus, mergeable across partitions/streams by
+cell-wise addition, broadcast to estimate any candidate set. Nothing
+key-cardinality-sized ever shuffles for the sketch itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from rat_strain_loader_pipeline_spark.operators.sampling import md5_bucket
+
+E_OVER_W_NUM = 2.718281828459045  # e, the classical CMS bound constant
+
+
+def _cms_cell(key: Column, row: int, width: int) -> Column:
+    return md5_bucket(F.concat(F.lit(f"cms:{row}:"), key.cast("string")), width)
+
+
+def count_min_sketch(
+    df: DataFrame, key_col: str, depth: int, width: int
+) -> DataFrame:
+    """Build the sketch: (i, b, cell) with cell = total occurrences of
+    keys hashing to bucket b under row hash i. One explode to depth
+    rows per input row, one partial-agg reduction to depth x width."""
+    rows = None
+    for i in range(depth):
+        r = df.select(
+            F.lit(i).alias("i"),
+            _cms_cell(F.col(key_col), i, width).alias("b"),
+        )
+        rows = r if rows is None else rows.unionByName(r)
+    return rows.groupBy("i", "b").agg(F.count(F.lit(1)).alias("cell"))
+
+
+def count_min_heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 3,
+    width: int = 64,
+    topn: int = 20,
+) -> DataFrame:
+    """Estimate the exact top-``topn`` keys against the sketch and
+    report the CMS contract per key: (key, exact_n, est_n, slack,
+    over_ok, bound_ok) where slack = est_n - exact_n, over_ok is the
+    DETERMINISTIC no-undercount guarantee (always true — a false here
+    is a broken sketch), and bound_ok is the probabilistic
+    slack <= ceil(e/width * N) envelope (expected true for all but
+    ~e^-depth of keys; replayed, not asserted, by the oracle).
+
+    The candidate set here is the exact top-n (the query is the
+    contract demo); a 100 TB deployment feeds whatever candidate
+    stream it has — the sketch answers any key in O(depth).
+    """
+    sketch = count_min_sketch(df, key_col, depth, width)
+    exact = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("exact_n"))
+    total = df.select(F.count(F.lit(1)).alias("n_total"))
+    top = exact.orderBy(F.col("exact_n").desc(), F.col(key_col).asc()).limit(topn)
+    probes = None
+    for i in range(depth):
+        p = top.select(
+            key_col,
+            "exact_n",
+            F.lit(i).alias("i"),
+            _cms_cell(F.col(key_col), i, width).alias("b"),
+        )
+        probes = p if probes is None else probes.unionByName(p)
+    est = (
+        probes.join(F.broadcast(sketch), ["i", "b"])
+        .groupBy(key_col, "exact_n")
+        .agg(F.min("cell").alias("est_n"))
+    )
+    bound = F.ceil(F.lit(E_OVER_W_NUM) / F.lit(float(width)) * F.col("n_total"))
+    return (
+        est.crossJoin(F.broadcast(total))
+        .select(
+            key_col,
+            "exact_n",
+            "est_n",
+            (F.col("est_n") - F.col("exact_n")).alias("slack"),
+            (F.col("est_n") >= F.col("exact_n")).alias("over_ok"),
+            ((F.col("est_n") - F.col("exact_n")) <= bound).alias("bound_ok"),
+        )
+    )
