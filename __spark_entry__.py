@@ -3835,6 +3835,26 @@ def q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental rollup maintenance (operators/incremental.py): the
+    per-(user, event_type) count/sum/min/max rollup is maintained, not
+    recomputed — the base slice (event_id % 10 != 0) aggregates once
+    into a staged parquet MV, and the delta slice merges in via one
+    full-outer coalesced combine, O(delta + touched groups) regardless
+    of base size. The oracle recomputes from scratch; value-equality
+    IS the maintenance contract (including delta-only and base-only
+    groups and all-null value groups). Measures follow the numeric
+    policy: bigint micro-unit sums with the NaN/null guard."""
+    from rat_strain_loader_pipeline_spark.operators.incremental import (
+        maintain_events_rollup,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return maintain_events_rollup(
+        ev, ("user_id", "event_type"), F.col("event_id") % 10 == 0
+    )
+
+
 def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min sketch heavy hitters (operators/sketch.py): a
     CMS_DEPTH x CMS_WIDTH counter grid over events.user_id (row hashes
@@ -4238,6 +4258,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_adc_topk": q_pq_adc_topk,
         "ivf_pq_topk": q_ivf_pq_topk,
         "cms_heavy_hitters": q_cms_heavy_hitters,
+        "incremental_rollup": q_incremental_rollup,
     }
 
 
@@ -7597,6 +7618,24 @@ QUALIFY row_number() OVER (
         "pq_adc_topk": _pq_adc_oracle_sql(
             EMB_DIMS, PQ_M, PQ_K, PQ_ITERS, PQADC_QUERIES, PQADC_TOPK
         ),
+        # incremental_rollup oracle: the from-scratch group-by the
+        # maintained (base-MV + delta merge) plan must be
+        # indistinguishable from — scratch-vs-incremental equality IS
+        # the maintenance contract
+        "incremental_rollup": """
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(vq) AS BIGINT) AS sum_value_q,
+                   CAST(min(vq) AS BIGINT) AS min_value_q,
+                   CAST(max(vq) AS BIGINT) AS max_value_q
+            FROM (SELECT user_id, event_type,
+                         CASE WHEN value IS NOT NULL AND NOT isnan(value)
+                              THEN CAST(floor(value * 1000000) AS BIGINT)
+                         END AS vq
+                  FROM events)
+            GROUP BY 1, 2
+        """,
         # CMS oracle: rebuilds the identical depth x width grid (same
         # md5_number_lower row hashes, bigint counters) and replays the
         # estimate + slack + booleans value-exact — generated from the

@@ -446,3 +446,12 @@ def test_ivf_pq_probe_and_luts_broadcast(spark, sf_dir, queries):
     assert "BroadcastNestedLoop" not in plan
     assert "ivfpq-qdist" in plan      # one shared router/LUT table
     assert "kmeansg-assign" in plan   # single grouped training run
+
+
+def test_incremental_rollup_merges_from_staged_base_mv(spark, sf_dir, queries):
+    """The maintained path must read the base rollup from its staged
+    parquet MV (one scan of pre-aggregated groups), not re-aggregate
+    base rows at merge time."""
+    plan = _plan(queries["incremental_rollup"](spark, sf_dir))
+    assert "rollup-base" in plan
+    assert "CartesianProduct" not in plan
