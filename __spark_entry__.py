@@ -3835,6 +3835,40 @@ def q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout stats (operators/layout.py zorder_file_stats):
+    lineitem cut into ZORDER_FILES equal-count files along the Morton
+    curve over (l_partkey, l_suppkey) — the OPTIMIZE ZORDER step a
+    100 TB table runs so BOTH columns prune files. Emits each file's
+    planner stats (min/max per dimension) plus the box-overlap boolean
+    for the pinned quarter-to-half probe box; FALSE rows are files a
+    scan skips. Global z-rank via the two-level block pattern (no
+    global sort); binning/interleave/file-cut are non-negative integer
+    div + an unrolled bit polynomial shared with the oracle
+    (morton_interleave_sql), so the oracle replays value-exact."""
+    from rat_strain_loader_pipeline_spark.operators.layout import zorder_file_stats
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = zorder_file_stats(
+        li,
+        "l_partkey",
+        "l_suppkey",
+        tiebreak=["l_partkey", "l_suppkey"],
+        bits=ZORDER_BITS,
+        n_files=ZORDER_FILES,
+        block_shift=ZORDER_BLOCK_SHIFT,
+    )
+    return out.select(
+        "file_id",
+        "n_rows",
+        F.col("min_x").cast("long").alias("min_x"),
+        F.col("max_x").cast("long").alias("max_x"),
+        F.col("min_y").cast("long").alias("min_y"),
+        F.col("max_y").cast("long").alias("max_y"),
+        "box_overlap",
+    )
+
+
 def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental rollup maintenance (operators/incremental.py): the
     per-(user, event_type) count/sum/min/max rollup is maintained, not
@@ -4259,6 +4293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_pq_topk": q_ivf_pq_topk,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "incremental_rollup": q_incremental_rollup,
+        "zorder_layout": q_zorder_layout,
     }
 
 
@@ -4754,10 +4789,19 @@ IVFPQ_COARSE_ITERS = 2  # shallow coarse training (the standard IVF recipe)
 from rat_strain_loader_pipeline_spark.operators.sketch import (  # noqa: E402
     E_OVER_W_NUM,
 )
+from rat_strain_loader_pipeline_spark.operators.layout import (  # noqa: E402
+    morton_interleave_sql,
+)
 
 CMS_DEPTH = 3
 CMS_WIDTH = 64
 CMS_TOPN = 20
+
+# Z-order layout (q_zorder_layout): bits per dimension, file count,
+# coarse-z block width for the two-level global rank
+ZORDER_BITS = 8
+ZORDER_FILES = 64
+ZORDER_BLOCK_SHIFT = 10
 
 # Approximate-sketch error contracts (q_approx_quantiles /
 # q_approx_distinct): the engine emits envelope booleans; the oracles
@@ -7618,6 +7662,54 @@ QUALIFY row_number() OVER (
         "pq_adc_topk": _pq_adc_oracle_sql(
             EMB_DIMS, PQ_M, PQ_K, PQ_ITERS, PQADC_QUERIES, PQADC_TOPK
         ),
+        # zorder oracle: identical bin/interleave/cut integer math (the
+        # Morton polynomial comes from the SAME morton_interleave_sql
+        # the docstring pins; bins/cuts are nonneg integer division, so
+        # DuckDB // == Spark div == floor); the oracle may use a naive
+        # global row_number where the engine uses the two-level rank —
+        # equal (z, x, y) rows are interchangeable for per-file stats
+        "zorder_layout": f"""
+            WITH b AS (
+              SELECT min(l_partkey) AS mnx, max(l_partkey) AS mxx,
+                     min(l_suppkey) AS mny, max(l_suppkey) AS mxy,
+                     count(*) AS n
+              FROM lineitem
+            ),
+            t AS (
+              SELECT l_partkey AS x, l_suppkey AS y,
+                     ((l_partkey - mnx) * {1 << ZORDER_BITS})
+                       // (mxx - mnx + 1) AS bx,
+                     ((l_suppkey - mny) * {1 << ZORDER_BITS})
+                       // (mxy - mny + 1) AS by
+              FROM lineitem, b
+            ),
+            r AS (
+              SELECT x, y,
+                     row_number() OVER (
+                       ORDER BY {morton_interleave_sql('bx', 'by', ZORDER_BITS)},
+                                x, y) - 1 AS rk
+              FROM t
+            ),
+            s AS (
+              SELECT (rk * {ZORDER_FILES}) // n AS file_id,
+                     count(*) AS n_rows,
+                     min(x) AS min_x, max(x) AS max_x,
+                     min(y) AS min_y, max(y) AS max_y
+              FROM r, b
+              GROUP BY 1
+            )
+            SELECT CAST(file_id AS BIGINT) AS file_id,
+                   CAST(n_rows AS BIGINT) AS n_rows,
+                   CAST(min_x AS BIGINT) AS min_x,
+                   CAST(max_x AS BIGINT) AS max_x,
+                   CAST(min_y AS BIGINT) AS min_y,
+                   CAST(max_y AS BIGINT) AS max_y,
+                   NOT (max_x < mnx + (mxx - mnx) // 4
+                        OR min_x > mnx + (mxx - mnx) // 2
+                        OR max_y < mny + (mxy - mny) // 4
+                        OR min_y > mny + (mxy - mny) // 2) AS box_overlap
+            FROM s, b
+        """,
         # incremental_rollup oracle: the from-scratch group-by the
         # maintained (base-MV + delta merge) plan must be
         # indistinguishable from — scratch-vs-incremental equality IS

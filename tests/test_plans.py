@@ -455,3 +455,16 @@ def test_incremental_rollup_merges_from_staged_base_mv(spark, sf_dir, queries):
     plan = _plan(queries["incremental_rollup"](spark, sf_dir))
     assert "rollup-base" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_zorder_rank_windows_stay_block_partitioned(spark, sf_dir, queries):
+    """The global z-rank must be the two-level construction: the
+    fact-side window partitions on the coarse z-block (__blk); the only
+    unpartitioned window runs over the tiny block-count table. The
+    1-row bounds table rides broadcast joins."""
+    import re
+
+    plan = _plan(queries["zorder_layout"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert re.search(r"Window.*__blk", plan, re.S)
+    assert "BroadcastExchange" in plan
