@@ -3835,6 +3835,30 @@ def q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom semi-join pruning report (operators/sketch.py
+    bloom_prune_report): a BLOOM_K x BLOOM_M partitioned Bloom filter
+    over the keys of expensive orders (o_totalprice >
+    BLOOM_DIM_MINPRICE) probes lineitem — the broadcast pre-filter
+    that kills non-matching fact rows BEFORE the join shuffle at
+    100 TB (Spark's own runtime-bloom AQE feature, made explicit and
+    oracle-replayable via md5_bucket bit positions). Single-row
+    accounting: fact rows, bloom-pass rows, true matches, false
+    positives, and the deterministic no-false-negative invariant. The
+    oracle rebuilds the identical filter value-exact."""
+    from rat_strain_loader_pipeline_spark.operators.sketch import bloom_prune_report
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey")
+    )
+    dim = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > BLOOM_DIM_MINPRICE)
+        .select(F.col("o_orderkey").alias("okey"))
+    )
+    return bloom_prune_report(li, dim, "okey", m=BLOOM_M, k=BLOOM_K)
+
+
 def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order layout stats (operators/layout.py zorder_file_stats):
     lineitem cut into ZORDER_FILES equal-count files along the Morton
@@ -4294,6 +4318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "incremental_rollup": q_incremental_rollup,
         "zorder_layout": q_zorder_layout,
+        "bloom_prune": q_bloom_prune,
     }
 
 
@@ -4802,6 +4827,13 @@ CMS_TOPN = 20
 ZORDER_BITS = 8
 ZORDER_FILES = 64
 ZORDER_BLOCK_SHIFT = 10
+
+# Bloom semi-join pruning (q_bloom_prune): m bits per hash row, k rows;
+# dim = orders above the ~99th-percentile price (so the filter is small
+# and the fp sliver is visibly nonzero at sf0.1)
+BLOOM_M = 4096
+BLOOM_K = 3
+BLOOM_DIM_MINPRICE = 494000.0
 
 # Approximate-sketch error contracts (q_approx_quantiles /
 # q_approx_distinct): the engine emits envelope booleans; the oracles
@@ -7662,6 +7694,53 @@ QUALIFY row_number() OVER (
         "pq_adc_topk": _pq_adc_oracle_sql(
             EMB_DIMS, PQ_M, PQ_K, PQ_ITERS, PQADC_QUERIES, PQADC_TOPK
         ),
+        # bloom oracle: rebuilds the identical partitioned filter
+        # (md5_number_lower bit positions) and replays the accounting
+        # value-exact, from the SAME BLOOM_* constants
+        "bloom_prune": f"""
+            WITH dim AS (
+              SELECT DISTINCT o_orderkey AS key FROM orders
+              WHERE o_totalprice > {BLOOM_DIM_MINPRICE!r}
+            ),
+            bits AS (
+              SELECT DISTINCT i, CAST(md5_number_lower(
+                       'bloom:' || CAST(i AS VARCHAR) || ':'
+                       || CAST(key AS VARCHAR)) % {BLOOM_M} AS BIGINT) AS pos
+              FROM dim, range({BLOOM_K}) t(i)
+            ),
+            fk AS (
+              SELECT l_orderkey AS key, count(*) AS n_rows
+              FROM lineitem GROUP BY 1
+            ),
+            probes AS (
+              SELECT key, i, CAST(md5_number_lower(
+                       'bloom:' || CAST(i AS VARCHAR) || ':'
+                       || CAST(key AS VARCHAR)) % {BLOOM_M} AS BIGINT) AS pos
+              FROM fk, range({BLOOM_K}) t(i)
+            ),
+            passing AS (
+              SELECT key FROM probes JOIN bits USING (i, pos)
+              GROUP BY key HAVING count(*) = {BLOOM_K}
+            ),
+            flags AS (
+              SELECT fk.n_rows,
+                     p.key IS NOT NULL AS passed,
+                     d.key IS NOT NULL AS true_m
+              FROM fk
+              LEFT JOIN passing p ON fk.key = p.key
+              LEFT JOIN dim d ON fk.key = d.key
+            )
+            SELECT CAST(sum(n_rows) AS BIGINT) AS n_fact,
+                   CAST(sum(CASE WHEN passed THEN n_rows ELSE 0 END) AS BIGINT)
+                     AS n_pass,
+                   CAST(sum(CASE WHEN true_m THEN n_rows ELSE 0 END) AS BIGINT)
+                     AS n_true,
+                   CAST(sum(CASE WHEN passed AND NOT true_m THEN n_rows
+                            ELSE 0 END) AS BIGINT) AS n_fp,
+                   sum(CASE WHEN true_m AND NOT passed THEN 1 ELSE 0 END) = 0
+                     AS no_false_negatives
+            FROM flags
+        """,
         # zorder oracle: identical bin/interleave/cut integer math (the
         # Morton polynomial comes from the SAME morton_interleave_sql
         # the docstring pins; bins/cuts are nonneg integer division, so

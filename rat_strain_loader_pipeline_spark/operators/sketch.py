@@ -101,3 +101,91 @@ def count_min_heavy_hitters(
             ((F.col("est_n") - F.col("exact_n")) <= bound).alias("bound_ok"),
         )
     )
+
+
+def bloom_bits(keys: DataFrame, key_col: str, m: int, k: int) -> DataFrame:
+    """Partitioned Bloom filter (Kirsch-Mitzenmacher layout: hash row i
+    owns its own m-bit array, so (i, pos) membership is exact per row):
+    returns the DISTINCT (i, pos) set bits for the key set. At most
+    k * |keys| rows, bounded by k * m — broadcastable whenever the
+    filter itself would be."""
+    rows = None
+    for i in range(k):
+        r = keys.select(
+            F.lit(i).alias("i"),
+            md5_bucket(
+                F.concat(F.lit(f"bloom:{i}:"), F.col(key_col).cast("string")), m
+            ).alias("pos"),
+        )
+        rows = r if rows is None else rows.unionByName(r)
+    return rows.distinct()
+
+
+def bloom_prune_report(
+    fact: DataFrame,
+    dim_keys: DataFrame,
+    key_col: str,
+    m: int = 4096,
+    k: int = 3,
+) -> DataFrame:
+    """Bloom semi-join pruning report: build the filter from
+    ``dim_keys``, probe every distinct fact key (the Bloom test is a
+    pure function of the key, so keys are tested once and the verdict
+    fans back to rows through one hash join), and emit the single-row
+    accounting a planner wants: total fact rows, rows passing the
+    filter, true-match rows, false-positive rows, and the
+    no-false-negative invariant (deterministic — a FALSE is a broken
+    filter, since every true key's bits were set by construction).
+
+    100 TB shape: the filter is <= k*m (i, pos) rows — built by one
+    map-side-distinct pass over the dim and broadcast — so the fact's
+    non-matching rows die in a map-side probe BEFORE the join shuffle;
+    only matches + the false-positive sliver shuffle. The fp rate is
+    the published (1 - e^(-n/m))^k trade-off; the exact join after the
+    probe removes fps, so pruning never changes results.
+    """
+    bits = bloom_bits(dim_keys, key_col, m, k)
+    fact_keys = fact.groupBy(key_col).agg(F.count(F.lit(1)).alias("n_rows"))
+    probes = None
+    for i in range(k):
+        p = fact_keys.select(
+            key_col,
+            F.lit(i).alias("i"),
+            md5_bucket(
+                F.concat(F.lit(f"bloom:{i}:"), F.col(key_col).cast("string")), m
+            ).alias("pos"),
+        )
+        probes = p if probes is None else probes.unionByName(p)
+    passing = (
+        probes.join(F.broadcast(bits), ["i", "pos"])
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("hits"))
+        .filter(F.col("hits") == k)
+        .select(key_col)
+    )
+    flags = (
+        fact_keys.join(
+            passing.withColumn("passed", F.lit(True)), key_col, "left"
+        )
+        .join(
+            dim_keys.select(key_col).distinct().withColumn("true_m", F.lit(True)),
+            key_col,
+            "left",
+        )
+        .select(
+            "n_rows",
+            F.coalesce("passed", F.lit(False)).alias("passed"),
+            F.coalesce("true_m", F.lit(False)).alias("true_m"),
+        )
+    )
+    return flags.agg(
+        F.sum("n_rows").alias("n_fact"),
+        F.sum(F.when(F.col("passed"), F.col("n_rows")).otherwise(0)).alias("n_pass"),
+        F.sum(F.when(F.col("true_m"), F.col("n_rows")).otherwise(0)).alias("n_true"),
+        F.sum(
+            F.when(F.col("passed") & ~F.col("true_m"), F.col("n_rows")).otherwise(0)
+        ).alias("n_fp"),
+        (
+            F.sum(F.when(F.col("true_m") & ~F.col("passed"), 1).otherwise(0)) == 0
+        ).alias("no_false_negatives"),
+    )

@@ -468,3 +468,13 @@ def test_zorder_rank_windows_stay_block_partitioned(spark, sf_dir, queries):
     assert "CartesianProduct" not in plan
     assert re.search(r"Window.*__blk", plan, re.S)
     assert "BroadcastExchange" in plan
+
+
+def test_bloom_bits_join_in_as_broadcast(spark, sf_dir, queries):
+    """The (i, pos) filter table must broadcast into the key probe —
+    the whole point is a map-side pre-filter, never a shuffle pairing
+    against the filter."""
+    plan = _plan(queries["bloom_prune"](spark, sf_dir))
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan

@@ -60,3 +60,43 @@ def test_cms_partition_invariant(spark, sf_dir):
     )
     assert a == b
     assert len(a) == 10
+
+
+def test_bloom_no_false_negatives_and_tiny_m_forces_fps(spark):
+    from rat_strain_loader_pipeline_spark.operators.sketch import bloom_prune_report
+
+    fact = spark.createDataFrame([(i % 100,) for i in range(1000)], "k long")
+    dim = spark.createDataFrame([(i,) for i in range(0, 100, 10)], "k long")
+    # m=4 with 10 keys: every row of the partitioned filter is nearly
+    # full, so non-member keys must collide into false positives
+    r = bloom_prune_report(fact, dim, "k", m=4, k=2).collect()[0]
+    assert r["no_false_negatives"]
+    assert r["n_fact"] == 1000
+    assert r["n_true"] == 100  # 10 member keys x 10 rows each
+    assert r["n_pass"] == r["n_true"] + r["n_fp"]
+    assert r["n_fp"] > 0
+    # a wide filter kills the fps without touching the true matches
+    r2 = bloom_prune_report(fact, dim, "k", m=1 << 16, k=3).collect()[0]
+    assert r2["no_false_negatives"]
+    assert r2["n_true"] == 100
+    assert r2["n_fp"] == 0
+
+
+def test_bloom_prune_partition_invariant(spark, sf_dir):
+    from rat_strain_loader_pipeline_spark.operators.sketch import bloom_prune_report
+    from rat_strain_loader_pipeline_spark.sources.tables import read_table
+    from pyspark.sql import functions as F2
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F2.col("l_orderkey").alias("okey")
+    )
+    dim = (
+        read_table(spark, sf_dir, "orders")
+        .filter("o_totalprice > 400000")
+        .select(F2.col("o_orderkey").alias("okey"))
+    )
+    a = bloom_prune_report(li.coalesce(1), dim, "okey", m=512, k=3).collect()
+    b = bloom_prune_report(
+        li.repartition(11, F2.col("okey") % 3), dim, "okey", m=512, k=3
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
