@@ -3214,6 +3214,68 @@ def q_events_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).filter(F.col("session_start") < F.lit(sentinel_ts))
 
 
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL stream-stream inner interval join (streaming/events.py
+    interval_join_streams) under the correctness gate: clicks and
+    purchases read as two Structured Streams from the same staged
+    parquet source; each click pairs with the same user's purchases
+    within STREAMJOIN_LAG_MIN minutes. Both sides watermarked with the
+    event-time range condition, so both state stores are bounded — the
+    contract that makes the join runnable forever at 100 TB/day. Inner
+    results are watermark-independent, so the availableNow replay
+    equals the batch interval join and the DuckDB oracle applies
+    value-exact."""
+    import os as _os
+    import uuid as _uuid
+
+    from rat_strain_loader_pipeline_spark.staging import _stage_root
+    from rat_strain_loader_pipeline_spark.streaming.events import (
+        interval_join_streams,
+    )
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .select("event_id", "ts", "user_id", "event_type")
+        .filter(F.col("event_type").isin("click", "purchase"))
+    )
+    src_dir = _os.path.join(_stage_root(), f"ss-join-src-{_uuid.uuid4().hex[:8]}")
+    ev.coalesce(4).write.parquet(src_dir)
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    clicks = (
+        spark.readStream.schema(schema)
+        .parquet(src_dir)
+        .filter(F.col("event_type") == "click")
+    )
+    purchases = (
+        spark.readStream.schema(schema)
+        .parquet(src_dir)
+        .filter(F.col("event_type") == "purchase")
+    )
+    out = interval_join_streams(
+        clicks, purchases, key="user_id", max_lag_minutes=STREAMJOIN_LAG_MIN
+    )
+    name = f"ss_join_{_uuid.uuid4().hex[:8]}"
+    # state-store instances = 2 sides x shuffle partitions; size them to
+    # the batch (a 100 TB/day deployment sizes this to its cluster —
+    # per-partition state overhead is the knob, same as here)
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .option(
+                "checkpointLocation", _os.path.join(_stage_root(), f"ckpt-{name}")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    return spark.table(name)
+
+
 def q_wig_fixedstep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S5 stateful fixedStep wiggle parse through the REAL parser
     (sources.wig.parse_fixedstep_lines): declaration lines reset the
@@ -4319,6 +4381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_rollup": q_incremental_rollup,
         "zorder_layout": q_zorder_layout,
         "bloom_prune": q_bloom_prune,
+        "stream_stream_join": q_stream_stream_join,
     }
 
 
@@ -4834,6 +4897,10 @@ ZORDER_BLOCK_SHIFT = 10
 BLOOM_M = 4096
 BLOOM_K = 3
 BLOOM_DIM_MINPRICE = 494000.0
+
+# Stream-stream interval join (q_stream_stream_join): click->purchase
+# attribution window in minutes
+STREAMJOIN_LAG_MIN = 30
 
 # Approximate-sketch error contracts (q_approx_quantiles /
 # q_approx_distinct): the engine emits envelope booleans; the oracles
@@ -7694,6 +7761,21 @@ QUALIFY row_number() OVER (
         "pq_adc_topk": _pq_adc_oracle_sql(
             EMB_DIMS, PQ_M, PQ_K, PQ_ITERS, PQADC_QUERIES, PQADC_TOPK
         ),
+        # stream_stream_join oracle: inner interval-join results are
+        # watermark-independent, so the batch join is the exact
+        # semantics of the availableNow streaming replay
+        "stream_stream_join": f"""
+            SELECT a.event_id AS a_id,
+                   b.event_id AS b_id,
+                   CAST(a.user_id AS BIGINT) AS key,
+                   (epoch_us(b.ts) - epoch_us(a.ts)) // 1000000 AS lag_s
+            FROM events a JOIN events b
+              ON a.user_id = b.user_id
+             AND a.event_type = 'click'
+             AND b.event_type = 'purchase'
+             AND b.ts >= a.ts
+             AND b.ts <= a.ts + INTERVAL {STREAMJOIN_LAG_MIN} MINUTE
+        """,
         # bloom oracle: rebuilds the identical partitioned filter
         # (md5_number_lower bit positions) and replays the accounting
         # value-exact, from the SAME BLOOM_* constants

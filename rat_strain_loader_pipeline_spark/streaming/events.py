@@ -220,3 +220,59 @@ def asof_enrich_available_now(
             empty, right, on=on, ts_col=ts_col, payload=payload, tiebreak=tiebreak
         )
     return spark.read.parquet(out_path).drop("batch")
+
+
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    max_lag_minutes: int = 30,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner interval join: each left event pairs with
+    the same key's right events arriving in [left.ts, left.ts + lag].
+    Both sides are watermarked and the join carries the event-time
+    range condition, so Spark bounds BOTH state stores: a buffered left
+    row is dropped once the right watermark passes its ts + lag, and a
+    right row once the left watermark passes its ts — the
+    state-cleanup contract that makes the join runnable forever at
+    100 TB/day (an unconstrained stream-stream join would buffer both
+    streams in full).
+
+    Inner-join results are independent of the watermark (it governs
+    state eviction, not emission), so under an availableNow replay the
+    output equals the batch interval join — the property the DuckDB
+    oracle checks value-exact.
+
+    Returns (a_id, b_id, key, lag_s) with lag_s in whole seconds.
+    """
+    a = left.select(
+        F.col("event_id").alias("a_id"),
+        F.col(key).alias("k"),
+        F.col("ts").alias("a_ts"),
+    ).withWatermark("a_ts", watermark)
+    b = right.select(
+        F.col("event_id").alias("b_id"),
+        F.col(key).alias("k"),
+        F.col("ts").alias("b_ts"),
+    ).withWatermark("b_ts", watermark)
+    joined = a.join(
+        b,
+        (a["k"] == b["k"])
+        & (F.col("b_ts") >= F.col("a_ts"))
+        & (
+            F.col("b_ts")
+            <= F.col("a_ts") + F.expr(f"INTERVAL {int(max_lag_minutes)} MINUTES")
+        ),
+        "inner",
+    )
+    return joined.select(
+        "a_id",
+        "b_id",
+        a["k"].alias("key"),
+        # integer div: operands non-negative, so truncation == floor in
+        # both engines (DuckDB oracle uses //)
+        F.expr(
+            "(unix_micros(b_ts) - unix_micros(a_ts)) div 1000000"
+        ).alias("lag_s"),
+    )

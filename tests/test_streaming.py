@@ -362,3 +362,58 @@ def test_dedup_gate_xxhash_path_equivalence(spark, tmp_path):
         results[fam] = sorted(map(tuple, out.collect()))
     assert results["md5_oracle"] == results["xxhash64"]
     assert dict(results["md5_oracle"])[3] is False
+
+
+def test_stream_stream_interval_join_multi_batch_equals_batch(spark, tmp_path):
+    """Cross-batch buffering: with maxFilesPerTrigger=1 the left/right
+    events of a pair often arrive in different micro-batches; the inner
+    interval join must still emit exactly the batch-join pairs."""
+    import datetime as dt
+
+    from rat_strain_loader_pipeline_spark.streaming.events import (
+        interval_join_streams,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for u in range(6):
+        for j in range(8):
+            ts = t0 + dt.timedelta(minutes=7 * j + u)
+            rows.append((eid, ts, u, "click" if j % 2 == 0 else "purchase"))
+            eid += 1
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    ev = spark.createDataFrame(rows, schema)
+    src = str(tmp_path / "src")
+    # many small files so pairs straddle micro-batches
+    ev.repartition(6).write.parquet(src)
+
+    clicks = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(src).filter(F.col("event_type") == "click")
+    )
+    purchases = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(src).filter(F.col("event_type") == "purchase")
+    )
+    out = interval_join_streams(clicks, purchases, max_lag_minutes=15)
+    q = (
+        out.writeStream.format("memory").queryName("ssj_test")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = sorted(tuple(r) for r in spark.table("ssj_test").collect())
+
+    want = sorted(
+        tuple(r)
+        for r in interval_join_streams(
+            ev.filter("event_type = 'click'"),
+            ev.filter("event_type = 'purchase'"),
+            max_lag_minutes=15,
+        ).collect()
+    )
+    assert got == want
+    assert len(got) > 0
+    # every lag respects the interval
+    assert all(0 <= t[3] <= 15 * 60 for t in got)
