@@ -3955,6 +3955,26 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation from Count-Min sketches
+    (operators/sketch.py cms_join_size_report): the lineitem
+    l_partkey SELF-join size (sum of squared key degrees — the case
+    where planners misestimate worst) versus the sketch inner product
+    min_i sum_b cmsA[i][b]*cmsB[i][b], which never undercounts and
+    overshoots by at most ~e/width * N_a * N_b. Two CMSJ_DEPTH x
+    CMSJ_WIDTH grids stand in for two 100 TB scans; deterministic md5
+    row hashes let the oracle rebuild both grids and replay the
+    estimate value-exact (booleans replayed)."""
+    from rat_strain_loader_pipeline_spark.operators.sketch import (
+        cms_join_size_report,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey")
+    return cms_join_size_report(
+        li, li, "l_partkey", depth=CMSJ_DEPTH, width=CMSJ_WIDTH
+    )
+
+
 def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental rollup maintenance (operators/incremental.py): the
     per-(user, event_type) count/sum/min/max rollup is maintained, not
@@ -4382,6 +4402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_layout": q_zorder_layout,
         "bloom_prune": q_bloom_prune,
         "stream_stream_join": q_stream_stream_join,
+        "cms_join_size": q_cms_join_size,
     }
 
 
@@ -4901,6 +4922,12 @@ BLOOM_DIM_MINPRICE = 494000.0
 # Stream-stream interval join (q_stream_stream_join): click->purchase
 # attribution window in minutes
 STREAMJOIN_LAG_MIN = 30
+
+# CMS join-size estimation (q_cms_join_size): wider than the heavy-
+# hitter grid so the estimate is informative at sf0.1 (overshoot scale
+# = N_a*N_b/width cross terms)
+CMSJ_DEPTH = 3
+CMSJ_WIDTH = 1024
 
 # Approximate-sketch error contracts (q_approx_quantiles /
 # q_approx_distinct): the engine emits envelope booleans; the oracles
@@ -7870,6 +7897,39 @@ QUALIFY row_number() OVER (
                         OR max_y < mny + (mxy - mny) // 4
                         OR min_y > mny + (mxy - mny) // 2) AS box_overlap
             FROM s, b
+        """,
+        # cms_join_size oracle: rebuilds both grids (the self-join uses
+        # one) and replays inner product + envelope from the SAME
+        # CMSJ_* constants
+        "cms_join_size": f"""
+            WITH sk AS (
+              SELECT i, CAST(md5_number_lower(
+                       'cms:' || CAST(i AS VARCHAR) || ':'
+                       || CAST(l_partkey AS VARCHAR)) % {CMSJ_WIDTH} AS BIGINT)
+                       AS b,
+                     count(*) AS cell
+              FROM lineitem, range({CMSJ_DEPTH}) t(i)
+              GROUP BY 1, 2
+            ),
+            est AS (
+              SELECT min(ip) AS est_join FROM (
+                SELECT i, sum(cell * cell) AS ip FROM sk GROUP BY 1
+              )
+            ),
+            ex AS (
+              SELECT sum(d * d) AS exact_join FROM (
+                SELECT count(*) AS d FROM lineitem GROUP BY l_partkey
+              )
+            ),
+            n AS (SELECT count(*) AS nt FROM lineitem)
+            SELECT CAST(exact_join AS BIGINT) AS exact_join,
+                   CAST(est_join AS BIGINT) AS est_join,
+                   est_join >= exact_join AS over_ok,
+                   (est_join - exact_join)
+                     <= ceil({E_OVER_W_NUM!r} / {float(CMSJ_WIDTH)!r}
+                             * CAST(nt AS DOUBLE) * CAST(nt AS DOUBLE))
+                     AS bound_ok
+            FROM ex, est, n
         """,
         # incremental_rollup oracle: the from-scratch group-by the
         # maintained (base-MV + delta merge) plan must be

@@ -189,3 +189,60 @@ def bloom_prune_report(
             F.sum(F.when(F.col("true_m") & ~F.col("passed"), 1).otherwise(0)) == 0
         ).alias("no_false_negatives"),
     )
+
+
+def cms_join_size_report(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    depth: int = 3,
+    width: int = 64,
+) -> DataFrame:
+    """Equi-join cardinality estimation from Count-Min sketches — the
+    planner statistic that decides join strategy at 100 TB without
+    touching either table twice: |A join B on k| = sum_k degA(k) *
+    degB(k), and the sketch inner product min_i sum_b cmsA[i][b] *
+    cmsB[i][b] NEVER undercounts it (every true pair lands in the same
+    bucket of every row; collisions only add cross terms), with the
+    standard e/width * N_a * N_b overshoot envelope (Cormode &
+    Muthukrishnan 2005, join-size section).
+
+    Emits one row: (exact_join, est_join, over_ok, bound_ok). Both
+    sketches are depth x width bigint grids (broadcast-mergeable); the
+    exact figure needs one shuffle over the key degrees — the thing
+    the sketch exists to avoid, computed here only because it IS the
+    contract check. Deterministic md5 row hashes, so the oracle
+    rebuilds both grids and replays the estimate value-exact.
+    """
+    a = count_min_sketch(left, key_col, depth, width)
+    b = count_min_sketch(right, key_col, depth, width)
+    est = (
+        a.join(b.withColumnRenamed("cell", "cell_b"), ["i", "b"])
+        .groupBy("i")
+        .agg(F.sum(F.col("cell") * F.col("cell_b")).alias("ip"))
+        .agg(F.min("ip").alias("est_join"))
+    )
+    da = left.groupBy(key_col).agg(F.count(F.lit(1)).alias("da"))
+    db = right.groupBy(key_col).agg(F.count(F.lit(1)).alias("db"))
+    exact = da.join(db, key_col).agg(
+        F.sum(F.col("da") * F.col("db")).alias("exact_join")
+    )
+    na = left.select(F.count(F.lit(1)).alias("na"))
+    nb = right.select(F.count(F.lit(1)).alias("nb"))
+    bound = F.ceil(
+        F.lit(E_OVER_W_NUM)
+        / F.lit(float(width))
+        * F.col("na").cast("double")
+        * F.col("nb").cast("double")
+    )
+    return (
+        exact.crossJoin(F.broadcast(est))
+        .crossJoin(F.broadcast(na))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "exact_join",
+            "est_join",
+            (F.col("est_join") >= F.col("exact_join")).alias("over_ok"),
+            ((F.col("est_join") - F.col("exact_join")) <= bound).alias("bound_ok"),
+        )
+    )

@@ -100,3 +100,25 @@ def test_bloom_prune_partition_invariant(spark, sf_dir):
         li.repartition(11, F2.col("okey") % 3), dim, "okey", m=512, k=3
     ).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_cms_join_size_never_undercounts(spark):
+    from rat_strain_loader_pipeline_spark.operators.sketch import (
+        cms_join_size_report,
+    )
+
+    # skewed degrees: key 0 has 40 rows, others 2 each
+    left = spark.createDataFrame(
+        [(0,) for _ in range(40)] + [(i, ) for i in range(1, 21) for _ in range(2)],
+        "k long",
+    )
+    r = cms_join_size_report(left, left, "k", depth=2, width=4).collect()[0]
+    exact = 40 * 40 + 20 * (2 * 2)
+    assert r["exact_join"] == exact
+    assert r["over_ok"] and r["est_join"] >= exact
+    # collision-free regime: unique keys, huge width -> estimate exact
+    u = spark.createDataFrame([(i,) for i in range(50)], "k long")
+    r2 = cms_join_size_report(u, u, "k", depth=3, width=1 << 16).collect()[0]
+    assert r2["exact_join"] == 50
+    assert r2["est_join"] == 50
+    assert r2["bound_ok"]
