@@ -3955,6 +3955,25 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cluster_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-balanced sampling (operators/clustering.py
+    cluster_quota_sample): the shared KMEANS_K/KMEANS_ITERS clustering
+    over embeddings, then at most CLUSTER_QUOTA docs kept per cluster
+    (longest first, doc-id ties) — the post-SemDeDup selection that
+    caps over-represented modes in the training mix. The oracle
+    extends the unrolled-kmeans CTE chain with the same per-cluster
+    window, value-exact."""
+    from rat_strain_loader_pipeline_spark.operators.clustering import (
+        cluster_quota_sample,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return cluster_quota_sample(
+        emb, docs, quota=CLUSTER_QUOTA, k=KMEANS_K, iters=KMEANS_ITERS
+    )
+
+
 def q_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-cardinality estimation from Count-Min sketches
     (operators/sketch.py cms_join_size_report): the lineitem
@@ -4403,6 +4422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_prune": q_bloom_prune,
         "stream_stream_join": q_stream_stream_join,
         "cms_join_size": q_cms_join_size,
+        "cluster_quota_sample": q_cluster_quota_sample,
     }
 
 
@@ -4928,6 +4948,11 @@ STREAMJOIN_LAG_MIN = 30
 # = N_a*N_b/width cross terms)
 CMSJ_DEPTH = 3
 CMSJ_WIDTH = 1024
+
+# Cluster-quota diversity sampling (q_cluster_quota_sample): docs kept
+# per kmeans cluster (KMEANS_K/KMEANS_ITERS clustering, shared with
+# kmeans_clusters/semdedup)
+CLUSTER_QUOTA = 20
 
 # Approximate-sketch error contracts (q_approx_quantiles /
 # q_approx_distinct): the engine emits envelope booleans; the oracles
@@ -7782,6 +7807,25 @@ QUALIFY row_number() OVER (
             GROUP BY 1
         """,
         "kmeans_clusters": _kmeans_oracle_sql(KMEANS_K, KMEANS_ITERS),
+        # cluster_quota_sample oracle: the same unrolled-kmeans chain
+        # extended with the per-cluster priority window (n_chars DESC,
+        # doc_id ties), generated from the SAME constants
+        "cluster_quota_sample": f"""
+            WITH {_kmeans_ctes_sql(KMEANS_K, KMEANS_ITERS)}
+            SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+                   CAST(a.j AS BIGINT) AS cluster_id,
+                   CAST(rk AS BIGINT) AS rk
+            FROM (
+              SELECT a{KMEANS_ITERS}.vec_id, a{KMEANS_ITERS}.j,
+                     row_number() OVER (
+                       PARTITION BY a{KMEANS_ITERS}.j
+                       ORDER BY d.n_chars DESC, d.doc_id) AS rk
+              FROM a{KMEANS_ITERS}
+              JOIN documents d ON a{KMEANS_ITERS}.vec_id = d.doc_id
+            ) a
+            JOIN documents d ON a.vec_id = d.doc_id
+            WHERE rk <= {CLUSTER_QUOTA}
+        """,
         "semdedup": _semdedup_oracle_sql(KMEANS_K, KMEANS_ITERS, SEMDEDUP_TAU),
         "embedding_quantize": _quantize_oracle_sql(QUANT_LEVELS),
         "pq_codes": _pq_oracle_sql(EMB_DIMS, PQ_M, PQ_K, PQ_ITERS),

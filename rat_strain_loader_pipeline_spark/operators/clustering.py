@@ -292,3 +292,44 @@ def kmeans_fit_grouped(
             f"kmeansg-cent-{r}",
         )
     return assign, cent
+
+
+def cluster_quota_sample(
+    embeddings: DataFrame,
+    docs: DataFrame,
+    quota: int,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    doc_id_col: str = "doc_id",
+    priority_cols: list | None = None,
+) -> DataFrame:
+    """Diversity-balanced corpus sampling: cluster the embedding space
+    with ``kmeans_micros``, then keep at most ``quota`` documents per
+    cluster, highest-priority first — the selection step after
+    SemDeDup-style curation that stops one over-represented mode (web
+    boilerplate, one domain) from dominating the training mix. Uniform
+    sampling keeps the corpus' skew; per-cluster quotas cap it.
+
+    ``priority_cols`` is the deterministic keep order (default: longest
+    document first, doc id ties). One hash-partitioned window per
+    cluster — no global sort, no pairwise stage; the kmeans rounds are
+    the documented flat-cost scans.
+
+    Returns kept rows only: (doc_id, cluster_id, rk), rk 1-based.
+    """
+    assign = kmeans_micros(embeddings, k=k, iters=iters, id_col=id_col)
+    joined = assign.join(
+        docs, assign[id_col] == docs[doc_id_col]
+    )
+    order = priority_cols or [F.col("n_chars").desc(), F.col(doc_id_col).asc()]
+    w = Window.partitionBy("cluster_id").orderBy(*order)
+    return (
+        joined.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= quota)
+        .select(
+            F.col(doc_id_col),
+            F.col("cluster_id"),
+            F.col("rk").cast("long").alias("rk"),
+        )
+    )

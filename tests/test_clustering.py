@@ -138,3 +138,40 @@ def _group_rows(rows):
     for r in rows:
         out.setdefault(r["g"], []).append(r)
     return out
+
+
+def test_cluster_quota_sample_caps_every_cluster(spark, sf_dir):
+    from rat_strain_loader_pipeline_spark.operators.clustering import (
+        cluster_quota_sample,
+        kmeans_micros,
+    )
+    from rat_strain_loader_pipeline_spark.sources.tables import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    out = cluster_quota_sample(emb, docs, quota=5, k=4, iters=2).collect()
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    sizes = {
+        r["cluster_id"]: 0
+        for r in kmeans_micros(emb, k=4, iters=2).collect()
+    }
+    for r in kmeans_micros(emb, k=4, iters=2).collect():
+        sizes[r["cluster_id"]] += 1
+    # every cluster capped at quota, and filled to min(size, quota)
+    for c, rows in by_cluster.items():
+        assert len(rows) == min(sizes[c], 5)
+        assert sorted(r["rk"] for r in rows) == list(range(1, len(rows) + 1))
+    # priority respected: within a cluster, kept docs are the longest
+    chars = {
+        r["doc_id"]: r["n_chars"] for r in docs.collect()
+    }
+    assign = {r["vec_id"]: r["cluster_id"] for r in kmeans_micros(emb, k=4, iters=2).collect()}
+    for c, rows in by_cluster.items():
+        kept = {r["doc_id"] for r in rows}
+        rest = [d for d, cl in assign.items() if cl == c and d not in kept]
+        if rest and len(kept) == 5:
+            worst_kept = min((chars[d], -d) for d in kept)
+            best_rest = max((chars[d], -d) for d in rest)
+            assert worst_kept >= best_rest
