@@ -3955,6 +3955,20 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_k_anonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity release gate (operators/privacy.py k_anonymize):
+    (lang, source) combinations shared by fewer than KANON_K documents
+    are generalized to '*' before release — the quasi-identifier bar
+    that text.redact_pii (in-document scrubbing) does not cover. One
+    combination-table group-by + one hash join back; suppression is a
+    pure function of exact group counts, so the oracle replays it
+    value-exact."""
+    from rat_strain_loader_pipeline_spark.operators.privacy import k_anonymize
+
+    docs = _t(spark, sf_dir, "documents")
+    return k_anonymize(docs, ("lang", "source"), k=KANON_K)
+
+
 def q_cluster_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Diversity-balanced sampling (operators/clustering.py
     cluster_quota_sample): the shared KMEANS_K/KMEANS_ITERS clustering
@@ -4423,6 +4437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_stream_join": q_stream_stream_join,
         "cms_join_size": q_cms_join_size,
         "cluster_quota_sample": q_cluster_quota_sample,
+        "k_anonymize": q_k_anonymize,
     }
 
 
@@ -4953,6 +4968,9 @@ CMSJ_WIDTH = 1024
 # per kmeans cluster (KMEANS_K/KMEANS_ITERS clustering, shared with
 # kmeans_clusters/semdedup)
 CLUSTER_QUOTA = 20
+
+# k-anonymity (q_k_anonymize): minimum released (lang, source) group
+KANON_K = 10
 
 # Approximate-sketch error contracts (q_approx_quantiles /
 # q_approx_distinct): the engine emits envelope booleans; the oracles
@@ -7941,6 +7959,21 @@ QUALIFY row_number() OVER (
                         OR max_y < mny + (mxy - mny) // 4
                         OR min_y > mny + (mxy - mny) // 2) AS box_overlap
             FROM s, b
+        """,
+        "k_anonymize": f"""
+            WITH counts AS (
+              SELECT lang, source, count(*) AS group_n
+              FROM documents GROUP BY 1, 2
+            )
+            SELECT d.doc_id,
+                   CASE WHEN group_n >= {KANON_K} THEN d.lang
+                        ELSE '*' END AS lang_out,
+                   CASE WHEN group_n >= {KANON_K} THEN d.source
+                        ELSE '*' END AS source_out,
+                   CAST(group_n AS BIGINT) AS group_n,
+                   group_n < {KANON_K} AS suppressed
+            FROM documents d
+            JOIN counts USING (lang, source)
         """,
         # cms_join_size oracle: rebuilds both grids (the self-join uses
         # one) and replays inner product + envelope from the SAME

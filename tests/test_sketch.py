@@ -122,3 +122,29 @@ def test_cms_join_size_never_undercounts(spark):
     assert r2["exact_join"] == 50
     assert r2["est_join"] == 50
     assert r2["bound_ok"]
+
+
+def test_k_anonymize_property_holds_on_release(spark):
+    """Every released (non-'*') combination must appear >= k times,
+    and suppressed rows release no quasi values."""
+    from rat_strain_loader_pipeline_spark.operators.privacy import k_anonymize
+
+    rows = (
+        [(i, "en", "web") for i in range(12)]
+        + [(100 + i, "fr", "web") for i in range(3)]
+        + [(200, "de", "books")]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, lang string, source string")
+    out = k_anonymize(df, ("lang", "source"), k=5).collect()
+    released = [r for r in out if not r["suppressed"]]
+    suppressed = [r for r in out if r["suppressed"]]
+    assert len(released) == 12 and len(suppressed) == 4
+    assert all(r["lang_out"] == "en" and r["group_n"] == 12 for r in released)
+    assert all(r["lang_out"] == "*" and r["source_out"] == "*" for r in suppressed)
+    # the k-anonymity property over the released table
+    from collections import Counter
+
+    combos = Counter((r["lang_out"], r["source_out"]) for r in out)
+    for (lang, src), n in combos.items():
+        if lang != "*":
+            assert n >= 5
