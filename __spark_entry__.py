@@ -3955,6 +3955,44 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cms_stream_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-maintained Count-Min sketch (streaming/sketches.py):
+    events replay as micro-batches (maxFilesPerTrigger=1 over a
+    multi-file source); each batch appends its delta grid, and the
+    merged grid — a group-by-sum over append-only state — answers the
+    SAME heavy-hitter probe as batch q_cms_heavy_hitters. Linearity
+    makes the merged grid bit-identical to the single-pass grid, so
+    the two queries share one oracle verbatim (_CMS_HH_ORACLE): the
+    mergeability contract, checked value-exact."""
+    import os as _os
+    import uuid as _uuid
+
+    from rat_strain_loader_pipeline_spark.operators.sketch import (
+        count_min_heavy_hitters,
+    )
+    from rat_strain_loader_pipeline_spark.staging import _stage_root
+    from rat_strain_loader_pipeline_spark.streaming.sketches import (
+        maintain_cms_available_now,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id")
+    tag = _uuid.uuid4().hex[:8]
+    src_dir = _os.path.join(_stage_root(), f"cms-src-{tag}")
+    ev.repartition(6).write.parquet(src_dir)
+    grid = maintain_cms_available_now(
+        spark,
+        src_dir,
+        "event_id long, user_id long",
+        _os.path.join(_stage_root(), f"cms-work-{tag}"),
+        "user_id",
+        depth=CMS_DEPTH,
+        width=CMS_WIDTH,
+    )
+    return count_min_heavy_hitters(
+        ev, "user_id", depth=CMS_DEPTH, width=CMS_WIDTH, topn=CMS_TOPN, sketch=grid
+    )
+
+
 def q_k_anonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-anonymity release gate (operators/privacy.py k_anonymize):
     (lang, source) combinations shared by fewer than KANON_K documents
@@ -4438,6 +4476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_join_size": q_cms_join_size,
         "cluster_quota_sample": q_cluster_quota_sample,
         "k_anonymize": q_k_anonymize,
+        "cms_stream_merge": q_cms_stream_merge,
     }
 
 
@@ -4968,6 +5007,47 @@ CMSJ_WIDTH = 1024
 # per kmeans cluster (KMEANS_K/KMEANS_ITERS clustering, shared with
 # kmeans_clusters/semdedup)
 CLUSTER_QUOTA = 20
+
+# One CMS heavy-hitter oracle serves BOTH the batch query and the
+# streaming-merge query (linearity: per-batch grids summed cell-wise
+# == the single-pass grid)
+_CMS_HH_ORACLE = f"""
+    WITH sketch AS (
+      SELECT i, CAST(md5_number_lower(
+               'cms:' || CAST(i AS VARCHAR) || ':'
+               || CAST(user_id AS VARCHAR)) % {CMS_WIDTH} AS BIGINT) AS b,
+             count(*) AS cell
+      FROM events, range({CMS_DEPTH}) t(i)
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT count(*) AS n_total FROM events),
+    top AS (
+      SELECT user_id, count(*) AS exact_n
+      FROM events GROUP BY 1
+      ORDER BY exact_n DESC, user_id LIMIT {CMS_TOPN}
+    ),
+    probes AS (
+      SELECT user_id, exact_n, i,
+             CAST(md5_number_lower(
+               'cms:' || CAST(i AS VARCHAR) || ':'
+               || CAST(user_id AS VARCHAR)) % {CMS_WIDTH} AS BIGINT) AS b
+      FROM top, range({CMS_DEPTH}) t(i)
+    ),
+    est AS (
+      SELECT user_id, exact_n, min(cell) AS est_n
+      FROM probes JOIN sketch USING (i, b)
+      GROUP BY 1, 2
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(exact_n AS BIGINT) AS exact_n,
+           CAST(est_n AS BIGINT) AS est_n,
+           CAST(est_n - exact_n AS BIGINT) AS slack,
+           est_n >= exact_n AS over_ok,
+           (est_n - exact_n)
+             <= ceil({E_OVER_W_NUM!r} / {float(CMS_WIDTH)!r} * n_total)
+             AS bound_ok
+    FROM est, tot
+        """
 
 # k-anonymity (q_k_anonymize): minimum released (lang, source) group
 KANON_K = 10
@@ -8029,44 +8109,12 @@ QUALIFY row_number() OVER (
         # CMS oracle: rebuilds the identical depth x width grid (same
         # md5_number_lower row hashes, bigint counters) and replays the
         # estimate + slack + booleans value-exact — generated from the
-        # SAME CMS_* constants the engine call site uses
-        "cms_heavy_hitters": f"""
-            WITH sketch AS (
-              SELECT i, CAST(md5_number_lower(
-                       'cms:' || CAST(i AS VARCHAR) || ':'
-                       || CAST(user_id AS VARCHAR)) % {CMS_WIDTH} AS BIGINT) AS b,
-                     count(*) AS cell
-              FROM events, range({CMS_DEPTH}) t(i)
-              GROUP BY 1, 2
-            ),
-            tot AS (SELECT count(*) AS n_total FROM events),
-            top AS (
-              SELECT user_id, count(*) AS exact_n
-              FROM events GROUP BY 1
-              ORDER BY exact_n DESC, user_id LIMIT {CMS_TOPN}
-            ),
-            probes AS (
-              SELECT user_id, exact_n, i,
-                     CAST(md5_number_lower(
-                       'cms:' || CAST(i AS VARCHAR) || ':'
-                       || CAST(user_id AS VARCHAR)) % {CMS_WIDTH} AS BIGINT) AS b
-              FROM top, range({CMS_DEPTH}) t(i)
-            ),
-            est AS (
-              SELECT user_id, exact_n, min(cell) AS est_n
-              FROM probes JOIN sketch USING (i, b)
-              GROUP BY 1, 2
-            )
-            SELECT CAST(user_id AS BIGINT) AS user_id,
-                   CAST(exact_n AS BIGINT) AS exact_n,
-                   CAST(est_n AS BIGINT) AS est_n,
-                   CAST(est_n - exact_n AS BIGINT) AS slack,
-                   est_n >= exact_n AS over_ok,
-                   (est_n - exact_n)
-                     <= ceil({E_OVER_W_NUM!r} / {float(CMS_WIDTH)!r} * n_total)
-                     AS bound_ok
-            FROM est, tot
-        """,
+        # SAME CMS_* constants the engine call site uses. The SAME SQL
+        # serves cms_stream_merge: the streaming-maintained grid is
+        # cell-wise-summed per batch, which by linearity equals the
+        # single-pass grid this oracle builds.
+        "cms_stream_merge": _CMS_HH_ORACLE,
+        "cms_heavy_hitters": _CMS_HH_ORACLE,
         "ivf_pq_topk": _ivf_pq_oracle_sql(
             EMB_DIMS,
             KMEANS_K,

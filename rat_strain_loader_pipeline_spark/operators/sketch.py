@@ -58,6 +58,7 @@ def count_min_heavy_hitters(
     depth: int = 3,
     width: int = 64,
     topn: int = 20,
+    sketch: DataFrame | None = None,
 ) -> DataFrame:
     """Estimate the exact top-``topn`` keys against the sketch and
     report the CMS contract per key: (key, exact_n, est_n, slack,
@@ -70,8 +71,14 @@ def count_min_heavy_hitters(
     The candidate set here is the exact top-n (the query is the
     contract demo); a 100 TB deployment feeds whatever candidate
     stream it has — the sketch answers any key in O(depth).
+
+    ``sketch`` may be a prebuilt (i, b, cell) grid (e.g. one maintained
+    incrementally by streaming.sketches) — cell-wise addition is the
+    sketch's merge, so a grid summed from per-batch grids answers
+    identically to one built in a single pass.
     """
-    sketch = count_min_sketch(df, key_col, depth, width)
+    if sketch is None:
+        sketch = count_min_sketch(df, key_col, depth, width)
     exact = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("exact_n"))
     total = df.select(F.count(F.lit(1)).alias("n_total"))
     top = exact.orderBy(F.col("exact_n").desc(), F.col(key_col).asc()).limit(topn)

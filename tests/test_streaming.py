@@ -417,3 +417,26 @@ def test_stream_stream_interval_join_multi_batch_equals_batch(spark, tmp_path):
     assert len(got) > 0
     # every lag respects the interval
     assert all(0 <= t[3] <= 15 * 60 for t in got)
+
+
+def test_streaming_cms_merge_equals_single_pass(spark, tmp_path, sf_dir):
+    """Per-batch delta grids summed cell-wise must be bit-identical to
+    the single-pass sketch (linearity) — across a real multi-batch
+    availableNow replay."""
+    from rat_strain_loader_pipeline_spark.operators.sketch import count_min_sketch
+    from rat_strain_loader_pipeline_spark.streaming.sketches import (
+        maintain_cms_available_now,
+    )
+
+    ev = read_table(spark, sf_dir, "events").select("event_id", "user_id")
+    src = str(tmp_path / "src")
+    ev.repartition(5).write.parquet(src)
+    grid = maintain_cms_available_now(
+        spark, src, "event_id long, user_id long", str(tmp_path / "work"),
+        "user_id", depth=3, width=32,
+    )
+    got = sorted(tuple(r) for r in grid.collect())
+    want = sorted(
+        tuple(r) for r in count_min_sketch(ev, "user_id", 3, 32).collect()
+    )
+    assert got == want
