@@ -3955,6 +3955,43 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-free dataset version id (operators/versioning.py
+    corpus_fingerprint): per source, the modular sum of per-document
+    content hashes (md5-of-text bound to the id, folded through the
+    md5_bucket identity) — commutative/associative, so it's one
+    map-side pass + partial agg at any corpus size, merges across
+    shards, and the oracle replays it value-exact (sums exact in
+    DECIMAL(38,0) / HUGEINT before the bigint fold)."""
+    from rat_strain_loader_pipeline_spark.operators.versioning import (
+        corpus_fingerprint,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return corpus_fingerprint(docs, ["source"])
+
+
+def q_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Version diff accounting (operators/versioning.py dataset_diff):
+    two simulated corpus versions (VDIFF_* derivations — rows added,
+    removed, and edited between v1 and v2) compared by content hash in
+    ONE full-outer join on doc_id — per source: n_added, n_removed,
+    n_changed, n_same. No text crosses the wire twice; the oracle
+    derives the same versions and replays the accounting value-exact."""
+    from rat_strain_loader_pipeline_spark.operators.versioning import dataset_diff
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    v1 = docs.filter(F.col("doc_id") % VDIFF_ADD_MOD != 0)
+    edited = F.when(
+        F.col("doc_id") % VDIFF_EDIT_MOD == 0,
+        F.concat(F.col("text"), F.lit(VDIFF_EDIT_SUFFIX)),
+    ).otherwise(F.col("text"))
+    v2 = docs.filter(F.col("doc_id") % VDIFF_REM_MOD != 0).withColumn(
+        "text", edited
+    )
+    return dataset_diff(v1, v2, ["source"])
+
+
 def q_cms_stream_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming-maintained Count-Min sketch (streaming/sketches.py):
     events replay as micro-batches (maxFilesPerTrigger=1 over a
@@ -4477,6 +4514,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_quota_sample": q_cluster_quota_sample,
         "k_anonymize": q_k_anonymize,
         "cms_stream_merge": q_cms_stream_merge,
+        "corpus_fingerprint": q_corpus_fingerprint,
+        "dataset_diff": q_dataset_diff,
     }
 
 
@@ -5051,6 +5090,15 @@ _CMS_HH_ORACLE = f"""
 
 # k-anonymity (q_k_anonymize): minimum released (lang, source) group
 KANON_K = 10
+
+# Dataset versioning (q_corpus_fingerprint / q_dataset_diff): the two
+# simulated versions derive deterministically from documents — v1
+# lacks doc_id % ADD_MOD == 0 (added later), v2 lacks % REM_MOD == 0
+# (removed), % EDIT_MOD == 0 rows are edited in v2
+VDIFF_ADD_MOD = 7
+VDIFF_REM_MOD = 5
+VDIFF_EDIT_MOD = 11
+VDIFF_EDIT_SUFFIX = " [edited]"
 
 # Approximate-sketch error contracts (q_approx_quantiles /
 # q_approx_distinct): the engine emits envelope booleans; the oracles
@@ -8039,6 +8087,51 @@ QUALIFY row_number() OVER (
                         OR max_y < mny + (mxy - mny) // 4
                         OR min_y > mny + (mxy - mny) // 2) AS box_overlap
             FROM s, b
+        """,
+        # versioning oracles: identical content-hash expression (md5
+        # hex bound to the id, md5_number_lower fold), sums exact in
+        # HUGEINT before the bigint fold; version derivations generated
+        # from the SAME VDIFF_* constants
+        "corpus_fingerprint": f"""
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CAST(md5_number_lower(
+                       'fp:' || CAST(doc_id AS VARCHAR) || ':'
+                       || md5(COALESCE(text, ''))) % {10**15} AS BIGINT))
+                     % {10**15} AS BIGINT) AS fp
+            FROM documents
+            GROUP BY 1
+        """,
+        "dataset_diff": f"""
+            WITH v1 AS (
+              SELECT doc_id, source,
+                     CAST(md5_number_lower(
+                       'fp:' || CAST(doc_id AS VARCHAR) || ':'
+                       || md5(COALESCE(text, ''))) % {10**15} AS BIGINT) AS h
+              FROM documents WHERE doc_id % {VDIFF_ADD_MOD} <> 0
+            ),
+            v2 AS (
+              SELECT doc_id, source,
+                     CAST(md5_number_lower(
+                       'fp:' || CAST(doc_id AS VARCHAR) || ':'
+                       || md5(COALESCE(
+                            CASE WHEN doc_id % {VDIFF_EDIT_MOD} = 0
+                                 THEN text || '{VDIFF_EDIT_SUFFIX}'
+                                 ELSE text END, ''))) % {10**15} AS BIGINT) AS h
+              FROM documents WHERE doc_id % {VDIFF_REM_MOD} <> 0
+            )
+            SELECT COALESCE(v2.source, v1.source) AS source,
+                   CAST(sum(CASE WHEN v1.h IS NULL AND v2.h IS NOT NULL
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+                   CAST(sum(CASE WHEN v1.h IS NOT NULL AND v2.h IS NULL
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+                   CAST(sum(CASE WHEN v1.h IS NOT NULL AND v2.h IS NOT NULL
+                                  AND v1.h <> v2.h
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+                   CAST(sum(CASE WHEN v1.h = v2.h THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_same
+            FROM v1 FULL OUTER JOIN v2 USING (doc_id)
+            GROUP BY 1
         """,
         "k_anonymize": f"""
             WITH counts AS (

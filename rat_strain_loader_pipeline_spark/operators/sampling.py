@@ -40,6 +40,12 @@ def _md5_fold(key: Column, modulus: int) -> Column:
     return acc % modulus
 
 
+def md5_mod(key: Column, modulus: int) -> Column:
+    """``md5_number_lower(key) % modulus`` as a bigint — for moduli
+    past int range (versioning fingerprints use 10^15)."""
+    return _md5_fold(key, modulus)
+
+
 def md5_bucket(key: Column, resolution: int = 10_000) -> Column:
     """``md5_number_lower(key) % resolution`` as an int bucket."""
     return _md5_fold(key, resolution).cast("int")
