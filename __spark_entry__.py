@@ -3955,6 +3955,21 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile + constraint suite (operators/profile.py
+    profile_columns, Deequ-style): ONE scan of lineitem computes every
+    profiled column's completeness/cardinality/range stats as fused
+    parallel aggregates; declared constraints (DQ_CONSTRAINTS — the
+    shared definition the oracle is generated from) evaluate against
+    the staged 1-row stats table for free. Verdicts are pure integer
+    comparisons (null_frac as n_null*1e6 <= frac*n — no float
+    division); numeric ranges in micro-unit bigints."""
+    from rat_strain_loader_pipeline_spark.operators.profile import profile_columns
+
+    li = _t(spark, sf_dir, "lineitem")
+    return profile_columns(li, DQ_PROFILE_COLS, DQ_CONSTRAINTS)
+
+
 def q_corpus_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-free dataset version id (operators/versioning.py
     corpus_fingerprint): per source, the modular sum of per-document
@@ -4516,6 +4531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_stream_merge": q_cms_stream_merge,
         "corpus_fingerprint": q_corpus_fingerprint,
         "dataset_diff": q_dataset_diff,
+        "dq_profile": q_dq_profile,
     }
 
 
@@ -5100,6 +5116,25 @@ VDIFF_REM_MOD = 5
 VDIFF_EDIT_MOD = 11
 VDIFF_EDIT_SUFFIX = " [edited]"
 
+# Data-quality profile (q_dq_profile): the ONE definition of profiled
+# columns + declared constraints — the engine call site consumes the
+# dict directly and _dq_profile_oracle_sql() generates the oracle from
+# it, so both sides move together
+DQ_PROFILE_COLS = (
+    "l_orderkey",
+    "l_quantity",
+    "l_discount",
+    "l_extendedprice",
+    "l_returnflag",
+)
+DQ_NONNUMERIC = frozenset({"l_returnflag"})
+DQ_CONSTRAINTS = {
+    "l_orderkey": {"min_q": 0},
+    "l_quantity": {"min_q": 1_000_000, "max_q": 50_000_000},
+    "l_discount": {"max_q": 100_000},
+    "l_returnflag": {"max_null_frac_micros": 0},
+}
+
 # Approximate-sketch error contracts (q_approx_quantiles /
 # q_approx_distinct): the engine emits envelope booleans; the oracles
 # assert TRUE, so these constants ARE the pinned contract
@@ -5485,6 +5520,47 @@ FROM (SELECT *, row_number() OVER (
       FROM sel)
 WHERE rank <= {topk}
 """
+
+
+def _dq_profile_oracle_sql() -> str:
+    """Per-column profile selects generated from the SAME
+    DQ_PROFILE_COLS / DQ_NONNUMERIC / DQ_CONSTRAINTS the engine call
+    site uses — identical integer constraint arithmetic (null_frac as
+    n_null*1e6 <= frac*n; micro-unit range bounds)."""
+    selects = []
+    for c in DQ_PROFILE_COLS:
+        numeric = c not in DQ_NONNUMERIC
+        q = f"floor(CAST({c} AS DOUBLE) * 1000000)"
+        min_q = f"CAST(min({q}) AS BIGINT)" if numeric else "CAST(NULL AS BIGINT)"
+        max_q = f"CAST(max({q}) AS BIGINT)" if numeric else "CAST(NULL AS BIGINT)"
+        checks = ["TRUE"]
+        spec = DQ_CONSTRAINTS.get(c, {})
+        if "max_null_frac_micros" in spec:
+            checks.append(
+                f"sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) * 1000000 "
+                f"<= {int(spec['max_null_frac_micros'])} * count(*)"
+            )
+        if spec.get("unique"):
+            checks.append(
+                f"count(DISTINCT {c}) "
+                f"+ sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) = count(*)"
+            )
+        if "min_q" in spec:
+            checks.append(f"min({q}) >= {int(spec['min_q'])}")
+        if "max_q" in spec:
+            checks.append(f"max({q}) <= {int(spec['max_q'])}")
+        passed = " AND ".join(checks)
+        selects.append(
+            f"""SELECT '{c}' AS col,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       {min_q} AS min_q,
+       {max_q} AS max_q,
+       {passed} AS passed
+FROM lineitem"""
+        )
+    return "\nUNION ALL\n".join(selects)
 
 
 def _quantize_oracle_sql(levels: int) -> str:
@@ -8088,6 +8164,7 @@ QUALIFY row_number() OVER (
                         OR min_y > mny + (mxy - mny) // 2) AS box_overlap
             FROM s, b
         """,
+        "dq_profile": _dq_profile_oracle_sql(),
         # versioning oracles: identical content-hash expression (md5
         # hex bound to the id, md5_number_lower fold), sums exact in
         # HUGEINT before the bigint fold; version derivations generated

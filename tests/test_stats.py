@@ -40,3 +40,40 @@ def test_value_histogram_nan_excluded(spark):
     out = value_histogram(df, "value", n_bins=2).orderBy("bin").collect()
     assert [(r["bin"], r["n"]) for r in out] == [(0, 1), (1, 1)]
     assert out[-1]["bin_hi_micros"] == 10_000_000
+
+
+def test_dq_profile_constraints_and_single_scan(spark):
+    from rat_strain_loader_pipeline_spark.operators.profile import profile_columns
+
+    rows = [
+        (1, 10.0, "a"),
+        (2, 20.0, "a"),
+        (3, None, None),
+        (4, 200.0, "b"),
+    ]
+    df = spark.createDataFrame(rows, "id long, v double, s string")
+    out = {
+        r["col"]: r
+        for r in profile_columns(
+            df,
+            ("id", "v", "s"),
+            {
+                "id": {"unique": True, "min_q": 1_000_000},
+                "v": {"max_q": 100_000_000},          # fails: 200.0
+                "s": {"max_null_frac_micros": 500_000},  # 1/4 null, passes
+            },
+        ).collect()
+    }
+    assert out["id"]["passed"] and out["id"]["n_distinct"] == 4
+    assert not out["v"]["passed"]
+    assert out["v"]["n_null"] == 1
+    assert out["v"]["min_q"] == 10_000_000 and out["v"]["max_q"] == 200_000_000
+    assert out["s"]["passed"] and out["s"]["min_q"] is None
+    # exactly-at-threshold null fraction passes (integer comparison)
+    out2 = {
+        r["col"]: r
+        for r in profile_columns(
+            df, ("v",), {"v": {"max_null_frac_micros": 250_000}}
+        ).collect()
+    }
+    assert out2["v"]["passed"]
