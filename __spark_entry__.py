@@ -3955,6 +3955,31 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN recall audit (operators/quantize.py ivf_pq_recall): the
+    IVF-PQ index's top-PQADC_TOPK (same constants as ivf_pq_topk)
+    intersected per query with the EXACT squared-L2 top-k over the
+    same micro-unit integers — the deterministic quality number
+    (quantization + routing loss) an index deployment gates on. The
+    oracle reuses the shared IVF-PQ CTE chain plus an exact-topk CTE,
+    value-exact."""
+    from rat_strain_loader_pipeline_spark.operators.quantize import ivf_pq_recall
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_pq_recall(
+        emb.filter(F.col("vec_id") < PQADC_QUERIES),
+        emb,
+        dims=EMB_DIMS,
+        coarse_k=KMEANS_K,
+        coarse_iters=IVFPQ_COARSE_ITERS,
+        m=PQ_M,
+        k=PQ_K,
+        iters=PQ_ITERS,
+        nprobe=IVFPQ_NPROBE,
+        topk=PQADC_TOPK,
+    )
+
+
 def q_dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality profile + constraint suite (operators/profile.py
     profile_columns, Deequ-style): ONE scan of lineitem computes every
@@ -4532,6 +4557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_fingerprint": q_corpus_fingerprint,
         "dataset_diff": q_dataset_diff,
         "dq_profile": q_dq_profile,
+        "ann_recall": q_ann_recall,
     }
 
 
@@ -5445,7 +5471,7 @@ WHERE rank <= {topk}
 """
 
 
-def _ivf_pq_oracle_sql(
+def _ivf_pq_ctes_sql(
     dims: int,
     coarse_k: int,
     coarse_iters: int,
@@ -5454,15 +5480,17 @@ def _ivf_pq_oracle_sql(
     iters: int,
     n_queries: int,
     nprobe: int,
-    topk: int,
 ) -> str:
-    """IVF-PQ oracle: one coarse unrolled-kmeans chain (``cv_``) over
-    the full vectors gives the inverted lists (cv_a{I}) and the
-    routing centroids (cv_c{I-1}); a probe CTE keeps each query's
-    nprobe nearest lists ((d, j) ties, matching the engine's
-    row_number over (d, j)); candidates are list members; then the
-    exact pq_adc per-subspace chains + LUTs score only candidates.
-    Generated from the SAME constants the engine call site passes."""
+    """The shared IVF-PQ CTE chain ending in ``sel(q_id, c_id,
+    adist_q)``: one coarse unrolled-kmeans chain (``cv_``) over the
+    full vectors gives the inverted lists (cv_a{I}) and the routing
+    centroids (cv_c{I-1}); a probe CTE keeps each query's nprobe
+    nearest lists ((d, j) ties, matching the engine's row_number over
+    (d, j)); candidates are list members; then the exact pq_adc
+    per-subspace chains + LUTs score only candidates. Consumed by the
+    ivf_pq_topk oracle (rank cutoff) and the ann_recall oracle
+    (exact-vs-approx intersection). Generated from the SAME constants
+    the engine call sites pass."""
     d = dims // m
     coarse = _kmeans_ctes_sql(coarse_k, coarse_iters, prefix="cv_")
     chains = ",\n".join(
@@ -5489,7 +5517,7 @@ def _ivf_pq_oracle_sql(
         for s in range(m)
     )
     adist = " + ".join(f"l{s}.d" for s in range(m))
-    return f"""WITH {coarse},
+    return f"""{coarse},
 {chains},
 {luts},
 cprobe AS (
@@ -5510,7 +5538,24 @@ cand AS (
 sel AS (
   SELECT cand.q_id, cand.c_id, {adist} AS adist_q
   FROM cand{code_joins}{lut_joins}
-)
+)"""
+
+
+def _ivf_pq_oracle_sql(
+    dims: int,
+    coarse_k: int,
+    coarse_iters: int,
+    m: int,
+    k: int,
+    iters: int,
+    n_queries: int,
+    nprobe: int,
+    topk: int,
+) -> str:
+    ctes = _ivf_pq_ctes_sql(
+        dims, coarse_k, coarse_iters, m, k, iters, n_queries, nprobe
+    )
+    return f"""WITH {ctes}
 SELECT CAST(q_id AS BIGINT) AS q_id,
        CAST(c_id AS BIGINT) AS c_id,
        CAST(rank AS BIGINT) AS rank,
@@ -5519,6 +5564,54 @@ FROM (SELECT *, row_number() OVER (
         PARTITION BY q_id ORDER BY adist_q, c_id) AS rank
       FROM sel)
 WHERE rank <= {topk}
+"""
+
+
+def _ann_recall_oracle_sql(
+    dims: int,
+    coarse_k: int,
+    coarse_iters: int,
+    m: int,
+    k: int,
+    iters: int,
+    n_queries: int,
+    nprobe: int,
+    topk: int,
+) -> str:
+    """Recall@k of IVF-PQ against the EXACT squared-L2 top-k over the
+    same micro-unit integers (cv_ex is the full-vector explode the
+    coarse chain already exposes). Per query: |approx ∩ exact| —
+    deterministic, so value-exact."""
+    ctes = _ivf_pq_ctes_sql(
+        dims, coarse_k, coarse_iters, m, k, iters, n_queries, nprobe
+    )
+    return f"""WITH {ctes},
+approx AS (
+  SELECT q_id, c_id
+  FROM (SELECT *, row_number() OVER (
+          PARTITION BY q_id ORDER BY adist_q, c_id) AS rank
+        FROM sel)
+  WHERE rank <= {topk}
+),
+exd AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         sum((q.xq - c.xq) * (q.xq - c.xq)) AS d
+  FROM cv_ex q JOIN cv_ex c ON q.dim = c.dim
+  WHERE q.vec_id < {n_queries}
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT q_id, c_id
+  FROM (SELECT *, row_number() OVER (
+          PARTITION BY q_id ORDER BY d, c_id) AS rk
+        FROM exd)
+  WHERE rk <= {topk}
+)
+SELECT CAST(exact.q_id AS BIGINT) AS q_id,
+       CAST(count(approx.c_id) AS BIGINT) AS n_hits
+FROM exact LEFT JOIN approx
+  ON exact.q_id = approx.q_id AND exact.c_id = approx.c_id
+GROUP BY 1
 """
 
 
@@ -8285,6 +8378,17 @@ QUALIFY row_number() OVER (
         # single-pass grid this oracle builds.
         "cms_stream_merge": _CMS_HH_ORACLE,
         "cms_heavy_hitters": _CMS_HH_ORACLE,
+        "ann_recall": _ann_recall_oracle_sql(
+            EMB_DIMS,
+            KMEANS_K,
+            IVFPQ_COARSE_ITERS,
+            PQ_M,
+            PQ_K,
+            PQ_ITERS,
+            PQADC_QUERIES,
+            IVFPQ_NPROBE,
+            PQADC_TOPK,
+        ),
         "ivf_pq_topk": _ivf_pq_oracle_sql(
             EMB_DIMS,
             KMEANS_K,

@@ -334,3 +334,84 @@ def ivf_pq_topk(
         .filter(F.col("rank") <= topk)
         .select("q_id", "c_id", F.col("rank").cast("long").alias("rank"), "adist_q")
     )
+
+
+def ivf_pq_recall(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dims: int,
+    coarse_k: int = 8,
+    coarse_iters: int = 2,
+    m: int = 2,
+    k: int = 8,
+    iters: int = 2,
+    nprobe: int = 3,
+    topk: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k audit of the IVF-PQ index against the exact squared-L2
+    top-k over the same micro-unit integers — the evaluation loop an
+    ANN deployment runs before trusting an index (and after every
+    re-train/nprobe change). Deterministic end-to-end, so the oracle
+    replays the measured recall value-exact; the measured loss
+    decomposes into quantization error (ADC vs exact) and routing loss
+    (unprobed lists), the two published IVF-PQ trade-offs.
+
+    100 TB shape: the approx side is ``ivf_pq_topk`` unchanged; the
+    exact side broadcasts the query batch's exploded micros into one
+    map-side join + partial-agg distance pass over the corpus — the
+    brute-force cost is queries x corpus, which is exactly why it's
+    run on an audit BATCH, not the full query stream.
+
+    Returns (q_id, n_hits): |approx top-k ∩ exact top-k| per query.
+    """
+    from pyspark.sql.window import Window
+
+    from rat_strain_loader_pipeline_spark.operators.clustering import MICROS
+
+    def micros(df: DataFrame, out_id: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(out_id), F.posexplode(vec_col).alias("dim", "x")
+        ).select(
+            out_id,
+            "dim",
+            F.floor(F.col("x").cast("double") * MICROS).cast("long").alias("xq"),
+        )
+
+    approx = ivf_pq_topk(
+        queries,
+        corpus,
+        dims,
+        coarse_k=coarse_k,
+        coarse_iters=coarse_iters,
+        m=m,
+        k=k,
+        iters=iters,
+        nprobe=nprobe,
+        topk=topk,
+        id_col=id_col,
+        vec_col=vec_col,
+    ).select("q_id", "c_id", F.lit(1).alias("hit"))
+    qm = micros(queries, "q_id").withColumnRenamed("xq", "xq_q")
+    cm = micros(corpus, "c_id")
+    exd = (
+        cm.join(F.broadcast(qm), "dim")
+        .groupBy("q_id", "c_id")
+        .agg(
+            F.sum(
+                (F.col("xq_q") - F.col("xq")) * (F.col("xq_q") - F.col("xq"))
+            ).alias("d")
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy("d", "c_id")
+    exact = (
+        exd.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= topk)
+        .select("q_id", "c_id")
+    )
+    return (
+        exact.join(approx, ["q_id", "c_id"], "left")
+        .groupBy("q_id")
+        .agg(F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_hits"))
+    )

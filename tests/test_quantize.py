@@ -165,3 +165,27 @@ def test_pq_adc_self_distance_matches_pq_codes(spark, sf_dir):
     # ranks are a permutation 1..n per query
     ranks = [r["rank"] for r in adc.filter(F.col("q_id") == 0).collect()]
     assert sorted(ranks) == list(range(1, n + 1))
+
+
+def test_ivf_pq_recall_monotone_in_nprobe(spark, sf_dir):
+    """Probing every list removes routing loss, so recall@k with
+    nprobe=coarse_k must dominate nprobe=1 per query; hits are
+    bounded by k."""
+    from rat_strain_loader_pipeline_spark.operators.quantize import ivf_pq_recall
+    from rat_strain_loader_pipeline_spark.sources.tables import read_table
+    from pyspark.sql import functions as F2
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F2.col("vec_id") < 5)
+    kw = dict(dims=64, coarse_k=4, coarse_iters=2, m=2, k=4, iters=2, topk=3)
+    r_all = {
+        r["q_id"]: r["n_hits"]
+        for r in ivf_pq_recall(q, emb, nprobe=4, **kw).collect()
+    }
+    r_one = {
+        r["q_id"]: r["n_hits"]
+        for r in ivf_pq_recall(q, emb, nprobe=1, **kw).collect()
+    }
+    assert set(r_all) == set(r_one) and len(r_all) == 5
+    for qid in r_all:
+        assert 0 <= r_one[qid] <= r_all[qid] <= 3
