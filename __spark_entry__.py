@@ -3980,6 +3980,56 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_pq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual-encoded IVF-PQ search (operators/quantize.py
+    ivf_pq_topk_residual — the FAISS by_residual=true default): PQ
+    codebooks train on (vector - assigned coarse centroid), spending
+    their bits on within-list geometry; LUTs are per (query, probed
+    list) residuals. Same constants as ivf_pq_topk, so the two
+    variants and their recall audits compare directly. All-bigint;
+    the oracle mirrors every stage via the residual CTE chain."""
+    from rat_strain_loader_pipeline_spark.operators.quantize import (
+        ivf_pq_topk_residual,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_pq_topk_residual(
+        emb.filter(F.col("vec_id") < PQADC_QUERIES),
+        emb,
+        dims=EMB_DIMS,
+        coarse_k=KMEANS_K,
+        coarse_iters=IVFPQ_COARSE_ITERS,
+        m=PQ_M,
+        k=PQ_K,
+        iters=PQ_ITERS,
+        nprobe=IVFPQ_NPROBE,
+        topk=PQADC_TOPK,
+    )
+
+
+def q_ann_recall_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k audit of the RESIDUAL IVF-PQ index (same audit as
+    q_ann_recall, residual encoding) — the measured recall lift of
+    residual over raw encoding at identical storage/ADC cost is the
+    published reason by_residual is the FAISS default."""
+    from rat_strain_loader_pipeline_spark.operators.quantize import ivf_pq_recall
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_pq_recall(
+        emb.filter(F.col("vec_id") < PQADC_QUERIES),
+        emb,
+        dims=EMB_DIMS,
+        coarse_k=KMEANS_K,
+        coarse_iters=IVFPQ_COARSE_ITERS,
+        m=PQ_M,
+        k=PQ_K,
+        iters=PQ_ITERS,
+        nprobe=IVFPQ_NPROBE,
+        topk=PQADC_TOPK,
+        residual=True,
+    )
+
+
 def q_dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality profile + constraint suite (operators/profile.py
     profile_columns, Deequ-style): ONE scan of lineitem computes every
@@ -4558,6 +4608,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_diff": q_dataset_diff,
         "dq_profile": q_dq_profile,
         "ann_recall": q_ann_recall,
+        "ivf_pq_residual_topk": q_ivf_pq_residual_topk,
+        "ann_recall_residual": q_ann_recall_residual,
     }
 
 
@@ -5287,7 +5339,11 @@ def _span_removal_oracle_sql(
 
 
 def _kmeans_ctes_sql(
-    k: int, iters: int, prefix: str = "", vec_sql: str = "embedding"
+    k: int,
+    iters: int,
+    prefix: str = "",
+    vec_sql: str = "embedding",
+    ex_sql: str | None = None,
 ) -> str:
     """Unrolled Lloyd's rounds as a CTE chain (the pagerank pattern),
     generated from the SAME (k, iters) the engine call sites use.
@@ -5301,13 +5357,14 @@ def _kmeans_ctes_sql(
     expression to cluster on (e.g. a 1-based inclusive list slice
     ``embedding[1:32]`` — the oracle twin of ``F.slice``)."""
     p = prefix
-    ctes = [
-        f"""{p}ex AS (
+    ex_body = ex_sql or f"""
   SELECT vec_id, d - 1 AS dim,
          CAST(floor(CAST(e AS DOUBLE) * 1000000) AS BIGINT) AS xq
   FROM (SELECT vec_id, unnest({vec_sql}) AS e,
                generate_subscripts({vec_sql}, 1) AS d
-        FROM embeddings)
+        FROM embeddings)"""
+    ctes = [
+        f"""{p}ex AS ({ex_body}
 )""",
         f"""{p}seeds AS (
   SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS j
@@ -5541,6 +5598,93 @@ sel AS (
 )"""
 
 
+def _ivf_pq_residual_ctes_sql(
+    dims: int,
+    coarse_k: int,
+    coarse_iters: int,
+    m: int,
+    k: int,
+    iters: int,
+    n_queries: int,
+    nprobe: int,
+) -> str:
+    """Residual-encoded IVF-PQ CTE chain ending in ``sel(q_id, c_id,
+    adist_q)``: the coarse chain plus a residual CTE (vector minus its
+    ASSIGNED centroid); the per-subspace codebook chains consume
+    residual slices via the _kmeans_ctes_sql ex_sql override; LUTs are
+    per (query, probed list) residuals against the codebook. Mirrors
+    operators/quantize.py ivf_pq_topk_residual stage for stage."""
+    d = dims // m
+    ci = coarse_iters
+    coarse = _kmeans_ctes_sql(coarse_k, coarse_iters, prefix="cv_")
+    resid = f"""resid AS (
+  SELECT e.vec_id, e.dim, e.xq - c.c AS rq
+  FROM cv_ex e
+  JOIN cv_a{ci} a ON e.vec_id = a.vec_id
+  JOIN cv_c{ci - 1} c ON a.j = c.j AND e.dim = c.dim
+)"""
+    chains = ",\n".join(
+        _kmeans_ctes_sql(
+            k,
+            iters,
+            prefix=f"s{s}_",
+            ex_sql=(
+                f"\n  SELECT vec_id, dim - {s * d} AS dim, rq AS xq FROM resid"
+                f"\n  WHERE dim >= {s * d} AND dim < {(s + 1) * d}"
+            ),
+        )
+        for s in range(m)
+    )
+    luts = ",\n".join(
+        f"""lut{s} AS (
+  SELECT q.q_id, q.jc, cb.j, sum((q.rq - cb.c) * (q.rq - cb.c)) AS dd
+  FROM (SELECT q_id, jc, dim - {s * d} AS dim, rq FROM qresid
+        WHERE dim >= {s * d} AND dim < {(s + 1) * d}) q
+  JOIN s{s}_c{iters - 1} cb ON q.dim = cb.dim
+  GROUP BY 1, 2, 3
+)"""
+        for s in range(m)
+    )
+    code_joins = "".join(
+        f" JOIN s{s}_a{iters} a{s} ON a{s}.vec_id = cand.c_id" for s in range(m)
+    )
+    lut_joins = "".join(
+        f" JOIN lut{s} l{s} ON l{s}.q_id = cand.q_id AND l{s}.jc = cand.jc"
+        f" AND l{s}.j = a{s}.j"
+        for s in range(m)
+    )
+    adist = " + ".join(f"l{s}.dd" for s in range(m))
+    return f"""{coarse},
+{resid},
+{chains},
+cprobe AS (
+  SELECT qx.vec_id AS q_id, c.j,
+         sum((qx.xq - c.c) * (qx.xq - c.c)) AS d
+  FROM cv_ex qx JOIN cv_c{ci - 1} c ON qx.dim = c.dim
+  WHERE qx.vec_id < {n_queries}
+  GROUP BY 1, 2
+),
+probe AS (
+  SELECT q_id, j AS jc FROM cprobe
+  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY d, j) <= {nprobe}
+),
+qresid AS (
+  SELECT e.vec_id AS q_id, probe.jc, e.dim, e.xq - c.c AS rq
+  FROM cv_ex e
+  JOIN probe ON e.vec_id = probe.q_id
+  JOIN cv_c{ci - 1} c ON probe.jc = c.j AND e.dim = c.dim
+),
+{luts},
+cand AS (
+  SELECT probe.q_id, cv.vec_id AS c_id, probe.jc
+  FROM cv_a{ci} cv JOIN probe ON cv.j = probe.jc
+),
+sel AS (
+  SELECT cand.q_id, cand.c_id, {adist} AS adist_q
+  FROM cand{code_joins}{lut_joins}
+)"""
+
+
 def _ivf_pq_oracle_sql(
     dims: int,
     coarse_k: int,
@@ -5551,8 +5695,10 @@ def _ivf_pq_oracle_sql(
     n_queries: int,
     nprobe: int,
     topk: int,
+    residual: bool = False,
 ) -> str:
-    ctes = _ivf_pq_ctes_sql(
+    gen = _ivf_pq_residual_ctes_sql if residual else _ivf_pq_ctes_sql
+    ctes = gen(
         dims, coarse_k, coarse_iters, m, k, iters, n_queries, nprobe
     )
     return f"""WITH {ctes}
@@ -5577,12 +5723,14 @@ def _ann_recall_oracle_sql(
     n_queries: int,
     nprobe: int,
     topk: int,
+    residual: bool = False,
 ) -> str:
     """Recall@k of IVF-PQ against the EXACT squared-L2 top-k over the
     same micro-unit integers (cv_ex is the full-vector explode the
     coarse chain already exposes). Per query: |approx ∩ exact| —
     deterministic, so value-exact."""
-    ctes = _ivf_pq_ctes_sql(
+    gen = _ivf_pq_residual_ctes_sql if residual else _ivf_pq_ctes_sql
+    ctes = gen(
         dims, coarse_k, coarse_iters, m, k, iters, n_queries, nprobe
     )
     return f"""WITH {ctes},
@@ -8399,6 +8547,30 @@ QUALIFY row_number() OVER (
             PQADC_QUERIES,
             IVFPQ_NPROBE,
             PQADC_TOPK,
+        ),
+        "ivf_pq_residual_topk": _ivf_pq_oracle_sql(
+            EMB_DIMS,
+            KMEANS_K,
+            IVFPQ_COARSE_ITERS,
+            PQ_M,
+            PQ_K,
+            PQ_ITERS,
+            PQADC_QUERIES,
+            IVFPQ_NPROBE,
+            PQADC_TOPK,
+            residual=True,
+        ),
+        "ann_recall_residual": _ann_recall_oracle_sql(
+            EMB_DIMS,
+            KMEANS_K,
+            IVFPQ_COARSE_ITERS,
+            PQ_M,
+            PQ_K,
+            PQ_ITERS,
+            PQADC_QUERIES,
+            IVFPQ_NPROBE,
+            PQADC_TOPK,
+            residual=True,
         ),
         # sketch-contract oracles: the approximate values are sketch-
         # dependent by design, so the oracle pins the exact invariants

@@ -349,6 +349,7 @@ def ivf_pq_recall(
     topk: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    residual: bool = False,
 ) -> DataFrame:
     """Recall@k audit of the IVF-PQ index against the exact squared-L2
     top-k over the same micro-unit integers — the evaluation loop an
@@ -379,7 +380,8 @@ def ivf_pq_recall(
             F.floor(F.col("x").cast("double") * MICROS).cast("long").alias("xq"),
         )
 
-    approx = ivf_pq_topk(
+    search = ivf_pq_topk_residual if residual else ivf_pq_topk
+    approx = search(
         queries,
         corpus,
         dims,
@@ -414,4 +416,135 @@ def ivf_pq_recall(
         exact.join(approx, ["q_id", "c_id"], "left")
         .groupBy("q_id")
         .agg(F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_hits"))
+    )
+
+
+def ivf_pq_topk_residual(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dims: int,
+    coarse_k: int = 8,
+    coarse_iters: int = 2,
+    m: int = 2,
+    k: int = 8,
+    iters: int = 2,
+    nprobe: int = 3,
+    topk: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Residual-encoded IVF-PQ (the FAISS default, by_residual=true):
+    PQ codebooks train on (vector - assigned coarse centroid), so the
+    codes spend their bits on the WITHIN-list geometry instead of
+    re-describing which list the vector sits in — the standard recall
+    lift over raw encoding at identical storage/ADC cost (compare
+    q_ann_recall vs q_ann_recall_residual).
+
+    Stages, all bigint micro-units end-to-end:
+    1. coarse ``kmeans_fit`` -> inverted lists + routing centroids;
+    2. corpus residuals (one join against the K x dims centroid
+       table), PQ codebooks via ONE ``kmeans_fit_grouped`` run over
+       the m subspace slices of the residuals;
+    3. per (query, probed list) residual LUTs: the query's residual
+       AGAINST THAT LIST's centroid scored against each codebook entry
+       — (queries x nprobe x m x k) rows, broadcast at any scale;
+    4. ADC joins candidates' (list, code) pairs to the matching LUT
+       rows; top-k per query, ascending-id ties.
+
+    Returns (q_id, c_id, rank, adist_q).
+    """
+    from pyspark.sql.window import Window
+
+    from rat_strain_loader_pipeline_spark.operators.clustering import (
+        MICROS,
+        kmeans_fit,
+        kmeans_fit_grouped,
+    )
+    from rat_strain_loader_pipeline_spark.staging import stage_to_parquet
+
+    d, rem = divmod(dims, m)
+    if rem:
+        raise ValueError(f"dims={dims} not divisible by m={m}")
+
+    def micros(df: DataFrame, out_id: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(out_id), F.posexplode(vec_col).alias("dim", "x")
+        ).select(
+            out_id,
+            "dim",
+            F.floor(F.col("x").cast("double") * MICROS).cast("long").alias("xq"),
+        )
+
+    coarse_assign, coarse_cent = kmeans_fit(
+        corpus, k=coarse_k, iters=coarse_iters, id_col=id_col, vec_col=vec_col
+    )
+    lists = coarse_assign.select(F.col(id_col), F.col("j").alias("jc"))
+    # corpus residuals against the assigned centroid, sliced to subspaces
+    resid = (
+        micros(corpus, id_col)
+        .join(lists, id_col)
+        .join(
+            coarse_cent.select(F.col("j").alias("jc"), "dim", "c"), ["jc", "dim"]
+        )
+        .select(id_col, "dim", (F.col("xq") - F.col("c")).alias("rq"))
+    )
+    grouped = resid.select(
+        id_col,
+        (F.col("dim") / d).cast("int").alias("g"),
+        (F.col("dim") % d).alias("dim"),
+        F.col("rq").alias("xq"),
+    )
+    codes, codebook = kmeans_fit_grouped(grouped, k=k, iters=iters, id_col=id_col)
+
+    # query routing: nprobe nearest coarse centroids
+    qm = stage_to_parquet(micros(queries, "q_id"), "ivfpqr-qm")
+    qrout = (
+        qm.join(coarse_cent, "dim")
+        .groupBy("q_id", "j")
+        .agg(F.sum((F.col("xq") - F.col("c")) * (F.col("xq") - F.col("c"))).alias("dd"))
+    )
+    wp = Window.partitionBy("q_id").orderBy("dd", "j")
+    probe = (
+        qrout.withColumn("pr", F.row_number().over(wp))
+        .filter(F.col("pr") <= nprobe)
+        .select("q_id", F.col("j").alias("jc"))
+    )
+    # per (query, probed list) residuals -> LUT against the codebook
+    qresid = (
+        qm.join(F.broadcast(probe), "q_id")
+        .join(
+            coarse_cent.select(F.col("j").alias("jc"), "dim", "c"), ["jc", "dim"]
+        )
+        .select(
+            "q_id",
+            "jc",
+            (F.col("dim") / d).cast("int").alias("g"),
+            (F.col("dim") % d).alias("dim"),
+            (F.col("xq") - F.col("c")).alias("rq"),
+        )
+    )
+    lut = stage_to_parquet(
+        qresid.join(codebook, ["g", "dim"])
+        .groupBy("q_id", "jc", "g", "j")
+        .agg(F.sum((F.col("rq") - F.col("c")) * (F.col("rq") - F.col("c"))).alias("dd")),
+        "ivfpqr-lut",
+    )
+    cand = (
+        lists.select(F.col(id_col).alias("c_id"), "jc")
+        .join(F.broadcast(probe), "jc")
+        .select("q_id", "c_id", "jc")
+    )
+    adc = (
+        cand.join(
+            codes.select(F.col(id_col).alias("c_id"), "g", "j"), "c_id"
+        )
+        .join(F.broadcast(lut), ["q_id", "jc", "g", "j"])
+        .groupBy("q_id", "c_id")
+        .agg(F.sum("dd").alias("adist_q"))
+    )
+    w = Window.partitionBy("q_id").orderBy("adist_q", "c_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select("q_id", "c_id", F.col("rank").cast("long").alias("rank"), "adist_q")
     )

@@ -478,3 +478,14 @@ def test_bloom_bits_join_in_as_broadcast(spark, sf_dir, queries):
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_ivf_pq_residual_luts_broadcast(spark, sf_dir, queries):
+    """Residual search must keep the (query x probed-list x codebook)
+    LUT and probe tables broadcast — corpus touched only through its
+    staged coarse assignment and residual codes."""
+    plan = _plan(queries["ivf_pq_residual_topk"](spark, sf_dir))
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "ivfpqr-lut" in plan

@@ -189,3 +189,30 @@ def test_ivf_pq_recall_monotone_in_nprobe(spark, sf_dir):
     assert set(r_all) == set(r_one) and len(r_all) == 5
     for qid in r_all:
         assert 0 <= r_one[qid] <= r_all[qid] <= 3
+
+
+def test_ivf_pq_residual_partition_invariant(spark, sf_dir):
+    from rat_strain_loader_pipeline_spark.operators.quantize import (
+        ivf_pq_topk_residual,
+    )
+    from rat_strain_loader_pipeline_spark.sources.tables import read_table
+    from pyspark.sql import functions as F2
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F2.col("vec_id") < 4)
+    kw = dict(dims=64, coarse_k=4, coarse_iters=2, m=2, k=4, iters=2,
+              nprobe=2, topk=3)
+    a = sorted(tuple(r) for r in ivf_pq_topk_residual(q, emb.coalesce(1), **kw).collect())
+    b = sorted(
+        tuple(r)
+        for r in ivf_pq_topk_residual(
+            q, emb.repartition(9, F2.col("vec_id") % 4), **kw
+        ).collect()
+    )
+    assert a == b
+    assert len(a) == 4 * 3
+    # ranks are 1..topk per query
+    ranks = {}
+    for qid, cid, rank, dist in a:
+        ranks.setdefault(qid, []).append(rank)
+    assert all(sorted(v) == [1, 2, 3] for v in ranks.values())
