@@ -3980,6 +3980,33 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed triangle counting (operators/graph.py
+    triangle_count) over the part co-occurrence graph (parts sharing a
+    lineitem order, deduped): degree-ordered orientation bounds the
+    wedge join at O(m^1.5) — the hub-proof shape that survives
+    power-law graphs at scale, vs the naive Σ deg² wedge explosion.
+    Every comparison is packed-bigint integer arithmetic; the oracle
+    replays orientation, wedges, and closures value-exact."""
+    from rat_strain_loader_pipeline_spark.operators.graph import triangle_count
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % TRI_ORDER_MOD == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    l2 = li.select(
+        F.col("l_orderkey"), F.col("l_partkey").alias("pk2")
+    )
+    edges = (
+        li.join(l2, "l_orderkey")
+        .filter(F.col("l_partkey") < F.col("pk2"))
+        .select(F.col("l_partkey").alias("a"), F.col("pk2").alias("b"))
+        .distinct()
+    )
+    return triangle_count(edges)
+
+
 def q_ivf_pq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Residual-encoded IVF-PQ search (operators/quantize.py
     ivf_pq_topk_residual — the FAISS by_residual=true default): PQ
@@ -4610,6 +4637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": q_ann_recall,
         "ivf_pq_residual_topk": q_ivf_pq_residual_topk,
         "ann_recall_residual": q_ann_recall_residual,
+        "triangle_count": q_triangle_count,
     }
 
 
@@ -5184,6 +5212,12 @@ _CMS_HH_ORACLE = f"""
 
 # k-anonymity (q_k_anonymize): minimum released (lang, source) group
 KANON_K = 10
+
+# Triangle counting (q_triangle_count): the co-occurrence graph over
+# ALL orders is dense (avg degree ~120 at sf0.1 — 72M oriented
+# wedges); the audit runs on the 1-in-TRI_ORDER_MOD order sample,
+# which keeps every sampled order's clique structure intact
+TRI_ORDER_MOD = 8
 
 # Dataset versioning (q_corpus_fingerprint / q_dataset_diff): the two
 # simulated versions derive deterministically from documents — v1
@@ -8406,6 +8440,43 @@ QUALIFY row_number() OVER (
             FROM s, b
         """,
         "dq_profile": _dq_profile_oracle_sql(),
+        # triangle oracle: identical degree-ordered orientation (the
+        # same deg*2^32+id packed key), wedge enumeration, and closure
+        "triangle_count": f"""
+            WITH e AS (
+              SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+              FROM lineitem l1 JOIN lineitem l2
+                ON l1.l_orderkey = l2.l_orderkey
+               AND l1.l_partkey < l2.l_partkey
+              WHERE l1.l_orderkey % {TRI_ORDER_MOD} = 0
+            ),
+            bd AS (
+              SELECT a AS v, b AS w FROM e
+              UNION ALL
+              SELECT b AS v, a AS w FROM e
+            ),
+            deg AS (SELECT v, count(*) AS deg FROM bd GROUP BY 1),
+            o AS (
+              SELECT bd.v, bd.w,
+                     d1.deg * 4294967296 + bd.v AS ov,
+                     d2.deg * 4294967296 + bd.w AS ow
+              FROM bd
+              JOIN deg d1 ON bd.v = d1.v
+              JOIN deg d2 ON bd.w = d2.v
+            ),
+            k AS (SELECT v, w, ow FROM o WHERE ov < ow),
+            wedges AS (
+              SELECT k1.w AS b, k2.w AS c
+              FROM k k1 JOIN k k2 ON k1.v = k2.v AND k1.ow < k2.ow
+            ),
+            closed AS (
+              SELECT 1 AS one
+              FROM wedges JOIN k ON wedges.b = k.v AND wedges.c = k.w
+            )
+            SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+                   (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+                   (SELECT CAST(count(*) AS BIGINT) FROM closed) AS n_triangles
+        """,
         # versioning oracles: identical content-hash expression (md5
         # hex bound to the id, md5_number_lower fold), sums exact in
         # HUGEINT before the bigint fold; version derivations generated

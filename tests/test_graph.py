@@ -43,3 +43,18 @@ def test_pagerank_stage_cadence_invariant(spark):
     a = {r["node"]: r["rank_micros"] for r in pagerank_micros(df, stage_every=1).collect()}
     b = {r["node"]: r["rank_micros"] for r in pagerank_micros(df, stage_every=100).collect()}
     assert a == b == _model(edges)
+
+
+def test_triangle_count_known_graph_and_partition_invariance(spark):
+    from rat_strain_loader_pipeline_spark.operators.graph import triangle_count
+    from pyspark.sql import functions as F2
+
+    # K4 on {1,2,3,4} (4 triangles) + a pendant edge + a 4-cycle
+    # {10,11,12,13} (0 triangles)
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    edges = k4 + [(4, 5), (10, 11), (11, 12), (12, 13), (10, 13)]
+    df = spark.createDataFrame(edges, "a long, b long")
+    r = triangle_count(df).collect()[0]
+    assert (r["n_nodes"], r["n_edges"], r["n_triangles"]) == (9, 11, 4)
+    r2 = triangle_count(df.repartition(7, F2.col("a") % 3)).collect()[0]
+    assert tuple(r2) == tuple(r)
