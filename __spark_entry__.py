@@ -3980,6 +3980,20 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocation mining (operators/text.py pmi_bigrams): top
+    PMI_TOPN adjacent token pairs by the PMI ratio (micro-units, one
+    fixed IEEE division tree — no libm log in the portable contract),
+    floored at PMI_MIN_COUNT occurrences. One token explode, two
+    vocab-sized count tables, bounded TakeOrdered. The oracle replays
+    tokenization (the engine's exact whitespace class), counts, and
+    the division tree value-exact."""
+    from rat_strain_loader_pipeline_spark.operators.text import pmi_bigrams
+
+    docs = _t(spark, sf_dir, "documents")
+    return pmi_bigrams(docs, min_count=PMI_MIN_COUNT, topn=PMI_TOPN)
+
+
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed triangle counting (operators/graph.py
     triangle_count) over the part co-occurrence graph (parts sharing a
@@ -4638,6 +4652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_pq_residual_topk": q_ivf_pq_residual_topk,
         "ann_recall_residual": q_ann_recall_residual,
         "triangle_count": q_triangle_count,
+        "pmi_bigrams": q_pmi_bigrams,
     }
 
 
@@ -5212,6 +5227,10 @@ _CMS_HH_ORACLE = f"""
 
 # k-anonymity (q_k_anonymize): minimum released (lang, source) group
 KANON_K = 10
+
+# PMI phrase mining (q_pmi_bigrams)
+PMI_MIN_COUNT = 5
+PMI_TOPN = 50
 
 # Triangle counting (q_triangle_count): the co-occurrence graph over
 # ALL orders is dense (avg degree ~120 at sf0.1 — 72M oriented
@@ -8440,6 +8459,40 @@ QUALIFY row_number() OVER (
             FROM s, b
         """,
         "dq_profile": _dq_profile_oracle_sql(),
+        # pmi oracle: the engine's exact whitespace tokenization (the
+        # span-dedup idiom), identical counts, and the identical
+        # left-associative IEEE division tree
+        "pmi_bigrams": rf"""
+            WITH tk AS (
+              SELECT list_filter(
+                       string_split_regex(lower(text), '[ \t\n\r\f]+'),
+                       t -> t <> '') AS ts
+              FROM documents
+            ),
+            tk2 AS (SELECT ts FROM tk WHERE len(ts) >= 2),
+            uni AS (
+              SELECT t, count(*) AS n_t
+              FROM (SELECT unnest(ts) AS t FROM tk2) GROUP BY 1
+            ),
+            bg AS (
+              SELECT a, b, count(*) AS n_ab FROM (
+                SELECT ts[gi] AS a, ts[gi + 1] AS b
+                FROM (SELECT ts, unnest(range(1, len(ts))) AS gi FROM tk2)
+              ) GROUP BY 1, 2
+              HAVING count(*) >= {PMI_MIN_COUNT}
+            ),
+            tot AS (
+              SELECT sum(len(ts)) AS nt, sum(len(ts) - 1) AS nb FROM tk2
+            )
+            SELECT a, b, CAST(n_ab AS BIGINT) AS n_ab,
+                   CAST(floor(CAST(n_ab AS DOUBLE) / ua.n_t * nt / ub.n_t
+                              * nt / nb * 1000000.0) AS BIGINT)
+                     AS pmi_ratio_q
+            FROM bg JOIN uni ua ON bg.a = ua.t
+            JOIN uni ub ON bg.b = ub.t, tot
+            ORDER BY pmi_ratio_q DESC, a, b
+            LIMIT {PMI_TOPN}
+        """,
         # triangle oracle: identical degree-ordered orientation (the
         # same deg*2^32+id packed key), wedge enumeration, and closure
         "triangle_count": f"""

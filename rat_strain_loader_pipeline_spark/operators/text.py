@@ -449,3 +449,81 @@ def bigram_logprob(
             .alias("logprob_sum_micros"),
         )
     )
+
+
+def pmi_bigrams(
+    docs: DataFrame,
+    min_count: int = 5,
+    topn: int = 50,
+    text_col: str = "text",
+) -> DataFrame:
+    """PMI phrase mining (the word2vec-era collocation detector): for
+    adjacent token pairs, the pointwise-mutual-information RATIO
+    p(a,b) / (p(a)·p(b)) = n_ab·NT²/(NB·n_a·n_b), with unigram
+    probabilities over the NT corpus tokens and bigram probability
+    over the NB bigram slots. Emitted as the PMI ratio in micro-units
+    via one fixed IEEE division tree (n_ab/n_a·NT/n_b·NT/NB — staying
+    near 1.0 between divisions, never overflowing the 2^53 integer
+    window the way the raw n_ab·NT² product would), so the oracle
+    replays it exactly; log() is deliberately NOT taken (libm is not
+    part of the engine-portable contract — rank order is identical).
+
+    Hapax pairs dominate raw PMI, so pairs below ``min_count`` are
+    dropped (the standard floor), then top-``topn`` by (ratio, a, b).
+
+    100 TB shape: one token explode -> two partial-agg count tables
+    (unigrams, bigrams) joined on their words; marginal tables are
+    vocab-sized; final TakeOrdered is bounded by topn.
+    """
+    from rat_strain_loader_pipeline_spark.staging import stage_to_parquet
+
+    toks = stage_to_parquet(
+        docs.select(tokens(F.lower(F.col(text_col))).alias("ts")).filter(
+            F.size("ts") >= 2
+        ),
+        "pmi-toks",
+    )
+    uni = (
+        toks.select(F.explode("ts").alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("n_t"))
+    )
+    bg = (
+        toks.select(
+            F.explode(
+                F.arrays_zip(
+                    F.expr("slice(ts, 1, size(ts) - 1)"),
+                    F.expr("slice(ts, 2, size(ts) - 1)"),
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.0").alias("a"), F.col("p.1").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= min_count)
+    )
+    totals = toks.agg(
+        F.sum(F.size("ts")).alias("nt"),
+        F.sum(F.size("ts") - 1).alias("nb"),
+    )
+    ratio = (
+        F.col("n_ab").cast("double")
+        / F.col("n_a")
+        * F.col("nt")
+        / F.col("n_b")
+        * F.col("nt")
+        / F.col("nb")
+    )
+    return (
+        bg.join(uni.select(F.col("t").alias("a"), F.col("n_t").alias("n_a")), "a")
+        .join(uni.select(F.col("t").alias("b"), F.col("n_t").alias("n_b")), "b")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "a",
+            "b",
+            "n_ab",
+            F.floor(ratio * F.lit(1_000_000.0)).cast("long").alias("pmi_ratio_q"),
+        )
+        .orderBy(F.col("pmi_ratio_q").desc(), F.col("a"), F.col("b"))
+        .limit(topn)
+    )

@@ -222,3 +222,19 @@ def test_greedy_pack(spark):
             cum += r["n_tokens"]
     out2 = greedy_pack(docs, max_tokens=1000, n_shards=4).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_pmi_bigrams_finds_planted_collocation(spark):
+    from rat_strain_loader_pipeline_spark.operators.text import pmi_bigrams
+
+    # "hong kong" always co-occurs; filler words are shuffled noise
+    docs = []
+    for i in range(30):
+        filler = " ".join(f"w{j}" for j in ((i * 7 + k) % 13 for k in range(6)))
+        docs.append((i, f"{filler} hong kong {filler}"))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = pmi_bigrams(df, min_count=5, topn=5).collect()
+    assert out[0]["a"] == "hong" and out[0]["b"] == "kong"
+    assert out[0]["n_ab"] == 30
+    # the planted pair's ratio strictly beats every filler pair
+    assert out[0]["pmi_ratio_q"] > out[1]["pmi_ratio_q"]

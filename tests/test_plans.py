@@ -489,3 +489,29 @@ def test_ivf_pq_residual_luts_broadcast(spark, sf_dir, queries):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
     assert "ivfpqr-lut" in plan
+
+
+def test_triangle_wedge_join_stays_hash_partitioned(spark, sf_dir, queries):
+    """The wedge enumeration must be a hash self-join of the staged
+    oriented adjacency — never a cartesian pairing; the staged
+    orientation table is the only input it scans."""
+    plan = _plan(queries["triangle_count"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "tri-oriented" in plan
+
+
+def test_cluster_quota_window_partitioned_by_cluster(spark, sf_dir, queries):
+    """The quota cut must be a per-cluster window, not a global sort."""
+    import re
+
+    plan = _plan(queries["cluster_quota_sample"](spark, sf_dir))
+    assert re.search(r"Window.*cluster_id", plan, re.S)
+    assert "CartesianProduct" not in plan
+
+
+def test_dataset_diff_single_full_outer_join(spark, sf_dir, queries):
+    """Version diff is ONE full-outer hash join on the doc key."""
+    plan = _plan(queries["dataset_diff"](spark, sf_dir))
+    assert plan.count("FullOuter") >= 1
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
