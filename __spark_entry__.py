@@ -3980,6 +3980,25 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted median (operators/stats.py weighted_median): per
+    return flag, the quantity-weighted median extended price in exact
+    cents — smallest value whose cumulative weight reaches half the
+    total (2·cum >= total, integer comparison). Duplicates collapse to
+    (group, value) grain before the window, so cumsum state is
+    value-cardinality, not row-cardinality. Oracle replays the same
+    collapse + cumsum + pick."""
+    from rat_strain_loader_pipeline_spark.operators.stats import weighted_median
+
+    li = _t(spark, sf_dir, "lineitem")
+    return weighted_median(
+        li,
+        ["l_returnflag"],
+        F.floor(F.col("l_extendedprice") * WMED_CENTS).cast("long"),
+        F.floor(F.col("l_quantity")).cast("long"),
+    )
+
+
 def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PMI collocation mining (operators/text.py pmi_bigrams): top
     PMI_TOPN adjacent token pairs by the PMI ratio (micro-units, one
@@ -4653,6 +4672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_residual": q_ann_recall_residual,
         "triangle_count": q_triangle_count,
         "pmi_bigrams": q_pmi_bigrams,
+        "weighted_median": q_weighted_median,
     }
 
 
@@ -5231,6 +5251,10 @@ KANON_K = 10
 # PMI phrase mining (q_pmi_bigrams)
 PMI_MIN_COUNT = 5
 PMI_TOPN = 50
+
+# Weighted median (q_weighted_median): price in exact cents, weighted
+# by quantity units
+WMED_CENTS = 100
 
 # Triangle counting (q_triangle_count): the co-occurrence graph over
 # ALL orders is dense (avg degree ~120 at sf0.1 — 72M oriented
@@ -8459,6 +8483,26 @@ QUALIFY row_number() OVER (
             FROM s, b
         """,
         "dq_profile": _dq_profile_oracle_sql(),
+        "weighted_median": f"""
+            WITH collapsed AS (
+              SELECT l_returnflag,
+                     CAST(floor(l_extendedprice * {WMED_CENTS}) AS BIGINT) AS v,
+                     sum(CAST(floor(l_quantity) AS BIGINT)) AS w
+              FROM lineitem GROUP BY 1, 2
+            ),
+            ranked AS (
+              SELECT l_returnflag, v, w,
+                     sum(w) OVER (PARTITION BY l_returnflag ORDER BY v
+                                  ROWS UNBOUNDED PRECEDING) AS cum,
+                     sum(w) OVER (PARTITION BY l_returnflag) AS tot
+              FROM collapsed
+            )
+            SELECT l_returnflag,
+                   CAST(min(v) AS BIGINT) AS wmedian_q,
+                   CAST(min(tot) AS BIGINT) AS total_w
+            FROM ranked WHERE cum * 2 >= tot
+            GROUP BY 1
+        """,
         # pmi oracle: the engine's exact whitespace tokenization (the
         # span-dedup idiom), identical counts, and the identical
         # left-associative IEEE division tree

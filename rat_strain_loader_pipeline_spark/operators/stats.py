@@ -72,3 +72,45 @@ def value_histogram(
             "n",
         )
     )
+
+
+def weighted_median(
+    df: DataFrame,
+    group_cols: list[str],
+    value_q,
+    weight,
+) -> DataFrame:
+    """Exact weighted median per group: the smallest value v whose
+    cumulative weight reaches half the group total (2·cum >= total —
+    integer comparison, no halving division). ``value_q`` must already
+    be an exact integer column (micro-units per the numeric policy)
+    and ``weight`` an exact integer column.
+
+    Shape: duplicates collapse FIRST (one partial-agg reduction to
+    (group, value) grain — the window then runs over distinct values,
+    not rows, which is what keeps a 100 TB group tractable: cumsum
+    state is value-cardinality, and a heavy-tailed value domain can
+    further bucket the cumsum with the two-level block pattern the
+    repo uses for global ranks). Returns (group..., wmedian_q,
+    total_w).
+    """
+    from pyspark.sql.window import Window
+
+    g = list(group_cols)
+    collapsed = df.groupBy(*g, value_q.alias("v")).agg(
+        F.sum(weight).alias("w")
+    )
+    wcum = (
+        Window.partitionBy(*g)
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wtot = Window.partitionBy(*g)
+    ranked = collapsed.withColumn("cum", F.sum("w").over(wcum)).withColumn(
+        "tot", F.sum("w").over(wtot)
+    )
+    hit = ranked.filter(F.col("cum") * 2 >= F.col("tot"))
+    return (
+        hit.groupBy(*g)
+        .agg(F.min("v").alias("wmedian_q"), F.min("tot").alias("total_w"))
+    )

@@ -77,3 +77,25 @@ def test_dq_profile_constraints_and_single_scan(spark):
         ).collect()
     }
     assert out2["v"]["passed"]
+
+
+def test_weighted_median_hand_case_and_invariance(spark):
+    from rat_strain_loader_pipeline_spark.operators.stats import weighted_median
+    from pyspark.sql import functions as F2
+
+    # group g: values 1 (w=1), 2 (w=1), 3 (w=10) -> median 3
+    # group h: values 10 (w=5), 20 (w=5) -> 2*cum(10)=10 >= 10 -> 10
+    rows = [("g", 1, 1), ("g", 2, 1), ("g", 3, 10), ("h", 10, 5), ("h", 20, 5)]
+    df = spark.createDataFrame(rows, "grp string, v long, w long")
+    out = {
+        r["grp"]: (r["wmedian_q"], r["total_w"])
+        for r in weighted_median(df, ["grp"], F2.col("v"), F2.col("w")).collect()
+    }
+    assert out == {"g": (3, 12), "h": (10, 10)}
+    out2 = {
+        r["grp"]: (r["wmedian_q"], r["total_w"])
+        for r in weighted_median(
+            df.repartition(7, F2.col("v") % 3), ["grp"], F2.col("v"), F2.col("w")
+        ).collect()
+    }
+    assert out2 == out
