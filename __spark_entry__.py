@@ -3980,6 +3980,25 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_json_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction (the ETL step every event pipeline
+    runs): pull $.k out of the events.props JSON column JVM-side
+    (get_json_object — no Python in the path) and aggregate per event
+    type. Malformed/missing values degrade to NULL and are counted,
+    not thrown (the ingest-safe contract; the oracle mirrors with a
+    json_valid guard). At 100 TB this is a map-side projection feeding
+    one partial-agg reduction."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return ev.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("k").alias("n_k"),
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
 def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact weighted median (operators/stats.py weighted_median): per
     return flag, the quantity-weighted median extended price in exact
@@ -4673,6 +4692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count": q_triangle_count,
         "pmi_bigrams": q_pmi_bigrams,
         "weighted_median": q_weighted_median,
+        "json_extract_stats": q_json_extract_stats,
     }
 
 
@@ -8483,6 +8503,22 @@ QUALIFY row_number() OVER (
             FROM s, b
         """,
         "dq_profile": _dq_profile_oracle_sql(),
+        "json_extract_stats": """
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(count(k) AS BIGINT) AS n_k,
+                   CAST(sum(k) AS BIGINT) AS sum_k,
+                   CAST(min(k) AS BIGINT) AS min_k,
+                   CAST(max(k) AS BIGINT) AS max_k
+            FROM (
+              SELECT event_type,
+                     CASE WHEN props IS NOT NULL AND json_valid(props)
+                          THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+                     END AS k
+              FROM events
+            )
+            GROUP BY 1
+        """,
         "weighted_median": f"""
             WITH collapsed AS (
               SELECT l_returnflag,
