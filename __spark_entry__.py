@@ -3980,6 +3980,54 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-curriculum training order (operators/sampling.py
+    curriculum_order): docs banded by the shared quality score
+    (CURR_BANDS bands, cleanest first), deterministically shuffled
+    WITHIN each band — global rank via the two-level construction
+    (per-(band, bucket) parallel row_numbers + a tiny offsets cumsum),
+    no global sort. The oracle reuses the quality-score SQL as a
+    subquery and checks the naive global ROW_NUMBER equals the
+    engine's constructed rank."""
+    from rat_strain_loader_pipeline_spark.operators.sampling import curriculum_order
+    from rat_strain_loader_pipeline_spark.operators.text import quality_score
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    band = F.least(
+        F.floor(quality_score(F.col("text")) * CURR_BANDS),
+        F.lit(CURR_BANDS - 1),
+    ).cast("long")
+    out = curriculum_order(
+        docs, band, salt=CURR_SALT, n_buckets=CURR_BUCKETS,
+        hash_res=SHUFFLE_HASH_RES,
+    )
+    return out.select("doc_id", "band", "curriculum_rank")
+
+
+def q_change_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM mean-shift detection (operators/timeseries.py
+    cusum_change_point) per event type over hourly value sums —
+    fraction-free (dev_t = T·cum_t − t·H_total, all bigint), NaN/null
+    guarded per the numeric policy, windows over the bucket series
+    (hundreds of rows), earliest-bucket ties. The oracle replays the
+    identical integer algebra."""
+    from rat_strain_loader_pipeline_spark.operators.timeseries import (
+        cusum_change_point,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    vq = F.when(
+        F.col("value").isNotNull() & ~F.isnan(F.col("value")),
+        F.floor(F.col("value") * 1_000_000).cast("long"),
+    )
+    return cusum_change_point(
+        ev,
+        ["event_type"],
+        F.expr("unix_timestamp(ts) div 3600"),
+        vq,
+    )
+
+
 def q_json_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured extraction (the ETL step every event pipeline
     runs): pull $.k out of the events.props JSON column JVM-side
@@ -4693,6 +4741,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_bigrams": q_pmi_bigrams,
         "weighted_median": q_weighted_median,
         "json_extract_stats": q_json_extract_stats,
+        "change_point": q_change_point,
+        "curriculum_order": q_curriculum_order,
     }
 
 
@@ -5155,6 +5205,12 @@ SPAN_MIN_RUN = 16   # length floor (q_dedup_spans_minrun): runs shorter
 SHUFFLE_SALT = "v1"
 SHUFFLE_BUCKETS = 256
 SHUFFLE_HASH_RES = 1_000_000_007   # within-bucket order hash modulus
+
+# Curriculum ordering (q_curriculum_order): quality bands (high first),
+# shuffled within band via the two-level rank
+CURR_BANDS = 16
+CURR_SALT = "curr1"
+CURR_BUCKETS = 64
 
 # Byte-budget training shards over the shuffled order (q_shard_manifest)
 SHARD_CHARS = 10_000        # greedy per-shard char budget
@@ -8503,6 +8559,58 @@ QUALIFY row_number() OVER (
             FROM s, b
         """,
         "dq_profile": _dq_profile_oracle_sql(),
+        # curriculum oracle: the quality-score SQL as a subquery CTE,
+        # banded with the identical floor/least tree, naive global
+        # ROW_NUMBER over (band DESC, bucket, hash, id) — equal to the
+        # engine's two-level construction by construction
+        "curriculum_order": f"""
+            WITH q AS (SELECT * FROM ({_quality_score_sql()})),
+            t AS (
+              SELECT doc_id,
+                     least(CAST(floor(quality * {CURR_BANDS}) AS BIGINT),
+                           {CURR_BANDS - 1}) AS band,
+                     CAST(md5_number_lower(
+                       'shuffle:{CURR_SALT}:' || CAST(doc_id AS VARCHAR))
+                       % {CURR_BUCKETS} AS BIGINT) AS bkt,
+                     CAST(md5_number_lower(
+                       'order:{CURR_SALT}:' || CAST(doc_id AS VARCHAR))
+                       % {SHUFFLE_HASH_RES} AS BIGINT) AS h
+              FROM q
+            )
+            SELECT doc_id, band,
+                   CAST(row_number() OVER (
+                     ORDER BY band DESC, bkt, h, doc_id) AS BIGINT)
+                     AS curriculum_rank
+            FROM t
+        """,
+        "change_point": """
+            WITH hourly AS (
+              SELECT event_type, (epoch_us(ts) // 1000000) // 3600 AS b,
+                     COALESCE(sum(CASE WHEN value IS NOT NULL
+                                        AND NOT isnan(value)
+                                  THEN CAST(floor(value * 1000000) AS BIGINT)
+                                  END), 0) AS h
+              FROM events GROUP BY 1, 2
+            ),
+            scored AS (
+              SELECT event_type, b,
+                     sum(h) OVER (PARTITION BY event_type ORDER BY b
+                                  ROWS UNBOUNDED PRECEDING) AS cum,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY b) AS t,
+                     count(*) OVER (PARTITION BY event_type) AS tt,
+                     sum(h) OVER (PARTITION BY event_type) AS htot
+              FROM hourly
+            )
+            SELECT event_type,
+                   CAST(b AS BIGINT) AS cp_bucket,
+                   CAST(abs(tt * cum - t * htot) AS BIGINT) AS dev_abs,
+                   CAST(tt AS BIGINT) AS n_buckets
+            FROM scored
+            QUALIFY row_number() OVER (
+              PARTITION BY event_type
+              ORDER BY abs(tt * cum - t * htot) DESC, b) = 1
+        """,
         "json_extract_stats": """
             SELECT event_type,
                    CAST(count(*) AS BIGINT) AS n,

@@ -388,3 +388,53 @@ def shard_by_bytes(
         .withColumn("shard_id", F.expr(f"cum_before div {int(shard_bytes)}"))
         .drop("__blk", "__cin", "__boff")
     )
+
+
+def curriculum_order(
+    df: DataFrame,
+    band: Column,
+    id_col: str = "doc_id",
+    salt: str = "v1",
+    n_buckets: int = 64,
+    hash_res: int = 1_000_000_007,
+    rank_col: str = "curriculum_rank",
+) -> DataFrame:
+    """Curriculum training order: highest ``band`` first (clean data
+    early), deterministically shuffled WITHIN each band — the standard
+    quality-curriculum layout, as one reproducible global rank.
+
+    Same two-level construction as ``deterministic_shuffle`` with the
+    band prepended to the order: global order = (band DESC, bucket,
+    order_hash, id); per-(band, bucket) parallel row_numbers plus
+    offsets from a cumsum over the tiny (bands x n_buckets)-row count
+    table. Identical to the naive global ROW_NUMBER by construction —
+    no global sort, no corpus-sized single-task window.
+
+    Returns ``df`` plus ``band`` and ``rank_col`` (1-based, unique).
+    """
+    sid = F.col(id_col).cast("string")
+    bucket = _md5_fold(F.concat(F.lit(f"shuffle:{salt}:"), sid), n_buckets).cast(
+        "int"
+    )
+    order_hash = _md5_fold(F.concat(F.lit(f"order:{salt}:"), sid), hash_res)
+    tagged = (
+        df.withColumn("band", band)
+        .withColumn("__b", bucket)
+        .withColumn("__h", order_hash)
+    )
+    w_in = Window.partitionBy("band", "__b").orderBy("__h", id_col)
+    ranked = tagged.withColumn("__r", F.row_number().over(w_in))
+    sizes = ranked.groupBy("band", "__b").agg(F.count(F.lit(1)).alias("__n"))
+    w_off = Window.orderBy(F.col("band").desc(), F.col("__b")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = sizes.select(
+        "band",
+        "__b",
+        F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__off"),
+    )
+    return (
+        ranked.join(F.broadcast(offs), ["band", "__b"])
+        .withColumn(rank_col, (F.col("__off") + F.col("__r")).cast("long"))
+        .drop("__b", "__h", "__r", "__off")
+    )

@@ -118,3 +118,60 @@ def trailing_range(
     for name, expr in aggs.items():
         out = out.withColumn(name, expr.over(w))
     return out
+
+
+def cusum_change_point(
+    df: DataFrame,
+    group_cols: list[str],
+    bucket: Column,
+    value_q: Column,
+) -> DataFrame:
+    """CUSUM mean-shift detection per group, fraction-free: over the
+    per-bucket sums h_i, the classic statistic is cumsum(h) - t·mean,
+    which needs a fractional mean — multiplying through by the bucket
+    count T keeps everything bigint: dev_t = T·cumsum(h_1..h_t) -
+    t·H_total. The change point is the bucket maximizing |dev_t|
+    (earliest bucket on ties). A shift in level makes |dev| peak at
+    the shift; a stationary series keeps it near zero.
+
+    Shape: one partial-agg reduction to (group, bucket) grain, then
+    windows over the BUCKET series (hundreds of rows per group, not
+    corpus rows) — the aggregate-then-analyze pattern that makes
+    time-series scans 100 TB-safe. Returns (group..., cp_bucket,
+    dev_abs, n_buckets).
+    """
+    g = list(group_cols)
+    # a bucket whose every value is NULL sums to NULL — pin it to 0 so
+    # the window cumsum/dev stay non-null (oracle mirrors the coalesce)
+    hourly = df.groupBy(*g, bucket.alias("b")).agg(
+        F.coalesce(F.sum(value_q), F.lit(0)).alias("h")
+    )
+    w_cum = (
+        Window.partitionBy(*g).orderBy("b").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+    )
+    w_all = Window.partitionBy(*g)
+    scored = (
+        hourly.withColumn("cum", F.sum("h").over(w_cum))
+        .withColumn("t", F.row_number().over(Window.partitionBy(*g).orderBy("b")))
+        .withColumn("tt", F.count(F.lit(1)).over(w_all))
+        .withColumn("htot", F.sum("h").over(w_all))
+        .withColumn(
+            "dev",
+            F.abs(F.col("tt") * F.col("cum") - F.col("t") * F.col("htot")),
+        )
+    )
+    return (
+        scored.groupBy(*g)
+        .agg(
+            F.max(F.struct(F.col("dev"), (-F.col("b")).alias("nb"))).alias("m"),
+            F.count(F.lit(1)).alias("n_buckets"),
+        )
+        .select(
+            *g,
+            (-F.col("m.nb")).alias("cp_bucket"),
+            F.col("m.dev").alias("dev_abs"),
+            "n_buckets",
+        )
+    )

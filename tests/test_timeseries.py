@@ -122,3 +122,27 @@ def test_doc_chunks_windows_and_tail(spark):
     # stride > chunk_size is rejected (windows would skip tokens)
     with _pytest.raises(ValueError):
         doc_chunks(docs, chunk_size=3, stride=4)
+
+
+def test_cusum_finds_planted_mean_shift(spark):
+    from rat_strain_loader_pipeline_spark.operators.timeseries import (
+        cusum_change_point,
+    )
+    from pyspark.sql import functions as F2
+
+    # level 10 for buckets 0..19, level 50 from bucket 20 on: the
+    # |dev| peak must land exactly at the last pre-shift bucket (19)
+    rows = [("a", b, 10 if b < 20 else 50) for b in range(40)]
+    # a flat control group: every bucket identical -> dev == 0 at all t
+    rows += [("flat", b, 7) for b in range(40)]
+    df = spark.createDataFrame(rows, "grp string, b long, v long")
+    out = {
+        r["grp"]: r
+        for r in cusum_change_point(
+            df, ["grp"], F2.col("b"), F2.col("v")
+        ).collect()
+    }
+    assert out["a"]["cp_bucket"] == 19
+    assert out["a"]["n_buckets"] == 40
+    assert out["flat"]["dev_abs"] == 0
+    assert out["flat"]["cp_bucket"] == 0  # earliest-bucket tie-break
