@@ -3980,6 +3980,71 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quantile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization (operators/stats.py quantile_rank): each
+    distinct event value maps to its min-rank percent rank in micros —
+    the outlier-immune feature transform, computed at (type, value)
+    grain so window state is value-cardinality. NaN/null values are
+    excluded per the numeric policy; non-negative integer division
+    only. The oracle replays collapse + cumsum + the div tree."""
+    from rat_strain_loader_pipeline_spark.operators.stats import quantile_rank
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & ~F.isnan(F.col("value"))
+    )
+    return quantile_rank(
+        ev, ["event_type"], F.floor(F.col("value") * 1_000_000).cast("long")
+    )
+
+
+def q_dq_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table referential-integrity audit (the Deequ constraint
+    dq_profile's single-table pass can't see): orphaned lineitems
+    (l_orderkey with no order), childless orders, and customer-FK
+    coverage of orders — three anti-join counts plus the hard fk_ok
+    verdicts, in one pass over each table pair. At 100 TB each check
+    is a key-projected anti join (or a bloom-pruned one — see
+    bloom_prune); nothing wider than the keys shuffles."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    # counts as single-row aggregates, assembled without collect
+    a = li.agg(F.count(F.lit(1)).alias("n_lineitem"))
+    b = (
+        li.join(
+            o.select(F.col("o_orderkey").alias("l_orderkey")),
+            "l_orderkey",
+            "left_anti",
+        ).agg(F.count(F.lit(1)).alias("n_orphan_lineitem"))
+    )
+    d = o.agg(F.count(F.lit(1)).alias("n_orders"))
+    e = (
+        o.join(li.select(F.col("l_orderkey").alias("o_orderkey")).distinct(),
+               "o_orderkey", "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_childless_orders"))
+    )
+    g = (
+        o.join(c.select(F.col("c_custkey").alias("o_custkey")), "o_custkey",
+               "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_orders_bad_cust"))
+    )
+    out = (
+        a.crossJoin(F.broadcast(b))
+        .crossJoin(F.broadcast(d))
+        .crossJoin(F.broadcast(e))
+        .crossJoin(F.broadcast(g))
+    )
+    return out.select(
+        "n_lineitem",
+        "n_orphan_lineitem",
+        "n_orders",
+        "n_childless_orders",
+        "n_orders_bad_cust",
+        (F.col("n_orphan_lineitem") == 0).alias("li_fk_ok"),
+        (F.col("n_orders_bad_cust") == 0).alias("cust_fk_ok"),
+    )
+
+
 def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-curriculum training order (operators/sampling.py
     curriculum_order): docs banded by the shared quality score
@@ -4743,6 +4808,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract_stats": q_json_extract_stats,
         "change_point": q_change_point,
         "curriculum_order": q_curriculum_order,
+        "dq_referential": q_dq_referential,
+        "quantile_rank": q_quantile_rank,
     }
 
 
@@ -8559,6 +8626,51 @@ QUALIFY row_number() OVER (
             FROM s, b
         """,
         "dq_profile": _dq_profile_oracle_sql(),
+        "quantile_rank": """
+            WITH collapsed AS (
+              SELECT event_type,
+                     CAST(floor(value * 1000000) AS BIGINT) AS v,
+                     count(*) AS n_rows
+              FROM events
+              WHERE value IS NOT NULL AND NOT isnan(value)
+              GROUP BY 1, 2
+            ),
+            ranked AS (
+              SELECT event_type, v, n_rows,
+                     sum(n_rows) OVER (PARTITION BY event_type ORDER BY v
+                                       ROWS UNBOUNDED PRECEDING)
+                       - n_rows + 1 AS minrank,
+                     sum(n_rows) OVER (PARTITION BY event_type) AS n
+              FROM collapsed
+            )
+            SELECT event_type, v, CAST(n_rows AS BIGINT) AS n_rows,
+                   CAST(CASE WHEN n > 1
+                        THEN ((minrank - 1) * 1000000) // (n - 1)
+                        ELSE 0 END AS BIGINT) AS pr_q
+            FROM ranked
+        """,
+        "dq_referential": """
+            SELECT (SELECT CAST(count(*) AS BIGINT) FROM lineitem)
+                     AS n_lineitem,
+                   (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+                    WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+                     AS n_orphan_lineitem,
+                   (SELECT CAST(count(*) AS BIGINT) FROM orders)
+                     AS n_orders,
+                   (SELECT CAST(count(*) AS BIGINT) FROM orders
+                    WHERE o_orderkey NOT IN
+                          (SELECT DISTINCT l_orderkey FROM lineitem))
+                     AS n_childless_orders,
+                   (SELECT CAST(count(*) AS BIGINT) FROM orders
+                    WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+                     AS n_orders_bad_cust,
+                   (SELECT count(*) FROM lineitem
+                    WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) = 0
+                     AS li_fk_ok,
+                   (SELECT count(*) FROM orders
+                    WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)) = 0
+                     AS cust_fk_ok
+        """,
         # curriculum oracle: the quality-score SQL as a subquery CTE,
         # banded with the identical floor/least tree, naive global
         # ROW_NUMBER over (band DESC, bucket, hash, id) — equal to the

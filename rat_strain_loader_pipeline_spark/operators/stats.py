@@ -114,3 +114,39 @@ def weighted_median(
         hit.groupBy(*g)
         .agg(F.min("v").alias("wmedian_q"), F.min("tot").alias("total_w"))
     )
+
+
+def quantile_rank(
+    df: DataFrame,
+    group_cols: list[str],
+    value_q,
+) -> DataFrame:
+    """Quantile (percent-rank) normalization per group — the rank-based
+    feature transform that is immune to outliers and scale: each
+    distinct value maps to floor((min_rank - 1) * 1e6 / (n - 1)),
+    min-rank semantics on ties (SQL percent_rank), pure non-negative
+    integer division. Groups of one row map to 0.
+
+    Same collapse-first shape as ``weighted_median``: one partial-agg
+    reduction to (group, value) grain, then the window runs over
+    distinct values — value-cardinality state, not row-cardinality.
+    Returns (group..., v, n_rows, pr_q).
+    """
+    from pyspark.sql.window import Window
+
+    g = list(group_cols)
+    collapsed = df.groupBy(*g, value_q.alias("v")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    w_cum = (
+        Window.partitionBy(*g).orderBy("v").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+    )
+    w_all = Window.partitionBy(*g)
+    ranked = collapsed.withColumn(
+        "minrank", F.sum("n_rows").over(w_cum) - F.col("n_rows") + 1
+    ).withColumn("n", F.sum("n_rows").over(w_all))
+    pr = F.when(F.col("n") > 1, F.expr("((minrank - 1) * 1000000) div (n - 1)")
+               ).otherwise(F.lit(0)).cast("long")
+    return ranked.select(*g, "v", "n_rows", pr.alias("pr_q"))

@@ -99,3 +99,21 @@ def test_weighted_median_hand_case_and_invariance(spark):
         ).collect()
     }
     assert out2 == out
+
+
+def test_quantile_rank_min_rank_ties_and_bounds(spark):
+    from rat_strain_loader_pipeline_spark.operators.stats import quantile_rank
+    from pyspark.sql import functions as F2
+
+    # values 1,1,2,3 in group g: minranks 1,3,4 over n=4
+    rows = [("g", 1), ("g", 1), ("g", 2), ("g", 3), ("solo", 9)]
+    df = spark.createDataFrame(rows, "grp string, v long")
+    out = {
+        (r["grp"], r["v"]): r
+        for r in quantile_rank(df, ["grp"], F2.col("v")).collect()
+    }
+    assert out[("g", 1)]["pr_q"] == 0
+    assert out[("g", 2)]["pr_q"] == (2 * 1_000_000) // 3
+    assert out[("g", 3)]["pr_q"] == 1_000_000
+    assert out[("g", 1)]["n_rows"] == 2
+    assert out[("solo", 9)]["pr_q"] == 0  # single-row group
