@@ -3980,6 +3980,49 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: each purchase's value (micros,
+    NaN-guarded) splits equally across the same user's clicks in the
+    preceding STREAMJOIN_LAG_MIN minutes (the stream_stream_join
+    window, reversed). Emits per purchase the touch count, the value,
+    and floor(value/n) per-touch credit — the floor remainder stays
+    visible (value_q - n*credit_each_q), the honest integer contract.
+    Zero-touch purchases keep n_touches 0 and NULL credit (direct
+    conversions). One interval join + one per-purchase count."""
+    ev = _t(spark, sf_dir, "events")
+    val_q = F.when(
+        F.col("value").isNotNull() & ~F.isnan(F.col("value")),
+        F.floor(F.col("value") * 1_000_000).cast("long"),
+    ).otherwise(F.lit(0))
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("b_id"),
+        F.col("user_id").alias("u"),
+        F.col("ts").alias("b_ts"),
+        val_q.alias("value_q"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("u"), F.col("ts").alias("c_ts")
+    )
+    touched = buys.join(
+        clicks,
+        (buys["u"] == clicks["u"])
+        & (F.col("c_ts") <= F.col("b_ts"))
+        & (
+            F.col("c_ts")
+            >= F.col("b_ts") - F.expr(f"INTERVAL {STREAMJOIN_LAG_MIN} MINUTES")
+        ),
+        "left",
+    )
+    agg = touched.groupBy("b_id", "value_q").agg(
+        F.count("c_ts").alias("n_touches")
+    )
+    credit = F.when(
+        F.col("n_touches") > 0,
+        F.expr("value_q div n_touches"),
+    ).cast("long")
+    return agg.select("b_id", "n_touches", "value_q", credit.alias("credit_each_q"))
+
+
 def q_quantile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile normalization (operators/stats.py quantile_rank): each
     distinct event value maps to its min-rank percent rank in micros —
@@ -4810,6 +4853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curriculum_order": q_curriculum_order,
         "dq_referential": q_dq_referential,
         "quantile_rank": q_quantile_rank,
+        "attribution_linear": q_attribution_linear,
     }
 
 
@@ -8626,6 +8670,33 @@ QUALIFY row_number() OVER (
             FROM s, b
         """,
         "dq_profile": _dq_profile_oracle_sql(),
+        "attribution_linear": f"""
+            WITH buys AS (
+              SELECT event_id AS b_id, user_id AS u, ts AS b_ts,
+                     CASE WHEN value IS NOT NULL AND NOT isnan(value)
+                          THEN CAST(floor(value * 1000000) AS BIGINT)
+                          ELSE 0 END AS value_q
+              FROM events WHERE event_type = 'purchase'
+            ),
+            clicks AS (
+              SELECT user_id AS u, ts AS c_ts
+              FROM events WHERE event_type = 'click'
+            ),
+            agg AS (
+              SELECT b_id, value_q, count(c_ts) AS n_touches
+              FROM buys LEFT JOIN clicks
+                ON buys.u = clicks.u
+               AND c_ts <= b_ts
+               AND c_ts >= b_ts - INTERVAL {STREAMJOIN_LAG_MIN} MINUTE
+              GROUP BY 1, 2
+            )
+            SELECT b_id, CAST(n_touches AS BIGINT) AS n_touches,
+                   value_q,
+                   CAST(CASE WHEN n_touches > 0
+                        THEN value_q // n_touches END AS BIGINT)
+                     AS credit_each_q
+            FROM agg
+        """,
         "quantile_rank": """
             WITH collapsed AS (
               SELECT event_type,
