@@ -3980,6 +3980,42 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rate_limit_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SECOND custom stateful streaming operator
+    (streaming/events.py rate_limit_stateful, applyInPandasWithState):
+    per-user event-time quota — at most RATE_PER_HOUR events admitted
+    per tumbling hour, state = per-user (hour, count) pairs pruned by
+    the watermark and dropped by event-time timeout. Under the single
+    availableNow batch (the sessionizer's setup) admissions equal the
+    batch rule row_number over (user, hour ORDER BY ts, event_id) <=
+    RATE_PER_HOUR — the DuckDB oracle, value-exact."""
+    import os as _os
+    import uuid as _uuid
+
+    from rat_strain_loader_pipeline_spark.staging import _stage_root
+    from rat_strain_loader_pipeline_spark.streaming.events import (
+        rate_limit_stateful,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    src_dir = _os.path.join(_stage_root(), f"rate-src-{_uuid.uuid4().hex[:8]}")
+    ev.write.parquet(src_dir)
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long"
+    ).parquet(src_dir)
+    out = rate_limit_stateful(stream, per_hour=RATE_PER_HOUR)
+    name = f"rate_limit_{_uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", _os.path.join(_stage_root(), f"ckpt-{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear multi-touch attribution: each purchase's value (micros,
     NaN-guarded) splits equally across the same user's clicks in the
@@ -4854,6 +4890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_referential": q_dq_referential,
         "quantile_rank": q_quantile_rank,
         "attribution_linear": q_attribution_linear,
+        "rate_limit_stream": q_rate_limit_stream,
     }
 
 
@@ -5379,6 +5416,10 @@ BLOOM_DIM_MINPRICE = 494000.0
 # Stream-stream interval join (q_stream_stream_join): click->purchase
 # attribution window in minutes
 STREAMJOIN_LAG_MIN = 30
+
+# Stateful rate limiter (q_rate_limit_stream): admissions per user per
+# event-time hour
+RATE_PER_HOUR = 1  # tight enough to actually reject same-hour bursts
 
 # CMS join-size estimation (q_cms_join_size): wider than the heavy-
 # hitter grid so the estimate is informative at sf0.1 (overshoot scale
@@ -8670,6 +8711,16 @@ QUALIFY row_number() OVER (
             FROM s, b
         """,
         "dq_profile": _dq_profile_oracle_sql(),
+        "rate_limit_stream": f"""
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   event_id, ts,
+                   (epoch_us(ts) // 3600000000) AS hour,
+                   CAST(row_number() OVER (
+                     PARTITION BY user_id, epoch_us(ts) // 3600000000
+                     ORDER BY ts, event_id) AS BIGINT) AS admit_rank
+            FROM events
+            QUALIFY admit_rank <= {RATE_PER_HOUR}
+        """,
         "attribution_linear": f"""
             WITH buys AS (
               SELECT event_id AS b_id, user_id AS u, ts AS b_ts,

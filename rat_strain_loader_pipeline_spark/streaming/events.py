@@ -276,3 +276,97 @@ def interval_join_streams(
             "(unix_micros(b_ts) - unix_micros(a_ts)) div 1000000"
         ).alias("lag_s"),
     )
+
+
+RATE_OUTPUT_SCHEMA = (
+    "user_id long, event_id long, ts timestamp, hour long, admit_rank long"
+)
+RATE_STATE_SCHEMA = "hours array<long>, counts array<long>"
+
+
+def rate_limit_stateful(
+    events: DataFrame,
+    per_hour: int = 5,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Per-key event-time rate limiting as the second CUSTOM stateful
+    operator (applyInPandasWithState): admit at most ``per_hour``
+    events per user per tumbling event-time hour — the quota gate an
+    ingest runs against scrapers/hot keys. State per user = the
+    (hour, admitted_count) pairs still above the watermark, pruned on
+    every invocation and dropped entirely by event-time timeout one
+    hour past the newest state — bounded by active keys x active
+    hours, never history.
+
+    Within an invocation events sort by (ts, event_id), so with the
+    per-hour arrival ordered across batches (or a single availableNow
+    batch — the driver query's setup, same as the sessionizer) the
+    admitted set equals the batch rule: row_number over (user, hour
+    ordered by ts, event_id) <= per_hour, which is what the DuckDB
+    oracle checks value-exact. Emits admitted events only.
+    """
+    import pandas as pd
+
+    hour_us = 3_600_000_000
+
+    def fn(key, pdfs, state):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        rows: list[tuple[int, int]] = []  # (ts_us, event_id)
+        for pdf in pdfs:
+            for t, eid in zip(pdf["ts"].tolist(), pdf["event_id"].tolist()):
+                rows.append((int(t.value // 1_000), int(eid)))
+        rows.sort()
+        if state.exists:
+            hours, counts = state.get
+            quota = dict(zip(hours, counts))
+        else:
+            quota = {}
+        out_u, out_e, out_t, out_h, out_r = [], [], [], [], []
+        for ts_us, eid in rows:
+            h = ts_us // hour_us
+            c = quota.get(h, 0)
+            if c < per_hour:
+                quota[h] = c + 1
+                out_u.append(key[0])
+                out_e.append(eid)
+                out_t.append(pd.Timestamp(ts_us, unit="us"))
+                out_h.append(h)
+                out_r.append(c + 1)
+            else:
+                quota[h] = c  # hour stays tracked even when saturated
+        # prune hours fully below the watermark — they can never admit
+        # or reject a future in-order event
+        wm_hour = state.getCurrentWatermarkMs() * 1000 // hour_us
+        quota = {h: c for h, c in quota.items() if h >= wm_hour}
+        hs = sorted(quota)
+        state.update((hs, [quota[h] for h in hs]))
+        state.setTimeoutTimestamp(
+            max(
+                ((hs[-1] + 2) * hour_us) // 1000 if hs else 0,
+                state.getCurrentWatermarkMs() + 1,
+            )
+        )
+        if out_e:
+            yield pd.DataFrame(
+                {
+                    "user_id": out_u,
+                    "event_id": out_e,
+                    "ts": out_t,
+                    "hour": out_h,
+                    "admit_rank": out_r,
+                }
+            )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            RATE_OUTPUT_SCHEMA,
+            RATE_STATE_SCHEMA,
+            "append",
+            "EventTimeTimeout",
+        )
+    )

@@ -440,3 +440,47 @@ def test_streaming_cms_merge_equals_single_pass(spark, tmp_path, sf_dir):
         tuple(r) for r in count_min_sketch(ev, "user_id", 3, 32).collect()
     )
     assert got == want
+
+
+def test_rate_limit_stateful_multi_batch_hour_quota(spark, tmp_path):
+    """Quota must hold ACROSS micro-batches: a user whose hour quota is
+    consumed in batch 1 gets rejected in batch 2 for the same hour."""
+    import datetime as dt
+
+    from rat_strain_loader_pipeline_spark.streaming.events import (
+        rate_limit_stateful,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0)
+    # batch file 1: user 1 fills hour 10 (2 events, quota 2)
+    b1 = [(1, t0 + dt.timedelta(minutes=1), 1), (2, t0 + dt.timedelta(minutes=2), 1)]
+    # batch file 2 (later ts): 2 more user-1 events in hour 10 (must be
+    # rejected) and 1 in hour 11 (admitted); user 2 unaffected
+    b2 = [
+        (3, t0 + dt.timedelta(minutes=10), 1),
+        (4, t0 + dt.timedelta(minutes=11), 1),
+        (5, t0 + dt.timedelta(minutes=65), 1),
+        (6, t0 + dt.timedelta(minutes=12), 2),
+    ]
+    schema = "event_id long, ts timestamp, user_id long"
+    src = str(tmp_path / "src")
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(src)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    out = rate_limit_stateful(stream, per_hour=2)
+    q = (
+        out.writeStream.format("memory").queryName("rate_test")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {r["event_id"]: r["admit_rank"] for r in spark.table("rate_test").collect()}
+    # NOTE: file order vs batch order — whichever file arrives first,
+    # hour-10 admits exactly 2 user-1 events total, and events 5/6 pass
+    u1_hour10 = [e for e in got if e in (1, 2, 3, 4)]
+    assert len(u1_hour10) == 2
+    assert got[5] == 1 and got[6] == 1
+    assert all(r <= 2 for r in got.values())
