@@ -3980,6 +3980,28 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_grouped_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type OLS value trend (operators/stats.py grouped_trend):
+    slope numerator/denominator as exact DECIMAL(38,0) sums over
+    (seconds since the global min ts, micro-unit value) — mergeable,
+    no IEEE division in the contract; NaN/null rows excluded. x is
+    centered by the broadcast 1-row global min so Σx² stays tiny. The
+    oracle replays the identical sums in HUGEINT-exact arithmetic."""
+    from rat_strain_loader_pipeline_spark.operators.stats import grouped_trend
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & ~F.isnan(F.col("value"))
+    )
+    t0 = ev.agg(F.min(F.expr("unix_timestamp(ts)")).alias("t0"))
+    based = ev.crossJoin(F.broadcast(t0))
+    return grouped_trend(
+        based,
+        ["event_type"],
+        F.expr("unix_timestamp(ts) - t0"),
+        F.floor(F.col("value") * 1_000_000).cast("long"),
+    )
+
+
 def q_rate_limit_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SECOND custom stateful streaming operator
     (streaming/events.py rate_limit_stateful, applyInPandasWithState):
@@ -4891,6 +4913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_rank": q_quantile_rank,
         "attribution_linear": q_attribution_linear,
         "rate_limit_stream": q_rate_limit_stream,
+        "grouped_trend": q_grouped_trend,
     }
 
 
@@ -8711,6 +8734,27 @@ QUALIFY row_number() OVER (
             FROM s, b
         """,
         "dq_profile": _dq_profile_oracle_sql(),
+        "grouped_trend": """
+            WITH base AS (
+              SELECT event_type,
+                     CAST(epoch_us(ts) // 1000000 -
+                          (SELECT min(epoch_us(ts) // 1000000) FROM events
+                           WHERE value IS NOT NULL AND NOT isnan(value))
+                          AS HUGEINT) AS x,
+                     CAST(CAST(floor(value * 1000000) AS BIGINT) AS HUGEINT)
+                       AS y
+              FROM events
+              WHERE value IS NOT NULL AND NOT isnan(value)
+            )
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(count(*) * sum(x * y) - sum(x) * sum(y)
+                        AS DECIMAL(38,0)) AS slope_num,
+                   CAST(count(*) * sum(x * x) - sum(x) * sum(x)
+                        AS DECIMAL(38,0)) AS slope_den
+            FROM base
+            GROUP BY 1
+        """,
         "rate_limit_stream": f"""
             SELECT CAST(user_id AS BIGINT) AS user_id,
                    event_id, ts,

@@ -150,3 +150,44 @@ def quantile_rank(
     pr = F.when(F.col("n") > 1, F.expr("((minrank - 1) * 1000000) div (n - 1)")
                ).otherwise(F.lit(0)).cast("long")
     return ranked.select(*g, "v", "n_rows", pr.alias("pr_q"))
+
+
+def grouped_trend(
+    df: DataFrame,
+    group_cols: list[str],
+    x,
+    y_q,
+) -> DataFrame:
+    """Per-group OLS slope of y against x with EXACT integer algebra:
+    slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²), emitted as the exact
+    numerator/denominator pair (DECIMAL(38,0) — order-free sums far
+    beyond bigint) plus n. Consumers divide at read time; keeping the
+    ratio unevaluated is what makes the statistic mergeable across
+    partitions/shards AND engine-exact (no IEEE division in the
+    contract).
+
+    ``x`` should be pre-centered by the caller (e.g. seconds since the
+    window start) to keep Σx² small; ``y_q`` is micro-units. One
+    partial-agg pass; group table is key-cardinality.
+    """
+    g = list(group_cols)
+    d38 = "decimal(38,0)"
+    agg = df.select(
+        *g, x.cast(d38).alias("x"), y_q.cast(d38).alias("y")
+    ).groupBy(*g).agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    return agg.select(
+        *g,
+        F.col("n").cast("long").alias("n"),
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .cast(d38)
+        .alias("slope_num"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .cast(d38)
+        .alias("slope_den"),
+    )

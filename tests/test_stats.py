@@ -117,3 +117,21 @@ def test_quantile_rank_min_rank_ties_and_bounds(spark):
     assert out[("g", 3)]["pr_q"] == 1_000_000
     assert out[("g", 1)]["n_rows"] == 2
     assert out[("solo", 9)]["pr_q"] == 0  # single-row group
+
+
+def test_grouped_trend_exact_slope_on_planted_line(spark):
+    from rat_strain_loader_pipeline_spark.operators.stats import grouped_trend
+    from pyspark.sql import functions as F2
+
+    # y = 3x + 7 exactly -> slope_num/slope_den == 3; flat group -> 0
+    rows = [("up", x, 3 * x + 7) for x in range(50)]
+    rows += [("flat", x, 42) for x in range(50)]
+    df = spark.createDataFrame(rows, "grp string, x long, y long")
+    out = {
+        r["grp"]: r
+        for r in grouped_trend(df, ["grp"], F2.col("x"), F2.col("y")).collect()
+    }
+    up = out["up"]
+    assert int(up["slope_num"]) == 3 * int(up["slope_den"])
+    assert int(up["slope_den"]) > 0 and up["n"] == 50
+    assert int(out["flat"]["slope_num"]) == 0
