@@ -3980,6 +3980,30 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection via deterministic label propagation
+    (operators/graph.py label_propagation) on the same sampled part
+    co-occurrence graph as triangle_count: LPA_ITERS synchronous
+    rounds, most-frequent-neighbor label with smallest-label ties —
+    no RNG, no visit order, O(iters·m), no pairwise stage. The oracle
+    unrolls the identical rounds (the pagerank pattern)."""
+    from rat_strain_loader_pipeline_spark.operators.graph import label_propagation
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % TRI_ORDER_MOD == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    l2 = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("pk2"))
+    edges = (
+        li.join(l2, "l_orderkey")
+        .filter(F.col("l_partkey") < F.col("pk2"))
+        .select(F.col("l_partkey").alias("a"), F.col("pk2").alias("b"))
+        .distinct()
+    )
+    return label_propagation(edges, iters=LPA_ITERS)
+
+
 def q_grouped_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type OLS value trend (operators/stats.py grouped_trend):
     slope numerator/denominator as exact DECIMAL(38,0) sums over
@@ -4914,6 +4938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution_linear": q_attribution_linear,
         "rate_limit_stream": q_rate_limit_stream,
         "grouped_trend": q_grouped_trend,
+        "label_propagation": q_label_propagation,
     }
 
 
@@ -5507,6 +5532,10 @@ PMI_TOPN = 50
 # by quantity units
 WMED_CENTS = 100
 
+# Label propagation (q_label_propagation): fixed deterministic rounds
+# over the same sampled co-occurrence graph triangle_count uses
+LPA_ITERS = 3
+
 # Triangle counting (q_triangle_count): the co-occurrence graph over
 # ALL orders is dense (avg degree ~120 at sf0.1 — 72M oriented
 # wedges); the audit runs on the 1-in-TRI_ORDER_MOD order sample,
@@ -6088,6 +6117,45 @@ SELECT CAST(exact.q_id AS BIGINT) AS q_id,
 FROM exact LEFT JOIN approx
   ON exact.q_id = approx.q_id AND exact.c_id = approx.c_id
 GROUP BY 1
+"""
+
+
+def _lpa_oracle_sql(iters: int, order_mod: int) -> str:
+    """Unrolled label-propagation rounds over the sampled co-occurrence
+    graph — generated from the SAME (LPA_ITERS, TRI_ORDER_MOD) the
+    engine call site uses."""
+    ctes = [
+        f"""e AS (
+  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+  FROM lineitem l1 JOIN lineitem l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+  WHERE l1.l_orderkey % {order_mod} = 0
+)""",
+        """bd AS (
+  SELECT a AS v, b AS w FROM e UNION ALL SELECT b AS v, a AS w FROM e
+)""",
+        "l0 AS (SELECT DISTINCT v AS node_id, v AS label FROM bd)",
+    ]
+    for r in range(1, iters + 1):
+        ctes.append(
+            f"""c{r} AS (
+  SELECT bd.v AS node_id, l{r - 1}.label, count(*) AS c
+  FROM bd JOIN l{r - 1} ON bd.w = l{r - 1}.node_id
+  GROUP BY 1, 2
+)"""
+        )
+        ctes.append(
+            f"""l{r} AS (
+  SELECT node_id, label FROM c{r}
+  QUALIFY row_number() OVER (
+    PARTITION BY node_id ORDER BY c DESC, label) = 1
+)"""
+        )
+    body = ",\n".join(ctes)
+    return f"""WITH {body}
+SELECT CAST(node_id AS BIGINT) AS node_id,
+       CAST(label AS BIGINT) AS label
+FROM l{iters}
 """
 
 
@@ -8734,6 +8802,7 @@ QUALIFY row_number() OVER (
             FROM s, b
         """,
         "dq_profile": _dq_profile_oracle_sql(),
+        "label_propagation": _lpa_oracle_sql(LPA_ITERS, TRI_ORDER_MOD),
         "grouped_trend": """
             WITH base AS (
               SELECT event_type,

@@ -143,3 +143,48 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     return stats.crossJoin(F.broadcast(tri)).select(
         "n_nodes", "n_edges", "n_triangles"
     )
+
+
+def label_propagation(edges: DataFrame, iters: int = 3) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al.) made
+    deterministic: labels start as node ids; each round every node
+    adopts the most frequent label among its NEIGHBORS, ties broken by
+    smallest label — argmax via one (count DESC, label ASC) argmin
+    struct, no RNG, no visit order. A fixed ``iters`` rounds (LPA's
+    stock convergence is oscillation-prone; fixed-round determinism is
+    the engine-portable contract, and the oracle unrolls the same
+    rounds — the pagerank pattern).
+
+    Per round: one join of the bidirectional edge list against the
+    label table (node-keyed, hash-partitioned), one (node, label)
+    partial-agg count, one per-node argmax — all map-side-combinable;
+    per-round state is one label per node. Community detection that
+    costs O(iters · m) — no pairwise stage.
+
+    ``edges``: undirected (a, b), a != b. Returns (node_id, label).
+    """
+    from rat_strain_loader_pipeline_spark.staging import stage_to_parquet
+
+    bd = stage_to_parquet(
+        edges.select(F.col("a").alias("v"), F.col("b").alias("w")).unionByName(
+            edges.select(F.col("b").alias("v"), F.col("a").alias("w"))
+        ),
+        "lpa-edges",
+    )
+    labels = bd.select(F.col("v").alias("node_id")).distinct().select(
+        "node_id", F.col("node_id").alias("label")
+    )
+    for r in range(iters):
+        msgs = bd.join(
+            labels.select(F.col("node_id").alias("w"), "label"), "w"
+        ).select(F.col("v").alias("node_id"), "label")
+        counts = msgs.groupBy("node_id", "label").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        labels = stage_to_parquet(
+            counts.groupBy("node_id")
+            .agg(F.min(F.struct((-F.col("c")).alias("nc"), F.col("label"))).alias("m"))
+            .select("node_id", F.col("m.label").alias("label")),
+            f"lpa-labels-{r}",
+        )
+    return labels

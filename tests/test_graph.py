@@ -58,3 +58,23 @@ def test_triangle_count_known_graph_and_partition_invariance(spark):
     assert (r["n_nodes"], r["n_edges"], r["n_triangles"]) == (9, 11, 4)
     r2 = triangle_count(df.repartition(7, F2.col("a") % 3)).collect()[0]
     assert tuple(r2) == tuple(r)
+
+
+def test_label_propagation_two_cliques_with_bridge(spark):
+    from rat_strain_loader_pipeline_spark.operators.graph import label_propagation
+    from pyspark.sql import functions as F2
+
+    # two K4 cliques {1..4} and {10..13} joined by one bridge 4-10:
+    # after 3 rounds each clique agrees on its smallest id
+    k = lambda ns: [(a, b) for a in ns for b in ns if a < b]
+    edges = k([1, 2, 3, 4]) + k([10, 11, 12, 13]) + [(4, 10)]
+    df = spark.createDataFrame(edges, "a long, b long")
+    out = {r["node_id"]: r["label"] for r in label_propagation(df, 3).collect()}
+    assert {out[n] for n in (1, 2, 3)} == {1}
+    assert {out[n] for n in (11, 12, 13)} == {10}
+    # determinism under repartition
+    out2 = {
+        r["node_id"]: r["label"]
+        for r in label_propagation(df.repartition(5, F2.col("a") % 2), 3).collect()
+    }
+    assert out2 == out
