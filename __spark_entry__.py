@@ -3980,6 +3980,51 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket lift (the Apriori-era association measure, the
+    transactional twin of pmi_bigrams): over order baskets, lift(a,b)
+    = P(a,b)/(P(a)P(b)) = n_ab·N²/(N·n_a·n_b) with N = basket count —
+    emitted in micros via one fixed IEEE division tree
+    (n_ab/n_a·N/n_b — same overflow-safe shape as PMI). Pair support
+    floored at BASKET_MIN_SUPPORT, top BASKET_TOPN by (lift, a, b).
+    One self-join at basket grain (baskets are <= 7 items), item
+    marginals are catalog-sized."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    l2 = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("pk2"))
+    pairs = (
+        li.join(l2, "l_orderkey")
+        .filter(F.col("l_partkey") < F.col("pk2"))
+        .groupBy(F.col("l_partkey").alias("a"), F.col("pk2").alias("b"))
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= BASKET_MIN_SUPPORT)
+    )
+    item = li.groupBy(F.col("l_partkey").alias("item")).agg(
+        F.count(F.lit(1)).alias("n_item")
+    )
+    nb = li.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).alias("n_baskets")
+    )
+    lift = (
+        F.col("n_ab").cast("double")
+        / F.col("n_a")
+        * F.col("n_baskets")
+        / F.col("n_b")
+    )
+    return (
+        pairs.join(item.select(F.col("item").alias("a"), F.col("n_item").alias("n_a")), "a")
+        .join(item.select(F.col("item").alias("b"), F.col("n_item").alias("n_b")), "b")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "a",
+            "b",
+            "n_ab",
+            F.floor(lift * F.lit(1_000_000.0)).cast("long").alias("lift_q"),
+        )
+        .orderBy(F.col("lift_q").desc(), F.col("a"), F.col("b"))
+        .limit(BASKET_TOPN)
+    )
+
+
 def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Community detection via deterministic label propagation
     (operators/graph.py label_propagation) on the same sampled part
@@ -4939,6 +4984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rate_limit_stream": q_rate_limit_stream,
         "grouped_trend": q_grouped_trend,
         "label_propagation": q_label_propagation,
+        "basket_lift": q_basket_lift,
     }
 
 
@@ -5535,6 +5581,10 @@ WMED_CENTS = 100
 # Label propagation (q_label_propagation): fixed deterministic rounds
 # over the same sampled co-occurrence graph triangle_count uses
 LPA_ITERS = 3
+
+# Market-basket lift (q_basket_lift): pair support floor + result cap
+BASKET_MIN_SUPPORT = 2
+BASKET_TOPN = 50
 
 # Triangle counting (q_triangle_count): the co-occurrence graph over
 # ALL orders is dense (avg degree ~120 at sf0.1 — 72M oriented
@@ -8803,6 +8853,33 @@ QUALIFY row_number() OVER (
         """,
         "dq_profile": _dq_profile_oracle_sql(),
         "label_propagation": _lpa_oracle_sql(LPA_ITERS, TRI_ORDER_MOD),
+        # basket-lift oracle: identical pair/marginal counts and the
+        # identical left-associative IEEE division tree (PMI precedent)
+        "basket_lift": f"""
+            WITH li AS (
+              SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            ),
+            pairs AS (
+              SELECT l1.l_partkey AS a, l2.l_partkey AS b, count(*) AS n_ab
+              FROM li l1 JOIN li l2
+                ON l1.l_orderkey = l2.l_orderkey
+               AND l1.l_partkey < l2.l_partkey
+              GROUP BY 1, 2
+              HAVING count(*) >= {BASKET_MIN_SUPPORT}
+            ),
+            item AS (
+              SELECT l_partkey AS item, count(*) AS n_item FROM li GROUP BY 1
+            ),
+            nb AS (SELECT count(DISTINCT l_orderkey) AS n_baskets FROM li)
+            SELECT a, b, CAST(n_ab AS BIGINT) AS n_ab,
+                   CAST(floor(CAST(n_ab AS DOUBLE) / ia.n_item * n_baskets
+                              / ib.n_item * 1000000.0) AS BIGINT) AS lift_q
+            FROM pairs
+            JOIN item ia ON pairs.a = ia.item
+            JOIN item ib ON pairs.b = ib.item, nb
+            ORDER BY lift_q DESC, a, b
+            LIMIT {BASKET_TOPN}
+        """,
         "grouped_trend": """
             WITH base AS (
               SELECT event_type,
