@@ -3980,6 +3980,45 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_postings_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index posting-list build (the index construction step
+    under bm25/tfidf serving): per token, document frequency, total
+    term frequency, and the md5 digest of the ORDERED posting list
+    ('_'-joined ascending doc ids — the digest pins full list content
+    + order without shipping the list). Top 100 tokens by (df, token).
+    100 TB shape: one token explode, one (token, doc) partial agg, one
+    token-grain reduction; posting lists shard by token hash — the
+    standard distributed index layout."""
+    import rat_strain_loader_pipeline_spark.operators.text as T
+
+    docs = _t(spark, sf_dir, "documents")
+    td = (
+        docs.select(
+            "doc_id", F.explode(T.tokens(F.lower(F.col("text")))).alias("token")
+        )
+        .groupBy("token", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return (
+        td.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("tf").alias("tf_total"),
+            F.md5(
+                F.concat_ws(
+                    "_",
+                    F.transform(
+                        F.sort_array(F.collect_list("doc_id")),
+                        lambda d: d.cast("string"),
+                    ),
+                )
+            ).alias("postings_md5"),
+        )
+        .orderBy(F.col("df").desc(), F.col("token").asc())
+        .limit(100)
+    )
+
+
 def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket lift (the Apriori-era association measure, the
     transactional twin of pmi_bigrams): over order baskets, lift(a,b)
@@ -4985,6 +5024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_trend": q_grouped_trend,
         "label_propagation": q_label_propagation,
         "basket_lift": q_basket_lift,
+        "postings_build": q_postings_build,
     }
 
 
@@ -8853,6 +8893,30 @@ QUALIFY row_number() OVER (
         """,
         "dq_profile": _dq_profile_oracle_sql(),
         "label_propagation": _lpa_oracle_sql(LPA_ITERS, TRI_ORDER_MOD),
+        # postings oracle: same tokenization; ordered digest via
+        # string_agg(... ORDER BY doc_id) — the repo's ordered-
+        # reassembly idiom
+        "postings_build": """
+            WITH td AS (
+              SELECT token, doc_id, count(*) AS tf
+              FROM (
+                SELECT doc_id, unnest(list_filter(
+                  string_split_regex(lower(text), '[ \t\n\r\f]+'),
+                  t -> t <> '')) AS token
+                FROM documents
+              )
+              GROUP BY 1, 2
+            )
+            SELECT token,
+                   CAST(count(*) AS BIGINT) AS df,
+                   CAST(sum(tf) AS BIGINT) AS tf_total,
+                   md5(string_agg(CAST(doc_id AS VARCHAR), '_'
+                                  ORDER BY doc_id)) AS postings_md5
+            FROM td
+            GROUP BY 1
+            ORDER BY df DESC, token ASC
+            LIMIT 100
+        """,
         # basket-lift oracle: identical pair/marginal counts and the
         # identical left-associative IEEE division tree (PMI precedent)
         "basket_lift": f"""
