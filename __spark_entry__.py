@@ -3980,6 +3980,27 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized value sums (operators/stats.py winsorized_sum): per
+    event type, values clamp to the exact discrete [p05, p95] picks
+    before summing — heavy-tail-robust aggregation with integer-only
+    rank arithmetic (ceil(n·frac) as (n·frac + 1e6−1) div 1e6).
+    Collapse-to-value-grain percentiles + a broadcast bounds table;
+    the oracle replays picks and clamped sums value-exact."""
+    from rat_strain_loader_pipeline_spark.operators.stats import winsorized_sum
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & ~F.isnan(F.col("value"))
+    )
+    return winsorized_sum(
+        ev,
+        ["event_type"],
+        F.floor(F.col("value") * 1_000_000).cast("long"),
+        lo_frac_micros=WINSOR_LO,
+        hi_frac_micros=WINSOR_HI,
+    )
+
+
 def q_postings_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted-index posting-list build (the index construction step
     under bm25/tfidf serving): per token, document frequency, total
@@ -5025,6 +5046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_propagation": q_label_propagation,
         "basket_lift": q_basket_lift,
         "postings_build": q_postings_build,
+        "winsorized_stats": q_winsorized_stats,
     }
 
 
@@ -5625,6 +5647,10 @@ LPA_ITERS = 3
 # Market-basket lift (q_basket_lift): pair support floor + result cap
 BASKET_MIN_SUPPORT = 2
 BASKET_TOPN = 50
+
+# Winsorization bounds in micros of rank fraction (q_winsorized_stats)
+WINSOR_LO = 50_000
+WINSOR_HI = 950_000
 
 # Triangle counting (q_triangle_count): the co-occurrence graph over
 # ALL orders is dense (avg degree ~120 at sf0.1 — 72M oriented
@@ -8893,6 +8919,41 @@ QUALIFY row_number() OVER (
         """,
         "dq_profile": _dq_profile_oracle_sql(),
         "label_propagation": _lpa_oracle_sql(LPA_ITERS, TRI_ORDER_MOD),
+        "winsorized_stats": f"""
+            WITH vals AS (
+              SELECT event_type,
+                     CAST(floor(value * 1000000) AS BIGINT) AS v
+              FROM events
+              WHERE value IS NOT NULL AND NOT isnan(value)
+            ),
+            collapsed AS (
+              SELECT event_type, v, count(*) AS cnt FROM vals GROUP BY 1, 2
+            ),
+            ranked AS (
+              SELECT event_type, v, cnt,
+                     sum(cnt) OVER (PARTITION BY event_type ORDER BY v
+                                    ROWS UNBOUNDED PRECEDING) AS cum,
+                     sum(cnt) OVER (PARTITION BY event_type) AS n
+              FROM collapsed
+            ),
+            bounds AS (
+              SELECT event_type,
+                     min(CASE WHEN cum >= (n * {WINSOR_LO} + 999999) // 1000000
+                         THEN v END) AS lo_q,
+                     min(CASE WHEN cum >= (n * {WINSOR_HI} + 999999) // 1000000
+                         THEN v END) AS hi_q,
+                     min(n) AS n
+              FROM ranked GROUP BY 1
+            )
+            SELECT vals.event_type,
+                   CAST(min(n) AS BIGINT) AS n,
+                   CAST(min(lo_q) AS BIGINT) AS lo_q,
+                   CAST(min(hi_q) AS BIGINT) AS hi_q,
+                   CAST(sum(least(greatest(v, lo_q), hi_q)) AS BIGINT)
+                     AS win_sum_q
+            FROM vals JOIN bounds USING (event_type)
+            GROUP BY 1
+        """,
         # postings oracle: same tokenization; ordered digest via
         # string_agg(... ORDER BY doc_id) — the repo's ordered-
         # reassembly idiom

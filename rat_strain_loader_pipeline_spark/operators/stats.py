@@ -191,3 +191,58 @@ def grouped_trend(
         .cast(d38)
         .alias("slope_den"),
     )
+
+
+def winsorized_sum(
+    df: DataFrame,
+    group_cols: list[str],
+    value_q,
+    lo_frac_micros: int = 50_000,
+    hi_frac_micros: int = 950_000,
+) -> DataFrame:
+    """Winsorized aggregation per group: values clamp to the exact
+    [p_lo, p_hi] picks before summing — the robust mean's preprocessing
+    step that bounds heavy-tail influence. Percentile picks use
+    discrete (percentile_disc) semantics on the collapsed (group,
+    value) cumsum: the smallest value whose cumulative count reaches
+    ceil(n · frac), with ceil as pure integer arithmetic
+    ((n·frac + 1e6 − 1) div 1e6) — no float ranks anywhere.
+
+    Same value-grain collapse as weighted_median/quantile_rank; the
+    (group, lo, hi) bounds table is group-cardinality and broadcasts
+    back for the clamped re-aggregation. Returns (group..., n, lo_q,
+    hi_q, win_sum_q).
+    """
+    from pyspark.sql.window import Window
+
+    g = list(group_cols)
+    collapsed = df.groupBy(*g, value_q.alias("v")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w_cum = (
+        Window.partitionBy(*g).orderBy("v").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+    )
+    w_all = Window.partitionBy(*g)
+    ranked = collapsed.withColumn("cum", F.sum("cnt").over(w_cum)).withColumn(
+        "n", F.sum("cnt").over(w_all)
+    )
+    rank_lo = F.expr(f"(n * {int(lo_frac_micros)} + 999999) div 1000000")
+    rank_hi = F.expr(f"(n * {int(hi_frac_micros)} + 999999) div 1000000")
+    bounds = ranked.groupBy(*g).agg(
+        F.min(F.when(F.col("cum") >= rank_lo, F.col("v"))).alias("lo_q"),
+        F.min(F.when(F.col("cum") >= rank_hi, F.col("v"))).alias("hi_q"),
+        F.min("n").alias("n"),
+    )
+    clamped = df.select(*g, value_q.alias("v")).join(F.broadcast(bounds), g)
+    win = F.least(F.greatest(F.col("v"), F.col("lo_q")), F.col("hi_q"))
+    return (
+        clamped.groupBy(*g)
+        .agg(
+            F.min("n").alias("n"),
+            F.min("lo_q").alias("lo_q"),
+            F.min("hi_q").alias("hi_q"),
+            F.sum(win).alias("win_sum_q"),
+        )
+    )

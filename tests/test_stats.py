@@ -135,3 +135,16 @@ def test_grouped_trend_exact_slope_on_planted_line(spark):
     assert int(up["slope_num"]) == 3 * int(up["slope_den"])
     assert int(up["slope_den"]) > 0 and up["n"] == 50
     assert int(out["flat"]["slope_num"]) == 0
+
+
+def test_winsorized_sum_clamps_planted_outliers(spark):
+    from rat_strain_loader_pipeline_spark.operators.stats import winsorized_sum
+    from pyspark.sql import functions as F2
+
+    # 98 values of 10, one -1000 and one +1000: p05 pick = 10 (rank 5
+    # lands inside the 10s after the single low outlier), p95 = 10,
+    # so both outliers clamp to 10 and the sum is exactly 100 * 10
+    rows = [("g", 10)] * 98 + [("g", -1000), ("g", 1000)]
+    df = spark.createDataFrame(rows, "grp string, v long")
+    r = winsorized_sum(df, ["grp"], F2.col("v")).collect()[0]
+    assert (r["n"], r["lo_q"], r["hi_q"], r["win_sum_q"]) == (100, 10, 10, 1000)
