@@ -515,3 +515,34 @@ def test_dataset_diff_single_full_outer_join(spark, sf_dir, queries):
     assert plan.count("FullOuter") >= 1
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_value_grain_windows_stay_group_partitioned(spark, sf_dir, queries):
+    """weighted_median / quantile_rank / winsorized_stats collapse to
+    value grain and window per group — never an unpartitioned
+    corpus-grain window, never a cartesian pairing."""
+    import re
+
+    for name in ("weighted_median", "quantile_rank", "winsorized_stats"):
+        plan = _plan(queries[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        assert re.search(r"Window.*(l_returnflag|event_type)", plan, re.S), name
+
+
+def test_curriculum_rank_windows_stay_band_bucket_partitioned(
+    spark, sf_dir, queries
+):
+    """The curriculum rank must be the two-level construction: the
+    fact-side window partitions on (band, bucket); only the tiny
+    offsets table sees an unpartitioned window."""
+    import re
+
+    plan = _plan(queries["curriculum_order"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert re.search(r"Window.*band.*__b", plan, re.S)
+
+
+def test_lpa_rounds_are_staged_hash_joins(spark, sf_dir, queries):
+    plan = _plan(queries["label_propagation"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "lpa-labels-" in plan  # lineage truncated per round
