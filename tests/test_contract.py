@@ -61,7 +61,12 @@ def test_no_oracle_type_widening(duck):
     nor DECIMAL except where the Spark side is the identical decimal.
     The full Spark-schema cross-check runs in tools/check_correctness.py;
     this pins the regression class without a Spark session."""
-    DECIMAL_ALLOWED = {"corpus_curation": {"sum_quality"}}
+    DECIMAL_ALLOWED = {
+        "corpus_curation": {"sum_quality"},
+        # exact mergeable slope ratio: the Spark side emits the same
+        # DECIMAL(38,0) by design (operators/stats.py grouped_trend)
+        "grouped_trend": {"slope_num", "slope_den"},
+    }
     bad = []
     for name, sql in em.oracle_sql().items():
         rel = duck.sql(sql)
