@@ -3980,6 +3980,21 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index (operators/stats.py psi_drift): the
+    production feature-drift monitor — events.value split into
+    reference vs current (event_id % PSI_CUR_MOD), PSI_BINS globally-
+    aligned bins, add-one smoothing, per-bin (p−q)·ln(p/q) floored to
+    micro-units (the bigram_logprob floored-ln precedent). The oracle
+    replays the identical bounds/bin/smoothing/ln tree."""
+    from rat_strain_loader_pipeline_spark.operators.stats import psi_drift
+
+    ev = _t(spark, sf_dir, "events")
+    return psi_drift(
+        ev, F.col("event_id") % PSI_CUR_MOD == 0, "value", n_bins=PSI_BINS
+    )
+
+
 def q_rollup_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deletion propagation (operators/incremental.py
     retract_events_rollup — the right-to-be-forgotten path): users with
@@ -5068,6 +5083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "postings_build": q_postings_build,
         "winsorized_stats": q_winsorized_stats,
         "rollup_retract": q_rollup_retract,
+        "psi_drift": q_psi_drift,
     }
 
 
@@ -5672,6 +5688,10 @@ BASKET_TOPN = 50
 # Winsorization bounds in micros of rank fraction (q_winsorized_stats)
 WINSOR_LO = 50_000
 WINSOR_HI = 950_000
+
+# PSI drift (q_psi_drift): current slice = event_id % PSI_CUR_MOD == 0
+PSI_BINS = 10
+PSI_CUR_MOD = 3
 
 # Triangle counting (q_triangle_count): the co-occurrence graph over
 # ALL orders is dense (avg degree ~120 at sf0.1 — 72M oriented
@@ -8940,6 +8960,49 @@ QUALIFY row_number() OVER (
         """,
         "dq_profile": _dq_profile_oracle_sql(),
         "label_propagation": _lpa_oracle_sql(LPA_ITERS, TRI_ORDER_MOD),
+        # psi oracle: identical bounds/bin/smoothing/ln expression tree
+        # (floor toward -inf both engines — the bigram_logprob
+        # precedent), generated from the SAME PSI_* constants
+        "psi_drift": f"""
+            WITH base AS (
+              SELECT CAST(value AS DOUBLE) AS v,
+                     (event_id % {PSI_CUR_MOD} = 0) AS cur
+              FROM events
+              WHERE value IS NOT NULL AND NOT isnan(value)
+            ),
+            b AS (SELECT min(v) AS lo, max(v) AS hi FROM base),
+            binned AS (
+              SELECT CASE WHEN hi = lo THEN 0
+                     ELSE least(CAST(floor((v - lo)
+                            / ((hi - lo) / {float(PSI_BINS)!r})) AS BIGINT),
+                          {PSI_BINS - 1}) END AS bin,
+                     cur
+              FROM base, b
+            ),
+            counts AS (
+              SELECT bin,
+                     sum(CASE WHEN NOT cur THEN 1 ELSE 0 END) AS n_ref,
+                     sum(CASE WHEN cur THEN 1 ELSE 0 END) AS n_cur
+              FROM binned GROUP BY 1
+            ),
+            tot AS (
+              SELECT sum(n_ref) AS t_ref, sum(n_cur) AS t_cur FROM counts
+            )
+            SELECT CAST(bin AS BIGINT) AS bin,
+                   CAST(n_ref AS BIGINT) AS n_ref,
+                   CAST(n_cur AS BIGINT) AS n_cur,
+                   CAST(floor(
+                     (CAST(n_ref + 1 AS DOUBLE)
+                        / CAST(t_ref + {PSI_BINS} AS DOUBLE)
+                      - CAST(n_cur + 1 AS DOUBLE)
+                        / CAST(t_cur + {PSI_BINS} AS DOUBLE))
+                     * ln((CAST(n_ref + 1 AS DOUBLE)
+                             / CAST(t_ref + {PSI_BINS} AS DOUBLE))
+                          / (CAST(n_cur + 1 AS DOUBLE)
+                             / CAST(t_cur + {PSI_BINS} AS DOUBLE)))
+                     * 1000000.0) AS BIGINT) AS psi_contrib_q
+            FROM counts, tot
+        """,
         # rollup_retract oracle: from-scratch over SURVIVING rows —
         # scratch-vs-retracted equality is the deletion contract
         "rollup_retract": """

@@ -246,3 +246,64 @@ def winsorized_sum(
             F.sum(win).alias("win_sum_q"),
         )
     )
+
+
+def psi_drift(
+    df: DataFrame,
+    is_current,
+    value_col: str = "value",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Population Stability Index between a reference and a current
+    slice of one measure — the standard feature-drift monitor a
+    production model gates on (PSI < 0.1 stable, > 0.25 drifted).
+    Globally-aligned fixed-width bins (the value_histogram bounds
+    idiom), add-one smoothing over the bin count so empty-on-one-side
+    bins stay finite, and the per-bin contribution
+    (p - q) * ln(p / q) floored to micro-units — the bigram_logprob
+    precedent: floor is toward -inf in both engines, and the ln/
+    division tree is evaluated in the identical operand order, so the
+    DuckDB oracle replays the emitted integers exactly.
+
+    Returns one row per occupied bin: (bin, n_ref, n_cur,
+    psi_contrib_q); the headline PSI is the micro-unit sum. Two fact
+    passes (bounds, counts); everything downstream is bins-sized.
+    """
+    v = F.col(value_col)
+    valid = v.isNotNull()
+    if isinstance(df.schema[value_col].dataType, (DoubleType, FloatType)):
+        valid = valid & ~F.isnan(v)
+    base = df.filter(valid).select(
+        v.cast("double").alias("v"), is_current.alias("cur")
+    )
+    bounds = base.agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    width = (F.col("hi") - F.col("lo")) / F.lit(float(n_bins))
+    bin_raw = F.floor((F.col("v") - F.col("lo")) / width).cast("long")
+    bin_ = (
+        F.when(F.col("hi") == F.col("lo"), F.lit(0))
+        .otherwise(F.least(bin_raw, F.lit(n_bins - 1)))
+        .cast("long")
+    )
+    counts = (
+        base.crossJoin(F.broadcast(bounds))
+        .withColumn("bin", bin_)
+        .groupBy("bin")
+        .agg(
+            F.sum(F.when(~F.col("cur"), 1).otherwise(0)).alias("n_ref"),
+            F.sum(F.when(F.col("cur"), 1).otherwise(0)).alias("n_cur"),
+        )
+    )
+    tot = counts.agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    p = (F.col("n_ref") + 1).cast("double") / (
+        F.col("t_ref") + n_bins
+    ).cast("double")
+    q = (F.col("n_cur") + 1).cast("double") / (
+        F.col("t_cur") + n_bins
+    ).cast("double")
+    contrib = F.floor((p - q) * F.log(p / q) * F.lit(1_000_000.0)).cast("long")
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select("bin", "n_ref", "n_cur", contrib.alias("psi_contrib_q"))
+    )

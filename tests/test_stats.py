@@ -148,3 +148,20 @@ def test_winsorized_sum_clamps_planted_outliers(spark):
     df = spark.createDataFrame(rows, "grp string, v long")
     r = winsorized_sum(df, ["grp"], F2.col("v")).collect()[0]
     assert (r["n"], r["lo_q"], r["hi_q"], r["win_sum_q"]) == (100, 10, 10, 1000)
+
+
+def test_psi_drift_detects_planted_shift(spark):
+    from rat_strain_loader_pipeline_spark.operators.stats import psi_drift
+    from pyspark.sql import functions as F2
+
+    # reference uniform over [0, 100); current concentrated in [0, 10)
+    rows = [(i, float(i % 100)) for i in range(0, 2000, 2)]          # ref (even)
+    rows += [(i, float(i % 10)) for i in range(1, 2000, 2)]          # cur (odd)
+    df = spark.createDataFrame(rows, "event_id long, value double")
+    out = psi_drift(df, F2.col("event_id") % 2 == 1, "value", n_bins=10).collect()
+    psi = sum(r["psi_contrib_q"] for r in out) / 1e6
+    assert psi > 0.25  # the standard "drifted" threshold
+    # identical slices -> PSI ~ 0 (only floor jitter, bounded by bins)
+    same = psi_drift(df.withColumn("value", F2.lit(5.0)),
+                     F2.col("event_id") % 2 == 1, "value", n_bins=10).collect()
+    assert abs(sum(r["psi_contrib_q"] for r in same)) <= len(same)
