@@ -90,7 +90,8 @@ def kmeans_fit(
         assign = stage_to_parquet(
             dists.groupBy(id_col)
             .agg(F.min(F.struct("dist", "j")).alias("m"))
-            .select(id_col, F.col("m.j").alias("j"), F.col("m.dist").alias("dist")),
+            .select(id_col, F.col("m.j").alias("j"), F.col("m.dist").alias("dist"))
+            .coalesce(4),  # vector-count rows; 32 near-empty files cost more than they parallelize
             f"kmeans-assign-{r}",
         )
         if r == iters - 1:
@@ -109,7 +110,7 @@ def kmeans_fit(
         cent = stage_to_parquet(
             cent.join(updated, ["j", "dim"], "left").select(
                 "j", "dim", F.coalesce("cn", "c").alias("c")
-            ),
+            ).coalesce(1),  # K x dims rows
             f"kmeans-cent-{r}",
         )
     return assign, cent
@@ -269,7 +270,8 @@ def kmeans_fit_grouped(
             .agg(F.min(F.struct("dist", "j")).alias("m"))
             .select(
                 id_col, "g", F.col("m.j").alias("j"), F.col("m.dist").alias("dist")
-            ),
+            )
+            .coalesce(4),  # groups x vector-count rows
             f"kmeansg-assign-{r}",
         )
         if r == iters - 1:
@@ -288,7 +290,7 @@ def kmeans_fit_grouped(
         cent = stage_to_parquet(
             cent.join(updated, ["g", "j", "dim"], "left").select(
                 "g", "j", "dim", F.coalesce("cn", "c").alias("c")
-            ),
+            ).coalesce(1),  # groups x K x dims rows
             f"kmeansg-cent-{r}",
         )
     return assign, cent

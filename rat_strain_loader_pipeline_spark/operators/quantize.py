@@ -523,11 +523,12 @@ def ivf_pq_topk_residual(
             (F.col("xq") - F.col("c")).alias("rq"),
         )
     )
-    lut = stage_to_parquet(
+    # (queries x nprobe x m x k) rows — broadcast evaluates it once;
+    # a parquet staging here would only add fixed I/O
+    lut = (
         qresid.join(codebook, ["g", "dim"])
         .groupBy("q_id", "jc", "g", "j")
-        .agg(F.sum((F.col("rq") - F.col("c")) * (F.col("rq") - F.col("c"))).alias("dd")),
-        "ivfpqr-lut",
+        .agg(F.sum((F.col("rq") - F.col("c")) * (F.col("rq") - F.col("c"))).alias("dd"))
     )
     cand = (
         lists.select(F.col(id_col).alias("c_id"), "jc")

@@ -488,7 +488,7 @@ def test_ivf_pq_residual_luts_broadcast(spark, sf_dir, queries):
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
-    assert "ivfpqr-lut" in plan
+    assert "ivfpqr-qm" in plan  # the staged query micros feed router AND LUTs
 
 
 def test_triangle_wedge_join_stays_hash_partitioned(spark, sf_dir, queries):
