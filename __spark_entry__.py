@@ -3980,6 +3980,47 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_impute_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median imputation (the standard numeric-repair step before
+    training): null/NaN event values fill with their type's EXACT
+    median (weighted_median at weight 1 — the min-rank 2·cum >= n
+    pick over the value-grain cumsum), and the report per type is
+    (n_rows, n_imputed, median_q, sum_after_q) — the post-repair sum
+    proves the fill actually landed. Group medians broadcast back;
+    one value-grain window + one fact pass."""
+    from rat_strain_loader_pipeline_spark.operators.stats import weighted_median
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    ok = F.col("value").isNotNull() & ~F.isnan(F.col("value"))
+    med = weighted_median(
+        ev.filter(ok),
+        ["event_type"],
+        F.floor(F.col("value") * 1_000_000).cast("long"),
+        F.lit(1),
+    ).select("event_type", F.col("wmedian_q").alias("median_q"))
+    vq = F.when(ok, F.floor(F.col("value") * 1_000_000).cast("long")).otherwise(
+        F.col("median_q")
+    )
+    return (
+        ev.join(F.broadcast(med), "event_type")
+        .select(
+            "event_type",
+            "median_q",
+            vq.alias("vq"),
+            (~ok).cast("long").alias("imp"),
+        )
+        .groupBy("event_type", "median_q")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("imp").alias("n_imputed"),
+            F.sum("vq").alias("sum_after_q"),
+        )
+        .select(
+            "event_type", "n_rows", "n_imputed", "median_q", "sum_after_q"
+        )
+    )
+
+
 def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population Stability Index (operators/stats.py psi_drift): the
     production feature-drift monitor — events.value split into
@@ -5084,6 +5125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorized_stats": q_winsorized_stats,
         "rollup_retract": q_rollup_retract,
         "psi_drift": q_psi_drift,
+        "impute_median": q_impute_median,
     }
 
 
@@ -8960,6 +9002,34 @@ QUALIFY row_number() OVER (
         """,
         "dq_profile": _dq_profile_oracle_sql(),
         "label_propagation": _lpa_oracle_sql(LPA_ITERS, TRI_ORDER_MOD),
+        "impute_median": """
+            WITH med AS (
+              SELECT event_type, min(v) AS median_q FROM (
+                SELECT event_type, v,
+                       sum(cnt) OVER (PARTITION BY event_type ORDER BY v
+                                      ROWS UNBOUNDED PRECEDING) AS cum,
+                       sum(cnt) OVER (PARTITION BY event_type) AS tot
+                FROM (SELECT event_type,
+                             CAST(floor(value * 1000000) AS BIGINT) AS v,
+                             count(*) AS cnt
+                      FROM events
+                      WHERE value IS NOT NULL AND NOT isnan(value)
+                      GROUP BY 1, 2)
+              ) WHERE cum * 2 >= tot
+              GROUP BY 1
+            )
+            SELECT e.event_type,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(CASE WHEN e.value IS NULL OR isnan(e.value)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_imputed,
+                   CAST(min(median_q) AS BIGINT) AS median_q,
+                   CAST(sum(CASE WHEN e.value IS NOT NULL
+                                  AND NOT isnan(e.value)
+                            THEN CAST(floor(e.value * 1000000) AS BIGINT)
+                            ELSE median_q END) AS BIGINT) AS sum_after_q
+            FROM events e JOIN med USING (event_type)
+            GROUP BY 1
+        """,
         # psi oracle: identical bounds/bin/smoothing/ln expression tree
         # (floor toward -inf both engines — the bigram_logprob
         # precedent), generated from the SAME PSI_* constants
