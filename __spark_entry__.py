@@ -3980,6 +3980,29 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral trigram mining (the sequence-pattern step behind
+    funnel design and next-action models): per user in (ts, event_id)
+    order, every 3 consecutive event types, counted corpus-wide; top
+    25 by (count, lexicographic). Two lead() windows per user —
+    hash-partitioned, no self-joins — then one partial-agg count and
+    a bounded TakeOrdered."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = (
+        ev.withColumn("t2", F.lead("event_type", 1).over(w))
+        .withColumn("t3", F.lead("event_type", 2).over(w))
+        .filter(F.col("t3").isNotNull())
+        .select(F.col("event_type").alias("t1"), "t2", "t3")
+    )
+    return (
+        tri.groupBy("t1", "t2", "t3")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "t1", "t2", "t3")
+        .limit(25)
+    )
+
+
 def q_impute_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Median imputation (the standard numeric-repair step before
     training): null/NaN event values fill with their type's EXACT
@@ -5126,6 +5149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_retract": q_rollup_retract,
         "psi_drift": q_psi_drift,
         "impute_median": q_impute_median,
+        "event_trigrams": q_event_trigrams,
     }
 
 
@@ -9002,6 +9026,20 @@ QUALIFY row_number() OVER (
         """,
         "dq_profile": _dq_profile_oracle_sql(),
         "label_propagation": _lpa_oracle_sql(LPA_ITERS, TRI_ORDER_MOD),
+        "event_trigrams": """
+            SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n
+            FROM (
+              SELECT event_type AS t1,
+                     lead(event_type, 1) OVER w AS t2,
+                     lead(event_type, 2) OVER w AS t3
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            WHERE t3 IS NOT NULL
+            GROUP BY 1, 2, 3
+            ORDER BY n DESC, t1, t2, t3
+            LIMIT 25
+        """,
         "impute_median": """
             WITH med AS (
               SELECT event_type, min(v) AS median_q FROM (
