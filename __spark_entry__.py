@@ -3980,6 +3980,59 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift monitor (the vector-side twin of
+    psi_drift): per label, the squared L2 distance between the
+    reference (vec_id % 3 != 0) and current (vec_id % 3 == 0) slice
+    CENTROIDS, computed entirely in integers — micro-unit components,
+    per-dim floor-of-double-quotient means (the kmeans centroid-update
+    arithmetic), bigint squared diff sum. A retrained encoder or a
+    shifted corpus moves the centroids; drift_q is the alarm number.
+    One explode + two dim-grain partial aggs per label; everything
+    downstream is (labels x dims)-sized."""
+    emb = _t(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label",
+        (F.col("vec_id") % 3 == 0).alias("cur"),
+        F.posexplode("embedding").alias("dim", "x"),
+    ).select(
+        "label",
+        "cur",
+        "dim",
+        F.floor(F.col("x").cast("double") * 1_000_000).cast("long").alias("xq"),
+    )
+    cent = ex.groupBy("label", "cur", "dim").agg(
+        F.floor(F.sum("xq").cast("double") / F.count(F.lit(1)).cast("double"))
+        .cast("long")
+        .alias("c"),
+        F.count(F.lit(1)).alias("nd"),
+    )
+    a = cent.filter(~F.col("cur")).select(
+        "label", "dim", F.col("c").alias("c_ref"), F.col("nd").alias("n_ref")
+    )
+    b = cent.filter(F.col("cur")).select(
+        "label", "dim", F.col("c").alias("c_cur"), F.col("nd").alias("n_cur")
+    )
+    return (
+        a.join(b, ["label", "dim"])
+        .groupBy("label")
+        .agg(
+            F.min("n_ref").alias("n_ref"),
+            F.min("n_cur").alias("n_cur"),
+            F.sum(
+                (F.col("c_ref") - F.col("c_cur"))
+                * (F.col("c_ref") - F.col("c_cur"))
+            ).alias("drift_q"),
+        )
+        .select(
+            F.col("label").cast("long").alias("label"),
+            "n_ref",
+            "n_cur",
+            "drift_q",
+        )
+    )
+
+
 def q_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Behavioral trigram mining (the sequence-pattern step behind
     funnel design and next-action models): per user in (ts, event_id)
@@ -5150,6 +5203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_drift": q_psi_drift,
         "impute_median": q_impute_median,
         "event_trigrams": q_event_trigrams,
+        "embedding_drift": q_embedding_drift,
     }
 
 
@@ -9026,6 +9080,30 @@ QUALIFY row_number() OVER (
         """,
         "dq_profile": _dq_profile_oracle_sql(),
         "label_propagation": _lpa_oracle_sql(LPA_ITERS, TRI_ORDER_MOD),
+        "embedding_drift": """
+            WITH ex AS (
+              SELECT label, (vec_id % 3 = 0) AS cur, d - 1 AS dim,
+                     CAST(floor(CAST(e AS DOUBLE) * 1000000) AS BIGINT) AS xq
+              FROM (SELECT label, vec_id, unnest(embedding) AS e,
+                           generate_subscripts(embedding, 1) AS d
+                    FROM embeddings)
+            ),
+            cent AS (
+              SELECT label, cur, dim,
+                     CAST(floor(CAST(sum(xq) AS DOUBLE)
+                                / CAST(count(*) AS DOUBLE)) AS BIGINT) AS c,
+                     count(*) AS nd
+              FROM ex GROUP BY 1, 2, 3
+            )
+            SELECT CAST(a.label AS BIGINT) AS label,
+                   CAST(min(a.nd) AS BIGINT) AS n_ref,
+                   CAST(min(b.nd) AS BIGINT) AS n_cur,
+                   CAST(sum((a.c - b.c) * (a.c - b.c)) AS BIGINT) AS drift_q
+            FROM cent a JOIN cent b
+              ON a.label = b.label AND a.dim = b.dim
+             AND NOT a.cur AND b.cur
+            GROUP BY 1
+        """,
         "event_trigrams": """
             SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n
             FROM (
