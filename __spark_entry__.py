@@ -3980,6 +3980,43 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_wow_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week change report: per event type and week
+    (unix_timestamp div 604800 — fixed epoch weeks, tz-free), the
+    NaN-guarded micro value sum, the previous week's sum (lag over the
+    weeks series — bucket grain, not rows), and the percent change in
+    micros via floor((cur−prev)/prev · 1e6) — floor toward −inf in
+    both engines handles negative changes identically; first week and
+    zero-prev weeks stay NULL."""
+    ev = _t(spark, sf_dir, "events")
+    vq = F.when(
+        F.col("value").isNotNull() & ~F.isnan(F.col("value")),
+        F.floor(F.col("value") * 1_000_000).cast("long"),
+    )
+    weekly = (
+        ev.withColumn("week", F.expr("unix_timestamp(ts) div 604800"))
+        .groupBy("event_type", "week")
+        .agg(F.coalesce(F.sum(vq), F.lit(0)).alias("sum_q"))
+    )
+    w = Window.partitionBy("event_type").orderBy("week")
+    prev = F.lag("sum_q").over(w)
+    pct = F.when(
+        prev.isNotNull() & (prev != 0),
+        F.floor(
+            (F.col("sum_q") - prev).cast("double")
+            / prev.cast("double")
+            * F.lit(1_000_000.0)
+        ).cast("long"),
+    )
+    return weekly.select(
+        "event_type",
+        "week",
+        "sum_q",
+        prev.alias("prev_q"),
+        pct.alias("pct_change_q"),
+    )
+
+
 def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space drift monitor (the vector-side twin of
     psi_drift): per label, the squared L2 distance between the
@@ -5204,6 +5241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "impute_median": q_impute_median,
         "event_trigrams": q_event_trigrams,
         "embedding_drift": q_embedding_drift,
+        "wow_change": q_wow_change,
     }
 
 
@@ -9080,6 +9118,28 @@ QUALIFY row_number() OVER (
         """,
         "dq_profile": _dq_profile_oracle_sql(),
         "label_propagation": _lpa_oracle_sql(LPA_ITERS, TRI_ORDER_MOD),
+        "wow_change": """
+            WITH weekly AS (
+              SELECT event_type,
+                     (epoch_us(ts) // 1000000) // 604800 AS week,
+                     COALESCE(sum(CASE WHEN value IS NOT NULL
+                                        AND NOT isnan(value)
+                                  THEN CAST(floor(value * 1000000) AS BIGINT)
+                                  END), 0) AS sum_q
+              FROM events GROUP BY 1, 2
+            )
+            SELECT event_type, week, sum_q,
+                   lag(sum_q) OVER w AS prev_q,
+                   CASE WHEN lag(sum_q) OVER w IS NOT NULL
+                         AND lag(sum_q) OVER w <> 0
+                        THEN CAST(floor(
+                          CAST(sum_q - lag(sum_q) OVER w AS DOUBLE)
+                          / CAST(lag(sum_q) OVER w AS DOUBLE)
+                          * 1000000.0) AS BIGINT)
+                   END AS pct_change_q
+            FROM weekly
+            WINDOW w AS (PARTITION BY event_type ORDER BY week)
+        """,
         "embedding_drift": """
             WITH ex AS (
               SELECT label, (vec_id % 3 = 0) AS cur, d - 1 AS dim,
