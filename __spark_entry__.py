@@ -9122,10 +9122,10 @@ QUALIFY row_number() OVER (
             WITH weekly AS (
               SELECT event_type,
                      (epoch_us(ts) // 1000000) // 604800 AS week,
-                     COALESCE(sum(CASE WHEN value IS NOT NULL
+                     CAST(COALESCE(sum(CASE WHEN value IS NOT NULL
                                         AND NOT isnan(value)
                                   THEN CAST(floor(value * 1000000) AS BIGINT)
-                                  END), 0) AS sum_q
+                                  END), 0) AS BIGINT) AS sum_q
               FROM events GROUP BY 1, 2
             )
             SELECT event_type, week, sum_q,
