@@ -3980,6 +3980,27 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample KS statistic (operators/stats.py
+    ks_two_sample), the nonparametric drift test beside psi_drift:
+    per event type, reference (event_id % PSI_CUR_MOD != 0) vs current
+    values compared on the merged value grid, entirely fraction-free —
+    dev = |n_cur·cumref − n_ref·cumcur| bigint, D reported in micros
+    by non-negative integer division. NaN/null excluded; windows at
+    value grain per type. The oracle replays the identical algebra."""
+    from rat_strain_loader_pipeline_spark.operators.stats import ks_two_sample
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & ~F.isnan(F.col("value"))
+    )
+    return ks_two_sample(
+        ev,
+        ["event_type"],
+        F.col("event_id") % PSI_CUR_MOD == 0,
+        F.floor(F.col("value") * 1_000_000).cast("long"),
+    )
+
+
 def q_wow_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Week-over-week change report: per event type and week
     (unix_timestamp div 604800 — fixed epoch weeks, tz-free), the
@@ -5242,6 +5263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_trigrams": q_event_trigrams,
         "embedding_drift": q_embedding_drift,
         "wow_change": q_wow_change,
+        "ks_two_sample": q_ks_two_sample,
     }
 
 
@@ -9118,6 +9140,40 @@ QUALIFY row_number() OVER (
         """,
         "dq_profile": _dq_profile_oracle_sql(),
         "label_propagation": _lpa_oracle_sql(LPA_ITERS, TRI_ORDER_MOD),
+        "ks_two_sample": f"""
+            WITH collapsed AS (
+              SELECT event_type,
+                     CAST(floor(value * 1000000) AS BIGINT) AS v,
+                     sum(CASE WHEN event_id % {PSI_CUR_MOD} <> 0
+                         THEN 1 ELSE 0 END) AS r,
+                     sum(CASE WHEN event_id % {PSI_CUR_MOD} = 0
+                         THEN 1 ELSE 0 END) AS c
+              FROM events
+              WHERE value IS NOT NULL AND NOT isnan(value)
+              GROUP BY 1, 2
+            ),
+            scored AS (
+              SELECT event_type, v,
+                     sum(r) OVER (PARTITION BY event_type ORDER BY v
+                                  ROWS UNBOUNDED PRECEDING) AS cumr,
+                     sum(c) OVER (PARTITION BY event_type ORDER BY v
+                                  ROWS UNBOUNDED PRECEDING) AS cumc,
+                     sum(r) OVER (PARTITION BY event_type) AS nr,
+                     sum(c) OVER (PARTITION BY event_type) AS nc
+              FROM collapsed
+            )
+            SELECT event_type,
+                   CAST(nr AS BIGINT) AS n_ref,
+                   CAST(nc AS BIGINT) AS n_cur,
+                   CAST(abs(nc * cumr - nr * cumc) AS BIGINT) AS d_scaled,
+                   CAST((abs(nc * cumr - nr * cumc) * 1000000)
+                        // (nr * nc) AS BIGINT) AS ks_micros,
+                   v AS v_at_max
+            FROM scored
+            QUALIFY row_number() OVER (
+              PARTITION BY event_type
+              ORDER BY abs(nc * cumr - nr * cumc) DESC, v) = 1
+        """,
         "wow_change": """
             WITH weekly AS (
               SELECT event_type,

@@ -307,3 +307,63 @@ def psi_drift(
         counts.crossJoin(F.broadcast(tot))
         .select("bin", "n_ref", "n_cur", contrib.alias("psi_contrib_q"))
     )
+
+
+def ks_two_sample(
+    df: DataFrame,
+    group_cols: list[str],
+    is_current,
+    value_q,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic per group,
+    fraction-free: D = max_x |F_ref(x) − F_cur(x)| needs fractional
+    ECDFs, but scaling by n_ref·n_cur keeps everything bigint:
+    dev(x) = |n_cur·cumref(x) − n_ref·cumcur(x)|, D = max dev /
+    (n_ref·n_cur). Both sides' counts collapse onto the MERGED value
+    grid first (one conditional-sum aggregation), so the cumsum window
+    runs at value cardinality partitioned by group — the
+    weighted_median discipline. Reported as (group..., n_ref, n_cur,
+    d_scaled, ks_micros, v_at_max) with ks_micros = floor(d_scaled ·
+    1e6 / (n_ref·n_cur)) (non-negative integer div) and v_at_max the
+    smallest value attaining the max."""
+    from pyspark.sql.window import Window
+
+    g = list(group_cols)
+    collapsed = df.select(*g, value_q.alias("v"), is_current.alias("cur")).groupBy(
+        *g, "v"
+    ).agg(
+        F.sum(F.when(~F.col("cur"), 1).otherwise(0)).alias("r"),
+        F.sum(F.when(F.col("cur"), 1).otherwise(0)).alias("c"),
+    )
+    w_cum = (
+        Window.partitionBy(*g).orderBy("v").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+    )
+    w_all = Window.partitionBy(*g)
+    scored = (
+        collapsed.withColumn("cumr", F.sum("r").over(w_cum))
+        .withColumn("cumc", F.sum("c").over(w_cum))
+        .withColumn("nr", F.sum("r").over(w_all))
+        .withColumn("nc", F.sum("c").over(w_all))
+        .withColumn(
+            "dev",
+            F.abs(F.col("nc") * F.col("cumr") - F.col("nr") * F.col("cumc")),
+        )
+    )
+    return (
+        scored.groupBy(*g)
+        .agg(
+            F.min("nr").alias("n_ref"),
+            F.min("nc").alias("n_cur"),
+            F.max(F.struct(F.col("dev"), (-F.col("v")).alias("nv"))).alias("m"),
+        )
+        .select(
+            *g,
+            "n_ref",
+            "n_cur",
+            F.col("m.dev").alias("d_scaled"),
+            F.expr("(m.dev * 1000000) div (n_ref * n_cur)").alias("ks_micros"),
+            (-F.col("m.nv")).alias("v_at_max"),
+        )
+    )

@@ -165,3 +165,23 @@ def test_psi_drift_detects_planted_shift(spark):
     same = psi_drift(df.withColumn("value", F2.lit(5.0)),
                      F2.col("event_id") % 2 == 1, "value", n_bins=10).collect()
     assert abs(sum(r["psi_contrib_q"] for r in same)) <= len(same)
+
+
+def test_ks_two_sample_exact_on_disjoint_and_identical(spark):
+    from rat_strain_loader_pipeline_spark.operators.stats import ks_two_sample
+    from pyspark.sql import functions as F2
+
+    # disjoint supports -> D = 1 exactly; identical samples -> D = 0
+    rows = [("d", i, 0) for i in range(50)] + [("d", 1000 + i, 1) for i in range(50)]
+    rows += [("s", i % 10, j) for i in range(40) for j in (0, 1)]
+    df = spark.createDataFrame(rows, "grp string, v long, cur int")
+    out = {
+        r["grp"]: r
+        for r in ks_two_sample(
+            df, ["grp"], F2.col("cur") == 1, F2.col("v")
+        ).collect()
+    }
+    assert out["d"]["ks_micros"] == 1_000_000
+    assert out["d"]["v_at_max"] == 49  # the last ref value, where the gap peaks
+    assert out["s"]["ks_micros"] == 0
+    assert out["s"]["d_scaled"] == 0
