@@ -3980,6 +3980,26 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mw_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U / exact ROC-AUC (operators/stats.py
+    mann_whitney_auc): per event type, how well the value separates
+    the reference from the current slice — U in doubled-midrank
+    integers (exact under ties), AUC in micros. The fraction-free twin
+    of a sampled-AUC job at 100 TB scale; same value-grain windows as
+    ks_two_sample. Oracle replays the identical rank algebra."""
+    from rat_strain_loader_pipeline_spark.operators.stats import mann_whitney_auc
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & ~F.isnan(F.col("value"))
+    )
+    return mann_whitney_auc(
+        ev,
+        ["event_type"],
+        F.col("event_id") % PSI_CUR_MOD == 0,
+        F.floor(F.col("value") * 1_000_000).cast("long"),
+    )
+
+
 def q_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact two-sample KS statistic (operators/stats.py
     ks_two_sample), the nonparametric drift test beside psi_drift:
@@ -5264,6 +5284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_drift": q_embedding_drift,
         "wow_change": q_wow_change,
         "ks_two_sample": q_ks_two_sample,
+        "mw_auc": q_mw_auc,
     }
 
 
@@ -9140,6 +9161,38 @@ QUALIFY row_number() OVER (
         """,
         "dq_profile": _dq_profile_oracle_sql(),
         "label_propagation": _lpa_oracle_sql(LPA_ITERS, TRI_ORDER_MOD),
+        "mw_auc": f"""
+            WITH collapsed AS (
+              SELECT event_type,
+                     CAST(floor(value * 1000000) AS BIGINT) AS v,
+                     sum(CASE WHEN event_id % {PSI_CUR_MOD} <> 0
+                         THEN 1 ELSE 0 END) AS r,
+                     sum(CASE WHEN event_id % {PSI_CUR_MOD} = 0
+                         THEN 1 ELSE 0 END) AS c
+              FROM events
+              WHERE value IS NOT NULL AND NOT isnan(value)
+              GROUP BY 1, 2
+            ),
+            scored AS (
+              SELECT event_type, r,
+                     r + c AS cnt,
+                     sum(r + c) OVER (PARTITION BY event_type ORDER BY v
+                                      ROWS UNBOUNDED PRECEDING) AS cumall,
+                     sum(r) OVER (PARTITION BY event_type) AS nr,
+                     sum(c) OVER (PARTITION BY event_type) AS nc
+              FROM collapsed
+            )
+            SELECT event_type,
+                   CAST(min(nr) AS BIGINT) AS n_ref,
+                   CAST(min(nc) AS BIGINT) AS n_cur,
+                   CAST(sum(r * (2 * (cumall - cnt) + cnt + 1))
+                        - min(nr) * (min(nr) + 1) AS BIGINT) AS u_times2,
+                   CAST(((sum(r * (2 * (cumall - cnt) + cnt + 1))
+                          - min(nr) * (min(nr) + 1)) * 1000000)
+                        // (2 * min(nr) * min(nc)) AS BIGINT) AS auc_micros
+            FROM scored
+            GROUP BY 1
+        """,
         "ks_two_sample": f"""
             WITH collapsed AS (
               SELECT event_type,

@@ -367,3 +367,68 @@ def ks_two_sample(
             (-F.col("m.nv")).alias("v_at_max"),
         )
     )
+
+
+def mann_whitney_auc(
+    df: DataFrame,
+    group_cols: list[str],
+    is_current,
+    value_q,
+) -> DataFrame:
+    """Mann-Whitney U per group — identically the exact ROC-AUC of the
+    value as a ref-vs-cur separator (U / (n_ref·n_cur)), the other
+    standard nonparametric two-sample test beside KS. Fraction-free
+    via DOUBLED midranks: a tied block after cum_before prior rows
+    with cnt members has 2·midrank = 2·cum_before + cnt + 1, so
+    2·R_ref = Σ_v r_v·(2·cumall_before + cntall + 1) and
+    2·U = 2·R_ref − n_ref·(n_ref+1) stay bigint end-to-end; AUC
+    reports in micros by non-negative integer division. Same
+    value-grain collapse + per-group windows as ks_two_sample.
+
+    Returns (group..., n_ref, n_cur, u_times2, auc_micros)."""
+    from pyspark.sql.window import Window
+
+    g = list(group_cols)
+    collapsed = df.select(*g, value_q.alias("v"), is_current.alias("cur")).groupBy(
+        *g, "v"
+    ).agg(
+        F.sum(F.when(~F.col("cur"), 1).otherwise(0)).alias("r"),
+        F.sum(F.when(F.col("cur"), 1).otherwise(0)).alias("c"),
+    )
+    w_cum = (
+        Window.partitionBy(*g).orderBy("v").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+    )
+    w_all = Window.partitionBy(*g)
+    scored = (
+        collapsed.withColumn("cnt", F.col("r") + F.col("c"))
+        .withColumn("cumall", F.sum(F.col("r") + F.col("c")).over(w_cum))
+        .withColumn("nr", F.sum("r").over(w_all))
+        .withColumn("nc", F.sum("c").over(w_all))
+        .withColumn(
+            "rank2_contrib",
+            F.col("r")
+            * (2 * (F.col("cumall") - F.col("cnt")) + F.col("cnt") + 1),
+        )
+    )
+    return (
+        scored.groupBy(*g)
+        .agg(
+            F.min("nr").alias("n_ref"),
+            F.min("nc").alias("n_cur"),
+            F.sum("rank2_contrib").alias("r2"),
+        )
+        .select(
+            *g,
+            "n_ref",
+            "n_cur",
+            (F.col("r2") - F.col("n_ref") * (F.col("n_ref") + 1)).alias(
+                "u_times2"
+            ),
+            F.expr(
+                "((r2 - n_ref * (n_ref + 1)) * 1000000)"
+                " div (2 * n_ref * n_cur)"
+            ).alias("auc_micros"),
+        )
+    )

@@ -185,3 +185,24 @@ def test_ks_two_sample_exact_on_disjoint_and_identical(spark):
     assert out["d"]["v_at_max"] == 49  # the last ref value, where the gap peaks
     assert out["s"]["ks_micros"] == 0
     assert out["s"]["d_scaled"] == 0
+
+
+def test_mann_whitney_auc_separation_extremes_and_ties(spark):
+    from rat_strain_loader_pipeline_spark.operators.stats import mann_whitney_auc
+    from pyspark.sql import functions as F2
+
+    # perfect separation (all cur above all ref) -> AUC 0 for ref-high
+    # convention check: U counts cur-below-ref pairs via ref ranks
+    rows = [("p", i, 0) for i in range(20)] + [("p", 100 + i, 1) for i in range(20)]
+    # pure ties: identical values -> AUC exactly 0.5
+    rows += [("t", 7, j % 2) for j in range(40)]
+    df = spark.createDataFrame(rows, "grp string, v long, cur int")
+    out = {
+        r["grp"]: r
+        for r in mann_whitney_auc(
+            df, ["grp"], F2.col("cur") == 1, F2.col("v")
+        ).collect()
+    }
+    assert out["p"]["auc_micros"] in (0, 1_000_000)  # perfect separation
+    assert out["p"]["u_times2"] in (0, 2 * 20 * 20)
+    assert out["t"]["auc_micros"] == 500_000  # all-tied -> exactly 1/2
