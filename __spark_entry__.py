@@ -3980,6 +3980,21 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact correlation matrix blocks (operators/stats.py
+    correlation_pairs): every pair among quantity (units), extended
+    price (cents), discount and tax (micros) as
+    DECIMAL(38,0)-exact sufficient statistics (num, den_a, den_b) from
+    ONE fused-aggregate pass — mergeable across shards, no IEEE ops in
+    the contract (grouped_trend's pattern widened to all pairs).
+    Oracle replays the sums in HUGEINT."""
+    from rat_strain_loader_pipeline_spark.operators.stats import correlation_pairs
+
+    li = _t(spark, sf_dir, "lineitem")
+    cols = {name: F.expr(sql) for name, sql in CORR_COLS_SQL.items()}
+    return correlation_pairs(li, cols)
+
+
 def q_mw_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mann-Whitney U / exact ROC-AUC (operators/stats.py
     mann_whitney_auc): per event type, how well the value separates
@@ -5285,6 +5300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wow_change": q_wow_change,
         "ks_two_sample": q_ks_two_sample,
         "mw_auc": q_mw_auc,
+        "corr_matrix": q_corr_matrix,
     }
 
 
@@ -5894,6 +5910,16 @@ WINSOR_HI = 950_000
 PSI_BINS = 10
 PSI_CUR_MOD = 3
 
+# Correlation matrix (q_corr_matrix): ONE set of column expressions,
+# valid in both Spark SQL (via F.expr) and DuckDB (// == div on the
+# non-negative operands; floor/CAST identical)
+CORR_COLS_SQL = {
+    "qty": "CAST(floor(l_quantity) AS BIGINT)",
+    "price_c": "CAST(floor(l_extendedprice * 100) AS BIGINT)",
+    "disc_q": "CAST(floor(l_discount * 1000000) AS BIGINT)",
+    "tax_q": "CAST(floor(l_tax * 1000000) AS BIGINT)",
+}
+
 # Triangle counting (q_triangle_count): the co-occurrence graph over
 # ALL orders is dense (avg degree ~120 at sf0.1 — 72M oriented
 # wedges); the audit runs on the 1-in-TRI_ORDER_MOD order sample,
@@ -6476,6 +6502,32 @@ FROM exact LEFT JOIN approx
   ON exact.q_id = approx.q_id AND exact.c_id = approx.c_id
 GROUP BY 1
 """
+
+
+def _corr_oracle_sql() -> str:
+    """Per-pair sufficient statistics from the SAME CORR_COLS_SQL
+    expressions, summed in HUGEINT (exact 128-bit) and folded to
+    DECIMAL(38,0) — pair order matches correlation_pairs (sorted
+    names)."""
+    names = sorted(CORR_COLS_SQL)
+    base = ", ".join(
+        f"CAST({CORR_COLS_SQL[c]} AS HUGEINT) AS {c}" for c in names
+    )
+    selects = []
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            selects.append(
+                f"""SELECT '{a}' AS col_a, '{b}' AS col_b,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(*) * sum({a} * {b}) - sum({a}) * sum({b})
+            AS DECIMAL(38,0)) AS corr_num,
+       CAST(count(*) * sum({a} * {a}) - sum({a}) * sum({a})
+            AS DECIMAL(38,0)) AS den_a,
+       CAST(count(*) * sum({b} * {b}) - sum({b}) * sum({b})
+            AS DECIMAL(38,0)) AS den_b
+FROM (SELECT {base} FROM lineitem)"""
+            )
+    return "\nUNION ALL\n".join(selects)
 
 
 def _lpa_oracle_sql(iters: int, order_mod: int) -> str:
@@ -9161,6 +9213,7 @@ QUALIFY row_number() OVER (
         """,
         "dq_profile": _dq_profile_oracle_sql(),
         "label_propagation": _lpa_oracle_sql(LPA_ITERS, TRI_ORDER_MOD),
+        "corr_matrix": _corr_oracle_sql(),
         "mw_auc": f"""
             WITH collapsed AS (
               SELECT event_type,

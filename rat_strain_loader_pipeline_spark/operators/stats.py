@@ -432,3 +432,62 @@ def mann_whitney_auc(
             ).alias("auc_micros"),
         )
     )
+
+
+def correlation_pairs(
+    df: DataFrame,
+    cols_q: dict,
+) -> DataFrame:
+    """Exact Pearson-correlation building blocks for every column pair:
+    corr² = num² / (den_x · den_y) with num = n·Σxy − Σx·Σy and
+    den_c = n·Σc² − (Σc)², all DECIMAL(38,0)-exact from micro-unit
+    integer inputs — the mergeable-sufficient-statistics form (one
+    partial-agg pass computes every pair's sums; shards combine by
+    addition; no IEEE ops in the contract, consumers divide at read
+    time). ``cols_q`` maps name -> integer Column. Returns one row per
+    unordered pair: (col_a, col_b, n, corr_num, den_a, den_b)."""
+    names = sorted(cols_q)
+    d38 = "decimal(38,0)"
+    proj = df.select(*[cols_q[c].cast(d38).alias(c) for c in names])
+    aggs = [F.count(F.lit(1)).cast(d38).alias("n")]
+    for c in names:
+        aggs.append(F.sum(F.col(c)).alias(f"s_{c}"))
+        aggs.append(F.sum(F.col(c) * F.col(c)).alias(f"ss_{c}"))
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            aggs.append(F.sum(F.col(a) * F.col(b)).alias(f"sp_{a}_{b}"))
+    from rat_strain_loader_pipeline_spark.staging import stage_to_parquet
+
+    stats = stage_to_parquet(proj.agg(*aggs), "corr-stats")
+    rows = []
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            rows.append(
+                stats.select(
+                    F.lit(a).alias("col_a"),
+                    F.lit(b).alias("col_b"),
+                    F.col("n").cast("long").alias("n"),
+                    (
+                        F.col("n") * F.col(f"sp_{a}_{b}")
+                        - F.col(f"s_{a}") * F.col(f"s_{b}")
+                    )
+                    .cast(d38)
+                    .alias("corr_num"),
+                    (
+                        F.col("n") * F.col(f"ss_{a}")
+                        - F.col(f"s_{a}") * F.col(f"s_{a}")
+                    )
+                    .cast(d38)
+                    .alias("den_a"),
+                    (
+                        F.col("n") * F.col(f"ss_{b}")
+                        - F.col(f"s_{b}") * F.col(f"s_{b}")
+                    )
+                    .cast(d38)
+                    .alias("den_b"),
+                )
+            )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

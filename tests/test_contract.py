@@ -66,6 +66,8 @@ def test_no_oracle_type_widening(duck):
         # exact mergeable slope ratio: the Spark side emits the same
         # DECIMAL(38,0) by design (operators/stats.py grouped_trend)
         "grouped_trend": {"slope_num", "slope_den"},
+        # same pattern: exact correlation sufficient statistics
+        "corr_matrix": {"corr_num", "den_a", "den_b"},
     }
     bad = []
     for name, sql in em.oracle_sql().items():

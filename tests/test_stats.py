@@ -206,3 +206,24 @@ def test_mann_whitney_auc_separation_extremes_and_ties(spark):
     assert out["p"]["auc_micros"] in (0, 1_000_000)  # perfect separation
     assert out["p"]["u_times2"] in (0, 2 * 20 * 20)
     assert out["t"]["auc_micros"] == 500_000  # all-tied -> exactly 1/2
+
+
+def test_correlation_pairs_perfect_and_independent(spark):
+    from rat_strain_loader_pipeline_spark.operators.stats import correlation_pairs
+    from pyspark.sql import functions as F2
+
+    rows = [(x, 2 * x + 3, (x * 7) % 5) for x in range(100)]
+    df = spark.createDataFrame(rows, "x long, y long, z long")
+    out = {
+        (r["col_a"], r["col_b"]): r
+        for r in correlation_pairs(
+            df, {"x": F2.col("x"), "y": F2.col("y"), "z": F2.col("z")}
+        ).collect()
+    }
+    xy = out[("x", "y")]
+    # perfect linear relation: corr_num^2 == den_a * den_b exactly
+    assert int(xy["corr_num"]) ** 2 == int(xy["den_a"]) * int(xy["den_b"])
+    assert int(xy["corr_num"]) > 0 and xy["n"] == 100
+    # (x*7)%5 cycles independently of x -> much weaker relation
+    xz = out[("x", "z")]
+    assert int(xz["corr_num"]) ** 2 * 10 < int(xz["den_a"]) * int(xz["den_b"])
