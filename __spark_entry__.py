@@ -3980,6 +3980,37 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit (the classic fabricated-numbers /
+    data-corruption screen): leading digit of the positive extended
+    price in cents via string head (portable — no float log10 on the
+    data path), observed frequency in micros by integer division,
+    deviation against the precomputed BENFORD_MICROS constants. One
+    map-side digit projection + a 9-row aggregate; join to the
+    expectation is a literal lookup."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_extendedprice") > 0)
+    cents = F.floor(F.col("l_extendedprice") * 100).cast("long")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("long")
+    counts = li.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = counts.agg(F.sum("n").alias("total"))
+    expected = F.element_at(
+        F.array(*[F.lit(v) for v in BENFORD_MICROS]), F.col("digit").cast("int")
+    ).cast("long")
+    freq = F.expr("(n * 1000000) div total")
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n",
+            freq.alias("freq_micros"),
+            expected.alias("expected_micros"),
+            F.abs(freq - expected).alias("dev_micros"),
+        )
+    )
+
+
 def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact correlation matrix blocks (operators/stats.py
     correlation_pairs): every pair among quantity (units), extended
@@ -5301,6 +5332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_two_sample": q_ks_two_sample,
         "mw_auc": q_mw_auc,
         "corr_matrix": q_corr_matrix,
+        "benford_audit": q_benford_audit,
     }
 
 
@@ -5913,6 +5945,11 @@ PSI_CUR_MOD = 3
 # Correlation matrix (q_corr_matrix): ONE set of column expressions,
 # valid in both Spark SQL (via F.expr) and DuckDB (// == div on the
 # non-negative operands; floor/CAST identical)
+# Benford audit (q_benford_audit): expected first-digit frequencies
+# floor(log10(1 + 1/d) * 1e6) — mathematical constants, shared by both
+# sides as literals
+BENFORD_MICROS = (301029, 176091, 124938, 96910, 79181, 66946, 57991, 51152, 45757)
+
 CORR_COLS_SQL = {
     "qty": "CAST(floor(l_quantity) AS BIGINT)",
     "price_c": "CAST(floor(l_extendedprice * 100) AS BIGINT)",
@@ -9213,6 +9250,28 @@ QUALIFY row_number() OVER (
         """,
         "dq_profile": _dq_profile_oracle_sql(),
         "label_propagation": _lpa_oracle_sql(LPA_ITERS, TRI_ORDER_MOD),
+        "benford_audit": f"""
+            WITH counts AS (
+              SELECT CAST(substr(CAST(CAST(floor(l_extendedprice * 100)
+                       AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+                     count(*) AS n
+              FROM lineitem WHERE l_extendedprice > 0
+              GROUP BY 1
+            ),
+            tot AS (SELECT sum(n) AS total FROM counts),
+            exp AS (
+              SELECT CAST(generate_subscripts(be, 1) AS BIGINT) AS digit,
+                     CAST(unnest(be) AS BIGINT) AS expected_micros
+              FROM (SELECT {list(BENFORD_MICROS)} AS be)
+            )
+            SELECT counts.digit,
+                   CAST(n AS BIGINT) AS n,
+                   CAST((n * 1000000) // total AS BIGINT) AS freq_micros,
+                   expected_micros,
+                   CAST(abs((n * 1000000) // total - expected_micros)
+                        AS BIGINT) AS dev_micros
+            FROM counts JOIN exp ON counts.digit = exp.digit, tot
+        """,
         "corr_matrix": _corr_oracle_sql(),
         "mw_auc": f"""
             WITH collapsed AS (
