@@ -3980,6 +3980,72 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decayed_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decayed popularity ranking (freshness-weighted counts, the
+    trending-items primitive): each event contributes
+    1e6 >> (age_days div DECAY_HALF_LIFE_DAYS) micro-weight — an EXACT
+    power-of-two half-life decay (integer shift, no float pow), age
+    measured from the corpus max ts (broadcast 1-row). Top DECAY_TOPN
+    event types x users by decayed score, deterministic ties. Shift
+    count capped at 62 (beyond that the weight is already 0)."""
+    ev = _t(spark, sf_dir, "events")
+    tmax = ev.agg(F.max(F.expr("unix_timestamp(ts)")).alias("tmax"))
+    aged = ev.crossJoin(F.broadcast(tmax)).withColumn(
+        "k",
+        F.least(
+            F.expr(
+                f"((tmax - unix_timestamp(ts)) div 86400)"
+                f" div {DECAY_HALF_LIFE_DAYS}"
+            ),
+            F.lit(62).cast("long"),
+        ),
+    )
+    w = F.expr("shiftright(CAST(1000000 AS BIGINT), CAST(k AS INT))")
+    return (
+        aged.groupBy("event_type", "user_id")
+        .agg(F.sum(w).alias("decayed_q"), F.count(F.lit(1)).alias("n_events"))
+        .orderBy(F.col("decayed_q").desc(), "event_type", "user_id")
+        .limit(DECAY_TOPN)
+    )
+
+
+def q_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal train/test leakage audit (the eval-hygiene check every
+    time-split model needs): train = all but the last LEAK_TEST_DAYS
+    (by the corpus max ts, broadcast), test = the rest; report user
+    overlap — users present in BOTH windows are the leakage surface
+    for user-level features. One row: train/test/overlap user counts
+    and row counts, overlap fraction in micros (integer division)."""
+    ev = _t(spark, sf_dir, "events")
+    tmax = ev.agg(F.max(F.expr("unix_timestamp(ts)")).alias("tmax"))
+    tagged = ev.crossJoin(F.broadcast(tmax)).withColumn(
+        "is_test",
+        F.expr(f"unix_timestamp(ts) > tmax - {LEAK_TEST_DAYS} * 86400"),
+    )
+    per_user = tagged.groupBy("user_id").agg(
+        F.sum(F.when(~F.col("is_test"), 1).otherwise(0)).alias("n_train"),
+        F.sum(F.when(F.col("is_test"), 1).otherwise(0)).alias("n_test"),
+    )
+    return per_user.agg(
+        F.sum(F.when(F.col("n_train") > 0, 1).otherwise(0)).alias("train_users"),
+        F.sum(F.when(F.col("n_test") > 0, 1).otherwise(0)).alias("test_users"),
+        F.sum(
+            F.when((F.col("n_train") > 0) & (F.col("n_test") > 0), 1).otherwise(0)
+        ).alias("overlap_users"),
+        F.sum("n_train").alias("train_rows"),
+        F.sum("n_test").alias("test_rows"),
+    ).select(
+        "train_users",
+        "test_users",
+        "overlap_users",
+        "train_rows",
+        "test_rows",
+        F.expr("(overlap_users * 1000000) div test_users").alias(
+            "overlap_frac_micros"
+        ),
+    )
+
+
 def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benford first-digit audit (the classic fabricated-numbers /
     data-corruption screen): leading digit of the positive extended
@@ -5333,6 +5399,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mw_auc": q_mw_auc,
         "corr_matrix": q_corr_matrix,
         "benford_audit": q_benford_audit,
+        "decayed_popularity": q_decayed_popularity,
+        "leakage_audit": q_leakage_audit,
     }
 
 
@@ -5945,6 +6013,14 @@ PSI_CUR_MOD = 3
 # Correlation matrix (q_corr_matrix): ONE set of column expressions,
 # valid in both Spark SQL (via F.expr) and DuckDB (// == div on the
 # non-negative operands; floor/CAST identical)
+# Time-decayed popularity (q_decayed_popularity): half-life in days;
+# weight = 1e6 >> (age_days div HALF_LIFE) — exact power-of-two decay
+DECAY_HALF_LIFE_DAYS = 7
+DECAY_TOPN = 50
+
+# Temporal-leakage audit (q_leakage_audit): test window = last N days
+LEAK_TEST_DAYS = 7
+
 # Benford audit (q_benford_audit): expected first-digit frequencies
 # floor(log10(1 + 1/d) * 1e6) — mathematical constants, shared by both
 # sides as literals
@@ -9250,6 +9326,53 @@ QUALIFY row_number() OVER (
         """,
         "dq_profile": _dq_profile_oracle_sql(),
         "label_propagation": _lpa_oracle_sql(LPA_ITERS, TRI_ORDER_MOD),
+        "decayed_popularity": f"""
+            WITH t AS (
+              SELECT max(epoch_us(ts) // 1000000) AS tmax FROM events
+            ),
+            aged AS (
+              SELECT event_type, user_id,
+                     least(((tmax - epoch_us(ts) // 1000000) // 86400)
+                           // {DECAY_HALF_LIFE_DAYS}, 62) AS k
+              FROM events, t
+            )
+            SELECT event_type, CAST(user_id AS BIGINT) AS user_id,
+                   CAST(sum(1000000 >> k) AS BIGINT) AS decayed_q,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM aged
+            GROUP BY 1, 2
+            ORDER BY decayed_q DESC, event_type, user_id
+            LIMIT {DECAY_TOPN}
+        """,
+        "leakage_audit": f"""
+            WITH t AS (
+              SELECT max(epoch_us(ts) // 1000000) AS tmax FROM events
+            ),
+            per_user AS (
+              SELECT user_id,
+                     sum(CASE WHEN epoch_us(ts) // 1000000
+                               <= tmax - {LEAK_TEST_DAYS} * 86400
+                         THEN 1 ELSE 0 END) AS n_train,
+                     sum(CASE WHEN epoch_us(ts) // 1000000
+                               > tmax - {LEAK_TEST_DAYS} * 86400
+                         THEN 1 ELSE 0 END) AS n_test
+              FROM events, t
+              GROUP BY 1
+            )
+            SELECT CAST(sum(CASE WHEN n_train > 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS train_users,
+                   CAST(sum(CASE WHEN n_test > 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS test_users,
+                   CAST(sum(CASE WHEN n_train > 0 AND n_test > 0
+                            THEN 1 ELSE 0 END) AS BIGINT) AS overlap_users,
+                   CAST(sum(n_train) AS BIGINT) AS train_rows,
+                   CAST(sum(n_test) AS BIGINT) AS test_rows,
+                   CAST((sum(CASE WHEN n_train > 0 AND n_test > 0
+                             THEN 1 ELSE 0 END) * 1000000)
+                        // sum(CASE WHEN n_test > 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS overlap_frac_micros
+            FROM per_user
+        """,
         "benford_audit": f"""
             WITH counts AS (
               SELECT CAST(substr(CAST(CAST(floor(l_extendedprice * 100)
