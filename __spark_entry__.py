@@ -3980,6 +3980,75 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency distribution per priority class — the
+    ops-SLA report: integer day deltas (epoch-second div 86400,
+    tz-free), per class n/min/max/sum plus the EXACT min-rank median
+    via weighted_median at weight 1 (value-grain cumsum). One
+    fact-fact hash join on the order key feeds both aggregates."""
+    from rat_strain_loader_pipeline_spark.operators.stats import weighted_median
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        "o_orderpriority",
+        F.expr(
+            "(unix_timestamp(l_shipdate) - unix_timestamp(o_orderdate))"
+            " div 86400"
+        ).alias("lat_d"),
+    )
+    base = j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("lat_d").alias("min_d"),
+        F.max("lat_d").alias("max_d"),
+        F.sum("lat_d").alias("sum_d"),
+    )
+    med = weighted_median(
+        j, ["o_orderpriority"], F.col("lat_d"), F.lit(1)
+    ).select("o_orderpriority", F.col("wmedian_q").alias("med_d"))
+    return base.join(med, "o_orderpriority")
+
+
+def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap matrix: for every event-type pair, the exact
+    Jaccard of their USER sets in micros — the segment-overlap report
+    behind campaign planning and feature gating. Distinct (type, user)
+    pairs once, one self-join on user at type-pair grain (types are
+    few; per-user type lists are tiny), union sizes by
+    inclusion-exclusion — all integers."""
+    ev = _t(spark, sf_dir, "events").select("event_type", "user_id").distinct()
+    sizes = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("nu"))
+    e2 = ev.select(F.col("event_type").alias("t2"), "user_id")
+    inter = (
+        ev.join(e2, "user_id")
+        .filter(F.col("event_type") < F.col("t2"))
+        .groupBy(F.col("event_type").alias("t1"), "t2")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("event_type").alias("t1"), F.col("nu").alias("n1")),
+            "t1",
+        )
+        .join(
+            sizes.select(F.col("event_type").alias("t2"), F.col("nu").alias("n2")),
+            "t2",
+        )
+        .select(
+            "t1",
+            "t2",
+            "n1",
+            "n2",
+            "n_both",
+            F.expr(
+                "(n_both * 1000000) div (n1 + n2 - n_both)"
+            ).alias("jaccard_micros"),
+        )
+    )
+
+
 def q_decayed_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-decayed popularity ranking (freshness-weighted counts, the
     trending-items primitive): each event contributes
@@ -5401,6 +5470,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford_audit": q_benford_audit,
         "decayed_popularity": q_decayed_popularity,
         "leakage_audit": q_leakage_audit,
+        "ship_latency": q_ship_latency,
+        "audience_overlap": q_audience_overlap,
     }
 
 
@@ -9326,6 +9397,57 @@ QUALIFY row_number() OVER (
         """,
         "dq_profile": _dq_profile_oracle_sql(),
         "label_propagation": _lpa_oracle_sql(LPA_ITERS, TRI_ORDER_MOD),
+        "ship_latency": """
+            WITH j AS (
+              SELECT o_orderpriority,
+                     (epoch_us(l_shipdate) // 1000000
+                      - epoch_us(o_orderdate) // 1000000) // 86400 AS lat_d
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            ),
+            med AS (
+              SELECT o_orderpriority, min(v) AS med_d FROM (
+                SELECT o_orderpriority, v,
+                       sum(cnt) OVER (PARTITION BY o_orderpriority ORDER BY v
+                                      ROWS UNBOUNDED PRECEDING) AS cum,
+                       sum(cnt) OVER (PARTITION BY o_orderpriority) AS tot
+                FROM (SELECT o_orderpriority, lat_d AS v, count(*) AS cnt
+                      FROM j GROUP BY 1, 2)
+              ) WHERE cum * 2 >= tot
+              GROUP BY 1
+            )
+            SELECT j.o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(min(lat_d) AS BIGINT) AS min_d,
+                   CAST(max(lat_d) AS BIGINT) AS max_d,
+                   CAST(sum(lat_d) AS BIGINT) AS sum_d,
+                   CAST(min(med_d) AS BIGINT) AS med_d
+            FROM j JOIN med USING (o_orderpriority)
+            GROUP BY 1
+        """,
+        "audience_overlap": """
+            WITH ev AS (
+              SELECT DISTINCT event_type, user_id FROM events
+            ),
+            sizes AS (
+              SELECT event_type, count(*) AS nu FROM ev GROUP BY 1
+            ),
+            inter AS (
+              SELECT a.event_type AS t1, b.event_type AS t2,
+                     count(*) AS n_both
+              FROM ev a JOIN ev b
+                ON a.user_id = b.user_id AND a.event_type < b.event_type
+              GROUP BY 1, 2
+            )
+            SELECT t1, t2,
+                   CAST(s1.nu AS BIGINT) AS n1,
+                   CAST(s2.nu AS BIGINT) AS n2,
+                   CAST(n_both AS BIGINT) AS n_both,
+                   CAST((n_both * 1000000) // (s1.nu + s2.nu - n_both)
+                        AS BIGINT) AS jaccard_micros
+            FROM inter
+            JOIN sizes s1 ON inter.t1 = s1.event_type
+            JOIN sizes s2 ON inter.t2 = s2.event_type
+        """,
         "decayed_popularity": f"""
             WITH t AS (
               SELECT max(epoch_us(ts) // 1000000) AS tmax FROM events
