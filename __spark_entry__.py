@@ -426,7 +426,11 @@ def q_spearman_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt(F.col("var_x").cast("double")) * F.sqrt(F.col("var_y").cast("double"))
     )
     return moments.select(
-        "n", "num", "var_x", "var_y", F.round(rho, 6).alias("spearman_rho")
+        "n",
+        "num",
+        "var_x",
+        "var_y",
+        F.floor(rho * 1e6).cast("long").alias("spearman_rho_micros"),
     )
 
 
@@ -498,9 +502,9 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             T.token_count(F.col("text")).alias("n_tokens"),
             T.lang_id_heuristic(F.col("text")).alias("lang_pred"),
-            T.quality_score(F.col("text")).alias("quality"),
+            T.quality_score(F.col("text")).alias("quality_micros"),
         )
-        .filter((F.col("quality") >= 0.6) & (F.col("lang_pred") != "und"))
+        .filter((F.col("quality_micros") >= 600_000) & (F.col("lang_pred") != "und"))
         .join(span_stats, "doc_id")
     )
     split = deterministic_split(enriched, salt=SPLIT_SALT, fractions=SPLIT_FRACTIONS)
@@ -510,9 +514,7 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
             F.sum("n_tokens_clean").cast("bigint").alias("sum_tokens_clean"),
-            F.sum(F.col("quality").cast("decimal(10,4)"))
-            .cast("decimal(18,4)")
-            .alias("sum_quality"),
+            F.sum("quality_micros").cast("bigint").alias("sum_quality_micros"),
         )
         .orderBy("split", "lang_pred")
     )
@@ -1027,8 +1029,8 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.token_count(F.col("text")).alias("n_tokens"),
         T.bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"),
         T.char_count(F.col("text")).alias("n_chars_computed"),
-        T.avg_word_len(F.col("text")).alias("avg_word_len"),
-        T.punct_ratio(F.col("text")).alias("punct_ratio"),
+        T.avg_word_len(F.col("text")).alias("avg_word_len_micros"),
+        T.punct_ratio_micros(F.col("text")).alias("punct_ratio_micros"),
     )
 
 
@@ -1040,7 +1042,9 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", T.quality_score(F.col("text")).alias("quality"))
+    return docs.select(
+        "doc_id", T.quality_score(F.col("text")).alias("quality_micros")
+    )
 
 
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1082,13 +1086,11 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     then ONE per-query window reduces n_blocks*k partials to the global
     top-k. No corpus collect/broadcast; replication factor = n_blocks on
     the (tiny) query side only. Oracle: DuckDB brute-force cross scored
-    + row_number per query. Exactness is EMPIRICAL at round-4 precision
-    (the embedding_topk/dedup_embedding contract): numpy's
-    normalize-then-GEMM and the oracle's dot/(norm*norm) differ in last
-    ulps, so a cosine tie within ~1e-12 at the k boundary or a value on
-    a .00005 rounding edge could order/round differently per engine —
-    none occur in this corpus, and the integer-micros idiom can't apply
-    without giving up true cosine output."""
+    + row_number per query. Engine-EXACT via integer-micros scoring
+    (similarity.MICROS): components quantize to floor(x*1e6) int64, so
+    the GEMM's dots/norms are exact integers (all intermediates < 2^53 —
+    float64 BLAS never rounds) and the score floor(dot/(sqrt*sqrt)*1e6)
+    is one fixed IEEE tree both engines compute identically."""
     from rat_strain_loader_pipeline_spark.operators.similarity import (
         knn_join_blocked,
     )
@@ -1096,7 +1098,7 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     out = knn_join_blocked(emb.filter(F.col("vec_id") < 20), emb, k=10, n_blocks=8)
     return out.select(
-        "q_id", "c_id", F.col("rank").cast("bigint").alias("rank"), "cosine"
+        "q_id", "c_id", F.col("rank").cast("bigint").alias("rank"), "cosine_micros"
     )
 
 
@@ -1789,7 +1791,9 @@ def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = docs.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         *[
-            F.round(F.expr(f"percentile(n_chars, {p})"), 4).alias(f"p{int(p * 100)}")
+            F.floor(F.expr(f"percentile(n_chars, {p})") * 1e6)
+            .cast("long")
+            .alias(f"p{int(p * 100)}_micros")
             for p in (0.25, 0.5, 0.75, 0.95)
         ],
     )
@@ -4699,8 +4703,9 @@ def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rat_strain_loader_pipeline_spark.operators.text import quality_score
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # quality_score is integer micros; band = quality_micros*BANDS // 1e6
     band = F.least(
-        F.floor(quality_score(F.col("text")) * CURR_BANDS),
+        F.floor((quality_score(F.col("text")) * CURR_BANDS) / 1_000_000),
         F.lit(CURR_BANDS - 1),
     ).cast("long")
     out = curriculum_order(
@@ -5275,6 +5280,46 @@ def q_window_skew_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _skewed_transitions(spark, sf_dir, zipf=False)
 
 
+def q_media_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image near-dup (operators/multimodal.py
+    media_phash_pairs): REAL textured BMP bytes (deterministic gradient
+    + one-pixel near-dup perturbation, synth_bmp_textured) are decoded
+    and 56-bit dHashed (8x8 nearest-neighbor grid — exact integer
+    sampling, so the oracle rebuilds every sample from the generator
+    formulas), then paired via the text-simhash pigeonhole banding
+    (operators/dedup.py simhash_near_dup_pairs sigs= path — guaranteed
+    recall at hamming <= 4, never all-pairs) + exact bit_count(xor)
+    verify. Docs come in groups of 3 (same gradient, variants perturb
+    one pixel), so intra-group pairs sit at hamming <= 4 by
+    construction; the oracle is the brute-force all-pairs hash join.
+    100 TB shape: signatures are map-only over the media scan; the
+    banded join shuffles (k+1) small (id, band, val) rows per image."""
+    from rat_strain_loader_pipeline_spark.operators.multimodal import (
+        media_phash_pairs,
+        synth_bmp_textured,
+    )
+    from rat_strain_loader_pipeline_spark.ship import ensure_shipped
+
+    ensure_shipped(spark)
+    docs = _t(spark, sf_dir, "documents").select(F.col("doc_id").cast("long"))
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                g, v = d // 3, d % 3
+                w, h, s = 12 + (g % 8), 10 + (g % 5), (g * 53) % 256
+                hx, hy = ((3 * v) % w, (5 * v) % h) if v > 0 else (None, None)
+                out.append((d, synth_bmp_textured(w, h, s, hx, hy)))
+            yield pd.DataFrame(out, columns=["media_id", "content"])
+
+    media = docs.mapInPandas(synth, schema="media_id long, content binary")
+    return media_phash_pairs(media, max_hamming=4)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -5472,6 +5517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leakage_audit": q_leakage_audit,
         "ship_latency": q_ship_latency,
         "audience_overlap": q_audience_overlap,
+        "media_phash_pairs": q_media_phash_pairs,
     }
 
 
@@ -5623,17 +5669,29 @@ cand AS (
     SELECT vec_id, embedding FROM bucketed, qb
     WHERE bucket IN (qb.b, {probes})
 ),
+candq AS (
+    SELECT vec_id,
+           list_transform(embedding::DOUBLE[],
+                          x -> CAST(floor(x * 1000000) AS BIGINT)) AS vq
+    FROM cand
+),
+qq AS (
+    SELECT list_transform(qv, x -> CAST(floor(x * 1000000) AS BIGINT)) AS qq
+    FROM q
+),
 scored AS (
     SELECT vec_id,
-           list_sum(list_transform(range(1, len(embedding)+1),
-                    i -> embedding[i]::DOUBLE * qv[i]))
-           / (sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x)))
-              * sqrt(list_sum(list_transform(qv, x -> x*x)))) AS raw
-    FROM cand, q
+           CAST(floor(
+             CAST(list_sum(list_transform(range(1, len(vq)+1),
+                           i -> vq[i] * qq[i])) AS DOUBLE)
+             / (sqrt(CAST(list_sum(list_transform(vq, x -> x*x)) AS DOUBLE))
+                * sqrt(CAST(list_sum(list_transform(qq, x -> x*x)) AS DOUBLE)))
+             * 1000000) AS BIGINT) AS cosine_micros
+    FROM candq, qq
 )
-SELECT vec_id, round(raw, 4) AS cosine
+SELECT vec_id, cosine_micros
 FROM scored
-ORDER BY raw DESC, vec_id ASC
+ORDER BY cosine_micros DESC, vec_id ASC
 LIMIT {k}
 """
 
@@ -5772,9 +5830,10 @@ def _jaccard_pairs_cte_sql(threshold: float) -> str:
     """CTE chain ending in ``jp(id_a, id_b, jaccard)`` — brute-force
     all-pairs shingle-hash Jaccard over the documents table."""
     j = (
-        "round(len(list_intersect(a.hset, b.hset))::DOUBLE"
-        " / len(list_distinct(a.hset || b.hset)), 4)"
+        "CAST(len(list_intersect(a.hset, b.hset)) AS BIGINT) * 1000000"
+        " // len(list_distinct(a.hset || b.hset))"
     )
+    thr = int(round(threshold * 1_000_000))
     return f"""{_shingle_cte_sql()},
 hs AS (
   SELECT doc_id,
@@ -5782,9 +5841,9 @@ hs AS (
   FROM sh
 ),
 jp AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, {j} AS jaccard
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST({j} AS BIGINT) AS jaccard_micros
   FROM hs a JOIN hs b ON a.doc_id < b.doc_id
-  WHERE len(list_distinct(a.hset || b.hset)) > 0 AND {j} >= {threshold}
+  WHERE len(list_distinct(a.hset || b.hset)) > 0 AND {j} >= {thr}
 )"""
 
 
@@ -5809,18 +5868,26 @@ _ASOF_BACKWARD_ORACLE_SQL = """
 """
 
 _EMBED_BRUTE_TOPK_SQL = """
-    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    WITH eq AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[],
+                              x -> CAST(floor(x * 1000000) AS BIGINT)) AS v
+        FROM embeddings
+    ),
+    q AS (SELECT v AS qv FROM eq WHERE vec_id = 0),
     scored AS (
         SELECT vec_id,
-               list_sum(list_transform(range(1, len(embedding)+1),
-                        i -> embedding[i]::DOUBLE * qv[i]))
-               / (sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x)))
-                  * sqrt(list_sum(list_transform(qv, x -> x*x)))) AS raw
-        FROM embeddings, q
+               CAST(floor(
+                 CAST(list_sum(list_transform(range(1, len(v)+1),
+                               i -> v[i] * qv[i])) AS DOUBLE)
+                 / (sqrt(CAST(list_sum(list_transform(v, x -> x*x)) AS DOUBLE))
+                    * sqrt(CAST(list_sum(list_transform(qv, x -> x*x)) AS DOUBLE)))
+                 * 1000000) AS BIGINT) AS cosine_micros
+        FROM eq, q
     )
-    SELECT vec_id, round(raw, 4) AS cosine
+    SELECT vec_id, cosine_micros
     FROM scored
-    ORDER BY raw DESC, vec_id ASC
+    ORDER BY cosine_micros DESC, vec_id ASC
     LIMIT 10
 """
 
@@ -5866,7 +5933,7 @@ def _jaccard_pairs_oracle_sql(threshold: float) -> str:
     prefix filtering empirically achieve full recall on this corpus
     (verified at sf0.001 and sf0.01; the candidate stage is the
     approximate part, the emitted pairs are exact-verified either way)."""
-    return f"WITH {_jaccard_pairs_cte_sql(threshold)}\nSELECT id_a, id_b, jaccard FROM jp\n"
+    return f"WITH {_jaccard_pairs_cte_sql(threshold)}\nSELECT id_a, id_b, jaccard_micros FROM jp\n"
 
 
 # Transitive closure over the jp pair set (symmetrized edges +
@@ -7354,9 +7421,9 @@ def oracle_sql() -> dict[str, str]:
                 FROM agg
             )
             SELECT n, num, var_x, var_y,
-                   round(CAST(num AS DOUBLE)
-                         / (sqrt(CAST(var_x AS DOUBLE)) * sqrt(CAST(var_y AS DOUBLE))),
-                         6) AS spearman_rho
+                   CAST(floor(CAST(num AS DOUBLE)
+                         / (sqrt(CAST(var_x AS DOUBLE)) * sqrt(CAST(var_y AS DOUBLE)))
+                         * 1000000) AS BIGINT) AS spearman_rho_micros
             FROM moments
         """,
         "doc_chunking": """
@@ -7718,13 +7785,13 @@ ORDER BY score_micros DESC, doc_id LIMIT 10
                         AS BIGINT) AS n_bpe_tokens,
                    CAST(len(text) AS BIGINT) AS n_chars_computed,
                    CASE WHEN len({_TOKENS_CASED_SQL}) > 0
-                        THEN round(CAST(list_sum(list_transform({_TOKENS_CASED_SQL}, t -> len(t))) AS DOUBLE)
-                                   / len({_TOKENS_CASED_SQL}), 4)
-                        ELSE NULL END AS avg_word_len,
+                        THEN CAST(CAST(list_sum(list_transform({_TOKENS_CASED_SQL}, t -> len(t))) AS BIGINT)
+                                  * 1000000 // len({_TOKENS_CASED_SQL}) AS BIGINT)
+                        ELSE NULL END AS avg_word_len_micros,
                    CASE WHEN len(text) > 0
-                        THEN round(CAST(len(text) - len(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
-                                   / len(text), 4)
-                        ELSE 0.0 END AS punct_ratio
+                        THEN CAST(CAST(len(text) - len(regexp_replace(text, '[[:punct:]]', '', 'g')) AS BIGINT)
+                                  * 1000000 // len(text) AS BIGINT)
+                        ELSE 0 END AS punct_ratio_micros
             FROM documents
         """,
         "decontaminate": f"""
@@ -7771,9 +7838,9 @@ ORDER BY score_micros DESC, doc_id LIMIT 10
             SELECT id AS doc_id,
                    CAST(len(ls) AS INT) AS n_lines,
                    CASE WHEN len(ls) > 0
-                        THEN round(CAST(len(ls) - len(list_distinct(ls)) AS DOUBLE)
-                                   / len(ls), 4)
-                        ELSE 0.0 END AS dup_line_fraction,
+                        THEN CAST(CAST(len(ls) - len(list_distinct(ls)) AS BIGINT)
+                                  * 1000000 // len(ls) AS BIGINT)
+                        ELSE 0 END AS dup_line_frac_micros,
                    CAST(CASE WHEN len(ls) > 0
                         THEN list_max(list_transform(list_distinct(ls),
                              d2 -> len(list_filter(ls, x -> x = d2))))
@@ -8008,26 +8075,35 @@ FROM loaded
         """,
         "knn_join": """
             WITH n AS (
-              SELECT vec_id, embedding::DOUBLE[] AS v,
-                     sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x)))
-                       AS nrm
+              SELECT vec_id,
+                     list_transform(embedding::DOUBLE[],
+                                    x -> CAST(floor(x * 1000000) AS BIGINT)) AS v
               FROM embeddings
             ),
-            q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 20),
+            n2 AS (
+              SELECT vec_id, v,
+                     sqrt(CAST(list_sum(list_transform(v, x -> x*x)) AS DOUBLE))
+                       AS nrm
+              FROM n
+            ),
+            q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn
+                  FROM n2 WHERE vec_id < 20),
             scored AS (
               SELECT q.q_id, c.vec_id AS c_id,
-                     list_sum(list_transform(range(1, len(c.v)+1),
-                              i -> c.v[i] * q.qv[i])) / (c.nrm * q.qn) AS raw
-              FROM n c CROSS JOIN q
+                     CAST(floor(
+                       CAST(list_sum(list_transform(range(1, len(c.v)+1),
+                                     i -> c.v[i] * q.qv[i])) AS DOUBLE)
+                       / (q.qn * c.nrm) * 1000000) AS BIGINT) AS cosine_micros
+              FROM n2 c CROSS JOIN q
             ),
             ranked AS (
-              SELECT q_id, c_id, raw,
-                     row_number() OVER (PARTITION BY q_id ORDER BY raw DESC, c_id)
+              SELECT q_id, c_id, cosine_micros,
+                     row_number() OVER (PARTITION BY q_id
+                                        ORDER BY cosine_micros DESC, c_id)
                        AS rank
               FROM scored
             )
-            SELECT q_id, c_id, CAST(rank AS BIGINT) AS rank,
-                   round(raw, 4) AS cosine
+            SELECT q_id, c_id, CAST(rank AS BIGINT) AS rank, cosine_micros
             FROM ranked WHERE rank <= 10
         """,
         "label_centroids": """
@@ -8423,10 +8499,10 @@ QUALIFY row_number() OVER (
         "dedup_survivors_capped": _DEDUP_SURVIVORS_ORACLE_SQL,
         "length_quantiles": """
             SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
-                   round(quantile_cont(n_chars, 0.25), 4) AS p25,
-                   round(quantile_cont(n_chars, 0.5), 4) AS p50,
-                   round(quantile_cont(n_chars, 0.75), 4) AS p75,
-                   round(quantile_cont(n_chars, 0.95), 4) AS p95
+                   CAST(floor(quantile_cont(n_chars, 0.25) * 1000000) AS BIGINT) AS p25_micros,
+                   CAST(floor(quantile_cont(n_chars, 0.5) * 1000000) AS BIGINT) AS p50_micros,
+                   CAST(floor(quantile_cont(n_chars, 0.75) * 1000000) AS BIGINT) AS p75_micros,
+                   CAST(floor(quantile_cont(n_chars, 0.95) * 1000000) AS BIGINT) AS p95_micros
             FROM documents GROUP BY lang
         """,
         "vocab_topk": r"""
@@ -8934,21 +9010,27 @@ QUALIFY row_number() OVER (
         """,
         "dedup_embedding": """
             WITH e AS (
-              SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding::DOUBLE[] AS v
+              SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                     list_transform(embedding::DOUBLE[],
+                                    x -> CAST(floor(x * 1000000) AS BIGINT)) AS v
               FROM embeddings
+            ),
+            n2 AS (
+              SELECT vec_id, v,
+                     sqrt(CAST(list_sum(list_transform(v, x -> x*x)) AS DOUBLE))
+                       AS nrm
+              FROM e
+            ),
+            p AS (
+              SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                     CAST(floor(
+                       CAST(list_sum(list_transform(range(1, len(a.v) + 1),
+                                     i -> a.v[i] * b.v[i])) AS DOUBLE)
+                       / (a.nrm * b.nrm) * 1000000) AS BIGINT) AS cosine_micros
+              FROM n2 a JOIN n2 b ON a.vec_id < b.vec_id
             )
-            SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-                   round(
-                     list_sum(list_transform(range(1, len(a.v) + 1),
-                              i -> a.v[i] * b.v[i]))
-                     / (sqrt(list_sum(list_transform(a.v, x -> x*x)))
-                        * sqrt(list_sum(list_transform(b.v, x -> x*x)))), 4
-                   ) AS cosine
-            FROM e a JOIN e b ON a.vec_id < b.vec_id
-            WHERE list_sum(list_transform(range(1, len(a.v) + 1),
-                           i -> a.v[i] * b.v[i]))
-                  / (sqrt(list_sum(list_transform(a.v, x -> x*x)))
-                     * sqrt(list_sum(list_transform(b.v, x -> x*x)))) >= 0.35
+            SELECT a_id, b_id, cosine_micros FROM p
+            WHERE cosine_micros >= 350000
         """,
         "media_features": _media_feature_oracle_sql(),
         "media_decode": """
@@ -9929,7 +10011,7 @@ QUALIFY row_number() OVER (
             WITH q AS (SELECT * FROM ({_quality_score_sql()})),
             t AS (
               SELECT doc_id,
-                     least(CAST(floor(quality * {CURR_BANDS}) AS BIGINT),
+                     least(CAST(quality_micros * {CURR_BANDS} // 1000000 AS BIGINT),
                            {CURR_BANDS - 1}) AS band,
                      CAST(md5_number_lower(
                        'shuffle:{CURR_SALT}:' || CAST(doc_id AS VARCHAR))
@@ -10270,6 +10352,51 @@ QUALIFY row_number() OVER (
         # constant-driven definition the engine uses)
         "window_skew_zipf": _skew_transitions_oracle_sql(zipf=True),
         "window_skew_uniform": _skew_transitions_oracle_sql(zipf=False),
+        # brute-force all-pairs dHash rebuild: every 8x8 grid sample is
+        # recomputed from the synth_bmp_textured generator formulas
+        # (nearest-neighbor picks are exact integers), bits packed with
+        # the identical j*7+i little-endian layout, pairs filtered by
+        # bit_count(xor) <= 4 — the engine's banded join has guaranteed
+        # recall at that radius, so the sets match exactly
+        "media_phash_pairs": """
+            WITH p AS (
+              SELECT CAST(doc_id AS BIGINT) AS id,
+                     12 + ((doc_id // 3) % 8) AS w,
+                     10 + ((doc_id // 3) % 5) AS h,
+                     ((doc_id // 3) * 53) % 256 AS s,
+                     doc_id % 3 AS v
+              FROM documents
+            ),
+            grid AS (SELECT i, j FROM range(0, 8) t1(i), range(0, 8) t2(j)),
+            samp AS (
+              SELECT id, i, j,
+                     (s + 7 * ((i * w) // 8) * ((i * w) // 8)
+                        + 5 * ((j * h) // 8) * ((j * h) // 8)
+                        + 3 * ((i * w) // 8) * ((j * h) // 8)
+                        + 11 * ((i * w) // 8) + 13 * ((j * h) // 8)
+                      + CASE WHEN v > 0 AND ((i * w) // 8) = (3 * v) % w
+                                  AND ((j * h) // 8) = (5 * v) % h
+                             THEN 9 ELSE 0 END) % 256 AS gray
+              FROM p, grid
+            ),
+            bits AS (
+              SELECT a.id, a.j, a.i,
+                     CASE WHEN b.gray > a.gray THEN 1 ELSE 0 END AS bit
+              FROM samp a JOIN samp b
+                ON a.id = b.id AND a.j = b.j AND b.i = a.i + 1
+              WHERE a.i < 7
+            ),
+            hashes AS (
+              SELECT id,
+                     CAST(sum(bit * (CAST(1 AS BIGINT) << (j * 7 + i)))
+                          AS BIGINT) AS sig
+              FROM bits GROUP BY id
+            )
+            SELECT a.id AS id_a, b.id AS id_b,
+                   CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+            FROM hashes a JOIN hashes b ON a.id < b.id
+            WHERE bit_count(xor(a.sig, b.sig)) <= 4
+        """,
     }
 
 
@@ -10324,12 +10451,12 @@ def _curation_oracle_sql() -> str:
                CAST(sum(k.n_tokens) AS BIGINT) AS sum_tokens,
                CAST(sum(k.n_tokens - COALESCE(sr.n_removed, 0)) AS BIGINT)
                  AS sum_tokens_clean,
-               CAST(sum(CAST(q.quality AS DECIMAL(10,4))) AS DECIMAL(18,4)) AS sum_quality
+               CAST(sum(q.quality_micros) AS BIGINT) AS sum_quality_micros
         FROM keep k
         JOIN lang l USING (doc_id)
         JOIN qual q USING (doc_id)
         LEFT JOIN sp_rm sr USING (doc_id)
-        WHERE q.quality >= 0.6 AND l.lang_pred <> 'und'
+        WHERE q.quality_micros >= 600000 AND l.lang_pred <> 'und'
         GROUP BY 1, 2
         ORDER BY 1, 2
     """
@@ -10364,6 +10491,11 @@ def _codon_translate_sql() -> str:
 
 
 def _quality_score_sql() -> str:
+    """All-integer micro-unit quality composite — mirrors
+    operators/text.py quality_score exactly (no float op anywhere):
+    len_sig = least(1e6, n_tok*10000); punct_sig = 1e6 - least(1e6,
+    4 * n_punct*1e6 // n_chars); sw_sig = least(1e6, 10 * max_lang(
+    hits*1e6 // n_tok)); quality = (4a + 3b + 3c) // 10."""
     from rat_strain_loader_pipeline_spark.operators.text import STOPWORDS
 
     langs = sorted(STOPWORDS)
@@ -10371,26 +10503,28 @@ def _quality_score_sql() -> str:
     for lang in langs:
         words = ", ".join("'" + w + "'" for w in STOPWORDS[lang])
         sw_ratios.append(
-            f"CASE WHEN n_tok > 0 THEN round(CAST(len(list_filter(toks, t -> t IN ({words}))) AS DOUBLE) / n_tok, 4) ELSE 0.0 END"
+            f"CASE WHEN n_tok > 0 THEN CAST(len(list_filter(toks, t -> t IN ({words}))) AS BIGINT) * 1000000 // n_tok ELSE 0 END"
         )
     max_sw = f"greatest({', '.join(sw_ratios)})"
     return f"""
         WITH base AS (
             SELECT doc_id, text,
                    {_TOKENS_SQL} AS toks,
-                   len({_TOKENS_CASED_SQL}) AS n_tok
+                   CAST(len({_TOKENS_CASED_SQL}) AS BIGINT) AS n_tok
             FROM documents
         ),
         sig AS (
             SELECT doc_id,
-                   least(1.0, CAST(n_tok AS DOUBLE) / 100.0) AS len_sig,
-                   1.0 - least(1.0, (CASE WHEN len(text) > 0
-                        THEN round(CAST(len(text) - len(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / len(text), 4)
-                        ELSE 0.0 END) * 4.0) AS punct_sig,
-                   least(1.0, {max_sw} * 10.0) AS sw_sig
+                   least(1000000, n_tok * 10000) AS len_sig,
+                   1000000 - least(1000000, 4 * (CASE WHEN len(text) > 0
+                        THEN CAST(len(text) - len(regexp_replace(text, '[[:punct:]]', '', 'g')) AS BIGINT) * 1000000 // len(text)
+                        ELSE 0 END)) AS punct_sig,
+                   least(1000000, 10 * {max_sw}) AS sw_sig
             FROM base
         )
-        SELECT doc_id, round(0.4 * len_sig + 0.3 * punct_sig + 0.3 * sw_sig, 4) AS quality
+        SELECT doc_id,
+               CAST((4 * len_sig + 3 * punct_sig + 3 * sw_sig) // 10 AS BIGINT)
+                 AS quality_micros
         FROM sig
     """
 

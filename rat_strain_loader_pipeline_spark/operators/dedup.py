@@ -339,15 +339,18 @@ def _verify_jaccard(
         )
         .join(hashes.select(F.col(id_col).alias("id_b"), F.col("hashes").alias("h_b")), "id_b")
         .withColumn(
-            "jaccard",
-            F.round(
-                F.size(F.array_intersect("h_a", "h_b")).cast("double")
-                / F.size(F.array_union("h_a", "h_b")),
-                4,
-            ),
+            # integer micros: floor(|i| * 1e6 / |u|) — exact (|i|*1e6 far
+            # below 2^53, the double division can't cross an integer
+            # boundary), matching DuckDB's `* 1000000 // len(u)`
+            "jaccard_micros",
+            F.floor(
+                (F.size(F.array_intersect("h_a", "h_b")).cast("long") * 1_000_000)
+                .cast("double")
+                / F.size(F.array_union("h_a", "h_b")).cast("double")
+            ).cast("long"),
         )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .filter(F.col("jaccard_micros") >= int(round(threshold * 1_000_000)))
+        .select("id_a", "id_b", "jaccard_micros")
     )
 
 

@@ -118,6 +118,41 @@ def synth_bmp(width: int, height: int, pixel_value: int) -> bytes:
     return file_header + info_header + pixels
 
 
+def synth_bmp_textured(
+    width: int,
+    height: int,
+    seed: int,
+    hot_x: int | None = None,
+    hot_y: int | None = None,
+    bump: int = 9,
+) -> bytes:
+    """24bpp bottom-up BI_RGB BMP with a deterministic pseudo-random
+    texture: pixel (x, y) has all three channel bytes ==
+    (seed + 7x² + 5y² + 3xy + 11x + 13y) % 256 (quadratic mixing —
+    adjacent-sample comparisons are ~uniform bits, so unrelated images
+    sit at hamming ≈ n_bits/2, not in each other's near-dup radius),
+    plus ``bump`` at the single optional hot pixel — the near-duplicate
+    perturbation for perceptual-hash tests (a one-pixel edit moves at
+    most 2 dHash bits). Formula is oracle-rebuildable in SQL."""
+    rows = []
+    pad = (-(width * 3)) % 4
+    for y in range(height):
+        row = bytearray()
+        for x in range(width):
+            g = (seed + 7 * x * x + 5 * y * y + 3 * x * y + 11 * x + 13 * y) % 256
+            if hot_x == x and hot_y == y:
+                g = (g + bump) % 256
+            row += bytes([g]) * 3
+        row += b"\xff" * pad
+        rows.append(bytes(row))
+    pixels = b"".join(rows)
+    file_header = struct.pack("<2sIHHI", b"BM", 54 + len(pixels), 0, 0, 54)
+    info_header = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixels), 2835, 2835, 0, 0
+    )
+    return file_header + info_header + pixels
+
+
 def synth_wav(sample_rate: int, n_channels: int, n_frames: int, amplitude: int) -> bytes:
     """Canonical 44-byte-header PCM16 WAV with every sample == amplitude."""
     data = struct.pack("<h", amplitude) * (n_frames * n_channels)
@@ -297,4 +332,97 @@ def resize_metadata(media: DataFrame, max_side: int = 224) -> DataFrame:
     scale = F.least(F.lit(max_side) / w, F.lit(max_side) / h, F.lit(1.0))
     return media.withColumn("target_width", F.floor(w * scale).cast("int")).withColumn(
         "target_height", F.floor(h * scale).cast("int")
+    )
+
+
+# --------------------------------------------------------------------------
+# Perceptual hashing — the image near-dup stage of a multimodal corpus
+# build. dHash (difference hash): sample the decoded grayscale image on a
+# fixed 8x8 grid (nearest-neighbor — exact integer picks, no averaging, so
+# a SQL oracle can rebuild every sample from the generator formulas), then
+# one bit per horizontal neighbor comparison: 8 rows x 7 comparisons = 56
+# bits, packed little-endian into a non-negative int64. Near-dup pairs
+# then come from the SAME pigeonhole banding machinery as text simhash
+# (operators/dedup.py simhash_near_dup_pairs, sigs= path): any pair within
+# hamming distance k matches exactly in >= 1 of k+1 bit-bands, so the
+# equi-join on (band, band_value) has guaranteed recall — never all-pairs.
+# --------------------------------------------------------------------------
+
+PHASH_BITS = 56
+PHASH_GRID = 8
+
+
+def dhash56(content: bytes) -> int:
+    """56-bit dHash of a 24bpp BI_RGB BMP payload (grayscale = blue
+    channel byte — callers feed gray BMPs where all three channel bytes
+    are equal). Raises on non-BMP input (poison-pill isolate per row)."""
+    if content is None or len(content) < 54 or content[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (_, _, _, _, data_offset) = struct.unpack_from("<2sIHHI", content, 0)
+    _, width, height, _, bpp, compression = struct.unpack_from("<IiiHHI", content, 14)
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP: bpp={bpp} compression={compression}")
+    abs_h = abs(height)
+    stride = ((width * 3 + 3) // 4) * 4
+    if data_offset + stride * abs_h > len(content):
+        raise ValueError("BMP pixel array truncated")
+    arr = np.frombuffer(content, dtype=np.uint8, offset=data_offset, count=stride * abs_h)
+    rows = arr.reshape(abs_h, stride)
+    xs = [(i * width) // PHASH_GRID for i in range(PHASH_GRID)]
+    ys = [(j * abs_h) // PHASH_GRID for j in range(PHASH_GRID)]
+    h = 0
+    for j, y in enumerate(ys):
+        for i in range(PHASH_GRID - 1):
+            if rows[y, xs[i + 1] * 3] > rows[y, xs[i] * 3]:
+                h |= 1 << (j * (PHASH_GRID - 1) + i)
+    return h
+
+
+def image_dhash_sigs(media: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """(id, simhash) dHash signatures for BMP payloads — one Arrow-batched
+    mapInPandas pass, map-only at any scale; decode failures drop the row
+    (poison-pill isolation, same policy as decode_media_columns). The
+    output column is named ``simhash`` so it feeds straight into
+    simhash_near_dup_pairs(sigs=...)."""
+    from rat_strain_loader_pipeline_spark.ship import ensure_shipped
+
+    ensure_shipped(media.sparkSession)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, sigs = [], []
+            for row in pdf.itertuples(index=False):
+                try:
+                    sigs.append(dhash56(row.content))
+                    ids.append(row[0])
+                except Exception:
+                    continue
+            yield pd.DataFrame({id_col: pd.Series(ids, dtype="int64"),
+                                "simhash": pd.Series(sigs, dtype="int64")})
+
+    return media.select(id_col, "content").mapInPandas(
+        run, schema=f"{id_col} long, simhash long"
+    )
+
+
+def media_phash_pairs(
+    media: DataFrame,
+    max_hamming: int = 4,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Image near-duplicate pairs by dHash hamming distance: map-only
+    signatures, then the text-simhash pigeonhole banded join (guaranteed
+    recall at <= max_hamming) + exact bit_count(xor) verify. Returns
+    (id_a, id_b, hamming), id_a < id_b."""
+    from rat_strain_loader_pipeline_spark.operators.dedup import (
+        simhash_near_dup_pairs,
+    )
+
+    sigs = image_dhash_sigs(media, id_col=id_col)
+    return simhash_near_dup_pairs(
+        None,
+        max_hamming=max_hamming,
+        id_col=id_col,
+        n_bits=PHASH_BITS,
+        sigs=sigs,
     )

@@ -27,10 +27,21 @@
 
 from __future__ import annotations
 
+import math
 import random
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+#: cosine scores are emitted as ``cosine_micros`` bigints: components are
+#: quantized to floor(x * 1e6) int64 first, so dots/norms are EXACT
+#: integer sums in every engine (and exact even through float64 BLAS —
+#: all intermediates are integers < 2^53, so no rounding ever occurs),
+#: and the final score is the single fixed IEEE tree
+#: floor(dot / (sqrt(na2) * sqrt(nb2)) * 1e6). This replaces the old
+#: round(cosine, 4) doubles, whose cross-engine equality was only
+#: empirical (numpy GEMM vs sequential list_sum differ in last ulps).
+MICROS = 1_000_000
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -54,31 +65,62 @@ def cosine_sim_expr(a: Column, b: Column) -> Column:
     return F.when(denom > 0, _dot(a, b) / denom).otherwise(F.lit(None))
 
 
+def _quantize(vec: Column) -> Column:
+    """array<bigint> of floor(x * 1e6) per component — the engine-exact
+    representation every cosine emitter scores over."""
+    return F.transform(vec, lambda x: F.floor(x.cast("double") * MICROS).cast("long"))
+
+
+def _idot(a: Column, b: Column) -> Column:
+    """Exact int64 dot of two array<bigint> columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine_micros_expr(a_q: Column, b_q: Column) -> Column:
+    """floor(cosine * 1e6) bigint over two QUANTIZED (array<bigint>)
+    vectors — dot and squared norms are exact integers, the score is one
+    fixed IEEE-754 tree (sqrt/division/multiply all correctly rounded),
+    so every engine computes the identical bigint. NULL on zero norm."""
+    dot = _idot(a_q, b_q)
+    na2 = _idot(a_q, a_q)
+    nb2 = _idot(b_q, b_q)
+    denom = F.sqrt(na2.cast("double")) * F.sqrt(nb2.cast("double"))
+    return F.when(
+        (na2 > 0) & (nb2 > 0),
+        F.floor(dot.cast("double") / denom * MICROS).cast("long"),
+    ).otherwise(F.lit(None).cast("long"))
+
+
 def brute_force_topk(
     embeddings: DataFrame,
     query_vec: list[float],
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    round_to: int = 4,
 ) -> DataFrame:
-    """Exact cosine top-k for one query vector.
+    """Exact cosine top-k for one query vector, scored in integer micros
+    (see ``MICROS``): returns (id, cosine_micros bigint), ordered by
+    cosine_micros desc then id asc.
 
     The query is a literal array (broadcast by value into the plan); the
     scan scores rows map-side and only k survivors per partition reach
     the final ordering (Spark's TakeOrderedAndProject), so the shuffle is
     O(k * partitions) — the right shape at any corpus size.
     """
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    qq = [int(math.floor(float(x) * MICROS)) for x in query_vec]
+    q = F.array(*[F.lit(v).cast("long") for v in qq])
     scored = embeddings.select(
         F.col(id_col),
-        F.round(cosine_sim_expr(F.col(vec_col), q), round_to).alias("cosine"),
-        cosine_sim_expr(F.col(vec_col), q).alias("__raw"),
+        cosine_micros_expr(_quantize(F.col(vec_col)), q).alias("cosine_micros"),
     )
     return (
-        scored.orderBy(F.col("__raw").desc(), F.col(id_col).asc())
+        scored.orderBy(F.col("cosine_micros").desc(), F.col(id_col).asc())
         .limit(k)
-        .select(id_col, "cosine")
+        .select(id_col, "cosine_micros")
     )
 
 
@@ -241,24 +283,45 @@ def ivf_topk(
     return brute_force_topk(candidates, query_vec, k, id_col, vec_col)
 
 
+def _quant_np(rows, np):
+    """float64 matrix of floor(x * 1e6) per component — integer-valued,
+    so BLAS GEMMs over it are exact (see ``MICROS``)."""
+    m = np.array(list(rows), dtype=np.float64)
+    return np.floor(m * MICROS)
+
+
+def _cos_micros_np(dots, na2, nb2, np):
+    """floor(dot / (sqrt(na2)*sqrt(nb2)) * 1e6) int64 for a |A| x |B|
+    exact-integer dot matrix; zero-norm rows/cols score a -2e9 sentinel
+    (below any real cosine, never above a threshold)."""
+    denom = np.sqrt(na2)[:, None] * np.sqrt(nb2)[None, :]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cos = dots / denom * MICROS
+    out = np.full(dots.shape, -2_000_000_000, dtype=np.int64)
+    ok = denom > 0
+    out[ok] = np.floor(cos[ok]).astype(np.int64)
+    return out
+
+
 def pairwise_topk_join(
     queries: DataFrame,
     corpus: DataFrame,
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    round_to: int = 4,
 ) -> DataFrame:
     """For every query vector, its top-k cosine neighbors in ``corpus`` —
-    the kNN-graph candidate stage.
+    the kNN-graph candidate stage. Scores are integer micros (see
+    ``MICROS``) — bit-identical to ``brute_force_topk``'s.
 
-    Same scale shape as ``embedding_near_dup_pairs``: the (normalized)
+    Same scale shape as ``embedding_near_dup_pairs``: the (quantized)
     corpus matrix broadcasts once, each query partition runs one numpy
-    GEMM and keeps k survivors via argpartition — O(|Q|·|C|·d) FLOPs
-    spread over partitions, shuffle carries only |Q|·k result rows.
-    Ties break by ascending corpus id (deterministic). Returns
-    (q_id, c_id, rank, cosine), rank 1-based; self-pairs are kept
-    (filter q_id != c_id for a strict graph).
+    GEMM (exact — integer-valued float64) and keeps k survivors —
+    O(|Q|·|C|·d) FLOPs spread over partitions, shuffle carries only
+    |Q|·k result rows. Ties break by ascending corpus id
+    (deterministic). Returns (q_id, c_id, rank, cosine_micros), rank
+    1-based; self-pairs are kept (filter q_id != c_id for a strict
+    graph).
     """
     import numpy as np
     import pandas as pd
@@ -268,43 +331,35 @@ def pairwise_topk_join(
     c_ids = np.array([r[0] for r in rows], dtype=np.int64)
     order = np.argsort(c_ids)
     c_ids = c_ids[order]
-    mat = np.array([r[1] for r in rows], dtype=np.float64)[order]
-    norms = np.sqrt((mat * mat).sum(axis=1))
-    norms[norms == 0] = np.nan
+    mat = _quant_np([r[1] for r in rows], np)[order]
     b_ids = spark.sparkContext.broadcast(c_ids)
-    b_unit = spark.sparkContext.broadcast(mat / norms[:, None])
+    b_mat = spark.sparkContext.broadcast(mat)
 
     def run(batches):
-        all_ids, unit = b_ids.value, b_unit.value
+        all_ids, cq = b_ids.value, b_mat.value
+        cn2 = (cq * cq).sum(axis=1)
         kk = min(k, len(all_ids))
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             q_ids = pdf[id_col].to_numpy(dtype=np.int64)
-            q = np.array(list(pdf[vec_col]), dtype=np.float64)
-            qn = np.sqrt((q * q).sum(axis=1))
-            qn[qn == 0] = np.nan
-            sims = (q / qn[:, None]) @ unit.T  # |batch| x |corpus|
-            sims = np.nan_to_num(sims, nan=-2.0)
-            # top-k per row: argpartition then exact sort of the k slice;
-            # corpus ids are ascending, stable mergesort keeps id-order ties
-            part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            qq = _quant_np(pdf[vec_col], np)
+            micros = _cos_micros_np(qq @ cq.T, (qq * qq).sum(axis=1), cn2, np)
             out_q, out_c, out_r, out_s = [], [], [], []
             for row_i in range(len(q_ids)):
-                idx = part[row_i]
-                idx = idx[np.argsort(-sims[row_i, idx], kind="stable")]
+                # lexsort: ties at the k boundary break by ascending c_id
+                idx = np.lexsort((all_ids, -micros[row_i]))[:kk]
                 out_q.extend([q_ids[row_i]] * len(idx))
                 out_c.extend(all_ids[idx])
                 out_r.extend(range(1, len(idx) + 1))
-                out_s.extend(sims[row_i, idx])
+                out_s.extend(micros[row_i, idx])
             yield pd.DataFrame(
-                {"q_id": out_q, "c_id": out_c, "rank": out_r, "cosine": out_s}
+                {"q_id": out_q, "c_id": out_c, "rank": out_r, "cosine_micros": out_s}
             )
 
-    raw = queries.select(id_col, vec_col).mapInPandas(
-        run, schema="q_id long, c_id long, rank int, cosine double"
+    return queries.select(id_col, vec_col).mapInPandas(
+        run, schema="q_id long, c_id long, rank int, cosine_micros long"
     )
-    return raw.select("q_id", "c_id", "rank", F.round("cosine", round_to).alias("cosine"))
 
 
 def embedding_near_dup_pairs(
@@ -312,10 +367,10 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    round_to: int = 4,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (exact): every (a, b) with
-    ``a < b`` and cosine >= threshold.
+    ``a < b`` and cosine_micros >= floor(threshold * 1e6) — integer-
+    micros scoring (see ``MICROS``), engine-exact.
 
     Plan shape: the (normalized) corpus matrix is broadcast once; each
     partition of row-vectors then computes a dense numpy block-matmul
@@ -331,46 +386,41 @@ def embedding_near_dup_pairs(
     import numpy as np
     import pandas as pd
 
+    thr_micros = int(math.floor(threshold * MICROS))
     spark = embeddings.sparkSession
     mat_rows = embeddings.select(id_col, vec_col).collect()
     ids = np.array([r[0] for r in mat_rows], dtype=np.int64)
-    mat = np.array([r[1] for r in mat_rows], dtype=np.float64)
-    norms = np.sqrt((mat * mat).sum(axis=1))
-    norms[norms == 0] = np.nan
-    unit = mat / norms[:, None]
+    order = np.argsort(ids)
+    ids = ids[order]
+    mat = _quant_np([r[1] for r in mat_rows], np)[order]
     b_ids = spark.sparkContext.broadcast(ids)
-    b_unit = spark.sparkContext.broadcast(unit)
+    b_mat = spark.sparkContext.broadcast(mat)
 
     def run(batches):
-        all_ids, all_unit = b_ids.value, b_unit.value
-        order = np.argsort(all_ids)
+        all_ids, cq = b_ids.value, b_mat.value
+        cn2 = (cq * cq).sum(axis=1)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             a_ids = pdf[id_col].to_numpy(dtype=np.int64)
-            a = np.array(list(pdf[vec_col]), dtype=np.float64)
-            an = np.sqrt((a * a).sum(axis=1))
-            an[an == 0] = np.nan
-            sims = (a / an[:, None]) @ all_unit[order].T  # rows x corpus
-            oi, oj = np.nonzero(sims >= threshold)
+            aq = _quant_np(pdf[vec_col], np)
+            micros = _cos_micros_np(aq @ cq.T, (aq * aq).sum(axis=1), cn2, np)
+            oi, oj = np.nonzero(micros >= thr_micros)
             if len(oi) == 0:
                 continue
-            pa, pb = a_ids[oi], all_ids[order][oj]
+            pa, pb = a_ids[oi], all_ids[oj]
             keep = pa < pb
             yield pd.DataFrame(
                 {
                     "a_id": pa[keep],
                     "b_id": pb[keep],
-                    "cosine": sims[oi, oj][keep],
+                    "cosine_micros": micros[oi, oj][keep],
                 }
             )
 
-    raw = embeddings.select(id_col, vec_col).mapInPandas(
-        run, schema="a_id long, b_id long, cosine double"
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        run, schema="a_id long, b_id long, cosine_micros long"
     )
-    # round Spark-side (half-up, same as the SQL oracle) — np.round is
-    # half-to-even and would diverge on exact .00005 boundaries
-    return raw.select("a_id", "b_id", F.round("cosine", round_to).alias("cosine"))
 
 
 def _blocked_sides(
@@ -411,12 +461,12 @@ def embedding_near_dup_pairs_blocked(
     n_blocks: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    round_to: int = 4,
 ) -> DataFrame:
     """Exact embedding near-duplicate pairs, fully distributed.
 
-    Same output as ``embedding_near_dup_pairs`` (every a < b with cosine
-    >= threshold) but with NO driver collect and NO broadcast: vectors
+    Same output as ``embedding_near_dup_pairs`` (every a < b with
+    cosine_micros >= floor(threshold * 1e6), integer-micros scoring —
+    see ``MICROS``) but with NO driver collect and NO broadcast: vectors
     are hashed into ``n_blocks`` blocks, every unordered block pair
     (i <= j) becomes one ``applyInPandas`` group, and each group runs a
     dense numpy GEMM between its two blocks. Work is O(n²d) FLOPs — the
@@ -430,42 +480,40 @@ def embedding_near_dup_pairs_blocked(
     import numpy as np
     import pandas as pd
 
+    thr_micros = int(math.floor(threshold * MICROS))
+
     def gemm(pdf: pd.DataFrame) -> pd.DataFrame:
         i = int(pdf["i"].iloc[0])
         j = int(pdf["j"].iloc[0])
         a_pdf = pdf[pdf["__side"] == "a"]
         b_pdf = pdf[pdf["__side"] == "b"]
         if len(a_pdf) == 0 or len(b_pdf) == 0:
-            return pd.DataFrame({"a_id": [], "b_id": [], "cosine": []}).astype(
-                {"a_id": "int64", "b_id": "int64", "cosine": "float64"}
+            return pd.DataFrame({"a_id": [], "b_id": [], "cosine_micros": []}).astype(
+                {"a_id": "int64", "b_id": "int64", "cosine_micros": "int64"}
             )
-
-        def unit(rows: pd.Series) -> np.ndarray:
-            m = np.array(list(rows), dtype=np.float64)
-            nrm = np.sqrt((m * m).sum(axis=1))
-            nrm[nrm == 0] = np.nan
-            return m / nrm[:, None]
 
         a_ids = a_pdf["__id"].to_numpy(dtype=np.int64)
         b_ids = b_pdf["__id"].to_numpy(dtype=np.int64)
-        sims = unit(a_pdf["__vec"]) @ unit(b_pdf["__vec"]).T
-        sims = np.nan_to_num(sims, nan=-2.0)
-        oi, oj = np.nonzero(sims >= threshold)
-        pa, pb, s = a_ids[oi], b_ids[oj], sims[oi, oj]
+        aq = _quant_np(a_pdf["__vec"], np)
+        bq = _quant_np(b_pdf["__vec"], np)
+        micros = _cos_micros_np(
+            aq @ bq.T, (aq * aq).sum(axis=1), (bq * bq).sum(axis=1), np
+        )
+        oi, oj = np.nonzero(micros >= thr_micros)
+        pa, pb, s = a_ids[oi], b_ids[oj], micros[oi, oj]
         if i == j:  # diagonal group: both sides are the same block
             keep = pa < pb
             pa, pb, s = pa[keep], pb[keep], s[keep]
         else:  # cross pair: normalize order
             lo, hi = np.minimum(pa, pb), np.maximum(pa, pb)
             pa, pb = lo, hi
-        return pd.DataFrame({"a_id": pa, "b_id": pb, "cosine": s})
+        return pd.DataFrame({"a_id": pa, "b_id": pb, "cosine_micros": s})
 
-    raw = (
+    return (
         _blocked_sides(embeddings, n_blocks, id_col, vec_col)
         .groupBy("i", "j")
-        .applyInPandas(gemm, schema="a_id long, b_id long, cosine double")
+        .applyInPandas(gemm, schema="a_id long, b_id long, cosine_micros long")
     )
-    return raw.select("a_id", "b_id", F.round("cosine", round_to).alias("cosine"))
 
 
 def knn_join_blocked(
@@ -475,10 +523,11 @@ def knn_join_blocked(
     n_blocks: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    round_to: int = 4,
 ) -> DataFrame:
     """Exact query×corpus cosine top-k, fully distributed (no driver
     collect / broadcast of the corpus, unlike ``pairwise_topk_join``).
+    Scores are integer micros (see ``MICROS``) — engine-exact, identical
+    to ``brute_force_topk``'s.
 
     Corpus is hashed into ``n_blocks`` blocks; every query row joins
     every block (replication factor n_blocks), each (block) group GEMMs
@@ -486,7 +535,7 @@ def knn_join_blocked(
     partials, then one hash-partitioned window per q_id reduces the
     n_blocks·k partials to the global top-k. Ties break by ascending
     corpus id, matching ``brute_force_topk``. Returns
-    (q_id, c_id, rank, cosine), rank 1-based, self-pairs kept.
+    (q_id, c_id, rank, cosine_micros), rank 1-based, self-pairs kept.
     """
     import numpy as np
     import pandas as pd
@@ -508,22 +557,19 @@ def knn_join_blocked(
         q_pdf = pdf[pdf["__side"] == "a"]
         c_pdf = pdf[pdf["__side"] == "b"]
         if len(q_pdf) == 0 or len(c_pdf) == 0:
-            return pd.DataFrame({"q_id": [], "c_id": [], "cosine": []}).astype(
-                {"q_id": "int64", "c_id": "int64", "cosine": "float64"}
+            return pd.DataFrame({"q_id": [], "c_id": [], "cosine_micros": []}).astype(
+                {"q_id": "int64", "c_id": "int64", "cosine_micros": "int64"}
             )
         c_ids = c_pdf["__id"].to_numpy(dtype=np.int64)
         order = np.argsort(c_ids)
         c_ids = c_ids[order]
 
-        def unit(rows: pd.Series) -> np.ndarray:
-            m = np.array(list(rows), dtype=np.float64)
-            nrm = np.sqrt((m * m).sum(axis=1))
-            nrm[nrm == 0] = np.nan
-            return m / nrm[:, None]
-
         q_ids = q_pdf["__id"].to_numpy(dtype=np.int64)
-        sims = unit(q_pdf["__vec"]) @ unit(c_pdf["__vec"])[order].T
-        sims = np.nan_to_num(sims, nan=-2.0)
+        qq = _quant_np(q_pdf["__vec"], np)
+        cq = _quant_np(c_pdf["__vec"], np)[order]
+        micros = _cos_micros_np(
+            qq @ cq.T, (qq * qq).sum(axis=1), (cq * cq).sum(axis=1), np
+        )
         kk = min(k, len(c_ids))
         out_q, out_c, out_s = [], [], []
         for r in range(len(q_ids)):
@@ -531,24 +577,26 @@ def knn_join_blocked(
             # k-th position must break by ascending c_id or the global
             # reduce can never recover the candidate brute_force_topk's
             # tie-break would have kept
-            idx = np.lexsort((c_ids, -sims[r]))[:kk]
+            idx = np.lexsort((c_ids, -micros[r]))[:kk]
             out_q.extend([q_ids[r]] * len(idx))
             out_c.extend(c_ids[idx])
-            out_s.extend(sims[r, idx])
-        return pd.DataFrame({"q_id": out_q, "c_id": out_c, "cosine": out_s})
+            out_s.extend(micros[r, idx])
+        return pd.DataFrame({"q_id": out_q, "c_id": out_c, "cosine_micros": out_s})
 
     partials = (
         q_rep.unionByName(c_rep)
         .groupBy("blk")
-        .applyInPandas(gemm_topk, schema="q_id long, c_id long, cosine double")
+        .applyInPandas(gemm_topk, schema="q_id long, c_id long, cosine_micros long")
     )
     from pyspark.sql.window import Window
 
-    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id").asc())
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cosine_micros").desc(), F.col("c_id").asc()
+    )
     return (
         partials.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("q_id", "c_id", "rank", F.round("cosine", round_to).alias("cosine"))
+        .select("q_id", "c_id", "rank", "cosine_micros")
     )
 
 

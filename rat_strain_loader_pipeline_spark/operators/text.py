@@ -8,10 +8,12 @@ ANSI-ish SQL so the DuckDB oracle can replicate it exactly.
 Operators:
 - token_count:       whitespace tokenization count
 - word_stats:        char/word/line counts, avg word length
-- punct_ratio:       punctuation chars / total chars
-- stopword_ratio:    fraction of tokens in a per-language stopword list
+- punct_ratio_micros: punctuation chars / total chars, integer micros
+- stopword_ratio_micros: fraction of tokens in a per-language stopword
+                     list, integer micros
 - lang_id_heuristic: argmax of per-language stopword hit counts
-- quality_score:     composite [0,1] from length/punct/stopword signals
+- quality_score:     composite micros [0, 1e6] from length/punct/stopword
+                     signals — all-integer arithmetic, engine-exact
 - doc_fingerprint:   order-sensitive 64-bit-ish rolling hash (hex md5 of
                      normalized text — deterministic, engine-agnostic)
 """
@@ -133,8 +135,8 @@ def repetition_stats(text: Column) -> dict[str, Column]:
     n = F.size(lines)
     n_distinct = F.size(F.array_distinct(lines))
     dup_frac = F.when(
-        n > 0, F.round((n - n_distinct).cast("double") / n, 4)
-    ).otherwise(F.lit(0.0))
+        n > 0, _idiv_micros((n - n_distinct).cast("bigint"), n.cast("bigint"))
+    ).otherwise(F.lit(0).cast("long"))
     # highest repeat count of any line: sort, then longest equal run —
     # O(n log n) per doc (the distinct×filter formulation is O(n²) and
     # quadratic docs exist in scraped corpora)
@@ -158,7 +160,11 @@ def repetition_stats(text: Column) -> dict[str, Column]:
             lambda acc: acc["best"],
         ),
     ).otherwise(F.lit(0)).cast("int")
-    return {"n_lines": n.cast("int"), "dup_line_fraction": dup_frac, "max_line_repeat": max_rep}
+    return {
+        "n_lines": n.cast("int"),
+        "dup_line_frac_micros": dup_frac,
+        "max_line_repeat": max_rep,
+    }
 
 
 def word_ngrams(text: Column, n: int) -> Column:
@@ -209,21 +215,33 @@ def ngram_contamination(docs, benchmark, n: int = 8, text_col: str = "text", id_
     )
 
 
+MICROS = 1_000_000
+
+
+def _idiv_micros(num: Column, den: Column) -> Column:
+    """Exact floor((num * 1e6) / den) bigint for non-negative bigint
+    inputs with num * 1e6 < 2^53: the double division is correctly
+    rounded and cannot cross an integer boundary in that range, so the
+    floor equals DuckDB's ``//`` integer division bit-for-bit."""
+    return F.floor((num * MICROS).cast("double") / den.cast("double")).cast("long")
+
+
 def avg_word_len(text: Column) -> Column:
-    """Average token length, NULL for empty docs; rounded to 4 decimals so
-    engines agree bit-exactly."""
+    """Average token length in integer micros (floor(total*1e6 / n) —
+    all-integer, engine-exact), NULL for empty docs."""
     n = token_count(text)
     total = F.aggregate(tokens(text), F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t))
-    return F.when(n > 0, F.round(total.cast("double") / n, 4)).otherwise(F.lit(None))
+    return F.when(n > 0, _idiv_micros(total, n)).otherwise(F.lit(None).cast("long"))
 
 
-def punct_ratio(text: Column) -> Column:
-    """punctuation chars / total chars (0 for empty), 4-decimal rounded."""
+def punct_ratio_micros(text: Column) -> Column:
+    """punctuation chars / total chars in integer micros
+    (floor(n_punct*1e6 / n_chars) bigint, 0 for empty docs)."""
     total = F.length(text)
     stripped = F.length(F.regexp_replace(text, r"[\p{Punct}]", ""))
-    return F.when(total > 0, F.round((total - stripped).cast("double") / total, 4)).otherwise(
-        F.lit(0.0)
-    )
+    return F.when(
+        total > 0, _idiv_micros((total - stripped).cast("bigint"), total.cast("bigint"))
+    ).otherwise(F.lit(0).cast("long"))
 
 
 def stopword_hits(text: Column, lang: str) -> Column:
@@ -232,10 +250,12 @@ def stopword_hits(text: Column, lang: str) -> Column:
     return F.size(F.filter(tokens(F.lower(text)), lambda t: F.array_contains(sw, t))).cast("bigint")
 
 
-def stopword_ratio(text: Column, lang: str) -> Column:
+def stopword_ratio_micros(text: Column, lang: str) -> Column:
+    """stopword tokens / all tokens in integer micros (bigint, 0 for
+    empty docs)."""
     n = token_count(text)
-    return F.when(n > 0, F.round(stopword_hits(text, lang).cast("double") / n, 4)).otherwise(
-        F.lit(0.0)
+    return F.when(n > 0, _idiv_micros(stopword_hits(text, lang), n)).otherwise(
+        F.lit(0).cast("long")
     )
 
 
@@ -257,18 +277,26 @@ def lang_id_heuristic(text: Column) -> Column:
 
 
 def quality_score(text: Column) -> Column:
-    """Composite quality in [0,1]: length signal, low punctuation, stopword
-    presence (any language). 4-decimal rounded; mirrors oracle SQL.
+    """Composite quality in integer micros [0, 1e6]: length signal, low
+    punctuation, stopword presence (any language). ALL-integer
+    arithmetic (no float op anywhere) — engine-exact; mirrors oracle SQL.
 
-    score = 0.4*min(1, words/100) + 0.3*(1-min(1, 4*punct_ratio))
-          + 0.3*min(1, 10*max_stopword_ratio)
+      len_sig   = least(1e6, n_tok * 10_000)
+      punct_sig = 1e6 - least(1e6, 4 * punct_ratio_micros)
+      sw_sig    = least(1e6, 10 * max_lang(stopword_ratio_micros))
+      score     = floor((4*len_sig + 3*punct_sig + 3*sw_sig) / 10)
     """
+    one = F.lit(MICROS).cast("long")
     words = token_count(text)
-    len_sig = F.least(F.lit(1.0), words.cast("double") / 100.0)
-    punct_sig = 1.0 - F.least(F.lit(1.0), punct_ratio(text) * 4.0)
-    max_sw = F.greatest(*[stopword_ratio(text, lang) for lang in sorted(STOPWORDS)])
-    sw_sig = F.least(F.lit(1.0), max_sw * 10.0)
-    return F.round(0.4 * len_sig + 0.3 * punct_sig + 0.3 * sw_sig, 4)
+    len_sig = F.least(one, words * 10_000)
+    punct_sig = one - F.least(one, punct_ratio_micros(text) * 4)
+    max_sw = F.greatest(
+        *[stopword_ratio_micros(text, lang) for lang in sorted(STOPWORDS)]
+    )
+    sw_sig = F.least(one, max_sw * 10)
+    return _idiv_micros(
+        (len_sig * 4 + punct_sig * 3 + sw_sig * 3), F.lit(10 * MICROS).cast("long")
+    )
 
 
 def doc_fingerprint(text: Column) -> Column:

@@ -62,7 +62,6 @@ def test_no_oracle_type_widening(duck):
     The full Spark-schema cross-check runs in tools/check_correctness.py;
     this pins the regression class without a Spark session."""
     DECIMAL_ALLOWED = {
-        "corpus_curation": {"sum_quality"},
         # exact mergeable slope ratio: the Spark side emits the same
         # DECIMAL(38,0) by design (operators/stats.py grouped_trend)
         "grouped_trend": {"slope_num", "slope_den"},

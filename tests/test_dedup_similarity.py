@@ -46,6 +46,10 @@ def _jaccard(a: set, b: set) -> float:
     return len(a & b) / len(a | b)
 
 
+def _jaccard_micros(a: set, b: set) -> int:
+    return len(a & b) * 1_000_000 // len(a | b)
+
+
 def test_exact_dedup_groups(spark):
     out = exact_dedup(_docs_df(spark)).collect()
     groups = {r["canonical_id"]: r["dup_count"] for r in out}
@@ -63,15 +67,14 @@ def test_minhash_estimates_jaccard(spark):
 
 def test_minhash_lsh_finds_planted_dups(spark):
     pairs = {
-        (r["id_a"], r["id_b"]): r["jaccard"]
+        (r["id_a"], r["id_b"]): r["jaccard_micros"]
         for r in minhash_lsh_pairs(_docs_df(spark), jaccard_threshold=0.5).collect()
     }
-    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1_000_000
     assert (0, 2) in pairs  # one-word diff
     # verified jaccard values are exact
     for (a, b), j in pairs.items():
-        true = _jaccard(_shingle_set(DOCS[a][1]), _shingle_set(DOCS[b][1]))
-        assert abs(j - true) < 1e-3
+        assert j == _jaccard_micros(_shingle_set(DOCS[a][1]), _shingle_set(DOCS[b][1]))
 
 
 def test_jvm_shingle_expr_matches_python(spark):
@@ -138,11 +141,11 @@ def test_minhash_lsh_xxhash_equivalence(spark):
     collisions, and the planted dups sit far above the banding S-curve."""
     docs, planted = _planted_corpus(spark)
     md5_pairs = {
-        (r["id_a"], r["id_b"]): r["jaccard"]
+        (r["id_a"], r["id_b"]): r["jaccard_micros"]
         for r in minhash_lsh_pairs(docs, jaccard_threshold=0.5).collect()
     }
     xxh_pairs = {
-        (r["id_a"], r["id_b"]): r["jaccard"]
+        (r["id_a"], r["id_b"]): r["jaccard_micros"]
         for r in minhash_lsh_pairs(
             docs, jaccard_threshold=0.5, hash_fn="xxhash64"
         ).collect()
@@ -186,11 +189,11 @@ def test_simhash_and_ngram_xxhash_equivalence(spark):
     docs, planted = _planted_corpus(spark)
 
     ng_md5 = {
-        (r["id_a"], r["id_b"]): r["jaccard"]
+        (r["id_a"], r["id_b"]): r["jaccard_micros"]
         for r in ngram_jaccard_pairs(docs, threshold=0.8).collect()
     }
     ng_xxh = {
-        (r["id_a"], r["id_b"]): r["jaccard"]
+        (r["id_a"], r["id_b"]): r["jaccard_micros"]
         for r in ngram_jaccard_pairs(docs, threshold=0.8, hash_fn="xxhash64").collect()
     }
     assert ng_md5 == ng_xxh and set(ng_md5) == planted
@@ -199,7 +202,7 @@ def test_simhash_and_ngram_xxhash_equivalence(spark):
 def test_ngram_jaccard_matches_brute_force(spark):
     threshold = 0.5
     got = {
-        (r["id_a"], r["id_b"]): r["jaccard"]
+        (r["id_a"], r["id_b"]): r["jaccard_micros"]
         for r in ngram_jaccard_pairs(
             _docs_df(spark), shingle_n=3, threshold=threshold, prefix_cap=None
         ).collect()
@@ -207,8 +210,8 @@ def test_ngram_jaccard_matches_brute_force(spark):
     expected = {}
     for (i, ti), (j, tj) in itertools.combinations(DOCS, 2):
         jac = _jaccard(_shingle_set(ti), _shingle_set(tj))
-        if jac >= threshold:
-            expected[(i, j)] = round(jac, 4)
+        if _jaccard_micros(_shingle_set(ti), _shingle_set(tj)) >= threshold * 1_000_000:
+            expected[(i, j)] = _jaccard_micros(_shingle_set(ti), _shingle_set(tj))
     assert got == expected  # prefix filtering (uncapped) is exact
 
 
@@ -234,18 +237,18 @@ def test_cosine_expr_and_brute_force_topk(spark):
     out = brute_force_topk(df, [1.0, 0.0, 0.0], k=3).collect()
     ids = [r["vec_id"] for r in out]
     assert ids == [0, 1, 4]
-    cos = {r["vec_id"]: r["cosine"] for r in out}
-    assert cos[0] == pytest.approx(1.0)
-    assert cos[1] == pytest.approx(0.9 / math.sqrt(0.81 + 0.01), abs=1e-4)
+    cos = {r["vec_id"]: r["cosine_micros"] for r in out}
+    assert cos[0] == 1_000_000
+    assert cos[1] == pytest.approx(1e6 * 0.9 / math.sqrt(0.81 + 0.01), abs=200)
 
 
 def test_lsh_topk_subset_of_exact_ranking(spark):
     df = spark.createDataFrame(EMB, "vec_id long, embedding array<float>")
     approx = lsh_bucketed_topk(df, [1.0, 0.0, 0.0], k=3, n_planes=2, multiprobe=1)
     rows = approx.collect()
-    exact_scores = {r["vec_id"]: r["cosine"] for r in brute_force_topk(df, [1.0, 0.0, 0.0], k=5).collect()}
+    exact_scores = {r["vec_id"]: r["cosine_micros"] for r in brute_force_topk(df, [1.0, 0.0, 0.0], k=5).collect()}
     for r in rows:  # approximate results carry exact scores
-        assert r["cosine"] == pytest.approx(exact_scores[r["vec_id"]], abs=1e-6)
+        assert r["cosine_micros"] == exact_scores[r["vec_id"]]
 
 
 def test_zero_norm_is_null(spark):
@@ -321,7 +324,7 @@ def test_minhash_hot_bucket_cap(spark):
     # star topology: every boilerplate member pairs with doc 0 only
     pairs = {(r["id_a"], r["id_b"]) for r in capped}
     assert pairs == {(0, i) for i in range(1, 40)}
-    assert all(r["jaccard"] == 1.0 for r in capped)
+    assert all(r["jaccard_micros"] == 1_000_000 for r in capped)
 
     # exact (uncapped) run finds the same duplicate MEMBERSHIP
     exact = minhash_lsh_pairs(docs).collect()
@@ -350,8 +353,8 @@ def test_ivf_full_probe_exact_and_recall(spark, sf_dir):
     assert assigned.count() == emb.count()
     assert assigned.select("vec_id").distinct().count() == emb.count()
 
-    exact = [(r["vec_id"], r["cosine"]) for r in brute_force_topk(emb, qvec, k=10).collect()]
-    full = [(r["vec_id"], r["cosine"]) for r in ivf_topk(assigned, cent, qvec, k=10, nprobe=8).collect()]
+    exact = [(r["vec_id"], r["cosine_micros"]) for r in brute_force_topk(emb, qvec, k=10).collect()]
+    full = [(r["vec_id"], r["cosine_micros"]) for r in ivf_topk(assigned, cent, qvec, k=10, nprobe=8).collect()]
     assert full == exact
 
     probed = {r["vec_id"] for r in ivf_topk(assigned, cent, qvec, k=10, nprobe=2).collect()}
@@ -373,11 +376,11 @@ def test_pairwise_topk_join_matches_brute_force(spark, sf_dir):
     got = pairwise_topk_join(queries, emb, k=5).collect()
     by_q = {}
     for r in sorted(got, key=lambda r: (r["q_id"], r["rank"])):
-        by_q.setdefault(r["q_id"], []).append((r["c_id"], r["cosine"]))
+        by_q.setdefault(r["q_id"], []).append((r["c_id"], r["cosine_micros"]))
     assert set(by_q) == {0, 1, 2}
     for qid, neighbors in by_q.items():
         qvec = [float(x) for x in emb.filter(f"vec_id = {qid}").first()["embedding"]]
-        exact = [(r["vec_id"], r["cosine"]) for r in brute_force_topk(emb, qvec, k=5).collect()]
+        exact = [(r["vec_id"], r["cosine_micros"]) for r in brute_force_topk(emb, qvec, k=5).collect()]
         assert neighbors == exact, qid
 
 
@@ -415,11 +418,11 @@ def test_knn_join_blocked_matches_brute_force(spark, sf_dir):
     got = knn_join_blocked(queries, emb, k=5, n_blocks=6).collect()
     by_q = {}
     for r in sorted(got, key=lambda r: (r["q_id"], r["rank"])):
-        by_q.setdefault(r["q_id"], []).append((r["c_id"], r["cosine"]))
+        by_q.setdefault(r["q_id"], []).append((r["c_id"], r["cosine_micros"]))
     assert set(by_q) == {0, 1, 2}
     for qid, neighbors in by_q.items():
         qvec = [float(x) for x in emb.filter(f"vec_id = {qid}").first()["embedding"]]
-        exact = [(r["vec_id"], r["cosine"]) for r in brute_force_topk(emb, qvec, k=5).collect()]
+        exact = [(r["vec_id"], r["cosine_micros"]) for r in brute_force_topk(emb, qvec, k=5).collect()]
         assert neighbors == exact, qid
 
 

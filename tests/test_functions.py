@@ -172,9 +172,9 @@ def test_repetition_stats(spark):
     st = T.repetition_stats(F.col("text"))
     out = {r["id"]: r for r in df.select("id", *[v.alias(k) for k, v in st.items()]).collect()}
     assert out[1]["n_lines"] == 5
-    assert out[1]["dup_line_fraction"] == 0.6
+    assert out[1]["dup_line_frac_micros"] == 600000
     assert out[1]["max_line_repeat"] == 3
-    assert out[2]["dup_line_fraction"] == 0.0 and out[2]["max_line_repeat"] == 1
+    assert out[2]["dup_line_frac_micros"] == 0 and out[2]["max_line_repeat"] == 1
     assert out[3]["n_lines"] == 0 and out[3]["max_line_repeat"] == 0
 
 

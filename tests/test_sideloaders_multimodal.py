@@ -270,3 +270,69 @@ def test_decode_media_columns_poison_pill(spark):
     assert rows[1]["kind"] == "bmp" and rows[1]["content_sum"] == 5 * 3 * 2 * 3
     assert rows[2]["kind"] == "wav" and rows[2]["content_sum"] == 50 * 4
     assert rows[3]["kind"] is None and rows[3]["decode_error"] is not None
+
+
+def test_dhash56_python_model_and_one_pixel_bound():
+    """dHash bits match a direct Python model of the generator formula;
+    a one-pixel edit moves at most 2 bits (the near-dup design bound)."""
+    from rat_strain_loader_pipeline_spark.operators.multimodal import (
+        dhash56,
+        synth_bmp_textured,
+    )
+
+    w, h, s = 17, 13, 42
+    base = dhash56(synth_bmp_textured(w, h, s))
+
+    # direct model: same grid, same formula
+    def gray(x, y, hot=None):
+        g = (s + 7 * x * x + 5 * y * y + 3 * x * y + 11 * x + 13 * y) % 256
+        if hot == (x, y):
+            g = (g + 9) % 256
+        return g
+
+    xs = [(i * w) // 8 for i in range(8)]
+    ys = [(j * h) // 8 for j in range(8)]
+    want = 0
+    for j, y in enumerate(ys):
+        for i in range(7):
+            if gray(xs[i + 1], y) > gray(xs[i], y):
+                want |= 1 << (j * 7 + i)
+    assert base == want
+
+    for hot in [(0, 0), (xs[3], ys[5]), (5, 7)]:
+        bumped = dhash56(synth_bmp_textured(w, h, s, hot_x=hot[0], hot_y=hot[1]))
+        assert bin(base ^ bumped).count("1") <= 2, hot
+
+
+def test_media_phash_pairs_planted_recall_and_partition_invariance(spark):
+    """Banded pair join finds every planted intra-group pair (guaranteed
+    recall at <= max_hamming); result is partition-count invariant."""
+    from rat_strain_loader_pipeline_spark.operators.multimodal import (
+        media_phash_pairs,
+        synth_bmp_textured,
+    )
+
+    rows = []
+    for mid in range(30):
+        g, v = mid // 3, mid % 3
+        w, h, s = 12 + (g % 8), 10 + (g % 5), (g * 53) % 256
+        hot = ((3 * v) % w, (5 * v) % h) if v > 0 else (None, None)
+        rows.append((mid, synth_bmp_textured(w, h, s, hot[0], hot[1])))
+    media = spark.createDataFrame(rows, "media_id long, content binary")
+
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in media_phash_pairs(media, max_hamming=4).collect()
+    }
+    # every intra-group pair must be present (each variant differs from
+    # base by <= 2 bits, variants from each other by <= 4)
+    for g in range(10):
+        a, b, c = 3 * g, 3 * g + 1, 3 * g + 2
+        assert (a, b) in got and (a, c) in got and (b, c) in got, g
+        assert got[(b, c)] <= 4
+
+    got7 = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in media_phash_pairs(media.repartition(7), max_hamming=4).collect()
+    }
+    assert got == got7
