@@ -5320,6 +5320,54 @@ def q_media_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_phash_pairs(media, max_hamming=4)
 
 
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-table learning (operators/text.py bpe_train): BPE_ROUNDS
+    rounds of most-frequent-adjacent-pair merging over the corpus WORD
+    HISTOGRAM (Sennrich et al. 2016 shape) — pair partial-agg + 1-row
+    argmax collect + pure-expression left-to-right merge fold per round;
+    after the single corpus-sized word count, every round is vocab-sized.
+    The oracle unrolls the same rounds in SQL (the pagerank/kmeans
+    unrolled-oracle pattern): per round, positional pair counts, the
+    identical (count desc, pair asc) winner, and the merge applied with
+    the run-parity rule (equivalent to the greedy fold — overlapping
+    matches only exist when left==right, where every other match in a
+    run merges). Deterministic: binary string collation in both
+    engines; corpus is all-ASCII (checked), so Spark's code-unit char
+    split and DuckDB's character slicing agree."""
+    from rat_strain_loader_pipeline_spark.operators.text import bpe_train
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_train(docs, rounds=BPE_ROUNDS)
+
+
+def q_quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality gate (operators/text.py quality_model_score):
+    hashed bag-of-words x deterministic weight table, integer-micros
+    logit — map-side ONLY (one F.aggregate fold per row, md5 feature
+    hashing via the proven md5_mod identity, zero shuffle / zero UDF).
+    The oracle replays the identical integer algebra with DuckDB's
+    md5_number_lower."""
+    from rat_strain_loader_pipeline_spark.operators.text import (
+        quality_model_score,
+        token_count,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    logit = quality_model_score(
+        F.col("text"),
+        dim=QMODEL_DIM,
+        mult=QMODEL_MULT,
+        rng=QMODEL_RNG,
+        bias_micros=QMODEL_BIAS,
+    )
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_terms"),
+        logit.alias("logit_micros"),
+        (logit >= 0).alias("passes"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -5518,6 +5566,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ship_latency": q_ship_latency,
         "audience_overlap": q_audience_overlap,
         "media_phash_pairs": q_media_phash_pairs,
+        "bpe_train": q_bpe_train,
+        "quality_model_score": q_quality_model_score,
     }
 
 
@@ -6015,6 +6065,17 @@ SHARD_RANK_BLOCK = 4096     # prefix-sum block size (two-level cumsum)
 # Hard-negative mining (q_hard_negatives)
 HARDNEG_ANCHORS = 50   # anchor batch = vec_id < this (the broadcast side)
 HARDNEG_K = 3          # negatives kept per anchor
+
+# BPE merge-table training (q_bpe_train): bounded learned-merge rounds
+BPE_ROUNDS = 6
+
+# Model-based quality gate (q_quality_model_score): hashed bag-of-words
+# linear model — feature = md5_number_lower('qmodel:v1:'||tok) % DIM,
+# weight_micros = ((idx*MULT) % RNG) - (RNG-1)/2, logit = BIAS + sum
+QMODEL_DIM = 64
+QMODEL_MULT = 2654435761
+QMODEL_RNG = 2_000_001
+QMODEL_BIAS = 500_000
 
 # Distributed k-means (q_kmeans_clusters): SemDeDup cluster stage
 KMEANS_K = 8
@@ -10397,7 +10458,82 @@ QUALIFY row_number() OVER (
             FROM hashes a JOIN hashes b ON a.id < b.id
             WHERE bit_count(xor(a.sig, b.sig)) <= 4
         """,
+        "bpe_train": _bpe_train_oracle_sql(BPE_ROUNDS),
+        "quality_model_score": f"""
+            WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
+            s AS (
+              SELECT doc_id,
+                     CAST(len(toks) AS BIGINT) AS n_terms,
+                     CAST({QMODEL_BIAS} + COALESCE(list_sum(list_transform(toks,
+                            tok -> (CAST(md5_number_lower('qmodel:v1:' || tok)
+                                     % {QMODEL_DIM} AS BIGINT) * {QMODEL_MULT})
+                                   % {QMODEL_RNG} - {(QMODEL_RNG - 1) // 2})), 0)
+                          AS BIGINT) AS logit_micros
+              FROM t
+            )
+            SELECT doc_id, n_terms, logit_micros, logit_micros >= 0 AS passes
+            FROM s
+        """,
     }
+
+
+def _bpe_train_oracle_sql(rounds: int) -> str:
+    """Unrolled-rounds SQL replay of bpe_train (pagerank/kmeans
+    pattern). Per round: positional pair counts over the evolving
+    symbol lists, the (count desc, a, b) winner, and the merge applied
+    via run-parity logic — overlapping (a,b) matches exist only when
+    a == b, where greedy left-to-right keeps every ODD match of each
+    consecutive run (row_number parity within pos-rn groups); that is
+    exactly what the engine's stack fold computes."""
+    ctes = [
+        "w0 AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM "
+        f"(SELECT unnest({_TOKENS_SQL}) AS w FROM documents) GROUP BY w)",
+        "s0 AS MATERIALIZED (SELECT w AS wid, cnt, "
+        "list_transform(range(1, len(w)+1), i -> w[i:i]) AS s FROM w0)",
+    ]
+    for k in range(rounds):
+        ctes.append(
+            f"""pe{k} AS (
+  SELECT cnt, s, unnest(range(1, len(s))) AS i FROM s{k} WHERE len(s) >= 2
+),
+pc{k} AS (
+  SELECT s[i] AS a, s[i+1] AS b, CAST(sum(cnt) AS BIGINT) AS n
+  FROM pe{k} GROUP BY 1, 2
+),
+win{k} AS MATERIALIZED (SELECT a, b, n FROM pc{k} ORDER BY n DESC, a ASC, b ASC LIMIT 1),
+ex{k} AS (SELECT wid, cnt, s, unnest(range(1, len(s)+1)) AS pos FROM s{k}),
+md{k} AS MATERIALIZED (
+  SELECT e.wid, e.cnt, e.pos, e.s[e.pos] AS sym, w.a, w.b,
+         CASE WHEN e.pos < len(e.s) AND e.s[e.pos] = w.a AND e.s[e.pos+1] = w.b
+              THEN 1 ELSE 0 END AS mk
+  FROM ex{k} e, win{k} w
+),
+hd{k} AS (
+  SELECT wid, pos FROM (
+    SELECT wid, pos, row_number() OVER (PARTITION BY wid, grp ORDER BY pos) AS rn
+    FROM (
+      SELECT wid, pos, pos - row_number() OVER (PARTITION BY wid ORDER BY pos) AS grp
+      FROM md{k} WHERE mk = 1
+    )
+  ) WHERE rn % 2 = 1
+),
+s{k + 1} AS MATERIALIZED (
+  SELECT m.wid, m.cnt,
+         list(CASE WHEN h.pos IS NOT NULL THEN m.a || m.b ELSE m.sym END
+              ORDER BY m.pos) AS s
+  FROM md{k} m
+  LEFT JOIN hd{k} h  ON m.wid = h.wid AND m.pos = h.pos
+  LEFT JOIN hd{k} h2 ON m.wid = h2.wid AND m.pos = h2.pos + 1
+  WHERE h2.pos IS NULL
+  GROUP BY m.wid, m.cnt
+)"""
+        )
+    unions = "\nUNION ALL ".join(
+        f"SELECT CAST({k} AS INT) AS merge_round, a AS merge_left, "
+        f"b AS merge_right, n AS pair_count FROM win{k}"
+        for k in range(rounds)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + unions
 
 
 def _curation_oracle_sql() -> str:

@@ -134,6 +134,12 @@ def kmeans_micros(
     )
 
 
+#: soft ceiling for the estimated within-cluster pair count before
+#: semdedup_prune warns that k is too small for the corpus (the pair
+#: stage is sum of squared cluster sizes — the caller's k controls it)
+SEMDEDUP_PAIR_WARN = 100_000_000
+
+
 def semdedup_prune(
     embeddings: DataFrame,
     k: int = 8,
@@ -141,6 +147,7 @@ def semdedup_prune(
     tau: float = 0.5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_cluster_size: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al.): cluster the corpus with ``kmeans_micros``,
     then prune near-duplicates WITHIN each cluster — a vector is dropped
@@ -148,6 +155,16 @@ def semdedup_prune(
     bounds the pairwise stage to within-cluster pairs (sum of squared
     cluster sizes, not corpus²) — that reduction IS the method; size
     clusters (k) so the largest cluster's pair block stays tractable.
+
+    Guardrail: the k-sized cluster-size table is inspected BEFORE the
+    pair stage. If the estimated pair count exceeds
+    ``SEMDEDUP_PAIR_WARN`` a warning names the fix (raise k). With
+    ``max_cluster_size`` set, oversize clusters are additionally SPLIT
+    into deterministic hash sub-blocks (the minhash hot-bucket-cap
+    precedent, dedup.py): each pair block is then at most
+    ~max_cluster_size rows — cross-sub-block pairs are skipped, so this
+    trades bounded recall loss for a hard work bound; leave it None for
+    exact within-cluster semantics.
 
     Exactness: dots and norms are bigint sums over the micro-unit
     quantized components; the threshold test dot² >= tau²·|a|²·|b|²
@@ -157,9 +174,47 @@ def semdedup_prune(
 
     Returns one row per vector: (id_col, cluster_id, kept).
     """
+    import warnings
+
     from rat_strain_loader_pipeline_spark.staging import stage_to_parquet
 
     assign = kmeans_micros(embeddings, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    # guardrail: k rows — one tiny job, never corpus-sized
+    sizes = assign.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("__n"))
+    size_rows = sizes.collect()
+    est_pairs = sum(r["__n"] * (r["__n"] - 1) // 2 for r in size_rows)
+    biggest = max((r["__n"] for r in size_rows), default=0)
+    if max_cluster_size is None and est_pairs > SEMDEDUP_PAIR_WARN:
+        warnings.warn(
+            f"semdedup_prune: estimated within-cluster pair count {est_pairs:_}"
+            f" exceeds {SEMDEDUP_PAIR_WARN:_} (largest cluster {biggest:_},"
+            f" k={k}) — raise k, or set max_cluster_size to hash-split"
+            " oversize clusters (bounded recall loss)",
+            stacklevel=2,
+        )
+    if max_cluster_size is not None and biggest > max_cluster_size:
+        warnings.warn(
+            f"semdedup_prune: largest cluster {biggest:_} >"
+            f" max_cluster_size={max_cluster_size:_}; splitting oversize"
+            " clusters into hash sub-blocks — cross-block near-dups are"
+            " not compared (raise k for exact within-cluster semantics)",
+            stacklevel=2,
+        )
+    if max_cluster_size is not None:
+        n_sub = F.ceil(F.col("__n") / max_cluster_size).cast("long")
+        assign = (
+            assign.join(F.broadcast(sizes), "cluster_id")
+            .withColumn(
+                "__sub",
+                F.when(
+                    F.col("__n") > max_cluster_size,
+                    F.pmod(F.xxhash64(F.col(id_col)), n_sub),
+                ).otherwise(F.lit(0).cast("long")),
+            )
+            .drop("__n")
+        )
+    else:
+        assign = assign.withColumn("__sub", F.lit(0).cast("long"))
     ex = stage_to_parquet(
         embeddings.select(
             F.col(id_col), F.posexplode(vec_col).alias("dim", "x")
@@ -171,13 +226,14 @@ def semdedup_prune(
         "semdedup-ex",
     )
     n2 = ex.groupBy(id_col).agg(F.sum(F.col("xq") * F.col("xq")).alias("n2"))
-    mem = ex.join(assign.select(id_col, "cluster_id"), id_col)
+    mem = ex.join(assign.select(id_col, "cluster_id", "__sub"), id_col)
     a, b = mem.alias("a"), mem.alias("b")
     dots = (
         a.join(
             b,
             on=[
                 F.col("a.cluster_id") == F.col("b.cluster_id"),
+                F.col("a.__sub") == F.col("b.__sub"),
                 F.col("a.dim") == F.col("b.dim"),
                 F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
             ],

@@ -555,3 +555,118 @@ def pmi_bigrams(
         .orderBy(F.col("pmi_ratio_q").desc(), F.col("a"), F.col("b"))
         .limit(topn)
     )
+
+
+def _bpe_merge_expr(syms: Column, a: str, b: str) -> Column:
+    """Left-to-right non-overlapping merge of adjacent (a, b) symbol
+    pairs — the classic BPE apply step as ONE pure array fold (no UDF):
+    scan symbols keeping an output stack; when the stack top is ``a``
+    and the current symbol is ``b``, replace the top with ``a||b``. The
+    merged token differs from ``a`` (b is non-empty), so a freshly
+    merged pair can't immediately re-merge — exactly greedy
+    left-to-right semantics (e.g. pair (a,a) over [a,a,a] -> [aa,a])."""
+    merged = F.lit(a + b)
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (x == F.lit(b)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_train(docs, rounds: int = 6, text_col: str = "text", id_col: str = "doc_id"):
+    """Learn a BPE merge table over the corpus — the iterative
+    most-frequent-adjacent-pair loop that defines a tokenizer vocab
+    (Sennrich et al. 2016 shape: train on the WORD HISTOGRAM, not the
+    raw corpus). Returns a DataFrame
+    (merge_round int, merge_left string, merge_right string,
+    pair_count bigint), one row per learned merge, deterministic
+    (count desc, then lexicographic pair tie-break; binary collation in
+    both engines).
+
+    100 TB shape: ONE corpus-sized pass builds the (word, count)
+    histogram (map-side partial agg); every subsequent round runs over
+    the vocab-sized histogram only — pair partial-agg (map-side
+    combine), a 1-row argmax collect, and a map-only fold that applies
+    the winning merge. Nothing corpus-sized is ever iterated, collected
+    or broadcast; per-round driver traffic is one (a, b, count) row.
+    """
+    spark = docs.sparkSession
+    words = (
+        docs.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    syms = words.select(F.split("w", "").alias("s"), "cnt").persist()
+    syms.count()  # materialize the histogram once
+    merges = []
+    for r in range(rounds):
+        pairs = (
+            syms.filter(F.size("s") >= 2)
+            .select(
+                "cnt",
+                F.explode(
+                    F.zip_with(
+                        F.slice(F.col("s"), 1, F.size("s") - 1),
+                        F.slice(F.col("s"), 2, F.size("s") - 1),
+                        lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("cnt").alias("n"))
+        )
+        top = pairs.orderBy(F.desc("n"), F.asc("a"), F.asc("b")).limit(1).collect()
+        if not top:
+            break
+        a, b, n = top[0]["a"], top[0]["b"], int(top[0]["n"])
+        merges.append((r, a, b, n))
+        nxt = syms.select(_bpe_merge_expr(F.col("s"), a, b).alias("s"), "cnt").persist()
+        nxt.count()
+        syms.unpersist()
+        syms = nxt
+    syms.unpersist()
+    return spark.createDataFrame(
+        merges, "merge_round int, merge_left string, merge_right string, pair_count long"
+    )
+
+
+def quality_model_score(
+    text: Column,
+    dim: int = 64,
+    mult: int = 2654435761,
+    rng: int = 2_000_001,
+    bias_micros: int = 500_000,
+    salt: str = "qmodel:v1:",
+) -> Column:
+    """Model-based quality logit in integer micros — the fastText-style
+    linear classifier gate (hashed bag-of-words x fixed weight vector)
+    that closes the heuristic-vs-model gap in corpus curation.
+
+    Feature index = md5_number_lower(salt || token) % dim (the repo's
+    engine-exact hash identity, sampling.md5_mod — pure JVM
+    expressions); weight_micros(idx) = ((idx * mult) % rng) - (rng-1)/2
+    (a deterministic Knuth-multiplicative table in [-1e6, 1e6] micros —
+    stand-in for trained weights, broadcast-by-value into the plan);
+    logit = bias + sum over TOKENS (not types). ALL-integer, zero
+    shuffle, zero UDF: one F.aggregate fold per row inside whole-stage
+    codegen. Swapping in real trained weights = replacing the weight
+    expression with a dim-sized F.array literal lookup — same shape.
+    """
+    from rat_strain_loader_pipeline_spark.operators.sampling import md5_mod
+
+    half = (rng - 1) // 2
+
+    def w(t: Column) -> Column:
+        idx = md5_mod(F.concat(F.lit(salt), t), dim)
+        return (idx * F.lit(mult).cast("long")) % rng - half
+
+    return F.aggregate(
+        tokens(F.lower(text)),
+        F.lit(bias_micros).cast("long"),
+        lambda acc, t: acc + w(t),
+    )

@@ -175,3 +175,46 @@ def test_cluster_quota_sample_caps_every_cluster(spark, sf_dir):
             worst_kept = min((chars[d], -d) for d in kept)
             best_rest = max((chars[d], -d) for d in rest)
             assert worst_kept >= best_rest
+
+
+def test_semdedup_oversize_cluster_cap_and_warning(spark):
+    """100 TB guardrail: a deliberately-lopsided clustering (k=1, all
+    vectors identical) with max_cluster_size set is hash-split into
+    sub-blocks — the pair stage is bounded and the caller is warned;
+    each sub-block still keeps exactly its min-id member."""
+    import warnings
+
+    from pyspark.sql import functions as F
+
+    from rat_strain_loader_pipeline_spark.operators.clustering import semdedup_prune
+
+    n, cap = 24, 5
+    rows = [(i, [1.0, 0.0]) for i in range(n)]  # all identical -> 1 cluster
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        out = {r["vec_id"]: r["kept"] for r in
+               semdedup_prune(df, k=1, iters=1, tau=0.9,
+                              max_cluster_size=cap).collect()}
+    assert any("max_cluster_size" in str(w.message) for w in caught)
+    assert len(out) == n
+
+    # expected survivors: min id of every hash sub-block (replicate the
+    # deterministic salt: pmod(xxhash64(id), ceil(n/cap)))
+    n_sub = -(-n // cap)
+    buckets = {
+        r["vec_id"]: r["b"]
+        for r in df.select(
+            "vec_id", F.pmod(F.xxhash64("vec_id"), F.lit(n_sub)).alias("b")
+        ).collect()
+    }
+    want_kept = {min(ids for ids, b in buckets.items() if b == bb) for bb in set(buckets.values())}
+    assert {i for i, kept in out.items() if kept} == want_kept
+    assert 1 < len(want_kept) < n  # actually split AND actually pruned
+
+    # uncapped twin on the same input keeps only the global min
+    kept_exact = {i for i, k in
+                  ((r["vec_id"], r["kept"]) for r in
+                   semdedup_prune(df, k=1, iters=1, tau=0.9).collect()) if k}
+    assert kept_exact == {0}

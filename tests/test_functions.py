@@ -238,3 +238,83 @@ def test_pmi_bigrams_finds_planted_collocation(spark):
     assert out[0]["n_ab"] == 30
     # the planted pair's ratio strictly beats every filler pair
     assert out[0]["pmi_ratio_q"] > out[1]["pmi_ratio_q"]
+
+
+def test_bpe_train_greedy_merge_and_determinism(spark):
+    """Merge table matches a direct Python BPE model (word-histogram
+    variant), including the left-to-right non-overlap rule on (a, a)
+    runs; output is partition-count invariant."""
+    from collections import Counter
+
+    import rat_strain_loader_pipeline_spark.operators.text as T
+
+    rows = [
+        (0, "aaa aaa banana banana banana bandana"),
+        (1, "aaa banana bandana bandana"),
+        (2, "low lower lowest low low"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def python_bpe(texts, rounds):
+        words = Counter(w for t in texts for w in t.lower().split())
+        syms = {w: list(w) for w in words}
+        out = []
+        for r in range(rounds):
+            pc = Counter()
+            for w, s in syms.items():
+                for i in range(len(s) - 1):
+                    pc[(s[i], s[i + 1])] += words[w]
+            if not pc:
+                break
+            (a, b), n = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+            out.append((r, a, b, n))
+            for w, s in syms.items():
+                ns, i = [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                        ns.append(a + b)
+                        i += 2
+                    else:
+                        ns.append(s[i])
+                        i += 1
+                syms[w] = ns
+        return out
+
+    want = python_bpe([r[1] for r in rows], 5)
+    got = [
+        (r["merge_round"], r["merge_left"], r["merge_right"], r["pair_count"])
+        for r in T.bpe_train(docs, rounds=5).orderBy("merge_round").collect()
+    ]
+    assert got == want
+    got7 = [
+        (r["merge_round"], r["merge_left"], r["merge_right"], r["pair_count"])
+        for r in T.bpe_train(docs.repartition(7), rounds=5).orderBy("merge_round").collect()
+    ]
+    assert got7 == want
+
+
+def test_quality_model_score_python_model(spark):
+    """Map-side hashed linear model matches a direct Python replay of the
+    md5-lower64 feature hash + Knuth weight table; empty docs score the
+    bias."""
+    import rat_strain_loader_pipeline_spark.operators.text as T
+    from rat_strain_loader_pipeline_spark.operators.dedup import _md5_lower64
+
+    rows = [(0, "the cat sat"), (1, ""), (2, "  "), (3, "Zebra zebra!")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["logit"]
+        for r in docs.select(
+            "doc_id", T.quality_model_score(F.col("text")).alias("logit")
+        ).collect()
+    }
+
+    def model(text):
+        logit = 500_000
+        for tok in text.lower().split():
+            idx = _md5_lower64("qmodel:v1:" + tok) % 64
+            logit += (idx * 2654435761) % 2_000_001 - 1_000_000
+        return logit
+
+    for d, t in rows:
+        assert got[d] == model(t), d
