@@ -5311,7 +5311,8 @@ def q_media_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             for d in pdf["doc_id"]:
                 d = int(d)
                 g, v = d // 3, d % 3
-                w, h, s = 12 + (g % 8), 10 + (g % 5), (g * 53) % 256
+                w, h = 12 + (g % 8), 10 + (g % 5)
+                s = (g * 53 + (g // 256) * 29) % 256
                 hx, hy = ((3 * v) % w, (5 * v) % h) if v > 0 else (None, None)
                 out.append((d, synth_bmp_textured(w, h, s, hx, hy)))
             yield pd.DataFrame(out, columns=["media_id", "content"])
@@ -10424,17 +10425,19 @@ QUALIFY row_number() OVER (
               SELECT CAST(doc_id AS BIGINT) AS id,
                      12 + ((doc_id // 3) % 8) AS w,
                      10 + ((doc_id // 3) % 5) AS h,
-                     ((doc_id // 3) * 53) % 256 AS s,
+                     ((doc_id // 3) * 53 + ((doc_id // 3) // 256) * 29) % 256 AS s,
                      doc_id % 3 AS v
               FROM documents
             ),
             grid AS (SELECT i, j FROM range(0, 8) t1(i), range(0, 8) t2(j)),
             samp AS (
               SELECT id, i, j,
-                     (s + 7 * ((i * w) // 8) * ((i * w) // 8)
-                        + 5 * ((j * h) // 8) * ((j * h) // 8)
-                        + 3 * ((i * w) // 8) * ((j * h) // 8)
-                        + 11 * ((i * w) // 8) + 13 * ((j * h) // 8)
+                     (((2 * s + 1) % 256)
+                        * (7 * ((i * w) // 8) * ((i * w) // 8)
+                           + 5 * ((j * h) // 8) * ((j * h) // 8)
+                           + 3 * ((i * w) // 8) * ((j * h) // 8)
+                           + 11 * ((i * w) // 8) + 13 * ((j * h) // 8))
+                      + s
                       + CASE WHEN v > 0 AND ((i * w) // 8) = (3 * v) % w
                                   AND ((j * h) // 8) = (5 * v) % h
                              THEN 9 ELSE 0 END) % 256 AS gray

@@ -128,18 +128,22 @@ def synth_bmp_textured(
 ) -> bytes:
     """24bpp bottom-up BI_RGB BMP with a deterministic pseudo-random
     texture: pixel (x, y) has all three channel bytes ==
-    (seed + 7x² + 5y² + 3xy + 11x + 13y) % 256 (quadratic mixing —
-    adjacent-sample comparisons are ~uniform bits, so unrelated images
-    sit at hamming ≈ n_bits/2, not in each other's near-dup radius),
-    plus ``bump`` at the single optional hot pixel — the near-duplicate
-    perturbation for perceptual-hash tests (a one-pixel edit moves at
-    most 2 dHash bits). Formula is oracle-rebuildable in SQL."""
+    ((2·seed+1)·(7x² + 5y² + 3xy + 11x + 13y) + seed) % 256. The
+    quadratic mixing makes adjacent-sample comparisons ~uniform bits
+    (unrelated images sit at hamming ≈ n_bits/2); the seed multiplies
+    (odd, hence invertible mod 256) so different seeds change the
+    DIFFERENCES a dHash sees, not just an additive offset that would
+    cancel out of every comparison. ``bump`` perturbs the single
+    optional hot pixel — the near-duplicate perturbation for
+    perceptual-hash tests (a one-pixel edit moves at most 2 dHash
+    bits). Formula is oracle-rebuildable in SQL."""
     rows = []
     pad = (-(width * 3)) % 4
+    m = (2 * seed + 1) % 256
     for y in range(height):
         row = bytearray()
         for x in range(width):
-            g = (seed + 7 * x * x + 5 * y * y + 3 * x * y + 11 * x + 13 * y) % 256
+            g = (m * (7 * x * x + 5 * y * y + 3 * x * y + 11 * x + 13 * y) + seed) % 256
             if hot_x == x and hot_y == y:
                 g = (g + bump) % 256
             row += bytes([g]) * 3
@@ -413,12 +417,18 @@ def media_phash_pairs(
     """Image near-duplicate pairs by dHash hamming distance: map-only
     signatures, then the text-simhash pigeonhole banded join (guaranteed
     recall at <= max_hamming) + exact bit_count(xor) verify. Returns
-    (id_a, id_b, hamming), id_a < id_b."""
+    (id_a, id_b, hamming), id_a < id_b.
+
+    The signature table is STAGED to parquet before the self-join —
+    both join sides would otherwise recompute the decode+hash lineage;
+    at corpus scale the staged (id, simhash) table is also exactly what
+    an incremental pipeline persists between runs."""
     from rat_strain_loader_pipeline_spark.operators.dedup import (
         simhash_near_dup_pairs,
     )
+    from rat_strain_loader_pipeline_spark.staging import stage_to_parquet
 
-    sigs = image_dhash_sigs(media, id_col=id_col)
+    sigs = stage_to_parquet(image_dhash_sigs(media, id_col=id_col), "phash-sigs")
     return simhash_near_dup_pairs(
         None,
         max_hamming=max_hamming,

@@ -595,14 +595,21 @@ def bpe_train(docs, rounds: int = 6, text_col: str = "text", id_col: str = "doc_
     the winning merge. Nothing corpus-sized is ever iterated, collected
     or broadcast; per-round driver traffic is one (a, b, count) row.
     """
+    from rat_strain_loader_pipeline_spark.staging import stage_to_parquet
+
     spark = docs.sparkSession
     words = (
         docs.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    syms = words.select(F.split("w", "").alias("s"), "cnt").persist()
-    syms.count()  # materialize the histogram once
+    # parquet staging barrier per round (staging.py): both the pair agg
+    # and the next round's fold read each round's symbols WITHOUT
+    # recomputing the chain, and the vectorized parquet path beats
+    # persist()'s row-at-a-time cache build
+    syms = stage_to_parquet(
+        words.select(F.split("w", "").alias("s"), "cnt"), "bpe-s0"
+    )
     merges = []
     for r in range(rounds):
         pairs = (
@@ -625,11 +632,11 @@ def bpe_train(docs, rounds: int = 6, text_col: str = "text", id_col: str = "doc_
             break
         a, b, n = top[0]["a"], top[0]["b"], int(top[0]["n"])
         merges.append((r, a, b, n))
-        nxt = syms.select(_bpe_merge_expr(F.col("s"), a, b).alias("s"), "cnt").persist()
-        nxt.count()
-        syms.unpersist()
-        syms = nxt
-    syms.unpersist()
+        if r < rounds - 1:
+            syms = stage_to_parquet(
+                syms.select(_bpe_merge_expr(F.col("s"), a, b).alias("s"), "cnt"),
+                f"bpe-s{r + 1}",
+            )
     return spark.createDataFrame(
         merges, "merge_round int, merge_left string, merge_right string, pair_count long"
     )

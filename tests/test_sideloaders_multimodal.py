@@ -285,7 +285,8 @@ def test_dhash56_python_model_and_one_pixel_bound():
 
     # direct model: same grid, same formula
     def gray(x, y, hot=None):
-        g = (s + 7 * x * x + 5 * y * y + 3 * x * y + 11 * x + 13 * y) % 256
+        m = (2 * s + 1) % 256
+        g = (m * (7 * x * x + 5 * y * y + 3 * x * y + 11 * x + 13 * y) + s) % 256
         if hot == (x, y):
             g = (g + 9) % 256
         return g
