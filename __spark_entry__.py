@@ -5369,6 +5369,62 @@ def q_quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_audio_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio spectral-hash near-dup (operators/multimodal.py
+    media_audio_pairs): REAL textured PCM16 WAV bytes (deterministic
+    quadratic-mixed samples; variants perturb 2 samples — a ~1-2 window
+    energy edit, so intra-group pairs sit within hamming 4 by
+    construction) are decoded and 55-bit adjacent-window-energy hashed,
+    then paired via the shared pigeonhole banding + exact
+    bit_count(xor) verify. The oracle rebuilds every window energy from
+    the generator formulas (exact integer |sample| sums over the
+    floor-bound window partition) and brute-forces all pairs. 100 TB
+    shape: map-only signatures over the media scan; banded join
+    shuffles (k+1) tiny rows per clip."""
+    from rat_strain_loader_pipeline_spark.operators.multimodal import (
+        media_audio_pairs,
+        synth_wav_samples,
+    )
+    from rat_strain_loader_pipeline_spark.ship import ensure_shipped
+
+    ensure_shipped(spark)
+    docs = _t(spark, sf_dir, "documents").select(F.col("doc_id").cast("long"))
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                g, v = d // 3, d % 3
+                n = 300 + (g % 50) * 7
+                s = (g * 41 + (g // 256) * 13) % 4096
+                m = (2 * s + 1) % 4096
+                i = np.arange(n, dtype=np.int64)
+                base = ((m * (7 * i * i + 11 * i) + s) % 4096) - 2048
+                if v > 0:
+                    base[5 * v : 5 * v + 2] += 500
+                out.append((d, synth_wav_samples(base)))
+            yield pd.DataFrame(out, columns=["media_id", "content"])
+
+    media = docs.mapInPandas(synth, schema="media_id long, content binary")
+    return media_audio_pairs(media, max_hamming=4)
+
+
+def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned-tokenizer token budget (operators/text.py bpe_apply):
+    train BPE_ROUNDS merges, then charge every doc the post-merge
+    symbol count of its words — vocab-sized training + a broadcastable
+    (word -> n_symbols) join at apply time. Oracle reuses the unrolled
+    bpe_train CTE chain's final vocabulary."""
+    from rat_strain_loader_pipeline_spark.operators.text import bpe_apply
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_apply(docs, rounds=BPE_ROUNDS)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -5569,6 +5625,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_phash_pairs": q_media_phash_pairs,
         "bpe_train": q_bpe_train,
         "quality_model_score": q_quality_model_score,
+        "media_audio_pairs": q_media_audio_pairs,
+        "bpe_apply": q_bpe_apply,
     }
 
 
@@ -10462,6 +10520,47 @@ QUALIFY row_number() OVER (
             WHERE bit_count(xor(a.sig, b.sig)) <= 4
         """,
         "bpe_train": _bpe_train_oracle_sql(BPE_ROUNDS),
+        "bpe_apply": _bpe_apply_oracle_sql(BPE_ROUNDS),
+        # brute-force all-pairs spectral-hash rebuild: window energies
+        # are exact integer |sample| sums over the floor-bound partition
+        # regenerated from the synth formulas
+        "media_audio_pairs": """
+            WITH p AS (
+              SELECT CAST(doc_id AS BIGINT) AS id,
+                     300 + ((doc_id // 3) % 50) * 7 AS n,
+                     ((doc_id // 3) * 41 + ((doc_id // 3) // 256) * 13) % 4096 AS s,
+                     doc_id % 3 AS v
+              FROM documents
+            ),
+            sw AS (
+              SELECT id, s, v, w,
+                     (w * n) // 56 AS lo, ((w + 1) * n) // 56 AS hi
+              FROM p, (SELECT unnest(range(0, 56)) AS w)
+            ),
+            samp AS (
+              SELECT id, w,
+                     abs(((((2 * s + 1) % 4096) * (7 * i * i + 11 * i) + s)
+                          % 4096) - 2048
+                         + CASE WHEN v > 0 AND i >= 5 * v AND i < 5 * v + 2
+                                THEN 500 ELSE 0 END) AS av
+              FROM (SELECT id, s, v, w, unnest(range(lo, hi)) AS i FROM sw)
+            ),
+            e AS (SELECT id, w, CAST(sum(av) AS BIGINT) AS e FROM samp GROUP BY id, w),
+            bits AS (
+              SELECT a.id, a.w, CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit
+              FROM e a JOIN e b ON a.id = b.id AND b.w = a.w + 1
+              WHERE a.w < 55
+            ),
+            hashes AS (
+              SELECT id,
+                     CAST(sum(bit * (CAST(1 AS BIGINT) << w)) AS BIGINT) AS sig
+              FROM bits GROUP BY id
+            )
+            SELECT a.id AS id_a, b.id AS id_b,
+                   CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+            FROM hashes a JOIN hashes b ON a.id < b.id
+            WHERE bit_count(xor(a.sig, b.sig)) <= 4
+        """,
         "quality_model_score": f"""
             WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
             s AS (
@@ -10480,14 +10579,15 @@ QUALIFY row_number() OVER (
     }
 
 
-def _bpe_train_oracle_sql(rounds: int) -> str:
-    """Unrolled-rounds SQL replay of bpe_train (pagerank/kmeans
-    pattern). Per round: positional pair counts over the evolving
-    symbol lists, the (count desc, a, b) winner, and the merge applied
-    via run-parity logic — overlapping (a,b) matches exist only when
-    a == b, where greedy left-to-right keeps every ODD match of each
-    consecutive run (row_number parity within pos-rn groups); that is
-    exactly what the engine's stack fold computes."""
+def _bpe_ctes(rounds: int) -> list[str]:
+    """Shared unrolled-rounds CTE chain for the BPE oracles (pagerank/
+    kmeans pattern). Per round: positional pair counts over the
+    evolving symbol lists, the (count desc, a, b) winner, and the merge
+    applied via run-parity logic — overlapping (a,b) matches exist only
+    when a == b, where greedy left-to-right keeps every ODD match of
+    each consecutive run (row_number parity within pos-rn groups); that
+    is exactly what the engine's stack fold computes. Ends with
+    s{rounds} = the final (wid, cnt, symbols) vocabulary."""
     ctes = [
         "w0 AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM "
         f"(SELECT unnest({_TOKENS_SQL}) AS w FROM documents) GROUP BY w)",
@@ -10531,12 +10631,33 @@ s{k + 1} AS MATERIALIZED (
   GROUP BY m.wid, m.cnt
 )"""
         )
+    return ctes
+
+
+def _bpe_train_oracle_sql(rounds: int) -> str:
     unions = "\nUNION ALL ".join(
         f"SELECT CAST({k} AS INT) AS merge_round, a AS merge_left, "
         f"b AS merge_right, n AS pair_count FROM win{k}"
         for k in range(rounds)
     )
-    return "WITH " + ",\n".join(ctes) + "\n" + unions
+    return "WITH " + ",\n".join(_bpe_ctes(rounds)) + "\n" + unions
+
+
+def _bpe_apply_oracle_sql(rounds: int) -> str:
+    """Doc-level token budget under the learned merges: the final
+    vocabulary CTE s{rounds} charges each word its post-merge symbol
+    count; docs explode to words and inner-join it (zero-token docs
+    emit no row, matching the engine)."""
+    return (
+        "WITH " + ",\n".join(_bpe_ctes(rounds)) + f"""
+, dt AS (SELECT doc_id, unnest({_TOKENS_SQL}) AS w FROM documents)
+SELECT CAST(dt.doc_id AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(len(v.s)) AS BIGINT) AS n_bpe_tokens
+FROM dt JOIN s{rounds} v ON dt.w = v.wid
+GROUP BY dt.doc_id
+"""
+    )
 
 
 def _curation_oracle_sql() -> str:

@@ -436,3 +436,112 @@ def media_phash_pairs(
         n_bits=PHASH_BITS,
         sigs=sigs,
     )
+
+
+# --------------------------------------------------------------------------
+# Audio spectral hash — the PCM counterpart of the image dHash: window the
+# decoded sample stream into AUDIO_WINDOWS equal blocks (floor-bound
+# partition ⌊w·n/K⌋ — tiles [0, n) exactly for every n), take each
+# block's integer energy (sum of |sample|), and emit one bit per adjacent
+# energy comparison (local by construction: a short edit perturbs <= a
+# couple of windows, so near-identical audio sits within a small hamming
+# radius while unrelated streams land at ~n_bits/2). Same pigeonhole
+# banding downstream as images and text.
+# --------------------------------------------------------------------------
+
+AUDIO_WINDOWS = 56
+AUDIO_BITS = AUDIO_WINDOWS - 1  # adjacent-energy comparisons
+
+
+def synth_wav_samples(samples, sample_rate: int = 8000) -> bytes:
+    """Canonical-header mono PCM16 WAV around an explicit sample list —
+    the textured fixture generator for spectral-hash tests."""
+    data = b"".join(struct.pack("<h", int(s)) for s in samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def audio_dhash55(content: bytes) -> int:
+    """55-bit adjacent-window-energy hash of a PCM16 WAV payload.
+    Raises on non-WAV/PCM16 input (poison-pill isolate per row)."""
+    if content is None or len(content) < 12 or content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(content):
+        cid, size = struct.unpack_from("<4sI", content, pos)
+        body = content[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    if fmt is None or data is None or fmt[0] != 1 or fmt[5] != 16:
+        raise ValueError("unsupported WAV (PCM16 required)")
+    x = np.abs(np.frombuffer(data, dtype="<i2").astype(np.int64))
+    n = len(x)
+    k = AUDIO_WINDOWS
+    e = [int(x[(w * n) // k : ((w + 1) * n) // k].sum()) for w in range(k)]
+    h = 0
+    for w in range(k - 1):
+        if e[w + 1] > e[w]:
+            h |= 1 << w
+    return h
+
+
+def audio_spectral_sigs(media: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """(id, simhash) spectral signatures for WAV payloads — one
+    Arrow-batched mapInPandas pass, map-only; decode failures drop the
+    row (poison-pill isolation)."""
+    from rat_strain_loader_pipeline_spark.ship import ensure_shipped
+
+    ensure_shipped(media.sparkSession)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, sigs = [], []
+            for row in pdf.itertuples(index=False):
+                try:
+                    sigs.append(audio_dhash55(row.content))
+                    ids.append(row[0])
+                except Exception:
+                    continue
+            yield pd.DataFrame({id_col: pd.Series(ids, dtype="int64"),
+                                "simhash": pd.Series(sigs, dtype="int64")})
+
+    return media.select(id_col, "content").mapInPandas(
+        run, schema=f"{id_col} long, simhash long"
+    )
+
+
+def media_audio_pairs(
+    media: DataFrame,
+    max_hamming: int = 4,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Audio near-duplicate pairs by spectral-hash hamming distance —
+    staged signature table + the shared pigeonhole banded join
+    (guaranteed recall at <= max_hamming) + exact bit_count(xor)
+    verify. Returns (id_a, id_b, hamming), id_a < id_b."""
+    from rat_strain_loader_pipeline_spark.operators.dedup import (
+        simhash_near_dup_pairs,
+    )
+    from rat_strain_loader_pipeline_spark.staging import stage_to_parquet
+
+    sigs = stage_to_parquet(audio_spectral_sigs(media, id_col=id_col), "audio-sigs")
+    return simhash_near_dup_pairs(
+        None,
+        max_hamming=max_hamming,
+        id_col=id_col,
+        n_bits=AUDIO_BITS,
+        sigs=sigs,
+    )

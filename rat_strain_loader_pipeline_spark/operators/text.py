@@ -578,7 +578,13 @@ def _bpe_merge_expr(syms: Column, a: str, b: str) -> Column:
     )
 
 
-def bpe_train(docs, rounds: int = 6, text_col: str = "text", id_col: str = "doc_id"):
+def bpe_train(
+    docs,
+    rounds: int = 6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    return_vocab: bool = False,
+):
     """Learn a BPE merge table over the corpus — the iterative
     most-frequent-adjacent-pair loop that defines a tokenizer vocab
     (Sennrich et al. 2016 shape: train on the WORD HISTOGRAM, not the
@@ -608,7 +614,7 @@ def bpe_train(docs, rounds: int = 6, text_col: str = "text", id_col: str = "doc_
     # recomputing the chain, and the vectorized parquet path beats
     # persist()'s row-at-a-time cache build
     syms = stage_to_parquet(
-        words.select(F.split("w", "").alias("s"), "cnt"), "bpe-s0"
+        words.select("w", F.split("w", "").alias("s"), "cnt"), "bpe-s0"
     )
     merges = []
     for r in range(rounds):
@@ -632,14 +638,19 @@ def bpe_train(docs, rounds: int = 6, text_col: str = "text", id_col: str = "doc_
             break
         a, b, n = top[0]["a"], top[0]["b"], int(top[0]["n"])
         merges.append((r, a, b, n))
-        if r < rounds - 1:
+        if r < rounds - 1 or return_vocab:
             syms = stage_to_parquet(
-                syms.select(_bpe_merge_expr(F.col("s"), a, b).alias("s"), "cnt"),
+                syms.select(
+                    "w", _bpe_merge_expr(F.col("s"), a, b).alias("s"), "cnt"
+                ),
                 f"bpe-s{r + 1}",
             )
-    return spark.createDataFrame(
+    table = spark.createDataFrame(
         merges, "merge_round int, merge_left string, merge_right string, pair_count long"
     )
+    if return_vocab:
+        return table, syms
+    return table
 
 
 def quality_model_score(
@@ -676,4 +687,36 @@ def quality_model_score(
         tokens(F.lower(text)),
         F.lit(bias_micros).cast("long"),
         lambda acc, t: acc + w(t),
+    )
+
+
+def bpe_apply(docs, rounds: int = 6, text_col: str = "text", id_col: str = "doc_id"):
+    """Token-budget accounting under a LEARNED tokenizer: train
+    ``rounds`` BPE merges (``bpe_train``), then charge every document
+    the post-merge symbol count of its words — the real token count the
+    merge table defines, as opposed to the pretokenizer proxy
+    (``bpe_ish_token_count``).
+
+    100 TB shape: training is vocab-sized after one corpus pass (see
+    bpe_train); application is a doc-token explode joined against the
+    vocab-sized (word -> n_symbols) table — broadcastable at any corpus
+    size — plus one per-doc partial agg. Docs with zero tokens produce
+    no row (inner join on the word table), mirroring the SQL oracle.
+
+    Returns (id_col, n_words, n_bpe_tokens).
+    """
+    _, vocab = bpe_train(
+        docs, rounds=rounds, text_col=text_col, id_col=id_col, return_vocab=True
+    )
+    word_len = vocab.select("w", F.size("s").cast("long").alias("n_syms"))
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("w")
+    )
+    return (
+        toks.join(F.broadcast(word_len), "w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_syms").alias("n_bpe_tokens"),
+        )
     )

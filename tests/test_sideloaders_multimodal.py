@@ -337,3 +337,46 @@ def test_media_phash_pairs_planted_recall_and_partition_invariance(spark):
         for r in media_phash_pairs(media.repartition(7), max_hamming=4).collect()
     }
     assert got == got7
+
+
+def test_audio_dhash55_model_and_pairs(spark):
+    """Spectral hash matches a direct Python model of window energies;
+    a 2-sample edit stays within the near-dup radius and the banded
+    pair join finds the planted pairs."""
+    import numpy as np
+
+    from rat_strain_loader_pipeline_spark.operators.multimodal import (
+        audio_dhash55,
+        media_audio_pairs,
+        synth_wav_samples,
+    )
+
+    def mk(n, s, v):
+        m = (2 * s + 1) % 4096
+        i = np.arange(n, dtype=np.int64)
+        base = ((m * (7 * i * i + 11 * i) + s) % 4096) - 2048
+        if v > 0:
+            base[5 * v : 5 * v + 2] += 500
+        return base
+
+    n, s = 307, 1234
+    base = mk(n, s, 0)
+    h = audio_dhash55(synth_wav_samples(base))
+    # python model: floor-bound windows, adjacent energy comparisons
+    e = [int(np.abs(base[(w * n) // 56 : ((w + 1) * n) // 56]).sum()) for w in range(56)]
+    want = sum((1 << w) for w in range(55) if e[w + 1] > e[w])
+    assert h == want
+    for v in (1, 2):
+        hv = audio_dhash55(synth_wav_samples(mk(n, s, v)))
+        assert bin(h ^ hv).count("1") <= 3, v
+
+    rows = []
+    for mid in range(18):
+        g, v = mid // 3, mid % 3
+        rows.append((mid, bytes(synth_wav_samples(mk(300 + (g % 50) * 7,
+                                                     (g * 41) % 4096, v)))))
+    media = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {(r["id_a"], r["id_b"]) for r in media_audio_pairs(media, max_hamming=4).collect()}
+    for g in range(6):
+        a, b, c = 3 * g, 3 * g + 1, 3 * g + 2
+        assert {(a, b), (a, c), (b, c)} <= got, g
