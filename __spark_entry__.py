@@ -5425,6 +5425,116 @@ def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_apply(docs, rounds=BPE_ROUNDS)
 
 
+def q_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture rebalancing — the static data-mixture step of a
+    training build: compute per-source accept rates that move the token
+    mix toward the uniform target (rate = min(1, target_tokens /
+    source_tokens), all integer micros), then thin docs by the
+    deterministic md5 uniform (u < rate — the md5_bucket identity, so
+    selection is reproducible and engine-exact). Two source-keyed
+    partial aggs + one broadcast of the source-count rate table;
+    nothing corpus-sized shuffles beyond the (source) agg keys.
+    Emits per source: docs/tokens before, the rate, docs/tokens
+    selected."""
+    from rat_strain_loader_pipeline_spark.operators.sampling import md5_bucket
+    from rat_strain_loader_pipeline_spark.operators.text import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "source",
+        token_count(F.col("text")).alias("n_tok"),
+        md5_bucket(
+            F.concat(F.lit("mix:v1:"), F.col("doc_id").cast("string")), 1_000_000
+        ).cast("long").alias("u"),
+    )
+    per = base.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("src_tokens"),
+    )
+    tot = per.agg(
+        F.sum("src_tokens").alias("total"), F.count(F.lit(1)).alias("ns")
+    )
+    rates = per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        F.col("src_tokens").alias("tokens_before"),
+        F.when(
+            F.col("src_tokens") > 0,
+            F.least(
+                F.lit(1_000_000).cast("long"),
+                F.floor(
+                    (F.floor(F.col("total") / F.col("ns")) * 1_000_000)
+                    / F.col("src_tokens")
+                ).cast("long"),
+            ),
+        )
+        .otherwise(F.lit(1_000_000).cast("long"))
+        .alias("accept_rate_micros"),
+    )
+    sel = F.col("u") < F.col("accept_rate_micros")
+    return (
+        base.join(F.broadcast(rates), "source")
+        .groupBy("source", "n_docs", "tokens_before", "accept_rate_micros")
+        .agg(
+            F.sum(F.when(sel, 1).otherwise(0)).cast("long").alias("n_docs_selected"),
+            F.sum(F.when(sel, F.col("n_tok")).otherwise(0))
+            .cast("long")
+            .alias("tokens_selected"),
+        )
+    )
+
+
+def q_component_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: assignment is keyed on the
+    near-dup COMPONENT (minhash pairs -> connected components, min-id
+    label; singletons are their own component), not the document — so a
+    train doc can never have a near-duplicate in test, the split-time
+    contamination dedup reports can't fix after the fact. Split itself
+    is the shared deterministic md5-bucket ladder on the component id.
+    Shapes already audited: banded pair join + hash-to-min CC + one
+    map-side split expression."""
+    from rat_strain_loader_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+    from rat_strain_loader_pipeline_spark.operators.sampling import (
+        deterministic_split,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, jaccard_threshold=0.5)
+    cc = connected_components(pairs).select(
+        F.col("node_id").alias("doc_id"), "component_id"
+    )
+    withc = (
+        docs.select("doc_id")
+        .join(cc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component_id", F.col("doc_id")).alias("component_id"),
+        )
+    )
+    return deterministic_split(
+        withc, id_col="component_id", salt=SPLIT_SALT, fractions=SPLIT_FRACTIONS
+    ).select("doc_id", "component_id", "split")
+
+
+def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup (operators/dedup.py
+    cdc_duplicate_chunks): Karp-Rabin rolling-hash boundaries
+    (h % 64 == 0 over a 16-char window) chunk every document so
+    IDENTICAL substrings chunk identically at ANY offset — the
+    LBFS/rsync property fixed shingles lack — then duplicated chunks
+    are reported by md5 identity. Map-side O(n·w) integer math inside
+    codegen + one (chunk_hash) partial agg; the oracle replays the
+    identical rolling-hash algebra per position."""
+    from rat_strain_loader_pipeline_spark.operators.dedup import (
+        cdc_duplicate_chunks,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return cdc_duplicate_chunks(docs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -5627,6 +5737,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_model_score": q_quality_model_score,
         "media_audio_pairs": q_media_audio_pairs,
         "bpe_apply": q_bpe_apply,
+        "mixture_rebalance": q_mixture_rebalance,
+        "component_split": q_component_split,
+        "cdc_chunks": q_cdc_chunks,
     }
 
 
@@ -10521,6 +10634,52 @@ QUALIFY row_number() OVER (
         """,
         "bpe_train": _bpe_train_oracle_sql(BPE_ROUNDS),
         "bpe_apply": _bpe_apply_oracle_sql(BPE_ROUNDS),
+        "cdc_chunks": _cdc_oracle_sql(),
+        # same recursive closure as dedup_survivors_*; split ladder on
+        # the component id (singletons = own doc id)
+        "component_split": f"""WITH RECURSIVE {_jaccard_pairs_cte_sql(0.5)},
+{_CLOSURE_CTES_SQL},
+comp AS (SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS component_id
+         FROM reach GROUP BY id)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(COALESCE(c.component_id, d.doc_id) AS BIGINT) AS component_id,
+       {_split_case_sql("CAST(COALESCE(c.component_id, d.doc_id) AS VARCHAR)")} AS split
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+""",
+        "mixture_rebalance": f"""
+            WITH base AS (
+              SELECT source,
+                     CAST(len({_TOKENS_CASED_SQL}) AS BIGINT) AS n_tok,
+                     CAST(md5_number_lower('mix:v1:' || CAST(doc_id AS VARCHAR))
+                          % 1000000 AS BIGINT) AS u
+              FROM documents
+            ),
+            per AS (
+              SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(n_tok) AS BIGINT) AS src_tokens
+              FROM base GROUP BY source
+            ),
+            tot AS (
+              SELECT CAST(sum(src_tokens) AS BIGINT) AS total,
+                     CAST(count(*) AS BIGINT) AS ns
+              FROM per
+            ),
+            rates AS (
+              SELECT source, n_docs, src_tokens AS tokens_before,
+                     CASE WHEN src_tokens > 0
+                          THEN least(1000000,
+                                     ((total // ns) * 1000000) // src_tokens)
+                          ELSE 1000000 END AS accept_rate_micros
+              FROM per, tot
+            )
+            SELECT r.source, r.n_docs, r.tokens_before, r.accept_rate_micros,
+                   CAST(sum(CASE WHEN b.u < r.accept_rate_micros
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_selected,
+                   CAST(sum(CASE WHEN b.u < r.accept_rate_micros
+                            THEN b.n_tok ELSE 0 END) AS BIGINT) AS tokens_selected
+            FROM base b JOIN rates r USING (source)
+            GROUP BY 1, 2, 3, 4
+        """,
         # brute-force all-pairs spectral-hash rebuild: window energies
         # are exact integer |sample| sums over the floor-bound partition
         # regenerated from the synth formulas
@@ -10577,6 +10736,56 @@ QUALIFY row_number() OVER (
             FROM s
         """,
     }
+
+
+def _cdc_oracle_sql() -> str:
+    """Rolling-hash CDC replay: per position p, the window hash is the
+    same 16-term integer polynomial (powers are compile-time literals,
+    terms <= 127·CDC_MOD — exact int64); boundaries, chunk substrings
+    and the duplicate report mirror cdc_duplicate_chunks."""
+    from rat_strain_loader_pipeline_spark.operators.dedup import (
+        CDC_BASE,
+        CDC_BOUNDARY_MOD,
+        CDC_MOD,
+        CDC_WINDOW,
+    )
+
+    w = CDC_WINDOW
+    powers = [pow(CDC_BASE, w - 1 - j, CDC_MOD) for j in range(w)]
+    terms = " + ".join(
+        f"codes[p - {w - 1 - j}] * {powers[j]}" for j in range(w)
+    )
+    return f"""
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, text, len(text) AS n,
+         list_transform(range(1, len(text) + 1),
+                        i -> CAST(ascii(text[i:i]) AS BIGINT)) AS codes
+  FROM documents WHERE len(text) >= 1
+),
+b AS (
+  SELECT doc_id, text, n,
+         list_filter(range({w}, n + 1),
+                     p -> ({terms}) % {CDC_MOD} % {CDC_BOUNDARY_MOD} = 0) AS bset
+  FROM d
+),
+fb AS (
+  SELECT doc_id, text,
+         list_prepend(0, CASE WHEN list_contains(bset, n) THEN bset
+                              ELSE list_append(bset, n) END) AS fl
+  FROM b
+),
+ch AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(fl)),
+                               i -> text[fl[i] + 1 : fl[i + 1]])) AS chunk
+  FROM fb
+)
+SELECT md5(chunk) AS chunk_hash,
+       CAST(min(len(chunk)) AS BIGINT) AS chunk_len,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_occurrences
+FROM ch GROUP BY 1 HAVING count(*) > 1
+"""
 
 
 def _bpe_ctes(rounds: int) -> list[str]:

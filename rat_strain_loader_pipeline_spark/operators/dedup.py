@@ -1078,3 +1078,94 @@ def duplicated_span_removal(
         "n_tokens",
         (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0))).alias("n_removed"),
     )
+
+
+# CDC (content-defined chunking) parameters — shared by the engine and
+# the oracle generator in __spark_entry__.py
+CDC_WINDOW = 16
+CDC_BASE = 31
+CDC_MOD = 1 << 20
+CDC_BOUNDARY_MOD = 64
+
+
+def cdc_duplicate_chunks(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Content-defined chunking dedup — the byte/substring-level
+    duplication report (LBFS/rsync-style): a Karp-Rabin rolling hash
+    over a CDC_WINDOW-char window marks a chunk boundary wherever
+    h % CDC_BOUNDARY_MOD == 0 (expected chunk ~64 chars), so IDENTICAL
+    substrings chunk identically regardless of their offset in the
+    document — the property fixed-width shingling lacks. Duplicated
+    chunks (md5 identity, > 1 occurrence corpus-wide) are reported with
+    doc/occurrence counts.
+
+    Shapes: boundary detection runs in ONE Arrow-batched mapInPandas
+    pass (np.correlate sliding dot products — exact int64: codepoints ×
+    powers × window stay far under 2^53; the interpreted Catalyst HOF
+    formulation of the same math measured >100 s at sf0.01, the
+    module's standing hot-path finding); chunk hashing (md5/length)
+    stays JVM-side and the only shuffle is the (chunk_hash) partial
+    agg. The DuckDB oracle replays the identical per-position integer
+    polynomial.
+
+    Returns (chunk_hash, chunk_len, n_docs, n_occurrences).
+    """
+    from rat_strain_loader_pipeline_spark.ship import ensure_shipped
+
+    ensure_shipped(docs.sparkSession)
+    w, mod, bmod = CDC_WINDOW, CDC_MOD, CDC_BOUNDARY_MOD
+    powers = np.array(
+        [pow(CDC_BASE, w - 1 - j, mod) for j in range(w)], dtype=np.int64
+    )
+
+    def run(batches):
+        for pdf in batches:
+            out_id, out_chunk = [], []
+            for row in pdf.itertuples(index=False):
+                t = row[1]
+                if not t:
+                    continue
+                n = len(t)
+                # exact codepoints, vectorized (== F.ascii / DuckDB ascii)
+                codes = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(
+                    np.int64
+                )
+                if n >= w:
+                    # np.correlate(a, v)[k] = sum_j a[k+j]*v[j] — the
+                    # window starting at k scored against powers directly
+                    h = np.correlate(codes, powers)
+                    ends = np.nonzero((h % mod) % bmod == 0)[0] + w  # 1-based end p
+                    bounds = ends.tolist()
+                else:
+                    bounds = []
+                if not bounds or bounds[-1] != n:
+                    bounds.append(n)
+                lo = 0
+                for b in bounds:
+                    out_id.append(row[0])
+                    out_chunk.append(t[lo:b])
+                    lo = b
+            yield pd.DataFrame({id_col: pd.Series(out_id, dtype="int64"),
+                                "chunk": pd.Series(out_chunk, dtype="object")})
+
+    exploded = (
+        docs.select(F.col(id_col), F.col(text_col))
+        .mapInPandas(run, schema=f"{id_col} long, chunk string")
+        .select(
+            F.col(id_col),
+            F.md5("chunk").alias("chunk_hash"),
+            F.length("chunk").cast("long").alias("chunk_len"),
+        )
+    )
+    return (
+        exploded.groupBy("chunk_hash")
+        .agg(
+            F.min("chunk_len").alias("chunk_len"),
+            F.countDistinct(id_col).cast("long").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_occurrences") > 1)
+    )

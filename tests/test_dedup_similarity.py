@@ -858,3 +858,65 @@ def test_duplicated_span_removal_min_run_floor(spark):
     }
     assert lenient[2]["n_removed"] == 0
     assert lenient[2]["clean_text"] == f"prefix two {shared} suffix two"
+
+
+def test_cdc_chunks_model_and_offset_invariance(spark):
+    """CDC chunking matches a direct Python rolling-hash model, and a
+    shared substring embedded at DIFFERENT offsets still yields the
+    same interior chunks — the content-defined property fixed-width
+    shingling lacks."""
+    from rat_strain_loader_pipeline_spark.operators.dedup import (
+        CDC_BASE,
+        CDC_BOUNDARY_MOD,
+        CDC_MOD,
+        CDC_WINDOW,
+        cdc_duplicate_chunks,
+    )
+
+    import random as _r
+
+    rnd = _r.Random(3)
+    shared = "".join(rnd.choice("abcdefgh ") for _ in range(400))
+    pre_a = "".join(rnd.choice("ijklmnop ") for _ in range(37))
+    pre_b = "".join(rnd.choice("qrstuvwx ") for _ in range(181))
+    rows = [(0, pre_a + shared), (1, pre_b + shared)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def chunks_of(t):
+        w, powers = CDC_WINDOW, [
+            pow(CDC_BASE, CDC_WINDOW - 1 - j, CDC_MOD) for j in range(CDC_WINDOW)
+        ]
+        n = len(t)
+        bounds = []
+        for p in range(w, n + 1):
+            h = sum(ord(t[p - w + j]) * powers[j] for j in range(w)) % CDC_MOD
+            if h % CDC_BOUNDARY_MOD == 0:
+                bounds.append(p)
+        if not bounds or bounds[-1] != n:
+            bounds.append(n)
+        out, lo = [], 0
+        for b in bounds:
+            out.append(t[lo:b])
+            lo = b
+        return out
+
+    import collections
+    import hashlib as _h
+
+    cnt = collections.Counter()
+    docs_per = collections.defaultdict(set)
+    for did, t in rows:
+        for c in chunks_of(t):
+            k = _h.md5(c.encode()).hexdigest()
+            cnt[k] += 1
+            docs_per[k].add(did)
+    want = {
+        k: (cnt[k], len(docs_per[k])) for k in cnt if cnt[k] > 1
+    }
+    got = {
+        r["chunk_hash"]: (r["n_occurrences"], r["n_docs"])
+        for r in cdc_duplicate_chunks(docs).collect()
+    }
+    assert got == want
+    # the shared tail produced actual cross-doc duplicate chunks
+    assert any(nd == 2 for _, nd in got.values())
