@@ -140,3 +140,19 @@ def test_duplicated_span_removal_partition_invariant(docs):
         _rows(duplicated_span_removal(v, k=8, min_df=2)) for v in _variants(docs)
     ]
     assert a == b
+
+
+def test_cdc_chunks_partition_invariant(docs):
+    from rat_strain_loader_pipeline_spark.operators.dedup import (
+        cdc_duplicate_chunks,
+    )
+
+    outs = [_rows(cdc_duplicate_chunks(v)) for v in _variants(docs)]
+    assert outs[0] == outs[1] and len(outs[0]) > 0
+
+
+def test_bpe_train_partition_invariant(docs):
+    from rat_strain_loader_pipeline_spark.operators.text import bpe_train
+
+    outs = [_rows(bpe_train(v, rounds=3)) for v in _variants(docs)]
+    assert outs[0] == outs[1] and len(outs[0]) == 3

@@ -546,3 +546,35 @@ def test_lpa_rounds_are_staged_hash_joins(spark, sf_dir, queries):
     plan = _plan(queries["label_propagation"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "lpa-labels-" in plan  # lineage truncated per round
+
+
+def test_media_phash_pairs_no_cartesian_and_staged_sigs(spark, sf_dir, queries):
+    """Image near-dup must pair via the banded equi-join over the STAGED
+    signature table — no cartesian, no recompute of the decode lineage
+    on either join side (the stage barrier shows as a parquet scan)."""
+    plan = _plan(queries["media_phash_pairs"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "phash-sigs" in plan
+
+
+def test_quality_model_score_is_single_map_stage(spark, sf_dir, queries):
+    """The hashed-linear quality gate is map-side only: no Exchange of
+    any kind in the plan (one scan, one project — whole-stage codegen)."""
+    plan = _plan(queries["quality_model_score"](spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan  # zero Python in the hot path
+
+
+def test_mixture_rebalance_rate_table_broadcasts(spark, sf_dir, queries):
+    plan = _plan(queries["mixture_rebalance"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cdc_chunks_single_hash_agg_shuffle(spark, sf_dir, queries):
+    """CDC dedup: chunking is one Arrow stage; the only exchange is the
+    chunk_hash aggregation (partial agg map-side before it)."""
+    plan = _plan(queries["cdc_chunks"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2  # hash agg (+distinct)
