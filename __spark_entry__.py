@@ -5280,27 +5280,15 @@ def q_window_skew_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _skewed_transitions(spark, sf_dir, zipf=False)
 
 
-def q_media_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Perceptual-hash image near-dup (operators/multimodal.py
-    media_phash_pairs): REAL textured BMP bytes (deterministic gradient
-    + one-pixel near-dup perturbation, synth_bmp_textured) are decoded
-    and 56-bit dHashed (8x8 nearest-neighbor grid — exact integer
-    sampling, so the oracle rebuilds every sample from the generator
-    formulas), then paired via the text-simhash pigeonhole banding
-    (operators/dedup.py simhash_near_dup_pairs sigs= path — guaranteed
-    recall at hamming <= 4, never all-pairs) + exact bit_count(xor)
-    verify. Docs come in groups of 3 (same gradient, variants perturb
-    one pixel), so intra-group pairs sit at hamming <= 4 by
-    construction; the oracle is the brute-force all-pairs hash join.
-    100 TB shape: signatures are map-only over the media scan; the
-    banded join shuffles (k+1) small (id, band, val) rows per image."""
+def _synth_phash_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> (media_id, content) textured BMPs in groups of 3
+    (same gradient; variants perturb one pixel) — the shared fixture
+    for the phash pair and gate queries. Formula mirrored by
+    _phash_hashes_ctes_sql."""
     from rat_strain_loader_pipeline_spark.operators.multimodal import (
-        media_phash_pairs,
         synth_bmp_textured,
     )
-    from rat_strain_loader_pipeline_spark.ship import ensure_shipped
 
-    ensure_shipped(spark)
     docs = _t(spark, sf_dir, "documents").select(F.col("doc_id").cast("long"))
 
     def synth(batches):
@@ -5317,7 +5305,30 @@ def q_media_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out.append((d, synth_bmp_textured(w, h, s, hx, hy)))
             yield pd.DataFrame(out, columns=["media_id", "content"])
 
-    media = docs.mapInPandas(synth, schema="media_id long, content binary")
+    return docs.mapInPandas(synth, schema="media_id long, content binary")
+
+
+def q_media_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image near-dup (operators/multimodal.py
+    media_phash_pairs): REAL textured BMP bytes (deterministic gradient
+    + one-pixel near-dup perturbation, synth_bmp_textured) are decoded
+    and 56-bit dHashed (8x8 nearest-neighbor grid — exact integer
+    sampling, so the oracle rebuilds every sample from the generator
+    formulas), then paired via the text-simhash pigeonhole banding
+    (operators/dedup.py simhash_near_dup_pairs sigs= path — guaranteed
+    recall at hamming <= 4, never all-pairs) + exact bit_count(xor)
+    verify. Docs come in groups of 3 (same gradient, variants perturb
+    one pixel), so intra-group pairs sit at hamming <= 4 by
+    construction; the oracle is the brute-force all-pairs hash join.
+    100 TB shape: signatures are map-only over the media scan; the
+    banded join shuffles (k+1) small (id, band, val) rows per image."""
+    from rat_strain_loader_pipeline_spark.operators.multimodal import (
+        media_phash_pairs,
+    )
+    from rat_strain_loader_pipeline_spark.ship import ensure_shipped
+
+    ensure_shipped(spark)
+    media = _synth_phash_media(spark, sf_dir)
     return media_phash_pairs(media, max_hamming=4)
 
 
@@ -5535,6 +5546,58 @@ def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cdc_duplicate_chunks(docs)
 
 
+def q_media_phash_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming perceptual-hash admission gate (streaming/
+    media_gate.py): textured BMP media stream in as a REAL 2-micro-batch
+    AvailableNow run in id order; each batch dHashes its payloads ONCE,
+    lands (id, simhash) in the parquet state store, and probes earlier
+    state through the pigeonhole banded join + exact bit_count(xor)
+    verify. An item is admitted iff no earlier item sits within
+    hamming 4 — which, with id-ordered arrival, equals the corpus rule
+    'rejected iff a within-radius partner with smaller id exists', the
+    brute-force property the oracle recomputes from the generator
+    formulas."""
+    import os as _os
+    import uuid as _uuid
+
+    from rat_strain_loader_pipeline_spark.operators.multimodal import (
+        PHASH_BITS,
+        image_dhash_sigs,
+    )
+    from rat_strain_loader_pipeline_spark.staging import _stage_root
+    from rat_strain_loader_pipeline_spark.streaming.media_gate import (
+        phash_gate_available_now,
+    )
+
+    from rat_strain_loader_pipeline_spark.staging import stage_to_parquet
+
+    # deterministic 1/2 subset (text-gate precedent): gate semantics are
+    # volume-independent; the batch phash queries cover full volume.
+    # Stage the synth ONCE in parallel — the two coalesce(1) source-file
+    # writes below would otherwise each regenerate every BMP in one task
+    media = stage_to_parquet(
+        _synth_phash_media(spark, sf_dir).filter(F.col("media_id") % 2 == 0),
+        "phash-gate-media",
+    )
+    work = _os.path.join(_stage_root(), f"phash-gate-{_uuid.uuid4().hex[:8]}")
+    src_dir = _os.path.join(work, "src")
+    mid = media.agg(F.expr("percentile_approx(media_id, 0.5)")).collect()[0][0]
+    media.filter(F.col("media_id") <= mid).coalesce(1).write.parquet(
+        _os.path.join(src_dir, "p0")
+    )
+    media.filter(F.col("media_id") > mid).coalesce(1).write.parquet(
+        _os.path.join(src_dir, "p1")
+    )
+    return phash_gate_available_now(
+        spark,
+        src_dir + "/p*",
+        work,
+        sig_fn=image_dhash_sigs,
+        n_bits=PHASH_BITS,
+        max_hamming=4,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -5740,6 +5803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_rebalance": q_mixture_rebalance,
         "component_split": q_component_split,
         "cdc_chunks": q_cdc_chunks,
+        "media_phash_gate": q_media_phash_gate,
     }
 
 
@@ -10591,46 +10655,25 @@ QUALIFY row_number() OVER (
         # the identical j*7+i little-endian layout, pairs filtered by
         # bit_count(xor) <= 4 — the engine's banded join has guaranteed
         # recall at that radius, so the sets match exactly
-        "media_phash_pairs": """
-            WITH p AS (
-              SELECT CAST(doc_id AS BIGINT) AS id,
-                     12 + ((doc_id // 3) % 8) AS w,
-                     10 + ((doc_id // 3) % 5) AS h,
-                     ((doc_id // 3) * 53 + ((doc_id // 3) // 256) * 29) % 256 AS s,
-                     doc_id % 3 AS v
-              FROM documents
-            ),
-            grid AS (SELECT i, j FROM range(0, 8) t1(i), range(0, 8) t2(j)),
-            samp AS (
-              SELECT id, i, j,
-                     (((2 * s + 1) % 256)
-                        * (7 * ((i * w) // 8) * ((i * w) // 8)
-                           + 5 * ((j * h) // 8) * ((j * h) // 8)
-                           + 3 * ((i * w) // 8) * ((j * h) // 8)
-                           + 11 * ((i * w) // 8) + 13 * ((j * h) // 8))
-                      + s
-                      + CASE WHEN v > 0 AND ((i * w) // 8) = (3 * v) % w
-                                  AND ((j * h) // 8) = (5 * v) % h
-                             THEN 9 ELSE 0 END) % 256 AS gray
-              FROM p, grid
-            ),
-            bits AS (
-              SELECT a.id, a.j, a.i,
-                     CASE WHEN b.gray > a.gray THEN 1 ELSE 0 END AS bit
-              FROM samp a JOIN samp b
-                ON a.id = b.id AND a.j = b.j AND b.i = a.i + 1
-              WHERE a.i < 7
-            ),
-            hashes AS (
-              SELECT id,
-                     CAST(sum(bit * (CAST(1 AS BIGINT) << (j * 7 + i)))
-                          AS BIGINT) AS sig
-              FROM bits GROUP BY id
-            )
+        "media_phash_pairs": f"""
+            WITH {_PHASH_HASHES_CTES_SQL}
             SELECT a.id AS id_a, b.id AS id_b,
                    CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
             FROM hashes a JOIN hashes b ON a.id < b.id
             WHERE bit_count(xor(a.sig, b.sig)) <= 4
+        """,
+        # streaming gate replay: with id-ordered arrival, admitted ==
+        # "no within-radius partner with a smaller id anywhere"
+        "media_phash_gate": f"""
+            WITH {_PHASH_HASHES_CTES_SQL.replace(
+                "FROM documents", "FROM documents WHERE doc_id % 2 = 0"
+            )}
+            SELECT h.id AS media_id,
+                   NOT EXISTS (SELECT 1 FROM hashes h2
+                               WHERE h2.id < h.id
+                                 AND bit_count(xor(h.sig, h2.sig)) <= 4)
+                     AS admitted
+            FROM hashes h
         """,
         "bpe_train": _bpe_train_oracle_sql(BPE_ROUNDS),
         "bpe_apply": _bpe_apply_oracle_sql(BPE_ROUNDS),
@@ -10736,6 +10779,46 @@ FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
             FROM s
         """,
     }
+
+
+# dHash-56 rebuild from the synth_bmp_textured generator formulas —
+# shared by the media_phash_pairs and media_phash_gate oracles; ends in
+# hashes(id, sig)
+_PHASH_HASHES_CTES_SQL = """p AS (
+              SELECT CAST(doc_id AS BIGINT) AS id,
+                     12 + ((doc_id // 3) % 8) AS w,
+                     10 + ((doc_id // 3) % 5) AS h,
+                     ((doc_id // 3) * 53 + ((doc_id // 3) // 256) * 29) % 256 AS s,
+                     doc_id % 3 AS v
+              FROM documents
+            ),
+            grid AS (SELECT i, j FROM range(0, 8) t1(i), range(0, 8) t2(j)),
+            samp AS (
+              SELECT id, i, j,
+                     (((2 * s + 1) % 256)
+                        * (7 * ((i * w) // 8) * ((i * w) // 8)
+                           + 5 * ((j * h) // 8) * ((j * h) // 8)
+                           + 3 * ((i * w) // 8) * ((j * h) // 8)
+                           + 11 * ((i * w) // 8) + 13 * ((j * h) // 8))
+                      + s
+                      + CASE WHEN v > 0 AND ((i * w) // 8) = (3 * v) % w
+                                  AND ((j * h) // 8) = (5 * v) % h
+                             THEN 9 ELSE 0 END) % 256 AS gray
+              FROM p, grid
+            ),
+            bits AS (
+              SELECT a.id, a.j, a.i,
+                     CASE WHEN b.gray > a.gray THEN 1 ELSE 0 END AS bit
+              FROM samp a JOIN samp b
+                ON a.id = b.id AND a.j = b.j AND b.i = a.i + 1
+              WHERE a.i < 7
+            ),
+            hashes AS (
+              SELECT id,
+                     CAST(sum(bit * (CAST(1 AS BIGINT) << (j * 7 + i)))
+                          AS BIGINT) AS sig
+              FROM bits GROUP BY id
+            )"""
 
 
 def _cdc_oracle_sql() -> str:

@@ -484,3 +484,49 @@ def test_rate_limit_stateful_multi_batch_hour_quota(spark, tmp_path):
     assert len(u1_hour10) == 2
     assert got[5] == 1 and got[6] == 1
     assert all(r <= 2 for r in got.values())
+
+
+def test_media_phash_gate_matches_batch_rule(spark, tmp_path):
+    """Streamed 3-batch phash gate == the batch rule 'rejected iff a
+    within-radius partner with smaller id exists', regardless of how
+    items split across micro-batches."""
+    from rat_strain_loader_pipeline_spark.operators.multimodal import (
+        PHASH_BITS,
+        dhash56,
+        image_dhash_sigs,
+        synth_bmp_textured,
+    )
+    from rat_strain_loader_pipeline_spark.streaming.media_gate import (
+        phash_gate_available_now,
+    )
+
+    rows = []
+    for mid in range(24):
+        g, v = mid // 3, mid % 3
+        w, h, s = 12 + (g % 8), 10 + (g % 5), (g * 53) % 256
+        hot = ((3 * v) % w, (5 * v) % h) if v > 0 else (None, None)
+        rows.append((mid, synth_bmp_textured(w, h, s, hot[0], hot[1])))
+
+    src = str(tmp_path / "src")
+    media = spark.createDataFrame(rows, "media_id long, content binary")
+    for lo, hi, name in [(0, 8, "p0"), (8, 16, "p1"), (16, 24, "p2")]:
+        media.filter(
+            (F.col("media_id") >= lo) & (F.col("media_id") < hi)
+        ).coalesce(1).write.parquet(f"{src}/{name}")
+
+    got = {
+        r["media_id"]: r["admitted"]
+        for r in phash_gate_available_now(
+            spark, src + "/p*", str(tmp_path / "work"),
+            sig_fn=image_dhash_sigs, n_bits=PHASH_BITS, max_hamming=4,
+        ).collect()
+    }
+    sigs = {mid: dhash56(c) for mid, c in rows}
+    want = {
+        mid: not any(
+            bin(sigs[mid] ^ sigs[o]).count("1") <= 4 for o in sigs if o < mid
+        )
+        for mid in sigs
+    }
+    assert got == want
+    assert sum(1 for v in want.values() if not v) >= 8  # gate actually rejects
