@@ -5598,6 +5598,20 @@ def q_media_phash_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-distribution PSI (operators/text.py vocab_psi): the
+    text twin of psi_drift — token-frequency drift between the
+    doc_id-parity corpus slices over the top-VOCAB_PSI_TOPV tokens +
+    one '<other>' catch-all, add-one smoothing, floored-ln micro
+    contributions (identical operand order as the oracle)."""
+    from rat_strain_loader_pipeline_spark.operators.text import vocab_psi
+
+    docs = _t(spark, sf_dir, "documents")
+    return vocab_psi(
+        docs, F.col("doc_id") % 2 == 1, top_v=VOCAB_PSI_TOPV
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -5804,6 +5818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "component_split": q_component_split,
         "cdc_chunks": q_cdc_chunks,
         "media_phash_gate": q_media_phash_gate,
+        "vocab_drift": q_vocab_drift,
     }
 
 
@@ -6304,6 +6319,9 @@ HARDNEG_K = 3          # negatives kept per anchor
 
 # BPE merge-table training (q_bpe_train): bounded learned-merge rounds
 BPE_ROUNDS = 6
+
+# Vocabulary PSI (q_vocab_drift): top-V token bins + '<other>'
+VOCAB_PSI_TOPV = 200
 
 # Model-based quality gate (q_quality_model_score): hashed bag-of-words
 # linear model — feature = md5_number_lower('qmodel:v1:'||tok) % DIM,
@@ -10678,6 +10696,42 @@ QUALIFY row_number() OVER (
         "bpe_train": _bpe_train_oracle_sql(BPE_ROUNDS),
         "bpe_apply": _bpe_apply_oracle_sql(BPE_ROUNDS),
         "cdc_chunks": _cdc_oracle_sql(),
+        "vocab_drift": f"""
+            WITH toks AS (
+              SELECT doc_id % 2 = 1 AS cur, unnest({_TOKENS_SQL}) AS token
+              FROM documents
+            ),
+            counts AS (
+              SELECT token,
+                     CAST(sum(CASE WHEN cur THEN 0 ELSE 1 END) AS BIGINT) AS n_ref,
+                     CAST(sum(CASE WHEN cur THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+              FROM toks GROUP BY token
+            ),
+            top AS (
+              SELECT token, n_ref, n_cur FROM counts
+              ORDER BY n_ref + n_cur DESC, token ASC LIMIT {VOCAB_PSI_TOPV}
+            ),
+            rest AS (
+              SELECT '<other>' AS token,
+                     CAST(COALESCE(sum(n_ref), 0) AS BIGINT) AS n_ref,
+                     CAST(COALESCE(sum(n_cur), 0) AS BIGINT) AS n_cur
+              FROM counts WHERE token NOT IN (SELECT token FROM top)
+            ),
+            bins AS (SELECT * FROM top UNION ALL SELECT * FROM rest),
+            tot AS (
+              SELECT CAST(sum(n_ref) AS BIGINT) AS t_ref,
+                     CAST(sum(n_cur) AS BIGINT) AS t_cur
+              FROM bins
+            )
+            SELECT token, n_ref, n_cur,
+                   CAST(floor(
+                     (CAST(n_ref + 1 AS DOUBLE) / CAST(t_ref + {VOCAB_PSI_TOPV + 1} AS DOUBLE)
+                      - CAST(n_cur + 1 AS DOUBLE) / CAST(t_cur + {VOCAB_PSI_TOPV + 1} AS DOUBLE))
+                     * ln((CAST(n_ref + 1 AS DOUBLE) / CAST(t_ref + {VOCAB_PSI_TOPV + 1} AS DOUBLE))
+                          / (CAST(n_cur + 1 AS DOUBLE) / CAST(t_cur + {VOCAB_PSI_TOPV + 1} AS DOUBLE)))
+                     * 1000000.0) AS BIGINT) AS psi_contrib_q
+            FROM bins, tot
+        """,
         # same recursive closure as dedup_survivors_*; split ladder on
         # the component id (singletons = own doc id)
         "component_split": f"""WITH RECURSIVE {_jaccard_pairs_cte_sql(0.5)},

@@ -720,3 +720,53 @@ def bpe_apply(docs, rounds: int = 6, text_col: str = "text", id_col: str = "doc_
             F.sum("n_syms").alias("n_bpe_tokens"),
         )
     )
+
+
+def vocab_psi(docs, is_current, top_v: int = 200, text_col: str = "text"):
+    """Token-distribution drift between two corpus slices — the
+    vocabulary-level PSI a data pipeline gates crawls/deliveries on
+    (value-level PSI lives in stats.psi_drift; this is its text twin).
+
+    Bins are the ``top_v`` tokens by combined count (ties broken
+    lexicographically — a total order both engines share) plus ONE
+    catch-all '<other>' bin so the distributions stay complete and
+    aligned. Add-one smoothing over top_v + 1 bins keeps one-sided
+    tokens finite; the per-bin contribution (p - q) * ln(p / q) floors
+    to micro-units in the identical operand order as the oracle (the
+    floored-ln precedent).
+
+    Shapes: one token-grain shuffle with map-side partial counts, a
+    bounded TakeOrdered for the top-V, and bins-sized math after that.
+    Returns (token, n_ref, n_cur, psi_contrib_q).
+    """
+    toks = docs.select(
+        is_current.alias("cur"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("token"),
+    )
+    counts = toks.groupBy("token").agg(
+        F.sum(F.when(~F.col("cur"), 1).otherwise(0)).alias("n_ref"),
+        F.sum(F.when(F.col("cur"), 1).otherwise(0)).alias("n_cur"),
+    )
+    top = counts.orderBy(
+        (F.col("n_ref") + F.col("n_cur")).desc(), F.col("token").asc()
+    ).limit(top_v)
+    rest = (
+        counts.join(top.select("token"), "token", "left_anti")
+        .agg(
+            F.coalesce(F.sum("n_ref"), F.lit(0)).alias("n_ref"),
+            F.coalesce(F.sum("n_cur"), F.lit(0)).alias("n_cur"),
+        )
+        .select(F.lit("<other>").alias("token"), "n_ref", "n_cur")
+    )
+    bins = top.unionByName(rest)
+    tot = bins.agg(F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur"))
+    n_bins = top_v + 1
+    p = (F.col("n_ref") + 1).cast("double") / (F.col("t_ref") + n_bins).cast("double")
+    q = (F.col("n_cur") + 1).cast("double") / (F.col("t_cur") + n_bins).cast("double")
+    contrib = F.floor((p - q) * F.log(p / q) * F.lit(1_000_000.0)).cast("long")
+    return bins.crossJoin(F.broadcast(tot)).select(
+        "token",
+        F.col("n_ref").cast("long").alias("n_ref"),
+        F.col("n_cur").cast("long").alias("n_cur"),
+        contrib.alias("psi_contrib_q"),
+    )
