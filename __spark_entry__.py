@@ -5612,6 +5612,20 @@ def q_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix (operators/timeseries.py
+    markov_transitions): per-user event streams ordered by
+    (ts, event_id), lead() successor pairing, (from,to) counts and
+    row-normalized probabilities as pure-bigint micros
+    (n*1e6 div row_total — positive operands, so trunc == floor in
+    both engines). One user-keyed window shuffle + a type²-sized agg."""
+    from rat_strain_loader_pipeline_spark.operators.timeseries import (
+        markov_transitions,
+    )
+
+    return markov_transitions(_t(spark, sf_dir, "events"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -5819,6 +5833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_chunks": q_cdc_chunks,
         "media_phash_gate": q_media_phash_gate,
         "vocab_drift": q_vocab_drift,
+        "markov_transitions": q_markov_transitions,
     }
 
 
@@ -10731,6 +10746,24 @@ QUALIFY row_number() OVER (
                           / (CAST(n_cur + 1 AS DOUBLE) / CAST(t_cur + {VOCAB_PSI_TOPV + 1} AS DOUBLE)))
                      * 1000000.0) AS BIGINT) AS psi_contrib_q
             FROM bins, tot
+        """,
+        "markov_transitions": """
+            WITH seq AS (
+              SELECT event_type AS from_type,
+                     lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                     ) AS to_type
+              FROM events
+            ),
+            pairs AS (
+              SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+              FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2
+            )
+            SELECT from_type, to_type, n,
+                   CAST((n * 1000000) // CAST(sum(n) OVER (
+                          PARTITION BY from_type) AS BIGINT)
+                        AS BIGINT) AS prob_q
+            FROM pairs
         """,
         # same recursive closure as dedup_survivors_*; split ladder on
         # the component id (singletons = own doc id)

@@ -175,3 +175,46 @@ def cusum_change_point(
             "n_buckets",
         )
     )
+
+
+def markov_transitions(
+    df: DataFrame,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+) -> DataFrame:
+    """First-order Markov transition matrix over per-key event streams.
+
+    The sequence-model summary behind churn/funnel diagnostics and
+    synthetic-trace generation: for each key, order events by
+    ``order_cols`` (the last column must be unique so ``lead`` is
+    deterministic), pair each event type with its successor, and count
+    (from_type, to_type) transitions. Probabilities are row-normalized
+    integer micros computed with pure bigint arithmetic
+    (``n * 1_000_000 div row_total`` — both operands positive, so
+    truncating and flooring division agree across engines).
+
+    100 TB shape: ONE shuffle on ``key_col`` for the lead() window
+    (the same partitioning any sessionization pass already uses), then
+    a (from, to) partial aggregation whose cardinality is event-type²
+    — never fact-sized. The row-total window runs on that tiny
+    aggregate, not on events. Returns (from_type, to_type, n, prob_q).
+    """
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    pairs = (
+        df.select(
+            F.col(type_col).alias("from_type"),
+            F.lead(type_col).over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.expr("n * 1000000L div sum(n) over (partition by from_type)")
+        .cast("long")
+        .alias("prob_q"),
+    )

@@ -146,3 +146,47 @@ def test_cusum_finds_planted_mean_shift(spark):
     assert out["a"]["n_buckets"] == 40
     assert out["flat"]["dev_abs"] == 0
     assert out["flat"]["cp_bucket"] == 0  # earliest-bucket tie-break
+
+
+def test_markov_transitions_counts_and_probs(spark):
+    from rat_strain_loader_pipeline_spark.operators.timeseries import (
+        markov_transitions,
+    )
+
+    # user 1: a -> b -> a  (pairs: a->b, b->a); user 2: a -> a (a->a)
+    rows = [
+        (1, _ts("2024-01-01T00:00:00"), 10, "a"),
+        (1, _ts("2024-01-01T00:01:00"), 11, "b"),
+        (1, _ts("2024-01-01T00:02:00"), 12, "a"),
+        (2, _ts("2024-01-01T00:00:00"), 20, "a"),
+        (2, _ts("2024-01-01T00:03:00"), 21, "a"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    got = {
+        (r["from_type"], r["to_type"]): (r["n"], r["prob_q"])
+        for r in markov_transitions(df).collect()
+    }
+    # from 'a': 1x a->b, 1x a->a  => 500000 micros each
+    assert got[("a", "b")] == (1, 500000)
+    assert got[("a", "a")] == (1, 500000)
+    assert got[("b", "a")] == (1, 1000000)
+    assert len(got) == 3
+
+
+def test_markov_transitions_tiebreak_deterministic(spark):
+    from rat_strain_loader_pipeline_spark.operators.timeseries import (
+        markov_transitions,
+    )
+
+    # identical ts: event_id is the deterministic order (5 -> 6)
+    rows = [
+        (1, _ts("2024-01-01T00:00:00"), 5, "x"),
+        (1, _ts("2024-01-01T00:00:00"), 6, "y"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    out = markov_transitions(df).collect()
+    assert [(r["from_type"], r["to_type"]) for r in out] == [("x", "y")]
