@@ -5626,6 +5626,25 @@ def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return markov_transitions(_t(spark, sf_dir, "events"))
 
 
+def q_grouped_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source simple linear regression (operators/stats.py
+    grouped_ols): n_chars regressed on whitespace token count, five
+    DECIMAL(38,0) moment sums in ONE map-side-combined agg, then
+    closed-form slope/intercept/r² as floored micros from a fixed
+    double operand order the oracle replays verbatim."""
+    from rat_strain_loader_pipeline_spark.operators.stats import grouped_ols
+    from rat_strain_loader_pipeline_spark.operators.text import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "source",
+        token_count(F.col("text")).alias("x"),
+        F.col("n_chars").alias("y"),
+    )
+    out = grouped_ols(base, F.col("x"), F.col("y"), keys=["source"])
+    return out
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -5834,6 +5853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_phash_gate": q_media_phash_gate,
         "vocab_drift": q_vocab_drift,
         "markov_transitions": q_markov_transitions,
+        "grouped_ols": q_grouped_ols,
     }
 
 
@@ -10746,6 +10766,50 @@ QUALIFY row_number() OVER (
                           / (CAST(n_cur + 1 AS DOUBLE) / CAST(t_cur + {VOCAB_PSI_TOPV + 1} AS DOUBLE)))
                      * 1000000.0) AS BIGINT) AS psi_contrib_q
             FROM bins, tot
+        """,
+        "grouped_ols": f"""
+            WITH base AS (
+              SELECT source,
+                     CAST(len({_TOKENS_CASED_SQL}) AS BIGINT) AS x,
+                     CAST(n_chars AS BIGINT) AS y
+              FROM documents
+            ),
+            m AS (
+              SELECT source, CAST(count(*) AS BIGINT) AS n,
+                     sum(CAST(x AS HUGEINT)) AS sx,
+                     sum(CAST(y AS HUGEINT)) AS sy,
+                     sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+                     sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+                     sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy
+              FROM base GROUP BY source
+            ),
+            d AS (
+              SELECT source, n,
+                     CAST(n AS DOUBLE) AS nd,
+                     CAST(sx AS DOUBLE) AS sxd,
+                     CAST(sy AS DOUBLE) AS syd,
+                     CAST(sxx AS DOUBLE) AS sxxd,
+                     CAST(sxy AS DOUBLE) AS sxyd,
+                     CAST(syy AS DOUBLE) AS syyd
+              FROM m
+            )
+            SELECT source, n,
+                   CASE WHEN nd * sxxd - sxd * sxd <> 0.0 THEN
+                     CAST(floor((nd * sxyd - sxd * syd)
+                                / (nd * sxxd - sxd * sxd)
+                                * 1000000.0) AS BIGINT) END AS slope_q,
+                   CASE WHEN nd * sxxd - sxd * sxd <> 0.0 THEN
+                     CAST(floor((syd * sxxd - sxd * sxyd)
+                                / (nd * sxxd - sxd * sxd)
+                                * 1000000.0) AS BIGINT) END AS icept_q,
+                   CASE WHEN nd * sxxd - sxd * sxd <> 0.0
+                         AND nd * syyd - syd * syd <> 0.0 THEN
+                     CAST(floor((nd * sxyd - sxd * syd)
+                                * (nd * sxyd - sxd * syd)
+                                / ((nd * sxxd - sxd * sxd)
+                                   * (nd * syyd - syd * syd))
+                                * 1000000.0) AS BIGINT) END AS r2_q
+            FROM d
         """,
         "markov_transitions": """
             WITH seq AS (

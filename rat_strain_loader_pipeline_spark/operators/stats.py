@@ -491,3 +491,77 @@ def correlation_pairs(
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+def grouped_ols(
+    df: DataFrame,
+    x,
+    y,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Per-group closed-form simple linear regression (OLS).
+
+    The grouped trend-fitting staple (per-domain length scaling,
+    per-tenant cost curves): slope, intercept, and r² from the five
+    exact moment sums, computed in ONE aggregation pass. ``x`` and
+    ``y`` must be integer-valued columns; moments accumulate as
+    DECIMAL(38,0) so partial aggregation is exact and mergeable at any
+    scale. The final ratios convert each exact sum to double ONCE
+    (named columns, fixed operand order) so the IEEE sequence is
+    reproducible cross-engine, then floor to integer micros:
+
+        slope     = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+        intercept = (Σy·Σx² − Σx·Σxy) / (n·Σx² − (Σx)²)
+        r²        = (n·Σxy − Σx·Σy)² / ((n·Σx² − (Σx)²)(n·Σy² − (Σy)²))
+
+    Groups with zero x-variance emit NULL slope/intercept/r² (vertical
+    fit undefined); zero y-variance emits NULL r².
+
+    100 TB shape: one map-side-combined groupBy — moment sums are the
+    textbook mergeable statistic; nothing after the agg touches the
+    fact table, and the ratio arithmetic runs on group-cardinality
+    rows. Returns (keys..., n, slope_q, icept_q, r2_q).
+    """
+    keys = keys or []
+    d38 = "decimal(38,0)"
+    moments = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x.cast(d38)).alias("sx"),
+        F.sum(y.cast(d38)).alias("sy"),
+        F.sum((x.cast(d38) * x.cast(d38))).alias("sxx"),
+        F.sum((x.cast(d38) * y.cast(d38))).alias("sxy"),
+        F.sum((y.cast(d38) * y.cast(d38))).alias("syy"),
+    )
+    dbl = moments.select(
+        *keys,
+        "n",
+        F.col("n").cast("double").alias("nd"),
+        F.col("sx").cast("double").alias("sxd"),
+        F.col("sy").cast("double").alias("syd"),
+        F.col("sxx").cast("double").alias("sxxd"),
+        F.col("sxy").cast("double").alias("sxyd"),
+        F.col("syy").cast("double").alias("syyd"),
+    )
+    den = F.col("nd") * F.col("sxxd") - F.col("sxd") * F.col("sxd")
+    num = F.col("nd") * F.col("sxyd") - F.col("sxd") * F.col("syd")
+    deny = F.col("nd") * F.col("syyd") - F.col("syd") * F.col("syd")
+    micros = F.lit(1_000_000.0)
+    return dbl.select(
+        *keys,
+        "n",
+        F.when(den != 0.0, F.floor(num / den * micros).cast("long")).alias(
+            "slope_q"
+        ),
+        F.when(
+            den != 0.0,
+            F.floor(
+                (F.col("syd") * F.col("sxxd") - F.col("sxd") * F.col("sxyd"))
+                / den
+                * micros
+            ).cast("long"),
+        ).alias("icept_q"),
+        F.when(
+            (den != 0.0) & (deny != 0.0),
+            F.floor(num * num / (den * deny) * micros).cast("long"),
+        ).alias("r2_q"),
+    )

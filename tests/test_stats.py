@@ -227,3 +227,24 @@ def test_correlation_pairs_perfect_and_independent(spark):
     # (x*7)%5 cycles independently of x -> much weaker relation
     xz = out[("x", "z")]
     assert int(xz["corr_num"]) ** 2 * 10 < int(xz["den_a"]) * int(xz["den_b"])
+
+
+def test_grouped_ols_perfect_line_and_degenerate(spark):
+    from rat_strain_loader_pipeline_spark.operators.stats import grouped_ols
+
+    rows = [
+        # group 'g': y = 3x + 7 exactly
+        ("g", 1, 10), ("g", 2, 13), ("g", 3, 16), ("g", 4, 19),
+        # group 'c': constant x -> undefined slope
+        ("c", 5, 1), ("c", 5, 2),
+        # group 'f': flat y -> slope 0, r2 undefined (zero y-variance)
+        ("f", 1, 4), ("f", 2, 4),
+    ]
+    df = spark.createDataFrame(rows, "k string, x long, y long")
+    got = {
+        r["k"]: (r["n"], r["slope_q"], r["icept_q"], r["r2_q"])
+        for r in grouped_ols(df, F.col("x"), F.col("y"), keys=["k"]).collect()
+    }
+    assert got["g"] == (4, 3_000_000, 7_000_000, 1_000_000)
+    assert got["c"] == (2, None, None, None)
+    assert got["f"] == (2, 0, 4_000_000, None)
