@@ -5626,6 +5626,19 @@ def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return markov_transitions(_t(spark, sf_dir, "events"))
 
 
+def q_zipf_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf tail-index per language (operators/text.py zipf_hill):
+    Hill estimator over the top-ZIPF_TOPK token counts with the
+    (K+1)-th count as threshold — floored-ln micro terms summed to a
+    bigint, then pure integer alpha (1e6 + k·1e12 div ln_sum). One
+    vocab-sized (lang, token) agg; windows run on the top-(K+1) slice."""
+    from rat_strain_loader_pipeline_spark.operators.text import zipf_hill
+
+    return zipf_hill(
+        _t(spark, sf_dir, "documents"), group_col="lang", top_k=ZIPF_TOPK
+    )
+
+
 def q_grouped_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source simple linear regression (operators/stats.py
     grouped_ols): n_chars regressed on whitespace token count, five
@@ -5854,6 +5867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_drift": q_vocab_drift,
         "markov_transitions": q_markov_transitions,
         "grouped_ols": q_grouped_ols,
+        "zipf_alpha": q_zipf_alpha,
     }
 
 
@@ -6357,6 +6371,10 @@ BPE_ROUNDS = 6
 
 # Vocabulary PSI (q_vocab_drift): top-V token bins + '<other>'
 VOCAB_PSI_TOPV = 200
+
+# Zipf tail-index (q_zipf_alpha): Hill estimator over the top-ZIPF_TOPK
+# token counts per language with the (K+1)-th count as the threshold.
+ZIPF_TOPK = 100
 
 # Model-based quality gate (q_quality_model_score): hashed bag-of-words
 # linear model — feature = md5_number_lower('qmodel:v1:'||tok) % DIM,
@@ -10766,6 +10784,48 @@ QUALIFY row_number() OVER (
                           / (CAST(n_cur + 1 AS DOUBLE) / CAST(t_cur + {VOCAB_PSI_TOPV + 1} AS DOUBLE)))
                      * 1000000.0) AS BIGINT) AS psi_contrib_q
             FROM bins, tot
+        """,
+        "zipf_alpha": f"""
+            WITH counts AS (
+              SELECT lang AS g, token, CAST(count(*) AS BIGINT) AS c
+              FROM (
+                SELECT lang, unnest({_TOKENS_SQL}) AS token FROM documents
+              ) GROUP BY 1, 2
+            ),
+            top AS (
+              SELECT g, token, c,
+                     row_number() OVER (
+                       PARTITION BY g ORDER BY c DESC, token ASC
+                     ) AS rn
+              FROM counts QUALIFY rn <= {ZIPF_TOPK + 1}
+            ),
+            marked AS (
+              SELECT g, c, rn, max(rn) OVER (PARTITION BY g) AS mx
+              FROM top
+            ),
+            scored AS (
+              SELECT g, c, rn, mx,
+                     max(CASE WHEN rn = mx THEN c END)
+                       OVER (PARTITION BY g) AS c_tail
+              FROM marked
+            ),
+            terms AS (
+              SELECT g, c_tail,
+                     CAST(floor(ln(CAST(c AS DOUBLE) / CAST(c_tail AS DOUBLE))
+                                * 1000000.0) AS BIGINT) AS term_q
+              FROM scored WHERE rn < mx AND mx >= 2
+            ),
+            agg AS (
+              SELECT g AS lang, CAST(count(*) AS BIGINT) AS k_used,
+                     CAST(max(c_tail) AS BIGINT) AS c_tail,
+                     CAST(sum(term_q) AS BIGINT) AS ln_sum_q
+              FROM terms GROUP BY g
+            )
+            SELECT lang, k_used, c_tail, ln_sum_q,
+                   CASE WHEN ln_sum_q > 0 THEN
+                     CAST(1000000 + (k_used * 1000000000000) // ln_sum_q
+                          AS BIGINT) END AS alpha_q
+            FROM agg
         """,
         "grouped_ols": f"""
             WITH base AS (

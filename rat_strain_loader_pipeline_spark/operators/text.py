@@ -770,3 +770,83 @@ def vocab_psi(docs, is_current, top_v: int = 200, text_col: str = "text"):
         F.col("n_cur").cast("long").alias("n_cur"),
         contrib.alias("psi_contrib_q"),
     )
+
+
+def zipf_hill(
+    docs: DataFrame,
+    group_col: str = "lang",
+    top_k: int = 100,
+    text_col: str = "text",
+) -> DataFrame:
+    """Zipf tail-index per group via the Hill estimator over token
+    frequencies.
+
+    The corpus-health diagnostic behind vocabulary sizing and
+    quality-drift alarms: a healthy natural-language slice has a token
+    frequency tail near alpha ~= 1; boilerplate/spam skews it. Hill
+    over the ``top_k`` most frequent tokens with the (k+1)-th count as
+    the threshold:
+
+        alpha = 1 + k / sum_{i<=k} ln(c_i / c_{k+1})
+
+    Exactness: each ln ratio is floored to integer micros BEFORE the
+    sum (the floored-ln idiom), so ``ln_sum_q`` is a bigint the oracle
+    reproduces term-by-term; ``alpha_q`` is then pure integer
+    arithmetic (1e6 + k·1e12 div ln_sum_q — positive operands, trunc
+    == floor in both engines). Groups whose ranked list is shorter
+    than 2 rows, or with a zero ln-sum (uniform counts), emit NULL.
+
+    100 TB shape: one (group, token) partial agg collapses the corpus
+    to vocab-sized rows; the rank window, threshold lookup, and Hill
+    sum all run on the top-(k+1) slice per group — never on the fact
+    table. Ties rank deterministically by (count DESC, token ASC).
+    Returns (group, k_used, c_tail, ln_sum_q, alpha_q).
+    """
+    from pyspark.sql.window import Window
+
+    counts = (
+        docs.select(
+            F.col(group_col).alias("g"),
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("token"),
+        )
+        .groupBy("g", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    w_rank = Window.partitionBy("g").orderBy(F.desc("c"), F.asc("token"))
+    top = counts.withColumn("rn", F.row_number().over(w_rank)).filter(
+        F.col("rn") <= top_k + 1
+    )
+    w_g = Window.partitionBy("g")
+    scored = (
+        top.withColumn("mx", F.max("rn").over(w_g))
+        .withColumn(
+            "c_tail",
+            F.max(F.when(F.col("rn") == F.col("mx"), F.col("c"))).over(w_g),
+        )
+        .filter((F.col("rn") < F.col("mx")) & (F.col("mx") >= 2))
+        .withColumn(
+            "term_q",
+            F.floor(
+                F.log(F.col("c").cast("double") / F.col("c_tail").cast("double"))
+                * F.lit(1_000_000.0)
+            ).cast("long"),
+        )
+    )
+    agg = scored.groupBy(F.col("g").alias(group_col)).agg(
+        F.count(F.lit(1)).cast("long").alias("k_used"),
+        F.max("c_tail").cast("long").alias("c_tail"),
+        F.sum("term_q").cast("long").alias("ln_sum_q"),
+    )
+    return agg.select(
+        group_col,
+        "k_used",
+        "c_tail",
+        "ln_sum_q",
+        F.when(
+            F.col("ln_sum_q") > 0,
+            F.lit(1_000_000).cast("long")
+            + F.expr("k_used * 1000000000000L div ln_sum_q"),
+        )
+        .cast("long")
+        .alias("alpha_q"),
+    )
