@@ -5626,6 +5626,36 @@ def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return markov_transitions(_t(spark, sf_dir, "events"))
 
 
+def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram bins (operators/stats.py calibration_bins)
+    over the shipped quality-model logit (integer micros, so binning is
+    PURE integer arithmetic — no doubles anywhere): CALIB_BINS
+    equal-width bins from one broadcast bounds row, per-bin positive
+    rate against the deterministic lang='en' label. Two fact passes,
+    bin-cardinality output."""
+    from rat_strain_loader_pipeline_spark.operators.stats import (
+        calibration_bins,
+    )
+    from rat_strain_loader_pipeline_spark.operators.text import (
+        quality_model_score,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        quality_model_score(
+            F.col("text"),
+            dim=QMODEL_DIM,
+            mult=QMODEL_MULT,
+            rng=QMODEL_RNG,
+            bias_micros=QMODEL_BIAS,
+        ).alias("logit_micros"),
+        (F.col("lang") == "en").alias("is_en"),
+    )
+    return calibration_bins(
+        scored, "logit_micros", "is_en", n_bins=CALIB_BINS
+    )
+
+
 def q_zipf_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf tail-index per language (operators/text.py zipf_hill):
     Hill estimator over the top-ZIPF_TOPK token counts with the
@@ -5868,6 +5898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "markov_transitions": q_markov_transitions,
         "grouped_ols": q_grouped_ols,
         "zipf_alpha": q_zipf_alpha,
+        "calibration_bins": q_calibration_bins,
     }
 
 
@@ -6375,6 +6406,10 @@ VOCAB_PSI_TOPV = 200
 # Zipf tail-index (q_zipf_alpha): Hill estimator over the top-ZIPF_TOPK
 # token counts per language with the (K+1)-th count as the threshold.
 ZIPF_TOPK = 100
+
+# Reliability diagram (q_calibration_bins): equal-width integer bins
+# over the quality-model logit micros; label = lang = 'en'.
+CALIB_BINS = 10
 
 # Model-based quality gate (q_quality_model_score): hashed bag-of-words
 # linear model — feature = md5_number_lower('qmodel:v1:'||tok) % DIM,
@@ -10784,6 +10819,36 @@ QUALIFY row_number() OVER (
                           / (CAST(n_cur + 1 AS DOUBLE) / CAST(t_cur + {VOCAB_PSI_TOPV + 1} AS DOUBLE)))
                      * 1000000.0) AS BIGINT) AS psi_contrib_q
             FROM bins, tot
+        """,
+        "calibration_bins": f"""
+            WITH t AS (SELECT doc_id, lang, {_TOKENS_SQL} AS toks
+                       FROM documents),
+            s AS (
+              SELECT CAST({QMODEL_BIAS} + COALESCE(list_sum(list_transform(toks,
+                            tok -> (CAST(md5_number_lower('qmodel:v1:' || tok)
+                                     % {QMODEL_DIM} AS BIGINT) * {QMODEL_MULT})
+                                   % {QMODEL_RNG} - {(QMODEL_RNG - 1) // 2})), 0)
+                          AS BIGINT) AS logit_micros,
+                     lang = 'en' AS y
+              FROM t
+            ),
+            b AS (
+              SELECT CAST(min(logit_micros) AS BIGINT) AS lo_q,
+                     CAST(max(logit_micros) AS BIGINT) AS hi_q
+              FROM s
+            ),
+            binned AS (
+              SELECT CAST((logit_micros - lo_q) * {CALIB_BINS}
+                          // (hi_q - lo_q + 1) AS BIGINT) AS bin,
+                     lo_q, hi_q, y
+              FROM s, b
+            )
+            SELECT bin, lo_q, hi_q,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+                   CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) * 1000000
+                        // count(*) AS BIGINT) AS pos_rate_q
+            FROM binned GROUP BY bin, lo_q, hi_q
         """,
         "zipf_alpha": f"""
             WITH counts AS (

@@ -565,3 +565,63 @@ def grouped_ols(
             F.floor(num * num / (den * deny) * micros).cast("long"),
         ).alias("r2_q"),
     )
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability-diagram bins for an integer-scored classifier.
+
+    The model-monitoring staple paired with grouped AUC (mw_auc): bin
+    rows by an INTEGER score (micros from a model head), count
+    positives per bin, and emit the empirical positive rate — the
+    curve a calibration plot draws. Because the score is integral the
+    whole operator is pure integer arithmetic, bit-identical across
+    engines: bounds from ONE 1-row min/max aggregate (broadcast), then
+
+        bin = (score - lo) * n_bins div (hi - lo + 1)
+
+    (non-negative operands, so truncating and flooring division agree;
+    the +1 closes the max score into the last bin). ``pos_rate_q`` is
+    ``n_pos * 1e6 div n``. A degenerate lo == hi corpus lands in bin 0.
+
+    100 TB shape: two fact passes (bounds, then one map-side-combined
+    groupBy on the bin id); bin cardinality is ``n_bins``, never
+    fact-sized; the bounds row broadcasts. Returns
+    (bin, lo_q, hi_q, n, n_pos, pos_rate_q) with lo_q/hi_q the global
+    bounds carried through for plot axes.
+    """
+    s = F.col(score_col)
+    bounds = df.agg(
+        F.min(s).cast("long").alias("lo_q"), F.max(s).cast("long").alias("hi_q")
+    )
+    binned = (
+        df.crossJoin(F.broadcast(bounds))
+        .select(
+            F.expr(
+                f"({score_col} - lo_q) * {int(n_bins)}L"
+                f" div (hi_q - lo_q + 1)"
+            )
+            .cast("long")
+            .alias("bin"),
+            "lo_q",
+            "hi_q",
+            F.col(label_col).cast("boolean").alias("y"),
+        )
+        .groupBy("bin", "lo_q", "hi_q")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.when(F.col("y"), 1).otherwise(0)).cast("long").alias("n_pos"),
+        )
+    )
+    return binned.select(
+        "bin",
+        "lo_q",
+        "hi_q",
+        "n",
+        "n_pos",
+        F.expr("n_pos * 1000000L div n").cast("long").alias("pos_rate_q"),
+    )

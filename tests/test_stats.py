@@ -248,3 +248,31 @@ def test_grouped_ols_perfect_line_and_degenerate(spark):
     assert got["g"] == (4, 3_000_000, 7_000_000, 1_000_000)
     assert got["c"] == (2, None, None, None)
     assert got["f"] == (2, 0, 4_000_000, None)
+
+
+def test_calibration_bins_integer_binning(spark):
+    from rat_strain_loader_pipeline_spark.operators.stats import (
+        calibration_bins,
+    )
+
+    # scores 0..9, label = score >= 5; 5 bins of width 2
+    rows = [(s, s >= 5) for s in range(10)]
+    df = spark.createDataFrame(rows, "score long, y boolean")
+    got = {
+        r["bin"]: (r["n"], r["n_pos"], r["pos_rate_q"], r["lo_q"], r["hi_q"])
+        for r in calibration_bins(df, "score", "y", n_bins=5).collect()
+    }
+    assert set(got) == {0, 1, 2, 3, 4}
+    assert got[0] == (2, 0, 0, 0, 9)
+    assert got[2] == (2, 1, 500000, 0, 9)  # scores 4,5
+    assert got[4] == (2, 2, 1000000, 0, 9)
+
+
+def test_calibration_bins_degenerate_single_score(spark):
+    from rat_strain_loader_pipeline_spark.operators.stats import (
+        calibration_bins,
+    )
+
+    df = spark.createDataFrame([(7, True), (7, False)], "score long, y boolean")
+    out = calibration_bins(df, "score", "y", n_bins=4).collect()
+    assert len(out) == 1 and out[0]["bin"] == 0 and out[0]["n"] == 2
