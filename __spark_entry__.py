@@ -5626,6 +5626,37 @@ def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return markov_transitions(_t(spark, sf_dir, "events"))
 
 
+def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier time-to-first-purchase (operators/stats.py
+    kaplan_meier): per user, duration = first purchase minus first
+    event (epoch seconds), censored at last activity when no purchase;
+    cohort = user_id mod 3 segment. Risk sets via ONE descending
+    cumsum on the (cohort, dur) grain — no self-join; survival emitted
+    as cumulative floored-ln micros (exact-zero steps gate to NULL)."""
+    from rat_strain_loader_pipeline_spark.operators.stats import kaplan_meier
+
+    ev = _t(spark, sf_dir, "events")
+    sec = F.unix_timestamp(F.col("ts")).cast("long")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(sec).alias("t0"),
+        F.max(sec).alias("t_last"),
+        F.min(F.when(F.col("event_type") == "purchase", sec)).alias("t_ev"),
+    )
+    subjects = per_user.select(
+        F.concat(F.lit("seg"), (F.col("user_id") % 3).cast("string")).alias(
+            "cohort"
+        ),
+        F.when(
+            F.col("t_ev").isNotNull(), F.col("t_ev") - F.col("t0")
+        )
+        .otherwise(F.col("t_last") - F.col("t0"))
+        .cast("long")
+        .alias("dur"),
+        F.col("t_ev").isNotNull().alias("observed"),
+    )
+    return kaplan_meier(subjects)
+
+
 def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reliability-diagram bins (operators/stats.py calibration_bins)
     over the shipped quality-model logit (integer micros, so binning is
@@ -5899,6 +5930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_ols": q_grouped_ols,
         "zipf_alpha": q_zipf_alpha,
         "calibration_bins": q_calibration_bins,
+        "kaplan_meier": q_kaplan_meier,
     }
 
 
@@ -10819,6 +10851,57 @@ QUALIFY row_number() OVER (
                           / (CAST(n_cur + 1 AS DOUBLE) / CAST(t_cur + {VOCAB_PSI_TOPV + 1} AS DOUBLE)))
                      * 1000000.0) AS BIGINT) AS psi_contrib_q
             FROM bins, tot
+        """,
+        "kaplan_meier": """
+            WITH per_user AS (
+              SELECT user_id,
+                     min(CAST(floor(epoch(ts)) AS BIGINT)) AS t0,
+                     max(CAST(floor(epoch(ts)) AS BIGINT)) AS t_last,
+                     min(CASE WHEN event_type = 'purchase'
+                              THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS t_ev
+              FROM events GROUP BY user_id
+            ),
+            subjects AS (
+              SELECT 'seg' || CAST(user_id % 3 AS VARCHAR) AS cohort,
+                     CAST(CASE WHEN t_ev IS NOT NULL THEN t_ev - t0
+                               ELSE t_last - t0 END AS BIGINT) AS dur,
+                     t_ev IS NOT NULL AS observed
+              FROM per_user
+            ),
+            grain AS (
+              SELECT cohort, dur,
+                     CAST(count(*) AS BIGINT) AS m,
+                     CAST(sum(CASE WHEN observed THEN 1 ELSE 0 END)
+                          AS BIGINT) AS d
+              FROM subjects GROUP BY cohort, dur
+            ),
+            risk AS (
+              SELECT cohort, dur, d,
+                     CAST(sum(m) OVER (
+                       PARTITION BY cohort ORDER BY dur DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS BIGINT) AS n_risk
+              FROM grain
+            ),
+            steps AS (
+              SELECT cohort, dur, n_risk, d,
+                     CASE WHEN d < n_risk THEN
+                       CAST(floor(ln(CAST(n_risk - d AS DOUBLE)
+                                     / CAST(n_risk AS DOUBLE))
+                                  * 1000000.0) AS BIGINT) END AS term_q,
+                     max(CASE WHEN d = n_risk THEN 1 ELSE 0 END) OVER (
+                       PARTITION BY cohort ORDER BY dur ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS dead
+              FROM risk WHERE d > 0
+            )
+            SELECT cohort, dur, n_risk, d,
+                   CASE WHEN dead = 0 THEN
+                     CAST(sum(term_q) OVER (
+                       PARTITION BY cohort ORDER BY dur ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS BIGINT) END AS logsurv_q
+            FROM steps
         """,
         "calibration_bins": f"""
             WITH t AS (SELECT doc_id, lang, {_TOKENS_SQL} AS toks

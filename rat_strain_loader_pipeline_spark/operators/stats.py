@@ -625,3 +625,81 @@ def calibration_bins(
         "n_pos",
         F.expr("n_pos * 1000000L div n").cast("long").alias("pos_rate_q"),
     )
+
+
+def kaplan_meier(
+    subjects: DataFrame,
+    cohort_col: str = "cohort",
+    dur_col: str = "dur",
+    observed_col: str = "observed",
+) -> DataFrame:
+    """Kaplan-Meier survival steps per cohort, integer-exact.
+
+    The time-to-event summary behind retention/conversion curves:
+    ``subjects`` has one row per subject with a non-negative integer
+    duration and an observed flag (censored rows carry their censor
+    time). The estimator at each distinct observed event time t is
+    S(t) = prod_{t_i <= t} (1 - d_i / n_i); we emit the log-survival
+    as a bigint (floored-ln micros per step, then a cumulative sum —
+    integer-exact and mergeable, the repo's floored-ln idiom) instead
+    of a float product.
+
+    Risk sets without a self-join: aggregate subjects to the
+    (cohort, dur) grain (m subjects, d observed), then a DESCENDING
+    cumulative sum of m gives n_at_risk at each distinct duration —
+    subjects censored exactly at t count as at-risk at t (the standard
+    convention). Rows with d = 0 (pure-censoring times) are dropped
+    after the risk window. If a step exhausts the risk set (d = n),
+    S hits exact zero and ``logsurv_q`` is NULL from that step on
+    (both sides gate on a cumulative max of the exhaustion flag).
+
+    100 TB shape: the fact table collapses to subject grain upstream;
+    this operator shuffles once on (cohort, dur) and runs two bounded
+    windows on the distinct-duration grain — curve-sized, never
+    subject-sized. Returns (cohort, dur, n_risk, d, logsurv_q).
+    """
+    from pyspark.sql.window import Window
+
+    grain = subjects.groupBy(
+        F.col(cohort_col).alias("cohort"), F.col(dur_col).alias("dur")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum(F.when(F.col(observed_col), 1).otherwise(0))
+        .cast("long")
+        .alias("d"),
+    )
+    w_desc = (
+        Window.partitionBy("cohort")
+        .orderBy(F.desc("dur"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    risk = grain.withColumn("n_risk", F.sum("m").over(w_desc)).filter(
+        F.col("d") > 0
+    )
+    term = F.when(
+        F.col("d") < F.col("n_risk"),
+        F.floor(
+            F.log(
+                (F.col("n_risk") - F.col("d")).cast("double")
+                / F.col("n_risk").cast("double")
+            )
+            * F.lit(1_000_000.0)
+        ).cast("long"),
+    )
+    w_asc = (
+        Window.partitionBy("cohort")
+        .orderBy(F.asc("dur"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    stepped = risk.withColumn("term_q", term).withColumn(
+        "dead", F.max((F.col("d") == F.col("n_risk")).cast("int")).over(w_asc)
+    )
+    return stepped.select(
+        "cohort",
+        "dur",
+        "n_risk",
+        "d",
+        F.when(F.col("dead") == 0, F.sum("term_q").over(w_asc))
+        .cast("long")
+        .alias("logsurv_q"),
+    )

@@ -276,3 +276,39 @@ def test_calibration_bins_degenerate_single_score(spark):
     df = spark.createDataFrame([(7, True), (7, False)], "score long, y boolean")
     out = calibration_bins(df, "score", "y", n_bins=4).collect()
     assert len(out) == 1 and out[0]["bin"] == 0 and out[0]["n"] == 2
+
+
+def test_kaplan_meier_textbook_curve(spark):
+    import math
+
+    from rat_strain_loader_pipeline_spark.operators.stats import kaplan_meier
+
+    # classic toy: events at t=1 (d=1 of n=5), t=3 (d=1 of n=3);
+    # censored at t=2 and t=4; one more subject censored at t=5.
+    rows = [
+        ("a", 1, True),
+        ("a", 2, False),
+        ("a", 3, True),
+        ("a", 4, False),
+        ("a", 5, False),
+    ]
+    df = spark.createDataFrame(rows, "cohort string, dur long, observed boolean")
+    out = {r["dur"]: r for r in kaplan_meier(df).collect()}
+    assert set(out) == {1, 3}  # censoring-only times dropped
+    assert (out[1]["n_risk"], out[1]["d"]) == (5, 1)
+    assert (out[3]["n_risk"], out[3]["d"]) == (3, 1)
+    t1 = math.floor(math.log(4 / 5) * 1e6)
+    t3 = math.floor(math.log(2 / 3) * 1e6)
+    assert out[1]["logsurv_q"] == t1
+    assert out[3]["logsurv_q"] == t1 + t3
+
+
+def test_kaplan_meier_risk_exhaustion_nulls(spark):
+    from rat_strain_loader_pipeline_spark.operators.stats import kaplan_meier
+
+    # all subjects die at t=2 -> S hits exact zero -> NULL from there
+    rows = [("a", 1, True), ("a", 2, True), ("a", 2, True)]
+    df = spark.createDataFrame(rows, "cohort string, dur long, observed boolean")
+    out = {r["dur"]: r for r in kaplan_meier(df).collect()}
+    assert out[1]["logsurv_q"] is not None
+    assert out[2]["logsurv_q"] is None and out[2]["d"] == 2
