@@ -5626,6 +5626,25 @@ def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return markov_transitions(_t(spark, sf_dir, "events"))
 
 
+def q_er_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution fuzzy candidate matching (operators/dedup.py
+    fuzzy_name_matches) over part names: DISTINCT vocabulary first
+    (block sizes bounded by vocab, not rows), (position, token)
+    multi-key blocking, exact levenshtein verify in [1, ER_MAXDIST] —
+    the Fellegi-Sunter blocking + comparator shape with no all-pairs
+    product."""
+    from rat_strain_loader_pipeline_spark.operators.dedup import (
+        fuzzy_name_matches,
+    )
+
+    return fuzzy_name_matches(
+        _t(spark, sf_dir, "part"),
+        "p_name",
+        max_dist=ER_MAXDIST,
+        block_positions=ER_BLOCK_POS,
+    )
+
+
 def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kaplan-Meier time-to-first-purchase (operators/stats.py
     kaplan_meier): per user, duration = first purchase minus first
@@ -5931,6 +5950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_alpha": q_zipf_alpha,
         "calibration_bins": q_calibration_bins,
         "kaplan_meier": q_kaplan_meier,
+        "er_name_match": q_er_name_match,
     }
 
 
@@ -6442,6 +6462,12 @@ ZIPF_TOPK = 100
 # Reliability diagram (q_calibration_bins): equal-width integer bins
 # over the quality-model logit micros; label = lang = 'en'.
 CALIB_BINS = 10
+
+# Entity-resolution fuzzy match (q_er_name_match): blocking on the
+# first ER_BLOCK_POS (position, token) keys; exact levenshtein verify
+# keeps distances in [1, ER_MAXDIST].
+ER_BLOCK_POS = 2
+ER_MAXDIST = 4
 
 # Model-based quality gate (q_quality_model_score): hashed bag-of-words
 # linear model — feature = md5_number_lower('qmodel:v1:'||tok) % DIM,
@@ -10851,6 +10877,31 @@ QUALIFY row_number() OVER (
                           / (CAST(n_cur + 1 AS DOUBLE) / CAST(t_cur + {VOCAB_PSI_TOPV + 1} AS DOUBLE)))
                      * 1000000.0) AS BIGINT) AS psi_contrib_q
             FROM bins, tot
+        """,
+        "er_name_match": f"""
+            WITH names AS (SELECT DISTINCT p_name AS name FROM part),
+            toks0 AS (
+              SELECT name,
+                     list_filter(string_split_regex(trim(name), '\\s+'),
+                                 t -> t <> '') AS tk
+              FROM names
+            ),
+            toks AS (
+              SELECT name,
+                     CAST(generate_subscripts(tk, 1) - 1 AS BIGINT) AS pos,
+                     unnest(tk) AS tok
+              FROM toks0
+            ),
+            blk AS (SELECT * FROM toks WHERE pos < {ER_BLOCK_POS}),
+            cand AS (
+              SELECT DISTINCT a.name AS name_a, b.name AS name_b
+              FROM blk a JOIN blk b
+                ON a.pos = b.pos AND a.tok = b.tok AND a.name < b.name
+            )
+            SELECT name_a, name_b,
+                   CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
+            FROM cand
+            WHERE levenshtein(name_a, name_b) BETWEEN 1 AND {ER_MAXDIST}
         """,
         "kaplan_meier": """
             WITH per_user AS (

@@ -1169,3 +1169,71 @@ def cdc_duplicate_chunks(
         )
         .filter(F.col("n_occurrences") > 1)
     )
+
+
+def fuzzy_name_matches(
+    df: DataFrame,
+    name_col: str,
+    max_dist: int = 2,
+    block_positions: int = 2,
+    max_block: int | None = None,
+) -> DataFrame:
+    """Entity-resolution candidate matching: blocked edit-distance join
+    over the DISTINCT value vocabulary of ``name_col``.
+
+    The canonical record-linkage shape (Fellegi-Sunter blocking +
+    string comparator): collapsing to distinct names FIRST means block
+    sizes are bounded by vocabulary, not by row count — a table with a
+    billion rows but a million distinct names pairs at vocabulary
+    scale. Blocking keys are (position, token) for the first
+    ``block_positions`` whitespace tokens, so two names pair when they
+    agree on ANY early token ("red widget" ~ "red bolt" via
+    ("red", 0)) — the multi-key union that keeps recall without an
+    all-pairs product. Candidates dedupe on the ordered name pair,
+    then exact ``levenshtein`` verifies; distance 0 (identical, not a
+    match *candidate*) is excluded, distances in [1, max_dist] emit.
+
+    100 TB shape: one distinct on names (vocab-sized), one
+    (pos, token)-keyed self-join whose fan-out is per-block-size², and
+    the verify runs only on candidates. Skewed blocks (a stop-token
+    shared by half the vocabulary) follow the minhash hot-bucket-cap
+    precedent (`minhash_lsh_pairs`): pass ``max_block`` and blocking
+    keys whose block exceeds it are dropped BEFORE the join — bounded
+    recall traded for a hard fan-out ceiling. Returns
+    (name_a, name_b, dist).
+    """
+    names = df.select(F.col(name_col).alias("name")).distinct()
+    toks = (
+        names.select(
+            "name",
+            F.posexplode(
+                F.filter(
+                    F.split(F.trim("name"), "[ \t\n\r\f]+"), lambda t: t != ""
+                )
+            ).alias("pos", "tok"),
+        )
+        .filter(F.col("pos") < block_positions)
+    )
+    if max_block is not None:
+        from pyspark.sql.window import Window
+
+        w_blk = Window.partitionBy("pos", "tok")
+        toks = (
+            toks.withColumn("blk_n", F.count(F.lit(1)).over(w_blk))
+            .filter(F.col("blk_n") <= max_block)
+            .drop("blk_n")
+        )
+    a, b = toks.alias("a"), toks.alias("b")
+    cand = (
+        a.join(b, on=["pos", "tok"])
+        .filter(F.col("a.name") < F.col("b.name"))
+        .select(
+            F.col("a.name").alias("name_a"), F.col("b.name").alias("name_b")
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("dist", F.levenshtein("name_a", "name_b").cast("long"))
+        .filter((F.col("dist") >= 1) & (F.col("dist") <= max_dist))
+        .select("name_a", "name_b", "dist")
+    )

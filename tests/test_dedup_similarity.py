@@ -920,3 +920,47 @@ def test_cdc_chunks_model_and_offset_invariance(spark):
     assert got == want
     # the shared tail produced actual cross-doc duplicate chunks
     assert any(nd == 2 for _, nd in got.values())
+
+
+def test_fuzzy_name_matches_blocking_and_verify(spark):
+    from rat_strain_loader_pipeline_spark.operators.dedup import (
+        fuzzy_name_matches,
+    )
+
+    rows = [
+        (1, "red widget"),
+        (2, "red widgets"),   # dist 1, shares ("red", 0)
+        (3, "red bolt"),      # dist to "red widget" > 2 but blocked
+        (4, "blue gear"),     # no shared early token with red*
+        (5, "red widget"),    # exact dup of 1: collapsed by distinct
+    ]
+    df = spark.createDataFrame(rows, "p_partkey long, p_name string")
+    got = {
+        (r["name_a"], r["name_b"]): r["dist"]
+        for r in fuzzy_name_matches(df, "p_name", max_dist=2).collect()
+    }
+    assert got == {("red widget", "red widgets"): 1}
+    # widen the radius: "red bolt" ~ "red widget" now verifies (dist 5)
+    got5 = {
+        (r["name_a"], r["name_b"]): r["dist"]
+        for r in fuzzy_name_matches(df, "p_name", max_dist=6).collect()
+    }
+    assert ("red bolt", "red widget") in got5
+    assert all("blue gear" not in k for pair in got5 for k in pair)
+
+
+def test_fuzzy_name_matches_max_block_cap(spark):
+    from rat_strain_loader_pipeline_spark.operators.dedup import (
+        fuzzy_name_matches,
+    )
+
+    # "stop" is shared by all names -> with max_block=2 that blocking
+    # key is dropped and no candidates survive
+    rows = [(i, f"stop u{i}") for i in range(5)]
+    df = spark.createDataFrame(rows, "p_partkey long, p_name string")
+    assert (
+        fuzzy_name_matches(df, "p_name", max_dist=3, max_block=2).count() == 0
+    )
+    assert (
+        fuzzy_name_matches(df, "p_name", max_dist=3).count() > 0
+    )
