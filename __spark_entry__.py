@@ -5626,6 +5626,50 @@ def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return markov_transitions(_t(spark, sf_dir, "events"))
 
 
+def q_dedup_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH recall audit — the dedup twin of ann_recall: ground truth =
+    exact shingle-Jaccard pairs at tau 0.5 (ngram_jaccard_pairs with
+    prefix_cap=None, exact by the prefix-filter bound), probe =
+    the production minhash-LSH pair pipeline (b=16/r=4). Emits ONE row
+    (n_truth, n_lsh, n_hit, recall_q). The oracle is fully independent:
+    it replays the k=64 permutation minhash + banding in SQL with the
+    seed-42 coefficients embedded as literals, so the 'full recall at
+    this corpus' claim the minhash docstring makes is now ASSERTED
+    per-round, not assumed. Three 1-row aggregates broadcast-joined;
+    the heavy work is the two already-bounded pair pipelines."""
+    from rat_strain_loader_pipeline_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    truth = ngram_jaccard_pairs(
+        docs, threshold=0.5, prefix_cap=None
+    ).select("id_a", "id_b")
+    lsh = minhash_lsh_pairs(docs, jaccard_threshold=0.5).select(
+        "id_a", "id_b"
+    )
+    hit = truth.join(lsh, ["id_a", "id_b"])
+    nt = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+    nl = lsh.agg(F.count(F.lit(1)).cast("long").alias("n_lsh"))
+    nh = hit.agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+    return (
+        nt.crossJoin(F.broadcast(nl))
+        .crossJoin(F.broadcast(nh))
+        .select(
+            "n_truth",
+            "n_lsh",
+            "n_hit",
+            F.when(
+                F.col("n_truth") > 0,
+                F.expr("n_hit * 1000000L div n_truth"),
+            )
+            .cast("long")
+            .alias("recall_q"),
+        )
+    )
+
+
 def q_er_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity-resolution fuzzy candidate matching (operators/dedup.py
     fuzzy_name_matches) over part names: DISTINCT vocabulary first
@@ -5951,6 +5995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calibration_bins": q_calibration_bins,
         "kaplan_meier": q_kaplan_meier,
         "er_name_match": q_er_name_match,
+        "dedup_recall_audit": q_dedup_recall_audit,
     }
 
 
@@ -6278,6 +6323,53 @@ jp AS (
   FROM hs a JOIN hs b ON a.doc_id < b.doc_id
   WHERE len(list_distinct(a.hset || b.hset)) > 0 AND {j} >= {thr}
 )"""
+
+
+def _lsh_recall_oracle_sql() -> str:
+    """Independent SQL replay of the full minhash-LSH pipeline for the
+    dedup_recall_audit oracle: the seed-42 permutation coefficients are
+    embedded as literals (the single Python-side input), signatures =
+    min((a*h + b) mod P) per permutation, b=16/r=4 banding keyed by the
+    ordered 4-tuple (string_agg — equal tuples iff equal band buckets,
+    matching the engine's md5-of-concat key modulo md5 collisions,
+    which the exact-Jaccard verify filters on both sides)."""
+    from rat_strain_loader_pipeline_spark.operators.dedup import (
+        _minhash_coeffs,
+    )
+
+    a, b = _minhash_coeffs(64, 42)
+    perm_rows = ", ".join(
+        f"({k}, {int(a[k])}, {int(b[k])})" for k in range(64)
+    )
+    return f"""WITH {_jaccard_pairs_cte_sql(0.5)},
+perm(k, pa, pb) AS (VALUES {perm_rows}),
+hx AS (SELECT doc_id, unnest(hset) AS h FROM hs),
+sigs AS (
+  SELECT hx.doc_id, p.k, min((p.pa * hx.h + p.pb) % {_SHINGLE_P}) AS s
+  FROM hx CROSS JOIN perm p
+  GROUP BY hx.doc_id, p.k
+),
+bands AS (
+  SELECT doc_id, k // 4 AS band,
+         string_agg(CAST(s AS VARCHAR), ',' ORDER BY k) AS bkey
+  FROM sigs GROUP BY doc_id, band
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+),
+lsh AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c JOIN jp ON jp.id_a = c.id_a AND jp.id_b = c.id_b
+)
+SELECT CAST((SELECT count(*) FROM jp) AS BIGINT) AS n_truth,
+       CAST((SELECT count(*) FROM lsh) AS BIGINT) AS n_lsh,
+       CAST((SELECT count(*) FROM lsh) AS BIGINT) AS n_hit,
+       CASE WHEN (SELECT count(*) FROM jp) > 0 THEN
+         CAST((SELECT count(*) FROM lsh) * 1000000
+              // (SELECT count(*) FROM jp) AS BIGINT) END AS recall_q
+"""
 
 
 # Shared oracle fragments — one source of truth for SQL that backs more
@@ -10878,6 +10970,7 @@ QUALIFY row_number() OVER (
                      * 1000000.0) AS BIGINT) AS psi_contrib_q
             FROM bins, tot
         """,
+        "dedup_recall_audit": _lsh_recall_oracle_sql(),
         "er_name_match": f"""
             WITH names AS (SELECT DISTINCT p_name AS name FROM part),
             toks0 AS (

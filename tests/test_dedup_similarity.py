@@ -964,3 +964,13 @@ def test_fuzzy_name_matches_max_block_cap(spark):
     assert (
         fuzzy_name_matches(df, "p_name", max_dist=3).count() > 0
     )
+
+
+def test_dedup_recall_audit_invariants(spark, sf_dir):
+    import __spark_entry__ as em
+
+    row = em.q_dedup_recall_audit(spark, sf_dir).collect()[0]
+    # LSH pairs are exact-verified, so they are a subset of truth
+    assert row["n_hit"] == row["n_lsh"] <= row["n_truth"]
+    if row["n_truth"]:
+        assert row["recall_q"] == row["n_hit"] * 1_000_000 // row["n_truth"]

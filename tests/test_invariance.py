@@ -156,3 +156,37 @@ def test_bpe_train_partition_invariant(docs):
 
     outs = [_rows(bpe_train(v, rounds=3)) for v in _variants(docs)]
     assert outs[0] == outs[1] and len(outs[0]) == 3
+
+
+def test_markov_transitions_partition_invariant(spark, sf_dir):
+    from rat_strain_loader_pipeline_spark.operators.timeseries import (
+        markov_transitions,
+    )
+    from rat_strain_loader_pipeline_spark.sources.tables import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    a, b = ev.coalesce(1), ev.repartition(13, F.col("event_id") % 7)
+    assert _rows(markov_transitions(a)) == _rows(markov_transitions(b))
+
+
+def test_grouped_ols_partition_invariant(docs):
+    from rat_strain_loader_pipeline_spark.operators.stats import grouped_ols
+    from rat_strain_loader_pipeline_spark.operators.text import token_count
+
+    def run(df):
+        base = df.select(
+            "source",
+            token_count(F.col("text")).alias("x"),
+            F.length("text").alias("y"),
+        )
+        return grouped_ols(base, F.col("x"), F.col("y"), keys=["source"])
+
+    a, b = _variants(docs)
+    assert _rows(run(a)) == _rows(run(b))
+
+
+def test_zipf_hill_partition_invariant(docs):
+    from rat_strain_loader_pipeline_spark.operators.text import zipf_hill
+
+    a, b = _variants(docs.withColumn("lang", F.lit("xx")))
+    assert _rows(zipf_hill(a, top_k=50)) == _rows(zipf_hill(b, top_k=50))
