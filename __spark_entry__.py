@@ -5626,6 +5626,31 @@ def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return markov_transitions(_t(spark, sf_dir, "events"))
 
 
+def q_ewma_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact EWMA monitor (operators/timeseries.py ewma_smooth):
+    hourly event counts per type, then the alpha=1/2 recurrence
+    s_t = floor((v_t·1e6 + s_{t-1})/2) run per key via applyInPandas on
+    the SERIES grain (calendar-bounded, never fact rows) with
+    one-step-ahead residuals. The oracle replays the recurrence with a
+    recursive CTE — the linear-recurrence twin of the unrolled
+    pagerank/kmeans pattern."""
+    from rat_strain_loader_pipeline_spark.operators.timeseries import (
+        ewma_smooth,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        F.expr("unix_timestamp(ts) div 3600").cast("long").alias(
+            "hour_bucket"
+        ),
+        F.lit(1).alias("v"),
+    )
+    return ewma_smooth(
+        base, key_col="event_type", bucket_col="hour_bucket", value_col="v"
+    )
+
+
 def q_dedup_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH recall audit — the dedup twin of ann_recall: ground truth =
     exact shingle-Jaccard pairs at tau 0.5 (ngram_jaccard_pairs with
@@ -5996,6 +6021,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kaplan_meier": q_kaplan_meier,
         "er_name_match": q_er_name_match,
         "dedup_recall_audit": q_dedup_recall_audit,
+        "ewma_forecast": q_ewma_forecast,
     }
 
 
@@ -10971,6 +10997,36 @@ QUALIFY row_number() OVER (
             FROM bins, tot
         """,
         "dedup_recall_audit": _lsh_recall_oracle_sql(),
+        "ewma_forecast": """
+            WITH RECURSIVE h AS (
+              SELECT event_type,
+                     CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hour_bucket,
+                     CAST(count(*) AS BIGINT) AS v
+              FROM events GROUP BY 1, 2
+            ),
+            r AS (
+              SELECT event_type, hour_bucket, v,
+                     row_number() OVER (
+                       PARTITION BY event_type ORDER BY hour_bucket
+                     ) AS rn
+              FROM h
+            ),
+            rec AS (
+              SELECT event_type, hour_bucket, v, rn,
+                     CAST(v * 1000000 AS BIGINT) AS s_q
+              FROM r WHERE rn = 1
+              UNION ALL
+              SELECT r.event_type, r.hour_bucket, r.v, r.rn,
+                     CAST((r.v * 1000000 + rec.s_q) // 2 AS BIGINT) AS s_q
+              FROM r JOIN rec
+                ON r.event_type = rec.event_type AND r.rn = rec.rn + 1
+            )
+            SELECT event_type, hour_bucket, v, s_q,
+                   CAST(v * 1000000 - lag(s_q) OVER (
+                     PARTITION BY event_type ORDER BY hour_bucket
+                   ) AS BIGINT) AS resid_q
+            FROM rec
+        """,
         "er_name_match": f"""
             WITH names AS (SELECT DISTINCT p_name AS name FROM part),
             toks0 AS (

@@ -218,3 +218,60 @@ def markov_transitions(
         .cast("long")
         .alias("prob_q"),
     )
+
+
+def ewma_smooth(
+    df: DataFrame,
+    key_col: str = "event_type",
+    bucket_col: str = "hour_bucket",
+    value_col: str = "v",
+) -> DataFrame:
+    """Integer-exact EWMA (alpha = 1/2) over keyed bucket series, with
+    one-step-ahead residuals.
+
+    The linear recurrence s_t = floor((v_t·1e6 + s_{t-1}) / 2),
+    s_1 = v_1·1e6 — the halving EWMA whose floor at every step keeps
+    the whole state machine in bigints (no float drift to accumulate
+    across a year of buckets). The recurrence is inherently sequential,
+    so it runs per key via ``applyInPandas`` — but ONLY on the
+    pre-aggregated bucket series (bounded by the calendar), never on
+    fact rows: the aggregate-then-analyze shape that keeps the Python
+    stage thousands of rows per key at any corpus size. ``resid_q`` is
+    the one-step-ahead forecast error v_t·1e6 − s_{t-1} (NULL at the
+    first bucket) — the anomaly signal an EWMA monitor alerts on.
+
+    100 TB shape: one (key, bucket) partial agg upstream collapses the
+    corpus; the applyInPandas shuffle moves series-sized rows keyed by
+    ``key_col``; the lag window for residuals runs on the same grain.
+    Returns (key, bucket, v, s_q, resid_q).
+    """
+    import pandas as pd
+
+    def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(bucket_col).reset_index(drop=True)
+        s: list[int] = []
+        prev: int | None = None
+        for v in pdf[value_col]:
+            vq = int(v) * 1_000_000
+            prev = vq if prev is None else (vq + prev) // 2
+            s.append(prev)
+        pdf["s_q"] = pd.Series(s, dtype="int64")
+        return pdf
+
+    series = df.groupBy(key_col, bucket_col).agg(
+        F.sum(value_col).cast("long").alias(value_col)
+    )
+    schema = (
+        f"{key_col} string, {bucket_col} long, {value_col} long, s_q long"
+    )
+    smoothed = series.groupBy(key_col).applyInPandas(smooth, schema=schema)
+    w = Window.partitionBy(key_col).orderBy(bucket_col)
+    return smoothed.select(
+        key_col,
+        bucket_col,
+        value_col,
+        "s_q",
+        (F.col(value_col) * F.lit(1_000_000) - F.lag("s_q").over(w))
+        .cast("long")
+        .alias("resid_q"),
+    )

@@ -190,3 +190,37 @@ def test_markov_transitions_tiebreak_deterministic(spark):
     )
     out = markov_transitions(df).collect()
     assert [(r["from_type"], r["to_type"]) for r in out] == [("x", "y")]
+
+
+def test_ewma_smooth_recurrence_and_residuals(spark):
+    from rat_strain_loader_pipeline_spark.operators.timeseries import (
+        ewma_smooth,
+    )
+
+    # series 4, 2, 8: s = 4e6, (2e6+4e6)//2=3e6, (8e6+3e6)//2=5.5e6
+    rows = [("a", 1, 4), ("a", 2, 2), ("a", 3, 8)]
+    df = spark.createDataFrame(rows, "k string, b long, v long")
+    out = {
+        r["b"]: (r["s_q"], r["resid_q"])
+        for r in ewma_smooth(df, "k", "b", "v").collect()
+    }
+    assert out[1] == (4_000_000, None)
+    assert out[2] == (3_000_000, 2_000_000 - 4_000_000)
+    assert out[3] == (5_500_000, 8_000_000 - 3_000_000)
+
+
+def test_ewma_smooth_partition_invariant(spark):
+    from rat_strain_loader_pipeline_spark.operators.timeseries import (
+        ewma_smooth,
+    )
+
+    rows = [("k%d" % (i % 3), i // 3, (i * 7) % 11) for i in range(60)]
+    df = spark.createDataFrame(rows, "k string, b long, v long")
+    one = sorted(map(tuple, ewma_smooth(df.coalesce(1), "k", "b", "v").collect()))
+    many = sorted(
+        map(
+            tuple,
+            ewma_smooth(df.repartition(13, F.col("b") % 5), "k", "b", "v").collect(),
+        )
+    )
+    assert one == many
