@@ -5626,6 +5626,88 @@ def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return markov_transitions(_t(spark, sf_dir, "events"))
 
 
+def q_mad_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust volume anomalies — the median/MAD twin of
+    hourly_anomalies: mean/std moments are poisoned by the very
+    outliers they hunt, so this gate flags hours where
+    |n − median| > MAD_K·MAD, both medians exact lower medians from
+    weighted_median (value-grain cumsum, integer comparisons
+    throughout — no doubles anywhere). Two series-grain median passes
+    + two 5-row broadcast joins; score_q = dev·1e6 div MAD, NULL when
+    MAD = 0 (those hours flag on any positive deviation)."""
+    from rat_strain_loader_pipeline_spark.operators.stats import (
+        weighted_median,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.expr("unix_timestamp(ts) div 3600").cast("long").alias(
+            "hour_bucket"
+        ),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    med = weighted_median(
+        hourly, ["event_type"], F.col("n"), F.lit(1)
+    ).select("event_type", F.col("wmedian_q").alias("med_n"))
+    dev_tbl = hourly.join(F.broadcast(med), "event_type").withColumn(
+        "dev", F.abs(F.col("n") - F.col("med_n")).cast("long")
+    )
+    mad = weighted_median(
+        dev_tbl, ["event_type"], F.col("dev"), F.lit(1)
+    ).select("event_type", F.col("wmedian_q").alias("mad_n"))
+    flagged = dev_tbl.join(F.broadcast(mad), "event_type").filter(
+        (
+            (F.col("mad_n") > 0)
+            & (F.col("dev") > F.lit(MAD_K) * F.col("mad_n"))
+        )
+        | ((F.col("mad_n") == 0) & (F.col("dev") > 0))
+    )
+    return flagged.select(
+        "event_type",
+        "hour_bucket",
+        "n",
+        "med_n",
+        "mad_n",
+        "dev",
+        F.when(
+            F.col("mad_n") > 0, F.expr("dev * 1000000L div mad_n")
+        )
+        .cast("long")
+        .alias("score_q"),
+    )
+
+
+def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user-journey paths — the product-analytics path report: each
+    user's first PATHS_K event types (ordered by ts with the event_id
+    tiebreak) joined with '>', counted across users, top PATHS_TOPN by
+    (count DESC, path ASC). One user-keyed window + one path-keyed agg
+    + bounded TakeOrderedAndProject; collect_list order is pinned by
+    sorting (rn, type) structs, never partition order."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    first_k = ev.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= PATHS_K
+    )
+    paths = first_k.groupBy("user_id").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("rn", "event_type"))
+                ),
+                lambda s: s["event_type"],
+            ),
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .orderBy(F.col("n_users").desc(), F.col("path").asc())
+        .limit(PATHS_TOPN)
+    )
+
+
 def q_ewma_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-exact EWMA monitor (operators/timeseries.py ewma_smooth):
     hourly event counts per type, then the alpha=1/2 recurrence
@@ -6022,6 +6104,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_name_match": q_er_name_match,
         "dedup_recall_audit": q_dedup_recall_audit,
         "ewma_forecast": q_ewma_forecast,
+        "top_paths": q_top_paths,
+        "mad_anomalies": q_mad_anomalies,
     }
 
 
@@ -6586,6 +6670,15 @@ CALIB_BINS = 10
 # keeps distances in [1, ER_MAXDIST].
 ER_BLOCK_POS = 2
 ER_MAXDIST = 4
+
+# User-journey paths (q_top_paths): first PATHS_K event types per user
+# joined with '>', top PATHS_TOPN paths by user count.
+PATHS_K = 5
+PATHS_TOPN = 20
+
+# Robust anomaly gate (q_mad_anomalies): flag hours with
+# |n - median| > MAD_K * MAD (median absolute deviation).
+MAD_K = 3
 
 # Model-based quality gate (q_quality_model_score): hashed bag-of-words
 # linear model — feature = md5_number_lower('qmodel:v1:'||tok) % DIM,
@@ -10997,6 +11090,68 @@ QUALIFY row_number() OVER (
             FROM bins, tot
         """,
         "dedup_recall_audit": _lsh_recall_oracle_sql(),
+        "mad_anomalies": f"""
+            WITH hourly AS (
+              SELECT event_type,
+                     CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hour_bucket,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2
+            ),
+            medc AS (
+              SELECT event_type, n AS v,
+                     count(*) OVER (PARTITION BY event_type ORDER BY n
+                       RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS cum,
+                     count(*) OVER (PARTITION BY event_type) AS tot
+              FROM hourly
+            ),
+            med AS (
+              SELECT event_type, CAST(min(v) AS BIGINT) AS med_n
+              FROM medc WHERE 2 * cum >= tot GROUP BY event_type
+            ),
+            devt AS (
+              SELECT h.event_type, h.hour_bucket, h.n, m.med_n,
+                     CAST(abs(h.n - m.med_n) AS BIGINT) AS dev
+              FROM hourly h JOIN med m ON h.event_type = m.event_type
+            ),
+            madc AS (
+              SELECT event_type, dev AS v,
+                     count(*) OVER (PARTITION BY event_type ORDER BY dev
+                       RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS cum,
+                     count(*) OVER (PARTITION BY event_type) AS tot
+              FROM devt
+            ),
+            mad AS (
+              SELECT event_type, CAST(min(v) AS BIGINT) AS mad_n
+              FROM madc WHERE 2 * cum >= tot GROUP BY event_type
+            )
+            SELECT d.event_type, d.hour_bucket, d.n, d.med_n, a.mad_n,
+                   d.dev,
+                   CASE WHEN a.mad_n > 0 THEN
+                     CAST(d.dev * 1000000 // a.mad_n AS BIGINT)
+                   END AS score_q
+            FROM devt d JOIN mad a ON d.event_type = a.event_type
+            WHERE (a.mad_n > 0 AND d.dev > {MAD_K} * a.mad_n)
+               OR (a.mad_n = 0 AND d.dev > 0)
+        """,
+        "top_paths": f"""
+            WITH ranked AS (
+              SELECT user_id, event_type,
+                     row_number() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                     ) AS rn
+              FROM events QUALIFY rn <= {PATHS_K}
+            ),
+            paths AS (
+              SELECT user_id,
+                     string_agg(event_type, '>' ORDER BY rn) AS path
+              FROM ranked GROUP BY user_id
+            )
+            SELECT path, CAST(count(*) AS BIGINT) AS n_users
+            FROM paths GROUP BY path
+            ORDER BY n_users DESC, path ASC LIMIT {PATHS_TOPN}
+        """,
         "ewma_forecast": """
             WITH RECURSIVE h AS (
               SELECT event_type,

@@ -190,3 +190,13 @@ def test_zipf_hill_partition_invariant(docs):
 
     a, b = _variants(docs.withColumn("lang", F.lit("xx")))
     assert _rows(zipf_hill(a, top_k=50)) == _rows(zipf_hill(b, top_k=50))
+
+
+def test_top_paths_and_mad_partition_invariant(spark, sf_dir):
+    import __spark_entry__ as em
+
+    for q in (em.q_top_paths, em.q_mad_anomalies):
+        out = q(spark, sf_dir)
+        a = _rows(out.coalesce(1))
+        b = _rows(out.repartition(13))
+        assert a == b, q.__name__
