@@ -5626,6 +5626,30 @@ def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return markov_transitions(_t(spark, sf_dir, "events"))
 
 
+def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peeling (operators/graph.py k_core_peel) over the same
+    deterministic %997 graph pagerank/triangle_count use, canonical
+    undirected distinct edges. KCORE_ROUNDS fixed peels at degree
+    floor KCORE_K; the oracle unrolls identical rounds in SQL (the
+    pagerank pattern). Emits surviving (node_id, deg)."""
+    from rat_strain_loader_pipeline_spark.operators.graph import k_core_peel
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = (
+        li.select(
+            F.least(
+                F.col("l_orderkey") % 997, F.col("l_partkey") % 997
+            ).alias("a"),
+            F.greatest(
+                F.col("l_orderkey") % 997, F.col("l_partkey") % 997
+            ).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    return k_core_peel(edges, k=KCORE_K, rounds=KCORE_ROUNDS)
+
+
 def q_mad_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust volume anomalies — the median/MAD twin of
     hourly_anomalies: mean/std moments are poisoned by the very
@@ -6106,6 +6130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma_forecast": q_ewma_forecast,
         "top_paths": q_top_paths,
         "mad_anomalies": q_mad_anomalies,
+        "k_core": q_k_core,
     }
 
 
@@ -6435,6 +6460,36 @@ jp AS (
 )"""
 
 
+def _kcore_oracle_sql(k: int, rounds: int) -> str:
+    """Unrolled k-core peel (the pagerank unrolled-rounds pattern):
+    round r keeps nodes with degree >= k in e_r, e_{r+1} filters both
+    endpoints."""
+    ctes = [
+        """c AS (
+  SELECT DISTINCT least(l_orderkey % 997, l_partkey % 997) AS a,
+                  greatest(l_orderkey % 997, l_partkey % 997) AS b
+  FROM lineitem
+  WHERE l_orderkey % 997 <> l_partkey % 997
+),
+e0 AS (SELECT a AS v, b AS w FROM c UNION ALL SELECT b AS v, a AS w FROM c)"""
+    ]
+    for r in range(rounds):
+        ctes.append(
+            f"k{r} AS (SELECT v FROM e{r} GROUP BY v"
+            f" HAVING count(*) >= {k})"
+        )
+        ctes.append(
+            f"e{r + 1} AS (SELECT e.v, e.w FROM e{r} e"
+            f" JOIN k{r} x ON e.v = x.v JOIN k{r} y ON e.w = y.v)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT CAST(v AS BIGINT) AS node_id, CAST(count(*) AS BIGINT) AS deg
+FROM e{rounds} GROUP BY v
+"""
+    )
+
+
 def _lsh_recall_oracle_sql() -> str:
     """Independent SQL replay of the full minhash-LSH pipeline for the
     dedup_recall_audit oracle: the seed-42 permutation coefficients are
@@ -6679,6 +6734,11 @@ PATHS_TOPN = 20
 # Robust anomaly gate (q_mad_anomalies): flag hours with
 # |n - median| > MAD_K * MAD (median absolute deviation).
 MAD_K = 3
+
+# k-core peeling (q_k_core): drop nodes with degree < KCORE_K for
+# KCORE_ROUNDS rounds over the canonical %997 graph.
+KCORE_K = 97
+KCORE_ROUNDS = 4
 
 # Model-based quality gate (q_quality_model_score): hashed bag-of-words
 # linear model — feature = md5_number_lower('qmodel:v1:'||tok) % DIM,
@@ -11090,6 +11150,7 @@ QUALIFY row_number() OVER (
             FROM bins, tot
         """,
         "dedup_recall_audit": _lsh_recall_oracle_sql(),
+        "k_core": _kcore_oracle_sql(KCORE_K, KCORE_ROUNDS),
         "mad_anomalies": f"""
             WITH hourly AS (
               SELECT event_type,

@@ -188,3 +188,52 @@ def label_propagation(edges: DataFrame, iters: int = 3) -> DataFrame:
             f"lpa-labels-{r}",
         )
     return labels
+
+
+def k_core_peel(edges: DataFrame, k: int, rounds: int) -> DataFrame:
+    """Bounded-round k-core peeling: repeatedly drop nodes whose degree
+    in the surviving subgraph is < k.
+
+    The graph-sparsification primitive behind community mining and
+    spam-subgraph extraction (a node's coreness survives ties that raw
+    degree can't see). Full decomposition iterates to a fixpoint;
+    this runs a FIXED ``rounds`` peels — the engine-portable contract
+    the repo uses for every iterative operator (pagerank / LPA /
+    kmeans): a SQL oracle unrolls the identical rounds and matches
+    exactly, and a caller needing the fixpoint re-invokes on the
+    staged survivor table until stable (each round's edge table is
+    staged to parquet, so the loop reads flat scans, not a
+    rounds-deep join tree).
+
+    Per round: one degree groupBy (map-side partial) + two node-keyed
+    hash joins filtering both endpoints — O(edges) work, state =
+    surviving edge list. ``edges``: undirected (a, b) with a != b;
+    both directions are materialized once up front. Returns surviving
+    (node_id, deg) — degree within the final surviving subgraph
+    (rows with deg < k remain only if ``rounds`` stopped short of the
+    fixpoint).
+    """
+    from rat_strain_loader_pipeline_spark.staging import stage_to_parquet
+
+    cur = stage_to_parquet(
+        edges.select(F.col("a").alias("v"), F.col("b").alias("w")).unionByName(
+            edges.select(F.col("b").alias("v"), F.col("a").alias("w"))
+        ),
+        "kcore-edges",
+    )
+    for r in range(rounds):
+        keep = (
+            cur.groupBy("v")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") >= k)
+            .select("v")
+        )
+        cur = stage_to_parquet(
+            cur.join(keep, "v").join(
+                keep.withColumnRenamed("v", "w"), "w"
+            ).select("v", "w"),
+            f"kcore-round-{r}",
+        )
+    return cur.groupBy(F.col("v").alias("node_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )

@@ -78,3 +78,18 @@ def test_label_propagation_two_cliques_with_bridge(spark):
         for r in label_propagation(df.repartition(5, F2.col("a") % 2), 3).collect()
     }
     assert out2 == out
+
+
+def test_k_core_peel_cascades(spark):
+    from rat_strain_loader_pipeline_spark.operators.graph import k_core_peel
+
+    # triangle 1-2-3 (each degree 2) + a chain 3-4, 4-5 hanging off it.
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], "a long, b long"
+    )
+    # k=2: 5 peels first (deg 1), THEN 4 (deg drops to 1) -> cascade
+    # needs the second round; triangle survives with degree 2 each.
+    out = {r["node_id"]: r["deg"] for r in k_core_peel(edges, 2, 3).collect()}
+    assert out == {1: 2, 2: 2, 3: 2}
+    # k=3: nothing survives
+    assert k_core_peel(edges, 3, 3).count() == 0
