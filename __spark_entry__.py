@@ -43,6 +43,9 @@ from rat_strain_loader_pipeline_spark.operators.similarity import (
     brute_force_topk,
     lsh_bucketed_topk,
 )
+from rat_strain_loader_pipeline_spark.operators.sampling import (
+    POISSON1_CUM_MICROS,
+)
 from rat_strain_loader_pipeline_spark.operators.upsert import upsert_variants
 
 
@@ -5626,6 +5629,57 @@ def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return markov_transitions(_t(spark, sf_dir, "events"))
 
 
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap CI for per-source mean doc length
+    (operators/sampling.py poisson_bootstrap_mean): BOOT_B
+    deterministic md5-thresholded Poisson(1) weights per (doc,
+    resample), one map-side-combined (source, b) aggregate — the
+    explode multiplies the scan, never the shuffle — then rank-based
+    2nd-smallest/2nd-largest bounds on the B-sized grain. All-bigint;
+    the oracle replays the identical weight draw."""
+    from rat_strain_loader_pipeline_spark.operators.sampling import (
+        poisson_bootstrap_mean,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return poisson_bootstrap_mean(
+        docs.select("source", "doc_id", "n_chars"),
+        keys=["source"],
+        value_col="n_chars",
+        id_col="doc_id",
+        n_resamples=BOOT_B,
+        salt=BOOT_SALT,
+    )
+
+
+def q_rollup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy ROLLUP report — the multi-grain revenue summary every
+    warehouse runs: (segment, priority) → segment subtotal → grand
+    total in ONE pass via Catalyst's native Expand+rollup (one shuffle,
+    grouping-set expansion map-side; no per-level re-scans). gid is
+    the standard grouping bitmask, decimal(18,2) money sums per the
+    pricing_summary exactness idiom."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    j = o.join(c, o["o_custkey"] == c["c_custkey"])
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    return (
+        j.rollup("c_mktsegment", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(price).cast("double").alias("sum_price"),
+        )
+        .select(
+            F.coalesce("c_mktsegment", F.lit("<all>")).alias("segment"),
+            F.coalesce("o_orderpriority", F.lit("<all>")).alias("priority"),
+            "gid",
+            "n_orders",
+            "sum_price",
+        )
+    )
+
+
 def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-core peeling (operators/graph.py k_core_peel) over the same
     deterministic %997 graph pagerank/triangle_count use, canonical
@@ -6131,6 +6185,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_paths": q_top_paths,
         "mad_anomalies": q_mad_anomalies,
         "k_core": q_k_core,
+        "rollup_report": q_rollup_report,
+        "bootstrap_ci": q_bootstrap_ci,
     }
 
 
@@ -6739,6 +6795,11 @@ MAD_K = 3
 # KCORE_ROUNDS rounds over the canonical %997 graph.
 KCORE_K = 97
 KCORE_ROUNDS = 4
+
+# Poisson bootstrap (q_bootstrap_ci): BOOT_B deterministic resamples,
+# salt shared with the oracle's md5 weight draw.
+BOOT_B = 32
+BOOT_SALT = "v1"
 
 # Model-based quality gate (q_quality_model_score): hashed bag-of-words
 # linear model — feature = md5_number_lower('qmodel:v1:'||tok) % DIM,
@@ -11151,6 +11212,77 @@ QUALIFY row_number() OVER (
         """,
         "dedup_recall_audit": _lsh_recall_oracle_sql(),
         "k_core": _kcore_oracle_sql(KCORE_K, KCORE_ROUNDS),
+        "bootstrap_ci": f"""
+            WITH rs AS (
+              SELECT source, doc_id, CAST(n_chars AS BIGINT) AS x, t.b
+              FROM documents, range(0, {BOOT_B}) t(b)
+            ),
+            wgt AS (
+              SELECT source, b, x,
+                     CASE WHEN u < {POISSON1_CUM_MICROS[0]} THEN 0
+                          WHEN u < {POISSON1_CUM_MICROS[1]} THEN 1
+                          WHEN u < {POISSON1_CUM_MICROS[2]} THEN 2
+                          WHEN u < {POISSON1_CUM_MICROS[3]} THEN 3
+                          ELSE 4 END AS w
+              FROM (
+                SELECT source, b, x,
+                       CAST(md5_number_lower('boot:{BOOT_SALT}:'
+                              || CAST(doc_id AS VARCHAR) || ':'
+                              || CAST(b AS VARCHAR)) % 1000000
+                            AS BIGINT) AS u
+                FROM rs
+              )
+            ),
+            per AS (
+              SELECT source, b,
+                     CAST(sum(w * x) AS BIGINT) AS s,
+                     CAST(sum(w) AS BIGINT) AS n
+              FROM wgt GROUP BY source, b HAVING sum(w) > 0
+            ),
+            means AS (
+              SELECT source, b,
+                     CAST((s * 1000000) // n AS BIGINT) AS mean_b_q
+              FROM per
+            ),
+            ranked AS (
+              SELECT source, b, mean_b_q,
+                     row_number() OVER (PARTITION BY source
+                       ORDER BY mean_b_q ASC, b ASC) AS ra,
+                     row_number() OVER (PARTITION BY source
+                       ORDER BY mean_b_q DESC, b DESC) AS rd,
+                     count(*) OVER (PARTITION BY source) AS cnt
+              FROM means
+            ),
+            ci AS (
+              SELECT source, CAST(count(*) AS BIGINT) AS b_used,
+                     CAST(max(CASE WHEN ra = (CASE WHEN cnt >= 4 THEN 2
+                                              ELSE 1 END)
+                              THEN mean_b_q END) AS BIGINT) AS lo_q,
+                     CAST(max(CASE WHEN rd = (CASE WHEN cnt >= 4 THEN 2
+                                              ELSE 1 END)
+                              THEN mean_b_q END) AS BIGINT) AS hi_q
+              FROM ranked GROUP BY source
+            ),
+            point AS (
+              SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST((sum(CAST(n_chars AS BIGINT)) * 1000000)
+                          // count(*) AS BIGINT) AS mean_q
+              FROM documents GROUP BY source
+            )
+            SELECT p.source, p.n_docs, p.mean_q, c.b_used, c.lo_q, c.hi_q
+            FROM point p JOIN ci c ON p.source = c.source
+        """,
+        "rollup_report": """
+            SELECT COALESCE(c_mktsegment, '<all>') AS segment,
+                   COALESCE(o_orderpriority, '<all>') AS priority,
+                   CAST(GROUPING(c_mktsegment, o_orderpriority)
+                        AS BIGINT) AS gid,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                        AS DOUBLE) AS sum_price
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY ROLLUP (c_mktsegment, o_orderpriority)
+        """,
         "mad_anomalies": f"""
             WITH hourly AS (
               SELECT event_type,
