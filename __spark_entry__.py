@@ -5629,6 +5629,38 @@ def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return markov_transitions(_t(spark, sf_dir, "events"))
 
 
+def q_source_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl concentration of sources within each language
+    (operators/stats.py hhi_concentration) — the diversity alarm the
+    mixture-rebalancing stage reads: all-integer shares/terms, one
+    (lang, source) partial agg, item-grain windows."""
+    from rat_strain_loader_pipeline_spark.operators.stats import (
+        hhi_concentration,
+    )
+
+    return hhi_concentration(
+        _t(spark, sf_dir, "documents"), keys=["lang"], item_col="source"
+    )
+
+
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (operators/privacy.py l_diversity_audit) —
+    the homogeneity-attack check k_anonymize misses: per
+    (lang, kchar-bucket) quasi group, exact distinct-source count vs
+    the LDIV_L floor. One combination-grain groupBy with two-phase
+    exact distinct."""
+    from rat_strain_loader_pipeline_spark.operators.privacy import (
+        l_diversity_audit,
+    )
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "kchar", F.expr("n_chars div 1000").cast("long")
+    )
+    return l_diversity_audit(
+        docs, ("lang", "kchar"), "source", l=LDIV_L
+    )
+
+
 def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Poisson-bootstrap CI for per-source mean doc length
     (operators/sampling.py poisson_bootstrap_mean): BOOT_B
@@ -6187,6 +6219,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_core": q_k_core,
         "rollup_report": q_rollup_report,
         "bootstrap_ci": q_bootstrap_ci,
+        "source_hhi": q_source_hhi,
+        "l_diversity": q_l_diversity,
     }
 
 
@@ -6800,6 +6834,10 @@ KCORE_ROUNDS = 4
 # salt shared with the oracle's md5 weight draw.
 BOOT_B = 32
 BOOT_SALT = "v1"
+
+# l-diversity audit (q_l_diversity): quasi = (lang, kchar length
+# bucket), sensitive = source, diversity floor LDIV_L.
+LDIV_L = 3
 
 # Model-based quality gate (q_quality_model_score): hashed bag-of-words
 # linear model — feature = md5_number_lower('qmodel:v1:'||tok) % DIM,
@@ -11212,6 +11250,30 @@ QUALIFY row_number() OVER (
         """,
         "dedup_recall_audit": _lsh_recall_oracle_sql(),
         "k_core": _kcore_oracle_sql(KCORE_K, KCORE_ROUNDS),
+        "source_hhi": """
+            WITH counts AS (
+              SELECT lang, source, CAST(count(*) AS BIGINT) AS c
+              FROM documents GROUP BY 1, 2
+            ),
+            shared AS (
+              SELECT lang, c,
+                     CAST(sum(c) OVER (PARTITION BY lang) AS BIGINT) AS tot
+              FROM counts
+            )
+            SELECT lang,
+                   CAST(max(tot) AS BIGINT) AS n_rows,
+                   CAST(count(*) AS BIGINT) AS n_items,
+                   CAST(sum(((c * 1000000 // tot) * (c * 1000000 // tot))
+                            // 1000000) AS BIGINT) AS hhi_q
+            FROM shared GROUP BY lang
+        """,
+        "l_diversity": f"""
+            SELECT lang, CAST(n_chars // 1000 AS BIGINT) AS kchar,
+                   CAST(count(*) AS BIGINT) AS group_n,
+                   CAST(count(DISTINCT source) AS BIGINT) AS n_sensitive,
+                   count(DISTINCT source) >= {LDIV_L} AS diverse
+            FROM documents GROUP BY 1, 2
+        """,
         "bootstrap_ci": f"""
             WITH rs AS (
               SELECT source, doc_id, CAST(n_chars AS BIGINT) AS x, t.b

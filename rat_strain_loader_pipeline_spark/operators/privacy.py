@@ -47,3 +47,37 @@ def k_anonymize(
     out_cols.append(F.col("group_n"))
     out_cols.append((~ok).alias("suppressed"))
     return joined.select(*out_cols)
+
+
+def l_diversity_audit(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    sensitive_col: str,
+    l: int,
+) -> DataFrame:
+    """l-diversity audit — the companion check k-anonymity alone
+    misses: a group can be k-large yet expose its members through a
+    HOMOGENEOUS sensitive attribute (every row in the group shares the
+    value, so re-identification is unnecessary). Per quasi-identifier
+    combination: exact group size, exact distinct-sensitive-value
+    count, and the pass flag ``n_sensitive >= l``.
+
+    One groupBy with a count-distinct — at scale the exact distinct
+    runs as the standard two-phase (quasi..., sensitive) partial
+    dedup + count, both map-side combinable; output is
+    combination-table-sized. Returns (quasi..., group_n, n_sensitive,
+    diverse).
+    """
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("group_n"),
+            F.countDistinct(sensitive_col).cast("long").alias("n_sensitive"),
+        )
+        .select(
+            *quasi_cols,
+            "group_n",
+            "n_sensitive",
+            (F.col("n_sensitive") >= l).alias("diverse"),
+        )
+    )

@@ -703,3 +703,37 @@ def kaplan_meier(
         .cast("long")
         .alias("logsurv_q"),
     )
+
+
+def hhi_concentration(
+    df: DataFrame,
+    keys: list[str],
+    item_col: str,
+) -> DataFrame:
+    """Herfindahl-Hirschman concentration index per group — the
+    corpus-diversity alarm: how concentrated is each group's mass over
+    ``item_col`` (a language dominated by one source scores near 1e6;
+    an even 20-way mix scores 50_000). Integer end-to-end: per-item
+    share in micros (c·1e6 div tot), squared-share terms scaled back
+    by div 1e6, summed to ``hhi_q`` — both divisions on non-negative
+    operands, so the oracle replays the identical truncation.
+
+    100 TB shape: one (keys, item) partial agg collapses the corpus;
+    the total/window and term sum run at item-combination grain.
+    Returns (keys..., n_rows, n_items, hhi_q).
+    """
+    from pyspark.sql.window import Window
+
+    counts = df.groupBy(*keys, item_col).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    w = Window.partitionBy(*keys)
+    shared = counts.withColumn("tot", F.sum("c").over(w)).withColumn(
+        "term_q",
+        F.expr("(c * 1000000L div tot) * (c * 1000000L div tot) div 1000000L"),
+    )
+    return shared.groupBy(*keys).agg(
+        F.max("tot").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum("term_q").cast("long").alias("hhi_q"),
+    )

@@ -148,3 +148,21 @@ def test_k_anonymize_property_holds_on_release(spark):
     for (lang, src), n in combos.items():
         if lang != "*":
             assert n >= 5
+
+
+def test_l_diversity_audit_flags_homogeneous_group(spark):
+    from rat_strain_loader_pipeline_spark.operators.privacy import (
+        l_diversity_audit,
+    )
+
+    rows = [
+        ("en", 1, "s1"), ("en", 1, "s2"), ("en", 1, "s3"),
+        ("fr", 2, "only"), ("fr", 2, "only"),
+    ]
+    df = spark.createDataFrame(rows, "lang string, b long, source string")
+    got = {
+        (r["lang"], r["b"]): (r["group_n"], r["n_sensitive"], r["diverse"])
+        for r in l_diversity_audit(df, ("lang", "b"), "source", l=2).collect()
+    }
+    assert got[("en", 1)] == (3, 3, True)
+    assert got[("fr", 2)] == (2, 1, False)

@@ -312,3 +312,22 @@ def test_kaplan_meier_risk_exhaustion_nulls(spark):
     out = {r["dur"]: r for r in kaplan_meier(df).collect()}
     assert out[1]["logsurv_q"] is not None
     assert out[2]["logsurv_q"] is None and out[2]["d"] == 2
+
+
+def test_hhi_concentration_extremes(spark):
+    from rat_strain_loader_pipeline_spark.operators.stats import (
+        hhi_concentration,
+    )
+
+    rows = (
+        [("mono", "a")] * 10
+        + [("even", x) for x in ("p", "q", "r", "s") for _ in range(5)]
+    )
+    df = spark.createDataFrame(rows, "k string, item string")
+    got = {
+        r["k"]: (r["n_rows"], r["n_items"], r["hhi_q"])
+        for r in hhi_concentration(df, ["k"], "item").collect()
+    }
+    assert got["mono"] == (10, 1, 1_000_000)
+    # 4 even items: 4 * (250000^2 / 1e6) = 250000
+    assert got["even"] == (20, 4, 250_000)
