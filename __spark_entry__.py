@@ -5629,6 +5629,30 @@ def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return markov_transitions(_t(spark, sf_dir, "events"))
 
 
+def q_rec_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-purchase recommender + held-out eval (operators/retrieval.py
+    copurchase_rec_eval): train = even orderkeys build the item-item
+    co-occurrence matrix (basket-bounded self-join, REC_MIN_SUPPORT
+    floor), owned items vote for co-items, anti-join removes owned,
+    top-REC_K per customer scored against odd-orderkey test items —
+    hit-rate@k and precision@k as one all-bigint summary row."""
+    from rat_strain_loader_pipeline_spark.operators.retrieval import (
+        copurchase_rec_eval,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    baskets = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        F.col("l_orderkey").alias("basket_id"),
+        F.col("o_custkey").alias("cust_id"),
+        F.col("l_partkey").alias("item"),
+        (F.col("l_orderkey") % 2 == 0).alias("is_train"),
+    )
+    return copurchase_rec_eval(
+        baskets, k=REC_K, min_support=REC_MIN_SUPPORT
+    )
+
+
 def q_source_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Herfindahl concentration of sources within each language
     (operators/stats.py hhi_concentration) — the diversity alarm the
@@ -6220,6 +6244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_report": q_rollup_report,
         "bootstrap_ci": q_bootstrap_ci,
         "source_hhi": q_source_hhi,
+        "rec_eval": q_rec_eval,
         "l_diversity": q_l_diversity,
     }
 
@@ -6838,6 +6863,11 @@ BOOT_SALT = "v1"
 # l-diversity audit (q_l_diversity): quasi = (lang, kchar length
 # bucket), sensitive = source, diversity floor LDIV_L.
 LDIV_L = 3
+
+# Co-purchase recommender eval (q_rec_eval): train = even orderkeys,
+# top-REC_K recs from co-occurrence counts >= REC_MIN_SUPPORT.
+REC_K = 5
+REC_MIN_SUPPORT = 2
 
 # Model-based quality gate (q_quality_model_score): hashed bag-of-words
 # linear model — feature = md5_number_lower('qmodel:v1:'||tok) % DIM,
@@ -11250,6 +11280,76 @@ QUALIFY row_number() OVER (
         """,
         "dedup_recall_audit": _lsh_recall_oracle_sql(),
         "k_core": _kcore_oracle_sql(KCORE_K, KCORE_ROUNDS),
+        "rec_eval": f"""
+            WITH baskets AS (
+              SELECT l_orderkey AS basket_id, o_custkey AS cust_id,
+                     l_partkey AS item, l_orderkey % 2 = 0 AS is_train
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            ),
+            bi AS (
+              SELECT DISTINCT basket_id AS b, item AS i
+              FROM baskets WHERE is_train
+            ),
+            pairs AS (
+              SELECT a.i, b.i AS j, CAST(count(*) AS BIGINT) AS cnt
+              FROM bi a JOIN bi b ON a.b = b.b AND a.i <> b.i
+              GROUP BY a.i, b.i HAVING count(*) >= {REC_MIN_SUPPORT}
+            ),
+            owned AS (
+              SELECT DISTINCT cust_id AS cust, item
+              FROM baskets WHERE is_train
+            ),
+            test_items AS (
+              SELECT DISTINCT cust_id AS cust, item
+              FROM baskets WHERE NOT is_train
+            ),
+            cand AS (
+              SELECT o.cust, p.j, CAST(sum(p.cnt) AS BIGINT) AS score
+              FROM owned o JOIN pairs p ON o.item = p.i
+              GROUP BY o.cust, p.j
+            ),
+            cand2 AS (
+              SELECT c.cust, c.j, c.score FROM cand c
+              WHERE NOT EXISTS (
+                SELECT 1 FROM owned w WHERE w.cust = c.cust AND w.item = c.j
+              )
+            ),
+            recs AS (
+              SELECT cust, j,
+                     row_number() OVER (PARTITION BY cust
+                       ORDER BY score DESC, j ASC) AS rn
+              FROM cand2 QUALIFY rn <= {REC_K}
+            ),
+            eval_users AS (
+              SELECT DISTINCT o.cust FROM owned o
+              WHERE EXISTS (SELECT 1 FROM test_items t WHERE t.cust = o.cust)
+            ),
+            recs_eval AS (
+              SELECT r.cust, r.j FROM recs r
+              WHERE EXISTS (SELECT 1 FROM eval_users u WHERE u.cust = r.cust)
+            ),
+            hits AS (
+              SELECT r.cust, r.j FROM recs_eval r
+              WHERE EXISTS (
+                SELECT 1 FROM test_items t
+                WHERE t.cust = r.cust AND t.item = r.j
+              )
+            )
+            SELECT
+              CAST((SELECT count(*) FROM eval_users) AS BIGINT) AS n_users,
+              CAST((SELECT count(DISTINCT cust) FROM hits)
+                   AS BIGINT) AS n_hit_users,
+              CASE WHEN (SELECT count(*) FROM eval_users) > 0 THEN
+                CAST((SELECT count(DISTINCT cust) FROM hits) * 1000000
+                     // (SELECT count(*) FROM eval_users) AS BIGINT)
+              END AS hitrate_q,
+              CAST((SELECT count(*) FROM recs_eval) AS BIGINT) AS n_recs,
+              CAST((SELECT count(*) FROM hits) AS BIGINT) AS n_hits,
+              CASE WHEN (SELECT count(*) FROM recs_eval) > 0 THEN
+                CAST((SELECT count(*) FROM hits) * 1000000
+                     // (SELECT count(*) FROM recs_eval) AS BIGINT)
+              END AS precision_q
+        """,
         "source_hhi": """
             WITH counts AS (
               SELECT lang, source, CAST(count(*) AS BIGINT) AS c

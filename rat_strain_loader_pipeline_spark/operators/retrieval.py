@@ -294,3 +294,107 @@ def tfidf_cosine_pairs(
         )
         .filter(F.col("cosine_micros") >= int(threshold * 1_000_000))
     )
+
+
+def copurchase_rec_eval(
+    baskets: DataFrame,
+    k: int = 5,
+    min_support: int = 2,
+    basket_col: str = "basket_id",
+    cust_col: str = "cust_id",
+    item_col: str = "item",
+    train_col: str = "is_train",
+) -> DataFrame:
+    """Item-item co-occurrence recommender with held-out evaluation —
+    the end-to-end eval loop behind every "customers also bought"
+    system, run exactly: train baskets build the co-occurrence matrix
+    (distinct (basket, item) self-join within basket, support floor
+    prunes the long tail BEFORE anything fans out), each customer's
+    owned items vote for co-items (sum of co-occurrence counts),
+    already-owned items are anti-joined away, and the top-``k`` by
+    (score DESC, item ASC) are scored against the customer's held-out
+    test items. Emits ONE summary row: users evaluated (>=1 train AND
+    >=1 test item), hit users, hit-rate micros, recommendations
+    issued, hits, precision@k micros — all pure bigint.
+
+    100 TB shape: the basket self-join is bounded by basket-size² (a
+    retail basket is tens of items, never corpus-scale) and the
+    support floor caps the matrix the candidate join fans out
+    through; per-customer ranking is a bounded window over
+    items-owned x co-items. Nothing collects; the final row is a
+    broadcast-joined set of scalar aggregates.
+    """
+    from pyspark.sql.window import Window
+
+    train = baskets.filter(F.col(train_col))
+    test_items = (
+        baskets.filter(~F.col(train_col))
+        .select(F.col(cust_col).alias("cust"), F.col(item_col).alias("item"))
+        .distinct()
+    )
+    bi = train.select(
+        F.col(basket_col).alias("b"), F.col(item_col).alias("i")
+    ).distinct()
+    pairs = (
+        bi.join(bi.select(F.col("b"), F.col("i").alias("j")), "b")
+        .filter(F.col("i") != F.col("j"))
+        .groupBy("i", "j")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .filter(F.col("cnt") >= min_support)
+    )
+    owned = train.select(
+        F.col(cust_col).alias("cust"), F.col(item_col).alias("item")
+    ).distinct()
+    cand = (
+        owned.join(pairs, owned["item"] == pairs["i"])
+        .groupBy("cust", "j")
+        .agg(F.sum("cnt").cast("long").alias("score"))
+        .join(
+            owned.select("cust", F.col("item").alias("j")),
+            ["cust", "j"],
+            "left_anti",
+        )
+    )
+    w = Window.partitionBy("cust").orderBy(F.desc("score"), F.asc("j"))
+    recs = cand.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= k
+    )
+    eval_users = (
+        owned.select("cust")
+        .distinct()
+        .join(test_items.select("cust").distinct(), "cust", "left_semi")
+    )
+    recs_eval = recs.join(eval_users, "cust", "left_semi")
+    hits = recs_eval.join(
+        test_items, (recs_eval["cust"] == test_items["cust"])
+        & (recs_eval["j"] == test_items["item"]),
+        "left_semi",
+    )
+    nu = eval_users.agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    nhu = hits.select("cust").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n_hit_users")
+    )
+    nr = recs_eval.agg(F.count(F.lit(1)).cast("long").alias("n_recs"))
+    nh = hits.agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    return (
+        nu.crossJoin(F.broadcast(nhu))
+        .crossJoin(F.broadcast(nr))
+        .crossJoin(F.broadcast(nh))
+        .select(
+            "n_users",
+            "n_hit_users",
+            F.when(
+                F.col("n_users") > 0,
+                F.expr("n_hit_users * 1000000L div n_users"),
+            )
+            .cast("long")
+            .alias("hitrate_q"),
+            "n_recs",
+            "n_hits",
+            F.when(
+                F.col("n_recs") > 0, F.expr("n_hits * 1000000L div n_recs")
+            )
+            .cast("long")
+            .alias("precision_q"),
+        )
+    )
