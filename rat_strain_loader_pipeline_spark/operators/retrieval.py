@@ -326,11 +326,14 @@ def copurchase_rec_eval(
     """
     from pyspark.sql.window import Window
 
+    from rat_strain_loader_pipeline_spark.staging import stage_to_parquet
+
     train = baskets.filter(F.col(train_col))
-    test_items = (
+    test_items = stage_to_parquet(
         baskets.filter(~F.col(train_col))
         .select(F.col(cust_col).alias("cust"), F.col(item_col).alias("item"))
-        .distinct()
+        .distinct(),
+        "rec-test-items",
     )
     bi = train.select(
         F.col(basket_col).alias("b"), F.col(item_col).alias("i")
@@ -342,9 +345,12 @@ def copurchase_rec_eval(
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
         .filter(F.col("cnt") >= min_support)
     )
-    owned = train.select(
-        F.col(cust_col).alias("cust"), F.col(item_col).alias("item")
-    ).distinct()
+    owned = stage_to_parquet(
+        train.select(
+            F.col(cust_col).alias("cust"), F.col(item_col).alias("item")
+        ).distinct(),
+        "rec-owned",
+    )
     cand = (
         owned.join(pairs, owned["item"] == pairs["i"])
         .groupBy("cust", "j")
@@ -359,27 +365,39 @@ def copurchase_rec_eval(
     recs = cand.withColumn("rn", F.row_number().over(w)).filter(
         F.col("rn") <= k
     )
-    eval_users = (
+    # Stage the shared tables once (the repo's lineage-truncation
+    # pattern): without this every scalar aggregate below re-derives
+    # the full basket join + pair matrix.
+    eval_users = stage_to_parquet(
         owned.select("cust")
         .distinct()
-        .join(test_items.select("cust").distinct(), "cust", "left_semi")
+        .join(test_items.select("cust").distinct(), "cust", "left_semi"),
+        "rec-eval-users",
     )
-    recs_eval = recs.join(eval_users, "cust", "left_semi")
-    hits = recs_eval.join(
-        test_items, (recs_eval["cust"] == test_items["cust"])
-        & (recs_eval["j"] == test_items["item"]),
-        "left_semi",
+    recs_eval = stage_to_parquet(
+        recs.join(eval_users, "cust", "left_semi").select("cust", "j"),
+        "rec-recs-eval",
+    )
+    # one flagged pass folds n_recs / n_hits / n_hit_users into a
+    # SINGLE aggregate (test_items is (cust, item)-distinct, so the
+    # left join cannot fan out)
+    flagged = recs_eval.join(
+        test_items.select(
+            "cust", F.col("item").alias("j"), F.lit(1).alias("hit")
+        ),
+        ["cust", "j"],
+        "left",
+    )
+    summ = flagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_recs"),
+        F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("n_hits"),
+        F.countDistinct(F.when(F.col("hit") == 1, F.col("cust")))
+        .cast("long")
+        .alias("n_hit_users"),
     )
     nu = eval_users.agg(F.count(F.lit(1)).cast("long").alias("n_users"))
-    nhu = hits.select("cust").distinct().agg(
-        F.count(F.lit(1)).cast("long").alias("n_hit_users")
-    )
-    nr = recs_eval.agg(F.count(F.lit(1)).cast("long").alias("n_recs"))
-    nh = hits.agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
     return (
-        nu.crossJoin(F.broadcast(nhu))
-        .crossJoin(F.broadcast(nr))
-        .crossJoin(F.broadcast(nh))
+        nu.crossJoin(F.broadcast(summ))
         .select(
             "n_users",
             "n_hit_users",

@@ -578,3 +578,61 @@ def test_cdc_chunks_single_hash_agg_shuffle(spark, sf_dir, queries):
     plan = _plan(queries["cdc_chunks"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert plan.count("Exchange hashpartitioning") <= 2  # hash agg (+distinct)
+
+
+def test_round7_batch2_no_cartesian(spark, sf_dir, queries):
+    """E105-E118: none of the new operators may emit a real cartesian;
+    BroadcastNestedLoopJoin is allowed only for 1-row scalar bounds
+    (calibration_bins, rec_eval summary)."""
+    for name in (
+        "markov_transitions",
+        "grouped_ols",
+        "zipf_alpha",
+        "kaplan_meier",
+        "er_name_match",
+        "top_paths",
+        "mad_anomalies",
+        "rollup_report",
+        "bootstrap_ci",
+        "source_hhi",
+        "l_diversity",
+    ):
+        plan = _plan(queries[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_grouped_ols_single_shuffle(spark, sf_dir, queries):
+    """Five mergeable moments in ONE map-side-combined aggregation."""
+    plan = _plan(queries["grouped_ols"](spark, sf_dir))
+    assert plan.count("Arguments: hashpartitioning") == 1
+
+
+def test_rollup_report_uses_expand_one_shuffle(spark, sf_dir, queries):
+    """Native grouping-set expansion: one Expand + one grouping
+    shuffle, never per-level re-scans."""
+    plan = _plan(queries["rollup_report"](spark, sf_dir))
+    assert "Expand" in plan
+    assert plan.count("Arguments: hashpartitioning") == 1
+
+
+def test_rec_eval_staged_scalars(spark, sf_dir, queries):
+    """Staged intermediates + folded hit flags: the summary row must
+    not re-derive the basket join per scalar (was 46 exchanges)."""
+    plan = _plan(queries["rec_eval"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_calibration_bins_broadcast_bounds(spark, sf_dir, queries):
+    """1-row bounds broadcast; the only hash exchange is the bin agg."""
+    plan = _plan(queries["calibration_bins"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_kaplan_meier_windows_stay_cohort_partitioned(spark, sf_dir, queries):
+    plan = _plan(queries["kaplan_meier"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # subject agg + (cohort, dur) grain + cohort windows
+    assert plan.count("Exchange hashpartitioning") <= 3
