@@ -5629,6 +5629,59 @@ def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return markov_transitions(_t(spark, sf_dir, "events"))
 
 
+def q_llr_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunning G² collocation mining (operators/text.py
+    llr_collocations) — the significance-tested upgrade beside
+    pmi_bigrams: 2x2 contingency per adjacent pair over ALL bigram
+    slots, floored-ln micro cell terms, marginals reduced from the
+    single staged bigram table, bounded TakeOrdered."""
+    from rat_strain_loader_pipeline_spark.operators.text import (
+        llr_collocations,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return llr_collocations(
+        docs, min_count=LLR_MIN_COUNT, topn=LLR_TOPN
+    )
+
+
+def q_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day active users per day — the growth metric sliding
+    windows can't do with sums because DISTINCT doesn't decompose:
+    collapse to (user, day) grain FIRST (the only fact-sized pass),
+    then each user-day votes into the WAU_DAYS windows it belongs to
+    via a bounded explode (×7 of user-day grain, never of events),
+    and one exact distinct per window day. Also emits the day's DAU.
+    Only observed days are reported (dense calendars would gap_fill)."""
+    ev = _t(spark, sf_dir, "events")
+    ud = (
+        ev.select(
+            "user_id",
+            F.expr("unix_timestamp(ts) div 86400").cast("long").alias("d"),
+        )
+        .distinct()
+    )
+    votes = ud.select(
+        "user_id",
+        "d",
+        F.explode(
+            F.sequence(F.col("d"), F.col("d") + F.lit(WAU_DAYS - 1))
+        ).alias("wd"),
+    )
+    wau = (
+        votes.select("user_id", "wd").distinct()
+        .groupBy("wd")
+        .agg(F.count(F.lit(1)).cast("long").alias("wau"))
+    )
+    dau = ud.groupBy(F.col("d").alias("wd")).agg(
+        F.count(F.lit(1)).cast("long").alias("dau")
+    )
+    return (
+        dau.join(wau, "wd")
+        .select(F.col("wd").alias("day_bucket"), "dau", "wau")
+    )
+
+
 def q_rec_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Co-purchase recommender + held-out eval (operators/retrieval.py
     copurchase_rec_eval): train = even orderkeys build the item-item
@@ -6245,6 +6298,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bootstrap_ci": q_bootstrap_ci,
         "source_hhi": q_source_hhi,
         "rec_eval": q_rec_eval,
+        "rolling_wau": q_rolling_wau,
+        "llr_collocations": q_llr_collocations,
         "l_diversity": q_l_diversity,
     }
 
@@ -6868,6 +6923,14 @@ LDIV_L = 3
 # top-REC_K recs from co-occurrence counts >= REC_MIN_SUPPORT.
 REC_K = 5
 REC_MIN_SUPPORT = 2
+
+# Rolling active users (q_rolling_wau): trailing WAU_DAYS-day window.
+WAU_DAYS = 7
+
+# Dunning G² collocations (q_llr_collocations): pair floor + top-N,
+# shared with the PMI miner's corpus conventions.
+LLR_MIN_COUNT = 5
+LLR_TOPN = 50
 
 # Model-based quality gate (q_quality_model_score): hashed bag-of-words
 # linear model — feature = md5_number_lower('qmodel:v1:'||tok) % DIM,
@@ -11280,6 +11343,86 @@ QUALIFY row_number() OVER (
         """,
         "dedup_recall_audit": _lsh_recall_oracle_sql(),
         "k_core": _kcore_oracle_sql(KCORE_K, KCORE_ROUNDS),
+        "llr_collocations": rf"""
+            WITH tk AS (
+              SELECT list_filter(
+                       string_split_regex(lower(text), '[ \t\n\r\f]+'),
+                       t -> t <> '') AS ts
+              FROM documents
+            ),
+            tk2 AS (SELECT ts FROM tk WHERE len(ts) >= 2),
+            bg AS (
+              SELECT a, b, CAST(count(*) AS BIGINT) AS n_ab FROM (
+                SELECT ts[gi] AS a, ts[gi + 1] AS b
+                FROM (SELECT ts, unnest(range(1, len(ts))) AS gi FROM tk2)
+              ) GROUP BY 1, 2
+            ),
+            ra AS (SELECT a, CAST(sum(n_ab) AS BIGINT) AS n_a_
+                   FROM bg GROUP BY a),
+            cb AS (SELECT b, CAST(sum(n_ab) AS BIGINT) AS n_b_
+                   FROM bg GROUP BY b),
+            tot AS (SELECT CAST(sum(n_ab) AS BIGINT) AS nb FROM bg),
+            j AS (
+              SELECT bg.a, bg.b, bg.n_ab, ra.n_a_, cb.n_b_, tot.nb
+              FROM bg JOIN ra ON bg.a = ra.a
+              JOIN cb ON bg.b = cb.b, tot
+              WHERE bg.n_ab >= {LLR_MIN_COUNT}
+            ),
+            cells AS (
+              SELECT a, b, n_ab,
+                CASE WHEN n_ab > 0 THEN
+                  CAST(floor(CAST(n_ab AS DOUBLE)
+                    * ln((CAST(n_ab AS DOUBLE) / CAST(n_a_ AS DOUBLE))
+                         * (CAST(nb AS DOUBLE) / CAST(n_b_ AS DOUBLE)))
+                    * 1000000.0) AS BIGINT) ELSE 0 END AS t11,
+                CASE WHEN n_a_ - n_ab > 0 THEN
+                  CAST(floor(CAST(n_a_ - n_ab AS DOUBLE)
+                    * ln((CAST(n_a_ - n_ab AS DOUBLE)
+                          / CAST(n_a_ AS DOUBLE))
+                         * (CAST(nb AS DOUBLE)
+                            / CAST(nb - n_b_ AS DOUBLE)))
+                    * 1000000.0) AS BIGINT) ELSE 0 END AS t12,
+                CASE WHEN n_b_ - n_ab > 0 THEN
+                  CAST(floor(CAST(n_b_ - n_ab AS DOUBLE)
+                    * ln((CAST(n_b_ - n_ab AS DOUBLE)
+                          / CAST(nb - n_a_ AS DOUBLE))
+                         * (CAST(nb AS DOUBLE) / CAST(n_b_ AS DOUBLE)))
+                    * 1000000.0) AS BIGINT) ELSE 0 END AS t21,
+                CASE WHEN nb - n_a_ - n_b_ + n_ab > 0 THEN
+                  CAST(floor(CAST(nb - n_a_ - n_b_ + n_ab AS DOUBLE)
+                    * ln((CAST(nb - n_a_ - n_b_ + n_ab AS DOUBLE)
+                          / CAST(nb - n_a_ AS DOUBLE))
+                         * (CAST(nb AS DOUBLE)
+                            / CAST(nb - n_b_ AS DOUBLE)))
+                    * 1000000.0) AS BIGINT) ELSE 0 END AS t22
+              FROM j
+            )
+            SELECT a, b, n_ab,
+                   CAST(2 * (t11 + t12 + t21 + t22) AS BIGINT) AS llr_q
+            FROM cells
+            ORDER BY llr_q DESC, a ASC, b ASC LIMIT {LLR_TOPN}
+        """,
+        "rolling_wau": f"""
+            WITH ud AS (
+              SELECT DISTINCT user_id,
+                     CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d
+              FROM events
+            ),
+            votes AS (
+              SELECT DISTINCT user_id, d + t.o AS wd
+              FROM ud, range(0, {WAU_DAYS}) t(o)
+            ),
+            wau AS (
+              SELECT wd, CAST(count(*) AS BIGINT) AS wau
+              FROM votes GROUP BY wd
+            ),
+            dau AS (
+              SELECT d AS wd, CAST(count(*) AS BIGINT) AS dau
+              FROM ud GROUP BY d
+            )
+            SELECT CAST(dau.wd AS BIGINT) AS day_bucket, dau.dau, wau.wau
+            FROM dau JOIN wau ON dau.wd = wau.wd
+        """,
         "rec_eval": f"""
             WITH baskets AS (
               SELECT l_orderkey AS basket_id, o_custkey AS cust_id,

@@ -850,3 +850,91 @@ def zipf_hill(
         .cast("long")
         .alias("alpha_q"),
     )
+
+
+def llr_collocations(
+    docs: DataFrame,
+    min_count: int = 5,
+    topn: int = 50,
+    text_col: str = "text",
+) -> DataFrame:
+    """Dunning log-likelihood-ratio collocations — the statistically
+    honest upgrade to PMI phrase mining (G² does not blow up on rare
+    pairs the way raw PMI does): for each adjacent token pair, the 2x2
+    contingency over the NB bigram slots
+
+        k11 = n_ab          k12 = n_a. - n_ab
+        k21 = n_.b - n_ab   k22 = NB - n_a. - n_.b + n_ab
+
+    and G² = 2·Σ k_ij·ln(k_ij·NB / (R_i·C_j)), zero-count cells
+    contributing 0. Each cell term floors to integer micros BEFORE the
+    sum (the floored-ln idiom) with the ratio computed as the fixed
+    tree (k/R)·(NB/C) — staying near O(1) between divisions instead of
+    overflowing k·NB — so ``llr_q`` is a bigint the oracle rebuilds
+    term-by-term. Marginals and NB are computed over ALL bigrams;
+    ``min_count`` floors only the emitted pairs.
+
+    100 TB shape: one token explode → one (a, b) partial-agg count
+    table; both marginals reduce FROM that table (vocab-sized, no
+    second corpus pass); NB is a 1-row broadcast; top-``topn`` is a
+    bounded TakeOrdered. Returns (a, b, n_ab, llr_q).
+    """
+    from rat_strain_loader_pipeline_spark.staging import stage_to_parquet
+
+    toks = docs.select(tokens(F.lower(F.col(text_col))).alias("ts")).filter(
+        F.size("ts") >= 2
+    )
+    bg_all = stage_to_parquet(
+        toks.select(
+            F.explode(
+                F.arrays_zip(
+                    F.expr("slice(ts, 1, size(ts) - 1)").alias("a"),
+                    F.expr("slice(ts, 2, size(ts) - 1)").alias("b"),
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab")),
+        "llr-bigrams",
+    )
+    ra = bg_all.groupBy("a").agg(F.sum("n_ab").cast("long").alias("n_a_"))
+    cb = bg_all.groupBy("b").agg(F.sum("n_ab").cast("long").alias("n_b_"))
+    nb = bg_all.agg(F.sum("n_ab").cast("long").alias("nb"))
+    j = (
+        bg_all.filter(F.col("n_ab") >= min_count)
+        .join(ra, "a")
+        .join(cb, "b")
+        .crossJoin(F.broadcast(nb))
+    )
+
+    def cell(k, r, c):
+        return F.when(
+            k > 0,
+            F.floor(
+                k.cast("double")
+                * F.log(
+                    (k.cast("double") / r.cast("double"))
+                    * (F.col("nb").cast("double") / c.cast("double"))
+                )
+                * F.lit(1_000_000.0)
+            ).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+
+    k11 = F.col("n_ab")
+    k12 = F.col("n_a_") - F.col("n_ab")
+    k21 = F.col("n_b_") - F.col("n_ab")
+    k22 = F.col("nb") - F.col("n_a_") - F.col("n_b_") + F.col("n_ab")
+    r2 = F.col("nb") - F.col("n_a_")
+    c2 = F.col("nb") - F.col("n_b_")
+    llr = 2 * (
+        cell(k11, F.col("n_a_"), F.col("n_b_"))
+        + cell(k12, F.col("n_a_"), c2)
+        + cell(k21, r2, F.col("n_b_"))
+        + cell(k22, r2, c2)
+    )
+    return (
+        j.select("a", "b", "n_ab", llr.cast("long").alias("llr_q"))
+        .orderBy(F.col("llr_q").desc(), F.col("a").asc(), F.col("b").asc())
+        .limit(topn)
+    )

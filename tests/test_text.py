@@ -27,3 +27,41 @@ def test_zipf_hill_uniform_counts_null_alpha(spark):
     )
     out = zipf_hill(df, group_col="lang", top_k=5).collect()
     assert out[0]["ln_sum_q"] == 0 and out[0]["alpha_q"] is None
+
+
+def test_llr_collocations_strong_pair_ranks_first(spark):
+    from rat_strain_loader_pipeline_spark.operators.text import (
+        llr_collocations,
+    )
+
+    # "new york" always together; "the" everywhere dilutes other pairs
+    docs = [(i, "new york is the big apple of the world") for i in range(6)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = llr_collocations(df, min_count=2, topn=10).collect()
+    assert out, "no collocations emitted"
+    scores = {(r["a"], r["b"]): r["llr_q"] for r in out}
+    # the fully-dependent pair outranks pairs sharing the ambiguous
+    # "the" (which starts two different bigrams -> weaker evidence)
+    assert scores[("new", "york")] > scores[("the", "big")]
+    assert scores[("new", "york")] > 0
+    # monotone: list is sorted descending by llr_q
+    ordered = [r["llr_q"] for r in out]
+    assert ordered == sorted(ordered, reverse=True)
+
+
+def test_llr_collocations_independent_pair_scores_low(spark):
+    import math
+
+    from rat_strain_loader_pipeline_spark.operators.text import (
+        llr_collocations,
+    )
+
+    # perfectly dependent pair in a two-token corpus: G2 = 2*NB*ln(2)
+    # for the 2x2 where a b / b a alternate? keep it simpler: single
+    # repeated bigram "x y" -> k11=NB, all other cells 0 -> G2 = 0
+    # (ln(1)): the statistic is exactly zero for a saturated table.
+    df = spark.createDataFrame(
+        [(1, "x y"), (2, "x y")], "doc_id long, text string"
+    )
+    out = llr_collocations(df, min_count=1, topn=5).collect()
+    assert len(out) == 1 and out[0]["llr_q"] == 0
