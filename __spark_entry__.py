@@ -5629,6 +5629,58 @@ def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return markov_transitions(_t(spark, sf_dir, "events"))
 
 
+def q_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL landing with a quarantine lane (sources/jsonl.py
+    read_jsonl_with_quarantine): the documents table round-trips
+    through real newline-delimited JSON on disk (to_json escapes
+    embedded newlines, so lines split safely) with
+    JSONL_CORRUPT_LINES injected; the PERMISSIVE + corrupt-column read
+    routes bad lines to quarantine instead of dropping or failing.
+    Emits the ingest audit row (valid/quarantined counts + exact
+    doc_id/char sums) the oracle recomputes from the source table."""
+    import os as _os
+    import uuid as _uuid
+
+    from rat_strain_loader_pipeline_spark.sources.jsonl import (
+        read_jsonl_with_quarantine,
+    )
+    from rat_strain_loader_pipeline_spark.staging import _stage_root
+
+    docs = _t(spark, sf_dir, "documents")
+    work = _os.path.join(
+        _stage_root(), f"jsonl-ingest-{_uuid.uuid4().hex[:8]}"
+    )
+    lines = docs.select(
+        F.to_json(
+            F.struct("doc_id", "text", "lang", "source", "n_chars")
+        ).alias("value")
+    ).unionByName(
+        spark.createDataFrame(
+            [(s,) for s in JSONL_CORRUPT_LINES], "value string"
+        )
+    )
+    lines.write.text(work)
+    ingested = read_jsonl_with_quarantine(
+        spark,
+        work,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    return ingested.agg(
+        F.sum(F.when(~F.col("is_quarantined"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_valid"),
+        F.sum(F.when(F.col("is_quarantined"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_quarantined"),
+        F.sum(F.when(~F.col("is_quarantined"), F.col("doc_id")))
+        .cast("long")
+        .alias("sum_doc_id"),
+        F.sum(F.when(~F.col("is_quarantined"), F.col("n_chars")))
+        .cast("long")
+        .alias("sum_chars"),
+    )
+
+
 def q_llr_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dunning G² collocation mining (operators/text.py
     llr_collocations) — the significance-tested upgrade beside
@@ -6300,6 +6352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rec_eval": q_rec_eval,
         "rolling_wau": q_rolling_wau,
         "llr_collocations": q_llr_collocations,
+        "jsonl_ingest": q_jsonl_ingest,
         "l_diversity": q_l_diversity,
     }
 
@@ -6931,6 +6984,10 @@ WAU_DAYS = 7
 # shared with the PMI miner's corpus conventions.
 LLR_MIN_COUNT = 5
 LLR_TOPN = 50
+
+# JSONL ingest (q_jsonl_ingest): deterministic corrupt lines injected
+# alongside the landed corpus; both sides count the same constant.
+JSONL_CORRUPT_LINES = ("{broken json", "not json at all", '{"doc_id": }')
 
 # Model-based quality gate (q_quality_model_score): hashed bag-of-words
 # linear model — feature = md5_number_lower('qmodel:v1:'||tok) % DIM,
@@ -11343,6 +11400,14 @@ QUALIFY row_number() OVER (
         """,
         "dedup_recall_audit": _lsh_recall_oracle_sql(),
         "k_core": _kcore_oracle_sql(KCORE_K, KCORE_ROUNDS),
+        "jsonl_ingest": f"""
+            SELECT CAST(count(*) AS BIGINT) AS n_valid,
+                   CAST({len(JSONL_CORRUPT_LINES)} AS BIGINT)
+                     AS n_quarantined,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM documents
+        """,
         "llr_collocations": rf"""
             WITH tk AS (
               SELECT list_filter(

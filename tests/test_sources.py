@@ -278,3 +278,26 @@ def test_wig_dir_skips_hidden_files(spark, tmp_path):
     (d / ".a.wig.crc").write_text("fixedStep chrom=chr9 start=1\n9.9\n")
     got = sorted(map(tuple, read_fixedstep_wig(spark, str(d)).collect()))
     assert got == [(5, "1", 0.5)]
+
+
+def test_jsonl_quarantine_routes_bad_lines(spark, tmp_path):
+    from rat_strain_loader_pipeline_spark.sources.jsonl import (
+        read_jsonl_with_quarantine,
+    )
+
+    p = tmp_path / "landing"
+    lines = [
+        '{"id": 1, "name": "ok"}',
+        '{"id": 2, "name": "with \\n newline"}',
+        "{definitely broken",
+        '{"id": }',
+    ]
+    spark.createDataFrame([(s,) for s in lines], "value string").coalesce(
+        1
+    ).write.text(str(p))
+    out = read_jsonl_with_quarantine(spark, str(p), "id long, name string")
+    rows = out.collect()
+    good = {r["id"]: r["name"] for r in rows if not r["is_quarantined"]}
+    bad = [r["_corrupt"] for r in rows if r["is_quarantined"]]
+    assert good == {1: "ok", 2: "with \n newline"}
+    assert sorted(bad) == sorted(["{definitely broken", '{"id": }'])
