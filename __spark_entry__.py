@@ -5629,6 +5629,40 @@ def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return markov_transitions(_t(spark, sf_dir, "events"))
 
 
+def q_centroid_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-centroid cosine matrix (operators/similarity.py
+    centroid_distance_matrix) over label_centroid_sums: scale-invariant
+    cosine of the micro-quantized SUM vectors, DECIMAL(38,0) dots and
+    norms (bigint squares would overflow), one fixed IEEE tree floored
+    to micros. Everything runs at labels×dims grain."""
+    from rat_strain_loader_pipeline_spark.operators.similarity import (
+        centroid_distance_matrix,
+        label_centroid_sums,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return centroid_distance_matrix(label_centroid_sums(emb))
+
+
+def q_segment_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merkle-style segment checksums — the anti-entropy sync
+    primitive two replicas compare to find WHICH id ranges diverged
+    (corpus_fingerprint answers 'did anything change', this answers
+    'where'): the same order-free modular content-hash fold
+    (operators/versioning.py corpus_fingerprint) at doc_id-range
+    grain, one map-side pass + segment-cardinality output. A mismatch
+    at a segment routes a bounded re-read of SEG_SIZE docs instead of
+    a full-corpus diff."""
+    from rat_strain_loader_pipeline_spark.operators.versioning import (
+        corpus_fingerprint,
+    )
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "segment", F.expr(f"doc_id div {SEG_SIZE}").cast("long")
+    )
+    return corpus_fingerprint(docs, ["segment"])
+
+
 def q_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSONL landing with a quarantine lane (sources/jsonl.py
     read_jsonl_with_quarantine): the documents table round-trips
@@ -6353,6 +6387,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_wau": q_rolling_wau,
         "llr_collocations": q_llr_collocations,
         "jsonl_ingest": q_jsonl_ingest,
+        "segment_checksums": q_segment_checksums,
+        "centroid_distances": q_centroid_distances,
         "l_diversity": q_l_diversity,
     }
 
@@ -6988,6 +7024,9 @@ LLR_TOPN = 50
 # JSONL ingest (q_jsonl_ingest): deterministic corrupt lines injected
 # alongside the landed corpus; both sides count the same constant.
 JSONL_CORRUPT_LINES = ("{broken json", "not json at all", '{"doc_id": }')
+
+# Merkle-segment sync (q_segment_checksums): docs per checksum segment.
+SEG_SIZE = 64
 
 # Model-based quality gate (q_quality_model_score): hashed bag-of-words
 # linear model — feature = md5_number_lower('qmodel:v1:'||tok) % DIM,
@@ -11400,6 +11439,47 @@ QUALIFY row_number() OVER (
         """,
         "dedup_recall_audit": _lsh_recall_oracle_sql(),
         "k_core": _kcore_oracle_sql(KCORE_K, KCORE_ROUNDS),
+        "centroid_distances": """
+            WITH ex AS (
+              SELECT label,
+                     generate_subscripts(embedding, 1) - 1 AS dim_idx,
+                     unnest(embedding)::DOUBLE AS component
+              FROM embeddings
+            ),
+            cent AS (
+              SELECT label, dim_idx,
+                     CAST(sum(CAST(floor(component * 1e6) AS BIGINT))
+                          AS HUGEINT) AS s
+              FROM ex GROUP BY label, dim_idx
+            ),
+            dots AS (
+              SELECT a.label AS la, b.label AS lb, sum(a.s * b.s) AS dot
+              FROM cent a JOIN cent b
+                ON a.dim_idx = b.dim_idx AND a.label < b.label
+              GROUP BY 1, 2
+            ),
+            norms AS (
+              SELECT label, sum(s * s) AS nrm FROM cent GROUP BY label
+            )
+            SELECT la AS label_a, lb AS label_b,
+                   CAST(floor(CAST(dot AS DOUBLE)
+                              / (sqrt(CAST(na.nrm AS DOUBLE))
+                                 * sqrt(CAST(nb.nrm AS DOUBLE)))
+                              * 1000000.0) AS BIGINT) AS cos_q
+            FROM dots
+            JOIN norms na ON dots.la = na.label
+            JOIN norms nb ON dots.lb = nb.label
+        """,
+        "segment_checksums": f"""
+            SELECT CAST(doc_id // {SEG_SIZE} AS BIGINT) AS segment,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CAST(md5_number_lower(
+                       'fp:' || CAST(doc_id AS VARCHAR) || ':'
+                       || md5(COALESCE(text, ''))) % {10**15} AS BIGINT))
+                     % {10**15} AS BIGINT) AS fp
+            FROM documents
+            GROUP BY 1
+        """,
         "jsonl_ingest": f"""
             SELECT CAST(count(*) AS BIGINT) AS n_valid,
                    CAST({len(JSONL_CORRUPT_LINES)} AS BIGINT)

@@ -710,3 +710,68 @@ def hard_negatives(
         .filter(F.col("rank") <= neg_k)
         .select("a_id", "c_id", F.col("rank").cast("long").alias("rank"), "cos_micros")
     )
+
+
+def centroid_distance_matrix(
+    centroids: DataFrame,
+) -> DataFrame:
+    """Pairwise cosine between label centroids — the class-confusion
+    structure of an embedding space (which labels sit dangerously
+    close, which drifted apart): consumes ``label_centroid_sums``
+    output directly and exploits scale-invariance (cosine of the SUM
+    vectors equals cosine of the means), so no division happens before
+    the final score. Dots and norms accumulate the micro-quantized
+    component products as DECIMAL(38,0) — exact at any magnitude,
+    where bigint squares of 1e6-scaled sums would overflow — and the
+    emitted ``cos_q`` is one fixed IEEE tree (dot / (sqrt(na)·sqrt(nb)))
+    floored to micros, the integer-exact-cosine contract the
+    dedup_embedding family uses.
+
+    100 TB shape: input is already O(labels × dims); the dim-keyed
+    pair join and both aggregates run on that grain — corpus size
+    never appears. Returns (label_a, label_b, cos_q), label_a < label_b.
+    """
+    d38 = "decimal(38,0)"
+    a = centroids.select(
+        F.col("label").alias("la"),
+        "dim_idx",
+        F.col("sum_micros").alias("sa"),
+    )
+    b = centroids.select(
+        F.col("label").alias("lb"),
+        "dim_idx",
+        F.col("sum_micros").alias("sb"),
+    )
+    dots = (
+        a.join(b, "dim_idx")
+        .filter(F.col("la") < F.col("lb"))
+        .groupBy("la", "lb")
+        .agg(
+            F.sum(F.col("sa").cast(d38) * F.col("sb").cast(d38)).alias("dot")
+        )
+    )
+    norms = centroids.groupBy(F.col("label")).agg(
+        F.sum(
+            F.col("sum_micros").cast(d38) * F.col("sum_micros").cast(d38)
+        ).alias("nrm")
+    )
+    na = norms.select(F.col("label").alias("la"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("label").alias("lb"), F.col("nrm").alias("nb"))
+    return (
+        dots.join(F.broadcast(na), "la")
+        .join(F.broadcast(nb), "lb")
+        .select(
+            F.col("la").alias("label_a"),
+            F.col("lb").alias("label_b"),
+            F.floor(
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("na").cast("double"))
+                    * F.sqrt(F.col("nb").cast("double"))
+                )
+                * F.lit(1_000_000.0)
+            )
+            .cast("long")
+            .alias("cos_q"),
+        )
+    )

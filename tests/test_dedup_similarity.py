@@ -974,3 +974,28 @@ def test_dedup_recall_audit_invariants(spark, sf_dir):
     assert row["n_hit"] == row["n_lsh"] <= row["n_truth"]
     if row["n_truth"]:
         assert row["recall_q"] == row["n_hit"] * 1_000_000 // row["n_truth"]
+
+
+def test_centroid_distance_matrix_orthogonal_and_identical(spark):
+    from rat_strain_loader_pipeline_spark.operators.similarity import (
+        centroid_distance_matrix,
+        label_centroid_sums,
+    )
+
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [1.0, 0.0], 0),   # label 0 centroid -> x axis
+        (3, [0.0, 2.0], 1),   # label 1 centroid -> y axis (orthogonal)
+        (4, [3.0, 0.0], 2),   # label 2 centroid -> x axis (parallel to 0)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = {
+        (r["label_a"], r["label_b"]): r["cos_q"]
+        for r in centroid_distance_matrix(label_centroid_sums(df)).collect()
+    }
+    assert got[(0, 1)] == 0
+    assert got[(0, 2)] == 1_000_000
+    assert got[(1, 2)] == 0
+    assert len(got) == 3
