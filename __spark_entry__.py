@@ -5629,6 +5629,95 @@ def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return markov_transitions(_t(spark, sf_dir, "events"))
 
 
+def q_preference_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair length-bias audit — the first hygiene check on
+    RLHF/DPO data: if 'chosen' responses are systematically longer,
+    the reward signal is length, not quality. Pairs synthesize
+    deterministically (chosen = even doc_id, rejected = its +1
+    neighbor, one id-keyed join); per chosen-source: pair count,
+    longer-chosen count and rate (micros), and the raw signed length
+    diff sum (bigint — no floor division on signed values, the repo's
+    div-semantics rule)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    chosen = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("pair_id"),
+        F.col("source"),
+        F.col("n_chars").alias("len_c"),
+    )
+    rejected = docs.filter(F.col("doc_id") % 2 == 1).select(
+        (F.col("doc_id") - 1).alias("pair_id"),
+        F.col("n_chars").alias("len_r"),
+    )
+    pairs = chosen.join(rejected, "pair_id")
+    return pairs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.when(F.col("len_c") > F.col("len_r"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_chosen_longer"),
+        F.expr(
+            "sum(CASE WHEN len_c > len_r THEN 1 ELSE 0 END)"
+            " * 1000000L div count(*)"
+        )
+        .cast("long")
+        .alias("longer_rate_q"),
+        F.sum(F.col("len_c") - F.col("len_r"))
+        .cast("long")
+        .alias("sum_len_diff"),
+    )
+
+
+def q_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental JOIN-view maintenance — the three-term delta
+    identity Δ(A⋈B) = ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB that keeps a materialized
+    join view fresh without re-joining the full fact tables (the join
+    twin of incremental_rollup's aggregate maintenance): the staged
+    OLD view audit absorbs the base⋈base term, the three delta joins
+    touch only delta-sized inputs on one side, and the combined
+    per-priority audit must equal a from-scratch join of the full
+    tables — which is exactly what the oracle computes, so the
+    identity itself is value-asserted every round. Money sums in
+    decimal cents per the pricing idiom."""
+    from rat_strain_loader_pipeline_spark.staging import stage_to_parquet
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    a1 = o.filter(F.col("o_orderkey") % JDELTA_A_MOD != 0)
+    da = o.filter(F.col("o_orderkey") % JDELTA_A_MOD == 0)
+    b1 = li.filter(F.col("l_orderkey") % JDELTA_B_MOD != 0)
+    db = li.filter(F.col("l_orderkey") % JDELTA_B_MOD == 0)
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+
+    def audit(df):
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(qty).cast("decimal(28,2)").alias("sq"),
+        )
+
+    old = stage_to_parquet(
+        audit(a1.join(b1, a1["o_orderkey"] == b1["l_orderkey"])),
+        "jdelta-old",
+    )
+    deltas = audit(
+        da.join(b1, da["o_orderkey"] == b1["l_orderkey"])
+        .unionByName(a1.join(db, a1["o_orderkey"] == db["l_orderkey"]))
+        .unionByName(da.join(db, da["o_orderkey"] == db["l_orderkey"]))
+    )
+    merged = (
+        old.select("o_orderpriority", "n", "sq")
+        .unionByName(deltas)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("n").cast("long").alias("n_rows"),
+            F.sum("sq").cast("double").alias("sum_qty"),
+        )
+    )
+    return merged
+
+
 def q_centroid_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label-centroid cosine matrix (operators/similarity.py
     centroid_distance_matrix) over label_centroid_sums: scale-invariant
@@ -6389,6 +6478,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonl_ingest": q_jsonl_ingest,
         "segment_checksums": q_segment_checksums,
         "centroid_distances": q_centroid_distances,
+        "join_delta": q_join_delta,
+        "preference_bias": q_preference_bias,
         "l_diversity": q_l_diversity,
     }
 
@@ -7027,6 +7118,10 @@ JSONL_CORRUPT_LINES = ("{broken json", "not json at all", '{"doc_id": }')
 
 # Merkle-segment sync (q_segment_checksums): docs per checksum segment.
 SEG_SIZE = 64
+
+# Join IVM (q_join_delta): delta slices of the fact tables.
+JDELTA_A_MOD = 11   # orders with key % 11 == 0 arrive as the delta
+JDELTA_B_MOD = 13   # lineitem with key % 13 == 0 arrive as the delta
 
 # Model-based quality gate (q_quality_model_score): hashed bag-of-words
 # linear model — feature = md5_number_lower('qmodel:v1:'||tok) % DIM,
@@ -11439,6 +11534,38 @@ QUALIFY row_number() OVER (
         """,
         "dedup_recall_audit": _lsh_recall_oracle_sql(),
         "k_core": _kcore_oracle_sql(KCORE_K, KCORE_ROUNDS),
+        "preference_bias": """
+            WITH c AS (
+              SELECT doc_id AS pair_id, source,
+                     CAST(n_chars AS BIGINT) AS len_c
+              FROM documents WHERE doc_id % 2 = 0
+            ),
+            r AS (
+              SELECT doc_id - 1 AS pair_id,
+                     CAST(n_chars AS BIGINT) AS len_r
+              FROM documents WHERE doc_id % 2 = 1
+            ),
+            p AS (SELECT c.source, c.len_c, r.len_r
+                  FROM c JOIN r ON c.pair_id = r.pair_id)
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_pairs,
+                   CAST(sum(CASE WHEN len_c > len_r THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_chosen_longer,
+                   CAST(sum(CASE WHEN len_c > len_r THEN 1 ELSE 0 END)
+                        * 1000000 // count(*) AS BIGINT) AS longer_rate_q,
+                   CAST(sum(len_c - len_r) AS BIGINT) AS sum_len_diff
+            FROM p GROUP BY source
+        """,
+        # from-scratch full join: equality here value-asserts the
+        # three-term delta identity the engine maintains incrementally
+        "join_delta": """
+            SELECT o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+                        AS DOUBLE) AS sum_qty
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            GROUP BY o_orderpriority
+        """,
         "centroid_distances": """
             WITH ex AS (
               SELECT label,

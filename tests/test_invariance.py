@@ -200,3 +200,25 @@ def test_top_paths_and_mad_partition_invariant(spark, sf_dir):
         a = _rows(out.coalesce(1))
         b = _rows(out.repartition(13))
         assert a == b, q.__name__
+
+
+def test_join_delta_equals_full_recompute(spark, sf_dir):
+    """The three-term delta identity must reproduce the from-scratch
+    join audit exactly (same check the oracle runs, pinned in CI)."""
+    import __spark_entry__ as em
+    from rat_strain_loader_pipeline_spark.sources.tables import read_table
+
+    maintained = _rows(em.q_join_delta(spark, sf_dir))
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    full = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+    )
+    assert maintained == _rows(full)
