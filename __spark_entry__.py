@@ -5629,6 +5629,27 @@ def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return markov_transitions(_t(spark, sf_dir, "events"))
 
 
+def q_unicode_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC hygiene audit (operators/text.py unicode_nfc_audit):
+    docs with doc_id % 3 == 0 get a decomposed 'e'+COMBINING-ACUTE
+    suffix appended on BOTH sides (the corpus itself is NFC-clean), so
+    the audit exercises real normalization: engine = Arrow-batched
+    unicodedata NFC, oracle = DuckDB nfc_normalize — two independent
+    NFC implementations value-agreeing per round."""
+    from rat_strain_loader_pipeline_spark.operators.text import (
+        unicode_nfc_audit,
+    )
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.col("text"), F.lit(" cafe\u0301")),
+        ).otherwise(F.col("text")),
+    )
+    return unicode_nfc_audit(docs)
+
+
 def q_preference_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Preference-pair length-bias audit — the first hygiene check on
     RLHF/DPO data: if 'chosen' responses are systematically longer,
@@ -6480,6 +6501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "centroid_distances": q_centroid_distances,
         "join_delta": q_join_delta,
         "preference_bias": q_preference_bias,
+        "unicode_audit": q_unicode_audit,
         "l_diversity": q_l_diversity,
     }
 
@@ -11534,6 +11556,27 @@ QUALIFY row_number() OVER (
         """,
         "dedup_recall_audit": _lsh_recall_oracle_sql(),
         "k_core": _kcore_oracle_sql(KCORE_K, KCORE_ROUNDS),
+        "unicode_audit": """
+            WITH synth AS (
+              SELECT lang,
+                     CASE WHEN doc_id % 3 = 0
+                          THEN text || ' caf' || 'e' || chr(769)
+                          ELSE text END AS text
+              FROM documents
+            ),
+            scored AS (
+              SELECT lang,
+                     text <> nfc_normalize(text) AS changed,
+                     CAST(len(text) - len(nfc_normalize(text))
+                          AS BIGINT) AS cp_delta
+              FROM synth
+            )
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN changed THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_nonnfc,
+                   CAST(sum(cp_delta) AS BIGINT) AS sum_cp_delta
+            FROM scored GROUP BY lang
+        """,
         "preference_bias": """
             WITH c AS (
               SELECT doc_id AS pair_id, source,

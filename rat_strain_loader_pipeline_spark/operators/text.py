@@ -938,3 +938,56 @@ def llr_collocations(
         .orderBy(F.col("llr_q").desc(), F.col("a").asc(), F.col("b").asc())
         .limit(topn)
     )
+
+
+def unicode_nfc_audit(
+    docs: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Unicode-normalization hygiene audit — the multilingual-corpus
+    check that catches mixed NFC/NFD ingestion (the same word arriving
+    precomposed from one crawler and decomposed from another defeats
+    exact dedup, tokenizer merges, and embedding-cache keys): per
+    group, how many docs are not NFC-normal and how many code points
+    normalization removes. The normalize itself is an Arrow-batched
+    pandas UDF over Python's unicodedata (Spark has no built-in
+    normalizer); the oracle replays it with DuckDB's nfc_normalize —
+    two independent NFC implementations agreeing is the audit's own
+    correctness certificate.
+
+    100 TB shape: one map-only pass (UDF + comparison inside the scan
+    stage), then a group-cardinality aggregate. Returns
+    (group, n_docs, n_nonnfc, sum_cp_delta).
+    """
+    import unicodedata
+
+    import pandas as pd  # noqa: F401 (resolves the UDF type hints)
+    from pyspark.sql.functions import pandas_udf
+
+    def _nfc(s: "pd.Series") -> "pd.Series":
+        return s.map(
+            lambda t: unicodedata.normalize("NFC", t)
+            if t is not None
+            else None
+        )
+
+    _nfc.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    nfc = pandas_udf(_nfc, "string")
+
+    from rat_strain_loader_pipeline_spark.ship import ensure_shipped
+
+    ensure_shipped(docs.sparkSession)
+    t = F.col(text_col)
+    scored = docs.select(
+        F.col(group_col).alias("g"),
+        (t != nfc(t)).alias("changed"),
+        (F.length(t) - F.length(nfc(t))).cast("long").alias("cp_delta"),
+    )
+    return scored.groupBy(F.col("g").alias(group_col)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("changed"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_nonnfc"),
+        F.sum("cp_delta").cast("long").alias("sum_cp_delta"),
+    )

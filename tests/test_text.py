@@ -65,3 +65,22 @@ def test_llr_collocations_independent_pair_scores_low(spark):
     )
     out = llr_collocations(df, min_count=1, topn=5).collect()
     assert len(out) == 1 and out[0]["llr_q"] == 0
+
+
+def test_unicode_nfc_audit_counts_decomposed(spark):
+    from rat_strain_loader_pipeline_spark.operators.text import (
+        unicode_nfc_audit,
+    )
+
+    rows = [
+        (1, "plain ascii", "en"),
+        (2, "café combining", "fr"),   # decomposed: 1 cp removed
+        (3, "café precomposed", "fr"),  # already NFC
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {
+        r["lang"]: (r["n_docs"], r["n_nonnfc"], r["sum_cp_delta"])
+        for r in unicode_nfc_audit(df).collect()
+    }
+    assert got["en"] == (1, 0, 0)
+    assert got["fr"] == (2, 1, 1)
