@@ -5629,6 +5629,51 @@ def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return markov_transitions(_t(spark, sf_dir, "events"))
 
 
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet schema-evolution read — the lakehouse reality that a
+    landed corpus grows columns over time: batch v1 lands (doc_id,
+    source, n_chars), batch v2 adds a quality_q column; ONE
+    mergeSchema read unions the physical schemas, null-backfilling the
+    old batch — no rewrite of v1 files (the schema-on-read contract).
+    Emits the per-batch audit (rows, null/quality sums) the oracle
+    recomputes from the source table. At 100 TB mergeSchema footers
+    are the only extra cost — data files are untouched."""
+    import os as _os
+    import uuid as _uuid
+
+    from rat_strain_loader_pipeline_spark.staging import _stage_root
+
+    docs = _t(spark, sf_dir, "documents")
+    root = _os.path.join(
+        _stage_root(), f"schema-evo-{_uuid.uuid4().hex[:8]}"
+    )
+    v1 = docs.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id", "source", "n_chars"
+    )
+    v2 = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id",
+        "source",
+        "n_chars",
+        (F.col("n_chars") * 7 % 1000).cast("long").alias("quality_q"),
+    )
+    v1.write.parquet(_os.path.join(root, "batch=v1"))
+    v2.write.parquet(_os.path.join(root, "batch=v2"))
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        _os.path.join(root, "batch=v1"), _os.path.join(root, "batch=v2")
+    )
+    return merged.groupBy(
+        (F.col("doc_id") % 2 == 0).alias("is_v1")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("quality_q").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_null_quality"),
+        F.coalesce(F.sum("quality_q"), F.lit(0))
+        .cast("long")
+        .alias("sum_quality_q"),
+    )
+
+
 def q_unicode_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode NFC hygiene audit (operators/text.py unicode_nfc_audit):
     docs with doc_id % 3 == 0 get a decomposed 'e'+COMBINING-ACUTE
@@ -6502,6 +6547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_delta": q_join_delta,
         "preference_bias": q_preference_bias,
         "unicode_audit": q_unicode_audit,
+        "schema_evolution": q_schema_evolution,
         "l_diversity": q_l_diversity,
     }
 
@@ -11556,6 +11602,16 @@ QUALIFY row_number() OVER (
         """,
         "dedup_recall_audit": _lsh_recall_oracle_sql(),
         "k_core": _kcore_oracle_sql(KCORE_K, KCORE_ROUNDS),
+        "schema_evolution": """
+            SELECT doc_id % 2 = 0 AS is_v1,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_null_quality,
+                   CAST(COALESCE(sum(CASE WHEN doc_id % 2 = 1
+                                     THEN (n_chars * 7) % 1000 END), 0)
+                        AS BIGINT) AS sum_quality_q
+            FROM documents GROUP BY 1
+        """,
         "unicode_audit": """
             WITH synth AS (
               SELECT lang,

@@ -301,3 +301,16 @@ def test_jsonl_quarantine_routes_bad_lines(spark, tmp_path):
     bad = [r["_corrupt"] for r in rows if r["is_quarantined"]]
     assert good == {1: "ok", 2: "with \n newline"}
     assert sorted(bad) == sorted(["{definitely broken", '{"id": }'])
+
+
+def test_schema_evolution_merge_read_backfills_nulls(spark, tmp_path):
+    import os
+
+    v1 = spark.createDataFrame([(1, "a")], "id long, x string")
+    v2 = spark.createDataFrame([(2, "b", 9)], "id long, x string, extra long")
+    p1, p2 = os.path.join(tmp_path, "v1"), os.path.join(tmp_path, "v2")
+    v1.write.parquet(p1)
+    v2.write.parquet(p2)
+    merged = spark.read.option("mergeSchema", "true").parquet(p1, p2)
+    rows = {r["id"]: (r["x"], r["extra"]) for r in merged.collect()}
+    assert rows == {1: ("a", None), 2: ("b", 9)}
