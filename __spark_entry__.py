@@ -5629,6 +5629,56 @@ def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return markov_transitions(_t(spark, sf_dir, "events"))
 
 
+def q_cluster_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silhouette-lite label separation (operators/similarity.py
+    cluster_margin): own-centroid vs best-other-centroid cosine per
+    vector — DECIMAL(38,0) zip_with dots against a BROADCAST K-row
+    centroid table (one corpus map pass, K-fan, label-grain agg).
+    Signed margins emitted as sums; misassignment = other >= own."""
+    from rat_strain_loader_pipeline_spark.operators.similarity import (
+        cluster_margin,
+    )
+
+    return cluster_margin(_t(spark, sf_dir, "embeddings"))
+
+
+def q_order_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-order vs event-time skew audit — the data-quality
+    check that sizes streaming watermarks: per event type, how often
+    does arrival order (event_id) disagree with event time (ts)?
+    One type-keyed lag() window on (event_id) order; inversions =
+    consecutive arrivals whose timestamps step backwards, plus the
+    max backwards jump in seconds (the watermark bound a late-data
+    policy must cover). All bigint."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("event_id")
+    sec = F.unix_timestamp(F.col("ts")).cast("long")
+    stepped = ev.select(
+        "event_type",
+        sec.alias("sec"),
+        F.lag(sec).over(w).alias("prev_sec"),
+    )
+    return stepped.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(
+            F.when(F.col("sec") < F.col("prev_sec"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_inversions"),
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("sec") < F.col("prev_sec"),
+                    F.col("prev_sec") - F.col("sec"),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("max_back_jump_s"),
+    )
+
+
 def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parquet schema-evolution read — the lakehouse reality that a
     landed corpus grows columns over time: batch v1 lands (doc_id,
@@ -6548,6 +6598,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "preference_bias": q_preference_bias,
         "unicode_audit": q_unicode_audit,
         "schema_evolution": q_schema_evolution,
+        "order_skew_audit": q_order_skew_audit,
+        "cluster_margin": q_cluster_margin,
         "l_diversity": q_l_diversity,
     }
 
@@ -11602,6 +11654,76 @@ QUALIFY row_number() OVER (
         """,
         "dedup_recall_audit": _lsh_recall_oracle_sql(),
         "k_core": _kcore_oracle_sql(KCORE_K, KCORE_ROUNDS),
+        "cluster_margin": """
+            WITH ex AS (
+              SELECT vec_id, label,
+                     generate_subscripts(embedding, 1) - 1 AS dim_idx,
+                     unnest(embedding)::DOUBLE AS component
+              FROM embeddings
+            ),
+            vq AS (
+              SELECT vec_id, label, dim_idx,
+                     CAST(floor(component * 1e6) AS BIGINT) AS xq
+              FROM ex
+            ),
+            cent AS (
+              SELECT label AS cand, dim_idx,
+                     CAST(sum(xq) AS HUGEINT) AS s
+              FROM vq GROUP BY 1, 2
+            ),
+            nrm AS (SELECT cand, sum(s * s) AS ns FROM cent GROUP BY cand),
+            nv AS (
+              SELECT vec_id,
+                     sum(CAST(xq AS HUGEINT) * CAST(xq AS HUGEINT)) AS nv
+              FROM vq GROUP BY vec_id
+            ),
+            dots AS (
+              SELECT v.vec_id, v.label AS own, c.cand,
+                     sum(CAST(v.xq AS HUGEINT) * c.s) AS dot
+              FROM vq v JOIN cent c ON v.dim_idx = c.dim_idx
+              GROUP BY 1, 2, 3
+            ),
+            scored AS (
+              SELECT d.vec_id, d.own, d.cand,
+                     CAST(floor(CAST(d.dot AS DOUBLE)
+                                / (sqrt(CAST(nv.nv AS DOUBLE))
+                                   * sqrt(CAST(nrm.ns AS DOUBLE)))
+                                * 1000000.0) AS BIGINT) AS cos_q
+              FROM dots d
+              JOIN nv ON d.vec_id = nv.vec_id
+              JOIN nrm ON d.cand = nrm.cand
+            ),
+            per_vec AS (
+              SELECT vec_id, own,
+                     max(CASE WHEN cand = own THEN cos_q END) AS own_q,
+                     max(CASE WHEN cand <> own THEN cos_q END) AS other_q
+              FROM scored GROUP BY vec_id, own
+            )
+            SELECT own AS label,
+                   CAST(count(*) AS BIGINT) AS n_vecs,
+                   CAST(sum(CASE WHEN other_q >= own_q THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_misassigned,
+                   CAST(sum(own_q - other_q) AS BIGINT) AS sum_margin_q
+            FROM per_vec GROUP BY own
+        """,
+        "order_skew_audit": """
+            WITH stepped AS (
+              SELECT event_type,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+                     lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+                       PARTITION BY event_type ORDER BY event_id
+                     ) AS prev_sec
+              FROM events
+            )
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(CASE WHEN sec < prev_sec THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_inversions,
+                   CAST(COALESCE(max(CASE WHEN sec < prev_sec
+                                     THEN prev_sec - sec END), 0)
+                        AS BIGINT) AS max_back_jump_s
+            FROM stepped GROUP BY event_type
+        """,
         "schema_evolution": """
             SELECT doc_id % 2 = 0 AS is_v1,
                    CAST(count(*) AS BIGINT) AS n_rows,

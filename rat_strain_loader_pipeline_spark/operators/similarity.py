@@ -775,3 +775,106 @@ def centroid_distance_matrix(
             .alias("cos_q"),
         )
     )
+
+
+def cluster_margin(
+    embeddings: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-label separation margin — silhouette-lite over label
+    centroids: every vector's cosine to its OWN centroid vs its best
+    OTHER centroid; a label whose members sit closer to a foreign
+    prototype than their own is mislabeled, collapsed, or drifting
+    (the cheap per-round proxy for a full silhouette, which is
+    all-pairs and unshippable).
+
+    Exactness: components quantize to integer micros; centroid SUMS
+    come from label_centroid_sums (exact ints, scale-invariant under
+    cosine); every dot accumulates DECIMAL(38,0) products inside
+    ``zip_with``/``aggregate`` (JVM, whole-stage codegen — no Python
+    in the hot loop); the only doubles are the final fixed IEEE tree
+    per (vector, candidate) score, floored to micros. Margins are
+    emitted as signed SUMS (no signed floor-division).
+
+    100 TB shape: the centroid table collapses to K rows of
+    (dim-array, norm) and BROADCASTS; the corpus is touched in ONE
+    map pass that fans each vector to K scored rows (K is class
+    count, not corpus-sized), then a label-grain aggregate. Returns
+    (label, n_vecs, n_misassigned, sum_margin_q).
+    """
+    d38 = "decimal(38,0)"
+    cent = label_centroid_sums(embeddings, label_col, vec_col, id_col)
+    nrm = cent.groupBy("label").agg(
+        F.sum(
+            F.col("sum_micros").cast(d38) * F.col("sum_micros").cast(d38)
+        ).alias("ns")
+    )
+    arrs = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("dim_idx", "sum_micros"))
+            ),
+            lambda st: st["sum_micros"],
+        ).alias("s_arr")
+    )
+    cand = (
+        arrs.join(nrm, "label")
+        .select(F.col("label").alias("cand"), "s_arr", "ns")
+    )
+    vq = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * F.lit(1_000_000.0)).cast(
+            "long"
+        ),
+    )
+    v = embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.col(label_col).alias("own"),
+        vq.alias("vq"),
+    ).withColumn(
+        "nv",
+        F.aggregate(
+            F.col("vq"),
+            F.lit(0).cast(d38),
+            lambda acc, x: acc + x.cast(d38) * x.cast(d38),
+        ),
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("vq"), F.col("s_arr"), lambda a, b: a.cast(d38) * b.cast(d38)
+        ),
+        F.lit(0).cast(d38),
+        lambda acc, x: acc + x,
+    )
+    cos_q = F.floor(
+        dot.cast("double")
+        / (
+            F.sqrt(F.col("nv").cast("double"))
+            * F.sqrt(F.col("ns").cast("double"))
+        )
+        * F.lit(1_000_000.0)
+    ).cast("long")
+    scored = v.crossJoin(F.broadcast(cand)).select(
+        "vid", "own", "cand", cos_q.alias("cos_q")
+    )
+    per_vec = scored.groupBy("vid", "own").agg(
+        F.max(F.when(F.col("cand") == F.col("own"), F.col("cos_q"))).alias(
+            "own_q"
+        ),
+        F.max(F.when(F.col("cand") != F.col("own"), F.col("cos_q"))).alias(
+            "other_q"
+        ),
+    )
+    return per_vec.groupBy(F.col("own").alias("label")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.sum(
+            F.when(F.col("other_q") >= F.col("own_q"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_misassigned"),
+        F.sum(F.col("own_q") - F.col("other_q"))
+        .cast("long")
+        .alias("sum_margin_q"),
+    )

@@ -999,3 +999,28 @@ def test_centroid_distance_matrix_orthogonal_and_identical(spark):
     assert got[(0, 2)] == 1_000_000
     assert got[(1, 2)] == 0
     assert len(got) == 3
+
+
+def test_cluster_margin_separable_labels(spark):
+    from rat_strain_loader_pipeline_spark.operators.similarity import (
+        cluster_margin,
+    )
+
+    # two clean clusters on orthogonal axes + one planted mislabel
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [0.9, 0.1], 0),
+        (3, [0.0, 1.0], 1),
+        (4, [0.1, 0.9], 1),
+        (5, [1.0, 0.05], 1),   # labeled 1 but sits on label-0 axis
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = {
+        r["label"]: (r["n_vecs"], r["n_misassigned"])
+        for r in cluster_margin(df).collect()
+    }
+    assert got[0] == (2, 0)
+    # the planted vector must be flagged as misassigned within label 1
+    assert got[1][0] == 3 and got[1][1] == 1
