@@ -5629,6 +5629,42 @@ def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return markov_transitions(_t(spark, sf_dir, "events"))
 
 
+def q_user_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Gini inequality of per-user event volume within each
+    event type (operators/stats.py gini_coefficient) — the
+    distribution-inequality twin of source_hhi's share concentration:
+    fraction-free rank formulation, all divisions non-negative. One
+    user-grain collapse + one per-type rank window."""
+    from rat_strain_loader_pipeline_spark.operators.stats import (
+        gini_coefficient,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    return gini_coefficient(counts, ["event_type"], "x")
+
+
+def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent activity per event type (operators/stats.py
+    peak_concurrency): each event opens a 600 s presence interval;
+    the classic +1/−1 boundary sweep (boundaries pre-collapsed to
+    (t, Σdelta) grain, so the cumsum is tie-independent) yields the
+    max overlap and its earliest time — capacity planning's first
+    number."""
+    from rat_strain_loader_pipeline_spark.operators.stats import (
+        peak_concurrency,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    sec = F.unix_timestamp(F.col("ts")).cast("long")
+    iv = ev.select(
+        "event_type", sec.alias("s"), (sec + F.lit(600)).alias("e")
+    )
+    return peak_concurrency(iv, ["event_type"], "s", "e")
+
+
 def q_cluster_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Silhouette-lite label separation (operators/similarity.py
     cluster_margin): own-centroid vs best-other-centroid cosine per
@@ -6600,6 +6636,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_evolution": q_schema_evolution,
         "order_skew_audit": q_order_skew_audit,
         "cluster_margin": q_cluster_margin,
+        "user_gini": q_user_gini,
+        "peak_concurrency": q_peak_concurrency,
         "l_diversity": q_l_diversity,
     }
 
@@ -11654,6 +11692,61 @@ QUALIFY row_number() OVER (
         """,
         "dedup_recall_audit": _lsh_recall_oracle_sql(),
         "k_core": _kcore_oracle_sql(KCORE_K, KCORE_ROUNDS),
+        "user_gini": """
+            WITH c AS (
+              SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS x
+              FROM events GROUP BY 1, 2
+            ),
+            r AS (
+              SELECT event_type, x,
+                     row_number() OVER (
+                       PARTITION BY event_type ORDER BY x ASC
+                     ) AS i
+              FROM c
+            ),
+            a AS (
+              SELECT event_type,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(x) AS BIGINT) AS sum_x,
+                     CAST(sum(i * x) AS BIGINT) AS s1
+              FROM r GROUP BY 1
+            )
+            SELECT event_type, n, sum_x,
+                   CASE WHEN sum_x > 0 THEN
+                     CAST((2 * s1 * 1000000) // (n * sum_x)
+                          - ((n + 1) * 1000000) // n AS BIGINT)
+                   END AS gini_q
+            FROM a
+        """,
+        "peak_concurrency": """
+            WITH iv AS (
+              SELECT event_type,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS s
+              FROM events
+            ),
+            b AS (
+              SELECT event_type, t, CAST(sum(d) AS BIGINT) AS d FROM (
+                SELECT event_type, s AS t, 1 AS d FROM iv
+                UNION ALL
+                SELECT event_type, s + 600 AS t, -1 AS d FROM iv
+              ) GROUP BY 1, 2
+            ),
+            sw AS (
+              SELECT event_type, t,
+                     sum(d) OVER (PARTITION BY event_type ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS cur
+              FROM b
+            ),
+            mx AS (
+              SELECT event_type, max(cur) AS peak FROM sw GROUP BY 1
+            )
+            SELECT sw.event_type, CAST(mx.peak AS BIGINT) AS peak,
+                   CAST(min(sw.t) AS BIGINT) AS peak_at
+            FROM sw JOIN mx
+              ON sw.event_type = mx.event_type AND sw.cur = mx.peak
+            GROUP BY 1, 2
+        """,
         "cluster_margin": """
             WITH ex AS (
               SELECT vec_id, label,

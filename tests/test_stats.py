@@ -331,3 +331,43 @@ def test_hhi_concentration_extremes(spark):
     assert got["mono"] == (10, 1, 1_000_000)
     # 4 even items: 4 * (250000^2 / 1e6) = 250000
     assert got["even"] == (20, 4, 250_000)
+
+
+def test_gini_coefficient_extremes(spark):
+    from rat_strain_loader_pipeline_spark.operators.stats import (
+        gini_coefficient,
+    )
+
+    rows = (
+        [("equal", 5)] * 4                       # perfect equality -> 0
+        + [("conc", 0), ("conc", 0), ("conc", 0), ("conc", 100)]
+    )
+    df = spark.createDataFrame(rows, "k string, x long")
+    got = {
+        r["k"]: (r["n"], r["gini_q"])
+        for r in gini_coefficient(df, ["k"], "x").collect()
+    }
+    assert got["equal"] == (4, 0)
+    # one holder of everything among 4: G = (n-1)/n = 0.75
+    assert got["conc"] == (4, 750_000)
+
+
+def test_peak_concurrency_sweep(spark):
+    from rat_strain_loader_pipeline_spark.operators.stats import (
+        peak_concurrency,
+    )
+
+    # [0,10) [5,15) [9,12) overlap 3 at t=9; [20,30) alone;
+    # back-to-back [40,50) [50,60) must NOT double-count (exclusive end)
+    rows = [
+        ("a", 0, 10), ("a", 5, 15), ("a", 9, 12),
+        ("a", 20, 30),
+        ("b", 40, 50), ("b", 50, 60),
+    ]
+    df = spark.createDataFrame(rows, "k string, s long, e long")
+    got = {
+        r["k"]: (r["peak"], r["peak_at"])
+        for r in peak_concurrency(df, ["k"], "s", "e").collect()
+    }
+    assert got["a"] == (3, 9)
+    assert got["b"] == (1, 40)
