@@ -636,3 +636,38 @@ def test_kaplan_meier_windows_stay_cohort_partitioned(spark, sf_dir, queries):
     assert "CartesianProduct" not in plan
     # subject agg + (cohort, dur) grain + cohort windows
     assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_round7_batch3_no_cartesian(spark, sf_dir, queries):
+    """E121-E133: no real cartesians; BNLJ only for 1-row scalars
+    (llr_collocations broadcasts its NB total that way)."""
+    for name in (
+        "rolling_wau",
+        "segment_checksums",
+        "centroid_distances",
+        "join_delta",
+        "preference_bias",
+        "order_skew_audit",
+        "user_gini",
+        "peak_concurrency",
+    ):
+        plan = _plan(queries[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+    assert "CartesianProduct" not in _plan(
+        queries["llr_collocations"](spark, sf_dir)
+    )
+
+
+def test_cluster_margin_broadcasts_centroids(spark, sf_dir, queries):
+    """K-row centroid table must broadcast; the corpus pass is the
+    only fact-sized stage."""
+    plan = _plan(queries["cluster_margin"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_peak_concurrency_single_group_window(spark, sf_dir, queries):
+    plan = _plan(queries["peak_concurrency"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("Arguments: hashpartitioning") <= 2  # boundary agg + window
