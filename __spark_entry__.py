@@ -11713,7 +11713,8 @@ QUALIFY row_number() OVER (
             )
             SELECT event_type, n, sum_x,
                    CASE WHEN sum_x > 0 THEN
-                     CAST((2 * s1 * 1000000) // (n * sum_x)
+                     CAST((2 * CAST(s1 AS HUGEINT) * 1000000)
+                            // (CAST(n AS HUGEINT) * sum_x)
                           - ((n + 1) * 1000000) // n AS BIGINT)
                    END AS gini_q
             FROM a

@@ -366,6 +366,12 @@ def dhash56(content: bytes) -> int:
     _, width, height, _, bpp, compression = struct.unpack_from("<IiiHHI", content, 14)
     if bpp != 24 or compression != 0:
         raise ValueError(f"unsupported BMP: bpp={bpp} compression={compression}")
+    if height < 0:
+        # Top-down BMPs store rows in the opposite file order; sampling
+        # them as-is would hash the same image differently from its
+        # bottom-up twin and silently miss the near-dup. Poison-pill
+        # like other unsupported variants rather than guess.
+        raise ValueError("unsupported BMP: top-down (negative height)")
     abs_h = abs(height)
     stride = ((width * 3 + 3) // 4) * 4
     if data_offset + stride * abs_h > len(content):

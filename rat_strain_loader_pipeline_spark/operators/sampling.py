@@ -467,7 +467,10 @@ def poisson_bootstrap_mean(
     reproducible run-to-run, partition-invariant, and replayable by a
     SQL oracle. All arithmetic is bigint (``value_col`` must be
     integer; weighted sums stay < 2^63/1e6 at test scales — widen to
-    DECIMAL(38,0) for corpus-scale absolute sums). The interval is
+    DECIMAL(38,0) for corpus-scale absolute sums); the resample and
+    point means use FLOOR division (pmod idiom) so signed measures
+    match DuckDB's ``//`` exactly, not just non-negative ones. The
+    interval is
     rank-based: 2nd-smallest / 2nd-largest resample mean (~94% CI at
     B=32; min/max when fewer than 4 usable resamples); resamples whose
     total weight is 0 are excluded on both sides (probability ~0.37^n).
@@ -509,7 +512,16 @@ def poisson_bootstrap_mean(
             F.sum("w").cast("long").alias("n"),
         )
         .filter(F.col("n") > 0)
-        .select(*keys, "b", F.expr("s * 1000000L div n").alias("mean_b_q"))
+        # floor division (pmod idiom), not `div`: Spark `div` truncates
+        # toward zero while DuckDB `//` floors — they only agree on
+        # non-negative numerators, and value_col may be signed.
+        .select(
+            *keys,
+            "b",
+            F.expr(
+                "(s * 1000000L - pmod(s * 1000000L, n)) div n"
+            ).alias("mean_b_q"),
+        )
     )
     w_asc = Window.partitionBy(*keys).orderBy(F.asc("mean_b_q"), F.asc("b"))
     w_desc = Window.partitionBy(*keys).orderBy(F.desc("mean_b_q"), F.desc("b"))
@@ -533,7 +545,11 @@ def poisson_bootstrap_mean(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum(x).cast("long").alias("_sx"),
     ).select(
-        *keys, "n_docs", F.expr("_sx * 1000000L div n_docs").alias("mean_q")
+        *keys,
+        "n_docs",
+        F.expr(
+            "(_sx * 1000000L - pmod(_sx * 1000000L, n_docs)) div n_docs"
+        ).alias("mean_q"),
     )
     return point.join(F.broadcast(ci), keys).select(
         *keys, "n_docs", "mean_q", "b_used", "lo_q", "hi_q"

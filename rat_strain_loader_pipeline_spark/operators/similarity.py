@@ -290,14 +290,36 @@ def _quant_np(rows, np):
     return np.floor(m * MICROS)
 
 
+SENTINEL_MICROS = -2_000_000_000
+"""Zero-norm score inside the numpy GEMM paths: below any real cosine
+(micros are in [-1e6, 1e6]) so it never crosses a threshold and always
+sorts last in a top-k — the same relative order as the NULL the
+expression path (``cosine_micros_expr``) emits under desc NULLS LAST.
+Top-k emitters convert it back to NULL after selection
+(``_null_sentinel``) so both paths return identical rows."""
+
+
+def _null_sentinel(df: DataFrame) -> DataFrame:
+    """Map the zero-norm sentinel back to NULL on the final output —
+    keeps the numpy paths row-identical to the NULL-emitting expression
+    path (brute_force_topk) when k exceeds the nonzero-norm count."""
+    return df.withColumn(
+        "cosine_micros",
+        F.when(
+            F.col("cosine_micros") == F.lit(SENTINEL_MICROS), F.lit(None)
+        ).otherwise(F.col("cosine_micros")),
+    )
+
+
 def _cos_micros_np(dots, na2, nb2, np):
     """floor(dot / (sqrt(na2)*sqrt(nb2)) * 1e6) int64 for a |A| x |B|
-    exact-integer dot matrix; zero-norm rows/cols score a -2e9 sentinel
-    (below any real cosine, never above a threshold)."""
+    exact-integer dot matrix; zero-norm rows/cols score the
+    ``SENTINEL_MICROS`` sentinel (below any real cosine, never above a
+    threshold; top-k paths NULL it on output via ``_null_sentinel``)."""
     denom = np.sqrt(na2)[:, None] * np.sqrt(nb2)[None, :]
     with np.errstate(divide="ignore", invalid="ignore"):
         cos = dots / denom * MICROS
-    out = np.full(dots.shape, -2_000_000_000, dtype=np.int64)
+    out = np.full(dots.shape, SENTINEL_MICROS, dtype=np.int64)
     ok = denom > 0
     out[ok] = np.floor(cos[ok]).astype(np.int64)
     return out
@@ -357,8 +379,10 @@ def pairwise_topk_join(
                 {"q_id": out_q, "c_id": out_c, "rank": out_r, "cosine_micros": out_s}
             )
 
-    return queries.select(id_col, vec_col).mapInPandas(
-        run, schema="q_id long, c_id long, rank int, cosine_micros long"
+    return _null_sentinel(
+        queries.select(id_col, vec_col).mapInPandas(
+            run, schema="q_id long, c_id long, rank int, cosine_micros long"
+        )
     )
 
 
@@ -593,7 +617,7 @@ def knn_join_blocked(
     w = Window.partitionBy("q_id").orderBy(
         F.col("cosine_micros").desc(), F.col("c_id").asc()
     )
-    return (
+    return _null_sentinel(
         partials.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("q_id", "c_id", "rank", "cosine_micros")

@@ -752,13 +752,18 @@ def gini_coefficient(
         G = (2·Σ i·x_(i) ) / (n·Σx) − (n+1)/n
 
     computed fraction-free in micros: gini_q =
-    (2·S1·1e6) div (n·S) − ((n+1)·1e6) div n, with S1 = Σ rank·value
+    floor(2·S1·1e6 / (n·S)) − ((n+1)·1e6) div n, with S1 = Σ rank·value
     over values sorted ascending. Ranking ties is safe without a
     tiebreak: any permutation of equal values leaves the rank-value
     sum unchanged (the x_i inside a tie run are equal), so
     row_number on the value alone is deterministic in effect. All
     divisions are on non-negative operands (trunc == floor both
-    engines).
+    engines). The 2·S1·1e6 div (n·S) term is computed in DECIMAL(38,0)
+    (the grouped_ols precedent): S1 can reach n·S, so a bigint
+    numerator would silently wrap once n·S exceeds ~4.6e12 — well
+    inside the operator's claimed scale. Decimal `div` yields the
+    exact integral quotient (≤ 2e6 here, so the long cast is safe);
+    the oracle mirrors with HUGEINT `//`.
 
     100 TB shape: one groupBy collapses to the measured grain
     upstream; the rank window runs per group over group-member rows
@@ -773,7 +778,7 @@ def gini_coefficient(
     agg = ranked.groupBy(*keys).agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("x").cast("long").alias("sum_x"),
-        F.sum(F.col("i") * F.col("x")).cast("long").alias("s1"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("i")).alias("s1d"),
     )
     return agg.select(
         *keys,
@@ -781,7 +786,9 @@ def gini_coefficient(
         "sum_x",
         F.when(
             F.col("sum_x") > 0,
-            F.expr("(2 * s1 * 1000000L) div (n * sum_x)")
+            F.expr(
+                "(s1d * 2000000) div (CAST(n AS DECIMAL(38,0)) * sum_x)"
+            )
             - F.expr("((n + 1) * 1000000L) div n"),
         )
         .cast("long")

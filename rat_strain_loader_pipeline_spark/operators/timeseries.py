@@ -261,8 +261,13 @@ def ewma_smooth(
     series = df.groupBy(key_col, bucket_col).agg(
         F.sum(value_col).cast("long").alias(value_col)
     )
+    # Key/bucket field types come from the actual series schema — the
+    # operator accepts arbitrary key/bucket columns, so hardcoding
+    # string/long here would fail Arrow conversion for other types.
+    key_t = series.schema[key_col].dataType.simpleString()
+    bucket_t = series.schema[bucket_col].dataType.simpleString()
     schema = (
-        f"{key_col} string, {bucket_col} long, {value_col} long, s_q long"
+        f"{key_col} {key_t}, {bucket_col} {bucket_t}, {value_col} long, s_q long"
     )
     smoothed = series.groupBy(key_col).applyInPandas(smooth, schema=schema)
     w = Window.partitionBy(key_col).orderBy(bucket_col)
