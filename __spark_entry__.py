@@ -17,6 +17,7 @@ round only deterministic identical-operand double expressions.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -6403,6 +6404,25 @@ def q_grouped_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space benchmark decontamination (operators/similarity.py
+    semantic_contamination) — the paraphrase-leakage gate the n-gram
+    `decontaminate` can't provide: corpus vectors scoring >= SEMDECON_TAU
+    cosine against ANY benchmark vector (vec_id % SEMDECON_BENCH_MOD == 0,
+    the same benchmark rule as the n-gram gate) are flagged with their
+    best benchmark hit (tie asc bench id). Exact integer-micros cosine on
+    the broadcast benchmark matrix — map-only over the corpus, k=1 keeps
+    one row per doc. Oracle replays the brute-force argmax."""
+    from rat_strain_loader_pipeline_spark.operators.similarity import (
+        semantic_contamination,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("vec_id") % SEMDECON_BENCH_MOD == 0)
+    corpus = emb.filter(F.col("vec_id") % SEMDECON_BENCH_MOD != 0)
+    return semantic_contamination(corpus, bench, threshold=SEMDECON_TAU)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -6639,6 +6659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_gini": q_user_gini,
         "peak_concurrency": q_peak_concurrency,
         "l_diversity": q_l_diversity,
+        "decontaminate_semantic": q_decontaminate_semantic,
     }
 
 
@@ -7256,6 +7277,39 @@ BOOT_SALT = "v1"
 # l-diversity audit (q_l_diversity): quasi = (lang, kchar length
 # bucket), sensitive = source, diversity floor LDIV_L.
 LDIV_L = 3
+
+# Semantic decontamination (q_decontaminate_semantic): benchmark =
+# vec_id % SEMDECON_BENCH_MOD == 0 (the n-gram decontaminate rule on
+# the embedding table), flag corpus vectors with max benchmark cosine
+# >= SEMDECON_TAU (the corpus near-dup threshold, q_dedup_embedding).
+SEMDECON_BENCH_MOD = 17
+SEMDECON_TAU = 0.35
+
+# Bradley-Terry preference-strength fit (q_bt_strengths): items =
+# doc_id % BT_ITEMS ("model ids"), winner = longer response (chosen on
+# ties), BT_ROUNDS MM rounds in integer micros.
+BT_ITEMS = 31
+BT_ROUNDS = 3
+
+# Batched multi-merge BPE (q_bpe_train_batched): per round the top
+# BPE_BATCH_WINDOW candidate pairs by (count desc, a, b); kept = those
+# with no symbol/concat conflict against ANY higher-ranked candidate.
+BPE_BATCH_ROUNDS = 3
+BPE_BATCH_WINDOW = 4
+
+# Sampled LSH recall audit (q_dedup_recall_audit_sampled): docs kept
+# when md5_mod(salt || doc_id, MOD) == 0 — the corpus-scale variant of
+# the full audit (deterministic 1/MOD slice on both pipelines).
+RECALL_SAMPLE_SALT = "rsample:v1:"
+RECALL_SAMPLE_MOD = 3
+
+# Streaming histogram quantiles (q_quantile_stream_merge): equal-width
+# micro-value bins over [HQ_LO, HQ_HI] micros (clamped), HQ_QS ranks
+# answered from the merged grid. Linearity: merged == single-pass.
+HQ_BINS = 64
+HQ_LO = 0                    # events.value >= 0 by generator contract
+HQ_HI = 1_000_000_000        # 1000.0 in micros; width = HI/BINS exact
+HQ_QS = (0.5, 0.9, 0.99)
 
 # Co-purchase recommender eval (q_rec_eval): train = even orderkeys,
 # top-REC_K recs from co-occurrence counts >= REC_MIN_SUPPORT.
@@ -12576,6 +12630,41 @@ FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
             )
             SELECT doc_id, n_terms, logit_micros, logit_micros >= 0 AS passes
             FROM s
+        """,
+        "decontaminate_semantic": f"""
+            WITH n AS (
+              SELECT vec_id,
+                     list_transform(embedding::DOUBLE[],
+                                    x -> CAST(floor(x * 1000000) AS BIGINT)) AS v
+              FROM embeddings
+            ),
+            n2 AS (
+              SELECT vec_id, v,
+                     sqrt(CAST(list_sum(list_transform(v, x -> x*x)) AS DOUBLE))
+                       AS nrm
+              FROM n
+            ),
+            b AS (SELECT vec_id AS bench_id, v AS bv, nrm AS bn
+                  FROM n2 WHERE vec_id % {SEMDECON_BENCH_MOD} = 0),
+            c AS (SELECT vec_id, v, nrm
+                  FROM n2 WHERE vec_id % {SEMDECON_BENCH_MOD} <> 0),
+            scored AS (
+              SELECT c.vec_id, b.bench_id,
+                     CAST(floor(
+                       CAST(list_sum(list_transform(range(1, len(c.v)+1),
+                                     i -> c.v[i] * b.bv[i])) AS DOUBLE)
+                       / (c.nrm * b.bn) * 1000000) AS BIGINT) AS cosine_micros
+              FROM c CROSS JOIN b
+            ),
+            best AS (
+              SELECT vec_id, bench_id, cosine_micros,
+                     row_number() OVER (PARTITION BY vec_id
+                       ORDER BY cosine_micros DESC, bench_id) AS rn
+              FROM scored
+            )
+            SELECT vec_id, bench_id, cosine_micros
+            FROM best
+            WHERE rn = 1 AND cosine_micros >= {int(math.floor(SEMDECON_TAU * 1_000_000))}
         """,
     }
 

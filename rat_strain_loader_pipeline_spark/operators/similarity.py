@@ -624,6 +624,49 @@ def knn_join_blocked(
     )
 
 
+def semantic_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space benchmark decontamination — the semantic twin of
+    the n-gram ``ngram_contamination`` gate (operators/text.py): a
+    corpus document is contaminated when its embedding scores >=
+    ``threshold`` cosine against ANY benchmark embedding. N-gram
+    overlap misses paraphrased / translated benchmark leakage; this
+    closes that standard eval-hygiene hole (the semantic membership
+    test of Lee et al.'s dedup line and the GPT-3 appendix-C screen).
+
+    Exact integer-micros scoring (see ``MICROS``), composed from the
+    existing GEMM machinery: the benchmark table is BENCHMARK-sized
+    (thousands of eval rows, dimension-bounded — the one side of this
+    problem that is always small), so it rides ``pairwise_topk_join``'s
+    broadcast-matrix path with k=1: each corpus partition runs one
+    numpy GEMM against the broadcast benchmark matrix and keeps only
+    its best benchmark hit; rows at or above floor(threshold·1e6) are
+    flagged. Ties at the max break by ascending benchmark id —
+    deterministic, SQL-replayable.
+
+    100 TB shape: map-only over the corpus (the k=1 top-k never
+    shuffles more than one row per corpus doc), benchmark matrix
+    broadcast once; downstream, a left_anti on the flagged ids is the
+    actual gate. Returns flagged rows only:
+    (vec_id, bench_id, cosine_micros), cosine_micros >= threshold
+    micros.
+    """
+    thr_micros = int(math.floor(threshold * MICROS))
+    best = pairwise_topk_join(
+        corpus, benchmark, k=1, id_col=id_col, vec_col=vec_col
+    )
+    return best.filter(F.col("cosine_micros") >= thr_micros).select(
+        F.col("q_id").alias(id_col),
+        F.col("c_id").alias("bench_id"),
+        "cosine_micros",
+    )
+
+
 def label_centroid_sums(
     embeddings: DataFrame,
     label_col: str = "label",
