@@ -6423,6 +6423,46 @@ def q_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_contamination(corpus, bench, threshold=SEMDECON_TAU)
 
 
+def q_bt_strengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry preference-strength fit (operators/stats.py
+    bradley_terry_strengths) — extends preference_bias's length-bias
+    AUDIT into the canonical RLHF preference AGGREGATION: pairs
+    synthesize from the same even/odd doc join, items are "model ids"
+    (doc_id % BT_ITEMS), winner = longer response (chosen on ties),
+    and BT_ROUNDS MM rounds run in integer micros with the clamped
+    exact-integral-quotient update the oracle unrolls verbatim. Each
+    round is one broadcast join onto the pair grain + one item-keyed
+    agg over item-sized state."""
+    from rat_strain_loader_pipeline_spark.operators.stats import (
+        bradley_terry_strengths,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    chosen = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("pair_id"),
+        (F.col("doc_id") % BT_ITEMS).alias("ia"),
+        F.col("n_chars").alias("len_c"),
+    )
+    rejected = docs.filter(F.col("doc_id") % 2 == 1).select(
+        (F.col("doc_id") - 1).alias("pair_id"),
+        (F.col("doc_id") % BT_ITEMS).alias("ib"),
+        F.col("n_chars").alias("len_r"),
+    )
+    p = chosen.join(rejected, "pair_id").filter(F.col("ia") != F.col("ib"))
+    winner = F.when(F.col("len_c") >= F.col("len_r"), F.col("ia")).otherwise(
+        F.col("ib")
+    )
+    lo = F.least(F.col("ia"), F.col("ib"))
+    hi = F.greatest(F.col("ia"), F.col("ib"))
+    pairs = p.select(
+        lo.alias("item_a"),
+        hi.alias("item_b"),
+        F.when(winner == lo, 1).otherwise(0).alias("wins_a"),
+        F.when(winner == lo, 0).otherwise(1).alias("wins_b"),
+    )
+    return bradley_terry_strengths(pairs, rounds=BT_ROUNDS)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -6660,6 +6700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "peak_concurrency": q_peak_concurrency,
         "l_diversity": q_l_diversity,
         "decontaminate_semantic": q_decontaminate_semantic,
+        "bt_strengths": q_bt_strengths,
     }
 
 
@@ -6987,6 +7028,79 @@ jp AS (
   FROM hs a JOIN hs b ON a.doc_id < b.doc_id
   WHERE len(list_distinct(a.hset || b.hset)) > 0 AND {j} >= {thr}
 )"""
+
+
+def _bt_oracle_sql(items: int, rounds: int) -> str:
+    """Unrolled-rounds Bradley-Terry MM oracle (pagerank/kmeans/ewma
+    precedent): pair synthesis replayed from the even/odd doc join,
+    then per round one pair-grain contribution CTE (HUGEINT exact
+    integral quotients — DuckDB // on non-negative operands == Spark
+    decimal div) and one item-grain clamped update."""
+    ctes = [
+        f"""c AS (
+  SELECT doc_id AS pair_id, doc_id % {items} AS ia,
+         CAST(n_chars AS BIGINT) AS len_c
+  FROM documents WHERE doc_id % 2 = 0
+)""",
+        f"""r AS (
+  SELECT doc_id - 1 AS pair_id, doc_id % {items} AS ib,
+         CAST(n_chars AS BIGINT) AS len_r
+  FROM documents WHERE doc_id % 2 = 1
+)""",
+        """p AS (
+  SELECT least(ia, ib) AS a, greatest(ia, ib) AS b,
+         CASE WHEN (CASE WHEN len_c >= len_r THEN ia ELSE ib END)
+                   = least(ia, ib) THEN 1 ELSE 0 END AS wa
+  FROM c JOIN r USING (pair_id) WHERE ia <> ib
+)""",
+        """pg AS MATERIALIZED (
+  SELECT a, b, CAST(sum(wa) AS BIGINT) AS wins_a,
+         CAST(count(*) - sum(wa) AS BIGINT) AS wins_b,
+         CAST(count(*) AS BIGINT) AS n
+  FROM p GROUP BY 1, 2
+)""",
+        """w AS MATERIALIZED (
+  SELECT item, CAST(sum(wv) AS BIGINT) AS n_wins,
+         CAST(sum(g) AS BIGINT) AS n_games
+  FROM (
+    SELECT a AS item, wins_a AS wv, n AS g FROM pg
+    UNION ALL
+    SELECT b AS item, wins_b AS wv, n AS g FROM pg
+  ) GROUP BY item
+)""",
+        "s0 AS (SELECT item, CAST(1000000 AS BIGINT) AS s FROM w)",
+    ]
+    for k in range(rounds):
+        ctes.append(
+            f"""ck{k} AS (
+  SELECT pg.a, pg.b,
+         CAST((CAST(pg.n AS HUGEINT) * 1000000000000)
+              // (sa.s + sb.s) AS BIGINT) AS cv
+  FROM pg JOIN s{k} sa ON pg.a = sa.item JOIN s{k} sb ON pg.b = sb.item
+),
+dk{k} AS (
+  SELECT item, CAST(sum(cv) AS BIGINT) AS d FROM (
+    SELECT a AS item, cv FROM ck{k}
+    UNION ALL
+    SELECT b AS item, cv FROM ck{k}
+  ) GROUP BY item
+),
+s{k + 1} AS MATERIALIZED (
+  SELECT w.item,
+         CAST(least(greatest((CAST(w.n_wins AS HUGEINT) * 1000000000000)
+                             // greatest(dk{k}.d, 1), 1),
+                    1000000000000) AS BIGINT) AS s
+  FROM w JOIN dk{k} ON w.item = dk{k}.item
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT w.item, w.n_wins, w.n_games, s{rounds}.s AS strength_q
+FROM w JOIN s{rounds} ON w.item = s{rounds}.item
+"""
+    )
 
 
 def _kcore_oracle_sql(k: int, rounds: int) -> str:
@@ -12666,6 +12780,7 @@ FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
             FROM best
             WHERE rn = 1 AND cosine_micros >= {int(math.floor(SEMDECON_TAU * 1_000_000))}
         """,
+        "bt_strengths": _bt_oracle_sql(BT_ITEMS, BT_ROUNDS),
     }
 
 

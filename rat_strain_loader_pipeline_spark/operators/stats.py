@@ -850,3 +850,110 @@ def peak_concurrency(
             (-F.col("m.nt")).cast("long").alias("peak_at"),
         )
     )
+
+
+def bradley_terry_strengths(
+    pairs: DataFrame,
+    rounds: int = 3,
+    item_a: str = "item_a",
+    item_b: str = "item_b",
+    wins_a: str = "wins_a",
+    wins_b: str = "wins_b",
+) -> DataFrame:
+    """Bradley-Terry preference-strength fit over pairwise win counts —
+    the canonical aggregation of RLHF / DPO preference data into a
+    per-item (model, prompt-source, annotator) strength table, via the
+    classic MM update (Hunter 2004, "MM algorithms for generalized
+    Bradley-Terry models"):
+
+        w_i  <-  W_i / sum_j n_ij / (w_i + w_j)
+
+    run for a FIXED number of rounds in integer micros so every engine
+    computes the identical bigints (the pagerank/kmeans/ewma
+    bounded-rounds pattern): strengths start at 1e6 (w = 1); per round
+    each pair contributes c_ij = (n_ij * 1e12) div (s_i + s_j) — the
+    micro-scaled denominator term, exact integral quotient in
+    DECIMAL(38,0) — and the update is
+    s_i' = clamp((W_i * 1e12) div max(D_i, 1), 1, 1e12), D_i = sum c_ij.
+    The [1, 1e12] clamp (w in [1e-6, 1e6]) is the standard
+    regularization for degenerate items: an all-wins item's true MLE is
+    infinite and an all-losses item's is zero — both would otherwise
+    overflow/zero-divide in later rounds; the clamp keeps every round's
+    arithmetic defined and both engines identical. Ties and ordering
+    never matter: all aggregations are order-free integer sums.
+
+    ``pairs`` must be at unordered-pair grain (item_a < item_b) with
+    non-negative integer win counts; n_ij = wins_a + wins_b.
+
+    100 TB shape: the pair table collapses to item-pair grain upstream
+    (one shuffle); each round is one broadcast join of the ITEM-sized
+    strength table onto the pair grain + one item-keyed partial agg,
+    with a parquet staging barrier per round (vocab-sized state, the
+    bpe_train pattern — nothing corpus-sized iterates). Returns
+    (item, n_wins, n_games, strength_q).
+    """
+    from rat_strain_loader_pipeline_spark.staging import stage_to_parquet
+
+    pg = (
+        pairs.groupBy(item_a, item_b)
+        .agg(
+            F.sum(wins_a).cast("long").alias("wa"),
+            F.sum(wins_b).cast("long").alias("wb"),
+        )
+        .withColumn("n", F.col("wa") + F.col("wb"))
+    )
+    pg = stage_to_parquet(pg, "bt-pairs")
+    per_item = pg.select(
+        F.col(item_a).alias("item"), F.col("wa").alias("w"), F.col("n").alias("g")
+    ).unionByName(
+        pg.select(
+            F.col(item_b).alias("item"), F.col("wb").alias("w"), F.col("n").alias("g")
+        )
+    )
+    wins = stage_to_parquet(
+        per_item.groupBy("item").agg(
+            F.sum("w").cast("long").alias("n_wins"),
+            F.sum("g").cast("long").alias("n_games"),
+        ),
+        "bt-wins",
+    )
+    strengths = wins.select("item", F.lit(1_000_000).cast("long").alias("s"))
+    for r in range(rounds):
+        sa = strengths.select(F.col("item").alias(item_a), F.col("s").alias("s_a"))
+        sb = strengths.select(F.col("item").alias(item_b), F.col("s").alias("s_b"))
+        c = (
+            pg.join(F.broadcast(sa), item_a)
+            .join(F.broadcast(sb), item_b)
+            .select(
+                item_a,
+                item_b,
+                F.expr(
+                    "CAST(n AS DECIMAL(38,0)) * 1000000000000 div (s_a + s_b)"
+                ).alias("c"),
+            )
+        )
+        d = (
+            c.select(F.col(item_a).alias("item"), "c")
+            .unionByName(c.select(F.col(item_b).alias("item"), "c"))
+            .groupBy("item")
+            .agg(F.sum("c").cast("long").alias("d"))
+        )
+        strengths = stage_to_parquet(
+            wins.join(d, "item").select(
+                "item",
+                F.least(
+                    F.greatest(
+                        F.expr(
+                            "CAST(n_wins AS DECIMAL(38,0)) * 1000000000000"
+                            " div greatest(d, 1L)"
+                        ),
+                        F.lit(1).cast("long"),
+                    ),
+                    F.lit(1_000_000_000_000).cast("long"),
+                ).alias("s"),
+            ),
+            f"bt-s{r + 1}",
+        )
+    return wins.join(strengths, "item").select(
+        "item", "n_wins", "n_games", F.col("s").alias("strength_q")
+    )
