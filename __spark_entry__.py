@@ -6463,6 +6463,26 @@ def q_bt_strengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bradley_terry_strengths(pairs, rounds=BT_ROUNDS)
 
 
+def q_bpe_train_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched multi-merge BPE training (operators/text.py
+    bpe_train_batched) — the fastBPE-style cadence fix for bpe_train's
+    one-driver-round-trip-per-merge: each round ranks the top
+    BPE_BATCH_WINDOW pairs, keeps the prefix-conflict-free subset
+    (deterministic non-recursive rule the oracle replays with one
+    NOT EXISTS), and applies ALL kept merges in one fold pass. Same
+    vocab-sized state and staging barriers; ~window x fewer rounds for
+    a production vocab."""
+    from rat_strain_loader_pipeline_spark.operators.text import (
+        bpe_train_batched,
+    )
+
+    return bpe_train_batched(
+        _t(spark, sf_dir, "documents"),
+        rounds=BPE_BATCH_ROUNDS,
+        window=BPE_BATCH_WINDOW,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -6701,6 +6721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "l_diversity": q_l_diversity,
         "decontaminate_semantic": q_decontaminate_semantic,
         "bt_strengths": q_bt_strengths,
+        "bpe_train_batched": q_bpe_train_batched,
     }
 
 
@@ -12781,6 +12802,9 @@ FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
             WHERE rn = 1 AND cosine_micros >= {int(math.floor(SEMDECON_TAU * 1_000_000))}
         """,
         "bt_strengths": _bt_oracle_sql(BT_ITEMS, BT_ROUNDS),
+        "bpe_train_batched": _bpe_train_batched_oracle_sql(
+            BPE_BATCH_ROUNDS, BPE_BATCH_WINDOW
+        ),
     }
 
 
@@ -12927,6 +12951,83 @@ s{k + 1} AS MATERIALIZED (
 )"""
         )
     return ctes
+
+
+def _bpe_batched_ctes(rounds: int, window: int) -> list[str]:
+    """Unrolled CTE chain for the BATCHED BPE oracle — `_bpe_ctes` with
+    the single winner replaced by the ranked candidate window and the
+    non-recursive disjoint keep rule (NOT EXISTS against any
+    higher-ranked candidate; conflict = shared symbol or a
+    concatenation equal to the other's symbol, exactly
+    operators/text.py _bpe_disjoint_filter). Kept pairs are mutually
+    disjoint, so the positional match LEFT JOIN hits at most one pair
+    per position and consecutive-match runs stay single-pair — the
+    same run-parity greedy-apply machinery as the single-merge oracle."""
+    ctes = [
+        "w0 AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM "
+        f"(SELECT unnest({_TOKENS_SQL}) AS w FROM documents) GROUP BY w)",
+        "s0 AS MATERIALIZED (SELECT w AS wid, cnt, "
+        "list_transform(range(1, len(w)+1), i -> w[i:i]) AS s FROM w0)",
+    ]
+    for k in range(rounds):
+        ctes.append(
+            f"""pe{k} AS (
+  SELECT cnt, s, unnest(range(1, len(s))) AS i FROM s{k} WHERE len(s) >= 2
+),
+pc{k} AS (
+  SELECT s[i] AS a, s[i+1] AS b, CAST(sum(cnt) AS BIGINT) AS n
+  FROM pe{k} GROUP BY 1, 2
+),
+cand{k} AS MATERIALIZED (
+  SELECT a, b, n, CAST(row_number() OVER (ORDER BY n DESC, a, b) AS INT) AS rn
+  FROM pc{k} QUALIFY rn <= {window}
+),
+keep{k} AS MATERIALIZED (
+  SELECT c.a, c.b, c.n, c.rn FROM cand{k} c
+  WHERE NOT EXISTS (
+    SELECT 1 FROM cand{k} q WHERE q.rn < c.rn AND (
+      q.a IN (c.a, c.b) OR q.b IN (c.a, c.b)
+      OR (q.a || q.b) IN (c.a, c.b) OR (c.a || c.b) IN (q.a, q.b)
+    )
+  )
+),
+ex{k} AS (SELECT wid, cnt, s, unnest(range(1, len(s)+1)) AS pos FROM s{k}),
+md{k} AS MATERIALIZED (
+  SELECT e.wid, e.cnt, e.pos, e.s[e.pos] AS sym, kp.a, kp.b,
+         CASE WHEN kp.a IS NOT NULL THEN 1 ELSE 0 END AS mk
+  FROM ex{k} e LEFT JOIN keep{k} kp
+    ON e.pos < len(e.s) AND e.s[e.pos] = kp.a AND e.s[e.pos+1] = kp.b
+),
+hd{k} AS (
+  SELECT wid, pos FROM (
+    SELECT wid, pos, row_number() OVER (PARTITION BY wid, grp ORDER BY pos) AS rn
+    FROM (
+      SELECT wid, pos, pos - row_number() OVER (PARTITION BY wid ORDER BY pos) AS grp
+      FROM md{k} WHERE mk = 1
+    )
+  ) WHERE rn % 2 = 1
+),
+s{k + 1} AS MATERIALIZED (
+  SELECT m.wid, m.cnt,
+         list(CASE WHEN h.pos IS NOT NULL THEN m.a || m.b ELSE m.sym END
+              ORDER BY m.pos) AS s
+  FROM md{k} m
+  LEFT JOIN hd{k} h  ON m.wid = h.wid AND m.pos = h.pos
+  LEFT JOIN hd{k} h2 ON m.wid = h2.wid AND m.pos = h2.pos + 1
+  WHERE h2.pos IS NULL
+  GROUP BY m.wid, m.cnt
+)"""
+        )
+    return ctes
+
+
+def _bpe_train_batched_oracle_sql(rounds: int, window: int) -> str:
+    unions = "\nUNION ALL ".join(
+        f"SELECT CAST({k} AS INT) AS merge_round, rn AS merge_rank, "
+        f"a AS merge_left, b AS merge_right, n AS pair_count FROM keep{k}"
+        for k in range(rounds)
+    )
+    return "WITH " + ",\n".join(_bpe_batched_ctes(rounds, window)) + "\n" + unions
 
 
 def _bpe_train_oracle_sql(rounds: int) -> str:

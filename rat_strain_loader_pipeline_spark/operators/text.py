@@ -653,6 +653,139 @@ def bpe_train(
     return table
 
 
+def _bpe_merge_multi_expr(syms: Column, pairs: list[tuple[str, str]]) -> Column:
+    """Multi-pair generalization of ``_bpe_merge_expr``: one greedy
+    left-to-right stack fold applying EVERY pair in ``pairs`` in a
+    single pass. Callers guarantee the pairs are mutually disjoint
+    (no shared symbol, and no pair's concatenation equal to another's
+    symbol — ``_bpe_disjoint_filter``), so at most one pair can match
+    at any position and no merge output can feed another pair's match:
+    the fold is order-independent across pairs and position-greedy
+    within each pair, exactly the per-pair run-parity semantics of the
+    single-merge fold."""
+
+    def step(acc: Column, x: Column) -> Column:
+        out = F.concat(acc, F.array(x))
+        for a, b in pairs:
+            out = F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(a))
+                & (x == F.lit(b)),
+                F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(a + b))),
+            ).otherwise(out)
+        return out
+
+    return F.aggregate(syms, F.array().cast("array<string>"), step)
+
+
+def _bpe_disjoint_filter(
+    cands: list[tuple[str, str, int]],
+) -> list[tuple[int, str, str, int]]:
+    """Greedy non-recursive disjoint selection over ranked merge
+    candidates [(a, b, count) in (count desc, a, b) order]: candidate
+    c is KEPT iff it conflicts with NO higher-ranked candidate (kept
+    or not). Conflict = shared symbol, or one side's concatenation
+    equals the other's symbol (the cascade guard: applying q must not
+    create or consume a token c matches on). Non-recursive on purpose —
+    the same rule is one NOT EXISTS in the SQL oracle, so both engines
+    select the identical batch. Returns [(rank_1based, a, b, count)]."""
+    kept = []
+    for i, (a, b, n) in enumerate(cands):
+        ok = True
+        for qa, qb, _ in cands[:i]:
+            if (
+                qa in (a, b)
+                or qb in (a, b)
+                or (qa + qb) in (a, b)
+                or (a + b) in (qa, qb)
+            ):
+                ok = False
+                break
+        if ok:
+            kept.append((i + 1, a, b, n))
+    return kept
+
+
+def bpe_train_batched(
+    docs,
+    rounds: int = 3,
+    window: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Batched multi-merge BPE training — the fastBPE-style cadence fix
+    for ``bpe_train``: instead of ONE merge (= one Spark job) per
+    round, each round takes the top ``window`` candidate pairs by
+    (count desc, a, b), keeps the prefix-conflict-free subset
+    (``_bpe_disjoint_filter`` — mutually disjoint by construction), and
+    applies ALL kept merges in one fold pass. A production 32k-merge
+    vocab then costs ~vocab/|batch| driver round-trips instead of
+    vocab. Selection is deterministic and non-recursive so a SQL
+    oracle replays the identical batch with one NOT EXISTS.
+
+    Same 100 TB shape as ``bpe_train``: one corpus pass builds the word
+    histogram; every round runs over vocab-sized state with a parquet
+    staging barrier; per-round driver traffic is ``window`` candidate
+    rows. Returns (merge_round int, merge_rank int — the candidate's
+    rank within its round's window, gaps where conflicted candidates
+    were dropped — merge_left, merge_right, pair_count).
+    """
+    from rat_strain_loader_pipeline_spark.staging import stage_to_parquet
+
+    spark = docs.sparkSession
+    words = (
+        docs.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    syms = stage_to_parquet(
+        words.select("w", F.split("w", "").alias("s"), "cnt"), "bpeb-s0"
+    )
+    merges: list[tuple[int, int, str, str, int]] = []
+    for r in range(rounds):
+        pairs = (
+            syms.filter(F.size("s") >= 2)
+            .select(
+                "cnt",
+                F.explode(
+                    F.zip_with(
+                        F.slice(F.col("s"), 1, F.size("s") - 1),
+                        F.slice(F.col("s"), 2, F.size("s") - 1),
+                        lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("cnt").alias("n"))
+        )
+        cands = [
+            (row["a"], row["b"], int(row["n"]))
+            for row in pairs.orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
+            .limit(window)
+            .collect()
+        ]
+        if not cands:
+            break
+        kept = _bpe_disjoint_filter(cands)
+        merges.extend((r, rk, a, b, n) for rk, a, b, n in kept)
+        if r < rounds - 1:
+            syms = stage_to_parquet(
+                syms.select(
+                    "w",
+                    _bpe_merge_multi_expr(
+                        F.col("s"), [(a, b) for _, a, b, _ in kept]
+                    ).alias("s"),
+                    "cnt",
+                ),
+                f"bpeb-s{r + 1}",
+            )
+    return spark.createDataFrame(
+        merges,
+        "merge_round int, merge_rank int, merge_left string,"
+        " merge_right string, pair_count long",
+    )
+
+
 def quality_model_score(
     text: Column,
     dim: int = 64,

@@ -293,6 +293,69 @@ def test_bpe_train_greedy_merge_and_determinism(spark):
     assert got7 == want
 
 
+def test_bpe_disjoint_filter_rule():
+    """Non-recursive keep rule: conflict against ANY higher-ranked
+    candidate (kept or not) drops a candidate; conflicts are shared
+    symbols or a concatenation equal to the other's symbol."""
+    from rat_strain_loader_pipeline_spark.operators.text import (
+        _bpe_disjoint_filter,
+    )
+
+    # shared-symbol conflict: (b, c) shares b with (a, b)
+    kept = _bpe_disjoint_filter([("a", "b", 9), ("b", "c", 8), ("d", "e", 7)])
+    assert kept == [(1, "a", "b", 9), (3, "d", "e", 7)]
+    # concat conflict: ("ab", "c") matches (a, b)'s concatenation
+    kept = _bpe_disjoint_filter([("a", "b", 9), ("ab", "c", 8)])
+    assert kept == [(1, "a", "b", 9)]
+    # non-recursive: r3 conflicts only with DISCARDED r2 — still dropped
+    kept = _bpe_disjoint_filter(
+        [("a", "b", 9), ("b", "c", 8), ("c", "x", 7), ("y", "z", 6)]
+    )
+    assert kept == [(1, "a", "b", 9), (4, "y", "z", 6)]
+
+
+def test_bpe_train_batched_equals_sequential_when_disjoint(spark):
+    """On a corpus whose top pairs are mutually disjoint and
+    non-interacting (2-symbol words over separate alphabets), one
+    batched round equals the same number of sequential single-merge
+    rounds — the fastBPE batching contract."""
+    import rat_strain_loader_pipeline_spark.operators.text as T
+
+    text = " ".join(["ab"] * 8 + ["cd"] * 5 + ["ef"] * 3)
+    docs = spark.createDataFrame([(0, text)], "doc_id long, text string")
+
+    seq = [
+        (r["merge_left"], r["merge_right"], r["pair_count"])
+        for r in T.bpe_train(docs, rounds=3).orderBy("merge_round").collect()
+    ]
+    bat = [
+        (r["merge_left"], r["merge_right"], r["pair_count"])
+        for r in T.bpe_train_batched(docs, rounds=1, window=3)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    assert seq == bat == [("a", "b", 8), ("c", "d", 5), ("e", "f", 3)]
+
+
+def test_bpe_merge_multi_expr_run_parity(spark):
+    """The multi-pair fold keeps single-pair greedy semantics: an
+    (a, a) run merges odd occurrences left-to-right while a disjoint
+    (c, d) pair applies in the same pass."""
+    from pyspark.sql import functions as F
+
+    from rat_strain_loader_pipeline_spark.operators.text import (
+        _bpe_merge_multi_expr,
+    )
+
+    df = spark.createDataFrame(
+        [(["a", "a", "a", "c", "d"],)], "s array<string>"
+    )
+    out = df.select(
+        _bpe_merge_multi_expr(F.col("s"), [("a", "a"), ("c", "d")]).alias("m")
+    ).collect()[0]["m"]
+    assert out == ["aa", "a", "cd"]
+
+
 def test_quality_model_score_python_model(spark):
     """Map-side hashed linear model matches a direct Python replay of the
     md5-lower64 feature hash + Knuth weight table; empty docs score the
