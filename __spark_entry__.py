@@ -6483,6 +6483,92 @@ def q_bpe_train_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_recall_audit_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled LSH recall audit — the corpus-scale variant of
+    q_dedup_recall_audit: both the exact-Jaccard truth pipeline and the
+    production minhash-LSH pipeline run on a deterministic md5-bucket
+    slice of the corpus (doc kept iff md5_mod(RECALL_SAMPLE_SALT ||
+    doc_id, RECALL_SAMPLE_MOD) == 0 — the split_assign salt idiom), so
+    the per-round recall assertion stays affordable when the full
+    truth side's worst-case candidate fan-out would grow super-linearly.
+    The oracle replays the identical bucket predicate and banding."""
+    from rat_strain_loader_pipeline_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+    from rat_strain_loader_pipeline_spark.operators.sampling import md5_mod
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        md5_mod(
+            F.concat(F.lit(RECALL_SAMPLE_SALT), F.col("doc_id").cast("string")),
+            RECALL_SAMPLE_MOD,
+        )
+        == 0
+    )
+    truth = ngram_jaccard_pairs(docs, threshold=0.5, prefix_cap=None).select(
+        "id_a", "id_b"
+    )
+    lsh = minhash_lsh_pairs(docs, jaccard_threshold=0.5).select("id_a", "id_b")
+    hit = truth.join(lsh, ["id_a", "id_b"])
+    nt = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+    nl = lsh.agg(F.count(F.lit(1)).cast("long").alias("n_lsh"))
+    nh = hit.agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+    return (
+        nt.crossJoin(F.broadcast(nl))
+        .crossJoin(F.broadcast(nh))
+        .select(
+            "n_truth",
+            "n_lsh",
+            "n_hit",
+            F.when(
+                F.col("n_truth") > 0,
+                F.expr("n_hit * 1000000L div n_truth"),
+            )
+            .cast("long")
+            .alias("recall_q"),
+        )
+    )
+
+
+def q_quantile_stream_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-maintained quantile state (streaming/sketches.py
+    maintain_hist_available_now) — the percentile twin of
+    cms_stream_merge: events replay as micro-batches; each batch
+    appends its fixed-domain equal-width histogram delta (LINEAR in
+    the input, like the CMS grid), and the merged grid answers HQ_QS
+    rank-quantiles bit-identically to a single-pass histogram. The
+    oracle computes the single-pass histogram + the identical ceil-rank
+    extraction directly — mergeability checked value-exact."""
+    import os as _os
+    import uuid as _uuid
+
+    from rat_strain_loader_pipeline_spark.operators.sketch import (
+        histogram_quantiles,
+    )
+    from rat_strain_loader_pipeline_spark.staging import _stage_root
+    from rat_strain_loader_pipeline_spark.streaming.sketches import (
+        maintain_hist_available_now,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "value")
+    tag = _uuid.uuid4().hex[:8]
+    src_dir = _os.path.join(_stage_root(), f"hq-src-{tag}")
+    ev.repartition(6).write.parquet(src_dir)
+    grid = maintain_hist_available_now(
+        spark,
+        src_dir,
+        "event_id long, value double",
+        _os.path.join(_stage_root(), f"hq-work-{tag}"),
+        HQ_VALUE_EXPR,
+        n_bins=HQ_BINS,
+        lo_q=HQ_LO,
+        hi_q=HQ_HI,
+    )
+    return histogram_quantiles(
+        grid, list(HQ_QS_MICROS), n_bins=HQ_BINS, lo_q=HQ_LO, hi_q=HQ_HI
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -6722,6 +6808,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_semantic": q_decontaminate_semantic,
         "bt_strengths": q_bt_strengths,
         "bpe_train_batched": q_bpe_train_batched,
+        "dedup_recall_audit_sampled": q_dedup_recall_audit_sampled,
+        "quantile_stream_merge": q_quantile_stream_merge,
     }
 
 
@@ -7011,14 +7099,16 @@ _SHINGLE_P = 2147483647  # matches operators.dedup._P
 _SIMHASH_MASK = (1 << 62) - 1
 
 
-def _shingle_cte_sql() -> str:
+def _shingle_cte_sql(docs_where: str = "") -> str:
     """Shared CTE: per-doc distinct trigram shingles, reproducing
     operators.dedup._shingle_set (lowercase whitespace tokens, '_'
-    joined, whole-doc shingle when < 3 tokens)."""
-    return r"""
+    joined, whole-doc shingle when < 3 tokens). ``docs_where``
+    optionally restricts the documents scan (sampled audits)."""
+    where = f"WHERE {docs_where}" if docs_where else ""
+    return rf"""
 toks AS (
   SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS ts
-  FROM documents
+  FROM documents {where}
 ),
 sh AS (
   SELECT doc_id,
@@ -7030,15 +7120,16 @@ sh AS (
 )"""
 
 
-def _jaccard_pairs_cte_sql(threshold: float) -> str:
+def _jaccard_pairs_cte_sql(threshold: float, docs_where: str = "") -> str:
     """CTE chain ending in ``jp(id_a, id_b, jaccard)`` — brute-force
-    all-pairs shingle-hash Jaccard over the documents table."""
+    all-pairs shingle-hash Jaccard over the documents table
+    (optionally restricted by ``docs_where``)."""
     j = (
         "CAST(len(list_intersect(a.hset, b.hset)) AS BIGINT) * 1000000"
         " // len(list_distinct(a.hset || b.hset))"
     )
     thr = int(round(threshold * 1_000_000))
-    return f"""{_shingle_cte_sql()},
+    return f"""{_shingle_cte_sql(docs_where)},
 hs AS (
   SELECT doc_id,
          list_distinct(list_transform(sgl, s -> CAST(md5_number_lower(s) % {_SHINGLE_P} AS BIGINT))) AS hset
@@ -7154,14 +7245,15 @@ FROM e{rounds} GROUP BY v
     )
 
 
-def _lsh_recall_oracle_sql() -> str:
+def _lsh_recall_oracle_sql(docs_where: str = "") -> str:
     """Independent SQL replay of the full minhash-LSH pipeline for the
     dedup_recall_audit oracle: the seed-42 permutation coefficients are
     embedded as literals (the single Python-side input), signatures =
     min((a*h + b) mod P) per permutation, b=16/r=4 banding keyed by the
     ordered 4-tuple (string_agg — equal tuples iff equal band buckets,
     matching the engine's md5-of-concat key modulo md5 collisions,
-    which the exact-Jaccard verify filters on both sides)."""
+    which the exact-Jaccard verify filters on both sides).
+    ``docs_where`` restricts the corpus (the sampled audit variant)."""
     from rat_strain_loader_pipeline_spark.operators.dedup import (
         _minhash_coeffs,
     )
@@ -7170,7 +7262,7 @@ def _lsh_recall_oracle_sql() -> str:
     perm_rows = ", ".join(
         f"({k}, {int(a[k])}, {int(b[k])})" for k in range(64)
     )
-    return f"""WITH {_jaccard_pairs_cte_sql(0.5)},
+    return f"""WITH {_jaccard_pairs_cte_sql(0.5, docs_where)},
 perm(k, pa, pb) AS (VALUES {perm_rows}),
 hx AS (SELECT doc_id, unnest(hset) AS h FROM hs),
 sigs AS (
@@ -7444,7 +7536,11 @@ RECALL_SAMPLE_MOD = 3
 HQ_BINS = 64
 HQ_LO = 0                    # events.value >= 0 by generator contract
 HQ_HI = 1_000_000_000        # 1000.0 in micros; width = HI/BINS exact
-HQ_QS = (0.5, 0.9, 0.99)
+HQ_QS_MICROS = (500_000, 900_000, 990_000)
+HQ_VALUE_EXPR = (
+    "CASE WHEN value IS NOT NULL AND NOT isnan(value)"
+    " THEN CAST(floor(value * 1000000) AS BIGINT) END"
+)
 
 # Co-purchase recommender eval (q_rec_eval): train = even orderkeys,
 # top-REC_K recs from co-occurrence counts >= REC_MIN_SUPPORT.
@@ -12805,6 +12901,48 @@ FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
         "bpe_train_batched": _bpe_train_batched_oracle_sql(
             BPE_BATCH_ROUNDS, BPE_BATCH_WINDOW
         ),
+        "dedup_recall_audit_sampled": _lsh_recall_oracle_sql(
+            f"md5_number_lower('{RECALL_SAMPLE_SALT}'"
+            f" || CAST(doc_id AS VARCHAR)) % {RECALL_SAMPLE_MOD} = 0"
+        ),
+        "quantile_stream_merge": f"""
+            WITH v AS (
+              SELECT CAST(floor(value * 1000000) AS BIGINT) AS vq
+              FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+            ),
+            c AS (SELECT least(greatest(vq, {HQ_LO}), {HQ_HI}) AS v2 FROM v),
+            g AS (
+              SELECT CAST(least((v2 - {HQ_LO}) // {(HQ_HI - HQ_LO) // HQ_BINS},
+                                {HQ_BINS - 1}) AS INT) AS bin,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM c GROUP BY 1
+            ),
+            cum AS (
+              SELECT bin, n,
+                     CAST(sum(n) OVER (ORDER BY bin) AS BIGINT) AS cum_n
+              FROM g
+            ),
+            tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM g),
+            qs(q_micros) AS (VALUES {", ".join(f"({q})" for q in HQ_QS_MICROS)}),
+            r AS (
+              SELECT CAST(q_micros AS BIGINT) AS q_micros,
+                     CAST((n_total * q_micros + 999999) // 1000000 AS BIGINT)
+                       AS rank
+              FROM qs, tot
+            ),
+            hit AS (
+              SELECT r.q_micros, r.rank, CAST(min(cum.bin) AS INT) AS bin
+              FROM r JOIN cum ON cum.cum_n >= r.rank
+              GROUP BY 1, 2
+            )
+            SELECT h.q_micros, h.rank, h.bin,
+                   CAST({HQ_LO} + h.bin * {(HQ_HI - HQ_LO) // HQ_BINS}
+                        AS BIGINT) AS bin_lo_q,
+                   CAST({HQ_LO} + (h.bin + 1) * {(HQ_HI - HQ_LO) // HQ_BINS}
+                        AS BIGINT) AS bin_hi_q,
+                   c2.cum_n
+            FROM hit h JOIN cum c2 ON h.bin = c2.bin
+        """,
     }
 
 

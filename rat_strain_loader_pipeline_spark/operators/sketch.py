@@ -253,3 +253,86 @@ def cms_join_size_report(
             ((F.col("est_join") - F.col("exact_join")) <= bound).alias("bound_ok"),
         )
     )
+
+
+def fixed_histogram(
+    df: DataFrame,
+    value_q: Column,
+    n_bins: int,
+    lo_q: int,
+    hi_q: int,
+) -> DataFrame:
+    """Fixed-domain equal-width histogram — the exactly-MERGEABLE
+    quantile state (unlike value_histogram's data-derived bounds, the
+    bin edges here are constants, so the grid of a union is the
+    cell-wise sum of the grids: the same linearity that makes a
+    Count-Min grid streamable). ``value_q`` must be an integer
+    micro-unit column; values clamp into [lo_q, hi_q], bin width =
+    (hi_q - lo_q) div n_bins (choose a divisible domain), the top edge
+    closes into the last bin. All-integer, one map-side-combinable
+    aggregate. Returns (bin int, n bigint).
+    """
+    width = (hi_q - lo_q) // n_bins
+    v = F.least(F.greatest(value_q, F.lit(lo_q)), F.lit(hi_q))
+    bin_ = F.least(
+        ((v - F.lit(lo_q)) / F.lit(width)).cast("long"),
+        F.lit(n_bins - 1),
+    ).cast("int")
+    return df.select(bin_.alias("bin")).groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
+def histogram_quantiles(
+    grid: DataFrame,
+    qs_micros: list[int],
+    n_bins: int,
+    lo_q: int,
+    hi_q: int,
+) -> DataFrame:
+    """Rank-quantile answers from a ``fixed_histogram`` grid: for each
+    q (in micros), rank = ceil(N·q / 1e6) (non-negative integer
+    arithmetic, identical both engines) and the answer is the SMALLEST
+    bin whose cumulative count reaches the rank — the bin-resolution
+    quantile a mergeable fixed grid can answer exactly (the bin is
+    exact; the value is bracketed by the bin edges, emitted in micros).
+    Bins-sized math: one cumsum window over <= n_bins rows + one
+    broadcast of the 1-row total. Returns
+    (q_micros, rank, bin, bin_lo_q, bin_hi_q, cum_n).
+    """
+    from pyspark.sql.window import Window
+
+    spark = grid.sparkSession
+    width = (hi_q - lo_q) // n_bins
+    total = grid.agg(F.sum("n").cast("long").alias("n_total"))
+    cum = grid.withColumn(
+        "cum_n",
+        F.sum("n").over(
+            Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    qdf = spark.createDataFrame([(int(q),) for q in qs_micros], "q_micros long")
+    ranked = qdf.crossJoin(F.broadcast(total)).select(
+        "q_micros",
+        F.expr("(n_total * q_micros + 999999) div 1000000").alias("rank"),
+    )
+    hit = (
+        ranked.join(cum, cum["cum_n"] >= ranked["rank"])
+        .groupBy("q_micros", "rank")
+        .agg(F.min("bin").cast("int").alias("bin"))
+    )
+    return (
+        hit.join(cum.select("bin", "cum_n"), "bin")
+        .select(
+            "q_micros",
+            "rank",
+            "bin",
+            (F.lit(lo_q) + F.col("bin").cast("long") * F.lit(width)).alias(
+                "bin_lo_q"
+            ),
+            (F.lit(lo_q) + (F.col("bin") + 1).cast("long") * F.lit(width)).alias(
+                "bin_hi_q"
+            ),
+            "cum_n",
+        )
+    )

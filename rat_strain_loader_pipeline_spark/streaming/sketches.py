@@ -66,3 +66,56 @@ def maintain_cms_available_now(
         .groupBy("i", "b")
         .agg(F.sum("cell").alias("cell"))
     )
+
+
+def maintain_hist_available_now(
+    spark: SparkSession,
+    src_dir: str,
+    schema: str,
+    work_dir: str,
+    value_expr: str,
+    n_bins: int,
+    lo_q: int,
+    hi_q: int,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Streaming quantile-state maintenance — the percentile twin of
+    ``maintain_cms_available_now``: a fixed-domain equal-width
+    histogram is linear in its input counts exactly like a CMS grid,
+    so per micro-batch the batch's (bin, n) delta rows append to the
+    state store and the merged grid (one group-by-sum) is bit-identical
+    to the single-pass histogram. ``value_expr`` is a SQL expression
+    producing the integer micro-unit value (rows where it is NULL are
+    excluded). Returns the merged (bin, n) grid; feed it to
+    ``operators.sketch.histogram_quantiles`` for rank answers."""
+    from pyspark.sql import functions as F
+
+    from rat_strain_loader_pipeline_spark.operators.sketch import fixed_histogram
+
+    state_dir = os.path.join(work_dir, "hist-state")
+    ckpt = os.path.join(work_dir, "ckpt")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(src_dir)
+    )
+
+    def sketch_batch(batch_df: DataFrame, batch_id: int) -> None:
+        vq = F.expr(value_expr)
+        fixed_histogram(
+            batch_df.filter(vq.isNotNull()), vq, n_bins, lo_q, hi_q
+        ).write.mode("append").parquet(state_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(sketch_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(state_dir)
+        .groupBy("bin")
+        .agg(F.sum("n").cast("long").alias("n"))
+    )

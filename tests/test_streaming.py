@@ -442,6 +442,55 @@ def test_streaming_cms_merge_equals_single_pass(spark, tmp_path, sf_dir):
     assert got == want
 
 
+def test_streaming_hist_merge_equals_single_pass(spark, tmp_path, sf_dir):
+    """Fixed-domain histogram deltas summed bin-wise must be
+    bit-identical to the single-pass histogram (linearity), and the
+    quantiles answered from the merged grid must match the single-pass
+    grid's — across a real multi-batch availableNow replay."""
+    from pyspark.sql import functions as F
+
+    from rat_strain_loader_pipeline_spark.operators.sketch import (
+        fixed_histogram,
+        histogram_quantiles,
+    )
+    from rat_strain_loader_pipeline_spark.streaming.sketches import (
+        maintain_hist_available_now,
+    )
+
+    ev = read_table(spark, sf_dir, "events").select("event_id", "value")
+    src = str(tmp_path / "src")
+    ev.repartition(5).write.parquet(src)
+    vexpr = (
+        "CASE WHEN value IS NOT NULL AND NOT isnan(value)"
+        " THEN CAST(floor(value * 1000000) AS BIGINT) END"
+    )
+    grid = maintain_hist_available_now(
+        spark, src, "event_id long, value double", str(tmp_path / "work"),
+        vexpr, n_bins=16, lo_q=0, hi_q=1_600_000_000,
+    )
+    vq = F.expr(vexpr)
+    single = fixed_histogram(
+        ev.filter(vq.isNotNull()), vq, 16, 0, 1_600_000_000
+    )
+    assert sorted(tuple(r) for r in grid.collect()) == sorted(
+        tuple(r) for r in single.collect()
+    )
+    got_q = sorted(
+        tuple(r)
+        for r in histogram_quantiles(
+            grid, [500_000, 990_000], 16, 0, 1_600_000_000
+        ).collect()
+    )
+    want_q = sorted(
+        tuple(r)
+        for r in histogram_quantiles(
+            single, [500_000, 990_000], 16, 0, 1_600_000_000
+        ).collect()
+    )
+    assert got_q == want_q
+    assert len(got_q) == 2
+
+
 def test_rate_limit_stateful_multi_batch_hour_quota(spark, tmp_path):
     """Quota must hold ACROSS micro-batches: a user whose hour quota is
     consumed in batch 1 gets rejected in batch 2 for the same hour."""
