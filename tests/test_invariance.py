@@ -222,3 +222,95 @@ def test_join_delta_equals_full_recompute(spark, sf_dir):
         )
     )
     assert maintained == _rows(full)
+
+
+def test_semantic_contamination_partition_invariant(spark, sf_dir):
+    from rat_strain_loader_pipeline_spark.operators.similarity import (
+        semantic_contamination,
+    )
+    from rat_strain_loader_pipeline_spark.sources.tables import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("vec_id") % 17 == 0)
+    corpus = emb.filter(F.col("vec_id") % 17 != 0)
+    outs = [
+        _rows(semantic_contamination(v, bench, threshold=0.3))
+        for v in [corpus.coalesce(1), corpus.repartition(13, F.col("vec_id") % 7)]
+    ]
+    assert outs[0] == outs[1]
+    assert len(outs[0]) > 0
+
+
+def test_bt_strengths_partition_invariant(spark, sf_dir):
+    from rat_strain_loader_pipeline_spark.operators.stats import (
+        bradley_terry_strengths,
+    )
+    from rat_strain_loader_pipeline_spark.sources.tables import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    chosen = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("pair_id"),
+        (F.col("doc_id") % 13).alias("ia"),
+        F.col("n_chars").alias("len_c"),
+    )
+    rejected = docs.filter(F.col("doc_id") % 2 == 1).select(
+        (F.col("doc_id") - 1).alias("pair_id"),
+        (F.col("doc_id") % 13).alias("ib"),
+        F.col("n_chars").alias("len_r"),
+    )
+    p = chosen.join(rejected, "pair_id").filter(F.col("ia") != F.col("ib"))
+    winner = F.when(F.col("len_c") >= F.col("len_r"), F.col("ia")).otherwise(
+        F.col("ib")
+    )
+    lo, hi = F.least("ia", "ib"), F.greatest("ia", "ib")
+    pairs = p.select(
+        lo.alias("item_a"),
+        hi.alias("item_b"),
+        F.when(winner == lo, 1).otherwise(0).alias("wins_a"),
+        F.when(winner == lo, 0).otherwise(1).alias("wins_b"),
+    )
+    outs = [
+        _rows(bradley_terry_strengths(v, rounds=2))
+        for v in [pairs.coalesce(1), pairs.repartition(13, F.col("item_a"))]
+    ]
+    assert outs[0] == outs[1]
+    assert len(outs[0]) == 13
+
+
+def test_bpe_train_batched_partition_invariant(docs):
+    from rat_strain_loader_pipeline_spark.operators.text import bpe_train_batched
+
+    outs = [
+        _rows(bpe_train_batched(v, rounds=2, window=3)) for v in _variants(docs)
+    ]
+    assert outs[0] == outs[1]
+    assert len(outs[0]) > 0
+
+
+def test_histogram_quantiles_partition_invariant(spark, sf_dir):
+    from rat_strain_loader_pipeline_spark.operators.sketch import (
+        fixed_histogram,
+        histogram_quantiles,
+    )
+    from rat_strain_loader_pipeline_spark.sources.tables import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    vq = F.expr(
+        "CASE WHEN value IS NOT NULL AND NOT isnan(value)"
+        " THEN CAST(floor(value * 1000000) AS BIGINT) END"
+    )
+    base = ev.filter(vq.isNotNull()).select(vq.alias("v"))
+    outs = [
+        _rows(
+            histogram_quantiles(
+                fixed_histogram(v, F.col("v"), 16, 0, 1_600_000_000),
+                [500_000, 990_000],
+                16,
+                0,
+                1_600_000_000,
+            )
+        )
+        for v in [base.coalesce(1), base.repartition(13)]
+    ]
+    assert outs[0] == outs[1]
+    assert len(outs[0]) == 2

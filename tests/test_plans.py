@@ -671,3 +671,29 @@ def test_peak_concurrency_single_group_window(spark, sf_dir, queries):
     plan = _plan(queries["peak_concurrency"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert plan.count("Arguments: hashpartitioning") <= 2  # boundary agg + window
+
+
+def test_decontaminate_semantic_map_only(spark, sf_dir, queries):
+    """The k=1 benchmark GEMM gate is map-only over the corpus: the
+    benchmark matrix broadcasts by value (driver collect of the SMALL
+    side), so the plan has no shuffle and no join of any kind."""
+    plan = _plan(queries["decontaminate_semantic"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bt_strengths_staged_rounds_and_broadcast(spark, sf_dir, queries):
+    """Each MM round joins the ITEM-sized strength table back onto the
+    pair grain via staged parquet (lineage truncated per round) — the
+    final plan reads the last staged round, never replays the chain."""
+    plan = _plan(queries["bt_strengths"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "bt-s" in plan  # staged per-round strength table
+
+
+def test_dedup_recall_audit_sampled_no_cartesian(spark, sf_dir, queries):
+    """Sampled audit: the only nested-loop joins are the 1-row scalar
+    count broadcasts; the pair pipelines stay equi-joins."""
+    plan = _plan(queries["dedup_recall_audit_sampled"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
