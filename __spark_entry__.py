@@ -6569,6 +6569,38 @@ def q_quantile_stream_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-bundle quality audit (operators/text.py
+    gopher_quality_rules): five published-shape heuristic rules (word
+    count band, mean word length, alpha-word fraction, symbol ratio,
+    stopword floor) emitted as a per-doc bitmap + pass flag — all
+    fraction-free integer cross-products, map-only, zero shuffle. The
+    WHICH-rule-fired bitmap is what a curation pipeline actually
+    routes on (quarantine vs repair vs drop)."""
+    from rat_strain_loader_pipeline_spark.operators.text import (
+        gopher_quality_rules,
+    )
+
+    return gopher_quality_rules(
+        _t(spark, sf_dir, "documents"),
+        min_words=GOPHER_MIN_WORDS,
+        max_words=GOPHER_MAX_WORDS,
+    )
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-budget coverage curve (operators/text.py
+    vocab_coverage): minimal vocabulary size covering each
+    COVER_TARGETS_MICROS fraction of corpus tokens, taking types in
+    (count desc, token) order — the embedding-table sizing number.
+    Exact DECIMAL cross-product reach test, vocab-grain windows."""
+    from rat_strain_loader_pipeline_spark.operators.text import vocab_coverage
+
+    return vocab_coverage(
+        _t(spark, sf_dir, "documents"), list(COVER_TARGETS_MICROS)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -6810,6 +6842,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train_batched": q_bpe_train_batched,
         "dedup_recall_audit_sampled": q_dedup_recall_audit_sampled,
         "quantile_stream_merge": q_quantile_stream_merge,
+        "gopher_rules": q_gopher_rules,
+        "vocab_coverage": q_vocab_coverage,
     }
 
 
@@ -7541,6 +7575,15 @@ HQ_VALUE_EXPR = (
     "CASE WHEN value IS NOT NULL AND NOT isnan(value)"
     " THEN CAST(floor(value * 1000000) AS BIGINT) END"
 )
+
+# Gopher rule-based quality filter (q_gopher_rules): published-shape
+# rule bundle; word-count band adapted to the synthetic corpus.
+GOPHER_MIN_WORDS = 25
+GOPHER_MAX_WORDS = 100_000
+
+# Vocabulary coverage curve (q_vocab_coverage): minimal vocab sizes
+# reaching these corpus-token coverage fractions (micros).
+COVER_TARGETS_MICROS = (900_000, 950_000, 990_000)
 
 # Co-purchase recommender eval (q_rec_eval): train = even orderkeys,
 # top-REC_K recs from co-occurrence counts >= REC_MIN_SUPPORT.
@@ -12942,6 +12985,76 @@ FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
                         AS BIGINT) AS bin_hi_q,
                    c2.cum_n
             FROM hit h JOIN cum c2 ON h.bin = c2.bin
+        """,
+        "gopher_rules": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     {_TOKENS_CASED_SQL} AS ts,
+                     {_TOKENS_SQL} AS lts
+              FROM documents
+            ),
+            b AS (
+              SELECT doc_id,
+                     CAST(len(ts) AS BIGINT) AS n_words,
+                     CAST(COALESCE(list_sum(list_transform(ts, w -> len(w))), 0)
+                          AS BIGINT) AS sum_wlen,
+                     CAST(len(list_filter(ts,
+                            w -> regexp_matches(w, '[A-Za-z]')))
+                          AS BIGINT) AS n_alpha_words,
+                     CAST(len(list_filter(ts,
+                            w -> contains(w, '#') OR contains(w, '...')))
+                          AS BIGINT) AS n_sym_words,
+                     CAST(len(list_filter(lts, w -> w IN ('the', 'and', 'of', 'to', 'a', 'in', 'is', 'it', 'you', 'that')))
+                          AS BIGINT) AS n_stop
+              FROM t
+            )
+            SELECT doc_id, n_words, sum_wlen, n_alpha_words, n_sym_words,
+                   n_stop,
+                   CAST((CASE WHEN n_words >= {GOPHER_MIN_WORDS}
+                               AND n_words <= {GOPHER_MAX_WORDS}
+                          THEN 1 ELSE 0 END)
+                      + 2 * (CASE WHEN sum_wlen >= 3 * n_words
+                                   AND sum_wlen <= 10 * n_words
+                             THEN 1 ELSE 0 END)
+                      + 4 * (CASE WHEN n_alpha_words * 5 >= n_words * 4
+                             THEN 1 ELSE 0 END)
+                      + 8 * (CASE WHEN n_sym_words * 10 <= n_words
+                             THEN 1 ELSE 0 END)
+                      + 16 * (CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END)
+                        AS INT) AS rule_bits,
+                   (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS}
+                    AND sum_wlen >= 3 * n_words AND sum_wlen <= 10 * n_words
+                    AND n_alpha_words * 5 >= n_words * 4
+                    AND n_sym_words * 10 <= n_words
+                    AND n_stop >= 2) AS passes
+            FROM b
+        """,
+        "vocab_coverage": f"""
+            WITH counts AS (
+              SELECT token, CAST(count(*) AS BIGINT) AS cnt
+              FROM (SELECT unnest({_TOKENS_SQL}) AS token FROM documents)
+              GROUP BY token
+            ),
+            cum AS (
+              SELECT CAST(row_number() OVER (ORDER BY cnt DESC, token)
+                          AS BIGINT) AS rnk,
+                     CAST(sum(cnt) OVER (ORDER BY cnt DESC, token)
+                          AS BIGINT) AS cum_tokens
+              FROM counts
+            ),
+            tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total_tokens FROM counts),
+            tq(target_q) AS (VALUES {", ".join(f"({t})" for t in COVER_TARGETS_MICROS)}),
+            hit AS (
+              SELECT CAST(t.target_q AS BIGINT) AS target_q,
+                     tot.total_tokens,
+                     CAST(min(cum.rnk) AS BIGINT) AS vocab_size
+              FROM tq t, tot
+              JOIN cum ON CAST(cum.cum_tokens AS HUGEINT) * 1000000
+                          >= CAST(tot.total_tokens AS HUGEINT) * t.target_q
+              GROUP BY 1, 2
+            )
+            SELECT h.target_q, h.vocab_size, c.cum_tokens, h.total_tokens
+            FROM hit h JOIN cum c ON h.vocab_size = c.rnk
         """,
     }
 

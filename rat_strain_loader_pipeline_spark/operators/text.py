@@ -1124,3 +1124,134 @@ def unicode_nfc_audit(
         .alias("n_nonnfc"),
         F.sum("cp_delta").cast("long").alias("sum_cp_delta"),
     )
+
+
+def gopher_quality_rules(
+    docs,
+    min_words: int = 25,
+    max_words: int = 100_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Gopher-style rule-based quality filter (Rae et al. 2021,
+    "Scaling Language Models: ... Gopher", Appendix A) — the standard
+    heuristic rule BUNDLE beside the composite ``quality_score`` and
+    the model-based ``quality_model_score``: each document is audited
+    against five published-shape rules and emits the per-rule bitmap
+    (a curation pipeline wants to know WHICH rule fired, not just
+    pass/fail):
+
+      bit 0: word count in [min_words, max_words]
+      bit 1: mean word length in [3, 10]    (3n <= L <= 10n — fraction-free)
+      bit 2: >= 80% of words contain an alphabetic char (5a >= 4n)
+      bit 3: symbol-to-word ratio <= 0.1 ('#'/'...' words; 10s <= n)
+      bit 4: >= 2 English stopword hits
+
+    ALL comparisons are integer cross-products (no division anywhere),
+    so the audit is engine-exact by construction. Map-only — one
+    filter/aggregate pass per row inside whole-stage codegen, zero
+    shuffle at any corpus size. Returns (id, n_words, sum_wlen,
+    n_alpha_words, n_sym_words, n_stop, rule_bits, passes).
+    """
+    toks = tokens(F.col(text_col))
+    lower_toks = tokens(F.lower(F.col(text_col)))
+    sw = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    base = docs.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_words"),
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+        ).alias("sum_wlen"),
+        F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+        .cast("long")
+        .alias("n_alpha_words"),
+        F.size(
+            F.filter(
+                toks,
+                lambda t: t.contains("#") | t.contains("..."),
+            )
+        )
+        .cast("long")
+        .alias("n_sym_words"),
+        F.size(F.filter(lower_toks, lambda t: F.array_contains(sw, t)))
+        .cast("long")
+        .alias("n_stop"),
+    )
+    n = F.col("n_words")
+    r0 = (n >= min_words) & (n <= max_words)
+    r1 = (F.col("sum_wlen") >= 3 * n) & (F.col("sum_wlen") <= 10 * n)
+    r2 = F.col("n_alpha_words") * 5 >= n * 4
+    r3 = F.col("n_sym_words") * 10 <= n
+    r4 = F.col("n_stop") >= 2
+    bits = (
+        r0.cast("int")
+        + r1.cast("int") * 2
+        + r2.cast("int") * 4
+        + r3.cast("int") * 8
+        + r4.cast("int") * 16
+    )
+    return base.select(
+        id_col,
+        "n_words",
+        "sum_wlen",
+        "n_alpha_words",
+        "n_sym_words",
+        "n_stop",
+        bits.cast("int").alias("rule_bits"),
+        (r0 & r1 & r2 & r3 & r4).alias("passes"),
+    )
+
+
+def vocab_coverage(
+    docs,
+    targets_micros: list[int],
+    text_col: str = "text",
+):
+    """Tokenizer-budget coverage curve: for each coverage target (in
+    micros), the minimal vocabulary size — taking tokens in (count
+    desc, token asc) order — whose cumulative token count reaches the
+    target fraction of all tokens. THE sizing question for a tokenizer
+    / embedding table ("how many types cover 99% of the corpus?"),
+    answered exactly: the reach test is the integer cross-product
+    cum·1e6 >= total·target in DECIMAL(38,0) (no division, no floats,
+    safe past bigint at corpus scale).
+
+    Shape: one token-grain shuffle with map-side partial counts
+    collapses the corpus to vocab grain; the rank/cumsum window runs
+    over vocab-sized rows (for billion-type vocabs, block the cumsum
+    two-level like the global-rank layout operators); the target probe
+    is a targets x vocab inequality join — targets are a handful.
+    Returns (target_q, vocab_size, cum_tokens, total_tokens).
+    """
+    from pyspark.sql.window import Window
+
+    spark = docs.sparkSession
+    counts = (
+        docs.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    cum = counts.select(
+        F.row_number().over(w).cast("long").alias("rnk"),
+        F.sum("cnt")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("cum_tokens"),
+    )
+    total = counts.agg(F.sum("cnt").cast("long").alias("total_tokens"))
+    tdf = spark.createDataFrame(
+        [(int(t),) for t in targets_micros], "target_q long"
+    ).crossJoin(F.broadcast(total))
+    hit = (
+        tdf.join(
+            cum,
+            F.col("cum_tokens").cast("decimal(38,0)") * 1_000_000
+            >= F.col("total_tokens").cast("decimal(38,0)") * F.col("target_q"),
+        )
+        .groupBy("target_q", "total_tokens")
+        .agg(F.min("rnk").cast("long").alias("vocab_size"))
+    )
+    return hit.join(cum, hit["vocab_size"] == cum["rnk"]).select(
+        "target_q", "vocab_size", "cum_tokens", "total_tokens"
+    )
