@@ -6601,6 +6601,80 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kappa_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa inter-annotator agreement (operators/stats.py
+    cohens_kappa) on the synthesized preference pairs: rater 1 says
+    the chosen response is longer, rater 2 says it scores higher on
+    the heuristic quality_score — per chosen-source, how much better
+    than chance the two verdict sources agree. Signed exact kappa in
+    micros (DECIMAL products, pmod-floor division); the oracle replays
+    the identical algebra with HUGEINT //."""
+    from rat_strain_loader_pipeline_spark.operators.stats import cohens_kappa
+    from rat_strain_loader_pipeline_spark.operators.text import quality_score
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text", "n_chars")
+    chosen = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("pair_id"),
+        "source",
+        F.col("n_chars").alias("len_c"),
+        quality_score(F.col("text")).alias("q_c"),
+    )
+    rejected = docs.filter(F.col("doc_id") % 2 == 1).select(
+        (F.col("doc_id") - 1).alias("pair_id"),
+        F.col("n_chars").alias("len_r"),
+        quality_score(F.col("text")).alias("q_r"),
+    )
+    pairs = chosen.join(rejected, "pair_id")
+    return cohens_kappa(
+        pairs,
+        ["source"],
+        F.col("len_c") > F.col("len_r"),
+        F.col("q_c") > F.col("q_r"),
+    )
+
+
+def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (operators/privacy.py t_closeness_audit) —
+    completes the privacy triad beside k_anonymize and l_diversity: per
+    (lang, kchar) quasi group, the exact total-variation distance of
+    the group's source distribution from the global one, fraction-free
+    in DECIMAL products (absent sensitives folded closed-form), vs the
+    TCLOSE_T_MICROS floor."""
+    from rat_strain_loader_pipeline_spark.operators.privacy import (
+        t_closeness_audit,
+    )
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "kchar", F.expr("n_chars div 1000").cast("long")
+    )
+    return t_closeness_audit(
+        docs, ("lang", "kchar"), "source", t_micros=TCLOSE_T_MICROS
+    )
+
+
+def q_target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding (operators/stats.py
+    target_encode_loo): orders encoded by customer market segment
+    against the order-total target (cents) — the leak-free mean
+    feature; group sums broadcast back map-side, NULL singletons."""
+    from rat_strain_loader_pipeline_spark.operators.stats import (
+        target_encode_loo,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    base = orders.join(cust, "o_custkey")
+    return target_encode_loo(
+        base, ["c_mktsegment"], F.col("cents"), "o_orderkey"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -6844,6 +6918,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_stream_merge": q_quantile_stream_merge,
         "gopher_rules": q_gopher_rules,
         "vocab_coverage": q_vocab_coverage,
+        "kappa_agreement": q_kappa_agreement,
+        "t_closeness": q_t_closeness,
+        "target_encode_loo": q_target_encode_loo,
     }
 
 
@@ -7584,6 +7661,13 @@ GOPHER_MAX_WORDS = 100_000
 # Vocabulary coverage curve (q_vocab_coverage): minimal vocab sizes
 # reaching these corpus-token coverage fractions (micros).
 COVER_TARGETS_MICROS = (900_000, 950_000, 990_000)
+
+# Annotator agreement (q_kappa_agreement): rater 1 = longer-chosen,
+# rater 2 = higher heuristic quality_score; kappa per chosen-source.
+
+# t-closeness audit (q_t_closeness): same quasi grain as l_diversity,
+# total-variation distance floor in micros.
+TCLOSE_T_MICROS = 300_000
 
 # Co-purchase recommender eval (q_rec_eval): train = even orderkeys,
 # top-REC_K recs from co-occurrence counts >= REC_MIN_SUPPORT.
@@ -13055,6 +13139,116 @@ FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
             )
             SELECT h.target_q, h.vocab_size, c.cum_tokens, h.total_tokens
             FROM hit h JOIN cum c ON h.vocab_size = c.rnk
+        """,
+        "kappa_agreement": f"""
+            WITH q AS ({_quality_score_sql()}),
+            c AS (
+              SELECT d.doc_id AS pair_id, d.source,
+                     CAST(d.n_chars AS BIGINT) AS len_c,
+                     q.quality_micros AS q_c
+              FROM documents d JOIN q ON d.doc_id = q.doc_id
+              WHERE d.doc_id % 2 = 0
+            ),
+            r AS (
+              SELECT d.doc_id - 1 AS pair_id,
+                     CAST(d.n_chars AS BIGINT) AS len_r,
+                     q.quality_micros AS q_r
+              FROM documents d JOIN q ON d.doc_id = q.doc_id
+              WHERE d.doc_id % 2 = 1
+            ),
+            v AS (
+              SELECT c.source,
+                     CASE WHEN c.len_c > r.len_r THEN 1 ELSE 0 END AS ra,
+                     CASE WHEN c.q_c > r.q_r THEN 1 ELSE 0 END AS rb
+              FROM c JOIN r USING (pair_id)
+            ),
+            a AS (
+              SELECT source,
+                     CAST(count(*) AS BIGINT) AS n_pairs,
+                     CAST(sum(ra) AS BIGINT) AS a1,
+                     CAST(sum(rb) AS BIGINT) AS b1,
+                     CAST(sum(CASE WHEN ra = rb THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_agree
+              FROM v GROUP BY source
+            )
+            SELECT source, n_pairs, n_agree,
+                   CASE WHEN CAST(n_pairs AS HUGEINT) * n_pairs
+                             - (CAST(a1 AS HUGEINT) * b1
+                                + (n_pairs - a1) * CAST(n_pairs - b1 AS HUGEINT)) > 0
+                   THEN CAST(((CAST(n_agree AS HUGEINT) * n_pairs
+                               - (CAST(a1 AS HUGEINT) * b1
+                                  + (n_pairs - a1) * CAST(n_pairs - b1 AS HUGEINT)))
+                              * 1000000)
+                             // (CAST(n_pairs AS HUGEINT) * n_pairs
+                                 - (CAST(a1 AS HUGEINT) * b1
+                                    + (n_pairs - a1) * CAST(n_pairs - b1 AS HUGEINT)))
+                        AS BIGINT)
+                   END AS kappa_q
+            FROM a
+        """,
+        "t_closeness": f"""
+            WITH base AS (
+              SELECT lang, CAST(n_chars // 1000 AS BIGINT) AS kchar, source
+              FROM documents
+            ),
+            pair AS (
+              SELECT lang, kchar, source, CAST(count(*) AS BIGINT) AS n_gs
+              FROM base GROUP BY 1, 2, 3
+            ),
+            gsens AS (
+              SELECT source, CAST(count(*) AS BIGINT) AS n_s
+              FROM base GROUP BY 1
+            ),
+            tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM base),
+            j AS (
+              SELECT p.lang, p.kchar, p.n_gs, g.n_s, t.n_total,
+                     CAST(sum(p.n_gs) OVER (PARTITION BY p.lang, p.kchar)
+                          AS BIGINT) AS n_g
+              FROM pair p JOIN gsens g USING (source), tot t
+            ),
+            a AS (
+              SELECT lang, kchar,
+                     CAST(max(n_g) AS BIGINT) AS group_n,
+                     CAST(sum(n_s) AS BIGINT) AS present_ns,
+                     max(n_total) AS n_total,
+                     sum(abs(CAST(n_gs AS HUGEINT) * n_total
+                             - CAST(n_s AS HUGEINT) * n_g)) AS tv_present
+              FROM j GROUP BY 1, 2
+            )
+            SELECT lang, kchar, group_n,
+                   CAST(((tv_present
+                          + CAST(group_n AS HUGEINT) * (n_total - present_ns))
+                         * 1000000)
+                        // (2 * CAST(group_n AS HUGEINT) * n_total)
+                     AS BIGINT) AS tv_q,
+                   CAST(((tv_present
+                          + CAST(group_n AS HUGEINT) * (n_total - present_ns))
+                         * 1000000)
+                        // (2 * CAST(group_n AS HUGEINT) * n_total)
+                     AS BIGINT) <= {TCLOSE_T_MICROS} AS close
+            FROM a
+        """,
+        "target_encode_loo": """
+            WITH o AS (
+              SELECT o_orderkey, o_custkey,
+                     CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+              FROM orders
+            ),
+            b AS (
+              SELECT c.c_mktsegment, o.o_orderkey, o.cents AS y_q
+              FROM o JOIN customer c ON o.o_custkey = c.c_custkey
+            ),
+            g AS (
+              SELECT c_mktsegment,
+                     CAST(sum(y_q) AS HUGEINT) AS s,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM b GROUP BY 1
+            )
+            SELECT b.c_mktsegment, b.o_orderkey, b.y_q,
+                   CASE WHEN g.n > 1 THEN
+                     CAST(((g.s - b.y_q) * 1000000) // (g.n - 1) AS BIGINT)
+                   END AS loo_q
+            FROM b JOIN g USING (c_mktsegment)
         """,
     }
 

@@ -81,3 +81,69 @@ def l_diversity_audit(
             (F.col("n_sensitive") >= l).alias("diverse"),
         )
     )
+
+def t_closeness_audit(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    sensitive_col: str,
+    t_micros: int,
+) -> DataFrame:
+    """t-closeness audit — the third rung of the privacy ladder after
+    ``k_anonymize`` (group size) and ``l_diversity_audit`` (distinct
+    sensitive values): each quasi-identifier group's SENSITIVE-value
+    distribution must stay within distance t of the global one, or the
+    group leaks (a group can be k-large and l-diverse yet 95% one
+    disease). For a categorical sensitive attribute the distance is
+    total variation, computed fraction-free:
+
+        tv_num_g = Σ_s |n_gs·n − n_s·n_g|   (absent s contribute n_s·n_g)
+        tv_q     = (tv_num_g · 1e6) div (2 · n_g · n)
+
+    All products in DECIMAL(38,0) (n_s·n_g overflows bigint at corpus
+    scale), every operand non-negative so trunc == floor both engines.
+    The absent-sensitive term folds closed-form — tv_num_g =
+    Σ_{s∈g} |n_gs·n − n_s·n_g| + n_g·(n − Σ_{s∈g} n_s) — so only
+    PRESENT (group, sensitive) pairs are ever materialized.
+
+    Shapes: one (quasi, sensitive)-grain partial agg; the global
+    sensitive histogram and the 1-row total broadcast onto it; one
+    quasi-grain reduce. Returns (quasi..., group_n, tv_q, close).
+    """
+    q = list(quasi_cols)
+    pair = df.groupBy(*q, sensitive_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_gs")
+    )
+    glob = df.groupBy(sensitive_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_s")
+    )
+    total = df.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    from pyspark.sql.window import Window
+
+    joined = (
+        pair.join(F.broadcast(glob), sensitive_col)
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "n_g", F.sum("n_gs").over(Window.partitionBy(*q)).cast("long")
+        )
+    )
+    g = joined.groupBy(*q).agg(
+        F.max("n_g").alias("group_n"),
+        F.sum("n_s").cast("long").alias("present_ns"),
+        F.max("n_total").alias("n_total"),
+        F.sum(
+            F.abs(
+                F.col("n_gs").cast("decimal(38,0)") * F.col("n_total")
+                - F.col("n_s").cast("decimal(38,0)") * F.col("n_g")
+            )
+        ).alias("tv_present"),
+    )
+    return g.select(
+        *q,
+        "group_n",
+        F.expr(
+            "CAST(((tv_present"
+            " + CAST(group_n AS DECIMAL(38,0)) * (n_total - present_ns))"
+            " * 1000000)"
+            " div (2 * CAST(group_n AS DECIMAL(38,0)) * n_total) AS BIGINT)"
+        ).alias("tv_q"),
+    ).withColumn("close", F.col("tv_q") <= F.lit(int(t_micros)))

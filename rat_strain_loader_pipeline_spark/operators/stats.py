@@ -957,3 +957,96 @@ def bradley_terry_strengths(
     return wins.join(strengths, "item").select(
         "item", "n_wins", "n_games", F.col("s").alias("strength_q")
     )
+
+
+def cohens_kappa(
+    df: DataFrame,
+    keys: list[str],
+    rater_a,
+    rater_b,
+) -> DataFrame:
+    """Cohen's kappa inter-annotator agreement over two binary raters —
+    the RLHF-label hygiene number beside preference_bias (length bias)
+    and bt_strengths (strength fit): how much better than chance the
+    two verdict sources agree. Exact integer algebra per group:
+
+        po_num = #agreements,  pe_num = a1·b1 + (n−a1)·(n−b1)
+        kappa  = (po − pe)/(1 − pe) = (po_num·n − pe_num)/(n² − pe_num)
+
+    emitted as kappa_q = floor(num·1e6 / den) with all products in
+    DECIMAL(38,0) (n² overflows bigint at ~3e9 rows/group) and the
+    FLOOR division done via the pmod idiom — the numerator is signed
+    (kappa < 0 = worse-than-chance), where Spark's `div` would
+    truncate and diverge from DuckDB's `//`. NULL when den = 0 (a
+    constant rater — kappa undefined).
+
+    One map-side-combinable aggregate; group-sized output. Returns
+    (keys..., n_pairs, n_agree, kappa_q).
+    """
+    base = df.select(
+        *keys,
+        rater_a.cast("int").alias("ra"),
+        rater_b.cast("int").alias("rb"),
+    )
+    agg = base.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("ra").cast("long").alias("a1"),
+        F.sum("rb").cast("long").alias("b1"),
+        F.sum((F.col("ra") == F.col("rb")).cast("int"))
+        .cast("long")
+        .alias("n_agree"),
+    )
+    d = "CAST({} AS DECIMAL(38,0))"
+    pe = (
+        f"({d.format('a1')} * b1"
+        f" + ({d.format('n_pairs')} - a1) * (CAST(n_pairs AS DECIMAL(38,0)) - b1))"
+    )
+    num = f"(({d.format('n_agree')} * n_pairs - {pe}) * 1000000)"
+    den = f"({d.format('n_pairs')} * n_pairs - {pe})"
+    return agg.select(
+        *keys,
+        "n_pairs",
+        "n_agree",
+        F.expr(
+            f"CASE WHEN {den} > 0 THEN"
+            f" CAST(({num} - pmod({num}, {den})) div {den} AS BIGINT) END"
+        ).alias("kappa_q"),
+    )
+
+
+def target_encode_loo(
+    df: DataFrame,
+    keys: list[str],
+    value_q,
+    id_col: str,
+) -> DataFrame:
+    """Leave-one-out target encoding — the category→number feature map
+    that doesn't leak the row's own label (plain mean encoding memorizes
+    singleton categories; LOO excludes self):
+
+        loo_q = (Σ_group y − y_i) · 1e6 div (n_group − 1)
+
+    NULL for singleton groups (nothing to average). ``value_q`` must be
+    a non-negative exact integer column (so trunc == floor both
+    engines); the products run in DECIMAL(38,0) — a group sum times 1e6
+    overflows bigint long before corpus scale.
+
+    100 TB shape: one group-grain partial agg, then the group table
+    (key-cardinality) broadcasts back onto the fact rows — map-side,
+    no fact shuffle. Returns (keys..., id, y_q, loo_q).
+    """
+    g = df.groupBy(*keys).agg(
+        F.sum(value_q).cast("decimal(38,0)").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    base = df.select(*keys, F.col(id_col), value_q.alias("y_q"))
+    return base.join(F.broadcast(g), keys).select(
+        *keys,
+        id_col,
+        "y_q",
+        F.expr(
+            "CASE WHEN n > 1 THEN"
+            " CAST(((s - y_q) * 1000000) div (CAST(n AS DECIMAL(38,0)) - 1)"
+            " AS BIGINT) END"
+        ).alias("loo_q"),
+    )
