@@ -6675,6 +6675,58 @@ def q_target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (operators/sampling.py
+    dsir_importance_weights, Xie et al. 2023): rank corpus docs by
+    hashed-token importance toward the lang='en' target slice —
+    per-bucket floored-ln log ratios broadcast onto the token explode,
+    exact integer per-doc sums, one bounded TakeOrdered for the
+    selection. The oracle replays bucket hashing, smoothing, and the
+    identical IEEE ln tree."""
+    from rat_strain_loader_pipeline_spark.operators.sampling import (
+        dsir_importance_weights,
+    )
+
+    return dsir_importance_weights(
+        _t(spark, sf_dir, "documents"),
+        F.col("lang") == "en",
+        n_buckets=DSIR_DIM,
+        top_n=DSIR_TOPN,
+        salt=DSIR_SALT,
+    )
+
+
+def q_dim_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding dimension-truncation recall audit — the
+    Matryoshka-representation question ("can we search on the first 16
+    of 64 dims?") answered exactly: for each query vector, recall@K of
+    the truncated-dim exact cosine top-K against the full-dim top-K.
+    Both rankings run through the fully-distributed knn_join_blocked
+    GEMM (no corpus collect); the overlap join is K-bounded per query.
+    Self-pairs rank 1 in both, so every query emits a row."""
+    from rat_strain_loader_pipeline_spark.operators.similarity import (
+        knn_join_blocked,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    tr = emb.select(
+        "vec_id", F.slice("embedding", 1, TRUNC_DIMS).alias("embedding")
+    )
+    full = knn_join_blocked(
+        emb.filter(F.col("vec_id") < PQADC_QUERIES), emb, k=TRUNC_K, n_blocks=8
+    )
+    trunc = knn_join_blocked(
+        tr.filter(F.col("vec_id") < PQADC_QUERIES), tr, k=TRUNC_K, n_blocks=8
+    )
+    hit = full.select("q_id", "c_id").join(
+        trunc.select("q_id", "c_id"), ["q_id", "c_id"]
+    )
+    return hit.groupBy("q_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hit"),
+        F.expr(f"count(*) * 1000000L div {TRUNC_K}").cast("long").alias("recall_q"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -6921,6 +6973,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kappa_agreement": q_kappa_agreement,
         "t_closeness": q_t_closeness,
         "target_encode_loo": q_target_encode_loo,
+        "dsir_select": q_dsir_select,
+        "dim_truncation_audit": q_dim_truncation_audit,
     }
 
 
@@ -7668,6 +7722,17 @@ COVER_TARGETS_MICROS = (900_000, 950_000, 990_000)
 # t-closeness audit (q_t_closeness): same quasi grain as l_diversity,
 # total-variation distance floor in micros.
 TCLOSE_T_MICROS = 300_000
+
+# DSIR data selection (q_dsir_select): hashed-token importance
+# resampling toward the lang='en' target slice.
+DSIR_DIM = 128
+DSIR_TOPN = 50
+DSIR_SALT = "dsir:v1:"
+
+# Embedding dimension-truncation audit (q_dim_truncation_audit):
+# recall@K of the first-TRUNC_DIMS-dims ranking vs the full-dim one.
+TRUNC_DIMS = 16
+TRUNC_K = 10
 
 # Co-purchase recommender eval (q_rec_eval): train = even orderkeys,
 # top-REC_K recs from co-occurrence counts >= REC_MIN_SUPPORT.
@@ -13249,6 +13314,98 @@ FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
                      CAST(((g.s - b.y_q) * 1000000) // (g.n - 1) AS BIGINT)
                    END AS loo_q
             FROM b JOIN g USING (c_mktsegment)
+        """,
+        "dsir_select": f"""
+            WITH toks AS (
+              SELECT doc_id, lang = 'en' AS t,
+                     unnest({_TOKENS_SQL}) AS tok
+              FROM documents
+            ),
+            bk AS (
+              SELECT doc_id, t,
+                     CAST(md5_number_lower('{DSIR_SALT}' || tok)
+                          % {DSIR_DIM} AS BIGINT) AS b
+              FROM toks
+            ),
+            counts AS (
+              SELECT b, CAST(count(*) AS BIGINT) AS cnt_r,
+                     CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT)
+                       AS cnt_t
+              FROM bk GROUP BY 1
+            ),
+            tot AS (
+              SELECT CAST(sum(cnt_r) AS BIGINT) AS r_tot,
+                     CAST(sum(cnt_t) AS BIGINT) AS t_tot
+              FROM counts
+            ),
+            lr AS (
+              SELECT b,
+                     CAST(floor(ln(
+                       CAST((cnt_t + 1) * (r_tot + {DSIR_DIM}) AS DOUBLE)
+                       / CAST((cnt_r + 1) * (t_tot + {DSIR_DIM}) AS DOUBLE))
+                       * 1000000) AS BIGINT) AS lr_q
+              FROM counts, tot
+            ),
+            scored AS (
+              SELECT bk.doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+                     CAST(sum(lr.lr_q) AS BIGINT) AS logw_q
+              FROM bk JOIN lr USING (b) GROUP BY 1
+            )
+            SELECT doc_id, n_toks, logw_q
+            FROM scored ORDER BY logw_q DESC, doc_id LIMIT {DSIR_TOPN}
+        """,
+        "dim_truncation_audit": f"""
+            WITH n AS (
+              SELECT vec_id,
+                     list_transform(embedding::DOUBLE[],
+                                    x -> CAST(floor(x * 1000000) AS BIGINT)) AS v
+              FROM embeddings
+            ),
+            fulln AS (
+              SELECT vec_id, v,
+                     sqrt(CAST(list_sum(list_transform(v, x -> x*x)) AS DOUBLE))
+                       AS nrm
+              FROM n
+            ),
+            trn AS (
+              SELECT vec_id, v[1:{TRUNC_DIMS}] AS v,
+                     sqrt(CAST(list_sum(list_transform(v[1:{TRUNC_DIMS}],
+                                                       x -> x*x)) AS DOUBLE))
+                       AS nrm
+              FROM n
+            ),
+            fq AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM fulln
+                   WHERE vec_id < {PQADC_QUERIES}),
+            tq AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM trn
+                   WHERE vec_id < {PQADC_QUERIES}),
+            fr AS (
+              SELECT q_id, c_id FROM (
+                SELECT q.q_id, c.vec_id AS c_id,
+                       row_number() OVER (PARTITION BY q.q_id ORDER BY
+                         CAST(floor(
+                           CAST(list_sum(list_transform(range(1, len(c.v)+1),
+                                         i -> c.v[i] * q.qv[i])) AS DOUBLE)
+                           / (q.qn * c.nrm) * 1000000) AS BIGINT) DESC,
+                         c.vec_id) AS rnk
+                FROM fulln c CROSS JOIN fq q
+              ) WHERE rnk <= {TRUNC_K}
+            ),
+            tr AS (
+              SELECT q_id, c_id FROM (
+                SELECT q.q_id, c.vec_id AS c_id,
+                       row_number() OVER (PARTITION BY q.q_id ORDER BY
+                         CAST(floor(
+                           CAST(list_sum(list_transform(range(1, len(c.v)+1),
+                                         i -> c.v[i] * q.qv[i])) AS DOUBLE)
+                           / (q.qn * c.nrm) * 1000000) AS BIGINT) DESC,
+                         c.vec_id) AS rnk
+                FROM trn c CROSS JOIN tq q
+              ) WHERE rnk <= {TRUNC_K}
+            )
+            SELECT fr.q_id, CAST(count(*) AS BIGINT) AS n_hit,
+                   CAST(count(*) * 1000000 // {TRUNC_K} AS BIGINT) AS recall_q
+            FROM fr JOIN tr ON fr.q_id = tr.q_id AND fr.c_id = tr.c_id
+            GROUP BY fr.q_id
         """,
     }
 

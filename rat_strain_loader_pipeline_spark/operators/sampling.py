@@ -554,3 +554,83 @@ def poisson_bootstrap_mean(
     return point.join(F.broadcast(ci), keys).select(
         *keys, "n_docs", "mean_q", "b_used", "lo_q", "hi_q"
     )
+
+
+def dsir_importance_weights(
+    docs: DataFrame,
+    is_target,
+    n_buckets: int = 128,
+    top_n: int = 50,
+    salt: str = "dsir:v1:",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al.
+    2023): rank raw-corpus documents by how target-like they are under
+    hashed-n-gram bag models. Feature = md5 bucket of each token
+    (``md5_mod(salt || tok, n_buckets)`` — the repo's engine-exact hash
+    identity); the per-bucket log importance ratio under add-one
+    smoothing,
+
+        lr[b] = floor(ln( (cnt_t[b]+1)·(R+D) / ((cnt_r[b]+1)·(T+D)) ) · 1e6)
+
+    (T/R = total target/raw tokens, D = n_buckets), is ONE double
+    quotient + one ln + one floor — a fixed IEEE tree both engines
+    compute identically (the floored-ln precedent); per-document
+    log-weight is the exact integer sum of lr over token INSTANCES.
+    Both products must stay < 2^53 for the double quotient to be exact
+    (counts to ~9e15 against a 128-bucket table — beyond that, bucket
+    counts should be pre-scaled).
+
+    100 TB shape: two token-grain partial aggs (target is a filter of
+    the same pass) collapse to the D-sized ratio table, which
+    broadcasts back onto the token explode; per-doc reduce, then ONE
+    bounded TakeOrdered for the top-N selection. Returns the selected
+    (id, n_toks, logw_q), ties at the boundary broken by ascending id.
+    """
+    from rat_strain_loader_pipeline_spark.operators.text import tokens
+
+    toks = docs.select(
+        F.col(id_col),
+        is_target.alias("__t"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"),
+    ).withColumn(
+        "b", md5_mod(F.concat(F.lit(salt), F.col("tok")), n_buckets)
+    )
+    counts = toks.groupBy("b").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt_r"),
+        F.sum(F.col("__t").cast("long")).cast("long").alias("cnt_t"),
+    )
+    totals = counts.agg(
+        F.sum("cnt_r").cast("long").alias("r_tot"),
+        F.sum("cnt_t").cast("long").alias("t_tot"),
+    )
+    lr = counts.crossJoin(F.broadcast(totals)).select(
+        "b",
+        F.floor(
+            F.log(
+                ((F.col("cnt_t") + 1) * (F.col("r_tot") + n_buckets)).cast(
+                    "double"
+                )
+                / ((F.col("cnt_r") + 1) * (F.col("t_tot") + n_buckets)).cast(
+                    "double"
+                )
+            )
+            * F.lit(1_000_000.0)
+        )
+        .cast("long")
+        .alias("lr_q"),
+    )
+    scored = (
+        toks.join(F.broadcast(lr), "b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_toks"),
+            F.sum("lr_q").cast("long").alias("logw_q"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("logw_q"), F.asc(id_col))
+        .limit(top_n)
+        .select(id_col, "n_toks", "logw_q")
+    )
