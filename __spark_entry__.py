@@ -6727,6 +6727,23 @@ def q_dim_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity quality filter (operators/text.py
+    perplexity_score): a bigram LM trains on the lang='en' reference
+    slice and every document is scored by its mean negative
+    log-likelihood in micros (floored-ln per bigram, unseen mass via
+    add-one coalesce) — the reference-trained twin of the self-scoring
+    bigram_logprob. Head/middle/tail gating is a consumer threshold on
+    npl_q."""
+    from rat_strain_loader_pipeline_spark.operators.text import (
+        perplexity_score,
+    )
+
+    return perplexity_score(
+        _t(spark, sf_dir, "documents"), F.col("lang") == "en"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -6975,6 +6992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "target_encode_loo": q_target_encode_loo,
         "dsir_select": q_dsir_select,
         "dim_truncation_audit": q_dim_truncation_audit,
+        "perplexity_filter": q_perplexity_filter,
     }
 
 
@@ -13406,6 +13424,57 @@ FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
                    CAST(count(*) * 1000000 // {TRUNC_K} AS BIGINT) AS recall_q
             FROM fr JOIN tr ON fr.q_id = tr.q_id AND fr.c_id = tr.c_id
             GROUP BY fr.q_id
+        """,
+        "perplexity_filter": """
+            WITH toks AS (
+              SELECT doc_id, lang = 'en' AS ref,
+                     list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                                 t -> t <> '') AS ts
+              FROM documents
+            ),
+            p2 AS (
+              SELECT doc_id, ref, bg['w1'] AS w1, bg['w2'] AS w2 FROM (
+                SELECT doc_id, ref,
+                       unnest(list_transform(range(1, len(ts)),
+                              i -> {'w1': ts[i], 'w2': ts[i+1]})) AS bg
+                FROM toks WHERE len(ts) >= 2
+              )
+            ),
+            doc_bg AS (
+              SELECT doc_id, ref, w1, w2, count(*) AS n FROM p2 GROUP BY 1, 2, 3, 4
+            ),
+            lm_bg AS (
+              SELECT w1, w2, CAST(sum(n) AS BIGINT) AS c12
+              FROM doc_bg WHERE ref GROUP BY 1, 2
+            ),
+            lm_uni AS (
+              SELECT w1, CAST(sum(n) AS BIGINT) AS c1
+              FROM doc_bg WHERE ref GROUP BY 1
+            ),
+            vocab AS (
+              SELECT count(DISTINCT w) AS v FROM (
+                SELECT w1 AS w FROM doc_bg WHERE ref
+                UNION ALL SELECT w2 FROM doc_bg WHERE ref
+              )
+            ),
+            scored AS (
+              SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
+                     CAST(sum(n * CAST(floor(
+                       ln(CAST(COALESCE(c12, 0) + 1 AS DOUBLE)
+                          / CAST(COALESCE(c1, 0) + v AS DOUBLE)) * 1e6
+                     ) AS BIGINT)) AS BIGINT) AS logprob_sum_micros
+              FROM doc_bg LEFT JOIN lm_bg USING (w1, w2)
+              LEFT JOIN lm_uni USING (w1)
+              CROSS JOIN vocab
+              GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   COALESCE(s.n_bigrams, 0) AS n_bigrams,
+                   COALESCE(s.logprob_sum_micros, 0) AS logprob_sum_micros,
+                   CASE WHEN COALESCE(s.n_bigrams, 0) > 0 THEN
+                     CAST((-s.logprob_sum_micros) // s.n_bigrams AS BIGINT)
+                   END AS npl_q
+            FROM documents d LEFT JOIN scored s USING (doc_id)
         """,
     }
 

@@ -1255,3 +1255,103 @@ def vocab_coverage(
     return hit.join(cum, hit["vocab_size"] == cum["rnk"]).select(
         "target_q", "vocab_size", "cum_tokens", "total_tokens"
     )
+
+
+def perplexity_score(
+    docs,
+    is_reference,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """CCNet-style perplexity quality filter (Wenzek et al. 2020): a
+    bigram LM trains on a clean REFERENCE slice and every corpus
+    document is scored by its mean negative log-likelihood under that
+    model — the canonical "keep what looks like the reference
+    distribution" gate (head/middle/tail bucketing is a consumer
+    threshold on ``npl_q``). Differs from ``bigram_logprob`` (which
+    self-scores for intra-corpus ranking) by the train/score split:
+    reference-trained scoring is what makes the number a QUALITY
+    signal rather than a typicality one.
+
+    Model: add-one smoothing over the reference vocabulary,
+    ``P(w2|w1) = (C_ref(w1,w2)+1) / (C_ref(w1)+V_ref)`` — bigrams and
+    heads unseen in the reference coalesce to 0 (P = 1/(c1+V), the
+    add-one unseen mass). Each ``ln P`` floors to micros (floor is
+    toward -inf both engines — required for negative logs); the
+    per-doc sum is order-free bigint; ``npl_q = (−Σ) div n_bigrams``
+    is non-negative so trunc == floor.
+
+    100 TB shape: same as bigram_logprob — doc bigrams reduce map-side
+    to (doc, w1, w2, n) and STAGE once; LM tables are reference-vocab
+    bounded; the score join shuffles on (w1, w2). Returns
+    (id, n_bigrams, logprob_sum_micros, npl_q), npl NULL under 2
+    tokens.
+    """
+    from rat_strain_loader_pipeline_spark.staging import stage_to_parquet
+
+    toks = tokens(F.lower(F.col(text_col)))
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("w1"),
+                F.element_at(toks, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    pairs = docs.select(
+        F.col(id_col), is_reference.alias("__ref"), F.explode(bigrams).alias("bg")
+    ).select(id_col, "__ref", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    doc_bg = stage_to_parquet(
+        pairs.groupBy(id_col, "__ref", "w1", "w2").agg(
+            F.count(F.lit(1)).alias("n")
+        ),
+        "ppl-doc-bg",
+    )
+    ref = doc_bg.filter(F.col("__ref"))
+    lm_bg = ref.groupBy("w1", "w2").agg(F.sum("n").cast("long").alias("c12"))
+    lm_uni = ref.groupBy("w1").agg(F.sum("n").cast("long").alias("c1"))
+    vocab = (
+        ref.select(F.col("w1").alias("w"))
+        .unionByName(ref.select(F.col("w2").alias("w")))
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("v"))
+    )
+    lp = F.floor(
+        F.log(
+            (F.coalesce(F.col("c12"), F.lit(0)) + 1).cast("double")
+            / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("v")).cast("double")
+        )
+        * F.lit(1_000_000.0)
+    ).cast("long")
+    scored = (
+        doc_bg.join(lm_bg, ["w1", "w2"], "left")
+        .join(lm_uni, "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy(id_col)
+        .agg(
+            F.sum("n").cast("long").alias("n_bigrams"),
+            F.sum(lp * F.col("n")).cast("long").alias("logprob_sum_micros"),
+        )
+    )
+    empties = (
+        docs.select(id_col)
+        .join(scored.select(id_col), id_col, "left_anti")
+        .select(
+            id_col,
+            F.lit(0).cast("long").alias("n_bigrams"),
+            F.lit(0).cast("long").alias("logprob_sum_micros"),
+        )
+    )
+    return scored.unionByName(empties).select(
+        id_col,
+        "n_bigrams",
+        "logprob_sum_micros",
+        F.when(
+            F.col("n_bigrams") > 0,
+            F.expr("(-logprob_sum_micros) div n_bigrams"),
+        )
+        .cast("long")
+        .alias("npl_q"),
+    )
