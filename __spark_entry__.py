@@ -6744,6 +6744,78 @@ def q_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded multi-source BFS (operators/graph.py bfs_reach) over the
+    same deterministic %997 graph pagerank/k_core use: hop distance
+    from the seed set (node % BFS_SEED_MOD == 0) within BFS_ROUNDS
+    hops — per round one edge join + one min-dist fold, staged. The
+    oracle unrolls identical rounds (pagerank pattern)."""
+    from rat_strain_loader_pipeline_spark.operators.graph import bfs_reach
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = (
+        li.select(
+            F.least(
+                F.col("l_orderkey") % 997, F.col("l_partkey") % 997
+            ).alias("a"),
+            F.greatest(
+                F.col("l_orderkey") % 997, F.col("l_partkey") % 997
+            ).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    nodes = (
+        edges.select(F.col("a").alias("node_id"))
+        .unionByName(edges.select(F.col("b").alias("node_id")))
+        .distinct()
+    )
+    seeds = nodes.filter(F.col("node_id") % BFS_SEED_MOD == 0)
+    return bfs_reach(edges, seeds, rounds=BFS_ROUNDS)
+
+
+def q_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal nearest-neighbor pairs — the robust match-mining /
+    dedup-verification criterion (a is in b's top-K AND b is in a's
+    top-K, self excluded): one-sided kNN edges are asymmetric and
+    hub-polluted, the mutual filter is the standard fix (de Sousa et
+    al.; used for bitext mining and RNN-DBSCAN). Full-corpus self-kNN
+    through the distributed knn_join_blocked GEMM at k=K+1, self rows
+    dropped and re-ranked (identical rule in the oracle — exact even
+    when ties push self out of the window), then one equi-self-join on
+    the reversed pair. Returns (id_a, id_b, cosine_micros), a < b."""
+    from pyspark.sql.window import Window as _W
+
+    from rat_strain_loader_pipeline_spark.operators.similarity import (
+        knn_join_blocked,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    knn = knn_join_blocked(emb, emb, k=MUTUAL_K + 1, n_blocks=8)
+    nn = (
+        knn.filter(F.col("q_id") != F.col("c_id"))
+        .withColumn(
+            "r2",
+            F.row_number().over(
+                _W.partitionBy("q_id").orderBy(
+                    F.col("cosine_micros").desc(), F.col("c_id").asc()
+                )
+            ),
+        )
+        .filter(F.col("r2") <= MUTUAL_K)
+        .select("q_id", "c_id", "cosine_micros")
+    )
+    fwd = nn.filter(F.col("q_id") < F.col("c_id"))
+    rev = nn.filter(F.col("q_id") > F.col("c_id")).select(
+        F.col("c_id").alias("q_id"), F.col("q_id").alias("c_id")
+    )
+    return fwd.join(rev, ["q_id", "c_id"]).select(
+        F.col("q_id").alias("id_a"),
+        F.col("c_id").alias("id_b"),
+        "cosine_micros",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -6993,6 +7065,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": q_dsir_select,
         "dim_truncation_audit": q_dim_truncation_audit,
         "perplexity_filter": q_perplexity_filter,
+        "bfs_reach": q_bfs_reach,
+        "mutual_knn": q_mutual_knn,
     }
 
 
@@ -7398,6 +7472,39 @@ FROM w JOIN s{rounds} ON w.item = s{rounds}.item
     )
 
 
+def _bfs_oracle_sql(seed_mod: int, rounds: int) -> str:
+    """Unrolled multi-source BFS over the shared %997 graph (pagerank
+    unrolled-rounds pattern): d_{r+1} = min-dist fold of d_r with the
+    one-hop expansion of d_r."""
+    ctes = [
+        """c AS (
+  SELECT DISTINCT least(l_orderkey % 997, l_partkey % 997) AS a,
+                  greatest(l_orderkey % 997, l_partkey % 997) AS b
+  FROM lineitem
+  WHERE l_orderkey % 997 <> l_partkey % 997
+),
+e2 AS (SELECT a AS v, b AS w FROM c UNION ALL SELECT b AS v, a AS w FROM c),
+nodes AS (SELECT DISTINCT v AS node_id FROM e2)""",
+        f"""d0 AS (SELECT node_id, CAST(0 AS BIGINT) AS dist
+  FROM nodes WHERE node_id % {seed_mod} = 0)""",
+    ]
+    for r in range(rounds):
+        ctes.append(
+            f"""d{r + 1} AS (
+  SELECT node_id, CAST(min(dist) AS BIGINT) AS dist FROM (
+    SELECT node_id, dist FROM d{r}
+    UNION ALL
+    SELECT e2.w AS node_id, d{r}.dist + 1 AS dist
+    FROM d{r} JOIN e2 ON d{r}.node_id = e2.v
+  ) GROUP BY node_id
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT CAST(node_id AS BIGINT) AS node_id, dist FROM d{rounds}\n"
+    )
+
+
 def _kcore_oracle_sql(k: int, rounds: int) -> str:
     """Unrolled k-core peel (the pagerank unrolled-rounds pattern):
     round r keeps nodes with degree >= k in e_r, e_{r+1} filters both
@@ -7751,6 +7858,15 @@ DSIR_SALT = "dsir:v1:"
 # recall@K of the first-TRUNC_DIMS-dims ranking vs the full-dim one.
 TRUNC_DIMS = 16
 TRUNC_K = 10
+
+# Bounded multi-source BFS (q_bfs_reach): seeds and hop budget over
+# the shared %997 graph.
+BFS_SEED_MOD = 50
+BFS_ROUNDS = 3
+
+# Mutual-kNN pairs (q_mutual_knn): reciprocal rank floor (self
+# excluded) — the robust match-mining criterion.
+MUTUAL_K = 5
 
 # Co-purchase recommender eval (q_rec_eval): train = even orderkeys,
 # top-REC_K recs from co-occurrence counts >= REC_MIN_SUPPORT.
@@ -10107,6 +10223,40 @@ WHERE d.doc_id % 2 = 0
                    COALESCE(s.n_bigrams, 0) AS n_bigrams,
                    COALESCE(s.logprob_sum_micros, 0) AS logprob_sum_micros
             FROM documents d LEFT JOIN scored s USING (doc_id)
+        """,
+        "bfs_reach": _bfs_oracle_sql(BFS_SEED_MOD, BFS_ROUNDS),
+        "mutual_knn": f"""
+            WITH n AS (
+              SELECT vec_id,
+                     list_transform(embedding::DOUBLE[],
+                                    x -> CAST(floor(x * 1000000) AS BIGINT)) AS v
+              FROM embeddings
+            ),
+            n2 AS (
+              SELECT vec_id, v,
+                     sqrt(CAST(list_sum(list_transform(v, x -> x*x)) AS DOUBLE))
+                       AS nrm
+              FROM n
+            ),
+            scored AS (
+              SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+                     CAST(floor(
+                       CAST(list_sum(list_transform(range(1, len(a.v)+1),
+                                     i -> a.v[i] * b.v[i])) AS DOUBLE)
+                       / (a.nrm * b.nrm) * 1000000) AS BIGINT) AS cosine_micros
+              FROM n2 a CROSS JOIN n2 b WHERE a.vec_id <> b.vec_id
+            ),
+            nn AS (
+              SELECT q_id, c_id, cosine_micros FROM (
+                SELECT q_id, c_id, cosine_micros,
+                       row_number() OVER (PARTITION BY q_id
+                         ORDER BY cosine_micros DESC, c_id) AS rnk
+                FROM scored
+              ) WHERE rnk <= {MUTUAL_K}
+            )
+            SELECT f.q_id AS id_a, f.c_id AS id_b, f.cosine_micros
+            FROM nn f JOIN nn r ON f.q_id = r.c_id AND f.c_id = r.q_id
+            WHERE f.q_id < f.c_id
         """,
         "mixture_weights": f"""
             WITH counts AS (
@@ -13475,6 +13625,40 @@ FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
                      CAST((-s.logprob_sum_micros) // s.n_bigrams AS BIGINT)
                    END AS npl_q
             FROM documents d LEFT JOIN scored s USING (doc_id)
+        """,
+        "bfs_reach": _bfs_oracle_sql(BFS_SEED_MOD, BFS_ROUNDS),
+        "mutual_knn": f"""
+            WITH n AS (
+              SELECT vec_id,
+                     list_transform(embedding::DOUBLE[],
+                                    x -> CAST(floor(x * 1000000) AS BIGINT)) AS v
+              FROM embeddings
+            ),
+            n2 AS (
+              SELECT vec_id, v,
+                     sqrt(CAST(list_sum(list_transform(v, x -> x*x)) AS DOUBLE))
+                       AS nrm
+              FROM n
+            ),
+            scored AS (
+              SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+                     CAST(floor(
+                       CAST(list_sum(list_transform(range(1, len(a.v)+1),
+                                     i -> a.v[i] * b.v[i])) AS DOUBLE)
+                       / (a.nrm * b.nrm) * 1000000) AS BIGINT) AS cosine_micros
+              FROM n2 a CROSS JOIN n2 b WHERE a.vec_id <> b.vec_id
+            ),
+            nn AS (
+              SELECT q_id, c_id, cosine_micros FROM (
+                SELECT q_id, c_id, cosine_micros,
+                       row_number() OVER (PARTITION BY q_id
+                         ORDER BY cosine_micros DESC, c_id) AS rnk
+                FROM scored
+              ) WHERE rnk <= {MUTUAL_K}
+            )
+            SELECT f.q_id AS id_a, f.c_id AS id_b, f.cosine_micros
+            FROM nn f JOIN nn r ON f.q_id = r.c_id AND f.c_id = r.q_id
+            WHERE f.q_id < f.c_id
         """,
     }
 

@@ -237,3 +237,45 @@ def k_core_peel(edges: DataFrame, k: int, rounds: int) -> DataFrame:
     return cur.groupBy(F.col("v").alias("node_id")).agg(
         F.count(F.lit(1)).cast("long").alias("deg")
     )
+
+
+def bfs_reach(edges: DataFrame, seeds: DataFrame, rounds: int) -> DataFrame:
+    """Bounded-round multi-source BFS — shortest hop distance from a
+    seed set, the influence-reach / blast-radius primitive beside
+    pagerank's stationary score: "which nodes are within ``rounds``
+    hops of the flagged accounts?" Runs the repo's fixed-rounds
+    iterative contract (pagerank / LPA / k-core precedent) so a SQL
+    oracle unrolls the identical rounds: per round, the current
+    distance table joins the (both-directions) edge list once and the
+    min-distance fold collapses duplicates — distances only ever
+    shrink, and a node first reached in round r gets dist = r exactly.
+
+    ``edges``: undirected (a, b), a != b; ``seeds``: (node_id). Per
+    round one node-keyed hash join + one min agg over O(edges) rows;
+    the frontier table is staged to parquet per round (flat scans, not
+    a rounds-deep join tree). Returns reached (node_id, dist),
+    dist <= rounds, seeds at 0.
+    """
+    from rat_strain_loader_pipeline_spark.staging import stage_to_parquet
+
+    e2 = stage_to_parquet(
+        edges.select(F.col("a").alias("v"), F.col("b").alias("w")).unionByName(
+            edges.select(F.col("b").alias("v"), F.col("a").alias("w"))
+        ),
+        "bfs-edges",
+    )
+    dist = seeds.select(
+        F.col("node_id"), F.lit(0).cast("long").alias("dist")
+    )
+    for r in range(rounds):
+        nxt = (
+            dist.join(e2, dist["node_id"] == e2["v"])
+            .select(F.col("w").alias("node_id"), (F.col("dist") + 1).alias("dist"))
+        )
+        dist = stage_to_parquet(
+            dist.unionByName(nxt)
+            .groupBy("node_id")
+            .agg(F.min("dist").cast("long").alias("dist")),
+            f"bfs-round-{r}",
+        )
+    return dist
