@@ -6816,6 +6816,59 @@ def q_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cross_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta dedup (operators/dedup.py minhash_lsh_cross_pairs): the
+    new batch (odd doc ids) bands against the already-ingested corpus
+    (even ids) — cross-side bucket equi-join only, no old x old
+    re-pairing — then exact-Jaccard verify at 0.5. The incremental
+    twin of minhash_lsh; oracle replays the banding cross-join from
+    embedded coefficients."""
+    from rat_strain_loader_pipeline_spark.operators.dedup import (
+        minhash_lsh_cross_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_cross_pairs(
+        docs.filter(F.col("doc_id") % 2 == 1),
+        docs.filter(F.col("doc_id") % 2 == 0),
+        jaccard_threshold=0.5,
+    )
+
+
+def q_dedup_loss_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup — near-dup-aware training weights: instead of
+    dropping duplicates, every document is down-weighted by its
+    near-dup component size (weight_q = 1e6 div |component|, singleton
+    docs keep 1e6) so each CONTENT cluster contributes one unit of
+    loss mass. Composes the production LSH pair pipeline with
+    hash-to-min connected components; the oracle recomputes components
+    by recursive closure over brute-force exact pairs."""
+    from rat_strain_loader_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, jaccard_threshold=0.5)
+    cc = connected_components(pairs)
+    sizes = cc.groupBy("component_id").agg(
+        F.count(F.lit(1)).cast("long").alias("comp_size")
+    )
+    withc = cc.join(sizes, "component_id").select(
+        F.col("node_id").alias("doc_id"), "comp_size"
+    )
+    return (
+        docs.select("doc_id")
+        .join(withc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("comp_size", F.lit(1)).cast("long").alias("comp_size"),
+            F.expr(
+                "1000000L div coalesce(comp_size, 1L)"
+            ).cast("long").alias("weight_q"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -7067,6 +7120,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perplexity_filter": q_perplexity_filter,
         "bfs_reach": q_bfs_reach,
         "mutual_knn": q_mutual_knn,
+        "cross_corpus_dedup": q_cross_corpus_dedup,
+        "dedup_loss_weights": q_dedup_loss_weights,
     }
 
 
@@ -7867,6 +7922,9 @@ BFS_ROUNDS = 3
 # Mutual-kNN pairs (q_mutual_knn): reciprocal rank floor (self
 # excluded) — the robust match-mining criterion.
 MUTUAL_K = 5
+
+# Delta dedup (q_cross_corpus_dedup): old corpus = even doc ids, new
+# batch = odd; cross-only LSH banding + exact verify at 0.5.
 
 # Co-purchase recommender eval (q_rec_eval): train = even orderkeys,
 # top-REC_K recs from co-occurrence counts >= REC_MIN_SUPPORT.
@@ -10225,6 +10283,32 @@ WHERE d.doc_id % 2 = 0
             FROM documents d LEFT JOIN scored s USING (doc_id)
         """,
         "bfs_reach": _bfs_oracle_sql(BFS_SEED_MOD, BFS_ROUNDS),
+        # brute-force exact cross pairs — same EMPIRICAL banding-recall
+        # footing as the minhash_lsh oracle (the emitted pairs are
+        # exact-verified; the recall audit asserts banding completeness)
+        "cross_corpus_dedup": f"""
+            WITH {_jaccard_pairs_cte_sql(0.5)}
+            SELECT CASE WHEN id_a % 2 = 1 THEN id_a ELSE id_b END AS id_new,
+                   CASE WHEN id_a % 2 = 1 THEN id_b ELSE id_a END AS id_old,
+                   jaccard_micros
+            FROM jp WHERE (id_a % 2) <> (id_b % 2)
+        """,
+        "dedup_loss_weights": f"""
+            WITH RECURSIVE {_jaccard_pairs_cte_sql(0.5)},
+            {_CLOSURE_CTES_SQL},
+            comp AS (SELECT id, min(r) AS cid FROM reach GROUP BY id),
+            sizes AS (
+              SELECT cid, CAST(count(*) AS BIGINT) AS comp_size
+              FROM comp GROUP BY cid
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(s.comp_size, 1) AS BIGINT) AS comp_size,
+                   CAST(1000000 // COALESCE(s.comp_size, 1) AS BIGINT)
+                     AS weight_q
+            FROM documents d
+            LEFT JOIN comp c ON d.doc_id = c.id
+            LEFT JOIN sizes s ON c.cid = s.cid
+        """,
         "mutual_knn": f"""
             WITH n AS (
               SELECT vec_id,
@@ -13627,6 +13711,32 @@ FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
             FROM documents d LEFT JOIN scored s USING (doc_id)
         """,
         "bfs_reach": _bfs_oracle_sql(BFS_SEED_MOD, BFS_ROUNDS),
+        # brute-force exact cross pairs — same EMPIRICAL banding-recall
+        # footing as the minhash_lsh oracle (the emitted pairs are
+        # exact-verified; the recall audit asserts banding completeness)
+        "cross_corpus_dedup": f"""
+            WITH {_jaccard_pairs_cte_sql(0.5)}
+            SELECT CASE WHEN id_a % 2 = 1 THEN id_a ELSE id_b END AS id_new,
+                   CASE WHEN id_a % 2 = 1 THEN id_b ELSE id_a END AS id_old,
+                   jaccard_micros
+            FROM jp WHERE (id_a % 2) <> (id_b % 2)
+        """,
+        "dedup_loss_weights": f"""
+            WITH RECURSIVE {_jaccard_pairs_cte_sql(0.5)},
+            {_CLOSURE_CTES_SQL},
+            comp AS (SELECT id, min(r) AS cid FROM reach GROUP BY id),
+            sizes AS (
+              SELECT cid, CAST(count(*) AS BIGINT) AS comp_size
+              FROM comp GROUP BY cid
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(s.comp_size, 1) AS BIGINT) AS comp_size,
+                   CAST(1000000 // COALESCE(s.comp_size, 1) AS BIGINT)
+                     AS weight_q
+            FROM documents d
+            LEFT JOIN comp c ON d.doc_id = c.id
+            LEFT JOIN sizes s ON c.cid = s.cid
+        """,
         "mutual_knn": f"""
             WITH n AS (
               SELECT vec_id,

@@ -1237,3 +1237,74 @@ def fuzzy_name_matches(
         .filter((F.col("dist") >= 1) & (F.col("dist") <= max_dist))
         .select("name_a", "name_b", "dist")
     )
+
+
+def minhash_lsh_cross_pairs(
+    new_docs: DataFrame,
+    old_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Delta dedup: near-duplicate pairs BETWEEN a new batch and an
+    already-ingested corpus — the incremental-ingest shape where
+    re-pairing the old corpus against itself (``minhash_lsh_pairs`` on
+    the union) would redo O(old²) work for an O(new·collisions) job.
+    Each side bands independently (same coefficients — signatures are
+    content-only, so the old side's bands are computable once at ingest
+    and SERVED from a (band, band_sig)-partitioned store); candidates
+    come from the cross equi-join on the band bucket only (no same-side
+    pairing ever materializes) and verify by exact Jaccard on the
+    staged shingle-hash arrays. Returns (id_new, id_old,
+    jaccard_micros).
+
+    100 TB shape: the old side is a static posting table; per batch the
+    new side computes |new| signatures, shuffles |new|·bands rows into
+    the band partitioning, and only bucket collisions join — the same
+    admission semantics as the streaming LSH gate
+    (streaming/dedup_gate.py), in batch form with exact verification.
+    """
+    h_new = shingle_hashes(new_docs, text_col, id_col, shingle_n, stage=True)
+    h_old = shingle_hashes(old_docs, text_col, id_col, shingle_n, stage=True)
+    sig_new = minhash_signatures(
+        new_docs, text_col, id_col, num_hashes, shingle_n, seed, hashes=h_new
+    )
+    sig_old = minhash_signatures(
+        old_docs, text_col, id_col, num_hashes, shingle_n, seed, hashes=h_old
+    )
+    b_new = band_signatures(sig_new, id_col, num_hashes, bands).select(
+        F.col(id_col).alias("id_new"), "band", "band_sig"
+    )
+    b_old = band_signatures(sig_old, id_col, num_hashes, bands).select(
+        F.col(id_col).alias("id_old"), "band", "band_sig"
+    )
+    cand = (
+        b_new.join(b_old, ["band", "band_sig"])
+        .select("id_new", "id_old")
+        .dropDuplicates()
+    )
+    thr = int(round(jaccard_threshold * 1_000_000))
+    return (
+        cand.join(
+            h_new.select(F.col(id_col).alias("id_new"), F.col("hashes").alias("h_a")),
+            "id_new",
+        )
+        .join(
+            h_old.select(F.col(id_col).alias("id_old"), F.col("hashes").alias("h_b")),
+            "id_old",
+        )
+        .withColumn(
+            "jaccard_micros",
+            F.floor(
+                (F.size(F.array_intersect("h_a", "h_b")).cast("long") * 1_000_000)
+                .cast("double")
+                / F.size(F.array_union("h_a", "h_b")).cast("double")
+            ).cast("long"),
+        )
+        .filter(F.col("jaccard_micros") >= thr)
+        .select("id_new", "id_old", "jaccard_micros")
+    )
