@@ -6869,6 +6869,53 @@ def q_dedup_loss_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact integer Gram matrix XᵀX of the quantized embedding corpus
+    (operators/similarity.py embedding_gram) — the PCA/whitening/
+    covariance sufficient statistic: per-partition integer GEMM
+    partials, one dims²-sized shuffle into a DECIMAL(38,0) sum. The
+    oracle recomputes by positional self-join."""
+    from rat_strain_loader_pipeline_spark.operators.similarity import (
+        embedding_gram,
+    )
+
+    return embedding_gram(_t(spark, sf_dir, "embeddings"))
+
+
+def q_dialogue_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT-prep dialogue assembly: each user's event stream flattens
+    into ONE ordered turn sequence (role tags in (ts, event_id) order)
+    with the length and md5 fingerprint a packing/dedup stage consumes
+    downstream — the chat-template flattening step of an instruct-data
+    pipeline. Deterministic assembly: collect + struct array_sort on
+    the full tiebreak chain (never partition-order-dependent), one
+    user-keyed shuffle; the oracle is an ORDER BY string_agg."""
+    ev = _t(spark, sf_dir, "events")
+    rows = ev.select(
+        "user_id",
+        F.struct(
+            F.expr("unix_timestamp(ts)").alias("t"),
+            F.col("event_id").alias("e"),
+            F.col("event_type").alias("y"),
+        ).alias("s"),
+    )
+    flat = rows.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list("s")), lambda x: x["y"]
+            ),
+            " ",
+        ).alias("text"),
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+    )
+    return flat.select(
+        "user_id",
+        "n_turns",
+        F.length("text").cast("long").alias("n_chars"),
+        F.md5("text").alias("fp"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -7122,6 +7169,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mutual_knn": q_mutual_knn,
         "cross_corpus_dedup": q_cross_corpus_dedup,
         "dedup_loss_weights": q_dedup_loss_weights,
+        "embedding_gram": q_embedding_gram,
+        "dialogue_flatten": q_dialogue_flatten,
     }
 
 
@@ -10308,6 +10357,37 @@ WHERE d.doc_id % 2 = 0
             FROM documents d
             LEFT JOIN comp c ON d.doc_id = c.id
             LEFT JOIN sizes s ON c.cid = s.cid
+        """,
+        "embedding_gram": """
+            WITH n AS (
+              SELECT vec_id,
+                     list_transform(embedding::DOUBLE[],
+                                    x -> CAST(floor(x * 1000000) AS BIGINT)) AS v
+              FROM embeddings
+            ),
+            e AS (
+              SELECT vec_id, generate_subscripts(v, 1) AS i, unnest(v) AS x
+              FROM n
+            ),
+            tot AS (SELECT CAST(count(*) AS BIGINT) AS n_vecs FROM n)
+            SELECT CAST(a.i - 1 AS INT) AS dim_i, CAST(b.i - 1 AS INT) AS dim_j,
+                   CAST(sum(CAST(a.x AS HUGEINT) * b.x) AS DECIMAL(38,0)) AS gram,
+                   tot.n_vecs
+            FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i, tot
+            GROUP BY 1, 2, tot.n_vecs
+        """,
+        "dialogue_flatten": """
+            WITH flat AS (
+              SELECT user_id,
+                     string_agg(event_type, ' '
+                       ORDER BY ts, event_id) AS text,
+                     CAST(count(*) AS BIGINT) AS n_turns
+              FROM events GROUP BY user_id
+            )
+            SELECT user_id, n_turns,
+                   CAST(len(text) AS BIGINT) AS n_chars,
+                   md5(text) AS fp
+            FROM flat
         """,
         "mutual_knn": f"""
             WITH n AS (
@@ -13736,6 +13816,37 @@ FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
             FROM documents d
             LEFT JOIN comp c ON d.doc_id = c.id
             LEFT JOIN sizes s ON c.cid = s.cid
+        """,
+        "embedding_gram": """
+            WITH n AS (
+              SELECT vec_id,
+                     list_transform(embedding::DOUBLE[],
+                                    x -> CAST(floor(x * 1000000) AS BIGINT)) AS v
+              FROM embeddings
+            ),
+            e AS (
+              SELECT vec_id, generate_subscripts(v, 1) AS i, unnest(v) AS x
+              FROM n
+            ),
+            tot AS (SELECT CAST(count(*) AS BIGINT) AS n_vecs FROM n)
+            SELECT CAST(a.i - 1 AS INT) AS dim_i, CAST(b.i - 1 AS INT) AS dim_j,
+                   CAST(sum(CAST(a.x AS HUGEINT) * b.x) AS DECIMAL(38,0)) AS gram,
+                   tot.n_vecs
+            FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i, tot
+            GROUP BY 1, 2, tot.n_vecs
+        """,
+        "dialogue_flatten": """
+            WITH flat AS (
+              SELECT user_id,
+                     string_agg(event_type, ' '
+                       ORDER BY ts, event_id) AS text,
+                     CAST(count(*) AS BIGINT) AS n_turns
+              FROM events GROUP BY user_id
+            )
+            SELECT user_id, n_turns,
+                   CAST(len(text) AS BIGINT) AS n_chars,
+                   md5(text) AS fp
+            FROM flat
         """,
         "mutual_knn": f"""
             WITH n AS (

@@ -945,3 +945,60 @@ def cluster_margin(
         .cast("long")
         .alias("sum_margin_q"),
     )
+
+
+def embedding_gram(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact integer Gram matrix XᵀX of the (quantized) embedding
+    corpus — the sufficient statistic for PCA / whitening / covariance
+    drift (cov = Gram/n − mean·meanᵀ, both derivable from this plus the
+    label_centroid_sums means): components quantize to floor(x·1e6)
+    int64 first (see ``MICROS``), so every partial is an exact integer
+    and the cross-partition sum is order-free — the same
+    exact-mergeability argument as the engine's other GEMM emitters.
+
+    Plan: one Arrow pass; each partition GEMMs its slice (m.T @ m in
+    integer-valued float64 — exact while per-partition sums stay under
+    2^53, i.e. ≲9e15/1e12 ≈ 9000 rows per partition at unit-norm-ish
+    micros components; repartition the input finer for heavier blocks)
+    and emits ONE dims²/2-row partial; the only shuffle carries
+    (dims², n_partitions) rows into a DECIMAL(38,0) sum that cannot
+    overflow at any corpus size. Returns upper-triangle
+    (dim_i, dim_j, gram, n_vecs), dim 0-based, gram DECIMAL(38,0).
+    """
+    import numpy as np
+    import pandas as pd
+
+    def partial(batches):
+        acc = None
+        n = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = _quant_np(pdf[vec_col], np)
+            acc = m.T @ m if acc is None else acc + m.T @ m
+            n += len(pdf)
+        if acc is None:
+            return
+        d = acc.shape[0]
+        iu, ju = np.triu_indices(d)
+        yield pd.DataFrame(
+            {
+                "dim_i": iu.astype("int32"),
+                "dim_j": ju.astype("int32"),
+                "partial": acc[iu, ju].astype("int64"),
+                "n_part": np.full(len(iu), n, dtype="int64"),
+            }
+        )
+
+    partials = embeddings.select(vec_col).mapInPandas(
+        partial, schema="dim_i int, dim_j int, partial long, n_part long"
+    )
+    # every partition emits its row count on each (i, j) row, so the
+    # per-cell sum of n_part IS the corpus size — no second pass
+    return partials.groupBy("dim_i", "dim_j").agg(
+        F.sum(F.col("partial").cast("decimal(38,0)")).alias("gram"),
+        F.sum("n_part").cast("long").alias("n_vecs"),
+    )

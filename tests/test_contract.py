@@ -67,6 +67,8 @@ def test_no_oracle_type_widening(duck):
         "grouped_trend": {"slope_num", "slope_den"},
         # same pattern: exact correlation sufficient statistics
         "corr_matrix": {"corr_num", "den_a", "den_b"},
+        # exact Gram sums (operators/similarity.py embedding_gram)
+        "embedding_gram": {"gram"},
     }
     bad = []
     for name, sql in em.oracle_sql().items():
