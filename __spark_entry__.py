@@ -6916,6 +6916,25 @@ def q_dialogue_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization (operators/stats.py quantile_normalize):
+    per-event-type value distributions mapped onto the global one —
+    the batch-effect / cross-source calibration standard. Values
+    bucket to integer units first (bounded value grain), exact
+    min-rank integer ranks both sides, one value-grain inequality
+    join. NaN/null excluded."""
+    from rat_strain_loader_pipeline_spark.operators.stats import (
+        quantile_normalize,
+    )
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & ~F.isnan(F.col("value"))
+    )
+    return quantile_normalize(
+        ev, ["event_type"], F.floor(F.col("value")).cast("long")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -7171,6 +7190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_loss_weights": q_dedup_loss_weights,
         "embedding_gram": q_embedding_gram,
         "dialogue_flatten": q_dialogue_flatten,
+        "quantile_normalize": q_quantile_normalize,
     }
 
 
@@ -10388,6 +10408,51 @@ WHERE d.doc_id % 2 = 0
                    CAST(len(text) AS BIGINT) AS n_chars,
                    md5(text) AS fp
             FROM flat
+        """,
+        "quantile_normalize": """
+            WITH base AS (
+              SELECT event_type, CAST(floor(value) AS BIGINT) AS v
+              FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+            ),
+            grp AS (
+              SELECT event_type, v, CAST(count(*) AS BIGINT) AS n_rows
+              FROM base GROUP BY 1, 2
+            ),
+            gr AS (
+              SELECT event_type, v, n_rows,
+                     sum(n_rows) OVER (PARTITION BY event_type ORDER BY v)
+                       - n_rows + 1 AS minrank,
+                     sum(n_rows) OVER (PARTITION BY event_type) AS n
+              FROM grp
+            ),
+            gq AS (
+              SELECT event_type, v, n_rows,
+                     CASE WHEN n > 1 THEN
+                       CAST(((minrank - 1) * 1000000) // (n - 1) AS BIGINT)
+                     ELSE 0 END AS pr_q
+              FROM gr
+            ),
+            gl AS (
+              SELECT v AS gv, CAST(count(*) AS BIGINT) AS gn
+              FROM base GROUP BY 1
+            ),
+            glr AS (
+              SELECT gv,
+                     sum(gn) OVER (ORDER BY gv) - gn + 1 AS gminrank,
+                     sum(gn) OVER () AS gtot
+              FROM gl
+            ),
+            glq AS (
+              SELECT gv,
+                     CASE WHEN gtot > 1 THEN
+                       CAST(((gminrank - 1) * 1000000) // (gtot - 1) AS BIGINT)
+                     ELSE 0 END AS gpr_q
+              FROM glr
+            )
+            SELECT g.event_type, g.v, g.n_rows, g.pr_q,
+                   CAST(min(l.gv) AS BIGINT) AS v_norm
+            FROM gq g JOIN glq l ON l.gpr_q >= g.pr_q
+            GROUP BY 1, 2, 3, 4
         """,
         "mutual_knn": f"""
             WITH n AS (
@@ -13847,6 +13912,51 @@ FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
                    CAST(len(text) AS BIGINT) AS n_chars,
                    md5(text) AS fp
             FROM flat
+        """,
+        "quantile_normalize": """
+            WITH base AS (
+              SELECT event_type, CAST(floor(value) AS BIGINT) AS v
+              FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+            ),
+            grp AS (
+              SELECT event_type, v, CAST(count(*) AS BIGINT) AS n_rows
+              FROM base GROUP BY 1, 2
+            ),
+            gr AS (
+              SELECT event_type, v, n_rows,
+                     sum(n_rows) OVER (PARTITION BY event_type ORDER BY v)
+                       - n_rows + 1 AS minrank,
+                     sum(n_rows) OVER (PARTITION BY event_type) AS n
+              FROM grp
+            ),
+            gq AS (
+              SELECT event_type, v, n_rows,
+                     CASE WHEN n > 1 THEN
+                       CAST(((minrank - 1) * 1000000) // (n - 1) AS BIGINT)
+                     ELSE 0 END AS pr_q
+              FROM gr
+            ),
+            gl AS (
+              SELECT v AS gv, CAST(count(*) AS BIGINT) AS gn
+              FROM base GROUP BY 1
+            ),
+            glr AS (
+              SELECT gv,
+                     sum(gn) OVER (ORDER BY gv) - gn + 1 AS gminrank,
+                     sum(gn) OVER () AS gtot
+              FROM gl
+            ),
+            glq AS (
+              SELECT gv,
+                     CASE WHEN gtot > 1 THEN
+                       CAST(((gminrank - 1) * 1000000) // (gtot - 1) AS BIGINT)
+                     ELSE 0 END AS gpr_q
+              FROM glr
+            )
+            SELECT g.event_type, g.v, g.n_rows, g.pr_q,
+                   CAST(min(l.gv) AS BIGINT) AS v_norm
+            FROM gq g JOIN glq l ON l.gpr_q >= g.pr_q
+            GROUP BY 1, 2, 3, 4
         """,
         "mutual_knn": f"""
             WITH n AS (

@@ -1050,3 +1050,70 @@ def target_encode_loo(
             " AS BIGINT) END"
         ).alias("loo_q"),
     )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    keys: list[str],
+    value_q,
+) -> DataFrame:
+    """Quantile normalization — map every group's value distribution
+    onto the GLOBAL one (the batch-effect correction standard from
+    expression-array statistics, equally the cross-source score
+    calibration move in a corpus pipeline): a value at group percent
+    rank p is replaced by the smallest global value whose global
+    percent rank reaches p. Exact min-rank integer ranks
+    (``quantile_rank``'s algebra) on BOTH sides, so the mapping is a
+    pure integer inequality join.
+
+    ``value_q`` must be an exact integer column at a BOUNDED value
+    grain (bucket continuous measures first): both sides collapse to
+    value grain before any window, and the mapping join is
+    (group-values x global-values) — bounded by distinct-value counts,
+    never row counts. Returns (keys..., v, n_rows, pr_q, v_norm).
+    """
+    from pyspark.sql.window import Window
+
+    g = list(keys)
+    grp = df.groupBy(*g, value_q.alias("v")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    w_cum = Window.partitionBy(*g).orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.partitionBy(*g)
+    grp = grp.withColumn(
+        "minrank", F.sum("n_rows").over(w_cum) - F.col("n_rows") + 1
+    ).withColumn("n", F.sum("n_rows").over(w_all))
+    grp = grp.select(
+        *g,
+        "v",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.when(
+            F.col("n") > 1, F.expr("((minrank - 1) * 1000000) div (n - 1)")
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("pr_q"),
+    )
+    glob = df.groupBy(value_q.alias("gv")).agg(F.count(F.lit(1)).alias("gn"))
+    gw_cum = Window.orderBy("gv").rowsBetween(Window.unboundedPreceding, 0)
+    gw_all = Window.partitionBy(F.lit(1))
+    glob = glob.withColumn(
+        "gminrank", F.sum("gn").over(gw_cum) - F.col("gn") + 1
+    ).withColumn("gtot", F.sum("gn").over(gw_all))
+    glob = glob.select(
+        "gv",
+        F.when(
+            F.col("gtot") > 1,
+            F.expr("((gminrank - 1) * 1000000) div (gtot - 1)"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("gpr_q"),
+    )
+    return (
+        grp.join(glob, F.col("gpr_q") >= F.col("pr_q"))
+        .groupBy(*g, "v", "n_rows", "pr_q")
+        .agg(F.min("gv").cast("long").alias("v_norm"))
+    )
