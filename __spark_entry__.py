@@ -6935,6 +6935,95 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact nDCG@K retrieval evaluation: each query vector's exact
+    cosine top-K (self excluded, the mutual_knn re-rank idiom) is
+    graded against label agreement; per-position discounts are
+    floored-micros ln trees (floor(1e6·ln2/ln(p+1)) — identical IEEE
+    sequence both engines), the ideal DCG folds the same discounts
+    over min(R, K) positions, and nDCG is one integer division. The
+    standard ranking-quality gate for a retrieval/embedding stack."""
+    from pyspark.sql.window import Window as _W
+
+    from rat_strain_loader_pipeline_spark.operators.similarity import (
+        knn_join_blocked,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    lab = _t(spark, sf_dir, "embeddings").select("vec_id", "label")
+    knn = knn_join_blocked(
+        emb.filter(F.col("vec_id") < PQADC_QUERIES), emb,
+        k=TRUNC_K + 1, n_blocks=8,
+    )
+    nn = (
+        knn.filter(F.col("q_id") != F.col("c_id"))
+        .withColumn(
+            "p",
+            F.row_number().over(
+                _W.partitionBy("q_id").orderBy(
+                    F.col("cosine_micros").desc(), F.col("c_id").asc()
+                )
+            ),
+        )
+        .filter(F.col("p") <= TRUNC_K)
+    )
+    scored = (
+        nn.join(
+            F.broadcast(lab.select(F.col("vec_id").alias("q_id"),
+                                   F.col("label").alias("q_label"))),
+            "q_id",
+        )
+        .join(
+            lab.select(F.col("vec_id").alias("c_id"),
+                       F.col("label").alias("c_label")),
+            "c_id",
+        )
+    )
+    disc = F.floor(
+        F.lit(1_000_000.0) * F.log(F.lit(2.0)) / F.log(F.col("p") + F.lit(1.0))
+    ).cast("long")
+    per_q = scored.groupBy("q_id", "q_label").agg(
+        F.sum(F.when(F.col("c_label") == F.col("q_label"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_rel_at_k"),
+        F.sum(
+            F.when(F.col("c_label") == F.col("q_label"), disc).otherwise(0)
+        )
+        .cast("long")
+        .alias("dcg_q"),
+    )
+    rel_tot = lab.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_label")
+    )
+    out = per_q.join(
+        F.broadcast(rel_tot), per_q["q_label"] == rel_tot["label"]
+    ).withColumn("r_cap", F.least(F.col("n_label") - 1, F.lit(TRUNC_K)))
+    idcg = F.when(
+        F.col("r_cap") > 0,
+        F.aggregate(
+            F.sequence(F.lit(1), F.col("r_cap").cast("int")),
+            F.lit(0).cast("long"),
+            lambda acc, p: acc
+            + F.floor(
+                F.lit(1_000_000.0)
+                * F.log(F.lit(2.0))
+                / F.log(p.cast("double") + F.lit(1.0))
+            ).cast("long"),
+        ),
+    ).otherwise(F.lit(0).cast("long"))
+    return out.select(
+        "q_id",
+        "n_rel_at_k",
+        "dcg_q",
+        idcg.alias("idcg_q"),
+    ).withColumn(
+        "ndcg_q",
+        F.when(
+            F.col("idcg_q") > 0, F.expr("dcg_q * 1000000L div idcg_q")
+        ).cast("long"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -7191,6 +7280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_gram": q_embedding_gram,
         "dialogue_flatten": q_dialogue_flatten,
         "quantile_normalize": q_quantile_normalize,
+        "retrieval_ndcg": q_retrieval_ndcg,
     }
 
 
@@ -10454,6 +10544,65 @@ WHERE d.doc_id % 2 = 0
             FROM gq g JOIN glq l ON l.gpr_q >= g.pr_q
             GROUP BY 1, 2, 3, 4
         """,
+        "retrieval_ndcg": f"""
+            WITH n AS (
+              SELECT vec_id, label,
+                     list_transform(embedding::DOUBLE[],
+                                    x -> CAST(floor(x * 1000000) AS BIGINT)) AS v
+              FROM embeddings
+            ),
+            n2 AS (
+              SELECT vec_id, label, v,
+                     sqrt(CAST(list_sum(list_transform(v, x -> x*x)) AS DOUBLE))
+                       AS nrm
+              FROM n
+            ),
+            q AS (SELECT vec_id AS q_id, label AS q_label, v AS qv, nrm AS qn
+                  FROM n2 WHERE vec_id < {PQADC_QUERIES}),
+            ranked AS (
+              SELECT q_id, q_label, c_label, p FROM (
+                SELECT q.q_id, q.q_label, c.label AS c_label,
+                       row_number() OVER (PARTITION BY q.q_id ORDER BY
+                         CAST(floor(
+                           CAST(list_sum(list_transform(range(1, len(c.v)+1),
+                                         i -> c.v[i] * q.qv[i])) AS DOUBLE)
+                           / (q.qn * c.nrm) * 1000000) AS BIGINT) DESC,
+                         c.vec_id) AS p
+                FROM n2 c CROSS JOIN q WHERE c.vec_id <> q.q_id
+              ) WHERE p <= {TRUNC_K}
+            ),
+            per_q AS (
+              SELECT q_id, q_label,
+                     CAST(sum(CASE WHEN c_label = q_label THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_rel_at_k,
+                     CAST(sum(CASE WHEN c_label = q_label THEN
+                       CAST(floor(1000000 * ln(2) / ln(p + 1)) AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS dcg_q
+              FROM ranked GROUP BY 1, 2
+            ),
+            rt AS (SELECT label, CAST(count(*) AS BIGINT) AS n_label
+                   FROM embeddings GROUP BY 1),
+            o AS (
+              SELECT p.q_id, p.n_rel_at_k, p.dcg_q,
+                     least(rt.n_label - 1, {TRUNC_K}) AS r_cap
+              FROM per_q p JOIN rt ON p.q_label = rt.label
+            )
+            SELECT q_id, n_rel_at_k, dcg_q,
+                   CAST(CASE WHEN r_cap > 0 THEN COALESCE(list_sum(
+                     list_transform(range(1, CAST(r_cap AS INT) + 1),
+                       p -> CAST(floor(1000000 * ln(2) / ln(p + 1))
+                                 AS BIGINT))), 0)
+                   ELSE 0 END AS BIGINT) AS idcg_q,
+                   CASE WHEN r_cap > 0 THEN
+                     CAST(dcg_q * 1000000 // CAST(CASE WHEN r_cap > 0 THEN
+                       COALESCE(list_sum(list_transform(
+                         range(1, CAST(r_cap AS INT) + 1),
+                         p -> CAST(floor(1000000 * ln(2) / ln(p + 1))
+                                   AS BIGINT))), 0) ELSE 0 END AS BIGINT)
+                       AS BIGINT)
+                   END AS ndcg_q
+            FROM o
+        """,
         "mutual_knn": f"""
             WITH n AS (
               SELECT vec_id,
@@ -13396,6 +13545,65 @@ FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
             FROM base b JOIN rates r USING (source)
             GROUP BY 1, 2, 3, 4
         """,
+        "retrieval_ndcg": f"""
+            WITH n AS (
+              SELECT vec_id, label,
+                     list_transform(embedding::DOUBLE[],
+                                    x -> CAST(floor(x * 1000000) AS BIGINT)) AS v
+              FROM embeddings
+            ),
+            n2 AS (
+              SELECT vec_id, label, v,
+                     sqrt(CAST(list_sum(list_transform(v, x -> x*x)) AS DOUBLE))
+                       AS nrm
+              FROM n
+            ),
+            q AS (SELECT vec_id AS q_id, label AS q_label, v AS qv, nrm AS qn
+                  FROM n2 WHERE vec_id < {PQADC_QUERIES}),
+            ranked AS (
+              SELECT q_id, q_label, c_label, p FROM (
+                SELECT q.q_id, q.q_label, c.label AS c_label,
+                       row_number() OVER (PARTITION BY q.q_id ORDER BY
+                         CAST(floor(
+                           CAST(list_sum(list_transform(range(1, len(c.v)+1),
+                                         i -> c.v[i] * q.qv[i])) AS DOUBLE)
+                           / (q.qn * c.nrm) * 1000000) AS BIGINT) DESC,
+                         c.vec_id) AS p
+                FROM n2 c CROSS JOIN q WHERE c.vec_id <> q.q_id
+              ) WHERE p <= {TRUNC_K}
+            ),
+            per_q AS (
+              SELECT q_id, q_label,
+                     CAST(sum(CASE WHEN c_label = q_label THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_rel_at_k,
+                     CAST(sum(CASE WHEN c_label = q_label THEN
+                       CAST(floor(1000000 * ln(2) / ln(p + 1)) AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS dcg_q
+              FROM ranked GROUP BY 1, 2
+            ),
+            rt AS (SELECT label, CAST(count(*) AS BIGINT) AS n_label
+                   FROM embeddings GROUP BY 1),
+            o AS (
+              SELECT p.q_id, p.n_rel_at_k, p.dcg_q,
+                     least(rt.n_label - 1, {TRUNC_K}) AS r_cap
+              FROM per_q p JOIN rt ON p.q_label = rt.label
+            )
+            SELECT q_id, n_rel_at_k, dcg_q,
+                   CAST(CASE WHEN r_cap > 0 THEN COALESCE(list_sum(
+                     list_transform(range(1, CAST(r_cap AS INT) + 1),
+                       p -> CAST(floor(1000000 * ln(2) / ln(p + 1))
+                                 AS BIGINT))), 0)
+                   ELSE 0 END AS BIGINT) AS idcg_q,
+                   CASE WHEN r_cap > 0 THEN
+                     CAST(dcg_q * 1000000 // CAST(CASE WHEN r_cap > 0 THEN
+                       COALESCE(list_sum(list_transform(
+                         range(1, CAST(r_cap AS INT) + 1),
+                         p -> CAST(floor(1000000 * ln(2) / ln(p + 1))
+                                   AS BIGINT))), 0) ELSE 0 END AS BIGINT)
+                       AS BIGINT)
+                   END AS ndcg_q
+            FROM o
+        """,
         # brute-force all-pairs spectral-hash rebuild: window energies
         # are exact integer |sample| sums over the floor-bound partition
         # regenerated from the synth formulas
@@ -13957,6 +14165,65 @@ FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
                    CAST(min(l.gv) AS BIGINT) AS v_norm
             FROM gq g JOIN glq l ON l.gpr_q >= g.pr_q
             GROUP BY 1, 2, 3, 4
+        """,
+        "retrieval_ndcg": f"""
+            WITH n AS (
+              SELECT vec_id, label,
+                     list_transform(embedding::DOUBLE[],
+                                    x -> CAST(floor(x * 1000000) AS BIGINT)) AS v
+              FROM embeddings
+            ),
+            n2 AS (
+              SELECT vec_id, label, v,
+                     sqrt(CAST(list_sum(list_transform(v, x -> x*x)) AS DOUBLE))
+                       AS nrm
+              FROM n
+            ),
+            q AS (SELECT vec_id AS q_id, label AS q_label, v AS qv, nrm AS qn
+                  FROM n2 WHERE vec_id < {PQADC_QUERIES}),
+            ranked AS (
+              SELECT q_id, q_label, c_label, p FROM (
+                SELECT q.q_id, q.q_label, c.label AS c_label,
+                       row_number() OVER (PARTITION BY q.q_id ORDER BY
+                         CAST(floor(
+                           CAST(list_sum(list_transform(range(1, len(c.v)+1),
+                                         i -> c.v[i] * q.qv[i])) AS DOUBLE)
+                           / (q.qn * c.nrm) * 1000000) AS BIGINT) DESC,
+                         c.vec_id) AS p
+                FROM n2 c CROSS JOIN q WHERE c.vec_id <> q.q_id
+              ) WHERE p <= {TRUNC_K}
+            ),
+            per_q AS (
+              SELECT q_id, q_label,
+                     CAST(sum(CASE WHEN c_label = q_label THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_rel_at_k,
+                     CAST(sum(CASE WHEN c_label = q_label THEN
+                       CAST(floor(1000000 * ln(2) / ln(p + 1)) AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS dcg_q
+              FROM ranked GROUP BY 1, 2
+            ),
+            rt AS (SELECT label, CAST(count(*) AS BIGINT) AS n_label
+                   FROM embeddings GROUP BY 1),
+            o AS (
+              SELECT p.q_id, p.n_rel_at_k, p.dcg_q,
+                     least(rt.n_label - 1, {TRUNC_K}) AS r_cap
+              FROM per_q p JOIN rt ON p.q_label = rt.label
+            )
+            SELECT q_id, n_rel_at_k, dcg_q,
+                   CAST(CASE WHEN r_cap > 0 THEN COALESCE(list_sum(
+                     list_transform(range(1, CAST(r_cap AS INT) + 1),
+                       p -> CAST(floor(1000000 * ln(2) / ln(p + 1))
+                                 AS BIGINT))), 0)
+                   ELSE 0 END AS BIGINT) AS idcg_q,
+                   CASE WHEN r_cap > 0 THEN
+                     CAST(dcg_q * 1000000 // CAST(CASE WHEN r_cap > 0 THEN
+                       COALESCE(list_sum(list_transform(
+                         range(1, CAST(r_cap AS INT) + 1),
+                         p -> CAST(floor(1000000 * ln(2) / ln(p + 1))
+                                   AS BIGINT))), 0) ELSE 0 END AS BIGINT)
+                       AS BIGINT)
+                   END AS ndcg_q
+            FROM o
         """,
         "mutual_knn": f"""
             WITH n AS (
