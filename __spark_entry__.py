@@ -7024,6 +7024,85 @@ def q_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonal baseline anomalies — the within-day
+    seasonality twin of hourly_anomalies (global mean/std) and
+    mad_anomalies (global median): per (event_type, hour-of-day), the
+    exact median of the per-day volumes is the baseline, and days
+    landing above 2x the baseline count as anomalies — pure integer
+    comparisons on day-grain counts (no doubles). Two aggregations at
+    calendar-bounded grains plus one value-grain median cumsum."""
+    from rat_strain_loader_pipeline_spark.operators.stats import (
+        weighted_median,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type",
+        F.expr("unix_timestamp(ts) div 86400").alias("day"),
+        F.expr("(unix_timestamp(ts) div 3600) % 24").alias("hod"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    med = weighted_median(
+        cells, ["event_type", "hod"], F.col("n"), F.lit(1)
+    ).select("event_type", "hod", F.col("wmedian_q").alias("med_n"))
+    return (
+        cells.join(med, ["event_type", "hod"])
+        .groupBy("event_type", "hod", "med_n")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.sum(F.when(F.col("n") > 2 * F.col("med_n"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_anom"),
+        )
+        .select("event_type", "hod", "n_days", "med_n", "n_anom")
+    )
+
+
+def q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences estimate — the causal-analytics
+    staple: treated = even user ids, post = events after the corpus
+    time midpoint (broadcast 1-row bounds), outcome = micro value
+    mean. All four cell means are floored non-negative integer
+    divisions; the DiD point estimate is pure signed SUBTRACTION of
+    those floored means (no signed division anywhere, the repo's div
+    rule). One cell-grain aggregate; 1-row output."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & ~F.isnan(F.col("value"))
+    )
+    bounds = ev.agg(
+        F.min(F.expr("unix_timestamp(ts)")).alias("t0"),
+        F.max(F.expr("unix_timestamp(ts)")).alias("t1"),
+    )
+    tagged = ev.crossJoin(F.broadcast(bounds)).select(
+        (F.col("user_id") % 2 == 0).alias("treated"),
+        F.expr("unix_timestamp(ts) * 2 >= t0 + t1").alias("post"),
+        F.floor(F.col("value") * 1_000_000).cast("long").alias("vq"),
+    )
+    cells = tagged.groupBy("treated", "post").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("vq").cast("long").alias("s"),
+    )
+    m = F.expr("s div n")
+    wide = cells.groupBy().agg(
+        F.max(F.when(F.col("treated") & F.col("post"), m)).alias("m_t_post"),
+        F.max(F.when(F.col("treated") & ~F.col("post"), m)).alias("m_t_pre"),
+        F.max(F.when(~F.col("treated") & F.col("post"), m)).alias("m_c_post"),
+        F.max(F.when(~F.col("treated") & ~F.col("post"), m)).alias("m_c_pre"),
+    )
+    return wide.select(
+        F.col("m_t_pre").cast("long").alias("m_t_pre"),
+        F.col("m_t_post").cast("long").alias("m_t_post"),
+        F.col("m_c_pre").cast("long").alias("m_c_pre"),
+        F.col("m_c_post").cast("long").alias("m_c_post"),
+        (
+            (F.col("m_t_post") - F.col("m_t_pre"))
+            - (F.col("m_c_post") - F.col("m_c_pre"))
+        )
+        .cast("long")
+        .alias("did_q"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -7281,6 +7360,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dialogue_flatten": q_dialogue_flatten,
         "quantile_normalize": q_quantile_normalize,
         "retrieval_ndcg": q_retrieval_ndcg,
+        "seasonal_baseline": q_seasonal_baseline,
+        "diff_in_diff": q_diff_in_diff,
     }
 
 
@@ -10441,200 +10522,69 @@ WHERE d.doc_id % 2 = 0
                    COALESCE(s.logprob_sum_micros, 0) AS logprob_sum_micros
             FROM documents d LEFT JOIN scored s USING (doc_id)
         """,
-        "bfs_reach": _bfs_oracle_sql(BFS_SEED_MOD, BFS_ROUNDS),
-        # brute-force exact cross pairs — same EMPIRICAL banding-recall
-        # footing as the minhash_lsh oracle (the emitted pairs are
-        # exact-verified; the recall audit asserts banding completeness)
-        "cross_corpus_dedup": f"""
-            WITH {_jaccard_pairs_cte_sql(0.5)}
-            SELECT CASE WHEN id_a % 2 = 1 THEN id_a ELSE id_b END AS id_new,
-                   CASE WHEN id_a % 2 = 1 THEN id_b ELSE id_a END AS id_old,
-                   jaccard_micros
-            FROM jp WHERE (id_a % 2) <> (id_b % 2)
-        """,
-        "dedup_loss_weights": f"""
-            WITH RECURSIVE {_jaccard_pairs_cte_sql(0.5)},
-            {_CLOSURE_CTES_SQL},
-            comp AS (SELECT id, min(r) AS cid FROM reach GROUP BY id),
-            sizes AS (
-              SELECT cid, CAST(count(*) AS BIGINT) AS comp_size
-              FROM comp GROUP BY cid
-            )
-            SELECT d.doc_id,
-                   CAST(COALESCE(s.comp_size, 1) AS BIGINT) AS comp_size,
-                   CAST(1000000 // COALESCE(s.comp_size, 1) AS BIGINT)
-                     AS weight_q
-            FROM documents d
-            LEFT JOIN comp c ON d.doc_id = c.id
-            LEFT JOIN sizes s ON c.cid = s.cid
-        """,
-        "embedding_gram": """
-            WITH n AS (
-              SELECT vec_id,
-                     list_transform(embedding::DOUBLE[],
-                                    x -> CAST(floor(x * 1000000) AS BIGINT)) AS v
-              FROM embeddings
+        "seasonal_baseline": """
+            WITH cells AS (
+              SELECT event_type,
+                     (epoch_us(ts) // 1000000) // 86400 AS day,
+                     CAST(((epoch_us(ts) // 1000000) // 3600) % 24
+                          AS BIGINT) AS hod,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2, 3
             ),
-            e AS (
-              SELECT vec_id, generate_subscripts(v, 1) AS i, unnest(v) AS x
-              FROM n
+            cv AS (
+              SELECT event_type, hod, n AS v, CAST(count(*) AS BIGINT) AS w
+              FROM cells GROUP BY 1, 2, 3
             ),
-            tot AS (SELECT CAST(count(*) AS BIGINT) AS n_vecs FROM n)
-            SELECT CAST(a.i - 1 AS INT) AS dim_i, CAST(b.i - 1 AS INT) AS dim_j,
-                   CAST(sum(CAST(a.x AS HUGEINT) * b.x) AS DECIMAL(38,0)) AS gram,
-                   tot.n_vecs
-            FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i, tot
-            GROUP BY 1, 2, tot.n_vecs
-        """,
-        "dialogue_flatten": """
-            WITH flat AS (
-              SELECT user_id,
-                     string_agg(event_type, ' '
-                       ORDER BY ts, event_id) AS text,
-                     CAST(count(*) AS BIGINT) AS n_turns
-              FROM events GROUP BY user_id
+            r AS (
+              SELECT event_type, hod, v,
+                     sum(w) OVER (PARTITION BY event_type, hod
+                                  ORDER BY v) AS cum,
+                     sum(w) OVER (PARTITION BY event_type, hod) AS tot
+              FROM cv
+            ),
+            med AS (
+              SELECT event_type, hod, CAST(min(v) AS BIGINT) AS med_n
+              FROM r WHERE cum * 2 >= tot GROUP BY 1, 2
             )
-            SELECT user_id, n_turns,
-                   CAST(len(text) AS BIGINT) AS n_chars,
-                   md5(text) AS fp
-            FROM flat
+            SELECT c.event_type, c.hod,
+                   CAST(count(*) AS BIGINT) AS n_days, m.med_n,
+                   CAST(sum(CASE WHEN c.n > 2 * m.med_n THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_anom
+            FROM cells c
+            JOIN med m ON c.event_type = m.event_type AND c.hod = m.hod
+            GROUP BY 1, 2, m.med_n
         """,
-        "quantile_normalize": """
-            WITH base AS (
-              SELECT event_type, CAST(floor(value) AS BIGINT) AS v
+        "diff_in_diff": """
+            WITH ev AS (
+              SELECT user_id, epoch_us(ts) // 1000000 AS t,
+                     CAST(floor(value * 1000000) AS BIGINT) AS vq
               FROM events WHERE value IS NOT NULL AND NOT isnan(value)
             ),
-            grp AS (
-              SELECT event_type, v, CAST(count(*) AS BIGINT) AS n_rows
-              FROM base GROUP BY 1, 2
+            b AS (SELECT min(t) AS t0, max(t) AS t1 FROM ev),
+            tagged AS (
+              SELECT user_id % 2 = 0 AS treated, t * 2 >= t0 + t1 AS post, vq
+              FROM ev, b
             ),
-            gr AS (
-              SELECT event_type, v, n_rows,
-                     sum(n_rows) OVER (PARTITION BY event_type ORDER BY v)
-                       - n_rows + 1 AS minrank,
-                     sum(n_rows) OVER (PARTITION BY event_type) AS n
-              FROM grp
+            cells AS (
+              SELECT treated, post, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(vq) AS BIGINT) AS s
+              FROM tagged GROUP BY 1, 2
             ),
-            gq AS (
-              SELECT event_type, v, n_rows,
-                     CASE WHEN n > 1 THEN
-                       CAST(((minrank - 1) * 1000000) // (n - 1) AS BIGINT)
-                     ELSE 0 END AS pr_q
-              FROM gr
-            ),
-            gl AS (
-              SELECT v AS gv, CAST(count(*) AS BIGINT) AS gn
-              FROM base GROUP BY 1
-            ),
-            glr AS (
-              SELECT gv,
-                     sum(gn) OVER (ORDER BY gv) - gn + 1 AS gminrank,
-                     sum(gn) OVER () AS gtot
-              FROM gl
-            ),
-            glq AS (
-              SELECT gv,
-                     CASE WHEN gtot > 1 THEN
-                       CAST(((gminrank - 1) * 1000000) // (gtot - 1) AS BIGINT)
-                     ELSE 0 END AS gpr_q
-              FROM glr
+            wide AS (
+              SELECT
+                max(CASE WHEN treated AND NOT post THEN s // n END) AS m_t_pre,
+                max(CASE WHEN treated AND post THEN s // n END) AS m_t_post,
+                max(CASE WHEN NOT treated AND NOT post THEN s // n END) AS m_c_pre,
+                max(CASE WHEN NOT treated AND post THEN s // n END) AS m_c_post
+              FROM cells
             )
-            SELECT g.event_type, g.v, g.n_rows, g.pr_q,
-                   CAST(min(l.gv) AS BIGINT) AS v_norm
-            FROM gq g JOIN glq l ON l.gpr_q >= g.pr_q
-            GROUP BY 1, 2, 3, 4
-        """,
-        "retrieval_ndcg": f"""
-            WITH n AS (
-              SELECT vec_id, label,
-                     list_transform(embedding::DOUBLE[],
-                                    x -> CAST(floor(x * 1000000) AS BIGINT)) AS v
-              FROM embeddings
-            ),
-            n2 AS (
-              SELECT vec_id, label, v,
-                     sqrt(CAST(list_sum(list_transform(v, x -> x*x)) AS DOUBLE))
-                       AS nrm
-              FROM n
-            ),
-            q AS (SELECT vec_id AS q_id, label AS q_label, v AS qv, nrm AS qn
-                  FROM n2 WHERE vec_id < {PQADC_QUERIES}),
-            ranked AS (
-              SELECT q_id, q_label, c_label, p FROM (
-                SELECT q.q_id, q.q_label, c.label AS c_label,
-                       row_number() OVER (PARTITION BY q.q_id ORDER BY
-                         CAST(floor(
-                           CAST(list_sum(list_transform(range(1, len(c.v)+1),
-                                         i -> c.v[i] * q.qv[i])) AS DOUBLE)
-                           / (q.qn * c.nrm) * 1000000) AS BIGINT) DESC,
-                         c.vec_id) AS p
-                FROM n2 c CROSS JOIN q WHERE c.vec_id <> q.q_id
-              ) WHERE p <= {TRUNC_K}
-            ),
-            per_q AS (
-              SELECT q_id, q_label,
-                     CAST(sum(CASE WHEN c_label = q_label THEN 1 ELSE 0 END)
-                          AS BIGINT) AS n_rel_at_k,
-                     CAST(sum(CASE WHEN c_label = q_label THEN
-                       CAST(floor(1000000 * ln(2) / ln(p + 1)) AS BIGINT)
-                     ELSE 0 END) AS BIGINT) AS dcg_q
-              FROM ranked GROUP BY 1, 2
-            ),
-            rt AS (SELECT label, CAST(count(*) AS BIGINT) AS n_label
-                   FROM embeddings GROUP BY 1),
-            o AS (
-              SELECT p.q_id, p.n_rel_at_k, p.dcg_q,
-                     least(rt.n_label - 1, {TRUNC_K}) AS r_cap
-              FROM per_q p JOIN rt ON p.q_label = rt.label
-            )
-            SELECT q_id, n_rel_at_k, dcg_q,
-                   CAST(CASE WHEN r_cap > 0 THEN COALESCE(list_sum(
-                     list_transform(range(1, CAST(r_cap AS INT) + 1),
-                       p -> CAST(floor(1000000 * ln(2) / ln(p + 1))
-                                 AS BIGINT))), 0)
-                   ELSE 0 END AS BIGINT) AS idcg_q,
-                   CASE WHEN r_cap > 0 THEN
-                     CAST(dcg_q * 1000000 // CAST(CASE WHEN r_cap > 0 THEN
-                       COALESCE(list_sum(list_transform(
-                         range(1, CAST(r_cap AS INT) + 1),
-                         p -> CAST(floor(1000000 * ln(2) / ln(p + 1))
-                                   AS BIGINT))), 0) ELSE 0 END AS BIGINT)
-                       AS BIGINT)
-                   END AS ndcg_q
-            FROM o
-        """,
-        "mutual_knn": f"""
-            WITH n AS (
-              SELECT vec_id,
-                     list_transform(embedding::DOUBLE[],
-                                    x -> CAST(floor(x * 1000000) AS BIGINT)) AS v
-              FROM embeddings
-            ),
-            n2 AS (
-              SELECT vec_id, v,
-                     sqrt(CAST(list_sum(list_transform(v, x -> x*x)) AS DOUBLE))
-                       AS nrm
-              FROM n
-            ),
-            scored AS (
-              SELECT a.vec_id AS q_id, b.vec_id AS c_id,
-                     CAST(floor(
-                       CAST(list_sum(list_transform(range(1, len(a.v)+1),
-                                     i -> a.v[i] * b.v[i])) AS DOUBLE)
-                       / (a.nrm * b.nrm) * 1000000) AS BIGINT) AS cosine_micros
-              FROM n2 a CROSS JOIN n2 b WHERE a.vec_id <> b.vec_id
-            ),
-            nn AS (
-              SELECT q_id, c_id, cosine_micros FROM (
-                SELECT q_id, c_id, cosine_micros,
-                       row_number() OVER (PARTITION BY q_id
-                         ORDER BY cosine_micros DESC, c_id) AS rnk
-                FROM scored
-              ) WHERE rnk <= {MUTUAL_K}
-            )
-            SELECT f.q_id AS id_a, f.c_id AS id_b, f.cosine_micros
-            FROM nn f JOIN nn r ON f.q_id = r.c_id AND f.c_id = r.q_id
-            WHERE f.q_id < f.c_id
+            SELECT CAST(m_t_pre AS BIGINT) AS m_t_pre,
+                   CAST(m_t_post AS BIGINT) AS m_t_post,
+                   CAST(m_c_pre AS BIGINT) AS m_c_pre,
+                   CAST(m_c_post AS BIGINT) AS m_c_post,
+                   CAST((m_t_post - m_t_pre) - (m_c_post - m_c_pre)
+                        AS BIGINT) AS did_q
+            FROM wide
         """,
         "mixture_weights": f"""
             WITH counts AS (
@@ -13545,68 +13495,6 @@ FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
             FROM base b JOIN rates r USING (source)
             GROUP BY 1, 2, 3, 4
         """,
-        "retrieval_ndcg": f"""
-            WITH n AS (
-              SELECT vec_id, label,
-                     list_transform(embedding::DOUBLE[],
-                                    x -> CAST(floor(x * 1000000) AS BIGINT)) AS v
-              FROM embeddings
-            ),
-            n2 AS (
-              SELECT vec_id, label, v,
-                     sqrt(CAST(list_sum(list_transform(v, x -> x*x)) AS DOUBLE))
-                       AS nrm
-              FROM n
-            ),
-            q AS (SELECT vec_id AS q_id, label AS q_label, v AS qv, nrm AS qn
-                  FROM n2 WHERE vec_id < {PQADC_QUERIES}),
-            ranked AS (
-              SELECT q_id, q_label, c_label, p FROM (
-                SELECT q.q_id, q.q_label, c.label AS c_label,
-                       row_number() OVER (PARTITION BY q.q_id ORDER BY
-                         CAST(floor(
-                           CAST(list_sum(list_transform(range(1, len(c.v)+1),
-                                         i -> c.v[i] * q.qv[i])) AS DOUBLE)
-                           / (q.qn * c.nrm) * 1000000) AS BIGINT) DESC,
-                         c.vec_id) AS p
-                FROM n2 c CROSS JOIN q WHERE c.vec_id <> q.q_id
-              ) WHERE p <= {TRUNC_K}
-            ),
-            per_q AS (
-              SELECT q_id, q_label,
-                     CAST(sum(CASE WHEN c_label = q_label THEN 1 ELSE 0 END)
-                          AS BIGINT) AS n_rel_at_k,
-                     CAST(sum(CASE WHEN c_label = q_label THEN
-                       CAST(floor(1000000 * ln(2) / ln(p + 1)) AS BIGINT)
-                     ELSE 0 END) AS BIGINT) AS dcg_q
-              FROM ranked GROUP BY 1, 2
-            ),
-            rt AS (SELECT label, CAST(count(*) AS BIGINT) AS n_label
-                   FROM embeddings GROUP BY 1),
-            o AS (
-              SELECT p.q_id, p.n_rel_at_k, p.dcg_q,
-                     least(rt.n_label - 1, {TRUNC_K}) AS r_cap
-              FROM per_q p JOIN rt ON p.q_label = rt.label
-            )
-            SELECT q_id, n_rel_at_k, dcg_q,
-                   CAST(CASE WHEN r_cap > 0 THEN COALESCE(list_sum(
-                     list_transform(range(1, CAST(r_cap AS INT) + 1),
-                       p -> CAST(floor(1000000 * ln(2) / ln(p + 1))
-                                 AS BIGINT))), 0)
-                   ELSE 0 END AS BIGINT) AS idcg_q,
-                   CASE WHEN r_cap > 0 THEN
-                     CAST(dcg_q * 1000000 // CAST(CASE WHEN r_cap > 0 THEN
-                       COALESCE(list_sum(list_transform(
-                         range(1, CAST(r_cap AS INT) + 1),
-                         p -> CAST(floor(1000000 * ln(2) / ln(p + 1))
-                                   AS BIGINT))), 0) ELSE 0 END AS BIGINT)
-                       AS BIGINT)
-                   END AS ndcg_q
-            FROM o
-        """,
-        # brute-force all-pairs spectral-hash rebuild: window energies
-        # are exact integer |sample| sums over the floor-bound partition
-        # regenerated from the synth formulas
         "media_audio_pairs": """
             WITH p AS (
               SELECT CAST(doc_id AS BIGINT) AS id,
