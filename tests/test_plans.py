@@ -697,3 +697,55 @@ def test_dedup_recall_audit_sampled_no_cartesian(spark, sf_dir, queries):
     count broadcasts; the pair pipelines stay equi-joins."""
     plan = _plan(queries["dedup_recall_audit_sampled"](spark, sf_dir))
     assert "CartesianProduct" not in plan
+
+
+def test_round8_batch2_no_cartesian(spark, sf_dir, queries):
+    """E139-E156: no real cartesians; BroadcastNestedLoopJoin is
+    allowed only for 1-row scalar bounds / small inequality probes
+    (vocab_coverage targets, quantile_normalize mapping join,
+    diff_in_diff bounds)."""
+    for name in (
+        "gopher_rules",
+        "kappa_agreement",
+        "t_closeness",
+        "target_encode_loo",
+        "dsir_select",
+        "perplexity_filter",
+        "bfs_reach",
+        "mutual_knn",
+        "cross_corpus_dedup",
+        "dedup_loss_weights",
+        "dialogue_flatten",
+        "retrieval_ndcg",
+        "seasonal_baseline",
+    ):
+        plan = _plan(queries[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+
+
+def test_gopher_rules_map_only(spark, sf_dir, queries):
+    """Rule bundle is one scan + project: zero exchanges, zero Python."""
+    plan = _plan(queries["gopher_rules"](spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_target_encode_loo_broadcasts_group_table(spark, sf_dir, queries):
+    plan = _plan(queries["target_encode_loo"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dsir_ratio_table_broadcasts(spark, sf_dir, queries):
+    """The D-sized log-ratio table must broadcast onto the token
+    explode — the fact side never shuffles for the model join."""
+    plan = _plan(queries["dsir_select"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_embedding_gram_single_shuffle(spark, sf_dir, queries):
+    """Partition GEMM partials → ONE dims²-grain aggregation shuffle."""
+    plan = _plan(queries["embedding_gram"](spark, sf_dir))
+    assert plan.count("Arguments: hashpartitioning") == 1
+    assert "CartesianProduct" not in plan
