@@ -7103,6 +7103,129 @@ def q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for link prediction — the
+    training-pair generator for graph/recsys embedding objectives:
+    each positive edge draws NEG_K salted-md5 corruption candidates
+    (tail replacement over the node domain); candidates that happen to
+    be true edges or self-loops are FLAGGED, not silently resampled
+    (the honest single-shot contract a SQL oracle can replay — a
+    trainer filters or re-salts). Map-side candidate generation + one
+    left-anti-shaped membership join against the edge set."""
+    li = _t(spark, sf_dir, "lineitem")
+    edges = (
+        li.select(
+            F.least(F.col("l_orderkey") % 997, F.col("l_partkey") % 997).alias("a"),
+            F.greatest(F.col("l_orderkey") % 997, F.col("l_partkey") % 997).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    from rat_strain_loader_pipeline_spark.operators.sampling import md5_mod
+
+    ks = spark.createDataFrame([(k,) for k in range(1, NEG_K + 1)], "k int")
+    cand = edges.crossJoin(F.broadcast(ks)).withColumn(
+        "neg",
+        md5_mod(
+            F.concat(
+                F.lit(NEG_SALT),
+                F.col("a").cast("string"), F.lit(":"),
+                F.col("b").cast("string"), F.lit(":"),
+                F.col("k").cast("string"),
+            ),
+            997,
+        ),
+    )
+    probe = edges.select(
+        F.col("a").alias("pa"), F.col("b").alias("pb"), F.lit(True).alias("hit")
+    )
+    out = cand.join(
+        probe,
+        (F.least(F.col("a"), F.col("neg")) == F.col("pa"))
+        & (F.greatest(F.col("a"), F.col("neg")) == F.col("pb")),
+        "left",
+    )
+    return out.select(
+        "a",
+        "b",
+        F.col("k").cast("int").alias("k"),
+        "neg",
+        (F.coalesce(F.col("hit"), F.lit(False)) | (F.col("neg") == F.col("a"))).alias(
+            "invalid"
+        ),
+    )
+
+
+def q_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pass@k eval estimator (Chen et al. 2021, the unbiased
+    combinatorial form): per task (doc_id % PASSK_TASKS), n samples
+    and c correct (quality_model_score logit >= 0 as the deterministic
+    verdict), pass@k = 1 − C(n−c,k)/C(n,k) computed as the exact
+    product Π(n−c−i)/Π(n−i) in DECIMAL(38,0) with one integral-
+    quotient division — NULL when n < k. Task-grain math after one
+    map-side-combined aggregate."""
+    from rat_strain_loader_pipeline_spark.operators.text import (
+        quality_model_score,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    per_task = docs.select(
+        (F.col("doc_id") % PASSK_TASKS).alias("task"),
+        (quality_model_score(F.col("text")) >= 0).cast("int").alias("ok"),
+    ).groupBy("task").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("ok").cast("long").alias("c"),
+    )
+    num = "CAST(1 AS DECIMAL(38,0))"
+    den = "CAST(1 AS DECIMAL(38,0))"
+    for i in range(PASSK_K):
+        num = f"({num} * greatest(n - c - {i}, 0L))"
+        den = f"({den} * (n - {i}))"
+    return per_task.select(
+        "task",
+        "n",
+        "c",
+        F.expr(
+            f"CASE WHEN n >= {PASSK_K} THEN"
+            f" CAST(1000000 - ({num} * 1000000) div {den} AS BIGINT) END"
+        ).alias("pass_at_k_q"),
+    )
+
+
+def q_batch_collision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training batch collision audit: with hash-assigned
+    batches (md5 bucket of doc_id), any near-dup pair landing in the
+    SAME batch becomes a false in-batch negative — the silent
+    contrastive-objective corruption. Counts docs and near-dup
+    collisions per batch (LSH pairs at 0.5, both endpoints mapped
+    through the same bucket expression the oracle replays)."""
+    from rat_strain_loader_pipeline_spark.operators.sampling import md5_mod
+
+    docs = _t(spark, sf_dir, "documents")
+    bexpr = lambda c: md5_mod(
+        F.concat(F.lit(CB_SALT), c.cast("string")), CB_BATCHES
+    )
+    assign = docs.select("doc_id", bexpr(F.col("doc_id")).alias("batch"))
+    pairs = minhash_lsh_pairs(docs, jaccard_threshold=0.5).select(
+        bexpr(F.col("id_a")).alias("ba"), bexpr(F.col("id_b")).alias("bb")
+    )
+    coll = (
+        pairs.filter(F.col("ba") == F.col("bb"))
+        .groupBy(F.col("ba").alias("batch"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_collisions"))
+    )
+    return (
+        assign.groupBy("batch")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .join(coll, "batch", "left")
+        .select(
+            "batch",
+            "n_docs",
+            F.coalesce("n_collisions", F.lit(0)).cast("long").alias("n_collisions"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -7362,6 +7485,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retrieval_ndcg": q_retrieval_ndcg,
         "seasonal_baseline": q_seasonal_baseline,
         "diff_in_diff": q_diff_in_diff,
+        "negative_sampling": q_negative_sampling,
+        "pass_at_k": q_pass_at_k,
+        "batch_collision_audit": q_batch_collision_audit,
     }
 
 
@@ -8165,6 +8291,22 @@ MUTUAL_K = 5
 
 # Delta dedup (q_cross_corpus_dedup): old corpus = even doc ids, new
 # batch = odd; cross-only LSH banding + exact verify at 0.5.
+
+# Link-prediction negative sampling (q_negative_sampling): K salted
+# md5 corruption candidates per positive edge over the %997 graph.
+NEG_K = 2
+NEG_SALT = "neg:v1:"
+
+# pass@k eval estimator (q_pass_at_k): tasks = doc_id % PASSK_TASKS,
+# sample correct = quality_model_score logit >= 0, k = PASSK_K.
+PASSK_TASKS = 100
+PASSK_K = 3
+
+# Contrastive in-batch collision audit (q_batch_collision_audit):
+# hash-assigned batches; near-dup pairs landing in one batch are
+# false-negative collisions.
+CB_BATCHES = 32
+CB_SALT = "cbatch:v1:"
 
 # Co-purchase recommender eval (q_rec_eval): train = even orderkeys,
 # top-REC_K recs from co-occurrence counts >= REC_MIN_SUPPORT.
@@ -10585,6 +10727,85 @@ WHERE d.doc_id % 2 = 0
                    CAST((m_t_post - m_t_pre) - (m_c_post - m_c_pre)
                         AS BIGINT) AS did_q
             FROM wide
+        """,
+        "negative_sampling": f"""
+            WITH c AS (
+              SELECT DISTINCT least(l_orderkey % 997, l_partkey % 997) AS a,
+                              greatest(l_orderkey % 997, l_partkey % 997) AS b
+              FROM lineitem
+              WHERE l_orderkey % 997 <> l_partkey % 997
+            ),
+            ks(k) AS (VALUES {", ".join(f"({k})".format(k=k) for k in range(1, NEG_K + 1))}),
+            cand AS (
+              SELECT a, b, k,
+                     CAST(md5_number_lower('{NEG_SALT}'
+                            || CAST(a AS VARCHAR) || ':'
+                            || CAST(b AS VARCHAR) || ':'
+                            || CAST(k AS VARCHAR)) % 997 AS BIGINT) AS neg
+              FROM c, ks
+            )
+            SELECT cand.a, cand.b, CAST(cand.k AS INT) AS k, cand.neg,
+                   (e.pa IS NOT NULL) OR cand.neg = cand.a AS invalid
+            FROM cand LEFT JOIN (SELECT a AS pa, b AS pb FROM c) e
+              ON least(cand.a, cand.neg) = e.pa
+             AND greatest(cand.a, cand.neg) = e.pb
+        """,
+        "pass_at_k": f"""
+            WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
+            s AS (
+              SELECT doc_id,
+                     CAST({QMODEL_BIAS} + COALESCE(list_sum(list_transform(toks,
+                            tok -> (CAST(md5_number_lower('qmodel:v1:' || tok)
+                                     % {QMODEL_DIM} AS BIGINT) * {QMODEL_MULT})
+                                   % {QMODEL_RNG} - {(QMODEL_RNG - 1) // 2})), 0)
+                          AS BIGINT) AS logit
+              FROM t
+            ),
+            per AS (
+              SELECT doc_id % {PASSK_TASKS} AS task,
+                     CASE WHEN logit >= 0 THEN 1 ELSE 0 END AS ok
+              FROM s
+            ),
+            a AS (
+              SELECT task, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(ok) AS BIGINT) AS c
+              FROM per GROUP BY 1
+            )
+            SELECT task, n, c,
+                   CASE WHEN n >= {PASSK_K} THEN
+                     CAST(1000000 - ((((CAST(1 AS HUGEINT) * greatest(n - c - 0, 0)) * greatest(n - c - 1, 0)) * greatest(n - c - 2, 0)) * 1000000) // (((CAST(1 AS HUGEINT) * (n - 0)) * (n - 1)) * (n - 2)) AS BIGINT)
+                   END AS pass_at_k_q
+            FROM a
+        """,
+        "batch_collision_audit": f"""
+            WITH {_jaccard_pairs_cte_sql(0.5)},
+            assign AS (
+              SELECT doc_id,
+                     CAST(md5_number_lower('{CB_SALT}'
+                            || CAST(doc_id AS VARCHAR))
+                          % {CB_BATCHES} AS BIGINT) AS batch
+              FROM documents
+            ),
+            coll AS (
+              SELECT CAST(md5_number_lower('{CB_SALT}'
+                            || CAST(id_a AS VARCHAR))
+                          % {CB_BATCHES} AS BIGINT) AS ba,
+                     CAST(md5_number_lower('{CB_SALT}'
+                            || CAST(id_b AS VARCHAR))
+                          % {CB_BATCHES} AS BIGINT) AS bb
+              FROM jp
+            ),
+            cc AS (
+              SELECT ba AS batch, CAST(count(*) AS BIGINT) AS n_collisions
+              FROM coll WHERE ba = bb GROUP BY 1
+            ),
+            g AS (
+              SELECT batch, CAST(count(*) AS BIGINT) AS n_docs
+              FROM assign GROUP BY 1
+            )
+            SELECT g.batch, g.n_docs,
+                   CAST(COALESCE(cc.n_collisions, 0) AS BIGINT) AS n_collisions
+            FROM g LEFT JOIN cc ON g.batch = cc.batch
         """,
         "mixture_weights": f"""
             WITH counts AS (
