@@ -314,3 +314,74 @@ def test_histogram_quantiles_partition_invariant(spark, sf_dir):
     ]
     assert outs[0] == outs[1]
     assert len(outs[0]) == 2
+
+
+def test_dsir_partition_invariant(docs):
+    from rat_strain_loader_pipeline_spark.operators.sampling import (
+        dsir_importance_weights,
+    )
+
+    outs = [
+        _rows(
+            dsir_importance_weights(
+                v.withColumn("lang", (F.col("doc_id") % 3 == 0).cast("string")),
+                F.col("lang") == "true",
+                n_buckets=64,
+                top_n=20,
+            )
+        )
+        for v in _variants(docs)
+    ]
+    assert outs[0] == outs[1]
+    assert len(outs[0]) == 20
+
+
+def test_gopher_rules_partition_invariant(docs):
+    from rat_strain_loader_pipeline_spark.operators.text import (
+        gopher_quality_rules,
+    )
+
+    outs = [_rows(gopher_quality_rules(v)) for v in _variants(docs)]
+    assert outs[0] == outs[1]
+
+
+def test_perplexity_score_partition_invariant(docs):
+    from rat_strain_loader_pipeline_spark.operators.text import perplexity_score
+
+    outs = [
+        _rows(perplexity_score(v, F.col("doc_id") % 3 == 0))
+        for v in _variants(docs)
+    ]
+    assert outs[0] == outs[1]
+
+
+def test_quantile_normalize_partition_invariant(spark, sf_dir):
+    from rat_strain_loader_pipeline_spark.operators.stats import (
+        quantile_normalize,
+    )
+    from rat_strain_loader_pipeline_spark.sources.tables import read_table
+
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & ~F.isnan(F.col("value"))
+    )
+    base = ev.select("event_type", F.floor(F.col("value")).cast("long").alias("v"))
+    outs = [
+        _rows(quantile_normalize(v, ["event_type"], F.col("v")))
+        for v in [base.coalesce(1), base.repartition(13)]
+    ]
+    assert outs[0] == outs[1]
+
+
+def test_t_closeness_partition_invariant(docs):
+    from rat_strain_loader_pipeline_spark.operators.privacy import (
+        t_closeness_audit,
+    )
+
+    base = docs.select(
+        "doc_id", "source", (F.col("doc_id") % 5).alias("quasi")
+    )
+    outs = [
+        _rows(t_closeness_audit(v, ["quasi"], "source", t_micros=300_000))
+        for v in [base.coalesce(1), base.repartition(13, F.col("doc_id") % 7)]
+    ]
+    assert outs[0] == outs[1]
