@@ -7226,6 +7226,99 @@ def q_batch_collision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dup_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document duplicate n-gram fraction — the Gopher
+    repetition rule at word-n-gram grain (the line-grain twin lives in
+    repetition_stats): fraction of DUPNGRAM_N-grams that repeat an
+    earlier occurrence, in integer micros via pure list ops (count −
+    distinct over the gram array) — map-only, no shuffle, no UDF.
+    Boilerplate and keyboard-mash docs light this up where line stats
+    stay clean."""
+    from rat_strain_loader_pipeline_spark.operators.text import word_ngrams
+
+    docs = _t(spark, sf_dir, "documents")
+    # guard: F.sequence DESCENDS when size < n, so short docs must
+    # short-circuit to an empty gram list (the repo's sequence rule)
+    raw = word_ngrams(F.col("text"), DUPNGRAM_N)
+    from rat_strain_loader_pipeline_spark.operators.text import tokens as _tk
+
+    grams = F.when(
+        F.size(_tk(F.col("text"))) >= DUPNGRAM_N, raw
+    ).otherwise(F.array().cast("array<string>"))
+    n = F.size(grams)
+    nd = F.size(F.array_distinct(grams))
+    base = docs.select(
+        "doc_id",
+        n.cast("long").alias("n_grams"),
+        (n - nd).cast("long").alias("n_dup"),
+    )
+    return base.select(
+        "doc_id",
+        "n_grams",
+        "n_dup",
+        F.when(
+            F.col("n_grams") > 0, F.expr("n_dup * 1000000L div n_grams")
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("dup_frac_q"),
+    )
+
+
+def q_watermark_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Green-list watermark detector (Kirchenbauer et al. 2023 shape):
+    each token is 'green' when the salted md5 of its (previous, token)
+    bigram lands in the half-range green list; under un-watermarked
+    text the green fraction is 1/2, and the one-sided z statistic
+    z = (2g − n)/sqrt(n) flags synthetic text biased toward the list.
+    Map-only bigram pass; z floors to micros through one fixed IEEE
+    tree (floor of a double is toward −inf in both engines — the
+    signed-numerator case floor division would get wrong)."""
+    from rat_strain_loader_pipeline_spark.operators.sampling import md5_mod
+    from rat_strain_loader_pipeline_spark.operators.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(
+            F.when(
+                F.size(tokens(F.lower(F.col("text")))) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(tokens(F.lower(F.col("text")))) - 1),
+                    lambda i: F.struct(
+                        F.element_at(tokens(F.lower(F.col("text"))), i).alias("w1"),
+                        F.element_at(tokens(F.lower(F.col("text"))), i + 1).alias("w2"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).alias("bg"),
+    )
+    green = (
+        md5_mod(
+            F.concat(
+                F.lit(WM_SALT), F.col("bg.w1"), F.lit(":"), F.col("bg.w2")
+            ),
+            2,
+        )
+        == 0
+    )
+    per = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(green.cast("int")).cast("long").alias("g"),
+    )
+    z = F.floor(
+        (F.col("g") * 2 - F.col("n")).cast("double")
+        / F.sqrt(F.col("n").cast("double"))
+        * F.lit(1_000_000.0)
+    ).cast("long")
+    return per.select(
+        "doc_id",
+        "n",
+        "g",
+        z.alias("z_q"),
+        (z > F.lit(WM_Z_MICROS)).alias("flagged"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -7488,6 +7581,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "negative_sampling": q_negative_sampling,
         "pass_at_k": q_pass_at_k,
         "batch_collision_audit": q_batch_collision_audit,
+        "dup_ngram_stats": q_dup_ngram_stats,
+        "watermark_detect": q_watermark_detect,
     }
 
 
@@ -8307,6 +8402,15 @@ PASSK_K = 3
 # false-negative collisions.
 CB_BATCHES = 32
 CB_SALT = "cbatch:v1:"
+
+# Duplicate word-n-gram repetition audit (q_dup_ngram_stats): the
+# Gopher within-doc repetition rule at n-gram grain.
+DUPNGRAM_N = 3
+
+# Green-list watermark detector (q_watermark_detect): bigram-keyed
+# green membership, z threshold in micros.
+WM_SALT = "wm:v1:"
+WM_Z_MICROS = 4_000_000
 
 # Co-purchase recommender eval (q_rec_eval): train = even orderkeys,
 # top-REC_K recs from co-occurrence counts >= REC_MIN_SUPPORT.
@@ -10806,6 +10910,54 @@ WHERE d.doc_id % 2 = 0
             SELECT g.batch, g.n_docs,
                    CAST(COALESCE(cc.n_collisions, 0) AS BIGINT) AS n_collisions
             FROM g LEFT JOIN cc ON g.batch = cc.batch
+        """,
+        "dup_ngram_stats": f"""
+            WITH t AS (
+              SELECT doc_id, {_TOKENS_CASED_SQL} AS ts FROM documents
+            ),
+            g AS (
+              SELECT doc_id,
+                     CASE WHEN len(ts) >= {DUPNGRAM_N} THEN
+                       list_transform(range(1, len(ts) - {DUPNGRAM_N} + 2),
+                         i -> array_to_string(ts[i:i+{DUPNGRAM_N - 1}], ' '))
+                     ELSE []::VARCHAR[] END AS grams
+              FROM t
+            )
+            SELECT doc_id,
+                   CAST(len(grams) AS BIGINT) AS n_grams,
+                   CAST(len(grams) - len(list_distinct(grams)) AS BIGINT)
+                     AS n_dup,
+                   CASE WHEN len(grams) > 0 THEN
+                     CAST((len(grams) - len(list_distinct(grams))) * 1000000
+                          // len(grams) AS BIGINT)
+                   ELSE 0 END AS dup_frac_q
+            FROM g
+        """,
+        "watermark_detect": f"""
+            WITH toks AS (
+              SELECT doc_id, {_TOKENS_SQL} AS ts FROM documents
+            ),
+            bg AS (
+              SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2 FROM (
+                SELECT doc_id, ts, unnest(range(1, len(ts))) AS i
+                FROM toks WHERE len(ts) >= 2
+              )
+            ),
+            per AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(CASE WHEN md5_number_lower(
+                         '{WM_SALT}' || w1 || ':' || w2) % 2 = 0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS g
+              FROM bg GROUP BY 1
+            )
+            SELECT doc_id, n, g,
+                   CAST(floor(CAST(g * 2 - n AS DOUBLE)
+                              / sqrt(CAST(n AS DOUBLE)) * 1000000)
+                        AS BIGINT) AS z_q,
+                   CAST(floor(CAST(g * 2 - n AS DOUBLE)
+                              / sqrt(CAST(n AS DOUBLE)) * 1000000)
+                        AS BIGINT) > {WM_Z_MICROS} AS flagged
+            FROM per
         """,
         "mixture_weights": f"""
             WITH counts AS (
