@@ -7319,6 +7319,76 @@ def q_watermark_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_keyframe_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video keyframe selection by perceptual-hash jump: treating each
+    3-image media group as a frame sequence (the shared phash
+    fixture), a frame is a keyframe when its dHash hamming distance
+    from the PREVIOUS frame exceeds KEYFRAME_TAU (first frame always)
+    — the shot-boundary heuristic of a video curation pipeline.
+    Signatures are the same map-only Arrow dHash pass as the near-dup
+    pairs; selection is one group-keyed lag window. The oracle rebuilds
+    every hash from the generator formulas."""
+    from pyspark.sql.window import Window as _W
+
+    from rat_strain_loader_pipeline_spark.operators.multimodal import (
+        image_dhash_sigs,
+    )
+    from rat_strain_loader_pipeline_spark.ship import ensure_shipped
+
+    ensure_shipped(spark)
+    media = _synth_phash_media(spark, sf_dir)
+    sigs = image_dhash_sigs(media).select(
+        F.col("media_id"),
+        (F.col("media_id") % 3).cast("int").alias("idx"),
+        (F.col("media_id") / 3).cast("long").alias("grp"),
+        "simhash",
+    )
+    w = _W.partitionBy("grp").orderBy("idx")
+    prev = F.lag("simhash").over(w)
+    ham = F.when(
+        prev.isNotNull(),
+        F.bit_count(F.col("simhash").bitwiseXOR(prev)),
+    ).cast("int")
+    return sigs.select(
+        "media_id",
+        "grp",
+        "idx",
+        ham.alias("hamming"),
+        ((F.col("idx") == 0) | (ham > KEYFRAME_TAU)).alias("keyframe"),
+    )
+
+
+def q_gc_content_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GC-content windows over the distributed FASTA block table
+    (sources/fasta.py fasta_blocks) — the classic genome QC track,
+    computed at block grain so the scan parallelizes like every other
+    S6 consumer: per (chr, block), base count, GC count (regexp strip),
+    and the fraction in integer micros. O(genome/block) rows, map-only
+    after the block explode."""
+    from rat_strain_loader_pipeline_spark.sources.fasta import (
+        fasta_blocks,
+        fasta_from_dict,
+    )
+
+    seqs = {"1": ("ACGT" * 35)[:137], "2": ("ACGT" * 23)[:89]}
+    blocks = fasta_blocks(fasta_from_dict(spark, seqs), block_size=GC_BLOCK)
+    n = F.length("seq_block").cast("long")
+    gc = F.length(F.regexp_replace("seq_block", "[^GCgc]", "")).cast("long")
+    base = blocks.select(
+        "chr",
+        F.col("block_id").cast("long").alias("block_id"),
+        n.alias("n_bases"),
+        gc.alias("n_gc"),
+    )
+    return base.select(
+        "chr",
+        "block_id",
+        "n_bases",
+        "n_gc",
+        F.expr("n_gc * 1000000L div n_bases").cast("long").alias("gc_frac_q"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -7583,6 +7653,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "batch_collision_audit": q_batch_collision_audit,
         "dup_ngram_stats": q_dup_ngram_stats,
         "watermark_detect": q_watermark_detect,
+        "keyframe_select": q_keyframe_select,
+        "gc_content_windows": q_gc_content_windows,
     }
 
 
@@ -8411,6 +8483,13 @@ DUPNGRAM_N = 3
 # green membership, z threshold in micros.
 WM_SALT = "wm:v1:"
 WM_Z_MICROS = 4_000_000
+
+# Video keyframe selection (q_keyframe_select): dHash hamming jump
+# threshold between consecutive frames of a media group.
+KEYFRAME_TAU = 2
+
+# GC-content windows (q_gc_content_windows): fasta block grain.
+GC_BLOCK = 32
 
 # Co-purchase recommender eval (q_rec_eval): train = even orderkeys,
 # top-REC_K recs from co-occurrence counts >= REC_MIN_SUPPORT.
@@ -10958,6 +11037,47 @@ WHERE d.doc_id % 2 = 0
                               / sqrt(CAST(n AS DOUBLE)) * 1000000)
                         AS BIGINT) > {WM_Z_MICROS} AS flagged
             FROM per
+        """,
+        "keyframe_select": f"""
+            WITH {_PHASH_HASHES_CTES_SQL},
+            fr AS (
+              SELECT id AS media_id,
+                     CAST(id % 3 AS INT) AS idx,
+                     CAST(id // 3 AS BIGINT) AS grp, sig,
+                     lag(sig) OVER (PARTITION BY id // 3
+                                    ORDER BY id % 3) AS prev
+              FROM hashes
+            )
+            SELECT media_id, grp, idx,
+                   CAST(CASE WHEN prev IS NOT NULL
+                        THEN bit_count(xor(sig, prev)) END AS INT) AS hamming,
+                   idx = 0 OR bit_count(xor(sig, prev)) > {KEYFRAME_TAU}
+                     AS keyframe
+            FROM fr
+        """,
+        "gc_content_windows": f"""
+            WITH seqs(chr, seq) AS (VALUES
+              ('1', 'ACGTACGTACGTACGTACGTACGTACGTACGTACGTACGTACGTACGTACGTACGTACGTACGTACGTACGTACGTACGTACGTACGTACGTACGTACGTACGTACGTACGTACGTACGTACGTACGTACGTACGTA'),
+              ('2', 'ACGTACGTACGTACGTACGTACGTACGTACGTACGTACGTACGTACGTACGTACGTACGTACGTACGTACGTACGTACGTACGTACGTA')),
+            b AS (
+              SELECT chr, seq,
+                     unnest(range(0, CAST(ceil(len(seq) / {GC_BLOCK}.0)
+                                          AS INT))) AS block_id
+              FROM seqs
+            ),
+            blk AS (
+              SELECT chr, CAST(block_id AS BIGINT) AS block_id,
+                     substr(seq, CAST(block_id * {GC_BLOCK} + 1 AS INT),
+                            {GC_BLOCK}) AS sb
+              FROM b
+            )
+            SELECT chr, block_id,
+                   CAST(len(sb) AS BIGINT) AS n_bases,
+                   CAST(len(regexp_replace(sb, '[^GCgc]', '', 'g'))
+                        AS BIGINT) AS n_gc,
+                   CAST(len(regexp_replace(sb, '[^GCgc]', '', 'g')) * 1000000
+                        // len(sb) AS BIGINT) AS gc_frac_q
+            FROM blk
         """,
         "mixture_weights": f"""
             WITH counts AS (
