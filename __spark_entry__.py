@@ -7389,6 +7389,67 @@ def q_gc_content_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption planning — the denoising-objective data
+    prep: each token masks when its salted md5 (doc, position) draw
+    lands under SPANC_RATE%, and consecutive masked tokens form one
+    corruption span (one sentinel token each side). Emits the numbers
+    a batch builder needs — n_tokens, n_masked, n_spans (mask-run
+    starts via a shifted zip) — all from ONE map-only expression pass:
+    the mask bits, the run starts, and the counts never leave the
+    row. The oracle replays the identical md5 draws positionally."""
+    from rat_strain_loader_pipeline_spark.operators.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokens(F.lower(F.col("text")))
+    idx = F.when(
+        F.size(toks) >= 1, F.sequence(F.lit(1), F.size(toks))
+    ).otherwise(F.array().cast("array<int>"))
+    from rat_strain_loader_pipeline_spark.operators.sampling import md5_mod
+
+    def mask_bit(i):
+        return (
+            md5_mod(
+                F.concat(
+                    F.lit(SPANC_SALT),
+                    F.col("doc_id").cast("string"),
+                    F.lit(":"),
+                    i.cast("string"),
+                ),
+                100,
+            )
+            < SPANC_RATE
+        ).cast("int")
+
+    base = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.transform(idx, mask_bit).alias("m"),
+    )
+    n_masked = F.aggregate(
+        F.col("m"), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    # run starts: m[i] == 1 and (i == 0 or m[i-1] == 0)
+    starts = F.aggregate(
+        F.zip_with(
+            F.col("m"),
+            F.concat(F.array(F.lit(0)), F.slice(F.col("m"), 1, F.greatest(F.size("m") - 1, F.lit(0)))),
+            lambda cur, prev: (cur == 1).cast("int") * (prev == 0).cast("int"),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        n_masked.alias("n_masked"),
+        F.when(F.col("n_tokens") > 0, starts)
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("n_spans"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -7655,6 +7716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "watermark_detect": q_watermark_detect,
         "keyframe_select": q_keyframe_select,
         "gc_content_windows": q_gc_content_windows,
+        "span_corruption_plan": q_span_corruption_plan,
     }
 
 
@@ -8490,6 +8552,11 @@ KEYFRAME_TAU = 2
 
 # GC-content windows (q_gc_content_windows): fasta block grain.
 GC_BLOCK = 32
+
+# Span-corruption planning (q_span_corruption_plan): T5-style mask
+# plan — token masked when its salted md5 lands under RATE (percent).
+SPANC_SALT = "spanc:v1:"
+SPANC_RATE = 15
 
 # Co-purchase recommender eval (q_rec_eval): train = even orderkeys,
 # top-REC_K recs from co-occurrence counts >= REC_MIN_SUPPORT.
@@ -11078,6 +11145,29 @@ WHERE d.doc_id % 2 = 0
                    CAST(len(regexp_replace(sb, '[^GCgc]', '', 'g')) * 1000000
                         // len(sb) AS BIGINT) AS gc_frac_q
             FROM blk
+        """,
+        "span_corruption_plan": f"""
+            WITH t AS (
+              SELECT doc_id, {_TOKENS_SQL} AS ts FROM documents
+            ),
+            m AS (
+              SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
+                     list_transform(range(1, len(ts) + 1),
+                       i -> CASE WHEN md5_number_lower('{SPANC_SALT}'
+                                   || CAST(doc_id AS VARCHAR) || ':'
+                                   || CAST(i AS VARCHAR)) % 100
+                                 < {SPANC_RATE}
+                            THEN 1 ELSE 0 END) AS mk
+              FROM t
+            )
+            SELECT doc_id, n_tokens,
+                   CAST(COALESCE(list_sum(mk), 0) AS BIGINT) AS n_masked,
+                   CAST(COALESCE(list_sum(list_transform(
+                     range(1, len(mk) + 1),
+                     i -> CASE WHEN mk[i] = 1
+                                AND (i = 1 OR mk[i-1] = 0)
+                          THEN 1 ELSE 0 END)), 0) AS BIGINT) AS n_spans
+            FROM m
         """,
         "mixture_weights": f"""
             WITH counts AS (
