@@ -7139,10 +7139,15 @@ def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe = edges.select(
         F.col("a").alias("pa"), F.col("b").alias("pb"), F.lit(True).alias("hit")
     )
-    out = cand.join(
+    # materialize the normalized pair as COLUMNS before the join:
+    # joining on least()/greatest() expressions inline degrades to a
+    # nested loop; on plain columns it plans as a hash equi-join
+    keyed = cand.withColumn("lo", F.least(F.col("a"), F.col("neg"))).withColumn(
+        "hi", F.greatest(F.col("a"), F.col("neg"))
+    )
+    out = keyed.join(
         probe,
-        (F.least(F.col("a"), F.col("neg")) == F.col("pa"))
-        & (F.greatest(F.col("a"), F.col("neg")) == F.col("pb")),
+        (F.col("lo") == F.col("pa")) & (F.col("hi") == F.col("pb")),
         "left",
     )
     return out.select(

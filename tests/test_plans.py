@@ -749,3 +749,13 @@ def test_embedding_gram_single_shuffle(spark, sf_dir, queries):
     plan = _plan(queries["embedding_gram"](spark, sf_dir))
     assert plan.count("Arguments: hashpartitioning") == 1
     assert "CartesianProduct" not in plan
+
+
+def test_negative_sampling_probe_is_hash_join(spark, sf_dir, queries):
+    """The true-edge membership probe must plan as a hash equi-join on
+    the materialized (lo, hi) columns — an inline least()/greatest()
+    join condition degrades to a nested loop over edges x candidates.
+    The only nested loop allowed is the K-row replication crossJoin."""
+    plan = _plan(queries["negative_sampling"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    assert "CartesianProduct" not in plan
