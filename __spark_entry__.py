@@ -7455,6 +7455,90 @@ def q_span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail bucketing — the step after
+    perplexity_filter in the published pipeline: documents sort into
+    terciles of the reference-LM mean NLL (head = most fluent) by the
+    exact global min-rank percent rank (quantile_rank algebra at npl
+    value grain), so the cut is deterministic under ties and
+    partitioning. Emits (doc_id, npl_q, pr_q, bucket)."""
+    from pyspark.sql.window import Window as _W
+
+    from rat_strain_loader_pipeline_spark.operators.text import (
+        perplexity_score,
+    )
+
+    scored = perplexity_score(
+        _t(spark, sf_dir, "documents"), F.col("lang") == "en"
+    ).filter(F.col("npl_q").isNotNull())
+    vals = scored.groupBy("npl_q").agg(F.count(F.lit(1)).alias("n_rows"))
+    w_cum = _W.orderBy("npl_q").rowsBetween(_W.unboundedPreceding, 0)
+    w_all = _W.partitionBy(F.lit(1))
+    ranked = vals.withColumn(
+        "minrank", F.sum("n_rows").over(w_cum) - F.col("n_rows") + 1
+    ).withColumn("n", F.sum("n_rows").over(w_all))
+    pr = (
+        ranked.select(
+            "npl_q",
+            F.when(
+                F.col("n") > 1,
+                F.expr("((minrank - 1) * 1000000) div (n - 1)"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("pr_q"),
+        )
+    )
+    out = scored.select("doc_id", "npl_q").join(F.broadcast(pr), "npl_q")
+    bucket = (
+        F.when(F.col("pr_q") < PPL_CUT1, "head")
+        .when(F.col("pr_q") < PPL_CUT2, "middle")
+        .otherwise("tail")
+    )
+    return out.select("doc_id", "npl_q", "pr_q", bucket.alias("bucket"))
+
+
+def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend per event type — the
+    outlier-immune slope estimator beside grouped_trend's OLS: the
+    exact median of all pairwise day-volume slopes, each slope floored
+    to micros with the SIGNED pmod-floor idiom (negative numerators
+    must floor like DuckDB //, not truncate). The pair join is
+    day-grain² — calendar-bounded, never row-bounded; the median runs
+    the weighted_median value-grain cumsum."""
+    from rat_strain_loader_pipeline_spark.operators.stats import (
+        weighted_median,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.expr("unix_timestamp(ts) div 86400").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a = daily.select(
+        "event_type", F.col("day").alias("d1"), F.col("n").alias("n1")
+    )
+    b = daily.select(
+        F.col("event_type").alias("et2"),
+        F.col("day").alias("d2"),
+        F.col("n").alias("n2"),
+    )
+    pairs = a.join(
+        b, (F.col("event_type") == F.col("et2")) & (F.col("d1") < F.col("d2"))
+    ).select(
+        "event_type",
+        F.expr(
+            "((n2 - n1) * 1000000L - pmod((n2 - n1) * 1000000L, d2 - d1))"
+            " div (d2 - d1)"
+        ).alias("slope_q"),
+    )
+    med = weighted_median(pairs, ["event_type"], F.col("slope_q"), F.lit(1))
+    return med.select(
+        "event_type",
+        F.col("total_w").cast("long").alias("n_pairs"),
+        F.col("wmedian_q").cast("long").alias("slope_med_q"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -7722,6 +7806,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keyframe_select": q_keyframe_select,
         "gc_content_windows": q_gc_content_windows,
         "span_corruption_plan": q_span_corruption_plan,
+        "ppl_buckets": q_ppl_buckets,
+        "theil_sen_trend": q_theil_sen_trend,
     }
 
 
@@ -8562,6 +8648,11 @@ GC_BLOCK = 32
 # plan — token masked when its salted md5 lands under RATE (percent).
 SPANC_SALT = "spanc:v1:"
 SPANC_RATE = 15
+
+# CCNet head/middle/tail perplexity buckets (q_ppl_buckets): global
+# min-rank percent-rank terciles over npl_q.
+PPL_CUT1 = 333_334
+PPL_CUT2 = 666_667
 
 # Co-purchase recommender eval (q_rec_eval): train = even orderkeys,
 # top-REC_K recs from co-occurrence counts >= REC_MIN_SUPPORT.
@@ -9789,6 +9880,59 @@ SELECT CAST(k0 AS BIGINT) AS variant_rgd_id,
        CASE WHEN fullpath THEN (CASE WHEN kind IN (0, 1) THEN 'T' ELSE 'F' END) END
          AS frameshift
 FROM aas
+"""
+
+
+_PPL_SCORE_SQL = """
+            WITH toks AS (
+              SELECT doc_id, lang = 'en' AS ref,
+                     list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                                 t -> t <> '') AS ts
+              FROM documents
+            ),
+            p2 AS (
+              SELECT doc_id, ref, bg['w1'] AS w1, bg['w2'] AS w2 FROM (
+                SELECT doc_id, ref,
+                       unnest(list_transform(range(1, len(ts)),
+                              i -> {'w1': ts[i], 'w2': ts[i+1]})) AS bg
+                FROM toks WHERE len(ts) >= 2
+              )
+            ),
+            doc_bg AS (
+              SELECT doc_id, ref, w1, w2, count(*) AS n FROM p2 GROUP BY 1, 2, 3, 4
+            ),
+            lm_bg AS (
+              SELECT w1, w2, CAST(sum(n) AS BIGINT) AS c12
+              FROM doc_bg WHERE ref GROUP BY 1, 2
+            ),
+            lm_uni AS (
+              SELECT w1, CAST(sum(n) AS BIGINT) AS c1
+              FROM doc_bg WHERE ref GROUP BY 1
+            ),
+            vocab AS (
+              SELECT count(DISTINCT w) AS v FROM (
+                SELECT w1 AS w FROM doc_bg WHERE ref
+                UNION ALL SELECT w2 FROM doc_bg WHERE ref
+              )
+            ),
+            scored AS (
+              SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
+                     CAST(sum(n * CAST(floor(
+                       ln(CAST(COALESCE(c12, 0) + 1 AS DOUBLE)
+                          / CAST(COALESCE(c1, 0) + v AS DOUBLE)) * 1e6
+                     ) AS BIGINT)) AS BIGINT) AS logprob_sum_micros
+              FROM doc_bg LEFT JOIN lm_bg USING (w1, w2)
+              LEFT JOIN lm_uni USING (w1)
+              CROSS JOIN vocab
+              GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   COALESCE(s.n_bigrams, 0) AS n_bigrams,
+                   COALESCE(s.logprob_sum_micros, 0) AS logprob_sum_micros,
+                   CASE WHEN COALESCE(s.n_bigrams, 0) > 0 THEN
+                     CAST((-s.logprob_sum_micros) // s.n_bigrams AS BIGINT)
+                   END AS npl_q
+            FROM documents d LEFT JOIN scored s USING (doc_id)
 """
 
 
@@ -14317,20 +14461,25 @@ FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
                        AS n_agree
               FROM v GROUP BY source
             )
+            , d AS (
+              SELECT source, n_pairs, n_agree,
+                     (CAST(n_agree AS HUGEINT) * n_pairs
+                      - (CAST(a1 AS HUGEINT) * b1
+                         + (n_pairs - a1) * CAST(n_pairs - b1 AS HUGEINT)))
+                       * 1000000 AS knum,
+                     CAST(n_pairs AS HUGEINT) * n_pairs
+                     - (CAST(a1 AS HUGEINT) * b1
+                        + (n_pairs - a1) * CAST(n_pairs - b1 AS HUGEINT)) AS kden
+              FROM a
+            )
+            -- DuckDB // TRUNCATES on signed integers; kappa < 0 must
+            -- FLOOR like the engine's pmod idiom, hence the mod-floor
             SELECT source, n_pairs, n_agree,
-                   CASE WHEN CAST(n_pairs AS HUGEINT) * n_pairs
-                             - (CAST(a1 AS HUGEINT) * b1
-                                + (n_pairs - a1) * CAST(n_pairs - b1 AS HUGEINT)) > 0
-                   THEN CAST(((CAST(n_agree AS HUGEINT) * n_pairs
-                               - (CAST(a1 AS HUGEINT) * b1
-                                  + (n_pairs - a1) * CAST(n_pairs - b1 AS HUGEINT)))
-                              * 1000000)
-                             // (CAST(n_pairs AS HUGEINT) * n_pairs
-                                 - (CAST(a1 AS HUGEINT) * b1
-                                    + (n_pairs - a1) * CAST(n_pairs - b1 AS HUGEINT)))
-                        AS BIGINT)
+                   CASE WHEN kden > 0 THEN
+                     CAST((knum - ((knum % kden + kden) % kden)) // kden
+                          AS BIGINT)
                    END AS kappa_q
-            FROM a
+            FROM d
         """,
         "t_closeness": f"""
             WITH base AS (
@@ -14488,56 +14637,67 @@ FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
             FROM fr JOIN tr ON fr.q_id = tr.q_id AND fr.c_id = tr.c_id
             GROUP BY fr.q_id
         """,
-        "perplexity_filter": """
-            WITH toks AS (
-              SELECT doc_id, lang = 'en' AS ref,
-                     list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
-                                 t -> t <> '') AS ts
-              FROM documents
+        "perplexity_filter": _PPL_SCORE_SQL,
+        "ppl_buckets": f"""
+            WITH scored AS ({_PPL_SCORE_SQL}),
+            s2 AS (SELECT doc_id, npl_q FROM scored WHERE npl_q IS NOT NULL),
+            vals AS (
+              SELECT npl_q, CAST(count(*) AS BIGINT) AS n_rows
+              FROM s2 GROUP BY 1
             ),
-            p2 AS (
-              SELECT doc_id, ref, bg['w1'] AS w1, bg['w2'] AS w2 FROM (
-                SELECT doc_id, ref,
-                       unnest(list_transform(range(1, len(ts)),
-                              i -> {'w1': ts[i], 'w2': ts[i+1]})) AS bg
-                FROM toks WHERE len(ts) >= 2
-              )
+            r AS (
+              SELECT npl_q,
+                     sum(n_rows) OVER (ORDER BY npl_q) - n_rows + 1 AS minrank,
+                     sum(n_rows) OVER () AS n
+              FROM vals
             ),
-            doc_bg AS (
-              SELECT doc_id, ref, w1, w2, count(*) AS n FROM p2 GROUP BY 1, 2, 3, 4
-            ),
-            lm_bg AS (
-              SELECT w1, w2, CAST(sum(n) AS BIGINT) AS c12
-              FROM doc_bg WHERE ref GROUP BY 1, 2
-            ),
-            lm_uni AS (
-              SELECT w1, CAST(sum(n) AS BIGINT) AS c1
-              FROM doc_bg WHERE ref GROUP BY 1
-            ),
-            vocab AS (
-              SELECT count(DISTINCT w) AS v FROM (
-                SELECT w1 AS w FROM doc_bg WHERE ref
-                UNION ALL SELECT w2 FROM doc_bg WHERE ref
-              )
-            ),
-            scored AS (
-              SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
-                     CAST(sum(n * CAST(floor(
-                       ln(CAST(COALESCE(c12, 0) + 1 AS DOUBLE)
-                          / CAST(COALESCE(c1, 0) + v AS DOUBLE)) * 1e6
-                     ) AS BIGINT)) AS BIGINT) AS logprob_sum_micros
-              FROM doc_bg LEFT JOIN lm_bg USING (w1, w2)
-              LEFT JOIN lm_uni USING (w1)
-              CROSS JOIN vocab
-              GROUP BY 1
+            pr AS (
+              SELECT npl_q,
+                     CASE WHEN n > 1 THEN
+                       CAST(((minrank - 1) * 1000000) // (n - 1) AS BIGINT)
+                     ELSE 0 END AS pr_q
+              FROM r
             )
-            SELECT d.doc_id,
-                   COALESCE(s.n_bigrams, 0) AS n_bigrams,
-                   COALESCE(s.logprob_sum_micros, 0) AS logprob_sum_micros,
-                   CASE WHEN COALESCE(s.n_bigrams, 0) > 0 THEN
-                     CAST((-s.logprob_sum_micros) // s.n_bigrams AS BIGINT)
-                   END AS npl_q
-            FROM documents d LEFT JOIN scored s USING (doc_id)
+            SELECT s2.doc_id, s2.npl_q, pr.pr_q,
+                   CASE WHEN pr.pr_q < {PPL_CUT1} THEN 'head'
+                        WHEN pr.pr_q < {PPL_CUT2} THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM s2 JOIN pr USING (npl_q)
+        """,
+        "theil_sen_trend": """
+            WITH daily AS (
+              SELECT event_type,
+                     (epoch_us(ts) // 1000000) // 86400 AS day,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2
+            ),
+            pairs AS (
+              -- DuckDB // TRUNCATES on signed bigints (floor only on
+              -- non-negative); mirror the engine's pmod-floor exactly
+              SELECT a.event_type,
+                     CAST(((b.n - a.n) * 1000000
+                           - ((((b.n - a.n) * 1000000) % (b.day - a.day)
+                               + (b.day - a.day)) % (b.day - a.day)))
+                          // (b.day - a.day) AS BIGINT) AS slope_q
+              FROM daily a JOIN daily b
+                ON a.event_type = b.event_type AND a.day < b.day
+            ),
+            cv AS (
+              SELECT event_type, slope_q AS v, CAST(count(*) AS BIGINT) AS w
+              FROM pairs GROUP BY 1, 2
+            ),
+            r AS (
+              SELECT event_type, v,
+                     sum(w) OVER (PARTITION BY event_type ORDER BY v) AS cum,
+                     sum(w) OVER (PARTITION BY event_type) AS tot
+              FROM cv
+            ),
+            m AS (
+              SELECT event_type, CAST(min(v) AS BIGINT) AS slope_med_q,
+                     CAST(min(tot) AS BIGINT) AS n_pairs
+              FROM r WHERE cum * 2 >= tot GROUP BY 1
+            )
+            SELECT event_type, n_pairs, slope_med_q FROM m
         """,
         "bfs_reach": _bfs_oracle_sql(BFS_SEED_MOD, BFS_ROUNDS),
         # brute-force exact cross pairs — same EMPIRICAL banding-recall

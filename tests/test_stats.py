@@ -371,3 +371,36 @@ def test_peak_concurrency_sweep(spark):
     }
     assert got["a"] == (3, 9)
     assert got["b"] == (1, 40)
+
+
+def test_cohens_kappa_negative_floor(spark):
+    """Anti-correlated raters give kappa < 0; the signed division must
+    FLOOR (pmod idiom), matching the oracle's explicit mod-floor —
+    DuckDB's // truncates on signed ints, so this is the case a plain
+    div would get wrong."""
+    import duckdb
+
+    from rat_strain_loader_pipeline_spark.operators.stats import cohens_kappa
+    from pyspark.sql import functions as F
+
+    # 7 disagreements, 3 agreements → kappa negative and non-divisible
+    rows = [(1, i, i % 2 == 0, (i % 2 == 1) if i < 7 else (i % 2 == 0))
+            for i in range(10)]
+    df = spark.createDataFrame(rows, "g int, i int, ra boolean, rb boolean")
+    got = cohens_kappa(df, ["g"], F.col("ra"), F.col("rb")).collect()[0]
+    assert got["kappa_q"] is not None and got["kappa_q"] < 0
+    # independent floor computation
+    n = 10
+    a1 = sum(1 for _, _, ra, _ in rows if ra)
+    b1 = sum(1 for _, _, _, rb in rows if rb)
+    agree = sum(1 for _, _, ra, rb in rows if ra == rb)
+    pe = a1 * b1 + (n - a1) * (n - b1)
+    num = (agree * n - pe) * 1_000_000
+    den = n * n - pe
+    import math
+    assert got["kappa_q"] == math.floor(num / den)
+    # and DuckDB mod-floor agrees
+    dd = duckdb.sql(
+        f"SELECT ({num} - (({num} % {den} + {den}) % {den})) // {den}"
+    ).fetchone()[0]
+    assert got["kappa_q"] == dd
