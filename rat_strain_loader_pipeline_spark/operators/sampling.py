@@ -468,8 +468,11 @@ def poisson_bootstrap_mean(
     SQL oracle. All arithmetic is bigint (``value_col`` must be
     integer; weighted sums stay < 2^63/1e6 at test scales — widen to
     DECIMAL(38,0) for corpus-scale absolute sums); the resample and
-    point means use FLOOR division (pmod idiom) so signed measures
-    match DuckDB's ``//`` exactly, not just non-negative ones. The
+    point means use FLOOR division (pmod idiom), which is well-defined
+    for signed measures — note an oracle replaying a SIGNED-measure run
+    must spell the mod-floor explicitly (DuckDB's integer ``//``
+    truncates toward zero on signed operands; see the
+    kappa_agreement / theil_sen_trend oracles for the idiom). The
     interval is
     rank-based: 2nd-smallest / 2nd-largest resample mean (~94% CI at
     B=32; min/max when fewer than 4 usable resamples); resamples whose
