@@ -404,3 +404,50 @@ def test_cohens_kappa_negative_floor(spark):
         f"SELECT ({num} - (({num} % {den} + {den}) % {den})) // {den}"
     ).fetchone()[0]
     assert got["kappa_q"] == dd
+
+
+def test_gini_no_bigint_wrap_at_large_volumes(spark):
+    """Regression for the round-7 advice: 2·S1·1e6 wrapped bigint once
+    n·Σx exceeded ~4.6e12. With three ~2e12 values the old expression
+    wrapped; the DECIMAL path must match the exact Python fraction."""
+    from pyspark.sql import functions as F
+
+    from rat_strain_loader_pipeline_spark.operators.stats import (
+        gini_coefficient,
+    )
+
+    xs = [2_000_000_000_000, 1_500_000_000_000, 500_000_000_000]
+    df = spark.createDataFrame(
+        [("g", x) for x in xs], "k string, x long"
+    )
+    got = gini_coefficient(df, ["k"], "x").collect()[0]
+    n, s = len(xs), sum(xs)
+    s1 = sum(i * x for i, x in enumerate(sorted(xs), start=1))
+    want = (2 * s1 * 1_000_000) // (n * s) - ((n + 1) * 1_000_000) // n
+    assert got["gini_q"] == want
+    assert got["sum_x"] == s
+
+
+def test_pass_at_k_matches_comb():
+    """The product-ratio form must equal the exact-rational
+    1 − C(n−c,k)/C(n,k) definition for every (n, c) cell."""
+    import math
+
+    k = 3
+    for n, c in [(5, 0), (5, 2), (5, 5), (3, 1), (7, 3), (4, 4)]:
+        num = 1
+        den = 1
+        for i in range(k):
+            num *= max(n - c - i, 0)
+            den *= n - i
+        got = 1_000_000 - (num * 1_000_000) // den
+        # compare against the exact rational C(n-c,k)/C(n,k)
+        import fractions
+
+        frac = (
+            fractions.Fraction(math.comb(n - c, k), math.comb(n, k))
+            if n - c >= k
+            else fractions.Fraction(0)
+        )
+        exact = 1_000_000 - (frac.numerator * 1_000_000) // frac.denominator
+        assert got == exact, (n, c)
