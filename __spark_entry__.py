@@ -7539,6 +7539,26 @@ def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColBERT-style late-interaction retrieval (operators/similarity.py
+    maxsim_topk): query and corpus vectors split into MAXSIM_SUB
+    contiguous sub-vectors, relevance = Σ_q max_d sub-cosine — the
+    multi-vector scorer that keeps token-level matching. All n_sub²
+    sub-cosines evaluate in ONE codegen projection per row (no explode,
+    no shuffle); TakeOrdered top-K. Zero-norm sub-vectors floor to the
+    sentinel via COALESCE on both engines."""
+    from rat_strain_loader_pipeline_spark.operators.similarity import (
+        maxsim_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    return maxsim_topk(emb, qvec, n_sub=MAXSIM_SUB, k=MAXSIM_K)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -7808,6 +7828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_corruption_plan": q_span_corruption_plan,
         "ppl_buckets": q_ppl_buckets,
         "theil_sen_trend": q_theil_sen_trend,
+        "maxsim_topk": q_maxsim_topk,
     }
 
 
@@ -8653,6 +8674,11 @@ SPANC_RATE = 15
 # min-rank percent-rank terciles over npl_q.
 PPL_CUT1 = 333_334
 PPL_CUT2 = 666_667
+
+# ColBERT-style MaxSim retrieval (q_maxsim_topk): sub-vector count and
+# result size over the 64-dim embeddings.
+MAXSIM_SUB = 4
+MAXSIM_K = 10
 
 # Co-purchase recommender eval (q_rec_eval): train = even orderkeys,
 # top-REC_K recs from co-occurrence counts >= REC_MIN_SUPPORT.
@@ -14698,6 +14724,43 @@ FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
               FROM r WHERE cum * 2 >= tot GROUP BY 1
             )
             SELECT event_type, n_pairs, slope_med_q FROM m
+        """,
+        "maxsim_topk": f"""
+            WITH n AS (
+              SELECT vec_id,
+                     list_transform(embedding::DOUBLE[],
+                                    x -> CAST(floor(x * 1000000) AS BIGINT)) AS v
+              FROM embeddings
+            ),
+            q AS (SELECT v AS qfull FROM n WHERE vec_id = 0),
+            subs AS (SELECT unnest(range(0, {MAXSIM_SUB})) AS i),
+            pairs AS (
+              SELECT n.vec_id, dq.i AS ds, qq.i AS qs,
+                     n.v[dq.i*16+1 : dq.i*16+16] AS dv,
+                     q.qfull[qq.i*16+1 : qq.i*16+16] AS qv
+              FROM n, q, subs dq, subs qq
+            ),
+            cs AS (
+              SELECT vec_id, qs,
+                     max(CASE WHEN list_sum(list_transform(dv, x -> x*x)) > 0
+                               AND list_sum(list_transform(qv, x -> x*x)) > 0
+                         THEN CAST(floor(
+                           CAST(list_sum(list_transform(range(1, 16+1),
+                                         i -> dv[i] * qv[i])) AS DOUBLE)
+                           / (sqrt(CAST(list_sum(list_transform(dv, x -> x*x))
+                                        AS DOUBLE))
+                              * sqrt(CAST(list_sum(list_transform(qv, x -> x*x))
+                                          AS DOUBLE)))
+                           * 1000000) AS BIGINT)
+                         ELSE -2000000000 END) AS best
+              FROM pairs GROUP BY 1, 2
+            ),
+            sc AS (
+              SELECT vec_id, CAST(sum(best) AS BIGINT) AS maxsim_micros
+              FROM cs GROUP BY 1
+            )
+            SELECT vec_id, maxsim_micros
+            FROM sc ORDER BY maxsim_micros DESC, vec_id LIMIT {MAXSIM_K}
         """,
         "bfs_reach": _bfs_oracle_sql(BFS_SEED_MOD, BFS_ROUNDS),
         # brute-force exact cross pairs — same EMPIRICAL banding-recall

@@ -1002,3 +1002,57 @@ def embedding_gram(
         F.sum(F.col("partial").cast("decimal(38,0)")).alias("gram"),
         F.sum("n_part").cast("long").alias("n_vecs"),
     )
+
+
+def maxsim_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    n_sub: int = 4,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ColBERT-style late-interaction MaxSim retrieval: both query and
+    corpus vectors split into ``n_sub`` contiguous sub-vectors, and the
+    relevance score is Σ_q max_d cos(q_i, d_j) — the multi-vector
+    scorer that preserves token-level matching a single pooled cosine
+    flattens away (Khattab & Zaharia 2020). Scores are integer micros
+    per sub-cosine (see ``MICROS``), so the max/sum algebra is exact;
+    zero-norm sub-vectors score the ``SENTINEL_MICROS`` floor via
+    COALESCE on BOTH engines (NULL-skipping greatest() semantics
+    differ across engines — never rely on them).
+
+    Plan shape: the query sub-vectors are literals broadcast by value;
+    every corpus row evaluates n_sub² sub-cosines inside ONE
+    whole-stage-codegen projection (no explode, no shuffle), and the
+    top-k is a TakeOrdered — identical scan shape to
+    ``brute_force_topk`` with a wider expression. Returns
+    (id, maxsim_micros), ordered desc, ties by ascending id.
+    """
+    dim = len(query_vec)
+    sub = dim // n_sub
+    qsubs = [
+        [
+            int(math.floor(float(x) * MICROS))
+            for x in query_vec[s * sub : (s + 1) * sub]
+        ]
+        for s in range(n_sub)
+    ]
+    dq = _quantize(F.col(vec_col))
+    score = None
+    for qs in qsubs:
+        qlit = F.array(*[F.lit(v).cast("long") for v in qs])
+        best = None
+        for d in range(n_sub):
+            dsub = F.slice(dq, d * sub + 1, sub)
+            c = F.coalesce(
+                cosine_micros_expr(dsub, qlit), F.lit(SENTINEL_MICROS)
+            )
+            best = c if best is None else F.greatest(best, c)
+        score = best if score is None else score + best
+    scored = embeddings.select(F.col(id_col), score.alias("maxsim_micros"))
+    return (
+        scored.orderBy(F.col("maxsim_micros").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(id_col, "maxsim_micros")
+    )
