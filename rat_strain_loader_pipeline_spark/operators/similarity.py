@@ -1038,16 +1038,34 @@ def maxsim_topk(
         ]
         for s in range(n_sub)
     ]
+    # query-side sub-norms are CONSTANTS — compute sqrt in Python
+    # (IEEE sqrt of the exact integer, bit-identical to the oracle's
+    # sqrt(CAST(Σq² AS DOUBLE))) instead of folding a literal array per
+    # row: this removes 2·n_sub² of the 3·n_sub² per-row folds, keeping
+    # the projection inside whole-stage codegen limits
+    qn = [math.sqrt(sum(v * v for v in qs)) for qs in qsubs]
     dq = _quantize(F.col(vec_col))
+    dsubs = [F.slice(dq, d * sub + 1, sub) for d in range(n_sub)]
+    dn2 = [_idot(ds, ds) for ds in dsubs]
     score = None
-    for qs in qsubs:
+    for qs, qnorm in zip(qsubs, qn):
+        if qnorm == 0:
+            score = (score if score is not None else F.lit(0).cast("long")) + F.lit(
+                SENTINEL_MICROS
+            )
+            continue
         qlit = F.array(*[F.lit(v).cast("long") for v in qs])
         best = None
         for d in range(n_sub):
-            dsub = F.slice(dq, d * sub + 1, sub)
-            c = F.coalesce(
-                cosine_micros_expr(dsub, qlit), F.lit(SENTINEL_MICROS)
-            )
+            dot = _idot(dsubs[d], qlit)
+            c = F.when(
+                dn2[d] > 0,
+                F.floor(
+                    dot.cast("double")
+                    / (F.sqrt(dn2[d].cast("double")) * F.lit(qnorm))
+                    * MICROS
+                ).cast("long"),
+            ).otherwise(F.lit(SENTINEL_MICROS).cast("long"))
             best = c if best is None else F.greatest(best, c)
         score = best if score is None else score + best
     scored = embeddings.select(F.col(id_col), score.alias("maxsim_micros"))
