@@ -7559,6 +7559,105 @@ def q_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maxsim_topk(emb, qvec, n_sub=MAXSIM_SUB, k=MAXSIM_K)
 
 
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset card — the release artifact a training run pins: one row
+    per corpus table with row count, distinct key count, and the
+    order-free modular content fingerprint (the corpus_fingerprint
+    fold, content serialized per table: text for documents,
+    type:user for events, the quantized component list for
+    embeddings). Three map-side passes, three 1-row outputs unioned;
+    any replica/run can recompute and compare the card cheaply."""
+    from rat_strain_loader_pipeline_spark.operators.sampling import md5_mod
+
+    fpmod = 10**15
+
+    def fold(df, id_col, content):
+        h = md5_mod(
+            F.concat(
+                F.lit("fp:"),
+                F.col(id_col).cast("string"),
+                F.lit(":"),
+                F.md5(content),
+            ),
+            fpmod,
+        ).cast("decimal(38,0)")
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.countDistinct(id_col).cast("long").alias("n_keys"),
+            (F.sum(h) % fpmod).cast("long").alias("fp"),
+        )
+
+    docs = _t(spark, sf_dir, "documents")
+    ev = _t(spark, sf_dir, "events")
+    emb = _t(spark, sf_dir, "embeddings")
+    card_docs = fold(docs, "doc_id", F.coalesce(F.col("text"), F.lit(""))).select(
+        F.lit("documents").alias("table_name"), "n_rows", "n_keys", "fp"
+    )
+    card_ev = fold(
+        ev,
+        "event_id",
+        F.concat(
+            F.coalesce(F.col("event_type"), F.lit("")),
+            F.lit(":"),
+            F.col("user_id").cast("string"),
+        ),
+    ).select(F.lit("events").alias("table_name"), "n_rows", "n_keys", "fp")
+    card_emb = fold(
+        emb,
+        "vec_id",
+        F.array_join(
+            F.transform(
+                F.col("embedding"),
+                lambda x: F.floor(x.cast("double") * 1_000_000)
+                .cast("long")
+                .cast("string"),
+            ),
+            ",",
+        ),
+    ).select(F.lit("embeddings").alias("table_name"), "n_rows", "n_keys", "fp")
+    return card_docs.unionByName(card_ev).unionByName(card_emb)
+
+
+def q_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-level vocabulary overlap matrix: exact Jaccard between
+    every source pair's token TYPE sets — the corpus-diversity
+    diagnostic behind mixture decisions (two crawls with 0.9 vocab
+    Jaccard add redundancy, not coverage). One distinct collapse to
+    (source, token) grain, one token-keyed self-join for pair
+    intersections (source pairs are bounded, tokens never fan out past
+    the pair grid), sizes broadcast back."""
+    docs = _t(spark, sf_dir, "documents")
+    v = (
+        docs.select(
+            "source", F.explode(T.tokens(F.lower(F.col("text")))).alias("token")
+        )
+        .distinct()
+    )
+    sizes = v.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("nv"))
+    a = v.select(F.col("source").alias("src_a"), "token")
+    b = v.select(F.col("source").alias("src_b"), "token")
+    inter = (
+        a.join(b, "token")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("nv").alias("na"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("nv").alias("nb"))
+    return (
+        inter.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_inter",
+            F.expr("n_inter * 1000000L div (na + nb - n_inter)")
+            .cast("long")
+            .alias("jaccard_q"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -7829,6 +7928,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppl_buckets": q_ppl_buckets,
         "theil_sen_trend": q_theil_sen_trend,
         "maxsim_topk": q_maxsim_topk,
+        "dataset_card": q_dataset_card,
+        "source_vocab_overlap": q_source_vocab_overlap,
     }
 
 
@@ -14761,6 +14862,65 @@ FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
             )
             SELECT vec_id, maxsim_micros
             FROM sc ORDER BY maxsim_micros DESC, vec_id LIMIT {MAXSIM_K}
+        """,
+        "dataset_card": f"""
+            WITH d AS (
+              SELECT 'documents' AS table_name,
+                     CAST(count(*) AS BIGINT) AS n_rows,
+                     CAST(count(DISTINCT doc_id) AS BIGINT) AS n_keys,
+                     CAST(sum(CAST(md5_number_lower(
+                         'fp:' || CAST(doc_id AS VARCHAR) || ':'
+                         || md5(COALESCE(text, ''))) % {10**15} AS BIGINT))
+                       % {10**15} AS BIGINT) AS fp
+              FROM documents
+            ),
+            e AS (
+              SELECT 'events' AS table_name,
+                     CAST(count(*) AS BIGINT) AS n_rows,
+                     CAST(count(DISTINCT event_id) AS BIGINT) AS n_keys,
+                     CAST(sum(CAST(md5_number_lower(
+                         'fp:' || CAST(event_id AS VARCHAR) || ':'
+                         || md5(COALESCE(event_type, '') || ':'
+                                || CAST(user_id AS VARCHAR))) % {10**15}
+                       AS BIGINT)) % {10**15} AS BIGINT) AS fp
+              FROM events
+            ),
+            m AS (
+              SELECT 'embeddings' AS table_name,
+                     CAST(count(*) AS BIGINT) AS n_rows,
+                     CAST(count(DISTINCT vec_id) AS BIGINT) AS n_keys,
+                     CAST(sum(CAST(md5_number_lower(
+                         'fp:' || CAST(vec_id AS VARCHAR) || ':'
+                         || md5(array_to_string(list_transform(
+                              embedding::DOUBLE[],
+                              x -> CAST(CAST(floor(x * 1000000) AS BIGINT)
+                                        AS VARCHAR)), ','))) % {10**15}
+                       AS BIGINT)) % {10**15} AS BIGINT) AS fp
+              FROM embeddings
+            )
+            SELECT * FROM d UNION ALL SELECT * FROM e UNION ALL SELECT * FROM m
+        """,
+        "source_vocab_overlap": f"""
+            WITH v AS (
+              SELECT DISTINCT source, token FROM (
+                SELECT source, unnest({_TOKENS_SQL}) AS token FROM documents
+              )
+            ),
+            sizes AS (
+              SELECT source, CAST(count(*) AS BIGINT) AS nv FROM v GROUP BY 1
+            ),
+            inter AS (
+              SELECT a.source AS src_a, b.source AS src_b,
+                     CAST(count(*) AS BIGINT) AS n_inter
+              FROM v a JOIN v b ON a.token = b.token AND a.source < b.source
+              GROUP BY 1, 2
+            )
+            SELECT i.src_a, i.src_b, i.n_inter,
+                   CAST(i.n_inter * 1000000
+                        // (sa.nv + sb.nv - i.n_inter) AS BIGINT) AS jaccard_q
+            FROM inter i
+            JOIN sizes sa ON i.src_a = sa.source
+            JOIN sizes sb ON i.src_b = sb.source
         """,
         "bfs_reach": _bfs_oracle_sql(BFS_SEED_MOD, BFS_ROUNDS),
         # brute-force exact cross pairs — same EMPIRICAL banding-recall
