@@ -7658,6 +7658,71 @@ def q_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Shipping-priority SQL (TPC-H Q3 shape) run VERBATIM through both the
+# spark.sql front door and the DuckDB oracle — one shared text.
+_Q3_SQL = """SELECT l_orderkey,
+       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (CAST(1 AS DECIMAL(18,4))
+                        - CAST(l_discount AS DECIMAL(18,4)))
+                AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING'
+  AND c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND o_orderdate < DATE '1995-03-15'
+  AND l_shipdate > DATE '1995-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10"""
+
+
+def q_sql_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL front door (sqlgate.py): the corpus registered as temp views
+    and a TPC-H Q3-shape shipping-priority query run VERBATIM through
+    spark.sql — the same text the DuckDB oracle executes, proving a
+    reference user can bring plain SQL and let Catalyst own the plan
+    (pushdown, join order, AQE). Exact decimal revenue, deterministic
+    ties by order key."""
+    from rat_strain_loader_pipeline_spark.sqlgate import run_sql
+
+    return run_sql(spark, sf_dir, _Q3_SQL)
+
+
+def q_events_stream_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming EXACT distinct users per hour (streaming/events.py
+    hourly_distinct_users): dropDuplicates keyed state (bounded by the
+    watermark) followed by a plain windowed count — the exact-distinct
+    identity streaming COUNT(DISTINCT) prohibition forces. Real
+    AvailableNow replay over the landed events; the oracle is the
+    batch count(DISTINCT)."""
+    import os as _os
+    import uuid as _uuid
+
+    from rat_strain_loader_pipeline_spark.staging import _stage_root
+    from rat_strain_loader_pipeline_spark.streaming.events import (
+        hourly_distinct_users,
+        stream_events,
+    )
+
+    src_dir = _os.path.join(
+        _stage_root(), f"events-sdist-src-{_uuid.uuid4().hex[:8]}"
+    )
+    _t(spark, sf_dir, "events").write.parquet(src_dir)
+    ev = stream_events(spark, src_dir)
+    agg = hourly_distinct_users(ev)
+    name = f"stream_distinct_{_uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -7930,6 +7995,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maxsim_topk": q_maxsim_topk,
         "dataset_card": q_dataset_card,
         "source_vocab_overlap": q_source_vocab_overlap,
+        "sql_gate": q_sql_gate,
+        "events_stream_distinct": q_events_stream_distinct,
     }
 
 
@@ -14921,6 +14988,12 @@ FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
             FROM inter i
             JOIN sizes sa ON i.src_a = sa.source
             JOIN sizes sb ON i.src_b = sb.source
+        """,
+        "sql_gate": _Q3_SQL,
+        "events_stream_distinct": """
+            SELECT time_bucket(INTERVAL 1 HOUR, ts) AS hour,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events GROUP BY 1
         """,
         "bfs_reach": _bfs_oracle_sql(BFS_SEED_MOD, BFS_ROUNDS),
         # brute-force exact cross pairs — same EMPIRICAL banding-recall

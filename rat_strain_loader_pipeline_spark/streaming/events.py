@@ -51,6 +51,26 @@ def hourly_event_counts(events: DataFrame, watermark: str = "2 hours") -> DataFr
     )
 
 
+def hourly_distinct_users(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """EXACT distinct users per tumbling hour, streaming. Structured
+    Streaming forbids COUNT(DISTINCT), so the exact form is the
+    two-stage identity the engine uses everywhere for exact distincts:
+    dropDuplicates on (window, user) — keyed dedup state bounded by the
+    watermark — then a plain count per window. Converges to the batch
+    count(DISTINCT user_id) answer over a static replay (the oracle),
+    unlike the approx_count_distinct shortcut the built-in suggests."""
+    return (
+        events.withWatermark("ts", watermark)
+        .select(F.window("ts", "1 hour").alias("w"), "user_id")
+        .dropDuplicates(["w", "user_id"])
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .select(F.col("w.start").alias("hour"), "n_users")
+    )
+
+
 def dedup_within_watermark(events: DataFrame, keys: list[str], watermark: str = "1 hour") -> DataFrame:
     """Streaming dedup on a natural key — the streaming J4 analog."""
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
