@@ -1,0 +1,37 @@
+"""Generate QUERIES.md — one line per driver query, from queries()
+docstrings. Run after adding queries; CI-neutral (pure docs)."""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as em  # noqa: E402
+
+
+def main() -> None:
+    qs = em.queries()
+    oracles = em.oracle_sql()
+    lines = [
+        "# Query catalog",
+        "",
+        f"{len(qs)} driver queries; every one listed here carries a DuckDB"
+        " value oracle (`oracle_sql()`), hash-checked at sf0.01 by"
+        " `tools/check_correctness.py`.",
+        "",
+        "| # | Query | What it computes |",
+        "|---|---|---|",
+    ]
+    for i, (name, fn) in enumerate(qs.items(), start=1):
+        doc = (fn.__doc__ or "").strip().split("\n")[0].rstrip()
+        has_oracle = "yes" if name in oracles else "rows-only"
+        assert has_oracle == "yes", f"{name} missing oracle"
+        lines.append(f"| {i} | `{name}` | {doc} |")
+    with open("/root/repo/QUERIES.md", "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"wrote QUERIES.md with {len(qs)} entries")
+
+
+if __name__ == "__main__":
+    main()
