@@ -7712,14 +7712,21 @@ def q_events_stream_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = stream_events(spark, src_dir)
     agg = hourly_distinct_users(ev)
     name = f"stream_distinct_{_uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # dedup + windowed-agg state stores scale with shuffle partitions;
+    # size them to the (hour-window) key cardinality, not the CPU count
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     return spark.table(name)
 
 
