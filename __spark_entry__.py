@@ -7730,6 +7730,74 @@ def q_events_stream_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def q_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union coverage per event type (operators/stats.py
+    interval_union_length): each event opens a UNION_WINDOW_S presence
+    interval; the merged-union length is the covered-time metric
+    (uptime/listening time) beside peak_concurrency's depth metric.
+    Distinct-interval collapse first; one group-keyed sweep window."""
+    from rat_strain_loader_pipeline_spark.operators.stats import (
+        interval_union_length,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    sec = F.unix_timestamp(F.col("ts")).cast("long")
+    iv = ev.select(
+        "event_type", sec.alias("s"), (sec + F.lit(UNION_WINDOW_S)).alias("e")
+    )
+    return interval_union_length(iv, ["event_type"], "s", "e")
+
+
+def q_absorption_prob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov absorption probability — the funnel question
+    markov_transitions' one-step matrix can't answer alone: from each
+    event type, the probability of REACHING the ABS_TARGET state
+    within ABS_K steps, via the bounded-rounds DP
+    p_{k+1}(s) = Σ_t P_q(s→t)·p_k(t) div 1e6 (target pinned at 1e6)
+    in floored integer micros — types²-sized state, unrolled-rounds
+    oracle (pagerank pattern). Transition probs are the
+    markov_transitions integers."""
+    from rat_strain_loader_pipeline_spark.operators.timeseries import (
+        markov_transitions,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    trans = markov_transitions(ev).select("from_type", "to_type", "prob_q")
+    states = trans.select(F.col("from_type").alias("state")).unionByName(
+        trans.select(F.col("to_type").alias("state"))
+    ).distinct()
+    p = states.select(
+        "state",
+        F.when(F.col("state") == ABS_TARGET, F.lit(1_000_000))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("p"),
+    )
+    for _ in range(ABS_K):
+        stepped = (
+            trans.join(
+                p.select(F.col("state").alias("to_type"), F.col("p").alias("pt")),
+                "to_type",
+            )
+            .groupBy(F.col("from_type").alias("state"))
+            .agg(
+                F.expr("CAST(sum(prob_q * pt) div 1000000 AS BIGINT)").alias(
+                    "stepped"
+                )
+            )
+        )
+        p = (
+            p.join(stepped, "state", "left")
+            .select(
+                "state",
+                F.when(F.col("state") == ABS_TARGET, F.lit(1_000_000).cast("long"))
+                .otherwise(F.coalesce(F.col("stepped"), F.lit(0)).cast("long"))
+                .alias("p"),
+            )
+        )
+    return p.select("state", F.col("p").alias("absorb_q"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -8004,6 +8072,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_vocab_overlap": q_source_vocab_overlap,
         "sql_gate": q_sql_gate,
         "events_stream_distinct": q_events_stream_distinct,
+        "interval_union": q_interval_union,
+        "absorption_prob": q_absorption_prob,
     }
 
 
@@ -8406,6 +8476,57 @@ s{k + 1} AS MATERIALIZED (
 SELECT w.item, w.n_wins, w.n_games, s{rounds}.s AS strength_q
 FROM w JOIN s{rounds} ON w.item = s{rounds}.item
 """
+    )
+
+
+def _absorption_oracle_sql(target: str, rounds: int) -> str:
+    """Unrolled bounded-rounds absorption DP over the markov
+    transition integers (pagerank pattern)."""
+    ctes = [
+        """seq AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS to_type
+  FROM events
+),
+pairs AS (
+  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2
+),
+trans AS (
+  SELECT from_type, to_type,
+         CAST((n * 1000000) // CAST(sum(n) OVER (PARTITION BY from_type)
+                                    AS BIGINT) AS BIGINT) AS prob_q
+  FROM pairs
+),
+states AS (
+  SELECT DISTINCT from_type AS state FROM trans
+  UNION SELECT DISTINCT to_type FROM trans
+)""",
+        f"""s0 AS (
+  SELECT state,
+         CAST(CASE WHEN state = '{target}' THEN 1000000 ELSE 0 END
+              AS BIGINT) AS p
+  FROM states
+)""",
+    ]
+    for k in range(rounds):
+        ctes.append(
+            f"""s{k + 1} AS (
+  SELECT st.state,
+         CAST(CASE WHEN st.state = '{target}' THEN 1000000
+              ELSE COALESCE(x.v, 0) END AS BIGINT) AS p
+  FROM states st LEFT JOIN (
+    SELECT t.from_type AS state,
+           CAST(sum(t.prob_q * p.p) // 1000000 AS BIGINT) AS v
+    FROM trans t JOIN s{k} p ON t.to_type = p.state
+    GROUP BY 1
+  ) x ON st.state = x.state
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT state, p AS absorb_q FROM s{rounds}\n"
     )
 
 
@@ -8854,6 +8975,14 @@ PPL_CUT2 = 666_667
 # result size over the 64-dim embeddings.
 MAXSIM_SUB = 4
 MAXSIM_K = 10
+
+# Interval union coverage (q_interval_union): presence-window length.
+UNION_WINDOW_S = 600
+
+# Markov absorption probability (q_absorption_prob): reach the target
+# type within ABS_K steps, floored-micros DP rounds.
+ABS_TARGET = "purchase"
+ABS_K = 3
 
 # Co-purchase recommender eval (q_rec_eval): train = even orderkeys,
 # top-REC_K recs from co-occurrence counts >= REC_MIN_SUPPORT.
@@ -14997,6 +15126,27 @@ FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
             JOIN sizes sb ON i.src_b = sb.source
         """,
         "sql_gate": _Q3_SQL,
+        "interval_union": f"""
+            WITH iv AS (
+              SELECT DISTINCT event_type,
+                     epoch_us(ts) // 1000000 AS s,
+                     epoch_us(ts) // 1000000 + {UNION_WINDOW_S} AS e
+              FROM events
+            ),
+            w AS (
+              SELECT event_type, s, e,
+                     max(e) OVER (PARTITION BY event_type ORDER BY s, e
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) AS pmax
+              FROM iv
+            )
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_intervals,
+                   CAST(sum(greatest(0, e - greatest(s, COALESCE(pmax, s))))
+                        AS BIGINT) AS union_len
+            FROM w GROUP BY 1
+        """,
+        "absorption_prob": _absorption_oracle_sql(ABS_TARGET, ABS_K),
         "events_stream_distinct": """
             SELECT time_bucket(INTERVAL 1 HOUR, ts) AS hour,
                    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users

@@ -1117,3 +1117,49 @@ def quantile_normalize(
         .groupBy(*g, "v", "n_rows", "pr_q")
         .agg(F.min("gv").cast("long").alias("v_norm"))
     )
+
+
+def interval_union_length(
+    df: DataFrame,
+    keys: list[str],
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Total covered length of the UNION of [start, end) intervals per
+    group — peak_concurrency's sibling question (that one asks how
+    DEEP the overlap gets; this asks how MUCH of the axis is covered —
+    uptime, listening time, sensor coverage). The classic sweep:
+    intervals sorted by (start, end), each contributes
+    greatest(0, e − greatest(s, max-end-so-far-before-this-row)); the
+    per-group SUM is order-invariant within equal starts, so the pinned
+    (s, e) ordering is for determinism of the plan, not the result.
+
+    Multiplicity never matters to a union, so duplicates collapse
+    FIRST — the window runs at distinct-interval grain (bound it
+    further by pre-merging at a coarser grain if groups are
+    pathological). All-integer. Returns (keys..., n_intervals,
+    union_len).
+    """
+    from pyspark.sql.window import Window
+
+    iv = df.select(
+        *keys, F.col(start_col).alias("s"), F.col(end_col).alias("e")
+    ).distinct()
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pmax = F.max("e").over(w)
+    contrib = F.greatest(
+        F.lit(0).cast("long"),
+        F.col("e") - F.greatest(F.col("s"), F.coalesce(pmax, F.col("s"))),
+    )
+    return (
+        iv.withColumn("c", contrib)
+        .groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_intervals"),
+            F.sum("c").cast("long").alias("union_len"),
+        )
+    )
