@@ -7798,6 +7798,81 @@ def q_absorption_prob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.select("state", F.col("p").alias("absorb_q"))
 
 
+def q_retrieval_ap_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision + reciprocal rank — the remaining ranked-eval
+    numbers beside retrieval_ndcg, over the SAME label-graded exact
+    cosine top-K: rr_q = 1e6 div rank-of-first-relevant; ap_q =
+    (Σ over relevant positions k of precision@k in micros) div R_at_k
+    — every term an exact non-negative integer division. NULL rr/ap
+    when no relevant doc surfaces in the window."""
+    from pyspark.sql.window import Window as _W
+
+    from rat_strain_loader_pipeline_spark.operators.similarity import (
+        knn_join_blocked,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    lab = _t(spark, sf_dir, "embeddings").select("vec_id", "label")
+    knn = knn_join_blocked(
+        emb.filter(F.col("vec_id") < PQADC_QUERIES), emb,
+        k=TRUNC_K + 1, n_blocks=8,
+    )
+    nn = (
+        knn.filter(F.col("q_id") != F.col("c_id"))
+        .withColumn(
+            "p",
+            F.row_number().over(
+                _W.partitionBy("q_id").orderBy(
+                    F.col("cosine_micros").desc(), F.col("c_id").asc()
+                )
+            ),
+        )
+        .filter(F.col("p") <= TRUNC_K)
+    )
+    scored = nn.join(
+        F.broadcast(
+            lab.select(F.col("vec_id").alias("q_id"), F.col("label").alias("ql"))
+        ),
+        "q_id",
+    ).join(
+        lab.select(F.col("vec_id").alias("c_id"), F.col("label").alias("cl")),
+        "c_id",
+    ).select(
+        "q_id", "p", (F.col("cl") == F.col("ql")).cast("int").alias("rel")
+    )
+    w_cum = _W.partitionBy("q_id").orderBy("p").rowsBetween(
+        _W.unboundedPreceding, 0
+    )
+    cum = scored.withColumn("crel", F.sum("rel").over(w_cum))
+    per_q = cum.groupBy("q_id").agg(
+        F.sum("rel").cast("long").alias("n_rel"),
+        F.min(F.when(F.col("rel") == 1, F.col("p"))).cast("long").alias(
+            "first_rel_rank"
+        ),
+        F.sum(
+            F.when(F.col("rel") == 1, F.expr("crel * 1000000L div p"))
+        )
+        .cast("long")
+        .alias("prec_sum_q"),
+    )
+    return per_q.select(
+        "q_id",
+        "n_rel",
+        "first_rel_rank",
+        F.when(
+            F.col("first_rel_rank").isNotNull(),
+            F.expr("1000000L div first_rel_rank"),
+        )
+        .cast("long")
+        .alias("rr_q"),
+        F.when(
+            F.col("n_rel") > 0, F.expr("prec_sum_q div n_rel")
+        )
+        .cast("long")
+        .alias("ap_q"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -8074,6 +8149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_distinct": q_events_stream_distinct,
         "interval_union": q_interval_union,
         "absorption_prob": q_absorption_prob,
+        "retrieval_ap_mrr": q_retrieval_ap_mrr,
     }
 
 
@@ -15147,6 +15223,57 @@ FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
             FROM w GROUP BY 1
         """,
         "absorption_prob": _absorption_oracle_sql(ABS_TARGET, ABS_K),
+        "retrieval_ap_mrr": f"""
+            WITH n AS (
+              SELECT vec_id, label,
+                     list_transform(embedding::DOUBLE[],
+                                    x -> CAST(floor(x * 1000000) AS BIGINT)) AS v
+              FROM embeddings
+            ),
+            n2 AS (
+              SELECT vec_id, label, v,
+                     sqrt(CAST(list_sum(list_transform(v, x -> x*x)) AS DOUBLE))
+                       AS nrm
+              FROM n
+            ),
+            q AS (SELECT vec_id AS q_id, label AS ql, v AS qv, nrm AS qn
+                  FROM n2 WHERE vec_id < {PQADC_QUERIES}),
+            ranked AS (
+              SELECT q_id, ql, cl, p FROM (
+                SELECT q.q_id, q.ql, c.label AS cl,
+                       row_number() OVER (PARTITION BY q.q_id ORDER BY
+                         CAST(floor(
+                           CAST(list_sum(list_transform(range(1, len(c.v)+1),
+                                         i -> c.v[i] * q.qv[i])) AS DOUBLE)
+                           / (q.qn * c.nrm) * 1000000) AS BIGINT) DESC,
+                         c.vec_id) AS p
+                FROM n2 c CROSS JOIN q WHERE c.vec_id <> q.q_id
+              ) WHERE p <= {TRUNC_K}
+            ),
+            cum AS (
+              SELECT q_id, p,
+                     CASE WHEN cl = ql THEN 1 ELSE 0 END AS rel,
+                     sum(CASE WHEN cl = ql THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY q_id ORDER BY p) AS crel
+              FROM ranked
+            ),
+            per_q AS (
+              SELECT q_id,
+                     CAST(sum(rel) AS BIGINT) AS n_rel,
+                     CAST(min(CASE WHEN rel = 1 THEN p END) AS BIGINT)
+                       AS first_rel_rank,
+                     CAST(sum(CASE WHEN rel = 1
+                              THEN (crel * 1000000) // p END) AS BIGINT)
+                       AS prec_sum_q
+              FROM cum GROUP BY 1
+            )
+            SELECT q_id, n_rel, first_rel_rank,
+                   CASE WHEN first_rel_rank IS NOT NULL THEN
+                     CAST(1000000 // first_rel_rank AS BIGINT) END AS rr_q,
+                   CASE WHEN n_rel > 0 THEN
+                     CAST(prec_sum_q // n_rel AS BIGINT) END AS ap_q
+            FROM per_q
+        """,
         "events_stream_distinct": """
             SELECT time_bucket(INTERVAL 1 HOUR, ts) AS hour,
                    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
