@@ -759,3 +759,36 @@ def test_negative_sampling_probe_is_hash_join(spark, sf_dir, queries):
     plan = _plan(queries["negative_sampling"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_round8_batch3_no_cartesian(spark, sf_dir, queries):
+    """E165-E174: no real cartesians anywhere in the final batch."""
+    for name in (
+        "ppl_buckets",
+        "theil_sen_trend",
+        "dataset_card",
+        "source_vocab_overlap",
+        "sql_gate",
+        "interval_union",
+        "absorption_prob",
+        "retrieval_ap_mrr",
+    ):
+        plan = _plan(queries[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+
+
+def test_maxsim_single_scan_no_shuffle_before_topk(spark, sf_dir, queries):
+    """MaxSim is one scoring scan + TakeOrdered: no hash exchange, no
+    Python, all sub-cosines in the projection."""
+    plan = _plan(queries["maxsim_topk"](spark, sf_dir))
+    assert "Exchange hashpartitioning" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_sql_gate_pushes_segment_filter(spark, sf_dir, queries):
+    """The verbatim Q3 text must still get Catalyst treatment: the
+    mktsegment predicate reaches the customer scan."""
+    plan = _plan(queries["sql_gate"](spark, sf_dir))
+    assert "PushedFilters: [" in plan
+    assert "CartesianProduct" not in plan
