@@ -7873,6 +7873,87 @@ def q_retrieval_ap_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lang_mix_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-mix entropy per source — the diversity scalar beside
+    source_hhi's concentration: Shannon entropy of each source's lang
+    distribution, per-cell contributions −(n/N)·ln(n/N) floored to
+    micros BEFORE summing (the char_entropy / psi floored-ln rule, so
+    the cross-cell sum is order-free). Source×lang grain is tiny; one
+    partial-agg pass."""
+    docs = _t(spark, sf_dir, "documents")
+    cells = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = Window.partitionBy("source")
+    n_src = F.sum("n").over(tot)
+    contrib = F.floor(
+        -(F.col("n").cast("double") / n_src.cast("double"))
+        * F.log(F.col("n").cast("double") / n_src.cast("double"))
+        * F.lit(1_000_000.0)
+    ).cast("long")
+    return (
+        cells.withColumn("c", contrib)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_langs"),
+            F.sum("n").cast("long").alias("n_docs"),
+            F.sum("c").cast("long").alias("entropy_q"),
+        )
+    )
+
+
+def q_ttr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-token ratio per document — the lexical-diversity signal the
+    heuristic quality gates don't cover (templated/spun text scores
+    low TTR at normal length): distinct token types over token count
+    in micros, pure list algebra, map-only."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = T.tokens(F.lower(F.col("text")))
+    n = F.size(toks).cast("long")
+    ty = F.size(F.array_distinct(toks)).cast("long")
+    base = docs.select(
+        "doc_id", n.alias("n_tokens"), ty.alias("n_types")
+    )
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        "n_types",
+        F.when(F.col("n_tokens") > 0, F.expr("n_types * 1000000L div n_tokens"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("ttr_q"),
+    )
+
+
+def q_dispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index of dispersion (variance-to-mean ratio) of daily volumes
+    per event type — the burstiness scalar (VMR ≈ 1e6 is Poisson-like;
+    higher is bursty, the retry-storm / bot signature): fraction-free
+    vmr_q = (D·Σn² − (Σn)²)·1e6 div ((D−1)·Σn), every operand a
+    non-negative exact integer in DECIMAL(38,0) (Σn² overflows bigint
+    at corpus scale). Day-grain collapse first; type-grain output."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.expr("unix_timestamp(ts) div 86400").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    agg = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("n").cast("long").alias("sum_n"),
+        F.sum(F.col("n").cast("decimal(38,0)") * F.col("n")).alias("sum_n2"),
+    )
+    return agg.select(
+        "event_type",
+        "n_days",
+        "sum_n",
+        F.expr(
+            "CASE WHEN n_days > 1 AND sum_n > 0 THEN"
+            " CAST(((CAST(n_days AS DECIMAL(38,0)) * sum_n2"
+            "        - CAST(sum_n AS DECIMAL(38,0)) * sum_n) * 1000000)"
+            " div (CAST(n_days - 1 AS DECIMAL(38,0)) * sum_n) AS BIGINT) END"
+        ).alias("vmr_q"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -8150,6 +8231,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_union": q_interval_union,
         "absorption_prob": q_absorption_prob,
         "retrieval_ap_mrr": q_retrieval_ap_mrr,
+        "lang_mix_entropy": q_lang_mix_entropy,
+        "ttr_stats": q_ttr_stats,
+        "dispersion_index": q_dispersion_index,
     }
 
 
@@ -15273,6 +15357,58 @@ FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
                    CASE WHEN n_rel > 0 THEN
                      CAST(prec_sum_q // n_rel AS BIGINT) END AS ap_q
             FROM per_q
+        """,
+        "lang_mix_entropy": """
+            WITH cells AS (
+              SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+              FROM documents GROUP BY 1, 2
+            ),
+            w AS (
+              SELECT source, n,
+                     sum(n) OVER (PARTITION BY source) AS tot
+              FROM cells
+            )
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_langs,
+                   CAST(sum(n) AS BIGINT) AS n_docs,
+                   CAST(sum(CAST(floor(
+                     -(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE))
+                     * ln(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE))
+                     * 1000000) AS BIGINT)) AS BIGINT) AS entropy_q
+            FROM w GROUP BY source
+        """,
+        "ttr_stats": f"""
+            WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS ts FROM documents)
+            SELECT doc_id,
+                   CAST(len(ts) AS BIGINT) AS n_tokens,
+                   CAST(len(list_distinct(ts)) AS BIGINT) AS n_types,
+                   CASE WHEN len(ts) > 0 THEN
+                     CAST(len(list_distinct(ts)) * 1000000 // len(ts)
+                          AS BIGINT)
+                   ELSE 0 END AS ttr_q
+            FROM t
+        """,
+        "dispersion_index": """
+            WITH daily AS (
+              SELECT event_type,
+                     (epoch_us(ts) // 1000000) // 86400 AS day,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2
+            ),
+            a AS (
+              SELECT event_type,
+                     CAST(count(*) AS BIGINT) AS n_days,
+                     CAST(sum(n) AS BIGINT) AS sum_n,
+                     CAST(sum(CAST(n AS HUGEINT) * n) AS HUGEINT) AS sum_n2
+              FROM daily GROUP BY 1
+            )
+            SELECT event_type, n_days, sum_n,
+                   CASE WHEN n_days > 1 AND sum_n > 0 THEN
+                     CAST(((CAST(n_days AS HUGEINT) * sum_n2
+                            - CAST(sum_n AS HUGEINT) * sum_n) * 1000000)
+                          // (CAST(n_days - 1 AS HUGEINT) * sum_n) AS BIGINT)
+                   END AS vmr_q
+            FROM a
         """,
         "events_stream_distinct": """
             SELECT time_bucket(INTERVAL 1 HOUR, ts) AS hour,
