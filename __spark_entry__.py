@@ -15501,7 +15501,7 @@ FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
               FROM base GROUP BY 1
             ),
             glr AS (
-              SELECT gv,
+              SELECT gv, gn,
                      sum(gn) OVER (ORDER BY gv) - gn + 1 AS gminrank,
                      sum(gn) OVER () AS gtot
               FROM gl
@@ -15509,7 +15509,7 @@ FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
             glq AS (
               SELECT gv,
                      CASE WHEN gtot > 1 THEN
-                       CAST(((gminrank - 1) * 1000000) // (gtot - 1) AS BIGINT)
+                       CAST(((gminrank + gn - 2) * 1000000) // (gtot - 1) AS BIGINT)
                      ELSE 0 END AS gpr_q
               FROM glr
             )

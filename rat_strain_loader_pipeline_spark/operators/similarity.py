@@ -1030,6 +1030,12 @@ def maxsim_topk(
     (id, maxsim_micros), ordered desc, ties by ascending id.
     """
     dim = len(query_vec)
+    if n_sub <= 0 or dim % n_sub != 0:
+        raise ValueError(
+            f"maxsim_topk: query dim {dim} not divisible into {n_sub} "
+            "sub-vectors — trailing components would be silently "
+            "excluded from scoring"
+        )
     sub = dim // n_sub
     qsubs = [
         [

@@ -274,11 +274,14 @@ def fixed_histogram(
     """
     width = (hi_q - lo_q) // n_bins
     v = F.least(F.greatest(value_q, F.lit(lo_q)), F.lit(hi_q))
+    # integer div on the non-negative offset (clamped to >= lo_q), not
+    # float /: a double quotient can round up across an integer for
+    # huge domains, misbinning vs the oracle's integer //.
+    off = df.select((v - F.lit(lo_q)).cast("long").alias("off"))
     bin_ = F.least(
-        ((v - F.lit(lo_q)) / F.lit(width)).cast("long"),
-        F.lit(n_bins - 1),
+        F.expr(f"off div {width}"), F.lit(n_bins - 1)
     ).cast("int")
-    return df.select(bin_.alias("bin")).groupBy("bin").agg(
+    return off.select(bin_.alias("bin")).groupBy("bin").agg(
         F.count(F.lit(1)).cast("long").alias("n")
     )
 

@@ -932,11 +932,17 @@ def bradley_terry_strengths(
                 ).alias("c"),
             )
         )
+        # d stays DECIMAL(38,0): c can reach n_ij*1e12/2, so an item
+        # with ~2e7+ total games overflows a LONG sum — the non-ANSI
+        # cast would NULL and greatest(d, 1) would silently snap the
+        # strength to the upper clamp. Clamp in decimal, cast last.
         d = (
             c.select(F.col(item_a).alias("item"), "c")
             .unionByName(c.select(F.col(item_b).alias("item"), "c"))
             .groupBy("item")
-            .agg(F.sum("c").cast("long").alias("d"))
+            .agg(
+                F.sum(F.col("c").cast("decimal(38,0)")).alias("d")
+            )
         )
         strengths = stage_to_parquet(
             wins.join(d, "item").select(
@@ -945,7 +951,7 @@ def bradley_terry_strengths(
                     F.greatest(
                         F.expr(
                             "CAST(n_wins AS DECIMAL(38,0)) * 1000000000000"
-                            " div greatest(d, 1L)"
+                            " div greatest(d, CAST(1 AS DECIMAL(38,0)))"
                         ),
                         F.lit(1).cast("long"),
                     ),
@@ -1102,11 +1108,15 @@ def quantile_normalize(
     glob = glob.withColumn(
         "gminrank", F.sum("gn").over(gw_cum) - F.col("gn") + 1
     ).withColumn("gtot", F.sum("gn").over(gw_all))
+    # MAX-rank percent rank on the global side: a tied global maximum
+    # (gn > 1) must still reach gpr_q = 1e6, or every group cell whose
+    # pr_q exceeds the min-rank percent of the top value would match no
+    # global row and silently vanish from the inner mapping join.
     glob = glob.select(
         "gv",
         F.when(
             F.col("gtot") > 1,
-            F.expr("((gminrank - 1) * 1000000) div (gtot - 1)"),
+            F.expr("((gminrank + gn - 2) * 1000000) div (gtot - 1)"),
         )
         .otherwise(F.lit(0))
         .cast("long")

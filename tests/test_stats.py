@@ -451,3 +451,45 @@ def test_pass_at_k_matches_comb():
         )
         exact = 1_000_000 - (frac.numerator * 1_000_000) // frac.denominator
         assert got == exact, (n, c)
+
+
+def test_quantile_normalize_tied_global_max_keeps_all_cells(spark):
+    """ADVICE r8 (high): with the global max tied (gn > 1), its
+    MIN-rank percent rank is < 1e6, so a group cell at pr_q = 1e6
+    matched no global row and vanished from the inner mapping join.
+    MAX-rank on the global side keeps every cell: groups A=[1,9],
+    B=[9] must emit all three value cells, and (A,9) maps to the
+    global maximum."""
+    from rat_strain_loader_pipeline_spark.operators.stats import (
+        quantile_normalize,
+    )
+
+    df = spark.createDataFrame(
+        [("A", 1), ("A", 9), ("B", 9)], "k string, v long"
+    )
+    out = {
+        (r["k"], r["v"]): r["v_norm"]
+        for r in quantile_normalize(df, ["k"], F.col("v")).collect()
+    }
+    assert set(out) == {("A", 1), ("A", 9), ("B", 9)}
+    # (A,9) is the group max (pr_q = 1e6) -> global max value 9
+    assert out[("A", 9)] == 9
+    # (A,1) is the group min (pr_q = 0) -> smallest global value
+    assert out[("A", 1)] == 1
+
+
+def test_maxsim_topk_rejects_indivisible_dim(spark):
+    """ADVICE r8: dim % n_sub != 0 silently dropped the tail of every
+    vector from scoring — must now raise."""
+    import pytest
+
+    from rat_strain_loader_pipeline_spark.operators.similarity import (
+        maxsim_topk,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0, 4.0, 5.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="not divisible"):
+        maxsim_topk(df, [1.0, 2.0, 3.0, 4.0, 5.0], n_sub=2, k=1)
