@@ -549,3 +549,248 @@ def ivf_pq_topk_residual(
         .filter(F.col("rank") <= topk)
         .select("q_id", "c_id", F.col("rank").cast("long").alias("rank"), "adist_q")
     )
+
+
+def _grouped_query_explode(
+    df: DataFrame, out_id: str, d: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """(id, g, dim, xq) explode of a vector frame into the coarse
+    space (g = -1, full vector) plus the m PQ subspaces (g = 0..m-1,
+    local dims) — the layout both the fused index build and the
+    serve-side LUT pass consume."""
+    from rat_strain_loader_pipeline_spark.operators.clustering import MICROS
+
+    base = df.select(
+        F.col(id_col).alias(out_id), F.posexplode(vec_col).alias("dim", "x")
+    ).select(
+        out_id,
+        "dim",
+        F.floor(F.col("x").cast("double") * MICROS).cast("long").alias("xq"),
+    )
+    coarse_rows = base.select(out_id, F.lit(-1).alias("g"), "dim", "xq")
+    sub_rows = base.select(
+        out_id,
+        (F.col("dim") / d).cast("int").alias("g"),
+        (F.col("dim") % d).alias("dim"),
+        "xq",
+    )
+    return coarse_rows.unionByName(sub_rows)
+
+
+def ivf_pq_index_build(
+    corpus: DataFrame,
+    dims: int,
+    coarse_k: int = 8,
+    coarse_iters: int = 2,
+    m: int = 2,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    root: str | None = None,
+    tag: str = "default",
+) -> str:
+    """BUILD half of the IVF-PQ lifecycle: train the coarse quantizer
+    and the m PQ codebooks (one fused ``kmeans_fit_grouped`` run — the
+    same single-pass multi-codebook build as ``ivf_pq_topk``) and
+    PERSIST the index artifact to parquet:
+
+    - ``<path>/centroids``: (g, j, dim, c) — group -1 is the coarse
+      router, groups 0..m-1 the PQ codebooks ((m+1)·k·dims rows,
+      broadcastable at any corpus scale);
+    - ``<path>/codes``: (vec_id, g, j) — each vector's coarse list
+      (g = -1: the inverted-list postings) and PQ codes (1 + m bigints
+      per vector, the ~64x-compressed representation an ANN deployment
+      actually stores).
+
+    Idempotent load-or-build: if the artifact already exists under the
+    deterministic ``<root>/<params-slug>-<tag>`` path it is reused
+    untouched — training cost is paid ONCE per corpus, which is the
+    whole point of the build/serve split (``ivf_pq_topk`` retrains per
+    query batch; a 100 TB serving tier never does). Returns the index
+    path for ``ivf_pq_serve_topk`` / ``ivf_pq_index_summary``.
+    """
+    import os
+
+    from rat_strain_loader_pipeline_spark.operators.clustering import (
+        kmeans_fit_grouped,
+    )
+    from rat_strain_loader_pipeline_spark.staging import _stage_root
+
+    d, rem = divmod(dims, m)
+    if rem:
+        raise ValueError(f"dims={dims} not divisible by m={m}")
+    if (coarse_k, coarse_iters) != (k, iters):
+        raise ValueError(
+            "fused grouped training requires coarse (k, iters) == PQ (k, iters); "
+            f"got {(coarse_k, coarse_iters)} != {(k, iters)}"
+        )
+    root = root or os.environ.get("SPARK_GRAFT_INDEX_DIR") or _stage_root()
+    slug = f"ivfpq-d{dims}-c{coarse_k}x{coarse_iters}-m{m}k{k}i{iters}-{tag}"
+    path = os.path.join(root, slug)
+    if os.path.exists(os.path.join(path, "codes", "_SUCCESS")):
+        return path
+    assign, cent = kmeans_fit_grouped(
+        _grouped_query_explode(corpus, id_col, d, id_col, vec_col),
+        k=k,
+        iters=iters,
+        id_col=id_col,
+    )
+    cent.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+    assign.select(id_col, "g", "j").write.mode("overwrite").parquet(
+        os.path.join(path, "codes")
+    )
+    return path
+
+
+def ivf_pq_index_summary(
+    spark,
+    index_path: str,
+    fp_mod: int = 10**15,
+) -> DataFrame:
+    """Content manifest of a persisted IVF-PQ index — the build query's
+    oracle-replayable output: per inverted list its posting count and a
+    membership fingerprint, plus whole-artifact fingerprints of the
+    centroid and code tables. Fingerprints are order-free sums of
+    ``md5_number_lower(row-key) % fp_mod`` (the versioning-fingerprint
+    idiom) accumulated in DECIMAL(38,0) and folded back mod fp_mod, so
+    DuckDB replays them exactly from its own rebuilt index. Returns
+    (part, j, n, fp_q) — one 'postings' row per list, one 'centroids'
+    row, one 'codes' row (j = -1 for the table rows).
+    """
+    import os
+
+    from rat_strain_loader_pipeline_spark.operators.sampling import md5_mod
+
+    cent = spark.read.parquet(os.path.join(index_path, "centroids"))
+    codes = spark.read.parquet(os.path.join(index_path, "codes"))
+
+    def fp_sum(h):
+        return F.expr(
+            f"CAST(sum(CAST(h AS DECIMAL(38,0))) % {fp_mod} AS BIGINT)"
+        )
+
+    posts = (
+        codes.filter(F.col("g") == -1)
+        .select(
+            "j",
+            md5_mod(
+                F.concat_ws(":", F.lit("p"), F.col("vec_id").cast("string")),
+                fp_mod,
+            ).alias("h"),
+        )
+        .groupBy("j")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"), fp_sum("h").alias("fp_q"))
+        .select(
+            F.lit("postings").alias("part"),
+            F.col("j").cast("long").alias("j"),
+            "n",
+            "fp_q",
+        )
+    )
+
+    def table_row(df: DataFrame, part: str, key) -> DataFrame:
+        return (
+            df.select(md5_mod(key, fp_mod).alias("h"))
+            .groupBy()
+            .agg(F.count(F.lit(1)).cast("long").alias("n"), fp_sum("h").alias("fp_q"))
+            .select(
+                F.lit(part).alias("part"),
+                F.lit(-1).cast("long").alias("j"),
+                "n",
+                "fp_q",
+            )
+        )
+
+    cent_key = F.concat_ws(
+        ":",
+        F.lit("c"),
+        F.col("g").cast("string"),
+        F.col("j").cast("string"),
+        F.col("dim").cast("string"),
+        F.col("c").cast("string"),
+    )
+    code_key = F.concat_ws(
+        ":",
+        F.lit("k"),
+        F.col("vec_id").cast("string"),
+        F.col("g").cast("string"),
+        F.col("j").cast("string"),
+    )
+    return posts.unionByName(table_row(cent, "centroids", cent_key)).unionByName(
+        table_row(codes, "codes", code_key)
+    )
+
+
+def ivf_pq_serve_topk(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    dims: int,
+    m: int = 2,
+    nprobe: int = 3,
+    topk: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SERVE half of the IVF-PQ lifecycle: answer top-k reading ONLY
+    the persisted artifact — the corpus is touched exclusively through
+    the stored (1 + m bigints)/vector ``codes`` table; no training, no
+    full-vector corpus scan, no kmeans iterations in the plan. Search
+    is ``ivf_pq_topk``'s search half verbatim (one (query × group ×
+    centroid) distance table doubling as coarse router and ADC LUTs,
+    both broadcast; candidates from the g = -1 postings), so served
+    results are bit-identical to the hermetic query at the same build
+    constants. Returns (q_id, c_id, rank, adist_q), rank 1-based
+    within probed lists, ties on ascending corpus id.
+    """
+    import os
+
+    from pyspark.sql.window import Window
+
+    d, rem = divmod(dims, m)
+    if rem:
+        raise ValueError(f"dims={dims} not divisible by m={m}")
+    cent = spark.read.parquet(os.path.join(index_path, "centroids"))
+    codes = spark.read.parquet(os.path.join(index_path, "codes"))
+    qdist = (
+        _grouped_query_explode(queries, "q_id", d, id_col, vec_col)
+        .join(cent, ["g", "dim"])
+        .groupBy("q_id", "g", "j")
+        .agg(
+            F.sum((F.col("xq") - F.col("c")) * (F.col("xq") - F.col("c"))).alias("ds")
+        )
+    )
+    from rat_strain_loader_pipeline_spark.staging import stage_to_parquet
+
+    qdist = stage_to_parquet(qdist, "ivfpq-serve-qdist")
+    wp = Window.partitionBy("q_id").orderBy("ds", "j")
+    probe = (
+        qdist.filter(F.col("g") == -1)
+        .withColumn("pr", F.row_number().over(wp))
+        .filter(F.col("pr") <= nprobe)
+        .select("q_id", F.col("j").alias("jc"))
+    )
+    cand = (
+        codes.filter(F.col("g") == -1)
+        .select(F.col("vec_id").alias("c_id"), F.col("j").alias("jc"))
+        .join(F.broadcast(probe), "jc")
+        .select("q_id", "c_id")
+    )
+    adc = (
+        cand.join(
+            codes.filter(F.col("g") >= 0).select(
+                F.col("vec_id").alias("c_id"), "g", "j"
+            ),
+            "c_id",
+        )
+        .join(F.broadcast(qdist.filter(F.col("g") >= 0)), ["q_id", "g", "j"])
+        .groupBy("q_id", "c_id")
+        .agg(F.sum("ds").alias("adist_q"))
+    )
+    w = Window.partitionBy("q_id").orderBy("adist_q", "c_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select("q_id", "c_id", F.col("rank").cast("long").alias("rank"), "adist_q")
+    )

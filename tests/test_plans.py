@@ -792,3 +792,46 @@ def test_sql_gate_pushes_segment_filter(spark, sf_dir, queries):
     plan = _plan(queries["sql_gate"](spark, sf_dir))
     assert "PushedFilters: [" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ivf_pq_serve_reads_only_index_artifact(spark, sf_dir, queries):
+    """The serve half of the build/serve split must touch the corpus
+    ONLY through the stored codes table: exactly one scan of the
+    embeddings parquet (the query batch, with the vec_id predicate
+    pushed), no kmeans training stages, no cartesian."""
+    import __spark_entry__ as em
+
+    df = queries["ivf_pq_serve_topk"](spark, sf_dir)
+    plan = _plan(df)
+    # zero corpus embedding scans in the final plan: the query batch's
+    # routing/LUT table is staged, so search reads only the staged
+    # qdist + the persisted index codes (training would add corpus-wide
+    # embedding scans and kmeans iteration stages)
+    assert plan.count("embeddings.parquet") == 0
+    assert "PushedFilters: [" in plan
+    assert "CartesianProduct" not in plan
+    # the index artifact is read from the persisted parquet path
+    path = em._IVF_INDEX_PATHS[sf_dir]
+    assert path.split("/")[-1] in plan
+
+
+def test_ivf_pq_index_build_idempotent_and_serve_matches_hermetic(
+    spark, sf_dir, queries
+):
+    """Build is load-or-build (second call returns the same artifact
+    without retraining) and served top-k is bit-identical to the
+    hermetic ivf_pq_topk at the same build constants."""
+    import __spark_entry__ as em
+
+    p1 = em._ivf_index_path(spark, sf_dir)
+    p2 = em._ivf_index_path(spark, sf_dir)
+    assert p1 == p2
+    served = {
+        (r["q_id"], r["rank"]): (r["c_id"], r["adist_q"])
+        for r in queries["ivf_pq_serve_topk"](spark, sf_dir).collect()
+    }
+    hermetic = {
+        (r["q_id"], r["rank"]): (r["c_id"], r["adist_q"])
+        for r in queries["ivf_pq_topk"](spark, sf_dir).collect()
+    }
+    assert served == hermetic
