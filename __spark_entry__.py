@@ -8041,6 +8041,31 @@ def q_ivf_pq_serve_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gram_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component + explained-variance share
+    (operators/spectral.py gram_power_iteration over
+    operators/similarity.py embedding_gram): POWER_ITERS rounds of
+    power iteration on the staged dims²-sized exact integer Gram
+    matrix — the canonical consumer of the E151 PCA sufficient
+    statistic. Per round: one dims²-row join against the broadcast
+    dims-row vector, L∞ integer-micros normalization ((w·1e6) div
+    max|w| — signed div truncates toward zero identically in both
+    engines); Rayleigh vᵀGv is exactly ≥ 0 (G is PSD for any integer
+    v), and ev_q is its two-step-quotient share of trace(G). The
+    corpus is touched ONCE (the Gram pass); every round is corpus-free
+    constant work. Unrolled-rounds DuckDB oracle (pagerank/kmeans/
+    bt_strengths precedent)."""
+    from rat_strain_loader_pipeline_spark.operators.similarity import (
+        embedding_gram,
+    )
+    from rat_strain_loader_pipeline_spark.operators.spectral import (
+        gram_power_iteration,
+    )
+
+    gram = embedding_gram(_t(spark, sf_dir, "embeddings"))
+    return gram_power_iteration(gram, rounds=POWER_ITERS)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -8323,6 +8348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dispersion_index": q_dispersion_index,
         "ivf_pq_index_build": q_ivf_pq_index_build,
         "ivf_pq_serve_topk": q_ivf_pq_serve_topk,
+        "gram_top_component": q_gram_top_component,
     }
 
 
@@ -9284,6 +9310,7 @@ PQADC_TOPK = 5       # neighbors kept per ADC query
 IVFPQ_NPROBE = 3        # coarse lists probed per query (of KMEANS_K)
 IVFPQ_COARSE_ITERS = 2  # shallow coarse training (the standard IVF recipe)
 IVFPQ_FP_MOD = 10**15   # index-artifact content-fingerprint modulus
+POWER_ITERS = 5         # power-iteration rounds (q_gram_top_component)
 # Count-Min sketch (q_cms_heavy_hitters): depth x width counter grid;
 # width 64 forces real collisions at every tested sf so the slack
 # column actually exercises the estimate-vs-exact comparison
@@ -10017,6 +10044,67 @@ SELECT 'codes', -1, CAST(count(*) AS BIGINT),
            || ':' || CAST(j AS VARCHAR)) % {fp_mod} AS HUGEINT))
          % {fp_mod} AS BIGINT)
 FROM coderows
+"""
+
+
+
+def _gram_power_oracle_sql(rounds: int) -> str:
+    """Unrolled power-iteration oracle over the full integer Gram
+    matrix: round r = one matvec CTE + one L∞-normalization CTE
+    (scalar-subquery max|w|, signed // truncating toward zero exactly
+    like Spark div), then the Rayleigh/trace epilogue replaying the
+    engine's two-step quotient."""
+    head = """n AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(floor(x * 1000000) AS BIGINT)) AS v
+  FROM embeddings
+),
+e AS (
+  SELECT vec_id, generate_subscripts(v, 1) AS i, unnest(v) AS x
+  FROM n
+),
+g AS (
+  SELECT a.i - 1 AS i, b.i - 1 AS j,
+         sum(CAST(a.x AS HUGEINT) * b.x) AS gram
+  FROM e a JOIN e b ON a.vec_id = b.vec_id
+  GROUP BY 1, 2
+),
+v0 AS (
+  SELECT DISTINCT i AS dim, CAST(1000000 AS HUGEINT) AS v FROM g
+)"""
+    ctes = [head]
+    for r in range(1, rounds + 1):
+        ctes.append(f"""w{r} AS (
+  SELECT g.i AS dim, sum(g.gram * p.v) AS w
+  FROM g JOIN v{r - 1} p ON g.j = p.dim
+  GROUP BY 1
+)""")
+        ctes.append(f"""v{r} AS (
+  SELECT dim,
+         CASE WHEN (SELECT max(abs(w)) FROM w{r}) > 0 THEN
+           CAST((w * 1000000) // (SELECT max(abs(w)) FROM w{r})
+                AS HUGEINT) END AS v
+  FROM w{r}
+)""")
+    joined = ",\n".join(ctes)
+    return f"""WITH {joined},
+gv AS (
+  SELECT g.i AS dim, sum(g.gram * p.v) AS w
+  FROM g JOIN v{rounds} p ON g.j = p.dim
+  GROUP BY 1
+),
+ray AS (
+  SELECT sum(p.v * gv.w) AS num, sum(p.v * p.v) AS den
+  FROM v{rounds} p JOIN gv USING (dim)
+),
+tr AS (SELECT sum(gram) AS trace FROM g WHERE i = j)
+SELECT CAST(p.dim AS INT) AS dim,
+       CAST(p.v AS BIGINT) AS v_q,
+       CASE WHEN den > 0 AND trace > 0 THEN
+         CAST((CAST(num // den AS HUGEINT) * 1000000) // trace AS BIGINT)
+       END AS ev_q
+FROM v{rounds} p, ray, tr
 """
 
 
@@ -15788,6 +15876,7 @@ FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
             IVFPQ_NPROBE,
             PQADC_TOPK,
         ),
+        "gram_top_component": _gram_power_oracle_sql(POWER_ITERS),
     }
 
 

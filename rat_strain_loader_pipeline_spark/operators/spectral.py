@@ -1,0 +1,111 @@
+"""Spectral analysis over staged Gram matrices.
+
+``similarity.embedding_gram`` reduces the corpus to the exact integer
+sufficient statistic XᵀX once (dims²-sized, broadcastable at any corpus
+scale); everything here consumes THAT table, never the corpus — the
+100 TB contract is that adding a spectral question costs zero
+additional corpus scans.
+
+The iteration itself runs on the DRIVER over the collected dims²-row
+matrix in arbitrary-precision Python integers. That collect is bounded
+by the embedding dimension (64² rows here), not the corpus — the same
+dimension-sized-state exemption as the broadcast bounds and the
+per-round BPE argmax — and it is the honest architecture: a production
+ANN/PCA trainer (FAISS et al.) iterates small dense eigenproblems
+locally after one distributed reduction pass. Python ints replay the
+DECIMAL(38,0)/HUGEINT algebra exactly; the only care point is integral
+division, which Spark ``div`` and DuckDB ``//`` TRUNCATE TOWARD ZERO on
+signed operands (verified) while Python ``//`` floors — ``_tdiv``
+spells out the truncating quotient.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MICROS = 1_000_000
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Integral quotient truncated toward zero — the Spark ``div`` /
+    DuckDB ``//`` semantics (Python ``//`` floors, which differs on
+    negative operands)."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+def gram_power_iteration(
+    gram: DataFrame,
+    rounds: int = 5,
+) -> DataFrame:
+    """Top principal component of a corpus from its Gram matrix
+    (``similarity.embedding_gram`` output: upper-triangle
+    (dim_i, dim_j, gram DECIMAL(38,0), n_vecs)) via ``rounds`` of
+    power iteration, plus the Rayleigh-quotient explained-variance
+    share — the canonical consumer of the PCA sufficient statistic.
+
+    Recurrence (all exact integers, unrolled-oracle-replayable):
+        v₀[d]  = 1e6                      (uniform start, sign-free)
+        w      = G·v                      (exact integer matvec)
+        v'     = (w · 1e6) div max|w|     (L∞ micros normalization)
+    After the last round one more G·v gives the Rayleigh numerator
+    vᵀGv (≥ 0 exactly — G = XᵀX is PSD for ANY integer v) and
+        ev_q = ((vᵀGv div vᵀv) · 1e6) div trace(G)
+    the top component's explained-variance share in micros (the
+    two-step quotient is deliberate: a single-step scaled division
+    would overflow DECIMAL(38,0) at corpus scale; the DuckDB oracle
+    replays the identical two steps so parity is exact). Degenerate
+    zero Gram (max|w| = 0) yields NULL components and NULL ev_q.
+
+    100 TB shape: the corpus is consumed ONCE (the distributed Gram
+    pass); the collected state and every iteration are dims²-bounded —
+    constant work regardless of corpus size. Returns
+    (dim int, v_q bigint, ev_q bigint), one row per dimension.
+    """
+    rows = gram.select("dim_i", "dim_j", "gram").collect()  # dims² rows
+    if not rows:
+        return gram.sparkSession.createDataFrame(
+            [], "dim int, v_q long, ev_q long"
+        )
+    g: dict[tuple[int, int], int] = {}
+    dims_set: set[int] = set()
+    for r in rows:
+        i, j, val = int(r["dim_i"]), int(r["dim_j"]), int(r["gram"])
+        g[(i, j)] = val
+        if i != j:
+            g[(j, i)] = val
+        dims_set.add(i)
+        dims_set.add(j)
+    dims = sorted(dims_set)
+
+    def matvec(v: dict[int, int]) -> dict[int, int]:
+        return {
+            i: sum(g.get((i, j), 0) * v[j] for j in dims) for i in dims
+        }
+
+    v: dict[int, int | None] = {d: MICROS for d in dims}
+    degenerate = False
+    for _ in range(rounds):
+        w = matvec(v)
+        mx = max(abs(x) for x in w.values())
+        if mx == 0:
+            degenerate = True
+            break
+        v = {d: _tdiv(w[d] * MICROS, mx) for d in dims}
+    if degenerate:
+        out = [(int(d), None, None) for d in dims]
+    else:
+        gv = matvec(v)
+        num = sum(v[d] * gv[d] for d in dims)
+        den = sum(v[d] * v[d] for d in dims)
+        trace = sum(g.get((d, d), 0) for d in dims)
+        ev = (
+            _tdiv(_tdiv(num, den) * MICROS, trace)
+            if den > 0 and trace > 0
+            else None
+        )
+        out = [(int(d), int(v[d]), ev) for d in dims]
+    return gram.sparkSession.createDataFrame(
+        out, "dim int, v_q long, ev_q long"
+    )

@@ -493,3 +493,44 @@ def test_maxsim_topk_rejects_indivisible_dim(spark):
     )
     with pytest.raises(ValueError, match="not divisible"):
         maxsim_topk(df, [1.0, 2.0, 3.0, 4.0, 5.0], n_sub=2, k=1)
+
+
+def test_gram_power_iteration_rank1_exact(spark):
+    """Rank-1 corpus: the top component is the common direction (L∞
+    micros: (1e6, 5e5)) and it explains ALL the variance (ev_q = 1e6
+    exactly — num div den equals trace with zero truncation)."""
+    from rat_strain_loader_pipeline_spark.operators.similarity import (
+        embedding_gram,
+    )
+    from rat_strain_loader_pipeline_spark.operators.spectral import (
+        gram_power_iteration,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [2.0, 1.0]), (2, [4.0, 2.0]), (3, [-2.0, -1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        r["dim"]: (r["v_q"], r["ev_q"])
+        for r in gram_power_iteration(embedding_gram(df), rounds=3).collect()
+    }
+    assert out == {0: (1_000_000, 1_000_000), 1: (500_000, 1_000_000)}
+
+
+def test_gram_power_iteration_zero_gram_nulls(spark):
+    """Degenerate all-zero corpus: max|w| = 0 every round — components
+    and ev_q must be NULL, not a division error."""
+    from rat_strain_loader_pipeline_spark.operators.similarity import (
+        embedding_gram,
+    )
+    from rat_strain_loader_pipeline_spark.operators.spectral import (
+        gram_power_iteration,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = gram_power_iteration(embedding_gram(df), rounds=2).collect()
+    assert len(rows) == 2
+    assert all(r["v_q"] is None and r["ev_q"] is None for r in rows)
