@@ -8066,6 +8066,42 @@ def q_gram_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gram_power_iteration(gram, rounds=POWER_ITERS)
 
 
+def q_weighted_sample_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming weighted-reservoir maintenance (streaming/sketches.py
+    maintain_weighted_sample_available_now) — the third mergeable
+    sketch after cms_stream_merge (linearity) and quantile_stream_merge
+    (linearity), this one under the MAX-MERGE identity: A-ES priorities
+    -ln(u)/w are content-only, so top-n(union) == top-n(union of
+    per-batch top-n candidate sets). Documents replay as micro-batches;
+    each batch appends its n-smallest-priority candidate rows (exact
+    double priority kept in state); the merged store's top-n is
+    bit-identical to the single-pass batch weighted_sample. The oracle
+    is the SAME batch A-ES SQL as the weighted_sample query —
+    mergeability checked value-exact."""
+    import os as _os
+    import uuid as _uuid
+
+    from rat_strain_loader_pipeline_spark.staging import _stage_root
+    from rat_strain_loader_pipeline_spark.streaming.sketches import (
+        maintain_weighted_sample_available_now,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    tag = _uuid.uuid4().hex[:8]
+    src_dir = _os.path.join(_stage_root(), f"ws-src-{tag}")
+    docs.repartition(6).write.parquet(src_dir)
+    return maintain_weighted_sample_available_now(
+        spark,
+        src_dir,
+        "doc_id long, n_chars long",
+        _os.path.join(_stage_root(), f"ws-work-{tag}"),
+        weight_col="n_chars",
+        n=25,
+        id_col="doc_id",
+        salt="v1",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -8349,6 +8385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_pq_index_build": q_ivf_pq_index_build,
         "ivf_pq_serve_topk": q_ivf_pq_serve_topk,
         "gram_top_component": q_gram_top_component,
+        "weighted_sample_stream": q_weighted_sample_stream,
     }
 
 
@@ -10669,6 +10706,28 @@ _PPL_SCORE_SQL = """
 """
 
 
+# Batch A-ES weighted sample (operators/sampling.py weighted_sample) —
+# ONE text for both the batch query and its streaming-maintenance twin
+# (weighted_sample_stream): the max-merge identity says the streaming
+# candidate store answers the identical selection.
+_WSAMPLE_ORACLE_SQL = """
+            WITH drawn AS (
+              SELECT doc_id, n_chars,
+                     (-ln((CAST(md5_number_lower(concat('wsample:v1:',
+                              CAST(doc_id AS VARCHAR))) % 4503599627370496
+                           AS DOUBLE) + 1.0) / 4503599627370496.0))
+                     / CAST(n_chars AS DOUBLE) AS priority
+              FROM documents
+              WHERE CAST(n_chars AS DOUBLE) > 0
+            )
+            SELECT doc_id, n_chars,
+                   CAST(floor(priority * 1e6) AS BIGINT) AS priority_micros
+            FROM drawn
+            ORDER BY priority ASC, doc_id ASC
+            LIMIT 25
+        """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "pricing_summary": """
@@ -11125,22 +11184,7 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             ) WHERE sample_rank <= 5
         """,
-        "weighted_sample": """
-            WITH drawn AS (
-              SELECT doc_id, n_chars,
-                     (-ln((CAST(md5_number_lower(concat('wsample:v1:',
-                              CAST(doc_id AS VARCHAR))) % 4503599627370496
-                           AS DOUBLE) + 1.0) / 4503599627370496.0))
-                     / CAST(n_chars AS DOUBLE) AS priority
-              FROM documents
-              WHERE CAST(n_chars AS DOUBLE) > 0
-            )
-            SELECT doc_id, n_chars,
-                   CAST(floor(priority * 1e6) AS BIGINT) AS priority_micros
-            FROM drawn
-            ORDER BY priority ASC, doc_id ASC
-            LIMIT 25
-        """,
+        "weighted_sample": _WSAMPLE_ORACLE_SQL,
         "bm25_topk": f"""WITH {_BM25_CTES_SQL}
 SELECT doc_id, score_micros, n_hit_terms FROM lex_scored
 ORDER BY score_micros DESC, doc_id LIMIT 10
@@ -15877,6 +15921,10 @@ FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
             PQADC_TOPK,
         ),
         "gram_top_component": _gram_power_oracle_sql(POWER_ITERS),
+        # streaming reservoir: max-merge identity means the streaming
+        # maintenance answers the SAME batch A-ES selection — one SQL
+        # text proves both queries (the quantile_stream_merge precedent)
+        "weighted_sample_stream": _WSAMPLE_ORACLE_SQL,
     }
 
 

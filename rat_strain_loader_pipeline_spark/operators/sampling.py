@@ -135,6 +135,52 @@ def md5_uniform(key: Column, salt: str = "v1") -> Column:
     return (folded.cast("double") + 1.0) / float(res)
 
 
+def aes_candidates(
+    df: DataFrame,
+    weight_col: str,
+    n: int,
+    id_col: str = "doc_id",
+    salt: str = "v1",
+) -> DataFrame:
+    """A-ES candidate state: the n smallest Efraimidis-Spirakis
+    priorities ``-ln(u) / w`` of ``df`` (u deterministic from salted
+    md5, w = weight), with the EXACT double priority kept in the
+    ``__priority`` column. This is the mergeable kernel shared by the
+    batch sample and its streaming twin: priorities are content-only
+    (no batch-dependent state), so top-n(union) == top-n(union of
+    per-batch top-n) — the max-merge identity that makes a weighted
+    reservoir maintainable per micro-batch. Rows with weight <= 0 are
+    excluded (zero mass)."""
+    u = md5_uniform(F.col(id_col).cast("string"), salt)
+    w = F.col(weight_col).cast("double")
+    priority = (-F.log(u)) / w
+    return (
+        df.filter(w > 0)
+        .select(
+            F.col(id_col),
+            F.col(weight_col),
+            priority.alias("__priority"),
+        )
+        .orderBy(F.col("__priority").asc(), F.col(id_col).asc())
+        .limit(n)
+    )
+
+
+def aes_select(candidates: DataFrame, n: int, id_col: str = "doc_id") -> DataFrame:
+    """Final selection over A-ES candidate rows (one or many batches'
+    worth): n smallest exact priorities, output in integer micro-units
+    for engine-exact value checks."""
+    cols = [c for c in candidates.columns if c != "__priority"]
+    return (
+        candidates.orderBy(F.col("__priority").asc(), F.col(id_col).asc())
+        .limit(n)
+        .select(
+            *cols,
+            F.floor(F.col("__priority") * 1e6).cast("long").alias("priority_micros"),
+        )
+    )
+
+
 def weighted_sample(
     df: DataFrame,
     weight_col: str,
@@ -154,24 +200,7 @@ def weighted_sample(
     Returns (id_col, weight_col, priority_micros) for the n selected
     rows, priority in integer micro-units for engine-exact value checks.
     """
-    u = md5_uniform(F.col(id_col).cast("string"), salt)
-    w = F.col(weight_col).cast("double")
-    priority = (-F.log(u)) / w
-    return (
-        df.filter(w > 0)
-        .select(
-            F.col(id_col),
-            F.col(weight_col),
-            priority.alias("__priority"),
-        )
-        .orderBy(F.col("__priority").asc(), F.col(id_col).asc())
-        .limit(n)
-        .select(
-            id_col,
-            weight_col,
-            F.floor(F.col("__priority") * 1e6).cast("long").alias("priority_micros"),
-        )
-    )
+    return aes_select(aes_candidates(df, weight_col, n, id_col, salt), n, id_col)
 
 
 def mixture_weights(

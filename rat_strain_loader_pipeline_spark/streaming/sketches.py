@@ -68,6 +68,64 @@ def maintain_cms_available_now(
     )
 
 
+def maintain_weighted_sample_available_now(
+    spark: SparkSession,
+    src_dir: str,
+    schema: str,
+    work_dir: str,
+    weight_col: str,
+    n: int,
+    id_col: str = "doc_id",
+    salt: str = "v1",
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Streaming weighted-reservoir maintenance — the third mergeable
+    sketch after the CMS grid and the fixed-domain histogram, under the
+    MAX-MERGE identity instead of linearity: A-ES priorities
+    ``-ln(u)/w`` are content-only, so the n smallest priorities of a
+    union equal the n smallest of the union of per-batch n-smallest
+    candidate sets. Per micro-batch the batch's top-n candidate rows
+    (exact double priority kept) APPEND to the state store; the current
+    weighted sample at any moment is one top-n over the store —
+    bit-identical to the single-pass ``operators.sampling
+    .weighted_sample`` of the same rows. Append-only state is
+    retry-safe and bounded by batches x n rows, compactable to n rows
+    at leisure (a compaction is itself just ``aes_select`` kept in
+    priority units).
+
+    At 100 TB/day this is the ingest-side sample maintainer: each
+    executor heaps its slice map-side (TakeOrdered, n rows per batch to
+    the store), and no key-cardinality state ever exists. Returns the
+    final (id_col, weight_col, priority_micros) selection."""
+    from rat_strain_loader_pipeline_spark.operators.sampling import (
+        aes_candidates,
+        aes_select,
+    )
+
+    state_dir = os.path.join(work_dir, "wsample-state")
+    ckpt = os.path.join(work_dir, "ckpt")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(src_dir)
+    )
+
+    def sample_batch(batch_df: DataFrame, batch_id: int) -> None:
+        aes_candidates(batch_df, weight_col, n, id_col, salt).write.mode(
+            "append"
+        ).parquet(state_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(sample_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return aes_select(spark.read.parquet(state_dir), n, id_col)
+
+
 def maintain_hist_available_now(
     spark: SparkSession,
     src_dir: str,

@@ -579,3 +579,25 @@ def test_media_phash_gate_matches_batch_rule(spark, tmp_path):
     }
     assert got == want
     assert sum(1 for v in want.values() if not v) >= 8  # gate actually rejects
+
+
+def test_streaming_weighted_sample_equals_batch(spark, tmp_path, sf_dir):
+    """Per-batch A-ES candidate sets merged by top-n must be
+    bit-identical to the single-pass batch weighted sample (max-merge
+    identity: priorities are content-only) — across a real multi-batch
+    availableNow replay."""
+    from rat_strain_loader_pipeline_spark.operators.sampling import weighted_sample
+    from rat_strain_loader_pipeline_spark.streaming.sketches import (
+        maintain_weighted_sample_available_now,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    src = str(tmp_path / "src")
+    docs.repartition(5).write.parquet(src)
+    got = maintain_weighted_sample_available_now(
+        spark, src, "doc_id long, n_chars long", str(tmp_path / "work"),
+        weight_col="n_chars", n=25, id_col="doc_id", salt="v1",
+    )
+    want = weighted_sample(docs, "n_chars", 25, id_col="doc_id", salt="v1")
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
+    assert got.count() == 25
