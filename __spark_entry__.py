@@ -7677,6 +7677,40 @@ ORDER BY revenue DESC, l_orderkey
 LIMIT 10"""
 
 
+_Q5_SQL = """SELECT n_name,
+       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (CAST(1 AS DECIMAL(18,4))
+                        - CAST(l_discount AS DECIMAL(18,4)))
+                AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey
+  AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey
+  AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= DATE '1996-01-01'
+  AND o_orderdate < DATE '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name"""
+
+
+def q_sql_gate_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL front door, TPC-H Q5 shape (sqlgate.py): a SIX-table
+    local-supplier-volume join (customer⋈orders⋈lineitem⋈supplier⋈
+    nation⋈region, with the non-tree c_nationkey = s_nationkey edge)
+    run VERBATIM through spark.sql — the Q3 twin proved pushdown; this
+    shape proves Catalyst JOIN ORDERING through the front door: the
+    selective region/date predicates must land on the build sides and
+    the dimension joins must broadcast (pinned in tests/test_plans.py),
+    with zero engine code in the loop. Exact decimal revenue; the
+    DuckDB oracle executes the same text."""
+    from rat_strain_loader_pipeline_spark.sqlgate import run_sql
+
+    return run_sql(spark, sf_dir, _Q5_SQL)
+
+
 def q_sql_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL front door (sqlgate.py): the corpus registered as temp views
     and a TPC-H Q3-shape shipping-priority query run VERBATIM through
@@ -8386,6 +8420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_pq_serve_topk": q_ivf_pq_serve_topk,
         "gram_top_component": q_gram_top_component,
         "weighted_sample_stream": q_weighted_sample_stream,
+        "sql_gate_q5": q_sql_gate_q5,
     }
 
 
@@ -15925,6 +15960,7 @@ FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
         # maintenance answers the SAME batch A-ES selection — one SQL
         # text proves both queries (the quantile_stream_merge precedent)
         "weighted_sample_stream": _WSAMPLE_ORACLE_SQL,
+        "sql_gate_q5": _Q5_SQL,
     }
 
 

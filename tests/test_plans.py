@@ -794,6 +794,20 @@ def test_sql_gate_pushes_segment_filter(spark, sf_dir, queries):
     assert "CartesianProduct" not in plan
 
 
+def test_sql_gate_q5_join_ordering_and_pushdown(spark, sf_dir, queries):
+    """The verbatim 6-table Q5 text must come out of Catalyst as a
+    broadcast-join tree with the selective predicates on the scans:
+    the order-date band reaches the orders scan, the region predicate
+    reaches the region scan, every dimension join broadcasts, and the
+    non-tree c_nationkey = s_nationkey edge never degenerates into a
+    cartesian."""
+    plan = _plan(queries["sql_gate_q5"](spark, sf_dir))
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+    assert "EqualTo(r_name,ASIA)" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_ivf_pq_serve_reads_only_index_artifact(spark, sf_dir, queries):
     """The serve half of the build/serve split must touch the corpus
     ONLY through the stored codes table: exactly one scan of the
