@@ -8136,6 +8136,56 @@ def q_weighted_sample_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental connected-components maintenance (operators/dedup.py
+    connected_components_incremental) — dedup-at-ingest completed: the
+    stored component table of the already-ingested corpus (even doc
+    ids, labels from the production LSH pipeline) absorbs the new
+    batch's (odd ids) delta pairs — LSH within the batch plus
+    cross-side banding against the old corpus — by CONTRACTING old
+    endpoints to their stored labels and running CC only on that
+    contracted delta graph. Old pairs are never re-paired, untouched
+    components keep their labels through a left join, and min-label
+    contraction makes the result bit-identical to scratch CC over the
+    union edge set — which is exactly what the oracle computes
+    (recursive closure over brute-force exact pairs on ALL docs).
+    Output covers every doc; singletons label themselves."""
+    from rat_strain_loader_pipeline_spark.operators.dedup import (
+        connected_components,
+        connected_components_incremental,
+        minhash_lsh_cross_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    old_docs = docs.filter(F.col("doc_id") % 2 == 0)
+    new_docs = docs.filter(F.col("doc_id") % 2 == 1)
+    old_cc = connected_components(
+        minhash_lsh_pairs(old_docs, jaccard_threshold=0.5)
+    )
+    delta = (
+        minhash_lsh_pairs(new_docs, jaccard_threshold=0.5)
+        .select("id_a", "id_b")
+        .unionByName(
+            minhash_lsh_cross_pairs(
+                new_docs, old_docs, jaccard_threshold=0.5
+            ).select(
+                F.col("id_new").alias("id_a"), F.col("id_old").alias("id_b")
+            )
+        )
+    )
+    merged = connected_components_incremental(old_cc, delta)
+    return (
+        docs.select("doc_id")
+        .join(merged.withColumnRenamed("node_id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component_id", F.col("doc_id"))
+            .cast("long")
+            .alias("component_id"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -8421,6 +8471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gram_top_component": q_gram_top_component,
         "weighted_sample_stream": q_weighted_sample_stream,
         "sql_gate_q5": q_sql_gate_q5,
+        "cc_incremental": q_cc_incremental,
     }
 
 
@@ -15961,6 +16012,16 @@ FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
         # text proves both queries (the quantile_stream_merge precedent)
         "weighted_sample_stream": _WSAMPLE_ORACLE_SQL,
         "sql_gate_q5": _Q5_SQL,
+        # scratch recomputation over brute-force exact pairs on ALL docs:
+        # the incremental merge must be indistinguishable from a rebuild
+        "cc_incremental": f"""
+            WITH RECURSIVE {_jaccard_pairs_cte_sql(0.5)},
+            {_CLOSURE_CTES_SQL},
+            comp AS (SELECT id, min(r) AS cid FROM reach GROUP BY id)
+            SELECT d.doc_id,
+                   CAST(COALESCE(c.cid, d.doc_id) AS BIGINT) AS component_id
+            FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+        """,
     }
 
 

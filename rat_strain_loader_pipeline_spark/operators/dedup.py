@@ -558,6 +558,91 @@ def connected_components(
     )
 
 
+def connected_components_incremental(
+    old_components: DataFrame,
+    delta_pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Delta-batch component maintenance: merge a new batch's near-dup
+    pairs into a STORED component table without recomputing closure
+    over the old corpus — the dedup-at-ingest lifecycle
+    (minhash_lsh_cross_pairs emits the delta edges; this folds them in).
+
+    The old component table is a graph CONTRACTION: every old node
+    collapses to its component id (which is the min node id of that
+    component, so labels stay comparable with raw node ids). Each delta
+    edge maps its endpoints through the stored labels (new nodes map to
+    themselves), self-loops drop, and full CC runs ONLY on that
+    contracted delta graph — bounded by the batch's edges and the
+    components they touch, never by the old corpus. Untouched
+    components keep their labels through a left join; merged labels are
+    min-over-contracted-ids, which equals min-over-all-member-node-ids
+    exactly because old labels are already component minima — so the
+    result is bit-identical to scratch CC over the union edge set.
+
+    Returns the updated (node_id, component_id) table covering old
+    nodes ∪ delta-edge nodes.
+
+    100 TB shape: per ingest batch the work is |delta edges| contracted
+    rows through log-rounds CC plus two component-table-sized hash
+    joins; the old pair set is never re-paired and old labels are never
+    re-derived (the same incremental contract as incremental_rollup and
+    join_delta).
+    """
+    old = old_components.select("node_id", "component_id")
+    edges = delta_pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    contracted = (
+        edges.join(
+            old.select(
+                F.col("node_id").alias("src"), F.col("component_id").alias("c_src")
+            ),
+            "src",
+            "left",
+        )
+        .join(
+            old.select(
+                F.col("node_id").alias("dst"), F.col("component_id").alias("c_dst")
+            ),
+            "dst",
+            "left",
+        )
+        .select(
+            F.coalesce("c_src", F.col("src")).alias("id_a"),
+            F.coalesce("c_dst", F.col("dst")).alias("id_b"),
+        )
+        .filter(F.col("id_a") != F.col("id_b"))
+    )
+    merged = connected_components(contracted, max_iterations=max_iterations)
+    relabel = merged.select(
+        F.col("node_id").alias("old_cid"), F.col("component_id").alias("new_cid")
+    )
+    old_upd = (
+        old.join(relabel, old["component_id"] == relabel["old_cid"], "left")
+        .select(
+            "node_id",
+            F.coalesce("new_cid", F.col("component_id")).alias("component_id"),
+        )
+    )
+    delta_nodes = (
+        edges.select(F.col("src").alias("node_id"))
+        .unionByName(edges.select(F.col("dst").alias("node_id")))
+        .distinct()
+        .join(old.select("node_id"), "node_id", "left_anti")
+    )
+    new_upd = (
+        delta_nodes.join(
+            relabel, delta_nodes["node_id"] == relabel["old_cid"], "left"
+        )
+        .select(
+            "node_id",
+            F.coalesce("new_cid", F.col("node_id")).alias("component_id"),
+        )
+    )
+    return old_upd.unionByName(new_upd)
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     text_col: str = "text",

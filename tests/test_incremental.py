@@ -95,3 +95,76 @@ def test_retraction_equals_scratch_and_drops_erased_groups(spark, sf_dir):
     )
     assert got == want
     assert all(t[0] % 7 != 0 for t in got)  # erased users are gone
+
+
+def test_cc_incremental_equals_scratch_on_real_docs(spark, sf_dir):
+    """Merging a delta batch's pairs into the stored component table
+    must be bit-identical to scratch CC over the union edge set — the
+    dedup-at-ingest contract."""
+    from rat_strain_loader_pipeline_spark.operators.dedup import (
+        connected_components,
+        connected_components_incremental,
+        minhash_lsh_cross_pairs,
+        minhash_lsh_pairs,
+    )
+    from rat_strain_loader_pipeline_spark.sources.tables import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    old_docs = docs.filter(F.col("doc_id") % 2 == 0)
+    new_docs = docs.filter(F.col("doc_id") % 2 == 1)
+    old_cc = connected_components(
+        minhash_lsh_pairs(old_docs, jaccard_threshold=0.5)
+    )
+    delta = (
+        minhash_lsh_pairs(new_docs, jaccard_threshold=0.5)
+        .select("id_a", "id_b")
+        .unionByName(
+            minhash_lsh_cross_pairs(new_docs, old_docs, jaccard_threshold=0.5)
+            .select(F.col("id_new").alias("id_a"), F.col("id_old").alias("id_b"))
+        )
+    )
+    got = connected_components_incremental(old_cc, delta)
+    want = connected_components(minhash_lsh_pairs(docs, jaccard_threshold=0.5))
+    assert sorted(tuple(r) for r in got.collect()) == sorted(
+        tuple(r) for r in want.collect()
+    )
+
+
+def test_cc_incremental_empty_delta_keeps_labels(spark):
+    """A delta with no surviving edges must return the stored table
+    unchanged (plus nothing)."""
+    from rat_strain_loader_pipeline_spark.operators.dedup import (
+        connected_components_incremental,
+    )
+
+    old = spark.createDataFrame(
+        [(2, 2), (4, 2), (6, 6)], "node_id long, component_id long"
+    )
+    delta = spark.createDataFrame([], "id_a long, id_b long")
+    got = sorted(
+        tuple(r) for r in connected_components_incremental(old, delta).collect()
+    )
+    assert got == [(2, 2), (4, 2), (6, 6)]
+
+
+def test_cc_incremental_bridges_two_old_components(spark):
+    """One delta edge through a new node must merge two stored
+    components and relabel every member to the global min."""
+    from rat_strain_loader_pipeline_spark.operators.dedup import (
+        connected_components_incremental,
+    )
+
+    old = spark.createDataFrame(
+        [(2, 2), (4, 2), (6, 6), (8, 6), (10, 10)],
+        "node_id long, component_id long",
+    )
+    # new node 5 touches both components; new nodes 7,9 pair up alone
+    delta = spark.createDataFrame(
+        [(5, 4), (5, 8), (7, 9)], "id_a long, id_b long"
+    )
+    got = sorted(
+        tuple(r) for r in connected_components_incremental(old, delta).collect()
+    )
+    assert got == [
+        (2, 2), (4, 2), (5, 2), (6, 2), (7, 7), (8, 2), (9, 7), (10, 10)
+    ]
