@@ -8186,6 +8186,84 @@ def q_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hll_keyed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HLL demo key: user-day (the DAU-style distinct unit a
+    traffic monitor actually counts) — concat must byte-match the
+    oracle's."""
+    return _t(spark, sf_dir, "events").select(
+        F.concat(
+            F.col("user_id").cast("string"),
+            F.lit(":"),
+            F.expr("unix_timestamp(ts) div 86400").cast("string"),
+        ).alias("k")
+    )
+
+
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count sketch (operators/sketch.py
+    hll_registers + hll_estimate): m = 2^HLL_P registers, register =
+    max(leading-zero rank) of the md5_number_lower identity hash —
+    exact integers end to end (rho via bitlength, s_scaled =
+    Σ 2^(53-reg) in bigint), then the classical raw / linear-counting
+    estimator in ONE fixed IEEE double tree shared verbatim with the
+    oracle. Emits the exact distinct beside the estimate so the sketch
+    error is auditable. 100 TB: one map-side partial-max per
+    partition, 2^p rows of state, no key-cardinality shuffle — the
+    COUNT(DISTINCT) a monitor can actually afford."""
+    from rat_strain_loader_pipeline_spark.operators.sketch import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    keyed = _hll_keyed_events(spark, sf_dir)
+    est = hll_estimate(hll_registers(keyed, "k", p=HLL_P), p=HLL_P)
+    n_exact = keyed.agg(F.count_distinct(F.col("k")).cast("long").alias("n_exact"))
+    return n_exact.crossJoin(F.broadcast(est)).select(
+        "n_exact", "n_registers", "v_zero", "s_scaled", "est_q", "used_linear"
+    )
+
+
+def q_hll_stream_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-maintained HLL registers (streaming/sketches.py
+    maintain_hll_available_now) — the fourth mergeable sketch, under
+    max-merge like the weighted reservoir: events replay as
+    micro-batches, each batch appends its sparse register table, and
+    the group-by-MAX merged registers answer the identical estimate as
+    the single-pass sketch (max is associative, commutative, AND
+    idempotent — replayed batches are harmless by algebra, not just by
+    checkpoint). Same oracle text as hll_distinct — mergeability
+    checked value-exact."""
+    import os as _os
+    import uuid as _uuid
+
+    from rat_strain_loader_pipeline_spark.operators.sketch import hll_estimate
+    from rat_strain_loader_pipeline_spark.staging import _stage_root
+    from rat_strain_loader_pipeline_spark.streaming.sketches import (
+        maintain_hll_available_now,
+    )
+
+    keyed = _hll_keyed_events(spark, sf_dir)
+    tag = _uuid.uuid4().hex[:8]
+    src_dir = _os.path.join(_stage_root(), f"hll-src-{tag}")
+    keyed.repartition(6).write.parquet(src_dir)
+    regs = maintain_hll_available_now(
+        spark,
+        src_dir,
+        "k string",
+        _os.path.join(_stage_root(), f"hll-work-{tag}"),
+        "k",
+        p=HLL_P,
+    )
+    est = hll_estimate(regs, p=HLL_P)
+    n_exact = (
+        spark.read.parquet(src_dir)
+        .agg(F.count_distinct(F.col("k")).cast("long").alias("n_exact"))
+    )
+    return n_exact.crossJoin(F.broadcast(est)).select(
+        "n_exact", "n_registers", "v_zero", "s_scaled", "est_q", "used_linear"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -8472,6 +8550,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample_stream": q_weighted_sample_stream,
         "sql_gate_q5": q_sql_gate_q5,
         "cc_incremental": q_cc_incremental,
+        "hll_distinct": q_hll_distinct,
+        "hll_stream_merge": q_hll_stream_merge,
     }
 
 
@@ -9434,6 +9514,7 @@ IVFPQ_NPROBE = 3        # coarse lists probed per query (of KMEANS_K)
 IVFPQ_COARSE_ITERS = 2  # shallow coarse training (the standard IVF recipe)
 IVFPQ_FP_MOD = 10**15   # index-artifact content-fingerprint modulus
 POWER_ITERS = 5         # power-iteration rounds (q_gram_top_component)
+HLL_P = 8               # HyperLogLog precision: 2^8 = 256 registers
 # Count-Min sketch (q_cms_heavy_hitters): depth x width counter grid;
 # width 64 forces real collisions at every tested sf so the slack
 # column actually exercises the estimate-vs-exact comparison
@@ -10811,6 +10892,49 @@ _WSAMPLE_ORACLE_SQL = """
             FROM drawn
             ORDER BY priority ASC, doc_id ASC
             LIMIT 25
+        """
+
+
+def _hll_oracle_sql() -> str:
+    """HLL rebuild from the shared identities: register hashes via
+    md5_number_lower, rho via bitlength, the estimator via the SAME
+    fixed-IEEE-tree text the engine evaluates (_hll_est_sql) — one
+    text, both queries (batch + streaming merge)."""
+    from rat_strain_loader_pipeline_spark.operators.sketch import (
+        _hll_est_sql,
+        _hll_gate_sql,
+    )
+
+    m = 1 << HLL_P
+    v = "CAST(md5_number_lower(concat('hll:val:', k)) % 4503599627370496 AS BIGINT)"
+    return f"""
+            WITH keyed AS (
+              SELECT concat(CAST(user_id AS VARCHAR), ':',
+                            CAST(epoch_us(ts) // 1000000 // 86400 AS VARCHAR))
+                       AS k
+              FROM events
+            ),
+            regs AS (
+              SELECT CAST(md5_number_lower(concat('hll:idx:', k)) % {m} AS INT)
+                       AS i,
+                     MAX(CASE WHEN {v} = 0 THEN 53
+                              ELSE 53 - length(bin({v})) END) AS reg
+              FROM keyed GROUP BY 1
+            ),
+            s AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_registers,
+                     CAST({m} - count(*) AS BIGINT) AS v_zero,
+                     CAST(sum(CAST(1 AS BIGINT) << (53 - reg))
+                          + ({m} - count(*)) * (CAST(1 AS BIGINT) << 53)
+                       AS BIGINT) AS s_scaled
+              FROM regs
+            ),
+            x AS (SELECT CAST(count(DISTINCT k) AS BIGINT) AS n_exact
+                  FROM keyed)
+            SELECT n_exact, n_registers, v_zero, s_scaled,
+                   {_hll_est_sql(m)} AS est_q,
+                   {_hll_gate_sql(m)} AS used_linear
+            FROM s, x
         """
 
 
@@ -16022,6 +16146,11 @@ FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
                    CAST(COALESCE(c.cid, d.doc_id) AS BIGINT) AS component_id
             FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
         """,
+        "hll_distinct": _hll_oracle_sql(),
+        # max is associative/commutative/idempotent: the streaming
+        # register store answers the identical estimate — one text
+        # proves both (the weighted_sample_stream precedent)
+        "hll_stream_merge": _hll_oracle_sql(),
     }
 
 

@@ -339,3 +339,108 @@ def histogram_quantiles(
             "cum_n",
         )
     )
+
+
+def _hll_est_sql(m: int) -> str:
+    """The HLL estimator as ONE double expression tree, written with
+    every literal explicitly CAST to DOUBLE so both engines parse pure
+    IEEE arithmetic (bare 0.7213 parses as DECIMAL in Spark AND DuckDB,
+    with different division rules): raw = alpha_m * m^2 * 2^53 /
+    s_scaled, small-range linear counting m * ln(m / V) when the
+    classical E <= 2.5m gate fires and empty registers exist
+    (Flajolet et al. 2007). Shared verbatim by the engine expression
+    and the DuckDB oracle — the fixed-IEEE-tree discipline."""
+    alpha = (
+        f"CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE)"
+        f" + CAST(1.079 AS DOUBLE) / CAST({m}.0 AS DOUBLE))"
+    )
+    raw = (
+        f"{alpha} * CAST({m}.0 AS DOUBLE) * CAST({m}.0 AS DOUBLE)"
+        f" * CAST(9007199254740992.0 AS DOUBLE) / CAST(s_scaled AS DOUBLE)"
+    )
+    linear = f"CAST({m}.0 AS DOUBLE) * ln(CAST({m}.0 AS DOUBLE) / CAST(v_zero AS DOUBLE))"
+    gate = (
+        f"v_zero > 0 AND {raw} <= CAST(2.5 AS DOUBLE) * CAST({m}.0 AS DOUBLE)"
+    )
+    return (
+        f"CAST(floor((CASE WHEN {gate} THEN {linear} ELSE {raw} END)"
+        f" * CAST(1000000.0 AS DOUBLE)) AS BIGINT)"
+    )
+
+
+def _hll_gate_sql(m: int) -> str:
+    """The linear-counting gate alone (used_linear flag)."""
+    alpha = (
+        f"CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE)"
+        f" + CAST(1.079 AS DOUBLE) / CAST({m}.0 AS DOUBLE))"
+    )
+    raw = (
+        f"{alpha} * CAST({m}.0 AS DOUBLE) * CAST({m}.0 AS DOUBLE)"
+        f" * CAST(9007199254740992.0 AS DOUBLE) / CAST(s_scaled AS DOUBLE)"
+    )
+    return f"(v_zero > 0 AND {raw} <= CAST(2.5 AS DOUBLE) * CAST({m}.0 AS DOUBLE))"
+
+
+def hll_registers(df: DataFrame, key_col: str, p: int = 8) -> DataFrame:
+    """HyperLogLog register table (sparse): m = 2^p registers; key k
+    lands in register md5 % m with rank rho = leading-zeros(52-bit
+    md5 value) + 1, register value = max rho. Engine-reproducible by
+    construction: both hashes are the repo's md5_number_lower identity
+    and rho is 53 - bitlength (exact integer via bin()), so a DuckDB
+    oracle rebuilds the identical registers. Returns (i, reg) for the
+    occupied registers only (empty register == 0 by convention).
+
+    The registers are MAX-MERGEABLE: registers(A ∪ B) =
+    element-wise max(registers(A), registers(B)) — the streaming twin
+    appends per-batch registers and maxes. One map-side partial-max
+    aggregation over the corpus; nothing key-cardinality-sized ever
+    shuffles (the whole point vs exact COUNT DISTINCT at 100 TB)."""
+    from rat_strain_loader_pipeline_spark.operators.sampling import md5_mod
+
+    m = 1 << p
+    key = F.col(key_col).cast("string")
+    v = md5_mod(F.concat(F.lit("hll:val:"), key), 1 << 52)
+    rho = F.when(v == 0, F.lit(53)).otherwise(
+        F.lit(53) - F.length(F.bin(v)).cast("int")
+    )
+    return (
+        df.select(
+            md5_mod(F.concat(F.lit("hll:idx:"), key), m).cast("int").alias("i"),
+            rho.cast("int").alias("reg"),
+        )
+        .groupBy("i")
+        .agg(F.max("reg").alias("reg"))
+    )
+
+
+def hll_estimate(registers: DataFrame, p: int = 8) -> DataFrame:
+    """Cardinality estimate from an HLL register table (built in one
+    pass or max-merged from many): s_scaled = sum over ALL m registers
+    of 2^(53 - reg) (empty registers contribute 2^53; max total
+    m * 2^53 = 2^61 stays in bigint), then the classical raw /
+    linear-counting estimator in one fixed IEEE double tree. Returns
+    one row (n_registers, v_zero, s_scaled, est_q, used_linear)."""
+    m = 1 << p
+    agg = registers.agg(
+        F.count(F.lit(1)).cast("long").alias("n_registers"),
+        F.coalesce(
+            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 53 - reg)")), F.lit(0)
+        )
+        .cast("long")
+        .alias("s_present"),
+    )
+    return agg.select(
+        "n_registers",
+        (F.lit(m) - F.col("n_registers")).cast("long").alias("v_zero"),
+        (
+            F.col("s_present")
+            + (F.lit(m) - F.col("n_registers"))
+            * F.lit(1 << 53).cast("long")
+        ).alias("s_scaled"),
+    ).select(
+        "n_registers",
+        "v_zero",
+        "s_scaled",
+        F.expr(_hll_est_sql(m)).alias("est_q"),
+        F.expr(_hll_gate_sql(m)).alias("used_linear"),
+    )

@@ -177,3 +177,56 @@ def maintain_hist_available_now(
         .groupBy("bin")
         .agg(F.sum("n").cast("long").alias("n"))
     )
+
+
+def maintain_hll_available_now(
+    spark: SparkSession,
+    src_dir: str,
+    schema: str,
+    work_dir: str,
+    key_col: str,
+    p: int = 8,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Streaming HyperLogLog maintenance — the fourth mergeable sketch
+    (CMS: linear, histogram: linear, weighted reservoir: max-merge,
+    HLL: max-merge): per micro-batch the batch's sparse (i, reg)
+    register table appends to the state store, and the current
+    registers at any moment are one group-by-MAX over the store —
+    bit-identical to the single-pass registers because max is
+    associative, commutative, and idempotent (replays are harmless
+    even without the checkpoint). State is bounded by batches x 2^p
+    rows — never by key cardinality, which is the entire reason a
+    100 TB distinct-count monitor carries an HLL and not a dedup
+    state store. Returns the merged (i, reg) registers; feed them to
+    ``operators.sketch.hll_estimate``."""
+    from pyspark.sql import functions as F
+
+    from rat_strain_loader_pipeline_spark.operators.sketch import hll_registers
+
+    state_dir = os.path.join(work_dir, "hll-state")
+    ckpt = os.path.join(work_dir, "ckpt")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(src_dir)
+    )
+
+    def sketch_batch(batch_df: DataFrame, batch_id: int) -> None:
+        hll_registers(batch_df, key_col, p).write.mode("append").parquet(
+            state_dir
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(sketch_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(state_dir)
+        .groupBy("i")
+        .agg(F.max("reg").alias("reg"))
+    )

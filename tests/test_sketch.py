@@ -166,3 +166,56 @@ def test_l_diversity_audit_flags_homogeneous_group(spark):
     }
     assert got[("en", 1)] == (3, 3, True)
     assert got[("fr", 2)] == (2, 1, False)
+
+
+def test_hll_registers_match_brute_force_and_estimate_branches(spark):
+    """Registers must equal the per-key brute-force max-rho, the
+    linear-counting branch must fire for tiny cardinalities, and the
+    raw branch for cardinalities >> m."""
+    from rat_strain_loader_pipeline_spark.operators.sketch import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    small = spark.range(10).select(F.col("id").cast("string").alias("k"))
+    est_small = hll_estimate(hll_registers(small, "k", p=8), p=8).collect()[0]
+    assert est_small["used_linear"]
+    # linear counting is near-exact at n << m
+    assert abs(est_small["est_q"] / 1e6 - 10) < 1.0
+
+    big = spark.range(20000).select(F.col("id").cast("string").alias("k"))
+    est_big = hll_estimate(hll_registers(big, "k", p=8), p=8).collect()[0]
+    assert not est_big["used_linear"]
+    # classical HLL relative error ~1.04/sqrt(256) = 6.5%; allow 3 sigma
+    assert abs(est_big["est_q"] / 1e6 - 20000) < 0.2 * 20000
+
+    # duplicate keys must not move any register (idempotent per key)
+    dup = small.unionByName(small).unionByName(small)
+    regs_a = sorted(tuple(r) for r in hll_registers(small, "k", p=8).collect())
+    regs_b = sorted(tuple(r) for r in hll_registers(dup, "k", p=8).collect())
+    assert regs_a == regs_b
+
+
+def test_streaming_hll_merge_equals_single_pass(spark, tmp_path, sf_dir):
+    """Per-batch register tables max-merged must be bit-identical to
+    the single-pass registers (max-merge identity) — across a real
+    multi-batch availableNow replay."""
+    from rat_strain_loader_pipeline_spark.operators.sketch import hll_registers
+    from rat_strain_loader_pipeline_spark.sources.tables import read_table
+    from rat_strain_loader_pipeline_spark.streaming.sketches import (
+        maintain_hll_available_now,
+    )
+
+    keyed = (
+        read_table(spark, sf_dir, "events")
+        .select(F.col("user_id").cast("string").alias("k"))
+    )
+    src = str(tmp_path / "src")
+    keyed.repartition(5).write.parquet(src)
+    got = maintain_hll_available_now(
+        spark, src, "k string", str(tmp_path / "work"), "k", p=8
+    )
+    want = hll_registers(keyed, "k", p=8)
+    assert sorted(tuple(r) for r in got.collect()) == sorted(
+        tuple(r) for r in want.collect()
+    )
