@@ -8264,6 +8264,19 @@ def q_hll_stream_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov drift per event type vs the
+    rest (operators/stats.py ks_drift): values on the floor(v) grid
+    (quantile_normalize domain), both ECDFs are step functions so the
+    supremum is attained on the observed grid — d_scaled =
+    max|c_g·n_rest − c_rest·n_g| fraction-free in DECIMAL(38,0),
+    d_q the classical D in micros. The drift monitor shape: one
+    groups×grid broadcast cross join, one cumsum window per group."""
+    from rat_strain_loader_pipeline_spark.operators.stats import ks_drift
+
+    return ks_drift(_t(spark, sf_dir, "events"), "event_type", "value")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -8552,6 +8565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_incremental": q_cc_incremental,
         "hll_distinct": q_hll_distinct,
         "hll_stream_merge": q_hll_stream_merge,
+        "ks_drift": q_ks_drift,
     }
 
 
@@ -16151,6 +16165,48 @@ FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
         # register store answers the identical estimate — one text
         # proves both (the weighted_sample_stream precedent)
         "hll_stream_merge": _hll_oracle_sql(),
+        "ks_drift": """
+            WITH base AS (
+              SELECT event_type AS g, CAST(floor(value) AS BIGINT) AS v
+              FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+            ),
+            grps AS (
+              SELECT g, CAST(count(*) AS BIGINT) AS n_grp FROM base GROUP BY g
+            ),
+            vals AS (SELECT DISTINCT v FROM base),
+            cnt AS (
+              SELECT g, v, CAST(count(*) AS BIGINT) AS c
+              FROM base GROUP BY g, v
+            ),
+            gcum AS (
+              SELECT v, sum(c_all) OVER (ORDER BY v) AS cum_all
+              FROM (SELECT v, CAST(count(*) AS BIGINT) AS c_all
+                    FROM base GROUP BY v)
+            ),
+            tot AS (SELECT CAST(count(*) AS BIGINT) AS n_all FROM base),
+            grid AS (SELECT grps.g, grps.n_grp, vals.v FROM grps, vals),
+            cum AS (
+              SELECT grid.g, grid.n_grp, grid.v,
+                     sum(COALESCE(cnt.c, 0)) OVER (
+                       PARTITION BY grid.g ORDER BY grid.v) AS cum_g
+              FROM grid LEFT JOIN cnt ON grid.g = cnt.g AND grid.v = cnt.v
+            ),
+            diff AS (
+              SELECT cum.g, cum.n_grp, (tot.n_all - cum.n_grp) AS n_rest,
+                     abs(CAST(cum_g AS HUGEINT) * (tot.n_all - cum.n_grp)
+                         - CAST(cum_all - cum_g AS HUGEINT) * cum.n_grp)
+                       AS d_v
+              FROM cum JOIN gcum USING (v), tot
+            )
+            SELECT g AS event_type,
+                   n_grp,
+                   CAST(n_rest AS BIGINT) AS n_rest,
+                   CAST(max(d_v) AS DECIMAL(38,0)) AS d_scaled,
+                   CASE WHEN n_rest > 0 THEN CAST((max(d_v) * 1000000)
+                     // (CAST(n_grp AS HUGEINT) * n_rest) AS BIGINT) END
+                     AS d_q
+            FROM diff GROUP BY g, n_grp, n_rest
+        """,
     }
 
 

@@ -1173,3 +1173,90 @@ def interval_union_length(
             F.sum("c").cast("long").alias("union_len"),
         )
     )
+
+
+def ks_drift(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov drift statistic per group vs
+    the REST of the corpus — the distribution-shift monitor (is this
+    source/shard/day drawing values from the same distribution as
+    everything else?).
+
+    Values collapse to the integer grid floor(v) first (the
+    quantile_normalize domain); both ECDFs are step functions that only
+    change at observed grid points, so the supremum is attained on the
+    observed-value grid and the statistic is EXACT on that grid:
+    d_scaled = max over grid v of |c_g(v)·n_rest − c_rest(v)·n_g| with
+    every operand an exact non-negative integer in DECIMAL(38,0)
+    (c·n products overflow bigint at corpus scale), and
+    d_q = d_scaled·1e6 div (n_g·n_rest) — the classical D in micros,
+    fraction-free.
+
+    Shape: one groups×grid dense grid (groups are dimension-sized →
+    broadcast cross join; the grid is value-cardinality-bounded like
+    quantile_normalize's mapping table), one cumsum window per group,
+    one broadcast of the global per-value cumulative counts. NULL/NaN
+    values are excluded. Returns (group, n_grp, n_rest, d_scaled, d_q).
+    """
+    from pyspark.sql.window import Window
+
+    v = F.col(value_col)
+    base = df.filter(v.isNotNull() & ~F.isnan(v.cast("double"))).select(
+        F.col(group_col).alias("g"), F.floor(v).cast("long").alias("v")
+    )
+    grps = base.groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("n_grp"))
+    vals = base.select("v").distinct()
+    cnt = base.groupBy("g", "v").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    gcum = (
+        base.groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_all"))
+        .withColumn(
+            "cum_all",
+            F.sum("c_all").over(
+                Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .select("v", "cum_all")
+    )
+    grid = vals.crossJoin(F.broadcast(grps))
+    cum = (
+        grid.join(cnt, ["g", "v"], "left")
+        .withColumn(
+            "cum_g",
+            F.sum(F.coalesce("c", F.lit(0))).over(
+                Window.partitionBy("g")
+                .orderBy("v")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .join(F.broadcast(gcum), "v")
+    )
+    tot = base.agg(F.count(F.lit(1)).cast("long").alias("n_all"))
+    diff = cum.crossJoin(F.broadcast(tot)).select(
+        "g",
+        "n_grp",
+        (F.col("n_all") - F.col("n_grp")).alias("n_rest"),
+        F.abs(
+            F.col("cum_g").cast("decimal(38,0)")
+            * (F.col("n_all") - F.col("n_grp"))
+            - (F.col("cum_all") - F.col("cum_g")).cast("decimal(38,0)")
+            * F.col("n_grp")
+        ).alias("d_v"),
+    )
+    return (
+        diff.groupBy("g", "n_grp", "n_rest")
+        .agg(F.max("d_v").alias("d_scaled"))
+        .select(
+            F.col("g").alias(group_col),
+            "n_grp",
+            "n_rest",
+            F.col("d_scaled").cast("decimal(38,0)").alias("d_scaled"),
+            F.expr(
+                "CASE WHEN n_rest > 0 THEN CAST((d_scaled * 1000000)"
+                " div (CAST(n_grp AS DECIMAL(38,0)) * n_rest) AS BIGINT) END"
+            ).alias("d_q"),
+        )
+    )

@@ -534,3 +534,30 @@ def test_gram_power_iteration_zero_gram_nulls(spark):
     rows = gram_power_iteration(embedding_gram(df), rounds=2).collect()
     assert len(rows) == 2
     assert all(r["v_q"] is None and r["ev_q"] is None for r in rows)
+
+
+def test_ks_drift_hand_computed_two_groups(spark):
+    """A=[0,0,1] vs B=[1,2]: sup|F_A - F_B| is at v=0 with
+    |2*2 - 0*3| = 4, D = 4/6 -> 666666 micros, symmetric by group."""
+    from rat_strain_loader_pipeline_spark.operators.stats import ks_drift
+
+    df = spark.createDataFrame(
+        [("A", 0.0), ("A", 0.4), ("A", 1.0), ("B", 1.2), ("B", 2.0)],
+        "g string, value double",
+    )
+    got = {r["g"]: r for r in ks_drift(df, "g", "value").collect()}
+    assert got["A"]["n_grp"] == 3 and got["A"]["n_rest"] == 2
+    assert int(got["A"]["d_scaled"]) == 4 and got["A"]["d_q"] == 666666
+    assert int(got["B"]["d_scaled"]) == 4 and got["B"]["d_q"] == 666666
+
+
+def test_ks_drift_identical_distributions_zero(spark):
+    """Two groups drawing identical value multisets must have D = 0."""
+    from rat_strain_loader_pipeline_spark.operators.stats import ks_drift
+
+    rows = [("A", float(v)) for v in range(10)] + [
+        ("B", float(v)) for v in range(10)
+    ]
+    df = spark.createDataFrame(rows, "g string, value double")
+    for r in ks_drift(df, "g", "value").collect():
+        assert int(r["d_scaled"]) == 0 and r["d_q"] == 0
