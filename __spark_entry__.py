@@ -8264,6 +8264,44 @@ def q_hll_stream_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Principal-direction outlier audit (operators/spectral.py
+    pca_project_extremes): the gram_top_component eigenvector, inlined
+    as literal coefficients (maxsim lesson — no join), scores every
+    vector by its exact integer dot product in ONE codegen projection;
+    the PCA_PROJECT_TOPK most-positive and most-negative vectors per
+    side are what a curation pass reads to see WHAT the top component
+    separates. Corpus cost: the one Gram pass plus one scan + two
+    TakeOrdered heaps. Oracle replays the shared unrolled
+    power-iteration chain then the same dot products."""
+    from rat_strain_loader_pipeline_spark.operators.similarity import (
+        embedding_gram,
+    )
+    from rat_strain_loader_pipeline_spark.operators.spectral import (
+        gram_power_iteration,
+        pca_project_extremes,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    comp = gram_power_iteration(embedding_gram(emb), rounds=POWER_ITERS)
+    return pca_project_extremes(emb, comp, topk=PCA_PROJECT_TOPK)
+
+
+def q_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise per-label embedding-centroid cosine (operators/
+    similarity.py label_centroid_drift) — the corpus-drift monitor:
+    cosine is scale-invariant so the centroid cosine equals the cosine
+    of the per-label SUM vectors, keeping every dot/norm an exact
+    DECIMAL(38,0) integer with the one fixed IEEE cosine tree at the
+    end. One corpus explode to labels×dims sums; all pairwise work is
+    labels²·dims-bounded."""
+    from rat_strain_loader_pipeline_spark.operators.similarity import (
+        label_centroid_drift,
+    )
+
+    return label_centroid_drift(_t(spark, sf_dir, "embeddings"))
+
+
 def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact two-sample Kolmogorov-Smirnov drift per event type vs the
     rest (operators/stats.py ks_drift): values on the floor(v) grid
@@ -8566,6 +8604,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": q_hll_distinct,
         "hll_stream_merge": q_hll_stream_merge,
         "ks_drift": q_ks_drift,
+        "pca_project": q_pca_project,
+        "centroid_drift": q_centroid_drift,
     }
 
 
@@ -9529,6 +9569,7 @@ IVFPQ_COARSE_ITERS = 2  # shallow coarse training (the standard IVF recipe)
 IVFPQ_FP_MOD = 10**15   # index-artifact content-fingerprint modulus
 POWER_ITERS = 5         # power-iteration rounds (q_gram_top_component)
 HLL_P = 8               # HyperLogLog precision: 2^8 = 256 registers
+PCA_PROJECT_TOPK = 10   # extreme docs per side (q_pca_project)
 # Count-Min sketch (q_cms_heavy_hitters): depth x width counter grid;
 # width 64 forces real collisions at every tested sf so the slack
 # column actually exercises the estimate-vs-exact comparison
@@ -10266,12 +10307,12 @@ FROM coderows
 
 
 
-def _gram_power_oracle_sql(rounds: int) -> str:
-    """Unrolled power-iteration oracle over the full integer Gram
+def _gram_power_ctes_sql(rounds: int) -> str:
+    """Unrolled power-iteration CTE chain over the full integer Gram
     matrix: round r = one matvec CTE + one L∞-normalization CTE
     (scalar-subquery max|w|, signed // truncating toward zero exactly
-    like Spark div), then the Rayleigh/trace epilogue replaying the
-    engine's two-step quotient."""
+    like Spark div). Ends with v{rounds}(dim, v); shared by the
+    component oracle and the projection consumer's oracle."""
     head = """n AS (
   SELECT vec_id,
          list_transform(embedding::DOUBLE[],
@@ -10305,8 +10346,13 @@ v0 AS (
                 AS HUGEINT) END AS v
   FROM w{r}
 )""")
-    joined = ",\n".join(ctes)
-    return f"""WITH {joined},
+    return ",\n".join(ctes)
+
+
+def _gram_power_oracle_sql(rounds: int) -> str:
+    """Power-iteration oracle: the shared CTE chain plus the
+    Rayleigh/trace epilogue replaying the engine's two-step quotient."""
+    return f"""WITH {_gram_power_ctes_sql(rounds)},
 gv AS (
   SELECT g.i AS dim, sum(g.gram * p.v) AS w
   FROM g JOIN v{rounds} p ON g.j = p.dim
@@ -10323,6 +10369,32 @@ SELECT CAST(p.dim AS INT) AS dim,
          CAST((CAST(num // den AS HUGEINT) * 1000000) // trace AS BIGINT)
        END AS ev_q
 FROM v{rounds} p, ray, tr
+"""
+
+
+def _pca_project_oracle_sql(rounds: int, topk: int) -> str:
+    """Projection-consumer oracle: the shared power-iteration chain,
+    then each vector's exact integer dot with the micros eigenvector
+    (e.x is already the quantized component) and the two TakeOrdered
+    extremes with id tiebreaks."""
+    return f"""WITH {_gram_power_ctes_sql(rounds)},
+proj AS (
+  SELECT e.vec_id,
+         CAST(sum(CAST(e.x AS HUGEINT) * p.v) AS BIGINT) AS proj_q
+  FROM e JOIN v{rounds} p ON e.i - 1 = p.dim
+  GROUP BY e.vec_id
+),
+pos AS (
+  SELECT 'pos' AS side, vec_id, proj_q FROM proj
+  ORDER BY proj_q DESC, vec_id ASC LIMIT {topk}
+),
+neg AS (
+  SELECT 'neg' AS side, vec_id, proj_q FROM proj
+  ORDER BY proj_q ASC, vec_id ASC LIMIT {topk}
+)
+SELECT side, vec_id, proj_q FROM pos
+UNION ALL
+SELECT side, vec_id, proj_q FROM neg
 """
 
 
@@ -16206,6 +16278,51 @@ FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
                      // (CAST(n_grp AS HUGEINT) * n_rest) AS BIGINT) END
                      AS d_q
             FROM diff GROUP BY g, n_grp, n_rest
+        """,
+        "pca_project": _pca_project_oracle_sql(POWER_ITERS, PCA_PROJECT_TOPK),
+        "centroid_drift": """
+            WITH q AS (
+              SELECT label AS g, i, x
+              FROM (
+                SELECT label,
+                       generate_subscripts(v, 1) AS i,
+                       unnest(v) AS x
+                FROM (
+                  SELECT label,
+                         list_transform(embedding::DOUBLE[],
+                             x -> CAST(floor(x * 1000000) AS BIGINT)) AS v
+                  FROM embeddings
+                )
+              )
+            ),
+            s AS (
+              SELECT g, i, CAST(sum(x) AS BIGINT) AS s
+              FROM q GROUP BY g, i
+            ),
+            n AS (
+              SELECT label AS g, CAST(count(*) AS BIGINT) AS n
+              FROM embeddings GROUP BY 1
+            ),
+            norm AS (
+              SELECT g, sum(CAST(s AS HUGEINT) * s) AS n2 FROM s GROUP BY g
+            ),
+            dots AS (
+              SELECT a.g AS group_a, b.g AS group_b,
+                     sum(CAST(a.s AS HUGEINT) * b.s) AS dot
+              FROM s a JOIN s b ON a.i = b.i AND a.g < b.g
+              GROUP BY 1, 2
+            )
+            SELECT d.group_a, d.group_b, ca.n AS n_a, cb.n AS n_b,
+                   CASE WHEN xa.n2 > 0 AND xb.n2 > 0 THEN
+                     CAST(floor(CAST(d.dot AS DOUBLE)
+                          / (sqrt(CAST(xa.n2 AS DOUBLE))
+                             * sqrt(CAST(xb.n2 AS DOUBLE)))
+                          * 1000000) AS BIGINT) END AS cos_q
+            FROM dots d
+            JOIN norm xa ON d.group_a = xa.g
+            JOIN norm xb ON d.group_b = xb.g
+            JOIN n ca ON d.group_a = ca.g
+            JOIN n cb ON d.group_b = cb.g
         """,
     }
 

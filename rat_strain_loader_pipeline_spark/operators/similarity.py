@@ -1080,3 +1080,86 @@ def maxsim_topk(
         .limit(k)
         .select(id_col, "maxsim_micros")
     )
+
+
+def label_centroid_drift(
+    embeddings: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Pairwise cosine between per-group embedding centroids — the
+    corpus-drift monitor (did source/shard/label A move away from B in
+    embedding space?). Cosine is scale-invariant, so the centroid
+    cosine equals the cosine of the raw per-group SUM vectors — no
+    division by n ever happens and every dot/norm stays an exact
+    integer: s[g][d] = Σ floor(x·1e6) per (group, dim), dot and
+    norms² accumulate in DECIMAL(38,0) (s ≤ n·1e6 makes bigint
+    overflow at ~3e9 rows/group), and the final score is the repo's
+    one fixed IEEE cosine tree in micros (NULL on a zero-norm side).
+
+    Shape: one explode to (group, dim) sums (groups×dims rows — the
+    ONLY corpus-sized pass), then all pairwise work is on the
+    groups×dims table: a dim-equi self-join bounded by groups²·dims.
+    Returns (group_a, group_b, n_a, n_b, cos_q) for group_a < group_b.
+    """
+    sums = (
+        embeddings.select(
+            F.col(group_col).alias("g"), F.posexplode(F.col(vec_col))
+        )
+        .select(
+            "g",
+            F.col("pos").alias("i"),
+            F.floor(F.col("col").cast("double") * MICROS)
+            .cast("long")
+            .alias("x"),
+        )
+        .groupBy("g", "i")
+        .agg(F.sum("x").cast("long").alias("s"))
+    )
+    counts = embeddings.groupBy(F.col(group_col).alias("g")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    norms = sums.groupBy("g").agg(
+        F.sum(F.col("s").cast("decimal(38,0)") * F.col("s")).alias("n2")
+    )
+    a = sums.select(
+        F.col("g").alias("group_a"), "i", F.col("s").alias("s_a")
+    )
+    b = sums.select(
+        F.col("g").alias("group_b"), "i", F.col("s").alias("s_b")
+    )
+    dots = (
+        a.join(b, "i")
+        .filter(F.col("group_a") < F.col("group_b"))
+        .groupBy("group_a", "group_b")
+        .agg(
+            F.sum(F.col("s_a").cast("decimal(38,0)") * F.col("s_b")).alias(
+                "dot"
+            )
+        )
+    )
+    na = norms.select(F.col("g").alias("group_a"), F.col("n2").alias("na2"))
+    nb = norms.select(F.col("g").alias("group_b"), F.col("n2").alias("nb2"))
+    ca = counts.select(F.col("g").alias("group_a"), F.col("n").alias("n_a"))
+    cb = counts.select(F.col("g").alias("group_b"), F.col("n").alias("n_b"))
+    denom = F.sqrt(F.col("na2").cast("double")) * F.sqrt(
+        F.col("nb2").cast("double")
+    )
+    return (
+        dots.join(F.broadcast(na), "group_a")
+        .join(F.broadcast(nb), "group_b")
+        .join(F.broadcast(ca), "group_a")
+        .join(F.broadcast(cb), "group_b")
+        .select(
+            "group_a",
+            "group_b",
+            "n_a",
+            "n_b",
+            F.when(
+                (F.col("na2") > 0) & (F.col("nb2") > 0),
+                F.floor(
+                    F.col("dot").cast("double") / denom * MICROS
+                ).cast("long"),
+            ).alias("cos_q"),
+        )
+    )

@@ -109,3 +109,52 @@ def gram_power_iteration(
     return gram.sparkSession.createDataFrame(
         out, "dim int, v_q long, ev_q long"
     )
+
+
+def pca_project_extremes(
+    embeddings: DataFrame,
+    component: DataFrame,
+    topk: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Principal-direction outlier audit — the projection consumer of
+    ``gram_power_iteration``: score every vector by its exact integer
+    dot product with the micros eigenvector (proj = Σ floor(x·1e6)·v_q,
+    bounded by dims·1e12 so bigint holds at any corpus size) and emit
+    the ``topk`` most-positive and most-negative documents per side —
+    what a curation pass actually reads to see WHAT the top component
+    separates.
+
+    The eigenvector collects to the driver (dims-sized exemption) and
+    is inlined as literal coefficients in ONE codegen projection — the
+    maxsim lesson: no join, no shuffle; the corpus pass is a scan +
+    two TakeOrdered heaps. A degenerate component (NULL v_q from a
+    zero Gram) yields an empty result rather than garbage scores.
+    Returns (side, id_col, proj_q) with deterministic id tiebreaks.
+    """
+    rows = component.select("dim", "v_q").collect()  # dims-sized
+    spark = embeddings.sparkSession
+    if not rows or any(r["v_q"] is None for r in rows):
+        return spark.createDataFrame([], f"side string, {id_col} long, proj_q long")
+    v = [int(r["v_q"]) for r in sorted(rows, key=lambda r: int(r["dim"]))]
+    arr = "array({})".format(
+        ", ".join(f"CAST({x} AS BIGINT)" for x in v)
+    )
+    proj = F.expr(
+        f"aggregate(zip_with({vec_col}, {arr},"
+        f" (x, c) -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT) * c),"
+        f" CAST(0 AS BIGINT), (acc, t) -> acc + t)"
+    )
+    scored = embeddings.select(F.col(id_col), proj.alias("proj_q"))
+    pos = (
+        scored.orderBy(F.col("proj_q").desc(), F.col(id_col).asc())
+        .limit(topk)
+        .select(F.lit("pos").alias("side"), id_col, "proj_q")
+    )
+    neg = (
+        scored.orderBy(F.col("proj_q").asc(), F.col(id_col).asc())
+        .limit(topk)
+        .select(F.lit("neg").alias("side"), id_col, "proj_q")
+    )
+    return pos.unionByName(neg)

@@ -561,3 +561,60 @@ def test_ks_drift_identical_distributions_zero(spark):
     df = spark.createDataFrame(rows, "g string, value double")
     for r in ks_drift(df, "g", "value").collect():
         assert int(r["d_scaled"]) == 0 and r["d_q"] == 0
+
+
+def test_pca_project_extremes_separates_known_direction(spark):
+    """Vectors along +e0 must land on one side, -e0 on the other, and
+    a degenerate (all-zero Gram) component must yield an empty result."""
+    from rat_strain_loader_pipeline_spark.operators.similarity import (
+        embedding_gram,
+    )
+    from rat_strain_loader_pipeline_spark.operators.spectral import (
+        gram_power_iteration,
+        pca_project_extremes,
+    )
+
+    rows = [(i, [1.0 if i < 5 else -1.0, 0.0]) for i in range(10)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    comp = gram_power_iteration(embedding_gram(emb), rounds=3)
+    out = pca_project_extremes(emb, comp, topk=5)
+    sides = {r["vec_id"]: r["side"] for r in out.collect()}
+    assert len(sides) == 10
+    # all +e0 vectors share one side, all -e0 the other
+    assert len({sides[i] for i in range(5)}) == 1
+    assert len({sides[i] for i in range(5, 10)}) == 1
+    assert sides[0] != sides[9]
+
+    zero = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    comp0 = gram_power_iteration(embedding_gram(zero), rounds=3)
+    assert pca_project_extremes(zero, comp0, topk=5).count() == 0
+
+
+def test_centroid_drift_scale_invariance_and_orthogonality(spark):
+    """Identical-direction groups must score 1e6 regardless of group
+    size (cosine of sums == cosine of centroids); orthogonal groups 0;
+    a zero-norm group yields NULL."""
+    from rat_strain_loader_pipeline_spark.operators.similarity import (
+        label_centroid_drift,
+    )
+
+    rows = (
+        [(i, [1.0, 0.0], 0) for i in range(3)]
+        + [(10 + i, [2.0, 0.0], 1) for i in range(7)]
+        + [(20 + i, [0.0, 1.0], 2) for i in range(2)]
+        + [(30, [0.0, 0.0], 3)]
+    )
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    got = {
+        (r["group_a"], r["group_b"]): r
+        for r in label_centroid_drift(emb).collect()
+    }
+    assert got[(0, 1)]["cos_q"] == 1_000_000
+    assert got[(0, 1)]["n_a"] == 3 and got[(0, 1)]["n_b"] == 7
+    assert got[(0, 2)]["cos_q"] == 0
+    assert got[(0, 3)]["cos_q"] is None
+    assert len(got) == 6
