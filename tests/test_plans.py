@@ -849,3 +849,50 @@ def test_ivf_pq_index_build_idempotent_and_serve_matches_hermetic(
         for r in queries["ivf_pq_topk"](spark, sf_dir).collect()
     }
     assert served == hermetic
+
+
+def test_round9_batch_no_cartesian(spark, sf_dir, queries):
+    """E183-E188: no real cartesians anywhere in the round-9 batch
+    (hll/ks/centroid cross joins are broadcast 1-row scalars or
+    dimension-sized group tables)."""
+    for name in (
+        "cc_incremental",
+        "hll_distinct",
+        "ks_drift",
+        "centroid_drift",
+    ):
+        plan = _plan(queries[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+
+
+def test_hll_registers_map_side_partial_agg(spark, sf_dir):
+    """The HLL register build must partial-aggregate map-side (one
+    HashAggregate before and after one exchange on i) and never carry
+    key-cardinality state: no window, no Python, exactly one shuffle."""
+    from rat_strain_loader_pipeline_spark.operators.sketch import hll_registers
+    from rat_strain_loader_pipeline_spark.sources.tables import read_table
+
+    keyed = (
+        read_table(spark, sf_dir, "events")
+        .select(F.col("user_id").cast("string").alias("k"))
+    )
+    plan = _plan(hll_registers(keyed, "k", p=8), "simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("HashAggregate") == 2  # partial + final
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Window" not in plan
+
+
+def test_pca_project_takeordered_no_python(spark, sf_dir):
+    """The projection consumer must score in one codegen projection
+    (literal coefficients — no join against the component table) and
+    select extremes via TakeOrdered heaps."""
+    import __spark_entry__ as em
+
+    df = em.queries()["pca_project"](spark, sf_dir)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan
+    # scoring never joins: the only joins would come from a component
+    # lookup, which the literal inlining removes
+    assert "SortMergeJoin" not in plan
