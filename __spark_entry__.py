@@ -8341,6 +8341,33 @@ def q_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_centroid_drift(_t(spark, sf_dir, "embeddings"))
 
 
+def q_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact lag-k autocorrelation of the dense daily-count series per
+    event type (operators/timeseries.py acf_daily), lags ACF_LAGS —
+    the seasonality/memory diagnostic: zero-filled gaps (a missing day
+    IS an observation), all six moment sums exact in DECIMAL(38,0),
+    only the final r = num/√den through one fixed IEEE tree in micros.
+    Day-grain collapse is the sole corpus pass; each lag is one
+    self-equi-join on the staged groups×days series."""
+    from rat_strain_loader_pipeline_spark.operators.timeseries import acf_daily
+
+    return acf_daily(
+        _t(spark, sf_dir, "events"), "ts", "event_type", lags=ACF_LAGS
+    )
+
+
+def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Kruskal-Wallis H across event types (operators/stats.py
+    kruskal_wallis) — the k-group rank location test beside ks_drift's
+    shape test: doubled-unit midranks keep tied ranks integer, the
+    per-group R²/n term uses the split quotient so nothing reaches
+    R2²≈4N⁴, and h/tie-correction/adjusted-h are pure integer
+    DECIMAL(38,0) ops mirrored verbatim by the oracle."""
+    from rat_strain_loader_pipeline_spark.operators.stats import kruskal_wallis
+
+    return kruskal_wallis(_t(spark, sf_dir, "events"), "event_type", "value")
+
+
 def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact two-sample Kolmogorov-Smirnov drift per event type vs the
     rest (operators/stats.py ks_drift): values on the floor(v) grid
@@ -8645,6 +8672,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_drift": q_ks_drift,
         "pca_project": q_pca_project,
         "centroid_drift": q_centroid_drift,
+        "acf_daily": q_acf_daily,
+        "kruskal_wallis": q_kruskal_wallis,
     }
 
 
@@ -9609,6 +9638,7 @@ IVFPQ_FP_MOD = 10**15   # index-artifact content-fingerprint modulus
 POWER_ITERS = 5         # power-iteration rounds (q_gram_top_component)
 HLL_P = 8               # HyperLogLog precision: 2^8 = 256 registers
 PCA_PROJECT_TOPK = 10   # extreme docs per side (q_pca_project)
+ACF_LAGS = (1, 7)       # autocorrelation lags in days (q_acf_daily)
 # Count-Min sketch (q_cms_heavy_hitters): depth x width counter grid;
 # width 64 forces real collisions at every tested sf so the slack
 # column actually exercises the estimate-vs-exact comparison
@@ -11017,6 +11047,57 @@ _WSAMPLE_ORACLE_SQL = """
             FROM drawn
             ORDER BY priority ASC, doc_id ASC
             LIMIT 25
+        """
+
+
+def _acf_oracle_sql(lags: tuple[int, ...]) -> str:
+    """ACF rebuild: dense per-group daily series (zero-filled via
+    generate_series), one self-join per lag, exact HUGEINT moment sums,
+    the engine's identical final IEEE tree."""
+    lag_ctes = []
+    lag_selects = []
+    for k in lags:
+        lag_ctes.append(f"""agg_{k} AS (
+  SELECT a.g, CAST({k} AS INT) AS lag,
+         CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(a.x AS HUGEINT)) AS sx,
+         sum(CAST(b.x AS HUGEINT)) AS sy,
+         sum(CAST(a.x AS HUGEINT) * a.x) AS sxx,
+         sum(CAST(b.x AS HUGEINT) * b.x) AS syy,
+         sum(CAST(a.x AS HUGEINT) * b.x) AS sxy
+  FROM dense a JOIN dense b ON a.g = b.g AND b.day = a.day + {k}
+  GROUP BY a.g
+)""")
+        lag_selects.append(
+            f"""SELECT g AS event_type, lag, n,
+       CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+         THEN CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
+           / sqrt(CAST((n * sxx - sx * sx) * (n * syy - sy * sy)
+                  AS DOUBLE)) * 1000000) AS BIGINT) END AS r_q
+FROM agg_{k}"""
+        )
+    joined_ctes = ",\n".join(lag_ctes)
+    unioned = "\nUNION ALL\n".join(lag_selects)
+    return f"""
+            WITH daily AS (
+              SELECT event_type AS g,
+                     epoch_us(ts) // 1000000 // 86400 AS day,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2
+            ),
+            spans AS (
+              SELECT g, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY g
+            ),
+            grid AS (
+              SELECT g, unnest(generate_series(d0, d1)) AS day FROM spans
+            ),
+            dense AS (
+              SELECT grid.g, grid.day, COALESCE(daily.n, 0) AS x
+              FROM grid LEFT JOIN daily
+                ON grid.g = daily.g AND grid.day = daily.day
+            ),
+            {joined_ctes}
+            {unioned}
         """
 
 
@@ -16362,6 +16443,54 @@ FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
             JOIN norm xb ON d.group_b = xb.g
             JOIN n ca ON d.group_a = ca.g
             JOIN n cb ON d.group_b = cb.g
+        """,
+        "acf_daily": _acf_oracle_sql(ACF_LAGS),
+        "kruskal_wallis": """
+            WITH base AS (
+              SELECT event_type AS g, CAST(floor(value) AS BIGINT) AS v
+              FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+            ),
+            cnt AS (
+              SELECT g, v, CAST(count(*) AS BIGINT) AS c_gv
+              FROM base GROUP BY 1, 2
+            ),
+            gl AS (
+              SELECT v, c, 2 * (cum - c + 1) + c - 1 AS mid2
+              FROM (SELECT v, CAST(count(*) AS BIGINT) AS c,
+                           sum(count(*)) OVER (ORDER BY v) AS cum
+                    FROM base GROUP BY v)
+            ),
+            per_g AS (
+              SELECT g, CAST(sum(c_gv) AS HUGEINT) AS n_g,
+                     sum(CAST(c_gv AS HUGEINT) * mid2) AS r2
+              FROM cnt JOIN gl USING (v) GROUP BY g
+            ),
+            terms AS (
+              SELECT ((r2 // n_g) * r2 * 1000000
+                      + ((r2 - (r2 // n_g) * n_g) * r2 * 1000000) // n_g)
+                       AS t
+              FROM per_g
+            ),
+            s AS (SELECT sum(t // 4) AS s4 FROM terms),
+            tot AS (SELECT CAST(count(*) AS HUGEINT) AS n_tot FROM base),
+            kg AS (SELECT CAST(count(*) AS BIGINT) AS n_groups FROM per_g),
+            t3 AS (SELECT sum(CAST(c AS HUGEINT) * c * c - c) AS t3 FROM gl),
+            h AS (
+              SELECT CAST(tot.n_tot AS BIGINT) AS n_total, kg.n_groups,
+                     CAST((12 * s.s4) // (tot.n_tot * (tot.n_tot + 1))
+                          - 3 * (tot.n_tot + 1) * 1000000 AS BIGINT) AS h_q,
+                     CASE WHEN tot.n_tot > 1 THEN
+                       CAST((((tot.n_tot * tot.n_tot * tot.n_tot - tot.n_tot)
+                              - t3.t3) * 1000000)
+                            // (tot.n_tot * tot.n_tot * tot.n_tot - tot.n_tot)
+                            AS BIGINT) END AS tie_q
+              FROM s, tot, kg, t3
+            )
+            SELECT n_total, n_groups, h_q, tie_q,
+                   CASE WHEN tie_q > 0 THEN
+                     CAST((CAST(h_q AS HUGEINT) * 1000000) // tie_q
+                          AS BIGINT) END AS h_adj_q
+            FROM h
         """,
     }
 

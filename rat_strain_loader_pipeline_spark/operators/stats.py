@@ -1260,3 +1260,110 @@ def ks_drift(
             ).alias("d_q"),
         )
     )
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Exact Kruskal-Wallis H — the k-group rank test (are these
+    sources/shards drawing from the same value distribution?), the
+    location-test sibling of ks_drift's shape test.
+
+    Ranks use midranks for ties, carried in DOUBLED units so they stay
+    integers (mid2 = 2·minrank + c − 1); every group rank sum R2_g is
+    then exact. The per-group term R2_g²·1e6 div (4·n_g) is computed by
+    the SPLIT QUOTIENT q·R2·1e6 + (rem·R2·1e6) div n (q = R2 div n,
+    rem = R2 − q·n) — identical value to the direct floor, but no
+    intermediate ever reaches R2² ≈ 4N⁴, so DECIMAL(38,0) holds to
+    N ≈ 1e9 rows instead of 2e7. Then
+        h_q    = (12·S4) div (N·(N+1)) − 3·(N+1)·1e6      (micros)
+        tie_q  = ((N³−N) − Σ(c³−c))·1e6 div (N³−N)        (correction C)
+        h_adj_q = h_q·1e6 div tie_q                        (two-step)
+    — all integer ops, mirrored verbatim by the oracle. NULL h_adj_q
+    when ties swallow everything (tie_q = 0). Values on the floor(v)
+    grid; NULL/NaN excluded. Returns ONE row
+    (n_total, n_groups, h_q, tie_q, h_adj_q).
+    """
+    from pyspark.sql.window import Window
+
+    v = F.col(value_col)
+    base = df.filter(v.isNotNull() & ~F.isnan(v.cast("double"))).select(
+        F.col(group_col).alias("g"), F.floor(v).cast("long").alias("v")
+    )
+    cnt = base.groupBy("g", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("c_gv")
+    )
+    gl = (
+        base.groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .withColumn(
+            "minrank",
+            F.sum("c").over(
+                Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+            )
+            - F.col("c")
+            + 1,
+        )
+        .select(
+            "v",
+            "c",
+            (F.lit(2) * F.col("minrank") + F.col("c") - 1).alias("mid2"),
+        )
+    )
+    per_g = (
+        cnt.join(F.broadcast(gl.select("v", "mid2")), "v")
+        .groupBy("g")
+        .agg(
+            F.sum("c_gv").cast("decimal(38,0)").alias("n_g"),
+            F.sum(F.col("c_gv").cast("decimal(38,0)") * F.col("mid2")).alias(
+                "r2"
+            ),
+        )
+    )
+    terms = per_g.select(
+        F.expr(
+            "(r2 div n_g) * r2 * 1000000"
+            " + ((r2 - (r2 div n_g) * n_g) * r2 * 1000000) div n_g"
+        ).alias("t"),
+    )
+    # floor(floor(x)/4) == floor(x/4), so t div 4 is exactly
+    # floor(R2²·1e6 / (4·n_g)) — the R_g = R2_g/2 halving, post-split
+    s = terms.agg(F.sum(F.expr("t div 4")).alias("s4"))
+    counts = base.agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("n_tot"))
+    kgrp = per_g.agg(F.count(F.lit(1)).cast("long").alias("n_groups"))
+    t3 = gl.agg(
+        F.sum(
+            F.col("c").cast("decimal(38,0)") * F.col("c") * F.col("c")
+            - F.col("c")
+        ).alias("t3")
+    )
+    return (
+        s.crossJoin(F.broadcast(counts))
+        .crossJoin(F.broadcast(kgrp))
+        .crossJoin(F.broadcast(t3))
+        .select(
+            F.col("n_tot").cast("long").alias("n_total"),
+            "n_groups",
+            F.expr(
+                "CAST((12 * s4) div (n_tot * (n_tot + 1))"
+                " - 3 * (n_tot + 1) * 1000000 AS BIGINT)"
+            ).alias("h_q"),
+            F.expr(
+                "CASE WHEN n_tot > 1 THEN CAST((((n_tot * n_tot * n_tot"
+                " - n_tot) - t3) * 1000000) div (n_tot * n_tot * n_tot"
+                " - n_tot) AS BIGINT) END"
+            ).alias("tie_q"),
+        )
+        .select(
+            "n_total",
+            "n_groups",
+            "h_q",
+            "tie_q",
+            F.expr(
+                "CASE WHEN tie_q > 0 THEN CAST((CAST(h_q AS DECIMAL(38,0))"
+                " * 1000000) div tie_q AS BIGINT) END"
+            ).alias("h_adj_q"),
+        )
+    )

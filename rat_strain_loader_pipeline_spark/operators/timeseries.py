@@ -280,3 +280,80 @@ def ewma_smooth(
         .cast("long")
         .alias("resid_q"),
     )
+
+
+def acf_daily(
+    df: DataFrame,
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+    lags: tuple[int, ...] = (1, 7),
+) -> DataFrame:
+    """Exact lag-k autocorrelation of the DENSE daily-count series per
+    group — the seasonality/memory diagnostic beside cusum_change_point
+    (lag 7 ≈ weekly rhythm, lag 1 ≈ persistence). The series densifies
+    over each group's [min_day, max_day] with zero fill (a gap IS a
+    zero-count observation; skipping gaps would silently shift lags),
+    then for each lag the Pearson r over pairs (x_t, x_{t+k}) is
+    assembled from exact integer sums: n, Σx, Σy, Σxx, Σyy, Σxy in
+    DECIMAL(38,0), num = n·Σxy − Σx·Σy, den = (n·Σxx − Σx²)(n·Σyy − Σy²),
+    and ONLY the final r = num/√den runs through one fixed IEEE tree in
+    micros. NULL when either variance leg is ≤ 0 (constant series).
+
+    Shape: day-grain collapse first (the corpus-sized pass), then the
+    dense series is groups×days rows; each lag is one self-equi-join on
+    (group, day+k). Returns (group, lag, n, r_q).
+    """
+    from pyspark.sql import functions as F
+
+    daily = (
+        df.select(
+            F.col(group_col).alias("g"),
+            F.expr(f"unix_timestamp({ts_col}) div 86400").alias("day"),
+        )
+        .groupBy("g", "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    spans = daily.groupBy("g").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    dense = (
+        spans.select(
+            "g", F.explode(F.expr("sequence(d0, d1)")).alias("day")
+        )
+        .join(daily, ["g", "day"], "left")
+        .select("g", "day", F.coalesce("n", F.lit(0)).alias("x"))
+    )
+    from rat_strain_loader_pipeline_spark.staging import stage_to_parquet
+
+    dense = stage_to_parquet(dense, "acf-dense")
+    out = None
+    for k in lags:
+        a = dense.select("g", "day", F.col("x").alias("xa"))
+        b = dense.select(
+            "g", (F.col("day") - k).alias("day"), F.col("x").alias("xb")
+        )
+        agg = (
+            a.join(b, ["g", "day"])
+            .groupBy("g")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("xa").cast("decimal(38,0)").alias("sx"),
+                F.sum("xb").cast("decimal(38,0)").alias("sy"),
+                F.sum(F.col("xa").cast("decimal(38,0)") * F.col("xa")).alias("sxx"),
+                F.sum(F.col("xb").cast("decimal(38,0)") * F.col("xb")).alias("syy"),
+                F.sum(F.col("xa").cast("decimal(38,0)") * F.col("xb")).alias("sxy"),
+            )
+        )
+        r = agg.select(
+            F.col("g"),
+            F.lit(k).cast("int").alias("lag"),
+            "n",
+            F.expr(
+                "CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0"
+                " THEN CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)"
+                "   / sqrt(CAST((n * sxx - sx * sx) * (n * syy - sy * sy)"
+                "          AS DOUBLE)) * 1000000) AS BIGINT) END"
+            ).alias("r_q"),
+        )
+        out = r if out is None else out.unionByName(r)
+    return out.select(F.col("g").alias(group_col), "lag", "n", "r_q")

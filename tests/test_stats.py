@@ -618,3 +618,62 @@ def test_centroid_drift_scale_invariance_and_orthogonality(spark):
     assert got[(0, 2)]["cos_q"] == 0
     assert got[(0, 3)]["cos_q"] is None
     assert len(got) == 6
+
+
+def test_kruskal_wallis_textbook_case_no_ties(spark):
+    """A=[1,2], B=[3,4]: ranks 1..4, R_A=3, R_B=7,
+    H = 12/20*(9/2+49/2) - 15 = 2.4 -> 2_400_000 micros; no ties so
+    tie_q = 1e6 and h_adj == h."""
+    from rat_strain_loader_pipeline_spark.operators.stats import kruskal_wallis
+
+    df = spark.createDataFrame(
+        [("A", 1.0), ("A", 2.0), ("B", 3.0), ("B", 4.0)],
+        "g string, value double",
+    )
+    r = kruskal_wallis(df, "g", "value").collect()[0]
+    assert r["n_total"] == 4 and r["n_groups"] == 2
+    assert r["h_q"] == 2_400_000
+    assert r["tie_q"] == 1_000_000
+    assert r["h_adj_q"] == 2_400_000
+
+
+def test_kruskal_wallis_identical_groups_h_zero(spark):
+    """Identical group distributions (all ties across groups) must give
+    H <= 0-ish (exactly the tie-floor) and a tie-corrected value that
+    stays small; with every value tied, tie_q reflects the t^3-t mass."""
+    from rat_strain_loader_pipeline_spark.operators.stats import kruskal_wallis
+
+    rows = [("A", 5.0)] * 4 + [("B", 5.0)] * 4
+    df = spark.createDataFrame(rows, "g string, value double")
+    r = kruskal_wallis(df, "g", "value").collect()[0]
+    # single tied value: every rank is the midrank, H = 0 exactly up to
+    # the per-group floor (each term floors identically) and tie_q = 0
+    # (t^3 - t == N^3 - N) -> adjusted H is NULL
+    assert abs(r["h_q"]) <= 1  # floor slack
+    assert r["tie_q"] == 0 and r["h_adj_q"] is None
+
+
+def test_acf_daily_periodic_and_constant_series(spark):
+    """A period-2 alternating series has lag-1 ACF near -1 and lag-2
+    near +1; a constant series has zero variance -> NULL."""
+    import datetime
+
+    from rat_strain_loader_pipeline_spark.operators.timeseries import acf_daily
+
+    rows = []
+    base = datetime.datetime(2024, 1, 1)
+    for d in range(40):
+        n = 3 if d % 2 == 0 else 1
+        for i in range(n):
+            rows.append(("alt", base + datetime.timedelta(days=d)))
+    for d in range(40):
+        rows.append(("flat", base + datetime.timedelta(days=d)))
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    got = {
+        (r["event_type"], r["lag"]): r
+        for r in acf_daily(df, "ts", "event_type", lags=(1, 2)).collect()
+    }
+    assert got[("alt", 1)]["r_q"] <= -900_000
+    assert got[("alt", 2)]["r_q"] >= 900_000
+    assert got[("flat", 1)]["r_q"] is None
+    assert got[("alt", 1)]["n"] == 39
