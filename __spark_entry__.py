@@ -8356,6 +8356,65 @@ def q_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MI_CELL_TREE = (
+    "CAST(floor(CAST(n_xy AS DOUBLE) / CAST(n_tot AS DOUBLE)"
+    " * ln(CAST(n_xy AS DOUBLE) * CAST(n_tot AS DOUBLE)"
+    "      / (CAST(n_x AS DOUBLE) * CAST(n_y AS DOUBLE)))"
+    " * 1000000) AS BIGINT)"
+)
+
+
+def q_mi_categorical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information I(lang; source) over documents — the
+    association scalar a mixture designer reads before stratifying (is
+    language confounded with source?): per contingency cell the exact
+    counts feed ONE fixed IEEE tree (the floored-ln-cells discipline —
+    cell terms are signed, the floor is part of the metric's
+    definition, and the integer cell sum is order-free), beside the
+    marginal entropies H(lang), H(source) in the same style so
+    normalized MI is one division away. One row."""
+    docs = _t(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_xy")
+    )
+    nx = docs.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n_x"))
+    ny = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_y")
+    )
+    tot = docs.agg(F.count(F.lit(1)).cast("long").alias("n_tot"))
+    ent_tree = (
+        "CAST(floor(-(CAST({n} AS DOUBLE) / CAST(n_tot AS DOUBLE))"
+        " * ln(CAST({n} AS DOUBLE) / CAST(n_tot AS DOUBLE))"
+        " * 1000000) AS BIGINT)"
+    )
+    hx = (
+        nx.crossJoin(F.broadcast(tot))
+        .select(F.expr(ent_tree.format(n="n_x")).alias("t"))
+        .agg(F.sum("t").cast("long").alias("h_x_q"))
+    )
+    hy = (
+        ny.crossJoin(F.broadcast(tot))
+        .select(F.expr(ent_tree.format(n="n_y")).alias("t"))
+        .agg(F.sum("t").cast("long").alias("h_y_q"))
+    )
+    mi = (
+        cells.join(F.broadcast(nx), "lang")
+        .join(F.broadcast(ny), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(F.expr(_MI_CELL_TREE).alias("cell_q"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+            F.sum("cell_q").cast("long").alias("mi_q"),
+        )
+    )
+    return (
+        tot.crossJoin(F.broadcast(mi))
+        .crossJoin(F.broadcast(hx))
+        .crossJoin(F.broadcast(hy))
+        .select("n_tot", "n_cells", "mi_q", "h_x_q", "h_y_q")
+    )
+
+
 def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Kruskal-Wallis H across event types (operators/stats.py
     kruskal_wallis) — the k-group rank location test beside ks_drift's
@@ -8674,6 +8733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "centroid_drift": q_centroid_drift,
         "acf_daily": q_acf_daily,
         "kruskal_wallis": q_kruskal_wallis,
+        "mi_categorical": q_mi_categorical,
     }
 
 
@@ -16491,6 +16551,42 @@ FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
                      CAST((CAST(h_q AS HUGEINT) * 1000000) // tie_q
                           AS BIGINT) END AS h_adj_q
             FROM h
+        """,
+        "mi_categorical": f"""
+            WITH cells AS (
+              SELECT lang, source, CAST(count(*) AS BIGINT) AS n_xy
+              FROM documents GROUP BY 1, 2
+            ),
+            nx AS (
+              SELECT lang, CAST(count(*) AS BIGINT) AS n_x
+              FROM documents GROUP BY 1
+            ),
+            ny AS (
+              SELECT source, CAST(count(*) AS BIGINT) AS n_y
+              FROM documents GROUP BY 1
+            ),
+            tot AS (SELECT CAST(count(*) AS BIGINT) AS n_tot FROM documents),
+            mi AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_cells,
+                     CAST(sum({_MI_CELL_TREE}) AS BIGINT) AS mi_q
+              FROM cells JOIN nx USING (lang) JOIN ny USING (source), tot
+            ),
+            hx AS (
+              SELECT CAST(sum(CAST(floor(-(CAST(n_x AS DOUBLE)
+                / CAST(n_tot AS DOUBLE)) * ln(CAST(n_x AS DOUBLE)
+                / CAST(n_tot AS DOUBLE)) * 1000000) AS BIGINT)) AS BIGINT)
+                AS h_x_q
+              FROM nx, tot
+            ),
+            hy AS (
+              SELECT CAST(sum(CAST(floor(-(CAST(n_y AS DOUBLE)
+                / CAST(n_tot AS DOUBLE)) * ln(CAST(n_y AS DOUBLE)
+                / CAST(n_tot AS DOUBLE)) * 1000000) AS BIGINT)) AS BIGINT)
+                AS h_y_q
+              FROM ny, tot
+            )
+            SELECT tot.n_tot, mi.n_cells, mi.mi_q, hx.h_x_q, hy.h_y_q
+            FROM tot, mi, hx, hy
         """,
     }
 

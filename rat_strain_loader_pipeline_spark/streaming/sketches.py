@@ -112,9 +112,10 @@ def maintain_weighted_sample_available_now(
     )
 
     def sample_batch(batch_df: DataFrame, batch_id: int) -> None:
-        aes_candidates(batch_df, weight_col, n, id_col, salt).write.mode(
-            "append"
-        ).parquet(state_dir)
+        # the candidate delta is <= n rows at ANY batch size — one file
+        aes_candidates(batch_df, weight_col, n, id_col, salt).coalesce(
+            1
+        ).write.mode("append").parquet(state_dir)
 
     q = (
         stream.writeStream.foreachBatch(sample_batch)
@@ -214,9 +215,11 @@ def maintain_hll_available_now(
     )
 
     def sketch_batch(batch_df: DataFrame, batch_id: int) -> None:
-        hll_registers(batch_df, key_col, p).write.mode("append").parquet(
-            state_dir
-        )
+        # the delta is <= 2^p rows at ANY batch size — one file, not one
+        # per shuffle partition (192 tiny files per replay otherwise)
+        hll_registers(batch_df, key_col, p).coalesce(1).write.mode(
+            "append"
+        ).parquet(state_dir)
 
     q = (
         stream.writeStream.foreachBatch(sketch_batch)
