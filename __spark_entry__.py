@@ -8415,6 +8415,79 @@ def q_mi_categorical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate leakage across the train/val/test split — the
+    data-hygiene number a random split silently gets wrong (a test doc
+    whose near-twin sits in train is not a held-out example): every LSH
+    near-dup pair (from the build-once _cc_store postings) maps its
+    endpoints through the deterministic md5 split and counts per
+    (split_lo, split_hi) combo with an is_leak flag. The fix this
+    motivates is exactly cc_incremental/dedup_survivors: split by
+    COMPONENT, never by doc. Oracle: brute-force exact pairs + the
+    same split CASE."""
+    from rat_strain_loader_pipeline_spark.operators.sampling import (
+        deterministic_split,
+    )
+
+    pairs, _old_cc = _cc_store(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    sp = deterministic_split(
+        docs, salt=SPLIT_SALT, fractions=SPLIT_FRACTIONS
+    ).select("doc_id", "split")
+    a = sp.select(F.col("doc_id").alias("id_a"), F.col("split").alias("s_a"))
+    b = sp.select(F.col("doc_id").alias("id_b"), F.col("split").alias("s_b"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            F.least("s_a", "s_b").alias("split_lo"),
+            F.greatest("s_a", "s_b").alias("split_hi"),
+        )
+        .groupBy("split_lo", "split_hi")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .withColumn("is_leak", F.col("split_lo") != F.col("split_hi"))
+    )
+
+
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth curve (Heaps' law empirics) over ingest order:
+    docs bucket by doc_id div VOCAB_GROWTH_BUCKET (the arrival proxy);
+    per bucket the token count, the number of NEVER-SEEN-BEFORE types
+    (first-seen bucket = one min per type), and the running totals —
+    the curve that says whether a corpus is still yielding new
+    vocabulary or has gone stale (flat new_types ⇒ more data buys
+    repetition, not coverage). Exact integers throughout; tokens are
+    the repo's RE2-identical whitespace class, lowercased."""
+    from rat_strain_loader_pipeline_spark.operators.text import tokens
+    from pyspark.sql.window import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.expr(f"doc_id div {VOCAB_GROWTH_BUCKET}").alias("bucket"),
+        F.explode(tokens(F.lower(F.col("text")))).alias("token"),
+    )
+    per_bucket = tok.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens")
+    )
+    new_types = (
+        tok.groupBy("token")
+        .agg(F.min("bucket").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("new_types"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per_bucket.join(new_types, "bucket", "left")
+        .select(
+            "bucket",
+            "n_tokens",
+            F.coalesce("new_types", F.lit(0)).cast("long").alias("new_types"),
+        )
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("long"))
+        .withColumn("cum_types", F.sum("new_types").over(w).cast("long"))
+    )
+
+
 def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Kruskal-Wallis H across event types (operators/stats.py
     kruskal_wallis) — the k-group rank location test beside ks_drift's
@@ -8734,6 +8807,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "acf_daily": q_acf_daily,
         "kruskal_wallis": q_kruskal_wallis,
         "mi_categorical": q_mi_categorical,
+        "split_leakage": q_split_leakage,
+        "vocab_growth": q_vocab_growth,
     }
 
 
@@ -9697,6 +9772,7 @@ IVFPQ_COARSE_ITERS = 2  # shallow coarse training (the standard IVF recipe)
 IVFPQ_FP_MOD = 10**15   # index-artifact content-fingerprint modulus
 POWER_ITERS = 5         # power-iteration rounds (q_gram_top_component)
 HLL_P = 8               # HyperLogLog precision: 2^8 = 256 registers
+VOCAB_GROWTH_BUCKET = 50  # docs per ingest bucket (q_vocab_growth)
 PCA_PROJECT_TOPK = 10   # extreme docs per side (q_pca_project)
 ACF_LAGS = (1, 7)       # autocorrelation lags in days (q_acf_daily)
 # Count-Min sketch (q_cms_heavy_hitters): depth x width counter grid;
@@ -16587,6 +16663,50 @@ FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
             )
             SELECT tot.n_tot, mi.n_cells, mi.mi_q, hx.h_x_q, hy.h_y_q
             FROM tot, mi, hx, hy
+        """,
+        "split_leakage": f"""
+            WITH {_jaccard_pairs_cte_sql(0.5)},
+            sp AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     {_split_case_sql()} AS split
+              FROM documents
+            )
+            SELECT least(a.split, b.split) AS split_lo,
+                   greatest(a.split, b.split) AS split_hi,
+                   CAST(count(*) AS BIGINT) AS n_pairs,
+                   (least(a.split, b.split) <> greatest(a.split, b.split))
+                     AS is_leak
+            FROM jp
+            JOIN sp a ON jp.id_a = a.doc_id
+            JOIN sp b ON jp.id_b = b.doc_id
+            GROUP BY 1, 2
+        """,
+        "vocab_growth": rf"""
+            WITH tok AS (
+              SELECT CAST(doc_id AS BIGINT) // {VOCAB_GROWTH_BUCKET}
+                       AS bucket,
+                     unnest(list_filter(
+                       string_split_regex(lower(trim(text)), '\s+'),
+                       t -> t <> '')) AS token
+              FROM documents
+            ),
+            per_bucket AS (
+              SELECT bucket, CAST(count(*) AS BIGINT) AS n_tokens
+              FROM tok GROUP BY bucket
+            ),
+            new_types AS (
+              SELECT bucket, CAST(count(*) AS BIGINT) AS new_types
+              FROM (SELECT token, min(bucket) AS bucket FROM tok
+                    GROUP BY token)
+              GROUP BY bucket
+            )
+            SELECT p.bucket, p.n_tokens,
+                   CAST(COALESCE(n.new_types, 0) AS BIGINT) AS new_types,
+                   CAST(sum(p.n_tokens) OVER (ORDER BY p.bucket) AS BIGINT)
+                     AS cum_tokens,
+                   CAST(sum(COALESCE(n.new_types, 0)) OVER (ORDER BY p.bucket)
+                     AS BIGINT) AS cum_types
+            FROM per_bucket p LEFT JOIN new_types n ON p.bucket = n.bucket
         """,
     }
 

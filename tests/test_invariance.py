@@ -385,3 +385,67 @@ def test_t_closeness_partition_invariant(docs):
         for v in [base.coalesce(1), base.repartition(13, F.col("doc_id") % 7)]
     ]
     assert outs[0] == outs[1]
+
+
+def test_hll_registers_partition_invariant(spark, sf_dir):
+    from rat_strain_loader_pipeline_spark.operators.sketch import hll_registers
+    from rat_strain_loader_pipeline_spark.sources.tables import read_table
+
+    ev = read_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("k")
+    )
+    a, b = [
+        _rows(hll_registers(v, "k", p=8))
+        for v in [ev.coalesce(1), ev.repartition(13, F.col("k"))]
+    ]
+    assert a == b
+
+
+def test_ks_drift_partition_invariant(spark, sf_dir):
+    from rat_strain_loader_pipeline_spark.operators.stats import ks_drift
+    from rat_strain_loader_pipeline_spark.sources.tables import read_table
+
+    ev = read_table(spark, sf_dir, "events").select("event_type", "value")
+    a, b = [
+        _rows(ks_drift(v, "event_type", "value"))
+        for v in [ev.coalesce(1), ev.repartition(13, F.col("value"))]
+    ]
+    assert a == b
+
+
+def test_centroid_drift_partition_invariant(spark, sf_dir):
+    from rat_strain_loader_pipeline_spark.operators.similarity import (
+        label_centroid_drift,
+    )
+    from rat_strain_loader_pipeline_spark.sources.tables import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    a, b = [
+        _rows(label_centroid_drift(v))
+        for v in [emb.coalesce(1), emb.repartition(13, F.col("vec_id") % 7)]
+    ]
+    assert a == b
+
+
+def test_acf_daily_partition_invariant(spark, sf_dir):
+    from rat_strain_loader_pipeline_spark.operators.timeseries import acf_daily
+    from rat_strain_loader_pipeline_spark.sources.tables import read_table
+
+    ev = read_table(spark, sf_dir, "events").select("event_type", "ts")
+    a, b = [
+        _rows(acf_daily(v, "ts", "event_type", lags=(1, 7)))
+        for v in [ev.coalesce(1), ev.repartition(13, F.col("event_type"))]
+    ]
+    assert a == b
+
+
+def test_kruskal_wallis_partition_invariant(spark, sf_dir):
+    from rat_strain_loader_pipeline_spark.operators.stats import kruskal_wallis
+    from rat_strain_loader_pipeline_spark.sources.tables import read_table
+
+    ev = read_table(spark, sf_dir, "events").select("event_type", "value")
+    a, b = [
+        _rows(kruskal_wallis(v, "event_type", "value"))
+        for v in [ev.coalesce(1), ev.repartition(13, F.col("value"))]
+    ]
+    assert a == b
