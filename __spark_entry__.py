@@ -8488,6 +8488,75 @@ def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotone-trend test per event type over the daily
+    volume series — the significance companion to theil_sen_trend's
+    slope: S = Σ_{i<j} sign(x_j − x_i) (exact integer, days²-bounded
+    pairwise like Theil-Sen), tie-corrected variance kept as the exact
+    integer 18·Var = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5), and only the
+    final z = (S∓1)/√(var18/18) through one fixed IEEE tree in micros
+    (continuity-corrected, 0 when S = 0)."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.expr("unix_timestamp(ts) div 86400").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a = daily.select("event_type", F.col("day").alias("da"), F.col("n").alias("xa"))
+    b = daily.select("event_type", F.col("day").alias("db"), F.col("n").alias("xb"))
+    s = (
+        a.join(b, "event_type")
+        .filter(F.col("da") < F.col("db"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.signum(F.col("xb") - F.col("xa")).cast("long"))
+            .cast("long")
+            .alias("s")
+        )
+    )
+    nd = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days")
+    )
+    ties = (
+        daily.groupBy("event_type", "n")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.col("t").cast("decimal(38,0)")
+                * (F.col("t") - 1)
+                * (2 * F.col("t") + 5)
+            ).alias("tie18")
+        )
+    )
+    return (
+        s.join(F.broadcast(nd), "event_type")
+        .join(F.broadcast(ties), "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            "s",
+            F.expr(
+                "CAST(CAST(n_days AS DECIMAL(38,0)) * (n_days - 1)"
+                " * (2 * n_days + 5) - tie18 AS DECIMAL(38,0))"
+            ).alias("var18"),
+        )
+        .select(
+            "event_type",
+            "n_days",
+            "s",
+            F.col("var18").cast("long").alias("var18"),
+            F.expr(
+                "CASE WHEN var18 > 0 AND s > 0 THEN"
+                " CAST(floor(CAST(s - 1 AS DOUBLE)"
+                "   / sqrt(CAST(var18 AS DOUBLE) / 18.0) * 1000000) AS BIGINT)"
+                " WHEN var18 > 0 AND s < 0 THEN"
+                " CAST(floor(CAST(s + 1 AS DOUBLE)"
+                "   / sqrt(CAST(var18 AS DOUBLE) / 18.0) * 1000000) AS BIGINT)"
+                " WHEN s = 0 THEN CAST(0 AS BIGINT) END"
+            ).alias("z_q"),
+        )
+    )
+
+
 def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Kruskal-Wallis H across event types (operators/stats.py
     kruskal_wallis) — the k-group rank location test beside ks_drift's
@@ -8809,6 +8878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mi_categorical": q_mi_categorical,
         "split_leakage": q_split_leakage,
         "vocab_growth": q_vocab_growth,
+        "mann_kendall": q_mann_kendall,
     }
 
 
@@ -16707,6 +16777,51 @@ FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
                    CAST(sum(COALESCE(n.new_types, 0)) OVER (ORDER BY p.bucket)
                      AS BIGINT) AS cum_types
             FROM per_bucket p LEFT JOIN new_types n ON p.bucket = n.bucket
+        """,
+        "mann_kendall": """
+            WITH daily AS (
+              SELECT event_type, epoch_us(ts) // 1000000 // 86400 AS day,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2
+            ),
+            s AS (
+              SELECT a.event_type,
+                     CAST(sum(CASE WHEN b.n > a.n THEN 1
+                                   WHEN b.n < a.n THEN -1 ELSE 0 END)
+                       AS BIGINT) AS s
+              FROM daily a JOIN daily b
+                ON a.event_type = b.event_type AND a.day < b.day
+              GROUP BY 1
+            ),
+            nd AS (
+              SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+              FROM daily GROUP BY 1
+            ),
+            ties AS (
+              SELECT event_type,
+                     sum(CAST(t AS HUGEINT) * (t - 1) * (2 * t + 5)) AS tie18
+              FROM (SELECT event_type, n, CAST(count(*) AS BIGINT) AS t
+                    FROM daily GROUP BY 1, 2)
+              GROUP BY 1
+            ),
+            v AS (
+              SELECT s.event_type, nd.n_days, s.s,
+                     CAST(CAST(nd.n_days AS HUGEINT) * (nd.n_days - 1)
+                          * (2 * nd.n_days + 5) - ties.tie18 AS BIGINT)
+                       AS var18
+              FROM s JOIN nd USING (event_type) JOIN ties USING (event_type)
+            )
+            SELECT event_type, n_days, s, var18,
+                   CASE WHEN var18 > 0 AND s > 0 THEN
+                     CAST(floor(CAST(s - 1 AS DOUBLE)
+                       / sqrt(CAST(var18 AS DOUBLE) / 18.0) * 1000000)
+                       AS BIGINT)
+                   WHEN var18 > 0 AND s < 0 THEN
+                     CAST(floor(CAST(s + 1 AS DOUBLE)
+                       / sqrt(CAST(var18 AS DOUBLE) / 18.0) * 1000000)
+                       AS BIGINT)
+                   WHEN s = 0 THEN CAST(0 AS BIGINT) END AS z_q
+            FROM v
         """,
     }
 

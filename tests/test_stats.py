@@ -677,3 +677,43 @@ def test_acf_daily_periodic_and_constant_series(spark):
     assert got[("alt", 2)]["r_q"] >= 900_000
     assert got[("flat", 1)]["r_q"] is None
     assert got[("alt", 1)]["n"] == 39
+
+
+def test_mann_kendall_monotone_and_flat(spark, tmp_path, sf_dir):
+    """A strictly increasing daily series gives S = n(n-1)/2 and
+    var18 = n(n-1)(2n+5) (no ties); a constant series gives S = 0."""
+    import datetime
+
+    import __spark_entry__ as em
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    for d in range(5):  # 'up': 1, 2, 3, 4, 5 events per day
+        for i in range(d + 1):
+            rows.append((int(d * 10 + i), 1, "up",
+                         base + datetime.timedelta(days=d), 1.0))
+    for d in range(5):  # 'flat': 2 per day
+        for i in range(2):
+            rows.append((int(1000 + d * 10 + i), 1, "flat",
+                         base + datetime.timedelta(days=d), 1.0))
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp,"
+        " value double"
+    )
+    p = str(tmp_path / "events.parquet")
+    df.coalesce(1).write.parquet(p)
+    import os
+    import shutil
+    # the query reads <sf_dir>/events.parquet via read_table; build a
+    # minimal sf_dir with just events
+    sfd = str(tmp_path / "sf")
+    os.makedirs(sfd)
+    shutil.move(p, os.path.join(sfd, "events.parquet"))
+    got = {r["event_type"]: r for r in em.q_mann_kendall(spark.builder.getOrCreate(), sfd).collect()}
+    up = got["up"]
+    assert up["s"] == 10 and up["var18"] == 5 * 4 * 15
+    import math
+    want_z = math.floor((10 - 1) / math.sqrt(300 / 18.0) * 1e6)
+    assert up["z_q"] == want_z
+    flat = got["flat"]
+    assert flat["s"] == 0 and flat["z_q"] == 0
