@@ -8557,6 +8557,61 @@ def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CC_STREAM_PATHS: dict[str, str] = {}
+
+
+def q_cc_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup-at-ingest end to end (streaming/dedup_gate.py
+    cc_ingest_available_now): documents replay as micro-batches; each
+    batch lands its signatures in the store, bands against the
+    ACCUMULATED postings (in-batch + cross-to-earlier candidates only,
+    never old×old), verifies by exact Jaccard, and folds the delta
+    pairs into the stored component table with
+    connected_components_incremental — so after the replay the stored
+    table is bit-identical to scratch CC over the whole corpus, which
+    is exactly what the oracle recomputes (the cc_incremental scratch
+    closure). The replay runs once per process per sf_dir (the
+    _ivf_index_path lifecycle); output covers every doc, singletons
+    label themselves."""
+    import os as _os
+    import uuid as _uuid
+
+    from rat_strain_loader_pipeline_spark.staging import _stage_root
+    from rat_strain_loader_pipeline_spark.streaming.dedup_gate import (
+        cc_ingest_available_now,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    comp_path = _CC_STREAM_PATHS.get(sf_dir)
+    if comp_path is None or not _os.path.exists(
+        _os.path.join(comp_path, "_SUCCESS")
+    ):
+        tag = _uuid.uuid4().hex[:8]
+        src_dir = _os.path.join(_stage_root(), f"ccstream-src-{tag}")
+        docs.select("doc_id", "text").repartition(2).write.parquet(src_dir)
+        merged = cc_ingest_available_now(
+            spark,
+            src_dir,
+            _os.path.join(_stage_root(), f"ccstream-work-{tag}"),
+            jaccard_threshold=0.5,
+            max_files_per_trigger=1,
+        )
+        files = merged.inputFiles()
+        comp_path = files[0].rsplit("/", 1)[0].replace("file:", "")
+        _CC_STREAM_PATHS[sf_dir] = comp_path
+    merged = spark.read.parquet(comp_path)
+    return (
+        docs.select("doc_id")
+        .join(merged.withColumnRenamed("node_id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component_id", F.col("doc_id"))
+            .cast("long")
+            .alias("component_id"),
+        )
+    )
+
+
 def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Kruskal-Wallis H across event types (operators/stats.py
     kruskal_wallis) — the k-group rank location test beside ks_drift's
@@ -8879,6 +8934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_leakage": q_split_leakage,
         "vocab_growth": q_vocab_growth,
         "mann_kendall": q_mann_kendall,
+        "cc_stream_ingest": q_cc_stream_ingest,
     }
 
 
@@ -10588,33 +10644,38 @@ def _gram_power_ctes_sql(rounds: int) -> str:
     (scalar-subquery max|w|, signed // truncating toward zero exactly
     like Spark div). Ends with v{rounds}(dim, v); shared by the
     component oracle and the projection consumer's oracle."""
-    head = """n AS (
+    # every CTE is MATERIALIZED: DuckDB inlines plain CTEs, and each
+    # normalization round references its matvec THREE times (two scalar
+    # max|w| subqueries + the main FROM), so inlining re-expands the
+    # whole upstream chain 3^rounds times — planning alone took minutes
+    # at 5 rounds; materialization keeps each round one small table
+    head = """n AS MATERIALIZED (
   SELECT vec_id,
          list_transform(embedding::DOUBLE[],
                         x -> CAST(floor(x * 1000000) AS BIGINT)) AS v
   FROM embeddings
 ),
-e AS (
+e AS MATERIALIZED (
   SELECT vec_id, generate_subscripts(v, 1) AS i, unnest(v) AS x
   FROM n
 ),
-g AS (
+g AS MATERIALIZED (
   SELECT a.i - 1 AS i, b.i - 1 AS j,
          sum(CAST(a.x AS HUGEINT) * b.x) AS gram
   FROM e a JOIN e b ON a.vec_id = b.vec_id
   GROUP BY 1, 2
 ),
-v0 AS (
+v0 AS MATERIALIZED (
   SELECT DISTINCT i AS dim, CAST(1000000 AS HUGEINT) AS v FROM g
 )"""
     ctes = [head]
     for r in range(1, rounds + 1):
-        ctes.append(f"""w{r} AS (
+        ctes.append(f"""w{r} AS MATERIALIZED (
   SELECT g.i AS dim, sum(g.gram * p.v) AS w
   FROM g JOIN v{r - 1} p ON g.j = p.dim
   GROUP BY 1
 )""")
-        ctes.append(f"""v{r} AS (
+        ctes.append(f"""v{r} AS MATERIALIZED (
   SELECT dim,
          CASE WHEN (SELECT max(abs(w)) FROM w{r}) > 0 THEN
            CAST((w * 1000000) // (SELECT max(abs(w)) FROM w{r})
@@ -11304,6 +11365,16 @@ FROM agg_{k}"""
             ),
             {joined_ctes}
             {unioned}
+        """
+
+
+_CC_SCRATCH_ORACLE_SQL = f"""
+            WITH RECURSIVE {_jaccard_pairs_cte_sql(0.5)},
+            {_CLOSURE_CTES_SQL},
+            comp AS (SELECT id, min(r) AS cid FROM reach GROUP BY id)
+            SELECT d.doc_id,
+                   CAST(COALESCE(c.cid, d.doc_id) AS BIGINT) AS component_id
+            FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
         """
 
 
@@ -16550,14 +16621,9 @@ FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
         "sql_gate_q5": _Q5_SQL,
         # scratch recomputation over brute-force exact pairs on ALL docs:
         # the incremental merge must be indistinguishable from a rebuild
-        "cc_incremental": f"""
-            WITH RECURSIVE {_jaccard_pairs_cte_sql(0.5)},
-            {_CLOSURE_CTES_SQL},
-            comp AS (SELECT id, min(r) AS cid FROM reach GROUP BY id)
-            SELECT d.doc_id,
-                   CAST(COALESCE(c.cid, d.doc_id) AS BIGINT) AS component_id
-            FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
-        """,
+        "cc_incremental": _CC_SCRATCH_ORACLE_SQL,
+        # ...and so must the streaming replay of the same maintenance
+        "cc_stream_ingest": _CC_SCRATCH_ORACLE_SQL,
         "hll_distinct": _hll_oracle_sql(),
         # max is associative/commutative/idempotent: the streaming
         # register store answers the identical estimate — one text

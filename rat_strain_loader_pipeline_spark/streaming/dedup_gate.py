@@ -175,3 +175,132 @@ def dedup_gate_available_now(
     if not os.path.exists(out_path):
         return spark.createDataFrame([], f"{id_col} long, admitted boolean")
     return spark.read.parquet(out_path).drop("batch")
+
+
+def cc_ingest_available_now(
+    spark: SparkSession,
+    src_dir: str,
+    work_dir: str,
+    jaccard_threshold: float = 0.5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    seed: int = 42,
+    schema=None,
+    max_files_per_trigger: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Streaming dedup-at-ingest, survivorship edition: maintain the
+    near-duplicate COMPONENT TABLE across micro-batches (the gate above
+    answers admit/reject per doc; this maintains the transitive-group
+    labels dedup_survivors and dedup_loss_weights consume).
+
+    Per batch: one fused Arrow pass lands (id, hashes, sig) in the
+    signature store (write-state-first, same idempotence argument as
+    the gate); the batch bands against the ACCUMULATED store — one
+    banded equi-join, candidates are in-batch (id_a < id_b) or
+    cross-to-earlier, never old×old — verifies by exact Jaccard, and
+    folds the verified delta pairs into the stored component table with
+    ``connected_components_incremental`` (contract: bit-identical to
+    scratch CC over the union edge set, so by induction the final table
+    equals scratch CC over the whole corpus — the property the driver
+    oracle checks value-exact). Per-batch cost is delta-bounded: the
+    old corpus is touched only through band-bucket collisions and the
+    component-table relabel join.
+
+    Returns the final (node_id, component_id) table."""
+    from rat_strain_loader_pipeline_spark.operators.dedup import (
+        _hashes_and_sig_udf,
+        _verify_jaccard,
+        band_signatures,
+        connected_components,
+        connected_components_incremental,
+    )
+    from rat_strain_loader_pipeline_spark.ship import ensure_shipped
+
+    ensure_shipped(spark)
+    sig_store = os.path.join(work_dir, "sigs")
+    comp_store = os.path.join(work_dir, "components")
+    checkpoint = os.path.join(work_dir, "checkpoint")
+    if schema is None:
+        schema = spark.read.parquet(src_dir).schema
+    latest: dict[str, int] = {}
+
+    def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
+        combo = _hashes_and_sig_udf(shingle_n, num_hashes, seed)
+        sigs = batch_df.select(
+            F.col(id_col), combo(F.col(text_col)).alias("hs")
+        ).select(
+            id_col,
+            F.col("hs.hashes").alias("hashes"),
+            F.col("hs.sig").alias("sig"),
+        )
+        part = os.path.join(sig_store, f"batch={batch_id}")
+        sigs.write.mode("overwrite").parquet(part)
+        cur = spark.read.parquet(part)
+
+        bh = cur.select(id_col, "hashes")
+        bb = band_signatures(cur.select(id_col, "sig"), id_col, num_hashes, bands)
+        prev = (
+            spark.read.parquet(sig_store)
+            .filter(F.col("batch") < batch_id)
+            .drop("batch")
+        )
+        prev_bands = band_signatures(
+            prev.select(id_col, "sig"), id_col, num_hashes, bands
+        )
+        all_bands = prev_bands.withColumn(
+            "__earlier", F.lit(True)
+        ).unionByName(bb.withColumn("__earlier", F.lit(False)))
+        candidates = (
+            all_bands.alias("a")
+            .join(
+                bb.alias("b"),
+                on=[
+                    F.col("a.band") == F.col("b.band"),
+                    F.col("a.band_sig") == F.col("b.band_sig"),
+                    F.col("a.__earlier")
+                    | (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+                ],
+            )
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+            )
+            .dropDuplicates()
+        )
+        all_hashes = prev.select(id_col, "hashes").unionByName(bh)
+        pairs = _verify_jaccard(
+            candidates, all_hashes, id_col, jaccard_threshold
+        ).select("id_a", "id_b")
+
+        prev_batch = latest.get("b")
+        if prev_batch is None:
+            merged = connected_components(pairs)
+        else:
+            prev_comp = spark.read.parquet(
+                os.path.join(comp_store, f"batch={prev_batch}")
+            )
+            merged = connected_components_incremental(prev_comp, pairs)
+        merged.write.mode("overwrite").parquet(
+            os.path.join(comp_store, f"batch={batch_id}")
+        )
+        latest["b"] = batch_id
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    q = (
+        reader.parquet(src_dir)
+        .writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(ingest_batch)
+        .start()
+    )
+    q.awaitTermination()
+    if latest.get("b") is None:
+        return spark.createDataFrame([], "node_id long, component_id long")
+    return spark.read.parquet(
+        os.path.join(comp_store, f"batch={latest['b']}")
+    )

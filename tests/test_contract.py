@@ -69,6 +69,9 @@ def test_no_oracle_type_widening(duck):
         "corr_matrix": {"corr_num", "den_a", "den_b"},
         # exact Gram sums (operators/similarity.py embedding_gram)
         "embedding_gram": {"gram"},
+        # exact scaled KS supremum: Spark emits the same DECIMAL(38,0)
+        # (operators/stats.py ks_drift — c·n products pass bigint range)
+        "ks_drift": {"d_scaled"},
     }
     bad = []
     for name, sql in em.oracle_sql().items():

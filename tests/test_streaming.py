@@ -601,3 +601,27 @@ def test_streaming_weighted_sample_equals_batch(spark, tmp_path, sf_dir):
     want = weighted_sample(docs, "n_chars", 25, id_col="doc_id", salt="v1")
     assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
     assert got.count() == 25
+
+
+def test_cc_stream_ingest_equals_scratch(spark, tmp_path, sf_dir):
+    """The component table maintained across micro-batches must equal
+    scratch CC over the whole corpus after the replay."""
+    from rat_strain_loader_pipeline_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+    )
+    from rat_strain_loader_pipeline_spark.streaming.dedup_gate import (
+        cc_ingest_available_now,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = str(tmp_path / "src")
+    docs.repartition(3).write.parquet(src)
+    got = cc_ingest_available_now(
+        spark, src, str(tmp_path / "work"), jaccard_threshold=0.5,
+        max_files_per_trigger=1,
+    )
+    want = connected_components(minhash_lsh_pairs(docs, jaccard_threshold=0.5))
+    assert sorted(tuple(r) for r in got.collect()) == sorted(
+        tuple(r) for r in want.collect()
+    )
