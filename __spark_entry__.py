@@ -7711,6 +7711,29 @@ def q_sql_gate_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_sql(spark, sf_dir, _Q5_SQL)
 
 
+_QW_SQL = """SELECT c_custkey, o_orderkey, o_totalprice, rn
+FROM (
+  SELECT c_custkey, o_orderkey, o_totalprice,
+         CAST(ROW_NUMBER() OVER (PARTITION BY c_custkey
+                ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+  FROM customer JOIN orders ON c_custkey = o_custkey
+  WHERE c_mktsegment = 'BUILDING'
+) ranked
+WHERE rn <= 2"""
+
+
+def q_sql_gate_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL front door, window shape (sqlgate.py): top-2 orders per
+    BUILDING customer via ROW_NUMBER, run VERBATIM through spark.sql —
+    Q3 proved pushdown, Q5 proved join ordering; this proves windowed
+    analytics through the front door: one hash-partitioned Window (no
+    SinglePartition exchange — pinned), the rank filter applied above
+    it, deterministic ties by order key."""
+    from rat_strain_loader_pipeline_spark.sqlgate import run_sql
+
+    return run_sql(spark, sf_dir, _QW_SQL)
+
+
 def q_sql_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL front door (sqlgate.py): the corpus registered as temp views
     and a TPC-H Q3-shape shipping-priority query run VERBATIM through
@@ -8935,6 +8958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_growth": q_vocab_growth,
         "mann_kendall": q_mann_kendall,
         "cc_stream_ingest": q_cc_stream_ingest,
+        "sql_gate_window": q_sql_gate_window,
     }
 
 
@@ -16619,6 +16643,7 @@ FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
         # text proves both queries (the quantile_stream_merge precedent)
         "weighted_sample_stream": _WSAMPLE_ORACLE_SQL,
         "sql_gate_q5": _Q5_SQL,
+        "sql_gate_window": _QW_SQL,
         # scratch recomputation over brute-force exact pairs on ALL docs:
         # the incremental merge must be indistinguishable from a rebuild
         "cc_incremental": _CC_SCRATCH_ORACLE_SQL,

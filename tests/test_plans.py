@@ -896,3 +896,14 @@ def test_pca_project_takeordered_no_python(spark, sf_dir):
     # scoring never joins: the only joins would come from a component
     # lookup, which the literal inlining removes
     assert "SortMergeJoin" not in plan
+
+
+def test_sql_gate_window_hash_partitioned(spark, sf_dir, queries):
+    """The verbatim window text must plan one hash-partitioned Window
+    (never a SinglePartition global sort) with the segment filter
+    pushed to the customer scan."""
+    plan = _plan(queries["sql_gate_window"](spark, sf_dir))
+    assert "Window" in plan
+    assert "SinglePartition" not in plan
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan
+    assert "CartesianProduct" not in plan
