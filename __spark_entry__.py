@@ -8635,6 +8635,26 @@ def q_cc_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gram_second_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second principal component + its explained-variance share
+    (operators/spectral.py gram_deflated_second_component): the v₁
+    recurrence followed by POWER_ITERS deflated rounds — per-round
+    integer orthogonalization c = tdiv(v₁ᵀw, v₁ᵀv₁), w − c·v₁, L∞
+    micros normalization — a defined integer recurrence the oracle
+    replays bit-exactly with MATERIALIZED unrolled CTEs. With E180
+    this gives the top-2 spectral directions and their variance shares
+    from ONE corpus Gram pass."""
+    from rat_strain_loader_pipeline_spark.operators.similarity import (
+        embedding_gram,
+    )
+    from rat_strain_loader_pipeline_spark.operators.spectral import (
+        gram_deflated_second_component,
+    )
+
+    gram = embedding_gram(_t(spark, sf_dir, "embeddings"))
+    return gram_deflated_second_component(gram, rounds=POWER_ITERS)
+
+
 def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Kruskal-Wallis H across event types (operators/stats.py
     kruskal_wallis) — the k-group rank location test beside ks_drift's
@@ -8959,6 +8979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mann_kendall": q_mann_kendall,
         "cc_stream_ingest": q_cc_stream_ingest,
         "sql_gate_window": q_sql_gate_window,
+        "gram_second_component": q_gram_second_component,
     }
 
 
@@ -10729,6 +10750,60 @@ SELECT CAST(p.dim AS INT) AS dim,
          CAST((CAST(num // den AS HUGEINT) * 1000000) // trace AS BIGINT)
        END AS ev_q
 FROM v{rounds} p, ray, tr
+"""
+
+
+def _gram_second_oracle_sql(rounds: int) -> str:
+    """Deflated-power-iteration oracle: the shared v₁ chain, then the
+    u recurrence with per-round integer orthogonalization against
+    v{rounds} (projection coefficient by truncating //), every CTE
+    MATERIALIZED, ending in the same Rayleigh/trace epilogue."""
+    ctes = [_gram_power_ctes_sql(rounds)]
+    ctes.append(f"""vv AS MATERIALIZED (
+  SELECT sum(v * v) AS v1v1 FROM v{rounds}
+),
+u0 AS MATERIALIZED (
+  SELECT DISTINCT i AS dim, CAST(1000000 AS HUGEINT) AS v FROM g
+)""")
+    for r in range(1, rounds + 1):
+        ctes.append(f"""y{r} AS MATERIALIZED (
+  SELECT g.i AS dim, sum(g.gram * p.v) AS w
+  FROM g JOIN u{r - 1} p ON g.j = p.dim
+  GROUP BY 1
+)""")
+        ctes.append(f"""c{r} AS MATERIALIZED (
+  SELECT (SELECT sum(p.v * y.w) FROM v{rounds} p JOIN y{r} y
+          ON p.dim = y.dim) // (SELECT v1v1 FROM vv) AS c
+)""")
+        ctes.append(f"""d{r} AS MATERIALIZED (
+  SELECT y.dim, y.w - c.c * p.v AS w
+  FROM y{r} y JOIN v{rounds} p ON y.dim = p.dim, c{r} c
+)""")
+        ctes.append(f"""u{r} AS MATERIALIZED (
+  SELECT dim,
+         CASE WHEN (SELECT max(abs(w)) FROM d{r}) > 0 THEN
+           CAST((w * 1000000) // (SELECT max(abs(w)) FROM d{r})
+                AS HUGEINT) END AS v
+  FROM d{r}
+)""")
+    joined = ",\n".join(ctes)
+    return f"""WITH {joined},
+gu AS (
+  SELECT g.i AS dim, sum(g.gram * p.v) AS w
+  FROM g JOIN u{rounds} p ON g.j = p.dim
+  GROUP BY 1
+),
+ray AS (
+  SELECT sum(p.v * gu.w) AS num, sum(p.v * p.v) AS den
+  FROM u{rounds} p JOIN gu USING (dim)
+),
+tr AS (SELECT sum(gram) AS trace FROM g WHERE i = j)
+SELECT CAST(p.dim AS INT) AS dim,
+       CAST(p.v AS BIGINT) AS v_q,
+       CASE WHEN den > 0 AND trace > 0 THEN
+         CAST((CAST(num // den AS HUGEINT) * 1000000) // trace AS BIGINT)
+       END AS ev_q
+FROM u{rounds} p, ray, tr
 """
 
 
@@ -16697,6 +16772,7 @@ FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
             FROM diff GROUP BY g, n_grp, n_rest
         """,
         "pca_project": _pca_project_oracle_sql(POWER_ITERS, PCA_PROJECT_TOPK),
+        "gram_second_component": _gram_second_oracle_sql(POWER_ITERS),
         "centroid_drift": """
             WITH q AS (
               SELECT label AS g, i, x

@@ -158,3 +158,84 @@ def pca_project_extremes(
         .select(F.lit("neg").alias("side"), id_col, "proj_q")
     )
     return pos.unionByName(neg)
+
+
+def gram_deflated_second_component(
+    gram: DataFrame,
+    rounds: int = 5,
+) -> DataFrame:
+    """Second principal component via DEFLATED power iteration over the
+    staged Gram matrix — the next spectral consumer after
+    ``gram_power_iteration``: run the identical v₁ recurrence first,
+    then iterate u with per-round orthogonalization against v₁ in
+    integer arithmetic:
+
+        w  = G·u
+        c  = tdiv(v₁ᵀw, v₁ᵀv₁)          (integer projection coefficient)
+        w' = w − c·v₁                    (deflation, exact)
+        u' = tdiv(w'·1e6, max|w'|)       (L∞ micros normalization)
+
+    The truncating quotient makes the orthogonalization approximate by
+    < 1 v₁-unit per round, but it is re-applied EVERY round, so the
+    dominant component never re-accumulates — and as a defined integer
+    recurrence the DuckDB oracle replays it bit-exactly (parity is the
+    contract; convergence quality is the pytest's job). Rayleigh share
+    ev_q uses the same two-step quotient as the top component.
+    Degenerate inputs (zero Gram, or rank-1 where deflation leaves
+    nothing) yield NULL components. dims²-bounded driver state; the
+    corpus is touched zero times. Returns (dim, v_q, ev_q).
+    """
+    rows = gram.select("dim_i", "dim_j", "gram").collect()  # dims² rows
+    if not rows:
+        return gram.sparkSession.createDataFrame(
+            [], "dim int, v_q long, ev_q long"
+        )
+    g: dict[tuple[int, int], int] = {}
+    dims_set: set[int] = set()
+    for r in rows:
+        i, j, val = int(r["dim_i"]), int(r["dim_j"]), int(r["gram"])
+        g[(i, j)] = val
+        if i != j:
+            g[(j, i)] = val
+        dims_set.add(i)
+        dims_set.add(j)
+    dims = sorted(dims_set)
+
+    def matvec(v: dict[int, int]) -> dict[int, int]:
+        return {i: sum(g.get((i, j), 0) * v[j] for j in dims) for i in dims}
+
+    def none_rows():
+        return gram.sparkSession.createDataFrame(
+            [(int(d), None, None) for d in dims], "dim int, v_q long, ev_q long"
+        )
+
+    v1: dict[int, int] = {d: MICROS for d in dims}
+    for _ in range(rounds):
+        w = matvec(v1)
+        mx = max(abs(x) for x in w.values())
+        if mx == 0:
+            return none_rows()
+        v1 = {d: _tdiv(w[d] * MICROS, mx) for d in dims}
+    v1v1 = sum(v1[d] * v1[d] for d in dims)
+
+    u: dict[int, int] = {d: MICROS for d in dims}
+    for _ in range(rounds):
+        w = matvec(u)
+        c = _tdiv(sum(v1[d] * w[d] for d in dims), v1v1)
+        w = {d: w[d] - c * v1[d] for d in dims}
+        mx = max(abs(x) for x in w.values())
+        if mx == 0:
+            return none_rows()
+        u = {d: _tdiv(w[d] * MICROS, mx) for d in dims}
+    gu = matvec(u)
+    num = sum(u[d] * gu[d] for d in dims)
+    den = sum(u[d] * u[d] for d in dims)
+    trace = sum(g.get((d, d), 0) for d in dims)
+    ev = (
+        _tdiv(_tdiv(num, den) * MICROS, trace)
+        if den > 0 and trace > 0
+        else None
+    )
+    return gram.sparkSession.createDataFrame(
+        [(int(d), int(u[d]), ev) for d in dims], "dim int, v_q long, ev_q long"
+    )

@@ -717,3 +717,34 @@ def test_mann_kendall_monotone_and_flat(spark, tmp_path, sf_dir):
     assert up["z_q"] == want_z
     flat = got["flat"]
     assert flat["s"] == 0 and flat["z_q"] == 0
+
+
+def test_gram_second_component_separates_orthogonal_directions(spark):
+    """With variance concentrated on e0 then e1, PC1 must peak at dim 0
+    and the deflated PC2 at dim 1, with ev1 >= ev2 > 0."""
+    from rat_strain_loader_pipeline_spark.operators.similarity import (
+        embedding_gram,
+    )
+    from rat_strain_loader_pipeline_spark.operators.spectral import (
+        gram_deflated_second_component,
+        gram_power_iteration,
+    )
+
+    rows = (
+        [(i, [1.0, 0.0, 0.0]) for i in range(10)]
+        + [(100 + i, [0.0, 1.0, 0.0]) for i in range(5)]
+        + [(200, [0.0, 0.0, 0.5])]
+    )
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    gram = embedding_gram(emb)
+    v1 = {r["dim"]: r for r in gram_power_iteration(gram, rounds=5).collect()}
+    v2 = {
+        r["dim"]: r
+        for r in gram_deflated_second_component(gram, rounds=5).collect()
+    }
+    top1 = max(v1, key=lambda d: abs(v1[d]["v_q"]))
+    top2 = max(v2, key=lambda d: abs(v2[d]["v_q"]))
+    assert top1 == 0 and top2 == 1
+    assert v1[0]["ev_q"] >= v2[0]["ev_q"] > 0
+    # deflation held: the PC2 vector has negligible dim-0 component
+    assert abs(v2[0]["v_q"]) < 100_000  # < 0.1 of the L-inf unit
