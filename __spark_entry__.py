@@ -485,8 +485,13 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         (F.col("n_tokens") - F.col("n_removed")).alias("n_tokens_clean"),
     )
+    # near-dup pairs come from the build-once postings store (_cc_store)
+    # — the same banding a real pipeline maintains at ingest serves
+    # curation, loss weights, and the leakage audit; values identical
+    # to an inline minhash_lsh_pairs(docs, 0.5) by construction
+    nd_pairs, _old_cc = _cc_store(spark, sf_dir)
     nd_losers = (
-        connected_components(minhash_lsh_pairs(docs, jaccard_threshold=0.5))
+        connected_components(nd_pairs)
         .filter(F.col("node_id") != F.col("component_id"))
         .select(F.col("node_id").alias("doc_id"))
     )
