@@ -529,6 +529,78 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation funnel accounting — WHERE the corpus shrinks: the same
+    stages as q_corpus_curation (exact dedup → near-dup survivorship →
+    benchmark decontamination → quality/lang gates) computed as
+    per-doc cumulative flags in ONE pass + one aggregation, emitted as
+    a 5-row funnel (stage_idx, stage, n_docs). The operational twin of
+    the curation rollup: a stage whose drop count moves week over week
+    is the one to investigate. Near-dup pairs come from the shared
+    postings store."""
+    from rat_strain_loader_pipeline_spark.operators.dedup import (
+        connected_components,
+        exact_dedup,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    survivors = exact_dedup(docs).select(
+        F.col("canonical_id").alias("doc_id"), F.lit(True).alias("f_ex")
+    )
+    nd_pairs, _old_cc = _cc_store(spark, sf_dir)
+    nd_losers = (
+        connected_components(nd_pairs)
+        .filter(F.col("node_id") != F.col("component_id"))
+        .select(F.col("node_id").alias("doc_id"), F.lit(True).alias("f_nd"))
+    )
+    contam = T.ngram_contamination(
+        docs, docs.filter(F.col("doc_id") % 17 == 0), n=8
+    ).select("doc_id", "contaminated")
+    flags = (
+        docs.select(
+            "doc_id",
+            T.quality_score(F.col("text")).alias("q"),
+            T.lang_id_heuristic(F.col("text")).alias("lang_pred"),
+        )
+        .join(survivors, "doc_id", "left")
+        .join(nd_losers, "doc_id", "left")
+        .join(contam, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("f_ex").isNotNull().alias("c1"),
+            (F.col("f_ex").isNotNull() & F.col("f_nd").isNull()).alias("c2"),
+            (
+                F.col("f_ex").isNotNull()
+                & F.col("f_nd").isNull()
+                & ~F.col("contaminated")
+                & (F.col("doc_id") % 17 != 0)
+            ).alias("c3"),
+            (
+                F.col("f_ex").isNotNull()
+                & F.col("f_nd").isNull()
+                & ~F.col("contaminated")
+                & (F.col("doc_id") % 17 != 0)
+                & (F.col("q") >= 600_000)
+                & (F.col("lang_pred") != "und")
+            ).alias("c4"),
+        )
+    )
+    one = flags.agg(
+        F.count(F.lit(1)).cast("long").alias("n0"),
+        F.sum(F.when(F.col("c1"), 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("c2"), 1).otherwise(0)).cast("long").alias("n2"),
+        F.sum(F.when(F.col("c3"), 1).otherwise(0)).cast("long").alias("n3"),
+        F.sum(F.when(F.col("c4"), 1).otherwise(0)).cast("long").alias("n4"),
+    )
+    return one.select(
+        F.expr(
+            "stack(5, 0, 'all', n0, 1, 'exact_dedup', n1,"
+            " 2, 'near_dup', n2, 3, 'decontam', n3,"
+            " 4, 'quality_lang', n4) AS (stage_idx, stage, n_docs)"
+        )
+    )
+
+
 def q_chi2_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chi-square contingency table over event_type x hour-of-day: the
     DENSE grid (distinct types x distinct hours, zero-filled) with each
@@ -8985,6 +9057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_stream_ingest": q_cc_stream_ingest,
         "sql_gate_window": q_sql_gate_window,
         "gram_second_component": q_gram_second_component,
+        "curation_funnel": q_curation_funnel,
     }
 
 
@@ -16778,6 +16851,7 @@ FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
         """,
         "pca_project": _pca_project_oracle_sql(POWER_ITERS, PCA_PROJECT_TOPK),
         "gram_second_component": _gram_second_oracle_sql(POWER_ITERS),
+        "curation_funnel": _curation_funnel_oracle_sql(),
         "centroid_drift": """
             WITH q AS (
               SELECT label AS g, i, x
@@ -17305,6 +17379,66 @@ def _curation_oracle_sql() -> str:
         WHERE q.quality_micros >= 600000 AND l.lang_pred <> 'und'
         GROUP BY 1, 2
         ORDER BY 1, 2
+    """
+
+
+def _curation_funnel_oracle_sql() -> str:
+    """Per-stage cumulative flags over the same proven fragments the
+    curation rollup composes; 5-row funnel via UNION ALL."""
+    return f"""
+        WITH RECURSIVE {_jaccard_pairs_cte_sql(0.5)},
+{_CLOSURE_CTES_SQL},
+        nd_losers AS (SELECT id FROM reach GROUP BY id HAVING min(r) <> id),
+        ded AS (
+            SELECT min(doc_id) AS doc_id
+            FROM documents
+            GROUP BY md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+        ),
+        ctoks AS (
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '') AS tk
+            FROM documents
+        ),
+        grams AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(0, len(tk) - 8 + 1),
+                          i -> array_to_string(tk[i+1:i+8], ' '))) AS g
+            FROM ctoks WHERE len(tk) >= 8
+        ),
+        bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 17 = 0),
+        hits AS (SELECT DISTINCT grams.doc_id FROM grams JOIN bench USING (g)),
+        lang AS ({_lang_id_sql()}),
+        qual AS ({_quality_score_sql()}),
+        fl AS (
+            SELECT d.doc_id,
+                   (sv.doc_id IS NOT NULL) AS c1,
+                   (sv.doc_id IS NOT NULL AND nl.id IS NULL) AS c2,
+                   (sv.doc_id IS NOT NULL AND nl.id IS NULL
+                    AND h.doc_id IS NULL AND d.doc_id % 17 <> 0) AS c3,
+                   (sv.doc_id IS NOT NULL AND nl.id IS NULL
+                    AND h.doc_id IS NULL AND d.doc_id % 17 <> 0
+                    AND q.quality_micros >= 600000
+                    AND l.lang_pred <> 'und') AS c4
+            FROM documents d
+            LEFT JOIN ded sv ON d.doc_id = sv.doc_id
+            LEFT JOIN nd_losers nl ON d.doc_id = nl.id
+            LEFT JOIN hits h ON d.doc_id = h.doc_id
+            JOIN lang l ON d.doc_id = l.doc_id
+            JOIN qual q ON d.doc_id = q.doc_id
+        ),
+        w AS (
+            SELECT CAST(count(*) AS BIGINT) AS n0,
+                   CAST(sum(CASE WHEN c1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                   CAST(sum(CASE WHEN c2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+                   CAST(sum(CASE WHEN c3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+                   CAST(sum(CASE WHEN c4 THEN 1 ELSE 0 END) AS BIGINT) AS n4
+            FROM fl
+        )
+        SELECT CAST(0 AS INT) AS stage_idx, 'all' AS stage, n0 AS n_docs FROM w
+        UNION ALL SELECT 1, 'exact_dedup', n1 FROM w
+        UNION ALL SELECT 2, 'near_dup', n2 FROM w
+        UNION ALL SELECT 3, 'decontam', n3 FROM w
+        UNION ALL SELECT 4, 'quality_lang', n4 FROM w
     """
 
 
