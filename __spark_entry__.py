@@ -8732,6 +8732,57 @@ def q_gram_second_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gram_deflated_second_component(gram, rounds=POWER_ITERS)
 
 
+def q_group_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified weighted sample (operators/sampling.py
+    group_weighted_sample): the 5 smallest A-ES priorities per source —
+    per-domain corpus caps with weight-proportional selection inside
+    each domain, one hash-partitioned window (no global sort)."""
+    from rat_strain_loader_pipeline_spark.operators.sampling import (
+        group_weighted_sample,
+    )
+
+    return group_weighted_sample(
+        _t(spark, sf_dir, "documents"),
+        "source",
+        "n_chars",
+        n_per_group=5,
+        id_col="doc_id",
+        salt="v1",
+    )
+
+
+def q_group_reservoir_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified STREAMING reservoir (streaming/sketches.py
+    maintain_group_reservoir_available_now): per batch each source's
+    top-5 candidate rows append (state bounded by batches × sources ×
+    5), and the per-group max-merge identity makes the final selection
+    bit-identical to the batch stratified sample — one oracle text
+    proves both (the weighted_sample_stream precedent, per group)."""
+    import os as _os
+    import uuid as _uuid
+
+    from rat_strain_loader_pipeline_spark.staging import _stage_root
+    from rat_strain_loader_pipeline_spark.streaming.sketches import (
+        maintain_group_reservoir_available_now,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("source", "doc_id", "n_chars")
+    tag = _uuid.uuid4().hex[:8]
+    src_dir = _os.path.join(_stage_root(), f"gres-src-{tag}")
+    docs.repartition(6).write.parquet(src_dir)
+    return maintain_group_reservoir_available_now(
+        spark,
+        src_dir,
+        "source string, doc_id long, n_chars long",
+        _os.path.join(_stage_root(), f"gres-work-{tag}"),
+        group_col="source",
+        weight_col="n_chars",
+        n_per_group=5,
+        id_col="doc_id",
+        salt="v1",
+    )
+
+
 def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Kruskal-Wallis H across event types (operators/stats.py
     kruskal_wallis) — the k-group rank location test beside ks_drift's
@@ -9058,6 +9109,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_gate_window": q_sql_gate_window,
         "gram_second_component": q_gram_second_component,
         "curation_funnel": q_curation_funnel,
+        "group_reservoir": q_group_reservoir,
+        "group_reservoir_stream": q_group_reservoir_stream,
     }
 
 
@@ -11470,6 +11523,29 @@ _PPL_SCORE_SQL = """
                    END AS npl_q
             FROM documents d LEFT JOIN scored s USING (doc_id)
 """
+
+
+# Stratified A-ES sample (operators/sampling.py group_weighted_sample)
+# — ONE text for the batch query and its streaming-maintenance twin
+_GROUP_RESERVOIR_ORACLE_SQL = """
+            WITH drawn AS (
+              SELECT source, doc_id, n_chars,
+                     (-ln((CAST(md5_number_lower(concat('wsample:v1:',
+                              CAST(doc_id AS VARCHAR))) % 4503599627370496
+                           AS DOUBLE) + 1.0) / 4503599627370496.0))
+                     / CAST(n_chars AS DOUBLE) AS priority
+              FROM documents
+              WHERE CAST(n_chars AS DOUBLE) > 0
+            ),
+            r AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY source ORDER BY priority ASC, doc_id ASC) AS rn
+              FROM drawn
+            )
+            SELECT source, doc_id, n_chars,
+                   CAST(floor(priority * 1e6) AS BIGINT) AS priority_micros
+            FROM r WHERE rn <= 5
+        """
 
 
 # Batch A-ES weighted sample (operators/sampling.py weighted_sample) —
@@ -16852,6 +16928,10 @@ FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
         "pca_project": _pca_project_oracle_sql(POWER_ITERS, PCA_PROJECT_TOPK),
         "gram_second_component": _gram_second_oracle_sql(POWER_ITERS),
         "curation_funnel": _curation_funnel_oracle_sql(),
+        "group_reservoir": _GROUP_RESERVOIR_ORACLE_SQL,
+        # per-group max-merge identity: the streaming candidate store
+        # answers the identical stratified selection — one text, both
+        "group_reservoir_stream": _GROUP_RESERVOIR_ORACLE_SQL,
         "centroid_drift": """
             WITH q AS (
               SELECT label AS g, i, x

@@ -666,3 +666,95 @@ def dsir_importance_weights(
         .limit(top_n)
         .select(id_col, "n_toks", "logw_q")
     )
+
+
+def aes_group_candidates(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str,
+    n_per_group: int,
+    id_col: str = "doc_id",
+    salt: str = "v1",
+) -> DataFrame:
+    """Per-group A-ES candidate state: each group's n smallest exact
+    priorities (one hash-partitioned window — never a global sort),
+    the stratified twin of ``aes_candidates``. Priorities are
+    content-only, so the per-group max-merge identity holds exactly as
+    in the global reservoir: top-n(group ∪) == top-n(∪ of per-batch
+    per-group top-n)."""
+    from pyspark.sql.window import Window
+
+    u = md5_uniform(F.col(id_col).cast("string"), salt)
+    w = F.col(weight_col).cast("double")
+    priority = (-F.log(u)) / w
+    ranked = (
+        df.filter(w > 0)
+        .select(
+            F.col(group_col),
+            F.col(id_col),
+            F.col(weight_col),
+            priority.alias("__priority"),
+        )
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy(group_col).orderBy(
+                    F.col("__priority").asc(), F.col(id_col).asc()
+                )
+            ),
+        )
+    )
+    return ranked.filter(F.col("__rn") <= n_per_group).drop("__rn")
+
+
+def aes_group_select(
+    candidates: DataFrame,
+    group_col: str,
+    n_per_group: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Final per-group selection over stratified A-ES candidate rows
+    (one or many batches' worth), output in integer micro-units."""
+    from pyspark.sql.window import Window
+
+    cols = [c for c in candidates.columns if c not in ("__priority",)]
+    ranked = candidates.withColumn(
+        "__rn",
+        F.row_number().over(
+            Window.partitionBy(group_col).orderBy(
+                F.col("__priority").asc(), F.col(id_col).asc()
+            )
+        ),
+    )
+    return (
+        ranked.filter(F.col("__rn") <= n_per_group)
+        .select(
+            *cols,
+            F.floor(F.col("__priority") * 1e6).cast("long").alias(
+                "priority_micros"
+            ),
+        )
+    )
+
+
+def group_weighted_sample(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str,
+    n_per_group: int,
+    id_col: str = "doc_id",
+    salt: str = "v1",
+) -> DataFrame:
+    """Stratified weighted sampling without replacement: the n-smallest
+    A-ES priorities PER GROUP (per-domain corpus caps with
+    weight-proportional selection inside each domain). One
+    hash-partitioned window; scales as long as no group is pathological
+    — exactly topk_per_group's contract with priorities for ranks."""
+    return aes_group_select(
+        aes_group_candidates(
+            df, group_col, weight_col, n_per_group, id_col, salt
+        ),
+        group_col,
+        n_per_group,
+        id_col,
+    )

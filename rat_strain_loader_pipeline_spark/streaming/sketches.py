@@ -233,3 +233,52 @@ def maintain_hll_available_now(
         .groupBy("i")
         .agg(F.max("reg").alias("reg"))
     )
+
+
+def maintain_group_reservoir_available_now(
+    spark: SparkSession,
+    src_dir: str,
+    schema: str,
+    work_dir: str,
+    group_col: str,
+    weight_col: str,
+    n_per_group: int,
+    id_col: str = "doc_id",
+    salt: str = "v1",
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Stratified streaming reservoir — the per-group twin of
+    ``maintain_weighted_sample_available_now`` under the same max-merge
+    identity applied within each group: per micro-batch each group's
+    top-n candidate rows append (state bounded by batches × groups × n,
+    never by corpus size), and the final per-group selection over the
+    store is bit-identical to the single-pass stratified sample."""
+    from rat_strain_loader_pipeline_spark.operators.sampling import (
+        aes_group_candidates,
+        aes_group_select,
+    )
+
+    state_dir = os.path.join(work_dir, "gres-state")
+    ckpt = os.path.join(work_dir, "ckpt")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(src_dir)
+    )
+
+    def sample_batch(batch_df: DataFrame, batch_id: int) -> None:
+        aes_group_candidates(
+            batch_df, group_col, weight_col, n_per_group, id_col, salt
+        ).coalesce(1).write.mode("append").parquet(state_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(sample_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return aes_group_select(
+        spark.read.parquet(state_dir), group_col, n_per_group, id_col
+    )

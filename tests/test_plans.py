@@ -907,3 +907,19 @@ def test_sql_gate_window_hash_partitioned(spark, sf_dir, queries):
     assert "SinglePartition" not in plan
     assert "EqualTo(c_mktsegment,BUILDING)" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_round9_batch2_no_cartesian(spark, sf_dir, queries):
+    """E189-E198: no real cartesians in the second round-9 batch (the
+    scalar cross joins are broadcast 1-row aggregates)."""
+    for name in (
+        "acf_daily",
+        "kruskal_wallis",
+        "mi_categorical",
+        "split_leakage",
+        "vocab_growth",
+        "mann_kendall",
+        "curation_funnel",
+    ):
+        plan = _plan(queries[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, name

@@ -625,3 +625,31 @@ def test_cc_stream_ingest_equals_scratch(spark, tmp_path, sf_dir):
     assert sorted(tuple(r) for r in got.collect()) == sorted(
         tuple(r) for r in want.collect()
     )
+
+
+def test_streaming_group_reservoir_equals_batch(spark, tmp_path, sf_dir):
+    """Per-batch per-group A-ES candidates merged by per-group top-n
+    must be bit-identical to the single-pass stratified sample."""
+    from rat_strain_loader_pipeline_spark.operators.sampling import (
+        group_weighted_sample,
+    )
+    from rat_strain_loader_pipeline_spark.streaming.sketches import (
+        maintain_group_reservoir_available_now,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars"
+    )
+    src = str(tmp_path / "src")
+    docs.repartition(5).write.parquet(src)
+    got = maintain_group_reservoir_available_now(
+        spark, src, "source string, doc_id long, n_chars long",
+        str(tmp_path / "work"), group_col="source", weight_col="n_chars",
+        n_per_group=5, id_col="doc_id", salt="v1",
+    )
+    want = group_weighted_sample(
+        docs, "source", "n_chars", n_per_group=5, id_col="doc_id", salt="v1"
+    )
+    assert sorted(tuple(r) for r in got.collect()) == sorted(
+        tuple(r) for r in want.collect()
+    )
