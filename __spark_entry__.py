@@ -8732,6 +8732,68 @@ def q_gram_second_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gram_deflated_second_component(gram, rounds=POWER_ITERS)
 
 
+def q_user_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting over the event stream: per day, active users,
+    NEW users (first-seen day — one min per user), returning users,
+    and the cumulative registered-user count — the new-vs-returning
+    decomposition every activation dashboard starts from. Exact
+    integers; day grain; one user-grain min + one day-grain window."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.expr("unix_timestamp(ts) div 86400").alias("day")
+    )
+    active = ev.distinct()
+    daily_active = active.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_active")
+    )
+    first_seen = ev.groupBy("user_id").agg(F.min("day").alias("day"))
+    daily_new = first_seen.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_new")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        daily_active.join(daily_new, "day", "left")
+        .select(
+            "day",
+            "n_active",
+            F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"),
+        )
+        .withColumn(
+            "n_returning", (F.col("n_active") - F.col("n_new")).cast("long")
+        )
+        .withColumn("cum_users", F.sum("n_new").over(w).cast("long"))
+    )
+
+
+def q_hll_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day HLL distinct users (operators/sketch.py hll_registers_by
+    + hll_estimate_by) beside the exact per-day distinct — the windowed
+    sketch monitor: days × 2^HLL_P register state regardless of user
+    cardinality (the affordable alternative to per-window dropDuplicates
+    state), per-day estimates through the same fixed IEEE tree; at
+    ~150 users/day the linear-counting branch fires, complementing
+    hll_distinct's raw branch."""
+    from rat_strain_loader_pipeline_spark.operators.sketch import (
+        hll_estimate_by,
+        hll_registers_by,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.expr("unix_timestamp(ts) div 86400").alias("day"), "user_id"
+    )
+    est = hll_estimate_by(
+        hll_registers_by(ev, "day", "user_id", p=HLL_P), p=HLL_P
+    ).withColumnRenamed("g", "day")
+    exact = ev.groupBy("day").agg(
+        F.count_distinct(F.col("user_id")).cast("long").alias("n_exact")
+    )
+    return exact.join(est, "day").select(
+        "day", "n_exact", "n_registers", "v_zero", "s_scaled", "est_q",
+        "used_linear",
+    )
+
+
 def q_group_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified weighted sample (operators/sampling.py
     group_weighted_sample): the 5 smallest A-ES priorities per source —
@@ -9111,6 +9173,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_funnel": q_curation_funnel,
         "group_reservoir": q_group_reservoir,
         "group_reservoir_stream": q_group_reservoir_stream,
+        "user_growth": q_user_growth,
+        "hll_daily": q_hll_daily,
     }
 
 
@@ -11671,6 +11735,48 @@ def _hll_oracle_sql() -> str:
                    {_hll_est_sql(m)} AS est_q,
                    {_hll_gate_sql(m)} AS used_linear
             FROM s, x
+        """
+
+
+def _hll_daily_oracle_sql() -> str:
+    """Per-day HLL rebuild: the hll_distinct identities grouped by day."""
+    from rat_strain_loader_pipeline_spark.operators.sketch import (
+        _hll_est_sql,
+        _hll_gate_sql,
+    )
+
+    m = 1 << HLL_P
+    v = "CAST(md5_number_lower(concat('hll:val:', k)) % 4503599627370496 AS BIGINT)"
+    return f"""
+            WITH keyed AS (
+              SELECT epoch_us(ts) // 1000000 // 86400 AS day,
+                     CAST(user_id AS VARCHAR) AS k
+              FROM events
+            ),
+            regs AS (
+              SELECT day,
+                     CAST(md5_number_lower(concat('hll:idx:', k)) % {m} AS INT)
+                       AS i,
+                     MAX(CASE WHEN {v} = 0 THEN 53
+                              ELSE 53 - length(bin({v})) END) AS reg
+              FROM keyed GROUP BY 1, 2
+            ),
+            s AS (
+              SELECT day, CAST(count(*) AS BIGINT) AS n_registers,
+                     CAST({m} - count(*) AS BIGINT) AS v_zero,
+                     CAST(sum(CAST(1 AS BIGINT) << (53 - reg))
+                          + ({m} - count(*)) * (CAST(1 AS BIGINT) << 53)
+                       AS BIGINT) AS s_scaled
+              FROM regs GROUP BY day
+            ),
+            x AS (
+              SELECT day, CAST(count(DISTINCT k) AS BIGINT) AS n_exact
+              FROM keyed GROUP BY day
+            )
+            SELECT x.day, x.n_exact, s.n_registers, s.v_zero, s.s_scaled,
+                   {_hll_est_sql(m)} AS est_q,
+                   {_hll_gate_sql(m)} AS used_linear
+            FROM s JOIN x ON s.day = x.day
         """
 
 
@@ -16883,6 +16989,7 @@ FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
         # register store answers the identical estimate — one text
         # proves both (the weighted_sample_stream precedent)
         "hll_stream_merge": _hll_oracle_sql(),
+        "hll_daily": _hll_daily_oracle_sql(),
         "ks_drift": """
             WITH base AS (
               SELECT event_type AS g, CAST(floor(value) AS BIGINT) AS v
@@ -16929,6 +17036,29 @@ FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
         "gram_second_component": _gram_second_oracle_sql(POWER_ITERS),
         "curation_funnel": _curation_funnel_oracle_sql(),
         "group_reservoir": _GROUP_RESERVOIR_ORACLE_SQL,
+        "user_growth": """
+            WITH ev AS (
+              SELECT DISTINCT user_id,
+                     epoch_us(ts) // 1000000 // 86400 AS day
+              FROM events
+            ),
+            da AS (
+              SELECT day, CAST(count(*) AS BIGINT) AS n_active
+              FROM ev GROUP BY day
+            ),
+            fs AS (SELECT user_id, min(day) AS day FROM ev GROUP BY user_id),
+            dn AS (
+              SELECT day, CAST(count(*) AS BIGINT) AS n_new
+              FROM fs GROUP BY day
+            )
+            SELECT da.day, da.n_active,
+                   CAST(COALESCE(dn.n_new, 0) AS BIGINT) AS n_new,
+                   CAST(da.n_active - COALESCE(dn.n_new, 0) AS BIGINT)
+                     AS n_returning,
+                   CAST(sum(COALESCE(dn.n_new, 0)) OVER (ORDER BY da.day)
+                     AS BIGINT) AS cum_users
+            FROM da LEFT JOIN dn ON da.day = dn.day
+        """,
         # per-group max-merge identity: the streaming candidate store
         # answers the identical stratified selection — one text, both
         "group_reservoir_stream": _GROUP_RESERVOIR_ORACLE_SQL,

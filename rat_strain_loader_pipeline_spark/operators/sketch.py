@@ -444,3 +444,61 @@ def hll_estimate(registers: DataFrame, p: int = 8) -> DataFrame:
         F.expr(_hll_est_sql(m)).alias("est_q"),
         F.expr(_hll_gate_sql(m)).alias("used_linear"),
     )
+
+
+def hll_registers_by(
+    df: DataFrame, group_col: str, key_col: str, p: int = 8
+) -> DataFrame:
+    """Per-group HLL registers — one sketch per window/shard/day:
+    (group, i, reg) sparse, same identities as ``hll_registers``. The
+    state is groups × 2^p rows regardless of key cardinality, which is
+    what makes a per-window distinct monitor affordable where per-window
+    dropDuplicates state is not."""
+    from rat_strain_loader_pipeline_spark.operators.sampling import md5_mod
+
+    m = 1 << p
+    key = F.col(key_col).cast("string")
+    v = md5_mod(F.concat(F.lit("hll:val:"), key), 1 << 52)
+    rho = F.when(v == 0, F.lit(53)).otherwise(
+        F.lit(53) - F.length(F.bin(v)).cast("int")
+    )
+    return (
+        df.select(
+            F.col(group_col).alias("g"),
+            md5_mod(F.concat(F.lit("hll:idx:"), key), m).cast("int").alias("i"),
+            rho.cast("int").alias("reg"),
+        )
+        .groupBy("g", "i")
+        .agg(F.max("reg").alias("reg"))
+    )
+
+
+def hll_estimate_by(registers: DataFrame, p: int = 8) -> DataFrame:
+    """Per-group cardinality estimates from a (g, i, reg) register
+    table: the same s_scaled fold and fixed IEEE estimator tree as
+    ``hll_estimate``, one row per group."""
+    m = 1 << p
+    agg = registers.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_registers"),
+        F.coalesce(
+            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 53 - reg)")), F.lit(0)
+        )
+        .cast("long")
+        .alias("s_present"),
+    )
+    return agg.select(
+        "g",
+        "n_registers",
+        (F.lit(m) - F.col("n_registers")).cast("long").alias("v_zero"),
+        (
+            F.col("s_present")
+            + (F.lit(m) - F.col("n_registers")) * F.lit(1 << 53).cast("long")
+        ).alias("s_scaled"),
+    ).select(
+        "g",
+        "n_registers",
+        "v_zero",
+        "s_scaled",
+        F.expr(_hll_est_sql(m)).alias("est_q"),
+        F.expr(_hll_gate_sql(m)).alias("used_linear"),
+    )
