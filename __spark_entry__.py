@@ -11536,7 +11536,7 @@ FROM aas
 """
 
 
-_PPL_SCORE_SQL = """
+_PPL_SCORE_SQL = r"""
             WITH toks AS (
               SELECT doc_id, lang = 'en' AS ref,
                      list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
