@@ -8732,6 +8732,54 @@ def q_gram_second_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gram_deflated_second_component(gram, rounds=POWER_ITERS)
 
 
+GROUP_QS_MICROS = (500_000, 900_000, 990_000)  # P50/P90/P99 (q_group_quantiles)
+
+
+def q_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group quantiles (P50/P90/P99 of floor(value) per event
+    type) by min-rank selection over the per-group value distribution —
+    the group-wise twin of the corpus length_quantiles: ceil-rank
+    r = (n·q + 999999) div 1e6, answer = min v with cum ≥ r. All work
+    happens at the (group, value) grain (the quantile_normalize bound);
+    the quantile probes join as a broadcast literal table."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.filter(
+        F.col("value").isNotNull() & ~F.isnan(F.col("value"))
+    ).select("event_type", F.floor("value").cast("long").alias("v"))
+    cum = (
+        base.groupBy("event_type", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .withColumn(
+            "cum",
+            F.sum("c").over(
+                Window.partitionBy("event_type")
+                .orderBy("v")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    totals = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    qdf = spark.createDataFrame(
+        [(int(q),) for q in GROUP_QS_MICROS], "q_micros long"
+    )
+    ranked = totals.crossJoin(F.broadcast(qdf)).select(
+        "event_type",
+        "q_micros",
+        "n",
+        F.expr("(n * q_micros + 999999) div 1000000").alias("rank"),
+    )
+    return (
+        ranked.join(cum, "event_type")
+        .filter(F.col("cum") >= F.col("rank"))
+        .groupBy("event_type", "q_micros", "n", "rank")
+        .agg(F.min("v").alias("v"))
+    )
+
+
 def q_user_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Growth accounting over the event stream: per day, active users,
     NEW users (first-seen day — one min per user), returning users,
@@ -9175,6 +9223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_reservoir_stream": q_group_reservoir_stream,
         "user_growth": q_user_growth,
         "hll_daily": q_hll_daily,
+        "group_quantiles": q_group_quantiles,
     }
 
 
@@ -16990,6 +17039,35 @@ FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
         # proves both (the weighted_sample_stream precedent)
         "hll_stream_merge": _hll_oracle_sql(),
         "hll_daily": _hll_daily_oracle_sql(),
+        "group_quantiles": f"""
+            WITH base AS (
+              SELECT event_type, CAST(floor(value) AS BIGINT) AS v
+              FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+            ),
+            cum AS (
+              SELECT event_type, v, CAST(count(*) AS BIGINT) AS c,
+                     sum(count(*)) OVER (
+                       PARTITION BY event_type ORDER BY v) AS cum
+              FROM base GROUP BY event_type, v
+            ),
+            tot AS (
+              SELECT event_type, CAST(count(*) AS BIGINT) AS n
+              FROM base GROUP BY event_type
+            ),
+            qs(q_micros) AS (VALUES {", ".join(f"({q})" for q in GROUP_QS_MICROS)}),
+            ranked AS (
+              SELECT t.event_type, CAST(q.q_micros AS BIGINT) AS q_micros,
+                     t.n,
+                     CAST((t.n * q.q_micros + 999999) // 1000000 AS BIGINT)
+                       AS rank
+              FROM tot t, qs q
+            )
+            SELECT r.event_type, r.q_micros, r.n, r.rank,
+                   CAST(min(c.v) AS BIGINT) AS v
+            FROM ranked r JOIN cum c
+              ON r.event_type = c.event_type AND c.cum >= r.rank
+            GROUP BY 1, 2, 3, 4
+        """,
         "ks_drift": """
             WITH base AS (
               SELECT event_type AS g, CAST(floor(value) AS BIGINT) AS v
