@@ -8842,6 +8842,62 @@ def q_hll_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hll_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users from MERGED daily HLL registers —
+    the sliding-window payoff of register max-merge: the trailing
+    window's registers are one rangeBetween MAX over the dense
+    (day × 2^p) daily register grid (no event is ever rescanned;
+    max-of-daily-max == registers of the union by associativity), then
+    the same fixed-tree estimate per day, emitted beside the exact
+    trailing distinct. State and window work are days × 2^p regardless
+    of user cardinality."""
+    from pyspark.sql.window import Window
+
+    from rat_strain_loader_pipeline_spark.operators.sketch import (
+        hll_estimate_by,
+        hll_registers_by,
+    )
+
+    m = 1 << HLL_P
+    ev = _t(spark, sf_dir, "events").select(
+        F.expr("unix_timestamp(ts) div 86400").alias("day"), "user_id"
+    )
+    daily = hll_registers_by(ev, "day", "user_id", p=HLL_P).select(
+        F.col("g").alias("day"), "i", "reg"
+    )
+    days = daily.select("day").distinct()
+    grid = days.crossJoin(
+        F.broadcast(
+            spark.range(m).select(F.col("id").cast("int").alias("i"))
+        )
+    )
+    dense = grid.join(daily, ["day", "i"], "left")
+    w = (
+        Window.partitionBy("i").orderBy("day").rangeBetween(-6, 0)
+    )
+    trailing = (
+        dense.withColumn("treg", F.max("reg").over(w))
+        .filter(F.col("treg").isNotNull())
+        .select(F.col("day").alias("g"), "i", F.col("treg").alias("reg"))
+    )
+    est = hll_estimate_by(trailing, p=HLL_P).withColumnRenamed("g", "day")
+    pairs = ev.distinct()
+    exact = (
+        days.alias("d")
+        .join(
+            pairs.alias("p"),
+            (F.col("p.day") >= F.col("d.day") - 6)
+            & (F.col("p.day") <= F.col("d.day")),
+        )
+        .groupBy(F.col("d.day").alias("day"))
+        .agg(F.count_distinct(F.col("p.user_id")).cast("long").alias("n_exact"))
+    )
+    return exact.join(est, "day").select(
+        "day", "n_exact", "n_registers", "v_zero", "s_scaled", "est_q",
+        "used_linear",
+    )
+
+
 def q_group_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified weighted sample (operators/sampling.py
     group_weighted_sample): the 5 smallest A-ES priorities per source —
@@ -9224,6 +9280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_growth": q_user_growth,
         "hll_daily": q_hll_daily,
         "group_quantiles": q_group_quantiles,
+        "hll_trailing": q_hll_trailing,
     }
 
 
@@ -11821,6 +11878,57 @@ def _hll_daily_oracle_sql() -> str:
             x AS (
               SELECT day, CAST(count(DISTINCT k) AS BIGINT) AS n_exact
               FROM keyed GROUP BY day
+            )
+            SELECT x.day, x.n_exact, s.n_registers, s.v_zero, s.s_scaled,
+                   {_hll_est_sql(m)} AS est_q,
+                   {_hll_gate_sql(m)} AS used_linear
+            FROM s JOIN x ON s.day = x.day
+        """
+
+
+def _hll_trailing_oracle_sql() -> str:
+    """Trailing-window HLL rebuild: the day grid joins the keyed events
+    over the 7-day band (brute force — the engine side instead maxes
+    the daily register grid), then the identical register/estimate
+    epilogue per day."""
+    from rat_strain_loader_pipeline_spark.operators.sketch import (
+        _hll_est_sql,
+        _hll_gate_sql,
+    )
+
+    m = 1 << HLL_P
+    v = "CAST(md5_number_lower(concat('hll:val:', k)) % 4503599627370496 AS BIGINT)"
+    return f"""
+            WITH keyed AS (
+              SELECT DISTINCT epoch_us(ts) // 1000000 // 86400 AS day,
+                     CAST(user_id AS VARCHAR) AS k
+              FROM events
+            ),
+            days AS (SELECT DISTINCT day FROM keyed),
+            win AS (
+              SELECT d.day, kk.k
+              FROM days d JOIN keyed kk
+                ON kk.day BETWEEN d.day - 6 AND d.day
+            ),
+            regs AS (
+              SELECT day,
+                     CAST(md5_number_lower(concat('hll:idx:', k)) % {m} AS INT)
+                       AS i,
+                     MAX(CASE WHEN {v} = 0 THEN 53
+                              ELSE 53 - length(bin({v})) END) AS reg
+              FROM win GROUP BY 1, 2
+            ),
+            s AS (
+              SELECT day, CAST(count(*) AS BIGINT) AS n_registers,
+                     CAST({m} - count(*) AS BIGINT) AS v_zero,
+                     CAST(sum(CAST(1 AS BIGINT) << (53 - reg))
+                          + ({m} - count(*)) * (CAST(1 AS BIGINT) << 53)
+                       AS BIGINT) AS s_scaled
+              FROM regs GROUP BY day
+            ),
+            x AS (
+              SELECT day, CAST(count(DISTINCT k) AS BIGINT) AS n_exact
+              FROM win GROUP BY day
             )
             SELECT x.day, x.n_exact, s.n_registers, s.v_zero, s.s_scaled,
                    {_hll_est_sql(m)} AS est_q,
@@ -17039,6 +17147,7 @@ FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
         # proves both (the weighted_sample_stream precedent)
         "hll_stream_merge": _hll_oracle_sql(),
         "hll_daily": _hll_daily_oracle_sql(),
+        "hll_trailing": _hll_trailing_oracle_sql(),
         "group_quantiles": f"""
             WITH base AS (
               SELECT event_type, CAST(floor(value) AS BIGINT) AS v

@@ -923,3 +923,14 @@ def test_round9_batch2_no_cartesian(spark, sf_dir, queries):
     ):
         plan = _plan(queries[name](spark, sf_dir))
         assert "CartesianProduct" not in plan, name
+
+
+def test_round9_batch3_no_cartesian_and_windows_partitioned(spark, sf_dir, queries):
+    """E199-E204: no real cartesians; the trailing-register window is
+    hash-partitioned by register index (never SinglePartition)."""
+    for name in ("group_reservoir", "user_growth", "hll_daily",
+                 "group_quantiles"):
+        plan = _plan(queries[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+    plan = _plan(queries["hll_trailing"](spark, sf_dir))
+    assert "SinglePartition" not in plan
