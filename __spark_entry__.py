@@ -8898,6 +8898,34 @@ def q_hll_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_leverage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-component spectral leverage outliers (operators/spectral.py
+    leverage_extremes): each vector's exact integer projections onto
+    the top AND deflated-second components, combined as
+    lev = p₁² div ‖v₁‖² + p₂² div ‖u‖² — the documents the 2-D
+    spectral summary leans on hardest (dominating boilerplate /
+    outlier content). Both component vectors inline as literals: one
+    codegen projection, one TakeOrdered heap; oracle replays both
+    unrolled chains then the same integer score."""
+    from rat_strain_loader_pipeline_spark.operators.similarity import (
+        embedding_gram,
+    )
+    from rat_strain_loader_pipeline_spark.operators.spectral import (
+        gram_deflated_second_component,
+        gram_power_iteration,
+        leverage_extremes,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    gram = embedding_gram(emb)
+    return leverage_extremes(
+        emb,
+        gram_power_iteration(gram, rounds=POWER_ITERS),
+        gram_deflated_second_component(gram, rounds=POWER_ITERS),
+        topk=PCA_PROJECT_TOPK,
+    )
+
+
 def q_group_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified weighted sample (operators/sampling.py
     group_weighted_sample): the 5 smallest A-ES priorities per source —
@@ -9281,6 +9309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_daily": q_hll_daily,
         "group_quantiles": q_group_quantiles,
         "hll_trailing": q_hll_trailing,
+        "leverage_topk": q_leverage_topk,
     }
 
 
@@ -11054,11 +11083,11 @@ FROM v{rounds} p, ray, tr
 """
 
 
-def _gram_second_oracle_sql(rounds: int) -> str:
-    """Deflated-power-iteration oracle: the shared v₁ chain, then the
-    u recurrence with per-round integer orthogonalization against
-    v{rounds} (projection coefficient by truncating //), every CTE
-    MATERIALIZED, ending in the same Rayleigh/trace epilogue."""
+def _gram_deflated_ctes_sql(rounds: int) -> str:
+    """The v₁ chain plus the deflated-u recurrence (per-round integer
+    orthogonalization against v{rounds}, truncating //), every CTE
+    MATERIALIZED; ends with u{rounds}(dim, v). Shared by the
+    second-component oracle and the leverage-score oracle."""
     ctes = [_gram_power_ctes_sql(rounds)]
     ctes.append(f"""vv AS MATERIALIZED (
   SELECT sum(v * v) AS v1v1 FROM v{rounds}
@@ -11087,8 +11116,13 @@ u0 AS MATERIALIZED (
                 AS HUGEINT) END AS v
   FROM d{r}
 )""")
-    joined = ",\n".join(ctes)
-    return f"""WITH {joined},
+    return ",\n".join(ctes)
+
+
+def _gram_second_oracle_sql(rounds: int) -> str:
+    """Deflated-power-iteration oracle: the shared chains plus the
+    Rayleigh/trace epilogue."""
+    return f"""WITH {_gram_deflated_ctes_sql(rounds)},
 gu AS (
   SELECT g.i AS dim, sum(g.gram * p.v) AS w
   FROM g JOIN u{rounds} p ON g.j = p.dim
@@ -11105,6 +11139,33 @@ SELECT CAST(p.dim AS INT) AS dim,
          CAST((CAST(num // den AS HUGEINT) * 1000000) // trace AS BIGINT)
        END AS ev_q
 FROM u{rounds} p, ray, tr
+"""
+
+
+def _leverage_oracle_sql(rounds: int, topk: int) -> str:
+    """Two-component leverage oracle: both unrolled chains, each
+    vector's exact projections, squared-projection-over-norm integer
+    scores, top-k by leverage."""
+    return f"""WITH {_gram_deflated_ctes_sql(rounds)},
+p1 AS MATERIALIZED (
+  SELECT e.vec_id, sum(CAST(e.x AS HUGEINT) * p.v) AS p1
+  FROM e JOIN v{rounds} p ON e.i - 1 = p.dim
+  GROUP BY e.vec_id
+),
+p2 AS MATERIALIZED (
+  SELECT e.vec_id, sum(CAST(e.x AS HUGEINT) * p.v) AS p2
+  FROM e JOIN u{rounds} p ON e.i - 1 = p.dim
+  GROUP BY e.vec_id
+),
+n1 AS MATERIALIZED (SELECT sum(v * v) AS n1 FROM v{rounds}),
+n2 AS MATERIALIZED (SELECT sum(v * v) AS n2 FROM u{rounds})
+SELECT p1.vec_id,
+       CAST(p1.p1 AS BIGINT) AS p1_q,
+       CAST(p2.p2 AS BIGINT) AS p2_q,
+       CAST((p1.p1 * p1.p1) // n1.n1
+            + (p2.p2 * p2.p2) // n2.n2 AS BIGINT) AS lev_q
+FROM p1 JOIN p2 USING (vec_id), n1, n2
+ORDER BY lev_q DESC, p1.vec_id ASC LIMIT {topk}
 """
 
 
@@ -17221,6 +17282,7 @@ FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
         """,
         "pca_project": _pca_project_oracle_sql(POWER_ITERS, PCA_PROJECT_TOPK),
         "gram_second_component": _gram_second_oracle_sql(POWER_ITERS),
+        "leverage_topk": _leverage_oracle_sql(POWER_ITERS, PCA_PROJECT_TOPK),
         "curation_funnel": _curation_funnel_oracle_sql(),
         "group_reservoir": _GROUP_RESERVOIR_ORACLE_SQL,
         "user_growth": """

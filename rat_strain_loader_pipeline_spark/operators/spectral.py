@@ -239,3 +239,68 @@ def gram_deflated_second_component(
     return gram.sparkSession.createDataFrame(
         [(int(d), int(u[d]), ev) for d in dims], "dim int, v_q long, ev_q long"
     )
+
+
+def leverage_extremes(
+    embeddings: DataFrame,
+    top_component: DataFrame,
+    second_component: DataFrame,
+    topk: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-component leverage scores — the spectral outlier audit over
+    BOTH principal directions: per vector the exact integer projections
+    p₁ = Σ x_q·v₁ and p₂ = Σ x_q·u, combined as the defined integer
+    quantity lev = p₁² div (v₁ᵀv₁) + p₂² div (uᵀu) (each term the
+    squared projection in component-norm units — the classical
+    leverage shape with truncating division, oracle-replayable). Emits
+    the ``topk`` highest-leverage vectors: the documents the 2-D
+    spectral summary leans on hardest, which is where a curation pass
+    looks for dominating boilerplate or outlier content.
+
+    Both component vectors inline as literal coefficients (the
+    pca_project lesson): one codegen projection, one TakeOrdered heap,
+    no joins. Degenerate components yield an empty result. Returns
+    (id_col, p1_q, p2_q, lev_q).
+    """
+    spark = embeddings.sparkSession
+    empty_schema = f"{id_col} long, p1_q long, p2_q long, lev_q long"
+
+    def vec_of(component):
+        rows = component.select("dim", "v_q").collect()
+        if not rows or any(r["v_q"] is None for r in rows):
+            return None
+        return [int(r["v_q"]) for r in sorted(rows, key=lambda r: int(r["dim"]))]
+
+    v1 = vec_of(top_component)
+    u = vec_of(second_component)
+    if v1 is None or u is None:
+        return spark.createDataFrame([], empty_schema)
+    n1 = sum(x * x for x in v1)
+    n2 = sum(x * x for x in u)
+    if n1 == 0 or n2 == 0:
+        return spark.createDataFrame([], empty_schema)
+
+    def proj_expr(coeffs):
+        arr = "array({})".format(", ".join(f"CAST({x} AS BIGINT)" for x in coeffs))
+        return (
+            f"aggregate(zip_with({vec_col}, {arr},"
+            f" (x, c) -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT) * c),"
+            f" CAST(0 AS BIGINT), (acc, t) -> acc + t)"
+        )
+
+    scored = embeddings.select(
+        F.col(id_col),
+        F.expr(proj_expr(v1)).alias("p1_q"),
+        F.expr(proj_expr(u)).alias("p2_q"),
+    ).select(
+        id_col,
+        "p1_q",
+        "p2_q",
+        F.expr(
+            f"CAST((CAST(p1_q AS DECIMAL(38,0)) * p1_q) div {n1}"
+            f" + (CAST(p2_q AS DECIMAL(38,0)) * p2_q) div {n2} AS BIGINT)"
+        ).alias("lev_q"),
+    )
+    return scored.orderBy(F.col("lev_q").desc(), F.col(id_col).asc()).limit(topk)
