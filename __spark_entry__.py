@@ -8223,7 +8223,7 @@ def q_weighted_sample_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
     tag = _uuid.uuid4().hex[:8]
     src_dir = _os.path.join(_stage_root(), f"ws-src-{tag}")
-    docs.repartition(6).write.parquet(src_dir)
+    docs.repartition(3).write.parquet(src_dir)
     return maintain_weighted_sample_available_now(
         spark,
         src_dir,
@@ -8384,15 +8384,24 @@ def q_hll_stream_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed = _hll_keyed_events(spark, sf_dir)
     tag = _uuid.uuid4().hex[:8]
     src_dir = _os.path.join(_stage_root(), f"hll-src-{tag}")
-    keyed.repartition(6).write.parquet(src_dir)
-    regs = maintain_hll_available_now(
-        spark,
-        src_dir,
-        "k string",
-        _os.path.join(_stage_root(), f"hll-work-{tag}"),
-        "k",
-        p=HLL_P,
-    )
+    keyed.repartition(3).write.parquet(src_dir)
+    # per-batch register jobs reduce to <= 2^HLL_P keys — size the
+    # shuffle to the register cardinality, not the CPU count (the
+    # events_stream_distinct lesson; 6 micro-batches of 32-task
+    # shuffles are pure scheduling overhead)
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        regs = maintain_hll_available_now(
+            spark,
+            src_dir,
+            "k string",
+            _os.path.join(_stage_root(), f"hll-work-{tag}"),
+            "k",
+            p=HLL_P,
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     est = hll_estimate(regs, p=HLL_P)
     n_exact = (
         spark.read.parquet(src_dir)
@@ -8963,7 +8972,7 @@ def q_group_reservoir_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("source", "doc_id", "n_chars")
     tag = _uuid.uuid4().hex[:8]
     src_dir = _os.path.join(_stage_root(), f"gres-src-{tag}")
-    docs.repartition(6).write.parquet(src_dir)
+    docs.repartition(3).write.parquet(src_dir)
     return maintain_group_reservoir_available_now(
         spark,
         src_dir,
