@@ -39,6 +39,17 @@ def stage_to_parquet(df: DataFrame, label: str = "stage") -> DataFrame:
 
     Full lineage truncation: downstream plans see a plain parquet scan.
     """
+    return stage_to_parquet_path(df, label)[0]
+
+
+def stage_to_parquet_path(
+    df: DataFrame, label: str = "stage"
+) -> tuple[DataFrame, str]:
+    """``stage_to_parquet`` variant that also returns the staged
+    directory path — for build-once memo stores that re-open the
+    artifact later. Returning the path directly avoids deriving it
+    from ``inputFiles()``, which is empty for an empty result (no data
+    files written) and scheme-prefixed (``file:``) otherwise."""
     path = os.path.join(_stage_root(), f"{label}-{uuid.uuid4().hex[:12]}")
     df.write.mode("overwrite").parquet(path)
-    return df.sparkSession.read.parquet(path)
+    return df.sparkSession.read.parquet(path), path

@@ -225,7 +225,31 @@ def cc_ingest_available_now(
     checkpoint = os.path.join(work_dir, "checkpoint")
     if schema is None:
         schema = spark.read.parquet(src_dir).schema
-    latest: dict[str, int] = {}
+
+    def _max_comp_batch(below: int | None = None) -> int | None:
+        """Largest completed component-table batch id on DISK (strictly
+        below ``below`` when given). Deriving lineage from the store
+        instead of an in-memory dict makes checkpoint resume correct: a
+        driver restart with an existing work_dir picks up the stored
+        component table from all pre-restart batches rather than
+        silently re-running scratch CC over one batch's delta."""
+        if not os.path.isdir(comp_store):
+            return None
+        best: int | None = None
+        for name in os.listdir(comp_store):
+            if not name.startswith("batch="):
+                continue
+            try:
+                b = int(name.split("=", 1)[1])
+            except ValueError:
+                continue
+            if below is not None and b >= below:
+                continue
+            if not os.path.exists(os.path.join(comp_store, name, "_SUCCESS")):
+                continue
+            if best is None or b > best:
+                best = b
+        return best
 
     def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
         combo = _hashes_and_sig_udf(shingle_n, num_hashes, seed)
@@ -275,7 +299,7 @@ def cc_ingest_available_now(
             candidates, all_hashes, id_col, jaccard_threshold
         ).select("id_a", "id_b")
 
-        prev_batch = latest.get("b")
+        prev_batch = _max_comp_batch(below=batch_id)
         if prev_batch is None:
             merged = connected_components(pairs)
         else:
@@ -286,7 +310,6 @@ def cc_ingest_available_now(
         merged.write.mode("overwrite").parquet(
             os.path.join(comp_store, f"batch={batch_id}")
         )
-        latest["b"] = batch_id
 
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
@@ -299,8 +322,7 @@ def cc_ingest_available_now(
         .start()
     )
     q.awaitTermination()
-    if latest.get("b") is None:
+    last = _max_comp_batch()
+    if last is None:
         return spark.createDataFrame([], "node_id long, component_id long")
-    return spark.read.parquet(
-        os.path.join(comp_store, f"batch={latest['b']}")
-    )
+    return spark.read.parquet(os.path.join(comp_store, f"batch={last}"))

@@ -3,12 +3,17 @@
 The property that makes sketches THE streaming statistic: a Count-Min
 grid is a linear function of its input counts, so the grid of a union
 is the cell-wise sum of the grids — per micro-batch, sketch the batch
-and APPEND the (i, b, cell) delta rows to the state store; the current
-grid at any moment is one group-by-sum over the store. Append-only
-state is retry-safe (a replayed batch appends the same delta rows, and
-the availableNow checkpoint prevents replay in normal operation) and
-never rewrites history; the store is bounded by batches x depth x
-width rows, compactable at leisure with store.compact_table.
+and land the (i, b, cell) delta rows in the state store; the current
+grid at any moment is one group-by-sum over the store. Every
+maintainer writes its delta to a DETERMINISTIC per-batch partition
+(``batch=<batch_id>``, mode overwrite — the dedup-gate signature-store
+idiom), so the at-least-once replay ``foreachBatch`` permits rewrites
+the SAME rows instead of appending a duplicate delta: retry-safe for
+the linear sketches (CMS, histogram) and for the non-idempotent
+max-merge reservoirs alike, not just for HLL's idempotent max. The
+store never rewrites history across batches and is bounded by
+batches x state-size rows, compactable at leisure with
+store.compact_table.
 
 At 100 TB/day this is the ingest-side frequency monitor: each executor
 sketches its slice map-side, deltas are tiny, and the merged grid
@@ -50,9 +55,11 @@ def maintain_cms_available_now(
     )
 
     def sketch_batch(batch_df: DataFrame, batch_id: int) -> None:
-        count_min_sketch(batch_df, key_col, depth, width).write.mode(
-            "append"
-        ).parquet(state_dir)
+        # deterministic per-batch partition: a replayed batch rewrites
+        # the same delta instead of double-counting it
+        count_min_sketch(batch_df, key_col, depth, width).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(state_dir, f"batch={batch_id}"))
 
     q = (
         stream.writeStream.foreachBatch(sketch_batch)
@@ -88,10 +95,14 @@ def maintain_weighted_sample_available_now(
     (exact double priority kept) APPEND to the state store; the current
     weighted sample at any moment is one top-n over the store —
     bit-identical to the single-pass ``operators.sampling
-    .weighted_sample`` of the same rows. Append-only state is
-    retry-safe and bounded by batches x n rows, compactable to n rows
-    at leisure (a compaction is itself just ``aes_select`` kept in
-    priority units).
+    .weighted_sample`` of the same rows. State lands at a
+    deterministic ``batch=<id>`` partition (overwrite), so an
+    at-least-once replay rewrites the same candidate rows instead of
+    duplicating them — the merge is NOT idempotent (a doubled
+    candidate could fill two of the n slots), so replay safety comes
+    from the deterministic write, not from the algebra. Bounded by
+    batches x n rows, compactable to n rows at leisure (a compaction
+    is itself just ``aes_select`` kept in priority units).
 
     At 100 TB/day this is the ingest-side sample maintainer: each
     executor heaps its slice map-side (TakeOrdered, n rows per batch to
@@ -115,7 +126,9 @@ def maintain_weighted_sample_available_now(
         # the candidate delta is <= n rows at ANY batch size — one file
         aes_candidates(batch_df, weight_col, n, id_col, salt).coalesce(
             1
-        ).write.mode("append").parquet(state_dir)
+        ).write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"batch={batch_id}")
+        )
 
     q = (
         stream.writeStream.foreachBatch(sample_batch)
@@ -124,7 +137,7 @@ def maintain_weighted_sample_available_now(
         .start()
     )
     q.awaitTermination()
-    return aes_select(spark.read.parquet(state_dir), n, id_col)
+    return aes_select(spark.read.parquet(state_dir).drop("batch"), n, id_col)
 
 
 def maintain_hist_available_now(
@@ -164,7 +177,9 @@ def maintain_hist_available_now(
         vq = F.expr(value_expr)
         fixed_histogram(
             batch_df.filter(vq.isNotNull()), vq, n_bins, lo_q, hi_q
-        ).write.mode("append").parquet(state_dir)
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"batch={batch_id}")
+        )
 
     q = (
         stream.writeStream.foreachBatch(sketch_batch)
@@ -218,8 +233,8 @@ def maintain_hll_available_now(
         # the delta is <= 2^p rows at ANY batch size — one file, not one
         # per shuffle partition (192 tiny files per replay otherwise)
         hll_registers(batch_df, key_col, p).coalesce(1).write.mode(
-            "append"
-        ).parquet(state_dir)
+            "overwrite"
+        ).parquet(os.path.join(state_dir, f"batch={batch_id}"))
 
     q = (
         stream.writeStream.foreachBatch(sketch_batch)
@@ -250,9 +265,11 @@ def maintain_group_reservoir_available_now(
     """Stratified streaming reservoir — the per-group twin of
     ``maintain_weighted_sample_available_now`` under the same max-merge
     identity applied within each group: per micro-batch each group's
-    top-n candidate rows append (state bounded by batches × groups × n,
-    never by corpus size), and the final per-group selection over the
-    store is bit-identical to the single-pass stratified sample."""
+    top-n candidate rows land at a deterministic ``batch=<id>``
+    partition (overwrite — replay rewrites, never duplicates; state
+    bounded by batches × groups × n, never by corpus size), and the
+    final per-group selection over the store is bit-identical to the
+    single-pass stratified sample."""
     from rat_strain_loader_pipeline_spark.operators.sampling import (
         aes_group_candidates,
         aes_group_select,
@@ -270,7 +287,9 @@ def maintain_group_reservoir_available_now(
     def sample_batch(batch_df: DataFrame, batch_id: int) -> None:
         aes_group_candidates(
             batch_df, group_col, weight_col, n_per_group, id_col, salt
-        ).coalesce(1).write.mode("append").parquet(state_dir)
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"batch={batch_id}")
+        )
 
     q = (
         stream.writeStream.foreachBatch(sample_batch)
@@ -280,5 +299,5 @@ def maintain_group_reservoir_available_now(
     )
     q.awaitTermination()
     return aes_group_select(
-        spark.read.parquet(state_dir), group_col, n_per_group, id_col
+        spark.read.parquet(state_dir).drop("batch"), group_col, n_per_group, id_col
     )
