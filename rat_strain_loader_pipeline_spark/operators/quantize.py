@@ -350,6 +350,7 @@ def ivf_pq_recall(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     residual: bool = False,
+    approx: DataFrame | None = None,
 ) -> DataFrame:
     """Recall@k audit of the IVF-PQ index against the exact squared-L2
     top-k over the same micro-unit integers — the evaluation loop an
@@ -364,6 +365,13 @@ def ivf_pq_recall(
     map-side join + partial-agg distance pass over the corpus — the
     brute-force cost is queries x corpus, which is exactly why it's
     run on an audit BATCH, not the full query stream.
+
+    ``approx`` overrides the approx side with a precomputed
+    (q_id, c_id, ...) top-k frame — the build/serve lifecycle hook: an
+    audit over a PERSISTED index passes ``ivf_pq_serve_topk`` /
+    ``ivf_pq_residual_serve_topk`` output here instead of paying
+    hermetic retraining (bit-identical results either way, since serve
+    == hermetic at the same build constants).
 
     Returns (q_id, n_hits): |approx top-k ∩ exact top-k| per query.
     """
@@ -380,21 +388,23 @@ def ivf_pq_recall(
             F.floor(F.col("x").cast("double") * MICROS).cast("long").alias("xq"),
         )
 
-    search = ivf_pq_topk_residual if residual else ivf_pq_topk
-    approx = search(
-        queries,
-        corpus,
-        dims,
-        coarse_k=coarse_k,
-        coarse_iters=coarse_iters,
-        m=m,
-        k=k,
-        iters=iters,
-        nprobe=nprobe,
-        topk=topk,
-        id_col=id_col,
-        vec_col=vec_col,
-    ).select("q_id", "c_id", F.lit(1).alias("hit"))
+    if approx is None:
+        search = ivf_pq_topk_residual if residual else ivf_pq_topk
+        approx = search(
+            queries,
+            corpus,
+            dims,
+            coarse_k=coarse_k,
+            coarse_iters=coarse_iters,
+            m=m,
+            k=k,
+            iters=iters,
+            nprobe=nprobe,
+            topk=topk,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+    approx = approx.select("q_id", "c_id", F.lit(1).alias("hit"))
     qm = micros(queries, "q_id").withColumnRenamed("xq", "xq_q")
     cm = micros(corpus, "c_id")
     exd = (
@@ -453,27 +463,38 @@ def ivf_pq_topk_residual(
 
     Returns (q_id, c_id, rank, adist_q).
     """
-    from pyspark.sql.window import Window
+    d, rem = divmod(dims, m)
+    if rem:
+        raise ValueError(f"dims={dims} not divisible by m={m}")
+    lists, coarse_cent, codes, codebook = _residual_index_train(
+        corpus, d, coarse_k, coarse_iters, k, iters, id_col, vec_col
+    )
+    return _residual_search(
+        queries, lists, coarse_cent, codes, codebook, d, nprobe, topk,
+        id_col, vec_col,
+    )
 
+
+def _residual_index_train(
+    corpus: DataFrame,
+    d: int,
+    coarse_k: int,
+    coarse_iters: int,
+    k: int,
+    iters: int,
+    id_col: str,
+    vec_col: str,
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Training half of residual IVF-PQ (stages 1-2 of
+    ``ivf_pq_topk_residual``): returns (lists, coarse_cent, codes,
+    codebook) — the exact model state ``ivf_pq_residual_index_build``
+    persists, so hermetic search and serve-from-artifact are
+    bit-identical by construction (shared ``_residual_search``)."""
     from rat_strain_loader_pipeline_spark.operators.clustering import (
         MICROS,
         kmeans_fit,
         kmeans_fit_grouped,
     )
-    from rat_strain_loader_pipeline_spark.staging import stage_to_parquet
-
-    d, rem = divmod(dims, m)
-    if rem:
-        raise ValueError(f"dims={dims} not divisible by m={m}")
-
-    def micros(df: DataFrame, out_id: str) -> DataFrame:
-        return df.select(
-            F.col(id_col).alias(out_id), F.posexplode(vec_col).alias("dim", "x")
-        ).select(
-            out_id,
-            "dim",
-            F.floor(F.col("x").cast("double") * MICROS).cast("long").alias("xq"),
-        )
 
     coarse_assign, coarse_cent = kmeans_fit(
         corpus, k=coarse_k, iters=coarse_iters, id_col=id_col, vec_col=vec_col
@@ -481,7 +502,14 @@ def ivf_pq_topk_residual(
     lists = coarse_assign.select(F.col(id_col), F.col("j").alias("jc"))
     # corpus residuals against the assigned centroid, sliced to subspaces
     resid = (
-        micros(corpus, id_col)
+        corpus.select(
+            F.col(id_col), F.posexplode(vec_col).alias("dim", "x")
+        )
+        .select(
+            id_col,
+            "dim",
+            F.floor(F.col("x").cast("double") * MICROS).cast("long").alias("xq"),
+        )
         .join(lists, id_col)
         .join(
             coarse_cent.select(F.col("j").alias("jc"), "dim", "c"), ["jc", "dim"]
@@ -495,6 +523,37 @@ def ivf_pq_topk_residual(
         F.col("rq").alias("xq"),
     )
     codes, codebook = kmeans_fit_grouped(grouped, k=k, iters=iters, id_col=id_col)
+    return lists, coarse_cent, codes, codebook
+
+
+def _residual_search(
+    queries: DataFrame,
+    lists: DataFrame,
+    coarse_cent: DataFrame,
+    codes: DataFrame,
+    codebook: DataFrame,
+    d: int,
+    nprobe: int,
+    topk: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Search half of residual IVF-PQ (stages 3-4 of
+    ``ivf_pq_topk_residual``), shared verbatim between the hermetic
+    query and ``ivf_pq_residual_serve_topk``."""
+    from pyspark.sql.window import Window
+
+    from rat_strain_loader_pipeline_spark.operators.clustering import MICROS
+    from rat_strain_loader_pipeline_spark.staging import stage_to_parquet
+
+    def micros(df: DataFrame, out_id: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(out_id), F.posexplode(vec_col).alias("dim", "x")
+        ).select(
+            out_id,
+            "dim",
+            F.floor(F.col("x").cast("double") * MICROS).cast("long").alias("xq"),
+        )
 
     # query routing: nprobe nearest coarse centroids
     qm = stage_to_parquet(micros(queries, "q_id"), "ivfpqr-qm")
@@ -548,6 +607,105 @@ def ivf_pq_topk_residual(
         adc.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= topk)
         .select("q_id", "c_id", F.col("rank").cast("long").alias("rank"), "adist_q")
+    )
+
+
+def ivf_pq_residual_index_build(
+    corpus: DataFrame,
+    dims: int,
+    coarse_k: int = 8,
+    coarse_iters: int = 2,
+    m: int = 2,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    root: str | None = None,
+    tag: str = "default",
+) -> str:
+    """BUILD half of the RESIDUAL IVF-PQ lifecycle (``ivf_pq_index_build``
+    twin for the FAISS by_residual=true default): run
+    ``_residual_index_train`` once and PERSIST the artifact:
+
+    - ``<path>/coarse_centroids``: (j, dim, c) — the routing model;
+    - ``<path>/codebook``: (g, j, dim, c) — the m residual PQ codebooks
+      (trained on vector − assigned coarse centroid);
+    - ``<path>/codes``: (vec_id, g, j) — g = -1 rows are the
+      inverted-list postings, g >= 0 the residual PQ codes (1 + m
+      bigints/vector, same layout as the raw artifact).
+
+    Idempotent load-or-build under the deterministic
+    ``<root>/<params-slug>-<tag>`` path (codes written LAST, so a
+    complete ``codes/_SUCCESS`` implies the whole artifact). Training
+    is deterministic, so serving from the artifact is bit-identical to
+    the hermetic ``ivf_pq_topk_residual`` — the memoization removes
+    repeated per-query training cost without changing any value."""
+    import os
+
+    from rat_strain_loader_pipeline_spark.staging import _stage_root
+
+    d, rem = divmod(dims, m)
+    if rem:
+        raise ValueError(f"dims={dims} not divisible by m={m}")
+    root = root or os.environ.get("SPARK_GRAFT_INDEX_DIR") or _stage_root()
+    slug = (
+        f"ivfpqr-d{dims}-c{coarse_k}x{coarse_iters}-m{m}k{k}i{iters}-{tag}"
+    )
+    path = os.path.join(root, slug)
+    if os.path.exists(os.path.join(path, "codes", "_SUCCESS")):
+        return path
+    lists, coarse_cent, codes, codebook = _residual_index_train(
+        corpus, d, coarse_k, coarse_iters, k, iters, id_col, vec_col
+    )
+    coarse_cent.select("j", "dim", "c").write.mode("overwrite").parquet(
+        os.path.join(path, "coarse_centroids")
+    )
+    codebook.select("g", "j", "dim", "c").write.mode("overwrite").parquet(
+        os.path.join(path, "codebook")
+    )
+    lists.select(
+        F.col(id_col), F.lit(-1).alias("g"), F.col("jc").alias("j")
+    ).unionByName(codes.select(id_col, "g", "j")).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "codes"))
+    return path
+
+
+def ivf_pq_residual_serve_topk(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    dims: int,
+    m: int = 2,
+    nprobe: int = 3,
+    topk: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SERVE half of the RESIDUAL IVF-PQ lifecycle: answer top-k
+    reading ONLY the persisted artifact — no kmeans iterations, no
+    full-vector corpus scan; the corpus is touched exclusively through
+    the stored codes table. Search is ``_residual_search`` verbatim
+    (the same code path the hermetic query runs after training), so
+    served results are bit-identical to ``ivf_pq_topk_residual`` at
+    the same build constants. Returns (q_id, c_id, rank, adist_q)."""
+    import os
+
+    d, rem = divmod(dims, m)
+    if rem:
+        raise ValueError(f"dims={dims} not divisible by m={m}")
+    coarse_cent = spark.read.parquet(
+        os.path.join(index_path, "coarse_centroids")
+    )
+    codebook = spark.read.parquet(os.path.join(index_path, "codebook"))
+    stored = spark.read.parquet(os.path.join(index_path, "codes"))
+    lists = stored.filter(F.col("g") == -1).select(
+        F.col(id_col), F.col("j").alias("jc")
+    )
+    codes = stored.filter(F.col("g") >= 0).select(F.col(id_col), "g", "j")
+    return _residual_search(
+        queries, lists, coarse_cent, codes, codebook, d, nprobe, topk,
+        id_col, vec_col,
     )
 
 

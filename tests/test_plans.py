@@ -934,3 +934,58 @@ def test_round9_batch3_no_cartesian_and_windows_partitioned(spark, sf_dir, queri
         assert "CartesianProduct" not in plan, name
     plan = _plan(queries["hll_trailing"](spark, sf_dir))
     assert "SinglePartition" not in plan
+
+
+def test_ivf_pq_residual_serve_reads_only_index_artifact(spark, sf_dir, queries):
+    """Round-10 lifecycle fix: ivf_pq_residual_topk now SERVES from the
+    persisted residual index — zero corpus embedding scans in the final
+    plan (the query batch's routing/LUT tables are staged; training
+    would add corpus-wide scans and kmeans stages), no cartesian, and
+    the plan reads the params-slugged artifact path."""
+    import __spark_entry__ as em
+
+    df = queries["ivf_pq_residual_topk"](spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("embeddings.parquet") == 0
+    assert "CartesianProduct" not in plan
+    path = em._IVF_RESIDUAL_INDEX_PATHS[sf_dir]
+    assert path.split("/")[-1] in plan
+
+
+def test_ivf_pq_residual_build_idempotent_and_serve_matches_hermetic(
+    spark, sf_dir, queries
+):
+    """Residual build is load-or-build, and served top-k is
+    bit-identical to the hermetic ivf_pq_topk_residual at the same
+    build constants — the guarantee that lets the frozen registry
+    switch to serving without any value change."""
+    import __spark_entry__ as em
+    from rat_strain_loader_pipeline_spark.operators.quantize import (
+        ivf_pq_topk_residual,
+    )
+    from rat_strain_loader_pipeline_spark.sources.tables import read_table
+
+    p1 = em._ivf_residual_index_path(spark, sf_dir)
+    p2 = em._ivf_residual_index_path(spark, sf_dir)
+    assert p1 == p2
+    served = {
+        (r["q_id"], r["rank"]): (r["c_id"], r["adist_q"])
+        for r in queries["ivf_pq_residual_topk"](spark, sf_dir).collect()
+    }
+    emb = read_table(spark, sf_dir, "embeddings")
+    hermetic = {
+        (r["q_id"], r["rank"]): (r["c_id"], r["adist_q"])
+        for r in ivf_pq_topk_residual(
+            emb.filter(F.col("vec_id") < em.PQADC_QUERIES),
+            emb,
+            dims=em.EMB_DIMS,
+            coarse_k=em.KMEANS_K,
+            coarse_iters=em.IVFPQ_COARSE_ITERS,
+            m=em.PQ_M,
+            k=em.PQ_K,
+            iters=em.PQ_ITERS,
+            nprobe=em.IVFPQ_NPROBE,
+            topk=em.PQADC_TOPK,
+        ).collect()
+    }
+    assert served == hermetic
