@@ -7854,6 +7854,65 @@ def q_sql_gate_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_sql(spark, sf_dir, _QW_SQL)
 
 
+_QE_SQL = """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= DATE '1996-01-01'
+  AND o_orderdate < DATE '1996-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+  AND NOT EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_returnflag = 'A')
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority"""
+
+
+def q_sql_gate_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL front door, correlated-EXISTS shape (sqlgate.py): TPC-H
+    Q4-style priority counts over orders with BOTH a correlated EXISTS
+    and a correlated NOT EXISTS subquery against lineitem, run VERBATIM
+    through spark.sql — Q3 proved pushdown, Q5 join ordering, the
+    window shape partitioned analytics; this proves DECORRELATION
+    through the front door: Catalyst must rewrite the subqueries to a
+    left-semi + left-anti join on l_orderkey (pinned in
+    tests/test_plans.py — no cartesian, no per-row re-execution). The
+    anti-exists half is the reference's own conditional-INSERT shape
+    (VariantProcessingBase.java:396-405) spelled as user SQL; the
+    DuckDB oracle executes the same text."""
+    from rat_strain_loader_pipeline_spark.sqlgate import run_sql
+
+    return run_sql(spark, sf_dir, _QE_SQL)
+
+
+_QS_SQL = """SELECT p_brand,
+       CAST(count(*) AS BIGINT) AS n_small,
+       CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS qty_small
+FROM lineitem, part
+WHERE p_partkey = l_partkey
+  AND p_brand IN ('Brand#13', 'Brand#23', 'Brand#33')
+  AND CAST(floor(l_quantity) AS BIGINT) * 5 <
+      (SELECT sum(CAST(floor(l2.l_quantity) AS BIGINT))
+       FROM lineitem l2
+       WHERE l2.l_partkey = p_partkey)
+GROUP BY p_brand
+ORDER BY p_brand"""
+
+
+def q_sql_gate_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL front door, correlated SCALAR-AGGREGATE shape (sqlgate.py):
+    TPC-H Q17-style small-quantity filter — each lineitem row compares
+    against a correlated per-part SUM subquery — run VERBATIM through
+    spark.sql. Catalyst must decorrelate the scalar agg into one
+    grouped aggregate over lineitem plus an equi-join on the
+    correlation key (pinned: no cartesian) instead of re-running the
+    subquery per row; the quantity stays exact via floor→BIGINT on
+    both engines (double→bigint CAST truncates in Spark but rounds in
+    DuckDB — floor is the portable spelling). Same text on both
+    engines."""
+    from rat_strain_loader_pipeline_spark.sqlgate import run_sql
+
+    return run_sql(spark, sf_dir, _QS_SQL)
+
+
 def q_sql_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL front door (sqlgate.py): the corpus registered as temp views
     and a TPC-H Q3-shape shipping-priority query run VERBATIM through
@@ -9406,6 +9465,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_quantiles": q_group_quantiles,
         "hll_trailing": q_hll_trailing,
         "leverage_topk": q_leverage_topk,
+        "sql_gate_exists": q_sql_gate_exists,
+        "sql_gate_scalar": q_sql_gate_scalar,
     }
 
 
@@ -17632,6 +17693,10 @@ FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
                    WHEN s = 0 THEN CAST(0 AS BIGINT) END AS z_q
             FROM v
         """,
+        # front-door decorrelation gates: the SAME verbatim text runs
+        # through spark.sql and DuckDB (_Q3_SQL/_Q5_SQL precedent)
+        "sql_gate_exists": _QE_SQL,
+        "sql_gate_scalar": _QS_SQL,
     }
 
 

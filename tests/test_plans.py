@@ -989,3 +989,22 @@ def test_ivf_pq_residual_build_idempotent_and_serve_matches_hermetic(
         ).collect()
     }
     assert served == hermetic
+
+
+def test_sql_gate_decorrelation(spark, sf_dir, queries):
+    """Front-door decorrelation pins: the correlated EXISTS / NOT
+    EXISTS pair must rewrite to left-semi + left-anti hash joins on
+    l_orderkey (never a per-row subquery or cartesian), and the
+    correlated scalar-agg must become one grouped aggregate plus an
+    equi-join on the correlation key."""
+    plan = _plan(queries["sql_gate_exists"](spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    plan = _plan(queries["sql_gate_scalar"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the decorrelated per-part SUM shows up as a grouped aggregate
+    # feeding an equi-join, with the partial agg pushed map-side
+    assert "HashAggregate" in plan
