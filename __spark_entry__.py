@@ -4992,6 +4992,107 @@ def q_ann_recall_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pq_opq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ-lite exhaustive ADC search (operators/quantize.py
+    pq_adc_topk_opq over opq_dim_assign): dims allocate to the PQ_M
+    subspaces by variance-balanced snake ranking (the deterministic
+    zeroth-order form of Ge et al.'s OPQ initialization — a
+    permutation is an orthogonal rotation, so exact geometry is
+    untouched) before the same grouped-kmeans build and LUT ADC as
+    pq_adc_topk. Same constants as the raw twin, so the two searches
+    and their recall audits compare directly; the oracle replays the
+    variance ranking, the snake map, and the per-group unrolled-kmeans
+    chains value-exact."""
+    from rat_strain_loader_pipeline_spark.operators.quantize import (
+        pq_adc_topk_opq,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pq_adc_topk_opq(
+        emb.filter(F.col("vec_id") < PQADC_QUERIES),
+        emb,
+        dims=EMB_DIMS,
+        m=PQ_M,
+        k=PQ_K,
+        iters=PQ_ITERS,
+        topk=PQADC_TOPK,
+    )
+
+
+def q_ann_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k audit of exhaustive RAW-slice PQ-ADC (pq_adc_topk)
+    against the exact squared-L2 top-k — the baseline side of the
+    OPQ experiment (compare q_ann_recall_opq): identical storage, ADC
+    cost, and constants; only the dim→subspace allocation differs."""
+    from rat_strain_loader_pipeline_spark.operators.quantize import (
+        ivf_pq_recall,
+        pq_adc_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < PQADC_QUERIES)
+    approx = pq_adc_topk(
+        queries,
+        emb,
+        dims=EMB_DIMS,
+        m=PQ_M,
+        k=PQ_K,
+        iters=PQ_ITERS,
+        topk=PQADC_TOPK,
+    )
+    return ivf_pq_recall(
+        queries,
+        emb,
+        dims=EMB_DIMS,
+        coarse_k=KMEANS_K,
+        coarse_iters=IVFPQ_COARSE_ITERS,
+        m=PQ_M,
+        k=PQ_K,
+        iters=PQ_ITERS,
+        nprobe=IVFPQ_NPROBE,
+        topk=PQADC_TOPK,
+        approx=approx,
+    )
+
+
+def q_ann_recall_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k audit of OPQ-allocated PQ-ADC (pq_adc_topk_opq) against
+    the exact squared-L2 top-k — the treatment side of the OPQ
+    experiment: the measured recall delta vs q_ann_recall_pq is the
+    value of variance-balanced bit allocation at identical storage and
+    search cost (the residual-encoding 0.24→0.32 precedent, now for
+    the published OPQ idea)."""
+    from rat_strain_loader_pipeline_spark.operators.quantize import (
+        ivf_pq_recall,
+        pq_adc_topk_opq,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < PQADC_QUERIES)
+    approx = pq_adc_topk_opq(
+        queries,
+        emb,
+        dims=EMB_DIMS,
+        m=PQ_M,
+        k=PQ_K,
+        iters=PQ_ITERS,
+        topk=PQADC_TOPK,
+    )
+    return ivf_pq_recall(
+        queries,
+        emb,
+        dims=EMB_DIMS,
+        coarse_k=KMEANS_K,
+        coarse_iters=IVFPQ_COARSE_ITERS,
+        m=PQ_M,
+        k=PQ_K,
+        iters=PQ_ITERS,
+        nprobe=IVFPQ_NPROBE,
+        topk=PQADC_TOPK,
+        approx=approx,
+    )
+
+
 def q_dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality profile + constraint suite (operators/profile.py
     profile_columns, Deequ-style): ONE scan of lineitem computes every
@@ -9467,6 +9568,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leverage_topk": q_leverage_topk,
         "sql_gate_exists": q_sql_gate_exists,
         "sql_gate_scalar": q_sql_gate_scalar,
+        "pq_opq_topk": q_pq_opq_topk,
+        "ann_recall_pq": q_ann_recall_pq,
+        "ann_recall_opq": q_ann_recall_opq,
     }
 
 
@@ -10916,6 +11020,153 @@ FROM (SELECT *, row_number() OVER (
         PARTITION BY q_id ORDER BY adist_q, c_id) AS rank
       FROM sel)
 WHERE rank <= {topk}
+"""
+
+
+def _opq_map_ctes_sql(m: int) -> str:
+    """Full-vector explode + variance-ranked snake dim→subspace map —
+    the oracle twin of operators/quantize.py opq_dim_assign: exact
+    HUGEINT S_d = n·Σxq² − (Σxq)², rank by S desc (dim-asc ties),
+    snake across the m groups."""
+    return f"""fx AS (
+  SELECT vec_id, d - 1 AS dim,
+         CAST(floor(CAST(e AS DOUBLE) * 1000000) AS BIGINT) AS xq
+  FROM (SELECT vec_id, unnest(embedding) AS e,
+               generate_subscripts(embedding, 1) AS d
+        FROM embeddings)
+),
+opq_vstat AS (
+  SELECT dim,
+         CAST(count(*) AS HUGEINT) * sum(CAST(xq AS HUGEINT) * xq)
+           - sum(CAST(xq AS HUGEINT)) * sum(CAST(xq AS HUGEINT)) AS s
+  FROM fx GROUP BY dim
+),
+opq_map AS (
+  SELECT dim,
+         CASE WHEN ((pos // {m}) % 2) = 0 THEN pos % {m}
+              ELSE {m} - 1 - (pos % {m}) END AS g
+  FROM (SELECT dim, row_number() OVER (ORDER BY s DESC, dim) - 1 AS pos
+        FROM opq_vstat)
+)"""
+
+
+def _pq_adc_sel_ctes_sql(
+    dims: int, m: int, k: int, iters: int, n_queries: int, opq: bool
+) -> str:
+    """Exhaustive-ADC CTE chain ending in ``sel(q_id, c_id, adist_q)``
+    — per-subspace unrolled-kmeans chains + query LUTs, over either the
+    raw contiguous slices (``opq=False``, the _pq_adc_oracle_sql
+    layout) or the variance-balanced opq_map groups (``opq=True``;
+    requires ``_opq_map_ctes_sql`` CTEs in scope). Shared by the
+    pq_opq_topk oracle and both exhaustive-ADC recall oracles."""
+    d = dims // m
+    if opq:
+        chains = ",\n".join(
+            _kmeans_ctes_sql(
+                k,
+                iters,
+                prefix=f"o{s}_",
+                ex_sql=f"""
+  SELECT e.vec_id, e.dim, e.xq
+  FROM fx e JOIN opq_map mp ON e.dim = mp.dim
+  WHERE mp.g = {s}""",
+            )
+            for s in range(m)
+        )
+        p = "o"
+    else:
+        chains = ",\n".join(
+            _kmeans_ctes_sql(
+                k,
+                iters,
+                prefix=f"s{s}_",
+                vec_sql=f"embedding[{s * d + 1}:{(s + 1) * d}]",
+            )
+            for s in range(m)
+        )
+        p = "s"
+    luts = ",\n".join(
+        f"""lut{s} AS (
+  SELECT qx.vec_id AS q_id, c.j,
+         sum((qx.xq - c.c) * (qx.xq - c.c)) AS d
+  FROM {p}{s}_ex qx JOIN {p}{s}_c{iters - 1} c ON qx.dim = c.dim
+  WHERE qx.vec_id < {n_queries}
+  GROUP BY 1, 2
+)"""
+        for s in range(m)
+    )
+    code_joins = f"{p}0_a{iters} a0" + "".join(
+        f" JOIN {p}{s}_a{iters} a{s} USING (vec_id)" for s in range(1, m)
+    )
+    lut_joins = " JOIN lut0 l0 ON l0.j = a0.j" + "".join(
+        f" JOIN lut{s} l{s} ON l{s}.j = a{s}.j AND l{s}.q_id = l0.q_id"
+        for s in range(1, m)
+    )
+    adist = " + ".join(f"l{s}.d" for s in range(m))
+    return f"""{chains},
+{luts},
+sel AS (
+  SELECT l0.q_id, a0.vec_id AS c_id, {adist} AS adist_q
+  FROM {code_joins}{lut_joins}
+)"""
+
+
+def _pq_adc_opq_oracle_sql(
+    dims: int, m: int, k: int, iters: int, n_queries: int, topk: int
+) -> str:
+    """pq_opq_topk oracle: the opq_map CTEs + the shared exhaustive-ADC
+    chain over the mapped groups, rank cutoff with id-asc ties."""
+    return f"""WITH {_opq_map_ctes_sql(m)},
+{_pq_adc_sel_ctes_sql(dims, m, k, iters, n_queries, opq=True)}
+SELECT CAST(q_id AS BIGINT) AS q_id,
+       CAST(c_id AS BIGINT) AS c_id,
+       CAST(rank AS BIGINT) AS rank,
+       CAST(adist_q AS BIGINT) AS adist_q
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY q_id ORDER BY adist_q, c_id) AS rank
+      FROM sel)
+WHERE rank <= {topk}
+"""
+
+
+def _pq_recall_oracle_sql(
+    dims: int, m: int, k: int, iters: int, n_queries: int, topk: int,
+    opq: bool,
+) -> str:
+    """Recall@k of exhaustive PQ-ADC (raw slices or OPQ-balanced
+    groups) against the EXACT squared-L2 top-k over the same
+    micro-unit integers — the _ann_recall_oracle_sql epilogue on the
+    exhaustive sel chain. The raw/OPQ pair makes the OPQ bit-allocation
+    lift a measured, value-exact number."""
+    sel = _pq_adc_sel_ctes_sql(dims, m, k, iters, n_queries, opq=opq)
+    return f"""WITH {_opq_map_ctes_sql(m)},
+{sel},
+approx AS (
+  SELECT q_id, c_id
+  FROM (SELECT *, row_number() OVER (
+          PARTITION BY q_id ORDER BY adist_q, c_id) AS rank
+        FROM sel)
+  WHERE rank <= {topk}
+),
+exd AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         sum((q.xq - c.xq) * (q.xq - c.xq)) AS d
+  FROM fx q JOIN fx c ON q.dim = c.dim
+  WHERE q.vec_id < {n_queries}
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT q_id, c_id
+  FROM (SELECT *, row_number() OVER (
+          PARTITION BY q_id ORDER BY d, c_id) AS rk
+        FROM exd)
+  WHERE rk <= {topk}
+)
+SELECT CAST(exact.q_id AS BIGINT) AS q_id,
+       CAST(count(approx.c_id) AS BIGINT) AS n_hits
+FROM exact LEFT JOIN approx
+  ON exact.q_id = approx.q_id AND exact.c_id = approx.c_id
+GROUP BY 1
 """
 
 
@@ -17697,6 +17948,17 @@ FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
         # through spark.sql and DuckDB (_Q3_SQL/_Q5_SQL precedent)
         "sql_gate_exists": _QE_SQL,
         "sql_gate_scalar": _QS_SQL,
+        "pq_opq_topk": _pq_adc_opq_oracle_sql(
+            EMB_DIMS, PQ_M, PQ_K, PQ_ITERS, PQADC_QUERIES, PQADC_TOPK
+        ),
+        "ann_recall_pq": _pq_recall_oracle_sql(
+            EMB_DIMS, PQ_M, PQ_K, PQ_ITERS, PQADC_QUERIES, PQADC_TOPK,
+            opq=False,
+        ),
+        "ann_recall_opq": _pq_recall_oracle_sql(
+            EMB_DIMS, PQ_M, PQ_K, PQ_ITERS, PQADC_QUERIES, PQADC_TOPK,
+            opq=True,
+        ),
     }
 
 

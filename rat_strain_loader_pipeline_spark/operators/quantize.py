@@ -336,6 +336,131 @@ def ivf_pq_topk(
     )
 
 
+def opq_dim_assign(
+    corpus: DataFrame,
+    m: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """OPQ-lite subspace allocation (the initialization idea of Ge et
+    al.'s Optimized Product Quantization, reduced to its deterministic
+    zeroth-order form): assign DIMENSIONS to the m PQ subspaces so the
+    per-subspace variance mass is balanced, instead of chopping the
+    raw dimension order into contiguous slices. A permutation is an
+    orthogonal rotation, so exact L2 geometry is untouched — any
+    recall difference vs raw PQ comes purely from better bit
+    allocation across codebooks, which is the published OPQ effect.
+
+    Per-dimension spread statistic: S_d = n·Σx_q² − (Σx_q)², exact in
+    DECIMAL(38,0) over the micro-unit integers (order-free, engine-
+    portable). Dims rank by S desc (dim-asc ties) and snake across the
+    m groups (0..m-1, m-1..0, …) — the balanced deal. Returns the
+    (dim, g) map: dims rows, broadcastable anywhere; the original dim
+    index stays the within-group key (kmeans only needs the dim SET
+    per group, so no relabeling).
+
+    100 TB shape: one explode + one dims-row aggregate over the
+    corpus; the window runs on dims rows (trivial)."""
+    from pyspark.sql.window import Window
+
+    from rat_strain_loader_pipeline_spark.operators.clustering import MICROS
+
+    ex = corpus.select(F.posexplode(vec_col).alias("dim", "x")).select(
+        "dim",
+        F.floor(F.col("x").cast("double") * MICROS).cast("long").alias("xq"),
+    )
+    stats = ex.groupBy("dim").agg(
+        F.expr("CAST(count(*) AS DECIMAL(38,0))").alias("n"),
+        F.expr("sum(CAST(xq AS DECIMAL(38,0)) * xq)").alias("sx2"),
+        F.expr("sum(CAST(xq AS DECIMAL(38,0)))").alias("sx"),
+    )
+    w = Window.orderBy(F.expr("n * sx2 - sx * sx").desc(), F.col("dim").asc())
+    return (
+        stats.withColumn("pos", F.row_number().over(w) - 1)
+        .select(
+            "dim",
+            F.expr(
+                f"CAST(CASE WHEN ((pos div {m}) % 2) = 0 THEN pos % {m}"
+                f" ELSE {m} - 1 - (pos % {m}) END AS INT)"
+            ).alias("g"),
+        )
+    )
+
+
+def pq_adc_topk_opq(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dims: int,
+    m: int = 2,
+    k: int = 8,
+    iters: int = 2,
+    topk: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exhaustive ADC top-k over OPQ-allocated PQ codes — the
+    ``pq_adc_topk`` twin with ``opq_dim_assign``'s variance-balanced
+    dim→subspace map in place of contiguous slices. Same storage (m
+    bigint codes/vector), same ADC cost, same all-bigint exactness;
+    the recall delta vs raw PQ (ann_recall_pq vs ann_recall_opq) is
+    the measured value of balancing spread across codebooks.
+
+    Build is ONE ``kmeans_fit_grouped`` run over the mapped explode
+    (the m codebooks train in the same scans); search is a broadcast
+    (queries × m × k) LUT joined to the codes — the corpus is touched
+    once for codes, once per query batch for ADC, never pairwise.
+    Returns (q_id, c_id, rank, adist_q), rank 1-based, id-asc ties."""
+    from pyspark.sql.window import Window
+
+    from rat_strain_loader_pipeline_spark.operators.clustering import (
+        MICROS,
+        kmeans_fit_grouped,
+    )
+    from rat_strain_loader_pipeline_spark.staging import stage_to_parquet
+
+    d, rem = divmod(dims, m)
+    if rem:
+        raise ValueError(f"dims={dims} not divisible by m={m}")
+    dim_map = stage_to_parquet(
+        opq_dim_assign(corpus, m=m, id_col=id_col, vec_col=vec_col),
+        "opq-dimmap",
+    )
+
+    def gx(df: DataFrame, out_id: str) -> DataFrame:
+        base = df.select(
+            F.col(id_col).alias(out_id), F.posexplode(vec_col).alias("dim", "x")
+        ).select(
+            out_id,
+            "dim",
+            F.floor(F.col("x").cast("double") * MICROS).cast("long").alias("xq"),
+        )
+        return base.join(F.broadcast(dim_map), "dim").select(
+            out_id, "g", "dim", "xq"
+        )
+
+    codes, codebook = kmeans_fit_grouped(
+        gx(corpus, id_col), k=k, iters=iters, id_col=id_col
+    )
+    lut = (
+        gx(queries, "q_id")
+        .join(codebook, ["g", "dim"])
+        .groupBy("q_id", "g", "j")
+        .agg(F.sum((F.col("xq") - F.col("c")) * (F.col("xq") - F.col("c"))).alias("d"))
+    )
+    adc = (
+        codes.select(F.col(id_col).alias("c_id"), "g", "j")
+        .join(F.broadcast(lut), ["g", "j"])
+        .groupBy("q_id", "c_id")
+        .agg(F.sum("d").alias("adist_q"))
+    )
+    w = Window.partitionBy("q_id").orderBy("adist_q", "c_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select("q_id", "c_id", F.col("rank").cast("long").alias("rank"), "adist_q")
+    )
+
+
 def ivf_pq_recall(
     queries: DataFrame,
     corpus: DataFrame,

@@ -216,3 +216,48 @@ def test_ivf_pq_residual_partition_invariant(spark, sf_dir):
     for qid, cid, rank, dist in a:
         ranks.setdefault(qid, []).append(rank)
     assert all(sorted(v) == [1, 2, 3] for v in ranks.values())
+
+
+def test_opq_dim_assign_balanced_permutation(spark, sf_dir):
+    """The OPQ map is a permutation-shaped allocation: every dim
+    appears exactly once, groups are variance-snake balanced (64 dims,
+    m=2 -> 32/32), and the map is input-partitioning invariant."""
+    from rat_strain_loader_pipeline_spark.operators.quantize import opq_dim_assign
+    from rat_strain_loader_pipeline_spark.sources.tables import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    rows = opq_dim_assign(emb, m=2).collect()
+    assert sorted(r["dim"] for r in rows) == list(range(64))
+    sizes = {}
+    for r in rows:
+        sizes[r["g"]] = sizes.get(r["g"], 0) + 1
+    assert sizes == {0: 32, 1: 32}
+    again = {
+        r["dim"]: r["g"]
+        for r in opq_dim_assign(
+            emb.repartition(7, F.col("vec_id") % 3), m=2
+        ).collect()
+    }
+    assert again == {r["dim"]: r["g"] for r in rows}
+
+
+def test_pq_adc_topk_opq_partition_invariant_and_ranked(spark, sf_dir):
+    from rat_strain_loader_pipeline_spark.operators.quantize import pq_adc_topk_opq
+    from rat_strain_loader_pipeline_spark.sources.tables import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 4)
+    kw = dict(dims=64, m=2, k=4, iters=2, topk=3)
+    a = sorted(tuple(r) for r in pq_adc_topk_opq(q, emb.coalesce(1), **kw).collect())
+    b = sorted(
+        tuple(r)
+        for r in pq_adc_topk_opq(
+            q, emb.repartition(9, F.col("vec_id") % 4), **kw
+        ).collect()
+    )
+    assert a == b
+    assert len(a) == 4 * 3
+    ranks = {}
+    for qid, cid, rank, dist in a:
+        ranks.setdefault(qid, []).append(rank)
+    assert all(sorted(v) == [1, 2, 3] for v in ranks.values())
