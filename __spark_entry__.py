@@ -8415,6 +8415,75 @@ def q_ivf_pq_serve_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_RESIDUAL_EVEN_INDEX_PATHS: dict[str, str] = {}
+
+
+def _ivf_residual_even_index_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once per-process residual index over the EVEN-id half of
+    the corpus — the 'already indexed' store the drift-gated reindex
+    query maintains (the cc_incremental even/odd batch convention)."""
+    import os as _os
+
+    path = _IVF_RESIDUAL_EVEN_INDEX_PATHS.get(sf_dir)
+    if path is not None and _os.path.exists(
+        _os.path.join(path, "codes", "_SUCCESS")
+    ):
+        return path
+    from rat_strain_loader_pipeline_spark.operators.quantize import (
+        ivf_pq_residual_index_build,
+    )
+
+    tag = (_os.path.basename(sf_dir.rstrip("/")) or "corpus") + "-even"
+    path = ivf_pq_residual_index_build(
+        _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 2 == 0),
+        dims=EMB_DIMS,
+        coarse_k=KMEANS_K,
+        coarse_iters=IVFPQ_COARSE_ITERS,
+        m=PQ_M,
+        k=PQ_K,
+        iters=PQ_ITERS,
+        tag=tag,
+    )
+    _IVF_RESIDUAL_EVEN_INDEX_PATHS[sf_dir] = path
+    return path
+
+
+def q_ivf_pq_reindex_drifted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAINTAIN half of the ANN lifecycle (operators/quantize.py
+    ivf_pq_reindex_drifted) — completes build/serve/maintain the way
+    cc_incremental completed dedup-at-ingest: the persisted even-id
+    residual index absorbs a drifted new batch (odd ids with REVERSED
+    vectors — a deterministic, oracle-replayable distribution shift).
+    New vectors route through the stored coarse centroids; per-list
+    drift is the exact SUM-vector cosine (old members vs all members);
+    lists past the REINDEX_DRIFT_Q gate refresh their centroid to the
+    floored member mean and re-encode every member's residual against
+    the FROZEN codebooks, while untouched lists pass their stored code
+    rows through verbatim (never rescanned — the O(new batch) property
+    that makes maintenance affordable at 100 TB). Output is the
+    per-list manifest with md5 fingerprints of the FINAL per-list code
+    and centroid rows, so the oracle checks the maintained artifact
+    content itself; a pytest asserts touched-list equality with the
+    force-all re-encode and untouched-list passthrough."""
+    from rat_strain_loader_pipeline_spark.operators.quantize import (
+        ivf_pq_reindex_drifted,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_pq_reindex_drifted(
+        spark,
+        _ivf_residual_even_index_path(spark, sf_dir),
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1).select(
+            "vec_id", F.reverse("embedding").alias("embedding")
+        ),
+        dims=EMB_DIMS,
+        m=PQ_M,
+        drift_threshold_q=REINDEX_DRIFT_Q,
+        fp_mod=IVFPQ_FP_MOD,
+    )
+
+
 def q_gram_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top principal component + explained-variance share
     (operators/spectral.py gram_power_iteration over
@@ -9571,6 +9640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_opq_topk": q_pq_opq_topk,
         "ann_recall_pq": q_ann_recall_pq,
         "ann_recall_opq": q_ann_recall_opq,
+        "ivf_pq_reindex_drifted": q_ivf_pq_reindex_drifted,
     }
 
 
@@ -10532,6 +10602,7 @@ PQADC_TOPK = 5       # neighbors kept per ADC query
 IVFPQ_NPROBE = 3        # coarse lists probed per query (of KMEANS_K)
 IVFPQ_COARSE_ITERS = 2  # shallow coarse training (the standard IVF recipe)
 IVFPQ_FP_MOD = 10**15   # index-artifact content-fingerprint modulus
+REINDEX_DRIFT_Q = 925_000  # reindex lists whose drift cosine < 0.925
 POWER_ITERS = 5         # power-iteration rounds (q_gram_top_component)
 HLL_P = 8               # HyperLogLog precision: 2^8 = 256 registers
 VOCAB_GROWTH_BUCKET = 50  # docs per ingest bucket (q_vocab_growth)
@@ -10839,6 +10910,7 @@ def _kmeans_ctes_sql(
     prefix: str = "",
     vec_sql: str = "embedding",
     ex_sql: str | None = None,
+    src_sql: str = "embeddings",
 ) -> str:
     """Unrolled Lloyd's rounds as a CTE chain (the pagerank pattern),
     generated from the SAME (k, iters) the engine call sites use.
@@ -10857,13 +10929,13 @@ def _kmeans_ctes_sql(
          CAST(floor(CAST(e AS DOUBLE) * 1000000) AS BIGINT) AS xq
   FROM (SELECT vec_id, unnest({vec_sql}) AS e,
                generate_subscripts({vec_sql}, 1) AS d
-        FROM embeddings)"""
+        FROM {src_sql})"""
     ctes = [
         f"""{p}ex AS ({ex_body}
 )""",
         f"""{p}seeds AS (
   SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS j
-  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})
+  FROM (SELECT vec_id FROM {src_sql} ORDER BY vec_id LIMIT {k})
 )""",
         f"""{p}c0 AS (
   SELECT {p}seeds.j, {p}ex.dim, {p}ex.xq AS c
@@ -11419,6 +11491,192 @@ SELECT 'codes', -1, CAST(count(*) AS BIGINT),
 FROM coderows
 """
 
+
+
+def _reindex_oracle_sql(
+    dims: int,
+    coarse_k: int,
+    coarse_iters: int,
+    m: int,
+    k: int,
+    iters: int,
+    threshold_q: int,
+    fp_mod: int,
+) -> str:
+    """Drift-gated reindex oracle: rebuild the even-id RESIDUAL index
+    from the embedded constants (coarse chain + residual subspace
+    chains over ``eold``), route the odd-id reversed-vector batch
+    through the stored centroids, replay the per-list SUM-vector drift
+    cosine, the gate, the refreshed-centroid kmeans update for flagged
+    lists, the frozen-codebook re-encode, and the passthrough — then
+    hash the FINAL per-list codes and centroid rows exactly as the
+    engine manifest does (md5_number_lower mod fp_mod, HUGEINT sums).
+    Mirrors operators/quantize.py ivf_pq_reindex_drifted stage for
+    stage."""
+    d = dims // m
+    ci = coarse_iters
+    coarse = _kmeans_ctes_sql(coarse_k, ci, prefix="cv_", src_sql="eold")
+    resid = f"""resid AS (
+  SELECT e.vec_id, e.dim, e.xq - c.c AS rq
+  FROM cv_ex e
+  JOIN cv_a{ci} a ON e.vec_id = a.vec_id
+  JOIN cv_c{ci - 1} c ON a.j = c.j AND e.dim = c.dim
+)"""
+    chains = ",\n".join(
+        _kmeans_ctes_sql(
+            k,
+            iters,
+            prefix=f"s{s}_",
+            ex_sql=(
+                f"\n  SELECT vec_id, dim - {s * d} AS dim, rq AS xq FROM resid"
+                f"\n  WHERE dim >= {s * d} AND dim < {(s + 1) * d}"
+            ),
+            src_sql="eold",
+        )
+        for s in range(m)
+    )
+    codebook_union = "\n  UNION ALL ".join(
+        f"SELECT {s} AS g, j, dim, c FROM s{s}_c{iters - 1}" for s in range(m)
+    )
+    oldcodes_union = "\n  UNION ALL ".join(
+        f"SELECT vec_id, {s} AS g, j FROM s{s}_a{iters}" for s in range(m)
+    )
+    return f"""WITH eold AS (SELECT * FROM embeddings WHERE vec_id % 2 = 0),
+enew AS (
+  SELECT vec_id, list_reverse(embedding) AS embedding
+  FROM embeddings WHERE vec_id % 2 = 1
+),
+{coarse},
+{resid},
+{chains},
+codebook AS (
+  {codebook_union}
+),
+oldcodes AS (
+  {oldcodes_union}
+),
+nx AS (
+  SELECT vec_id, dd - 1 AS dim,
+         CAST(floor(CAST(e AS DOUBLE) * 1000000) AS BIGINT) AS xq
+  FROM (SELECT vec_id, unnest(embedding) AS e,
+               generate_subscripts(embedding, 1) AS dd
+        FROM enew)
+),
+route AS (
+  SELECT vec_id, j AS jc FROM (
+    SELECT nx.vec_id, c.j, sum((nx.xq - c.c) * (nx.xq - c.c)) AS dist
+    FROM nx JOIN cv_c{ci - 1} c ON nx.dim = c.dim
+    GROUP BY 1, 2)
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, j) = 1
+),
+oldx AS (
+  SELECT e.vec_id, a.j AS jc, e.dim, e.xq
+  FROM cv_ex e JOIN cv_a{ci} a USING (vec_id)
+),
+memb AS (
+  SELECT * FROM oldx
+  UNION ALL
+  SELECT nx.vec_id, route.jc, nx.dim, nx.xq FROM nx JOIN route USING (vec_id)
+),
+sold AS (SELECT jc, dim, sum(xq) AS so FROM oldx GROUP BY 1, 2),
+sall AS (SELECT jc, dim, sum(xq) AS sa FROM memb GROUP BY 1, 2),
+gate AS (
+  SELECT jc, drift_q,
+         (drift_q IS NULL OR drift_q < {threshold_q}) AS reindexed
+  FROM (
+    SELECT jc, CASE WHEN n2o > 0 AND n2a > 0 THEN
+        CAST(floor(CAST(dot AS DOUBLE)
+          / (sqrt(CAST(n2o AS DOUBLE)) * sqrt(CAST(n2a AS DOUBLE)))
+          * 1000000) AS BIGINT) END AS drift_q
+    FROM (
+      SELECT sall.jc,
+             sum(CAST(COALESCE(so, 0) AS HUGEINT) * sall.sa) AS dot,
+             sum(CAST(COALESCE(so, 0) AS HUGEINT) * COALESCE(so, 0)) AS n2o,
+             sum(CAST(sall.sa AS HUGEINT) * sall.sa) AS n2a
+      FROM sall LEFT JOIN sold ON sall.jc = sold.jc AND sall.dim = sold.dim
+      GROUP BY 1)
+  )
+),
+nmem AS (
+  SELECT jc, count(DISTINCT vec_id) AS n_mem FROM memb GROUP BY 1
+),
+refreshed AS (
+  SELECT memb.jc, memb.dim,
+         CAST(floor(CAST(sum(xq) AS DOUBLE)
+                    / CAST(any_value(n_mem) AS DOUBLE)) AS BIGINT) AS c
+  FROM memb JOIN nmem USING (jc)
+  GROUP BY 1, 2
+),
+centf AS (
+  SELECT c.j AS jc, c.dim, c.c
+  FROM cv_c{ci - 1} c LEFT JOIN gate ON gate.jc = c.j
+  WHERE NOT COALESCE(gate.reindexed, FALSE)
+  UNION ALL
+  SELECT r.jc, r.dim, r.c
+  FROM refreshed r JOIN gate USING (jc) WHERE gate.reindexed
+),
+tenc AS (
+  SELECT memb.vec_id, memb.jc, memb.dim, memb.xq
+  FROM memb
+  LEFT JOIN gate USING (jc)
+  LEFT JOIN (SELECT DISTINCT vec_id, TRUE AS is_old FROM oldx) o
+    USING (vec_id)
+  WHERE COALESCE(gate.reindexed, FALSE) OR o.is_old IS NULL
+),
+rsd AS (
+  SELECT t.vec_id, t.jc, t.dim // {d} AS g, t.dim % {d} AS dim,
+         t.xq - cf.c AS rq
+  FROM tenc t JOIN centf cf ON t.jc = cf.jc AND t.dim = cf.dim
+),
+enc AS (
+  SELECT vec_id, jc, g, j FROM (
+    SELECT rsd.vec_id, rsd.jc, rsd.g, cb.j,
+           sum((rsd.rq - cb.c) * (rsd.rq - cb.c)) AS dist
+    FROM rsd JOIN codebook cb ON rsd.g = cb.g AND rsd.dim = cb.dim
+    GROUP BY 1, 2, 3, 4)
+  QUALIFY row_number() OVER (PARTITION BY vec_id, jc, g
+                             ORDER BY dist, j) = 1
+),
+pass_ AS (
+  SELECT oc.vec_id, ol.jc, oc.g, oc.j
+  FROM oldcodes oc
+  JOIN (SELECT vec_id, j AS jc FROM cv_a{ci}) ol USING (vec_id)
+  LEFT JOIN gate USING (jc)
+  WHERE NOT COALESCE(gate.reindexed, FALSE)
+),
+fcodes AS (
+  SELECT * FROM pass_ UNION ALL SELECT vec_id, jc, g, j FROM enc
+),
+fpc AS (
+  SELECT jc, CAST(sum(CAST(md5_number_lower(
+           'k:' || CAST(vec_id AS VARCHAR) || ':' || CAST(g AS VARCHAR)
+           || ':' || CAST(j AS VARCHAR)) % {fp_mod} AS HUGEINT))
+         % {fp_mod} AS BIGINT) AS fp_codes
+  FROM fcodes GROUP BY 1
+),
+fpn AS (
+  SELECT jc, CAST(sum(CAST(md5_number_lower(
+           'c:' || CAST(dim AS VARCHAR) || ':' || CAST(c AS VARCHAR))
+           % {fp_mod} AS HUGEINT)) % {fp_mod} AS BIGINT) AS fp_cent
+  FROM centf GROUP BY 1
+),
+nold AS (SELECT j AS jc, CAST(count(*) AS BIGINT) AS n_old
+         FROM cv_a{ci} GROUP BY 1),
+nnew AS (SELECT jc, CAST(count(*) AS BIGINT) AS n_new
+         FROM route GROUP BY 1)
+SELECT CAST(gate.jc AS BIGINT) AS j,
+       COALESCE(nold.n_old, 0) AS n_old,
+       COALESCE(nnew.n_new, 0) AS n_new,
+       gate.drift_q,
+       gate.reindexed,
+       fpc.fp_codes,
+       fpn.fp_cent
+FROM gate
+LEFT JOIN nold USING (jc)
+LEFT JOIN nnew USING (jc)
+LEFT JOIN fpc USING (jc)
+LEFT JOIN fpn USING (jc)
+"""
 
 
 def _gram_power_ctes_sql(rounds: int) -> str:
@@ -17958,6 +18216,10 @@ FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
         "ann_recall_opq": _pq_recall_oracle_sql(
             EMB_DIMS, PQ_M, PQ_K, PQ_ITERS, PQADC_QUERIES, PQADC_TOPK,
             opq=True,
+        ),
+        "ivf_pq_reindex_drifted": _reindex_oracle_sql(
+            EMB_DIMS, KMEANS_K, IVFPQ_COARSE_ITERS, PQ_M, PQ_K, PQ_ITERS,
+            REINDEX_DRIFT_Q, IVFPQ_FP_MOD,
         ),
     }
 

@@ -1077,3 +1077,254 @@ def ivf_pq_serve_topk(
         .filter(F.col("rank") <= topk)
         .select("q_id", "c_id", F.col("rank").cast("long").alias("rank"), "adist_q")
     )
+
+
+def ivf_pq_reindex_drifted(
+    spark,
+    index_path: str,
+    old_corpus: DataFrame,
+    new_batch: DataFrame,
+    dims: int,
+    m: int = 2,
+    drift_threshold_q: int = 900_000,
+    fp_mod: int = 10**15,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    force_all: bool = False,
+) -> DataFrame:
+    """Drift-gated maintenance of a persisted RESIDUAL IVF-PQ index —
+    the missing third of the build/serve/maintain lifecycle (build:
+    ``ivf_pq_residual_index_build``; serve: ``ivf_pq_residual_serve_topk``):
+    fold a new embedding batch into the stored index, re-encoding ONLY
+    the inverted lists whose incoming traffic actually moved.
+
+    Per batch (codebooks FROZEN — maintenance, not retraining):
+
+    1. Route each new vector to its nearest stored coarse centroid
+       (exact micro-unit argmin, (dist, j) ties).
+    2. Per list, drift = the one fixed IEEE cosine tree over the exact
+       integer SUM vectors of the OLD members vs ALL (old + new)
+       members (the ``label_centroid_drift`` identity — cosine is
+       scale-invariant, so no mean is ever divided). A list with no
+       new members has S_all = S_old (cosine ~ 1e6, never flagged); a
+       list with no old members is drifted by definition (NULL cosine).
+    3. Lists with drift_q < ``drift_threshold_q`` (or NULL) REINDEX:
+       their coarse centroid refreshes to the floored mean of all
+       current members (the kmeans update rule) and every member
+       re-encodes its residual against the refreshed centroid with the
+       frozen codebooks. Untouched lists PASS THROUGH: stored code
+       rows are reused verbatim (never rescanned) and only the new
+       members encode, against the stored centroid.
+
+    ``force_all=True`` treats every list as drifted — the full
+    refresh-and-re-encode pass the pytest uses to assert touched-list
+    equality (incremental == full on reindexed lists) and
+    untouched-list passthrough, the ``connected_components_incremental``
+    contract shape.
+
+    100 TB shape: routing is new-batch × (K·dims) map-side work
+    against the broadcast centroid table; drift is lists×dims-bounded
+    sums; re-encode cost is bounded by the members of DRIFTED lists
+    only — a stable corpus pays O(new batch), never O(index).
+
+    Returns the per-list maintenance manifest (j, n_old, n_new,
+    drift_q, reindexed, fp_codes, fp_cent): counts, the drift score,
+    the gate decision, and order-free md5 fingerprints (mod
+    ``fp_mod``, DECIMAL(38,0)-accumulated — the index-summary idiom)
+    of the list's FINAL code rows and centroid rows, so a value-exact
+    oracle checks the maintained artifact content itself."""
+    import os
+
+    from rat_strain_loader_pipeline_spark.operators.clustering import MICROS
+    from rat_strain_loader_pipeline_spark.operators.sampling import md5_mod
+    from rat_strain_loader_pipeline_spark.staging import stage_to_parquet
+
+    d, rem = divmod(dims, m)
+    if rem:
+        raise ValueError(f"dims={dims} not divisible by m={m}")
+    cent = spark.read.parquet(os.path.join(index_path, "coarse_centroids"))
+    codebook = spark.read.parquet(os.path.join(index_path, "codebook"))
+    stored = spark.read.parquet(os.path.join(index_path, "codes"))
+    old_lists = stored.filter(F.col("g") == -1).select(
+        F.col(id_col), F.col("j").alias("jc")
+    )
+
+    def micros(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col), F.posexplode(vec_col).alias("dim", "x")
+        ).select(
+            id_col,
+            "dim",
+            F.floor(F.col("x").cast("double") * MICROS).cast("long").alias("xq"),
+        )
+
+    old_x = micros(old_corpus).join(old_lists, id_col)
+    # 1. route the new batch through the stored coarse centroids
+    new_x = stage_to_parquet(micros(new_batch), "reindex-newx")
+    new_lists = (
+        new_x.join(F.broadcast(cent), "dim")
+        .groupBy(id_col, "j")
+        .agg(F.sum((F.col("xq") - F.col("c")) * (F.col("xq") - F.col("c"))).alias("dist"))
+        .groupBy(id_col)
+        .agg(F.min(F.struct("dist", "j")).alias("mn"))
+        .select(id_col, F.col("mn.j").alias("jc"))
+    )
+    members = stage_to_parquet(
+        old_x.select(id_col, "jc", "dim", "xq").unionByName(
+            new_x.join(new_lists, id_col).select(id_col, "jc", "dim", "xq")
+        ),
+        "reindex-members",
+    )
+    # 2. per-list drift: integer SUM vectors old vs all, one IEEE tree
+    s_old = (
+        old_x.groupBy("jc", "dim").agg(F.sum("xq").cast("long").alias("so"))
+    )
+    s_all = (
+        members.groupBy("jc", "dim").agg(F.sum("xq").cast("long").alias("sa"))
+    )
+    stats = (
+        s_all.join(s_old, ["jc", "dim"], "left")
+        .select("jc", F.coalesce("so", F.lit(0)).alias("so"), "sa")
+        .groupBy("jc")
+        .agg(
+            F.expr("sum(CAST(so AS DECIMAL(38,0)) * sa)").alias("dot"),
+            F.expr("sum(CAST(so AS DECIMAL(38,0)) * so)").alias("n2o"),
+            F.expr("sum(CAST(sa AS DECIMAL(38,0)) * sa)").alias("n2a"),
+        )
+        .select(
+            "jc",
+            F.expr(
+                "CASE WHEN n2o > 0 AND n2a > 0 THEN"
+                " CAST(floor(CAST(dot AS DOUBLE)"
+                "   / (sqrt(CAST(n2o AS DOUBLE)) * sqrt(CAST(n2a AS DOUBLE)))"
+                "   * 1000000) AS BIGINT) END"
+            ).alias("drift_q"),
+        )
+    )
+    gate = F.lit(True) if force_all else (
+        F.col("drift_q").isNull() | (F.col("drift_q") < drift_threshold_q)
+    )
+    decisions = stage_to_parquet(
+        stats.select("jc", "drift_q", gate.alias("reindexed")), "reindex-gate"
+    )
+    # 3. final centroids: refreshed mean for drifted lists, stored else
+    n_members = members.select(id_col, "jc").distinct().groupBy("jc").agg(
+        F.count(F.lit(1)).cast("long").alias("n_mem")
+    )
+    refreshed = (
+        members.groupBy("jc", "dim")
+        .agg(F.sum("xq").cast("double").alias("sx"))
+        .join(F.broadcast(n_members), "jc")
+        .select(
+            "jc",
+            "dim",
+            F.floor(F.col("sx") / F.col("n_mem").cast("double"))
+            .cast("long")
+            .alias("c"),
+        )
+    )
+    dec_b = F.broadcast(decisions.select("jc", "reindexed"))
+    cent_final = stage_to_parquet(
+        cent.select(F.col("j").alias("jc"), "dim", "c")
+        .join(dec_b, "jc", "left")
+        .filter(~F.coalesce("reindexed", F.lit(False)))
+        .select("jc", "dim", "c")
+        .unionByName(
+            refreshed.join(dec_b, "jc").filter("reindexed").select("jc", "dim", "c")
+        ),
+        "reindex-cent",
+    )
+    # 4. codes: passthrough for untouched old members; encode the rest
+    to_encode = (
+        members.join(dec_b, "jc", "left")
+        .withColumn("re", F.coalesce("reindexed", F.lit(False)))
+        .join(old_lists.select(id_col).withColumn("is_old", F.lit(True)), id_col, "left")
+        .filter(F.col("re") | F.col("is_old").isNull())
+        .select(id_col, "jc", "dim", "xq")
+    )
+    resid = (
+        to_encode.join(F.broadcast(cent_final), ["jc", "dim"])
+        .select(
+            id_col,
+            "jc",
+            (F.col("dim") / d).cast("int").alias("g"),
+            (F.col("dim") % d).alias("dim"),
+            (F.col("xq") - F.col("c")).alias("rq"),
+        )
+    )
+    encoded = (
+        resid.join(F.broadcast(codebook), ["g", "dim"])
+        .groupBy(id_col, "jc", "g", "j")
+        .agg(F.sum((F.col("rq") - F.col("c")) * (F.col("rq") - F.col("c"))).alias("dist"))
+        .groupBy(id_col, "jc", "g")
+        .agg(F.min(F.struct("dist", "j")).alias("mn"))
+        .select(id_col, "jc", "g", F.col("mn.j").alias("j"))
+    )
+    passthrough = (
+        stored.filter(F.col("g") >= 0)
+        .join(old_lists, id_col)
+        .join(dec_b, "jc", "left")
+        .filter(~F.coalesce("reindexed", F.lit(False)))
+        .select(id_col, "jc", "g", "j")
+    )
+    final_codes = passthrough.unionByName(encoded)
+
+    def fp_sum(h: str):
+        return F.expr(
+            f"CAST(sum(CAST({h} AS DECIMAL(38,0))) % {fp_mod} AS BIGINT)"
+        )
+
+    fp_codes = (
+        final_codes.select(
+            "jc",
+            md5_mod(
+                F.concat_ws(
+                    ":",
+                    F.lit("k"),
+                    F.col(id_col).cast("string"),
+                    F.col("g").cast("string"),
+                    F.col("j").cast("string"),
+                ),
+                fp_mod,
+            ).alias("h"),
+        )
+        .groupBy("jc")
+        .agg(fp_sum("h").alias("fp_codes"))
+    )
+    fp_cent = (
+        cent_final.select(
+            "jc",
+            md5_mod(
+                F.concat_ws(
+                    ":",
+                    F.lit("c"),
+                    F.col("dim").cast("string"),
+                    F.col("c").cast("string"),
+                ),
+                fp_mod,
+            ).alias("h"),
+        )
+        .groupBy("jc")
+        .agg(fp_sum("h").alias("fp_cent"))
+    )
+    n_old = old_lists.groupBy("jc").agg(
+        F.count(F.lit(1)).cast("long").alias("n_old")
+    )
+    n_new = new_lists.groupBy("jc").agg(
+        F.count(F.lit(1)).cast("long").alias("n_new")
+    )
+    return (
+        decisions.join(F.broadcast(n_old), "jc", "left")
+        .join(F.broadcast(n_new), "jc", "left")
+        .join(F.broadcast(fp_codes), "jc", "left")
+        .join(F.broadcast(fp_cent), "jc", "left")
+        .select(
+            F.col("jc").cast("long").alias("j"),
+            F.coalesce("n_old", F.lit(0)).cast("long").alias("n_old"),
+            F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"),
+            "drift_q",
+            "reindexed",
+            "fp_codes",
+            "fp_cent",
+        )
+    )

@@ -261,3 +261,99 @@ def test_pq_adc_topk_opq_partition_invariant_and_ranked(spark, sf_dir):
     for qid, cid, rank, dist in a:
         ranks.setdefault(qid, []).append(rank)
     assert all(sorted(v) == [1, 2, 3] for v in ranks.values())
+
+
+def test_ivf_pq_reindex_drifted_touched_equality_and_passthrough(spark, sf_dir):
+    """MAINTAIN-half contract (the connected_components_incremental
+    shape): (a) with an empty new batch nothing flags and the manifest
+    fingerprints reproduce the stored artifact bit-for-bit (pure
+    passthrough); (b) with the drifted odd/reversed batch, every list
+    the gate flags carries EXACTLY the codes+centroid fingerprints the
+    force-all full re-encode produces (touched-list equality), while
+    untouched lists keep their stored centroid fingerprint."""
+    import __spark_entry__ as em
+    from rat_strain_loader_pipeline_spark.operators.quantize import (
+        ivf_pq_reindex_drifted,
+    )
+    from rat_strain_loader_pipeline_spark.operators.sampling import md5_mod
+    from rat_strain_loader_pipeline_spark.sources.tables import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    old = emb.filter(F.col("vec_id") % 2 == 0)
+    new = emb.filter(F.col("vec_id") % 2 == 1).select(
+        "vec_id", F.reverse("embedding").alias("embedding")
+    )
+    path = em._ivf_residual_even_index_path(spark, sf_dir)
+    kw = dict(dims=64, m=2, fp_mod=em.IVFPQ_FP_MOD)
+
+    # (a) empty batch -> passthrough == stored artifact
+    empty = new.filter(F.lit(False))
+    base = {r["j"]: r for r in ivf_pq_reindex_drifted(
+        spark, path, old, empty, drift_threshold_q=500_000, **kw
+    ).collect()}
+    assert base and not any(r["reindexed"] for r in base.values())
+    stored = spark.read.parquet(path + "/codes")
+    lists = stored.filter(F.col("g") == -1).select(
+        "vec_id", F.col("j").alias("jc")
+    )
+    stored_fp = {
+        r["jc"]: r["fp"]
+        for r in stored.filter(F.col("g") >= 0)
+        .join(lists, "vec_id")
+        .select(
+            "jc",
+            md5_mod(
+                F.concat_ws(":", F.lit("k"), F.col("vec_id").cast("string"),
+                            F.col("g").cast("string"), F.col("j").cast("string")),
+                em.IVFPQ_FP_MOD,
+            ).alias("h"),
+        )
+        .groupBy("jc")
+        .agg(F.expr(
+            f"CAST(sum(CAST(h AS DECIMAL(38,0))) % {em.IVFPQ_FP_MOD} AS BIGINT)"
+        ).alias("fp"))
+        .collect()
+    }
+    assert {j: r["fp_codes"] for j, r in base.items()} == stored_fp
+
+    # (b) drifted batch: incremental == full on touched lists,
+    #     stored centroid fp kept on untouched lists
+    drifts = sorted(
+        r["drift_q"]
+        for r in ivf_pq_reindex_drifted(
+            spark, path, old, new, drift_threshold_q=0, **kw
+        ).collect()
+        if r["drift_q"] is not None
+    )
+    thr = drifts[len(drifts) // 2]  # force a split on this corpus
+    inc = {r["j"]: r for r in ivf_pq_reindex_drifted(
+        spark, path, old, new, drift_threshold_q=thr, **kw
+    ).collect()}
+    full = {r["j"]: r for r in ivf_pq_reindex_drifted(
+        spark, path, old, new, force_all=True, **kw
+    ).collect()}
+    touched = [j for j, r in inc.items() if r["reindexed"]]
+    untouched = [j for j, r in inc.items() if not r["reindexed"]]
+    assert touched and untouched  # both branches exercised
+    for j in touched:
+        assert inc[j]["fp_codes"] == full[j]["fp_codes"], j
+        assert inc[j]["fp_cent"] == full[j]["fp_cent"], j
+    cent_fp = {
+        r["jc"]: r["fp"]
+        for r in spark.read.parquet(path + "/coarse_centroids")
+        .select(
+            F.col("j").alias("jc"),
+            md5_mod(
+                F.concat_ws(":", F.lit("c"), F.col("dim").cast("string"),
+                            F.col("c").cast("string")),
+                em.IVFPQ_FP_MOD,
+            ).alias("h"),
+        )
+        .groupBy("jc")
+        .agg(F.expr(
+            f"CAST(sum(CAST(h AS DECIMAL(38,0))) % {em.IVFPQ_FP_MOD} AS BIGINT)"
+        ).alias("fp"))
+        .collect()
+    }
+    for j in untouched:
+        assert inc[j]["fp_cent"] == cent_fp[j], j
