@@ -1008,3 +1008,23 @@ def test_sql_gate_decorrelation(spark, sf_dir, queries):
     # the decorrelated per-part SUM shows up as a grouped aggregate
     # feeding an equi-join, with the partial agg pushed map-side
     assert "HashAggregate" in plan
+
+
+def test_round10_ann_batch_no_cartesian(spark, sf_dir, queries):
+    """E208-E212: no real cartesians in the OPQ/maintenance batch; the
+    OPQ dim map and ADC LUTs ride broadcast joins."""
+    for name in ("pq_opq_topk", "ann_recall_opq", "ann_recall_pq",
+                 "ivf_pq_reindex_drifted"):
+        plan = _plan(queries[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+
+
+def test_reindex_serves_from_stored_artifact(spark, sf_dir, queries):
+    """The maintenance pass must read the persisted even-id index (the
+    stored codes/centroids parquet appears in the plan) — training
+    happens at most once per process, not per call."""
+    import __spark_entry__ as em
+
+    plan = _plan(queries["ivf_pq_reindex_drifted"](spark, sf_dir))
+    path = em._IVF_RESIDUAL_EVEN_INDEX_PATHS[sf_dir]
+    assert path.split("/")[-1] in plan
