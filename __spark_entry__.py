@@ -5134,6 +5134,81 @@ def q_ann_recall_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_pq_opq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ-IVF-PQ search — the spectral/OPQ work composed INTO the IVF
+    serving architecture (operators/quantize.py ivf_pq_topk with
+    opq_dim_assign's dim_map): coarse routing is unchanged (the router
+    sees the full vector); the PQ subspaces are the variance-balanced
+    snake groups, so ADC bits spread evenly at identical storage and
+    probe cost. Same constants as ivf_pq_topk for a direct
+    recall-per-cost comparison; the oracle replays the variance map
+    and the fused grouped build value-exact."""
+    from rat_strain_loader_pipeline_spark.operators.quantize import (
+        ivf_pq_topk,
+        opq_dim_assign,
+    )
+    from rat_strain_loader_pipeline_spark.staging import stage_to_parquet
+
+    emb = _t(spark, sf_dir, "embeddings")
+    dim_map = stage_to_parquet(opq_dim_assign(emb, m=PQ_M), "opq-ivf-dimmap")
+    return ivf_pq_topk(
+        emb.filter(F.col("vec_id") < PQADC_QUERIES),
+        emb,
+        dims=EMB_DIMS,
+        coarse_k=KMEANS_K,
+        coarse_iters=IVFPQ_COARSE_ITERS,
+        m=PQ_M,
+        k=PQ_K,
+        iters=PQ_ITERS,
+        nprobe=IVFPQ_NPROBE,
+        topk=PQADC_TOPK,
+        dim_map=dim_map,
+    )
+
+
+def q_ann_recall_ivf_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k audit of the OPQ-IVF index (compare q_ann_recall — raw
+    subspaces, same routing/probe budget): isolates the bit-allocation
+    effect inside the IVF architecture the way ann_recall_opq isolates
+    it for exhaustive ADC."""
+    from rat_strain_loader_pipeline_spark.operators.quantize import (
+        ivf_pq_recall,
+        ivf_pq_topk,
+        opq_dim_assign,
+    )
+    from rat_strain_loader_pipeline_spark.staging import stage_to_parquet
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < PQADC_QUERIES)
+    dim_map = stage_to_parquet(opq_dim_assign(emb, m=PQ_M), "opq-ivf-dimmap")
+    approx = ivf_pq_topk(
+        queries,
+        emb,
+        dims=EMB_DIMS,
+        coarse_k=KMEANS_K,
+        coarse_iters=IVFPQ_COARSE_ITERS,
+        m=PQ_M,
+        k=PQ_K,
+        iters=PQ_ITERS,
+        nprobe=IVFPQ_NPROBE,
+        topk=PQADC_TOPK,
+        dim_map=dim_map,
+    )
+    return ivf_pq_recall(
+        queries,
+        emb,
+        dims=EMB_DIMS,
+        coarse_k=KMEANS_K,
+        coarse_iters=IVFPQ_COARSE_ITERS,
+        m=PQ_M,
+        k=PQ_K,
+        iters=PQ_ITERS,
+        nprobe=IVFPQ_NPROBE,
+        topk=PQADC_TOPK,
+        approx=approx,
+    )
+
+
 def q_dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality profile + constraint suite (operators/profile.py
     profile_columns, Deequ-style): ONE scan of lineitem computes every
@@ -9682,6 +9757,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_pq": q_ann_recall_pq,
         "ann_recall_opq": q_ann_recall_opq,
         "ivf_pq_reindex_drifted": q_ivf_pq_reindex_drifted,
+        "ivf_pq_opq_topk": q_ivf_pq_opq_topk,
+        "ann_recall_ivf_opq": q_ann_recall_ivf_opq,
     }
 
 
@@ -11351,6 +11428,148 @@ sel AS (
   SELECT cand.q_id, cand.c_id, {adist} AS adist_q
   FROM cand{code_joins}{lut_joins}
 )"""
+
+
+def _ivf_pq_opq_ctes_sql(
+    dims: int,
+    coarse_k: int,
+    coarse_iters: int,
+    m: int,
+    k: int,
+    iters: int,
+    n_queries: int,
+    nprobe: int,
+) -> str:
+    """OPQ-IVF-PQ CTE chain ending in ``sel(q_id, c_id, adist_q)`` —
+    the _ivf_pq_ctes_sql layout with the per-subspace chains consuming
+    the variance-balanced opq_map groups (original dim kept as the
+    within-group key) instead of contiguous slices; requires
+    ``_opq_map_ctes_sql`` CTEs prepended. Coarse routing is unchanged
+    (the router always sees the full vector)."""
+    ci = coarse_iters
+    coarse = _kmeans_ctes_sql(coarse_k, ci, prefix="cv_")
+    chains = ",\n".join(
+        _kmeans_ctes_sql(
+            k,
+            iters,
+            prefix=f"s{s}_",
+            ex_sql=(
+                f"\n  SELECT e.vec_id, e.dim, e.xq"
+                f"\n  FROM fx e JOIN opq_map mp ON e.dim = mp.dim"
+                f"\n  WHERE mp.g = {s}"
+            ),
+        )
+        for s in range(m)
+    )
+    luts = ",\n".join(
+        f"""lut{s} AS (
+  SELECT qx.vec_id AS q_id, c.j,
+         sum((qx.xq - c.c) * (qx.xq - c.c)) AS d
+  FROM s{s}_ex qx JOIN s{s}_c{iters - 1} c ON qx.dim = c.dim
+  WHERE qx.vec_id < {n_queries}
+  GROUP BY 1, 2
+)"""
+        for s in range(m)
+    )
+    code_joins = "".join(
+        f" JOIN s{s}_a{iters} a{s} ON a{s}.vec_id = cand.c_id" for s in range(m)
+    )
+    lut_joins = "".join(
+        f" JOIN lut{s} l{s} ON l{s}.j = a{s}.j AND l{s}.q_id = cand.q_id"
+        for s in range(m)
+    )
+    adist = " + ".join(f"l{s}.d" for s in range(m))
+    return f"""{coarse},
+{chains},
+{luts},
+cprobe AS (
+  SELECT qx.vec_id AS q_id, c.j,
+         sum((qx.xq - c.c) * (qx.xq - c.c)) AS d
+  FROM cv_ex qx JOIN cv_c{ci - 1} c ON qx.dim = c.dim
+  WHERE qx.vec_id < {n_queries}
+  GROUP BY 1, 2
+),
+probe AS (
+  SELECT q_id, j AS jc FROM cprobe
+  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY d, j) <= {nprobe}
+),
+cand AS (
+  SELECT probe.q_id, cv.vec_id AS c_id
+  FROM cv_a{ci} cv JOIN probe ON cv.j = probe.jc
+),
+sel AS (
+  SELECT cand.q_id, cand.c_id, {adist} AS adist_q
+  FROM cand{code_joins}{lut_joins}
+)"""
+
+
+def _ivf_pq_opq_oracle_sql(
+    dims: int,
+    coarse_k: int,
+    coarse_iters: int,
+    m: int,
+    k: int,
+    iters: int,
+    n_queries: int,
+    nprobe: int,
+    topk: int,
+) -> str:
+    return f"""WITH {_opq_map_ctes_sql(m)},
+{_ivf_pq_opq_ctes_sql(dims, coarse_k, coarse_iters, m, k, iters, n_queries, nprobe)}
+SELECT CAST(q_id AS BIGINT) AS q_id,
+       CAST(c_id AS BIGINT) AS c_id,
+       CAST(rank AS BIGINT) AS rank,
+       CAST(adist_q AS BIGINT) AS adist_q
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY q_id ORDER BY adist_q, c_id) AS rank
+      FROM sel)
+WHERE rank <= {topk}
+"""
+
+
+def _ivf_pq_opq_recall_oracle_sql(
+    dims: int,
+    coarse_k: int,
+    coarse_iters: int,
+    m: int,
+    k: int,
+    iters: int,
+    n_queries: int,
+    nprobe: int,
+    topk: int,
+) -> str:
+    """Recall of the OPQ-IVF index vs the exact top-k (the
+    _ann_recall_oracle_sql epilogue on the OPQ-IVF sel chain; fx is
+    the full-vector explode the opq_map CTEs expose)."""
+    return f"""WITH {_opq_map_ctes_sql(m)},
+{_ivf_pq_opq_ctes_sql(dims, coarse_k, coarse_iters, m, k, iters, n_queries, nprobe)},
+approx AS (
+  SELECT q_id, c_id
+  FROM (SELECT *, row_number() OVER (
+          PARTITION BY q_id ORDER BY adist_q, c_id) AS rank
+        FROM sel)
+  WHERE rank <= {topk}
+),
+exd AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         sum((q.xq - c.xq) * (q.xq - c.xq)) AS d
+  FROM fx q JOIN fx c ON q.dim = c.dim
+  WHERE q.vec_id < {n_queries}
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT q_id, c_id
+  FROM (SELECT *, row_number() OVER (
+          PARTITION BY q_id ORDER BY d, c_id) AS rk
+        FROM exd)
+  WHERE rk <= {topk}
+)
+SELECT CAST(exact.q_id AS BIGINT) AS q_id,
+       CAST(count(approx.c_id) AS BIGINT) AS n_hits
+FROM exact LEFT JOIN approx
+  ON exact.q_id = approx.q_id AND exact.c_id = approx.c_id
+GROUP BY 1
+"""
 
 
 def _ivf_pq_residual_ctes_sql(
@@ -18261,6 +18480,14 @@ FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
         "ivf_pq_reindex_drifted": _reindex_oracle_sql(
             EMB_DIMS, KMEANS_K, IVFPQ_COARSE_ITERS, PQ_M, PQ_K, PQ_ITERS,
             REINDEX_DRIFT_Q, IVFPQ_FP_MOD,
+        ),
+        "ivf_pq_opq_topk": _ivf_pq_opq_oracle_sql(
+            EMB_DIMS, KMEANS_K, IVFPQ_COARSE_ITERS, PQ_M, PQ_K, PQ_ITERS,
+            PQADC_QUERIES, IVFPQ_NPROBE, PQADC_TOPK,
+        ),
+        "ann_recall_ivf_opq": _ivf_pq_opq_recall_oracle_sql(
+            EMB_DIMS, KMEANS_K, IVFPQ_COARSE_ITERS, PQ_M, PQ_K, PQ_ITERS,
+            PQADC_QUERIES, IVFPQ_NPROBE, PQADC_TOPK,
         ),
     }
 

@@ -227,11 +227,18 @@ def ivf_pq_topk(
     topk: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim_map: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ search (Jegou et al.): the billion-scale ANN serving
     architecture — a coarse k-means quantizer routes each query to its
     ``nprobe`` nearest inverted lists, and ADC over PQ codes runs ONLY
     inside those lists.
+
+    ``dim_map`` (optional (dim, g) frame, e.g. ``opq_dim_assign``)
+    replaces the contiguous dim→subspace slicing with an arbitrary
+    allocation — the OPQ-IVF composition; the coarse router always
+    sees the full vector, and the original dim index stays the
+    within-group key. Default None keeps the raw contiguous layout.
 
     Index build is ONE ``clustering.kmeans_fit_grouped`` run: the
     corpus explodes once into m+1 vector spaces (group -1 = the full
@@ -284,12 +291,17 @@ def ivf_pq_topk(
         coarse_rows = base.select(
             out_id, F.lit(-1).alias("g"), "dim", "xq"
         )
-        sub_rows = base.select(
-            out_id,
-            (F.col("dim") / d).cast("int").alias("g"),
-            (F.col("dim") % d).alias("dim"),
-            "xq",
-        )
+        if dim_map is not None:
+            sub_rows = base.join(F.broadcast(dim_map), "dim").select(
+                out_id, "g", "dim", "xq"
+            )
+        else:
+            sub_rows = base.select(
+                out_id,
+                (F.col("dim") / d).cast("int").alias("g"),
+                (F.col("dim") % d).alias("dim"),
+                "xq",
+            )
         return coarse_rows.unionByName(sub_rows)
 
     assign, cent = kmeans_fit_grouped(

@@ -1028,3 +1028,12 @@ def test_reindex_serves_from_stored_artifact(spark, sf_dir, queries):
     plan = _plan(queries["ivf_pq_reindex_drifted"](spark, sf_dir))
     path = em._IVF_RESIDUAL_EVEN_INDEX_PATHS[sf_dir]
     assert path.split("/")[-1] in plan
+
+
+def test_ivf_pq_opq_no_cartesian_and_broadcast_map(spark, sf_dir, queries):
+    """E213/E214: the OPQ-IVF composition keeps the dim map and LUTs
+    on broadcast joins — no cartesian anywhere."""
+    for name in ("ivf_pq_opq_topk", "ann_recall_ivf_opq"):
+        plan = _plan(queries[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastHashJoin" in plan, name
