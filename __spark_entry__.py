@@ -8600,6 +8600,100 @@ def q_ivf_pq_reindex_drifted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PQ_STREAM_PATHS: dict[str, str] = {}
+
+
+def q_ivf_pq_stream_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming PQ-coded ingest end to end (streaming/ann.py
+    ivf_pq_encode_ingest_available_now): odd-id embeddings replay as
+    micro-batches against the persisted even-id residual index; each
+    batch routes + encodes with the FROZEN model (1 + PQ_M bigints per
+    vector — the compressed representation, never the raw vector) at a
+    deterministic batch partition. Encode is per-vector against static
+    model state, so the merged store is bit-identical to the one-shot
+    encode at ANY batch split (pytest pins two splits) — and the
+    oracle replays build + route + encode and checks the per-list
+    manifest (count + md5 fingerprint) value-exact. The replay runs
+    once per process per sf_dir (the _ivf_index_path lifecycle)."""
+    import os as _os
+    import uuid as _uuid
+
+    from rat_strain_loader_pipeline_spark.staging import _stage_root
+    from rat_strain_loader_pipeline_spark.streaming.ann import (
+        ivf_pq_encode_ingest_available_now,
+    )
+
+    def _store_ok(p: str | None) -> bool:
+        if p is None or not _os.path.isdir(p):
+            return False
+        if _os.path.exists(_os.path.join(p, "_SUCCESS")):
+            return True  # flat (empty-store) layout
+        return any(
+            n.startswith("batch=")
+            and _os.path.exists(_os.path.join(p, n, "_SUCCESS"))
+            for n in _os.listdir(p)
+        )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    codes_path = _PQ_STREAM_PATHS.get(sf_dir)
+    if not _store_ok(codes_path):
+        tag = _uuid.uuid4().hex[:8]
+        src_dir = _os.path.join(_stage_root(), f"pqstream-src-{tag}")
+        emb.filter(F.col("vec_id") % 2 == 1).repartition(2).write.parquet(
+            src_dir
+        )
+        merged = ivf_pq_encode_ingest_available_now(
+            spark,
+            src_dir,
+            _ivf_residual_even_index_path(spark, sf_dir),
+            _os.path.join(_stage_root(), f"pqstream-work-{tag}"),
+            dims=EMB_DIMS,
+            m=PQ_M,
+            max_files_per_trigger=1,
+        )
+        files = merged.inputFiles()
+        if files:
+            codes_path = files[0].rsplit("/", 1)[0]
+            if codes_path.startswith("file:"):
+                codes_path = codes_path[len("file:"):]
+            # point at the store root, not one batch partition
+            if "/batch=" in codes_path:
+                codes_path = codes_path.rsplit("/batch=", 1)[0]
+        else:
+            codes_path = _os.path.join(_stage_root(), f"pqstream-empty-{tag}")
+            merged.write.mode("overwrite").parquet(codes_path)
+        _PQ_STREAM_PATHS[sf_dir] = codes_path
+    merged = spark.read.parquet(codes_path)
+    if "batch" in merged.columns:
+        merged = merged.drop("batch")
+    from rat_strain_loader_pipeline_spark.operators.sampling import md5_mod
+
+    return (
+        merged.select(
+            "jc",
+            "g",
+            md5_mod(
+                F.concat_ws(
+                    ":",
+                    F.lit("k"),
+                    F.col("vec_id").cast("string"),
+                    F.col("g").cast("string"),
+                    F.col("j").cast("string"),
+                ),
+                IVFPQ_FP_MOD,
+            ).alias("h"),
+        )
+        .groupBy("jc")
+        .agg(
+            F.expr("CAST(count(CASE WHEN g = -1 THEN 1 END) AS BIGINT)").alias("n"),
+            F.expr(
+                f"CAST(sum(CAST(h AS DECIMAL(38,0))) % {IVFPQ_FP_MOD} AS BIGINT)"
+            ).alias("fp_q"),
+        )
+        .select(F.col("jc").cast("long").alias("j"), "n", "fp_q")
+    )
+
+
 def q_gram_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top principal component + explained-variance share
     (operators/spectral.py gram_power_iteration over
@@ -9759,6 +9853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_pq_reindex_drifted": q_ivf_pq_reindex_drifted,
         "ivf_pq_opq_topk": q_ivf_pq_opq_topk,
         "ann_recall_ivf_opq": q_ann_recall_ivf_opq,
+        "ivf_pq_stream_encode": q_ivf_pq_stream_encode,
     }
 
 
@@ -11936,6 +12031,99 @@ LEFT JOIN nold USING (jc)
 LEFT JOIN nnew USING (jc)
 LEFT JOIN fpc USING (jc)
 LEFT JOIN fpn USING (jc)
+"""
+
+
+def _stream_encode_oracle_sql(
+    dims: int,
+    coarse_k: int,
+    coarse_iters: int,
+    m: int,
+    k: int,
+    iters: int,
+    fp_mod: int,
+) -> str:
+    """Streaming PQ-encode oracle: rebuild the even-id residual index
+    from constants, encode the odd-id batch with the FROZEN model
+    (route → residual vs assigned centroid → codebook argmin), and
+    emit the per-list manifest (count + md5 fingerprint over the
+    route+code rows) — the single-shot encode the mergeable micro-batch
+    store must equal bit-for-bit."""
+    d = dims // m
+    ci = coarse_iters
+    coarse = _kmeans_ctes_sql(coarse_k, ci, prefix="cv_", src_sql="eold")
+    resid = f"""resid AS (
+  SELECT e.vec_id, e.dim, e.xq - c.c AS rq
+  FROM cv_ex e
+  JOIN cv_a{ci} a ON e.vec_id = a.vec_id
+  JOIN cv_c{ci - 1} c ON a.j = c.j AND e.dim = c.dim
+)"""
+    chains = ",\n".join(
+        _kmeans_ctes_sql(
+            k,
+            iters,
+            prefix=f"s{s}_",
+            ex_sql=(
+                f"\n  SELECT vec_id, dim - {s * d} AS dim, rq AS xq FROM resid"
+                f"\n  WHERE dim >= {s * d} AND dim < {(s + 1) * d}"
+            ),
+            src_sql="eold",
+        )
+        for s in range(m)
+    )
+    codebook_union = "\n  UNION ALL ".join(
+        f"SELECT {s} AS g, j, dim, c FROM s{s}_c{iters - 1}" for s in range(m)
+    )
+    return f"""WITH eold AS (SELECT * FROM embeddings WHERE vec_id % 2 = 0),
+{coarse},
+{resid},
+{chains},
+codebook AS (
+  {codebook_union}
+),
+nx AS (
+  SELECT vec_id, dd - 1 AS dim,
+         CAST(floor(CAST(e AS DOUBLE) * 1000000) AS BIGINT) AS xq
+  FROM (SELECT vec_id, unnest(embedding) AS e,
+               generate_subscripts(embedding, 1) AS dd
+        FROM embeddings WHERE vec_id % 2 = 1)
+),
+route AS (
+  SELECT vec_id, j AS jc FROM (
+    SELECT nx.vec_id, c.j, sum((nx.xq - c.c) * (nx.xq - c.c)) AS dist
+    FROM nx JOIN cv_c{ci - 1} c ON nx.dim = c.dim
+    GROUP BY 1, 2)
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, j) = 1
+),
+rsd AS (
+  SELECT nx.vec_id, route.jc, nx.dim // {d} AS g, nx.dim % {d} AS dim,
+         nx.xq - c.c AS rq
+  FROM nx
+  JOIN route USING (vec_id)
+  JOIN cv_c{ci - 1} c ON route.jc = c.j AND nx.dim = c.dim
+),
+enc AS (
+  SELECT vec_id, jc, g, j FROM (
+    SELECT rsd.vec_id, rsd.jc, rsd.g, cb.j,
+           sum((rsd.rq - cb.c) * (rsd.rq - cb.c)) AS dist
+    FROM rsd JOIN codebook cb ON rsd.g = cb.g AND rsd.dim = cb.dim
+    GROUP BY 1, 2, 3, 4)
+  QUALIFY row_number() OVER (PARTITION BY vec_id, jc, g
+                             ORDER BY dist, j) = 1
+),
+allrows AS (
+  SELECT vec_id, jc, -1 AS g, jc AS j FROM route
+  UNION ALL
+  SELECT vec_id, jc, g, j FROM enc
+)
+SELECT CAST(jc AS BIGINT) AS j,
+       CAST(count(*) FILTER (WHERE g = -1) AS BIGINT) AS n,
+       CAST(sum(CAST(md5_number_lower(
+           'k:' || CAST(vec_id AS VARCHAR) || ':' || CAST(g AS VARCHAR)
+           || ':' || CAST(j AS VARCHAR)) % {fp_mod} AS HUGEINT))
+         % {fp_mod} AS BIGINT) AS fp_q
+FROM allrows
+GROUP BY 1
 """
 
 
@@ -18488,6 +18676,10 @@ FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
         "ann_recall_ivf_opq": _ivf_pq_opq_recall_oracle_sql(
             EMB_DIMS, KMEANS_K, IVFPQ_COARSE_ITERS, PQ_M, PQ_K, PQ_ITERS,
             PQADC_QUERIES, IVFPQ_NPROBE, PQADC_TOPK,
+        ),
+        "ivf_pq_stream_encode": _stream_encode_oracle_sql(
+            EMB_DIMS, KMEANS_K, IVFPQ_COARSE_ITERS, PQ_M, PQ_K, PQ_ITERS,
+            IVFPQ_FP_MOD,
         ),
     }
 

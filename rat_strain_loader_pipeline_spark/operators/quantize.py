@@ -1340,3 +1340,81 @@ def ivf_pq_reindex_drifted(
             "fp_cent",
         )
     )
+
+
+def ivf_pq_encode_batch(
+    spark,
+    index_path: str,
+    batch: DataFrame,
+    dims: int,
+    m: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector encode of a batch against a persisted RESIDUAL
+    IVF-PQ artifact with the model FROZEN — the ingest kernel shared
+    by the streaming encode leg and (conceptually) the reindex
+    maintenance pass: route each vector to its nearest stored coarse
+    centroid (exact micro-unit argmin, (dist, j) ties), take the
+    residual against the ASSIGNED centroid, and assign each residual
+    slice to its nearest frozen codebook entry.
+
+    Encode is per-vector against static model state, so the codes of
+    any union of batches equal the codes of the one-shot encode —
+    mergeable by construction, which is what makes micro-batch ANN
+    ingest replay-safe and batch-split-invariant.
+
+    Returns (id_col, jc, g, j): the routing row is g = -1 (j = jc) and
+    the m residual PQ codes carry their inverted list id alongside, so
+    per-list manifests need no re-join. 100 TB shape: batch × (K·dims)
+    routing + batch × (m·k·d) encode, all against broadcast model
+    tables — O(batch), never O(index)."""
+    import os
+
+    from rat_strain_loader_pipeline_spark.operators.clustering import MICROS
+
+    d, rem = divmod(dims, m)
+    if rem:
+        raise ValueError(f"dims={dims} not divisible by m={m}")
+    cent = spark.read.parquet(os.path.join(index_path, "coarse_centroids"))
+    codebook = spark.read.parquet(os.path.join(index_path, "codebook"))
+    bx = batch.select(
+        F.col(id_col), F.posexplode(vec_col).alias("dim", "x")
+    ).select(
+        id_col,
+        "dim",
+        F.floor(F.col("x").cast("double") * MICROS).cast("long").alias("xq"),
+    )
+    route = (
+        bx.join(F.broadcast(cent), "dim")
+        .groupBy(id_col, "j")
+        .agg(F.sum((F.col("xq") - F.col("c")) * (F.col("xq") - F.col("c"))).alias("dist"))
+        .groupBy(id_col)
+        .agg(F.min(F.struct("dist", "j")).alias("mn"))
+        .select(id_col, F.col("mn.j").alias("jc"))
+    )
+    resid = (
+        bx.join(route, id_col)
+        .join(
+            F.broadcast(cent.select(F.col("j").alias("jc"), "dim", "c")),
+            ["jc", "dim"],
+        )
+        .select(
+            id_col,
+            "jc",
+            (F.col("dim") / d).cast("int").alias("g"),
+            (F.col("dim") % d).alias("dim"),
+            (F.col("xq") - F.col("c")).alias("rq"),
+        )
+    )
+    codes = (
+        resid.join(F.broadcast(codebook), ["g", "dim"])
+        .groupBy(id_col, "jc", "g", "j")
+        .agg(F.sum((F.col("rq") - F.col("c")) * (F.col("rq") - F.col("c"))).alias("dist"))
+        .groupBy(id_col, "jc", "g")
+        .agg(F.min(F.struct("dist", "j")).alias("mn"))
+        .select(id_col, "jc", "g", F.col("mn.j").alias("j"))
+    )
+    return route.select(
+        id_col, "jc", F.lit(-1).alias("g"), F.col("jc").alias("j")
+    ).unionByName(codes)

@@ -66,3 +66,63 @@ def ivf_ingest_available_now(
         empty = spark.createDataFrame([], schema)
         return ivf_assign(empty, centroids, id_col=id_col, vec_col=vec_col)
     return spark.read.parquet(postings).drop("batch")
+
+
+def ivf_pq_encode_ingest_available_now(
+    spark: SparkSession,
+    src_dir: str,
+    index_path: str,
+    work_dir: str,
+    dims: int,
+    m: int = 2,
+    schema=None,
+    max_files_per_trigger: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Streaming PQ-coded ingest against a persisted RESIDUAL IVF-PQ
+    artifact — the compressed-representation twin of
+    ``ivf_ingest_available_now``: each micro-batch routes + encodes its
+    vectors with the FROZEN stored model (operators/quantize.py
+    ivf_pq_encode_batch — 1 routing bigint + m code bigints per vector,
+    never the raw vector) and lands at a deterministic ``batch=<id>``
+    partition (overwrite — at-least-once replay rewrites, never
+    duplicates). Encode is per-vector against static model state, so
+    the merged store is bit-identical to the one-shot encode of the
+    same rows at ANY batch split — the mergeability contract the
+    driver oracle checks value-exact.
+
+    Returns the merged (id_col, jc, g, j) code store."""
+    from rat_strain_loader_pipeline_spark.operators.quantize import (
+        ivf_pq_encode_batch,
+    )
+
+    codes_store = os.path.join(work_dir, "pq-codes")
+    checkpoint = os.path.join(work_dir, "checkpoint")
+    if schema is None:
+        schema = spark.read.parquet(src_dir).schema
+
+    def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
+        ivf_pq_encode_batch(
+            spark, index_path, batch_df, dims, m=m,
+            id_col=id_col, vec_col=vec_col,
+        ).write.mode("overwrite").parquet(
+            os.path.join(codes_store, f"batch={batch_id}")
+        )
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    q = (
+        reader.parquet(src_dir)
+        .writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(ingest_batch)
+        .start()
+    )
+    q.awaitTermination()
+    if not os.path.exists(codes_store):
+        return spark.createDataFrame(
+            [], f"{id_col} long, jc long, g int, j long"
+        )
+    return spark.read.parquet(codes_store).drop("batch")

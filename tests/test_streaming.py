@@ -653,3 +653,40 @@ def test_streaming_group_reservoir_equals_batch(spark, tmp_path, sf_dir):
     assert sorted(tuple(r) for r in got.collect()) == sorted(
         tuple(r) for r in want.collect()
     )
+
+
+def test_ivf_pq_encode_ingest_batch_split_invariant(spark, sf_dir, tmp_path):
+    """Streaming PQ-coded ingest: the merged code store is bit-identical
+    to the one-shot frozen-model encode of the same rows at ANY batch
+    split (encode is per-vector against static model state), and a
+    second split produces the same store."""
+    import __spark_entry__ as em
+    from pyspark.sql import functions as F
+    from rat_strain_loader_pipeline_spark.operators.quantize import (
+        ivf_pq_encode_batch,
+    )
+    from rat_strain_loader_pipeline_spark.sources.tables import read_table
+    from rat_strain_loader_pipeline_spark.streaming.ann import (
+        ivf_pq_encode_ingest_available_now,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    odd = emb.filter(F.col("vec_id") % 2 == 1)
+    index_path = em._ivf_residual_even_index_path(spark, sf_dir)
+    src = str(tmp_path / "src")
+    odd.repartition(3).write.parquet(src)
+
+    oneshot = sorted(
+        tuple(r)
+        for r in ivf_pq_encode_batch(
+            spark, index_path, odd, dims=64, m=2
+        ).collect()
+    )
+    for trig, name in ((1, "w1"), (2, "w2")):
+        merged = ivf_pq_encode_ingest_available_now(
+            spark, src, index_path, str(tmp_path / name),
+            dims=64, m=2, max_files_per_trigger=trig,
+        )
+        got = sorted(tuple(r) for r in merged.collect())
+        assert got == oneshot, f"split {trig}"
+    assert len(oneshot) == odd.count() * 3  # 1 route + m=2 code rows
