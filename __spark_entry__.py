@@ -8694,6 +8694,33 @@ def q_ivf_pq_stream_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall-vs-nprobe tuning curve (operators/quantize.py
+    ivf_pq_nprobe_curve) over the PERSISTED raw index: full-probe ADC
+    computed once (every smaller nprobe is a candidate SUBSET), each
+    candidate carries its list's probe rank, and a 1..KMEANS_K grid
+    reads the whole published IVF trade-off out of one pass — the
+    table a deployment uses to pick its probe budget. Monotone
+    nondecreasing in nprobe by construction (pytest-pinned); the
+    oracle replays build, routing ranks, the grid window, and the
+    exact side value-exact."""
+    from rat_strain_loader_pipeline_spark.operators.quantize import (
+        ivf_pq_nprobe_curve,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_pq_nprobe_curve(
+        spark,
+        _ivf_index_path(spark, sf_dir),
+        emb.filter(F.col("vec_id") < PQADC_QUERIES),
+        emb,
+        dims=EMB_DIMS,
+        coarse_k=KMEANS_K,
+        m=PQ_M,
+        topk=PQADC_TOPK,
+    )
+
+
 def q_gram_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top principal component + explained-variance share
     (operators/spectral.py gram_power_iteration over
@@ -9854,6 +9881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_pq_opq_topk": q_ivf_pq_opq_topk,
         "ann_recall_ivf_opq": q_ann_recall_ivf_opq,
         "ivf_pq_stream_encode": q_ivf_pq_stream_encode,
+        "ann_nprobe_curve": q_ann_nprobe_curve,
     }
 
 
@@ -12031,6 +12059,105 @@ LEFT JOIN nold USING (jc)
 LEFT JOIN nnew USING (jc)
 LEFT JOIN fpc USING (jc)
 LEFT JOIN fpn USING (jc)
+"""
+
+
+def _nprobe_curve_oracle_sql(
+    dims: int,
+    coarse_k: int,
+    coarse_iters: int,
+    m: int,
+    k: int,
+    iters: int,
+    n_queries: int,
+    topk: int,
+) -> str:
+    """Recall-vs-nprobe oracle: the raw IVF-PQ chains, full-probe ADC
+    with each candidate's probe rank, a generate_series nprobe grid,
+    per-(query, nprobe) windowed top-k, hits vs the exact top-k."""
+    d = dims // m
+    ci = coarse_iters
+    coarse = _kmeans_ctes_sql(coarse_k, ci, prefix="cv_")
+    chains = ",\n".join(
+        _kmeans_ctes_sql(
+            k, iters, prefix=f"s{s}_",
+            vec_sql=f"embedding[{s * d + 1}:{(s + 1) * d}]",
+        )
+        for s in range(m)
+    )
+    luts = ",\n".join(
+        f"""lut{s} AS (
+  SELECT qx.vec_id AS q_id, c.j,
+         sum((qx.xq - c.c) * (qx.xq - c.c)) AS d
+  FROM s{s}_ex qx JOIN s{s}_c{iters - 1} c ON qx.dim = c.dim
+  WHERE qx.vec_id < {n_queries}
+  GROUP BY 1, 2
+)"""
+        for s in range(m)
+    )
+    code_joins = "".join(
+        f" JOIN s{s}_a{iters} a{s} ON a{s}.vec_id = cand.c_id" for s in range(m)
+    )
+    lut_joins = "".join(
+        f" JOIN lut{s} l{s} ON l{s}.j = a{s}.j AND l{s}.q_id = cand.q_id"
+        for s in range(m)
+    )
+    adist = " + ".join(f"l{s}.d" for s in range(m))
+    return f"""WITH {coarse},
+{chains},
+{luts},
+cprobe AS (
+  SELECT qx.vec_id AS q_id, c.j,
+         sum((qx.xq - c.c) * (qx.xq - c.c)) AS d
+  FROM cv_ex qx JOIN cv_c{ci - 1} c ON qx.dim = c.dim
+  WHERE qx.vec_id < {n_queries}
+  GROUP BY 1, 2
+),
+probe AS (
+  SELECT q_id, j AS jc,
+         row_number() OVER (PARTITION BY q_id ORDER BY d, j) AS pr
+  FROM cprobe
+),
+cand AS (
+  SELECT probe.q_id, cv.vec_id AS c_id, probe.pr
+  FROM cv_a{ci} cv JOIN probe ON cv.j = probe.jc
+),
+adc AS (
+  SELECT cand.q_id, cand.c_id, cand.pr, {adist} AS adist_q
+  FROM cand{code_joins}{lut_joins}
+),
+grid AS (SELECT CAST(n AS INT) AS nprobe
+         FROM generate_series(1, {coarse_k}) t(n)),
+approx AS (
+  SELECT nprobe, q_id, c_id FROM (
+    SELECT grid.nprobe, adc.q_id, adc.c_id,
+           row_number() OVER (PARTITION BY adc.q_id, grid.nprobe
+                              ORDER BY adc.adist_q, adc.c_id) AS rk
+    FROM adc JOIN grid ON adc.pr <= grid.nprobe)
+  WHERE rk <= {topk}
+),
+exd AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         sum((q.xq - c.xq) * (q.xq - c.xq)) AS dd
+  FROM cv_ex q JOIN cv_ex c ON q.dim = c.dim
+  WHERE q.vec_id < {n_queries}
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT q_id, c_id
+  FROM (SELECT *, row_number() OVER (
+          PARTITION BY q_id ORDER BY dd, c_id) AS rk
+        FROM exd)
+  WHERE rk <= {topk}
+),
+hits AS (
+  SELECT approx.nprobe, CAST(count(*) AS BIGINT) AS n_hits
+  FROM exact JOIN approx USING (q_id, c_id)
+  GROUP BY 1
+)
+SELECT CAST(grid.nprobe AS BIGINT) AS nprobe,
+       COALESCE(hits.n_hits, 0) AS n_hits
+FROM grid LEFT JOIN hits USING (nprobe)
 """
 
 
@@ -18680,6 +18807,10 @@ FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
         "ivf_pq_stream_encode": _stream_encode_oracle_sql(
             EMB_DIMS, KMEANS_K, IVFPQ_COARSE_ITERS, PQ_M, PQ_K, PQ_ITERS,
             IVFPQ_FP_MOD,
+        ),
+        "ann_nprobe_curve": _nprobe_curve_oracle_sql(
+            EMB_DIMS, KMEANS_K, IVFPQ_COARSE_ITERS, PQ_M, PQ_K, PQ_ITERS,
+            PQADC_QUERIES, PQADC_TOPK,
         ),
     }
 

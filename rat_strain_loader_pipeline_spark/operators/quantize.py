@@ -1418,3 +1418,133 @@ def ivf_pq_encode_batch(
     return route.select(
         id_col, "jc", F.lit(-1).alias("g"), F.col("jc").alias("j")
     ).unionByName(codes)
+
+
+def ivf_pq_nprobe_curve(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    corpus: DataFrame,
+    dims: int,
+    coarse_k: int,
+    m: int = 2,
+    topk: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall-vs-nprobe tuning curve over a persisted IVF-PQ artifact —
+    the measurement an ANN deployment reads to pick its probe budget
+    (the published IVF trade-off as one value-exact table instead of K
+    separate runs). One pass computes everything:
+
+    1. the query routing/LUT table and FULL-probe ADC distances (the
+       ``ivf_pq_serve_topk`` search half at nprobe = K — every further
+       nprobe is a SUBSET, so distances are computed exactly once);
+    2. each candidate carries its list's probe rank for its query;
+    3. a (1..K) nprobe grid cross-joins the bounded candidate set; per
+       (query, nprobe) the ADC top-k is one hash-partitioned window
+       over candidates with probe rank <= nprobe;
+    4. hits against the exact squared-L2 top-k, summed per nprobe.
+
+    The curve is monotone nondecreasing in nprobe by construction of
+    the candidate subsets (pytest pins it). Returns (nprobe,
+    n_hits) — n_hits out of |queries| x topk. 100 TB shape: the grid
+    multiplies only the per-query CANDIDATE rows (corpus-bounded once,
+    not per nprobe), the exact side is the audit-batch brute force all
+    recall audits already pay."""
+    import os
+
+    from pyspark.sql.window import Window
+
+    from rat_strain_loader_pipeline_spark.operators.clustering import MICROS
+    from rat_strain_loader_pipeline_spark.staging import stage_to_parquet
+
+    d, rem = divmod(dims, m)
+    if rem:
+        raise ValueError(f"dims={dims} not divisible by m={m}")
+    cent = spark.read.parquet(os.path.join(index_path, "centroids"))
+    codes = spark.read.parquet(os.path.join(index_path, "codes"))
+    qdist = stage_to_parquet(
+        _grouped_query_explode(queries, "q_id", d, id_col, vec_col)
+        .join(cent, ["g", "dim"])
+        .groupBy("q_id", "g", "j")
+        .agg(
+            F.sum((F.col("xq") - F.col("c")) * (F.col("xq") - F.col("c"))).alias("ds")
+        ),
+        "nprobe-qdist",
+    )
+    wp = Window.partitionBy("q_id").orderBy("ds", "j")
+    probe = (
+        qdist.filter(F.col("g") == -1)
+        .withColumn("pr", F.row_number().over(wp))
+        .select("q_id", F.col("j").alias("jc"), "pr")
+    )
+    cand = (
+        codes.filter(F.col("g") == -1)
+        .select(F.col("vec_id").alias("c_id"), F.col("j").alias("jc"))
+        .join(F.broadcast(probe), "jc")
+        .select("q_id", "c_id", "pr")
+    )
+    adc = stage_to_parquet(
+        cand.join(
+            codes.filter(F.col("g") >= 0).select(
+                F.col("vec_id").alias("c_id"), "g", "j"
+            ),
+            "c_id",
+        )
+        .join(F.broadcast(qdist.filter(F.col("g") >= 0)), ["q_id", "g", "j"])
+        .groupBy("q_id", "c_id", "pr")
+        .agg(F.sum("ds").alias("adist_q")),
+        "nprobe-adc",
+    )
+    ns = spark.range(1, coarse_k + 1).select(
+        F.col("id").cast("int").alias("nprobe")
+    )
+    wn = Window.partitionBy("q_id", "nprobe").orderBy("adist_q", "c_id")
+    approx = (
+        adc.join(F.broadcast(ns), F.col("pr") <= F.col("nprobe"))
+        .withColumn("rk", F.row_number().over(wn))
+        .filter(F.col("rk") <= topk)
+        .select("nprobe", "q_id", "c_id")
+    )
+
+    def micros(df: DataFrame, out_id: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(out_id), F.posexplode(vec_col).alias("dim", "x")
+        ).select(
+            out_id,
+            "dim",
+            F.floor(F.col("x").cast("double") * MICROS).cast("long").alias("xq"),
+        )
+
+    qm = micros(queries, "q_id").withColumnRenamed("xq", "xq_q")
+    cm = micros(corpus, "c_id")
+    exd = (
+        cm.join(F.broadcast(qm), "dim")
+        .groupBy("q_id", "c_id")
+        .agg(
+            F.sum(
+                (F.col("xq_q") - F.col("xq")) * (F.col("xq_q") - F.col("xq"))
+            ).alias("dd")
+        )
+    )
+    we = Window.partitionBy("q_id").orderBy("dd", "c_id")
+    exact = (
+        exd.withColumn("rk", F.row_number().over(we))
+        .filter(F.col("rk") <= topk)
+        .select("q_id", "c_id")
+    )
+    return (
+        F.broadcast(ns)
+        .join(
+            exact.join(approx, ["q_id", "c_id"]).groupBy("nprobe").agg(
+                F.count(F.lit(1)).cast("long").alias("n_hits")
+            ),
+            "nprobe",
+            "left",
+        )
+        .select(
+            F.col("nprobe").cast("long").alias("nprobe"),
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+        )
+    )

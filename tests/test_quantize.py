@@ -357,3 +357,39 @@ def test_ivf_pq_reindex_drifted_touched_equality_and_passthrough(spark, sf_dir):
     }
     for j in untouched:
         assert inc[j]["fp_cent"] == cent_fp[j], j
+
+
+def test_ivf_pq_nprobe_curve_monotone_and_full_probe_equivalence(spark, sf_dir):
+    """The recall curve is monotone nondecreasing in nprobe (candidate
+    sets are nested), and the full-probe point equals ivf_pq_recall at
+    nprobe = coarse_k summed over queries."""
+    import __spark_entry__ as em
+    from pyspark.sql import functions as F2
+    from rat_strain_loader_pipeline_spark.operators.quantize import (
+        ivf_pq_nprobe_curve,
+        ivf_pq_recall,
+    )
+    from rat_strain_loader_pipeline_spark.sources.tables import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F2.col("vec_id") < em.PQADC_QUERIES)
+    path = em._ivf_index_path(spark, sf_dir)
+    curve = {
+        r["nprobe"]: r["n_hits"]
+        for r in ivf_pq_nprobe_curve(
+            spark, path, q, emb, dims=em.EMB_DIMS, coarse_k=em.KMEANS_K,
+            m=em.PQ_M, topk=em.PQADC_TOPK,
+        ).collect()
+    }
+    assert sorted(curve) == list(range(1, em.KMEANS_K + 1))
+    vals = [curve[n] for n in sorted(curve)]
+    assert all(a <= b for a, b in zip(vals, vals[1:]))
+    full = sum(
+        r["n_hits"]
+        for r in ivf_pq_recall(
+            q, emb, dims=em.EMB_DIMS, coarse_k=em.KMEANS_K,
+            coarse_iters=em.IVFPQ_COARSE_ITERS, m=em.PQ_M, k=em.PQ_K,
+            iters=em.PQ_ITERS, nprobe=em.KMEANS_K, topk=em.PQADC_TOPK,
+        ).collect()
+    )
+    assert vals[-1] == full
