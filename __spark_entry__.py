@@ -5142,27 +5142,25 @@ def q_ivf_pq_opq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     snake groups, so ADC bits spread evenly at identical storage and
     probe cost. Same constants as ivf_pq_topk for a direct
     recall-per-cost comparison; the oracle replays the variance map
-    and the fused grouped build value-exact."""
+    and the fused grouped build value-exact.
+
+    Lifecycle: serves from the persisted OPQ artifact
+    (_ivf_opq_index_path — the dim map is persisted model state), so
+    the query pays routing + ADC, not training; bit-identical to the
+    hermetic dim_map run (pytest-pinned)."""
     from rat_strain_loader_pipeline_spark.operators.quantize import (
-        ivf_pq_topk,
-        opq_dim_assign,
+        ivf_pq_serve_topk,
     )
-    from rat_strain_loader_pipeline_spark.staging import stage_to_parquet
 
     emb = _t(spark, sf_dir, "embeddings")
-    dim_map = stage_to_parquet(opq_dim_assign(emb, m=PQ_M), "opq-ivf-dimmap")
-    return ivf_pq_topk(
+    return ivf_pq_serve_topk(
+        spark,
+        _ivf_opq_index_path(spark, sf_dir),
         emb.filter(F.col("vec_id") < PQADC_QUERIES),
-        emb,
         dims=EMB_DIMS,
-        coarse_k=KMEANS_K,
-        coarse_iters=IVFPQ_COARSE_ITERS,
         m=PQ_M,
-        k=PQ_K,
-        iters=PQ_ITERS,
         nprobe=IVFPQ_NPROBE,
         topk=PQADC_TOPK,
-        dim_map=dim_map,
     )
 
 
@@ -5170,29 +5168,24 @@ def q_ann_recall_ivf_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@k audit of the OPQ-IVF index (compare q_ann_recall — raw
     subspaces, same routing/probe budget): isolates the bit-allocation
     effect inside the IVF architecture the way ann_recall_opq isolates
-    it for exhaustive ADC."""
+    it for exhaustive ADC. The approx side serves from the persisted
+    OPQ artifact (bit-identical to hermetic, so the audited recall and
+    the oracle are unchanged)."""
     from rat_strain_loader_pipeline_spark.operators.quantize import (
         ivf_pq_recall,
-        ivf_pq_topk,
-        opq_dim_assign,
+        ivf_pq_serve_topk,
     )
-    from rat_strain_loader_pipeline_spark.staging import stage_to_parquet
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < PQADC_QUERIES)
-    dim_map = stage_to_parquet(opq_dim_assign(emb, m=PQ_M), "opq-ivf-dimmap")
-    approx = ivf_pq_topk(
+    approx = ivf_pq_serve_topk(
+        spark,
+        _ivf_opq_index_path(spark, sf_dir),
         queries,
-        emb,
         dims=EMB_DIMS,
-        coarse_k=KMEANS_K,
-        coarse_iters=IVFPQ_COARSE_ITERS,
         m=PQ_M,
-        k=PQ_K,
-        iters=PQ_ITERS,
         nprobe=IVFPQ_NPROBE,
         topk=PQADC_TOPK,
-        dim_map=dim_map,
     )
     return ivf_pq_recall(
         queries,
@@ -8442,6 +8435,46 @@ def _ivf_index_path(spark: SparkSession, sf_dir: str) -> str:
         tag=tag,
     )
     _IVF_INDEX_PATHS[sf_dir] = path
+    return path
+
+
+_IVF_OPQ_INDEX_PATHS: dict[str, str] = {}
+
+
+def _ivf_opq_index_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once per-process cache of the persisted OPQ-IVF-PQ index:
+    the variance-balanced dim map is trained beside the codebooks and
+    persisted INTO the artifact (model state), so serving explodes
+    queries through the same allocation — the full lifecycle for the
+    OPQ variant."""
+    import os as _os
+
+    path = _IVF_OPQ_INDEX_PATHS.get(sf_dir)
+    if path is not None and _os.path.exists(
+        _os.path.join(path, "codes", "_SUCCESS")
+    ):
+        return path
+    from rat_strain_loader_pipeline_spark.operators.quantize import (
+        ivf_pq_index_build,
+        opq_dim_assign,
+    )
+    from rat_strain_loader_pipeline_spark.staging import stage_to_parquet
+
+    emb = _t(spark, sf_dir, "embeddings")
+    dim_map = stage_to_parquet(opq_dim_assign(emb, m=PQ_M), "opq-ivf-dimmap")
+    tag = (_os.path.basename(sf_dir.rstrip("/")) or "corpus") + "-opq"
+    path = ivf_pq_index_build(
+        emb,
+        dims=EMB_DIMS,
+        coarse_k=KMEANS_K,
+        coarse_iters=IVFPQ_COARSE_ITERS,
+        m=PQ_M,
+        k=PQ_K,
+        iters=PQ_ITERS,
+        tag=tag,
+        dim_map=dim_map,
+    )
+    _IVF_OPQ_INDEX_PATHS[sf_dir] = path
     return path
 
 

@@ -847,12 +847,19 @@ def ivf_pq_residual_serve_topk(
 
 
 def _grouped_query_explode(
-    df: DataFrame, out_id: str, d: int, id_col: str, vec_col: str
+    df: DataFrame,
+    out_id: str,
+    d: int,
+    id_col: str,
+    vec_col: str,
+    dim_map: DataFrame | None = None,
 ) -> DataFrame:
     """(id, g, dim, xq) explode of a vector frame into the coarse
-    space (g = -1, full vector) plus the m PQ subspaces (g = 0..m-1,
-    local dims) — the layout both the fused index build and the
-    serve-side LUT pass consume."""
+    space (g = -1, full vector) plus the m PQ subspaces — contiguous
+    slices with local dims by default, or ``dim_map``'s allocation
+    (original dim kept as the within-group key) when given — the
+    layout both the fused index build and the serve-side LUT pass
+    consume."""
     from rat_strain_loader_pipeline_spark.operators.clustering import MICROS
 
     base = df.select(
@@ -863,12 +870,17 @@ def _grouped_query_explode(
         F.floor(F.col("x").cast("double") * MICROS).cast("long").alias("xq"),
     )
     coarse_rows = base.select(out_id, F.lit(-1).alias("g"), "dim", "xq")
-    sub_rows = base.select(
-        out_id,
-        (F.col("dim") / d).cast("int").alias("g"),
-        (F.col("dim") % d).alias("dim"),
-        "xq",
-    )
+    if dim_map is not None:
+        sub_rows = base.join(F.broadcast(dim_map), "dim").select(
+            out_id, "g", "dim", "xq"
+        )
+    else:
+        sub_rows = base.select(
+            out_id,
+            (F.col("dim") / d).cast("int").alias("g"),
+            (F.col("dim") % d).alias("dim"),
+            "xq",
+        )
     return coarse_rows.unionByName(sub_rows)
 
 
@@ -884,6 +896,7 @@ def ivf_pq_index_build(
     vec_col: str = "embedding",
     root: str | None = None,
     tag: str = "default",
+    dim_map: DataFrame | None = None,
 ) -> str:
     """BUILD half of the IVF-PQ lifecycle: train the coarse quantizer
     and the m PQ codebooks (one fused ``kmeans_fit_grouped`` run — the
@@ -896,7 +909,11 @@ def ivf_pq_index_build(
     - ``<path>/codes``: (vec_id, g, j) — each vector's coarse list
       (g = -1: the inverted-list postings) and PQ codes (1 + m bigints
       per vector, the ~64x-compressed representation an ANN deployment
-      actually stores).
+      actually stores);
+    - ``<path>/dim_map``: (dim, g) — only when ``dim_map`` is given
+      (e.g. ``opq_dim_assign``): the subspace allocation is MODEL
+      STATE, persisted with the codebooks it shaped so the serve side
+      explodes queries identically.
 
     Idempotent load-or-build: if the artifact already exists under the
     deterministic ``<root>/<params-slug>-<tag>`` path it is reused
@@ -925,8 +942,12 @@ def ivf_pq_index_build(
     path = os.path.join(root, slug)
     if os.path.exists(os.path.join(path, "codes", "_SUCCESS")):
         return path
+    if dim_map is not None:
+        dim_map.select("dim", "g").write.mode("overwrite").parquet(
+            os.path.join(path, "dim_map")
+        )
     assign, cent = kmeans_fit_grouped(
-        _grouped_query_explode(corpus, id_col, d, id_col, vec_col),
+        _grouped_query_explode(corpus, id_col, d, id_col, vec_col, dim_map),
         k=k,
         iters=iters,
         id_col=id_col,
@@ -1036,8 +1057,11 @@ def ivf_pq_serve_topk(
     centroid) distance table doubling as coarse router and ADC LUTs,
     both broadcast; candidates from the g = -1 postings), so served
     results are bit-identical to the hermetic query at the same build
-    constants. Returns (q_id, c_id, rank, adist_q), rank 1-based
-    within probed lists, ties on ascending corpus id.
+    constants. An artifact built with a ``dim_map`` (OPQ allocation)
+    carries it as model state — the serve side loads it and explodes
+    queries through the same map. Returns (q_id, c_id, rank,
+    adist_q), rank 1-based within probed lists, ties on ascending
+    corpus id.
     """
     import os
 
@@ -1048,8 +1072,11 @@ def ivf_pq_serve_topk(
         raise ValueError(f"dims={dims} not divisible by m={m}")
     cent = spark.read.parquet(os.path.join(index_path, "centroids"))
     codes = spark.read.parquet(os.path.join(index_path, "codes"))
+    dim_map = None
+    if os.path.exists(os.path.join(index_path, "dim_map", "_SUCCESS")):
+        dim_map = spark.read.parquet(os.path.join(index_path, "dim_map"))
     qdist = (
-        _grouped_query_explode(queries, "q_id", d, id_col, vec_col)
+        _grouped_query_explode(queries, "q_id", d, id_col, vec_col, dim_map)
         .join(cent, ["g", "dim"])
         .groupBy("q_id", "g", "j")
         .agg(

@@ -393,3 +393,40 @@ def test_ivf_pq_nprobe_curve_monotone_and_full_probe_equivalence(spark, sf_dir):
         ).collect()
     )
     assert vals[-1] == full
+
+
+def test_ivf_pq_opq_serve_matches_hermetic_dim_map(spark, sf_dir):
+    """The OPQ artifact persists the dim map as model state; serving
+    from it is bit-identical to the hermetic ivf_pq_topk(dim_map=)
+    run at the same constants."""
+    import __spark_entry__ as em
+    from pyspark.sql import functions as F2
+    from rat_strain_loader_pipeline_spark.operators.quantize import (
+        ivf_pq_serve_topk,
+        ivf_pq_topk,
+        opq_dim_assign,
+    )
+    from rat_strain_loader_pipeline_spark.sources.tables import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F2.col("vec_id") < em.PQADC_QUERIES)
+    path = em._ivf_opq_index_path(spark, sf_dir)
+    assert path == em._ivf_opq_index_path(spark, sf_dir)  # idempotent
+    served = {
+        (r["q_id"], r["rank"]): (r["c_id"], r["adist_q"])
+        for r in ivf_pq_serve_topk(
+            spark, path, q, dims=em.EMB_DIMS, m=em.PQ_M,
+            nprobe=em.IVFPQ_NPROBE, topk=em.PQADC_TOPK,
+        ).collect()
+    }
+    dim_map = opq_dim_assign(emb, m=em.PQ_M)
+    hermetic = {
+        (r["q_id"], r["rank"]): (r["c_id"], r["adist_q"])
+        for r in ivf_pq_topk(
+            q, emb, dims=em.EMB_DIMS, coarse_k=em.KMEANS_K,
+            coarse_iters=em.IVFPQ_COARSE_ITERS, m=em.PQ_M, k=em.PQ_K,
+            iters=em.PQ_ITERS, nprobe=em.IVFPQ_NPROBE,
+            topk=em.PQADC_TOPK, dim_map=dim_map,
+        ).collect()
+    }
+    assert served == hermetic
