@@ -430,3 +430,40 @@ def test_ivf_pq_opq_serve_matches_hermetic_dim_map(spark, sf_dir):
         ).collect()
     }
     assert served == hermetic
+
+
+def test_opq_dim_assign_m4_snake(spark, sf_dir):
+    """Snake allocation generalizes beyond m=2: with m=4 the ranked
+    dims deal 0,1,2,3,3,2,1,0,... so each group gets dims/m dims and
+    consecutive-rank variance mass spreads across groups."""
+    from rat_strain_loader_pipeline_spark.operators.quantize import opq_dim_assign
+    from rat_strain_loader_pipeline_spark.sources.tables import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    rows = opq_dim_assign(emb, m=4).collect()
+    sizes = {}
+    for r in rows:
+        sizes[r["g"]] = sizes.get(r["g"], 0) + 1
+    assert sizes == {0: 16, 1: 16, 2: 16, 3: 16}
+    # reconstruct rank order from the variance stat to pin the snake
+    from pyspark.sql import functions as F2
+
+    ex = emb.select(F2.posexplode("embedding").alias("dim", "x")).select(
+        "dim",
+        F2.floor(F2.col("x").cast("double") * 1000000).cast("long").alias("xq"),
+    )
+    stats = (
+        ex.groupBy("dim")
+        .agg(F2.expr(
+            "CAST(count(*) AS DECIMAL(38,0)) * sum(CAST(xq AS DECIMAL(38,0)) * xq)"
+            " - sum(CAST(xq AS DECIMAL(38,0))) * sum(CAST(xq AS DECIMAL(38,0)))"
+        ).alias("s"))
+        .collect()
+    )
+    ranked = [r["dim"] for r in sorted(stats, key=lambda r: (-r["s"], r["dim"]))]
+    gmap = {r["dim"]: r["g"] for r in rows}
+    expected = []
+    for block in range(0, 64, 4):
+        off = [0, 1, 2, 3] if (block // 4) % 2 == 0 else [3, 2, 1, 0]
+        expected.extend(off)
+    assert [gmap[d] for d in ranked] == expected
