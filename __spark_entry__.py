@@ -4022,17 +4022,25 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum of its codes' LUT entries; top-PQADC_TOPK per query, ties on
     ascending corpus id. All-integer micro-unit arithmetic end-to-end,
     so the oracle replays it exactly on the same unrolled-kmeans CTE
-    chains pq_codes uses."""
-    from rat_strain_loader_pipeline_spark.operators.quantize import pq_adc_topk
+    chains pq_codes uses.
+
+    Lifecycle: serves from the PERSISTED flat-PQ artifact
+    (_pq_exh_index_path — codebooks + codes trained once per process
+    per sf_dir); pq_adc_serve_topk is bit-identical to the hermetic
+    pq_adc_topk at the same build constants (pytest-pinned), so the
+    values and the oracle are unchanged — only the repeated identical
+    codebook training is gone."""
+    from rat_strain_loader_pipeline_spark.operators.quantize import (
+        pq_adc_serve_topk,
+    )
 
     emb = _t(spark, sf_dir, "embeddings")
-    return pq_adc_topk(
+    return pq_adc_serve_topk(
+        spark,
+        _pq_exh_index_path(spark, sf_dir, opq=False),
         emb.filter(F.col("vec_id") < PQADC_QUERIES),
-        emb,
         dims=EMB_DIMS,
         m=PQ_M,
-        k=PQ_K,
-        iters=PQ_ITERS,
         topk=PQADC_TOPK,
     )
 
@@ -5039,12 +5047,20 @@ def q_ivf_pq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ann_recall_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@k audit of the RESIDUAL IVF-PQ index (same audit as
-    q_ann_recall, residual encoding) — the measured recall lift of
-    residual over raw encoding at identical storage/ADC cost is the
-    published reason by_residual is the FAISS default. The approx side
-    serves from the persisted residual index (_ivf_residual_index_path
-    — bit-identical to hermetic retraining, so the audited recall and
-    the oracle are unchanged)."""
+    q_ann_recall, residual encoding). FAISS defaults to
+    by_residual=true because at production scale (large coarse K,
+    well-separated lists) residual codes spend their bits on
+    within-list geometry; at THIS bench's tiny constants the measured
+    effect is INVERTED — recall@5 at sf0.01: raw 0.36, residual 0.28,
+    OPQ 0.46 — because with KMEANS_K=8 coarse lists on a small corpus
+    the residual distributions differ per list while the codebooks are
+    shared, so the shared centroids fit none of them well (the
+    small-K artifact; see q_ann_recall_residual_opq for the
+    OPQ×residual composition measurement). The audit exists precisely
+    to measure this instead of assuming the published default. The
+    approx side serves from the persisted residual index
+    (_ivf_residual_index_path — bit-identical to hermetic retraining,
+    so the audited recall and the oracle are unchanged)."""
     from rat_strain_loader_pipeline_spark.operators.quantize import (
         ivf_pq_recall,
         ivf_pq_residual_serve_topk,
@@ -5087,19 +5103,23 @@ def q_pq_opq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     pq_adc_topk. Same constants as the raw twin, so the two searches
     and their recall audits compare directly; the oracle replays the
     variance ranking, the snake map, and the per-group unrolled-kmeans
-    chains value-exact."""
+    chains value-exact.
+
+    Lifecycle: serves from the persisted OPQ flat-PQ artifact
+    (_pq_exh_index_path(opq=True) — the dim map is persisted model
+    state beside the codebooks it shaped); bit-identical to the
+    hermetic pq_adc_topk_opq (pytest-pinned)."""
     from rat_strain_loader_pipeline_spark.operators.quantize import (
-        pq_adc_topk_opq,
+        pq_adc_serve_topk,
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    return pq_adc_topk_opq(
+    return pq_adc_serve_topk(
+        spark,
+        _pq_exh_index_path(spark, sf_dir, opq=True),
         emb.filter(F.col("vec_id") < PQADC_QUERIES),
-        emb,
         dims=EMB_DIMS,
         m=PQ_M,
-        k=PQ_K,
-        iters=PQ_ITERS,
         topk=PQADC_TOPK,
     )
 
@@ -5108,21 +5128,24 @@ def q_ann_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@k audit of exhaustive RAW-slice PQ-ADC (pq_adc_topk)
     against the exact squared-L2 top-k — the baseline side of the
     OPQ experiment (compare q_ann_recall_opq): identical storage, ADC
-    cost, and constants; only the dim→subspace allocation differs."""
+    cost, and constants; only the dim→subspace allocation differs.
+    Measured at the shared constants (sf0.01): recall@5 = 0.36. The
+    approx side serves from the persisted flat-PQ artifact
+    (_pq_exh_index_path — bit-identical to hermetic retraining, so the
+    audited recall and the oracle are unchanged)."""
     from rat_strain_loader_pipeline_spark.operators.quantize import (
         ivf_pq_recall,
-        pq_adc_topk,
+        pq_adc_serve_topk,
     )
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < PQADC_QUERIES)
-    approx = pq_adc_topk(
+    approx = pq_adc_serve_topk(
+        spark,
+        _pq_exh_index_path(spark, sf_dir, opq=False),
         queries,
-        emb,
         dims=EMB_DIMS,
         m=PQ_M,
-        k=PQ_K,
-        iters=PQ_ITERS,
         topk=PQADC_TOPK,
     )
     return ivf_pq_recall(
@@ -5145,22 +5168,24 @@ def q_ann_recall_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact squared-L2 top-k — the treatment side of the OPQ
     experiment: the measured recall delta vs q_ann_recall_pq is the
     value of variance-balanced bit allocation at identical storage and
-    search cost (the residual-encoding 0.24→0.32 precedent, now for
-    the published OPQ idea)."""
+    search cost. Measured at the shared constants (sf0.01): recall@5 =
+    0.46 vs the raw twin's 0.36 — the published OPQ effect. The approx
+    side serves from the persisted OPQ flat-PQ artifact
+    (_pq_exh_index_path(opq=True) — bit-identical to hermetic
+    retraining)."""
     from rat_strain_loader_pipeline_spark.operators.quantize import (
         ivf_pq_recall,
-        pq_adc_topk_opq,
+        pq_adc_serve_topk,
     )
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < PQADC_QUERIES)
-    approx = pq_adc_topk_opq(
+    approx = pq_adc_serve_topk(
+        spark,
+        _pq_exh_index_path(spark, sf_dir, opq=True),
         queries,
-        emb,
         dims=EMB_DIMS,
         m=PQ_M,
-        k=PQ_K,
-        iters=PQ_ITERS,
         topk=PQADC_TOPK,
     )
     return ivf_pq_recall(
@@ -8556,6 +8581,44 @@ def _ivf_residual_index_path(spark: SparkSession, sf_dir: str) -> str:
         tag=tag,
     )
     _IVF_RESIDUAL_INDEX_PATHS[sf_dir] = path
+    return path
+
+
+_PQ_EXH_INDEX_PATHS: dict[tuple[str, bool], str] = {}
+
+
+def _pq_exh_index_path(spark: SparkSession, sf_dir: str, opq: bool) -> str:
+    """Build-once per-process cache of the persisted EXHAUSTIVE-ADC
+    flat-PQ artifact (raw contiguous slices or the OPQ variance-snake
+    allocation — the layout is folded into the artifact slug):
+    codebooks + codes train at most once per process per (sf_dir,
+    layout); pq_adc_topk, pq_opq_topk, and both exhaustive recall
+    audits serve from the stored files. Training is deterministic, so
+    serving changes no value — it removes the 4-5 repeated identical
+    codebook trainings per bench run (the lifecycle-waste shape that
+    breached the 10 s budget in round 9)."""
+    import os as _os
+
+    path = _PQ_EXH_INDEX_PATHS.get((sf_dir, opq))
+    if path is not None and _os.path.exists(
+        _os.path.join(path, "codes", "_SUCCESS")
+    ):
+        return path
+    from rat_strain_loader_pipeline_spark.operators.quantize import (
+        pq_index_build,
+    )
+
+    tag = _os.path.basename(sf_dir.rstrip("/")) or "corpus"
+    path = pq_index_build(
+        _t(spark, sf_dir, "embeddings"),
+        dims=EMB_DIMS,
+        m=PQ_M,
+        k=PQ_K,
+        iters=PQ_ITERS,
+        tag=tag,
+        opq=opq,
+    )
+    _PQ_EXH_INDEX_PATHS[(sf_dir, opq)] = path
     return path
 
 

@@ -365,11 +365,17 @@ def opq_dim_assign(
 
     Per-dimension spread statistic: S_d = n·Σx_q² − (Σx_q)², exact in
     DECIMAL(38,0) over the micro-unit integers (order-free, engine-
-    portable). Dims rank by S desc (dim-asc ties) and snake across the
-    m groups (0..m-1, m-1..0, …) — the balanced deal. Returns the
-    (dim, g) map: dims rows, broadcastable anywhere; the original dim
-    index stays the within-group key (kmeans only needs the dim SET
-    per group, so no relabeling).
+    portable). Bound: with |x| ≤ 1 (unit-ish embeddings, |xq| ≤ 1e6)
+    each term is ≤ n²·1e12, so S_d stays inside DECIMAL(38,0) up to
+    n ≈ 1e13 vectors per corpus — far past any real shard; beyond
+    that Spark's non-ANSI DECIMAL overflows to NULL while DuckDB's
+    HUGEINT (128-bit) keeps going, so shard the allocation pass before
+    ~1e13 rows rather than widening the type. Dims rank by S desc
+    (dim-asc ties) and snake across the m groups (0..m-1, m-1..0, …) —
+    the balanced deal. Returns the (dim, g) map: dims rows,
+    broadcastable anywhere; the original dim index stays the
+    within-group key (kmeans only needs the dim SET per group, so no
+    relabeling).
 
     100 TB shape: one explode + one dims-row aggregate over the
     corpus; the window runs on dims rows (trivial)."""
@@ -461,6 +467,178 @@ def pq_adc_topk_opq(
     )
     adc = (
         codes.select(F.col(id_col).alias("c_id"), "g", "j")
+        .join(F.broadcast(lut), ["g", "j"])
+        .groupBy("q_id", "c_id")
+        .agg(F.sum("d").alias("adist_q"))
+    )
+    w = Window.partitionBy("q_id").orderBy("adist_q", "c_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select("q_id", "c_id", F.col("rank").cast("long").alias("rank"), "adist_q")
+    )
+
+
+def _pq_sub_explode(
+    df: DataFrame,
+    out_id: str,
+    d: int,
+    id_col: str,
+    vec_col: str,
+    dim_map: DataFrame | None = None,
+) -> DataFrame:
+    """(id, g, dim, xq) explode of a vector frame into the m PQ
+    subspaces ONLY (no coarse group — the exhaustive-ADC layout):
+    contiguous slices with local dims by default, or ``dim_map``'s
+    allocation (original dim kept as the within-group key) when
+    given."""
+    from rat_strain_loader_pipeline_spark.operators.clustering import MICROS
+
+    base = df.select(
+        F.col(id_col).alias(out_id), F.posexplode(vec_col).alias("dim", "x")
+    ).select(
+        out_id,
+        "dim",
+        F.floor(F.col("x").cast("double") * MICROS).cast("long").alias("xq"),
+    )
+    if dim_map is not None:
+        return base.join(F.broadcast(dim_map), "dim").select(
+            out_id, "g", "dim", "xq"
+        )
+    return base.select(
+        out_id,
+        (F.col("dim") / d).cast("int").alias("g"),
+        (F.col("dim") % d).alias("dim"),
+        "xq",
+    )
+
+
+def pq_index_build(
+    corpus: DataFrame,
+    dims: int,
+    m: int = 2,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    root: str | None = None,
+    tag: str = "default",
+    opq: bool = False,
+) -> str:
+    """BUILD half of the EXHAUSTIVE-ADC PQ lifecycle — the
+    ``ivf_pq_index_build`` twin for a flat (no coarse router) PQ
+    index: train the m PQ codebooks once (one fused
+    ``kmeans_fit_grouped`` run — identical per-group arithmetic to the
+    per-slice ``kmeans_fit`` calls the hermetic ``pq_adc_topk`` makes,
+    same smallest-id seeding, so codes and codebooks are bit-identical)
+    and PERSIST:
+
+    - ``<path>/codebook``: (g, j, dim, c) — the m codebooks
+      (m·k·(dims/m) rows, broadcastable anywhere);
+    - ``<path>/dim_map``: (dim, g) — only when ``opq=True``: the
+      variance-balanced ``opq_dim_assign`` allocation is MODEL STATE,
+      persisted with the codebooks it shaped;
+    - ``<path>/codes``: (vec_id, g, j) — m bigints/vector, written
+      LAST so a complete ``codes/_SUCCESS`` implies the whole artifact.
+
+    The layout marker is folded into the params slug (``-opq``), so a
+    raw and an OPQ build at the same tag can never alias each other's
+    artifact. Idempotent load-or-build; training is deterministic, so
+    ``pq_adc_serve_topk`` over the artifact is bit-identical to the
+    hermetic ``pq_adc_topk`` / ``pq_adc_topk_opq`` — the memoization
+    removes the repeated identical codebook training that the
+    exhaustive-ADC experiment family (search + recall-audit pairs)
+    otherwise pays per query."""
+    import os
+
+    from rat_strain_loader_pipeline_spark.operators.clustering import (
+        kmeans_fit_grouped,
+    )
+    from rat_strain_loader_pipeline_spark.staging import (
+        _stage_root,
+        stage_to_parquet,
+    )
+
+    d, rem = divmod(dims, m)
+    if rem:
+        raise ValueError(f"dims={dims} not divisible by m={m}")
+    root = root or os.environ.get("SPARK_GRAFT_INDEX_DIR") or _stage_root()
+    layout = "-opq" if opq else ""
+    slug = f"pqx-d{dims}-m{m}k{k}i{iters}{layout}-{tag}"
+    path = os.path.join(root, slug)
+    if os.path.exists(os.path.join(path, "codes", "_SUCCESS")):
+        return path
+    dim_map = None
+    if opq:
+        dim_map = stage_to_parquet(
+            opq_dim_assign(corpus, m=m, id_col=id_col, vec_col=vec_col),
+            "pqx-dimmap",
+        )
+        _validate_dim_map(dim_map, dims)
+        dim_map.select("dim", "g").write.mode("overwrite").parquet(
+            os.path.join(path, "dim_map")
+        )
+    codes, codebook = kmeans_fit_grouped(
+        _pq_sub_explode(corpus, id_col, d, id_col, vec_col, dim_map),
+        k=k,
+        iters=iters,
+        id_col=id_col,
+    )
+    codebook.select("g", "j", "dim", "c").write.mode("overwrite").parquet(
+        os.path.join(path, "codebook")
+    )
+    codes.select(id_col, "g", "j").write.mode("overwrite").parquet(
+        os.path.join(path, "codes")
+    )
+    return path
+
+
+def pq_adc_serve_topk(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    dims: int,
+    m: int = 2,
+    topk: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SERVE half of the EXHAUSTIVE-ADC PQ lifecycle: answer top-k
+    reading ONLY the persisted flat-PQ artifact — the corpus is
+    touched exclusively through the stored (m bigints)/vector codes
+    table; no kmeans iterations, no corpus embedding scan in the plan.
+    Search is the hermetic search half verbatim (per-query (m × k)
+    LUTs against the stored codebooks, broadcast into the codes join),
+    so served results are bit-identical to ``pq_adc_topk`` /
+    ``pq_adc_topk_opq`` at the same build constants. An artifact built
+    with ``opq=True`` carries its dim map as model state — the serve
+    side loads it and explodes queries through the same allocation.
+    Returns (q_id, c_id, rank, adist_q), rank 1-based, id-asc ties."""
+    import os
+
+    from pyspark.sql.window import Window
+
+    d, rem = divmod(dims, m)
+    if rem:
+        raise ValueError(f"dims={dims} not divisible by m={m}")
+    from rat_strain_loader_pipeline_spark.staging import stage_to_parquet
+
+    codebook = spark.read.parquet(os.path.join(index_path, "codebook"))
+    codes = spark.read.parquet(os.path.join(index_path, "codes"))
+    dim_map = None
+    if os.path.exists(os.path.join(index_path, "dim_map", "_SUCCESS")):
+        dim_map = spark.read.parquet(os.path.join(index_path, "dim_map"))
+    # (queries x m x k) rows — staged so the final plan touches ONLY
+    # the artifact's codes table plus this bounded LUT parquet
+    lut = stage_to_parquet(
+        _pq_sub_explode(queries, "q_id", d, id_col, vec_col, dim_map)
+        .join(codebook, ["g", "dim"])
+        .groupBy("q_id", "g", "j")
+        .agg(F.sum((F.col("xq") - F.col("c")) * (F.col("xq") - F.col("c"))).alias("d")),
+        "pqx-serve-lut",
+    )
+    adc = (
+        codes.select(F.col("vec_id").alias("c_id"), "g", "j")
         .join(F.broadcast(lut), ["g", "j"])
         .groupBy("q_id", "c_id")
         .agg(F.sum("d").alias("adist_q"))
@@ -583,9 +761,13 @@ def ivf_pq_topk_residual(
     """Residual-encoded IVF-PQ (the FAISS default, by_residual=true):
     PQ codebooks train on (vector - assigned coarse centroid), so the
     codes spend their bits on the WITHIN-list geometry instead of
-    re-describing which list the vector sits in — the standard recall
-    lift over raw encoding at identical storage/ADC cost (compare
-    q_ann_recall vs q_ann_recall_residual).
+    re-describing which list the vector sits in. NOTE: the recall
+    effect vs raw encoding depends on the constants — at this repo's
+    tiny bench constants (coarse K=8, shared codebooks across lists)
+    the measured recall@5 is raw 0.36 vs residual 0.28 (the audit pair
+    q_ann_recall / q_ann_recall_residual measures it); the published
+    production lift needs a coarse quantizer fine enough that per-list
+    residual distributions look alike.
 
     Stages, all bigint micro-units end-to-end:
     1. coarse ``kmeans_fit`` -> inverted lists + routing centroids;
@@ -884,6 +1066,31 @@ def _grouped_query_explode(
     return coarse_rows.unionByName(sub_rows)
 
 
+def _validate_dim_map(dim_map: DataFrame, dims: int) -> None:
+    """Assert a (dim, g) subspace allocation covers EXACTLY dims
+    dimensions 0..dims-1. The mapped explode paths join the corpus to
+    the map with an inner broadcast join, so a map built for a
+    different dims count would silently DROP the uncovered dimensions
+    and produce truncated ADC distances instead of an error; this
+    dims-row aggregate (bounded — the map is never corpus-sized) turns
+    that silent truncation into a build-time failure. Called at
+    artifact-build time: every serve-side map is loaded from a
+    validated artifact, and hermetic callers construct the map from
+    ``opq_dim_assign`` on the same corpus (correct by construction)."""
+    row = dim_map.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("dim").alias("nd"),
+        F.min("dim").alias("mn"),
+        F.max("dim").alias("mx"),
+    ).first()
+    if not (row["n"] == row["nd"] == dims and row["mn"] == 0 and row["mx"] == dims - 1):
+        raise ValueError(
+            f"dim_map must cover exactly dims={dims} rows 0..{dims - 1}; "
+            f"got n={row['n']} distinct={row['nd']} "
+            f"range=[{row['mn']}, {row['mx']}]"
+        )
+
+
 def ivf_pq_index_build(
     corpus: DataFrame,
     dims: int,
@@ -938,11 +1145,23 @@ def ivf_pq_index_build(
             f"got {(coarse_k, coarse_iters)} != {(k, iters)}"
         )
     root = root or os.environ.get("SPARK_GRAFT_INDEX_DIR") or _stage_root()
-    slug = f"ivfpq-d{dims}-c{coarse_k}x{coarse_iters}-m{m}k{k}i{iters}-{tag}"
+    # The dim_map presence is part of the artifact identity: an OPQ
+    # build and a raw build at the same params/tag must never share a
+    # path, or the load-or-build check would serve codes with the
+    # wrong subspace layout.
+    layout = "-dm" if dim_map is not None else ""
+    slug = f"ivfpq-d{dims}-c{coarse_k}x{coarse_iters}-m{m}k{k}i{iters}{layout}-{tag}"
     path = os.path.join(root, slug)
     if os.path.exists(os.path.join(path, "codes", "_SUCCESS")):
+        has_map = os.path.exists(os.path.join(path, "dim_map", "_SUCCESS"))
+        if has_map != (dim_map is not None):
+            raise ValueError(
+                f"existing artifact at {path} disagrees on dim_map presence "
+                f"(stored={has_map}, requested={dim_map is not None})"
+            )
         return path
     if dim_map is not None:
+        _validate_dim_map(dim_map, dims)
         dim_map.select("dim", "g").write.mode("overwrite").parquet(
             os.path.join(path, "dim_map")
         )

@@ -122,7 +122,9 @@ def ivf_pq_encode_ingest_available_now(
     )
     q.awaitTermination()
     if not os.path.exists(codes_store):
+        # Schema must match the non-empty path exactly: ivf_pq_encode_batch
+        # emits int jc/j (kmeans row_number - 1 seeds are Spark ints).
         return spark.createDataFrame(
-            [], f"{id_col} long, jc long, g int, j long"
+            [], f"{id_col} long, jc int, g int, j int"
         )
     return spark.read.parquet(codes_store).drop("batch")

@@ -1030,6 +1030,65 @@ def test_reindex_serves_from_stored_artifact(spark, sf_dir, queries):
     assert path.split("/")[-1] in plan
 
 
+def test_pq_exhaustive_serve_reads_only_index_artifact(spark, sf_dir, queries):
+    """Round-11 lifecycle fix: the exhaustive-ADC experiment family
+    (pq_adc_topk / pq_opq_topk and both recall audits' approx sides)
+    now SERVES from the persisted flat-PQ artifact — zero corpus
+    embedding scans in the search plan (the query LUT is staged;
+    training would add corpus-wide scans and kmeans stages), no
+    cartesian, and the plan reads the layout-slugged artifact path."""
+    import __spark_entry__ as em
+
+    for name, opq in (("pq_adc_topk", False), ("pq_opq_topk", True)):
+        plan = _plan(queries[name](spark, sf_dir))
+        assert plan.count("embeddings.parquet") == 0, name
+        assert "CartesianProduct" not in plan, name
+        path = em._PQ_EXH_INDEX_PATHS[(sf_dir, opq)]
+        assert path.split("/")[-1] in plan, name
+    # raw and OPQ artifacts must never alias each other's path
+    assert (
+        em._PQ_EXH_INDEX_PATHS[(sf_dir, False)]
+        != em._PQ_EXH_INDEX_PATHS[(sf_dir, True)]
+    )
+
+
+def test_pq_exhaustive_serve_matches_hermetic(spark, sf_dir, queries):
+    """Served exhaustive-ADC top-k is bit-identical to the hermetic
+    pq_adc_topk / pq_adc_topk_opq at the same build constants — the
+    guarantee that let the frozen registry switch the experiment
+    family to serving without any value change."""
+    import __spark_entry__ as em
+    from rat_strain_loader_pipeline_spark.operators.quantize import (
+        pq_adc_topk,
+        pq_adc_topk_opq,
+    )
+    from rat_strain_loader_pipeline_spark.sources.tables import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    qb = emb.filter(F.col("vec_id") < em.PQADC_QUERIES)
+    for name, hermetic_fn in (
+        ("pq_adc_topk", pq_adc_topk),
+        ("pq_opq_topk", pq_adc_topk_opq),
+    ):
+        served = {
+            (r["q_id"], r["rank"]): (r["c_id"], r["adist_q"])
+            for r in queries[name](spark, sf_dir).collect()
+        }
+        hermetic = {
+            (r["q_id"], r["rank"]): (r["c_id"], r["adist_q"])
+            for r in hermetic_fn(
+                qb,
+                emb,
+                dims=em.EMB_DIMS,
+                m=em.PQ_M,
+                k=em.PQ_K,
+                iters=em.PQ_ITERS,
+                topk=em.PQADC_TOPK,
+            ).collect()
+        }
+        assert served == hermetic, name
+
+
 def test_ivf_pq_opq_no_cartesian_and_broadcast_map(spark, sf_dir, queries):
     """E213/E214: the OPQ-IVF composition keeps the dim map and LUTs
     on broadcast joins — no cartesian anywhere."""

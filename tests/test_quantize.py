@@ -467,3 +467,57 @@ def test_opq_dim_assign_m4_snake(spark, sf_dir):
         off = [0, 1, 2, 3] if (block // 4) % 2 == 0 else [3, 2, 1, 0]
         expected.extend(off)
     assert [gmap[d] for d in ranked] == expected
+
+
+def test_validate_dim_map_rejects_wrong_coverage(spark):
+    """A dim_map that doesn't cover exactly 0..dims-1 must raise at
+    build time instead of silently truncating ADC distances through
+    the inner map join."""
+    import pytest
+
+    from rat_strain_loader_pipeline_spark.operators.quantize import (
+        _validate_dim_map,
+    )
+
+    good = spark.createDataFrame(
+        [(d, d % 2) for d in range(8)], "dim int, g int"
+    )
+    _validate_dim_map(good, 8)  # exact cover: no raise
+    short = spark.createDataFrame(
+        [(d, d % 2) for d in range(6)], "dim int, g int"
+    )
+    with pytest.raises(ValueError, match="cover exactly"):
+        _validate_dim_map(short, 8)
+    dup = spark.createDataFrame(
+        [(0, 0), (0, 1)] + [(d, d % 2) for d in range(1, 7)],
+        "dim int, g int",
+    )
+    with pytest.raises(ValueError, match="cover exactly"):
+        _validate_dim_map(dup, 8)
+    shifted = spark.createDataFrame(
+        [(d + 1, d % 2) for d in range(8)], "dim int, g int"
+    )
+    with pytest.raises(ValueError, match="cover exactly"):
+        _validate_dim_map(shifted, 8)
+
+
+def test_pq_index_build_layout_in_slug(spark, sf_dir, tmp_path):
+    """Raw and OPQ flat-PQ artifacts at the SAME tag land at different
+    slugged paths (the layout is artifact identity), and load-or-build
+    is idempotent per layout."""
+    from rat_strain_loader_pipeline_spark.operators.quantize import (
+        pq_index_build,
+    )
+    from rat_strain_loader_pipeline_spark.sources.tables import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings").limit(32)
+    root = str(tmp_path)
+    p_raw = pq_index_build(emb, dims=64, m=2, k=4, iters=1, root=root, tag="t")
+    p_opq = pq_index_build(
+        emb, dims=64, m=2, k=4, iters=1, root=root, tag="t", opq=True
+    )
+    assert p_raw != p_opq
+    assert "-opq" in p_opq.split("/")[-1]
+    assert p_raw == pq_index_build(
+        emb, dims=64, m=2, k=4, iters=1, root=root, tag="t"
+    )
