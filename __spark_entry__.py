@@ -8671,6 +8671,120 @@ def q_ivf_pq_serve_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_RESIDUAL_OPQ_INDEX_PATHS: dict[str, str] = {}
+
+
+def _ivf_residual_opq_index_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once per-process cache of the persisted OPQ×RESIDUAL
+    IVF-PQ index — the zeroth-order form of FAISS's production
+    ``OPQ..,IVF..,PQ..`` factory string: coarse router + the
+    residual-variance snake dim map (model state) + residual PQ
+    codebooks trained on the MAPPED residual groups. Completes the
+    2×2 encoding experiment grid (raw/residual × contiguous/OPQ) so
+    the recall audits adjudicate which composition wins at these
+    constants instead of assuming the published default."""
+    import os as _os
+
+    path = _IVF_RESIDUAL_OPQ_INDEX_PATHS.get(sf_dir)
+    if path is not None and _os.path.exists(
+        _os.path.join(path, "codes", "_SUCCESS")
+    ):
+        return path
+    from rat_strain_loader_pipeline_spark.operators.quantize import (
+        ivf_pq_residual_index_build,
+    )
+
+    tag = _os.path.basename(sf_dir.rstrip("/")) or "corpus"
+    path = ivf_pq_residual_index_build(
+        _t(spark, sf_dir, "embeddings"),
+        dims=EMB_DIMS,
+        coarse_k=KMEANS_K,
+        coarse_iters=IVFPQ_COARSE_ITERS,
+        m=PQ_M,
+        k=PQ_K,
+        iters=PQ_ITERS,
+        tag=tag,
+        opq=True,
+    )
+    _IVF_RESIDUAL_OPQ_INDEX_PATHS[sf_dir] = path
+    return path
+
+
+def q_ivf_pq_residual_opq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ×RESIDUAL IVF-PQ search (operators/quantize.py
+    ivf_pq_topk_residual with opq=True — the zeroth-order form of
+    FAISS's production 'OPQ..,IVF..,PQ..' index): the residual PQ
+    codebooks train on the variance-snake allocation computed over the
+    RESIDUALS (opq_dim_assign_exploded), so bits split the residual
+    spread evenly at identical storage, routing, and probe cost to
+    ivf_pq_residual_topk. Completes the 2×2 encoding grid
+    (raw/residual × contiguous/OPQ) at the shared constants; the
+    oracle replays coarse chain, residual map, mapped codebook chains,
+    per-(query, probed-list) residual LUTs, and ADC value-exact.
+
+    Lifecycle: serves from the persisted artifact
+    (_ivf_residual_opq_index_path — the dim map is model state);
+    bit-identical to the hermetic run (pytest-pinned)."""
+    from rat_strain_loader_pipeline_spark.operators.quantize import (
+        ivf_pq_residual_serve_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_pq_residual_serve_topk(
+        spark,
+        _ivf_residual_opq_index_path(spark, sf_dir),
+        emb.filter(F.col("vec_id") < PQADC_QUERIES),
+        dims=EMB_DIMS,
+        m=PQ_M,
+        nprobe=IVFPQ_NPROBE,
+        topk=PQADC_TOPK,
+    )
+
+
+def q_ann_recall_residual_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k audit of the OPQ×RESIDUAL IVF-PQ index — the fourth
+    cell of the encoding experiment grid (compare q_ann_recall 0.36
+    raw, q_ann_recall_residual 0.28, q_ann_recall_ivf_opq 0.46 at
+    sf0.01): adjudicates whether the OPQ allocation rescues residual
+    encoding's small-K loss. Measured: recall@5 = 0.36 — OPQ recovers
+    residual back to the raw baseline (+8 points over plain residual)
+    but contiguous-OPQ on raw vectors still wins at these tiny
+    constants; FAISS's production composition needs a coarse quantizer
+    fine enough that per-list residual distributions align before it
+    pays off. The approx side serves from
+    the persisted artifact (bit-identical to hermetic retraining, so
+    the audited recall and the oracle are unchanged)."""
+    from rat_strain_loader_pipeline_spark.operators.quantize import (
+        ivf_pq_recall,
+        ivf_pq_residual_serve_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < PQADC_QUERIES)
+    approx = ivf_pq_residual_serve_topk(
+        spark,
+        _ivf_residual_opq_index_path(spark, sf_dir),
+        queries,
+        dims=EMB_DIMS,
+        m=PQ_M,
+        nprobe=IVFPQ_NPROBE,
+        topk=PQADC_TOPK,
+    )
+    return ivf_pq_recall(
+        queries,
+        emb,
+        dims=EMB_DIMS,
+        coarse_k=KMEANS_K,
+        coarse_iters=IVFPQ_COARSE_ITERS,
+        m=PQ_M,
+        k=PQ_K,
+        iters=PQ_ITERS,
+        nprobe=IVFPQ_NPROBE,
+        topk=PQADC_TOPK,
+        approx=approx,
+    )
+
+
 _IVF_RESIDUAL_EVEN_INDEX_PATHS: dict[str, str] = {}
 
 
@@ -10022,6 +10136,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_ivf_opq": q_ann_recall_ivf_opq,
         "ivf_pq_stream_encode": q_ivf_pq_stream_encode,
         "ann_nprobe_curve": q_ann_nprobe_curve,
+        "ivf_pq_residual_opq_topk": q_ivf_pq_residual_opq_topk,
+        "ann_recall_residual_opq": q_ann_recall_residual_opq,
     }
 
 
@@ -11844,13 +11960,18 @@ def _ivf_pq_residual_ctes_sql(
     iters: int,
     n_queries: int,
     nprobe: int,
+    opq: bool = False,
 ) -> str:
     """Residual-encoded IVF-PQ CTE chain ending in ``sel(q_id, c_id,
     adist_q)``: the coarse chain plus a residual CTE (vector minus its
     ASSIGNED centroid); the per-subspace codebook chains consume
     residual slices via the _kmeans_ctes_sql ex_sql override; LUTs are
     per (query, probed list) residuals against the codebook. Mirrors
-    operators/quantize.py ivf_pq_topk_residual stage for stage."""
+    operators/quantize.py ivf_pq_topk_residual stage for stage.
+    ``opq=True`` swaps the contiguous residual slicing for the
+    variance-snake allocation computed over the RESIDUALS (the oracle
+    twin of opq_dim_assign_exploded; original dim stays the
+    within-group key) — the OPQ×IVF×residual composition."""
     d = dims // m
     ci = coarse_iters
     coarse = _kmeans_ctes_sql(coarse_k, coarse_iters, prefix="cv_")
@@ -11860,28 +11981,68 @@ def _ivf_pq_residual_ctes_sql(
   JOIN cv_a{ci} a ON e.vec_id = a.vec_id
   JOIN cv_c{ci - 1} c ON a.j = c.j AND e.dim = c.dim
 )"""
-    chains = ",\n".join(
-        _kmeans_ctes_sql(
-            k,
-            iters,
-            prefix=f"s{s}_",
-            ex_sql=(
-                f"\n  SELECT vec_id, dim - {s * d} AS dim, rq AS xq FROM resid"
-                f"\n  WHERE dim >= {s * d} AND dim < {(s + 1) * d}"
-            ),
+    if opq:
+        resid += f""",
+ropq_vstat AS (
+  SELECT dim,
+         CAST(count(*) AS HUGEINT) * sum(CAST(rq AS HUGEINT) * rq)
+           - sum(CAST(rq AS HUGEINT)) * sum(CAST(rq AS HUGEINT)) AS s
+  FROM resid GROUP BY dim
+),
+ropq_map AS (
+  SELECT dim,
+         CASE WHEN ((pos // {m}) % 2) = 0 THEN pos % {m}
+              ELSE {m} - 1 - (pos % {m}) END AS g
+  FROM (SELECT dim, row_number() OVER (ORDER BY s DESC, dim) - 1 AS pos
+        FROM ropq_vstat)
+)"""
+        chains = ",\n".join(
+            _kmeans_ctes_sql(
+                k,
+                iters,
+                prefix=f"s{s}_",
+                ex_sql=(
+                    "\n  SELECT r.vec_id, r.dim, r.rq AS xq"
+                    "\n  FROM resid r JOIN ropq_map mp ON r.dim = mp.dim"
+                    f"\n  WHERE mp.g = {s}"
+                ),
+            )
+            for s in range(m)
         )
-        for s in range(m)
-    )
-    luts = ",\n".join(
-        f"""lut{s} AS (
+        luts = ",\n".join(
+            f"""lut{s} AS (
+  SELECT q.q_id, q.jc, cb.j, sum((q.rq - cb.c) * (q.rq - cb.c)) AS dd
+  FROM (SELECT qr.q_id, qr.jc, qr.dim, qr.rq
+        FROM qresid qr JOIN ropq_map mp ON qr.dim = mp.dim
+        WHERE mp.g = {s}) q
+  JOIN s{s}_c{iters - 1} cb ON q.dim = cb.dim
+  GROUP BY 1, 2, 3
+)"""
+            for s in range(m)
+        )
+    else:
+        chains = ",\n".join(
+            _kmeans_ctes_sql(
+                k,
+                iters,
+                prefix=f"s{s}_",
+                ex_sql=(
+                    f"\n  SELECT vec_id, dim - {s * d} AS dim, rq AS xq FROM resid"
+                    f"\n  WHERE dim >= {s * d} AND dim < {(s + 1) * d}"
+                ),
+            )
+            for s in range(m)
+        )
+        luts = ",\n".join(
+            f"""lut{s} AS (
   SELECT q.q_id, q.jc, cb.j, sum((q.rq - cb.c) * (q.rq - cb.c)) AS dd
   FROM (SELECT q_id, jc, dim - {s * d} AS dim, rq FROM qresid
         WHERE dim >= {s * d} AND dim < {(s + 1) * d}) q
   JOIN s{s}_c{iters - 1} cb ON q.dim = cb.dim
   GROUP BY 1, 2, 3
 )"""
-        for s in range(m)
-    )
+            for s in range(m)
+        )
     code_joins = "".join(
         f" JOIN s{s}_a{iters} a{s} ON a{s}.vec_id = cand.c_id" for s in range(m)
     )
@@ -11933,11 +12094,17 @@ def _ivf_pq_oracle_sql(
     nprobe: int,
     topk: int,
     residual: bool = False,
+    residual_opq: bool = False,
 ) -> str:
-    gen = _ivf_pq_residual_ctes_sql if residual else _ivf_pq_ctes_sql
-    ctes = gen(
-        dims, coarse_k, coarse_iters, m, k, iters, n_queries, nprobe
-    )
+    if residual or residual_opq:
+        ctes = _ivf_pq_residual_ctes_sql(
+            dims, coarse_k, coarse_iters, m, k, iters, n_queries, nprobe,
+            opq=residual_opq,
+        )
+    else:
+        ctes = _ivf_pq_ctes_sql(
+            dims, coarse_k, coarse_iters, m, k, iters, n_queries, nprobe
+        )
     return f"""WITH {ctes}
 SELECT CAST(q_id AS BIGINT) AS q_id,
        CAST(c_id AS BIGINT) AS c_id,
@@ -12595,15 +12762,21 @@ def _ann_recall_oracle_sql(
     nprobe: int,
     topk: int,
     residual: bool = False,
+    residual_opq: bool = False,
 ) -> str:
     """Recall@k of IVF-PQ against the EXACT squared-L2 top-k over the
     same micro-unit integers (cv_ex is the full-vector explode the
     coarse chain already exposes). Per query: |approx ∩ exact| —
     deterministic, so value-exact."""
-    gen = _ivf_pq_residual_ctes_sql if residual else _ivf_pq_ctes_sql
-    ctes = gen(
-        dims, coarse_k, coarse_iters, m, k, iters, n_queries, nprobe
-    )
+    if residual or residual_opq:
+        ctes = _ivf_pq_residual_ctes_sql(
+            dims, coarse_k, coarse_iters, m, k, iters, n_queries, nprobe,
+            opq=residual_opq,
+        )
+    else:
+        ctes = _ivf_pq_ctes_sql(
+            dims, coarse_k, coarse_iters, m, k, iters, n_queries, nprobe
+        )
     return f"""WITH {ctes},
 approx AS (
   SELECT q_id, c_id
@@ -18951,6 +19124,14 @@ FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
         "ann_nprobe_curve": _nprobe_curve_oracle_sql(
             EMB_DIMS, KMEANS_K, IVFPQ_COARSE_ITERS, PQ_M, PQ_K, PQ_ITERS,
             PQADC_QUERIES, PQADC_TOPK,
+        ),
+        "ivf_pq_residual_opq_topk": _ivf_pq_oracle_sql(
+            EMB_DIMS, KMEANS_K, IVFPQ_COARSE_ITERS, PQ_M, PQ_K, PQ_ITERS,
+            PQADC_QUERIES, IVFPQ_NPROBE, PQADC_TOPK, residual_opq=True,
+        ),
+        "ann_recall_residual_opq": _ann_recall_oracle_sql(
+            EMB_DIMS, KMEANS_K, IVFPQ_COARSE_ITERS, PQ_M, PQ_K, PQ_ITERS,
+            PQADC_QUERIES, IVFPQ_NPROBE, PQADC_TOPK, residual_opq=True,
         ),
     }
 

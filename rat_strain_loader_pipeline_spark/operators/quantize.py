@@ -757,6 +757,7 @@ def ivf_pq_topk_residual(
     topk: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    opq: bool = False,
 ) -> DataFrame:
     """Residual-encoded IVF-PQ (the FAISS default, by_residual=true):
     PQ codebooks train on (vector - assigned coarse centroid), so the
@@ -780,17 +781,71 @@ def ivf_pq_topk_residual(
     4. ADC joins candidates' (list, code) pairs to the matching LUT
        rows; top-k per query, ascending-id ties.
 
+    ``opq=True`` composes the OPQ allocation INTO the residual index
+    (the FAISS ``OPQ..,IVF..,PQ..`` production shape, zeroth-order):
+    the dim→subspace map comes from ``opq_dim_assign_exploded`` over
+    the RESIDUALS, so the m codebooks split the residual variance
+    evenly; everything else (routing, per-list LUTs, ADC) is
+    unchanged at identical storage and probe cost.
+
     Returns (q_id, c_id, rank, adist_q).
     """
     d, rem = divmod(dims, m)
     if rem:
         raise ValueError(f"dims={dims} not divisible by m={m}")
-    lists, coarse_cent, codes, codebook = _residual_index_train(
-        corpus, d, coarse_k, coarse_iters, k, iters, id_col, vec_col
+    lists, coarse_cent, codes, codebook, dim_map = _residual_index_train(
+        corpus, d, coarse_k, coarse_iters, k, iters, id_col, vec_col,
+        opq_m=m if opq else None,
     )
     return _residual_search(
         queries, lists, coarse_cent, codes, codebook, d, nprobe, topk,
-        id_col, vec_col,
+        id_col, vec_col, dim_map=dim_map,
+    )
+
+
+def opq_dim_assign_exploded(ex: DataFrame, m: int) -> DataFrame:
+    """``opq_dim_assign`` over a pre-exploded (dim, xq) frame — the
+    variant the RESIDUAL OPQ composition needs: the spread statistic
+    S_d = n·Σx² − (Σx)² (exact DECIMAL(38,0); same bound note as
+    ``opq_dim_assign``) is computed over the RESIDUALS being encoded,
+    not the raw vectors, so bits allocate to where the quantized
+    signal actually has spread. Same desc-rank + snake deal; returns
+    the (dim, g) map (dims rows, broadcastable anywhere)."""
+    from pyspark.sql.window import Window
+
+    stats = ex.groupBy("dim").agg(
+        F.expr("CAST(count(*) AS DECIMAL(38,0))").alias("n"),
+        F.expr("sum(CAST(xq AS DECIMAL(38,0)) * xq)").alias("sx2"),
+        F.expr("sum(CAST(xq AS DECIMAL(38,0)))").alias("sx"),
+    )
+    w = Window.orderBy(F.expr("n * sx2 - sx * sx").desc(), F.col("dim").asc())
+    return (
+        stats.withColumn("pos", F.row_number().over(w) - 1)
+        .select(
+            "dim",
+            F.expr(
+                f"CAST(CASE WHEN ((pos div {m}) % 2) = 0 THEN pos % {m}"
+                f" ELSE {m} - 1 - (pos % {m}) END AS INT)"
+            ).alias("g"),
+        )
+    )
+
+
+def _residual_group(df: DataFrame, d: int, val_col: str, dim_map: DataFrame | None):
+    """(.., g, dim, xq) grouping of a residual explode: contiguous
+    slices with local dims by default, or ``dim_map``'s allocation
+    (original dim kept as the within-group key) when given — the one
+    place the raw-layout and OPQ-layout residual paths differ."""
+    others = [c for c in df.columns if c not in ("dim", val_col)]
+    if dim_map is not None:
+        return df.join(F.broadcast(dim_map), "dim").select(
+            *others, "g", "dim", F.col(val_col).alias("xq")
+        )
+    return df.select(
+        *others,
+        (F.col("dim") / d).cast("int").alias("g"),
+        (F.col("dim") % d).alias("dim"),
+        F.col(val_col).alias("xq"),
     )
 
 
@@ -803,17 +858,23 @@ def _residual_index_train(
     iters: int,
     id_col: str,
     vec_col: str,
-) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    opq_m: int | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame, DataFrame | None]:
     """Training half of residual IVF-PQ (stages 1-2 of
     ``ivf_pq_topk_residual``): returns (lists, coarse_cent, codes,
-    codebook) — the exact model state ``ivf_pq_residual_index_build``
-    persists, so hermetic search and serve-from-artifact are
-    bit-identical by construction (shared ``_residual_search``)."""
+    codebook, dim_map) — the exact model state
+    ``ivf_pq_residual_index_build`` persists, so hermetic search and
+    serve-from-artifact are bit-identical by construction (shared
+    ``_residual_search``). ``opq_m`` switches the subspace layout from
+    contiguous slices to the variance-balanced ``opq_dim_assign_exploded``
+    allocation computed over the RESIDUALS (dim_map is None for the
+    raw layout)."""
     from rat_strain_loader_pipeline_spark.operators.clustering import (
         MICROS,
         kmeans_fit,
         kmeans_fit_grouped,
     )
+    from rat_strain_loader_pipeline_spark.staging import stage_to_parquet
 
     coarse_assign, coarse_cent = kmeans_fit(
         corpus, k=coarse_k, iters=coarse_iters, id_col=id_col, vec_col=vec_col
@@ -835,14 +896,18 @@ def _residual_index_train(
         )
         .select(id_col, "dim", (F.col("xq") - F.col("c")).alias("rq"))
     )
-    grouped = resid.select(
-        id_col,
-        (F.col("dim") / d).cast("int").alias("g"),
-        (F.col("dim") % d).alias("dim"),
-        F.col("rq").alias("xq"),
-    )
+    dim_map = None
+    if opq_m is not None:
+        resid = stage_to_parquet(resid, "ivfpqr-resid")
+        dim_map = stage_to_parquet(
+            opq_dim_assign_exploded(
+                resid.select("dim", F.col("rq").alias("xq")), m=opq_m
+            ),
+            "ivfpqr-dimmap",
+        )
+    grouped = _residual_group(resid, d, "rq", dim_map)
     codes, codebook = kmeans_fit_grouped(grouped, k=k, iters=iters, id_col=id_col)
-    return lists, coarse_cent, codes, codebook
+    return lists, coarse_cent, codes, codebook, dim_map
 
 
 def _residual_search(
@@ -856,10 +921,13 @@ def _residual_search(
     topk: int,
     id_col: str,
     vec_col: str,
+    dim_map: DataFrame | None = None,
 ) -> DataFrame:
     """Search half of residual IVF-PQ (stages 3-4 of
     ``ivf_pq_topk_residual``), shared verbatim between the hermetic
-    query and ``ivf_pq_residual_serve_topk``."""
+    query and ``ivf_pq_residual_serve_topk``. ``dim_map`` (model
+    state of an OPQ-layout artifact) swaps the contiguous residual
+    slicing for the stored allocation."""
     from pyspark.sql.window import Window
 
     from rat_strain_loader_pipeline_spark.operators.clustering import MICROS
@@ -888,25 +956,22 @@ def _residual_search(
         .select("q_id", F.col("j").alias("jc"))
     )
     # per (query, probed list) residuals -> LUT against the codebook
-    qresid = (
+    qresid = _residual_group(
         qm.join(F.broadcast(probe), "q_id")
         .join(
             coarse_cent.select(F.col("j").alias("jc"), "dim", "c"), ["jc", "dim"]
         )
-        .select(
-            "q_id",
-            "jc",
-            (F.col("dim") / d).cast("int").alias("g"),
-            (F.col("dim") % d).alias("dim"),
-            (F.col("xq") - F.col("c")).alias("rq"),
-        )
+        .select("q_id", "jc", "dim", (F.col("xq") - F.col("c")).alias("rq")),
+        d,
+        "rq",
+        dim_map,
     )
     # (queries x nprobe x m x k) rows — broadcast evaluates it once;
     # a parquet staging here would only add fixed I/O
     lut = (
         qresid.join(codebook, ["g", "dim"])
         .groupBy("q_id", "jc", "g", "j")
-        .agg(F.sum((F.col("rq") - F.col("c")) * (F.col("rq") - F.col("c"))).alias("dd"))
+        .agg(F.sum((F.col("xq") - F.col("c")) * (F.col("xq") - F.col("c"))).alias("dd"))
     )
     cand = (
         lists.select(F.col(id_col).alias("c_id"), "jc")
@@ -941,6 +1006,7 @@ def ivf_pq_residual_index_build(
     vec_col: str = "embedding",
     root: str | None = None,
     tag: str = "default",
+    opq: bool = False,
 ) -> str:
     """BUILD half of the RESIDUAL IVF-PQ lifecycle (``ivf_pq_index_build``
     twin for the FAISS by_residual=true default): run
@@ -949,16 +1015,22 @@ def ivf_pq_residual_index_build(
     - ``<path>/coarse_centroids``: (j, dim, c) — the routing model;
     - ``<path>/codebook``: (g, j, dim, c) — the m residual PQ codebooks
       (trained on vector − assigned coarse centroid);
+    - ``<path>/dim_map``: (dim, g) — only when ``opq=True``: the
+      residual-variance snake allocation is MODEL STATE, persisted
+      with the codebooks it shaped (the OPQ×IVF×residual composition —
+      FAISS's ``OPQ..,IVF..,PQ..`` production index, zeroth-order);
     - ``<path>/codes``: (vec_id, g, j) — g = -1 rows are the
       inverted-list postings, g >= 0 the residual PQ codes (1 + m
       bigints/vector, same layout as the raw artifact).
 
-    Idempotent load-or-build under the deterministic
-    ``<root>/<params-slug>-<tag>`` path (codes written LAST, so a
-    complete ``codes/_SUCCESS`` implies the whole artifact). Training
-    is deterministic, so serving from the artifact is bit-identical to
-    the hermetic ``ivf_pq_topk_residual`` — the memoization removes
-    repeated per-query training cost without changing any value."""
+    The layout is folded into the params slug (``-opq``), so raw and
+    OPQ builds at the same tag never alias. Idempotent load-or-build
+    under the deterministic ``<root>/<params-slug>-<tag>`` path (codes
+    written LAST, so a complete ``codes/_SUCCESS`` implies the whole
+    artifact). Training is deterministic, so serving from the artifact
+    is bit-identical to the hermetic ``ivf_pq_topk_residual`` — the
+    memoization removes repeated per-query training cost without
+    changing any value."""
     import os
 
     from rat_strain_loader_pipeline_spark.staging import _stage_root
@@ -967,15 +1039,22 @@ def ivf_pq_residual_index_build(
     if rem:
         raise ValueError(f"dims={dims} not divisible by m={m}")
     root = root or os.environ.get("SPARK_GRAFT_INDEX_DIR") or _stage_root()
+    layout = "-opq" if opq else ""
     slug = (
-        f"ivfpqr-d{dims}-c{coarse_k}x{coarse_iters}-m{m}k{k}i{iters}-{tag}"
+        f"ivfpqr-d{dims}-c{coarse_k}x{coarse_iters}-m{m}k{k}i{iters}{layout}-{tag}"
     )
     path = os.path.join(root, slug)
     if os.path.exists(os.path.join(path, "codes", "_SUCCESS")):
         return path
-    lists, coarse_cent, codes, codebook = _residual_index_train(
-        corpus, d, coarse_k, coarse_iters, k, iters, id_col, vec_col
+    lists, coarse_cent, codes, codebook, dim_map = _residual_index_train(
+        corpus, d, coarse_k, coarse_iters, k, iters, id_col, vec_col,
+        opq_m=m if opq else None,
     )
+    if dim_map is not None:
+        _validate_dim_map(dim_map, dims)
+        dim_map.select("dim", "g").write.mode("overwrite").parquet(
+            os.path.join(path, "dim_map")
+        )
     coarse_cent.select("j", "dim", "c").write.mode("overwrite").parquet(
         os.path.join(path, "coarse_centroids")
     )
@@ -1007,7 +1086,10 @@ def ivf_pq_residual_serve_topk(
     the stored codes table. Search is ``_residual_search`` verbatim
     (the same code path the hermetic query runs after training), so
     served results are bit-identical to ``ivf_pq_topk_residual`` at
-    the same build constants. Returns (q_id, c_id, rank, adist_q)."""
+    the same build constants. An artifact built with ``opq=True``
+    carries its residual-variance dim map as model state — the serve
+    side loads it and groups query residuals through the same
+    allocation. Returns (q_id, c_id, rank, adist_q)."""
     import os
 
     d, rem = divmod(dims, m)
@@ -1018,13 +1100,16 @@ def ivf_pq_residual_serve_topk(
     )
     codebook = spark.read.parquet(os.path.join(index_path, "codebook"))
     stored = spark.read.parquet(os.path.join(index_path, "codes"))
+    dim_map = None
+    if os.path.exists(os.path.join(index_path, "dim_map", "_SUCCESS")):
+        dim_map = spark.read.parquet(os.path.join(index_path, "dim_map"))
     lists = stored.filter(F.col("g") == -1).select(
         F.col(id_col), F.col("j").alias("jc")
     )
     codes = stored.filter(F.col("g") >= 0).select(F.col(id_col), "g", "j")
     return _residual_search(
         queries, lists, coarse_cent, codes, codebook, d, nprobe, topk,
-        id_col, vec_col,
+        id_col, vec_col, dim_map=dim_map,
     )
 
 
@@ -1403,6 +1488,9 @@ def ivf_pq_reindex_drifted(
     cent = spark.read.parquet(os.path.join(index_path, "coarse_centroids"))
     codebook = spark.read.parquet(os.path.join(index_path, "codebook"))
     stored = spark.read.parquet(os.path.join(index_path, "codes"))
+    dim_map = None
+    if os.path.exists(os.path.join(index_path, "dim_map", "_SUCCESS")):
+        dim_map = spark.read.parquet(os.path.join(index_path, "dim_map"))
     old_lists = stored.filter(F.col("g") == -1).select(
         F.col(id_col), F.col("j").alias("jc")
     )
@@ -1500,20 +1588,17 @@ def ivf_pq_reindex_drifted(
         .filter(F.col("re") | F.col("is_old").isNull())
         .select(id_col, "jc", "dim", "xq")
     )
-    resid = (
+    resid = _residual_group(
         to_encode.join(F.broadcast(cent_final), ["jc", "dim"])
-        .select(
-            id_col,
-            "jc",
-            (F.col("dim") / d).cast("int").alias("g"),
-            (F.col("dim") % d).alias("dim"),
-            (F.col("xq") - F.col("c")).alias("rq"),
-        )
+        .select(id_col, "jc", "dim", (F.col("xq") - F.col("c")).alias("rq")),
+        d,
+        "rq",
+        dim_map,
     )
     encoded = (
         resid.join(F.broadcast(codebook), ["g", "dim"])
         .groupBy(id_col, "jc", "g", "j")
-        .agg(F.sum((F.col("rq") - F.col("c")) * (F.col("rq") - F.col("c"))).alias("dist"))
+        .agg(F.sum((F.col("xq") - F.col("c")) * (F.col("xq") - F.col("c"))).alias("dist"))
         .groupBy(id_col, "jc", "g")
         .agg(F.min(F.struct("dist", "j")).alias("mn"))
         .select(id_col, "jc", "g", F.col("mn.j").alias("j"))
@@ -1624,6 +1709,9 @@ def ivf_pq_encode_batch(
         raise ValueError(f"dims={dims} not divisible by m={m}")
     cent = spark.read.parquet(os.path.join(index_path, "coarse_centroids"))
     codebook = spark.read.parquet(os.path.join(index_path, "codebook"))
+    dim_map = None
+    if os.path.exists(os.path.join(index_path, "dim_map", "_SUCCESS")):
+        dim_map = spark.read.parquet(os.path.join(index_path, "dim_map"))
     bx = batch.select(
         F.col(id_col), F.posexplode(vec_col).alias("dim", "x")
     ).select(
@@ -1639,24 +1727,21 @@ def ivf_pq_encode_batch(
         .agg(F.min(F.struct("dist", "j")).alias("mn"))
         .select(id_col, F.col("mn.j").alias("jc"))
     )
-    resid = (
+    resid = _residual_group(
         bx.join(route, id_col)
         .join(
             F.broadcast(cent.select(F.col("j").alias("jc"), "dim", "c")),
             ["jc", "dim"],
         )
-        .select(
-            id_col,
-            "jc",
-            (F.col("dim") / d).cast("int").alias("g"),
-            (F.col("dim") % d).alias("dim"),
-            (F.col("xq") - F.col("c")).alias("rq"),
-        )
+        .select(id_col, "jc", "dim", (F.col("xq") - F.col("c")).alias("rq")),
+        d,
+        "rq",
+        dim_map,
     )
     codes = (
         resid.join(F.broadcast(codebook), ["g", "dim"])
         .groupBy(id_col, "jc", "g", "j")
-        .agg(F.sum((F.col("rq") - F.col("c")) * (F.col("rq") - F.col("c"))).alias("dist"))
+        .agg(F.sum((F.col("xq") - F.col("c")) * (F.col("xq") - F.col("c"))).alias("dist"))
         .groupBy(id_col, "jc", "g")
         .agg(F.min(F.struct("dist", "j")).alias("mn"))
         .select(id_col, "jc", "g", F.col("mn.j").alias("j"))

@@ -991,6 +991,51 @@ def test_ivf_pq_residual_build_idempotent_and_serve_matches_hermetic(
     assert served == hermetic
 
 
+def test_ivf_pq_residual_opq_serve_matches_hermetic_and_reads_artifact(
+    spark, sf_dir, queries
+):
+    """E217: the OPQ×residual composition serves from the persisted
+    artifact (dim map as model state, layout in the slug) and is
+    bit-identical to the hermetic ivf_pq_topk_residual(opq=True) run;
+    the raw-residual and OPQ-residual artifacts never alias."""
+    import __spark_entry__ as em
+    from rat_strain_loader_pipeline_spark.operators.quantize import (
+        ivf_pq_topk_residual,
+    )
+    from rat_strain_loader_pipeline_spark.sources.tables import read_table
+
+    df = queries["ivf_pq_residual_opq_topk"](spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("embeddings.parquet") == 0
+    assert "CartesianProduct" not in plan
+    path = em._IVF_RESIDUAL_OPQ_INDEX_PATHS[sf_dir]
+    assert path.split("/")[-1] in plan
+    assert "-opq" in path.split("/")[-1]
+    assert path != em._ivf_residual_index_path(spark, sf_dir)
+    emb = read_table(spark, sf_dir, "embeddings")
+    served = {
+        (r["q_id"], r["rank"]): (r["c_id"], r["adist_q"])
+        for r in df.collect()
+    }
+    hermetic = {
+        (r["q_id"], r["rank"]): (r["c_id"], r["adist_q"])
+        for r in ivf_pq_topk_residual(
+            emb.filter(F.col("vec_id") < em.PQADC_QUERIES),
+            emb,
+            dims=em.EMB_DIMS,
+            coarse_k=em.KMEANS_K,
+            coarse_iters=em.IVFPQ_COARSE_ITERS,
+            m=em.PQ_M,
+            k=em.PQ_K,
+            iters=em.PQ_ITERS,
+            nprobe=em.IVFPQ_NPROBE,
+            topk=em.PQADC_TOPK,
+            opq=True,
+        ).collect()
+    }
+    assert served == hermetic
+
+
 def test_sql_gate_decorrelation(spark, sf_dir, queries):
     """Front-door decorrelation pins: the correlated EXISTS / NOT
     EXISTS pair must rewrite to left-semi + left-anti hash joins on
