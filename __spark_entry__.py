@@ -8854,6 +8854,48 @@ def q_ivf_pq_reindex_drifted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_pq_maintenance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codebook-staleness rung of the maintenance ladder
+    (operators/quantize.py ivf_pq_maintenance_plan) — completes the
+    decision side of build/serve/maintain: the drift gate says which
+    lists moved; this pass decides HOW to fix each one. The persisted
+    even-id residual index absorbs a mixed-shift odd-id batch
+    (reversed vectors; every MPLAN_SCALE_MOD-th id also ×3-scaled —
+    the planted strong shift). Per drifted list, the exact bigint ADC
+    error of the old members under the stored model vs all members
+    under a refreshed centroid (frozen codebooks both) yields the
+    integer staleness ratio; decisions: 'passthrough' (gate never
+    fired), 'reencode' (frozen codebooks still fit — ratio ≤
+    MPLAN_STALE_RATIO_Q), 'retrain' (error growth past the threshold
+    or no baseline). Rides exactly the data the reindex pass already
+    touches — O(drifted membership), never O(index); the oracle
+    replays route, gate, both error sums, ratio, and decision
+    value-exact; a pytest plants a strong shift and asserts the
+    decision flips from reencode to retrain."""
+    from rat_strain_loader_pipeline_spark.operators.quantize import (
+        ivf_pq_maintenance_plan,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_pq_maintenance_plan(
+        spark,
+        _ivf_residual_even_index_path(spark, sf_dir),
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1).select(
+            "vec_id",
+            F.expr(
+                f"CASE WHEN vec_id % {MPLAN_SCALE_MOD} = 0"
+                " THEN transform(reverse(embedding), x -> x * 3.0D)"
+                " ELSE reverse(embedding) END"
+            ).alias("embedding"),
+        ),
+        dims=EMB_DIMS,
+        m=PQ_M,
+        drift_threshold_q=REINDEX_DRIFT_Q,
+        stale_ratio_q=MPLAN_STALE_RATIO_Q,
+    )
+
+
 _PQ_STREAM_PATHS: dict[str, str] = {}
 
 
@@ -10138,6 +10180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_nprobe_curve": q_ann_nprobe_curve,
         "ivf_pq_residual_opq_topk": q_ivf_pq_residual_opq_topk,
         "ann_recall_residual_opq": q_ann_recall_residual_opq,
+        "ivf_pq_maintenance_plan": q_ivf_pq_maintenance_plan,
     }
 
 
@@ -11100,6 +11143,13 @@ IVFPQ_NPROBE = 3        # coarse lists probed per query (of KMEANS_K)
 IVFPQ_COARSE_ITERS = 2  # shallow coarse training (the standard IVF recipe)
 IVFPQ_FP_MOD = 10**15   # index-artifact content-fingerprint modulus
 REINDEX_DRIFT_Q = 925_000  # reindex lists whose drift cosine < 0.925
+# maintenance-plan decision constants: retrain when a frozen-codebook
+# re-encode would leave > 1.5x the per-member quantization error the
+# stored encode had; every 11th new-batch id is also 3x-scaled (the
+# planted strong shift that makes the manifest exercise all three
+# decisions at sf0.01)
+MPLAN_STALE_RATIO_Q = 1_500_000
+MPLAN_SCALE_MOD = 11
 POWER_ITERS = 5         # power-iteration rounds (q_gram_top_component)
 HLL_P = 8               # HyperLogLog precision: 2^8 = 256 registers
 VOCAB_GROWTH_BUCKET = 50  # docs per ingest bucket (q_vocab_growth)
@@ -12366,6 +12416,193 @@ LEFT JOIN nold USING (jc)
 LEFT JOIN nnew USING (jc)
 LEFT JOIN fpc USING (jc)
 LEFT JOIN fpn USING (jc)
+"""
+
+
+def _maintenance_plan_oracle_sql(
+    dims: int,
+    coarse_k: int,
+    coarse_iters: int,
+    m: int,
+    k: int,
+    iters: int,
+    threshold_q: int,
+    stale_ratio_q: int,
+    scale_mod: int,
+) -> str:
+    """Codebook-staleness decision oracle: rebuild the even-id RESIDUAL
+    index from the embedded constants (the _reindex_oracle_sql front),
+    route the mixed-shift odd-id batch (reversed; every ``scale_mod``-th
+    id also ×3-scaled — the planted strong shift) through the stored
+    centroids, replay the drift gate, then for DRIFTED lists replay
+    both exact ADC error sums — old members vs the STORED centroid and
+    all members vs the REFRESHED centroid, frozen codebooks both — and
+    the integer staleness ratio + three-way decision. Mirrors
+    operators/quantize.py ivf_pq_maintenance_plan stage for stage."""
+    d = dims // m
+    ci = coarse_iters
+    coarse = _kmeans_ctes_sql(coarse_k, ci, prefix="cv_", src_sql="eold")
+    resid = f"""resid AS (
+  SELECT e.vec_id, e.dim, e.xq - c.c AS rq
+  FROM cv_ex e
+  JOIN cv_a{ci} a ON e.vec_id = a.vec_id
+  JOIN cv_c{ci - 1} c ON a.j = c.j AND e.dim = c.dim
+)"""
+    chains = ",\n".join(
+        _kmeans_ctes_sql(
+            k,
+            iters,
+            prefix=f"s{s}_",
+            ex_sql=(
+                f"\n  SELECT vec_id, dim - {s * d} AS dim, rq AS xq FROM resid"
+                f"\n  WHERE dim >= {s * d} AND dim < {(s + 1) * d}"
+            ),
+            src_sql="eold",
+        )
+        for s in range(m)
+    )
+    codebook_union = "\n  UNION ALL ".join(
+        f"SELECT {s} AS g, j, dim, c FROM s{s}_c{iters - 1}" for s in range(m)
+    )
+    return f"""WITH eold AS (SELECT * FROM embeddings WHERE vec_id % 2 = 0),
+enew AS (
+  -- CAST inside the lambda: DuckDB would otherwise multiply in
+  -- float32 while Spark promotes to double before the multiply
+  SELECT vec_id,
+         CASE WHEN vec_id % {scale_mod} = 0
+              THEN list_transform(list_reverse(embedding),
+                                  x -> CAST(x AS DOUBLE) * 3.0)
+              ELSE list_transform(list_reverse(embedding),
+                                  x -> CAST(x AS DOUBLE)) END AS embedding
+  FROM embeddings WHERE vec_id % 2 = 1
+),
+{coarse},
+{resid},
+{chains},
+codebook AS (
+  {codebook_union}
+),
+nx AS (
+  SELECT vec_id, dd - 1 AS dim,
+         CAST(floor(CAST(e AS DOUBLE) * 1000000) AS BIGINT) AS xq
+  FROM (SELECT vec_id, unnest(embedding) AS e,
+               generate_subscripts(embedding, 1) AS dd
+        FROM enew)
+),
+route AS (
+  SELECT vec_id, j AS jc FROM (
+    SELECT nx.vec_id, c.j, sum((nx.xq - c.c) * (nx.xq - c.c)) AS dist
+    FROM nx JOIN cv_c{ci - 1} c ON nx.dim = c.dim
+    GROUP BY 1, 2)
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, j) = 1
+),
+oldx AS (
+  SELECT e.vec_id, a.j AS jc, e.dim, e.xq
+  FROM cv_ex e JOIN cv_a{ci} a USING (vec_id)
+),
+memb AS (
+  SELECT * FROM oldx
+  UNION ALL
+  SELECT nx.vec_id, route.jc, nx.dim, nx.xq FROM nx JOIN route USING (vec_id)
+),
+sold AS (SELECT jc, dim, sum(xq) AS so FROM oldx GROUP BY 1, 2),
+sall AS (SELECT jc, dim, sum(xq) AS sa FROM memb GROUP BY 1, 2),
+gate AS (
+  SELECT jc, drift_q,
+         (drift_q IS NULL OR drift_q < {threshold_q}) AS drifted
+  FROM (
+    SELECT jc, CASE WHEN n2o > 0 AND n2a > 0 THEN
+        CAST(floor(CAST(dot AS DOUBLE)
+          / (sqrt(CAST(n2o AS DOUBLE)) * sqrt(CAST(n2a AS DOUBLE)))
+          * 1000000) AS BIGINT) END AS drift_q
+    FROM (
+      SELECT sall.jc,
+             sum(CAST(COALESCE(so, 0) AS HUGEINT) * sall.sa) AS dot,
+             sum(CAST(COALESCE(so, 0) AS HUGEINT) * COALESCE(so, 0)) AS n2o,
+             sum(CAST(sall.sa AS HUGEINT) * sall.sa) AS n2a
+      FROM sall LEFT JOIN sold ON sall.jc = sold.jc AND sall.dim = sold.dim
+      GROUP BY 1)
+  )
+),
+flagged AS (
+  SELECT memb.* FROM memb JOIN gate USING (jc) WHERE gate.drifted
+),
+nmem AS (
+  SELECT jc, count(DISTINCT vec_id) AS n_mem FROM flagged GROUP BY 1
+),
+refreshed AS (
+  SELECT flagged.jc, flagged.dim,
+         CAST(floor(CAST(sum(xq) AS DOUBLE)
+                    / CAST(any_value(n_mem) AS DOUBLE)) AS BIGINT) AS c
+  FROM flagged JOIN nmem USING (jc)
+  GROUP BY 1, 2
+),
+rs_old AS (
+  SELECT o.vec_id, o.jc, o.dim // {d} AS g, o.dim % {d} AS dim,
+         o.xq - c.c AS rq
+  FROM oldx o
+  JOIN gate ON o.jc = gate.jc AND gate.drifted
+  JOIN cv_c{ci - 1} c ON o.jc = c.j AND o.dim = c.dim
+),
+err_sto AS (
+  SELECT jc, sum(mind) AS err_stored_q FROM (
+    SELECT vec_id, jc, g, min(dist) AS mind FROM (
+      SELECT rs.vec_id, rs.jc, rs.g, cb.j,
+             sum((rs.rq - cb.c) * (rs.rq - cb.c)) AS dist
+      FROM rs_old rs JOIN codebook cb ON rs.g = cb.g AND rs.dim = cb.dim
+      GROUP BY 1, 2, 3, 4)
+    GROUP BY 1, 2, 3)
+  GROUP BY 1
+),
+rs_new AS (
+  SELECT f.vec_id, f.jc, f.dim // {d} AS g, f.dim % {d} AS dim,
+         f.xq - r.c AS rq
+  FROM flagged f JOIN refreshed r ON f.jc = r.jc AND f.dim = r.dim
+),
+err_ref AS (
+  SELECT jc, sum(mind) AS err_refreshed_q FROM (
+    SELECT vec_id, jc, g, min(dist) AS mind FROM (
+      SELECT rs.vec_id, rs.jc, rs.g, cb.j,
+             sum((rs.rq - cb.c) * (rs.rq - cb.c)) AS dist
+      FROM rs_new rs JOIN codebook cb ON rs.g = cb.g AND rs.dim = cb.dim
+      GROUP BY 1, 2, 3, 4)
+    GROUP BY 1, 2, 3)
+  GROUP BY 1
+),
+nold AS (SELECT j AS jc, CAST(count(*) AS BIGINT) AS n_old
+         FROM cv_a{ci} GROUP BY 1),
+nnew AS (SELECT jc, CAST(count(*) AS BIGINT) AS n_new
+         FROM route GROUP BY 1),
+manifest AS (
+  SELECT gate.jc, gate.drift_q, gate.drifted,
+         COALESCE(nold.n_old, 0) AS n_old,
+         COALESCE(nnew.n_new, 0) AS n_new,
+         err_sto.err_stored_q,
+         err_ref.err_refreshed_q,
+         CASE WHEN err_sto.err_stored_q > 0 AND COALESCE(nold.n_old, 0) > 0
+                   AND COALESCE(nold.n_old, 0) + COALESCE(nnew.n_new, 0) > 0
+              THEN CAST((CAST(err_ref.err_refreshed_q AS HUGEINT)
+                         * COALESCE(nold.n_old, 0) * 1000000)
+                        // (CAST(err_sto.err_stored_q AS HUGEINT)
+                            * (COALESCE(nold.n_old, 0)
+                               + COALESCE(nnew.n_new, 0))) AS BIGINT)
+              END AS stale_ratio_q
+  FROM gate
+  LEFT JOIN nold USING (jc)
+  LEFT JOIN nnew USING (jc)
+  LEFT JOIN err_sto USING (jc)
+  LEFT JOIN err_ref USING (jc)
+)
+SELECT CAST(jc AS BIGINT) AS j,
+       n_old, n_new, drift_q,
+       CAST(err_stored_q AS BIGINT) AS err_stored_q,
+       CAST(err_refreshed_q AS BIGINT) AS err_refreshed_q,
+       stale_ratio_q,
+       CASE WHEN NOT drifted THEN 'passthrough'
+            WHEN stale_ratio_q IS NULL OR stale_ratio_q > {stale_ratio_q}
+              THEN 'retrain'
+            ELSE 'reencode' END AS decision
+FROM manifest
 """
 
 
@@ -19132,6 +19369,10 @@ FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
         "ann_recall_residual_opq": _ann_recall_oracle_sql(
             EMB_DIMS, KMEANS_K, IVFPQ_COARSE_ITERS, PQ_M, PQ_K, PQ_ITERS,
             PQADC_QUERIES, IVFPQ_NPROBE, PQADC_TOPK, residual_opq=True,
+        ),
+        "ivf_pq_maintenance_plan": _maintenance_plan_oracle_sql(
+            EMB_DIMS, KMEANS_K, IVFPQ_COARSE_ITERS, PQ_M, PQ_K, PQ_ITERS,
+            REINDEX_DRIFT_Q, MPLAN_STALE_RATIO_Q, MPLAN_SCALE_MOD,
         ),
     }
 

@@ -1673,6 +1673,213 @@ def ivf_pq_reindex_drifted(
     )
 
 
+def ivf_pq_maintenance_plan(
+    spark,
+    index_path: str,
+    old_corpus: DataFrame,
+    new_batch: DataFrame,
+    dims: int,
+    m: int = 2,
+    drift_threshold_q: int = 900_000,
+    stale_ratio_q: int = 2_000_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Codebook-staleness rung of the maintenance ladder — the
+    decision operator ``ivf_pq_reindex_drifted`` lacks: the drift gate
+    says WHICH lists moved, but a moved list can be fixed two ways
+    (re-encode with the FROZEN codebooks, or flag the codebooks
+    themselves for retraining), and today staleness is only
+    discoverable by a full-corpus recall audit. This pass decides
+    per-list, riding exactly the data the reindex pass already
+    touches:
+
+    1.-2. Route the new batch through the stored coarse centroids and
+       compute the per-list SUM-vector drift cosine (identical to
+       ``ivf_pq_reindex_drifted`` steps 1-2; untouched lists decide
+       'passthrough' with no further work).
+    3. For each DRIFTED list only (cost stays bounded by drifted
+       membership — O(new batch) on a stable corpus, never O(index)):
+       - ``err_stored_q``: exact bigint ADC error of the OLD members'
+         residuals against the STORED centroid under the frozen
+         codebooks (= the quantization error the stored codes already
+         embody, recomputed deterministically);
+       - ``err_refreshed_q``: the same error for ALL current members
+         against the REFRESHED centroid (floored member mean) — what
+         a frozen-codebook re-encode would leave behind;
+       - ``stale_ratio_q`` = floor(err_refreshed·n_old·1e6 /
+         (err_stored·n_all)) — the per-member quantization-error
+         growth, exact DECIMAL(38,0) integer arithmetic.
+    4. Decision: 'passthrough' (gate never fired), 'reencode'
+       (drifted, error growth under ``stale_ratio_q``), or 'retrain'
+       (drifted and the frozen codebooks no longer fit — ratio above
+       the threshold, or NULL: a list with no old members or zero
+       stored error has no baseline, so the codebooks were never fit
+       to its data).
+
+    Layout-aware: an OPQ artifact's dim map is loaded as model state.
+    Returns (j, n_old, n_new, drift_q, err_stored_q, err_refreshed_q,
+    stale_ratio_q, decision) — one row per list with any current
+    member, fully deterministic so the oracle replays the whole
+    decision pass value-exact."""
+    import os
+
+    from rat_strain_loader_pipeline_spark.operators.clustering import MICROS
+    from rat_strain_loader_pipeline_spark.staging import stage_to_parquet
+
+    d, rem = divmod(dims, m)
+    if rem:
+        raise ValueError(f"dims={dims} not divisible by m={m}")
+    cent = spark.read.parquet(os.path.join(index_path, "coarse_centroids"))
+    codebook = spark.read.parquet(os.path.join(index_path, "codebook"))
+    stored = spark.read.parquet(os.path.join(index_path, "codes"))
+    dim_map = None
+    if os.path.exists(os.path.join(index_path, "dim_map", "_SUCCESS")):
+        dim_map = spark.read.parquet(os.path.join(index_path, "dim_map"))
+    old_lists = stored.filter(F.col("g") == -1).select(
+        F.col(id_col), F.col("j").alias("jc")
+    )
+
+    def micros(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col), F.posexplode(vec_col).alias("dim", "x")
+        ).select(
+            id_col,
+            "dim",
+            F.floor(F.col("x").cast("double") * MICROS).cast("long").alias("xq"),
+        )
+
+    old_x = stage_to_parquet(micros(old_corpus).join(old_lists, id_col), "mplan-oldx")
+    new_x = stage_to_parquet(micros(new_batch), "mplan-newx")
+    new_lists = (
+        new_x.join(F.broadcast(cent), "dim")
+        .groupBy(id_col, "j")
+        .agg(F.sum((F.col("xq") - F.col("c")) * (F.col("xq") - F.col("c"))).alias("dist"))
+        .groupBy(id_col)
+        .agg(F.min(F.struct("dist", "j")).alias("mn"))
+        .select(id_col, F.col("mn.j").alias("jc"))
+    )
+    members = stage_to_parquet(
+        old_x.select(id_col, "jc", "dim", "xq").unionByName(
+            new_x.join(new_lists, id_col).select(id_col, "jc", "dim", "xq")
+        ),
+        "mplan-members",
+    )
+    # per-list drift: integer SUM vectors old vs all, one IEEE tree
+    s_old = old_x.groupBy("jc", "dim").agg(F.sum("xq").cast("long").alias("so"))
+    s_all = members.groupBy("jc", "dim").agg(F.sum("xq").cast("long").alias("sa"))
+    gate_col = F.col("drift_q").isNull() | (F.col("drift_q") < drift_threshold_q)
+    decisions = stage_to_parquet(
+        s_all.join(s_old, ["jc", "dim"], "left")
+        .select("jc", F.coalesce("so", F.lit(0)).alias("so"), "sa")
+        .groupBy("jc")
+        .agg(
+            F.expr("sum(CAST(so AS DECIMAL(38,0)) * sa)").alias("dot"),
+            F.expr("sum(CAST(so AS DECIMAL(38,0)) * so)").alias("n2o"),
+            F.expr("sum(CAST(sa AS DECIMAL(38,0)) * sa)").alias("n2a"),
+        )
+        .select(
+            "jc",
+            F.expr(
+                "CASE WHEN n2o > 0 AND n2a > 0 THEN"
+                " CAST(floor(CAST(dot AS DOUBLE)"
+                "   / (sqrt(CAST(n2o AS DOUBLE)) * sqrt(CAST(n2a AS DOUBLE)))"
+                "   * 1000000) AS BIGINT) END"
+            ).alias("drift_q"),
+        )
+        .select("jc", "drift_q", gate_col.alias("drifted")),
+        "mplan-gate",
+    )
+    drifted = F.broadcast(decisions.filter("drifted").select("jc"))
+    flagged = members.join(drifted, "jc")
+    n_members = flagged.select(id_col, "jc").distinct().groupBy("jc").agg(
+        F.count(F.lit(1)).cast("long").alias("n_mem")
+    )
+    refreshed = (
+        flagged.groupBy("jc", "dim")
+        .agg(F.sum("xq").cast("double").alias("sx"))
+        .join(F.broadcast(n_members), "jc")
+        .select(
+            "jc",
+            "dim",
+            F.floor(F.col("sx") / F.col("n_mem").cast("double"))
+            .cast("long")
+            .alias("c"),
+        )
+    )
+
+    def adc_err(mem: DataFrame, cent_tbl: DataFrame, label: str) -> DataFrame:
+        """Σ over (member, g) of the frozen-codebook argmin ADC
+        distance of the member's residual vs ``cent_tbl`` — the exact
+        bigint quantization error a frozen-codebook encode leaves."""
+        resid = _residual_group(
+            mem.join(F.broadcast(cent_tbl), ["jc", "dim"])
+            .select(id_col, "jc", "dim", (F.col("xq") - F.col("c")).alias("rq")),
+            d,
+            "rq",
+            dim_map,
+        )
+        return (
+            resid.join(F.broadcast(codebook), ["g", "dim"])
+            .groupBy(id_col, "jc", "g", "j")
+            .agg(
+                F.sum(
+                    (F.col("xq") - F.col("c")) * (F.col("xq") - F.col("c"))
+                ).alias("dist")
+            )
+            .groupBy(id_col, "jc", "g")
+            .agg(F.min("dist").alias("mind"))
+            .groupBy("jc")
+            .agg(F.sum("mind").cast("long").alias(label))
+        )
+    err_stored = adc_err(
+        old_x.join(drifted, "jc"),
+        cent.select(F.col("j").alias("jc"), "dim", "c"),
+        "err_stored_q",
+    )
+    err_refreshed = adc_err(flagged, refreshed, "err_refreshed_q")
+    n_old = old_lists.groupBy("jc").agg(F.count(F.lit(1)).cast("long").alias("n_old"))
+    n_new = new_lists.groupBy("jc").agg(F.count(F.lit(1)).cast("long").alias("n_new"))
+    return (
+        decisions.join(F.broadcast(n_old), "jc", "left")
+        .join(F.broadcast(n_new), "jc", "left")
+        .join(F.broadcast(err_stored), "jc", "left")
+        .join(F.broadcast(err_refreshed), "jc", "left")
+        .withColumn("n_old", F.coalesce("n_old", F.lit(0)).cast("long"))
+        .withColumn("n_new", F.coalesce("n_new", F.lit(0)).cast("long"))
+        .withColumn("n_all", F.col("n_old") + F.col("n_new"))
+        .withColumn(
+            "stale_ratio_q",
+            F.expr(
+                "CASE WHEN err_stored_q > 0 AND n_old > 0 AND n_all > 0 THEN"
+                " CAST((CAST(err_refreshed_q AS DECIMAL(38,0)) * n_old * 1000000)"
+                " div (CAST(err_stored_q AS DECIMAL(38,0)) * n_all) AS BIGINT)"
+                " END"
+            ),
+        )
+        .withColumn(
+            "decision",
+            F.when(~F.col("drifted"), F.lit("passthrough"))
+            .when(
+                F.col("stale_ratio_q").isNull()
+                | (F.col("stale_ratio_q") > stale_ratio_q),
+                F.lit("retrain"),
+            )
+            .otherwise(F.lit("reencode")),
+        )
+        .select(
+            F.col("jc").cast("long").alias("j"),
+            "n_old",
+            "n_new",
+            "drift_q",
+            "err_stored_q",
+            "err_refreshed_q",
+            "stale_ratio_q",
+            "decision",
+        )
+    )
+
+
 def ivf_pq_encode_batch(
     spark,
     index_path: str,

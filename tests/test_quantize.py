@@ -521,3 +521,53 @@ def test_pq_index_build_layout_in_slug(spark, sf_dir, tmp_path):
     assert p_raw == pq_index_build(
         emb, dims=64, m=2, k=4, iters=1, root=root, tag="t"
     )
+
+
+def test_ivf_pq_maintenance_plan_decision_flips_on_planted_shift(spark, sf_dir):
+    """The staleness rung's three-way decision responds to the data:
+    with every list force-drifted, a MILD shift (reversed vectors —
+    same scale, so the frozen codebooks still fit) decides reencode,
+    while a STRONG planted shift (x3-scaled vectors — residuals far
+    outside the codebooks' fitted range) flips the same lists to
+    retrain; and with an in-distribution batch at the real gate, lists
+    pass through untouched."""
+    import __spark_entry__ as em
+    from rat_strain_loader_pipeline_spark.operators.quantize import (
+        ivf_pq_maintenance_plan,
+    )
+    from rat_strain_loader_pipeline_spark.sources.tables import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    path = em._ivf_residual_even_index_path(spark, sf_dir)
+    old = emb.filter(F.col("vec_id") % 2 == 0)
+    odd = emb.filter(F.col("vec_id") % 2 == 1)
+
+    def plan(batch, drift_q, ratio_q):
+        return {
+            r["j"]: r["decision"]
+            for r in ivf_pq_maintenance_plan(
+                spark, path, old, batch,
+                dims=em.EMB_DIMS, m=em.PQ_M,
+                drift_threshold_q=drift_q, stale_ratio_q=ratio_q,
+            ).collect()
+        }
+
+    force_all = 1_000_001  # drift cosine is <= 1e6, so every list gates
+    mild = plan(
+        odd.select("vec_id", F.reverse("embedding").alias("embedding")),
+        force_all, em.MPLAN_STALE_RATIO_Q,
+    )
+    strong = plan(
+        odd.select(
+            "vec_id",
+            F.expr("transform(embedding, x -> x * 3.0D)").alias("embedding"),
+        ),
+        force_all, em.MPLAN_STALE_RATIO_Q,
+    )
+    assert set(mild.values()) == {"reencode"}
+    assert "retrain" in set(strong.values())
+    flipped = [j for j in mild if strong.get(j) == "retrain"]
+    assert flipped, "the planted x3 shift must flip at least one list"
+    # in-distribution traffic at the real gate: untouched lists
+    same = plan(odd, em.REINDEX_DRIFT_Q, em.MPLAN_STALE_RATIO_Q)
+    assert "passthrough" in set(same.values())
