@@ -7216,21 +7216,28 @@ def q_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_cross_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Delta dedup (operators/dedup.py minhash_lsh_cross_pairs): the
-    new batch (odd doc ids) bands against the already-ingested corpus
-    (even ids) — cross-side bucket equi-join only, no old x old
-    re-pairing — then exact-Jaccard verify at 0.5. The incremental
-    twin of minhash_lsh; oracle replays the banding cross-join from
-    embedded coefficients."""
-    from rat_strain_loader_pipeline_spark.operators.dedup import (
-        minhash_lsh_cross_pairs,
-    )
+    """Delta dedup (operators/dedup.py minhash_lsh_cross_pairs
+    semantics): the new batch (odd doc ids) against the
+    already-ingested corpus (even ids) — cross-side pairs only, no
+    old × old re-pairing in the OUTPUT — verified by exact Jaccard at
+    0.5. The incremental twin of minhash_lsh; oracle replays the
+    banding cross-join from embedded coefficients.
 
-    docs = _t(spark, sf_dir, "documents")
-    return minhash_lsh_cross_pairs(
-        docs.filter(F.col("doc_id") % 2 == 1),
-        docs.filter(F.col("doc_id") % 2 == 0),
-        jaccard_threshold=0.5,
+    Lifecycle: served as the opposite-parity slice of the build-once
+    postings store (_cc_store — the SAME store split_leakage,
+    curation_funnel, and cc_incremental consume): signatures and
+    banding are content-only, so the verified full-corpus pair set
+    restricted to (odd, even) pairs is definitionally identical to
+    minhash_lsh_cross_pairs' output (same coefficients, same bucket
+    condition, same exact-Jaccard verify — pytest-pinned). The store
+    pays signature computation once per process for ALL its consumers
+    instead of this query recomputing BOTH corpus halves per call."""
+    pairs, _old_cc = _cc_store(spark, sf_dir)
+    odd_a = F.col("id_a") % 2 == 1
+    return pairs.filter((F.col("id_a") + F.col("id_b")) % 2 == 1).select(
+        F.when(odd_a, F.col("id_a")).otherwise(F.col("id_b")).alias("id_new"),
+        F.when(odd_a, F.col("id_b")).otherwise(F.col("id_a")).alias("id_old"),
+        "jaccard_micros",
     )
 
 
@@ -9104,9 +9111,13 @@ def _cc_store(spark: SparkSession, sf_dir: str):
         )
     docs = _t(spark, sf_dir, "documents")
     # stage_to_parquet_path hands back the staged directory directly —
-    # inputFiles() is empty for a corpus with no near-dup pairs
+    # inputFiles() is empty for a corpus with no near-dup pairs;
+    # jaccard_micros rides along so verification consumers
+    # (cross_corpus_dedup) never recompute signatures
     pairs, pairs_path = stage_to_parquet_path(
-        minhash_lsh_pairs(docs, jaccard_threshold=0.5).select("id_a", "id_b"),
+        minhash_lsh_pairs(docs, jaccard_threshold=0.5).select(
+            "id_a", "id_b", "jaccard_micros"
+        ),
         "ccstore-pairs",
     )
     old_cc, old_cc_path = stage_to_parquet_path(

@@ -991,6 +991,40 @@ def test_ivf_pq_residual_build_idempotent_and_serve_matches_hermetic(
     assert served == hermetic
 
 
+def test_cross_corpus_dedup_serves_store_and_matches_hermetic(
+    spark, sf_dir, queries
+):
+    """Round-11 lifecycle fix: cross_corpus_dedup is the
+    opposite-parity slice of the build-once postings store — the plan
+    reads the staged store (no per-call signature recomputation over
+    either corpus half: zero documents.parquet scans), and the values
+    are bit-identical to the hermetic minhash_lsh_cross_pairs run."""
+    import __spark_entry__ as em
+    from rat_strain_loader_pipeline_spark.operators.dedup import (
+        minhash_lsh_cross_pairs,
+    )
+    from rat_strain_loader_pipeline_spark.sources.tables import read_table
+
+    df = queries["cross_corpus_dedup"](spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("documents.parquet") == 0
+    pairs_path = em._CC_STORE_PATHS[sf_dir][0]
+    assert pairs_path.split("/")[-1] in plan
+    served = {
+        (r["id_new"], r["id_old"]): r["jaccard_micros"] for r in df.collect()
+    }
+    docs = read_table(spark, sf_dir, "documents")
+    hermetic = {
+        (r["id_new"], r["id_old"]): r["jaccard_micros"]
+        for r in minhash_lsh_cross_pairs(
+            docs.filter(F.col("doc_id") % 2 == 1),
+            docs.filter(F.col("doc_id") % 2 == 0),
+            jaccard_threshold=0.5,
+        ).collect()
+    }
+    assert served == hermetic
+
+
 def test_ivf_pq_residual_opq_serve_matches_hermetic_and_reads_artifact(
     spark, sf_dir, queries
 ):
