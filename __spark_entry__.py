@@ -1096,6 +1096,72 @@ def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "shard", "n_tokens", "pack_id", "offset_in_pack")
 
 
+def q_sequence_pack_bfd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-fit-decreasing sequence packing (operators/sampling.py
+    sequence_pack_bfd) — the quality upgrade over q_sequence_pack's
+    first-fit concat-and-chunk: per shard (doc_id % PACK_SHARDS), docs
+    sort by effective size desc (id-asc ties) and each goes to the
+    open PACK_CAP-token window with the least remaining room that
+    fits; no fit opens a new window; oversized docs truncate to one
+    full window. BFD's waste bound (≤ 11/9·OPT + 6/9 windows, Johnson)
+    is the published reason it's the standard training-batch packer;
+    q_packing_efficiency measures the occupancy beside it. Only doc
+    metadata shuffles (never text); the per-shard fold is the
+    applyInPandas sequential kernel, shards the parallel unit. The
+    oracle replays the exact fold as a per-shard recursive CTE
+    carrying the open-window remaining-capacity list."""
+    from rat_strain_loader_pipeline_spark.operators.sampling import (
+        sequence_pack_bfd,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sized = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        T.token_count(F.col("text")).alias("n_tokens"),
+        (F.col("doc_id") % PACK_SHARDS).cast("int").alias("shard"),
+    )
+    return sequence_pack_bfd(sized, capacity=PACK_CAP)
+
+
+def q_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency audit of the BFD packer — the quality number
+    a training pipeline gates batch construction on (waste is a direct
+    training-cost multiplier: occupancy 0.9 → ~11% of every step spent
+    on padding): per shard, docs, open windows, packed tokens,
+    truncated-doc count, and integer occupancy
+    (sum_eff·1e6 div (n_bins·PACK_CAP)). Derived by aggregation from
+    the SAME deterministic fold as q_sequence_pack_bfd, so the oracle
+    is the same recursive-CTE replay with an aggregate epilogue."""
+    from rat_strain_loader_pipeline_spark.operators.sampling import (
+        sequence_pack_bfd,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sized = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        T.token_count(F.col("text")).alias("n_tokens"),
+        (F.col("doc_id") % PACK_SHARDS).cast("int").alias("shard"),
+    )
+    packed = sequence_pack_bfd(sized, capacity=PACK_CAP)
+    return (
+        packed.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            (F.max("bin_id") + 1).cast("long").alias("n_bins"),
+            F.sum("size_eff").cast("long").alias("sum_tokens_eff"),
+            F.sum(
+                F.when(F.col("n_tokens") > PACK_CAP, 1).otherwise(0)
+            ).cast("long").alias("n_truncated"),
+        )
+        .withColumn(
+            "occupancy_micros",
+            F.expr(
+                f"sum_tokens_eff * 1000000 div (n_bins * {PACK_CAP})"
+            ).cast("long"),
+        )
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup by content hash (engine operator)."""
     docs = _t(spark, sf_dir, "documents")
@@ -10192,6 +10258,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_pq_residual_opq_topk": q_ivf_pq_residual_opq_topk,
         "ann_recall_residual_opq": q_ann_recall_residual_opq,
         "ivf_pq_maintenance_plan": q_ivf_pq_maintenance_plan,
+        "sequence_pack_bfd": q_sequence_pack_bfd,
+        "packing_efficiency": q_packing_efficiency,
     }
 
 
@@ -10911,6 +10979,9 @@ SPAN_MIN_RUN = 16   # length floor (q_dedup_spans_minrun): runs shorter
 
 # Deterministic corpus shuffle (q_training_shuffle)
 SHUFFLE_SALT = "v1"
+# BFD sequence packing (q_sequence_pack_bfd / q_packing_efficiency)
+PACK_CAP = 2048
+PACK_SHARDS = 8
 SHUFFLE_BUCKETS = 256
 SHUFFLE_HASH_RES = 1_000_000_007   # within-bucket order hash modulus
 
@@ -12427,6 +12498,78 @@ LEFT JOIN nold USING (jc)
 LEFT JOIN nnew USING (jc)
 LEFT JOIN fpc USING (jc)
 LEFT JOIN fpn USING (jc)
+"""
+
+
+def _pack_bfd_ctes_sql(cap: int, shards: int) -> str:
+    """Per-shard best-fit-decreasing fold as a recursive CTE — the
+    oracle twin of operators/sampling.py sequence_pack_bfd: the
+    recursion steps one ranked doc at a time per shard, carrying the
+    open-window remaining-capacity LIST; the best-fit choice is pure
+    list arithmetic (fits → min remaining → min window id — the exact
+    engine tie-break). Ends in ``fold(shard, rk, doc_id, n_tokens,
+    sz, bin_id, rem)``; rk = 0 rows are the empty seeds (filter them
+    out)."""
+    return f"""toks AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(doc_id % {shards} AS INT) AS shard,
+         CAST(len({_TOKENS_CASED_SQL}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, shard, n_tokens, least(n_tokens, {cap}) AS sz,
+         row_number() OVER (PARTITION BY shard
+                            ORDER BY least(n_tokens, {cap}) DESC, doc_id) AS rk
+  FROM toks
+),
+fold(shard, rk, doc_id, n_tokens, sz, bin_id, rem) AS (
+  SELECT shard, CAST(0 AS BIGINT), CAST(NULL AS BIGINT),
+         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+         CAST([] AS BIGINT[])
+  FROM (SELECT DISTINCT shard FROM ranked)
+  UNION ALL
+  SELECT shard, rk, doc_id, n_tokens, sz,
+         CASE WHEN best_i IS NOT NULL THEN best_i - 1
+              ELSE len(rem) END AS bin_id,
+         CASE WHEN best_i IS NOT NULL
+              THEN list_transform(list_zip(rem, range(1, len(rem) + 1)),
+                     p -> CASE WHEN p[2] = best_i THEN p[1] - sz
+                               ELSE p[1] END)
+              ELSE list_append(rem, {cap} - sz) END AS rem
+  FROM (
+    SELECT r.shard, r.rk, r.doc_id, r.n_tokens, r.sz, f.rem,
+           list_filter(list_zip(f.rem, range(1, len(f.rem) + 1)),
+                       p -> p[1] >= r.sz) AS fits,
+           list_min(list_transform(fits, p -> p[1])) AS best_r,
+           list_min(list_transform(list_filter(fits, p -> p[1] = best_r),
+                                   p -> p[2])) AS best_i
+    FROM fold f JOIN ranked r ON r.shard = f.shard AND r.rk = f.rk + 1
+  )
+)"""
+
+
+def _pack_bfd_oracle_sql(cap: int, shards: int) -> str:
+    return f"""WITH RECURSIVE {_pack_bfd_ctes_sql(cap, shards)}
+SELECT CAST(shard AS INT) AS shard,
+       doc_id, n_tokens,
+       sz AS size_eff,
+       bin_id
+FROM fold WHERE rk > 0
+"""
+
+
+def _packing_efficiency_oracle_sql(cap: int, shards: int) -> str:
+    return f"""WITH RECURSIVE {_pack_bfd_ctes_sql(cap, shards)}
+SELECT CAST(shard AS INT) AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(max(bin_id) + 1 AS BIGINT) AS n_bins,
+       CAST(sum(sz) AS BIGINT) AS sum_tokens_eff,
+       CAST(sum(CASE WHEN n_tokens > {cap} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_truncated,
+       CAST(sum(sz) * 1000000 // ((max(bin_id) + 1) * {cap}) AS BIGINT)
+         AS occupancy_micros
+FROM fold WHERE rk > 0
+GROUP BY 1
 """
 
 
@@ -19384,6 +19527,10 @@ FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
         "ivf_pq_maintenance_plan": _maintenance_plan_oracle_sql(
             EMB_DIMS, KMEANS_K, IVFPQ_COARSE_ITERS, PQ_M, PQ_K, PQ_ITERS,
             REINDEX_DRIFT_Q, MPLAN_STALE_RATIO_Q, MPLAN_SCALE_MOD,
+        ),
+        "sequence_pack_bfd": _pack_bfd_oracle_sql(PACK_CAP, PACK_SHARDS),
+        "packing_efficiency": _packing_efficiency_oracle_sql(
+            PACK_CAP, PACK_SHARDS
         ),
     }
 

@@ -40,3 +40,46 @@ def test_poisson_bootstrap_partition_invariant(spark):
         )
 
     assert run(df.coalesce(1)) == run(df.repartition(13, F.col("doc_id") % 7))
+
+
+def test_sequence_pack_bfd_hand_computed(spark):
+    """Tiny known instance, capacity 10, one shard: sorted desc
+    [7,6,4,3,3,2] — BFD places 7→w0, 6→w1, 4→w1 (best fit: rem 4 < 3?
+    no — w1 rem 4 is the smallest that fits), 3→w0 (rem 3), 3→w2
+    (nothing fits), 2→w2. Three windows; first-fit-decreasing would
+    also give 3 here, but the per-step choices pin the BEST-fit
+    tie-break (smallest remaining, then smallest window id)."""
+    from rat_strain_loader_pipeline_spark.operators.sampling import (
+        sequence_pack_bfd,
+    )
+
+    rows = [(i + 1, s, 0) for i, s in enumerate([7, 6, 4, 3, 3, 2])]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long, shard int")
+    out = {
+        r["doc_id"]: (r["bin_id"], r["size_eff"])
+        for r in sequence_pack_bfd(df, capacity=10).collect()
+    }
+    assert out == {1: (0, 7), 2: (1, 6), 3: (1, 4), 4: (0, 3),
+                   5: (2, 3), 6: (2, 2)}
+
+
+def test_sequence_pack_bfd_truncates_and_respects_capacity(spark):
+    """Oversized docs truncate to one full window and open their own;
+    every window's packed size_eff total stays within capacity."""
+    from rat_strain_loader_pipeline_spark.operators.sampling import (
+        sequence_pack_bfd,
+    )
+
+    rows = [(1, 25, 0), (2, 9, 0), (3, 4, 0), (4, 8, 1), (5, 3, 1)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long, shard int")
+    out = sequence_pack_bfd(df, capacity=10).collect()
+    eff = {r["doc_id"]: r["size_eff"] for r in out}
+    assert eff[1] == 10  # truncated from 25
+    fills = {}
+    for r in out:
+        fills.setdefault((r["shard"], r["bin_id"]), 0)
+        fills[(r["shard"], r["bin_id"])] += r["size_eff"]
+    assert all(v <= 10 for v in fills.values())
+    # the truncated doc fills a window alone
+    solo = [k for k, v in fills.items() if v == 10 and k[0] == 0]
+    assert solo
