@@ -5893,6 +5893,79 @@ def q_media_audio_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_audio_pairs(media, max_hamming=4)
 
 
+_UNIGRAM_MODEL_PATHS: dict[str, str] = {}
+
+
+def _unigram_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build-once per-process cache of the trained unigram model (the
+    _ivf_index_path lifecycle for the tokenizer): the hard-EM training
+    chain runs at most once per process per sf_dir; the train query's
+    output and the apply query's serving vocabulary both read the
+    staged model parquet. Training is deterministic, so serving
+    changes no value."""
+    import os as _os
+
+    from rat_strain_loader_pipeline_spark.operators.text import unigram_train
+    from rat_strain_loader_pipeline_spark.staging import stage_to_parquet_path
+
+    path = _UNIGRAM_MODEL_PATHS.get(sf_dir)
+    if path is not None and _os.path.exists(_os.path.join(path, "_SUCCESS")):
+        return spark.read.parquet(path)
+    model = unigram_train(
+        _t(spark, sf_dir, "documents"),
+        vocab_multi=UNI_VOCAB_MULTI,
+        rounds=UNI_ROUNDS,
+        max_len=UNI_MAXLEN,
+        return_model=True,
+    )
+    staged, path = stage_to_parquet_path(model, "uni-model-store")
+    _UNIGRAM_MODEL_PATHS[sf_dir] = path
+    return staged
+
+
+def q_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer trainer (operators/text.py unigram_train —
+    SentencePiece/Kudo 2018 reduced to its deterministic hard-EM form;
+    bpe_train's twin for the OTHER dominant public tokenizer family):
+    seed = all ≤UNI_MAXLEN-char substrings of the word histogram,
+    frequency-weighted; UNI_ROUNDS hard-EM rounds Viterbi-segment
+    every histogram word under floored-ln add-one likelihoods (exact
+    bigint DP as pure array folds — no UDF — with longest-piece ties)
+    and re-estimate; prune to all single chars (coverage) + the top
+    UNI_VOCAB_MULTI multi-char pieces by final usage (piece-asc ties).
+    Emits the final model (piece, is_char, usage, lp_q) with serving
+    likelihoods re-normalized over the pruned vocabulary. One
+    corpus-sized pass total (the histogram); every round is
+    vocab-bounded. The oracle replays seed, every EM round (recursive-
+    CTE Viterbi with backpointer lists + backward walk), the prune,
+    and the re-normalization value-exact. Serves from the build-once
+    per-process model store (_unigram_model — deterministic, so
+    values and the oracle are unchanged)."""
+    return _unigram_model(spark, sf_dir).select(
+        "piece", "is_char", "usage", "lp_q"
+    )
+
+
+def q_unigram_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token budget under the trained unigram model
+    (operators/text.py unigram_apply — bpe_apply's twin): every
+    DISTINCT word Viterbi-segments once under the pruned serving
+    vocabulary (vocab-sized DP), each doc is charged the sum of its
+    words' piece counts. Returns (doc_id, n_words, n_unigram_tokens);
+    token-less docs score (0, 0). The oracle is the training replay
+    plus one more recursive-CTE Viterbi pass and the doc-word join;
+    the engine serves the vocabulary from the build-once model store
+    (_unigram_model)."""
+    from rat_strain_loader_pipeline_spark.operators.text import unigram_apply
+
+    docs = _t(spark, sf_dir, "documents")
+    return unigram_apply(
+        docs,
+        max_len=UNI_MAXLEN,
+        model=_unigram_model(spark, sf_dir),
+    )
+
+
 def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learned-tokenizer token budget (operators/text.py bpe_apply):
     train BPE_ROUNDS merges, then charge every doc the post-merge
@@ -10260,6 +10333,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_pq_maintenance_plan": q_ivf_pq_maintenance_plan,
         "sequence_pack_bfd": q_sequence_pack_bfd,
         "packing_efficiency": q_packing_efficiency,
+        "unigram_train": q_unigram_train,
+        "unigram_apply": q_unigram_apply,
     }
 
 
@@ -10982,6 +11057,10 @@ SHUFFLE_SALT = "v1"
 # BFD sequence packing (q_sequence_pack_bfd / q_packing_efficiency)
 PACK_CAP = 2048
 PACK_SHARDS = 8
+# Unigram-LM tokenizer (q_unigram_train / q_unigram_apply)
+UNI_ROUNDS = 2
+UNI_MAXLEN = 4
+UNI_VOCAB_MULTI = 48
 SHUFFLE_BUCKETS = 256
 SHUFFLE_HASH_RES = 1_000_000_007   # within-bucket order hash modulus
 
@@ -12498,6 +12577,166 @@ LEFT JOIN nold USING (jc)
 LEFT JOIN nnew USING (jc)
 LEFT JOIN fpc USING (jc)
 LEFT JOIN fpn USING (jc)
+"""
+
+
+def _unigram_viterbi_ctes_sql(tag: str, voc: str, max_len: int) -> str:
+    """One Viterbi pass over the word histogram as recursive CTEs —
+    the oracle twin of operators/text.py _viterbi_pieces: ``vit{tag}``
+    steps one character position at a time carrying the best-score and
+    backpointer lists (piece candidates via LEFT JOINs against
+    ``{voc}(piece, lp)`` for lengths 1..max_len; greatest() ignores
+    NULLs in both engines; longest-piece tie-break via the CASE
+    order), ``walk{tag}`` reconstructs the chosen pieces backwards.
+    Emits walk rows (w, cnt, pos, piece) with NULL-piece seeds."""
+    joins = "\n".join(
+        f"    LEFT JOIN {voc} c{l} ON c{l}.piece = "
+        f"substr(v.w, v.pos + 2 - {l}, {l})"
+        for l in range(1, max_len + 1)
+    )
+    cands = ",\n".join(
+        f"           CASE WHEN v.pos + 1 >= {l} AND c{l}.lp IS NOT NULL"
+        f" THEN v.best[v.pos + 2 - {l}] + c{l}.lp END AS k{l}"
+        for l in range(1, max_len + 1)
+    )
+    sc = "greatest(" + ", ".join(f"k{l}" for l in range(1, max_len + 1)) + ")"
+    bpch = (
+        "CASE "
+        + " ".join(
+            f"WHEN k{l} = sc THEN {l}"
+            for l in range(max_len, 1, -1)
+        )
+        + " ELSE 1 END"
+    )
+    return f"""vit{tag}(w, cnt, pos, best, bp) AS (
+  SELECT w, cnt, 0, [CAST(0 AS BIGINT)], CAST([] AS INT[]) FROM hist
+  UNION ALL
+  SELECT w, cnt, pos + 1, list_append(best, sc), list_append(bp, {bpch})
+  FROM (
+    SELECT v.w, v.cnt, v.pos, v.best, v.bp,
+{cands},
+           {sc} AS sc
+    FROM vit{tag} v
+{joins}
+    WHERE v.pos < len(v.w)
+  )
+),
+done{tag} AS MATERIALIZED (
+  SELECT w, cnt, bp FROM vit{tag} WHERE pos = len(w)
+),
+walk{tag}(w, cnt, pos, piece) AS (
+  SELECT w, cnt, CAST(len(w) AS BIGINT), CAST(NULL AS VARCHAR) FROM done{tag}
+  UNION ALL
+  SELECT k.w, k.cnt, k.pos - k.l, substr(k.w, k.pos - k.l + 1, k.l)
+  FROM (
+    SELECT d.w, d.cnt, wk.pos, CAST(d.bp[CAST(wk.pos AS INT)] AS BIGINT) AS l
+    FROM walk{tag} wk JOIN done{tag} d ON d.w = wk.w
+    WHERE wk.pos > 0
+  ) k
+)"""
+
+
+def _unigram_ctes_sql(rounds: int, max_len: int, vocab_multi: int) -> str:
+    """The full unigram-LM training chain (oracle twin of
+    operators/text.py unigram_train): word histogram → seed substring
+    frequencies → add-one floored-ln likelihoods → ``rounds`` hard-EM
+    Viterbi/usage passes → final usages and the pruned vocabulary
+    ``kept`` with the re-normalized serving likelihoods ``vocF``."""
+    parts = [
+        f"""hist AS MATERIALIZED (
+  SELECT w, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest({_TOKENS_SQL}) AS w FROM documents)
+  GROUP BY w
+),
+seed AS MATERIALIZED (
+  SELECT piece, CAST(sum(cnt) AS BIGINT) AS freq
+  FROM (
+    SELECT cnt,
+           unnest(list_filter(
+             flatten(list_transform(range(1, len(w) + 1),
+               i -> list_transform(range(1, {max_len + 1}),
+                 l -> CASE WHEN i + l - 1 <= len(w)
+                           THEN substr(w, i, l) END))),
+             p -> p IS NOT NULL)) AS piece
+    FROM hist)
+  GROUP BY piece
+),
+voc0 AS MATERIALIZED (
+  SELECT piece,
+         CAST(floor(ln(CAST(freq + 1 AS DOUBLE) / CAST(t + v AS DOUBLE))
+                    * 1000000) AS BIGINT) AS lp
+  FROM seed, (SELECT sum(freq) AS t, count(*) AS v FROM seed)
+)"""
+    ]
+    for r in range(rounds):
+        parts.append(_unigram_viterbi_ctes_sql(str(r), f"voc{r}", max_len))
+        parts.append(f"""usage{r} AS MATERIALIZED (
+  SELECT piece, CAST(sum(cnt) AS BIGINT) AS usage
+  FROM walk{r} WHERE piece IS NOT NULL GROUP BY piece
+)""")
+        if r < rounds - 1:
+            parts.append(f"""voc{r + 1} AS MATERIALIZED (
+  SELECT seed.piece,
+         CAST(floor(ln(CAST(COALESCE(u.usage, 0) + 1 AS DOUBLE)
+                       / CAST(t + v AS DOUBLE)) * 1000000) AS BIGINT) AS lp
+  FROM seed
+  LEFT JOIN usage{r} u USING (piece),
+       (SELECT COALESCE(sum(usage), 0) AS t FROM usage{r}),
+       (SELECT count(*) AS v FROM seed)
+)""")
+    last = rounds - 1
+    parts.append(f"""finalu AS MATERIALIZED (
+  SELECT seed.piece, len(seed.piece) = 1 AS is_char,
+         CAST(COALESCE(u.usage, 0) AS BIGINT) AS usage
+  FROM seed LEFT JOIN usage{last} u USING (piece)
+),
+kept AS MATERIALIZED (
+  SELECT piece, is_char, usage FROM (
+    SELECT *, row_number() OVER (ORDER BY usage DESC, piece) AS rk
+    FROM finalu WHERE NOT is_char)
+  WHERE rk <= {vocab_multi}
+  UNION ALL
+  SELECT piece, is_char, usage FROM finalu WHERE is_char
+),
+vocF AS MATERIALIZED (
+  SELECT piece,
+         CAST(floor(ln(CAST(usage + 1 AS DOUBLE) / CAST(t + v AS DOUBLE))
+                    * 1000000) AS BIGINT) AS lp
+  FROM kept, (SELECT sum(usage) AS t, count(*) AS v FROM kept)
+)""")
+    return ",\n".join(parts)
+
+
+def _unigram_train_oracle_sql(rounds: int, max_len: int, vocab_multi: int) -> str:
+    return f"""WITH RECURSIVE {_unigram_ctes_sql(rounds, max_len, vocab_multi)}
+SELECT kept.piece, kept.is_char, kept.usage, vocF.lp AS lp_q
+FROM kept JOIN vocF USING (piece)
+"""
+
+
+def _unigram_apply_oracle_sql(rounds: int, max_len: int, vocab_multi: int) -> str:
+    """Per-doc token budget under the pruned unigram model: one more
+    Viterbi pass (tag F) over the word histogram with the serving
+    vocabulary, per-word piece counts, then the doc-word join."""
+    return f"""WITH RECURSIVE {_unigram_ctes_sql(rounds, max_len, vocab_multi)},
+{_unigram_viterbi_ctes_sql("F", "vocF", max_len)},
+np AS MATERIALIZED (
+  SELECT w, CAST(count(*) AS BIGINT) AS n_pieces
+  FROM walkF WHERE piece IS NOT NULL GROUP BY w
+),
+dw AS MATERIALIZED (
+  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT doc_id, unnest({_TOKENS_SQL}) AS w FROM documents)
+  GROUP BY doc_id, w
+),
+scored AS (
+  SELECT dw.doc_id, sum(dw.n) AS n_words, sum(dw.n * np.n_pieces) AS n_toks
+  FROM dw JOIN np USING (w) GROUP BY dw.doc_id
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(COALESCE(s.n_words, 0) AS BIGINT) AS n_words,
+       CAST(COALESCE(s.n_toks, 0) AS BIGINT) AS n_unigram_tokens
+FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
 """
 
 
@@ -19531,6 +19770,12 @@ FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
         "sequence_pack_bfd": _pack_bfd_oracle_sql(PACK_CAP, PACK_SHARDS),
         "packing_efficiency": _packing_efficiency_oracle_sql(
             PACK_CAP, PACK_SHARDS
+        ),
+        "unigram_train": _unigram_train_oracle_sql(
+            UNI_ROUNDS, UNI_MAXLEN, UNI_VOCAB_MULTI
+        ),
+        "unigram_apply": _unigram_apply_oracle_sql(
+            UNI_ROUNDS, UNI_MAXLEN, UNI_VOCAB_MULTI
         ),
     }
 

@@ -1355,3 +1355,334 @@ def perplexity_score(
         .cast("long")
         .alias("npl_q"),
     )
+
+
+def _word_substrings(w: Column, max_len: int) -> Column:
+    """All substrings of ``w`` with length 1..max_len (with duplicates,
+    one per start position) — the unigram seed-piece enumeration, as a
+    pure array expression."""
+    return F.filter(
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), F.length(w)),
+                lambda i: F.transform(
+                    F.sequence(F.lit(1), F.lit(max_len)),
+                    lambda l: F.when(
+                        i + l - 1 <= F.length(w), w.substr(i, l)
+                    ),
+                ),
+            )
+        ),
+        lambda p: p.isNotNull(),
+    )
+
+
+def _viterbi_bp(w: Column, pmap: Column, max_len: int) -> Column:
+    """Viterbi forward DP of ``w`` under the piece→lp_q map — the
+    unigram-LM decode (Kudo 2018), as a pure array fold (no UDF):
+
+    1. forward DP over positions 1..len(w): best[i] = max over piece
+       lengths l (1..max_len, piece in map) of best[i-l] + lp_q(piece),
+       ties broken toward the LONGEST piece; bp[i] records the chosen
+       length. Single chars are always in the vocabulary, so best[i]
+       is never null.
+    2. (``_walk_pieces``) backward walk from len(w) collecting the
+       chosen pieces.
+
+    Scores are exact bigint sums of the floored-ln micro likelihoods,
+    so the DP (and every tie) replays identically in the oracle's
+    recursive CTE. Returns the backpointer list (array<int>; order of
+    the reconstructed pieces is irrelevant to the consumers — usage
+    counts and piece counts)."""
+    n = F.length(w)
+
+    def step(acc, i):
+        cands = []
+        for l in range(max_len, 0, -1):
+            piece = w.substr(i - F.lit(l - 1), F.lit(l))
+            # try_element_at: a missing map key must yield NULL (ANSI
+            # element_at throws MAP_KEY_DOES_NOT_EXIST)
+            lp = F.try_element_at(pmap, piece)
+            prev = F.element_at(acc["best"], i - F.lit(l - 1))
+            cands.append(
+                F.when((F.lit(l) <= i) & lp.isNotNull(), prev + lp)
+            )
+        sc = F.greatest(*cands)
+        # cands[0] is l = max_len .. cands[-1] is l = 1; first equal
+        # (longest) wins — NULL comparisons fall through
+        chain = F.when(cands[0] == sc, F.lit(max_len))
+        for k in range(1, max_len - 1):
+            chain = chain.when(cands[k] == sc, F.lit(max_len - k))
+        bp = chain.otherwise(F.lit(1))
+        return F.struct(
+            F.concat(acc["best"], F.array(sc)).alias("best"),
+            F.concat(acc["bp"], F.array(bp)).alias("bp"),
+        )
+
+    return F.aggregate(
+        F.sequence(F.lit(1), n),
+        F.struct(
+            F.array(F.lit(0).cast("long")).alias("best"),
+            F.array().cast("array<int>").alias("bp"),
+        ),
+        step,
+    )["bp"]
+
+
+def _walk_pieces(w: Column, bp: Column) -> Column:
+    """Backward walk over a Viterbi backpointer list: collect the
+    chosen pieces from position len(w) down. Split from the forward DP
+    so the (large) DP expression is planned ONCE as its own projection
+    instead of being re-inlined into every walk step."""
+    n = F.length(w)
+
+    def walk(acc, _):
+        l = F.element_at(bp, acc["pos"])
+        piece = w.substr(acc["pos"] - l + 1, l)
+        return F.when(
+            acc["pos"] > 0,
+            F.struct(
+                (acc["pos"] - l).alias("pos"),
+                F.concat(acc["pieces"], F.array(piece)).alias("pieces"),
+            ),
+        ).otherwise(acc)
+
+    return F.aggregate(
+        F.sequence(F.lit(1), n),
+        F.struct(
+            n.alias("pos"), F.array().cast("array<string>").alias("pieces")
+        ),
+        walk,
+    )["pieces"]
+
+
+def _viterbi_pieces(df, w_col: str, pmap_col: str, max_len: int, out: str):
+    """DataFrame-level Viterbi: forward DP to a backpointer COLUMN,
+    then the backward walk over that column — two projections, so the
+    DP subtree is never duplicated inside the walk fold."""
+    return df.withColumn(
+        "__bp", _viterbi_bp(F.col(w_col), F.col(pmap_col), max_len)
+    ).withColumn(out, _walk_pieces(F.col(w_col), F.col("__bp"))).drop(
+        "__bp", pmap_col
+    )
+
+
+def unigram_train(
+    docs,
+    vocab_multi: int = 48,
+    rounds: int = 2,
+    max_len: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    return_model: bool = False,
+):
+    """SentencePiece-style unigram-LM tokenizer trainer (Kudo 2018),
+    reduced to its deterministic hard-EM form — ``bpe_train``'s twin
+    for the other dominant public tokenizer family:
+
+    1. SEED: every substring of the word histogram up to ``max_len``
+       chars, frequency-weighted (one corpus pass builds the word
+       histogram; everything after is vocab-sized);
+    2. EM (``rounds`` hard-EM iterations): E-step Viterbi-segments
+       every histogram word under the current piece likelihoods
+       (exact bigint DP, longest-piece ties); M-step re-estimates
+       lp_q = floor(ln((usage+1)/(total+V))·1e6) over the FULL seed
+       (add-one smoothing keeps unused pieces finite — the
+       bigram_logprob idiom);
+    3. PRUNE to the target: all single chars (coverage guarantee)
+       plus the top ``vocab_multi`` multi-char pieces by final usage
+       (piece-asc ties), with the serving lp_q re-normalized over the
+       pruned vocabulary.
+
+    Returns (piece, is_char, usage, lp_q) — the final model;
+    ``unigram_apply`` segments documents under it. 100 TB shape: the
+    CORPUS-sized work is exactly one pass (the word histogram, with
+    map-side partial counts); the histogram itself is vocab-bounded by
+    construction (real deployments additionally floor it at a min
+    frequency), so the EM fit runs as ONE Arrow batch on one executor
+    — the same single-node-trainer-over-distributed-histogram shape
+    SentencePiece deployments use on Spark. Expressing the EM rounds
+    as per-round DataFrame plans instead re-embeds the (large) DP
+    expression once per consumer and pays ~10 shuffle round-trips of
+    scheduling latency for tens of rows — measured 5-8x slower at
+    every SF than the one-batch fit."""
+    import math
+
+    import pandas as pd
+
+    from rat_strain_loader_pipeline_spark.staging import stage_to_parquet
+
+    hist = stage_to_parquet(
+        docs.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .coalesce(4),
+        "uni-hist",
+    )
+
+    def lp_table(counts: dict, total: int, v: int) -> dict:
+        # identical IEEE tree to the DuckDB oracle:
+        # floor(ln((c + 1) / (total + V)) * 1e6)
+        return {
+            p: math.floor(math.log((c + 1) / (total + v)) * 1e6)
+            for p, c in counts.items()
+        }
+
+    def viterbi(w: str, lp: dict) -> list:
+        n = len(w)
+        best = [0] * (n + 1)
+        bp = [0] * (n + 1)
+        for i in range(1, n + 1):
+            sc = None
+            ch = 1
+            # l descending: first strict improvement wins, so equal
+            # scores keep the LONGEST piece (the oracle's CASE order)
+            for l in range(min(max_len, i), 0, -1):
+                q = lp.get(w[i - l:i])
+                if q is None:
+                    continue
+                cand = best[i - l] + q
+                if sc is None or cand > sc:
+                    sc = cand
+                    ch = l
+            best[i] = sc
+            bp[i] = ch
+        pieces = []
+        i = n
+        while i > 0:
+            l = bp[i]
+            pieces.append(w[i - l:i])
+            i -= l
+        return pieces
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        words = list(zip(pdf["w"].tolist(), pdf["cnt"].tolist()))
+        seed: dict = {}
+        for w, cnt in words:
+            for i in range(len(w)):
+                for l in range(1, max_len + 1):
+                    if i + l <= len(w):
+                        p = w[i:i + l]
+                        seed[p] = seed.get(p, 0) + cnt
+        v = len(seed)
+        lp = lp_table(seed, sum(seed.values()), v)
+        usage: dict = {}
+        for r in range(rounds):
+            usage = {}
+            for w, cnt in words:
+                for p in viterbi(w, lp):
+                    usage[p] = usage.get(p, 0) + cnt
+            if r < rounds - 1:
+                ut = sum(usage.values())
+                lp = {
+                    p: math.floor(
+                        math.log((usage.get(p, 0) + 1) / (ut + v)) * 1e6
+                    )
+                    for p in seed
+                }
+        chars = sorted(p for p in seed if len(p) == 1)
+        multi = sorted(
+            (p for p in seed if len(p) > 1),
+            key=lambda p: (-usage.get(p, 0), p),
+        )[:vocab_multi]
+        kept = multi + chars
+        kt = sum(usage.get(p, 0) for p in kept)
+        kv = len(kept)
+        return pd.DataFrame(
+            {
+                "piece": kept,
+                "is_char": [len(p) == 1 for p in kept],
+                "usage": [usage.get(p, 0) for p in kept],
+                "lp_q": [
+                    math.floor(
+                        math.log((usage.get(p, 0) + 1) / (kt + kv)) * 1e6
+                    )
+                    for p in kept
+                ],
+            }
+        )
+
+    model = stage_to_parquet(
+        hist.withColumn("__g", F.lit(0))
+        .groupBy("__g")
+        .applyInPandas(
+            lambda pdf: fit(pdf),
+            schema="piece string, is_char boolean, usage long, lp_q long",
+        ),
+        "uni-model",
+    )
+    if return_model:
+        return model
+    return model.select("piece", "is_char", "usage", "lp_q")
+
+
+def unigram_apply(
+    docs,
+    vocab_multi: int = 48,
+    rounds: int = 2,
+    max_len: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    model=None,
+):
+    """Per-document token budget under the trained unigram model —
+    ``bpe_apply``'s twin: train (or reuse via ``model`` — the
+    build-once lifecycle hook) the pruned unigram vocabulary,
+    Viterbi-segment every DISTINCT word once (vocab-sized DP), and
+    charge each document the sum of its words' piece counts. Returns
+    (id_col, n_words, n_unigram_tokens); docs with no tokens score
+    (0, 0)."""
+    from rat_strain_loader_pipeline_spark.staging import stage_to_parquet
+
+    if model is None:
+        model = unigram_train(
+            docs,
+            vocab_multi=vocab_multi,
+            rounds=rounds,
+            max_len=max_len,
+            text_col=text_col,
+            id_col=id_col,
+            return_model=True,
+        )
+    voc = model.select("piece", "lp_q")
+    dw = stage_to_parquet(
+        docs.select(
+            F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("w")
+        )
+        .groupBy(id_col, "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("n")),
+        "uni-docwords",
+    )
+    wp = (
+        dw.select("w").distinct()
+        .select(
+            "w", F.explode(F.array_distinct(_word_substrings(F.col("w"), max_len))).alias("piece")
+        )
+        .join(voc, "piece")
+        .groupBy("w")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("piece", "lp_q"))
+            ).alias("pmap")
+        )
+    )
+    wn = _viterbi_pieces(wp, "w", "pmap", max_len, "pieces").select(
+        "w", F.size("pieces").cast("long").alias("n_pieces")
+    )
+    scored = (
+        dw.join(wn, "w")
+        .groupBy(id_col)
+        .agg(
+            F.sum("n").cast("long").alias("n_words"),
+            F.sum(F.col("n") * F.col("n_pieces")).cast("long").alias("n_unigram_tokens"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_words", F.lit(0)).cast("long").alias("n_words"),
+            F.coalesce("n_unigram_tokens", F.lit(0)).cast("long").alias("n_unigram_tokens"),
+        )
+    )

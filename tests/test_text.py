@@ -84,3 +84,33 @@ def test_unicode_nfc_audit_counts_decomposed(spark):
     }
     assert got["en"] == (1, 0, 0)
     assert got["fr"] == (2, 1, 1)
+
+
+def test_unigram_train_hand_computed(spark):
+    """Single-doc corpus 'aa aa b' — every model value hand-computed:
+    hist {aa:2, b:1}; seed {a:4, aa:2, b:1} (v=3, total=7);
+    lp0 = floor(ln((c+1)/10)·1e6) → a -693148, aa -1203973, b -1609438;
+    Viterbi('aa') picks the single piece 'aa' (-1203973 beats
+    a+a = -1386296), so usage {aa:2, b:1} in both EM rounds; prune to
+    1 multi-char piece keeps [aa] + chars [a, b]; serving
+    lp = floor(ln((u+1)/(3+3))·1e6) → aa -693148, a -1791760,
+    b -1098613."""
+    from rat_strain_loader_pipeline_spark.operators.text import (
+        unigram_apply,
+        unigram_train,
+    )
+
+    docs = spark.createDataFrame([(1, "aa aa b")], "doc_id long, text string")
+    model = {
+        r["piece"]: (r["is_char"], r["usage"], r["lp_q"])
+        for r in unigram_train(docs, vocab_multi=1, rounds=2, max_len=4).collect()
+    }
+    assert model == {
+        "aa": (False, 2, -693148),
+        "a": (True, 0, -1791760),
+        "b": (True, 1, -1098613),
+    }
+    out = unigram_apply(docs, vocab_multi=1, rounds=2, max_len=4).collect()
+    assert [(r["doc_id"], r["n_words"], r["n_unigram_tokens"]) for r in out] == [
+        (1, 3, 3)
+    ]
