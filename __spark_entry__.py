@@ -8734,35 +8734,21 @@ _PQ_EXH_INDEX_PATHS: dict[tuple[str, bool], str] = {}
 
 
 def _pq_exh_index_path(spark: SparkSession, sf_dir: str, opq: bool) -> str:
-    """Build-once per-process cache of the persisted EXHAUSTIVE-ADC
-    flat-PQ artifact (raw contiguous slices or the OPQ variance-snake
-    allocation — the layout is folded into the artifact slug):
-    codebooks + codes train at most once per process per (sf_dir,
-    layout); pq_adc_topk, pq_opq_topk, and both exhaustive recall
-    audits serve from the stored files. Training is deterministic, so
-    serving changes no value — it removes the 4-5 repeated identical
-    codebook trainings per bench run (the lifecycle-waste shape that
-    breached the 10 s budget in round 9)."""
-    import os as _os
-
-    path = _PQ_EXH_INDEX_PATHS.get((sf_dir, opq))
-    if path is not None and _os.path.exists(
-        _os.path.join(path, "codes", "_SUCCESS")
-    ):
-        return path
-    from rat_strain_loader_pipeline_spark.operators.quantize import (
-        pq_index_build,
-    )
-
-    tag = _os.path.basename(sf_dir.rstrip("/")) or "corpus"
-    path = pq_index_build(
-        _t(spark, sf_dir, "embeddings"),
-        dims=EMB_DIMS,
-        m=PQ_M,
-        k=PQ_K,
-        iters=PQ_ITERS,
-        tag=tag,
-        opq=opq,
+    """Artifact the EXHAUSTIVE-ADC experiment family serves from —
+    the corresponding fused IVF artifact (_ivf_index_path /
+    _ivf_opq_index_path): per-group kmeans independence makes its
+    g >= 0 slice BIT-IDENTICAL to a standalone pq_index_build at the
+    same constants (pq_adc_serve_topk reads either layout;
+    pytest-pinned against the hermetic searches), so pq_adc_topk,
+    pq_opq_topk, and both exhaustive recall audits pay ZERO extra
+    training — they reuse the index other queries already built,
+    removing the 4-5 repeated identical codebook trainings per bench
+    run (the lifecycle-waste shape that breached the 10 s budget in
+    round 9)."""
+    path = (
+        _ivf_opq_index_path(spark, sf_dir)
+        if opq
+        else _ivf_index_path(spark, sf_dir)
     )
     _PQ_EXH_INDEX_PATHS[(sf_dir, opq)] = path
     return path

@@ -623,8 +623,24 @@ def pq_adc_serve_topk(
         raise ValueError(f"dims={dims} not divisible by m={m}")
     from rat_strain_loader_pipeline_spark.staging import stage_to_parquet
 
-    codebook = spark.read.parquet(os.path.join(index_path, "codebook"))
-    codes = spark.read.parquet(os.path.join(index_path, "codes"))
+    # Accept BOTH artifact layouts: a flat pq_index_build artifact
+    # (codebook table) or a fused ivf_pq_index_build artifact
+    # (centroids table with the coarse router at g = -1). Per-group
+    # kmeans independence (kmeans_fit_grouped trains every group with
+    # the same smallest-id seeding and group-keyed arithmetic) makes
+    # the IVF artifact's g >= 0 slice BIT-IDENTICAL to the flat build
+    # at the same constants — so the exhaustive-ADC family can serve
+    # from the IVF artifact other queries already paid to build,
+    # instead of training a duplicate flat artifact.
+    if os.path.exists(os.path.join(index_path, "codebook", "_SUCCESS")):
+        codebook = spark.read.parquet(os.path.join(index_path, "codebook"))
+    else:
+        codebook = spark.read.parquet(
+            os.path.join(index_path, "centroids")
+        ).filter(F.col("g") >= 0)
+    codes = spark.read.parquet(os.path.join(index_path, "codes")).filter(
+        F.col("g") >= 0
+    )
     dim_map = None
     if os.path.exists(os.path.join(index_path, "dim_map", "_SUCCESS")):
         dim_map = spark.read.parquet(os.path.join(index_path, "dim_map"))
