@@ -5966,6 +5966,111 @@ def q_unigram_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BPE_SYMS_PATHS: dict[str, str] = {}
+
+
+def _bpe_syms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build-once per-process cache of the BPE post-merge vocabulary
+    (the (w, s, cnt) symbol table after BPE_ROUNDS learned merges) —
+    the _unigram_model twin for the BPE family, consumed by the
+    fertility comparison. Deterministic training, so serving changes
+    no value."""
+    import os as _os
+
+    from rat_strain_loader_pipeline_spark.operators.text import bpe_train
+    from rat_strain_loader_pipeline_spark.staging import stage_to_parquet_path
+
+    path = _BPE_SYMS_PATHS.get(sf_dir)
+    if path is not None and _os.path.exists(_os.path.join(path, "_SUCCESS")):
+        return spark.read.parquet(path)
+    _, syms = bpe_train(
+        _t(spark, sf_dir, "documents"), rounds=BPE_ROUNDS, return_vocab=True
+    )
+    staged, path = stage_to_parquet_path(syms, "bpe-syms-store")
+    _BPE_SYMS_PATHS[sf_dir] = path
+    return staged
+
+
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility comparison — the measured table a pipeline
+    reads before picking its tokenizer (fertility = tokens/word is a
+    direct training-cost multiplier, like packing occupancy): one row
+    per implemented family over the SAME lowercased word histogram —
+    'whitespace' (words as tokens, the 1.0 baseline), 'bpe' (symbol
+    count after BPE_ROUNDS learned merges), 'unigram' (Viterbi piece
+    count under the pruned unigram model, served from the build-once
+    store). Integer micros: tokens_per_word = n_tokens·1e6 div
+    n_words; chars_per_token = n_chars·1e6 div n_tokens (chars = the
+    histogram's character mass, the shared basis). The oracle composes
+    the existing BPE unrolled-merge chain and the unigram recursive-
+    CTE Viterbi over one shared corpus scan. Both models serve from
+    build-once per-process stores (_bpe_syms / _unigram_model)."""
+    from rat_strain_loader_pipeline_spark.operators.text import (
+        _viterbi_pieces,
+        _word_substrings,
+        tokens,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    hist = docs.select(
+        F.explode(tokens(F.lower(F.col("text")))).alias("w")
+    ).groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    stats = hist.agg(
+        F.sum("cnt").cast("long").alias("n_words"),
+        F.sum(F.length("w") * F.col("cnt")).cast("long").alias("n_chars"),
+    )
+    syms = _bpe_syms(spark, sf_dir)
+    bpe_t = syms.agg(
+        F.sum(F.col("cnt") * F.size("s")).cast("long").alias("n_tokens")
+    )
+    voc = _unigram_model(spark, sf_dir).select("piece", "lp_q")
+    wp = (
+        hist.select(
+            "w",
+            F.explode(
+                F.array_distinct(_word_substrings(F.col("w"), UNI_MAXLEN))
+            ).alias("piece"),
+        )
+        .join(voc, "piece")
+        .groupBy("w")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("piece", "lp_q"))
+            ).alias("pmap")
+        )
+    )
+    wn = _viterbi_pieces(wp, "w", "pmap", UNI_MAXLEN, "pieces").select(
+        "w", F.size("pieces").cast("long").alias("n_pieces")
+    )
+    uni_t = (
+        hist.join(wn, "w")
+        .agg(F.sum(F.col("cnt") * F.col("n_pieces")).cast("long").alias("n_tokens"))
+    )
+
+    def row(family: str, toks: DataFrame) -> DataFrame:
+        return (
+            stats.crossJoin(F.broadcast(toks))
+            .select(
+                F.lit(family).alias("family"),
+                "n_words",
+                "n_tokens",
+                F.expr("n_tokens * 1000000 div n_words").cast("long").alias(
+                    "tokens_per_word_micros"
+                ),
+                F.expr("n_chars * 1000000 div n_tokens").cast("long").alias(
+                    "chars_per_token_micros"
+                ),
+            )
+        )
+
+    ws_t = stats.select(F.col("n_words").alias("n_tokens"))
+    return (
+        row("whitespace", ws_t)
+        .unionByName(row("bpe", bpe_t))
+        .unionByName(row("unigram", uni_t))
+    )
+
+
 def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learned-tokenizer token budget (operators/text.py bpe_apply):
     train BPE_ROUNDS merges, then charge every doc the post-merge
@@ -10321,6 +10426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "packing_efficiency": q_packing_efficiency,
         "unigram_train": q_unigram_train,
         "unigram_apply": q_unigram_apply,
+        "tokenizer_fertility": q_tokenizer_fertility,
     }
 
 
@@ -12723,6 +12829,51 @@ SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
        CAST(COALESCE(s.n_words, 0) AS BIGINT) AS n_words,
        CAST(COALESCE(s.n_toks, 0) AS BIGINT) AS n_unigram_tokens
 FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+"""
+
+
+def _tokenizer_fertility_oracle_sql(
+    bpe_rounds: int, rounds: int, max_len: int, vocab_multi: int
+) -> str:
+    """Fertility-comparison oracle: the unigram training chain (with
+    the serving-vocab Viterbi pass) and the BPE unrolled-merge chain
+    composed in one statement (disjoint CTE namespaces — hist/seed/
+    vit*/walk* vs w0/s*/win*), with corpus-level token sums and the
+    integer fertility ratios."""
+    bpe = ",\n".join(_bpe_ctes(bpe_rounds))
+    return f"""WITH RECURSIVE {_unigram_ctes_sql(rounds, max_len, vocab_multi)},
+{_unigram_viterbi_ctes_sql("F", "vocF", max_len)},
+np AS MATERIALIZED (
+  SELECT w, CAST(count(*) AS BIGINT) AS n_pieces
+  FROM walkF WHERE piece IS NOT NULL GROUP BY w
+),
+{bpe},
+stats AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS nw,
+         CAST(sum(len(w) * cnt) AS BIGINT) AS nc
+  FROM hist
+),
+bpet AS (
+  SELECT CAST(sum(cnt * len(s)) AS BIGINT) AS t FROM s{bpe_rounds}
+),
+unit AS (
+  SELECT CAST(sum(hist.cnt * np.n_pieces) AS BIGINT) AS t
+  FROM hist JOIN np USING (w)
+)
+SELECT 'whitespace' AS family, nw AS n_words, nw AS n_tokens,
+       CAST(nw * 1000000 // nw AS BIGINT) AS tokens_per_word_micros,
+       CAST(nc * 1000000 // nw AS BIGINT) AS chars_per_token_micros
+FROM stats
+UNION ALL
+SELECT 'bpe', nw, t,
+       CAST(t * 1000000 // nw AS BIGINT),
+       CAST(nc * 1000000 // t AS BIGINT)
+FROM stats, bpet
+UNION ALL
+SELECT 'unigram', nw, t,
+       CAST(t * 1000000 // nw AS BIGINT),
+       CAST(nc * 1000000 // t AS BIGINT)
+FROM stats, unit
 """
 
 
@@ -19762,6 +19913,9 @@ FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
         ),
         "unigram_apply": _unigram_apply_oracle_sql(
             UNI_ROUNDS, UNI_MAXLEN, UNI_VOCAB_MULTI
+        ),
+        "tokenizer_fertility": _tokenizer_fertility_oracle_sql(
+            BPE_ROUNDS, UNI_ROUNDS, UNI_MAXLEN, UNI_VOCAB_MULTI
         ),
     }
 
