@@ -1168,6 +1168,37 @@ def test_pq_exhaustive_serve_matches_hermetic(spark, sf_dir, queries):
         assert served == hermetic, name
 
 
+def test_round11_batch_no_cartesian(spark, sf_dir, queries):
+    """E217-E224: no real cartesians anywhere in the round-11 batch
+    (the fertility ratios and maintenance counts ride broadcast 1-row
+    aggregates; the packing fold is per-shard applyInPandas)."""
+    for name in (
+        "ivf_pq_residual_opq_topk",
+        "ann_recall_residual_opq",
+        "ivf_pq_maintenance_plan",
+        "sequence_pack_bfd",
+        "packing_efficiency",
+        "unigram_train",
+        "unigram_apply",
+        "tokenizer_fertility",
+    ):
+        plan = _plan(queries[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+
+
+def test_unigram_queries_serve_from_model_store(spark, sf_dir, queries):
+    """The unigram train/apply pair reads the build-once model store
+    (the staged parquet path appears in the plan) — the hard-EM fit
+    runs at most once per process, not per call."""
+    import __spark_entry__ as em
+
+    plan = _plan(queries["unigram_train"](spark, sf_dir))
+    path = em._UNIGRAM_MODEL_PATHS[sf_dir]
+    assert path.split("/")[-1] in plan
+    plan = _plan(queries["unigram_apply"](spark, sf_dir))
+    assert path.split("/")[-1] in plan
+
+
 def test_ivf_pq_opq_no_cartesian_and_broadcast_map(spark, sf_dir, queries):
     """E213/E214: the OPQ-IVF composition keeps the dim map and LUTs
     on broadcast joins — no cartesian anywhere."""
