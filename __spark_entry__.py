@@ -1322,8 +1322,7 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs Jaccard oracle (md5-derived shingle hashes are
     bit-identical across engines; emitted pairs are exact-verified, and
     the b=16/r=4 banding reaches full recall on this corpus)."""
-    docs = _t(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(docs, jaccard_threshold=0.5)
+    return _nd_pairs(spark, sf_dir)
 
 
 def q_minhash_lsh_xxhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1565,7 +1564,7 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(docs, jaccard_threshold=0.5)
+    pairs = _nd_pairs(spark, sf_dir)
     cc = connected_components(pairs)
     return cc.select(F.col("node_id").alias("doc_id"), "component_id")
 
@@ -1605,7 +1604,7 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(docs, jaccard_threshold=0.5)
+    pairs = _nd_pairs(spark, sf_dir)
     losers = (
         connected_components(pairs)
         .filter(F.col("node_id") != F.col("component_id"))
@@ -1812,7 +1811,7 @@ def q_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     attributes), then one integer count per source pair
     (source²-bounded output)."""
     docs = _t(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(docs, jaccard_threshold=0.5)
+    pairs = _nd_pairs(spark, sf_dir)
     sa = docs.select(F.col("doc_id").alias("id_a"), F.col("source").alias("sa"))
     sb = docs.select(F.col("doc_id").alias("id_b"), F.col("source").alias("sb"))
     return (
@@ -1838,7 +1837,7 @@ def q_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(docs, jaccard_threshold=0.5)
+    pairs = _nd_pairs(spark, sf_dir)
     cc = connected_components(pairs)
     sizes = cc.groupBy("component_id").agg(F.count(F.lit(1)).alias("cluster_size"))
     clustered = sizes.groupBy("cluster_size").agg(
@@ -1893,7 +1892,7 @@ def q_dedup_survivors_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(docs, jaccard_threshold=0.5)
+    pairs = _nd_pairs(spark, sf_dir)
     out = dedup_survivors_by(
         docs.select("doc_id", "source", "lang", "n_chars"),
         pairs,
@@ -6159,7 +6158,7 @@ def q_component_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(docs, jaccard_threshold=0.5)
+    pairs = _nd_pairs(spark, sf_dir)
     cc = connected_components(pairs).select(
         F.col("node_id").alias("doc_id"), "component_id"
     )
@@ -6911,7 +6910,7 @@ def q_dedup_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = ngram_jaccard_pairs(
         docs, threshold=0.5, prefix_cap=None
     ).select("id_a", "id_b")
-    lsh = minhash_lsh_pairs(docs, jaccard_threshold=0.5).select(
+    lsh = _nd_pairs(spark, sf_dir).select(
         "id_a", "id_b"
     )
     hit = truth.join(lsh, ["id_a", "id_b"])
@@ -7498,7 +7497,7 @@ def q_dedup_loss_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(docs, jaccard_threshold=0.5)
+    pairs = _nd_pairs(spark, sf_dir)
     cc = connected_components(pairs)
     sizes = cc.groupBy("component_id").agg(
         F.count(F.lit(1)).cast("long").alias("comp_size")
@@ -7861,7 +7860,7 @@ def q_batch_collision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit(CB_SALT), c.cast("string")), CB_BATCHES
     )
     assign = docs.select("doc_id", bexpr(F.col("doc_id")).alias("batch"))
-    pairs = minhash_lsh_pairs(docs, jaccard_threshold=0.5).select(
+    pairs = _nd_pairs(spark, sf_dir).select(
         bexpr(F.col("id_a")).alias("ba"), bexpr(F.col("id_b")).alias("bb")
     )
     coll = (
@@ -9318,6 +9317,49 @@ def q_weighted_sample_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CC_STORE_PATHS: dict[str, tuple[str, str]] = {}
 
 
+def _nd_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production near-dup pair set — minhash_lsh_pairs at the
+    shared 0.5 threshold and default coefficients — served from the
+    build-once postings store (_cc_store): same function, same
+    arguments, so the staged (id_a, id_b, jaccard_micros) rows are
+    bit-identical to an inline call (pinned in tests/test_plans.py).
+    Every default-parameter pair consumer reads this store; only the
+    variant pair sets (xxhash64 hashes, hot-bucket caps, filtered
+    corpora) still compute their own."""
+    return _nd_pairs_store(spark, sf_dir)
+
+
+
+_ND_PAIRS_PATHS: dict[str, str] = {}
+
+
+def _nd_pairs_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build-once per-process PAIR postings (the expensive signature +
+    banding + verify pipeline, staged once): split from the old-corpus
+    component table so the many pairs-only consumers never pay the
+    component build on first touch."""
+    import os as _os
+
+    from rat_strain_loader_pipeline_spark.staging import stage_to_parquet_path
+
+    path = _ND_PAIRS_PATHS.get(sf_dir)
+    if path is not None and _os.path.exists(_os.path.join(path, "_SUCCESS")):
+        return spark.read.parquet(path)
+    docs = _t(spark, sf_dir, "documents")
+    # stage_to_parquet_path hands back the staged directory directly —
+    # inputFiles() is empty for a corpus with no near-dup pairs;
+    # jaccard_micros rides along so verification consumers
+    # (cross_corpus_dedup) never recompute signatures
+    pairs, path = stage_to_parquet_path(
+        minhash_lsh_pairs(docs, jaccard_threshold=0.5).select(
+            "id_a", "id_b", "jaccard_micros"
+        ),
+        "ccstore-pairs",
+    )
+    _ND_PAIRS_PATHS[sf_dir] = path
+    return pairs
+
+
 def _cc_store(spark: SparkSession, sf_dir: str):
     """Build-once per-process store for the dedup-at-ingest fixtures:
     the corpus's LSH pair postings and the OLD (even-id) corpus's
@@ -9331,25 +9373,13 @@ def _cc_store(spark: SparkSession, sf_dir: str):
     )
     from rat_strain_loader_pipeline_spark.staging import stage_to_parquet_path
 
+    pairs = _nd_pairs_store(spark, sf_dir)
+    pairs_path = _ND_PAIRS_PATHS[sf_dir]
     cached = _CC_STORE_PATHS.get(sf_dir)
     if cached is not None and all(
         _os.path.exists(_os.path.join(p, "_SUCCESS")) for p in cached
     ):
-        return (
-            spark.read.parquet(cached[0]),
-            spark.read.parquet(cached[1]),
-        )
-    docs = _t(spark, sf_dir, "documents")
-    # stage_to_parquet_path hands back the staged directory directly —
-    # inputFiles() is empty for a corpus with no near-dup pairs;
-    # jaccard_micros rides along so verification consumers
-    # (cross_corpus_dedup) never recompute signatures
-    pairs, pairs_path = stage_to_parquet_path(
-        minhash_lsh_pairs(docs, jaccard_threshold=0.5).select(
-            "id_a", "id_b", "jaccard_micros"
-        ),
-        "ccstore-pairs",
-    )
+        return pairs, spark.read.parquet(cached[1])
     old_cc, old_cc_path = stage_to_parquet_path(
         connected_components(
             pairs.filter((F.col("id_a") % 2 == 0) & (F.col("id_b") % 2 == 0))

@@ -991,6 +991,34 @@ def test_ivf_pq_residual_build_idempotent_and_serve_matches_hermetic(
     assert served == hermetic
 
 
+def test_minhash_lsh_serves_store_and_matches_hermetic(spark, sf_dir, queries):
+    """Round-11 lifecycle fix: every default-parameter near-dup pair
+    consumer serves from the build-once postings store — the flagship
+    minhash_lsh query's plan reads the staged store (zero
+    documents.parquet scans) and its values are bit-identical to the
+    hermetic inline minhash_lsh_pairs call."""
+    import __spark_entry__ as em
+    from rat_strain_loader_pipeline_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+    from rat_strain_loader_pipeline_spark.sources.tables import read_table
+
+    df = queries["minhash_lsh"](spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("documents.parquet") == 0
+    assert em._CC_STORE_PATHS[sf_dir][0].split("/")[-1] in plan
+    served = {
+        (r["id_a"], r["id_b"]): r["jaccard_micros"] for r in df.collect()
+    }
+    hermetic = {
+        (r["id_a"], r["id_b"]): r["jaccard_micros"]
+        for r in minhash_lsh_pairs(
+            read_table(spark, sf_dir, "documents"), jaccard_threshold=0.5
+        ).collect()
+    }
+    assert served == hermetic
+
+
 def test_cross_corpus_dedup_serves_store_and_matches_hermetic(
     spark, sf_dir, queries
 ):
