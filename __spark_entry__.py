@@ -5455,7 +5455,12 @@ def q_cluster_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
     return cluster_quota_sample(
-        emb, docs, quota=CLUSTER_QUOTA, k=KMEANS_K, iters=KMEANS_ITERS
+        emb,
+        docs,
+        quota=CLUSTER_QUOTA,
+        k=KMEANS_K,
+        iters=KMEANS_ITERS,
+        assign=_kmeans_assign(spark, sf_dir),
     )
 
 
@@ -5569,6 +5574,35 @@ def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KMEANS_ASSIGN_PATHS: dict[str, str] = {}
+
+
+def _kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build-once per-process staged kmeans assignment at the shared
+    KMEANS_K/KMEANS_ITERS constants — consumed by kmeans_clusters,
+    semdedup, and cluster_quota_sample instead of each refitting the
+    identical clustering (the _nd_pairs lifecycle for the embedding
+    space). Deterministic, so serving changes no value."""
+    import os as _os
+
+    from rat_strain_loader_pipeline_spark.operators.clustering import (
+        kmeans_micros,
+    )
+    from rat_strain_loader_pipeline_spark.staging import stage_to_parquet_path
+
+    path = _KMEANS_ASSIGN_PATHS.get(sf_dir)
+    if path is not None and _os.path.exists(_os.path.join(path, "_SUCCESS")):
+        return spark.read.parquet(path)
+    assign, path = stage_to_parquet_path(
+        kmeans_micros(
+            _t(spark, sf_dir, "embeddings"), k=KMEANS_K, iters=KMEANS_ITERS
+        ),
+        "kmeans-assign-store",
+    )
+    _KMEANS_ASSIGN_PATHS[sf_dir] = path
+    return assign
+
+
 def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed k-means over the embedding corpus
     (operators/clustering.py kmeans_micros) — the SemDeDup cluster
@@ -5577,11 +5611,10 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeding, bigint squared distances, (dist, cluster) argmin
     tie-break, floor-of-double-quotient centroid updates — every round
     is engine-reproducible, so the oracle unrolls the same KMEANS_ITERS
-    rounds in SQL (the pagerank pattern) and matches value-exact."""
-    from rat_strain_loader_pipeline_spark.operators.clustering import kmeans_micros
-
-    emb = _t(spark, sf_dir, "embeddings")
-    return kmeans_micros(emb, k=KMEANS_K, iters=KMEANS_ITERS)
+    rounds in SQL (the pagerank pattern) and matches value-exact.
+    Serves the build-once staged assignment (_kmeans_assign) shared
+    with semdedup and cluster_quota_sample."""
+    return _kmeans_assign(spark, sf_dir)
 
 
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5599,7 +5632,13 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rat_strain_loader_pipeline_spark.operators.clustering import semdedup_prune
 
     emb = _t(spark, sf_dir, "embeddings")
-    return semdedup_prune(emb, k=KMEANS_K, iters=KMEANS_ITERS, tau=SEMDEDUP_TAU)
+    return semdedup_prune(
+        emb,
+        k=KMEANS_K,
+        iters=KMEANS_ITERS,
+        tau=SEMDEDUP_TAU,
+        assign=_kmeans_assign(spark, sf_dir),
+    )
 
 
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -148,6 +148,7 @@ def semdedup_prune(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_cluster_size: int | None = None,
+    assign: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al.): cluster the corpus with ``kmeans_micros``,
     then prune near-duplicates WITHIN each cluster — a vector is dropped
@@ -172,13 +173,21 @@ def semdedup_prune(
     expression tree over those integers — identical in any engine, so
     the DuckDB oracle matches exactly.
 
+    ``assign`` (optional precomputed (id_col, cluster_id, ...) frame,
+    e.g. a staged ``kmeans_micros`` run shared across consumers — the
+    build-once lifecycle hook) skips the clustering; k/iters are then
+    documentation of how it was built.
+
     Returns one row per vector: (id_col, cluster_id, kept).
     """
     import warnings
 
     from rat_strain_loader_pipeline_spark.staging import stage_to_parquet
 
-    assign = kmeans_micros(embeddings, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    if assign is None:
+        assign = kmeans_micros(
+            embeddings, k=k, iters=iters, id_col=id_col, vec_col=vec_col
+        )
     # guardrail: k rows — one tiny job, never corpus-sized
     sizes = assign.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("__n"))
     size_rows = sizes.collect()
@@ -361,6 +370,7 @@ def cluster_quota_sample(
     id_col: str = "vec_id",
     doc_id_col: str = "doc_id",
     priority_cols: list | None = None,
+    assign: DataFrame | None = None,
 ) -> DataFrame:
     """Diversity-balanced corpus sampling: cluster the embedding space
     with ``kmeans_micros``, then keep at most ``quota`` documents per
@@ -374,9 +384,13 @@ def cluster_quota_sample(
     cluster — no global sort, no pairwise stage; the kmeans rounds are
     the documented flat-cost scans.
 
+    ``assign`` (optional precomputed assignment frame) skips the
+    clustering — the shared-kmeans lifecycle hook.
+
     Returns kept rows only: (doc_id, cluster_id, rk), rk 1-based.
     """
-    assign = kmeans_micros(embeddings, k=k, iters=iters, id_col=id_col)
+    if assign is None:
+        assign = kmeans_micros(embeddings, k=k, iters=iters, id_col=id_col)
     joined = assign.join(
         docs, assign[id_col] == docs[doc_id_col]
     )
