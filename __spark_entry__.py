@@ -1162,6 +1162,47 @@ def q_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_packing_overhead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The measured cost of respecting document boundaries: per shard,
+    the BFD window count against the SPLITTING lower bound
+    ceil(sum_eff / PACK_CAP) (what q_sequence_pack's concat-and-chunk
+    achieves by cutting docs across windows). overhead_micros =
+    (bfd_bins − lb)·1e6 div lb is the extra compute a trainer pays to
+    keep every document contiguous in its window — the quality/cost
+    trade quantified from the SAME deterministic fold as
+    q_sequence_pack_bfd (one aggregate away, oracle replays fold +
+    epilogue)."""
+    from rat_strain_loader_pipeline_spark.operators.sampling import (
+        sequence_pack_bfd,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sized = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        T.token_count(F.col("text")).alias("n_tokens"),
+        (F.col("doc_id") % PACK_SHARDS).cast("int").alias("shard"),
+    )
+    packed = sequence_pack_bfd(sized, capacity=PACK_CAP)
+    return (
+        packed.groupBy("shard")
+        .agg(
+            (F.max("bin_id") + 1).cast("long").alias("bfd_bins"),
+            F.sum("size_eff").cast("long").alias("sum_eff"),
+        )
+        .select(
+            "shard",
+            "bfd_bins",
+            F.expr(f"(sum_eff + {PACK_CAP} - 1) div {PACK_CAP}")
+            .cast("long")
+            .alias("lb_bins"),
+        )
+        .withColumn(
+            "overhead_micros",
+            F.expr("(bfd_bins - lb_bins) * 1000000 div lb_bins").cast("long"),
+        )
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup by content hash (engine operator)."""
     docs = _t(spark, sf_dir, "documents")
@@ -6109,6 +6150,79 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_unigram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-staleness monitor — the ivf_pq_maintenance_plan rung
+    for the tokenizer lifecycle: segment each corpus half (even/odd
+    doc ids, the ingest convention) under the STORED unigram model and
+    measure the char-fallback rate (fraction of emitted pieces that
+    are single chars — the unigram analogue of OOV/byte-fallback). A
+    model trained on the full corpus serves both halves here, so the
+    two rates bracket the in-distribution baseline; rising fallback on
+    an incoming batch is the signal to retrain the vocabulary. Per
+    half: words, pieces, char-fallback pieces, fallback_micros
+    (exact integers; the per-word segmentation is the same pure
+    array-fold Viterbi, so the oracle replays it value-exact)."""
+    from rat_strain_loader_pipeline_spark.operators.text import (
+        _viterbi_pieces,
+        _word_substrings,
+        tokens,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    dw = (
+        docs.select(
+            (F.col("doc_id") % 2).cast("int").alias("half"),
+            F.explode(tokens(F.lower(F.col("text")))).alias("w"),
+        )
+        .groupBy("half", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    voc = _unigram_model(spark, sf_dir).select("piece", "lp_q")
+    wp = (
+        dw.select("w").distinct()
+        .select(
+            "w",
+            F.explode(
+                F.array_distinct(_word_substrings(F.col("w"), UNI_MAXLEN))
+            ).alias("piece"),
+        )
+        .join(voc, "piece")
+        .groupBy("w")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("piece", "lp_q"))
+            ).alias("pmap")
+        )
+    )
+    wn = _viterbi_pieces(wp, "w", "pmap", UNI_MAXLEN, "pieces").select(
+        "w",
+        F.size("pieces").cast("long").alias("n_pieces"),
+        F.size(F.filter("pieces", lambda p: F.length(p) == 1))
+        .cast("long")
+        .alias("n_char_pieces"),
+    )
+    return (
+        dw.join(wn, "w")
+        .groupBy("half")
+        .agg(
+            F.sum("n").cast("long").alias("n_words"),
+            F.sum(F.col("n") * F.col("n_pieces")).cast("long").alias("n_pieces"),
+            F.sum(F.col("n") * F.col("n_char_pieces"))
+            .cast("long")
+            .alias("n_char_pieces"),
+        )
+        .select(
+            F.col("half").cast("long").alias("half"),
+            "n_words",
+            "n_pieces",
+            "n_char_pieces",
+            F.expr("n_char_pieces * 1000000 div n_pieces")
+            .cast("long")
+            .alias("fallback_micros"),
+        )
+    )
+
+
 def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learned-tokenizer token budget (operators/text.py bpe_apply):
     train BPE_ROUNDS merges, then charge every doc the post-merge
@@ -10496,6 +10610,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_train": q_unigram_train,
         "unigram_apply": q_unigram_apply,
         "tokenizer_fertility": q_tokenizer_fertility,
+        "unigram_coverage": q_unigram_coverage,
+        "packing_overhead": q_packing_overhead,
     }
 
 
@@ -12943,6 +13059,56 @@ SELECT 'unigram', nw, t,
        CAST(t * 1000000 // nw AS BIGINT),
        CAST(nc * 1000000 // t AS BIGINT)
 FROM stats, unit
+"""
+
+
+def _unigram_coverage_oracle_sql(
+    rounds: int, max_len: int, vocab_multi: int
+) -> str:
+    """Char-fallback monitor oracle: the unigram training replay, one
+    Viterbi pass over the DISTINCT words of both halves (identical to
+    the apply pass — both halves' words are a subset of the corpus
+    histogram, which walkF already covers), then per-half weighted
+    piece / char-piece sums."""
+    return f"""WITH RECURSIVE {_unigram_ctes_sql(rounds, max_len, vocab_multi)},
+{_unigram_viterbi_ctes_sql("F", "vocF", max_len)},
+np AS MATERIALIZED (
+  SELECT w, CAST(count(*) AS BIGINT) AS n_pieces,
+         CAST(sum(CASE WHEN len(piece) = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_char_pieces
+  FROM walkF WHERE piece IS NOT NULL GROUP BY w
+),
+dw AS (
+  SELECT half, w, CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT CAST(doc_id % 2 AS INT) AS half,
+               unnest({_TOKENS_SQL}) AS w
+        FROM documents)
+  GROUP BY half, w
+),
+agg AS (
+  SELECT dw.half,
+         CAST(sum(dw.n) AS BIGINT) AS n_words,
+         CAST(sum(dw.n * np.n_pieces) AS BIGINT) AS n_pieces,
+         CAST(sum(dw.n * np.n_char_pieces) AS BIGINT) AS n_char_pieces
+  FROM dw JOIN np USING (w) GROUP BY dw.half
+)
+SELECT CAST(half AS BIGINT) AS half, n_words, n_pieces, n_char_pieces,
+       CAST(n_char_pieces * 1000000 // n_pieces AS BIGINT)
+         AS fallback_micros
+FROM agg
+"""
+
+
+def _packing_overhead_oracle_sql(cap: int, shards: int) -> str:
+    return f"""WITH RECURSIVE {_pack_bfd_ctes_sql(cap, shards)}
+SELECT CAST(shard AS INT) AS shard,
+       CAST(max(bin_id) + 1 AS BIGINT) AS bfd_bins,
+       CAST((sum(sz) + {cap} - 1) // {cap} AS BIGINT) AS lb_bins,
+       CAST((max(bin_id) + 1 - (sum(sz) + {cap} - 1) // {cap}) * 1000000
+            // ((sum(sz) + {cap} - 1) // {cap}) AS BIGINT)
+         AS overhead_micros
+FROM fold WHERE rk > 0
+GROUP BY 1
 """
 
 
@@ -19985,6 +20151,12 @@ FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
         ),
         "tokenizer_fertility": _tokenizer_fertility_oracle_sql(
             BPE_ROUNDS, UNI_ROUNDS, UNI_MAXLEN, UNI_VOCAB_MULTI
+        ),
+        "unigram_coverage": _unigram_coverage_oracle_sql(
+            UNI_ROUNDS, UNI_MAXLEN, UNI_VOCAB_MULTI
+        ),
+        "packing_overhead": _packing_overhead_oracle_sql(
+            PACK_CAP, PACK_SHARDS
         ),
     }
 
