@@ -1209,6 +1209,8 @@ def test_round11_batch_no_cartesian(spark, sf_dir, queries):
         "unigram_train",
         "unigram_apply",
         "tokenizer_fertility",
+        "unigram_coverage",
+        "packing_overhead",
     ):
         plan = _plan(queries[name](spark, sf_dir))
         assert "CartesianProduct" not in plan, name
