@@ -654,7 +654,7 @@ def pq_adc_serve_topk(
         "pqx-serve-lut",
     )
     adc = (
-        codes.select(F.col("vec_id").alias("c_id"), "g", "j")
+        codes.select(F.col(id_col).alias("c_id"), "g", "j")
         .join(F.broadcast(lut), ["g", "j"])
         .groupBy("q_id", "c_id")
         .agg(F.sum("d").alias("adist_q"))

@@ -779,7 +779,11 @@ def sequence_pack_bfd(
 
     Docs longer than ``capacity`` are truncated to one full window
     (size_eff = least(size, capacity) — the LLM packing convention);
-    they always open their own window.
+    they always open their own window. Docs with a NULL size are
+    DROPPED before the fold (a null n_tokens would turn into NaN
+    remaining capacity inside the pandas fold and poison every
+    subsequent fit test); upstream token counters never emit nulls,
+    so this is a guard, not a semantic branch.
 
     The per-shard fold is inherently sequential, so it runs via
     ``applyInPandas`` — but ONLY doc METADATA (id + size) shuffles,
@@ -826,6 +830,7 @@ def sequence_pack_bfd(
             F.col(id_col).cast("long").alias(id_col),
             F.col(size_col).cast("long").alias(size_col),
         )
+        .filter(F.col(size_col).isNotNull())
         .groupBy(shard_col)
         .applyInPandas(pack, schema=out_schema)
     )

@@ -1407,7 +1407,9 @@ def _viterbi_bp(w: Column, pmap: Column, max_len: int) -> Column:
             cands.append(
                 F.when((F.lit(l) <= i) & lp.isNotNull(), prev + lp)
             )
-        sc = F.greatest(*cands)
+        # greatest() needs >= 2 args; max_len == 1 degrades to pure
+        # char segmentation with a single candidate per position
+        sc = cands[0] if len(cands) == 1 else F.greatest(*cands)
         # cands[0] is l = max_len .. cands[-1] is l = 1; first equal
         # (longest) wins — NULL comparisons fall through
         chain = F.when(cands[0] == sc, F.lit(max_len))
@@ -1475,6 +1477,7 @@ def unigram_train(
     text_col: str = "text",
     id_col: str = "doc_id",
     return_model: bool = False,
+    min_count: int = 1,
 ):
     """SentencePiece-style unigram-LM tokenizer trainer (Kudo 2018),
     reduced to its deterministic hard-EM form — ``bpe_train``'s twin
@@ -1497,11 +1500,18 @@ def unigram_train(
     Returns (piece, is_char, usage, lp_q) — the final model;
     ``unigram_apply`` segments documents under it. 100 TB shape: the
     CORPUS-sized work is exactly one pass (the word histogram, with
-    map-side partial counts); the histogram itself is vocab-bounded by
-    construction (real deployments additionally floor it at a min
-    frequency), so the EM fit runs as ONE Arrow batch on one executor
-    — the same single-node-trainer-over-distributed-histogram shape
-    SentencePiece deployments use on Spark. Expressing the EM rounds
+    map-side partial counts); the histogram is CORPUS-VOCABULARY-sized
+    — unbounded on web-scale text (URLs, typos, numbers) — so
+    ``min_count`` floors it BEFORE the fit: words rarer than the floor
+    are dropped from the histogram (SentencePiece's
+    ``--minloglevel``-era ``min_frequency`` guard), bounding the
+    single-Arrow-batch EM input to the heavy-tail head. Only with that
+    floor does the fit run safely as ONE Arrow batch on one executor —
+    the single-node-trainer-over-distributed-histogram shape
+    SentencePiece deployments use on Spark. The default ``min_count=1``
+    keeps every word (exactly the historical behavior; fine at test
+    scales); a 100 TB deployment sets it high enough that the floored
+    histogram fits one executor. Expressing the EM rounds
     as per-round DataFrame plans instead re-embeds the (large) DP
     expression once per consumer and pays ~10 shuffle round-trips of
     scheduling latency for tens of rows — measured 5-8x slower at
@@ -1512,13 +1522,17 @@ def unigram_train(
 
     from rat_strain_loader_pipeline_spark.staging import stage_to_parquet
 
-    hist = stage_to_parquet(
+    hist = (
         docs.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-        .coalesce(4),
-        "uni-hist",
     )
+    if min_count > 1:
+        # the histogram floor: applied AFTER the exact count (map-side
+        # partial aggregation still bounds the shuffle), BEFORE the
+        # one-batch fit — this is what bounds the fit's input size
+        hist = hist.filter(F.col("cnt") >= min_count)
+    hist = stage_to_parquet(hist.coalesce(4), "uni-hist")
 
     def lp_table(counts: dict, total: int, v: int) -> dict:
         # identical IEEE tree to the DuckDB oracle:
@@ -1669,8 +1683,20 @@ def unigram_apply(
     wn = _viterbi_pieces(wp, "w", "pmap", max_len, "pieces").select(
         "w", F.size("pieces").cast("long").alias("n_pieces")
     )
+    # LEFT join + char-count fallback: with a REUSED model= (the
+    # staleness-monitor path) a word none of whose substrings are in
+    # the serving vocabulary never reaches wp/wn — an inner join would
+    # silently drop it from BOTH counts; instead it falls back to one
+    # piece per character (the standard char/byte-fallback convention,
+    # matching what the Viterbi walk itself does for uncovered
+    # positions). With a model trained on the same corpus every char
+    # is in-vocab, so this branch never fires and no value changes.
     scored = (
-        dw.join(wn, "w")
+        dw.join(wn, "w", "left")
+        .withColumn(
+            "n_pieces",
+            F.coalesce(F.col("n_pieces"), F.length("w").cast("long")),
+        )
         .groupBy(id_col)
         .agg(
             F.sum("n").cast("long").alias("n_words"),

@@ -83,3 +83,20 @@ def test_sequence_pack_bfd_truncates_and_respects_capacity(spark):
     # the truncated doc fills a window alone
     solo = [k for k, v in fills.items() if v == 10 and k[0] == 0]
     assert solo
+
+
+def test_sequence_pack_bfd_null_sizes_dropped(spark):
+    """NULL n_tokens rows are dropped before the fold (a NaN size
+    would poison every subsequent best-fit test); non-null rows pack
+    exactly as if the null rows were absent."""
+    from rat_strain_loader_pipeline_spark.operators.sampling import (
+        sequence_pack_bfd,
+    )
+
+    rows = [(1, 7, 0), (2, None, 0), (3, 6, 0)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long, shard int")
+    out = {
+        r["doc_id"]: (r["bin_id"], r["size_eff"])
+        for r in sequence_pack_bfd(df, capacity=10).collect()
+    }
+    assert out == {1: (0, 7), 3: (1, 6)}

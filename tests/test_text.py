@@ -114,3 +114,63 @@ def test_unigram_train_hand_computed(spark):
     assert [(r["doc_id"], r["n_words"], r["n_unigram_tokens"]) for r in out] == [
         (1, 3, 3)
     ]
+
+
+def test_unigram_train_min_count_floor(spark):
+    """min_count floors the word histogram BEFORE the one-batch fit:
+    corpus 'aa aa b' with min_count=2 drops the singleton word 'b'
+    entirely — the model is fit on {aa:2} alone (seed {a:2, aa:2}) and
+    still covers every char of the kept words; min_count=1 (default)
+    reproduces the historical model exactly."""
+    from rat_strain_loader_pipeline_spark.operators.text import unigram_train
+
+    docs = spark.createDataFrame([(1, "aa aa b")], "doc_id long, text string")
+    floored = {
+        r["piece"]: r["is_char"]
+        for r in unigram_train(
+            docs, vocab_multi=1, rounds=2, max_len=4, min_count=2
+        ).collect()
+    }
+    # 'b' gone from the histogram -> gone from seed and chars; the
+    # kept words' chars are all covered
+    assert set(floored) == {"aa", "a"}
+    assert floored["a"] is True
+    default = {
+        r["piece"]
+        for r in unigram_train(docs, vocab_multi=1, rounds=2, max_len=4).collect()
+    }
+    assert default == {"aa", "a", "b"}
+
+
+def test_unigram_apply_unknown_word_char_fallback(spark):
+    """A REUSED model= whose vocabulary shares no substring with a
+    word (the staleness-monitor path) must still count that word: it
+    falls back to one piece per character instead of silently
+    vanishing from n_words/n_unigram_tokens."""
+    from rat_strain_loader_pipeline_spark.operators.text import (
+        unigram_apply,
+        unigram_train,
+    )
+
+    train = spark.createDataFrame([(1, "aa aa b")], "doc_id long, text string")
+    model = unigram_train(
+        train, vocab_multi=1, rounds=2, max_len=4, return_model=True
+    )
+    # 'xyz' shares zero substrings with {aa, a, b}; 'aa' segments to 1
+    batch = spark.createDataFrame([(7, "aa xyz")], "doc_id long, text string")
+    out = unigram_apply(batch, max_len=4, model=model).collect()
+    assert [(r["doc_id"], r["n_words"], r["n_unigram_tokens"]) for r in out] == [
+        (7, 2, 1 + 3)
+    ]
+
+
+def test_unigram_max_len_1_char_segmentation(spark):
+    """max_len=1 degrades to pure char segmentation instead of raising
+    at plan-build time (F.greatest needs two args)."""
+    from rat_strain_loader_pipeline_spark.operators.text import unigram_apply
+
+    docs = spark.createDataFrame([(1, "ab ab")], "doc_id long, text string")
+    out = unigram_apply(docs, vocab_multi=1, rounds=1, max_len=1).collect()
+    assert [(r["doc_id"], r["n_words"], r["n_unigram_tokens"]) for r in out] == [
+        (1, 2, 4)
+    ]
