@@ -4163,19 +4163,26 @@ def q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     unrolled-kmeans CTE chain plus the pq_adc per-subspace chains,
     restricted by the probe set. Rank is within probed lists; recall
     lost to unprobed lists vs pq_adc_topk is the published IVF
-    trade-off."""
-    from rat_strain_loader_pipeline_spark.operators.quantize import ivf_pq_topk
+    trade-off.
+
+    Lifecycle: serves from the PERSISTED index (_ivf_index_path —
+    built once per process per sf_dir) instead of hermetically
+    retraining per call; ivf_pq_serve_topk is bit-identical to
+    ivf_pq_topk at the same build constants (pinned in
+    tests/test_plans.py against the hermetic operator), so the values
+    and the oracle are unchanged — only the last repeated inline
+    training in the IVF family is gone."""
+    from rat_strain_loader_pipeline_spark.operators.quantize import (
+        ivf_pq_serve_topk,
+    )
 
     emb = _t(spark, sf_dir, "embeddings")
-    return ivf_pq_topk(
+    return ivf_pq_serve_topk(
+        spark,
+        _ivf_index_path(spark, sf_dir),
         emb.filter(F.col("vec_id") < PQADC_QUERIES),
-        emb,
         dims=EMB_DIMS,
-        coarse_k=KMEANS_K,
-        coarse_iters=IVFPQ_COARSE_ITERS,
         m=PQ_M,
-        k=PQ_K,
-        iters=PQ_ITERS,
         nprobe=IVFPQ_NPROBE,
         topk=PQADC_TOPK,
     )
@@ -5704,11 +5711,20 @@ def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     every vector becomes its per-subspace code pair plus the total
     squared micro-unit quantization distance. The oracle replays the
     composition as PQ_M prefixed unrolled-kmeans CTE chains over
-    1-based list slices — value-exact end-to-end."""
-    from rat_strain_loader_pipeline_spark.operators.quantize import pq_codes
+    1-based list slices — value-exact end-to-end.
 
-    emb = _t(spark, sf_dir, "embeddings")
-    return pq_codes(emb, dims=EMB_DIMS, m=PQ_M, k=PQ_K, iters=PQ_ITERS)
+    Lifecycle: serves from the fused persisted artifact
+    (_pq_exh_index_path — the codes table carries each row's
+    final-round assignment distance, so the plan reads ONLY the
+    artifact: zero kmeans iterations, zero corpus scan). Per-group
+    kmeans independence makes the artifact's g >= 0 slice
+    bit-identical to the hermetic per-slice fit (pytest-pinned), so
+    values and the oracle are unchanged."""
+    from rat_strain_loader_pipeline_spark.operators.quantize import pq_codes_serve
+
+    return pq_codes_serve(
+        spark, _pq_exh_index_path(spark, sf_dir, opq=False), m=PQ_M
+    )
 
 
 def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -587,7 +587,10 @@ def pq_index_build(
     codebook.select("g", "j", "dim", "c").write.mode("overwrite").parquet(
         os.path.join(path, "codebook")
     )
-    codes.select(id_col, "g", "j").write.mode("overwrite").parquet(
+    # dist (the final-round assignment distance, i.e. the per-subspace
+    # quantization error) rides along so pq_codes_serve can report the
+    # total quantization distance without re-touching the corpus
+    codes.select(id_col, "g", "j", "dist").write.mode("overwrite").parquet(
         os.path.join(path, "codes")
     )
     return path
@@ -664,6 +667,47 @@ def pq_adc_serve_topk(
         adc.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= topk)
         .select("q_id", "c_id", F.col("rank").cast("long").alias("rank"), "adist_q")
+    )
+
+
+def pq_codes_serve(
+    spark,
+    index_path: str,
+    m: int = 2,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """``pq_codes``'s output served from a persisted artifact — the
+    last inline-trainer removal in the exhaustive-PQ family: read the
+    stored codes table (which since the dist-column addition carries
+    each row's final-round assignment distance = the per-subspace
+    quantization error) and pivot it back to ``pq_codes``'s shape:
+    (id_col, code_s0..code_s{m-1}, dist_q). Zero kmeans iterations,
+    zero corpus embedding scan — the plan touches ONLY the artifact's
+    (1 + m bigints + 1 dist)/vector codes parquet. Per-group kmeans
+    independence makes the fused IVF artifact's g >= 0 slice
+    bit-identical to the per-slice hermetic ``pq_codes`` at the same
+    constants (pytest-pinned), so values and the oracle are unchanged.
+    Raises a clear error on a pre-dist legacy artifact (external
+    ``SPARK_GRAFT_INDEX_DIR`` only — per-process staging always
+    rebuilds fresh)."""
+    import os
+
+    codes = spark.read.parquet(os.path.join(index_path, "codes")).filter(
+        F.col("g") >= 0
+    )
+    if "dist" not in codes.columns:
+        raise ValueError(
+            f"artifact at {index_path} predates the dist column; rebuild it "
+            "(delete the artifact dir) to serve pq_codes from storage"
+        )
+    return codes.groupBy(id_col).agg(
+        *[
+            F.max(F.when(F.col("g") == s, F.col("j")))
+            .cast("long")
+            .alias(f"code_s{s}")
+            for s in range(m)
+        ],
+        F.sum("dist").cast("long").alias("dist_q"),
     )
 
 
@@ -1273,7 +1317,11 @@ def ivf_pq_index_build(
         id_col=id_col,
     )
     cent.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
-    assign.select(id_col, "g", "j").write.mode("overwrite").parquet(
+    # dist (final-round assignment distance) rides along: for g >= 0
+    # rows it is the per-subspace quantization error pq_codes_serve
+    # sums — persisting it makes that query artifact-only; g = -1 rows
+    # carry the coarse routing distance (unused, harmless)
+    assign.select(id_col, "g", "j", "dist").write.mode("overwrite").parquet(
         os.path.join(path, "codes")
     )
     return path

@@ -834,8 +834,13 @@ def test_ivf_pq_index_build_idempotent_and_serve_matches_hermetic(
 ):
     """Build is load-or-build (second call returns the same artifact
     without retraining) and served top-k is bit-identical to the
-    hermetic ivf_pq_topk at the same build constants."""
+    hermetic ivf_pq_topk OPERATOR at the same build constants (the
+    entry query now serves from the artifact too, so the hermetic
+    side must train from scratch here to keep the pin meaningful)."""
     import __spark_entry__ as em
+    from pyspark.sql import functions as F
+    from rat_strain_loader_pipeline_spark.operators.quantize import ivf_pq_topk
+    from rat_strain_loader_pipeline_spark.sources.tables import read_table
 
     p1 = em._ivf_index_path(spark, sf_dir)
     p2 = em._ivf_index_path(spark, sf_dir)
@@ -844,9 +849,57 @@ def test_ivf_pq_index_build_idempotent_and_serve_matches_hermetic(
         (r["q_id"], r["rank"]): (r["c_id"], r["adist_q"])
         for r in queries["ivf_pq_serve_topk"](spark, sf_dir).collect()
     }
+    emb = read_table(spark, sf_dir, "embeddings")
     hermetic = {
         (r["q_id"], r["rank"]): (r["c_id"], r["adist_q"])
+        for r in ivf_pq_topk(
+            emb.filter(F.col("vec_id") < em.PQADC_QUERIES),
+            emb,
+            dims=em.EMB_DIMS,
+            coarse_k=em.KMEANS_K,
+            coarse_iters=em.IVFPQ_COARSE_ITERS,
+            m=em.PQ_M,
+            k=em.PQ_K,
+            iters=em.PQ_ITERS,
+            nprobe=em.IVFPQ_NPROBE,
+            topk=em.PQADC_TOPK,
+        ).collect()
+    }
+    assert served == hermetic
+    # the entry query itself is the served path now — same values
+    entry_served = {
+        (r["q_id"], r["rank"]): (r["c_id"], r["adist_q"])
         for r in queries["ivf_pq_topk"](spark, sf_dir).collect()
+    }
+    assert entry_served == hermetic
+
+
+def test_pq_codes_serves_artifact_and_matches_hermetic(spark, sf_dir, queries):
+    """pq_codes now serves from the fused artifact's codes table
+    (which persists the final-round assignment distance): the plan
+    reads ONLY the artifact — zero corpus embedding scans, zero kmeans
+    stages — and the pivoted output is bit-identical to the hermetic
+    per-slice pq_codes fit at the same constants."""
+    import __spark_entry__ as em
+    from rat_strain_loader_pipeline_spark.operators.quantize import pq_codes
+    from rat_strain_loader_pipeline_spark.sources.tables import read_table
+
+    df = queries["pq_codes"](spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("embeddings.parquet") == 0
+    assert "CartesianProduct" not in plan
+    path = em._pq_exh_index_path(spark, sf_dir, opq=False)
+    assert path.split("/")[-1] in plan
+    served = {
+        r["vec_id"]: (r["code_s0"], r["code_s1"], r["dist_q"])
+        for r in df.collect()
+    }
+    emb = read_table(spark, sf_dir, "embeddings")
+    hermetic = {
+        r["vec_id"]: (r["code_s0"], r["code_s1"], r["dist_q"])
+        for r in pq_codes(
+            emb, dims=em.EMB_DIMS, m=em.PQ_M, k=em.PQ_K, iters=em.PQ_ITERS
+        ).collect()
     }
     assert served == hermetic
 
