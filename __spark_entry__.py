@@ -9301,6 +9301,54 @@ def q_ivf_pq_maintenance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_pq_maintenance_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTE the maintenance plan (operators/quantize.py
+    ivf_pq_maintenance_apply) — the ladder's last rung: the same
+    even-id residual index and mixed-shift odd-id batch as
+    ivf_pq_maintenance_plan, but the three-way decision now ACTS:
+    passthrough lists copy their stored code rows verbatim (new
+    members encode against the stored centroid, frozen codebooks),
+    reencode lists re-encode every member against the refreshed
+    centroid with the frozen codebooks, and retrain lists RETRAIN
+    their per-list PQ codebooks on current members' residuals
+    (per-list smallest-id-seeded kmeans at the build's (PQ_K,
+    PQ_ITERS)) before re-encoding. Output is the maintained
+    artifact's per-list manifest — decision, counts, the exact bigint
+    ADC error the maintained encoding leaves (NULL for untouched
+    passthrough lists), and md5 fingerprints of the FINAL code and
+    centroid rows — so the oracle replays route, gate, staleness
+    decision, refresh, both encode legs, the per-list retrain chain,
+    and the fingerprint sums value-exact. A pytest asserts retrained
+    lists never end worse than a frozen-codebook re-encode
+    (kmeans objective ≤ its init) and that a no-shift batch leaves
+    every stored row passthrough-verbatim."""
+    from rat_strain_loader_pipeline_spark.operators.quantize import (
+        ivf_pq_maintenance_apply,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_pq_maintenance_apply(
+        spark,
+        _ivf_residual_even_index_path(spark, sf_dir),
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1).select(
+            "vec_id",
+            F.expr(
+                f"CASE WHEN vec_id % {MPLAN_SCALE_MOD} = 0"
+                " THEN transform(reverse(embedding), x -> x * 3.0D)"
+                " ELSE reverse(embedding) END"
+            ).alias("embedding"),
+        ),
+        dims=EMB_DIMS,
+        m=PQ_M,
+        k=PQ_K,
+        iters=PQ_ITERS,
+        drift_threshold_q=REINDEX_DRIFT_Q,
+        stale_ratio_q=MPLAN_STALE_RATIO_Q,
+        fp_mod=IVFPQ_FP_MOD,
+    )
+
+
 _PQ_STREAM_PATHS: dict[str, str] = {}
 
 
@@ -10628,6 +10676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenizer_fertility": q_tokenizer_fertility,
         "unigram_coverage": q_unigram_coverage,
         "packing_overhead": q_packing_overhead,
+        "ivf_pq_maintenance_apply": q_ivf_pq_maintenance_apply,
     }
 
 
@@ -13200,7 +13249,7 @@ GROUP BY 1
 """
 
 
-def _maintenance_plan_oracle_sql(
+def _mplan_front_ctes_sql(
     dims: int,
     coarse_k: int,
     coarse_iters: int,
@@ -13208,18 +13257,21 @@ def _maintenance_plan_oracle_sql(
     k: int,
     iters: int,
     threshold_q: int,
-    stale_ratio_q: int,
     scale_mod: int,
 ) -> str:
-    """Codebook-staleness decision oracle: rebuild the even-id RESIDUAL
-    index from the embedded constants (the _reindex_oracle_sql front),
-    route the mixed-shift odd-id batch (reversed; every ``scale_mod``-th
-    id also ×3-scaled — the planted strong shift) through the stored
-    centroids, replay the drift gate, then for DRIFTED lists replay
-    both exact ADC error sums — old members vs the STORED centroid and
-    all members vs the REFRESHED centroid, frozen codebooks both — and
-    the integer staleness ratio + three-way decision. Mirrors
-    operators/quantize.py ivf_pq_maintenance_plan stage for stage."""
+    """Shared front of the maintenance-plan AND maintenance-apply
+    oracles: rebuild the even-id RESIDUAL index from the embedded
+    constants (the _reindex_oracle_sql front), route the mixed-shift
+    odd-id batch, replay the drift gate, the refreshed centroids, both
+    exact ADC error sums, and the integer staleness ratio — ending in
+    ``manifest`` (jc, drift_q, drifted, n_old, n_new, err_stored_q,
+    err_refreshed_q, stale_ratio_q). The decision CASE lives in each
+    consumer, so plan and apply share one replayed computation.
+
+    Every CTE is MATERIALIZED (the SCALE.md round-9 lesson): the apply
+    oracle references memb/refreshed/manifest many times, and DuckDB
+    inlines plain CTEs — each reference would re-expand the entire
+    kmeans front (the EXPLAIN-alone-takes-minutes blowup)."""
     d = dims // m
     ci = coarse_iters
     coarse = _kmeans_ctes_sql(coarse_k, ci, prefix="cv_", src_sql="eold")
@@ -13245,7 +13297,10 @@ def _maintenance_plan_oracle_sql(
     codebook_union = "\n  UNION ALL ".join(
         f"SELECT {s} AS g, j, dim, c FROM s{s}_c{iters - 1}" for s in range(m)
     )
-    return f"""WITH eold AS (SELECT * FROM embeddings WHERE vec_id % 2 = 0),
+    oldcodes_union = "\n  UNION ALL ".join(
+        f"SELECT vec_id, {s} AS g, j FROM s{s}_a{iters}" for s in range(m)
+    )
+    front = f"""eold AS (SELECT * FROM embeddings WHERE vec_id % 2 = 0),
 enew AS (
   -- CAST inside the lambda: DuckDB would otherwise multiply in
   -- float32 while Spark promotes to double before the multiply
@@ -13262,6 +13317,9 @@ enew AS (
 {chains},
 codebook AS (
   {codebook_union}
+),
+oldcodes AS (
+  {oldcodes_union}
 ),
 nx AS (
   SELECT vec_id, dd - 1 AS dim,
@@ -13373,7 +13431,29 @@ manifest AS (
   LEFT JOIN nnew USING (jc)
   LEFT JOIN err_sto USING (jc)
   LEFT JOIN err_ref USING (jc)
-)
+)"""
+    return front.replace(" AS (", " AS MATERIALIZED (")
+
+
+def _maintenance_plan_oracle_sql(
+    dims: int,
+    coarse_k: int,
+    coarse_iters: int,
+    m: int,
+    k: int,
+    iters: int,
+    threshold_q: int,
+    stale_ratio_q: int,
+    scale_mod: int,
+) -> str:
+    """Codebook-staleness decision oracle: the shared maintenance
+    front (_mplan_front_ctes_sql) plus the three-way decision CASE.
+    Mirrors operators/quantize.py ivf_pq_maintenance_plan stage for
+    stage."""
+    front = _mplan_front_ctes_sql(
+        dims, coarse_k, coarse_iters, m, k, iters, threshold_q, scale_mod
+    )
+    return f"""WITH {front}
 SELECT CAST(jc AS BIGINT) AS j,
        n_old, n_new, drift_q,
        CAST(err_stored_q AS BIGINT) AS err_stored_q,
@@ -13385,6 +13465,185 @@ SELECT CAST(jc AS BIGINT) AS j,
             ELSE 'reencode' END AS decision
 FROM manifest
 """
+
+
+def _kmeans_perlist_ctes_sql(k: int, iters: int, prefix: str, ex: str) -> str:
+    """Unrolled Lloyd's rounds keyed by the COMPOSITE (jc, g) group —
+    the oracle twin of quantize._kmeans_fit_per_list: seeds are each
+    list's k smallest member ids (every member appears in all m
+    subspace groups of its list, so the per-list id ranking seeds each
+    (jc, g) identically), distances/argmin/floored-mean updates all
+    carry jc in the key. ``ex`` names a CTE of (vec_id, jc, g, dim,
+    xq). Ends at {{prefix}}a{{iters}} (vec_id, jc, g, j, dist)."""
+    p = prefix
+    ctes = [
+        f"""{p}seeds AS (
+  SELECT jc, vec_id,
+         row_number() OVER (PARTITION BY jc ORDER BY vec_id) - 1 AS sj
+  FROM (SELECT DISTINCT jc, vec_id FROM {ex})
+  QUALIFY sj < {k}
+)""",
+        f"""{p}c0 AS (
+  SELECT e.jc, e.g, s.sj AS j, e.dim, e.xq AS c
+  FROM {ex} e JOIN {p}seeds s ON e.jc = s.jc AND e.vec_id = s.vec_id
+)""",
+    ]
+    for r in range(1, iters + 1):
+        prev = f"{p}c{r - 1}"
+        ctes.append(
+            f"""{p}d{r} AS (
+  SELECT e.vec_id, e.jc, e.g, c.j,
+         sum((e.xq - c.c) * (e.xq - c.c)) AS dist
+  FROM {ex} e JOIN {prev} c
+    ON e.jc = c.jc AND e.g = c.g AND e.dim = c.dim
+  GROUP BY 1, 2, 3, 4
+)"""
+        )
+        ctes.append(
+            f"""{p}a{r} AS (
+  SELECT vec_id, jc, g, j, dist FROM {p}d{r}
+  QUALIFY row_number() OVER (PARTITION BY vec_id, jc, g
+                             ORDER BY dist, j) = 1
+)"""
+        )
+        if r < iters:
+            ctes.append(
+                f"""{p}c{r} AS (
+  SELECT p.jc, p.g, p.j, p.dim, COALESCE(u.cn, p.c) AS c
+  FROM {prev} p LEFT JOIN (
+    SELECT a.jc, a.g, a.j, e.dim,
+           CAST(floor(CAST(sum(e.xq) AS DOUBLE)
+                      / CAST(count(*) AS DOUBLE)) AS BIGINT) AS cn
+    FROM {ex} e JOIN {p}a{r} a
+      ON e.vec_id = a.vec_id AND e.jc = a.jc AND e.g = a.g
+    GROUP BY 1, 2, 3, 4
+  ) u ON p.jc = u.jc AND p.g = u.g AND p.j = u.j AND p.dim = u.dim
+)"""
+            )
+    return ",\n".join(ctes)
+
+
+def _maintenance_apply_oracle_sql(
+    dims: int,
+    coarse_k: int,
+    coarse_iters: int,
+    m: int,
+    k: int,
+    iters: int,
+    threshold_q: int,
+    stale_ratio_q: int,
+    scale_mod: int,
+    fp_mod: int,
+) -> str:
+    """Maintenance-APPLY oracle: the shared maintenance front plus the
+    act-on-the-decision stages — final centroids (stored for
+    passthrough, refreshed else), the frozen-codebook encode legs
+    (passthrough lists' new members vs the stored centroid; reencode
+    lists' all members vs the refreshed), the per-list retrain kmeans
+    chain (_kmeans_perlist_ctes_sql) and its final-round assignment
+    as the new codes, verbatim passthrough of stored old-member code
+    rows, the per-drifted-list final ADC error, and the md5
+    fingerprint sums over the FINAL code and centroid rows. Mirrors
+    operators/quantize.py ivf_pq_maintenance_apply stage for stage."""
+    d = dims // m
+    ci = coarse_iters
+    front = _mplan_front_ctes_sql(
+        dims, coarse_k, coarse_iters, m, k, iters, threshold_q, scale_mod
+    )
+    rt_chain = _kmeans_perlist_ctes_sql(k, iters, prefix="rt_", ex="rt_ex")
+    sql = f"""WITH {front},
+decs AS (
+  SELECT jc, n_old, n_new,
+         CASE WHEN NOT drifted THEN 'passthrough'
+              WHEN stale_ratio_q IS NULL OR stale_ratio_q > {stale_ratio_q}
+                THEN 'retrain'
+              ELSE 'reencode' END AS decision
+  FROM manifest
+),
+oldids AS (SELECT DISTINCT vec_id FROM oldx),
+centf AS (
+  SELECT c.j AS jc, c.dim, c.c
+  FROM cv_c{ci - 1} c JOIN decs ON decs.jc = c.j
+  WHERE decs.decision = 'passthrough'
+  UNION ALL
+  SELECT r.jc, r.dim, r.c FROM refreshed r
+),
+fz_in AS (
+  SELECT m.vec_id, m.jc, m.dim, m.xq - c.c AS rq
+  FROM memb m JOIN decs USING (jc)
+  JOIN cv_c{ci - 1} c ON m.jc = c.j AND m.dim = c.dim
+  WHERE decs.decision = 'passthrough'
+    AND m.vec_id NOT IN (SELECT vec_id FROM oldids)
+  UNION ALL
+  SELECT m.vec_id, m.jc, m.dim, m.xq - r.c AS rq
+  FROM memb m JOIN decs USING (jc)
+  JOIN refreshed r ON m.jc = r.jc AND m.dim = r.dim
+  WHERE decs.decision = 'reencode'
+),
+fz AS (
+  SELECT vec_id, jc, dim // {d} AS g, dim % {d} AS dim, rq FROM fz_in
+),
+enc AS (
+  SELECT vec_id, jc, g, j, dist FROM (
+    SELECT fz.vec_id, fz.jc, fz.g, cb.j,
+           sum((fz.rq - cb.c) * (fz.rq - cb.c)) AS dist
+    FROM fz JOIN codebook cb ON fz.g = cb.g AND fz.dim = cb.dim
+    GROUP BY 1, 2, 3, 4)
+  QUALIFY row_number() OVER (PARTITION BY vec_id, jc, g
+                             ORDER BY dist, j) = 1
+),
+rt_ex AS (
+  SELECT m.vec_id, m.jc, m.dim // {d} AS g, m.dim % {d} AS dim,
+         m.xq - r.c AS xq
+  FROM memb m JOIN decs USING (jc)
+  JOIN refreshed r ON m.jc = r.jc AND m.dim = r.dim
+  WHERE decs.decision = 'retrain'
+),
+{rt_chain},
+codesf AS (
+  SELECT oc.vec_id, ol.jc, oc.g, oc.j
+  FROM oldcodes oc
+  JOIN (SELECT vec_id, j AS jc FROM cv_a{ci}) ol USING (vec_id)
+  JOIN decs USING (jc)
+  WHERE decs.decision = 'passthrough'
+  UNION ALL SELECT vec_id, jc, g, j FROM enc
+  UNION ALL SELECT vec_id, jc, g, j FROM rt_a{iters}
+),
+errj AS (
+  SELECT jc, sum(dist) AS err_final_q FROM (
+    SELECT e.jc, e.dist FROM enc e JOIN decs ON e.jc = decs.jc
+    WHERE decs.decision = 'reencode'
+    UNION ALL SELECT jc, dist FROM rt_a{iters})
+  GROUP BY 1
+),
+fpc AS (
+  SELECT jc, CAST(sum(CAST(md5_number_lower(
+           'k:' || CAST(vec_id AS VARCHAR) || ':' || CAST(g AS VARCHAR)
+           || ':' || CAST(j AS VARCHAR)) % {fp_mod} AS HUGEINT))
+         % {fp_mod} AS BIGINT) AS fp_codes
+  FROM codesf GROUP BY 1
+),
+fpn AS (
+  SELECT jc, CAST(sum(CAST(md5_number_lower(
+           'c:' || CAST(dim AS VARCHAR) || ':' || CAST(c AS VARCHAR))
+           % {fp_mod} AS HUGEINT)) % {fp_mod} AS BIGINT) AS fp_cent
+  FROM centf GROUP BY 1
+)
+SELECT CAST(decs.jc AS BIGINT) AS j,
+       decs.decision,
+       decs.n_old, decs.n_new,
+       CASE WHEN decs.decision <> 'passthrough'
+            THEN CAST(errj.err_final_q AS BIGINT) END AS err_final_q,
+       fpc.fp_codes,
+       fpn.fp_cent
+FROM decs
+LEFT JOIN errj USING (jc)
+LEFT JOIN fpc USING (jc)
+LEFT JOIN fpn USING (jc)
+"""
+    # materialize the tail CTEs too — decs/rt_ex/enc are referenced
+    # repeatedly and would otherwise re-expand the whole front
+    return sql.replace(" AS (", " AS MATERIALIZED (")
 
 
 def _nprobe_curve_oracle_sql(
@@ -20173,6 +20432,18 @@ FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
         ),
         "packing_overhead": _packing_overhead_oracle_sql(
             PACK_CAP, PACK_SHARDS
+        ),
+        "ivf_pq_maintenance_apply": _maintenance_apply_oracle_sql(
+            EMB_DIMS,
+            KMEANS_K,
+            IVFPQ_COARSE_ITERS,
+            PQ_M,
+            PQ_K,
+            PQ_ITERS,
+            REINDEX_DRIFT_Q,
+            MPLAN_STALE_RATIO_Q,
+            MPLAN_SCALE_MOD,
+            IVFPQ_FP_MOD,
         ),
     }
 

@@ -1944,6 +1944,374 @@ def ivf_pq_maintenance_plan(
     )
 
 
+def _kmeans_fit_per_list(
+    ex: DataFrame,
+    k: int,
+    iters: int,
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Lloyd's k-means over many (inverted list × subspace) spaces in
+    one set of jobs — ``kmeans_fit_grouped`` generalized to a COMPOSITE
+    group key (jc, g), which per-list codebook retraining needs:
+    different lists have different member sets, so the global-id
+    seeding of the flat grouped fit does not apply. Seeds are the k
+    smallest member ids OF EACH LIST (every member appears in all m
+    subspace groups of its list, so the per-list id ranking seeds each
+    (jc, g) identically — the same argument as the flat fit, scoped to
+    the list); a list with fewer than k members just gets fewer
+    centroids. Same bigint distances, (dist, j) argmin,
+    floored-double centroid updates, empty-cluster keep-old as
+    ``kmeans_fit``, so a per-(jc, g) unrolled-CTE oracle replays it
+    value-exact.
+
+    ``ex`` is (id_col, jc, g, dim, xq). Returns (assignments
+    (id_col, jc, g, j, dist), centroids (jc, g, j, dim, c)) from the
+    final round. Cost rides ONLY the retrain lists' membership —
+    never O(index)."""
+    from pyspark.sql.window import Window
+
+    from rat_strain_loader_pipeline_spark.staging import stage_to_parquet
+
+    ex = stage_to_parquet(ex, "kmeanspl-ex")
+    seeds = (
+        ex.select("jc", id_col)
+        .distinct()
+        .withColumn(
+            "sj",
+            F.row_number().over(Window.partitionBy("jc").orderBy(id_col)) - 1,
+        )
+        .filter(F.col("sj") < k)
+    )
+    cent = ex.join(seeds, ["jc", id_col]).select(
+        "jc", "g", F.col("sj").alias("j"), "dim", F.col("xq").alias("c")
+    )
+    assign = None
+    for r in range(iters):
+        dists = (
+            ex.join(cent, ["jc", "g", "dim"])
+            .groupBy(id_col, "jc", "g", "j")
+            .agg(
+                F.sum((F.col("xq") - F.col("c")) * (F.col("xq") - F.col("c"))).alias(
+                    "dist"
+                )
+            )
+        )
+        assign = stage_to_parquet(
+            dists.groupBy(id_col, "jc", "g")
+            .agg(F.min(F.struct("dist", "j")).alias("mn"))
+            .select(
+                id_col,
+                "jc",
+                "g",
+                F.col("mn.j").alias("j"),
+                F.col("mn.dist").alias("dist"),
+            )
+            .coalesce(4),
+            f"kmeanspl-assign-{r}",
+        )
+        if r == iters - 1:
+            break
+        updated = (
+            ex.join(assign.select(id_col, "jc", "g", "j"), [id_col, "jc", "g"])
+            .groupBy("jc", "g", "j", "dim")
+            .agg(
+                F.floor(
+                    F.sum("xq").cast("double") / F.count(F.lit(1)).cast("double")
+                )
+                .cast("long")
+                .alias("cn")
+            )
+        )
+        cent = stage_to_parquet(
+            cent.join(updated, ["jc", "g", "j", "dim"], "left")
+            .select("jc", "g", "j", "dim", F.coalesce("cn", "c").alias("c"))
+            .coalesce(1),
+            f"kmeanspl-cent-{r}",
+        )
+    return assign, cent
+
+
+def ivf_pq_maintenance_apply(
+    spark,
+    index_path: str,
+    old_corpus: DataFrame,
+    new_batch: DataFrame,
+    dims: int,
+    m: int = 2,
+    k: int = 8,
+    iters: int = 2,
+    drift_threshold_q: int = 900_000,
+    stale_ratio_q: int = 2_000_000,
+    fp_mod: int = 10**15,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """EXECUTE the maintenance plan — the last rung of the ANN
+    lifecycle ladder (build → serve → drift-gate → staleness-decide →
+    APPLY), the way ``ivf_pq_maintenance_plan`` turned the drift gate
+    (E212) into a decision: run the three-way per-list decision, then
+    ACT on it, emitting the maintained artifact's content manifest.
+
+    Per list, by decision:
+
+    - ``passthrough``: stored code rows copy VERBATIM for old members
+      (never rescanned); only the list's NEW members encode, against
+      the STORED centroid with the frozen codebooks (the
+      ``ivf_pq_reindex_drifted`` untouched-list convention). The
+      stored centroid carries over.
+    - ``reencode``: the coarse centroid refreshes to the floored
+      member mean and EVERY member re-encodes its residual against it
+      with the FROZEN codebooks (drifted, but the codebooks still
+      fit).
+    - ``retrain``: the centroid refreshes likewise, and the list's m
+      PQ codebooks RETRAIN on the current members' residuals
+      (``_kmeans_fit_per_list`` — per-list smallest-id seeding, same
+      (k, iters) discipline as the build) before every member
+      re-encodes; the final-round assignment IS the new encoding.
+
+    Manifest: (j, decision, n_old, n_new, err_final_q, fp_codes,
+    fp_cent) — ``err_final_q`` is the exact bigint ADC error the
+    maintained encoding leaves per DRIFTED list (NULL for passthrough
+    lists, whose members were deliberately never touched: computing
+    their error would break the O(drifted membership) + O(new batch)
+    bound this ladder exists to keep); fingerprints are the
+    ``ivf_pq_reindex_drifted`` order-free md5 idiom over the FINAL
+    code and centroid rows, so a value-exact oracle checks the
+    maintained artifact content itself. Retraining exists because
+    codebooks FIT to the drifted list's own residuals beat codebooks
+    fit to yesterday's corpus — pytest-asserted against the plan's
+    frozen-codebook ``err_refreshed_q`` on a planted ×3 shift (an
+    empirical property of the shift, not a theorem: a retrain decided
+    on marginal staleness could in principle land slightly worse).
+
+    100 TB shape: decision inputs ride the plan's own bounds; the
+    apply side touches passthrough lists only through their stored
+    rows and new members, and pays retrain kmeans only on retrain
+    lists' membership — a stable corpus maintains at O(new batch)."""
+    import os
+
+    from rat_strain_loader_pipeline_spark.operators.clustering import MICROS
+    from rat_strain_loader_pipeline_spark.operators.sampling import md5_mod
+    from rat_strain_loader_pipeline_spark.staging import stage_to_parquet
+
+    d, rem = divmod(dims, m)
+    if rem:
+        raise ValueError(f"dims={dims} not divisible by m={m}")
+    cent = spark.read.parquet(os.path.join(index_path, "coarse_centroids"))
+    codebook = spark.read.parquet(os.path.join(index_path, "codebook"))
+    stored = spark.read.parquet(os.path.join(index_path, "codes"))
+    dim_map = None
+    if os.path.exists(os.path.join(index_path, "dim_map", "_SUCCESS")):
+        dim_map = spark.read.parquet(os.path.join(index_path, "dim_map"))
+    old_lists = stored.filter(F.col("g") == -1).select(
+        F.col(id_col), F.col("j").alias("jc")
+    )
+
+    # 1. the decision pass (route → drift gate → staleness ratio)
+    plan = stage_to_parquet(
+        ivf_pq_maintenance_plan(
+            spark,
+            index_path,
+            old_corpus,
+            new_batch,
+            dims=dims,
+            m=m,
+            drift_threshold_q=drift_threshold_q,
+            stale_ratio_q=stale_ratio_q,
+            id_col=id_col,
+            vec_col=vec_col,
+        ).select(
+            F.col("j").alias("jc"), "n_old", "n_new", "decision"
+        ),
+        "mapply-plan",
+    )
+    dec = F.broadcast(plan.select("jc", "decision"))
+
+    def micros(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col), F.posexplode(vec_col).alias("dim", "x")
+        ).select(
+            id_col,
+            "dim",
+            F.floor(F.col("x").cast("double") * MICROS).cast("long").alias("xq"),
+        )
+
+    # 2. current members per list (identical routing to the plan pass)
+    old_x = micros(old_corpus).join(old_lists, id_col)
+    new_x = stage_to_parquet(micros(new_batch), "mapply-newx")
+    new_lists = (
+        new_x.join(F.broadcast(cent), "dim")
+        .groupBy(id_col, "j")
+        .agg(F.sum((F.col("xq") - F.col("c")) * (F.col("xq") - F.col("c"))).alias("dist"))
+        .groupBy(id_col)
+        .agg(F.min(F.struct("dist", "j")).alias("mn"))
+        .select(id_col, F.col("mn.j").alias("jc"))
+    )
+    members = stage_to_parquet(
+        old_x.select(id_col, "jc", "dim", "xq")
+        .unionByName(
+            new_x.join(new_lists, id_col).select(id_col, "jc", "dim", "xq")
+        )
+        .join(dec, "jc")
+        .join(
+            old_lists.select(id_col).withColumn("is_old", F.lit(True)),
+            id_col,
+            "left",
+        )
+        .withColumn("is_old", F.coalesce("is_old", F.lit(False))),
+        "mapply-members",
+    )
+
+    # 3. final centroids: stored for passthrough, refreshed else
+    drifted_members = members.filter(F.col("decision") != "passthrough")
+    n_members = (
+        drifted_members.select(id_col, "jc").distinct()
+        .groupBy("jc")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_mem"))
+    )
+    refreshed = (
+        drifted_members.groupBy("jc", "dim")
+        .agg(F.sum("xq").cast("double").alias("sx"))
+        .join(F.broadcast(n_members), "jc")
+        .select(
+            "jc",
+            "dim",
+            F.floor(F.col("sx") / F.col("n_mem").cast("double"))
+            .cast("long")
+            .alias("c"),
+        )
+    )
+    cent_stored_jc = cent.select(F.col("j").alias("jc"), "dim", "c")
+    cent_final = stage_to_parquet(
+        cent_stored_jc.join(dec, "jc")
+        .filter(F.col("decision") == "passthrough")
+        .select("jc", "dim", "c")
+        .unionByName(refreshed.select("jc", "dim", "c")),
+        "mapply-cent",
+    )
+
+    # 4a. frozen-codebook encodes: passthrough lists' NEW members vs
+    # the stored centroid; reencode lists' ALL members vs refreshed
+    frozen_in = (
+        members.filter(
+            (F.col("decision") == "passthrough") & ~F.col("is_old")
+        )
+        .join(cent_stored_jc, ["jc", "dim"])
+        .select(id_col, "jc", "dim", (F.col("xq") - F.col("c")).alias("rq"))
+        .unionByName(
+            members.filter(F.col("decision") == "reencode")
+            .join(refreshed, ["jc", "dim"])
+            .select(
+                id_col, "jc", "dim", (F.col("xq") - F.col("c")).alias("rq")
+            )
+        )
+    )
+    enc = (
+        _residual_group(frozen_in, d, "rq", dim_map)
+        .join(F.broadcast(codebook), ["g", "dim"])
+        .groupBy(id_col, "jc", "g", "j")
+        .agg(F.sum((F.col("xq") - F.col("c")) * (F.col("xq") - F.col("c"))).alias("dist"))
+        .groupBy(id_col, "jc", "g")
+        .agg(F.min(F.struct("dist", "j")).alias("mn"))
+        .select(
+            id_col,
+            "jc",
+            "g",
+            F.col("mn.j").alias("j"),
+            F.col("mn.dist").alias("dist"),
+        )
+    )
+    enc = stage_to_parquet(enc, "mapply-enc")
+
+    # 4b. retrain lists: per-list codebooks on current residuals
+    rt_in = (
+        members.filter(F.col("decision") == "retrain")
+        .join(refreshed, ["jc", "dim"])
+        .select(id_col, "jc", "dim", (F.col("xq") - F.col("c")).alias("rq"))
+    )
+    rt_assign, _rt_cb = _kmeans_fit_per_list(
+        _residual_group(rt_in, d, "rq", dim_map), k=k, iters=iters, id_col=id_col
+    )
+
+    # 5. final codes: verbatim passthrough + both encode legs
+    pass_old = (
+        stored.filter(F.col("g") >= 0)
+        .join(old_lists, id_col)
+        .join(dec, "jc")
+        .filter(F.col("decision") == "passthrough")
+        .select(id_col, "jc", "g", "j")
+    )
+    final_codes = pass_old.unionByName(
+        enc.select(id_col, "jc", "g", "j")
+    ).unionByName(rt_assign.select(id_col, "jc", "g", "j"))
+
+    def fp_sum(h: str):
+        return F.expr(
+            f"CAST(sum(CAST({h} AS DECIMAL(38,0))) % {fp_mod} AS BIGINT)"
+        )
+
+    fp_codes = (
+        final_codes.select(
+            "jc",
+            md5_mod(
+                F.concat_ws(
+                    ":",
+                    F.lit("k"),
+                    F.col(id_col).cast("string"),
+                    F.col("g").cast("string"),
+                    F.col("j").cast("string"),
+                ),
+                fp_mod,
+            ).alias("h"),
+        )
+        .groupBy("jc")
+        .agg(fp_sum("h").alias("fp_codes"))
+    )
+    fp_cent = (
+        cent_final.select(
+            "jc",
+            md5_mod(
+                F.concat_ws(
+                    ":",
+                    F.lit("c"),
+                    F.col("dim").cast("string"),
+                    F.col("c").cast("string"),
+                ),
+                fp_mod,
+            ).alias("h"),
+        )
+        .groupBy("jc")
+        .agg(fp_sum("h").alias("fp_cent"))
+    )
+    # per-list maintained ADC error: both encode legs carry their
+    # argmin distances; retrain's final-round assignment dist IS its
+    # quantization error. NULL for passthrough (members untouched).
+    err = (
+        enc.join(dec, "jc")
+        .filter(F.col("decision") == "reencode")
+        .select("jc", "dist")
+        .unionByName(rt_assign.select("jc", "dist"))
+        .groupBy("jc")
+        .agg(F.sum("dist").cast("long").alias("err_final_q"))
+    )
+    return (
+        plan.join(F.broadcast(fp_codes), "jc", "left")
+        .join(F.broadcast(fp_cent), "jc", "left")
+        .join(F.broadcast(err), "jc", "left")
+        .select(
+            F.col("jc").cast("long").alias("j"),
+            "decision",
+            F.col("n_old").cast("long").alias("n_old"),
+            F.col("n_new").cast("long").alias("n_new"),
+            F.when(F.col("decision") != "passthrough", F.col("err_final_q"))
+            .cast("long")
+            .alias("err_final_q"),
+            "fp_codes",
+            "fp_cent",
+        )
+    )
+
+
 def ivf_pq_encode_batch(
     spark,
     index_path: str,

@@ -571,3 +571,113 @@ def test_ivf_pq_maintenance_plan_decision_flips_on_planted_shift(spark, sf_dir):
     # in-distribution traffic at the real gate: untouched lists
     same = plan(odd, em.REINDEX_DRIFT_Q, em.MPLAN_STALE_RATIO_Q)
     assert "passthrough" in set(same.values())
+
+
+def test_ivf_pq_maintenance_apply_acts_on_decision(spark, sf_dir):
+    """The apply rung executes the plan: (a) with an in-distribution
+    batch at the real gate, passthrough lists' final code/centroid
+    fingerprints equal a manifest computed from the STORED artifact
+    content (verbatim copy, old members never re-encoded); (b) with
+    every list force-drifted and a planted x3 shift, retrained lists'
+    final ADC error is never worse than the frozen-codebook re-encode
+    error the plan measured (the kmeans objective only improves on an
+    assignment against its init centroids)."""
+    import os
+
+    import __spark_entry__ as em
+    from rat_strain_loader_pipeline_spark.operators.quantize import (
+        ivf_pq_maintenance_apply,
+        ivf_pq_maintenance_plan,
+    )
+    from rat_strain_loader_pipeline_spark.sources.tables import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    path = em._ivf_residual_even_index_path(spark, sf_dir)
+    old = emb.filter(F.col("vec_id") % 2 == 0)
+    odd = emb.filter(F.col("vec_id") % 2 == 1)
+
+    # (a) in-distribution batch: passthrough lists copy verbatim.
+    applied = {
+        r["j"]: r
+        for r in ivf_pq_maintenance_apply(
+            spark, path, old, odd,
+            dims=em.EMB_DIMS, m=em.PQ_M, k=em.PQ_K, iters=em.PQ_ITERS,
+            drift_threshold_q=em.REINDEX_DRIFT_Q,
+            stale_ratio_q=em.MPLAN_STALE_RATIO_Q,
+            fp_mod=em.IVFPQ_FP_MOD,
+        ).collect()
+    }
+    passthrough = [j for j, r in applied.items() if r["decision"] == "passthrough"]
+    assert passthrough, "in-distribution batch must leave some list untouched"
+    for j in passthrough:
+        assert applied[j]["err_final_q"] is None
+    # stored-content fingerprints of one passthrough list's OLD code
+    # rows must be a subset component of the final fp only when the
+    # list gained no new members; check such a list exists and matches
+    from rat_strain_loader_pipeline_spark.operators.sampling import md5_mod
+
+    stored = spark.read.parquet(os.path.join(path, "codes"))
+    lists = stored.filter(F.col("g") == -1).select(
+        "vec_id", F.col("j").alias("jc")
+    )
+    quiet = [j for j in passthrough if applied[j]["n_new"] == 0]
+    if quiet:
+        fp_stored = {
+            r["jc"]: r["fp"]
+            for r in stored.filter(F.col("g") >= 0)
+            .join(lists, "vec_id")
+            .filter(F.col("jc").isin([int(j) for j in quiet]))
+            .select(
+                "jc",
+                md5_mod(
+                    F.concat_ws(
+                        ":",
+                        F.lit("k"),
+                        F.col("vec_id").cast("string"),
+                        F.col("g").cast("string"),
+                        F.col("j").cast("string"),
+                    ),
+                    em.IVFPQ_FP_MOD,
+                ).alias("h"),
+            )
+            .groupBy("jc")
+            .agg(
+                F.expr(
+                    f"CAST(sum(CAST(h AS DECIMAL(38,0))) % {em.IVFPQ_FP_MOD} AS BIGINT)"
+                ).alias("fp")
+            )
+            .collect()
+        }
+        for j, fp in fp_stored.items():
+            assert applied[j]["fp_codes"] == fp
+
+    # (b) planted strong shift, force-drifted: retrain beats reencode.
+    strong_batch = odd.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> x * 3.0D)").alias("embedding"),
+    )
+    force_all = 1_000_001
+    plan = {
+        r["j"]: r
+        for r in ivf_pq_maintenance_plan(
+            spark, path, old, strong_batch,
+            dims=em.EMB_DIMS, m=em.PQ_M,
+            drift_threshold_q=force_all,
+            stale_ratio_q=em.MPLAN_STALE_RATIO_Q,
+        ).collect()
+    }
+    applied2 = {
+        r["j"]: r
+        for r in ivf_pq_maintenance_apply(
+            spark, path, old, strong_batch,
+            dims=em.EMB_DIMS, m=em.PQ_M, k=em.PQ_K, iters=em.PQ_ITERS,
+            drift_threshold_q=force_all,
+            stale_ratio_q=em.MPLAN_STALE_RATIO_Q,
+            fp_mod=em.IVFPQ_FP_MOD,
+        ).collect()
+    }
+    retrained = [j for j, r in applied2.items() if r["decision"] == "retrain"]
+    assert retrained, "the planted x3 shift must retrain at least one list"
+    for j in retrained:
+        assert applied2[j]["err_final_q"] is not None
+        assert applied2[j]["err_final_q"] <= plan[j]["err_refreshed_q"]
