@@ -1203,6 +1203,52 @@ def q_packing_overhead(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_tokenized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer→packer composition — the actual shard-build step a
+    training pipeline runs: per-doc token budgets come from the
+    LEARNED unigram tokenizer (unigram_apply under the build-once
+    model store, not whitespace counts), feed the BFD packer
+    (operators/sampling.py sequence_pack_bfd, PACK_CAP windows,
+    doc_id % PACK_SHARDS shards), and the packing-efficiency epilogue
+    reports the occupancy a trainer would actually see at these
+    budgets — beside the fertility table that motivates the tokenizer
+    choice. Both halves are the already-benched deterministic
+    pipelines, so the oracle replays tokenizer chain + recursive-CTE
+    fold + epilogue end to end value-exact."""
+    from rat_strain_loader_pipeline_spark.operators.sampling import (
+        sequence_pack_bfd,
+    )
+    from rat_strain_loader_pipeline_spark.operators.text import unigram_apply
+
+    docs = _t(spark, sf_dir, "documents")
+    budgets = unigram_apply(
+        docs, max_len=UNI_MAXLEN, model=_unigram_model(spark, sf_dir)
+    )
+    sized = budgets.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_unigram_tokens").alias("n_tokens"),
+        (F.col("doc_id") % PACK_SHARDS).cast("int").alias("shard"),
+    )
+    packed = sequence_pack_bfd(sized, capacity=PACK_CAP)
+    return (
+        packed.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            (F.max("bin_id") + 1).cast("long").alias("n_bins"),
+            F.sum("size_eff").cast("long").alias("sum_tokens_eff"),
+            F.sum(
+                F.when(F.col("n_tokens") > PACK_CAP, 1).otherwise(0)
+            ).cast("long").alias("n_truncated"),
+        )
+        .withColumn(
+            "occupancy_micros",
+            F.expr(
+                f"sum_tokens_eff * 1000000 div (n_bins * {PACK_CAP})"
+            ).cast("long"),
+        )
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup by content hash (engine operator)."""
     docs = _t(spark, sf_dir, "documents")
@@ -10677,6 +10723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_coverage": q_unigram_coverage,
         "packing_overhead": q_packing_overhead,
         "ivf_pq_maintenance_apply": q_ivf_pq_maintenance_apply,
+        "pack_tokenized": q_pack_tokenized,
     }
 
 
@@ -13177,7 +13224,7 @@ GROUP BY 1
 """
 
 
-def _pack_bfd_ctes_sql(cap: int, shards: int) -> str:
+def _pack_bfd_ctes_sql(cap: int, shards: int, toks_sql: str | None = None) -> str:
     """Per-shard best-fit-decreasing fold as a recursive CTE — the
     oracle twin of operators/sampling.py sequence_pack_bfd: the
     recursion steps one ranked doc at a time per shard, carrying the
@@ -13185,12 +13232,16 @@ def _pack_bfd_ctes_sql(cap: int, shards: int) -> str:
     list arithmetic (fits → min remaining → min window id — the exact
     engine tie-break). Ends in ``fold(shard, rk, doc_id, n_tokens,
     sz, bin_id, rem)``; rk = 0 rows are the empty seeds (filter them
-    out)."""
-    return f"""toks AS (
+    out). ``toks_sql`` overrides the size source (default: whitespace
+    token counts; the tokenizer→packer composition feeds learned
+    per-doc budgets instead) — it must yield (doc_id, shard,
+    n_tokens)."""
+    toks_body = toks_sql or f"""
   SELECT CAST(doc_id AS BIGINT) AS doc_id,
          CAST(doc_id % {shards} AS INT) AS shard,
          CAST(len({_TOKENS_CASED_SQL}) AS BIGINT) AS n_tokens
-  FROM documents
+  FROM documents"""
+    return f"""toks AS ({toks_body}
 ),
 ranked AS (
   SELECT doc_id, shard, n_tokens, least(n_tokens, {cap}) AS sz,
@@ -13236,6 +13287,51 @@ FROM fold WHERE rk > 0
 
 def _packing_efficiency_oracle_sql(cap: int, shards: int) -> str:
     return f"""WITH RECURSIVE {_pack_bfd_ctes_sql(cap, shards)}
+SELECT CAST(shard AS INT) AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(max(bin_id) + 1 AS BIGINT) AS n_bins,
+       CAST(sum(sz) AS BIGINT) AS sum_tokens_eff,
+       CAST(sum(CASE WHEN n_tokens > {cap} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_truncated,
+       CAST(sum(sz) * 1000000 // ((max(bin_id) + 1) * {cap}) AS BIGINT)
+         AS occupancy_micros
+FROM fold WHERE rk > 0
+GROUP BY 1
+"""
+
+
+def _pack_tokenized_oracle_sql(
+    cap: int, shards: int, rounds: int, max_len: int, vocab_multi: int
+) -> str:
+    """Tokenizer→packer composition oracle: the unigram training
+    replay plus the serving-vocab Viterbi pass produce each doc's
+    LEARNED token budget (the _unigram_apply_oracle_sql chain), which
+    feeds the per-shard BFD recursive fold (toks_sql override) and the
+    packing-efficiency epilogue — the actual shard-build computation a
+    training pipeline runs, replayed end to end in one statement."""
+    toks_sql = """
+  SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+         CAST(d.doc_id % {shards} AS INT) AS shard,
+         CAST(COALESCE(s.n_toks, 0) AS BIGINT) AS n_tokens
+  FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id""".format(
+        shards=shards
+    )
+    return f"""WITH RECURSIVE {_unigram_ctes_sql(rounds, max_len, vocab_multi)},
+{_unigram_viterbi_ctes_sql("F", "vocF", max_len)},
+np AS MATERIALIZED (
+  SELECT w, CAST(count(*) AS BIGINT) AS n_pieces
+  FROM walkF WHERE piece IS NOT NULL GROUP BY w
+),
+dw AS MATERIALIZED (
+  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT doc_id, unnest({_TOKENS_SQL}) AS w FROM documents)
+  GROUP BY doc_id, w
+),
+scored AS MATERIALIZED (
+  SELECT dw.doc_id, sum(dw.n * np.n_pieces) AS n_toks
+  FROM dw JOIN np USING (w) GROUP BY dw.doc_id
+),
+{_pack_bfd_ctes_sql(cap, shards, toks_sql=toks_sql)}
 SELECT CAST(shard AS INT) AS shard,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(max(bin_id) + 1 AS BIGINT) AS n_bins,
@@ -20432,6 +20528,9 @@ FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
         ),
         "packing_overhead": _packing_overhead_oracle_sql(
             PACK_CAP, PACK_SHARDS
+        ),
+        "pack_tokenized": _pack_tokenized_oracle_sql(
+            PACK_CAP, PACK_SHARDS, UNI_ROUNDS, UNI_MAXLEN, UNI_VOCAB_MULTI
         ),
         "ivf_pq_maintenance_apply": _maintenance_apply_oracle_sql(
             EMB_DIMS,
