@@ -435,17 +435,44 @@ def test_pq_adc_lut_broadcasts_against_codes(spark, sf_dir, queries):
 
 
 def test_ivf_pq_probe_and_luts_broadcast(spark, sf_dir, queries):
-    """IVF-PQ search must touch the corpus only through its staged
-    coarse assignment + codes: the probe set and the (query x group x
-    centroid) distance table join in as broadcasts, never a cartesian
-    pairing; the fused single-run training and the shared router/LUT
-    table are visible as the staged parquet scans."""
+    """IVF-PQ search must touch the corpus only through the persisted
+    index codes: the probe set and the (query x group x centroid)
+    distance table join in as broadcasts, never a cartesian pairing.
+    The entry query serves from the fused artifact (round 12), so the
+    staged serve-side LUT scan appears and NO kmeans training stages
+    do; the hermetic operator keeps its own fused-training shape,
+    pinned separately."""
+    from pyspark.sql import functions as F
+    from rat_strain_loader_pipeline_spark.operators.quantize import ivf_pq_topk
+    from rat_strain_loader_pipeline_spark.sources.tables import read_table
+    import __spark_entry__ as em
+
     plan = _plan(queries["ivf_pq_topk"](spark, sf_dir))
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
-    assert "ivfpq-qdist" in plan      # one shared router/LUT table
-    assert "kmeansg-assign" in plan   # single grouped training run
+    assert "ivfpq-serve-qdist" in plan   # one shared router/LUT table
+    assert "kmeansg-assign" not in plan  # no training in the served plan
+    # the hermetic operator still shows the fused single-run training
+    # and the shared router/LUT table
+    emb = read_table(spark, sf_dir, "embeddings")
+    hplan = _plan(
+        ivf_pq_topk(
+            emb.filter(F.col("vec_id") < em.PQADC_QUERIES),
+            emb,
+            dims=em.EMB_DIMS,
+            coarse_k=em.KMEANS_K,
+            coarse_iters=em.IVFPQ_COARSE_ITERS,
+            m=em.PQ_M,
+            k=em.PQ_K,
+            iters=em.PQ_ITERS,
+            nprobe=em.IVFPQ_NPROBE,
+            topk=em.PQADC_TOPK,
+        )
+    )
+    assert "ivfpq-qdist" in hplan
+    assert "kmeansg-assign" in hplan
+    assert "CartesianProduct" not in hplan
 
 
 def test_incremental_rollup_merges_from_staged_base_mv(spark, sf_dir, queries):
