@@ -6107,6 +6107,30 @@ def q_unigram_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_unigram_train_floored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram trainer with the min_count histogram floor ACTIVE
+    (operators/text.py unigram_train, min_count=UNI_MINCOUNT) — the
+    100 TB guard exercised under a value oracle, not just a pytest:
+    words rarer than the floor are dropped from the histogram BEFORE
+    the one-Arrow-batch EM fit (exact distributed count first, so
+    map-side partial aggregation still bounds the shuffle), which is
+    what actually bounds the fit's input on web-scale vocabulary
+    (URLs, typos, numbers are overwhelmingly singletons). The model
+    legitimately differs from the unfloored store (fewer seeds, its
+    own normalization), so this trains hermetically; the oracle is
+    the same hard-EM replay over the floored histogram (HAVING cnt >=
+    floor)."""
+    from rat_strain_loader_pipeline_spark.operators.text import unigram_train
+
+    return unigram_train(
+        _t(spark, sf_dir, "documents"),
+        vocab_multi=UNI_VOCAB_MULTI,
+        rounds=UNI_ROUNDS,
+        max_len=UNI_MAXLEN,
+        min_count=UNI_MINCOUNT,
+    )
+
+
 _BPE_SYMS_PATHS: dict[str, str] = {}
 
 
@@ -10724,6 +10748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "packing_overhead": q_packing_overhead,
         "ivf_pq_maintenance_apply": q_ivf_pq_maintenance_apply,
         "pack_tokenized": q_pack_tokenized,
+        "unigram_train_floored": q_unigram_train_floored,
     }
 
 
@@ -11450,6 +11475,10 @@ PACK_SHARDS = 8
 UNI_ROUNDS = 2
 UNI_MAXLEN = 4
 UNI_VOCAB_MULTI = 48
+#: histogram floor for the floored-trainer variant (unigram_train_floored):
+#: words rarer than this never reach the one-Arrow-batch EM fit — the
+#: guard that bounds the fit's input on web-scale vocabulary
+UNI_MINCOUNT = 2
 SHUFFLE_BUCKETS = 256
 SHUFFLE_HASH_RES = 1_000_000_007   # within-bucket order hash modulus
 
@@ -13025,17 +13054,22 @@ walk{tag}(w, cnt, pos, piece) AS (
 )"""
 
 
-def _unigram_ctes_sql(rounds: int, max_len: int, vocab_multi: int) -> str:
+def _unigram_ctes_sql(
+    rounds: int, max_len: int, vocab_multi: int, min_count: int = 1
+) -> str:
     """The full unigram-LM training chain (oracle twin of
     operators/text.py unigram_train): word histogram → seed substring
     frequencies → add-one floored-ln likelihoods → ``rounds`` hard-EM
     Viterbi/usage passes → final usages and the pruned vocabulary
-    ``kept`` with the re-normalized serving likelihoods ``vocF``."""
+    ``kept`` with the re-normalized serving likelihoods ``vocF``.
+    ``min_count`` floors the histogram before the fit (the
+    unigram_train parameter; default 1 = every word kept)."""
+    floor_sql = f"\n  HAVING count(*) >= {min_count}" if min_count > 1 else ""
     parts = [
         f"""hist AS MATERIALIZED (
   SELECT w, CAST(count(*) AS BIGINT) AS cnt
   FROM (SELECT unnest({_TOKENS_SQL}) AS w FROM documents)
-  GROUP BY w
+  GROUP BY w{floor_sql}
 ),
 seed AS MATERIALIZED (
   SELECT piece, CAST(sum(cnt) AS BIGINT) AS freq
@@ -13096,8 +13130,12 @@ vocF AS MATERIALIZED (
     return ",\n".join(parts)
 
 
-def _unigram_train_oracle_sql(rounds: int, max_len: int, vocab_multi: int) -> str:
-    return f"""WITH RECURSIVE {_unigram_ctes_sql(rounds, max_len, vocab_multi)}
+def _unigram_train_oracle_sql(
+    rounds: int, max_len: int, vocab_multi: int, min_count: int = 1
+) -> str:
+    return f"""WITH RECURSIVE {
+        _unigram_ctes_sql(rounds, max_len, vocab_multi, min_count)
+    }
 SELECT kept.piece, kept.is_char, kept.usage, vocF.lp AS lp_q
 FROM kept JOIN vocF USING (piece)
 """
@@ -20531,6 +20569,9 @@ FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
         ),
         "pack_tokenized": _pack_tokenized_oracle_sql(
             PACK_CAP, PACK_SHARDS, UNI_ROUNDS, UNI_MAXLEN, UNI_VOCAB_MULTI
+        ),
+        "unigram_train_floored": _unigram_train_oracle_sql(
+            UNI_ROUNDS, UNI_MAXLEN, UNI_VOCAB_MULTI, UNI_MINCOUNT
         ),
         "ivf_pq_maintenance_apply": _maintenance_apply_oracle_sql(
             EMB_DIMS,
