@@ -9419,6 +9419,84 @@ def q_ivf_pq_maintenance_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_MAINTAINED_PATHS: dict[str, str] = {}
+
+
+def _ivf_maintained_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once per-process cache of the MAINTAINED index artifact:
+    ivf_pq_maintained_commit over the even-id residual index and the
+    mixed-shift odd-id batch (the exact maintenance scenario the plan
+    and apply queries measure) — the committed state the maintained
+    serve query reads. Deterministic, so serving changes no value."""
+    import os as _os
+
+    from rat_strain_loader_pipeline_spark.operators.quantize import (
+        ivf_pq_maintained_commit,
+    )
+
+    path = _IVF_MAINTAINED_PATHS.get(sf_dir)
+    if path is not None and _os.path.exists(
+        _os.path.join(path, "codes", "_SUCCESS")
+    ):
+        return path
+    emb = _t(spark, sf_dir, "embeddings")
+    path = ivf_pq_maintained_commit(
+        spark,
+        _ivf_residual_even_index_path(spark, sf_dir),
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1).select(
+            "vec_id",
+            F.expr(
+                f"CASE WHEN vec_id % {MPLAN_SCALE_MOD} = 0"
+                " THEN transform(reverse(embedding), x -> x * 3.0D)"
+                " ELSE reverse(embedding) END"
+            ).alias("embedding"),
+        ),
+        dims=EMB_DIMS,
+        m=PQ_M,
+        k=PQ_K,
+        iters=PQ_ITERS,
+        drift_threshold_q=REINDEX_DRIFT_Q,
+        stale_ratio_q=MPLAN_STALE_RATIO_Q,
+        tag=_os.path.basename(sf_dir.rstrip("/")) or "corpus",
+    )
+    _IVF_MAINTAINED_PATHS[sf_dir] = path
+    return path
+
+
+def q_ivf_pq_maintained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SERVE from the MAINTAINED index (operators/quantize.py
+    ivf_pq_maintained_serve_topk over an ivf_pq_maintained_commit
+    artifact) — the query that makes the maintenance ladder a LOOP:
+    after the even-id index absorbed the mixed-shift odd-id batch
+    (passthrough / reencode / retrain per the staleness plan), the
+    original query batch (vec_id < PQADC_QUERIES, unshifted) searches
+    the MAINTAINED state. Routing runs on the final centroids;
+    retrained lists resolve their per (query, probed list) residual
+    LUT against their per-list retrained codebooks
+    (codebook_retrained — a bounded separate table, never the global
+    codebook replicated per list), every other list against the
+    frozen global codebooks; ADC over the final codes. The oracle
+    rebuilds the maintained content (the apply-oracle front + tail)
+    and replays the search value-exact. The plan touches the corpus
+    only through the maintained artifact + the query batch
+    (pytest-pinned)."""
+    from rat_strain_loader_pipeline_spark.operators.quantize import (
+        ivf_pq_maintained_serve_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_pq_maintained_serve_topk(
+        spark,
+        _ivf_maintained_path(spark, sf_dir),
+        emb.filter(F.col("vec_id") < PQADC_QUERIES),
+        dims=EMB_DIMS,
+        m=PQ_M,
+        nprobe=IVFPQ_NPROBE,
+        topk=PQADC_TOPK,
+    )
+
+
 _PQ_STREAM_PATHS: dict[str, str] = {}
 
 
@@ -10749,6 +10827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_pq_maintenance_apply": q_ivf_pq_maintenance_apply,
         "pack_tokenized": q_pack_tokenized,
         "unigram_train_floored": q_unigram_train_floored,
+        "ivf_pq_maintained_topk": q_ivf_pq_maintained_topk,
     }
 
 
@@ -13657,36 +13736,19 @@ def _kmeans_perlist_ctes_sql(k: int, iters: int, prefix: str, ex: str) -> str:
     return ",\n".join(ctes)
 
 
-def _maintenance_apply_oracle_sql(
-    dims: int,
-    coarse_k: int,
-    coarse_iters: int,
-    m: int,
-    k: int,
-    iters: int,
-    threshold_q: int,
-    stale_ratio_q: int,
-    scale_mod: int,
-    fp_mod: int,
+def _mapply_tail_ctes_sql(
+    dims: int, m: int, k: int, iters: int, stale_ratio_q: int, ci: int
 ) -> str:
-    """Maintenance-APPLY oracle: the shared maintenance front plus the
-    act-on-the-decision stages — final centroids (stored for
-    passthrough, refreshed else), the frozen-codebook encode legs
-    (passthrough lists' new members vs the stored centroid; reencode
-    lists' all members vs the refreshed), the per-list retrain kmeans
-    chain (_kmeans_perlist_ctes_sql) and its final-round assignment
-    as the new codes, verbatim passthrough of stored old-member code
-    rows, the per-drifted-list final ADC error, and the md5
-    fingerprint sums over the FINAL code and centroid rows. Mirrors
-    operators/quantize.py ivf_pq_maintenance_apply stage for stage."""
+    """Apply-side CTE tail shared by the maintenance-apply manifest
+    oracle and the maintained-serve search oracle: the decision CASE
+    (``decs``), final centroids (``centf``), the frozen-codebook
+    encode legs (``enc``), the per-list retrain kmeans chain
+    (``rt_*``), and the final code rows (``codesf``). Consumes the
+    _mplan_front_ctes_sql names (memb, refreshed, manifest, codebook,
+    oldcodes, cv_*); callers materialize every CTE."""
     d = dims // m
-    ci = coarse_iters
-    front = _mplan_front_ctes_sql(
-        dims, coarse_k, coarse_iters, m, k, iters, threshold_q, scale_mod
-    )
     rt_chain = _kmeans_perlist_ctes_sql(k, iters, prefix="rt_", ex="rt_ex")
-    sql = f"""WITH {front},
-decs AS (
+    return f"""decs AS (
   SELECT jc, n_old, n_new,
          CASE WHEN NOT drifted THEN 'passthrough'
               WHEN stale_ratio_q IS NULL OR stale_ratio_q > {stale_ratio_q}
@@ -13742,7 +13804,36 @@ codesf AS (
   WHERE decs.decision = 'passthrough'
   UNION ALL SELECT vec_id, jc, g, j FROM enc
   UNION ALL SELECT vec_id, jc, g, j FROM rt_a{iters}
-),
+)"""
+
+
+def _maintenance_apply_oracle_sql(
+    dims: int,
+    coarse_k: int,
+    coarse_iters: int,
+    m: int,
+    k: int,
+    iters: int,
+    threshold_q: int,
+    stale_ratio_q: int,
+    scale_mod: int,
+    fp_mod: int,
+) -> str:
+    """Maintenance-APPLY oracle: the shared maintenance front plus the
+    shared apply tail (_mapply_tail_ctes_sql — final centroids, both
+    encode legs, the per-list retrain kmeans chain, verbatim
+    passthrough), then the per-drifted-list final ADC error and the
+    md5 fingerprint sums over the FINAL code and centroid rows.
+    Mirrors operators/quantize.py ivf_pq_maintenance_apply stage for
+    stage."""
+    front = _mplan_front_ctes_sql(
+        dims, coarse_k, coarse_iters, m, k, iters, threshold_q, scale_mod
+    )
+    tail = _mapply_tail_ctes_sql(
+        dims, m, k, iters, stale_ratio_q, coarse_iters
+    )
+    sql = f"""WITH {front},
+{tail},
 errj AS (
   SELECT jc, sum(dist) AS err_final_q FROM (
     SELECT e.jc, e.dist FROM enc e JOIN decs ON e.jc = decs.jc
@@ -13775,8 +13866,104 @@ LEFT JOIN errj USING (jc)
 LEFT JOIN fpc USING (jc)
 LEFT JOIN fpn USING (jc)
 """
-    # materialize the tail CTEs too — decs/rt_ex/enc are referenced
-    # repeatedly and would otherwise re-expand the whole front
+    # materialize every CTE — decs/rt_ex/enc are referenced repeatedly
+    # and would otherwise re-expand the whole front (SCALE.md round-9)
+    return sql.replace(" AS (", " AS MATERIALIZED (")
+
+
+def _maintained_topk_oracle_sql(
+    dims: int,
+    coarse_k: int,
+    coarse_iters: int,
+    m: int,
+    k: int,
+    iters: int,
+    threshold_q: int,
+    stale_ratio_q: int,
+    scale_mod: int,
+    nprobe: int,
+    topk: int,
+    n_queries: int,
+) -> str:
+    """Maintained-serve search oracle: the maintenance front + apply
+    tail rebuild the maintained artifact content (centf = final
+    centroids, codesf = final codes, rt_c{iters-1} = retrained
+    per-list codebooks, decs = decisions), then the residual search
+    replays against it — routing on the FINAL centroids, per
+    (query, probed list) residual LUTs resolved against the per-list
+    retrained codebook for 'retrain' lists and the global codebook
+    otherwise, ADC over the final codes, (adist, id)-tiebroken top-k.
+    Mirrors operators/quantize.py ivf_pq_maintained_serve_topk over a
+    committed ivf_pq_maintained_commit artifact stage for stage."""
+    d = dims // m
+    front = _mplan_front_ctes_sql(
+        dims, coarse_k, coarse_iters, m, k, iters, threshold_q, scale_mod
+    )
+    tail = _mapply_tail_ctes_sql(
+        dims, m, k, iters, stale_ratio_q, coarse_iters
+    )
+    sql = f"""WITH {front},
+{tail},
+rtset AS (SELECT jc FROM decs WHERE decision = 'retrain'),
+sv_qx AS (
+  SELECT vec_id AS q_id, dd - 1 AS dim,
+         CAST(floor(CAST(e AS DOUBLE) * 1000000) AS BIGINT) AS xq
+  FROM (SELECT vec_id, unnest(embedding) AS e,
+               generate_subscripts(embedding, 1) AS dd
+        FROM embeddings WHERE vec_id < {n_queries})
+),
+sv_probe AS (
+  SELECT q_id, jc FROM (
+    SELECT x.q_id, cf.jc, sum((x.xq - cf.c) * (x.xq - cf.c)) AS dd
+    FROM sv_qx x JOIN centf cf ON x.dim = cf.dim
+    GROUP BY 1, 2)
+  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY dd, jc) <= {nprobe}
+),
+sv_resid AS (
+  SELECT x.q_id, p.jc, x.dim // {d} AS g, x.dim % {d} AS dim,
+         x.xq - cf.c AS rq
+  FROM sv_qx x JOIN sv_probe p USING (q_id)
+  JOIN centf cf ON p.jc = cf.jc AND x.dim = cf.dim
+),
+sv_lut AS (
+  SELECT r.q_id, r.jc, r.g, cb.j,
+         sum((r.rq - cb.c) * (r.rq - cb.c)) AS dd
+  FROM sv_resid r JOIN codebook cb ON r.g = cb.g AND r.dim = cb.dim
+  WHERE r.jc NOT IN (SELECT jc FROM rtset)
+  GROUP BY 1, 2, 3, 4
+  UNION ALL
+  SELECT r.q_id, r.jc, r.g, cb.j,
+         sum((r.rq - cb.c) * (r.rq - cb.c)) AS dd
+  FROM sv_resid r
+  JOIN rt_c{iters - 1} cb
+    ON r.jc = cb.jc AND r.g = cb.g AND r.dim = cb.dim
+  WHERE r.jc IN (SELECT jc FROM rtset)
+  GROUP BY 1, 2, 3, 4
+),
+sv_cand AS (
+  SELECT pr.q_id, po.vec_id AS c_id, po.jc
+  FROM (SELECT DISTINCT vec_id, jc FROM memb) po
+  JOIN sv_probe pr ON po.jc = pr.jc
+),
+sv_adc AS (
+  SELECT cd.q_id, cd.c_id, sum(l.dd) AS adist_q
+  FROM sv_cand cd
+  JOIN codesf k2 ON k2.vec_id = cd.c_id
+  JOIN sv_lut l
+    ON l.q_id = cd.q_id AND l.jc = cd.jc AND l.g = k2.g AND l.j = k2.j
+  GROUP BY 1, 2
+)
+SELECT CAST(q_id AS BIGINT) AS q_id,
+       CAST(c_id AS BIGINT) AS c_id,
+       CAST(rank AS BIGINT) AS rank,
+       CAST(adist_q AS BIGINT) AS adist_q
+FROM (
+  SELECT q_id, c_id, adist_q,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY adist_q, c_id) AS rank
+  FROM sv_adc)
+WHERE rank <= {topk}
+"""
     return sql.replace(" AS (", " AS MATERIALIZED (")
 
 
@@ -20572,6 +20759,20 @@ FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
         ),
         "unigram_train_floored": _unigram_train_oracle_sql(
             UNI_ROUNDS, UNI_MAXLEN, UNI_VOCAB_MULTI, UNI_MINCOUNT
+        ),
+        "ivf_pq_maintained_topk": _maintained_topk_oracle_sql(
+            EMB_DIMS,
+            KMEANS_K,
+            IVFPQ_COARSE_ITERS,
+            PQ_M,
+            PQ_K,
+            PQ_ITERS,
+            REINDEX_DRIFT_Q,
+            MPLAN_STALE_RATIO_Q,
+            MPLAN_SCALE_MOD,
+            IVFPQ_NPROBE,
+            PQADC_TOPK,
+            PQADC_QUERIES,
         ),
         "ivf_pq_maintenance_apply": _maintenance_apply_oracle_sql(
             EMB_DIMS,

@@ -982,12 +982,24 @@ def _residual_search(
     id_col: str,
     vec_col: str,
     dim_map: DataFrame | None = None,
+    cb_retrained: DataFrame | None = None,
+    retrain_lists: DataFrame | None = None,
 ) -> DataFrame:
     """Search half of residual IVF-PQ (stages 3-4 of
     ``ivf_pq_topk_residual``), shared verbatim between the hermetic
     query and ``ivf_pq_residual_serve_topk``. ``dim_map`` (model
     state of an OPQ-layout artifact) swaps the contiguous residual
-    slicing for the stored allocation."""
+    slicing for the stored allocation.
+
+    ``cb_retrained`` + ``retrain_lists`` (both or neither): a
+    MAINTAINED artifact's per-list codebook override — lists in
+    ``retrain_lists`` (jc) resolve their ADC LUT against the
+    per-list ``cb_retrained`` (jc, g, j, dim, c) instead of the
+    global codebook. The LUT is already per (query, probed list)
+    because residuals are taken against the list centroid, so the
+    override costs nothing extra; keeping retrained codebooks in a
+    separate bounded table (never replicating the global codebook
+    per list) is what keeps the model broadcastable at 100 TB."""
     from pyspark.sql.window import Window
 
     from rat_strain_loader_pipeline_spark.operators.clustering import MICROS
@@ -1028,11 +1040,38 @@ def _residual_search(
     )
     # (queries x nprobe x m x k) rows — broadcast evaluates it once;
     # a parquet staging here would only add fixed I/O
-    lut = (
-        qresid.join(codebook, ["g", "dim"])
-        .groupBy("q_id", "jc", "g", "j")
-        .agg(F.sum((F.col("xq") - F.col("c")) * (F.col("xq") - F.col("c"))).alias("dd"))
-    )
+    if cb_retrained is not None:
+        rl = F.broadcast(retrain_lists.select("jc"))
+        lut = (
+            qresid.join(rl, "jc", "left_anti")
+            .join(codebook, ["g", "dim"])
+            .groupBy("q_id", "jc", "g", "j")
+            .agg(
+                F.sum(
+                    (F.col("xq") - F.col("c")) * (F.col("xq") - F.col("c"))
+                ).alias("dd")
+            )
+            .unionByName(
+                qresid.join(rl, "jc", "left_semi")
+                .join(cb_retrained, ["jc", "g", "dim"])
+                .groupBy("q_id", "jc", "g", "j")
+                .agg(
+                    F.sum(
+                        (F.col("xq") - F.col("c")) * (F.col("xq") - F.col("c"))
+                    ).alias("dd")
+                )
+            )
+        )
+    else:
+        lut = (
+            qresid.join(codebook, ["g", "dim"])
+            .groupBy("q_id", "jc", "g", "j")
+            .agg(
+                F.sum(
+                    (F.col("xq") - F.col("c")) * (F.col("xq") - F.col("c"))
+                ).alias("dd")
+            )
+        )
     cand = (
         lists.select(F.col(id_col).alias("c_id"), "jc")
         .join(F.broadcast(probe), "jc")
@@ -2031,63 +2070,28 @@ def _kmeans_fit_per_list(
     return assign, cent
 
 
-def ivf_pq_maintenance_apply(
+def _maintenance_apply_state(
     spark,
     index_path: str,
     old_corpus: DataFrame,
     new_batch: DataFrame,
     dims: int,
-    m: int = 2,
-    k: int = 8,
-    iters: int = 2,
-    drift_threshold_q: int = 900_000,
-    stale_ratio_q: int = 2_000_000,
-    fp_mod: int = 10**15,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """EXECUTE the maintenance plan — the last rung of the ANN
-    lifecycle ladder (build → serve → drift-gate → staleness-decide →
-    APPLY), the way ``ivf_pq_maintenance_plan`` turned the drift gate
-    (E212) into a decision: run the three-way per-list decision, then
-    ACT on it, emitting the maintained artifact's content manifest.
-
-    Per list, by decision:
-
-    - ``passthrough``: stored code rows copy VERBATIM for old members
-      (never rescanned); only the list's NEW members encode, against
-      the STORED centroid with the frozen codebooks (the
-      ``ivf_pq_reindex_drifted`` untouched-list convention). The
-      stored centroid carries over.
-    - ``reencode``: the coarse centroid refreshes to the floored
-      member mean and EVERY member re-encodes its residual against it
-      with the FROZEN codebooks (drifted, but the codebooks still
-      fit).
-    - ``retrain``: the centroid refreshes likewise, and the list's m
-      PQ codebooks RETRAIN on the current members' residuals
-      (``_kmeans_fit_per_list`` — per-list smallest-id seeding, same
-      (k, iters) discipline as the build) before every member
-      re-encodes; the final-round assignment IS the new encoding.
-
-    Manifest: (j, decision, n_old, n_new, err_final_q, fp_codes,
-    fp_cent) — ``err_final_q`` is the exact bigint ADC error the
-    maintained encoding leaves per DRIFTED list (NULL for passthrough
-    lists, whose members were deliberately never touched: computing
-    their error would break the O(drifted membership) + O(new batch)
-    bound this ladder exists to keep); fingerprints are the
-    ``ivf_pq_reindex_drifted`` order-free md5 idiom over the FINAL
-    code and centroid rows, so a value-exact oracle checks the
-    maintained artifact content itself. Retraining exists because
-    codebooks FIT to the drifted list's own residuals beat codebooks
-    fit to yesterday's corpus — pytest-asserted against the plan's
-    frozen-codebook ``err_refreshed_q`` on a planted ×3 shift (an
-    empirical property of the shift, not a theorem: a retrain decided
-    on marginal staleness could in principle land slightly worse).
-
-    100 TB shape: decision inputs ride the plan's own bounds; the
-    apply side touches passthrough lists only through their stored
-    rows and new members, and pays retrain kmeans only on retrain
-    lists' membership — a stable corpus maintains at O(new batch)."""
+    m: int,
+    k: int,
+    iters: int,
+    drift_threshold_q: int,
+    stale_ratio_q: int,
+    id_col: str,
+    vec_col: str,
+) -> dict:
+    """Shared computation of the maintenance-apply rung — everything
+    from decision to final codes, WITHOUT the manifest epilogue:
+    ``ivf_pq_maintenance_apply`` fingerprints this state into the
+    oracle-checked manifest; ``ivf_pq_maintained_commit`` persists it
+    as the maintained artifact. One implementation, two consumers (the
+    plan/apply discipline applied to ourselves). Returns the named
+    intermediate DataFrames; see ``ivf_pq_maintenance_apply`` for the
+    per-decision semantics and the scale bounds."""
     import os
 
     from rat_strain_loader_pipeline_spark.operators.clustering import MICROS
@@ -2229,7 +2233,7 @@ def ivf_pq_maintenance_apply(
         .join(refreshed, ["jc", "dim"])
         .select(id_col, "jc", "dim", (F.col("xq") - F.col("c")).alias("rq"))
     )
-    rt_assign, _rt_cb = _kmeans_fit_per_list(
+    rt_assign, rt_cent = _kmeans_fit_per_list(
         _residual_group(rt_in, d, "rq", dim_map), k=k, iters=iters, id_col=id_col
     )
 
@@ -2244,6 +2248,91 @@ def ivf_pq_maintenance_apply(
     final_codes = pass_old.unionByName(
         enc.select(id_col, "jc", "g", "j")
     ).unionByName(rt_assign.select(id_col, "jc", "g", "j"))
+
+
+    return {
+        "plan": plan,
+        "dec": dec,
+        "cent": cent,
+        "codebook": codebook,
+        "stored": stored,
+        "dim_map": dim_map,
+        "old_lists": old_lists,
+        "members": members,
+        "cent_final": cent_final,
+        "enc": enc,
+        "rt_assign": rt_assign,
+        "rt_cent": rt_cent,
+        "final_codes": final_codes,
+    }
+
+
+def ivf_pq_maintenance_apply(
+    spark,
+    index_path: str,
+    old_corpus: DataFrame,
+    new_batch: DataFrame,
+    dims: int,
+    m: int = 2,
+    k: int = 8,
+    iters: int = 2,
+    drift_threshold_q: int = 900_000,
+    stale_ratio_q: int = 2_000_000,
+    fp_mod: int = 10**15,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """EXECUTE the maintenance plan — the last rung of the ANN
+    lifecycle ladder (build → serve → drift-gate → staleness-decide →
+    APPLY), the way ``ivf_pq_maintenance_plan`` turned the drift gate
+    (E212) into a decision: run the three-way per-list decision, then
+    ACT on it, emitting the maintained artifact's content manifest.
+
+    Per list, by decision:
+
+    - ``passthrough``: stored code rows copy VERBATIM for old members
+      (never rescanned); only the list's NEW members encode, against
+      the STORED centroid with the frozen codebooks (the
+      ``ivf_pq_reindex_drifted`` untouched-list convention). The
+      stored centroid carries over.
+    - ``reencode``: the coarse centroid refreshes to the floored
+      member mean and EVERY member re-encodes its residual against it
+      with the FROZEN codebooks (drifted, but the codebooks still
+      fit).
+    - ``retrain``: the centroid refreshes likewise, and the list's m
+      PQ codebooks RETRAIN on the current members' residuals
+      (``_kmeans_fit_per_list`` — per-list smallest-id seeding, same
+      (k, iters) discipline as the build) before every member
+      re-encodes; the final-round assignment IS the new encoding.
+
+    Manifest: (j, decision, n_old, n_new, err_final_q, fp_codes,
+    fp_cent) — ``err_final_q`` is the exact bigint ADC error the
+    maintained encoding leaves per DRIFTED list (NULL for passthrough
+    lists, whose members were deliberately never touched: computing
+    their error would break the O(drifted membership) + O(new batch)
+    bound this ladder exists to keep); fingerprints are the
+    ``ivf_pq_reindex_drifted`` order-free md5 idiom over the FINAL
+    code and centroid rows, so a value-exact oracle checks the
+    maintained artifact content itself. Retraining exists because
+    codebooks FIT to the drifted list's own residuals beat codebooks
+    fit to yesterday's corpus — pytest-asserted against the plan's
+    frozen-codebook ``err_refreshed_q`` on a planted ×3 shift (an
+    empirical property of the shift, not a theorem: a retrain decided
+    on marginal staleness could in principle land slightly worse).
+
+    100 TB shape: decision inputs ride the plan's own bounds; the
+    apply side touches passthrough lists only through their stored
+    rows and new members, and pays retrain kmeans only on retrain
+    lists' membership — a stable corpus maintains at O(new batch)."""
+    from rat_strain_loader_pipeline_spark.operators.sampling import md5_mod
+
+    st = _maintenance_apply_state(
+        spark, index_path, old_corpus, new_batch, dims, m, k, iters,
+        drift_threshold_q, stale_ratio_q, id_col, vec_col,
+    )
+    plan, dec = st["plan"], st["dec"]
+    cent_final, enc = st["cent_final"], st["enc"]
+    rt_assign, final_codes = st["rt_assign"], st["final_codes"]
 
     def fp_sum(h: str):
         return F.expr(
@@ -2309,6 +2398,144 @@ def ivf_pq_maintenance_apply(
             "fp_codes",
             "fp_cent",
         )
+    )
+
+
+
+
+def ivf_pq_maintained_commit(
+    spark,
+    index_path: str,
+    old_corpus: DataFrame,
+    new_batch: DataFrame,
+    dims: int,
+    m: int = 2,
+    k: int = 8,
+    iters: int = 2,
+    drift_threshold_q: int = 900_000,
+    stale_ratio_q: int = 2_000_000,
+    root: str | None = None,
+    tag: str = "maintained",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """COMMIT the maintenance pass: persist the maintained index as a
+    servable artifact — the step that makes the ladder a LOOP (build →
+    serve → decide → apply → commit → serve the maintained index),
+    instead of a manifest dead-end. Layout extends the residual
+    artifact with two model-state tables:
+
+    - ``coarse_centroids``: the FINAL per-list centroids (stored for
+      passthrough lists, refreshed means for drifted ones);
+    - ``codebook``: the stored GLOBAL codebooks, verbatim — still what
+      passthrough and reencode lists encode against;
+    - ``codebook_retrained``: (jc, g, j, dim, c) — ONLY the retrained
+      lists' per-list codebooks. Deliberately a separate bounded table:
+      replicating the global codebook per list would be lists×m×k×d
+      rows (billions at production shape) while this is
+      |retrain lists|×m×k×d — the model stays broadcastable;
+    - ``decisions``: (jc, decision) — serve-side routing of the LUT to
+      the right codebook table;
+    - ``codes``: postings (g = -1, j = list) + the FINAL member codes,
+      written LAST (complete ``codes/_SUCCESS`` implies the artifact).
+
+    Idempotent load-or-build under the params-slugged path. The
+    content is exactly what ``ivf_pq_maintenance_apply`` fingerprints
+    (same ``_maintenance_apply_state``), so the apply manifest IS this
+    artifact's oracle surface."""
+    import os
+
+    from rat_strain_loader_pipeline_spark.staging import _stage_root
+
+    d, rem = divmod(dims, m)
+    if rem:
+        raise ValueError(f"dims={dims} not divisible by m={m}")
+    root = root or os.environ.get("SPARK_GRAFT_INDEX_DIR") or _stage_root()
+    slug = (
+        f"ivfpqm-d{dims}-m{m}k{k}i{iters}"
+        f"-dq{drift_threshold_q}sq{stale_ratio_q}-{tag}"
+    )
+    path = os.path.join(root, slug)
+    if os.path.exists(os.path.join(path, "codes", "_SUCCESS")):
+        return path
+    st = _maintenance_apply_state(
+        spark, index_path, old_corpus, new_batch, dims, m, k, iters,
+        drift_threshold_q, stale_ratio_q, id_col, vec_col,
+    )
+    st["cent_final"].select(
+        F.col("jc").alias("j"), "dim", "c"
+    ).write.mode("overwrite").parquet(os.path.join(path, "coarse_centroids"))
+    st["codebook"].select("g", "j", "dim", "c").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "codebook"))
+    st["rt_cent"].select("jc", "g", "j", "dim", "c").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "codebook_retrained"))
+    st["plan"].select("jc", "decision").write.mode("overwrite").parquet(
+        os.path.join(path, "decisions")
+    )
+    if st["dim_map"] is not None:
+        st["dim_map"].select("dim", "g").write.mode("overwrite").parquet(
+            os.path.join(path, "dim_map")
+        )
+    postings = (
+        st["members"]
+        .select(id_col, "jc")
+        .distinct()
+        .select(F.col(id_col), F.lit(-1).alias("g"), F.col("jc").alias("j"))
+    )
+    postings.unionByName(
+        st["final_codes"].select(id_col, "g", "j")
+    ).write.mode("overwrite").parquet(os.path.join(path, "codes"))
+    return path
+
+
+def ivf_pq_maintained_serve_topk(
+    spark,
+    maintained_path: str,
+    queries: DataFrame,
+    dims: int,
+    m: int = 2,
+    nprobe: int = 3,
+    topk: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SERVE from a MAINTAINED artifact (``ivf_pq_maintained_commit``)
+    — the proof the maintenance loop closes: top-k reading ONLY the
+    maintained artifact, with retrained lists' ADC LUTs resolved
+    against their per-list ``codebook_retrained`` rows and every other
+    list against the global codebook (the ``_residual_search``
+    override — free, because residual LUTs are per (query, probed
+    list) already). No training, no corpus scan; the corpus is
+    touched exclusively through the maintained codes table. Returns
+    (q_id, c_id, rank, adist_q)."""
+    import os
+
+    d, rem = divmod(dims, m)
+    if rem:
+        raise ValueError(f"dims={dims} not divisible by m={m}")
+    coarse_cent = spark.read.parquet(
+        os.path.join(maintained_path, "coarse_centroids")
+    )
+    codebook = spark.read.parquet(os.path.join(maintained_path, "codebook"))
+    cb_retr = spark.read.parquet(
+        os.path.join(maintained_path, "codebook_retrained")
+    )
+    decisions = spark.read.parquet(os.path.join(maintained_path, "decisions"))
+    stored = spark.read.parquet(os.path.join(maintained_path, "codes"))
+    dim_map = None
+    if os.path.exists(os.path.join(maintained_path, "dim_map", "_SUCCESS")):
+        dim_map = spark.read.parquet(os.path.join(maintained_path, "dim_map"))
+    lists = stored.filter(F.col("g") == -1).select(
+        F.col(id_col), F.col("j").alias("jc")
+    )
+    codes = stored.filter(F.col("g") >= 0).select(F.col(id_col), "g", "j")
+    return _residual_search(
+        queries, lists, coarse_cent, codes, codebook, d, nprobe, topk,
+        id_col, vec_col, dim_map=dim_map,
+        cb_retrained=cb_retr,
+        retrain_lists=decisions.filter(F.col("decision") == "retrain"),
     )
 
 

@@ -1316,3 +1316,28 @@ def test_ivf_pq_opq_no_cartesian_and_broadcast_map(spark, sf_dir, queries):
         plan = _plan(queries[name](spark, sf_dir))
         assert "CartesianProduct" not in plan, name
         assert "BroadcastHashJoin" in plan, name
+
+
+def test_maintained_serve_reads_only_artifact(spark, sf_dir, queries):
+    """The maintained-serve query must read ONLY the committed
+    maintained artifact plus the query batch: exactly one embeddings
+    scan (the queries, vec_id predicate pushed), no kmeans training
+    stages, no cartesian; commit is load-or-build idempotent."""
+    import __spark_entry__ as em
+
+    p1 = em._ivf_maintained_path(spark, sf_dir)
+    p2 = em._ivf_maintained_path(spark, sf_dir)
+    assert p1 == p2
+    df = queries["ivf_pq_maintained_topk"](spark, sf_dir)
+    plan = _plan(df)
+    # zero corpus embedding scans: the query batch explode is staged
+    # (ivfpqr-qm), so the search reads only staged queries + artifact
+    assert plan.count("embeddings.parquet") == 0
+    assert "ivfpqr-qm" in plan
+    assert "CartesianProduct" not in plan
+    assert "kmeansg-assign" not in plan
+    assert "kmeanspl-assign" not in plan
+    assert p1.split("/")[-1] in plan
+    # per-list retrained codebooks resolve from the bounded separate
+    # table, not a per-list replication of the global codebook
+    assert "codebook_retrained" in plan
