@@ -9497,6 +9497,61 @@ def q_ivf_pq_maintained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_recall_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k audit of the MAINTAINED index — the number that
+    adjudicates whether the maintenance pass (passthrough / reencode /
+    retrain per the staleness plan) preserved search quality after the
+    distribution shift, completing the loop the same way ann_recall
+    gates the freshly built index: the original query batch's
+    maintained-serve top-PQADC_TOPK intersected per query with the
+    exact squared-L2 top-k over the MAINTAINED corpus (even originals
+    + the routed mixed-shift odd batch) in the same micro-unit
+    integers. The approx side serves from the committed artifact
+    (_ivf_maintained_path); the oracle rebuilds maintained content and
+    replays search + exact side value-exact."""
+    from rat_strain_loader_pipeline_spark.operators.quantize import (
+        ivf_pq_maintained_serve_topk,
+        ivf_pq_recall,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < PQADC_QUERIES)
+    corpus = emb.filter(F.col("vec_id") % 2 == 0).select(
+        "vec_id", "embedding"
+    ).unionByName(
+        emb.filter(F.col("vec_id") % 2 == 1).select(
+            "vec_id",
+            F.expr(
+                f"CASE WHEN vec_id % {MPLAN_SCALE_MOD} = 0"
+                " THEN transform(reverse(embedding), x -> CAST(x AS DOUBLE) * 3.0D)"
+                " ELSE transform(reverse(embedding), x -> CAST(x AS DOUBLE)) END"
+            ).alias("embedding"),
+        )
+    )
+    approx = ivf_pq_maintained_serve_topk(
+        spark,
+        _ivf_maintained_path(spark, sf_dir),
+        queries,
+        dims=EMB_DIMS,
+        m=PQ_M,
+        nprobe=IVFPQ_NPROBE,
+        topk=PQADC_TOPK,
+    )
+    return ivf_pq_recall(
+        queries,
+        corpus,
+        dims=EMB_DIMS,
+        coarse_k=KMEANS_K,
+        coarse_iters=IVFPQ_COARSE_ITERS,
+        m=PQ_M,
+        k=PQ_K,
+        iters=PQ_ITERS,
+        nprobe=IVFPQ_NPROBE,
+        topk=PQADC_TOPK,
+        approx=approx,
+    )
+
+
 _PQ_STREAM_PATHS: dict[str, str] = {}
 
 
@@ -10828,6 +10883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_tokenized": q_pack_tokenized,
         "unigram_train_floored": q_unigram_train_floored,
         "ivf_pq_maintained_topk": q_ivf_pq_maintained_topk,
+        "ann_recall_maintained": q_ann_recall_maintained,
     }
 
 
@@ -13871,40 +13927,18 @@ LEFT JOIN fpn USING (jc)
     return sql.replace(" AS (", " AS MATERIALIZED (")
 
 
-def _maintained_topk_oracle_sql(
-    dims: int,
-    coarse_k: int,
-    coarse_iters: int,
-    m: int,
-    k: int,
-    iters: int,
-    threshold_q: int,
-    stale_ratio_q: int,
-    scale_mod: int,
-    nprobe: int,
-    topk: int,
-    n_queries: int,
+def _maintained_search_ctes_sql(
+    dims: int, m: int, iters: int, nprobe: int, n_queries: int
 ) -> str:
-    """Maintained-serve search oracle: the maintenance front + apply
-    tail rebuild the maintained artifact content (centf = final
-    centroids, codesf = final codes, rt_c{iters-1} = retrained
-    per-list codebooks, decs = decisions), then the residual search
-    replays against it — routing on the FINAL centroids, per
-    (query, probed list) residual LUTs resolved against the per-list
-    retrained codebook for 'retrain' lists and the global codebook
-    otherwise, ADC over the final codes, (adist, id)-tiebroken top-k.
-    Mirrors operators/quantize.py ivf_pq_maintained_serve_topk over a
-    committed ivf_pq_maintained_commit artifact stage for stage."""
+    """Search CTEs over the rebuilt maintained content (consumes
+    centf/codesf/rt_c{iters-1}/decs/memb from the apply tail): query
+    explode, routing on the final centroids, per (query, probed list)
+    residual LUTs with the per-list retrained-codebook override, ADC
+    over the final codes — ending in ``sv_adc`` (q_id, c_id,
+    adist_q). Shared by the maintained-serve and maintained-recall
+    oracles."""
     d = dims // m
-    front = _mplan_front_ctes_sql(
-        dims, coarse_k, coarse_iters, m, k, iters, threshold_q, scale_mod
-    )
-    tail = _mapply_tail_ctes_sql(
-        dims, m, k, iters, stale_ratio_q, coarse_iters
-    )
-    sql = f"""WITH {front},
-{tail},
-rtset AS (SELECT jc FROM decs WHERE decision = 'retrain'),
+    return f"""rtset AS (SELECT jc FROM decs WHERE decision = 'retrain'),
 sv_qx AS (
   SELECT vec_id AS q_id, dd - 1 AS dim,
          CAST(floor(CAST(e AS DOUBLE) * 1000000) AS BIGINT) AS xq
@@ -13952,7 +13986,43 @@ sv_adc AS (
   JOIN sv_lut l
     ON l.q_id = cd.q_id AND l.jc = cd.jc AND l.g = k2.g AND l.j = k2.j
   GROUP BY 1, 2
-)
+)"""
+
+
+def _maintained_topk_oracle_sql(
+    dims: int,
+    coarse_k: int,
+    coarse_iters: int,
+    m: int,
+    k: int,
+    iters: int,
+    threshold_q: int,
+    stale_ratio_q: int,
+    scale_mod: int,
+    nprobe: int,
+    topk: int,
+    n_queries: int,
+) -> str:
+    """Maintained-serve search oracle: the maintenance front + apply
+    tail rebuild the maintained artifact content (centf = final
+    centroids, codesf = final codes, retrained per-list codebooks,
+    decs = decisions), then the residual search replays against it —
+    routing on the FINAL centroids, per (query, probed list) residual
+    LUTs resolved against the per-list retrained codebook for
+    'retrain' lists and the global codebook otherwise, ADC over the
+    final codes, (adist, id)-tiebroken top-k. Mirrors
+    operators/quantize.py ivf_pq_maintained_serve_topk over a
+    committed ivf_pq_maintained_commit artifact stage for stage."""
+    front = _mplan_front_ctes_sql(
+        dims, coarse_k, coarse_iters, m, k, iters, threshold_q, scale_mod
+    )
+    tail = _mapply_tail_ctes_sql(
+        dims, m, k, iters, stale_ratio_q, coarse_iters
+    )
+    search = _maintained_search_ctes_sql(dims, m, iters, nprobe, n_queries)
+    sql = f"""WITH {front},
+{tail},
+{search}
 SELECT CAST(q_id AS BIGINT) AS q_id,
        CAST(c_id AS BIGINT) AS c_id,
        CAST(rank AS BIGINT) AS rank,
@@ -13963,6 +14033,64 @@ FROM (
                             ORDER BY adist_q, c_id) AS rank
   FROM sv_adc)
 WHERE rank <= {topk}
+"""
+    return sql.replace(" AS (", " AS MATERIALIZED (")
+
+
+def _maintained_recall_oracle_sql(
+    dims: int,
+    coarse_k: int,
+    coarse_iters: int,
+    m: int,
+    k: int,
+    iters: int,
+    threshold_q: int,
+    stale_ratio_q: int,
+    scale_mod: int,
+    nprobe: int,
+    topk: int,
+    n_queries: int,
+) -> str:
+    """Maintained-index recall audit oracle: the maintained search
+    replay plus the exact squared-L2 top-k over the MAINTAINED corpus
+    (memb — the even originals plus the routed mixed-shift batch,
+    already exploded to micro units), intersected per query. Mirrors
+    ivf_pq_recall(queries, maintained_corpus, approx=maintained_serve)
+    stage for stage."""
+    front = _mplan_front_ctes_sql(
+        dims, coarse_k, coarse_iters, m, k, iters, threshold_q, scale_mod
+    )
+    tail = _mapply_tail_ctes_sql(
+        dims, m, k, iters, stale_ratio_q, coarse_iters
+    )
+    search = _maintained_search_ctes_sql(dims, m, iters, nprobe, n_queries)
+    sql = f"""WITH {front},
+{tail},
+{search},
+sv_rank AS (
+  SELECT q_id, c_id,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY adist_q, c_id) AS rank
+  FROM sv_adc
+),
+exd AS (
+  SELECT q.q_id, mb.vec_id AS c_id,
+         sum((q.xq - mb.xq) * (q.xq - mb.xq)) AS dd
+  FROM sv_qx q JOIN memb mb ON q.dim = mb.dim
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT q_id, c_id FROM exd
+  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY dd, c_id)
+          <= {topk}
+)
+SELECT CAST(e.q_id AS BIGINT) AS q_id,
+       CAST(sum(CASE WHEN r.c_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hits
+FROM exact e
+LEFT JOIN (SELECT q_id, c_id FROM sv_rank WHERE rank <= {topk}) r
+  ON e.q_id = r.q_id AND e.c_id = r.c_id
+GROUP BY 1
 """
     return sql.replace(" AS (", " AS MATERIALIZED (")
 
@@ -20761,6 +20889,20 @@ FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
             UNI_ROUNDS, UNI_MAXLEN, UNI_VOCAB_MULTI, UNI_MINCOUNT
         ),
         "ivf_pq_maintained_topk": _maintained_topk_oracle_sql(
+            EMB_DIMS,
+            KMEANS_K,
+            IVFPQ_COARSE_ITERS,
+            PQ_M,
+            PQ_K,
+            PQ_ITERS,
+            REINDEX_DRIFT_Q,
+            MPLAN_STALE_RATIO_Q,
+            MPLAN_SCALE_MOD,
+            IVFPQ_NPROBE,
+            PQADC_TOPK,
+            PQADC_QUERIES,
+        ),
+        "ann_recall_maintained": _maintained_recall_oracle_sql(
             EMB_DIMS,
             KMEANS_K,
             IVFPQ_COARSE_ITERS,

@@ -81,6 +81,7 @@ def main() -> None:
         "_ivf_residual_index_path",
         "_ivf_residual_opq_index_path",
         "_ivf_residual_even_index_path",
+        "_ivf_maintained_path",
     ):
         try:
             getattr(entry_mod, warm)(spark, sf_dir)
