@@ -2267,69 +2267,16 @@ def _maintenance_apply_state(
     }
 
 
-def ivf_pq_maintenance_apply(
-    spark,
-    index_path: str,
-    old_corpus: DataFrame,
-    new_batch: DataFrame,
-    dims: int,
-    m: int = 2,
-    k: int = 8,
-    iters: int = 2,
-    drift_threshold_q: int = 900_000,
-    stale_ratio_q: int = 2_000_000,
-    fp_mod: int = 10**15,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
+def _maintenance_manifest(
+    st: dict, fp_mod: int, id_col: str = "vec_id"
 ) -> DataFrame:
-    """EXECUTE the maintenance plan — the last rung of the ANN
-    lifecycle ladder (build → serve → drift-gate → staleness-decide →
-    APPLY), the way ``ivf_pq_maintenance_plan`` turned the drift gate
-    (E212) into a decision: run the three-way per-list decision, then
-    ACT on it, emitting the maintained artifact's content manifest.
-
-    Per list, by decision:
-
-    - ``passthrough``: stored code rows copy VERBATIM for old members
-      (never rescanned); only the list's NEW members encode, against
-      the STORED centroid with the frozen codebooks (the
-      ``ivf_pq_reindex_drifted`` untouched-list convention). The
-      stored centroid carries over.
-    - ``reencode``: the coarse centroid refreshes to the floored
-      member mean and EVERY member re-encodes its residual against it
-      with the FROZEN codebooks (drifted, but the codebooks still
-      fit).
-    - ``retrain``: the centroid refreshes likewise, and the list's m
-      PQ codebooks RETRAIN on the current members' residuals
-      (``_kmeans_fit_per_list`` — per-list smallest-id seeding, same
-      (k, iters) discipline as the build) before every member
-      re-encodes; the final-round assignment IS the new encoding.
-
-    Manifest: (j, decision, n_old, n_new, err_final_q, fp_codes,
-    fp_cent) — ``err_final_q`` is the exact bigint ADC error the
-    maintained encoding leaves per DRIFTED list (NULL for passthrough
-    lists, whose members were deliberately never touched: computing
-    their error would break the O(drifted membership) + O(new batch)
-    bound this ladder exists to keep); fingerprints are the
-    ``ivf_pq_reindex_drifted`` order-free md5 idiom over the FINAL
-    code and centroid rows, so a value-exact oracle checks the
-    maintained artifact content itself. Retraining exists because
-    codebooks FIT to the drifted list's own residuals beat codebooks
-    fit to yesterday's corpus — pytest-asserted against the plan's
-    frozen-codebook ``err_refreshed_q`` on a planted ×3 shift (an
-    empirical property of the shift, not a theorem: a retrain decided
-    on marginal staleness could in principle land slightly worse).
-
-    100 TB shape: decision inputs ride the plan's own bounds; the
-    apply side touches passthrough lists only through their stored
-    rows and new members, and pays retrain kmeans only on retrain
-    lists' membership — a stable corpus maintains at O(new batch)."""
+    """Manifest epilogue over a ``_maintenance_apply_state``: per-list
+    decision, counts, final ADC error (NULL for passthrough), and the
+    order-free md5 fingerprints of the FINAL code and centroid rows —
+    shared by the hermetic ``ivf_pq_maintenance_apply`` and the
+    commit-time manifest persisted into the maintained artifact."""
     from rat_strain_loader_pipeline_spark.operators.sampling import md5_mod
 
-    st = _maintenance_apply_state(
-        spark, index_path, old_corpus, new_batch, dims, m, k, iters,
-        drift_threshold_q, stale_ratio_q, id_col, vec_col,
-    )
     plan, dec = st["plan"], st["dec"]
     cent_final, enc = st["cent_final"], st["enc"]
     rt_assign, final_codes = st["rt_assign"], st["final_codes"]
@@ -2403,6 +2350,72 @@ def ivf_pq_maintenance_apply(
 
 
 
+
+
+def ivf_pq_maintenance_apply(
+    spark,
+    index_path: str,
+    old_corpus: DataFrame,
+    new_batch: DataFrame,
+    dims: int,
+    m: int = 2,
+    k: int = 8,
+    iters: int = 2,
+    drift_threshold_q: int = 900_000,
+    stale_ratio_q: int = 2_000_000,
+    fp_mod: int = 10**15,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """EXECUTE the maintenance plan — the last rung of the ANN
+    lifecycle ladder (build → serve → drift-gate → staleness-decide →
+    APPLY), the way ``ivf_pq_maintenance_plan`` turned the drift gate
+    (E212) into a decision: run the three-way per-list decision, then
+    ACT on it, emitting the maintained artifact's content manifest.
+
+    Per list, by decision:
+
+    - ``passthrough``: stored code rows copy VERBATIM for old members
+      (never rescanned); only the list's NEW members encode, against
+      the STORED centroid with the frozen codebooks (the
+      ``ivf_pq_reindex_drifted`` untouched-list convention). The
+      stored centroid carries over.
+    - ``reencode``: the coarse centroid refreshes to the floored
+      member mean and EVERY member re-encodes its residual against it
+      with the FROZEN codebooks (drifted, but the codebooks still
+      fit).
+    - ``retrain``: the centroid refreshes likewise, and the list's m
+      PQ codebooks RETRAIN on the current members' residuals
+      (``_kmeans_fit_per_list`` — per-list smallest-id seeding, same
+      (k, iters) discipline as the build) before every member
+      re-encodes; the final-round assignment IS the new encoding.
+
+    Manifest: (j, decision, n_old, n_new, err_final_q, fp_codes,
+    fp_cent) — ``err_final_q`` is the exact bigint ADC error the
+    maintained encoding leaves per DRIFTED list (NULL for passthrough
+    lists, whose members were deliberately never touched: computing
+    their error would break the O(drifted membership) + O(new batch)
+    bound this ladder exists to keep); fingerprints are the
+    ``ivf_pq_reindex_drifted`` order-free md5 idiom over the FINAL
+    code and centroid rows, so a value-exact oracle checks the
+    maintained artifact content itself. Retraining exists because
+    codebooks FIT to the drifted list's own residuals beat codebooks
+    fit to yesterday's corpus — pytest-asserted against the plan's
+    frozen-codebook ``err_refreshed_q`` on a planted ×3 shift (an
+    empirical property of the shift, not a theorem: a retrain decided
+    on marginal staleness could in principle land slightly worse).
+
+    100 TB shape: decision inputs ride the plan's own bounds; the
+    apply side touches passthrough lists only through their stored
+    rows and new members, and pays retrain kmeans only on retrain
+    lists' membership — a stable corpus maintains at O(new batch)."""
+    st = _maintenance_apply_state(
+        spark, index_path, old_corpus, new_batch, dims, m, k, iters,
+        drift_threshold_q, stale_ratio_q, id_col, vec_col,
+    )
+    return _maintenance_manifest(st, fp_mod, id_col)
+
+
 def ivf_pq_maintained_commit(
     spark,
     index_path: str,
@@ -2414,6 +2427,7 @@ def ivf_pq_maintained_commit(
     iters: int = 2,
     drift_threshold_q: int = 900_000,
     stale_ratio_q: int = 2_000_000,
+    fp_mod: int = 10**15,
     root: str | None = None,
     tag: str = "maintained",
     id_col: str = "vec_id",
@@ -2453,7 +2467,7 @@ def ivf_pq_maintained_commit(
     root = root or os.environ.get("SPARK_GRAFT_INDEX_DIR") or _stage_root()
     slug = (
         f"ivfpqm-d{dims}-m{m}k{k}i{iters}"
-        f"-dq{drift_threshold_q}sq{stale_ratio_q}-{tag}"
+        f"-dq{drift_threshold_q}sq{stale_ratio_q}fp{fp_mod}-{tag}"
     )
     path = os.path.join(root, slug)
     if os.path.exists(os.path.join(path, "codes", "_SUCCESS")):
@@ -2474,6 +2488,13 @@ def ivf_pq_maintained_commit(
     st["plan"].select("jc", "decision").write.mode("overwrite").parquet(
         os.path.join(path, "decisions")
     )
+    # the oracle-checked apply manifest rides inside the artifact, so
+    # the apply QUERY serves a read instead of recomputing the whole
+    # maintenance pass per call (the lifecycle-placement rule: the
+    # maintenance job runs once; its manifest is what gets consumed)
+    _maintenance_manifest(st, fp_mod, id_col).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "manifest"))
     if st["dim_map"] is not None:
         st["dim_map"].select("dim", "g").write.mode("overwrite").parquet(
             os.path.join(path, "dim_map")

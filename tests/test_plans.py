@@ -1341,3 +1341,49 @@ def test_maintained_serve_reads_only_artifact(spark, sf_dir, queries):
     # per-list retrained codebooks resolve from the bounded separate
     # table, not a per-list replication of the global codebook
     assert "codebook_retrained" in plan
+
+
+def test_maintenance_apply_serves_manifest_and_matches_hermetic(
+    spark, sf_dir, queries
+):
+    """The apply query serves the manifest persisted inside the
+    maintained artifact; it must be bit-identical to the hermetic
+    ivf_pq_maintenance_apply at the same inputs, and its plan must
+    read the artifact (no routing/kmeans stages)."""
+    import __spark_entry__ as em
+    from rat_strain_loader_pipeline_spark.operators.quantize import (
+        ivf_pq_maintenance_apply,
+    )
+    from rat_strain_loader_pipeline_spark.sources.tables import read_table
+
+    df = queries["ivf_pq_maintenance_apply"](spark, sf_dir)
+    plan = _plan(df)
+    assert "embeddings.parquet" not in plan
+    assert "kmeanspl-assign" not in plan
+    assert em._ivf_maintained_path(spark, sf_dir).split("/")[-1] in plan
+    served = {tuple(r) for r in df.collect()}
+    emb = read_table(spark, sf_dir, "embeddings")
+    hermetic = {
+        tuple(r)
+        for r in ivf_pq_maintenance_apply(
+            spark,
+            em._ivf_residual_even_index_path(spark, sf_dir),
+            emb.filter(F.col("vec_id") % 2 == 0),
+            emb.filter(F.col("vec_id") % 2 == 1).select(
+                "vec_id",
+                F.expr(
+                    f"CASE WHEN vec_id % {em.MPLAN_SCALE_MOD} = 0"
+                    " THEN transform(reverse(embedding), x -> x * 3.0D)"
+                    " ELSE reverse(embedding) END"
+                ).alias("embedding"),
+            ),
+            dims=em.EMB_DIMS,
+            m=em.PQ_M,
+            k=em.PQ_K,
+            iters=em.PQ_ITERS,
+            drift_threshold_q=em.REINDEX_DRIFT_Q,
+            stale_ratio_q=em.MPLAN_STALE_RATIO_Q,
+            fp_mod=em.IVFPQ_FP_MOD,
+        ).collect()
+    }
+    assert served == hermetic
