@@ -1378,9 +1378,14 @@ def q_embedding_stream_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         mid = emb.agg(F.expr("percentile_approx(vec_id, 0.5)")).collect()[0][0]
         emb.filter(F.col("vec_id") <= mid).coalesce(1).write.parquet(_os.path.join(src_dir, "p0"))
         emb.filter(F.col("vec_id") > mid).coalesce(1).write.parquet(_os.path.join(src_dir, "p1"))
-        postings = ivf_ingest_available_now(
-            spark, src_dir + "/p*", cent, work, max_files_per_trigger=1
+        from rat_strain_loader_pipeline_spark.streaming import (
+            stream_partition_scope,
         )
+
+        with stream_partition_scope(spark):
+            postings = ivf_ingest_available_now(
+                spark, src_dir + "/p*", cent, work, max_files_per_trigger=1
+            )
         postings, p_path = stage_to_parquet_path(postings, "ivfstream-postings")
         # centroids are a deterministic driver-side numpy model — cache
         # the array itself beside the staged posting store
@@ -1567,10 +1572,15 @@ def q_cf2_stream_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = tempfile.mkdtemp(prefix="cf2-stream-", dir=_stage_root())
     cf2_dir = f"{work}/cf2"
     write_cf2(cf2.repartition(2), cf2_dir, compression="none")
-    out = ingest_cf2_available_now(
-        spark, cf2_dir, work, sample_id=7, gender="M", map_key=360,
-        genes=genes, genic_bin_size=256, max_files_per_trigger=2,
+    from rat_strain_loader_pipeline_spark.streaming import (
+        stream_partition_scope,
     )
+
+    with stream_partition_scope(spark):
+        out = ingest_cf2_available_now(
+            spark, cf2_dir, work, sample_id=7, gender="M", map_key=360,
+            genes=genes, genic_bin_size=256, max_files_per_trigger=2,
+        )
     result, path = stage_to_parquet_path(
         out.select(
             "chromosome",
@@ -1628,13 +1638,18 @@ def q_dedup_stream_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs.filter(F.col("doc_id") > mid).coalesce(1).write.parquet(
         _os.path.join(src_dir, "p1")
     )
-    return dedup_gate_available_now(
-        spark,
-        src_dir + "/p*",
-        work,
-        jaccard_threshold=0.5,
-        max_files_per_trigger=1,
+    from rat_strain_loader_pipeline_spark.streaming import (
+        stream_partition_scope,
     )
+
+    with stream_partition_scope(spark):
+        return dedup_gate_available_now(
+            spark,
+            src_dir + "/p*",
+            work,
+            jaccard_threshold=0.5,
+            max_files_per_trigger=1,
+        )
 
 
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3427,14 +3442,19 @@ def q_events_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = stream_events(spark, src_dir)
     agg = hourly_event_counts(ev)
     name = f"stream_hourly_{_uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
+    from rat_strain_loader_pipeline_spark.streaming import (
+        stream_partition_scope,
     )
-    q.awaitTermination()
+
+    with stream_partition_scope(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -3461,17 +3481,22 @@ def q_events_stream_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = _os.path.join(_stage_root(), f"asof-stream-{_uuid.uuid4().hex[:8]}")
     src_dir = _os.path.join(work, "src")
     views.repartition(4).write.parquet(src_dir)
-    return asof_enrich_available_now(
-        spark,
-        src_dir,
-        clicks,
-        on=["user_id"],
-        ts_col="ts",
-        payload={"event_id": "click_event_id", "ts": "click_ts", "value": "click_value"},
-        tiebreak="event_id",
-        work_dir=work,
-        max_files_per_trigger=2,
+    from rat_strain_loader_pipeline_spark.streaming import (
+        stream_partition_scope,
     )
+
+    with stream_partition_scope(spark):
+        return asof_enrich_available_now(
+            spark,
+            src_dir,
+            clicks,
+            on=["user_id"],
+            ts_col="ts",
+            payload={"event_id": "click_event_id", "ts": "click_ts", "value": "click_value"},
+            tiebreak="event_id",
+            work_dir=work,
+            max_files_per_trigger=2,
+        )
 
 
 def q_events_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3510,14 +3535,19 @@ def q_events_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).parquet(src_dir)
     out = sessionize_stateful(stream, gap_seconds=1800, watermark="2 hours")
     name = f"stream_sessions_{_uuid.uuid4().hex[:8]}"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .option("checkpointLocation", _os.path.join(_stage_root(), f"ckpt-{name}"))
-        .trigger(availableNow=True)
-        .start()
+    from rat_strain_loader_pipeline_spark.streaming import (
+        stream_partition_scope,
     )
-    q.awaitTermination()
+
+    with stream_partition_scope(spark):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", _os.path.join(_stage_root(), f"ckpt-{name}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name).filter(F.col("session_start") < F.lit(sentinel_ts))
 
 
@@ -3562,12 +3592,13 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         clicks, purchases, key="user_id", max_lag_minutes=STREAMJOIN_LAG_MIN
     )
     name = f"ss_join_{_uuid.uuid4().hex[:8]}"
-    # state-store instances = 2 sides x shuffle partitions; size them to
-    # the batch (a 100 TB/day deployment sizes this to its cluster —
-    # per-partition state overhead is the knob, same as here)
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try:
+    # state-store instances = 2 sides x shuffle partitions; sized by the
+    # shared scale-adaptive rule (streaming/__init__.py)
+    from rat_strain_loader_pipeline_spark.streaming import (
+        stream_partition_scope,
+    )
+
+    with stream_partition_scope(spark):
         q = (
             out.writeStream.format("memory")
             .queryName(name)
@@ -3578,8 +3609,6 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     return spark.table(name)
 
 
@@ -4910,14 +4939,19 @@ def q_rate_limit_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).parquet(src_dir)
     out = rate_limit_stateful(stream, per_hour=RATE_PER_HOUR)
     name = f"rate_limit_{_uuid.uuid4().hex[:8]}"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .option("checkpointLocation", _os.path.join(_stage_root(), f"ckpt-{name}"))
-        .trigger(availableNow=True)
-        .start()
+    from rat_strain_loader_pipeline_spark.streaming import (
+        stream_partition_scope,
     )
-    q.awaitTermination()
+
+    with stream_partition_scope(spark):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", _os.path.join(_stage_root(), f"ckpt-{name}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -5491,15 +5525,20 @@ def q_cms_stream_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = _uuid.uuid4().hex[:8]
     src_dir = _os.path.join(_stage_root(), f"cms-src-{tag}")
     ev.repartition(6).write.parquet(src_dir)
-    grid = maintain_cms_available_now(
-        spark,
-        src_dir,
-        "event_id long, user_id long",
-        _os.path.join(_stage_root(), f"cms-work-{tag}"),
-        "user_id",
-        depth=CMS_DEPTH,
-        width=CMS_WIDTH,
+    from rat_strain_loader_pipeline_spark.streaming import (
+        stream_partition_scope,
     )
+
+    with stream_partition_scope(spark):
+        grid = maintain_cms_available_now(
+            spark,
+            src_dir,
+            "event_id long, user_id long",
+            _os.path.join(_stage_root(), f"cms-work-{tag}"),
+            "user_id",
+            depth=CMS_DEPTH,
+            width=CMS_WIDTH,
+        )
     return count_min_heavy_hitters(
         ev, "user_id", depth=CMS_DEPTH, width=CMS_WIDTH, topn=CMS_TOPN, sketch=grid
     )
@@ -6484,14 +6523,19 @@ def q_media_phash_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     media.filter(F.col("media_id") > mid).coalesce(1).write.parquet(
         _os.path.join(src_dir, "p1")
     )
-    return phash_gate_available_now(
-        spark,
-        src_dir + "/p*",
-        work,
-        sig_fn=image_dhash_sigs,
-        n_bits=PHASH_BITS,
-        max_hamming=4,
+    from rat_strain_loader_pipeline_spark.streaming import (
+        stream_partition_scope,
     )
+
+    with stream_partition_scope(spark):
+        return phash_gate_available_now(
+            spark,
+            src_dir + "/p*",
+            work,
+            sig_fn=image_dhash_sigs,
+            n_bits=PHASH_BITS,
+            max_hamming=4,
+        )
 
 
 def q_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7446,16 +7490,21 @@ def q_quantile_stream_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = _uuid.uuid4().hex[:8]
     src_dir = _os.path.join(_stage_root(), f"hq-src-{tag}")
     ev.repartition(6).write.parquet(src_dir)
-    grid = maintain_hist_available_now(
-        spark,
-        src_dir,
-        "event_id long, value double",
-        _os.path.join(_stage_root(), f"hq-work-{tag}"),
-        HQ_VALUE_EXPR,
-        n_bins=HQ_BINS,
-        lo_q=HQ_LO,
-        hi_q=HQ_HI,
+    from rat_strain_loader_pipeline_spark.streaming import (
+        stream_partition_scope,
     )
+
+    with stream_partition_scope(spark):
+        grid = maintain_hist_available_now(
+            spark,
+            src_dir,
+            "event_id long, value double",
+            _os.path.join(_stage_root(), f"hq-work-{tag}"),
+            HQ_VALUE_EXPR,
+            n_bins=HQ_BINS,
+            lo_q=HQ_LO,
+            hi_q=HQ_HI,
+        )
     return histogram_quantiles(
         grid, list(HQ_QS_MICROS), n_bins=HQ_BINS, lo_q=HQ_LO, hi_q=HQ_HI
     )
@@ -8724,10 +8773,12 @@ def q_events_stream_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = hourly_distinct_users(ev)
     name = f"stream_distinct_{_uuid.uuid4().hex[:8]}"
     # dedup + windowed-agg state stores scale with shuffle partitions;
-    # size them to the (hour-window) key cardinality, not the CPU count
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try:
+    # sized by the shared scale-adaptive rule (streaming/__init__.py)
+    from rat_strain_loader_pipeline_spark.streaming import (
+        stream_partition_scope,
+    )
+
+    with stream_partition_scope(spark):
         q = (
             agg.writeStream.format("memory")
             .queryName(name)
@@ -8736,8 +8787,6 @@ def q_events_stream_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     return spark.table(name)
 
 
@@ -9593,15 +9642,20 @@ def q_ivf_pq_stream_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") % 2 == 1).repartition(2).write.parquet(
             src_dir
         )
-        merged = ivf_pq_encode_ingest_available_now(
-            spark,
-            src_dir,
-            _ivf_residual_even_index_path(spark, sf_dir),
-            _os.path.join(_stage_root(), f"pqstream-work-{tag}"),
-            dims=EMB_DIMS,
-            m=PQ_M,
-            max_files_per_trigger=1,
+        from rat_strain_loader_pipeline_spark.streaming import (
+            stream_partition_scope,
         )
+
+        with stream_partition_scope(spark):
+            merged = ivf_pq_encode_ingest_available_now(
+                spark,
+                src_dir,
+                _ivf_residual_even_index_path(spark, sf_dir),
+                _os.path.join(_stage_root(), f"pqstream-work-{tag}"),
+                dims=EMB_DIMS,
+                m=PQ_M,
+                max_files_per_trigger=1,
+            )
         files = merged.inputFiles()
         if files:
             codes_path = files[0].rsplit("/", 1)[0]
@@ -9721,16 +9775,21 @@ def q_weighted_sample_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = _uuid.uuid4().hex[:8]
     src_dir = _os.path.join(_stage_root(), f"ws-src-{tag}")
     docs.repartition(3).write.parquet(src_dir)
-    return maintain_weighted_sample_available_now(
-        spark,
-        src_dir,
-        "doc_id long, n_chars long",
-        _os.path.join(_stage_root(), f"ws-work-{tag}"),
-        weight_col="n_chars",
-        n=25,
-        id_col="doc_id",
-        salt="v1",
+    from rat_strain_loader_pipeline_spark.streaming import (
+        stream_partition_scope,
     )
+
+    with stream_partition_scope(spark):
+        return maintain_weighted_sample_available_now(
+            spark,
+            src_dir,
+            "doc_id long, n_chars long",
+            _os.path.join(_stage_root(), f"ws-work-{tag}"),
+            weight_col="n_chars",
+            n=25,
+            id_col="doc_id",
+            salt="v1",
+        )
 
 
 _CC_STORE_PATHS: dict[str, tuple[str, str]] = {}
@@ -9948,13 +10007,13 @@ def q_hll_stream_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = _uuid.uuid4().hex[:8]
     src_dir = _os.path.join(_stage_root(), f"hll-src-{tag}")
     keyed.repartition(3).write.parquet(src_dir)
-    # per-batch register jobs reduce to <= 2^HLL_P keys — size the
-    # shuffle to the register cardinality, not the CPU count (the
-    # events_stream_distinct lesson; 6 micro-batches of 32-task
-    # shuffles are pure scheduling overhead)
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try:
+    # per-batch register jobs reduce to <= 2^HLL_P keys — sized by the
+    # shared scale-adaptive rule (streaming/__init__.py)
+    from rat_strain_loader_pipeline_spark.streaming import (
+        stream_partition_scope,
+    )
+
+    with stream_partition_scope(spark):
         regs = maintain_hll_available_now(
             spark,
             src_dir,
@@ -9963,8 +10022,6 @@ def q_hll_stream_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             "k",
             p=HLL_P,
         )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     est = hll_estimate(regs, p=HLL_P)
     n_exact = (
         spark.read.parquet(src_dir)
@@ -10261,13 +10318,18 @@ def q_cc_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         tag = _uuid.uuid4().hex[:8]
         src_dir = _os.path.join(_stage_root(), f"ccstream-src-{tag}")
         docs.select("doc_id", "text").repartition(2).write.parquet(src_dir)
-        merged = cc_ingest_available_now(
-            spark,
-            src_dir,
-            _os.path.join(_stage_root(), f"ccstream-work-{tag}"),
-            jaccard_threshold=0.5,
-            max_files_per_trigger=1,
+        from rat_strain_loader_pipeline_spark.streaming import (
+            stream_partition_scope,
         )
+
+        with stream_partition_scope(spark):
+            merged = cc_ingest_available_now(
+                spark,
+                src_dir,
+                _os.path.join(_stage_root(), f"ccstream-work-{tag}"),
+                jaccard_threshold=0.5,
+                max_files_per_trigger=1,
+            )
         files = merged.inputFiles()
         if files:
             comp_path = files[0].rsplit("/", 1)[0]
@@ -10544,17 +10606,22 @@ def q_group_reservoir_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = _uuid.uuid4().hex[:8]
     src_dir = _os.path.join(_stage_root(), f"gres-src-{tag}")
     docs.repartition(3).write.parquet(src_dir)
-    return maintain_group_reservoir_available_now(
-        spark,
-        src_dir,
-        "source string, doc_id long, n_chars long",
-        _os.path.join(_stage_root(), f"gres-work-{tag}"),
-        group_col="source",
-        weight_col="n_chars",
-        n_per_group=5,
-        id_col="doc_id",
-        salt="v1",
+    from rat_strain_loader_pipeline_spark.streaming import (
+        stream_partition_scope,
     )
+
+    with stream_partition_scope(spark):
+        return maintain_group_reservoir_available_now(
+            spark,
+            src_dir,
+            "source string, doc_id long, n_chars long",
+            _os.path.join(_stage_root(), f"gres-work-{tag}"),
+            group_col="source",
+            weight_col="n_chars",
+            n_per_group=5,
+            id_col="doc_id",
+            salt="v1",
+        )
 
 
 def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:

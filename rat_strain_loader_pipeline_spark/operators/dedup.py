@@ -1058,7 +1058,12 @@ def duplicated_span_removal(
     reassembly entirely (n_removed = per-doc covered-position count)
     and returns (id_col, n_tokens, n_removed) — the cheap path for
     consumers that budget tokens without needing the excised text
-    (corpus_curation's span stage).
+    (corpus_curation's span stage). Without a ``min_run`` floor the
+    counts path never materializes covered positions at all: the
+    covered count is the per-doc union length of the [pos, pos+k-1]
+    intervals, computed with one running-max window over duplicate
+    occurrences — same value, no k-wide explode, no corpus-sized
+    DISTINCT shuffle.
 
     ``scope`` picks the duplication criterion: "cross_doc" (default)
     counts DISTINCT documents per span — within-doc repetition is left
@@ -1081,16 +1086,21 @@ def duplicated_span_removal(
 
     toks = F.filter(F.split(F.col(text_col), _WS_CLASS), lambda t: t != "")
     base = docs.select(F.col(id_col), toks.alias("ts"))
+    # span identity is the full md5 of the joined k tokens (see above);
+    # it is carried as 16-byte binary (unhex) rather than the 32-char
+    # hex string — identical identity, half the staged/shuffled bytes
     gram_structs = F.when(
         F.size("ts") >= k,
         F.transform(
             F.sequence(F.lit(1), F.size("ts") - F.lit(k - 1)),
             lambda i: F.struct(
                 (i - 1).cast("long").alias("pos"),
-                F.md5(F.concat_ws("_", F.slice(F.col("ts"), i, k))).alias("gh"),
+                F.unhex(
+                    F.md5(F.concat_ws("_", F.slice(F.col("ts"), i, k)))
+                ).alias("gh"),
             ),
         ),
-    ).otherwise(F.array().cast("array<struct<pos:long,gh:string>>"))
+    ).otherwise(F.array().cast("array<struct<pos:long,gh:binary>>"))
     occ = stage_to_parquet(
         base.select(F.col(id_col), F.explode(gram_structs).alias("o")).select(
             id_col, F.col("o.pos").alias("pos"), F.col("o.gh").alias("gh")
@@ -1110,6 +1120,37 @@ def duplicated_span_removal(
     dup_occ = occ.join(stats.filter(F.col("dfd") >= min_df), "gh").filter(
         F.col(id_col) * pos_enc + F.col("pos") != F.col("keeper_key")
     )
+    counts = base.select(F.col(id_col), F.size("ts").cast("long").alias("n_tokens"))
+    if counts_only and (min_run is None or min_run <= k):
+        # n_removed = |union of the [pos, pos+k-1] intervals| per doc.
+        # Computing the union length directly with one per-doc window
+        # (running max of interval end over preceding occurrences)
+        # replaces the k-wide coverage explode + corpus-sized DISTINCT
+        # shuffle with a shuffle of just the duplicate occurrences:
+        # contribution of each interval = end - max(prev_max_end,
+        # pos - 1), clamped at 0 — exactly the covered-position count.
+        w = (
+            Window.partitionBy(id_col)
+            .orderBy("pos")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        prev_end = F.max(F.col("pos") + F.lit(k - 1)).over(w)
+        contrib = F.greatest(
+            F.lit(0).cast("long"),
+            (F.col("pos") + F.lit(k - 1))
+            - F.greatest(F.coalesce(prev_end, F.lit(-1)), F.col("pos") - 1),
+        )
+        rm = (
+            dup_occ.select(F.col(id_col), "pos")
+            .withColumn("contrib", contrib)
+            .groupBy(id_col)
+            .agg(F.sum("contrib").alias("n_rm"))
+        )
+        return counts.join(rm, id_col, "left").select(
+            id_col,
+            "n_tokens",
+            F.coalesce(F.col("n_rm"), F.lit(0)).cast("long").alias("n_removed"),
+        )
     covered = dup_occ.select(
         id_col,
         F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))).alias("cpos"),
@@ -1128,7 +1169,6 @@ def duplicated_span_removal(
         covered = isl.join(
             runs.filter(F.col("run_len") >= min_run), [id_col, "isl_id"]
         ).select(id_col, "cpos")
-    counts = base.select(F.col(id_col), F.size("ts").cast("long").alias("n_tokens"))
     if counts_only:
         rm = covered.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_rm"))
         return counts.join(rm, id_col, "left").select(

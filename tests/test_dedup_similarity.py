@@ -1024,3 +1024,49 @@ def test_cluster_margin_separable_labels(spark):
     assert got[0] == (2, 0)
     # the planted vector must be flagged as misassigned within label 1
     assert got[1][0] == 3 and got[1][1] == 1
+
+
+def test_duplicated_span_removal_counts_only_interval_union(spark):
+    """The counts_only fast path (per-doc interval-union window, no
+    coverage explode/DISTINCT) must report exactly the full path's
+    n_removed — including overlapping and adjacent duplicated spans."""
+    from rat_strain_loader_pipeline_spark.operators.dedup import (
+        duplicated_span_removal,
+    )
+
+    shared = "s1 s2 s3 s4 s5 s6 s7 s8 s9 s10"
+    other = "o1 o2 o3 o4 o5 o6 o7 o8"
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro one {shared} outro {other} end"),
+            (2, f"prefix two {shared} suffix two"),
+            (3, f"{other} alone plus tail tokens here"),
+            (4, "tiny doc"),
+            (5, f"{shared} {other}"),
+        ],
+        "doc_id long, text string",
+    )
+    full = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"])
+        for r in duplicated_span_removal(docs, k=8, min_df=2).collect()
+    }
+    fast = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"])
+        for r in duplicated_span_removal(
+            docs, k=8, min_df=2, counts_only=True
+        ).collect()
+    }
+    assert fast == full
+    fast_all = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"])
+        for r in duplicated_span_removal(
+            docs, k=8, min_df=2, counts_only=True, scope="all"
+        ).collect()
+    }
+    full_all = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"])
+        for r in duplicated_span_removal(
+            docs, k=8, min_df=2, scope="all"
+        ).collect()
+    }
+    assert fast_all == full_all
