@@ -40,15 +40,23 @@ def count_min_sketch(
     df: DataFrame, key_col: str, depth: int, width: int
 ) -> DataFrame:
     """Build the sketch: (i, b, cell) with cell = total occurrences of
-    keys hashing to bucket b under row hash i. One explode to depth
-    rows per input row, one partial-agg reduction to depth x width."""
-    rows = None
-    for i in range(depth):
-        r = df.select(
-            F.lit(i).alias("i"),
-            _cms_cell(F.col(key_col), i, width).alias("b"),
-        )
-        rows = r if rows is None else rows.unionByName(r)
+    keys hashing to bucket b under row hash i. ONE scan of the input —
+    the depth dimension is an inline array explode per row (the union
+    formulation scanned the source depth times), then one partial-agg
+    reduction to depth x width."""
+    rows = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        _cms_cell(F.col(key_col), i, width).alias("b"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("o")
+    ).select("o.i", "o.b")
     return rows.groupBy("i", "b").agg(F.count(F.lit(1)).alias("cell"))
 
 
@@ -80,17 +88,29 @@ def count_min_heavy_hitters(
     if sketch is None:
         sketch = count_min_sketch(df, key_col, depth, width)
     exact = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("exact_n"))
-    total = df.select(F.count(F.lit(1)).alias("n_total"))
+    # every hash row counts each input row once: sum_b cms[0][b] = N —
+    # the bound's N comes from the grid, not another scan of df
+    total = sketch.filter(F.col("i") == 0).agg(
+        F.sum("cell").alias("n_total")
+    )
     top = exact.orderBy(F.col("exact_n").desc(), F.col(key_col).asc()).limit(topn)
-    probes = None
-    for i in range(depth):
-        p = top.select(
-            key_col,
-            "exact_n",
-            F.lit(i).alias("i"),
-            _cms_cell(F.col(key_col), i, width).alias("b"),
-        )
-        probes = p if probes is None else probes.unionByName(p)
+    # one pass over the candidate set: the depth probes explode inline
+    # (the union formulation recomputed the exact-count top-n per row)
+    probes = top.select(
+        key_col,
+        "exact_n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        _cms_cell(F.col(key_col), i, width).alias("b"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("o"),
+    ).select(key_col, "exact_n", "o.i", "o.b")
     est = (
         probes.join(F.broadcast(sketch), ["i", "b"])
         .groupBy(key_col, "exact_n")
@@ -116,15 +136,24 @@ def bloom_bits(keys: DataFrame, key_col: str, m: int, k: int) -> DataFrame:
     returns the DISTINCT (i, pos) set bits for the key set. At most
     k * |keys| rows, bounded by k * m — broadcastable whenever the
     filter itself would be."""
-    rows = None
-    for i in range(k):
-        r = keys.select(
-            F.lit(i).alias("i"),
-            md5_bucket(
-                F.concat(F.lit(f"bloom:{i}:"), F.col(key_col).cast("string")), m
-            ).alias("pos"),
-        )
-        rows = r if rows is None else rows.unionByName(r)
+    rows = keys.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        md5_bucket(
+                            F.concat(
+                                F.lit(f"bloom:{i}:"), F.col(key_col).cast("string")
+                            ),
+                            m,
+                        ).alias("pos"),
+                    )
+                    for i in range(k)
+                ]
+            )
+        ).alias("o")
+    ).select("o.i", "o.pos")
     return rows.distinct()
 
 
@@ -153,16 +182,27 @@ def bloom_prune_report(
     """
     bits = bloom_bits(dim_keys, key_col, m, k)
     fact_keys = fact.groupBy(key_col).agg(F.count(F.lit(1)).alias("n_rows"))
-    probes = None
-    for i in range(k):
-        p = fact_keys.select(
-            key_col,
-            F.lit(i).alias("i"),
-            md5_bucket(
-                F.concat(F.lit(f"bloom:{i}:"), F.col(key_col).cast("string")), m
-            ).alias("pos"),
-        )
-        probes = p if probes is None else probes.unionByName(p)
+    # one pass over the aggregated fact keys (the union formulation
+    # recomputed the fact groupBy k times)
+    probes = fact_keys.select(
+        key_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        md5_bucket(
+                            F.concat(
+                                F.lit(f"bloom:{i}:"), F.col(key_col).cast("string")
+                            ),
+                            m,
+                        ).alias("pos"),
+                    )
+                    for i in range(k)
+                ]
+            )
+        ).alias("o"),
+    ).select(key_col, "o.i", "o.pos")
     passing = (
         probes.join(F.broadcast(bits), ["i", "pos"])
         .groupBy(key_col)
@@ -234,8 +274,11 @@ def cms_join_size_report(
     exact = da.join(db, key_col).agg(
         F.sum(F.col("da") * F.col("db")).alias("exact_join")
     )
-    na = left.select(F.count(F.lit(1)).alias("na"))
-    nb = right.select(F.count(F.lit(1)).alias("nb"))
+    # N_a / N_b fall out of the grids themselves (each hash row counts
+    # every input row exactly once, so sum_b cms[0][b] = N) — no extra
+    # scan of either input for the bound
+    na = a.filter(F.col("i") == 0).agg(F.sum("cell").alias("na"))
+    nb = b.filter(F.col("i") == 0).agg(F.sum("cell").alias("nb"))
     bound = F.ceil(
         F.lit(E_OVER_W_NUM)
         / F.lit(float(width))
