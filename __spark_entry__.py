@@ -1453,9 +1453,13 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trigram-Jaccard near-dup pairs with df-ordered prefix filtering,
     value-checked against the brute-force all-pairs oracle (prefix
     filtering is exact modulo the prefix_cap, which keeps full recall on
-    this corpus)."""
+    this corpus). Shares the build-once shingle-hash store
+    (_shingle_store) with the LSH postings build — one md5 hash pass
+    per process for the whole default-parameter pair family."""
     docs = _t(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(docs, threshold=0.8)
+    return ngram_jaccard_pairs(
+        docs, threshold=0.8, hashes=_shingle_store(spark, sf_dir)
+    )
 
 
 def q_store_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2031,7 +2035,12 @@ def q_dedup_survivors_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(docs, jaccard_threshold=0.5, hot_bucket_cap=2)
+    pairs = minhash_lsh_pairs(
+        docs,
+        jaccard_threshold=0.5,
+        hot_bucket_cap=2,
+        hashes=_shingle_store(spark, sf_dir),
+    )
     losers = (
         connected_components(pairs)
         .filter(F.col("node_id") != F.col("component_id"))
@@ -2221,11 +2230,22 @@ def q_load_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("g_stop").alias("stop_pos"),
         F.lit("ACTIVE").alias("object_status"),
     )
-    derived = derive_variants(
-        cf2, sample_id=7, gender="M", map_key=360, genes=genes, genic_bin_size=256
+    from rat_strain_loader_pipeline_spark.staging import stage_to_parquet
+
+    # stage the derived batch ONCE: both consumers below (the existing-
+    # key snapshot and the upsert input) branch from it — without the
+    # barrier the post-stage tail of the derive chain (PAR interval
+    # join, zygosity, genic status) recomputes per consumer
+    derived = stage_to_parquet(
+        derive_variants(
+            cf2, sample_id=7, gender="M", map_key=360, genes=genes, genic_bin_size=256
+        ),
+        "load-counters-derived",
     )
     key_cols = ["chromosome", "start_pos", "end_pos", "ref_nuc", "var_nuc", "variant_type"]
-    existing = (
+    # staged: upsert_variants consumes the existing store twice (the
+    # key join and the max-id aggregate) — land the snapshot once
+    existing = stage_to_parquet(
         derived.filter(F.col("chromosome") == "1")
         .select(*key_cols)
         .distinct()
@@ -2234,7 +2254,8 @@ def q_load_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.dense_rank()
             .over(Window.orderBy(*[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in key_cols]))
             .cast("long"),
-        )
+        ),
+        "load-counters-existing",
     )
     with_ids = upsert_variants(derived, existing)
     counted, obs = with_counters(
@@ -7202,7 +7223,8 @@ def q_dedup_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     truth = ngram_jaccard_pairs(
-        docs, threshold=0.5, prefix_cap=None
+        docs, threshold=0.5, prefix_cap=None,
+        hashes=_shingle_store(spark, sf_dir),
     ).select("id_a", "id_b")
     lsh = _nd_pairs(spark, sf_dir).select(
         "id_a", "id_b"
@@ -7434,17 +7456,23 @@ def q_dedup_recall_audit_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from rat_strain_loader_pipeline_spark.operators.sampling import md5_mod
 
-    docs = _t(spark, sf_dir, "documents").filter(
+    sample_pred = (
         md5_mod(
             F.concat(F.lit(RECALL_SAMPLE_SALT), F.col("doc_id").cast("string")),
             RECALL_SAMPLE_MOD,
         )
         == 0
     )
-    truth = ngram_jaccard_pairs(docs, threshold=0.5, prefix_cap=None).select(
-        "id_a", "id_b"
-    )
-    lsh = minhash_lsh_pairs(docs, jaccard_threshold=0.5).select("id_a", "id_b")
+    docs = _t(spark, sf_dir, "documents").filter(sample_pred)
+    # hash arrays are a pure per-doc function: the sampled corpus's
+    # hashes are exactly the store's rows under the same predicate
+    sampled_hashes = _shingle_store(spark, sf_dir).filter(sample_pred)
+    truth = ngram_jaccard_pairs(
+        docs, threshold=0.5, prefix_cap=None, hashes=sampled_hashes
+    ).select("id_a", "id_b")
+    lsh = minhash_lsh_pairs(
+        docs, jaccard_threshold=0.5, hashes=sampled_hashes
+    ).select("id_a", "id_b")
     hit = truth.join(lsh, ["id_a", "id_b"])
     nt = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
     nl = lsh.agg(F.count(F.lit(1)).cast("long").alias("n_lsh"))
@@ -9810,6 +9838,36 @@ def _nd_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ND_PAIRS_PATHS: dict[str, str] = {}
 _FULL_CC_PATHS: dict[str, str] = {}
+_SHINGLE_STORE_PATHS: dict[str, str] = {}
+
+
+def _shingle_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build-once per-process staged shingle-hash table — the (doc_id,
+    hashes) arrays of the default md5 family at shingle_n=3, the
+    SHARED upstream of every default-parameter pair pipeline: the LSH
+    postings build (_nd_pairs_store), the exact-Jaccard truth pipelines
+    (ngram_jaccard, dedup_recall_audit, the sampled audit's subset),
+    and the capped-LSH variant (dedup_survivors_capped). The hash pass
+    is the one Python-boundary stage of the dedup family (the
+    DuckDB-reproducible md5 pandas UDF); one pass per process serves
+    all of them. Hash arrays are a pure per-doc function, so a
+    filtered corpus slice's hashes are exactly the store's rows
+    filtered by the same predicate — the sampled audit uses that."""
+    import os as _os
+
+    from rat_strain_loader_pipeline_spark.operators.dedup import shingle_hashes
+    from rat_strain_loader_pipeline_spark.staging import stage_to_parquet_path
+
+    path = _SHINGLE_STORE_PATHS.get(sf_dir)
+    if path is not None and _os.path.exists(_os.path.join(path, "_SUCCESS")):
+        return spark.read.parquet(path)
+    docs = _t(spark, sf_dir, "documents")
+    hashes, path = stage_to_parquet_path(
+        shingle_hashes(docs, "text", "doc_id", 3, stage=False),
+        "shingle-store",
+    )
+    _SHINGLE_STORE_PATHS[sf_dir] = path
+    return hashes
 
 
 def _full_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9861,9 +9919,9 @@ def _nd_pairs_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     # jaccard_micros rides along so verification consumers
     # (cross_corpus_dedup) never recompute signatures
     pairs, path = stage_to_parquet_path(
-        minhash_lsh_pairs(docs, jaccard_threshold=0.5).select(
-            "id_a", "id_b", "jaccard_micros"
-        ),
+        minhash_lsh_pairs(
+            docs, jaccard_threshold=0.5, hashes=_shingle_store(spark, sf_dir)
+        ).select("id_a", "id_b", "jaccard_micros"),
         "ccstore-pairs",
     )
     _ND_PAIRS_PATHS[sf_dir] = path

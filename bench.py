@@ -88,6 +88,7 @@ def main() -> None:
         "_ivf_residual_opq_index_path",
         "_ivf_residual_even_index_path",
         "_ivf_maintained_path",
+        "_shingle_store",
         "_cc_store",
         "_full_cc",
         "_kmeans_assign",

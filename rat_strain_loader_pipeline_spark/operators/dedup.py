@@ -270,6 +270,7 @@ def minhash_lsh_pairs(
     seed: int = 42,
     hot_bucket_cap: int | None = None,
     hash_fn: str = "md5_oracle",
+    hashes: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via banded minhash-LSH + exact-Jaccard verify.
 
@@ -289,8 +290,13 @@ def minhash_lsh_pairs(
     incomplete, but dedup-survivor semantics are preserved — every
     member still verifies (exact Jaccard) against the representative it
     would transitively collapse into. None (default) = exact all-pairs.
+
+    ``hashes``: an already-staged (id, hashes) table from
+    ``shingle_hashes`` with the same (text_col, id_col, shingle_n,
+    hash_fn) — lets several pair pipelines share one hash pass.
     """
-    hashes = shingle_hashes(docs, text_col, id_col, shingle_n, stage=True, hash_fn=hash_fn)
+    if hashes is None:
+        hashes = shingle_hashes(docs, text_col, id_col, shingle_n, stage=True, hash_fn=hash_fn)
     sigs = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_n, seed, hashes=hashes)
     banded = band_signatures(sigs, id_col, num_hashes, bands)
 
@@ -651,6 +657,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     prefix_cap: int | None = 8,
     hash_fn: str = "md5_oracle",
+    hashes: DataFrame | None = None,
 ) -> DataFrame:
     """N-gram Jaccard near-dup pairs via df-ordered prefix filtering.
 
@@ -668,8 +675,13 @@ def ngram_jaccard_pairs(
     is one — a dense global row_number would funnel every distinct token
     through a single unpartitioned-window task and then broadcast a map
     that is billions of entries at 100 TB.
+
+    ``hashes``: an already-staged (id, hashes) table from
+    ``shingle_hashes`` with the same parameters — shares one hash pass
+    across pair pipelines (the minhash_lsh_pairs contract).
     """
-    hashes = shingle_hashes(docs, text_col, id_col, shingle_n, stage=True, hash_fn=hash_fn)
+    if hashes is None:
+        hashes = shingle_hashes(docs, text_col, id_col, shingle_n, stage=True, hash_fn=hash_fn)
 
     df_counts = (
         hashes.select(F.explode("hashes").alias("tok"))
