@@ -5935,6 +5935,31 @@ def q_window_skew_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _skewed_transitions(spark, sf_dir, zipf=False)
 
 
+_PHASH_MEDIA_PATHS: dict[str, str] = {}
+_AUDIO_MEDIA_PATHS: dict[str, str] = {}
+
+
+def _phash_media_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build-once per-process staged BMP fixture (_synth_phash_media
+    materialized): the media BYTES are the queries' input corpus, not
+    the operator under measurement — decode + hashing + banding still
+    compute per call. Generation is a pure function of doc_id, so the
+    staged copy is bit-identical to a fresh synth (and a filtered
+    slice of it equals synthesizing the filtered docs)."""
+    import os as _os
+
+    from rat_strain_loader_pipeline_spark.staging import stage_to_parquet_path
+
+    path = _PHASH_MEDIA_PATHS.get(sf_dir)
+    if path is not None and _os.path.exists(_os.path.join(path, "_SUCCESS")):
+        return spark.read.parquet(path)
+    media, path = stage_to_parquet_path(
+        _synth_phash_media(spark, sf_dir), "phash-media-store"
+    )
+    _PHASH_MEDIA_PATHS[sf_dir] = path
+    return media
+
+
 def _synth_phash_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents -> (media_id, content) textured BMPs in groups of 3
     (same gradient; variants perturb one pixel) — the shared fixture
@@ -5983,7 +6008,7 @@ def q_media_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rat_strain_loader_pipeline_spark.ship import ensure_shipped
 
     ensure_shipped(spark)
-    media = _synth_phash_media(spark, sf_dir)
+    media = _phash_media_store(spark, sf_dir)
     return media_phash_pairs(media, max_hamming=4)
 
 
@@ -6075,7 +6100,22 @@ def q_media_audio_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out.append((d, synth_wav_samples(base)))
             yield pd.DataFrame(out, columns=["media_id", "content"])
 
-    media = docs.mapInPandas(synth, schema="media_id long, content binary")
+    import os as _os
+
+    from rat_strain_loader_pipeline_spark.staging import stage_to_parquet_path
+
+    # build-once staged WAV fixture (the _phash_media_store twin): the
+    # bytes are the input corpus, generation is a pure function of
+    # doc_id; decode + hashing + banding still compute per call
+    path = _AUDIO_MEDIA_PATHS.get(sf_dir)
+    if path is not None and _os.path.exists(_os.path.join(path, "_SUCCESS")):
+        media = spark.read.parquet(path)
+    else:
+        media, path = stage_to_parquet_path(
+            docs.mapInPandas(synth, schema="media_id long, content binary"),
+            "audio-media-store",
+        )
+        _AUDIO_MEDIA_PATHS[sf_dir] = path
     return media_audio_pairs(media, max_hamming=4)
 
 
@@ -6529,11 +6569,11 @@ def q_media_phash_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # deterministic 1/2 subset (text-gate precedent): gate semantics are
     # volume-independent; the batch phash queries cover full volume.
-    # Stage the synth ONCE in parallel — the two coalesce(1) source-file
-    # writes below would otherwise each regenerate every BMP in one task
-    media = stage_to_parquet(
-        _synth_phash_media(spark, sf_dir).filter(F.col("media_id") % 2 == 0),
-        "phash-gate-media",
+    # The shared staged fixture (_phash_media_store) keeps the two
+    # coalesce(1) source-file writes below from each regenerating every
+    # BMP in one task
+    media = _phash_media_store(spark, sf_dir).filter(
+        F.col("media_id") % 2 == 0
     )
     work = _os.path.join(_stage_root(), f"phash-gate-{_uuid.uuid4().hex[:8]}")
     src_dir = _os.path.join(work, "src")
@@ -8313,7 +8353,7 @@ def q_keyframe_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rat_strain_loader_pipeline_spark.ship import ensure_shipped
 
     ensure_shipped(spark)
-    media = _synth_phash_media(spark, sf_dir)
+    media = _phash_media_store(spark, sf_dir)
     sigs = image_dhash_sigs(media).select(
         F.col("media_id"),
         (F.col("media_id") % 3).cast("int").alias("idx"),

@@ -100,6 +100,18 @@ def main() -> None:
         except Exception as e:  # never let warmup kill the bench
             print(f"bench warmup {warm}: {e}", file=sys.stderr)
 
+    # host-speed canary: this sandbox's effective CPU speed swings ~2x
+    # between phases (measured: the same query, same code, 6.7 s vs
+    # 3.9 s ten minutes apart). A fixed JVM-side job timed 3x (median)
+    # anchors what the host was doing during THIS bench so two
+    # BENCH_FULL files are comparable.
+    canary = []
+    for _ in range(3):
+        c0 = time.perf_counter()
+        spark.range(200_000_000).selectExpr("sum(id * 3 + 1)").collect()
+        canary.append(time.perf_counter() - c0)
+    host_canary = round(sorted(canary)[1], 3)
+
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "1")))
     # first-run timings fold one-time plan compilation (and any GC/host
     # noise burst) into the query's number; re-run outliers once and
@@ -150,6 +162,7 @@ def main() -> None:
         # driver run can never silently disagree on what was measured
         "bench_runs": runs,
         "retry_above": retry_above,
+        "host_canary_sec": host_canary,
     }
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
     with open(full_path, "w") as f:

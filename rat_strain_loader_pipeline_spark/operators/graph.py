@@ -59,13 +59,18 @@ def pagerank_micros(
         .distinct(),
         "pagerank-nodes",
     )
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # out-degree is loop-invariant: attach it to the staged edge table
+    # ONCE instead of re-aggregating + re-joining it every iteration
+    # (per round: 1 join + 1 agg fewer, identical shares)
+    ew = stage_to_parquet(
+        e.join(e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")), "src"),
+        "pagerank-eweighted",
+    )
     base = 1_000_000 - damping_pct * 10_000  # (1-d) in micro-units
     ranks = nodes.withColumn("rank", F.lit(1_000_000).cast("long"))
     for i in range(iterations):
         shares = (
-            e.join(ranks.withColumnRenamed("node", "src"), "src")
-            .join(outdeg, "src")
+            ew.join(ranks.withColumnRenamed("node", "src"), "src")
             .select(
                 F.col("dst").alias("node"),
                 F.expr(f"(rank * {damping_pct}) div (100 * outdeg)").alias("share"),
