@@ -37,13 +37,42 @@ def _cms_cell(key: Column, row: int, width: int) -> Column:
 
 
 def count_min_sketch(
-    df: DataFrame, key_col: str, depth: int, width: int
+    df: DataFrame,
+    key_col: str,
+    depth: int,
+    width: int,
+    counts: DataFrame | None = None,
 ) -> DataFrame:
     """Build the sketch: (i, b, cell) with cell = total occurrences of
     keys hashing to bucket b under row hash i. ONE scan of the input —
     the depth dimension is an inline array explode per row (the union
     formulation scanned the source depth times), then one partial-agg
-    reduction to depth x width."""
+    reduction to depth x width.
+
+    ``counts``: an already-aggregated (key_col, n) table for the same
+    input. The md5 row hash is a pure function of the KEY, so hashing
+    each distinct key once and weighting its bucket by n is cell-wise
+    identical to hashing every row — and costs |keys| x depth hashes
+    instead of |rows| x depth. Callers that compute exact per-key
+    counts anyway (the heavy-hitter contract check, the join-size
+    report's degree tables) pass them in; the sketch itself stays the
+    bounded-memory one-pass grid when they don't."""
+    if counts is not None:
+        rows = counts.select(
+            F.col("n"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("i"),
+                            _cms_cell(F.col(key_col), i, width).alias("b"),
+                        )
+                        for i in range(depth)
+                    ]
+                )
+            ).alias("o"),
+        ).select("n", "o.i", "o.b")
+        return rows.groupBy("i", "b").agg(F.sum("n").alias("cell"))
     rows = df.select(
         F.explode(
             F.array(
@@ -85,9 +114,16 @@ def count_min_heavy_hitters(
     sketch's merge, so a grid summed from per-batch grids answers
     identically to one built in a single pass.
     """
-    if sketch is None:
-        sketch = count_min_sketch(df, key_col, depth, width)
     exact = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("exact_n"))
+    if sketch is None:
+        # the exact per-key counts are computed anyway for the contract
+        # check — build the grid from them (hash per distinct key, not
+        # per row; identical cells, and the repeated aggregate subtree
+        # reuses one exchange)
+        sketch = count_min_sketch(
+            df, key_col, depth, width,
+            counts=exact.select(key_col, F.col("exact_n").alias("n")),
+        )
     # every hash row counts each input row once: sum_b cms[0][b] = N —
     # the bound's N comes from the grid, not another scan of df
     total = sketch.filter(F.col("i") == 0).agg(
@@ -261,16 +297,26 @@ def cms_join_size_report(
     contract check. Deterministic md5 row hashes, so the oracle
     rebuilds both grids and replays the estimate value-exact.
     """
-    a = count_min_sketch(left, key_col, depth, width)
-    b = count_min_sketch(right, key_col, depth, width)
+    da = left.groupBy(key_col).agg(F.count(F.lit(1)).alias("da"))
+    db = right.groupBy(key_col).agg(F.count(F.lit(1)).alias("db"))
+    # grids from the degree tables (hash per distinct key, weighted by
+    # its degree — cell-wise identical, |keys| x depth hashes instead
+    # of |rows| x depth) — the degrees are needed for the exact figure
+    # anyway, so the aggregate subtree is shared
+    a = count_min_sketch(
+        left, key_col, depth, width,
+        counts=da.select(key_col, F.col("da").alias("n")),
+    )
+    b = count_min_sketch(
+        right, key_col, depth, width,
+        counts=db.select(key_col, F.col("db").alias("n")),
+    )
     est = (
         a.join(b.withColumnRenamed("cell", "cell_b"), ["i", "b"])
         .groupBy("i")
         .agg(F.sum(F.col("cell") * F.col("cell_b")).alias("ip"))
         .agg(F.min("ip").alias("est_join"))
     )
-    da = left.groupBy(key_col).agg(F.count(F.lit(1)).alias("da"))
-    db = right.groupBy(key_col).agg(F.count(F.lit(1)).alias("db"))
     exact = da.join(db, key_col).agg(
         F.sum(F.col("da") * F.col("db")).alias("exact_join")
     )
