@@ -1,10 +1,11 @@
-"""Capture .explain('formatted') for declared queries into plans/r12/.
+"""Capture .explain('formatted') for declared queries into plans/<round>/.
 
 Usage: python tools/explain_plan.py <suffix> <query> [query ...]
        python tools/explain_plan.py before corpus_curation dedup_survivors
 
-Writes plans/r12/<query>_<suffix>.txt. Uses the same session factory as
-bench.py so plan shapes match what the bench measures.
+Writes plans/<round>/<query>_<suffix>.txt (round from $SPARK_GRAFT_PLAN_DIR,
+default r13). Uses the same session factory as bench.py so plan shapes
+match what the bench measures.
 """
 
 from __future__ import annotations
@@ -27,7 +28,9 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries = entry_mod.queries()
     out_dir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r12"
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        os.environ.get("SPARK_GRAFT_PLAN_DIR", "r13"),
     )
     os.makedirs(out_dir, exist_ok=True)
     for name in names:

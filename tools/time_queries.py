@@ -42,20 +42,9 @@ def main() -> None:
         spark.sparkContext.defaultParallelism
     ).mapInPandas(_ident, "id long").count()
 
-    for warm in (
-        "_ivf_index_path",
-        "_ivf_opq_index_path",
-        "_ivf_residual_index_path",
-        "_ivf_residual_opq_index_path",
-        "_ivf_residual_even_index_path",
-        "_ivf_maintained_path",
-        "_shingle_store",
-        "_cc_store",
-        "_full_cc",
-        "_kmeans_assign",
-        "_bpe_store",
-        "_unigram_model",
-    ):
+    # one shared list with bench.py (advisor r12: hand-duplicated copies
+    # can silently diverge on what warmup covers)
+    for warm in entry_mod.WARMUP_STORES:
         try:
             getattr(entry_mod, warm)(spark, sf_dir)
         except AttributeError:
