@@ -219,3 +219,17 @@ def test_streaming_hll_merge_equals_single_pass(spark, tmp_path, sf_dir):
     assert sorted(tuple(r) for r in got.collect()) == sorted(
         tuple(r) for r in want.collect()
     )
+
+
+def test_cms_batch_grid_equals_one_pass_sketch(spark):
+    # the micro-batch maintainer's union-shaped builder (special-cased
+    # for tiny per-batch jobs, r13) must produce the identical grid to
+    # the one-pass explode builder the batch queries use
+    from rat_strain_loader_pipeline_spark.operators.sketch import count_min_sketch
+    from rat_strain_loader_pipeline_spark.streaming.sketches import _cms_batch_grid
+
+    rows = [f"k{i % 37}" for i in range(500)]
+    df = spark.createDataFrame([(k,) for k in rows], "k string")
+    a = sorted(tuple(r) for r in count_min_sketch(df, "k", 3, 16).collect())
+    b = sorted(tuple(r) for r in _cms_batch_grid(df, "k", 3, 16).collect())
+    assert a == b
