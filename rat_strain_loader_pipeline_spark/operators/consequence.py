@@ -231,14 +231,16 @@ def compute_consequence(
     return r
 
 
-def _candidate_pairs(
+def _candidate_spine(
     variants: DataFrame,
     genes: DataFrame,
     transcripts: DataFrame,
-    features: DataFrame,
 ) -> DataFrame:
-    """Shared join spine: F4 filter, J1 gene interval probe (broadcast),
-    J2 transcripts, J3/W1 features collected and sorted per transcript."""
+    """Shared join spine, NARROW rows only: F4 filter, J1 gene interval
+    probe (broadcast), J2 transcripts. The per-transcript feature arrays
+    join later (``_features_sorted``), after the pair-level dedup and
+    store anti-join have settled which pairs actually compute — so no
+    exchange ever carries the collected arrays."""
     # F4: multi-allelic skip (VariantPostProcessing.java:202-203)
     v = variants.filter(
         F.col("var_nuc").isNull() | ~F.col("var_nuc").contains(",")
@@ -267,11 +269,13 @@ def _candidate_pairs(
 
     # J2
     t = transcripts.select("transcript_rgd_id", "gene_rgd_id", "is_non_coding_ind")
-    vgt = vg.join(broadcast(t), "gene_rgd_id")
+    return vg.join(broadcast(t), "gene_rgd_id")
 
-    # J3 + W1: features collected per transcript, sorted by
-    # (object_name, start_pos, stop_pos)
-    feats = (
+
+def _features_sorted(features: DataFrame) -> DataFrame:
+    """J3 + W1: features collected per transcript, sorted by
+    (object_name, start_pos, stop_pos)."""
+    return (
         features.filter(F.col("chromosome").isNotNull())
         .groupBy("transcript_rgd_id")
         .agg(
@@ -287,7 +291,6 @@ def _candidate_pairs(
             ).alias("feats")
         )
     )
-    return vgt.join(broadcast(feats), "transcript_rgd_id")
 
 
 _VT_COLUMNS = [
@@ -351,16 +354,29 @@ def _consequence_runner(seqs_for_row, map_key: int):
     return run
 
 
-def _finalize(vt: DataFrame, verify_against: DataFrame | None) -> DataFrame:
-    # W5 batch dedup (VariantTranscriptBatch.java:29-49)
-    vt = vt.dropDuplicates(["variant_rgd_id", "transcript_rgd_id"])
+def _pair_scope(spine: DataFrame, verify_against: DataFrame | None) -> DataFrame:
+    """W5 batch dedup (VariantTranscriptBatch.java:29-49) + J6 store
+    anti-join, applied to the NARROW candidate pairs BEFORE the Python
+    stage. The consequence ``mapInPandas`` emits exactly one output row
+    per input row, computed as a pure function of that row, and
+    duplicate (variant, transcript) pairs carry identical attribute
+    columns (a transcript has one gene; variant/feature attributes ride
+    the keys) — so pair-key dedup and the pair-key anti-join commute
+    with the map: the surviving pair set and every output value are
+    identical to running them after it. What moves: the dedup exchange
+    now carries ~60 bytes/row instead of the full VT row (whose
+    full_ref_aa/full_ref_nuc hold whole translated transcripts), the
+    store anti-join stops shuffling UDF output, and rows the store
+    already holds never cross the Python boundary at all (guide §8:
+    decide with small rows, compute heavy things once)."""
+    out = spine.dropDuplicates(["variant_rgd_id", "transcript_rgd_id"])
     if verify_against is not None:  # J6
-        vt = vt.join(
+        out = out.join(
             verify_against.select("variant_rgd_id", "transcript_rgd_id"),
             on=["variant_rgd_id", "transcript_rgd_id"],
             how="left_anti",
         )
-    return vt
+    return out
 
 
 def variant_transcript_consequences(
@@ -396,12 +412,17 @@ def variant_transcript_consequences(
 
     ensure_shipped(variants.sparkSession)
 
-    joined = _candidate_pairs(variants, genes, transcripts, features)
+    spine = _pair_scope(
+        _candidate_spine(variants, genes, transcripts), verify_against
+    )
     if repartition_to:
-        joined = joined.repartition(repartition_to)
+        spine = spine.repartition(repartition_to)
+    # feature arrays attach AFTER the repartition (broadcast join keeps
+    # the partitioning), so no exchange carries them
+    joined = spine.join(broadcast(_features_sorted(features)), "transcript_rgd_id")
 
     run = _consequence_runner(lambda row: fasta_broadcast.value, map_key)
-    return _finalize(joined.mapInPandas(run, schema=VT_OUTPUT_SCHEMA), verify_against)
+    return joined.mapInPandas(run, schema=VT_OUTPUT_SCHEMA)
 
 
 class _SpanSeq:
@@ -457,7 +478,9 @@ def variant_transcript_consequences_blocks(
 
     ensure_shipped(variants.sparkSession)
 
-    joined = _candidate_pairs(variants, genes, transcripts, features)
+    spine = _pair_scope(
+        _candidate_spine(variants, genes, transcripts), verify_against
+    )
 
     spans = (
         features.filter(F.col("chromosome").isNotNull())
@@ -487,9 +510,10 @@ def variant_transcript_consequences_blocks(
             F.coalesce(F.col("__chr_len"), F.lit(0)).alias("chr_len_"),
         )
     )
-    joined = joined.join(tseq, "transcript_rgd_id", "left")
+    joined = spine.join(tseq, "transcript_rgd_id", "left")
     if repartition_to:
         joined = joined.repartition(repartition_to)
+    joined = joined.join(broadcast(_features_sorted(features)), "transcript_rgd_id")
 
     def seqs_for_row(row):
         return {
@@ -499,4 +523,4 @@ def variant_transcript_consequences_blocks(
         }
 
     run = _consequence_runner(seqs_for_row, map_key)
-    return _finalize(joined.mapInPandas(run, schema=VT_OUTPUT_SCHEMA), verify_against)
+    return joined.mapInPandas(run, schema=VT_OUTPUT_SCHEMA)
