@@ -2230,22 +2230,18 @@ def q_load_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("g_stop").alias("stop_pos"),
         F.lit("ACTIVE").alias("object_status"),
     )
-    from rat_strain_loader_pipeline_spark.staging import stage_to_parquet
-
-    # stage the derived batch ONCE: both consumers below (the existing-
-    # key snapshot and the upsert input) branch from it — without the
-    # barrier the post-stage tail of the derive chain (PAR interval
-    # join, zygosity, genic status) recomputes per consumer
-    derived = stage_to_parquet(
-        derive_variants(
-            cf2, sample_id=7, gender="M", map_key=360, genes=genes, genic_bin_size=256
-        ),
-        "load-counters-derived",
+    # r12 staged `derived` and `existing` through parquet barriers here;
+    # a 3-round interleaved A/B with job/stage counts (r13) read staged
+    # 5.5-12.8 s / 21 jobs / 30 stages vs unstaged 4.0-6.3 s / 16 jobs /
+    # 26 stages, identical values — the recomputed post-stage tail of
+    # the derive chain (cheap codegen expressions over the stage-a
+    # barrier derive_variants already contains) costs less than two
+    # extra parquet write+read round trips at this volume. Reverted.
+    derived = derive_variants(
+        cf2, sample_id=7, gender="M", map_key=360, genes=genes, genic_bin_size=256
     )
     key_cols = ["chromosome", "start_pos", "end_pos", "ref_nuc", "var_nuc", "variant_type"]
-    # staged: upsert_variants consumes the existing store twice (the
-    # key join and the max-id aggregate) — land the snapshot once
-    existing = stage_to_parquet(
+    existing = (
         derived.filter(F.col("chromosome") == "1")
         .select(*key_cols)
         .distinct()
@@ -2254,8 +2250,7 @@ def q_load_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.dense_rank()
             .over(Window.orderBy(*[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in key_cols]))
             .cast("long"),
-        ),
-        "load-counters-existing",
+        )
     )
     with_ids = upsert_variants(derived, existing)
     counted, obs = with_counters(
