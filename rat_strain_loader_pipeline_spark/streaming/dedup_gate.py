@@ -155,10 +155,17 @@ def dedup_gate_available_now(
             .dropDuplicates()
         )
         # decision ids come from the staged store copy, not batch_df —
-        # re-deriving from the micro-batch source would rescan it
-        decisions = bh.select(id_col).join(rejected, id_col, "left_anti").withColumn(
-            "admitted", F.lit(True)
-        ).unionByName(rejected.withColumn("admitted", F.lit(False)))
+        # re-deriving from the micro-batch source would rescan it.
+        # ONE left join flags every batch id (rejected ⊆ batch ids, so
+        # this emits exactly the anti-join∪rejected row set the previous
+        # two-branch union did) — the banded-join + exact-verify
+        # pipeline behind `rejected` evaluates once per batch, not once
+        # per branch.
+        decisions = (
+            bh.select(id_col)
+            .join(rejected.withColumn("__rej", F.lit(True)), id_col, "left")
+            .select(id_col, F.col("__rej").isNull().alias("admitted"))
+        )
         decisions.write.mode("overwrite").parquet(os.path.join(out_path, f"batch={batch_id}"))
 
     reader = spark.readStream.schema(schema)

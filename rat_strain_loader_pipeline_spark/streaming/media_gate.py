@@ -109,11 +109,14 @@ def phash_gate_available_now(
             .select(F.col(f"b.{id_col}").alias(id_col))
             .dropDuplicates()
         )
+        # ONE left join flags every batch id (rejected ⊆ batch ids, so
+        # this emits the same rows the anti-join∪rejected union did) —
+        # the banded simhash probe behind `rejected` evaluates once per
+        # batch, not once per branch (same fix as dedup_gate.py)
         decisions = (
             cur.select(id_col)
-            .join(rejected, id_col, "left_anti")
-            .withColumn("admitted", F.lit(True))
-            .unionByName(rejected.withColumn("admitted", F.lit(False)))
+            .join(rejected.withColumn("__rej", F.lit(True)), id_col, "left")
+            .select(id_col, F.col("__rej").isNull().alias("admitted"))
         )
         decisions.write.mode("overwrite").parquet(
             os.path.join(out_path, f"batch={batch_id}")
