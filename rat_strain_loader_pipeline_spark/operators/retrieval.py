@@ -365,19 +365,19 @@ def copurchase_rec_eval(
     recs = cand.withColumn("rn", F.row_number().over(w)).filter(
         F.col("rn") <= k
     )
-    # Stage the shared tables once (the repo's lineage-truncation
-    # pattern): without this every scalar aggregate below re-derives
-    # the full basket join + pair matrix.
+    # Stage the MULTI-consumer table once (the repo's lineage-truncation
+    # pattern): eval_users feeds both the recs filter and the n_users
+    # aggregate. recs_eval itself has exactly ONE consumer (the flagged
+    # aggregate), so it is not staged — a barrier there bought nothing
+    # and cost a parquet write+read per call (measured r13: never
+    # faster, up to 4.5 s slower first-run, identical summary row).
     eval_users = stage_to_parquet(
         owned.select("cust")
         .distinct()
         .join(test_items.select("cust").distinct(), "cust", "left_semi"),
         "rec-eval-users",
     )
-    recs_eval = stage_to_parquet(
-        recs.join(eval_users, "cust", "left_semi").select("cust", "j"),
-        "rec-recs-eval",
-    )
+    recs_eval = recs.join(eval_users, "cust", "left_semi").select("cust", "j")
     # one flagged pass folds n_recs / n_hits / n_hit_users into a
     # SINGLE aggregate (test_items is (cust, item)-distinct, so the
     # left join cannot fan out)
