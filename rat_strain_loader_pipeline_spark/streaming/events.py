@@ -149,8 +149,14 @@ def sessionize_stateful(
                 }
             )
 
+    # the stateful fn reads only ts per user: prune BEFORE the state
+    # shuffle so the exchange and the per-batch Arrow round trips carry
+    # 2 columns, not the full event row (guide §4 — an opaque grouped
+    # map defeats automatic pruning; measured interleaved: never
+    # slower, up to 2.4 s faster per availableNow pass at sf0.1)
     return (
-        events.withWatermark("ts", watermark)
+        events.select("user_id", "ts")
+        .withWatermark("ts", watermark)
         .groupBy("user_id")
         .applyInPandasWithState(
             fn,
@@ -379,8 +385,13 @@ def rate_limit_stateful(
                 }
             )
 
+    # prune to the columns the quota fn reads (same rationale as
+    # sessionize_stateful; a wash at sf0.1 — the output side dominates
+    # its Arrow volume — but strictly fewer bytes through the state
+    # exchange at any scale)
     return (
-        events.withWatermark("ts", watermark)
+        events.select("user_id", "ts", "event_id")
+        .withWatermark("ts", watermark)
         .groupBy("user_id")
         .applyInPandasWithState(
             fn,
